@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""Local replica of the driver's correctness gate: for each SparkEntry query,
+load the parquet dumped by graft.Verify and compare against the DuckDB oracle
+(columns sorted by name, values compared in row order)."""
+import json, sys, math
+import duckdb
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+ok = fail = 0
+for name, sql in sorted(oracle.items()):
+    try:
+        got = con.execute(
+            f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
+        want = con.execute(sql).fetchdf()
+    except Exception as e:
+        print(f"FAIL {name}: {type(e).__name__}: {e}")
+        fail += 1
+        continue
+    got = got.reindex(sorted(got.columns), axis=1)
+    want = want.reindex(sorted(want.columns), axis=1)
+    if list(got.columns) != list(want.columns):
+        print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
+        fail += 1
+        continue
+    if len(got) != len(want):
+        print(f"FAIL {name}: rows {len(got)} != {len(want)}")
+        fail += 1
+        continue
+    mism = None
+    for c in got.columns:
+        a, b = got[c].tolist(), want[c].tolist()
+        for i, (x, y) in enumerate(zip(a, b)):
+            same = (x == y) or (x is None and y is None)
+            try:
+                if isinstance(x, float) and isinstance(y, float):
+                    same = (math.isnan(x) and math.isnan(y)) or x == y
+            except Exception:
+                pass
+            if not same and str(x) != str(y):
+                mism = (c, i, x, y)
+                break
+        if mism:
+            break
+    if mism:
+        c, i, x, y = mism
+        print(f"FAIL {name}: col={c} row={i}: got={x!r} want={y!r}")
+        fail += 1
+    else:
+        print(f"ok   {name} ({len(got)} rows)")
+        ok += 1
+print(f"== {ok} ok, {fail} fail")
+sys.exit(1 if fail else 0)

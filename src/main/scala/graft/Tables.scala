@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver's parquet tables (/root/repo/TESTDATA.md) and the
+  * star-schema → knowledge-graph fixture mappings of /root/repo/FIXTURES.md §C.
+  * Schemas are fixed by the generator; we rely on parquet footers (explicit
+  * StructType pinning happens in GraphStore where we own the files).
+  */
+object Tables {
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String) = load(s, d, "region")
+  def nation(s: SparkSession, d: String) = load(s, d, "nation")
+  def customer(s: SparkSession, d: String) = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String) = load(s, d, "supplier")
+  def part(s: SparkSession, d: String) = load(s, d, "part")
+  def orders(s: SparkSession, d: String) = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String) = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String) = load(s, d, "events")
+  def documents(s: SparkSession, d: String) = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String) = load(s, d, "embeddings")
+
+  /** entities ⇐ customer: name=c_name (unique), type=c_mktsegment; customers
+    * have no timestamp so created_at is derived deterministically from the
+    * key (stable across engines, total-orderable).
+    */
+  def customerEntities(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(
+      col("c_name").as("name"),
+      col("c_mktsegment").as("entity_type"),
+      to_timestamp(lit("2024-01-01 00:00:00")).plus(
+        expr("make_interval(0, 0, 0, 0, 0, 0, c_custkey)")).as("created_at"),
+      col("c_custkey"))
+
+  /** observations ⇐ orders keyed by customer: content = order priority. */
+  def orderObservations(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(
+        col("o_orderkey").as("id"),
+        col("c_name").as("entity_name"),
+        col("o_orderpriority").as("content"),
+        col("o_orderdate").as("created_at"))
+
+  /** entities ⇐ orders (timestamps are real → recency reads). */
+  def orderEntities(s: SparkSession, d: String): DataFrame =
+    orders(s, d).select(
+      format_string("order#%09d", col("o_orderkey")).as("name"),
+      col("o_orderstatus").as("entity_type"),
+      col("o_orderdate").as("created_at"))
+
+  /** relations ⇐ lineitem FK edges: order -contains-> part. */
+  def lineitemRelations(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).select(
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+      format_string("order#%09d", col("l_orderkey")).as("source"),
+      format_string("part#%09d", col("l_partkey")).as("target"),
+      lit("contains").as("relation_type"),
+      col("l_shipdate").as("created_at"))
+}

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns._
+
+/** Read-path operators (SURVEY.md §2.1 R1–R11) over the reference's
+  * knowledge-graph schema:
+  *
+  *   entities(name, entity_type, created_at)
+  *   observations(id, entity_name, content, created_at)
+  *   relations(id, source, target, relation_type, created_at)
+  *
+  * All operators are pure `DataFrame => DataFrame` so Catalyst can push
+  * predicates/prune columns, and every top-k goes through
+  * `orderBy(...).limit(k)` → physical `TakeOrderedAndProject` (no full sort).
+  *
+  * Scale notes (100 TB design stance):
+  *  - The flagship search NEVER left-joins the full observations table into
+  *    entities (the reference's formulation, client.ts:220-246, which at scale
+  *    shuffles the biggest table). Instead the observation scan reduces to a
+  *    DISTINCT set of matching entity names first, then semi-joins — the
+  *    observation predicate is pushed into the parquet scan and the join build
+  *    side is tiny (bounded by matching entities, not observations).
+  *  - The reference's N+1 hydrate loop (client.ts:249-263) is one
+  *    join + collect_list aggregation (R6).
+  *  - The OR-of-equi edge lookup (client.ts:415-423) is a union of two equi
+  *    semi-joins, which broadcast-hash-joins, instead of the
+  *    BroadcastNestedLoopJoin a disjunctive join condition would force (R8).
+  */
+object GraphOps {
+
+  /** R1 point lookup — client.ts:188-210. Predicate pushes to parquet
+    * (min/max row-group pruning replaces the reference's B-tree index).
+    */
+  def getEntity(entities: DataFrame, name: String): DataFrame =
+    entities.filter(col("name") === lit(name)).select("name", "entity_type")
+
+  /** R2 dependent child scan — client.ts:198-201. */
+  def observationsFor(observations: DataFrame, entityName: String): DataFrame =
+    observations.filter(col("entity_name") === lit(entityName)).select("content")
+
+  /** R4 flagship search — client.ts:212-266. DISTINCT entities matching the
+    * fuzzy pattern on name, type, or any observation content; CASE relevance
+    * (name 3 / type 2 / observation 1); top-k by (relevance DESC,
+    * created_at DESC, name ASC — the name tiebreak gives the total order the
+    * reference lacks, SURVEY §4.3).
+    */
+  def searchEntities(
+      entities: DataFrame,
+      observations: DataFrame,
+      query: String,
+      limit: Int = DefaultSearchResults): DataFrame = {
+    val pat = likePattern(query)
+    val k = clampLimit(limit)
+    // Observation scan → small DISTINCT name set (content predicate is pushed
+    // down; at 100 TB this is the only full scan and it reduces before any join).
+    val obsHitNames = observations
+      .filter(ciLike(col("content"), pat))
+      .select(col("entity_name").as("name"))
+      .distinct()
+    val direct = entities.filter(
+      ciLike(col("name"), pat) || ciLike(col("entity_type"), pat))
+    val viaObs = entities.join(obsHitNames, Seq("name"), "left_semi")
+    direct
+      .unionByName(viaObs)
+      .dropDuplicates("name")
+      .withColumn("relevance_score",
+        relevanceScore(col("name"), col("entity_type"), pat))
+      .select("name", "entity_type", "created_at", "relevance_score")
+      .orderBy(desc("relevance_score"), desc("created_at"), asc("name"))
+      .limit(k)
+  }
+
+  /** R6 observation hydrate — replaces the reference's N+1 loop
+    * (client.ts:248-263) with one left join + collect_list. `sort_array`
+    * pins the nondeterministic post-shuffle order (SURVEY §7.3).
+    */
+  def hydrate(hits: DataFrame, observations: DataFrame): DataFrame =
+    hits
+      .join(observations.select("entity_name", "content"),
+        hits("name") === col("entity_name"), "left")
+      .groupBy(hits.columns.map(hits(_)): _*)
+      .agg(sort_array(collect_list(col("content"))).as("observations"))
+
+  /** R7 top-k by recency — client.ts:268-295. `TakeOrderedAndProject`,
+    * with unique-name tiebreak for a total order.
+    */
+  def recentEntities(entities: DataFrame, limit: Int = DefaultSearchResults): DataFrame =
+    entities
+      .select("name", "entity_type", "created_at")
+      .orderBy(desc("created_at"), asc("name"))
+      .limit(clampLimit(limit))
+
+  /** R8 edges touching an entity set from either side — client.ts:407-430.
+    * The reference's `source IN (...) OR target IN (...)` would plan as a
+    * BroadcastNestedLoopJoin if written as one disjunctive join condition; a
+    * union of equi semi-joins broadcast-hash-joins instead. Parallel edges
+    * (not deduplicated in the reference, client.ts:324-325) must survive, so
+    * rows matching on BOTH sides are split as `source-match ∪ (target-match ∖
+    * source-match)` — per-row exactly-once without needing a unique edge id.
+    */
+  def relationsForEntities(relations: DataFrame, names: DataFrame): DataFrame = {
+    val n = broadcast(names.select(col("name")).distinct())
+    val bySource = relations.join(n, relations("source") === n("name"), "left_semi")
+    val byTargetOnly = relations
+      .join(n, relations("target") === n("name"), "left_semi")
+      .join(n, relations("source") === n("name"), "left_anti")
+    bySource
+      .unionByName(byTargetOnly)
+      .select(
+        col("source").as("from_entity"),
+        col("target").as("to_entity"),
+        col("relation_type"))
+  }
+
+  /** R9 read_graph — client.ts:433-441: top-10 recent entities ⊕ their edges. */
+  def readGraphEdges(entities: DataFrame, relations: DataFrame, limit: Int = 10): DataFrame =
+    relationsForEntities(relations, recentEntities(entities, limit))
+
+  /** R10 search_nodes composition — client.ts:443-474: flagship search, then
+    * the edges among the hits. (The reference short-circuits on zero hits
+    * driver-side; as a single lazy plan the semi-join is simply empty.)
+    */
+  def searchNodeEdges(
+      entities: DataFrame,
+      observations: DataFrame,
+      relations: DataFrame,
+      query: String,
+      limit: Int = DefaultSearchResults): DataFrame = {
+    require(query != null && query.trim.nonEmpty, "Search query must be a non-empty string")
+    relationsForEntities(relations, searchEntities(entities, observations, query, limit))
+  }
+
+  /** R11 existence check — client.ts:343-349. */
+  def entityExists(entities: DataFrame, name: String): Boolean =
+    !entities.filter(col("name") === lit(name)).limit(1).isEmpty
+}
