@@ -1,0 +1,215 @@
+package graft
+
+/** Programmatic DuckDB oracle SQL for the queries whose SQL form is long but
+  * mechanical (per-bit simhash tallies, md5 minhash bands, sequential-fold
+  * cosine). Kept in Scala so the SQL and the Spark expressions are generated
+  * from the same constants and cannot drift.
+  *
+  * Numeric portability rules (validated against DuckDB locally):
+  *  - hashes: md5 hex strings, or CAST('0x'||substr(md5(x),1,15) AS BIGINT)
+  *    for 60-bit ints — never engine hash() builtins;
+  *  - float reductions: explicit sequential folds (list_reduce), which match
+  *    Spark's `aggregate` bit-for-bit; never list_cosine_similarity (pairwise
+  *    accumulation, diverges in the last ~8 bits of the mantissa).
+  */
+object OracleSqlGen {
+
+  /** Word n-gram shingles of `text` as a DuckDB list expression. */
+  private def shinglesSql(n: Int): String = {
+    val toks = "string_split(text, ' ')"
+    val gram = (1 to n).map(j => s"$toks[i+$j]").mkString("concat_ws(' ', ", ", ", ")")
+    s"list_transform(range(len($toks)-${n - 1}), i -> $gram)"
+  }
+
+  def ngramJaccard(n: Int, threshold: Double): String =
+    s"""WITH sh AS (
+          SELECT doc_id, unnest(list_distinct(${shinglesSql(n)})) AS sh FROM documents),
+        sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        pr AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT a_id, b_id,
+            CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+        FROM pr JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+        WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= $threshold
+        ORDER BY a_id, b_id"""
+
+  def minhashLsh(n: Int, bands: Int, rowsPerBand: Int): String = {
+    val nh = bands * rowsPerBand
+    val mins = (0 until nh)
+      .map(i => s"min(md5(sh || '#$i')) AS m_$i").mkString(",\n            ")
+    val bandSelects = (0 until bands).map { b =>
+      val parts = (0 until rowsPerBand)
+        .map(r => s"m_${b * rowsPerBand + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($parts) AS bucket FROM mh"
+    }.mkString("\n          UNION ALL ")
+    s"""WITH sh AS (
+          SELECT doc_id, unnest(list_distinct(${shinglesSql(n)})) AS sh FROM documents),
+        mh AS (
+          SELECT doc_id,
+            $mins
+          FROM sh GROUP BY doc_id),
+        bands AS (
+          $bandSelects)
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        ORDER BY a_id, b_id"""
+  }
+
+  def simhash(bits: Int): String = {
+    val tallies = (0 until bits)
+      .map(b => s"sum((hv >> $b) & 1) AS c_$b").mkString(",\n            ")
+    val combine = (0 until bits)
+      .map(b => s"(CASE WHEN 2*c_$b > n THEN CAST(1 AS BIGINT) << $b ELSE 0 END)")
+      .mkString(" +\n            ")
+    s"""WITH t AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        h AS (
+          SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS hv FROM t),
+        agg AS (
+          SELECT doc_id, count(*) AS n,
+            $tallies
+          FROM h GROUP BY doc_id)
+        SELECT doc_id,
+            $combine AS simhash
+        FROM agg ORDER BY doc_id"""
+  }
+
+  /** Sequential-fold cosine between list columns `$a` and `$b`. */
+  private def cosineSql(a: String, b: String): String =
+    s"""(list_reduce(list_transform(list_zip($a, $b),
+           x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, x) -> acc + x)
+        / (sqrt(list_reduce(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x))
+         * sqrt(list_reduce(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x))))"""
+
+  /** Sign of the projection onto pseudo-random hyperplane `p` must match
+    * Similarity.signBucket: component signs via Similarity.planeSign
+    * (md5-derived ±1), summed in ascending dim order (left-assoc, matching
+    * Spark's reduce) over 64 dims.
+    */
+  private def signBucketSql(vec: String, planes: Int, planeOffset: Int): String = {
+    val bitTerms = (0 until planes).map { b =>
+      val p = b + planeOffset
+      val terms = (0 until 64).map { i =>
+        val sign = if (pipeline.Similarity.planeSign(p, i) > 0) "+" else "-"
+        s"$sign CAST($vec[${i + 1}] AS DOUBLE)"
+      }.mkString(" ")
+      s"(CASE WHEN ($terms) >= 0 THEN ${1 << b} ELSE 0 END)"
+    }
+    bitTerms.mkString("(", " + ", ")")
+  }
+
+  def embeddingNearDup(threshold: Double, bands: Int, planesPerBand: Int): String = {
+    val bandSelects = (0 until bands).map { b =>
+      s"SELECT vec_id, embedding, $b AS band, ${signBucketSql("embedding", planesPerBand, b * planesPerBand)} AS bucket FROM embeddings"
+    }.mkString("\n          UNION ALL ")
+    s"""WITH v AS (
+          $bandSelects),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id, a.embedding AS va, b.embedding AS vb
+          FROM v a JOIN v b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        SELECT a_id, b_id
+        FROM cand
+        WHERE ${cosineSql("va", "vb")} >= $threshold
+        ORDER BY a_id, b_id"""
+  }
+
+  def annTopK(nQueries: Int, k: Int): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < $nQueries),
+        c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+        s AS (
+          SELECT query_id, neighbor_id, ${cosineSql("qv", "cv")} AS cosine
+          FROM q, c WHERE query_id <> neighbor_id),
+        r AS (
+          SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM s)
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= $k ORDER BY query_id, rank"""
+
+  def annIvfAssign(nCentroids: Int): String =
+    s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < $nCentroids),
+        s AS (
+          SELECT e.vec_id, centroid_id, ${cosineSql("e.embedding", "cv")} AS sim
+          FROM embeddings e, cent),
+        r AS (
+          SELECT vec_id, centroid_id,
+            row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) AS rn
+          FROM s)
+        SELECT vec_id, centroid_id FROM r WHERE rn = 1 ORDER BY vec_id"""
+
+  def subwords: String =
+    """SELECT doc_id,
+         CAST(list_reduce(list_transform(
+           string_split(regexp_replace(regexp_replace(text,
+             '([0-9])([a-zA-Z])', '\1 \2', 'g'), '([a-zA-Z])([0-9])', '\1 \2', 'g'), ' '),
+           p -> CAST(ceil(length(p) / 4.0) AS INT)), (acc, x) -> acc + x) AS INT) AS n_subwords
+       FROM documents ORDER BY doc_id"""
+
+  def quality: String = {
+    val stop = graft.pipeline.TextAnalysis.stopwordsSqlList
+    s"""WITH x AS (
+          SELECT doc_id,
+            CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+            CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stop))) AS DOUBLE) AS stop_hits,
+            CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_distinct,
+            CAST(length(text) AS DOUBLE) AS n_chars
+          FROM documents),
+        y AS (
+          SELECT doc_id,
+            CASE WHEN n_tok BETWEEN 20 AND 2000 THEN 1.0
+                 WHEN n_tok < 20 THEN n_tok / 20.0
+                 ELSE 2000.0 / n_tok END AS len_score,
+            CASE WHEN (stop_hits / n_tok) BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END AS stop_score,
+            n_distinct / n_tok AS diversity,
+            CASE WHEN (n_chars / n_tok) BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END AS band_score
+          FROM x)
+        SELECT doc_id,
+            round(len_score * 0.4 + stop_score * 0.2 + diversity * 0.2 + band_score * 0.2, 6) AS quality
+        FROM y ORDER BY doc_id"""
+  }
+
+  def langId: String = {
+    val markers = graft.pipeline.TextAnalysis.langMarkersPublic
+    val hitCols = markers.map { case (lang, ws) =>
+      val inList = ws.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(string_split(text, ' '), t -> t IN ($inList))) AS INT) AS h_$lang"
+    }.mkString(",\n            ")
+    // Tie-break must match Spark's array_sort+last: max hits, lexicographically
+    // LAST language code wins ties → CASE checks languages in reverse order.
+    val langsDesc = markers.map(_._1).sortBy(identity[String]).reverse
+    val cases = langsDesc.map { lang =>
+      val others = langsDesc.filterNot(_ == lang)
+      val geAll = others.map(o => s"h_$lang >= h_$o").mkString(" AND ")
+      s"WHEN h_$lang > 0 AND $geAll THEN '$lang'"
+    }.mkString("\n            ")
+    s"""WITH x AS (
+          SELECT doc_id,
+            $hitCols
+          FROM documents)
+        SELECT doc_id,
+          CASE
+            $cases
+            ELSE 'und' END AS predicted_lang
+        FROM x ORDER BY doc_id"""
+  }
+
+  /** Must mirror Multimodal.FakeDecoder exactly (text is ASCII in the test
+    * tables, so ascii(substr) == byte values).
+    */
+  def mmDecode: String = {
+    val head = (1 to 8).map(i => s"ascii(substr(text, $i, 1))").mkString(" + ")
+    s"""SELECT doc_id,
+          CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+          CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS format,
+          CAST(16 + octet_length(CAST(text AS BLOB)) % 640 AS INT) AS width,
+          CAST(16 + ($head) % 480 AS INT) AS height,
+          CAST(CASE CAST(doc_id % 3 AS INT)
+            WHEN 2 THEN 1 + octet_length(CAST(text AS BLOB)) % 120
+            WHEN 1 THEN 1 + octet_length(CAST(text AS BLOB)) % 48000
+            ELSE 1 END AS INT) AS n_frames
+        FROM documents ORDER BY doc_id"""
+  }
+}

@@ -5,14 +5,18 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.operators.GraphOps
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis, MediaRow}
+import graft.streaming.EventOps
 import graft.Tables._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * Every operator from SURVEY.md §2 (and the pipeline extensions) is declared
-  * here as a named query over the driver's parquet tables, with a DuckDB
-  * oracle. All queries end in a total order (SURVEY §4.3) so hash comparison
-  * is deterministic.
+  * Every operator from SURVEY.md §2 plus the pipeline extensions (dedup,
+  * similarity search, text analysis, multimodal, streaming) is declared here
+  * as a named query over the driver's parquet tables, with a DuckDB oracle.
+  * All queries end in a total order (SURVEY §4.3) and avoid
+  * engine-order-dependent float aggregation (decimal sums; sequential-fold
+  * cosine) so hash comparison is deterministic.
   */
 object SparkEntry {
 
@@ -20,15 +24,12 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("r4_search")(spark, "/root/testdata/sf0.001")
 
-  // Decimal casts for cross-engine-exact aggregation (double sums are
-  // order-dependent; decimal sums are exact in both Spark and DuckDB).
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ── §2.1 reference read parity ────────────────────────────────────────
 
-    // R1 point lookup (client.ts:188-210): entities ⇐ part.
     "r1_point_lookup" -> ((s, d) => {
       val entities = part(s, d).select(
         format_string("part#%09d", col("p_partkey")).as("name"),
@@ -36,21 +37,15 @@ object SparkEntry {
       GraphOps.getEntity(entities, "part#000000042").orderBy("name")
     }),
 
-    // R2 dependent child scan (client.ts:198-201): observations ⇐ orders.
     "r2_child_scan" -> ((s, d) =>
       GraphOps.observationsFor(orderObservations(s, d), "Customer#000000042")
         .orderBy("content")),
 
-    // R4 flagship relevance-ranked fuzzy search (client.ts:212-266).
-    // Query "ur": FURNITURE segment → relevance 2; customers with an URGENT
-    // order match via observations → relevance 1.
     "r4_search" -> ((s, d) =>
       GraphOps.searchEntities(
         customerEntities(s, d).drop("c_custkey"),
         orderObservations(s, d), "ur", limit = 50)),
 
-    // R6 hydrate: join + ordered collect_list replaces the N+1 loop
-    // (client.ts:248-263); string-joined for a stable oracle compare.
     "r6_hydrate" -> ((s, d) => {
       val hits = customerEntities(s, d)
         .filter(col("c_custkey") < 100)
@@ -61,12 +56,9 @@ object SparkEntry {
         .orderBy("name")
     }),
 
-    // R7 top-k by recency (client.ts:268-295).
     "r7_recent" -> ((s, d) =>
       GraphOps.recentEntities(orderEntities(s, d), 10)),
 
-    // R8 edge lookup for an entity set (client.ts:407-430), union-of-semi-join
-    // form (broadcast-hash, not BNLJ).
     "r8_edges" -> ((s, d) => {
       import s.implicits._
       val names = Seq("order#000000001", "order#000000002", "order#000000003",
@@ -75,21 +67,17 @@ object SparkEntry {
         .orderBy("from_entity", "to_entity")
     }),
 
-    // R9 read_graph composition (client.ts:433-441): edges of the 10 most
-    // recent entities.
     "r9_read_graph" -> ((s, d) =>
       GraphOps.readGraphEdges(orderEntities(s, d), lineitemRelations(s, d), 10)
         .orderBy("from_entity", "to_entity")),
 
-    // R11 existence check (client.ts:343-349), as a one-row aggregate.
     "r11_exists" -> ((s, d) =>
       part(s, d).filter(col("p_name") === "cold widget")
         .agg(count(lit(1)).as("n"))
         .select(col("n"), (col("n") > 0).as("found"))),
 
-    // ── aggregation battery (SURVEY §7.2 M4, star-schema surface) ─────────
+    // ── aggregation battery (star-schema surface) ─────────────────────────
 
-    // TPC-H Q1-style full-scan aggregation; decimal sums for exactness.
     "q1_agg" -> ((s, d) =>
       lineitem(s, d)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -99,7 +87,150 @@ object SparkEntry {
           sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
             .as("sum_disc_price"),
           count(lit(1)).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // TPC-H Q3-style: 3-way join, decimal revenue, top-10. Dimension sides
+    // (customer filter) broadcast; lineitem never re-shuffles twice thanks to
+    // join on the same key.
+    "q3_top_revenue" -> ((s, d) => {
+      val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = orders(s, d)
+      val l = lineitem(s, d)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+          .as("revenue"))
+        .orderBy(desc("revenue"), asc("l_orderkey"))
+        .limit(10)
+    }),
+
+    // Window functions: top-3 orders per customer by price.
+    "q_window_topk" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .filter(col("o_custkey") < 200)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // Grouping sets via rollup; explicit NULLS FIRST for cross-engine order.
+    "q_rollup" -> ((s, d) =>
+      lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(dec(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
+    // Anti join: customers with no orders.
+    "q_anti_join" -> ((s, d) =>
+      customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // ── dedup suite (documents / part) ────────────────────────────────────
+
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exact(part(s, d), col("p_name"), col("p_partkey"))
+        .orderBy("dup_key")),
+
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccard(documents(s, d), col("doc_id"), col("text"), n = 3, threshold = 0.5)
+        .orderBy("a_id", "b_id")),
+
+    "dedup_minhash" -> ((s, d) =>
+      Dedup.minhashLsh(documents(s, d), col("doc_id"), col("text"),
+        n = 3, bands = 8, rowsPerBand = 2)
+        .orderBy("a_id", "b_id")),
+
+    "dedup_simhash" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+        .orderBy("doc_id")),
+
+    "dedup_embedding" -> ((s, d) =>
+      Dedup.embeddingNearDup(embeddings(s, d), col("vec_id"), col("embedding"),
+        threshold = 0.45)
+        .select("a_id", "b_id")
+        .orderBy("a_id", "b_id")),
+
+    // ── similarity search (embeddings) ────────────────────────────────────
+
+    "ann_topk" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 32), e,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    "ann_ivf_assign" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Similarity.assignToCentroids(
+        e, col("vec_id"), col("embedding"),
+        e.filter(col("vec_id") < 8), col("vec_id"), col("embedding"))
+        .orderBy("vec_id")
+    }),
+
+    // ── text analysis (documents) ─────────────────────────────────────────
+
+    "text_stats" -> ((s, d) =>
+      TextAnalysis.tokenStats(documents(s, d), col("doc_id"), col("text"))
+        .orderBy("doc_id")),
+
+    "text_subwords" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), TextAnalysis.subwordCount(col("text")).as("n_subwords"))
+        .orderBy("doc_id")),
+
+    "text_quality" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    "text_langid" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("predicted_lang"))
+        .orderBy("doc_id")),
+
+    "text_fingerprint" -> ((s, d) =>
+      TextAnalysis.fingerprint(documents(s, d), col("doc_id"), col("text"))
+        .orderBy("doc_id")),
+
+    // ── multimodal plumbing (stubbed decode, real Spark shape) ────────────
+
+    "mm_decode" -> ((s, d) => {
+      import s.implicits._
+      val media = Multimodal.withMediaColumn(documents(s, d), "doc_id", "text")
+        .as[MediaRow]
+      Multimodal.decodeMeta(media).toDF().orderBy("doc_id")
+    }),
+
+    // ── streaming surface, batch-equivalent forms (events) ────────────────
+
+    "stream_tumbling" -> ((s, d) =>
+      EventOps.tumbling(events(s, d), "1 hour")
+        .withColumn("window_start", col("window_start").cast("timestamp"))
+        .orderBy("window_start", "event_type")),
+
+    "stream_sliding" -> ((s, d) =>
+      EventOps.sliding(events(s, d), "1 hour", "30 minutes")
+        .withColumn("window_start", col("window_start").cast("timestamp"))
+        .orderBy("window_start", "event_type")),
+
+    "stream_session" -> ((s, d) =>
+      EventOps.sessionizeBatch(events(s, d), gapMinutes = 30)
+        .withColumn("session_start", col("session_start").cast("timestamp"))
+        .withColumn("session_end", col("session_end").cast("timestamp"))
+        .orderBy("user_id", "session_start")),
+
+    "events_topk_json" -> ((s, d) =>
+      EventOps.topEventsByProp(events(s, d), k = 5)
+        .orderBy("event_type", "rank"))
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names, same total
@@ -154,6 +285,7 @@ object SparkEntry {
     "r11_exists" ->
       """SELECT CAST(count(*) AS BIGINT) AS n, count(*) > 0 AS found
          FROM part WHERE p_name = 'cold widget'""",
+
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
              sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
@@ -161,6 +293,97 @@ object SparkEntry {
              sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
              CAST(count(*) AS BIGINT) AS count_order
          FROM lineitem GROUP BY l_returnflag, l_linestatus
-         ORDER BY l_returnflag, l_linestatus"""
+         ORDER BY l_returnflag, l_linestatus""",
+    "q3_top_revenue" ->
+      """SELECT l_orderkey, o_orderdate,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+         GROUP BY l_orderkey, o_orderdate
+         ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""",
+    "q_window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+           FROM orders)
+         WHERE rn <= 3 AND o_custkey < 200 ORDER BY o_custkey, rn""",
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+             sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+             CAST(count(*) AS BIGINT) AS n
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+
+    "dedup_exact" ->
+      """SELECT p_name AS dup_key, CAST(count(*) AS BIGINT) AS n_dups,
+             min(p_partkey) AS keep_id
+         FROM part GROUP BY p_name HAVING count(*) > 1 ORDER BY dup_key""",
+    "dedup_ngram_jaccard" -> OracleSqlGen.ngramJaccard(3, 0.5),
+    "dedup_minhash" -> OracleSqlGen.minhashLsh(3, 8, 2),
+    "dedup_simhash" -> OracleSqlGen.simhash(60),
+    "dedup_embedding" -> OracleSqlGen.embeddingNearDup(0.45, 4, 4),
+
+    "ann_topk" -> OracleSqlGen.annTopK(32, 5),
+    "ann_ivf_assign" -> OracleSqlGen.annIvfAssign(8),
+
+    "text_stats" ->
+      """SELECT doc_id,
+             CAST(length(text) AS INT) AS n_chars,
+             CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_tokens,
+             round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 6) AS mean_token_len
+         FROM documents ORDER BY doc_id""",
+    "text_subwords" -> OracleSqlGen.subwords,
+    "text_quality" -> OracleSqlGen.quality,
+    "text_langid" -> OracleSqlGen.langId,
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(text) AS full_md5,
+             coalesce(list_min(list_transform(
+               list_transform(range(len(string_split(text,' '))-4),
+                 i -> concat_ws(' ', string_split(text,' ')[i+1], string_split(text,' ')[i+2],
+                                string_split(text,' ')[i+3], string_split(text,' ')[i+4], string_split(text,' ')[i+5])),
+               s -> md5(s))), md5(text)) AS min_window_md5
+         FROM documents ORDER BY doc_id""",
+
+    "mm_decode" -> OracleSqlGen.mmDecode,
+
+    "stream_tumbling" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "stream_sliding" ->
+      """SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n FROM (
+           SELECT unnest([
+               CAST(time_bucket(INTERVAL '30 minutes', ts) AS TIMESTAMP),
+               CAST(time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE AS TIMESTAMP)]) AS window_start,
+             event_type
+           FROM events)
+         GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "stream_session" ->
+      """WITH x AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         y AS (
+           SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS seq FROM x)
+         SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+             CAST(max(ts) AS TIMESTAMP) AS session_end,
+             CAST(count(*) AS BIGINT) AS n_events
+         FROM y GROUP BY user_id, seq ORDER BY user_id, session_start""",
+    "events_topk_json" ->
+      """SELECT event_id, event_type, k_val, CAST(rank AS INT) AS rank FROM (
+           SELECT event_id, event_type, CAST(props->>'$.k' AS INT) AS k_val,
+             row_number() OVER (PARTITION BY event_type ORDER BY CAST(props->>'$.k' AS INT) DESC, event_id ASC) AS rank
+           FROM events)
+         WHERE rank <= 5 ORDER BY event_type, rank"""
   )
 }

@@ -19,7 +19,16 @@ object Tables {
   def part(s: SparkSession, d: String) = load(s, d, "part")
   def orders(s: SparkSession, d: String) = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String) = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String) = load(s, d, "events")
+  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
+    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as long (legacy
+    * conf) and floor-convert to a micros timestamp — the same truncation
+    * DuckDB applies casting TIMESTAMP_NS → TIMESTAMP.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(s: SparkSession, d: String) = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String) = load(s, d, "embeddings")
 

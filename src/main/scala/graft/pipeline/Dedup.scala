@@ -1,0 +1,169 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines (north
+  * star in /root/repo/BASELINE.json; the reference itself dropped near-dup /
+  * vector capability in v0.0.16, /root/reference/CHANGELOG.md:11-16).
+  *
+  * Scale stance: every method here is shuffle-bounded by an inverted-index /
+  * band-bucket join — NEVER an O(n²) cross join. Hashes are md5-based (hex
+  * strings or parsed 60-bit ints) so results are engine-portable and
+  * deterministic, which the DuckDB oracle compare requires.
+  */
+object Dedup {
+
+  /** Word n-gram shingles with positions: "a b c d" → ["a b c", "b c d"].
+    * (Guarded: Spark's `sequence(0, -1)` counts DOWN, so short docs need the
+    * explicit empty-array branch.)
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact dedup: group by the dedup key, keep the smallest id, count dups.
+    * Map-side combine (partial aggregation) makes this one shuffle of the
+    * distinct keys only.
+    */
+  def exact(df: DataFrame, key: Column, id: Column): DataFrame =
+    df.groupBy(key.as("dup_key"))
+      .agg(count(lit(1)).as("n_dups"), min(id).as("keep_id"))
+      .filter(col("n_dups") > 1)
+
+  /** N-gram Jaccard near-dup via inverted-index self-join: explode distinct
+    * shingles, join docs sharing a shingle (the index bounds candidate pairs —
+    * no cross join), count common shingles, Jaccard = |∩|/|∪|.
+    *
+    * At 100 TB: hot shingles (stop-shingles) explode the index — drop
+    * shingles occurring in more than `maxDocFreq` docs first (standard
+    * stop-shingle pruning; pairs sharing ONLY ubiquitous shingles are not
+    * near-dups anyway).
+    */
+  def ngramJaccard(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int = 3,
+      threshold: Double = 0.5,
+      maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    val sh = docs
+      .select(id.as("doc_id"), explode(array_distinct(shingles(text, n))).as("sh"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val pruned =
+      if (maxDocFreq == Long.MaxValue) sh
+      else {
+        val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDocFreq).select("sh")
+        sh.join(hot, Seq("sh"), "left_anti")
+      }
+    val a = pruned.select(col("doc_id").as("a_id"), col("sh"))
+    val b = pruned.select(col("doc_id").as("b_id"), col("sh"))
+    a.join(b, Seq("sh"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "a_sh"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "b_sh"), "b_id")
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("a_sh") + col("b_sh") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** One md5-derived minhash: min over shingles of md5(shingle + "#" + seed).
+    * Hex strings order like their 128-bit values, so `min` is a valid
+    * permutation-min; portable to any engine with md5.
+    */
+  private def minhash(shs: Column, seed: Int): Column =
+    array_min(transform(shs, s => md5(concat(s, lit("#" + seed)))))
+
+  /** MinHash+LSH candidate pairs: signature of `bands*rowsPerBand` md5
+    * minhashes over word-n-gram shingles; docs agreeing on ALL rows of any
+    * band land in the same bucket → band-bucket groupBy join. Shuffles only
+    * (band, bucket-hash) pairs — the 100 TB path for fuzzy dedup.
+    */
+  def minhashLsh(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int = 3,
+      bands: Int = 4,
+      rowsPerBand: Int = 4): DataFrame = {
+    val shs = array_distinct(shingles(text, n))
+    val withSig = docs.select(
+      id.as("doc_id"),
+      array((0 until bands * rowsPerBand).map(i => minhash(shs, i)): _*).as("sig"))
+    val banded = withSig.select(
+      col("doc_id"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          md5(concat_ws("|",
+            (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*))
+            .as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val l = banded.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
+    val r = banded.select(col("band"), col("bucket"), col("doc_id").as("b_id"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .distinct()
+  }
+
+  /** 64-bit SimHash over tokens: per-token md5 → 60-bit int (15 hex chars);
+    * bit b contributes +1/−1 to a 60-lane tally; sign pattern is the
+    * fingerprint. Near-dups differ in few bits (compare via hamming).
+    * Expressed with integer bit ops — stays inside WholeStageCodegen.
+    */
+  def simhash(text: Column, bits: Int = 60): Column = {
+    val toks = split(text, " ")
+    val hashes = transform(toks, t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+    val lanes = (0 until bits).map { b =>
+      // tally of bit b over tokens: count set minus count unset
+      val set = aggregate(hashes, lit(0),
+        (acc, h) => acc + shiftright(h, b).bitwiseAND(lit(1L)).cast("int"))
+      (set * 2 > size(toks)).cast("long") * shiftleft(lit(1L), b)
+    }
+    lanes.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhash fingerprints. */
+  def hamming(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Embedding-cosine near-dup: pairs above a cosine threshold, candidate
+    * set bounded by a multi-band random-hyperplane LSH join (OR over
+    * `bands` sign-bucket tables of `planesPerBand` planes each — standard
+    * recall amplification) rather than a cross join. Exact cosine is then
+    * verified only on candidates.
+    */
+  def embeddingNearDup(
+      emb: DataFrame,
+      id: Column,
+      vec: Column,
+      threshold: Double,
+      bands: Int = 4,
+      planesPerBand: Int = 4): DataFrame = {
+    val banded = emb.select(id.as("vid"), vec.as("v"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          Similarity.signBucket(vec, planesPerBand, planeOffset = b * planesPerBand).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("vid"), col("v"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val l = banded.select(col("band"), col("bucket"), col("vid").as("a_id"), col("v").as("va"))
+    val r = banded.select(col("band"), col("bucket"), col("vid").as("b_id"), col("v").as("vb"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("va"), col("vb"))
+      .distinct()
+      .withColumn("cosine", Similarity.cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select("a_id", "b_id", "cosine")
+  }
+}

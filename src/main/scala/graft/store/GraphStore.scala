@@ -1,0 +1,248 @@
+package graft.store
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextFns
+import graft.functions.TextFns._
+import graft.operators.GraphOps
+
+/** API-level types of the reference (/root/reference/src/types/index.ts:1-11). */
+case class Entity(name: String, entityType: String, observations: Seq[String])
+case class Relation(from: String, to: String, relationType: String)
+
+/** Write path (SURVEY.md §2.2 W1–W7) over immutable parquet: every mutation is
+  * an anti-join + union rewrite committed atomically by writing a new
+  * versioned directory and flipping a pointer file (temp-write + atomic
+  * rename). Per-row interactive transactionality is out of scope for the
+  * analytics engine (SURVEY §2.2 W3) — a batch is the atomic unit, which is
+  * also the only model that survives 1000 executors writing one table.
+  *
+  * Reference behavior: /root/reference/src/db/client.ts:58-186 (create),
+  * :298-338 (relations), :340-380 (cascade delete), :382-405 (conditional
+  * delete), :481-543 (DDL bootstrap).
+  */
+class GraphStore(spark: SparkSession, root: String) {
+  import GraphStore._
+
+  /** W7 DDL bootstrap — idempotent like the reference's CREATE IF NOT EXISTS
+    * (client.ts:481-543). Indexes are moot: parquet min/max stats + predicate
+    * pushdown serve the same point lookups.
+    */
+  def initialize(): Unit = {
+    Files.createDirectories(Paths.get(root))
+    Seq("entities" -> EntitiesSchema,
+        "observations" -> ObservationsSchema,
+        "relations" -> RelationsSchema).foreach { case (t, schema) =>
+      if (currentVersion(t).isEmpty)
+        commitTable(t, spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], schema))
+    }
+  }
+
+  def entities: DataFrame = readTable("entities", EntitiesSchema)
+  def observations: DataFrame = readTable("observations", ObservationsSchema)
+  def relations: DataFrame = readTable("relations", RelationsSchema)
+
+  // ── reads (facade over GraphOps, mirroring the six MCP tools) ───────────
+
+  def getEntity(name: String): Entity = {
+    val rows = GraphOps.getEntity(entities, name).collect()
+    if (rows.isEmpty) throw new NoSuchElementException(s"Entity not found: $name")
+    val obs = GraphOps.observationsFor(observations, name)
+      .orderBy("content").collect().map(_.getString(0)).toSeq
+    Entity(rows.head.getString(0), rows.head.getString(1), obs)
+  }
+
+  def searchNodes(query: String, limit: Int = DefaultSearchResults): (Seq[Entity], Seq[Relation]) = {
+    require(query != null && query.trim.nonEmpty,
+      "Search query must be a non-empty string")
+    val hits = GraphOps.searchEntities(entities, observations, query, limit)
+    graphResult(hits)
+  }
+
+  def readGraph(): (Seq[Entity], Seq[Relation]) =
+    graphResult(GraphOps.recentEntities(entities, 10))
+
+  private def graphResult(hits: DataFrame): (Seq[Entity], Seq[Relation]) = {
+    val hydrated = GraphOps.hydrate(hits.select("name", "entity_type"), observations)
+      .orderBy("name").collect()
+      .map(r => Entity(r.getString(0), r.getString(1),
+        r.getSeq[String](r.length - 1)))
+    if (hydrated.isEmpty) return (Nil, Nil) // client.ts:460-462 short-circuit
+    val names = hits.select("name")
+    val edges = GraphOps.relationsForEntities(relations, names)
+      .orderBy("from_entity", "to_entity", "relation_type").collect()
+      .map(r => Relation(r.getString(0), r.getString(1), r.getString(2)))
+    (hydrated.toSeq, edges.toSeq)
+  }
+
+  // ── writes ──────────────────────────────────────────────────────────────
+
+  /** W1+W2+W3 create/upsert entities with replace-children semantics
+    * (client.ts:58-186): UPDATE keeps the original created_at and replaces
+    * entity_type; observations are fully replaced.
+    */
+  def createEntities(batch: Seq[Entity]): Unit = {
+    val cleaned = batch.map { e =>
+      val name = clean(e.name, MaxNameLength)
+      require(name.nonEmpty, "Entity name cannot be empty")
+      val tpe = clean(e.entityType, MaxEntityTypeLength)
+      require(e.observations.nonEmpty, s"Entity $name must have at least one observation")
+      require(e.observations.size <= MaxObservationsPerEntity,
+        s"Entity $name exceeds $MaxObservationsPerEntity observations")
+      val obs = e.observations.map { o =>
+        val c = clean(o, MaxObservationLength)
+        require(c.nonEmpty, s"Entity $name has an empty observation")
+        c
+      }
+      Entity(name, tpe, obs)
+    }
+    require(cleaned.map(_.name).distinct.size == cleaned.size,
+      "Duplicate entity names in one batch")
+
+    import spark.implicits._
+    val incoming = cleaned.map(e => (e.name, e.entityType))
+      .toDF("name", "in_type")
+    val now = current_timestamp()
+
+    val existing = entities
+    val kept = existing.join(incoming, Seq("name"), "left_anti")
+    val updated = existing.join(incoming, Seq("name"))
+      .select(col("name"), col("in_type").as("entity_type"), col("created_at"))
+    val inserted = incoming.join(existing, Seq("name"), "left_anti")
+      .select(col("name"), col("in_type").as("entity_type"), now.as("created_at"))
+    commitTable("entities",
+      alignTo(EntitiesSchema, kept.unionByName(updated).unionByName(inserted)))
+
+    val newObs = cleaned.flatMap(e => e.observations.map(o => (e.name, o)))
+      .toDF("entity_name", "content")
+    val names = cleaned.map(_.name)
+    val survivors = observations.filter(!col("entity_name").isin(names: _*))
+    val base = maxId(observations)
+    val fresh = newObs
+      .withColumn("id", monotonically_increasing_id() + lit(base + 1))
+      .withColumn("created_at", now)
+    commitTable("observations",
+      alignTo(ObservationsSchema, survivors.unionByName(alignTo(ObservationsSchema, fresh))))
+  }
+
+  /** W4 batch edge insert (client.ts:298-338) — plain append, parallel edges
+    * allowed (the reference never dedups relations).
+    */
+  def createRelations(batch: Seq[Relation]): Unit = {
+    val cleaned = batch.map { r =>
+      val from = clean(r.from, MaxNameLength)
+      val to = clean(r.to, MaxNameLength)
+      val tpe = clean(r.relationType, MaxRelationTypeLength)
+      require(from.nonEmpty && to.nonEmpty && tpe.nonEmpty,
+        "Relation source/target/type cannot be empty")
+      Relation(from, to, tpe)
+    }
+    import spark.implicits._
+    val base = maxId(relations)
+    val fresh = cleaned.map(r => (r.from, r.to, r.relationType))
+      .toDF("source", "target", "relation_type")
+      .withColumn("id", monotonically_increasing_id() + lit(base + 1))
+      .withColumn("created_at", current_timestamp())
+    commitTable("relations",
+      alignTo(RelationsSchema, relations.unionByName(alignTo(RelationsSchema, fresh))))
+  }
+
+  /** W5 cascading delete (client.ts:340-380): observations by entity_name,
+    * relations touching either side, then the entity row — one logical batch.
+    */
+  def deleteEntity(name: String): Unit = {
+    if (!GraphOps.entityExists(entities, name))
+      throw new NoSuchElementException(s"Entity not found: $name")
+    commitTable("observations", observations.filter(col("entity_name") =!= name))
+    commitTable("relations",
+      relations.filter(!(col("source") === name || col("target") === name)))
+    commitTable("entities", entities.filter(col("name") =!= name))
+  }
+
+  /** W6 conditional delete with affected-count check (client.ts:382-405). */
+  def deleteRelation(from: String, to: String, relationType: String): Unit = {
+    val cond = col("source") === from && col("target") === to &&
+      col("relation_type") === relationType
+    val n = relations.filter(cond).limit(1).count()
+    if (n == 0) throw new NoSuchElementException(
+      s"Relation not found: $from -$relationType-> $to")
+    commitTable("relations", relations.filter(!cond))
+  }
+
+  // ── storage: versioned parquet with atomic pointer flip ─────────────────
+
+  private def tableDir(t: String) = Paths.get(root, t)
+  private def pointerFile(t: String) = tableDir(t).resolve("_CURRENT")
+
+  private def currentVersion(t: String): Option[String] = {
+    val p = pointerFile(t)
+    if (Files.exists(p)) Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim)
+    else None
+  }
+
+  private def readTable(t: String, schema: StructType): DataFrame =
+    currentVersion(t) match {
+      case Some(v) => spark.read.schema(schema).parquet(tableDir(t).resolve(v).toString)
+      case None => throw new IllegalStateException(
+        s"Table $t not initialized — call initialize() first")
+    }
+
+  /** Write the new table state to a fresh versioned dir, then atomically
+    * flip the `_CURRENT` pointer (write temp + ATOMIC_MOVE). Readers see
+    * either the old or the new version, never a partial write — the same
+    * commit contract a cloud deployment gets from a metastore pointer swap.
+    */
+  private def commitTable(t: String, df: DataFrame): Unit = {
+    Files.createDirectories(tableDir(t))
+    val next = "v" + (currentVersion(t).map(_.drop(1).toLong).getOrElse(0L) + 1)
+    df.write.mode("overwrite").parquet(tableDir(t).resolve(next).toString)
+    val tmp = tableDir(t).resolve("_CURRENT.tmp")
+    Files.write(tmp, next.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, pointerFile(t), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def maxId(df: DataFrame): Long =
+    df.agg(coalesce(max("id"), lit(0L))).head().getLong(0)
+
+  /** Codepoint-counting truncation, matching `TextFns.truncate` (SURVEY §2.3
+    * S2 pins codepoints over the reference's UTF-16 slice).
+    */
+  private def clean(s: String, max: Int): String = {
+    val sanitized = TextFns.sanitizeInputScala(if (s == null) "" else s)
+    if (sanitized.codePointCount(0, sanitized.length) <= max) sanitized
+    else sanitized.substring(0, sanitized.offsetByCodePoints(0, max))
+  }
+
+  private def alignTo(schema: StructType, df: DataFrame): DataFrame =
+    df.select(schema.fields.map(f => col(f.name).cast(f.dataType)): _*)
+}
+
+object GraphStore {
+  /** Fixed schemas — the reference's DDL (client.ts:484-512) as explicit
+    * StructTypes, never inferred (SURVEY §1.3).
+    */
+  val EntitiesSchema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("entity_type", StringType, nullable = false),
+    StructField("created_at", TimestampType, nullable = true)))
+
+  val ObservationsSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("entity_name", StringType, nullable = false),
+    StructField("content", StringType, nullable = false),
+    StructField("created_at", TimestampType, nullable = true)))
+
+  val RelationsSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("source", StringType, nullable = false),
+    StructField("target", StringType, nullable = false),
+    StructField("relation_type", StringType, nullable = false),
+    StructField("created_at", TimestampType, nullable = true)))
+}

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Streaming operators over the `events` table. Each windowed aggregation is
+  * written against a generic DataFrame so the SAME code runs in batch (for
+  * the DuckDB oracle) and under Structured Streaming (`readStream` input +
+  * watermark — see `withWatermarkIfStreaming` and the streaming specs).
+  *
+  * Scale: tumbling/sliding aggs shuffle once on (window, key) with map-side
+  * partial aggregation; session windows keep per-key state bounded by the
+  * watermark.
+  */
+object EventOps {
+
+  def withWatermarkIfStreaming(df: DataFrame, tsCol: String, delay: String): DataFrame =
+    if (df.isStreaming) df.withWatermark(tsCol, delay) else df
+
+  /** Tumbling-window aggregation: counts + decimal-exact value sums per
+    * (window, event_type).
+    */
+  def tumbling(events: DataFrame, every: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), every).as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding-window aggregation (window length > slide ⇒ each event counted
+    * in length/slide windows).
+    */
+  def sliding(events: DataFrame, length: String = "1 hour", slide: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), length, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Batch sessionization — gaps-and-islands with a window function: a new
+    * session starts when the gap to the previous event of the same user
+    * exceeds `gapMinutes`. Total-ordered by (user, ts, event_id) so results
+    * are deterministic and DuckDB-comparable. The streaming equivalent is
+    * `sessionWindowStreaming` below; the two must agree (tested).
+    */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapSec = gapMinutes * 60L
+    events
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_session",
+        (col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapSec).cast("int"))
+      .withColumn("session_seq", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min("ts").as("session_start"),
+        max("ts").as("session_end"),
+        count(lit(1)).as("n_events"))
+      .drop("session_seq")
+  }
+
+  /** Streaming sessionization via `session_window` — the stateful native
+    * operator (state pruned by watermark). Output schema matches
+    * `sessionizeBatch` minus exact end-timestamps (session_window's end is
+    * last-event + gap, so we compare on start/count in tests).
+    */
+  def sessionWindowStreaming(events: DataFrame, gap: String): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
+
+  /** JSON property extraction from the `props` column + top-k per event type
+    * by extracted value — exercises semi-structured access at scan time.
+    */
+  def topEventsByProp(events: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(desc("k_val"), asc("event_id"))
+    events
+      .select(col("event_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}
