@@ -27,11 +27,13 @@ object TextFns {
     * with the /u flag the reference uses.
     */
   def sanitizeInput(c: Column): Column =
-    trim(
+    regexp_replace(
       regexp_replace(
         regexp_replace(c, "[^\\P{C}\\n\\t]", ""),
         "\\n{3,}",
-        "\n\n"))
+        "\n\n"),
+      "^\\s+|\\s+$", "") // regex trim: Spark's trim() strips only spaces, but
+                         // the reference's JS .trim() strips all whitespace
 
   /** S2 truncation (client.ts:75-78,93-96,128-131). Counts codepoints
     * (Spark `substring`) where the JS reference counts UTF-16 units — pinned
@@ -52,7 +54,8 @@ object TextFns {
     * Must agree with `sanitizeInput`.
     */
   def sanitizeInputScala(s: String): String =
-    s.replaceAll("[^\\P{C}\\n\\t]", "").replaceAll("\\n{3,}", "\n\n").trim
+    s.replaceAll("[^\\P{C}\\n\\t]", "").replaceAll("\\n{3,}", "\n\n")
+      .replaceAll("^\\s+|\\s+$", "")
 
   /** S7 LIKE-pattern compile (client.ts:217): runs of whitespace/_/- become
     * multi-char wildcards; wrap in %...% for infix match.

@@ -1,0 +1,166 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.store.{Entity, GraphStore, Relation}
+
+/** Port of the reference's behavioral test matrix
+  * (/root/reference/src/db/client.test.ts) against the parquet-backed store.
+  * Each test gets a throwaway store dir, mirroring the reference's throwaway
+  * SQLite file per test (client.test.ts:11-29).
+  */
+class GraphStoreSpec extends AnyFunSuite with SparkTestBase {
+
+  private def freshStore(): GraphStore = {
+    val dir = Files.createTempDirectory("graft-store-").toString
+    val st = new GraphStore(spark, dir)
+    st.initialize()
+    st
+  }
+
+  // canonical fixture (client.test.ts:157-176)
+  private def seed(st: GraphStore): Unit =
+    st.createEntities(Seq(
+      Entity("Alice", "person", Seq("software engineer")),
+      Entity("Bob", "person", Seq("product manager")),
+      Entity("Acme Corp", "company", Seq("tech startup"))))
+
+  test("create entities and read back (client.test.ts:31-64)") {
+    val st = freshStore()
+    seed(st)
+    val e = st.getEntity("Alice")
+    assert(e == Entity("Alice", "person", Seq("software engineer")))
+  }
+
+  test("upsert replaces entity_type and observations (client.test.ts:45-64)") {
+    val st = freshStore()
+    seed(st)
+    st.createEntities(Seq(Entity("Alice", "human", Seq("rock climber", "engineer"))))
+    val e = st.getEntity("Alice")
+    assert(e.entityType == "human")
+    assert(e.observations.sorted == Seq("engineer", "rock climber"))
+    // others untouched
+    assert(st.getEntity("Bob").observations == Seq("product manager"))
+  }
+
+  test("rejects empty name / empty observations / >100 observations (client.test.ts:66-104)") {
+    val st = freshStore()
+    intercept[IllegalArgumentException] {
+      st.createEntities(Seq(Entity("", "t", Seq("x"))))
+    }
+    intercept[IllegalArgumentException] {
+      st.createEntities(Seq(Entity("E", "t", Nil)))
+    }
+    intercept[IllegalArgumentException] {
+      st.createEntities(Seq(Entity("E", "t", (1 to 101).map(i => s"o$i"))))
+    }
+  }
+
+  test("sanitizes control chars on write (client.test.ts:106-128)") {
+    val st = freshStore()
+    st.createEntities(Seq(Entity("test\u0000name", "t", Seq("hello\u0000world"))))
+    val e = st.getEntity("testname")
+    assert(e.observations == Seq("helloworld"))
+  }
+
+  test("truncates name to 256 and observation to 4096 (client.test.ts:130-154)") {
+    val st = freshStore()
+    st.createEntities(Seq(Entity("a" * 300, "t", Seq("x" * 5000))))
+    val e = st.getEntity("a" * 256)
+    assert(e.observations.head.length == 4096)
+  }
+
+  test("search matches by name, type, and observation (client.test.ts:157-201)") {
+    val st = freshStore()
+    seed(st)
+    val (byName, _) = st.searchNodes("Alice")
+    assert(byName.map(_.name) == Seq("Alice"))
+    val (byType, _) = st.searchNodes("company")
+    assert(byType.map(_.name) == Seq("Acme Corp"))
+    val (byObs, _) = st.searchNodes("product manager")
+    assert(byObs.map(_.name) == Seq("Bob"))
+    val (none, noneRel) = st.searchNodes("zzz-no-match")
+    assert(none.isEmpty && noneRel.isEmpty)
+  }
+
+  test("search rejects empty query; respects limit (client.test.ts:202-212)") {
+    val st = freshStore()
+    seed(st)
+    intercept[IllegalArgumentException] { st.searchNodes("   ") }
+    st.createEntities((1 to 20).map(i => Entity(s"person$i", "person", Seq(s"obs $i"))))
+    val (hits, _) = st.searchNodes("person", limit = 5)
+    assert(hits.size == 5)
+  }
+
+  test("relations: create, read back, targeted delete (client.test.ts:214-254)") {
+    val st = freshStore()
+    seed(st)
+    st.createRelations(Seq(Relation("Alice", "Bob", "works_with")))
+    val (_, rels) = st.searchNodes("Alice")
+    assert(rels.contains(Relation("Alice", "Bob", "works_with")))
+    st.deleteRelation("Alice", "Bob", "works_with")
+    val (_, after) = st.searchNodes("Alice")
+    assert(!after.contains(Relation("Alice", "Bob", "works_with")))
+    intercept[NoSuchElementException] {
+      st.deleteRelation("Alice", "Bob", "works_with")
+    }
+  }
+
+  test("parallel edges allowed and preserved (client.ts:324-325)") {
+    val st = freshStore()
+    seed(st)
+    st.createRelations(Seq(
+      Relation("Alice", "Bob", "works_with"),
+      Relation("Alice", "Bob", "works_with")))
+    val (_, rels) = st.searchNodes("Alice")
+    assert(rels.count(_ == Relation("Alice", "Bob", "works_with")) == 2)
+  }
+
+  test("delete_entity cascades to observations and relations (client.test.ts:256-289)") {
+    val st = freshStore()
+    seed(st)
+    st.createRelations(Seq(
+      Relation("Alice", "Bob", "works_with"),
+      Relation("Acme Corp", "Alice", "employs")))
+    st.deleteEntity("Alice")
+    intercept[NoSuchElementException] { st.getEntity("Alice") }
+    val (_, rels) = st.searchNodes("Bob")
+    assert(!rels.exists(r => r.from == "Alice" || r.to == "Alice"))
+    intercept[NoSuchElementException] { st.deleteEntity("Ghost") }
+  }
+
+  test("read_graph: empty DB then populated (client.test.ts:291-319)") {
+    val st = freshStore()
+    val (e0, r0) = st.readGraph()
+    assert(e0.isEmpty && r0.isEmpty)
+    st.createEntities(Seq(
+      Entity("A", "t", Seq("first")),
+      Entity("B", "t", Seq("second"))))
+    st.createRelations(Seq(Relation("A", "B", "links_to")))
+    val (es, rs) = st.readGraph()
+    assert(es.map(_.name).toSet == Set("A", "B"))
+    assert(rs == Seq(Relation("A", "B", "links_to")))
+  }
+
+  test("upsert preserves created_at of existing entities (client.ts:145-156)") {
+    val st = freshStore()
+    seed(st)
+    val before = st.entities.filter("name = 'Alice'")
+      .select("created_at").head().getTimestamp(0)
+    st.createEntities(Seq(Entity("Alice", "human", Seq("x"))))
+    val after = st.entities.filter("name = 'Alice'")
+      .select("created_at").head().getTimestamp(0)
+    assert(before == after)
+  }
+
+  test("commit is versioned: concurrent reader sees old or new, never partial") {
+    val st = freshStore()
+    seed(st)
+    val oldDf = st.entities // bound to version v1
+    st.createEntities(Seq(Entity("New", "t", Seq("z"))))
+    // the previously-resolved DataFrame still reads its pinned version
+    assert(oldDf.count() == 3)
+    assert(st.entities.count() == 4)
+  }
+}

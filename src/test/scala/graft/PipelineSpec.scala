@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis, MediaRow}
+
+/** Unit coverage of the pipeline extension operators on inline fixtures. */
+class PipelineSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("shingles: trigrams with positions; short docs yield empty") {
+    val out = Seq("a b c d", "a b", "").toDF("text")
+      .select(Dedup.shingles(col("text"), 3)).as[Seq[String]].collect()
+    assert(out(0) == Seq("a b c", "b c d"))
+    assert(out(1).isEmpty)
+    assert(out(2).isEmpty)
+  }
+
+  test("exact dedup keeps smallest id per duplicated key") {
+    val df = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "k")
+    val out = Dedup.exact(df, col("k"), col("id")).collect()
+    assert(out.length == 1)
+    assert(out.head.getString(0) == "x" && out.head.getLong(2) == 1L)
+  }
+
+  test("ngram jaccard: identical docs score 1.0; disjoint docs absent") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5"),
+      (2L, "w1 w2 w3 w4 w5"),
+      (3L, "z1 z2 z3 z4 z5")).toDF("doc_id", "text")
+    val out = Dedup.ngramJaccard(docs, col("doc_id"), col("text"), 3, 0.1).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 1L && out.head.getLong(1) == 2L &&
+      out.head.getDouble(2) == 1.0)
+  }
+
+  test("minhash LSH: identical docs collide in every band; disjoint docs don't pair") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6"),
+      (2L, "w1 w2 w3 w4 w5 w6"),
+      (3L, "z1 z2 z3 z4 z5 z6")).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(docs, col("doc_id"), col("text"), 3, 4, 2).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
+  }
+
+  test("simhash: identical text identical hash; near text within small hamming") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox leaps over the lazy dog again and again"),
+      (4L, "completely different words about spark catalyst tungsten engine")
+    ).toDF("id", "text").select(col("id"), Dedup.simhash(col("text")).as("h"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(m(1L), m(3L)) < ham(m(1L), m(4L)))
+    assert(ham(m(1L), m(3L)) <= 12)
+  }
+
+  test("cosine: orthogonal -> 0, identical -> 1") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(1.0f, 2.0f), Array(1.0f, 2.0f))
+    ).toDF("a", "b").select(Similarity.cosine(col("a"), col("b")).as("c"))
+    val out = df.as[Double].collect()
+    assert(math.abs(out(0)) < 1e-12)
+    assert(math.abs(out(1) - 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK: self excluded, ranks contiguous, k respected") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(
+      vecs.filter(col("vec_id") === 0), vecs,
+      col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), 2)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 3L))
+    assert(out.map(_.getInt(2)).toSeq == Seq(1, 2))
+  }
+
+  test("tokenStats + subwords + quality + langid sanity") {
+    val df = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val stats = TextAnalysis.tokenStats(df, col("doc_id"), col("text")).head()
+    assert(stats.getInt(2) == 6)          // n_tokens
+    assert(stats.getInt(3) == 5)          // distinct (the ×2)
+    val lang = df.select(TextAnalysis.langId(col("text"))).as[String].head()
+    assert(lang == "en")
+    val und = Seq((2L, "qqq www eee")).toDF("doc_id", "text")
+      .select(TextAnalysis.langId(col("text"))).as[String].head()
+    assert(und == "und")
+    val q = df.select(TextAnalysis.qualityScore(col("text"))).as[Double].head()
+    assert(q >= 0.0 && q <= 1.0)
+  }
+
+  test("multimodal: decode stub emits typed metadata per row, deterministic") {
+    val docs = Seq((0L, "hello spark"), (1L, "binary payload here"), (2L, "video doc"))
+      .toDF("doc_id", "text")
+    val meta = Multimodal.decodeMeta(
+      Multimodal.withMediaColumn(docs, "doc_id", "text").as[MediaRow])
+      .collect().sortBy(_.doc_id)
+    assert(meta.map(_.format).toSeq == Seq("image", "audio", "video"))
+    assert(meta(0).byte_len == "hello spark".length)
+    assert(meta.forall(m => m.width >= 16 && m.height >= 16 && m.n_frames >= 1))
+    // deterministic across runs
+    val again = Multimodal.decodeMeta(
+      Multimodal.withMediaColumn(docs, "doc_id", "text").as[MediaRow])
+      .collect().sortBy(_.doc_id)
+    assert(meta.toSeq == again.toSeq)
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventOps
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+/** Structured Streaming specs: the streaming forms must agree with their
+  * batch twins (SURVEY §7.3 — streaming state has no reference analog, so
+  * batch recomputation is the oracle).
+  */
+class StreamingSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val evs = Seq(
+    Ev(1, ts("2024-01-01 00:05:00"), 1, "click", 1.0),
+    Ev(2, ts("2024-01-01 00:20:00"), 1, "click", 2.0),
+    Ev(3, ts("2024-01-01 01:10:00"), 1, "view", 3.0),   // >30min gap → new session
+    Ev(4, ts("2024-01-01 00:10:00"), 2, "click", 4.0),
+    Ev(5, ts("2024-01-01 02:00:00"), 2, "buy", 5.0),    // new session
+    Ev(6, ts("2024-01-01 02:10:00"), 2, "buy", 6.0))
+
+  // far-future flush event: advances the watermark so append-mode emits all
+  // real windows/sessions before the query stops.
+  private val flush = Ev(99, ts("2024-06-01 00:00:00"), 999, "flush", 0.0)
+
+  private def runStream(agg: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      name: String): org.apache.spark.sql.DataFrame = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = agg(mem.toDF()).writeStream
+      .outputMode("append").format("memory").queryName(name).start()
+    mem.addData(evs: _*)
+    q.processAllAvailable()
+    mem.addData(flush)
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  test("streaming tumbling agg equals batch tumbling agg") {
+    val streamed = runStream(
+      df => EventOps.tumbling(EventOps.withWatermarkIfStreaming(df, "ts", "0 seconds"), "1 hour")
+        .drop("sum_value"), // decimal sum compared separately in batch tests
+      "tumbling_out")
+      .filter($"event_type" =!= "flush")
+      .orderBy("window_start", "event_type")
+      .collect().toSeq
+    val batch = EventOps.tumbling(evs.toDF(), "1 hour")
+      .drop("sum_value")
+      .orderBy("window_start", "event_type")
+      .collect().toSeq
+    assert(streamed == batch)
+  }
+
+  test("streaming session_window equals batch gaps-and-islands sessionization") {
+    val streamed = runStream(
+      df => EventOps.sessionWindowStreaming(
+        EventOps.withWatermarkIfStreaming(df, "ts", "0 seconds"), "30 minutes"),
+      "session_out")
+      .filter($"user_id" =!= 999)
+      .orderBy("user_id", "session_start")
+      .select("user_id", "session_start", "n_events")
+      .collect().toSeq
+    val batch = EventOps.sessionizeBatch(evs.toDF(), 30)
+      .orderBy("user_id", "session_start")
+      .select("user_id", "session_start", "n_events")
+      .collect().toSeq
+    assert(streamed == batch)
+  }
+
+  test("batch sessionization splits on gap strictly greater than threshold") {
+    val out = EventOps.sessionizeBatch(evs.toDF(), 30)
+      .orderBy("user_id", "session_start").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(3))).toSeq ==
+      Seq((1L, 2L), (1L, 1L), (2L, 1L), (2L, 2L)))
+  }
+}
