@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.{Bridge, FloatArrayBinaryInputs}
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expression for cosine similarity over `array<float>`.
+  *
+  * Why not `aggregate(zip_with(...))`: higher-order functions evaluate their
+  * lambdas interpreted (outside WholeStageCodegen), which measured ~2× slower
+  * on the candidate-verification stage of embedding dedup at sf0.1. This
+  * expression emits a tight fused Java loop via `doGenCode`, keeping the
+  * whole stage codegen'd.
+  *
+  * Numeric contract: SEQUENTIAL accumulation of dot/norms in doubles over
+  * float-cast elements — bit-identical to the `aggregate` fold it replaces
+  * and to the DuckDB `list_reduce` oracle (verified in DuckdbParitySpec and
+  * by the dedup_embedding / ann_topk oracle queries).
+  */
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends BinaryExpression with FloatArrayBinaryInputs {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+        int $n = Math.min($a.numElements(), $b.numElements());
+        double $dot = 0.0, $na = 0.0, $nb = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $xi = (double) $a.getFloat($i);
+          double $yi = (double) $b.getFloat($i);
+          $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+        }
+        ${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+  /** Column API: codegen'd cosine similarity. */
+  def cosineSim(a: Column, b: Column): Column =
+    Bridge.column(CosineSimExpr(Bridge.expression(a), Bridge.expression(b)))
+
+  private val info = new ExpressionInfo(
+    classOf[CosineSimExpr].getName, "cosine_sim")
+
+  /** Register `cosine_sim` for SQL on an existing session. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("cosine_sim"), info,
+      exprs => CosineSimExpr(exprs(0), exprs(1)))
+}
+
+/** Session extension wiring (`.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.functions.GraftExtensions`): injects the
+  * custom function surface at session build time.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => CosineSimExpr(exprs(0), exprs(1))))
+}

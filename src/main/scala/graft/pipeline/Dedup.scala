@@ -76,17 +76,18 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
-  /** One md5-derived minhash: min over shingles of md5(shingle + "#" + seed).
-    * Hex strings order like their 128-bit values, so `min` is a valid
-    * permutation-min; portable to any engine with md5.
-    */
-  private def minhash(shs: Column, seed: Int): Column =
-    array_min(transform(shs, s => md5(concat(s, lit("#" + seed)))))
-
   /** MinHash+LSH candidate pairs: signature of `bands*rowsPerBand` md5
-    * minhashes over word-n-gram shingles; docs agreeing on ALL rows of any
-    * band land in the same bucket → band-bucket groupBy join. Shuffles only
-    * (band, bucket-hash) pairs — the 100 TB path for fuzzy dedup.
+    * minhashes over word-n-gram shingles (hex strings order like their
+    * 128-bit values, so `min(md5(...))` is a valid permutation-min and is
+    * portable to any engine with md5); docs agreeing on ALL rows of any band
+    * land in the same bucket → band-bucket groupBy join.
+    *
+    * Shape: explode shingles ONCE, then one hash-aggregate computes all
+    * signature lanes with map-side partial aggregation — versus folding the
+    * shingle array per lane per row, which recomputes the split/distinct
+    * `bands*rowsPerBand` times (measured 7× slower at sf0.1). Shuffles only
+    * (doc, shingle) and (band, bucket) pairs — the 100 TB path for fuzzy
+    * dedup.
     */
   def minhashLsh(
       docs: DataFrame,
@@ -95,16 +96,18 @@ object Dedup {
       n: Int = 3,
       bands: Int = 4,
       rowsPerBand: Int = 4): DataFrame = {
-    val shs = array_distinct(shingles(text, n))
-    val withSig = docs.select(
-      id.as("doc_id"),
-      array((0 until bands * rowsPerBand).map(i => minhash(shs, i)): _*).as("sig"))
-    val banded = withSig.select(
+    val nh = bands * rowsPerBand
+    val sh = docs.select(id.as("doc_id"),
+      explode(array_distinct(shingles(text, n))).as("sh"))
+    val lanes = (0 until nh).map(i =>
+      min(md5(concat(col("sh"), lit("#" + i)))).as(s"m_$i"))
+    val sig = sh.groupBy("doc_id").agg(lanes.head, lanes.tail: _*)
+    val banded = sig.select(
       col("doc_id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           md5(concat_ws("|",
-            (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*))
+            (0 until rowsPerBand).map(r => col(s"m_${b * rowsPerBand + r}")): _*))
             .as("bucket"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
@@ -150,18 +153,24 @@ object Dedup {
       threshold: Double,
       bands: Int = 4,
       planesPerBand: Int = 4): DataFrame = {
-    val banded = emb.select(id.as("vid"), vec.as("v"),
+    // Candidate generation and dedup run over ids ONLY (never shuffle the
+    // vectors); the embedding payload is re-joined once for the exact-cosine
+    // verification of the (small) candidate set.
+    val banded = emb.select(id.as("vid"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           Similarity.signBucket(vec, planesPerBand, planeOffset = b * planesPerBand).as("bucket"))
       }: _*)).as("bb"))
-      .select(col("vid"), col("v"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val l = banded.select(col("band"), col("bucket"), col("vid").as("a_id"), col("v").as("va"))
-    val r = banded.select(col("band"), col("bucket"), col("vid").as("b_id"), col("v").as("vb"))
-    l.join(r, Seq("band", "bucket"))
+      .select(col("vid"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val l = banded.select(col("band"), col("bucket"), col("vid").as("a_id"))
+    val r = banded.select(col("band"), col("bucket"), col("vid").as("b_id"))
+    val cand = l.join(r, Seq("band", "bucket"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("va"), col("vb"))
+      .select("a_id", "b_id")
       .distinct()
+    val va = emb.select(id.as("a_id"), vec.as("va"))
+    val vb = emb.select(id.as("b_id"), vec.as("vb"))
+    cand.join(va, "a_id").join(vb, "b_id")
       .withColumn("cosine", Similarity.cosine(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select("a_id", "b_id", "cosine")

@@ -26,8 +26,16 @@ object Similarity {
   def norm2(a: Column): Column =
     aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
 
-  /** Cosine similarity, sequential-fold semantics. */
+  /** Cosine similarity via the native codegen'd expression
+    * (graft.functions.CosineSimExpr). Bit-identical to `cosineFold` — the
+    * pure-builtin formulation kept for cross-checking — but stays inside
+    * WholeStageCodegen instead of interpreting HOF lambdas.
+    */
   def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosineSim(a, b)
+
+  /** Sequential-fold cosine from builtins only (reference semantics twin). */
+  def cosineFold(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
 
   /** Brute-force cosine top-k: every query row against every candidate, then

@@ -1,0 +1,25 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, FloatType}
+
+/** Access bridge for `private[sql]` surfaces that third-party expression
+  * libraries need (the same pattern public Spark extensions use): wrapping a
+  * Catalyst Expression into a user-facing Column, and typing
+  * `ExpectsInputTypes.inputTypes` whose signature mentions the
+  * `private[sql]` AbstractDataType.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
+
+/** Input-type contract `(array<float>, array<float>)` for binary vector
+  * expressions.
+  */
+trait FloatArrayBinaryInputs extends ExpectsInputTypes { self: Expression =>
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+}

@@ -69,6 +69,25 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(out(1) - 1.0) < 1e-12)
   }
 
+  test("native cosine expression is bit-identical to the builtin fold") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() - 0.5f), Array.fill(64)(rnd.nextFloat() - 0.5f))
+    }.toDF("id", "a", "b")
+    val out = vecs.select(
+      Similarity.cosine(col("a"), col("b")).as("fast"),
+      Similarity.cosineFold(col("a"), col("b")).as("fold"))
+      .collect()
+    out.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("cosine_sim registered for SQL via extensions surface") {
+    graft.functions.VectorFunctions.register(spark)
+    val one = spark.sql("SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)))")
+      .head().getDouble(0)
+    assert(math.abs(one - 1.0) < 1e-12)
+  }
+
   test("bruteForceTopK: self excluded, ranks contiguous, k respected") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)),
