@@ -210,6 +210,18 @@ object SparkEntry {
       Multimodal.decodeMeta(media).toDF().orderBy("doc_id")
     }),
 
+    // ── MLlib scale paths (engine-specific hashing → rows-only check) ─────
+
+    "embed_tfidf" -> ((s, d) =>
+      graft.pipeline.Embeddings.tfidf(documents(s, d), "doc_id", "text", dim = 256)
+        .select(col("doc_id"), col("embedding"))
+        .orderBy("doc_id")),
+
+    "dedup_minhash_mllib" -> ((s, d) =>
+      graft.pipeline.Embeddings.minhashJoin(documents(s, d), "doc_id", "text",
+        maxJaccardDistance = 0.5)
+        .orderBy("a_id", "b_id")),
+
     // ── streaming surface, batch-equivalent forms (events) ────────────────
 
     "stream_tumbling" -> ((s, d) =>

@@ -1,0 +1,87 @@
+package graft.pipeline
+
+import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, HashingTF, IDF, MinHashLSH, Tokenizer, Word2Vec}
+import org.apache.spark.ml.linalg.{Vector => MlVector}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch embedding generation + MLlib-LSH retrieval — the north-star
+  * direction (/root/repo/BASELINE.json: "MLlib embeddings + DataFrame queries
+  * for semantic search"), restoring the vector capability the reference
+  * dropped in v0.0.16 (/root/reference/CHANGELOG.md:11-16) as distributed
+  * batch jobs.
+  *
+  * These are deliberately NOT oracle-compared (murmur3 feature hashing and
+  * trained Word2Vec weights are engine-specific); correctness is pinned by
+  * ScalaTest invariants instead. They are the production scale path: one
+  * fitted model broadcast to executors, one narrow pass to embed 100 TB of
+  * documents, LSH join for retrieval.
+  */
+object Embeddings {
+
+  /** TF-IDF document vectors: tokenize → murmur3 feature-hash → IDF weight.
+    * Returns (id, embedding array<double>) — array form keeps the output
+    * parquet-friendly and engine-neutral.
+    */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String, dim: Int = 256): DataFrame = {
+    val tok = new Tokenizer().setInputCol(textCol).setOutputCol("_tokens")
+    val tf = new HashingTF().setInputCol("_tokens").setOutputCol("_tf").setNumFeatures(dim)
+    val tokenized = tf.transform(tok.transform(docs))
+    val idf = new IDF().setInputCol("_tf").setOutputCol("_tfidf").fit(tokenized)
+    idf.transform(tokenized)
+      .select(col(idCol), vecToArray(col("_tfidf")).as("embedding"))
+  }
+
+  /** Word2Vec document vectors (mean of word vectors). */
+  def word2vec(docs: DataFrame, idCol: String, textCol: String, dim: Int = 32): DataFrame = {
+    val tok = new Tokenizer().setInputCol(textCol).setOutputCol("_tokens")
+    val tokenized = tok.transform(docs)
+    val model = new Word2Vec().setInputCol("_tokens").setOutputCol("_w2v")
+      .setVectorSize(dim).setMinCount(1).setSeed(42L).setNumPartitions(1)
+      .fit(tokenized)
+    model.transform(tokenized)
+      .select(col(idCol), vecToArray(col("_w2v")).as("embedding"))
+  }
+
+  /** MLlib MinHashLSH near-dup join over token sets — the library-provided
+    * twin of Dedup.minhashLsh for when approxSimilarityJoin's Jaccard
+    * distance semantics fit.
+    */
+  def minhashJoin(docs: DataFrame, idCol: String, textCol: String,
+      maxJaccardDistance: Double, dim: Int = 1 << 18): DataFrame = {
+    val tok = new Tokenizer().setInputCol(textCol).setOutputCol("_tokens")
+    val tf = new HashingTF().setInputCol("_tokens").setOutputCol("_sets")
+      .setNumFeatures(dim).setBinary(true)
+    val featured = tf.transform(tok.transform(docs))
+    val mh = new MinHashLSH().setInputCol("_sets").setOutputCol("_hashes")
+      .setNumHashTables(8).setSeed(42L).fit(featured)
+    mh.approxSimilarityJoin(featured, featured, maxJaccardDistance, "jaccard_dist")
+      .select(
+        col(s"datasetA.$idCol").as("a_id"),
+        col(s"datasetB.$idCol").as("b_id"),
+        col("jaccard_dist"))
+      .filter(col("a_id") < col("b_id"))
+  }
+
+  /** MLlib random-projection LSH ANN join over float embeddings — the
+    * library-provided twin of Similarity's sign-bucket path (euclidean
+    * bucketing).
+    */
+  def annJoin(emb: DataFrame, idCol: String, vecCol: String,
+      maxL2Distance: Double): DataFrame = {
+    val withVec = emb.withColumn("_v", arrayToVec(col(vecCol)))
+    val lsh = new BucketedRandomProjectionLSH().setInputCol("_v")
+      .setOutputCol("_hashes").setBucketLength(1.0).setNumHashTables(4)
+      .setSeed(42L).fit(withVec)
+    lsh.approxSimilarityJoin(withVec, withVec, maxL2Distance, "l2_dist")
+      .select(
+        col(s"datasetA.$idCol").as("a_id"),
+        col(s"datasetB.$idCol").as("b_id"),
+        col("l2_dist"))
+      .filter(col("a_id") < col("b_id"))
+  }
+
+  private val vecToArray = udf((v: MlVector) => v.toArray)
+  private val arrayToVec = udf((a: Seq[Float]) =>
+    org.apache.spark.ml.linalg.Vectors.dense(a.map(_.toDouble).toArray))
+}
