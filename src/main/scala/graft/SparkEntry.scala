@@ -132,6 +132,17 @@ object SparkEntry {
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")),
 
+    // S1+S2 sanitize/truncate pipeline over deliberately dirtied input —
+    // exercises control-char strip, newline collapse, and regex trim in-plan.
+    "s1_sanitize" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.TextFns.truncate(
+            graft.functions.TextFns.sanitizeInput(
+              concat(lit("  "), col("text"), lit("\u0007"),
+                lit("\n\n\n\n"), lit("tail"))), 120).as("sanitized"))
+        .orderBy("doc_id")),
+
     // ── dedup suite (documents / part) ────────────────────────────────────
 
     "dedup_exact" -> ((s, d) =>
@@ -332,6 +343,13 @@ object SparkEntry {
          WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
          ORDER BY c_custkey""",
 
+    "s1_sanitize" ->
+      """SELECT doc_id,
+             substr(regexp_replace(regexp_replace(regexp_replace(
+               '  ' || text || chr(7) || chr(10) || chr(10) || chr(10) || chr(10) || 'tail',
+               '[^\P{C}\n\t]', '', 'g'), '\n{3,}', chr(10) || chr(10), 'g'),
+               '^\s+|\s+$', '', 'g'), 1, 120) AS sanitized
+         FROM documents ORDER BY doc_id""",
     "dedup_exact" ->
       """SELECT p_name AS dup_key, CAST(count(*) AS BIGINT) AS n_dups,
              min(p_partkey) AS keep_id

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, HashingTF, IDF, MinHashLSH, Tokenizer, Word2Vec}
+import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, HashingTF, IDF, MinHashLSH, NGram, Tokenizer, Word2Vec}
 import org.apache.spark.ml.linalg.{Vector => MlVector}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -43,16 +43,19 @@ object Embeddings {
       .select(col(idCol), vecToArray(col("_w2v")).as("embedding"))
   }
 
-  /** MLlib MinHashLSH near-dup join over token sets — the library-provided
-    * twin of Dedup.minhashLsh for when approxSimilarityJoin's Jaccard
-    * distance semantics fit.
+  /** MLlib MinHashLSH near-dup join over word-trigram shingle sets — the
+    * library-provided twin of Dedup.minhashLsh for when
+    * approxSimilarityJoin's Jaccard distance semantics fit. Shingles (not
+    * raw token sets): with a small vocabulary every document shares most
+    * token types, so 1-gram Jaccard cannot separate near-dups from noise.
     */
   def minhashJoin(docs: DataFrame, idCol: String, textCol: String,
       maxJaccardDistance: Double, dim: Int = 1 << 18): DataFrame = {
     val tok = new Tokenizer().setInputCol(textCol).setOutputCol("_tokens")
-    val tf = new HashingTF().setInputCol("_tokens").setOutputCol("_sets")
+    val ngram = new NGram().setN(3).setInputCol("_tokens").setOutputCol("_shingles")
+    val tf = new HashingTF().setInputCol("_shingles").setOutputCol("_sets")
       .setNumFeatures(dim).setBinary(true)
-    val featured = tf.transform(tok.transform(docs))
+    val featured = tf.transform(ngram.transform(tok.transform(docs)))
     val mh = new MinHashLSH().setInputCol("_sets").setOutputCol("_hashes")
       .setNumHashTables(8).setSeed(42L).fit(featured)
     mh.approxSimilarityJoin(featured, featured, maxJaccardDistance, "jaccard_dist")
