@@ -68,10 +68,82 @@ case class CosineSimExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All multi-band random-hyperplane sign buckets of a float vector in one
+  * pass: returns `array<int>` of length `bands`, where element b is the
+  * sign-pattern bucket of planes [b*planesPerBand, (b+1)*planesPerBand).
+  *
+  * The ±1 plane matrix (md5-derived via Similarity.planeSign, shared with
+  * the DuckDB oracle generator) rides along as a reference object — versus
+  * inlining bands×planes×dims literal terms into the expression tree, whose
+  * janino compilation alone cost ~6s per query at any scale factor.
+  */
+case class SignBucketsExpr(child: Expression, bands: Int, planesPerBand: Int, dims: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "sign_buckets"
+
+  /** Flattened [plane][dim] ±1 matrix. */
+  lazy val signs: Array[Double] = {
+    val n = bands * planesPerBand
+    val m = new Array[Double](n * dims)
+    var p = 0
+    while (p < n) {
+      var i = 0
+      while (i < dims) {
+        m(p * dims + i) = graft.pipeline.Similarity.planeSign(p, i)
+        i += 1
+      }
+      p += 1
+    }
+    m
+  }
+
+  def compute(v: ArrayData): ArrayData = {
+    val n = math.min(dims, v.numElements())
+    val out = new Array[Int](bands)
+    var b = 0
+    while (b < bands) {
+      var bucket = 0
+      var p = 0
+      while (p < planesPerBand) {
+        val plane = b * planesPerBand + p
+        var proj = 0.0
+        var i = 0
+        while (i < n) {
+          proj += v.getFloat(i).toDouble * signs(plane * dims + i)
+          i += 1
+        }
+        if (proj >= 0) bucket |= (1 << p)
+        p += 1
+      }
+      out(b) = bucket
+      b += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("signBuckets", this, classOf[SignBucketsExpr].getName)
+    defineCodeGen(ctx, ev, v => s"$self.compute($v)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column API: codegen'd cosine similarity. */
   def cosineSim(a: Column, b: Column): Column =
     Bridge.column(CosineSimExpr(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column API: all band sign-buckets of a float vector (array<int>). */
+  def signBuckets(vec: Column, bands: Int, planesPerBand: Int, dims: Int = 64): Column =
+    Bridge.column(SignBucketsExpr(Bridge.expression(vec), bands, planesPerBand, dims))
 
   private val info = new ExpressionInfo(
     classOf[CosineSimExpr].getName, "cosine_sim")

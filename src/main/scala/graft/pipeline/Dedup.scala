@@ -14,6 +14,16 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Fan a low-parallelism input out to the session's default parallelism.
+    * Small single-file scans otherwise run the whole explode/hash pipeline
+    * in ONE task; at real scale (many files) this is a no-op. The shuffle
+    * moves only the compact pre-explode rows.
+    */
+  private[pipeline] def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Word n-gram shingles with positions: "a b c d" → ["a b c", "b c d"].
     * (Guarded: Spark's `sequence(0, -1)` counts DOWN, so short docs need the
     * explicit empty-array branch.)
@@ -51,7 +61,7 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.5,
       maxDocFreq: Long = Long.MaxValue): DataFrame = {
-    val sh = docs
+    val sh = spread(docs)
       .select(id.as("doc_id"), explode(array_distinct(shingles(text, n))).as("sh"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pruned =
@@ -97,7 +107,7 @@ object Dedup {
       bands: Int = 4,
       rowsPerBand: Int = 4): DataFrame = {
     val nh = bands * rowsPerBand
-    val sh = docs.select(id.as("doc_id"),
+    val sh = spread(docs).select(id.as("doc_id"),
       explode(array_distinct(shingles(text, n))).as("sh"))
     val lanes = (0 until nh).map(i =>
       min(md5(concat(col("sh"), lit("#" + i)))).as(s"m_$i"))
@@ -155,13 +165,12 @@ object Dedup {
       planesPerBand: Int = 4): DataFrame = {
     // Candidate generation and dedup run over ids ONLY (never shuffle the
     // vectors); the embedding payload is re-joined once for the exact-cosine
-    // verification of the (small) candidate set.
-    val banded = emb.select(id.as("vid"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          Similarity.signBucket(vec, planesPerBand, planeOffset = b * planesPerBand).as("bucket"))
-      }: _*)).as("bb"))
-      .select(col("vid"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    // verification of the (small) candidate set. All band buckets come from
+    // one native SignBucketsExpr pass (posexplode gives the band index).
+    val banded = spread(emb)
+      .select(id.as("vid"),
+        posexplode(graft.functions.VectorFunctions.signBuckets(vec, bands, planesPerBand)))
+      .select(col("vid"), col("pos").as("band"), col("col").as("bucket"))
     val l = banded.select(col("band"), col("bucket"), col("vid").as("a_id"))
     val r = banded.select(col("band"), col("bucket"), col("vid").as("b_id"))
     val cand = l.join(r, Seq("band", "bucket"))

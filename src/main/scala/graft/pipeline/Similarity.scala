@@ -52,7 +52,7 @@ object Similarity {
       cVec: Column,
       k: Int): DataFrame = {
     val q = broadcast(queries.select(qId.as("query_id"), qVec.as("qv")))
-    val c = candidates.select(cId.as("neighbor_id"), cVec.as("cv"))
+    val c = Dedup.spread(candidates).select(cId.as("neighbor_id"), cVec.as("cv"))
     val scored = q.crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("qv"), col("cv")))
