@@ -131,6 +131,57 @@ class GraphStore(spark: SparkSession, root: String) {
       alignTo(ObservationsSchema, survivors.unionByName(alignTo(ObservationsSchema, fresh))))
   }
 
+  /** Bulk DataFrame upsert — the 100 TB ingest path (the Seq-based API above
+    * mirrors the reference's MCP surface; a cluster-scale writer hands the
+    * store a DataFrame instead). Input columns: `name`, `entity_type`,
+    * `observations: array<string>`. Sanitize/truncate/validate run IN-PLAN
+    * (TextFns column pipelines, codegen'd); invalid rows are dropped rather
+    * than failing the batch (bad-row quarantine is the caller's concern at
+    * scale). Upsert semantics match createEntities: replace entity_type,
+    * keep created_at, replace children.
+    */
+  def upsertEntitiesDf(batch: DataFrame): Unit = {
+    val cleaned = batch.select(
+        cleanName(col("name")).as("name"),
+        cleanEntityType(col("entity_type")).as("in_type"),
+        filter(
+          transform(col("observations"), o => cleanObservation(o)),
+          o => isNonBlank(o)).as("obs"))
+      .filter(isNonBlank(col("name")) &&
+        size(col("obs")).between(1, MaxObservationsPerEntity))
+      .dropDuplicates("name")
+    val now = current_timestamp()
+
+    val existing = entities
+    val kept = existing.join(cleaned, Seq("name"), "left_anti")
+    val updated = existing.join(cleaned.select("name", "in_type"), Seq("name"))
+      .select(col("name"), col("in_type").as("entity_type"), col("created_at"))
+    val inserted = cleaned.join(existing, Seq("name"), "left_anti")
+      .select(col("name"), col("in_type").as("entity_type"), now.as("created_at"))
+    commitTable("entities",
+      alignTo(EntitiesSchema, kept.unionByName(updated).unionByName(inserted)))
+
+    val updNames = cleaned.select(col("name").as("_upd_name"))
+    val survivors = observations.join(updNames,
+      col("entity_name") === col("_upd_name"), "left_anti")
+    val base = maxId(observations)
+    val fresh = cleaned
+      .select(col("name").as("entity_name"), explode(col("obs")).as("content"))
+      .withColumn("id", monotonically_increasing_id() + lit(base + 1))
+      .withColumn("created_at", now)
+    commitTable("observations",
+      alignTo(ObservationsSchema, survivors.unionByName(alignTo(ObservationsSchema, fresh))))
+  }
+
+  /** Structured-Streaming ingest: upsert each micro-batch into the store
+    * (exactly-once per the sink's pointer-flip commit; replays of a batch
+    * converge because upsert is idempotent for identical input).
+    */
+  def streamingUpsertSink(entityStream: DataFrame): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    entityStream.writeStream.foreachBatch {
+      (batch: DataFrame, _: Long) => upsertEntitiesDf(batch)
+    }
+
   /** W4 batch edge insert (client.ts:298-338) — plain append, parallel edges
     * allowed (the reference never dedups relations).
     */
