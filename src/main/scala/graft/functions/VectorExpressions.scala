@@ -157,12 +157,15 @@ object VectorFunctions {
 
 /** Session extension wiring (`.withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.functions.GraftExtensions`): injects the
-  * custom function surface at session build time.
+  * custom function surface and the disjunctive-semi-join rewrite at session
+  * build time.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimExpr(exprs(0), exprs(1))))
+    e.injectOptimizerRule(_ => graft.plans.RewriteDisjunctiveSemiJoin)
+  }
 }

@@ -259,6 +259,30 @@ class GraphStore(spark: SparkSession, root: String) {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Retention: drop all but the newest `keepVersions` committed versions of
+    * each table (never the current one). Old versions exist so in-flight
+    * readers finish against the snapshot they resolved; vacuum after their
+    * horizon passes.
+    */
+  def vacuum(keepVersions: Int = 1): Unit = {
+    require(keepVersions >= 1)
+    Seq("entities", "observations", "relations").foreach { t =>
+      val dir = tableDir(t).toFile
+      if (dir.exists()) {
+        val versions = dir.listFiles()
+          .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+          .sortBy(-_.getName.drop(1).toLong)
+        versions.drop(keepVersions).foreach { old =>
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete()
+          }
+          rm(old)
+        }
+      }
+    }
+  }
+
   private def maxId(df: DataFrame): Long =
     df.agg(coalesce(max("id"), lit(0L))).head().getLong(0)
 
