@@ -81,6 +81,16 @@ class GraphStore(spark: SparkSession, root: String) {
     (hydrated.toSeq, edges.toSeq)
   }
 
+  /** Register the three graph tables as temp views so the full Spark SQL
+    * surface (plus `cosine_sim` etc. when GraftExtensions is installed)
+    * works over the store: `SELECT ... FROM graft_entities e JOIN ...`.
+    */
+  def createOrReplaceViews(prefix: String = "graft_"): Unit = {
+    entities.createOrReplaceTempView(s"${prefix}entities")
+    observations.createOrReplaceTempView(s"${prefix}observations")
+    relations.createOrReplaceTempView(s"${prefix}relations")
+  }
+
   // ── writes ──────────────────────────────────────────────────────────────
 
   /** W1+W2+W3 create/upsert entities with replace-children semantics

@@ -34,6 +34,34 @@ class SkewSpec extends AnyFunSuite with SparkTestBase {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("SQL views expose the graph to spark.sql") {
+    val dir = Files.createTempDirectory("graft-store-").toString
+    val st = new GraphStore(spark, dir)
+    st.initialize()
+    st.createEntities(Seq(
+      Entity("Alice", "person", Seq("engineer")),
+      Entity("Acme", "company", Seq("startup"))))
+    st.createOrReplaceViews()
+    val out = spark.sql(
+      """SELECT e.name, o.content FROM graft_entities e
+         JOIN graft_observations o ON e.name = o.entity_name
+         WHERE e.entity_type = 'person' ORDER BY e.name""").collect()
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("Alice", "engineer")))
+  }
+
+  test("multimodal frame sampling emits stride-spaced indices for video rows") {
+    import graft.pipeline.{Multimodal, MediaRow}
+    val docs = Seq((2L, "a video doc with frames"), (0L, "an image doc"))
+      .toDF("doc_id", "text")
+    val meta = Multimodal.decodeMeta(
+      Multimodal.withMediaColumn(docs, "doc_id", "text").as[MediaRow])
+    val out = Multimodal.sampleFrameIndices(meta, stride = 10).collect()
+    assert(out.length == 1) // only the video row (doc_id 2)
+    val idx = out.head.getSeq[Int](2)
+    assert(idx.head == 0 && idx.forall(_ % 10 == 0))
+  }
+
   test("vacuum keeps the current version readable and drops old ones") {
     val dir = Files.createTempDirectory("graft-store-").toString
     val st = new GraphStore(spark, dir)
