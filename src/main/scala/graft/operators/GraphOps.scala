@@ -54,17 +54,22 @@ object GraphOps {
     val pat = likePattern(query)
     val k = clampLimit(limit)
     // Observation scan → small DISTINCT name set (content predicate is pushed
-    // down; at 100 TB this is the only full scan and it reduces before any join).
+    // down; at 100 TB this is the only full scan and it reduces before any
+    // join). One pass over entities: broadcast-left-join the hit set as a
+    // flag and filter — `name` is the entity PK (reference DDL,
+    // client.ts:484-490), so the reference's DISTINCT is a no-op here and no
+    // dedup shuffle is needed.
     val obsHitNames = observations
       .filter(ciLike(col("content"), pat))
       .select(col("entity_name").as("name"))
       .distinct()
-    val direct = entities.filter(
-      ciLike(col("name"), pat) || ciLike(col("entity_type"), pat))
-    val viaObs = entities.join(obsHitNames, Seq("name"), "left_semi")
-    direct
-      .unionByName(viaObs)
-      .dropDuplicates("name")
+      .withColumn("obs_hit", lit(true))
+    // no broadcast hint: the hit set is usually tiny (AQE broadcasts it),
+    // but a pathologically broad pattern must be allowed to shuffle-join
+    entities
+      .join(obsHitNames, Seq("name"), "left")
+      .filter(ciLike(col("name"), pat) || ciLike(col("entity_type"), pat) ||
+        col("obs_hit"))
       .withColumn("relevance_score",
         relevanceScore(col("name"), col("entity_type"), pat))
       .select("name", "entity_type", "created_at", "relevance_score")
