@@ -132,6 +132,50 @@ object SparkEntry {
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")),
 
+    // Full grouping-sets cube over two dims.
+    "q_cube" -> ((s, d) =>
+      orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("o_totalprice"))).as("sum_price"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))),
+
+    // Set operators: segments present among high-balance customers but not
+    // among low-balance ones (EXCEPT), intersected with BUILDING∪MACHINERY.
+    "q_set_ops" -> ((s, d) => {
+      val c = customer(s, d)
+      val high = c.filter(col("c_acctbal") > 5000).select("c_mktsegment")
+      val low = c.filter(col("c_acctbal") < 0).select("c_mktsegment")
+      high.except(low)
+        .intersect(c.filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+          .select("c_mktsegment"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // Date/time function battery over order dates.
+    "q_dates" -> ((s, d) =>
+      orders(s, d)
+        .select(
+          year(col("o_orderdate")).as("yr"),
+          quarter(col("o_orderdate")).as("qtr"),
+          dayofweek(col("o_orderdate")).as("dow"))
+        .groupBy("yr", "qtr", "dow")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("yr", "qtr", "dow")),
+
+    // Scalar-subquery pattern: orders above 2× their customer's average
+    // order value. Compared as price*n > sum*2 — all-decimal/integer exact
+    // arithmetic (a decimal-vs-double avg comparison would be engine-lossy).
+    "q_scalar_subquery" -> ((s, d) => {
+      val o = orders(s, d)
+      val byCust = o.groupBy(col("o_custkey").as("ak"))
+        .agg(sum(dec(col("o_totalprice"))).as("s"), count(lit(1)).as("n"))
+      o.join(byCust, col("o_custkey") === col("ak"))
+        .filter(dec(col("o_totalprice")) * col("n") > col("s") * 2)
+        .select("o_orderkey", "o_custkey")
+        .orderBy("o_orderkey")
+    }),
+
     // S1+S2 sanitize/truncate pipeline over deliberately dirtied input —
     // exercises control-char strip, newline collapse, and regex trim in-plan.
     "s1_sanitize" -> ((s, d) =>
@@ -342,6 +386,33 @@ object SparkEntry {
       """SELECT c_custkey, c_name FROM customer
          WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
          ORDER BY c_custkey""",
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+    "q_set_ops" ->
+      """SELECT c_mktsegment FROM (
+           SELECT c_mktsegment FROM customer WHERE c_acctbal > 5000
+           EXCEPT
+           SELECT c_mktsegment FROM customer WHERE c_acctbal < 0)
+         INTERSECT
+         SELECT c_mktsegment FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+         ORDER BY c_mktsegment""",
+    "q_dates" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+             CAST(quarter(o_orderdate) AS INT) AS qtr,
+             CAST(dayofweek(o_orderdate) AS INT) + 1 AS dow,
+             CAST(count(*) AS BIGINT) AS n
+         FROM orders GROUP BY 1, 2, 3 ORDER BY yr, qtr, dow""",
+    "q_scalar_subquery" ->
+      """WITH a AS (
+           SELECT o_custkey AS ak, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s,
+               CAST(count(*) AS BIGINT) AS n
+           FROM orders GROUP BY 1)
+         SELECT o_orderkey, o_custkey FROM orders JOIN a ON o_custkey = ak
+         WHERE CAST(o_totalprice AS DECIMAL(18,2)) * n > s * 2
+         ORDER BY o_orderkey""",
 
     "s1_sanitize" ->
       """SELECT doc_id,

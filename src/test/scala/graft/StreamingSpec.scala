@@ -59,6 +59,20 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("streaming sliding agg equals batch sliding agg") {
+    val streamed = runStream(
+      df => EventOps.sliding(EventOps.withWatermarkIfStreaming(df, "ts", "0 seconds"),
+        "1 hour", "30 minutes"),
+      "sliding_out")
+      .filter($"event_type" =!= "flush")
+      .orderBy("window_start", "event_type")
+      .collect().toSeq
+    val batch = EventOps.sliding(evs.toDF(), "1 hour", "30 minutes")
+      .orderBy("window_start", "event_type")
+      .collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("streaming session_window equals batch gaps-and-islands sessionization") {
     val streamed = runStream(
       df => EventOps.sessionWindowStreaming(
