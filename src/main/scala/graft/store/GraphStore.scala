@@ -97,7 +97,7 @@ class GraphStore(spark: SparkSession, root: String) {
     * (client.ts:58-186): UPDATE keeps the original created_at and replaces
     * entity_type; observations are fully replaced.
     */
-  def createEntities(batch: Seq[Entity]): Unit = {
+  def createEntities(batch: Seq[Entity]): Unit = withWriteLock {
     val cleaned = batch.map { e =>
       val name = clean(e.name, MaxNameLength)
       require(name.nonEmpty, "Entity name cannot be empty")
@@ -150,7 +150,7 @@ class GraphStore(spark: SparkSession, root: String) {
     * scale). Upsert semantics match createEntities: replace entity_type,
     * keep created_at, replace children.
     */
-  def upsertEntitiesDf(batch: DataFrame): Unit = {
+  def upsertEntitiesDf(batch: DataFrame): Unit = withWriteLock {
     val cleaned = batch.select(
         cleanName(col("name")).as("name"),
         cleanEntityType(col("entity_type")).as("in_type"),
@@ -195,7 +195,7 @@ class GraphStore(spark: SparkSession, root: String) {
   /** W4 batch edge insert (client.ts:298-338) — plain append, parallel edges
     * allowed (the reference never dedups relations).
     */
-  def createRelations(batch: Seq[Relation]): Unit = {
+  def createRelations(batch: Seq[Relation]): Unit = withWriteLock {
     val cleaned = batch.map { r =>
       val from = clean(r.from, MaxNameLength)
       val to = clean(r.to, MaxNameLength)
@@ -217,7 +217,7 @@ class GraphStore(spark: SparkSession, root: String) {
   /** W5 cascading delete (client.ts:340-380): observations by entity_name,
     * relations touching either side, then the entity row — one logical batch.
     */
-  def deleteEntity(name: String): Unit = {
+  def deleteEntity(name: String): Unit = withWriteLock {
     if (!GraphOps.entityExists(entities, name))
       throw new NoSuchElementException(s"Entity not found: $name")
     commitTable("observations", observations.filter(col("entity_name") =!= name))
@@ -227,7 +227,7 @@ class GraphStore(spark: SparkSession, root: String) {
   }
 
   /** W6 conditional delete with affected-count check (client.ts:382-405). */
-  def deleteRelation(from: String, to: String, relationType: String): Unit = {
+  def deleteRelation(from: String, to: String, relationType: String): Unit = withWriteLock {
     val cond = col("source") === from && col("target") === to &&
       col("relation_type") === relationType
     val n = relations.filter(cond).limit(1).count()
@@ -237,6 +237,23 @@ class GraphStore(spark: SparkSession, root: String) {
   }
 
   // ── storage: versioned parquet with atomic pointer flip ─────────────────
+
+  /** Mutations are read-modify-write over the current version, so concurrent
+    * writers would lose updates; an advisory file lock serializes them
+    * (readers never block — they resolve a pointer and read immutable
+    * files). A multi-driver cloud deployment would swap this for the
+    * metastore/catalog commit protocol.
+    */
+  def withWriteLock[T](body: => T): T = {
+    Files.createDirectories(Paths.get(root))
+    val ch = java.nio.channels.FileChannel.open(
+      Paths.get(root, "_LOCK"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    val lock = ch.lock()
+    try body
+    finally { lock.release(); ch.close() }
+  }
 
   private def tableDir(t: String) = Paths.get(root, t)
   private def pointerFile(t: String) = tableDir(t).resolve("_CURRENT")

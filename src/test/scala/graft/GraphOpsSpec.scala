@@ -89,4 +89,43 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(GraphOps.entityExists(entities, "Alice"))
     assert(!GraphOps.entityExists(entities, "Nobody"))
   }
+
+  test("property: search invariants over generated graphs (SURVEY §5.2)") {
+    val rnd = new scala.util.Random(11)
+    val words = Vector("alpha", "beta", "gamma", "delta", "omega", "zeta")
+    def word() = words(rnd.nextInt(words.size))
+    val ents = (0 until 60).map(i =>
+      (s"node-${word()}-$i", word(), ts(f"2024-01-${1 + rnd.nextInt(28)}%02d 00:00:00")))
+      .toDF("name", "entity_type", "created_at")
+    val obs = (0 until 200).map(i =>
+      (i.toLong, s"node-${word()}-${rnd.nextInt(60)}", s"${word()} ${word()} content", ts("2024-01-01 00:00:00")))
+      .toDF("id", "entity_name", "content", "created_at")
+
+    for (q <- Seq("alpha", "beta gamma", "ZETA", "nope-nothing"); limit <- Seq(3, 10, 999)) {
+      val hits = GraphOps.searchEntities(ents, obs, q, limit).collect()
+      // ≤ clamped limit
+      assert(hits.length <= math.min(math.max(limit, 1), 50))
+      // relevance ∈ {1,2,3}; every hit matches at least one predicate
+      val pat = graft.functions.TextFns.likePattern(q).toLowerCase.replace("%", ".*")
+      hits.foreach { r =>
+        val (name, tpe, rel) = (r.getString(0), r.getString(1), r.getInt(3))
+        assert(rel >= 1 && rel <= 3)
+        val nameHit = name.toLowerCase.matches(pat)
+        val typeHit = tpe.toLowerCase.matches(pat)
+        if (rel == 3) assert(nameHit)
+        else if (rel == 2) assert(!nameHit && typeHit)
+        else {
+          assert(!nameHit && !typeHit)
+          // observation-only hit: some observation of this entity matches
+          val obsHit = obs.filter($"entity_name" === name)
+            .collect().exists(_.getString(2).toLowerCase.matches(pat))
+          assert(obsHit)
+        }
+      }
+      // unique names, ordered by (relevance desc, created_at desc, name asc)
+      assert(hits.map(_.getString(0)).distinct.length == hits.length)
+      val keys = hits.map(r => (-r.getInt(3), -r.getTimestamp(2).getTime, r.getString(0)))
+      assert(keys.sameElements(keys.sortBy(identity)))
+    }
+  }
 }

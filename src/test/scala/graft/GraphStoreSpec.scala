@@ -154,6 +154,16 @@ class GraphStoreSpec extends AnyFunSuite with SparkTestBase {
     assert(before == after)
   }
 
+  test("truncation counts codepoints, not UTF-16 units (SURVEY §2.3 S2)") {
+    val st = freshStore()
+    // 255 ASCII chars + an astral-plane emoji (2 UTF-16 units): codepoint
+    // truncation at 256 keeps the whole emoji; UTF-16 slicing would split it
+    val name = "a" * 255 + "🌍" + "suffix"
+    st.createEntities(Seq(Entity(name, "t", Seq("x"))))
+    val e = st.getEntity("a" * 255 + "🌍")
+    assert(e.name.codePointCount(0, e.name.length) == 256)
+  }
+
   test("commit is versioned: concurrent reader sees old or new, never partial") {
     val st = freshStore()
     seed(st)
