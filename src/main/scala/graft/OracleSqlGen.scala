@@ -116,6 +116,31 @@ object OracleSqlGen {
         ORDER BY a_id, b_id"""
   }
 
+  def annLshTopK(nQueries: Int, k: Int, bands: Int, planesPerBand: Int): String = {
+    def bandSelects(src: String, idAlias: String) = (0 until bands).map { b =>
+      s"SELECT vec_id AS $idAlias, $b AS band, ${signBucketSql("embedding", planesPerBand, b * planesPerBand)} AS bucket FROM $src"
+    }.mkString("\n          UNION ALL ")
+    s"""WITH qb AS (
+          ${bandSelects(s"(SELECT * FROM embeddings WHERE vec_id < $nQueries)", "query_id")}),
+        cb AS (
+          ${bandSelects("embeddings", "neighbor_id")}),
+        cand AS (
+          SELECT DISTINCT query_id, neighbor_id
+          FROM qb JOIN cb ON qb.band = cb.band AND qb.bucket = cb.bucket
+          WHERE query_id <> neighbor_id),
+        scored AS (
+          SELECT query_id, neighbor_id, ${cosineSql("q.embedding", "c.embedding")} AS cosine
+          FROM cand
+          JOIN embeddings q ON q.vec_id = query_id
+          JOIN embeddings c ON c.vec_id = neighbor_id),
+        r AS (
+          SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
   def annTopK(nQueries: Int, k: Int): String =
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < $nQueries),
         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),

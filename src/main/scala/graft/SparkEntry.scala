@@ -223,6 +223,15 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "ann_lsh_topk" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Similarity.lshTopK(
+        e.filter(col("vec_id") < 32), e,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 5, bands = 4, planesPerBand = 4)
+        .orderBy("query_id", "rank")
+    }),
+
     "ann_ivf_assign" -> ((s, d) => {
       val e = embeddings(s, d)
       Similarity.assignToCentroids(
@@ -431,6 +440,7 @@ object SparkEntry {
     "dedup_embedding" -> OracleSqlGen.embeddingNearDup(0.45, 4, 4),
 
     "ann_topk" -> OracleSqlGen.annTopK(32, 5),
+    "ann_lsh_topk" -> OracleSqlGen.annLshTopK(32, 5, 4, 4),
     "ann_ivf_assign" -> OracleSqlGen.annIvfAssign(8),
 
     "text_stats" ->

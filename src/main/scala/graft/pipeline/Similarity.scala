@@ -88,6 +88,45 @@ object Similarity {
       org.apache.commons.codec.digest.DigestUtils.md5Hex(s"plane$p#$i").substring(0, 1), 16) < 8) 1.0
     else -1.0
 
+  /** LSH-bucketed ANN top-k — the scale path: queries and candidates are
+    * bucketed by multi-band random-hyperplane signs (one native
+    * SignBucketsExpr pass each); only same-bucket pairs are scored. Exact
+    * cosine then ranks the candidate set. Candidate generation shuffles ids
+    * only; vectors re-join once. Recall < 1 by construction (LSH) — `bands`
+    * × `planesPerBand` tune the recall/cost curve.
+    */
+  def lshTopK(
+      queries: DataFrame,
+      candidates: DataFrame,
+      qId: Column,
+      qVec: Column,
+      cId: Column,
+      cVec: Column,
+      k: Int,
+      bands: Int = 4,
+      planesPerBand: Int = 4): DataFrame = {
+    import graft.functions.VectorFunctions.signBuckets
+    val qb = queries.select(qId.as("query_id"),
+        posexplode(signBuckets(qVec, bands, planesPerBand)))
+      .select(col("query_id"), col("pos").as("band"), col("col").as("bucket"))
+    val cb = Dedup.spread(candidates).select(cId.as("neighbor_id"),
+        posexplode(signBuckets(cVec, bands, planesPerBand)))
+      .select(col("neighbor_id"), col("pos").as("band"), col("col").as("bucket"))
+    val cand = qb.join(cb, Seq("band", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .distinct()
+    val qv = queries.select(qId.as("query_id"), qVec.as("qv"))
+    val cv = candidates.select(cId.as("neighbor_id"), cVec.as("cv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cosine"), asc("neighbor_id"))
+    cand.join(qv, "query_id").join(cv, "neighbor_id")
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
   /** IVF-style ANN: assign every candidate to its nearest centroid once
     * (pre-partitioning ≈ the index build), probe only `nprobe` centroid
     * buckets per query. At 100 TB the candidate table is bucketed/partitioned
