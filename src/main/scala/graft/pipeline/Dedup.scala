@@ -76,7 +76,10 @@ object Dedup {
           .filter(col("df") > maxDocFreq).select("sh")
         sh.join(hot, Seq("sh"), "left_anti")
       }
-    val a = pruned.select(col("doc_id").as("a_id"), col("sh"))
+    // shuffle_hash hint: both sides are the same mid-size exploded relation —
+    // broadcasting one (driver collect + replicate) costs more than
+    // co-partitioning both on the shingle key
+    val a = pruned.select(col("doc_id").as("a_id"), col("sh")).hint("shuffle_hash")
     val b = pruned.select(col("doc_id").as("b_id"), col("sh"))
     a.join(b, Seq("sh"))
       .filter(col("a_id") < col("b_id"))
