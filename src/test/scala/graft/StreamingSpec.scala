@@ -89,6 +89,34 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("watermark drops late data in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventOps.tumbling(
+        EventOps.withWatermarkIfStreaming(mem.toDF(), "ts", "10 minutes"), "1 hour")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("late_out").start()
+    // batch 1: on-time events in hour 0
+    mem.addData(
+      Ev(1, ts("2024-01-01 00:10:00"), 1, "click", 1.0),
+      Ev(2, ts("2024-01-01 00:20:00"), 1, "click", 1.0))
+    q.processAllAvailable()
+    // batch 2: advance watermark far past hour 0 (+10min delay)
+    mem.addData(Ev(3, ts("2024-01-01 05:00:00"), 1, "view", 1.0))
+    q.processAllAvailable()
+    // batch 3: a LATE event for hour 0 — watermark 04:50 > window end 01:00
+    mem.addData(Ev(4, ts("2024-01-01 00:30:00"), 1, "click", 9.0))
+    q.processAllAvailable()
+    // flush so remaining windows finalize
+    mem.addData(flush)
+    q.processAllAvailable()
+    q.stop()
+    val hour0 = spark.table("late_out")
+      .filter($"event_type" === "click").collect()
+    assert(hour0.length == 1)
+    assert(hour0.head.getAs[Long]("n") == 2) // late event 4 was dropped
+  }
+
   test("batch sessionization splits on gap strictly greater than threshold") {
     val out = EventOps.sessionizeBatch(evs.toDF(), 30)
       .orderBy("user_id", "session_start").collect()
