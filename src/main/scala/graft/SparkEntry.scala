@@ -274,6 +274,54 @@ object SparkEntry {
       Multimodal.decodeMeta(media).toDF().orderBy("doc_id")
     }),
 
+    // Distinctive terms per document: rank tokens by corpus document
+    // frequency (all-integer scoring — IDF's log() is not bit-portable
+    // across engines), keep the 3 rarest.
+    "text_rare_terms" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = documents(s, d)
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      val df_ = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id").orderBy(asc("df"), asc("tok"))
+      toks.join(df_, "tok")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("tok"), col("df"), col("rnk").cast("int").as("rnk"))
+        .orderBy("doc_id", "rnk")
+    }),
+
+    // 2-hop graph traversal: top-5 recent orders → their parts → other
+    // orders sharing those parts (co-purchase neighborhood).
+    "graph_two_hop" -> ((s, d) => {
+      val recent = orders(s, d)
+        .orderBy(desc("o_orderdate"), asc("o_orderkey")).limit(5)
+        .select(col("o_orderkey").as("seed_order"))
+      val li = lineitem(s, d)
+      val hop1 = li.join(broadcast(recent), col("l_orderkey") === col("seed_order"))
+        .select(col("seed_order"), col("l_partkey").as("part")).distinct()
+      val hop2 = li.join(broadcast(hop1), col("l_partkey") === col("part"))
+        .filter(col("l_orderkey") =!= col("seed_order"))
+        .select(col("seed_order"), col("part"), col("l_orderkey").as("co_order"))
+        .distinct()
+      hop2.orderBy("seed_order", "part", "co_order")
+    }),
+
+    // Funnel: users whose first signup precedes their first purchase,
+    // with the conversion lag in whole seconds.
+    "events_funnel" -> ((s, d) => {
+      val e = events(s, d)
+      val firstSignup = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("signup_ts"))
+      val firstPurchase = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min("ts").as("purchase_ts"))
+      firstSignup.join(firstPurchase, "user_id")
+        .filter(col("purchase_ts") > col("signup_ts"))
+        .select(col("user_id"),
+          (unix_timestamp(col("purchase_ts")) - unix_timestamp(col("signup_ts")))
+            .as("lag_seconds"))
+        .orderBy("user_id")
+    }),
+
     // ── MLlib scale paths (engine-specific hashing → rows-only check) ─────
 
     "embed_tfidf" -> ((s, d) =>
@@ -463,6 +511,44 @@ object SparkEntry {
          FROM documents ORDER BY doc_id""",
 
     "mm_decode" -> OracleSqlGen.mmDecode,
+
+    "text_rare_terms" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+           FROM documents),
+         dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM toks GROUP BY tok),
+         ranked AS (
+           SELECT doc_id, t.tok, df,
+             row_number() OVER (PARTITION BY doc_id ORDER BY df ASC, t.tok ASC) AS rnk
+           FROM toks t JOIN dfreq USING (tok))
+         SELECT doc_id, tok, df, CAST(rnk AS INT) AS rnk
+         FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+    "graph_two_hop" ->
+      """WITH recent AS (
+           SELECT o_orderkey AS seed_order FROM orders
+           ORDER BY o_orderdate DESC, o_orderkey ASC LIMIT 5),
+         hop1 AS (
+           SELECT DISTINCT seed_order, l_partkey AS part
+           FROM lineitem JOIN recent ON l_orderkey = seed_order),
+         hop2 AS (
+           SELECT DISTINCT seed_order, part, l_orderkey AS co_order
+           FROM lineitem JOIN hop1 ON l_partkey = part
+           WHERE l_orderkey <> seed_order)
+         SELECT seed_order, part, co_order FROM hop2
+         ORDER BY seed_order, part, co_order""",
+    "events_funnel" ->
+      """WITH s AS (
+           SELECT user_id, min(ts) AS signup_ts FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+         p AS (
+           SELECT user_id, min(ts) AS purchase_ts FROM events
+           WHERE event_type = 'purchase' GROUP BY user_id)
+         SELECT s.user_id,
+             CAST(floor(epoch(CAST(purchase_ts AS TIMESTAMP))) -
+                  floor(epoch(CAST(signup_ts AS TIMESTAMP))) AS BIGINT) AS lag_seconds
+         FROM s JOIN p ON s.user_id = p.user_id
+         WHERE CAST(purchase_ts AS TIMESTAMP) > CAST(signup_ts AS TIMESTAMP)
+         ORDER BY s.user_id""",
 
     "stream_tumbling" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
