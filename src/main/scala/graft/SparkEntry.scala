@@ -274,6 +274,12 @@ object SparkEntry {
       Multimodal.decodeMeta(media).toDF().orderBy("doc_id")
     }),
 
+    // One-pass column profiling (counts/nulls/distincts/extrema).
+    "q_profile" -> ((s, d) =>
+      graft.pipeline.Profile.profile(orders(s, d),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+        .orderBy("col_name")),
+
     // Distinctive terms per document: rank tokens by corpus document
     // frequency (all-integer scoring — IDF's log() is not bit-portable
     // across engines), keep the 3 rarest.
@@ -511,6 +517,15 @@ object SparkEntry {
          FROM documents ORDER BY doc_id""",
 
     "mm_decode" -> OracleSqlGen.mmDecode,
+
+    "q_profile" -> Seq("o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus")
+      .map(c =>
+        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n,
+            CAST(count(*) - count($c) AS BIGINT) AS n_null,
+            CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+            CAST(min($c) AS VARCHAR) AS min_str, CAST(max($c) AS VARCHAR) AS max_str
+            FROM orders""")
+      .mkString("", "\n UNION ALL ", "\n ORDER BY col_name"),
 
     "text_rare_terms" ->
       """WITH toks AS (
