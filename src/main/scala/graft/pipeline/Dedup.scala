@@ -76,11 +76,13 @@ object Dedup {
           .filter(col("df") > maxDocFreq).select("sh")
         sh.join(hot, Seq("sh"), "left_anti")
       }
-    // shuffle_hash hint: both sides are the same mid-size exploded relation —
-    // broadcasting one (driver collect + replicate) costs more than
-    // co-partitioning both on the shingle key
-    val a = pruned.select(col("doc_id").as("a_id"), col("sh")).hint("shuffle_hash")
-    val b = pruned.select(col("doc_id").as("b_id"), col("sh"))
+    // Self-join sides share ONE shuffle: repartition the relation on the
+    // join key before deriving both sides, so the second side resolves to a
+    // ReusedExchange instead of a second full shuffle (and no side gets
+    // broadcast — both are the same mid-size exploded relation).
+    val coPart = pruned.repartition(col("sh"))
+    val a = coPart.select(col("doc_id").as("a_id"), col("sh")).hint("shuffle_hash")
+    val b = coPart.select(col("doc_id").as("b_id"), col("sh"))
     a.join(b, Seq("sh"))
       .filter(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id")
