@@ -116,6 +116,19 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(q >= 0.0 && q <= 1.0)
   }
 
+  test("hamming distance column: 0 for identical, counts differing bits") {
+    val df = Seq((0L, 0L), (0L, 7L), (255L, 0L)).toDF("a", "b")
+      .select(Dedup.hamming(col("a"), col("b")).as("h"))
+    assert(df.as[Long].collect().toSeq == Seq(0L, 3L, 8L))
+  }
+
+  test("approxDistinct within rsd of exact counts") {
+    val df = (1 to 20000).map(i => (i % 1000, i % 37)).toDF("k1", "k2")
+    val approx = graft.pipeline.Profile.approxDistinct(df, Seq("k1", "k2"), rsd = 0.02).head()
+    assert(math.abs(approx.getLong(0) - 1000) <= 60)
+    assert(approx.getLong(1) == 37 || math.abs(approx.getLong(1) - 37) <= 2)
+  }
+
   test("multimodal: decode stub emits typed metadata per row, deterministic") {
     val docs = Seq((0L, "hello spark"), (1L, "binary payload here"), (2L, "video doc"))
       .toDF("doc_id", "text")
