@@ -286,6 +286,21 @@ class GraphStore(spark: SparkSession, root: String) {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Compaction: rewrite a table's current version into `numFiles` files.
+    * Every rewrite emits shuffle-partition-many files; at scale the
+    * small-file accumulation degrades scan planning — compact periodically
+    * (then `vacuum` once reader horizons pass).
+    */
+  def compact(table: String, numFiles: Int = 1): Unit = withWriteLock {
+    val schema = table match {
+      case "entities" => EntitiesSchema
+      case "observations" => ObservationsSchema
+      case "relations" => RelationsSchema
+      case other => throw new IllegalArgumentException(s"Unknown table: $other")
+    }
+    commitTable(table, readTable(table, schema).coalesce(numFiles))
+  }
+
   /** Retention: drop all but the newest `keepVersions` committed versions of
     * each table (never the current one). Old versions exist so in-flight
     * readers finish against the snapshot they resolved; vacuum after their

@@ -68,6 +68,8 @@ class SkewSpec extends AnyFunSuite with SparkTestBase {
     st.initialize()
     st.createEntities(Seq(Entity("A", "t", Seq("one"))))
     st.createEntities(Seq(Entity("B", "t", Seq("two"))))
+    st.compact("entities")
+    assert(st.entities.count() == 2) // compaction preserves content
     val before = new java.io.File(s"$dir/entities")
       .listFiles().count(_.getName.matches("v\\d+"))
     assert(before >= 3)
