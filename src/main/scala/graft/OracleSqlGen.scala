@@ -85,7 +85,7 @@ object OracleSqlGen {
          * sqrt(list_reduce(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x))))"""
 
   /** Sign of the projection onto pseudo-random hyperplane `p` must match
-    * Similarity.signBucket: component signs via Similarity.planeSign
+    * SignBucketsExpr: component signs via Similarity.planeSign
     * (md5-derived ±1), summed in ascending dim order (left-assoc, matching
     * Spark's reduce) over 64 dims.
     */

@@ -69,20 +69,10 @@ object Similarity {
     * sign pattern of the projections. Engine-portable LSH for the scale path:
     * candidate generation becomes an equi-join on bucket.
     */
-  def signBucket(vec: Column, planes: Int, planeOffset: Int = 0): Column = {
-    val dims = 64 // embedding dimensionality of the test tables
-    val bits = (0 until planes).map { b =>
-      val p = b + planeOffset
-      // projection onto hyperplane p: sum_i vec[i] * s(p,i), s ∈ {−1,+1}
-      val proj = (0 until dims).map { i =>
-        element_at(vec, i + 1).cast("double") * lit(planeSign(p, i))
-      }.reduce(_ + _)
-      (proj >= 0).cast("int") * lit(1 << b)
-    }
-    bits.reduce(_ + _)
-  }
-
-  /** Deterministic ±1 hyperplane component, shared with OracleSqlGen. */
+  /** Deterministic ±1 hyperplane component, shared by SignBucketsExpr and
+    * OracleSqlGen (so the Spark buckets and the DuckDB oracle buckets come
+    * from the same matrix).
+    */
   def planeSign(p: Int, i: Int): Double =
     if (Integer.parseInt(
       org.apache.commons.codec.digest.DigestUtils.md5Hex(s"plane$p#$i").substring(0, 1), 16) < 8) 1.0

@@ -33,15 +33,15 @@ class GraphStore(spark: SparkSession, root: String) {
     * (client.ts:481-543). Indexes are moot: parquet min/max stats + predicate
     * pushdown serve the same point lookups.
     */
-  def initialize(): Unit = {
-    Files.createDirectories(Paths.get(root))
-    Seq("entities" -> EntitiesSchema,
+  def initialize(): Unit = withWriteLock {
+    val missing = Seq("entities" -> EntitiesSchema,
         "observations" -> ObservationsSchema,
-        "relations" -> RelationsSchema).foreach { case (t, schema) =>
-      if (currentVersion(t).isEmpty)
-        commitTable(t, spark.createDataFrame(
-          spark.sparkContext.emptyRDD[Row], schema))
-    }
+        "relations" -> RelationsSchema)
+      .filter { case (t, _) => currentVersion(t).isEmpty }
+      .map { case (t, schema) =>
+        t -> spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      }
+    if (missing.nonEmpty) commitTables(missing.toMap)
   }
 
   def entities: DataFrame = readTable("entities", EntitiesSchema)
@@ -68,14 +68,27 @@ class GraphStore(spark: SparkSession, root: String) {
   def readGraph(): (Seq[Entity], Seq[Relation]) =
     graphResult(GraphOps.recentEntities(entities, 10))
 
+  /** Execute the (already top-k-limited, relevance/recency-ordered) hit plan
+    * ONCE, then hydrate and fetch edges from the collected names — the
+    * reference returns entities in ranked order (client.ts:241-246) and
+    * re-running the full search scan for the edge lookup would double its
+    * cost.
+    */
   private def graphResult(hits: DataFrame): (Seq[Entity], Seq[Relation]) = {
-    val hydrated = GraphOps.hydrate(hits.select("name", "entity_type"), observations)
-      .orderBy("name").collect()
-      .map(r => Entity(r.getString(0), r.getString(1),
-        r.getSeq[String](r.length - 1)))
-    if (hydrated.isEmpty) return (Nil, Nil) // client.ts:460-462 short-circuit
-    val names = hits.select("name")
-    val edges = GraphOps.relationsForEntities(relations, names)
+    val ranked = hits.select("name", "entity_type").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    if (ranked.isEmpty) return (Nil, Nil) // client.ts:460-462 short-circuit
+    val names = ranked.map(_._1)
+    import spark.implicits._
+    val obsByName = observations
+      .filter(col("entity_name").isin(names: _*))
+      .select("entity_name", "content").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted.toSeq }
+    val hydrated = ranked.map { case (n, t) =>
+      Entity(n, t, obsByName.getOrElse(n, Nil))
+    }
+    val edges = GraphOps.relationsForEntities(relations, names.toSeq.toDF("name"))
       .orderBy("from_entity", "to_entity", "relation_type").collect()
       .map(r => Relation(r.getString(0), r.getString(1), r.getString(2)))
     (hydrated.toSeq, edges.toSeq)
@@ -126,8 +139,6 @@ class GraphStore(spark: SparkSession, root: String) {
       .select(col("name"), col("in_type").as("entity_type"), col("created_at"))
     val inserted = incoming.join(existing, Seq("name"), "left_anti")
       .select(col("name"), col("in_type").as("entity_type"), now.as("created_at"))
-    commitTable("entities",
-      alignTo(EntitiesSchema, kept.unionByName(updated).unionByName(inserted)))
 
     val newObs = cleaned.flatMap(e => e.observations.map(o => (e.name, o)))
       .toDF("entity_name", "content")
@@ -137,8 +148,13 @@ class GraphStore(spark: SparkSession, root: String) {
     val fresh = newObs
       .withColumn("id", monotonically_increasing_id() + lit(base + 1))
       .withColumn("created_at", now)
-    commitTable("observations",
-      alignTo(ObservationsSchema, survivors.unionByName(alignTo(ObservationsSchema, fresh))))
+    // one manifest flip covers both tables — W3's "per-entity transaction"
+    // becomes per-batch cross-table atomicity
+    commitTables(Map(
+      "entities" ->
+        alignTo(EntitiesSchema, kept.unionByName(updated).unionByName(inserted)),
+      "observations" ->
+        alignTo(ObservationsSchema, survivors.unionByName(alignTo(ObservationsSchema, fresh)))))
   }
 
   /** Bulk DataFrame upsert — the 100 TB ingest path (the Seq-based API above
@@ -151,6 +167,12 @@ class GraphStore(spark: SparkSession, root: String) {
     * keep created_at, replace children.
     */
   def upsertEntitiesDf(batch: DataFrame): Unit = withWriteLock {
+    // dedup by name must be DETERMINISTIC: dropDuplicates keeps an arbitrary
+    // row per key, and `cleaned` is evaluated independently by the entities
+    // and observations plans below — a nondeterministic pick could commit
+    // the type of one input row with the observations of another
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("name").orderBy(col("in_type"), col("obs"))
     val cleaned = batch.select(
         cleanName(col("name")).as("name"),
         cleanEntityType(col("entity_type")).as("in_type"),
@@ -159,7 +181,9 @@ class GraphStore(spark: SparkSession, root: String) {
           o => isNonBlank(o)).as("obs"))
       .filter(isNonBlank(col("name")) &&
         size(col("obs")).between(1, MaxObservationsPerEntity))
-      .dropDuplicates("name")
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
     val now = current_timestamp()
 
     val existing = entities
@@ -168,8 +192,6 @@ class GraphStore(spark: SparkSession, root: String) {
       .select(col("name"), col("in_type").as("entity_type"), col("created_at"))
     val inserted = cleaned.join(existing, Seq("name"), "left_anti")
       .select(col("name"), col("in_type").as("entity_type"), now.as("created_at"))
-    commitTable("entities",
-      alignTo(EntitiesSchema, kept.unionByName(updated).unionByName(inserted)))
 
     val updNames = cleaned.select(col("name").as("_upd_name"))
     val survivors = observations.join(updNames,
@@ -179,8 +201,11 @@ class GraphStore(spark: SparkSession, root: String) {
       .select(col("name").as("entity_name"), explode(col("obs")).as("content"))
       .withColumn("id", monotonically_increasing_id() + lit(base + 1))
       .withColumn("created_at", now)
-    commitTable("observations",
-      alignTo(ObservationsSchema, survivors.unionByName(alignTo(ObservationsSchema, fresh))))
+    commitTables(Map(
+      "entities" ->
+        alignTo(EntitiesSchema, kept.unionByName(updated).unionByName(inserted)),
+      "observations" ->
+        alignTo(ObservationsSchema, survivors.unionByName(alignTo(ObservationsSchema, fresh)))))
   }
 
   /** Structured-Streaming ingest: upsert each micro-batch into the store
@@ -220,10 +245,13 @@ class GraphStore(spark: SparkSession, root: String) {
   def deleteEntity(name: String): Unit = withWriteLock {
     if (!GraphOps.entityExists(entities, name))
       throw new NoSuchElementException(s"Entity not found: $name")
-    commitTable("observations", observations.filter(col("entity_name") =!= name))
-    commitTable("relations",
-      relations.filter(!(col("source") === name || col("target") === name)))
-    commitTable("entities", entities.filter(col("name") =!= name))
+    // one manifest flip: the cascade is all-or-nothing (client.ts:352-372's
+    // batch semantics) — a crash can never leave dangling edges/observations
+    commitTables(Map(
+      "observations" -> observations.filter(col("entity_name") =!= name),
+      "relations" ->
+        relations.filter(!(col("source") === name || col("target") === name)),
+      "entities" -> entities.filter(col("name") =!= name)))
   }
 
   /** W6 conditional delete with affected-count check (client.ts:382-405). */
@@ -236,33 +264,47 @@ class GraphStore(spark: SparkSession, root: String) {
     commitTable("relations", relations.filter(!cond))
   }
 
-  // ── storage: versioned parquet with atomic pointer flip ─────────────────
+  // ── storage: versioned parquet with one atomic manifest flip ────────────
 
-  /** Mutations are read-modify-write over the current version, so concurrent
-    * writers would lose updates; an advisory file lock serializes them
-    * (readers never block — they resolve a pointer and read immutable
-    * files). A multi-driver cloud deployment would swap this for the
+  /** Mutations are read-modify-write over the current snapshot, so
+    * concurrent writers would lose updates; an advisory file lock plus a
+    * per-store JVM mutex serializes them (JVM file locks are held per-JVM —
+    * without the mutex a second in-process writer gets
+    * OverlappingFileLockException instead of waiting). Readers never block:
+    * they resolve the manifest once and read immutable files. A
+    * multi-driver cloud deployment would swap this for the
     * metastore/catalog commit protocol.
     */
-  def withWriteLock[T](body: => T): T = {
-    Files.createDirectories(Paths.get(root))
-    val ch = java.nio.channels.FileChannel.open(
-      Paths.get(root, "_LOCK"),
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.WRITE)
-    val lock = ch.lock()
-    try body
-    finally { lock.release(); ch.close() }
-  }
+  def withWriteLock[T](body: => T): T =
+    GraphStore.jvmLock(root).synchronized {
+      Files.createDirectories(Paths.get(root))
+      val ch = java.nio.channels.FileChannel.open(
+        Paths.get(root, "_LOCK"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      val lock = ch.lock()
+      try body
+      finally { lock.release(); ch.close() }
+    }
 
   private def tableDir(t: String) = Paths.get(root, t)
-  private def pointerFile(t: String) = tableDir(t).resolve("_CURRENT")
+  private def manifestFile = Paths.get(root, "_MANIFEST")
 
-  private def currentVersion(t: String): Option[String] = {
-    val p = pointerFile(t)
-    if (Files.exists(p)) Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim)
+  /** Snapshot manifest: one file mapping every table to its version. A
+    * multi-table mutation stages all new version directories, then flips
+    * THIS one pointer — cross-table atomicity (a cascade delete is all-or-
+    * nothing), not just per-table.
+    */
+  private def readManifest(): Option[Map[String, String]] =
+    if (Files.exists(manifestFile))
+      Some(new String(Files.readAllBytes(manifestFile), StandardCharsets.UTF_8)
+        .split("\n").filter(_.contains("=")).map { l =>
+          val Array(k, v) = l.trim.split("=", 2); k -> v
+        }.toMap)
     else None
-  }
+
+  private def currentVersion(t: String): Option[String] =
+    readManifest().flatMap(_.get(t))
 
   private def readTable(t: String, schema: StructType): DataFrame =
     currentVersion(t) match {
@@ -271,20 +313,32 @@ class GraphStore(spark: SparkSession, root: String) {
         s"Table $t not initialized — call initialize() first")
     }
 
-  /** Write the new table state to a fresh versioned dir, then atomically
-    * flip the `_CURRENT` pointer (write temp + ATOMIC_MOVE). Readers see
-    * either the old or the new version, never a partial write — the same
-    * commit contract a cloud deployment gets from a metastore pointer swap.
+  /** Stage new versions for every table in `updates`, then atomically flip
+    * the manifest (write temp + ATOMIC_MOVE). Readers see the whole old or
+    * whole new snapshot, never a mix; a crash mid-stage leaves only orphan
+    * directories the next vacuum removes.
     */
-  private def commitTable(t: String, df: DataFrame): Unit = {
-    Files.createDirectories(tableDir(t))
-    val next = "v" + (currentVersion(t).map(_.drop(1).toLong).getOrElse(0L) + 1)
-    df.write.mode("overwrite").parquet(tableDir(t).resolve(next).toString)
-    val tmp = tableDir(t).resolve("_CURRENT.tmp")
-    Files.write(tmp, next.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, pointerFile(t), StandardCopyOption.ATOMIC_MOVE,
+  private def commitTables(updates: Map[String, DataFrame]): Unit = {
+    val manifest = readManifest().getOrElse(Map.empty)
+    val staged = updates.map { case (t, df) =>
+      Files.createDirectories(tableDir(t))
+      val existing = Option(tableDir(t).toFile.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+        .map(_.getName.drop(1).toLong)
+      val next = "v" + (existing.maxOption.getOrElse(0L) + 1)
+      df.write.mode("overwrite").parquet(tableDir(t).resolve(next).toString)
+      t -> next
+    }
+    val merged = manifest ++ staged
+    val tmp = Paths.get(root, "_MANIFEST.tmp")
+    Files.write(tmp, merged.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+      .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestFile, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
+
+  private def commitTable(t: String, df: DataFrame): Unit =
+    commitTables(Map(t -> df))
 
   /** Compaction: rewrite a table's current version into `numFiles` files.
     * Every rewrite emits shuffle-partition-many files; at scale the
@@ -301,20 +355,24 @@ class GraphStore(spark: SparkSession, root: String) {
     commitTable(table, readTable(table, schema).coalesce(numFiles))
   }
 
-  /** Retention: drop all but the newest `keepVersions` committed versions of
-    * each table (never the current one). Old versions exist so in-flight
-    * readers finish against the snapshot they resolved; vacuum after their
-    * horizon passes.
+  /** Retention: drop old version directories, always keeping the version the
+    * manifest references (plus the `keepVersions - 1` most recent others
+    * below it for in-flight readers). Runs under the write lock, so orphans
+    * above the current version — from a crashed stage — are safe to delete
+    * too: no commit is in progress and the manifest never pointed at them.
     */
-  def vacuum(keepVersions: Int = 1): Unit = {
+  def vacuum(keepVersions: Int = 1): Unit = withWriteLock {
     require(keepVersions >= 1)
+    val manifest = readManifest().getOrElse(Map.empty)
     Seq("entities", "observations", "relations").foreach { t =>
       val dir = tableDir(t).toFile
-      if (dir.exists()) {
+      val current = manifest.get(t).map(_.drop(1).toLong)
+      if (dir.exists() && current.isDefined) {
         val versions = dir.listFiles()
           .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
-          .sortBy(-_.getName.drop(1).toLong)
-        versions.drop(keepVersions).foreach { old =>
+        val keepBelow = versions.map(_.getName.drop(1).toLong)
+          .filter(_ <= current.get).sorted.reverse.take(keepVersions).toSet
+        versions.filterNot(f => keepBelow(f.getName.drop(1).toLong)).foreach { old =>
           def rm(f: java.io.File): Unit = {
             if (f.isDirectory) f.listFiles().foreach(rm)
             f.delete()
@@ -342,6 +400,13 @@ class GraphStore(spark: SparkSession, root: String) {
 }
 
 object GraphStore {
+  /** Per-store-root JVM mutex backing withWriteLock (file locks are
+    * per-JVM, so in-process writers must queue on this first).
+    */
+  private val jvmLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[store] def jvmLock(root: String): Object =
+    jvmLocks.computeIfAbsent(root, _ => new Object)
+
   /** Fixed schemas — the reference's DDL (client.ts:484-512) as explicit
     * StructTypes, never inferred (SURVEY §1.3).
     */
