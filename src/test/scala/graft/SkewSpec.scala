@@ -62,6 +62,30 @@ class SkewSpec extends AnyFunSuite with SparkTestBase {
     assert(idx.head == 0 && idx.forall(_ % 10 == 0))
   }
 
+  test("crashed stage: orphan version dirs don't affect reads, vacuum removes them, next commit works") {
+    val dir = Files.createTempDirectory("graft-store-").toString
+    val st = new GraphStore(spark, dir)
+    st.initialize()
+    st.createEntities(Seq(Entity("A", "t", Seq("one"))))
+    // simulate a commit that wrote its version dir but died before the
+    // manifest flip: an orphan v-dir newer than the referenced one
+    val entDir = new java.io.File(s"$dir/entities")
+    val maxV = entDir.listFiles().filter(_.getName.matches("v\\d+"))
+      .map(_.getName.drop(1).toLong).max
+    val orphan = new java.io.File(entDir, s"v${maxV + 1}")
+    orphan.mkdirs()
+    new java.io.File(orphan, "part-orphan.parquet").createNewFile()
+    // reads resolve the manifest, not directory listings
+    assert(st.getEntity("A").observations == Seq("one"))
+    // vacuum under the lock removes the orphan, keeps the live version
+    st.vacuum(keepVersions = 1)
+    assert(!orphan.exists())
+    assert(st.getEntity("A").observations == Seq("one"))
+    // and the next commit proceeds normally
+    st.createEntities(Seq(Entity("B", "t", Seq("two"))))
+    assert(st.entities.count() == 2)
+  }
+
   test("vacuum keeps the current version readable and drops old ones") {
     val dir = Files.createTempDirectory("graft-store-").toString
     val st = new GraphStore(spark, dir)
