@@ -136,6 +136,62 @@ case class SignBucketsExpr(child: Expression, bands: Int, planesPerBand: Int, di
     copy(child = newChild)
 }
 
+/** 60-bit SimHash over a token array in one pass: per token, the first 15
+  * hex chars of md5 (= top 60 bits of the digest) vote ±1 on each bit lane;
+  * the majority sign pattern is the fingerprint.
+  *
+  * Bit-identical to the builtin-expression formulation in `Dedup.simhash`
+  * (pinned by test) and to the DuckDB oracle, but evaluates each token's
+  * digest ONCE in a fused loop — the HOF form re-folds the token array per
+  * lane (60 interpreted-lambda passes/row).
+  */
+case class SimHashExpr(child: Expression, bits: Int = 60)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "simhash"
+
+  def compute(toks: ArrayData): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val tallies = new Array[Int](bits)
+    val n = toks.numElements()
+    var t = 0
+    while (t < n) {
+      val d = md.digest(toks.getUTF8String(t).getBytes)
+      // first 15 hex chars = top 60 bits of the first 8 bytes
+      var hv = 0L
+      var i = 0
+      while (i < 8) { hv = (hv << 8) | (d(i) & 0xffL); i += 1 }
+      hv = hv >>> 4
+      var b = 0
+      while (b < bits) {
+        tallies(b) += ((hv >>> b) & 1L).toInt
+        b += 1
+      }
+      md.reset()
+      t += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < bits) {
+      if (2 * tallies(b) > n) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("simhash", this, classOf[SimHashExpr].getName)
+    defineCodeGen(ctx, ev, v => s"$self.compute($v)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column API: codegen'd cosine similarity. */
   def cosineSim(a: Column, b: Column): Column =
@@ -144,6 +200,10 @@ object VectorFunctions {
   /** Column API: all band sign-buckets of a float vector (array<int>). */
   def signBuckets(vec: Column, bands: Int, planesPerBand: Int, dims: Int = 64): Column =
     Bridge.column(SignBucketsExpr(Bridge.expression(vec), bands, planesPerBand, dims))
+
+  /** Column API: 60-bit simhash of a token array. */
+  def simhash(tokens: Column, bits: Int = 60): Column =
+    Bridge.column(SimHashExpr(Bridge.expression(tokens), bits))
 
   private val info = new ExpressionInfo(
     classOf[CosineSimExpr].getName, "cosine_sim")

@@ -139,16 +139,21 @@ object Dedup {
       .distinct()
   }
 
-  /** 64-bit SimHash over tokens: per-token md5 → 60-bit int (15 hex chars);
-    * bit b contributes +1/−1 to a 60-lane tally; sign pattern is the
-    * fingerprint. Near-dups differ in few bits (compare via hamming).
-    * Expressed with integer bit ops — stays inside WholeStageCodegen.
+  /** 60-bit SimHash over tokens via the native one-pass expression
+    * (graft.functions.SimHashExpr): per-token md5 → top 60 bits; bit b
+    * contributes +1/−1 to a 60-lane tally; majority sign pattern is the
+    * fingerprint. Near-dups differ in few bits (compare via `hamming`).
     */
-  def simhash(text: Column, bits: Int = 60): Column = {
+  def simhash(text: Column, bits: Int = 60): Column =
+    graft.functions.VectorFunctions.simhash(split(text, " "), bits)
+
+  /** Builtin-expression simhash twin (60 folds over the token array) — kept
+    * for cross-checking the native expression bit-for-bit.
+    */
+  def simhashFold(text: Column, bits: Int = 60): Column = {
     val toks = split(text, " ")
     val hashes = transform(toks, t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
     val lanes = (0 until bits).map { b =>
-      // tally of bit b over tokens: count set minus count unset
       val set = aggregate(hashes, lit(0),
         (acc, h) => acc + shiftright(h, b).bitwiseAND(lit(1L)).cast("int"))
       (set * 2 > size(toks)).cast("long") * shiftleft(lit(1L), b)

@@ -116,6 +116,16 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(q >= 0.0 && q <= 1.0)
   }
 
+  test("native simhash expression is bit-identical to the builtin fold") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(100)
+    val out = docs.select(
+      Dedup.simhash(col("text")).as("fast"),
+      Dedup.simhashFold(col("text")).as("fold"))
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("hamming distance column: 0 for identical, counts differing bits") {
     val df = Seq((0L, 0L), (0L, 7L), (255L, 0L)).toDF("a", "b")
       .select(Dedup.hamming(col("a"), col("b")).as("h"))
