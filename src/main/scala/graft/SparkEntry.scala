@@ -111,9 +111,11 @@ object SparkEntry {
       val w = Window.partitionBy("o_custkey")
         .orderBy(desc("o_totalprice"), asc("o_orderkey"))
       orders(s, d)
+        .filter(col("o_custkey") < 200) // before the window: the partition
+        // key is the filter column, so pre-filtering is semantics-preserving
+        // and shrinks the window input 75×
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
-        .filter(col("o_custkey") < 200)
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
         .orderBy("o_custkey", "rn")
     }),

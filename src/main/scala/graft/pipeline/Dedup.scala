@@ -116,21 +116,7 @@ object Dedup {
       n: Int = 3,
       bands: Int = 4,
       rowsPerBand: Int = 4): DataFrame = {
-    val nh = bands * rowsPerBand
-    val sh = spread(docs).select(id.as("doc_id"),
-      explode(array_distinct(shingles(text, n))).as("sh"))
-    val lanes = (0 until nh).map(i =>
-      min(md5(concat(col("sh"), lit("#" + i)))).as(s"m_$i"))
-    val sig = sh.groupBy("doc_id").agg(lanes.head, lanes.tail: _*)
-    val banded = sig.select(
-      col("doc_id"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          md5(concat_ws("|",
-            (0 until rowsPerBand).map(r => col(s"m_${b * rowsPerBand + r}")): _*))
-            .as("bucket"))
-      }: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val banded = minhashBandIndex(docs, id, text, n, bands, rowsPerBand)
     val l = banded.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
     val r = banded.select(col("band"), col("bucket"), col("doc_id").as("b_id"))
     l.join(r, Seq("band", "bucket"))
@@ -164,6 +150,61 @@ object Dedup {
   /** Hamming distance between two simhash fingerprints. */
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** Persistent minhash band index of a corpus: (doc_id, band, bucket) rows,
+    * written once and appended per ingest batch. This is the state that
+    * makes dedup INCREMENTAL at 100 TB — new data joins the index instead of
+    * re-pairing the whole corpus.
+    */
+  def minhashBandIndex(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int = 3,
+      bands: Int = 4,
+      rowsPerBand: Int = 4): DataFrame = {
+    val nh = bands * rowsPerBand
+    val sh = spread(docs).select(id.as("doc_id"),
+      explode(array_distinct(shingles(text, n))).as("sh"))
+    val lanes = (0 until nh).map(i =>
+      min(md5(concat(col("sh"), lit("#" + i)))).as(s"m_$i"))
+    val sig = sh.groupBy("doc_id").agg(lanes.head, lanes.tail: _*)
+    sig.select(
+      col("doc_id"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          md5(concat_ws("|",
+            (0 until rowsPerBand).map(r => col(s"m_${b * rowsPerBand + r}")): _*))
+            .as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Incremental near-dup: candidate pairs between a NEW batch and an
+    * existing corpus band index (plus new-vs-new pairs). Only the batch is
+    * shingled/hashed; the corpus contributes its precomputed index — cost is
+    * O(batch) + join, independent of corpus size beyond the band join.
+    */
+  def incrementalMinhashPairs(
+      newDocs: DataFrame,
+      id: Column,
+      text: Column,
+      corpusIndex: DataFrame,
+      n: Int = 3,
+      bands: Int = 4,
+      rowsPerBand: Int = 4): DataFrame = {
+    val newIdx = minhashBandIndex(newDocs, id, text, n, bands, rowsPerBand)
+    val vsCorpus = newIdx.alias("nw")
+      .join(corpusIndex.alias("cx"),
+        col("nw.band") === col("cx.band") && col("nw.bucket") === col("cx.bucket"))
+      .select(col("nw.doc_id").as("new_id"), col("cx.doc_id").as("dup_of"))
+    val vsSelf = newIdx.alias("a")
+      .join(newIdx.alias("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("b.doc_id").as("new_id"), col("a.doc_id").as("dup_of"))
+    vsCorpus.unionByName(vsSelf).distinct()
+  }
 
   /** Embedding-cosine near-dup: pairs above a cosine threshold, candidate
     * set bounded by a multi-band random-hyperplane LSH join (OR over

@@ -45,6 +45,21 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
   }
 
+  test("incremental minhash: new batch pairs against corpus index without re-pairing corpus") {
+    val corpus = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6"),
+      (2L, "z1 z2 z3 z4 z5 z6")).toDF("doc_id", "text")
+    val idx = Dedup.minhashBandIndex(corpus, col("doc_id"), col("text"))
+    val batch = Seq(
+      (10L, "w1 w2 w3 w4 w5 w6"),  // dup of corpus doc 1
+      (11L, "q1 q2 q3 q4 q5 q6"),  // novel
+      (12L, "q1 q2 q3 q4 q5 q6")   // dup of 11 within the batch
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.incrementalMinhashPairs(batch, col("doc_id"), col("text"), idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((10L, 1L), (12L, 11L)))
+  }
+
   test("simhash: identical text identical hash; near text within small hamming") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
