@@ -93,6 +93,27 @@ class GraphStoreSpec extends AnyFunSuite with SparkTestBase {
     assert(hits.size == 5)
   }
 
+  test("searchNodes returns entities in relevance rank order (client.ts:241-246)") {
+    val st = freshStore()
+    st.createEntities(Seq(
+      Entity("zz-widget", "tool", Seq("unrelated")),          // name hit → 3
+      Entity("aa-thing", "widget", Seq("unrelated")),         // type hit → 2
+      Entity("mm-item", "tool", Seq("a widget observation")))) // obs hit → 1
+    val (hits, _) = st.searchNodes("widget")
+    assert(hits.map(_.name) == Seq("zz-widget", "aa-thing", "mm-item"))
+  }
+
+  test("createRelations rejects blank source/target/type") {
+    val st = freshStore()
+    seed(st)
+    intercept[IllegalArgumentException] {
+      st.createRelations(Seq(Relation("Alice", "Bob", "   ")))
+    }
+    intercept[IllegalArgumentException] {
+      st.createRelations(Seq(Relation("", "Bob", "knows")))
+    }
+  }
+
   test("relations: create, read back, targeted delete (client.test.ts:214-254)") {
     val st = freshStore()
     seed(st)
