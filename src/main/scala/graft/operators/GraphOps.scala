@@ -85,7 +85,7 @@ object GraphOps {
     hits
       .join(observations.select("entity_name", "content"),
         hits("name") === col("entity_name"), "left")
-      .groupBy(hits.columns.map(hits(_)): _*)
+      .groupBy(hits.columns.toIndexedSeq.map(hits(_)): _*)
       .agg(sort_array(collect_list(col("content"))).as("observations"))
 
   /** R7 top-k by recency — client.ts:268-295. `TakeOrderedAndProject`,

@@ -39,7 +39,7 @@ object Skew {
       dimKey: Column,
       salts: Int): DataFrame = {
     val saltedFact = fact.withColumn("_salt",
-      pmod(hash(fact.columns.map(col): _*), lit(salts)))
+      pmod(hash(fact.columns.toIndexedSeq.map(col): _*), lit(salts)))
     val replicatedDim = dim.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedFact.join(replicatedDim,

@@ -81,7 +81,7 @@ class GraphStore(spark: SparkSession, root: String) {
     val names = ranked.map(_._1)
     import spark.implicits._
     val obsByName = observations
-      .filter(col("entity_name").isin(names: _*))
+      .filter(col("entity_name").isin(names.toIndexedSeq: _*))
       .select("entity_name", "content").collect()
       .map(r => (r.getString(0), r.getString(1)))
       .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted.toSeq }
@@ -396,7 +396,7 @@ class GraphStore(spark: SparkSession, root: String) {
   }
 
   private def alignTo(schema: StructType, df: DataFrame): DataFrame =
-    df.select(schema.fields.map(f => col(f.name).cast(f.dataType)): _*)
+    df.select(schema.fields.toIndexedSeq.map(f => col(f.name).cast(f.dataType)): _*)
 }
 
 object GraphStore {
