@@ -151,13 +151,18 @@ case class SimHashExpr(child: Expression, bits: Int = 60)
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def prettyName: String = "simhash"
 
-  def compute(toks: ArrayData): Long = {
+  /** Returns null (like the builtin-fold twin, where a null token nulls the
+    * whole fold) when any array element is null.
+    */
+  def compute(toks: ArrayData): java.lang.Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val tallies = new Array[Int](bits)
     val n = toks.numElements()
     var t = 0
     while (t < n) {
-      val d = md.digest(toks.getUTF8String(t).getBytes)
+      val s = toks.getUTF8String(t)
+      if (s == null) return null
+      val d = md.digest(s.getBytes)
       // first 15 hex chars = top 60 bits of the first 8 bytes
       var hv = 0L
       var i = 0
@@ -177,15 +182,20 @@ case class SimHashExpr(child: Expression, bits: Int = 60)
       if (2 * tallies(b) > n) out |= (1L << b)
       b += 1
     }
-    out
+    java.lang.Long.valueOf(out)
   }
+
+  override def nullable: Boolean = true
 
   override def nullSafeEval(input: Any): Any =
     compute(input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val self = ctx.addReferenceObj("simhash", this, classOf[SimHashExpr].getName)
-    defineCodeGen(ctx, ev, v => s"$self.compute($v)")
+    nullSafeCodeGen(ctx, ev, v => s"""
+      java.lang.Long r = $self.compute($v);
+      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.longValue(); }
+    """)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

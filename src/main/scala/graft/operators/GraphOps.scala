@@ -73,6 +73,10 @@ object GraphOps {
       .withColumn("relevance_score",
         relevanceScore(col("name"), col("entity_type"), pat))
       .select("name", "entity_type", "created_at", "relevance_score")
+      // full-row DISTINCT (the reference's, client.ts:220): a no-op when name
+      // is the PK, but this operator accepts arbitrary DataFrames — exact and
+      // deterministic, unlike a dropDuplicates("name") pick
+      .distinct()
       .orderBy(desc("relevance_score"), desc("created_at"), asc("name"))
       .limit(k)
   }

@@ -193,10 +193,16 @@ object Dedup {
       n: Int = 3,
       bands: Int = 4,
       rowsPerBand: Int = 4): DataFrame = {
+    // repartition once on the join key so the three uses below share the
+    // shuffle (ReusedExchange) instead of re-hashing the batch three times
     val newIdx = minhashBandIndex(newDocs, id, text, n, bands, rowsPerBand)
+      .repartition(col("band"), col("bucket"))
     val vsCorpus = newIdx.alias("nw")
       .join(corpusIndex.alias("cx"),
-        col("nw.band") === col("cx.band") && col("nw.bucket") === col("cx.bucket"))
+        col("nw.band") === col("cx.band") && col("nw.bucket") === col("cx.bucket") &&
+          // a replayed/overlapping batch may contain ids already indexed —
+          // never emit a doc as a duplicate of itself
+          col("nw.doc_id") =!= col("cx.doc_id"))
       .select(col("nw.doc_id").as("new_id"), col("cx.doc_id").as("dup_of"))
     val vsSelf = newIdx.alias("a")
       .join(newIdx.alias("b"),

@@ -15,6 +15,7 @@ import org.apache.spark.sql.functions._
 object Profile {
 
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile() needs at least one column")
     val branches = cols.map { c =>
       df.select(col(c)).agg(
         count(lit(1)).as("n"),
@@ -32,8 +33,10 @@ object Profile {
     * too expensive — one pass, fixed memory (HLL++). rsd = relative
     * standard deviation target.
     */
-  def approxDistinct(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame =
+  def approxDistinct(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame = {
+    require(cols.nonEmpty, "approxDistinct() needs at least one column")
     df.agg(
       approx_count_distinct(col(cols.head), rsd).as(cols.head),
       cols.tail.map(c => approx_count_distinct(col(c), rsd).as(c)): _*)
+  }
 }

@@ -84,7 +84,11 @@ class GraphStore(spark: SparkSession, root: String) {
       .filter(col("entity_name").isin(names.toIndexedSeq: _*))
       .select("entity_name", "content").collect()
       .map(r => (r.getString(0), r.getString(1)))
-      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted.toSeq }
+      .groupBy(_._1).map { case (k, vs) =>
+        // codepoint order (== Spark sort_array's UTF-8 byte order), not JVM
+        // String UTF-16 order — they differ for supplementary-plane chars
+        k -> vs.map(_._2).sorted(GraphStore.CodepointOrdering).toSeq
+      }
     val hydrated = ranked.map { case (n, t) =>
       Entity(n, t, obsByName.getOrElse(n, Nil))
     }
@@ -184,6 +188,11 @@ class GraphStore(spark: SparkSession, root: String) {
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_rn")
+      // materialize ONCE: the entities and observations plans below each
+      // re-evaluate their inputs, and a nondeterministic source (limit
+      // without order, sampling) could otherwise commit entities whose
+      // observations were never written
+      .localCheckpoint(true)
     val now = current_timestamp()
 
     val existing = entities
@@ -275,16 +284,27 @@ class GraphStore(spark: SparkSession, root: String) {
     * multi-driver cloud deployment would swap this for the
     * metastore/catalog commit protocol.
     */
+  private val lockDepth = new ThreadLocal[Integer] { override def initialValue = 0 }
+
   def withWriteLock[T](body: => T): T =
     GraphStore.jvmLock(root).synchronized {
-      Files.createDirectories(Paths.get(root))
-      val ch = java.nio.channels.FileChannel.open(
-        Paths.get(root, "_LOCK"),
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.WRITE)
-      val lock = ch.lock()
-      try body
-      finally { lock.release(); ch.close() }
+      // reentrant: the monitor above is, but a second FileChannel.lock() on
+      // the same file in one JVM throws OverlappingFileLockException — only
+      // the outermost frame takes the file lock
+      if (lockDepth.get > 0) {
+        lockDepth.set(lockDepth.get + 1)
+        try body finally lockDepth.set(lockDepth.get - 1)
+      } else {
+        Files.createDirectories(Paths.get(root))
+        val ch = java.nio.channels.FileChannel.open(
+          Paths.get(root, "_LOCK"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        val lock = ch.lock()
+        lockDepth.set(1)
+        try body
+        finally { lockDepth.set(0); lock.release(); ch.close() }
+      }
     }
 
   private def tableDir(t: String) = Paths.get(root, t)
@@ -405,7 +425,26 @@ object GraphStore {
     */
   private val jvmLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private[store] def jvmLock(root: String): Object =
-    jvmLocks.computeIfAbsent(root, _ => new Object)
+    jvmLocks.computeIfAbsent(
+      // normalize so different spellings of the same dir share one mutex
+      java.nio.file.Paths.get(root).toAbsolutePath.normalize.toString,
+      _ => new Object)
+
+  /** Codepoint-lexicographic string ordering — identical to Spark's
+    * UTF8String (UTF-8 byte) ordering, unlike java.lang.String's UTF-16
+    * code-unit ordering which ranks supplementary-plane chars differently.
+    */
+  val CodepointOrdering: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      val x = a.codePoints().toArray
+      val y = b.codePoints().toArray
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n && x(i) == y(i)) i += 1
+      if (i < n) Integer.compare(x(i), y(i))
+      else Integer.compare(x.length, y.length)
+    }
+  }
 
   /** Fixed schemas — the reference's DDL (client.ts:484-512) as explicit
     * StructTypes, never inferred (SURVEY §1.3).

@@ -141,6 +141,14 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     out.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("native simhash yields null on null token elements (like the fold twin)") {
+    val df = Seq(("a", Option("b")), ("a", None)).toDF("t1", "t2")
+      .select(graft.functions.VectorFunctions.simhash(array(col("t1"), col("t2"))).as("h"))
+      .collect()
+    assert(!df(0).isNullAt(0))
+    assert(df(1).isNullAt(0))
+  }
+
   test("hamming distance column: 0 for identical, counts differing bits") {
     val df = Seq((0L, 0L), (0L, 7L), (255L, 0L)).toDF("a", "b")
       .select(Dedup.hamming(col("a"), col("b")).as("h"))
