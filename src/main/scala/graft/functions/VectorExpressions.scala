@@ -202,6 +202,51 @@ case class SimHashExpr(child: Expression, bits: Int = 60)
     copy(child = newChild)
 }
 
+/** Word n-gram shingles of a token array in one pass: ["a","b","c","d"], n=3
+  * → ["a b c", "b c d"]; fewer than n tokens → empty array. Output strings
+  * are identical to `concat_ws(" ", ...)` over `transform(sequence(...))`
+  * (the builtin twin kept in Dedup.shinglesFold) but built in a fused loop —
+  * the HOF form's lambdas evaluate interpreted on every dedup hot path.
+  */
+case class ShinglesExpr(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(n >= 1)
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "shingles"
+
+  def compute(toks: ArrayData): ArrayData = {
+    val cnt = toks.numElements()
+    val out = new Array[org.apache.spark.unsafe.types.UTF8String](math.max(0, cnt - n + 1))
+    var i = 0
+    while (i + n <= cnt) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        val s = toks.getUTF8String(i + j)
+        sb.append(if (s == null) "" else s.toString)
+        j += 1
+      }
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("shingles", this, classOf[ShinglesExpr].getName)
+    defineCodeGen(ctx, ev, v => s"$self.compute($v)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column API: codegen'd cosine similarity. */
   def cosineSim(a: Column, b: Column): Column =
@@ -214,6 +259,10 @@ object VectorFunctions {
   /** Column API: 60-bit simhash of a token array. */
   def simhash(tokens: Column, bits: Int = 60): Column =
     Bridge.column(SimHashExpr(Bridge.expression(tokens), bits))
+
+  /** Column API: word n-gram shingles of a token array. */
+  def shingles(tokens: Column, n: Int): Column =
+    Bridge.column(ShinglesExpr(Bridge.expression(tokens), n))
 
   private val info = new ExpressionInfo(
     classOf[CosineSimExpr].getName, "cosine_sim")

@@ -24,11 +24,17 @@ object Dedup {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
-  /** Word n-gram shingles with positions: "a b c d" → ["a b c", "b c d"].
-    * (Guarded: Spark's `sequence(0, -1)` counts DOWN, so short docs need the
-    * explicit empty-array branch.)
+  /** Word n-gram shingles with positions: "a b c d" → ["a b c", "b c d"],
+    * via the native one-pass expression (graft.functions.ShinglesExpr).
     */
-  def shingles(text: Column, n: Int): Column = {
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.VectorFunctions.shingles(split(text, " "), n)
+
+  /** Builtin-HOF shingles twin, kept for cross-checking the native
+    * expression. (Guarded: Spark's `sequence(0, -1)` counts DOWN, so short
+    * docs need the explicit empty-array branch.)
+    */
+  def shinglesFold(text: Column, n: Int): Column = {
     val toks = split(text, " ")
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),

@@ -17,6 +17,16 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(out(2).isEmpty)
   }
 
+  test("native shingles expression equals the builtin-HOF twin on real docs") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(200)
+    Seq(2, 3, 5).foreach { n =>
+      val both = docs.select(
+        Dedup.shingles(col("text"), n).as("fast"),
+        Dedup.shinglesFold(col("text"), n).as("fold")).collect()
+      both.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+    }
+  }
+
   test("exact dedup keeps smallest id per duplicated key") {
     val df = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "k")
     val out = Dedup.exact(df, col("k"), col("id")).collect()
