@@ -74,6 +74,29 @@ object Multimodal {
     }
   }
 
+  /** Feature-extraction stage: media bytes → embedding vector, per-partition
+    * (the shape of a real CLIP/MFCC encoder pass: model broadcast once, one
+    * iterator sweep, no shuffle). The encoder itself is STUBBED with a
+    * deterministic byte-histogram projection so the downstream contract —
+    * (doc_id, array<float>) flowing into Similarity/Dedup ANN operators —
+    * is real and testable without codec/model libs.
+    */
+  def extractEmbeddings(media: Dataset[MediaRow], dim: Int = 64): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { row =>
+        val v = new Array[Float](dim)
+        var i = 0
+        while (i < row.media.length) {
+          v(((row.media(i) & 0xff) * 31 + i) % dim) += 1.0f
+          i += 1
+        }
+        val norm = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat max 1e-6f
+        (row.doc_id, v.map(_ / norm))
+      }
+    }.toDF("doc_id", "embedding")
+  }
+
   /** Frame-sample stub for video rows: deterministic frame indices (every
     * `stride`-th frame), the partition-parallel shape of real frame
     * extraction.

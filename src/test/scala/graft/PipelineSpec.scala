@@ -172,6 +172,21 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(approx.getLong(1) == 37 || math.abs(approx.getLong(1) - 37) <= 2)
   }
 
+  test("multimodal embeddings flow into ANN: identical media are nearest neighbors") {
+    val docs = Seq(
+      (0L, "the same payload bytes"),
+      (1L, "the same payload bytes"),
+      (2L, "completely different content here")).toDF("doc_id", "text")
+    val emb = Multimodal.extractEmbeddings(
+      Multimodal.withMediaColumn(docs, "doc_id", "text").as[MediaRow])
+    assert(emb.columns.toSeq == Seq("doc_id", "embedding"))
+    val top1 = Similarity.bruteForceTopK(
+      emb.filter(col("doc_id") === 0), emb,
+      col("doc_id"), col("embedding"), col("doc_id"), col("embedding"), k = 1)
+      .head()
+    assert(top1.getLong(1) == 1L) // the byte-identical doc is the 1-NN
+  }
+
   test("multimodal: decode stub emits typed metadata per row, deterministic") {
     val docs = Seq((0L, "hello spark"), (1L, "binary payload here"), (2L, "video doc"))
       .toDF("doc_id", "text")
