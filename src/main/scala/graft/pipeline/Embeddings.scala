@@ -57,7 +57,7 @@ object Embeddings {
       .setNumFeatures(dim).setBinary(true)
     val featured = tf.transform(ngram.transform(tok.transform(docs)))
     val mh = new MinHashLSH().setInputCol("_sets").setOutputCol("_hashes")
-      .setNumHashTables(5).setSeed(42L).fit(featured)
+      .setNumHashTables(3).setSeed(42L).fit(featured)
     mh.approxSimilarityJoin(featured, featured, maxJaccardDistance, "jaccard_dist")
       .select(
         col(s"datasetA.$idCol").as("a_id"),
