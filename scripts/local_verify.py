@@ -1,8 +1,15 @@
 #!/usr/bin/env python
 """Local replica of the driver's correctness gate: for each SparkEntry query,
 load the parquet dumped by graft.Verify and compare against the DuckDB oracle
-(columns sorted by name, values compared in row order)."""
+(columns sorted by name, values compared in row order).
+
+Decimal values are compared by their CANONICAL STRING (like the driver's
+hash), not Python Decimal equality — Decimal("253942.00") == Decimal("253942.0")
+is True in Python but the two hash differently driver-side. Any Decimal
+reaching this boundary is flagged: the portability rules (OracleSqlGen.scala)
+say decimal aggregates must be cast to DOUBLE on both sides before output."""
 import json, sys, math
+from decimal import Decimal
 import duckdb
 
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -37,13 +44,20 @@ for name, sql in sorted(oracle.items()):
     mism = None
     for c in got.columns:
         a, b = got[c].tolist(), want[c].tolist()
+        if any(isinstance(v, Decimal) for v in a[:5] + b[:5]):
+            print(f"WARN {name}: column {c} is DECIMAL at the compare "
+                  f"boundary — cast to DOUBLE on both sides (portability rule)")
         for i, (x, y) in enumerate(zip(a, b)):
-            same = (x == y) or (x is None and y is None)
-            try:
-                if isinstance(x, float) and isinstance(y, float):
-                    same = (math.isnan(x) and math.isnan(y)) or x == y
-            except Exception:
-                pass
+            if isinstance(x, Decimal) or isinstance(y, Decimal):
+                # driver hashes the canonical string; scale matters
+                same = str(x) == str(y)
+            else:
+                same = (x == y) or (x is None and y is None)
+                try:
+                    if isinstance(x, float) and isinstance(y, float):
+                        same = (math.isnan(x) and math.isnan(y)) or x == y
+                except Exception:
+                    pass
             if not same and str(x) != str(y):
                 mism = (c, i, x, y)
                 break

@@ -10,7 +10,14 @@ package graft
   *    for 60-bit ints — never engine hash() builtins;
   *  - float reductions: explicit sequential folds (list_reduce), which match
   *    Spark's `aggregate` bit-for-bit; never list_cosine_similarity (pairwise
-  *    accumulation, diverges in the last ~8 bits of the mantissa).
+  *    accumulation, diverges in the last ~8 bits of the mantissa);
+  *  - NEVER expose a decimal aggregate directly at the compare boundary:
+  *    Spark's sum(DECIMAL(18,2)) is DECIMAL(28,2), DuckDB's DECIMAL(38,2),
+  *    and the driver's hash canonicalizes scale-padded decimal strings
+  *    ("253942.00") differently from float repr ("253942.0") — values that
+  *    are byte-equal still hash-mismatch. Accumulate in decimal (exact,
+  *    order-independent) but CAST the FINAL output column to DOUBLE on both
+  *    the Spark and oracle sides (the round-1 root cause of 5 red rows).
   */
 object OracleSqlGen {
 
@@ -21,19 +28,31 @@ object OracleSqlGen {
     s"list_transform(range(len($toks)-${n - 1}), i -> $gram)"
   }
 
-  def ngramJaccard(n: Int, threshold: Double): String =
+  /** Mirrors Dedup.ngramJaccard exactly: per-doc shingle sizes come from the
+    * UNPRUNED shingle sets (the Jaccard denominator is the true union size),
+    * while candidate-pair common counts come from the stop-shingle-pruned
+    * index (shingles in more than `maxDocFreq` docs are dropped before the
+    * self-join — the 100 TB hot-key guard).
+    */
+  def ngramJaccard(n: Int, threshold: Double, maxDocFreq: Long = Long.MaxValue): String = {
+    val pruned =
+      if (maxDocFreq == Long.MaxValue) "sh"
+      else s"""(SELECT s.* FROM sh s JOIN (
+                 SELECT sh FROM sh GROUP BY sh HAVING count(*) <= $maxDocFreq) k
+               USING (sh))"""
     s"""WITH sh AS (
           SELECT doc_id, unnest(list_distinct(${shinglesSql(n)})) AS sh FROM documents),
         sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
         pr AS (
           SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
-          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          FROM $pruned a JOIN $pruned b ON a.sh = b.sh AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
         SELECT a_id, b_id,
             CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
         FROM pr JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
         WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= $threshold
         ORDER BY a_id, b_id"""
+  }
 
   def minhashLsh(n: Int, bands: Int, rowsPerBand: Int): String = {
     val nh = bands * rowsPerBand

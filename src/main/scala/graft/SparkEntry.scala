@@ -71,6 +71,16 @@ object SparkEntry {
       GraphOps.readGraphEdges(orderEntities(s, d), lineitemRelations(s, d), 10)
         .orderBy("from_entity", "to_entity")),
 
+    // R10 search_nodes composition (client.ts:443-474): flagship search over
+    // customers, then the customer→order 'placed' edges touching the hits.
+    "r10_search_nodes" -> ((s, d) =>
+      GraphOps.searchNodeEdges(
+        customerEntities(s, d).drop("c_custkey"),
+        orderObservations(s, d),
+        orderRelations(s, d),
+        "ur", limit = 50)
+        .orderBy("from_entity", "to_entity")),
+
     "r11_exists" -> ((s, d) =>
       part(s, d).filter(col("p_name") === "cold widget")
         .agg(count(lit(1)).as("n"))
@@ -78,14 +88,19 @@ object SparkEntry {
 
     // ── aggregation battery (star-schema surface) ─────────────────────────
 
+    // Accumulation stays decimal (order-independent, exact); the OUTPUT
+    // column is cast to DOUBLE — the driver's hash canonicalizes decimal
+    // strings scale-padded ("253942.00") on one engine and float-repr on the
+    // other, so a decimal may never cross the compare boundary (see
+    // OracleSqlGen portability rules).
     "q1_agg" -> ((s, d) =>
       lineitem(s, d)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec(col("l_quantity"))).as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).as("sum_base_price"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
           sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
-            .as("sum_disc_price"),
+            .cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
@@ -103,6 +118,10 @@ object SparkEntry {
           .as("revenue"))
         .orderBy(desc("revenue"), asc("l_orderkey"))
         .limit(10)
+        // top-10 cut happens on the exact decimal above; only the OUTPUT is
+        // double (decimal boundary rule — both engines cast the same exact
+        // value, so the doubles are bit-identical)
+        .withColumn("revenue", col("revenue").cast("double"))
     }),
 
     // Window functions: top-3 orders per customer by price.
@@ -124,13 +143,17 @@ object SparkEntry {
     "q_rollup" -> ((s, d) =>
       lineitem(s, d)
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(dec(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("n"))
+        .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
 
-    // Anti join: customers with no orders.
+    // Anti join: customers who never placed an URGENT order (203 rows at
+    // sf0.01 — the unfiltered customers-without-orders variant is vacuous:
+    // every sf0.01 customer has orders, and so is part-never-ordered).
     "q_anti_join" -> ((s, d) =>
       customer(s, d)
-        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")),
 
@@ -139,15 +162,17 @@ object SparkEntry {
       orders(s, d)
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
-          sum(dec(col("o_totalprice"))).as("sum_price"))
+          sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
         .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))),
 
-    // Set operators: segments present among high-balance customers but not
-    // among low-balance ones (EXCEPT), intersected with BUILDING∪MACHINERY.
+    // Set operators with discriminating thresholds (sf0.01: >9950 leaves
+    // {AUTOMOBILE,BUILDING,FURNITURE}; <-990 leaves {AUTOMOBILE,HOUSEHOLD};
+    // EXCEPT drops AUTOMOBILE, INTERSECT drops FURNITURE → {BUILDING}; both
+    // set operators do real non-vacuous work).
     "q_set_ops" -> ((s, d) => {
       val c = customer(s, d)
-      val high = c.filter(col("c_acctbal") > 5000).select("c_mktsegment")
-      val low = c.filter(col("c_acctbal") < 0).select("c_mktsegment")
+      val high = c.filter(col("c_acctbal") > 9950).select("c_mktsegment")
+      val low = c.filter(col("c_acctbal") < -990).select("c_mktsegment")
       high.except(low)
         .intersect(c.filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
           .select("c_mktsegment"))
@@ -195,8 +220,14 @@ object SparkEntry {
       Dedup.exact(part(s, d), col("p_name"), col("p_partkey"))
         .orderBy("dup_key")),
 
+    // maxDocFreq=8 exercises stop-shingle pruning (the 100 TB guard against
+    // hot shingles melting the inverted-index join). At sf0.01 the max
+    // shingle doc-frequency is 7, so pruning provably preserves all 25
+    // pairs; the oracle applies the identical rule so semantics match at any
+    // scale where pruning does bite.
     "dedup_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccard(documents(s, d), col("doc_id"), col("text"), n = 3, threshold = 0.5)
+      Dedup.ngramJaccard(documents(s, d), col("doc_id"), col("text"), n = 3, threshold = 0.5,
+        maxDocFreq = 8)
         .orderBy("a_id", "b_id")),
 
     "dedup_minhash" -> ((s, d) =>
@@ -332,10 +363,27 @@ object SparkEntry {
 
     // ── MLlib scale paths (engine-specific hashing → rows-only check) ─────
 
+    // Harness-safe scalar projection (the raw array<double> embedding column
+    // crashed the driver's pandas sort in round 1); the array form stays
+    // behind the Embeddings API and is spec-tested.
     "embed_tfidf" -> ((s, d) =>
       graft.pipeline.Embeddings.tfidf(documents(s, d), "doc_id", "text", dim = 256)
-        .select(col("doc_id"), col("embedding"))
+        .select(col("doc_id"),
+          size(col("embedding")).as("dim"),
+          round(aggregate(col("embedding"), lit(0.0), (acc, x) => acc + x * x), 6)
+            .as("sq_norm"))
         .orderBy("doc_id")),
+
+    "embed_word2vec" -> ((s, d) =>
+      graft.pipeline.Embeddings.word2vec(documents(s, d), "doc_id", "text", dim = 16)
+        .select(col("doc_id"), size(col("embedding")).as("dim"))
+        .orderBy("doc_id")),
+
+    "ann_mllib_join" -> ((s, d) =>
+      graft.pipeline.Embeddings.annJoin(embeddings(s, d), "vec_id", "embedding",
+        maxL2Distance = 1.0)
+        .select(col("a_id"), col("b_id"), round(col("l2_dist"), 6).as("l2_dist"))
+        .orderBy("a_id", "b_id")),
 
     "dedup_minhash_mllib" -> ((s, d) =>
       graft.pipeline.Embeddings.minhashJoin(documents(s, d), "doc_id", "text",
@@ -347,6 +395,8 @@ object SparkEntry {
     "stream_tumbling" -> ((s, d) =>
       EventOps.tumbling(events(s, d), "1 hour")
         .withColumn("window_start", col("window_start").cast("timestamp"))
+        // decimal boundary rule: exact decimal accumulation, double output
+        .withColumn("sum_value", col("sum_value").cast("double"))
         .orderBy("window_start", "event_type")),
 
     "stream_sliding" -> ((s, d) =>
@@ -414,27 +464,45 @@ object SparkEntry {
              'contains' AS relation_type
          FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM recent)
          ORDER BY from_entity, to_entity""",
+    "r10_search_nodes" ->
+      """WITH hits AS (
+           SELECT name FROM (
+             SELECT DISTINCT c.c_name AS name,
+               TIMESTAMP '2024-01-01 00:00:00' + INTERVAL 1 SECOND * c.c_custkey AS created_at,
+               CASE WHEN lower(c.c_name) LIKE '%ur%' THEN 3
+                    WHEN lower(c.c_mktsegment) LIKE '%ur%' THEN 2 ELSE 1 END AS relevance_score
+             FROM customer c
+             WHERE lower(c.c_name) LIKE '%ur%' OR lower(c.c_mktsegment) LIKE '%ur%'
+                OR EXISTS (SELECT 1 FROM orders o JOIN customer c2 ON o.o_custkey = c2.c_custkey
+                           WHERE c2.c_name = c.c_name AND lower(o.o_orderpriority) LIKE '%ur%')
+           ) ORDER BY relevance_score DESC, created_at DESC, name ASC LIMIT 50)
+         SELECT c_name AS from_entity, printf('order#%09d', o_orderkey) AS to_entity,
+             'placed' AS relation_type
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE c_name IN (SELECT name FROM hits)
+            OR printf('order#%09d', o_orderkey) IN (SELECT name FROM hits)
+         ORDER BY from_entity, to_entity""",
     "r11_exists" ->
       """SELECT CAST(count(*) AS BIGINT) AS n, count(*) > 0 AS found
          FROM part WHERE p_name = 'cold widget'""",
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-             sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-             sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
              CAST(count(*) AS BIGINT) AS count_order
          FROM lineitem GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
     "q3_top_revenue" ->
       """SELECT l_orderkey, o_orderdate,
-             sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
          WHERE c_mktsegment = 'BUILDING'
          GROUP BY l_orderkey, o_orderdate
-         ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""",
+         ORDER BY sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) DESC, l_orderkey ASC LIMIT 10""",
     "q_window_topk" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,
@@ -443,24 +511,25 @@ object SparkEntry {
          WHERE rn <= 3 AND o_custkey < 200 ORDER BY o_custkey, rn""",
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
-             sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
              CAST(count(*) AS BIGINT) AS n
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
     "q_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
          ORDER BY c_custkey""",
     "q_cube" ->
       """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
-             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
          ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
     "q_set_ops" ->
       """SELECT c_mktsegment FROM (
-           SELECT c_mktsegment FROM customer WHERE c_acctbal > 5000
+           SELECT c_mktsegment FROM customer WHERE c_acctbal > 9950
            EXCEPT
-           SELECT c_mktsegment FROM customer WHERE c_acctbal < 0)
+           SELECT c_mktsegment FROM customer WHERE c_acctbal < -990)
          INTERSECT
          SELECT c_mktsegment FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
          ORDER BY c_mktsegment""",
@@ -490,7 +559,7 @@ object SparkEntry {
       """SELECT p_name AS dup_key, CAST(count(*) AS BIGINT) AS n_dups,
              min(p_partkey) AS keep_id
          FROM part GROUP BY p_name HAVING count(*) > 1 ORDER BY dup_key""",
-    "dedup_ngram_jaccard" -> OracleSqlGen.ngramJaccard(3, 0.5),
+    "dedup_ngram_jaccard" -> OracleSqlGen.ngramJaccard(3, 0.5, maxDocFreq = 8),
     "dedup_minhash" -> OracleSqlGen.minhashLsh(3, 8, 2),
     "dedup_simhash" -> OracleSqlGen.simhash(60),
     "dedup_embedding" -> OracleSqlGen.embeddingNearDup(0.45, 4, 4),
@@ -570,7 +639,7 @@ object SparkEntry {
     "stream_tumbling" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
              CAST(count(*) AS BIGINT) AS n,
-             sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
     "stream_sliding" ->
       """SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n FROM (

@@ -61,6 +61,19 @@ object Tables {
       col("o_orderstatus").as("entity_type"),
       col("o_orderdate").as("created_at"))
 
+  /** relations ⇐ orders FK edges: customer -placed-> order (endpoints use
+    * customer names so edges compose with customerEntities searches, R10).
+    */
+  def orderRelations(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(
+        col("o_orderkey").as("id"),
+        col("c_name").as("source"),
+        format_string("order#%09d", col("o_orderkey")).as("target"),
+        lit("placed").as("relation_type"),
+        col("o_orderdate").as("created_at"))
+
   /** relations ⇐ lineitem FK edges: order -contains-> part. */
   def lineitemRelations(s: SparkSession, d: String): DataFrame =
     lineitem(s, d).select(

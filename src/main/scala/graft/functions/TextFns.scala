@@ -20,6 +20,20 @@ object TextFns {
   val MaxObservationsPerEntity = 100
   val MaxSearchResults = 50
   val DefaultSearchResults = 10
+  /** Search-query length cap — /root/reference/src/index.ts:40 (valibot
+    * maxLength(512) at the MCP boundary rejects longer queries).
+    */
+  val MaxSearchQueryLength = 512
+
+  /** Query validation shared by every search entry point: non-empty
+    * (client.ts:448-454) and ≤512 chars (index.ts:40).
+    */
+  def validateQuery(query: String): Unit = {
+    require(query != null && query.trim.nonEmpty,
+      "Search query must be a non-empty string")
+    require(query.length <= MaxSearchQueryLength,
+      s"Search query exceeds $MaxSearchQueryLength characters")
+  }
 
   /** S1 `sanitize_input` (client.ts:17-31): strip non-printable control chars
     * except \n and \t, collapse 3+ newlines to exactly two, trim.

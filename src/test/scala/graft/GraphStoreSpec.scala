@@ -93,6 +93,39 @@ class GraphStoreSpec extends AnyFunSuite with SparkTestBase {
     assert(hits.size == 5)
   }
 
+  test("search rejects queries over 512 chars (index.ts:40 valibot cap)") {
+    val st = freshStore()
+    seed(st)
+    assert(st.searchNodes("a" * 512)._1.isEmpty) // at the cap: accepted
+    intercept[IllegalArgumentException] { st.searchNodes("a" * 513) }
+    intercept[IllegalArgumentException] {
+      graft.operators.GraphOps.searchNodeEdges(
+        st.entities, st.observations, st.relations, "a" * 513)
+    }
+  }
+
+  test("manifest tracks id high-water mark: no O(table) max-id scan per write") {
+    val dir = Files.createTempDirectory("graft-store-").toString
+    val st = new GraphStore(spark, dir)
+    st.initialize()
+    st.createEntities(Seq(Entity("A", "t", Seq("o1", "o2"))))
+    val manifest1 = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_MANIFEST")))
+    assert(manifest1.contains("maxid.observations="))
+    st.createRelations(Seq(Relation("A", "A", "self")))
+    st.createEntities(Seq(Entity("B", "t", Seq("o3"))))
+    val manifest2 = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_MANIFEST")))
+    assert(manifest2.contains("maxid.relations="))
+    // ids stay globally unique across writes driven by the manifest mark
+    val ids = st.observations.select("id").collect().map(_.getLong(0))
+    assert(ids.distinct.length == ids.length && ids.length == 3)
+    // the persisted mark is a correct upper bound of the live ids
+    val mark = manifest2.linesIterator
+      .find(_.startsWith("maxid.observations=")).get.split("=")(1).toLong
+    assert(ids.forall(_ <= mark))
+  }
+
   test("searchNodes returns entities in relevance rank order (client.ts:241-246)") {
     val st = freshStore()
     st.createEntities(Seq(

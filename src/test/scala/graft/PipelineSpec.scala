@@ -27,6 +27,46 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("shingles: null tokens skipped with their separator (concat_ws semantics)") {
+    // 'a',null,'c' → one 3-shingle "a c" — identical to the documented
+    // concat_ws twin, which drops nulls entirely (ADVICE r1: the old native
+    // expression rendered 'a  c' with a double separator)
+    val out = Seq(Tuple1(Seq("a", null, "c")))
+      .toDF("toks")
+      .select(graft.functions.VectorFunctions.shingles(col("toks"), 3))
+      .as[Seq[String]].collect()
+    assert(out(0) == Seq("a c"))
+    // and agrees with concat_ws directly
+    val ws = Seq(Tuple1(Seq("a", null, "c"))).toDF("toks")
+      .select(concat_ws(" ", col("toks"))).as[String].collect()
+    assert(out(0).head == ws.head)
+  }
+
+  test("ngram jaccard: stop-shingle pruning drops hot-shingle-only pairs, keeps denominators exact") {
+    // docs 1/2 share a REAL near-dup overlap; docs 3/4/5/6 share only the
+    // ubiquitous shingle "the same thing" (df=6 > maxDocFreq=2) — with
+    // pruning they must not pair, and 1/2's jaccard must still use the
+    // UNPRUNED set sizes in the denominator.
+    val docs = Seq(
+      (1L, "the same thing w1 w2 w3 w4 w5"),
+      (2L, "the same thing w1 w2 w3 w4 w5"),
+      (3L, "the same thing a1 a2 a3 a4 a5"),
+      (4L, "the same thing b1 b2 b3 b4 b5"),
+      (5L, "the same thing c1 c2 c3 c4 c5"),
+      (6L, "the same thing d1 d2 d3 d4 d5")).toDF("doc_id", "text")
+    val unpruned = Dedup.ngramJaccard(docs, col("doc_id"), col("text"), 3, 0.05)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val pruned = Dedup.ngramJaccard(docs, col("doc_id"), col("text"), 3, 0.05,
+      maxDocFreq = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(unpruned.keySet.contains((3L, 4L))) // hot-shingle pair, unpruned
+    assert(!pruned.keySet.contains((3L, 4L))) // pruned away
+    assert(unpruned((1L, 2L)) == 1.0)
+    // true near-dup survives; the hot shingle leaves the numerator (5 of 6
+    // common shingles remain) but the denominator stays the UNPRUNED union
+    assert(pruned((1L, 2L)) == 5.0 / 7.0)
+  }
+
   test("exact dedup keeps smallest id per duplicated key") {
     val df = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "k")
     val out = Dedup.exact(df, col("k"), col("id")).collect()
