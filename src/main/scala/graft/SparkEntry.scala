@@ -361,6 +361,40 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // Range join via axis bucketing (no BroadcastNestedLoopJoin): lineitems
+    // shipped within 7 days of an urgent 1995-Q1 order's date, counted per
+    // order. Dates are binned as epoch days with the bin width equal to the
+    // interval length, so each interval covers ≤2 bins.
+    "q_range_join" -> ((s, d) => {
+      val epoch = lit("1970-01-01").cast("date")
+      val o = orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderdate").between("1995-01-01", "1995-03-31"))
+        .select(col("o_orderkey"),
+          datediff(col("o_orderdate"), epoch).cast("long").as("lo"))
+        .withColumn("hi", col("lo") + 6)
+      val l = lineitem(s, d)
+        .select(datediff(col("l_shipdate"), epoch).cast("long").as("pt"))
+      graft.operators.RangeJoin.pointInRange(l, o, "pt", "lo", "hi", binWidth = 7)
+        .groupBy("o_orderkey").agg(count(lit(1)).as("n_shipped"))
+        .orderBy("o_orderkey")
+    }),
+
+    // As-of join: each purchase matched to the user's most recent signup
+    // at-or-before it — point-in-time lookup via the one-shuffle
+    // union+window scan (no range cross-product).
+    "events_asof" -> ((s, d) => {
+      val e = events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts").as("purchase_ts"))
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("signup_ts"))
+      graft.operators.AsOfJoin.asofBackward(
+        purchases, signups, key = "user_id",
+        leftTs = "purchase_ts", rightTs = "signup_ts")
+        .orderBy("user_id", "event_id")
+    }),
+
     // ── MLlib scale paths (engine-specific hashing → rows-only check) ─────
 
     // Harness-safe scalar projection (the raw array<double> embedding column
@@ -636,6 +670,25 @@ object SparkEntry {
          WHERE CAST(purchase_ts AS TIMESTAMP) > CAST(signup_ts AS TIMESTAMP)
          ORDER BY s.user_id""",
 
+    // Subqueries pre-truncate TIMESTAMP_NS → µs so the as-of comparison
+    // happens at the same precision Spark compares at (Tables.events
+    // floor-converts nanos); ties at µs yield the same signup_ts either way.
+    "q_range_join" ->
+      """SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n_shipped
+         FROM orders, lineitem
+         WHERE o_orderpriority = '1-URGENT'
+           AND o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
+           AND l_shipdate >= o_orderdate
+           AND l_shipdate <= o_orderdate + INTERVAL 6 DAY
+         GROUP BY o_orderkey ORDER BY o_orderkey""",
+    "events_asof" ->
+      """SELECT p.user_id, p.event_id, p.purchase_ts, s.signup_ts
+         FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS purchase_ts
+               FROM events WHERE event_type = 'purchase') p
+         ASOF JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS signup_ts
+               FROM events WHERE event_type = 'signup') s
+           ON p.user_id = s.user_id AND p.purchase_ts >= s.signup_ts
+         ORDER BY p.user_id, p.event_id""",
     "stream_tumbling" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
              CAST(count(*) AS BIGINT) AS n,
