@@ -103,20 +103,29 @@ object GraphOps {
 
   /** R8 edges touching an entity set from either side — client.ts:407-430.
     * The reference's `source IN (...) OR target IN (...)` would plan as a
-    * BroadcastNestedLoopJoin if written as one disjunctive join condition; a
-    * union of equi semi-joins broadcast-hash-joins instead. Parallel edges
-    * (not deduplicated in the reference, client.ts:324-325) must survive, so
-    * rows matching on BOTH sides are split as `source-match ∪ (target-match ∖
-    * source-match)` — per-row exactly-once without needing a unique edge id.
+    * BroadcastNestedLoopJoin if written as one disjunctive join condition.
+    * Round 1 used a union of semi-joins (source-match ∪ target-match ∖
+    * source-match), which scans `relations` THREE times — and when the
+    * relations input is itself a join view (R10's fixture), the whole build
+    * is recomputed per branch (measured: 12 parquet scans in r10's plan).
+    * This formulation scans relations ONCE: two broadcast left joins mark
+    * source/target membership as flags, a disjunctive filter keeps touched
+    * edges. Left-joining a DISTINCT single-column key never changes row
+    * multiplicity, so parallel edges (never deduplicated in the reference,
+    * client.ts:324-325) survive exactly once each.
     */
   def relationsForEntities(relations: DataFrame, names: DataFrame): DataFrame = {
-    val n = broadcast(names.select(col("name")).distinct())
-    val bySource = relations.join(n, relations("source") === n("name"), "left_semi")
-    val byTargetOnly = relations
-      .join(n, relations("target") === n("name"), "left_semi")
-      .join(n, relations("source") === n("name"), "left_anti")
-    bySource
-      .unionByName(byTargetOnly)
+    val n = names.select(col("name")).distinct()
+    // both flag builds alias to the SAME column name so their canonicalized
+    // plans are identical and ReuseExchange materializes the (possibly
+    // expensive — R10 feeds a whole search plan in here) name set ONCE; the
+    // two columns stay distinguishable via DataFrame-instance refs
+    val ns = broadcast(n.select(col("name").as("_hit")))
+    val nt = broadcast(n.select(col("name").as("_hit")))
+    relations
+      .join(ns, relations("source") === ns("_hit"), "left")
+      .join(nt, relations("target") === nt("_hit"), "left")
+      .filter(ns("_hit").isNotNull || nt("_hit").isNotNull)
       .select(
         col("source").as("from_entity"),
         col("target").as("to_entity"),

@@ -43,10 +43,24 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(plan("r7_recent").contains("TakeOrderedAndProject"))
   }
 
-  test("r8 edge lookup avoids nested-loop join (union of equi semi-joins)") {
+  test("r8 edge lookup avoids nested-loop join (single scan + broadcast flag joins)") {
     val p = plan("r8_edges")
     assert(!p.contains("BroadcastNestedLoopJoin"))
-    assert(p.contains("LeftSemi") || p.contains("LeftAnti"))
+    // one relations scan, membership via broadcast-hash left joins
+    // (formatted explain lists every node twice: tree + detail section)
+    assert(p.contains("BroadcastHashJoin"))
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1,
+      s"r8 must scan relations once:\n$p")
+  }
+
+  test("r10 builds the searched hit set once (runtime exchange reuse)") {
+    // the two membership flag-joins broadcast the SAME canonicalized search
+    // plan; AQE must materialize it once and reuse it, or the whole search
+    // runs twice
+    val p = finalPlan("r10_search_nodes")
+    assert(p.contains("ReusedExchange") ||
+      "\\(\\d+\\) TakeOrderedAndProject".r.findAllIn(p).size == 1,
+      s"r10 must not evaluate the search subtree twice:\n$p")
   }
 
   test("q1 aggregation has map-side partial aggregation") {
