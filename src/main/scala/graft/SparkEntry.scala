@@ -298,6 +298,13 @@ object SparkEntry {
       TextAnalysis.fingerprint(documents(s, d), col("doc_id"), col("text"))
         .orderBy("doc_id")),
 
+    // Token-budget batch packing, sharded by language (per-shard running
+    // sums — parallelism = shards, never one global serial scan).
+    "text_pack" -> ((s, d) =>
+      TextAnalysis.packBatches(documents(s, d), col("doc_id"), col("text"),
+        shard = col("lang"), budget = 1000L, order = col("doc_id"))
+        .orderBy("shard", "doc_id")),
+
     // ── multimodal plumbing (stubbed decode, real Spark shape) ────────────
 
     "mm_decode" -> ((s, d) => {
@@ -620,6 +627,15 @@ object SparkEntry {
                                 string_split(text,' ')[i+3], string_split(text,' ')[i+4], string_split(text,' ')[i+5])),
                s -> md5(s))), md5(text)) AS min_window_md5
          FROM documents ORDER BY doc_id""",
+
+    "text_pack" ->
+      """SELECT doc_id, lang AS shard,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(floor(coalesce(sum(len(string_split(text, ' ')))
+               OVER (PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / 1000) AS BIGINT) AS batch_id
+         FROM documents ORDER BY shard, doc_id""",
 
     "mm_decode" -> OracleSqlGen.mmDecode,
 

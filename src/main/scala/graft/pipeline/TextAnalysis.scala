@@ -93,6 +93,40 @@ object TextAnalysis {
     when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")
   }
 
+  /** Token-budget batch packing — the assemble-training-batches step of an
+    * LLM data pipeline: documents are packed contiguously (in `order` within
+    * each `shard`) into batches whose token budget is `budget`; a document
+    * whose tokens would overflow the current batch starts the next one at
+    * its cumulative boundary (`batch_id = floor(cum_tokens_before /
+    * budget)`) — contiguous packing with at most one overflowing document
+    * per batch, the standard streaming-friendly approximation of bin
+    * packing (optimal packing is NP-hard and order-destroying).
+    *
+    * Scale: the running sum is per-shard, so parallelism = number of shards
+    * (pick shard = hash-bucket / language / source file). A single global
+    * ordering would serialize 100 TB through one task — deliberately not
+    * offered.
+    */
+  def packBatches(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      shard: Column,
+      budget: Long,
+      order: Column): DataFrame = {
+    require(budget > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("_ord"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .select(id.as("doc_id"), shard.as("shard"), order.as("_ord"),
+        size(tokens(text)).cast("long").as("n_tokens"))
+      .withColumn("batch_id",
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budget)
+          .cast("long"))
+      .drop("_ord")
+  }
+
   /** Rolling-hash document fingerprint (winnowing-lite): the minimum md5 over
     * word 5-gram windows + the full-text md5. Two docs sharing the min-window
     * fingerprint almost surely share a 5-gram run — a cheap containment

@@ -67,6 +67,22 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(pruned((1L, 2L)) == 5.0 / 7.0)
   }
 
+  test("packBatches: contiguous token-budget packing per shard") {
+    val docs = Seq(
+      (1L, "s1", "a b c"),       // 3 tokens, cum_before 0 → batch 0
+      (2L, "s1", "d e f g"),     // 4 tokens, cum_before 3 → batch 0
+      (3L, "s1", "h i j k l m"), // 6 tokens, cum_before 7 → batch 0 (overflows)
+      (4L, "s1", "n o"),         // cum_before 13 → batch 1
+      (5L, "s2", "p q r")        // fresh shard → batch 0
+    ).toDF("doc_id", "shard", "text")
+    val out = TextAnalysis.packBatches(docs, col("doc_id"), col("text"),
+        shard = col("shard"), budget = 10L, order = col("doc_id"))
+      .select("doc_id", "batch_id").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 0L))
+    // every batch holds ≤ budget tokens before its last (possibly
+    // overflowing) document — the contiguous-packing invariant
+  }
+
   test("exact dedup keeps smallest id per duplicated key") {
     val df = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "k")
     val out = Dedup.exact(df, col("k"), col("id")).collect()
