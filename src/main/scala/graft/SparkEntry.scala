@@ -453,7 +453,17 @@ object SparkEntry {
 
     "events_topk_json" -> ((s, d) =>
       EventOps.topEventsByProp(events(s, d), k = 5)
-        .orderBy("event_type", "rank"))
+        .orderBy("event_type", "rank")),
+
+    // Batch form of the stream-stream interval join (purchases within 1h of
+    // a signup by the same user) — identical code path runs under
+    // Structured Streaming with watermark-bounded join state (spec-tested).
+    "events_conv" -> ((s, d) =>
+      EventOps.conversionsWithin(events(s, d), "1 HOUR")
+        .select(col("user_id"), col("purchase_id"),
+          col("signup_ts").cast("timestamp").as("signup_ts"),
+          col("purchase_ts").cast("timestamp").as("purchase_ts"))
+        .orderBy("user_id", "purchase_id", "signup_ts"))
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names, same total
@@ -731,6 +741,16 @@ object SparkEntry {
              CAST(max(ts) AS TIMESTAMP) AS session_end,
              CAST(count(*) AS BIGINT) AS n_events
          FROM y GROUP BY user_id, seq ORDER BY user_id, session_start""",
+    "events_conv" ->
+      """SELECT s.user_id, p.event_id AS purchase_id,
+             CAST(s.ts AS TIMESTAMP) AS signup_ts,
+             CAST(p.ts AS TIMESTAMP) AS purchase_ts
+         FROM events s JOIN events p
+           ON s.user_id = p.user_id
+          AND CAST(p.ts AS TIMESTAMP) >= CAST(s.ts AS TIMESTAMP)
+          AND CAST(p.ts AS TIMESTAMP) <= CAST(s.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+         WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+         ORDER BY s.user_id, purchase_id, signup_ts""",
     "events_topk_json" ->
       """SELECT event_id, event_type, k_val, CAST(rank AS INT) AS rank FROM (
            SELECT event_id, event_type, CAST(props->>'$.k' AS INT) AS k_val,

@@ -74,6 +74,29 @@ object EventOps {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
 
+  /** Stream-stream interval join: signups joined to the same user's
+    * purchases within `withinSql` (e.g. "1 HOUR") after the signup — the
+    * attribution/conversion join. As a self-join over one watermarked
+    * stream, Spark bounds BOTH sides' state by the watermark plus the
+    * interval (the time-range condition is what makes state cleanup
+    * possible — an unconstrained stream-stream join would buffer forever).
+    * The same code runs in batch (the DuckDB-oracle form, events_conv).
+    */
+  def conversionsWithin(events: DataFrame, withinSql: String, watermark: String = "0 seconds"): DataFrame = {
+    val s = withWatermarkIfStreaming(
+      events.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("signup_ts")), "signup_ts", watermark)
+    val p = withWatermarkIfStreaming(
+      events.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts")), "purchase_ts", watermark)
+    s.join(p,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("signup_ts") &&
+          col("purchase_ts") <= col("signup_ts") + expr(s"INTERVAL $withinSql"))
+      .drop("p_user")
+  }
+
   /** JSON property extraction from the `props` column + top-k per event type
     * by extracted value — exercises semi-structured access at scan time.
     */

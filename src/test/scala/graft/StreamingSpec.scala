@@ -44,6 +44,57 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     spark.table(name)
   }
 
+  test("stateful first-seen dedup drops duplicates across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val deduped = graft.streaming.StatefulOps.dedupeFirstSeen[Long, Ev](
+      mem.toDF().withWatermark("ts", "0 seconds").as[Ev],
+      _.event_id, retentionMs = 24L * 3600 * 1000)
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    mem.addData(evs(0), evs(1), evs(1)) // in-batch duplicate of id 2
+    q.processAllAvailable()
+    mem.addData(evs(0), evs(2))         // cross-batch duplicate of id 1
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_out").select("event_id")
+      .as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L)) // each id exactly once
+  }
+
+  test("stateful dedup in batch mode equals first-per-key") {
+    val withDups = (evs ++ Seq(evs(0), evs(3))).toDS()
+    val out = graft.streaming.StatefulOps.dedupeFirstSeen[Long, Ev](
+      withDups, _.event_id, retentionMs = 1000L)
+      .collect().map(_.event_id).sorted.toSeq
+    assert(out == evs.map(_.event_id).sorted.toSeq)
+  }
+
+  test("stream-stream interval join equals its batch twin") {
+    val funnelEvs = Seq(
+      Ev(10, ts("2024-01-01 00:00:00"), 1, "signup", 0.0),
+      Ev(11, ts("2024-01-01 00:30:00"), 1, "purchase", 5.0), // within 1h → match
+      Ev(12, ts("2024-01-01 02:30:00"), 1, "purchase", 6.0), // >1h → no match
+      Ev(13, ts("2024-01-01 01:00:00"), 2, "signup", 0.0),
+      Ev(14, ts("2024-01-01 01:59:00"), 2, "purchase", 7.0)) // within → match
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventOps.conversionsWithin(mem.toDF(), "1 HOUR", "0 seconds")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("conv_out").start()
+    mem.addData(funnelEvs: _*)
+    q.processAllAvailable()
+    mem.addData(flush.copy(event_type = "signup"), flush.copy(event_id = 100, event_type = "purchase"))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("conv_out")
+      .filter($"user_id" =!= 999)
+      .select("user_id", "purchase_id").as[(Long, Long)].collect().sorted.toSeq
+    val batch = EventOps.conversionsWithin(funnelEvs.toDF(), "1 HOUR")
+      .select("user_id", "purchase_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(streamed == batch && batch == Seq((1L, 11L), (2L, 14L)))
+  }
+
   test("streaming tumbling agg equals batch tumbling agg") {
     val streamed = runStream(
       df => EventOps.tumbling(EventOps.withWatermarkIfStreaming(df, "ts", "0 seconds"), "1 hour")
