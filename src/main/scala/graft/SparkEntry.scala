@@ -368,6 +368,17 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // Bounded top-k aggregate (custom TypedImperativeAggregate): top-3 order
+    // values per priority — each map partition reduces to ≤k values before
+    // the shuffle, vs the window form shuffling and sorting every row.
+    "q_topk_agg" -> ((s, d) =>
+      orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(graft.functions.TopKAgg.topK(col("o_totalprice").cast("double"), 3).as("top"))
+        .select(col("o_orderpriority"), posexplode(col("top")).as(Seq("pos", "price")))
+        .select(col("o_orderpriority"), (col("pos") + 1).cast("int").as("rnk"), col("price"))
+        .orderBy("o_orderpriority", "rnk")),
+
     // Range join via axis bucketing (no BroadcastNestedLoopJoin): lineitems
     // shipped within 7 days of an urgent 1995-Q1 order's date, counted per
     // order. Dates are binned as epoch days with the bin width equal to the
@@ -699,6 +710,13 @@ object SparkEntry {
     // Subqueries pre-truncate TIMESTAMP_NS → µs so the as-of comparison
     // happens at the same precision Spark compares at (Tables.events
     // floor-converts nanos); ties at µs yield the same signup_ts either way.
+    "q_topk_agg" ->
+      """SELECT o_orderpriority, CAST(rnk AS INT) AS rnk, price FROM (
+           SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS price,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC) AS rnk
+           FROM orders)
+         WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""",
     "q_range_join" ->
       """SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n_shipped
          FROM orders, lineitem

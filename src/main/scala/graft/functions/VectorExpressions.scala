@@ -275,11 +275,16 @@ object VectorFunctions {
   private val info = new ExpressionInfo(
     classOf[CosineSimExpr].getName, "cosine_sim")
 
-  /** Register `cosine_sim` for SQL on an existing session. */
-  def register(spark: SparkSession): Unit =
+  /** Register `cosine_sim` + `top_k` for SQL on an existing session. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("cosine_sim"), info,
       exprs => CosineSimExpr(exprs(0), exprs(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("top_k"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "top_k"),
+      exprs => TopKAgg(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue()))
+  }
 }
 
 /** Session extension wiring (`.withExtensions(new GraftExtensions)` or
@@ -293,6 +298,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimExpr(exprs(0), exprs(1))))
+    // top_k(col, k): bounded top-k aggregate (k must be a literal)
+    e.injectFunction((
+      FunctionIdentifier("top_k"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "top_k"),
+      (exprs: Seq[Expression]) => TopKAgg(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue())))
     e.injectOptimizerRule(_ => graft.plans.RewriteDisjunctiveSemiJoin)
   }
 }
