@@ -368,6 +368,28 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // Pivot: order counts by priority × status (relational pivot surface;
+    // fixed pivot values keep the schema static — at scale an inferred
+    // pivot would need a driver-side distinct first).
+    "q_pivot" -> ((s, d) =>
+      orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("o_orderpriority")),
+
+    // Exact percentiles per group (Spark `percentile` = linear
+    // interpolation, same as DuckDB quantile_cont; rounded to 4 decimals at
+    // the boundary so last-bit interpolation arithmetic can't flake).
+    "q_percentile" -> ((s, d) =>
+      orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
+        .orderBy("o_orderpriority")),
+
     // Bounded top-k aggregate (custom TypedImperativeAggregate): top-3 order
     // values per priority — each map partition reduces to ≤k values before
     // the shuffle, vs the window form shuffling and sorting every row.
@@ -710,6 +732,17 @@ object SparkEntry {
     // Subqueries pre-truncate TIMESTAMP_NS → µs so the as-of comparison
     // happens at the same precision Spark compares at (Tables.events
     // floor-converts nanos); ties at µs yield the same signup_ts either way.
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+             CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS F,
+             CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS O,
+             CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS P
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_percentile" ->
+      """SELECT o_orderpriority,
+             round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+             round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_topk_agg" ->
       """SELECT o_orderpriority, CAST(rnk AS INT) AS rnk, price FROM (
            SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS price,
