@@ -69,28 +69,35 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.5,
       maxDocFreq: Long = Long.MaxValue): DataFrame = {
-    val sh = spread(docs)
-      .select(id.as("doc_id"), explode(array_distinct(shingles(text, n))).as("sh"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    // Inverted-index self-join: docs sharing a shingle become candidate
-    // pairs (codegen'd shuffled-hash path beats in-bucket HOF combination
-    // generation, whose lambdas run interpreted — measured 9.1s vs 6.6s).
-    // Hot shingles are pruned by `maxDocFreq` (stop-shingle pruning) so
-    // bucket fan-out stays bounded at scale.
-    val pruned =
-      if (maxDocFreq == Long.MaxValue) sh
-      else {
-        val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxDocFreq).select("sh")
-        sh.join(hot, Seq("sh"), "left_anti")
-      }
+    val base = spread(docs)
+      .select(id.as("doc_id"), array_distinct(shingles(text, n)).as("shs"))
+    // Jaccard denominators come from the UNPRUNED sets — computed map-side
+    // from the shingle array, no shuffle (the previous groupBy(doc_id)
+    // shuffled the whole exploded relation just to count it).
+    val sizes = base.select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"))
+    val sh = base.select(col("doc_id"), explode(col("shs")).as("sh"))
     // Self-join sides share ONE shuffle: repartition the relation on the
     // join key before deriving both sides, so the second side resolves to a
     // ReusedExchange instead of a second full shuffle (and no side gets
     // broadcast — both are the same mid-size exploded relation).
-    val coPart = pruned.repartition(col("sh"))
-    val a = coPart.select(col("doc_id").as("a_id"), col("sh")).hint("shuffle_hash")
-    val b = coPart.select(col("doc_id").as("b_id"), col("sh"))
+    val coPart = sh.repartition(col("sh"))
+    // Inverted-index self-join: docs sharing a shingle become candidate
+    // pairs (codegen'd shuffled-hash path beats in-bucket HOF combination
+    // generation, whose lambdas run interpreted — measured 9.1s vs 6.6s).
+    // Hot shingles are pruned by `maxDocFreq` (stop-shingle pruning) so
+    // bucket fan-out stays bounded at scale. The doc-frequency comes from a
+    // count-over-window ON TOP of the join's own exchange (rows are already
+    // hash-partitioned by shingle) — the groupBy+anti-join formulation paid
+    // two more full shuffles of the exploded relation for the same prune.
+    val pruned =
+      if (maxDocFreq == Long.MaxValue) coPart
+      else coPart
+        .withColumn("_df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("sh")))
+        .filter(col("_df") <= maxDocFreq)
+        .drop("_df")
+    val a = pruned.select(col("doc_id").as("a_id"), col("sh")).hint("shuffle_hash")
+    val b = pruned.select(col("doc_id").as("b_id"), col("sh"))
     a.join(b, Seq("sh"))
       .filter(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id")
