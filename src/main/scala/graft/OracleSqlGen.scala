@@ -77,6 +77,26 @@ object OracleSqlGen {
         ORDER BY a_id, b_id"""
   }
 
+  /** Connected components (min representative per component) over the
+    * md5-minhash pair list — transitive closure via recursive CTE; the pair
+    * generation is the same deterministic minhashLsh SQL, inlined as a
+    * derived table.
+    */
+  def minhashComponents(n: Int, bands: Int, rowsPerBand: Int): String =
+    s"""WITH RECURSIVE pairs AS (
+          SELECT * FROM (${minhashLsh(n, bands, rowsPerBand)}) t
+        ), edges AS (
+          SELECT a_id AS a, b_id AS b FROM pairs
+          UNION SELECT b_id, a_id FROM pairs
+        ), nodes AS (SELECT DISTINCT a FROM edges),
+        reach(a, b) AS (
+          SELECT a, a FROM nodes
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        )
+        SELECT a AS doc_id, min(b) AS rep_id FROM reach GROUP BY a
+        ORDER BY doc_id"""
+
   def simhash(bits: Int): String = {
     val tallies = (0 until bits)
       .map(b => s"sum((hv >> $b) & 1) AS c_$b").mkString(",\n            ")

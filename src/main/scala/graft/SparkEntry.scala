@@ -235,6 +235,14 @@ object SparkEntry {
         n = 3, bands = 8, rowsPerBand = 2)
         .orderBy("a_id", "b_id")),
 
+    // Duplicate clustering: connected components over the minhash pairs
+    // (min-label propagation; the step that decides which docs to DROP).
+    "dedup_components" -> ((s, d) =>
+      Dedup.connectedComponents(
+        Dedup.minhashLsh(documents(s, d), col("doc_id"), col("text"),
+          n = 3, bands = 8, rowsPerBand = 2))
+        .orderBy("doc_id")),
+
     "dedup_simhash" -> ((s, d) =>
       documents(s, d)
         .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
@@ -645,6 +653,7 @@ object SparkEntry {
          FROM part GROUP BY p_name HAVING count(*) > 1 ORDER BY dup_key""",
     "dedup_ngram_jaccard" -> OracleSqlGen.ngramJaccard(3, 0.5, maxDocFreq = 8),
     "dedup_minhash" -> OracleSqlGen.minhashLsh(3, 8, 2),
+    "dedup_components" -> OracleSqlGen.minhashComponents(3, 8, 2),
     "dedup_simhash" -> OracleSqlGen.simhash(60),
     "dedup_embedding" -> OracleSqlGen.embeddingNearDup(0.45, 4, 4),
 

@@ -227,6 +227,53 @@ object Dedup {
     vsCorpus.unionByName(vsSelf).distinct()
   }
 
+  /** Connected components over near-dup pairs — the clustering step that
+    * turns pairwise dedup output into keep-one-representative groups (a pair
+    * list alone can't answer "which docs do I drop": duplicates are
+    * transitive through chains A~B~C). Iterative min-label propagation, the
+    * standard distributed-CC pattern: each round every node takes the min
+    * representative among itself and its neighbors — one shuffle per round,
+    * O(component diameter) rounds (near-dup clusters are shallow; `maxIter`
+    * bounds pathology). Per-round `localCheckpoint` truncates lineage so the
+    * plan doesn't grow with iterations, and the driver loop runs ACTIONS
+    * (convergence counts), never collects data. Returns (doc_id, rep_id =
+    * min doc id of the component) for every node appearing in a pair;
+    * pair-free docs are their own trivial component and are omitted.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String = "a_id",
+      bCol: String = "b_id",
+      maxIter: Int = 20): DataFrame = {
+    val fwd = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    // pairs come in as a<b once each, so reversing cannot create duplicates
+    // — no distinct needed
+    val und = fwd
+      .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    // seed with the first hop folded in: rep = min(self, neighbors)
+    var labels = und.groupBy(col("src").as("node"))
+      .agg(least(col("src"), min(col("dst"))).as("rep"))
+      .localCheckpoint(true)
+    // labels only ever decrease, so sum(rep) is strictly monotone until the
+    // fixpoint — an O(labels) agg per round instead of a join+count
+    var prevSum = labels.agg(sum("rep")).head().getLong(0)
+    var i = 1
+    var converged = false
+    while (!converged && i < maxIter) {
+      val prop = und.join(labels, und("dst") === labels("node"))
+        .select(und("src").as("node"), labels("rep").as("rep"))
+      labels = prop.unionByName(labels.select("node", "rep"))
+        .groupBy("node").agg(min("rep").as("rep"))
+        .localCheckpoint(true)
+      val s = labels.agg(sum("rep")).head().getLong(0)
+      converged = s == prevSum
+      prevSum = s
+      i += 1
+    }
+    labels.select(col("node").as("doc_id"), col("rep").as("rep_id"))
+  }
+
   /** Embedding-cosine near-dup: pairs above a cosine threshold, candidate
     * set bounded by a multi-band random-hyperplane LSH join (OR over
     * `bands` sign-bucket tables of `planesPerBand` planes each — standard

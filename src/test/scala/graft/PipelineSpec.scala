@@ -101,6 +101,25 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       out.head.getDouble(2) == 1.0)
   }
 
+  test("connected components: chains merge, disjoint stay apart, rep is min id") {
+    // chain 5-4-3-2-1 needs multiple propagation rounds; (10,11) is a
+    // separate component
+    val pairs = Seq((4L, 5L), (3L, 4L), (2L, 3L), (1L, 2L), (10L, 11L))
+      .toDF("a_id", "b_id")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 5L).forall(cc(_) == 1L))
+    assert(cc(10L) == 10L && cc(11L) == 10L)
+    assert(cc.size == 7)
+  }
+
+  test("connected components: maxIter caps rounds (labels then best-effort)") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+    val cc = Dedup.connectedComponents(pairs, maxIter = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(cc.keySet == Set(1L, 2L, 3L)) // all nodes labeled even when capped
+  }
+
   test("minhash LSH: identical docs collide in every band; disjoint docs don't pair") {
     val docs = Seq(
       (1L, "w1 w2 w3 w4 w5 w6"),
