@@ -322,6 +322,19 @@ object SparkEntry {
       Multimodal.decodeMeta(media).toDF().orderBy("doc_id")
     }),
 
+    // Frame sampling over video rows: every 7th frame index from the
+    // decoded metadata (decode stub is deterministic, so oracle-able);
+    // exploded to rows — the per-frame fan-out stage before frame decode.
+    "mm_frames" -> ((s, d) => {
+      import s.implicits._
+      val media = Multimodal.withMediaColumn(documents(s, d), "doc_id", "text")
+        .as[MediaRow]
+      Multimodal.sampleFrameIndices(Multimodal.decodeMeta(media), stride = 7)
+        .select(col("doc_id"), col("n_frames"), explode(col("frame_idx")).as("fi"))
+        .select(col("doc_id"), col("n_frames"), col("fi").cast("long").as("frame_idx"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // One-pass column profiling (counts/nulls/distincts/extrema).
     "q_profile" -> ((s, d) =>
       graft.pipeline.Profile.profile(orders(s, d),
@@ -690,6 +703,13 @@ object SparkEntry {
          FROM documents ORDER BY shard, doc_id""",
 
     "mm_decode" -> OracleSqlGen.mmDecode,
+    "mm_frames" ->
+      """SELECT doc_id, n_frames,
+             CAST(unnest(range(0, n_frames, 7)) AS BIGINT) AS frame_idx
+         FROM (SELECT doc_id,
+                 CAST(1 + octet_length(CAST(text AS BLOB)) % 120 AS INT) AS n_frames
+               FROM documents WHERE CAST(doc_id % 3 AS INT) = 2)
+         ORDER BY doc_id, frame_idx""",
 
     "q_profile" -> Seq("o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus")
       .map(c =>
