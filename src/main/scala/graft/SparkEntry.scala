@@ -322,6 +322,15 @@ object SparkEntry {
       Multimodal.decodeMeta(media).toDF().orderBy("doc_id")
     }),
 
+    // End-to-end curation: exact dedup → quality score → at-or-above the
+    // language's median quality (aggregated+broadcast threshold, not a
+    // per-lang ranking window — languages are few and huge, the canonical
+    // window-skew hazard).
+    "pipeline_curate" -> ((s, d) =>
+      graft.pipeline.Curate.curate(documents(s, d),
+        col("doc_id"), col("text"), col("lang"))
+        .orderBy("doc_id")),
+
     // Frame sampling over video rows: every 7th frame index from the
     // decoded metadata (decode stub is deterministic, so oracle-able);
     // exploded to rows — the per-frame fan-out stage before frame decode.
@@ -693,6 +702,7 @@ object SparkEntry {
                s -> md5(s))), md5(text)) AS min_window_md5
          FROM documents ORDER BY doc_id""",
 
+    "pipeline_curate" -> OracleSqlGen.curate,
     "text_pack" ->
       """SELECT doc_id, lang AS shard,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

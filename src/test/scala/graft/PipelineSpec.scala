@@ -67,6 +67,24 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(pruned((1L, 2L)) == 5.0 / 7.0)
   }
 
+  test("curate: exact dups dropped, per-lang median threshold applied") {
+    val good = "the quick brown fox jumps over the lazy dog and keeps " +
+      "running through the wide open field for a while longer today"
+    val docs = Seq(
+      (1L, "en", good),        // high quality
+      (2L, "en", good),        // exact dup of 1 → dropped before scoring
+      (3L, "en", "x y"),       // low quality
+      (4L, "en", good + " extra tail words here"),
+      (5L, "fr", "a b")        // sole fr doc: median = itself → kept
+    ).toDF("doc_id", "lang", "text")
+    val out = graft.pipeline.Curate.curate(docs,
+        col("doc_id"), col("text"), col("lang"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(!out.contains(2L)) // dup never scored
+    assert(out.contains(5L))  // == its own median
+    assert(out.contains(1L) && out.contains(4L) && !out.contains(3L))
+  }
+
   test("packBatches: contiguous token-budget packing per shard") {
     val docs = Seq(
       (1L, "s1", "a b c"),       // 3 tokens, cum_before 0 → batch 0
