@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.graftbridge.{Bridge, DoubleUnaryInput}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Bounded top-k aggregate (`TypedImperativeAggregate`): keeps the k largest
@@ -32,6 +32,7 @@ case class TopKAgg(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[java.util.PriorityQueue[java.lang.Double]]
+  with DoubleUnaryInput // implicit cast of int/decimal/float children
   with UnaryLike[Expression] {
   require(k > 0, "k must be positive")
 
@@ -106,4 +107,11 @@ object TopKAgg {
   /** Column API: `topK($"price", 3)` → sorted-descending `array<double>`. */
   def topK(c: Column, k: Int): Column =
     Bridge.column(TopKAgg(Bridge.expression(c), k).toAggregateExpression())
+
+  /** SQL builder: `top_k(col, k)` — k must be a literal. */
+  def fromSql(exprs: Seq[Expression]): TopKAgg = {
+    require(exprs.length == 2, "top_k(col, k) takes exactly two arguments")
+    require(exprs(1).foldable, "top_k(col, k): k must be a literal")
+    TopKAgg(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())
+  }
 }

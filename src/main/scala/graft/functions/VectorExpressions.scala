@@ -283,7 +283,7 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("top_k"),
       new ExpressionInfo(classOf[TopKAgg].getName, "top_k"),
-      exprs => TopKAgg(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue()))
+      exprs => TopKAgg.fromSql(exprs))
   }
 }
 
@@ -302,8 +302,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("top_k"),
       new ExpressionInfo(classOf[TopKAgg].getName, "top_k"),
-      (exprs: Seq[Expression]) => TopKAgg(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue())))
+      (exprs: Seq[Expression]) => TopKAgg.fromSql(exprs)))
     e.injectOptimizerRule(_ => graft.plans.RewriteDisjunctiveSemiJoin)
   }
 }

@@ -55,11 +55,14 @@ object AsOfJoin {
     val lStructT = left.select(struct(leftCols.map(col): _*)).schema.head.dataType
     val rStructT = right.select(struct(emitted.map(col): _*)).schema.head.dataType
 
-    val lU = left.select(
+    // join semantics: NULL keys never match (partitionBy would otherwise
+    // group them together and "match" them — diverging from any real join,
+    // including the DuckDB ASOF oracle)
+    val lU = left.filter(col(key).isNotNull && col(leftTs).isNotNull).select(
       col(key).as("_k"), col(leftTs).as("_ts"), lit(1).as("_side"),
       struct(leftCols.map(col): _*).as("_l"),
       lit(null).cast(rStructT).as("_r"))
-    val rU = right.select(
+    val rU = right.filter(col(key).isNotNull && col(rightTs).isNotNull).select(
       col(key).as("_k"), col(rightTs).as("_ts"), lit(0).as("_side"),
       lit(null).cast(lStructT).as("_l"),
       struct(emitted.map(col): _*).as("_r"))

@@ -32,9 +32,13 @@ object RangeJoin {
       hi: String,
       binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    val binnedP = points.withColumn("_bin", floor(col(point) / binWidth))
+    // pure integer floor-division (pmod handles negatives): `floor(col / w)`
+    // would divide through DOUBLE and silently mis-bin axis values above
+    // 2^53 (e.g. epoch-nanos), dropping matches
+    def bin(c: String) = expr(s"((`$c` - pmod(`$c`, ${binWidth}L)) div ${binWidth}L)")
+    val binnedP = points.withColumn("_bin", bin(point))
     val binnedI = intervals.withColumn("_bin",
-      explode(sequence(floor(col(lo) / binWidth), floor(col(hi) / binWidth))))
+      explode(sequence(bin(lo), bin(hi))))
     binnedP.join(binnedI, Seq("_bin"))
       .filter(col(point) >= col(lo) && col(point) <= col(hi))
       .drop("_bin")

@@ -257,7 +257,10 @@ object Dedup {
       .localCheckpoint(true)
     // labels only ever decrease, so sum(rep) is strictly monotone until the
     // fixpoint — an O(labels) agg per round instead of a join+count
-    var prevSum = labels.agg(sum("rep")).head().getLong(0)
+    val seed = labels.agg(sum("rep")).head()
+    if (seed.isNullAt(0)) // no pairs at all → no components
+      return labels.select(col("node").as("doc_id"), col("rep").as("rep_id"))
+    var prevSum = seed.getLong(0)
     var i = 1
     var converged = false
     while (!converged && i < maxIter) {

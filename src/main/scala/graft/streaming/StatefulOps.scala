@@ -13,10 +13,16 @@ object StatefulOps {
 
   /** First-seen streaming dedup: emits the first occurrence of every key and
     * drops all later ones (within and across micro-batches) until the key's
-    * state times out `retentionMs` past the watermark. The built-in
-    * `dropDuplicates` twin covers the common case; this form is the template
-    * for richer dedup state (per-key counts, quotas, rolling fingerprints)
-    * that the built-in cannot hold.
+    * state times out `retentionMs` past the key's LAST-SEEN event time. The
+    * built-in `dropDuplicates` twin covers the common case; this form is the
+    * template for richer dedup state (per-key counts, quotas, rolling
+    * fingerprints) that the built-in cannot hold.
+    *
+    * The timeout is anchored to the key's own event time (state = max event
+    * time seen, re-armed on every appearance) — anchoring to the CURRENT
+    * watermark would stamp first-batch keys with the pre-data watermark
+    * (epoch 0), so the first real watermark advance would expire them and
+    * later duplicates would be re-emitted.
     *
     * Works in batch too (state starts empty per group ⇒ reduces to
     * first-per-key), which is what the spec uses as the semantic oracle.
@@ -24,23 +30,30 @@ object StatefulOps {
   def dedupeFirstSeen[K, T](
       events: Dataset[T],
       key: T => K,
+      eventTimeMs: T => Long,
       retentionMs: Long)(implicit kEnc: Encoder[K], tEnc: Encoder[T]): Dataset[T] = {
     val streaming = events.isStreaming
     events.groupByKey(key)
-      .flatMapGroupsWithState[Boolean, T](
+      .flatMapGroupsWithState[Long, T](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (_: K, rows: Iterator[T], state: GroupState[Boolean]) =>
+        (_: K, rows: Iterator[T], state: GroupState[Long]) =>
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
-          } else if (state.exists) {
-            Iterator.empty // key already emitted in an earlier batch
           } else {
-            state.update(true)
-            if (streaming) // batch runs have no watermark to time out against
-              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + retentionMs)
-            rows.take(1)
+            // duplicates per key per batch are few — safe to materialize
+            val buf = rows.toList
+            val out: Iterator[T] =
+              if (state.exists) Iterator.empty else buf.iterator.take(1)
+            val mark = math.max(
+              state.getOption.getOrElse(Long.MinValue),
+              if (buf.isEmpty) Long.MinValue else buf.map(eventTimeMs).max)
+            state.update(mark)
+            if (streaming) // Spark rejects timeouts at/below the watermark
+              state.setTimeoutTimestamp(math.max(
+                mark + retentionMs, state.getCurrentWatermarkMs() + 1))
+            out
           }
-      }(Encoders.scalaBoolean, tEnc)
+      }(Encoders.scalaLong, tEnc)
   }
 }

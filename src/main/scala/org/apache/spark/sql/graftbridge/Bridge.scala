@@ -23,3 +23,13 @@ trait FloatArrayBinaryInputs extends ExpectsInputTypes { self: Expression =>
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(FloatType), ArrayType(FloatType))
 }
+
+/** Input-type contract `(double)` with implicit casts — int/decimal/float
+  * children are cast at analysis time instead of ClassCastException mid-job.
+  */
+trait DoubleUnaryInput
+    extends org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  self: Expression =>
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(org.apache.spark.sql.types.DoubleType)
+}

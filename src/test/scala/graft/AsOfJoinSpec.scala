@@ -53,6 +53,17 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(out.toSeq == Seq((1L, ts(10))))
   }
 
+  test("NULL keys never match (join semantics, unlike a window partition)") {
+    val p = Seq((Option.empty[String], 1L, ts(20)), (Some("A"), 2L, ts(25)))
+      .toDF("k", "trade_id", "trade_ts")
+    val r = Seq((Option.empty[String], ts(10), 9.0), (Some("A"), ts(10), 1.0))
+      .toDF("k", "price_ts", "price")
+    val out = AsOfJoin.asofBackward(p, r, "k", "trade_ts", "price_ts",
+        rightPayload = Seq("price"))
+      .select("trade_id", "price").as[(Long, Double)].collect().toMap
+    assert(out == Map(2L -> 1.0)) // the NULL-key trade is dropped, not matched
+  }
+
   test("matches the plain-SQL formulation on real events data") {
     val e = Tables.events(spark, "/root/testdata/sf0.001")
     val p = e.filter(col("event_type") === "purchase")

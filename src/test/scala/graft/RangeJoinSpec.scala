@@ -40,6 +40,16 @@ class RangeJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(fast.count() > 0)
   }
 
+  test("axis values beyond 2^53 bin exactly (integer floor-div, not double)") {
+    // epoch-nanos-scale values: double division would mis-bin these
+    val base = 1_700_000_000_000_000_000L
+    val pts = Seq((1L, base + 5L), (2L, base + 105L)).toDF("pid", "pt")
+    val ivs = Seq((10L, base + 3L, base + 9L)).toDF("iid", "lo", "hi")
+    val out = RangeJoin.pointInRange(pts, ivs, "pt", "lo", "hi", 100L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 10L)))
+  }
+
   test("plan shape: equi-join on the bin, no nested-loop join") {
     val plan = RangeJoin.pointInRange(points, intervals, "pt", "lo", "hi", 7)
       .queryExecution.executedPlan.toString

@@ -49,23 +49,30 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val mem = MemoryStream[Ev]
     val deduped = graft.streaming.StatefulOps.dedupeFirstSeen[Long, Ev](
       mem.toDF().withWatermark("ts", "0 seconds").as[Ev],
-      _.event_id, retentionMs = 24L * 3600 * 1000)
+      _.event_id, _.ts.getTime, retentionMs = 365L * 24 * 3600 * 1000)
     val q = deduped.writeStream.outputMode("append")
       .format("memory").queryName("dedup_out").start()
-    mem.addData(evs(0), evs(1), evs(1)) // in-batch duplicate of id 2
+    mem.addData(evs(0), evs(1), evs(1)) // ids 1,2 + in-batch dup; wm → 00:20
     q.processAllAvailable()
-    mem.addData(evs(0), evs(2))         // cross-batch duplicate of id 1
+    // a batch with OTHER keys advances the watermark to 02:00 — the old
+    // watermark-anchored timeout expired first-batch keys right here
+    mem.addData(evs(2), evs(4))
+    q.processAllAvailable()
+    // NON-late duplicate of key 1 (fresh ts, state must drop it) + fresh id
+    mem.addData(
+      Ev(1, ts("2024-01-01 02:30:00"), 1, "click", 9.9),
+      Ev(6, ts("2024-01-01 02:30:00"), 9, "view", 0.0))
     q.processAllAvailable()
     q.stop()
     val ids = spark.table("dedup_out").select("event_id")
       .as[Long].collect().sorted.toSeq
-    assert(ids == Seq(1L, 2L, 3L)) // each id exactly once
+    assert(ids == Seq(1L, 2L, 3L, 5L, 6L)) // each id exactly once
   }
 
   test("stateful dedup in batch mode equals first-per-key") {
     val withDups = (evs ++ Seq(evs(0), evs(3))).toDS()
     val out = graft.streaming.StatefulOps.dedupeFirstSeen[Long, Ev](
-      withDups, _.event_id, retentionMs = 1000L)
+      withDups, _.event_id, _.ts.getTime, retentionMs = 1000L)
       .collect().map(_.event_id).sorted.toSeq
     assert(out == evs.map(_.event_id).sorted.toSeq)
   }

@@ -48,6 +48,19 @@ class TopKAggSpec extends AnyFunSuite with SparkTestBase {
     assert(r == Seq(5.0, 3.0))
   }
 
+  test("non-double inputs cast implicitly; non-literal k rejected cleanly") {
+    graft.functions.VectorFunctions.register(spark)
+    Seq(("x", 4), ("x", 9)).toDF("g", "v").createOrReplaceTempView("topk_int")
+    // int column: implicit cast at analysis, not ClassCastException mid-job
+    val r = spark.sql("SELECT top_k(v, 1) FROM topk_int GROUP BY g")
+      .as[Seq[Double]].head()
+    assert(r == Seq(9.0))
+    val e = intercept[Exception] {
+      spark.sql("SELECT top_k(v, v) FROM topk_int GROUP BY g").collect()
+    }
+    assert(e.getMessage.contains("literal"))
+  }
+
   test("partial aggregation: plan reduces before the exchange") {
     val p = Tables.orders(spark, "/root/testdata/sf0.001")
       .groupBy("o_orderpriority")
