@@ -23,7 +23,10 @@ object Bench {
       // df.count() lets Catalyst prune unreferenced projections, so map-only
       // queries (s1_sanitize, text_*) would be timed as bare scans.
       try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => -1L }
+      catch { case e: Throwable =>
+        // a swallowed failure would "bench" as ~0s and flatter the total
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
