@@ -48,6 +48,37 @@ class GraphStore(spark: SparkSession, root: String) {
   def observations: DataFrame = readTable("observations", ObservationsSchema)
   def relations: DataFrame = readTable("relations", RelationsSchema)
 
+  // ── time travel over the versioned store ────────────────────────────────
+
+  /** Versions of `table` still on disk, ascending (older ones disappear as
+    * `vacuum` retention passes).
+    */
+  def tableVersions(table: String): Seq[Long] = {
+    schemaFor(table) // validates the table name
+    Option(tableDir(table).toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map(_.getName.drop(1).toLong).sorted.toSeq
+  }
+
+  /** Snapshot read of a table at an explicit version — every commit leaves
+    * the previous version's files untouched, so any un-vacuumed version is
+    * a consistent point-in-time read (per table; cross-table consistency is
+    * what the CURRENT manifest provides).
+    */
+  def readTableVersion(table: String, version: Long): DataFrame = {
+    val dir = tableDir(table).resolve("v" + version)
+    require(Files.exists(dir),
+      s"Version v$version of $table does not exist (vacuumed or never written)")
+    spark.read.schema(schemaFor(table)).parquet(dir.toString)
+  }
+
+  private def schemaFor(table: String): StructType = table match {
+    case "entities" => EntitiesSchema
+    case "observations" => ObservationsSchema
+    case "relations" => RelationsSchema
+    case other => throw new IllegalArgumentException(s"Unknown table: $other")
+  }
+
   // ── reads (facade over GraphOps, mirroring the six MCP tools) ───────────
 
   def getEntity(name: String): Entity = {
@@ -372,13 +403,7 @@ class GraphStore(spark: SparkSession, root: String) {
     * (then `vacuum` once reader horizons pass).
     */
   def compact(table: String, numFiles: Int = 1): Unit = withWriteLock {
-    val schema = table match {
-      case "entities" => EntitiesSchema
-      case "observations" => ObservationsSchema
-      case "relations" => RelationsSchema
-      case other => throw new IllegalArgumentException(s"Unknown table: $other")
-    }
-    commitTable(table, readTable(table, schema).coalesce(numFiles))
+    commitTable(table, readTable(table, schemaFor(table)).coalesce(numFiles))
   }
 
   /** Retention: drop old version directories, always keeping the version the

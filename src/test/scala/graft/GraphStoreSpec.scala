@@ -104,6 +104,23 @@ class GraphStoreSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("time travel: old versions stay readable until vacuumed") {
+    val st = freshStore()
+    st.createEntities(Seq(Entity("A", "t1", Seq("o1"))))
+    st.createEntities(Seq(Entity("A", "t2", Seq("o2")))) // upsert → new version
+    val vs = st.tableVersions("entities")
+    assert(vs.size >= 3) // bootstrap + two writes
+    val before = st.readTableVersion("entities", vs(vs.size - 2))
+      .select("entity_type").collect().map(_.getString(0)).toSeq
+    assert(before == Seq("t1")) // pre-upsert snapshot
+    assert(st.entities.select("entity_type").collect().map(_.getString(0)).toSeq == Seq("t2"))
+    st.vacuum(keepVersions = 1)
+    intercept[IllegalArgumentException] {
+      st.readTableVersion("entities", vs.head)
+    }
+    intercept[IllegalArgumentException] { st.tableVersions("nope") }
+  }
+
   test("manifest tracks id high-water mark: no O(table) max-id scan per write") {
     val dir = Files.createTempDirectory("graft-store-").toString
     val st = new GraphStore(spark, dir)
