@@ -97,6 +97,27 @@ object OracleSqlGen {
         SELECT a AS doc_id, min(b) AS rep_id FROM reach GROUP BY a
         ORDER BY doc_id"""
 
+  /** Intra-doc repetition ratio over word n-grams. */
+  def repetition(n: Int): String =
+    s"""SELECT doc_id,
+          CASE WHEN len(s) > 0
+               THEN round(1.0 - CAST(len(list_distinct(s)) AS DOUBLE) / len(s), 6)
+               ELSE 0.0 END AS rep_ratio
+        FROM (SELECT doc_id, ${shinglesSql(n)} AS s FROM documents)
+        ORDER BY doc_id"""
+
+  /** Decontamination hit counts: docs (id >= benchMaxId) sharing any word
+    * n-gram with the benchmark slice (id < benchMaxId).
+    */
+  def contamination(n: Int, benchMaxId: Long): String =
+    s"""WITH sh AS (
+          SELECT doc_id, unnest(list_distinct(${shinglesSql(n)})) AS sh FROM documents),
+        bs AS (SELECT DISTINCT sh FROM sh WHERE doc_id < $benchMaxId)
+        SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+        FROM sh s JOIN bs USING (sh)
+        WHERE s.doc_id >= $benchMaxId
+        GROUP BY s.doc_id ORDER BY s.doc_id"""
+
   def simhash(bits: Int): String = {
     val tallies = (0 until bits)
       .map(b => s"sum((hv >> $b) & 1) AS c_$b").mkString(",\n            ")

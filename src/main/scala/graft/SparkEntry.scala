@@ -306,6 +306,23 @@ object SparkEntry {
       TextAnalysis.fingerprint(documents(s, d), col("doc_id"), col("text"))
         .orderBy("doc_id")),
 
+    // Intra-doc repetition ratio (Gopher-style boilerplate signal).
+    "text_repetition" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.repetitionRatio(col("text"), n = 3).as("rep_ratio"))
+        .orderBy("doc_id")),
+
+    // Decontamination: training docs (doc_id >= 10) sharing any 3-gram with
+    // the held-out eval slice (doc_id < 10); broadcast benchmark index.
+    "text_contamination" -> ((s, d) => {
+      val all = documents(s, d)
+      TextAnalysis.contamination(
+        all.filter(col("doc_id") >= 10), col("doc_id"), col("text"),
+        all.filter(col("doc_id") < 10), col("text"), n = 3)
+        .orderBy("doc_id")
+    }),
+
     // Token-budget batch packing, sharded by language (per-shard running
     // sums — parallelism = shards, never one global serial scan).
     "text_pack" -> ((s, d) =>
@@ -703,6 +720,8 @@ object SparkEntry {
          FROM documents ORDER BY doc_id""",
 
     "pipeline_curate" -> OracleSqlGen.curate,
+    "text_repetition" -> OracleSqlGen.repetition(3),
+    "text_contamination" -> OracleSqlGen.contamination(3, benchMaxId = 10),
     "text_pack" ->
       """SELECT doc_id, lang AS shard,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

@@ -127,6 +127,42 @@ object TextAnalysis {
       .drop("_ord")
   }
 
+  /** Intra-document repetition ratio (a Gopher-style quality rule): the
+    * fraction of word n-grams that repeat an earlier n-gram of the same
+    * document — high values flag boilerplate/looping text. Pure column
+    * expression, scan-speed.
+    */
+  def repetitionRatio(text: Column, n: Int = 3): Column = {
+    val shs = Dedup.shingles(text, n)
+    when(size(shs) > 0,
+      round(lit(1.0) - size(array_distinct(shs)).cast("double") / size(shs), 6))
+      .otherwise(0.0)
+  }
+
+  /** Decontamination: training docs sharing any word n-gram with a held-out
+    * benchmark/eval corpus, with hit counts for review or removal. The
+    * benchmark's distinct shingle set is the inverted index (tiny relative
+    * to the corpus → broadcast); the corpus explodes once and semi-joins —
+    * never an all-pairs comparison. At 100 TB this is a map-side join of
+    * the scan against a benchmark index built once.
+    */
+  def contamination(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      bench: DataFrame,
+      benchText: Column,
+      n: Int = 3): DataFrame = {
+    val d = docs.select(id.as("doc_id"),
+      explode(array_distinct(Dedup.shingles(text, n))).as("sh"))
+    val b = bench
+      .select(explode(array_distinct(Dedup.shingles(benchText, n))).as("sh"))
+      .distinct()
+    d.join(broadcast(b), Seq("sh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_contaminated"))
+  }
+
   /** Rolling-hash document fingerprint (winnowing-lite): the minimum md5 over
     * word 5-gram windows + the full-text md5. Two docs sharing the min-window
     * fingerprint almost surely share a 5-gram run — a cheap containment

@@ -67,6 +67,28 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(pruned((1L, 2L)) == 5.0 / 7.0)
   }
 
+  test("repetitionRatio: repeats counted, clean text 0, short text 0") {
+    val out = Seq(
+      (1L, "a b c a b c"),   // shingles: abc bca cab abc → 1 repeat of 4
+      (2L, "w x y z"),       // all distinct
+      (3L, "a b")            // too short → 0
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.pipeline.TextAnalysis.repetitionRatio(col("text"), 3).as("r"))
+      .as[(Long, Double)].collect().toMap
+    assert(out(1L) == 0.25 && out(2L) == 0.0 && out(3L) == 0.0)
+  }
+
+  test("contamination: shared shingles counted, clean docs absent") {
+    val train = Seq((10L, "the exact benchmark phrase appears here"),
+      (11L, "totally unrelated words only")).toDF("doc_id", "text")
+    val bench = Seq((1L, "the exact benchmark phrase is secret")).toDF("doc_id", "text")
+    val out = graft.pipeline.TextAnalysis.contamination(
+        train, col("doc_id"), col("text"), bench, col("text"), n = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(10L -> 2L)) // "the exact benchmark", "exact benchmark phrase"
+  }
+
   test("curate: exact dups dropped, per-lang median threshold applied") {
     val good = "the quick brown fox jumps over the lazy dog and keeps " +
       "running through the wide open field for a while longer today"
