@@ -50,26 +50,29 @@ class GraphStore(spark: SparkSession, root: String) {
 
   // ── time travel over the versioned store ────────────────────────────────
 
-  /** Versions of `table` still on disk, ascending (older ones disappear as
-    * `vacuum` retention passes).
+  /** COMMITTED versions of `table` still on disk, ascending (older ones
+    * disappear as `vacuum` retention passes). Directories ABOVE the
+    * manifest's current version are staged/orphaned writes — commitTables
+    * stages the new directory before flipping the manifest — and are never
+    * listed: they may be half-written.
     */
   def tableVersions(table: String): Seq[Long] = {
     schemaFor(table) // validates the table name
-    Option(tableDir(table).toFile.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
-      .map(_.getName.drop(1).toLong).sorted.toSeq
+    val current = currentVersion(table).map(_.drop(1).toLong).getOrElse(-1L)
+    versionsOnDisk(table).filter(_ <= current)
   }
 
-  /** Snapshot read of a table at an explicit version — every commit leaves
-    * the previous version's files untouched, so any un-vacuumed version is
-    * a consistent point-in-time read (per table; cross-table consistency is
-    * what the CURRENT manifest provides).
+  /** Snapshot read of a table at an explicit COMMITTED version — every
+    * commit leaves the previous version's files untouched, so any
+    * un-vacuumed committed version is a consistent point-in-time read (per
+    * table; cross-table consistency is what the CURRENT manifest provides).
     */
   def readTableVersion(table: String, version: Long): DataFrame = {
-    val dir = tableDir(table).resolve("v" + version)
-    require(Files.exists(dir),
-      s"Version v$version of $table does not exist (vacuumed or never written)")
-    spark.read.schema(schemaFor(table)).parquet(dir.toString)
+    require(tableVersions(table).contains(version),
+      s"Version v$version of $table is not a committed on-disk version " +
+        "(vacuumed, never written, or an in-flight commit)")
+    spark.read.schema(schemaFor(table))
+      .parquet(tableDir(table).resolve("v" + version).toString)
   }
 
   private def schemaFor(table: String): StructType = table match {
@@ -345,6 +348,14 @@ class GraphStore(spark: SparkSession, root: String) {
   private def tableDir(t: String) = Paths.get(root, t)
   private def manifestFile = Paths.get(root, "_MANIFEST")
 
+  /** All `v<N>` directories present for a table (committed or staged),
+    * ascending — the single source for version-directory listing/parsing.
+    */
+  private def versionsOnDisk(t: String): Seq[Long] =
+    Option(tableDir(t).toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map(_.getName.drop(1).toLong).sorted.toSeq
+
   /** Snapshot manifest: one file mapping every table to its version. A
     * multi-table mutation stages all new version directories, then flips
     * THIS one pointer — cross-table atomicity (a cascade delete is all-or-
@@ -378,10 +389,7 @@ class GraphStore(spark: SparkSession, root: String) {
     val manifest = readManifest().getOrElse(Map.empty)
     val staged = updates.map { case (t, df) =>
       Files.createDirectories(tableDir(t))
-      val existing = Option(tableDir(t).toFile.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
-        .map(_.getName.drop(1).toLong)
-      val next = "v" + (existing.maxOption.getOrElse(0L) + 1)
+      val next = "v" + (versionsOnDisk(t).lastOption.getOrElse(0L) + 1)
       df.write.mode("overwrite").parquet(tableDir(t).resolve(next).toString)
       t -> next
     }
@@ -416,19 +424,17 @@ class GraphStore(spark: SparkSession, root: String) {
     require(keepVersions >= 1)
     val manifest = readManifest().getOrElse(Map.empty)
     Seq("entities", "observations", "relations").foreach { t =>
-      val dir = tableDir(t).toFile
       val current = manifest.get(t).map(_.drop(1).toLong)
-      if (dir.exists() && current.isDefined) {
-        val versions = dir.listFiles()
-          .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
-        val keepBelow = versions.map(_.getName.drop(1).toLong)
-          .filter(_ <= current.get).sorted.reverse.take(keepVersions).toSet
-        versions.filterNot(f => keepBelow(f.getName.drop(1).toLong)).foreach { old =>
+      if (current.isDefined) {
+        val versions = versionsOnDisk(t)
+        val keepBelow = versions
+          .filter(_ <= current.get).reverse.take(keepVersions).toSet
+        versions.filterNot(keepBelow).foreach { old =>
           def rm(f: java.io.File): Unit = {
             if (f.isDirectory) f.listFiles().foreach(rm)
             f.delete()
           }
-          rm(old)
+          rm(tableDir(t).resolve("v" + old).toFile)
         }
       }
     }

@@ -22,10 +22,14 @@ class TemporalPropertySpec extends AnyFunSuite with SparkTestBase {
         (k(), new Timestamp(rnd.nextInt(1000) * 1000L), i.toDouble))
       val left = (0 until 150).map(i =>
         (k(), i.toLong, new Timestamp(rnd.nextInt(1000) * 1000L)))
-      val out = AsOfJoin.asofBackward(
+      val rows = AsOfJoin.asofBackward(
           left.toDF("k", "lid", "lts"), right.toDF("k", "rts", "payload"),
           "k", "lts", "rts", rightPayload = Seq("payload"))
-        .select("lid", "rts").as[(Long, Timestamp)].collect().toMap
+        .select("lid", "rts").as[(Long, Timestamp)].collect()
+      // exactly ONE row per matched left row — toMap alone would mask
+      // duplicate/conflicting emissions
+      assert(rows.length == rows.map(_._1).distinct.length, s"seed=$seed dup rows")
+      val out = rows.toMap
 
       // reference: per left row, max right ts <= left ts for same key
       val byKey = right.groupBy(_._1)
