@@ -233,49 +233,22 @@ object OracleSqlGen {
            p -> CAST(ceil(length(p) / 4.0) AS INT)), (acc, x) -> acc + x) AS INT) AS n_subwords
        FROM documents ORDER BY doc_id"""
 
-  def quality: String = {
-    val stop = graft.pipeline.TextAnalysis.stopwordsSqlList
-    s"""WITH x AS (
-          SELECT doc_id,
-            CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
-            CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stop))) AS DOUBLE) AS stop_hits,
-            CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_distinct,
-            CAST(length(text) AS DOUBLE) AS n_chars
-          FROM documents),
-        y AS (
-          SELECT doc_id,
-            CASE WHEN n_tok BETWEEN 20 AND 2000 THEN 1.0
-                 WHEN n_tok < 20 THEN n_tok / 20.0
-                 ELSE 2000.0 / n_tok END AS len_score,
-            CASE WHEN (stop_hits / n_tok) BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END AS stop_score,
-            n_distinct / n_tok AS diversity,
-            CASE WHEN (n_chars / n_tok) BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END AS band_score
-          FROM x)
-        SELECT doc_id,
-            round(len_score * 0.4 + stop_score * 0.2 + diversity * 0.2 + band_score * 0.2, 6) AS quality
-        FROM y ORDER BY doc_id"""
-  }
-
-  /** Curation pipeline oracle: exact dedup (min doc per md5(text)) →
-    * quality score → keep docs at or above their language's median quality.
-    * The quality arithmetic is the same expression chain as `quality`
-    * (shared stopword list), applied to the deduped set with lang carried.
+  /** Shared quality-score CTE chain (x → y → scored) over a source relation
+    * providing (doc_id, text[, carry columns]) — ONE rendering of the
+    * semantics-bearing arithmetic so `quality` and `curate` cannot drift
+    * from each other or from TextAnalysis.qualityScore.
     */
-  def curate: String = {
+  private def qualityCtes(from: String, carry: String): String = {
     val stop = graft.pipeline.TextAnalysis.stopwordsSqlList
-    s"""WITH dd AS (
-          SELECT doc_id, lang, text,
-            row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-          FROM documents),
-        x AS (
-          SELECT doc_id, lang,
+    s"""x AS (
+          SELECT doc_id, $carry
             CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
             CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stop))) AS DOUBLE) AS stop_hits,
             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_distinct,
             CAST(length(text) AS DOUBLE) AS n_chars
-          FROM dd WHERE rn = 1),
+          FROM $from),
         y AS (
-          SELECT doc_id, lang,
+          SELECT doc_id, $carry
             CASE WHEN n_tok BETWEEN 20 AND 2000 THEN 1.0
                  WHEN n_tok < 20 THEN n_tok / 20.0
                  ELSE 2000.0 / n_tok END AS len_score,
@@ -284,16 +257,32 @@ object OracleSqlGen {
             CASE WHEN (n_chars / n_tok) BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END AS band_score
           FROM x),
         scored AS (
-          SELECT doc_id, lang,
+          SELECT doc_id, $carry
             round(len_score * 0.4 + stop_score * 0.2 + diversity * 0.2 + band_score * 0.2, 6) AS quality
-          FROM y),
+          FROM y)"""
+  }
+
+  def quality: String =
+    s"""WITH ${qualityCtes("documents", "")}
+        SELECT doc_id, quality FROM scored ORDER BY doc_id"""
+
+  /** Curation pipeline oracle: exact dedup (min doc per md5(text)) →
+    * quality score → keep docs at or above their language's median quality.
+    * The quality arithmetic is the same expression chain as `quality`
+    * (shared stopword list), applied to the deduped set with lang carried.
+    */
+  def curate: String =
+    s"""WITH dd AS (
+          SELECT doc_id, lang, text,
+            row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          FROM documents),
+        ${qualityCtes("dd WHERE rn = 1", "lang,")},
         med AS (
           SELECT lang, quantile_cont(quality, 0.5) AS m FROM scored GROUP BY lang)
         SELECT s.doc_id, s.lang, s.quality
         FROM scored s JOIN med USING (lang)
         WHERE s.quality >= m
         ORDER BY s.doc_id"""
-  }
 
   def langId: String = {
     val markers = graft.pipeline.TextAnalysis.langMarkersPublic

@@ -67,8 +67,11 @@ object AsOfJoin {
       lit(null).cast(lStructT).as("_l"),
       struct(emitted.map(col): _*).as("_r"))
 
-    // right-before-left at equal ts ⇒ inclusive (ts_r == ts_l matches)
-    val w = Window.partitionBy("_k").orderBy(col("_ts"), col("_side"))
+    // right-before-left at equal ts ⇒ inclusive (ts_r == ts_l matches);
+    // the trailing `_r` orders equal-timestamp right rows by their payload
+    // struct so the carried match is DETERMINISTIC (requires payload
+    // columns to be orderable types — pre-aggregate arrays/maps first)
+    val w = Window.partitionBy("_k").orderBy(col("_ts"), col("_side"), col("_r"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val matched = lU.unionByName(rU)
       .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))

@@ -85,17 +85,20 @@ object Dedup {
     // pairs (codegen'd shuffled-hash path beats in-bucket HOF combination
     // generation, whose lambdas run interpreted — measured 9.1s vs 6.6s).
     // Hot shingles are pruned by `maxDocFreq` (stop-shingle pruning) so
-    // bucket fan-out stays bounded at scale. The doc-frequency comes from a
-    // count-over-window ON TOP of the join's own exchange (rows are already
-    // hash-partitioned by shingle) — the groupBy+anti-join formulation paid
-    // two more full shuffles of the exploded relation for the same prune.
+    // bucket fan-out stays bounded at scale. The HOT SET (shingles over the
+    // threshold) is tiny by definition, so it broadcasts and the anti-join
+    // streams map-side; counting uses map-side partial aggregation. A
+    // count-over-window on the shingle partitioning would be one shuffle
+    // cheaper but buffers EVERY occurrence of a hot key in one task's
+    // window buffer — the exact single-key blow-up this guard exists to
+    // prevent.
     val pruned =
       if (maxDocFreq == Long.MaxValue) coPart
-      else coPart
-        .withColumn("_df", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("sh")))
-        .filter(col("_df") <= maxDocFreq)
-        .drop("_df")
+      else {
+        val hot = sh.groupBy("sh").agg(count(lit(1)).as("_df"))
+          .filter(col("_df") > maxDocFreq).select("sh")
+        coPart.join(broadcast(hot), Seq("sh"), "left_anti")
+      }
     val a = pruned.select(col("doc_id").as("a_id"), col("sh")).hint("shuffle_hash")
     val b = pruned.select(col("doc_id").as("b_id"), col("sh"))
     a.join(b, Seq("sh"))
@@ -244,7 +247,7 @@ object Dedup {
       pairs: DataFrame,
       aCol: String = "a_id",
       bCol: String = "b_id",
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 50): DataFrame = {
     val fwd = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
     // pairs come in as a<b once each, so reversing cannot create duplicates
     // — no distinct needed
@@ -261,9 +264,9 @@ object Dedup {
     if (seed.isNullAt(0)) // no pairs at all → no components
       return labels.select(col("node").as("doc_id"), col("rep").as("rep_id"))
     var prevSum = seed.getLong(0)
-    var i = 1
+    var rounds = 0
     var converged = false
-    while (!converged && i < maxIter) {
+    while (!converged && rounds < maxIter) {
       val prop = und.join(labels, und("dst") === labels("node"))
         .select(und("src").as("node"), labels("rep").as("rep"))
       labels = prop.unionByName(labels.select("node", "rep"))
@@ -272,8 +275,14 @@ object Dedup {
       val s = labels.agg(sum("rep")).head().getLong(0)
       converged = s == prevSum
       prevSum = s
-      i += 1
+      rounds += 1
     }
+    // silently-wrong representatives split duplicate clusters undetected —
+    // fail loudly and let the caller raise maxIter (rounds needed ≈ the
+    // deepest component's diameter)
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIter rounds — " +
+        "a component's diameter exceeds maxIter; raise it")
     labels.select(col("node").as("doc_id"), col("rep").as("rep_id"))
   }
 

@@ -115,8 +115,10 @@ object TextAnalysis {
       budget: Long,
       order: Column): DataFrame = {
     require(budget > 0)
+    // doc_id tiebreak: a non-unique `order` column would make the running
+    // sum (and thus batch assignments) shuffle-order-dependent
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("shard")).orderBy(col("_ord"))
+      .partitionBy(col("shard")).orderBy(col("_ord"), col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     docs
       .select(id.as("doc_id"), shard.as("shard"), order.as("_ord"),

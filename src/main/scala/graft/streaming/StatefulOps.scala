@@ -43,8 +43,13 @@ object StatefulOps {
           } else {
             // duplicates per key per batch are few — safe to materialize
             val buf = rows.toList
+            // the EARLIEST occurrence by event time — the group iterator's
+            // order is shuffle-arbitrary, so take(1) would emit a random
+            // row (ties on event time pick arbitrarily among byte-equal
+            // duplicates, the expected case)
             val out: Iterator[T] =
-              if (state.exists) Iterator.empty else buf.iterator.take(1)
+              if (state.exists || buf.isEmpty) Iterator.empty
+              else Iterator.single(buf.minBy(eventTimeMs))
             val mark = math.max(
               state.getOption.getOrElse(Long.MinValue),
               if (buf.isEmpty) Long.MinValue else buf.map(eventTimeMs).max)

@@ -153,11 +153,18 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(cc.size == 7)
   }
 
-  test("connected components: maxIter caps rounds (labels then best-effort)") {
-    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
-    val cc = Dedup.connectedComponents(pairs, maxIter = 1)
-      .as[(Long, Long)].collect().toMap
-    assert(cc.keySet == Set(1L, 2L, 3L)) // all nodes labeled even when capped
+  test("connected components: non-convergence within maxIter fails loudly") {
+    // chain 1-2-3-4-5 cannot settle in one round — silent wrong
+    // representatives would split duplicate clusters undetected
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a_id", "b_id")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(pairs, maxIter = 1).collect()
+    }
+  }
+
+  test("connected components: empty pair input yields empty output") {
+    val empty = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(Dedup.connectedComponents(empty).count() == 0)
   }
 
   test("minhash LSH: identical docs collide in every band; disjoint docs don't pair") {
