@@ -179,6 +179,37 @@ object SparkEntry {
         .orderBy("c_mktsegment")
     }),
 
+    // Full outer join at (user, day) granularity: days where a user only
+    // signed up, only purchased, or both (1050/1043/561 at sf0.01).
+    "q_full_outer" -> ((s, d) => {
+      val e = events(s, d)
+      val su = e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id").as("s_uid"), to_date(col("ts")).as("s_day"))
+        .agg(count(lit(1)).as("n_signups"))
+      val pu = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("p_uid"), to_date(col("ts")).as("p_day"))
+        .agg(count(lit(1)).as("n_purchases"))
+      su.join(pu,
+          col("s_uid") === col("p_uid") && col("s_day") === col("p_day"),
+          "full_outer")
+        .select(
+          coalesce(col("s_uid"), col("p_uid")).as("user_id"),
+          coalesce(col("s_day"), col("p_day")).as("day"),
+          coalesce(col("n_signups"), lit(0L)).as("n_signups"),
+          coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+        .orderBy("user_id", "day")
+    }),
+
+    // Stratified sampling for class rebalancing (downsample the dominant
+    // language): per-stratum Bernoulli fractions, deterministic under the
+    // seed — the sampling algorithm is engine-specific, so rows-only.
+    "q_sample_stratified" -> ((s, d) =>
+      documents(s, d).stat.sampleBy("lang",
+        Map("en" -> 0.5, "de" -> 1.0, "es" -> 1.0, "fr" -> 1.0, "zh" -> 1.0),
+        seed = 42L)
+        .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+        .orderBy("lang")),
+
     // Date/time function battery over order dates.
     "q_dates" -> ((s, d) =>
       orders(s, d)
@@ -664,6 +695,21 @@ object SparkEntry {
          INTERSECT
          SELECT c_mktsegment FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
          ORDER BY c_mktsegment""",
+    "q_full_outer" ->
+      """WITH s AS (
+           SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS n
+           FROM events WHERE event_type = 'signup' GROUP BY 1, 2),
+         p AS (
+           SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS n
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+         SELECT coalesce(s.user_id, p.user_id) AS user_id,
+             coalesce(s.d, p.d) AS day,
+             coalesce(s.n, 0) AS n_signups,
+             coalesce(p.n, 0) AS n_purchases
+         FROM s FULL OUTER JOIN p ON s.user_id = p.user_id AND s.d = p.d
+         ORDER BY user_id, day""",
     "q_dates" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS yr,
              CAST(quarter(o_orderdate) AS INT) AS qtr,

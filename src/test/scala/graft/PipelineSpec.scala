@@ -89,6 +89,22 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(out == Map(10L -> 2L)) // "the exact benchmark", "exact benchmark phrase"
   }
 
+  test("stratified sampling: untouched strata exact, downsampled near fraction") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val counts = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val sampled = docs.stat.sampleBy("lang",
+        Map("en" -> 0.5, "de" -> 1.0, "es" -> 1.0, "fr" -> 1.0, "zh" -> 1.0), 42L)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    Seq("de", "es", "fr", "zh").foreach(l => assert(sampled(l) == counts(l)))
+    val frac = sampled("en").toDouble / counts("en")
+    assert(frac > 0.3 && frac < 0.7, s"en sampled fraction $frac")
+    // deterministic under the fixed seed
+    val again = docs.stat.sampleBy("lang", Map("en" -> 0.5, "de" -> 1.0,
+        "es" -> 1.0, "fr" -> 1.0, "zh" -> 1.0), 42L)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(again == sampled)
+  }
+
   test("curate: exact dups dropped, per-lang median threshold applied") {
     val good = "the quick brown fox jumps over the lazy dog and keeps " +
       "running through the wide open field for a while longer today"
