@@ -201,6 +201,45 @@ object OracleSqlGen {
         FROM r WHERE rank <= $k ORDER BY query_id, rank"""
   }
 
+  /** Full IVF search oracle: corpus assigned to nearest centroid, queries
+    * probe their `nprobe` nearest centroids, exact cosine ranks only the
+    * probed cells' vectors — mirrors Similarity.ivfTopK (centroids = the
+    * first `nCentroids` embeddings, queries = the first `nQueries`).
+    */
+  def annIvfTopK(nQueries: Int, nCentroids: Int, k: Int, nprobe: Int): String =
+    s"""WITH cent AS (
+          SELECT vec_id AS centroid_id, embedding AS centv FROM embeddings
+          WHERE vec_id < $nCentroids),
+        assigned AS (
+          SELECT neighbor_id, centroid_id FROM (
+            SELECT e.vec_id AS neighbor_id, cent.centroid_id,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY ${cosineSql("e.embedding", "centv")} DESC, centroid_id ASC) AS rn
+            FROM embeddings e, cent)
+          WHERE rn = 1),
+        probes AS (
+          SELECT query_id, centroid_id FROM (
+            SELECT q.vec_id AS query_id, cent.centroid_id,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY ${cosineSql("q.embedding", "centv")} DESC, centroid_id ASC) AS rn
+            FROM (SELECT * FROM embeddings WHERE vec_id < $nQueries) q, cent)
+          WHERE rn <= $nprobe),
+        cand AS (
+          SELECT query_id, neighbor_id
+          FROM probes JOIN assigned USING (centroid_id)
+          WHERE query_id <> neighbor_id),
+        scored AS (
+          SELECT query_id, neighbor_id, ${cosineSql("q.embedding", "c.embedding")} AS cosine
+          FROM cand
+          JOIN embeddings q ON q.vec_id = query_id
+          JOIN embeddings c ON c.vec_id = neighbor_id),
+        r AS (
+          SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= $k ORDER BY query_id, rank"""
+
   def annTopK(nQueries: Int, k: Int): String =
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < $nQueries),
         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),

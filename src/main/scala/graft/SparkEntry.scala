@@ -312,6 +312,17 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // Full IVF search: probe the 2 nearest of 8 cells per query — the
+    // candidate set is ~1/4 of the corpus instead of all of it.
+    "ann_ivf_topk" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Similarity.ivfTopK(
+        e.filter(col("vec_id") < 32), e, e.filter(col("vec_id") < 8),
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        col("vec_id"), col("embedding"), k = 5, nprobe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     // ── text analysis (documents) ─────────────────────────────────────────
 
     "text_stats" -> ((s, d) =>
@@ -745,6 +756,7 @@ object SparkEntry {
     "ann_topk" -> OracleSqlGen.annTopK(32, 5),
     "ann_lsh_topk" -> OracleSqlGen.annLshTopK(32, 5, 4, 4),
     "ann_ivf_assign" -> OracleSqlGen.annIvfAssign(8),
+    "ann_ivf_topk" -> OracleSqlGen.annIvfTopK(32, 8, 5, 2),
 
     "text_stats" ->
       """SELECT doc_id,

@@ -138,4 +138,51 @@ object Similarity {
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("centroid_id"))
   }
+
+  /** Full IVF search: the corpus is pre-assigned to its nearest centroid
+    * (`assignToCentroids` ≈ the index build); each query probes only its
+    * `nprobe` nearest centroids and scores ONLY the corpus vectors assigned
+    * there — the candidate set shrinks by ≈ nprobe/num_centroids vs
+    * brute force. At 100 TB the assigned corpus is bucketed by centroid_id
+    * on disk, so a probe reads only matching partitions; centroids
+    * broadcast. Recall < 1 by construction (a true neighbor can live in an
+    * unprobed cell); `nprobe` tunes the recall/cost curve.
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      centroids: DataFrame,
+      qId: Column,
+      qVec: Column,
+      cId: Column,
+      cVec: Column,
+      centId: Column,
+      centVec: Column,
+      k: Int,
+      nprobe: Int = 2): DataFrame = {
+    val assigned = assignToCentroids(
+        Dedup.spread(corpus), cId, cVec, centroids, centId, centVec)
+      .withColumnRenamed("vec_id", "neighbor_id")
+    val cent = broadcast(centroids.select(centId.as("centroid_id"), centVec.as("centv")))
+    val wq = Window.partitionBy("query_id").orderBy(desc("csim"), asc("centroid_id"))
+    val probes = queries.select(qId.as("query_id"), qVec.as("qv"))
+      .crossJoin(cent)
+      .withColumn("csim", cosine(col("qv"), col("centv")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nprobe)
+      .select("query_id", "centroid_id")
+    // each corpus vector lives in exactly one cell and probes are distinct
+    // per (query, centroid), so no dedup pass is needed
+    val cand = probes.join(assigned, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+    val qv = queries.select(qId.as("query_id"), qVec.as("qv"))
+    val cv = corpus.select(cId.as("neighbor_id"), cVec.as("cv"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
+    cand.join(qv, "query_id").join(cv, "neighbor_id")
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
 }

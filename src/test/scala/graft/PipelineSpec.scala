@@ -89,6 +89,23 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(out == Map(10L -> 2L)) // "the exact benchmark", "exact benchmark phrase"
   }
 
+  test("ivfTopK: probing all cells equals brute force; partial probe has decent recall") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter(col("vec_id") < 8)
+    val cents = e.filter(col("vec_id") < 4)
+    def run(nprobe: Int) = Similarity.ivfTopK(
+        q, e, cents,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        col("vec_id"), col("embedding"), k = 3, nprobe = nprobe)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val brute = Similarity.bruteForceTopK(q, e,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(run(nprobe = 4) == brute) // all cells probed ⇒ exhaustive
+    val recall = (run(nprobe = 2) & brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"nprobe=2 recall $recall")
+  }
+
   test("stratified sampling: untouched strata exact, downsampled near fraction") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")
     val counts = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
