@@ -17,7 +17,13 @@ object Bench {
     // inflating whichever query the map iterates first.
     try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Local profiling aid: SPARK_GRAFT_ONLY=q1,q2 restricts the run to a
+    // subset (and repeats it SPARK_GRAFT_REPS times). Unset for the driver.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    val selected = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val results = Seq.fill(reps)(selected.toSeq).flatten.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // toRdd.count() forces FULL evaluation of every projected expression —
       // df.count() lets Catalyst prune unreferenced projections, so map-only
@@ -35,7 +41,7 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -253,11 +253,16 @@ object Dedup {
     // — no distinct needed
     val und = fwd
       .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      // hash-partition on the per-round join key once, up front:
+      // localCheckpoint preserves the physical partitioning, so every
+      // round's edge-side shuffle is already done (AQE sizes the partition
+      // count to the data — few at test scale, many at 100 TB)
+      .repartition(col("dst"))
       .localCheckpoint(true)
     // seed with the first hop folded in: rep = min(self, neighbors)
     var labels = und.groupBy(col("src").as("node"))
       .agg(least(col("src"), min(col("dst"))).as("rep"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // labels only ever decrease, so sum(rep) is strictly monotone until the
     // fixpoint — an O(labels) agg per round instead of a join+count
     val seed = labels.agg(sum("rep")).head()
@@ -269,9 +274,23 @@ object Dedup {
     while (!converged && rounds < maxIter) {
       val prop = und.join(labels, und("dst") === labels("node"))
         .select(und("src").as("node"), labels("rep").as("rep"))
-      labels = prop.unionByName(labels.select("node", "rep"))
+      val merged = prop.unionByName(labels.select("node", "rep"))
         .groupBy("node").agg(min("rep").as("rep"))
-        .localCheckpoint(true)
+      // pointer jumping (path halving): follow each node's new rep to that
+      // node's previous rep in the same round — long chains collapse in
+      // O(log diameter) rounds instead of O(diameter). Reps are always node
+      // ids inside the component, so the jump can never undershoot the
+      // component minimum; `least` keeps the label decrease monotone (the
+      // convergence certificate). The jump join keys on the unique `node`
+      // side, so one-row-per-node is preserved without another aggregate.
+      val jump = labels.select(col("node").as("_jn"), col("rep").as("_jr"))
+      labels = merged
+        .join(jump, merged("rep") === col("_jn"), "left")
+        .select(merged("node"),
+          least(merged("rep"), coalesce(col("_jr"), merged("rep"))).as("rep"))
+        // lazy: the convergence agg below materializes the checkpoint in the
+        // SAME job — one job per round instead of checkpoint + agg
+        .localCheckpoint(false)
       val s = labels.agg(sum("rep")).head().getLong(0)
       converged = s == prevSum
       prevSum = s
@@ -280,6 +299,8 @@ object Dedup {
     // silently-wrong representatives split duplicate clusters undetected —
     // fail loudly and let the caller raise maxIter (rounds needed ≈ the
     // deepest component's diameter)
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      System.err.println(s"[cc] converged=$converged rounds=$rounds")
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge within $maxIter rounds — " +
         "a component's diameter exceeds maxIter; raise it")
