@@ -348,6 +348,89 @@ object OracleSqlGen {
         FROM x ORDER BY doc_id"""
   }
 
+  /** PII redaction oracle — regex constants come STRAIGHT from
+    * graft.pipeline.Privacy so the two sides cannot drift. The patterns use
+    * only constructs whose semantics agree between Java regex (Spark) and
+    * RE2 (DuckDB): character classes, bounded quantifiers, \b, optional
+    * groups — no lookaround, no backreferences.
+    */
+  def piiRedact: String = {
+    import graft.pipeline.Privacy._
+    s"""SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(
+            text || ' contact user' || doc_id || '@example.com or 10.0.'
+              || (doc_id % 256) || '.7 tel +1 555-010-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+            '$EmailPattern', '<EMAIL>', 'g'),
+            '$Ipv4Pattern', '<IP>', 'g'),
+            '$PhonePattern', '<PHONE>', 'g') AS redacted
+        FROM documents ORDER BY doc_id"""
+  }
+
+  /** Hash-split oracle: md5-bucket thresholds rendered from the same
+    * two-hex-char scheme as Splits.assignSplit.
+    */
+  def splitAssign(testBuckets: Int, valBuckets: Int): String = {
+    val t = f"$testBuckets%02x"
+    val v = f"${testBuckets + valBuckets}%02x"
+    s"""SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+          CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '$t' THEN 'test'
+               WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '$v' THEN 'val'
+               ELSE 'train' END AS split
+        FROM documents ORDER BY doc_id"""
+  }
+
+  /** Morton-key oracle: the same interleave ZOrderExpr computes, as an
+    * explicit bit sum. Reads bits 0..bits-1 only, so magnitude truncation
+    * matches the Spark mask for any input.
+    */
+  def zorder(bits: Int, limit: Int): String =
+    s"""SELECT o_orderkey, o_custkey,
+          CAST(list_sum(list_transform(range(0, $bits), i ->
+            (((CAST(o_custkey AS BIGINT) >> i) & 1) << (2*i)) +
+            (((CAST(o_orderkey AS BIGINT) >> i) & 1) << (2*i + 1)))) AS BIGINT) AS zkey
+        FROM orders ORDER BY zkey, o_orderkey LIMIT $limit"""
+
+  /** Volume-anomaly oracle: mean/stddev from exact integer window sums —
+    * the identical double formula EventOps.anomalies evaluates, never an
+    * engine stddev() (whose accumulation order is engine-specific).
+    */
+  def eventAnomalies(lookback: Int, zThreshold: Double): String =
+    s"""WITH h AS (
+          SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+            event_type, CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2),
+        s AS (
+          SELECT window_start, event_type, n,
+            sum(n) OVER w AS s1, sum(n*n) OVER w AS s2, count(n) OVER w AS c
+          FROM h
+          WINDOW w AS (PARTITION BY event_type ORDER BY window_start
+                       ROWS BETWEEN $lookback PRECEDING AND 1 PRECEDING)),
+        zz AS (
+          SELECT window_start, event_type, n,
+            CASE WHEN c >= 2
+                  AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / c) / (c - 1) > 0
+                 THEN round((n - CAST(s1 AS DOUBLE) / c)
+                   / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / c) / (c - 1)), 4)
+            END AS z
+          FROM s)
+        SELECT window_start, event_type, n, z,
+          coalesce(abs(z) > $zThreshold, false) AS is_anomaly
+        FROM zz ORDER BY window_start, event_type"""
+
+  /** Per-doc novelty: fraction of distinct word n-grams with corpus doc
+    * frequency 1 — integer counts, one rounded division.
+    */
+  def novelty(n: Int): String =
+    s"""WITH sh AS (
+          SELECT doc_id, unnest(list_distinct(${shinglesSql(n)})) AS sh FROM documents),
+        dfreq AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+          CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+          round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS novelty
+        FROM sh JOIN dfreq USING (sh)
+        GROUP BY doc_id ORDER BY doc_id"""
+
   /** Must mirror Multimodal.FakeDecoder exactly (text is ASCII in the test
     * tables, so ascii(substr) == byte values).
     */

@@ -524,6 +524,74 @@ object SparkEntry {
         .orderBy("user_id", "event_id")
     }),
 
+    // ── round-3 pipeline additions ────────────────────────────────────────
+
+    // PII scrubbing at scan speed: fake PII (deterministic, derived from
+    // doc_id — the synthetic corpus has none to scrub) appended then
+    // redacted by the codegen'd regexp_replace chain.
+    "text_pii_redact" -> ((s, d) =>
+      documents(s, d).select(col("doc_id"),
+        graft.pipeline.Privacy.redactPii(
+          graft.pipeline.Privacy.withFakePii(col("text"), col("doc_id"))).as("redacted"))
+        .orderBy("doc_id")),
+
+    // Deterministic md5-hash train/val/test split (13/26/217 of 256 buckets
+    // ≈ 5%/10%/85%) — reproducible across reruns, engines, and cluster
+    // layouts, unlike rand()-based splits.
+    "q_split_assign" -> ((s, d) =>
+      documents(s, d).select(col("doc_id"),
+        graft.pipeline.Splits.hashBucket(col("doc_id")).as("bucket"),
+        graft.pipeline.Splits.assignSplit(col("doc_id")).as("split"))
+        .orderBy("doc_id")),
+
+    // Morton (Z-order) clustering key over two dimensions — the layout key
+    // Layout.clusterByZ range-partitions by so parquet min/max stats prune
+    // on either column. Codegen'd native expression (ZOrderExpr).
+    "q_zorder" -> ((s, d) =>
+      orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        graft.functions.ZOrderFunctions.zorderKey(
+          col("o_custkey"), col("o_orderkey"), bits = 20).as("zkey"))
+        .orderBy("zkey", "o_orderkey").limit(100)),
+
+    // Ingest-volume anomaly detection: hourly counts per type z-scored
+    // against the trailing day — mean/stddev from exact integer window sums
+    // so both engines evaluate identical doubles.
+    "events_anomaly" -> ((s, d) =>
+      EventOps.anomalies(events(s, d), "1 hour", lookback = 24, zThreshold = 2.0)
+        .orderBy("window_start", "event_type")),
+
+    // Skew-safe join: deterministic fact-side salting × replicated dim —
+    // same result as the plain join (the oracle IS the plain join), with no
+    // single-reducer hot key at scale.
+    "q_skew_join" -> ((s, d) =>
+      graft.operators.Skew.saltedJoin(
+        orders(s, d), customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey"), col("c_custkey"), salts = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+        .orderBy("c_mktsegment")),
+
+    // Sketch surface (HLL distinct + t-digest percentile): estimates are
+    // algorithm-specific, so rows-only — the exact distinct rides along to
+    // expose the observed HLL error.
+    "q_sketch_distinct" -> ((s, d) =>
+      events(s, d).groupBy("event_type")
+        .agg(
+          approx_count_distinct("user_id").as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"),
+          round(expr("approx_percentile(value, 0.5, 10000)"), 4).as("approx_p50"))
+        .withColumn("rel_err",
+          round(abs(col("approx_users") - col("exact_users")).cast("double") /
+            col("exact_users"), 4))
+        .orderBy("event_type")),
+
+    // Corpus novelty: fraction of each doc's distinct 3-grams occurring in
+    // no other document (inverted-index shape, integer-only scoring).
+    "text_novelty" -> ((s, d) =>
+      TextAnalysis.novelty(documents(s, d), col("doc_id"), col("text"), n = 3)
+        .orderBy("doc_id")),
+
     // ── MLlib scale paths (engine-specific hashing → rows-only check) ─────
 
     // Harness-safe scalar projection (the raw array<double> embedding column
@@ -788,6 +856,17 @@ object SparkEntry {
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                / 1000) AS BIGINT) AS batch_id
          FROM documents ORDER BY shard, doc_id""",
+
+    "text_pii_redact" -> OracleSqlGen.piiRedact,
+    "q_split_assign" -> OracleSqlGen.splitAssign(13, 26),
+    "q_zorder" -> OracleSqlGen.zorder(20, 100),
+    "events_anomaly" -> OracleSqlGen.eventAnomalies(24, 2.0),
+    "text_novelty" -> OracleSqlGen.novelty(3),
+    "q_skew_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
     "mm_decode" -> OracleSqlGen.mmDecode,
     "mm_frames" ->

@@ -1,0 +1,46 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** PII scrubbing for training corpora: redact e-mail addresses, IPv4
+  * addresses, and phone-like digit runs with typed placeholders before any
+  * text leaves the pipeline. Pure `regexp_replace` chains (codegen'd, no
+  * UDFs) so redaction runs at scan speed — at 100 TB this is a map stage
+  * fused into the document scan, shuffling nothing.
+  *
+  * Pattern notes: the regexes stick to character classes, bounded
+  * quantifiers, and word boundaries — constructs whose semantics agree
+  * between Java's regex engine (Spark) and RE2 (DuckDB oracle). No
+  * lookaround, no backreferences — those diverge or don't exist in RE2.
+  * Order matters and is fixed: e-mails first (their local part may contain
+  * digits a later pass would chew on), then IPv4 (dotted digit runs would
+  * otherwise half-match the phone pattern), then phones.
+  */
+object Privacy {
+
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  /** Structured 3-3-4 phone shapes with optional +country and () area code.
+    * Deliberately NOT a loose "long digit run" pattern — that also matches
+    * ISO dates (1995-01-01), which a corpus is full of.
+    */
+  val PhonePattern = "(\\+?\\d{1,3}[ .-])?\\(?\\d{3}\\)?[ .-]?\\d{3}[ .-]\\d{4}"
+
+  def redactEmails(c: Column): Column = regexp_replace(c, EmailPattern, "<EMAIL>")
+  def redactIps(c: Column): Column = regexp_replace(c, Ipv4Pattern, "<IP>")
+  def redactPhones(c: Column): Column = regexp_replace(c, PhonePattern, "<PHONE>")
+
+  /** Full redaction chain, fixed order (see scaladoc above). */
+  def redactPii(c: Column): Column = redactPhones(redactIps(redactEmails(c)))
+
+  /** Deterministic fake PII used by the declared query's fixture (the
+    * driver's synthetic documents contain no real PII to scrub): each doc
+    * gets an e-mail, an IP, and a phone number derived from its id.
+    */
+  def withFakePii(text: Column, id: Column): Column =
+    concat(text,
+      lit(" contact user"), id, lit("@example.com or 10.0."),
+      pmod(id, lit(256)), lit(".7 tel +1 555-010-"),
+      lpad(pmod(id, lit(10000)).cast("string"), 4, "0"))
+}

@@ -1,0 +1,40 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic train/val/test split assignment by content hash — the
+  * split step of a training-data pipeline.
+  *
+  * Why hash, not rand(): a random split is irreproducible across reruns and
+  * re-partitions, and at 100 TB the pipeline WILL rerun (backfills, late
+  * partitions). Hashing the stable document key gives every row the same
+  * split on every run, on any cluster layout, with no shuffle and no state
+  * — and downstream joins between differently-produced tables agree on the
+  * split for free.
+  *
+  * The hash is md5 (not Spark's xxhash64/hash) because md5 is
+  * engine-portable: any system — the DuckDB oracle, a Python sanity check,
+  * a later non-Spark consumer — recomputes the identical assignment. The
+  * first two hex chars (256 uniform buckets) are compared lexicographically,
+  * which for fixed-width lowercase hex equals numeric comparison in every
+  * engine.
+  */
+object Splits {
+
+  /** Bucket in [0,256) as a two-hex-char string, uniform under md5. */
+  def hashBucket(key: Column): Column =
+    substring(md5(key.cast("string").cast("binary")), 1, 2)
+
+  /** Split label: first `testBuckets` of 256 → "test", next `valBuckets` →
+    * "val", rest → "train" (e.g. 13/26 ≈ 5%/10%).
+    */
+  def assignSplit(key: Column, testBuckets: Int = 13, valBuckets: Int = 26): Column = {
+    require(testBuckets >= 0 && valBuckets >= 0 && testBuckets + valBuckets <= 256,
+      "bucket counts must fit in [0, 256]")
+    val b = hashBucket(key)
+    when(b < lit(f"$testBuckets%02x"), "test")
+      .when(b < lit(f"${testBuckets + valBuckets}%02x"), "val")
+      .otherwise("train")
+  }
+}

@@ -165,6 +165,31 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_contaminated"))
   }
 
+  /** Per-document novelty: the fraction of a doc's distinct word n-grams
+    * that occur in NO other document — the inverse of boilerplate, a cheap
+    * originality/duplication-pressure signal over a whole corpus.
+    *
+    * Scale shape (same inverted-index discipline as Dedup.ngramJaccard):
+    * explode distinct shingles once, repartition on the shingle so the
+    * doc-frequency aggregate and the df-lookup join share ONE exchange
+    * (ReusedExchange), then re-aggregate per doc with map-side partials.
+    * Integer-only scoring (counts + one final division, rounded) keeps the
+    * result engine-portable.
+    */
+  def novelty(docs: DataFrame, id: Column, text: Column, n: Int = 3): DataFrame = {
+    val sh = docs.select(id.as("doc_id"),
+      explode(array_distinct(Dedup.shingles(text, n))).as("sh"))
+    val coPart = sh.repartition(col("sh"))
+    val dfreq = coPart.groupBy("sh").agg(count(lit(1)).as("_df"))
+    coPart.hint("shuffle_hash").join(dfreq, Seq("sh"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("_df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty",
+        round(col("n_unique").cast("double") / col("n_shingles"), 6))
+  }
+
   /** Rolling-hash document fingerprint (winnowing-lite): the minimum md5 over
     * word 5-gram windows + the full-text md5. Two docs sharing the min-window
     * fingerprint almost surely share a 5-gram run — a cheap containment

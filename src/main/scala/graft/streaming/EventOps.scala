@@ -97,6 +97,45 @@ object EventOps {
       .drop("p_user")
   }
 
+  /** Volume-anomaly detection: per (event_type, hourly bucket) counts scored
+    * against the trailing `lookback` buckets' mean/stddev — the monitoring
+    * query a pipeline runs over its own ingest. The mean/variance come from
+    * exact INTEGER window sums (sum, sum-of-squares), not `stddev()`: both
+    * engines then evaluate the identical double formula on identical exact
+    * sums, so z-scores are bit-deterministic and oracle-comparable (a
+    * Welford-style streaming stddev is numerically engine-specific).
+    *
+    * Scale: one (window, type) shuffle with map-side partial agg, then a
+    * bounded ROWS window per type over the (tiny) bucket series.
+    */
+  def anomalies(events: DataFrame, every: String = "1 hour", lookback: Int = 24,
+      zThreshold: Double = 2.0): DataFrame = {
+    val hourly = events
+      .groupBy(window(col("ts"), every).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+    val trail = Window.partitionBy("event_type").orderBy("window_start")
+      .rowsBetween(-lookback, -1)
+    hourly
+      .withColumn("_s1", sum(col("n")).over(trail))
+      .withColumn("_s2", sum(col("n") * col("n")).over(trail))
+      .withColumn("_c", count(col("n")).over(trail))
+      // divisor null-guards: ANSI mode errors on x/0 where DuckDB's double
+      // division yields NULL — `when` makes the empty/singleton-window rows
+      // null here too (the z-score guard below filters them anyway)
+      .withColumn("_mean",
+        col("_s1").cast("double") / when(col("_c") > 0, col("_c")))
+      .withColumn("_var",
+        (col("_s2").cast("double") -
+          col("_s1").cast("double") * col("_s1") / when(col("_c") > 0, col("_c"))) /
+          when(col("_c") >= 2, col("_c") - 1))
+      .withColumn("z",
+        when(col("_c") >= 2 && col("_var") > 0,
+          round((col("n") - col("_mean")) / sqrt(col("_var")), 4)))
+      .withColumn("is_anomaly", coalesce(abs(col("z")) > zThreshold, lit(false)))
+      .select("window_start", "event_type", "n", "z", "is_anomaly")
+  }
+
   /** JSON property extraction from the `props` column + top-k per event type
     * by extracted value — exercises semi-structured access at scan time.
     */

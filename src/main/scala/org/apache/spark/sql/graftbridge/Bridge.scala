@@ -24,6 +24,16 @@ trait FloatArrayBinaryInputs extends ExpectsInputTypes { self: Expression =>
     Seq(ArrayType(FloatType), ArrayType(FloatType))
 }
 
+/** Input-type contract `(bigint, bigint)` with implicit casts — narrower
+  * integer children are widened at analysis time.
+  */
+trait LongBinaryInputs
+    extends org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  self: Expression =>
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.LongType)
+}
+
 /** Input-type contract `(double)` with implicit casts — int/decimal/float
   * children are cast at analysis time instead of ClassCastException mid-job.
   */

@@ -1,0 +1,113 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{ZOrderExpr, ZOrderFunctions}
+import graft.pipeline.Layout
+import graft.streaming.EventOps
+
+class LayoutSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  /** Bit-by-bit reference interleave, independent of the expression's shift
+    * loop.
+    */
+  private def refZ(x: Long, y: Long, bits: Int): Long =
+    (0 until bits).map { i =>
+      (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+    }.foldLeft(0L)(_ | _)
+
+  test("zorderKey matches the reference interleave (codegen + interpreted)") {
+    val rnd = new scala.util.Random(7)
+    val pts = Seq.fill(200)((rnd.nextInt(1 << 20).toLong, rnd.nextInt(1 << 20).toLong))
+    // codegen'd path through a DataFrame
+    val got = pts.toDF("x", "y")
+      .select($"x", $"y", ZOrderFunctions.zorderKey($"x", $"y", 20).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pts.foreach { case (x, y) =>
+      assert(got((x, y)) == refZ(x, y, 20), s"($x, $y)")
+    }
+    // interpreted eval path (no codegen)
+    val e = ZOrderExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal(123456L),
+      org.apache.spark.sql.catalyst.expressions.Literal(654321L), 20)
+    assert(e.eval(null) == refZ(123456L, 654321L, 20))
+  }
+
+  test("zorderKey masks to the requested bits") {
+    val big = (1L << 25) + 5L // bits above 20 ignored
+    assert(ZOrderExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal(big),
+      org.apache.spark.sql.catalyst.expressions.Literal(0L), 20).eval(null) ==
+      refZ(5L, 0L, 20))
+  }
+
+  test("clusterByZ tightens per-file ranges on BOTH dimensions") {
+    val rnd = new scala.util.Random(11)
+    val df = Seq.fill(4000)((rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong))
+      .toDF("x", "y")
+    def spans(d: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val s = d.withColumn("pid", spark_partition_id())
+        .groupBy("pid")
+        .agg((max($"x") - min($"x")).as("sx"), (max($"y") - min($"y")).as("sy"))
+        .agg(avg($"sx"), avg($"sy")).head()
+      (s.getDouble(0), s.getDouble(1))
+    }
+    val (rx, ry) = spans(df.repartition(16)) // random layout: spans ≈ full domain
+    val clustered = Layout.clusterByZ(df, $"x", $"y", numFiles = 16, bits = 10)
+    val (cx, cy) = spans(clustered)
+    // 16 z-tiles over a 1024² domain → per-tile span ≈ domain/4 on each axis
+    assert(cx < rx * 0.6, s"x span $cx !< $rx * 0.6")
+    assert(cy < ry * 0.6, s"y span $cy !< $ry * 0.6")
+  }
+
+  test("bucketed tables equi-join with zero shuffle exchanges") {
+    val a = spark.range(0, 1000).toDF("k").withColumn("va", $"k" * 2)
+    val b = spark.range(0, 1000).toDF("k").withColumn("vb", $"k" + 1)
+    Seq("bucketed_a", "bucketed_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      // a stale location from a crashed run blocks managed-table creation
+      // even after DROP (the table is gone from the catalog, the dir is not)
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      if (loc.exists()) rm(loc)
+    }
+    Layout.writeBucketed(a, "bucketed_a", "k", buckets = 4)
+    Layout.writeBucketed(b, "bucketed_b", "k", buckets = 4)
+    val joined = spark.table("bucketed_a").join(spark.table("bucketed_b"), "k")
+    val plan = joined.queryExecution.executedPlan
+    def countShuffles(p: org.apache.spark.sql.execution.SparkPlan): Int =
+      (if (p.isInstanceOf[ShuffleExchangeExec]) 1 else 0) +
+        p.children.map(countShuffles).sum
+    assert(countShuffles(plan) == 0, plan.toString)
+    assert(joined.count() == 1000)
+  }
+
+  test("anomalies flags a spike against its trailing window and nulls short histories") {
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    // 30 hourly buckets of ~10 events, one bucket with 60
+    val rows = (0 until 30).flatMap { h =>
+      val n = if (h == 25) 60 else 10 + (h % 3) // mild noise, one spike
+      (0 until n).map(i =>
+        (new Timestamp(base + h * 3600L * 1000 + i * 1000), "click"))
+    }
+    val out = EventOps.anomalies(rows.toDF("ts", "event_type"),
+        "1 hour", lookback = 24, zThreshold = 2.0)
+      .orderBy("window_start").collect()
+    assert(out.length == 30)
+    assert(out(0).isNullAt(3) && !out(0).getBoolean(4)) // no history → z null
+    val spike = out(25)
+    assert(spike.getLong(2) == 60 && spike.getBoolean(4), spike.toString)
+    // among buckets with a meaningful history (short trailing windows can
+    // legitimately z-spike on 2-3 samples), only the real spike flags
+    assert(out.drop(5).count(_.getBoolean(4)) == 1)
+  }
+}

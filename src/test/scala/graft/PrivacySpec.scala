@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Privacy, Splits, TextAnalysis}
+
+class PrivacySpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def redactOne(s: String): String =
+    Seq(s).toDF("t").select(Privacy.redactPii($"t")).head().getString(0)
+
+  test("redacts e-mails, IPv4 addresses, and phone numbers") {
+    assert(redactOne("mail a.b+c@ex-ample.org now") == "mail <EMAIL> now")
+    assert(redactOne("from 192.168.0.1 port 80") == "from <IP> port 80")
+    assert(redactOne("call 555-010-1234 today") == "call <PHONE> today")
+    assert(redactOne("call +1 555 010 1234.") == "call <PHONE>.")
+    assert(redactOne("(555) 010-1234") == "<PHONE>")
+  }
+
+  test("does not redact ISO dates or plain numbers") {
+    assert(redactOne("shipped 1995-01-01 qty 12345678") ==
+      "shipped 1995-01-01 qty 12345678")
+    assert(redactOne("pi is 3.14159") == "pi is 3.14159")
+  }
+
+  test("application order: IP inside surrounding digits is not a phone") {
+    assert(redactOne("host 10.0.5.7 up") == "host <IP> up")
+  }
+
+  test("redaction is idempotent") {
+    val once = redactOne("a@b.co 1.2.3.4 555-010-1234")
+    assert(redactOne(once) == once)
+  }
+
+  test("split assignment is deterministic and matches its bucket thresholds") {
+    val df = spark.range(0, 10000).toDF("id")
+      .select($"id", Splits.hashBucket($"id").as("b"),
+        Splits.assignSplit($"id").as("split"))
+    val rows = df.collect()
+    rows.foreach { r =>
+      val (b, s) = (r.getString(1), r.getString(2))
+      // thresholds are hex renderings of 13 and 13+26=39 buckets
+      val expected = if (b < "0d") "test" else if (b < "27") "val" else "train"
+      assert(s == expected, s"id=${r.getLong(0)} bucket=$b")
+    }
+    // same ids rehashed under a different layout get identical splits
+    val again = spark.range(0, 10000).toDF("id").repartition(13)
+      .select($"id", Splits.assignSplit($"id").as("split"))
+    assert(df.select("id", "split").exceptAll(again).isEmpty)
+  }
+
+  test("split fractions land near 13/26/217 of 256") {
+    val counts = spark.range(0, 20000).toDF("id")
+      .select(Splits.assignSplit($"id").as("split"))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = 20000.0
+    assert(math.abs(counts("test") / n - 13.0 / 256) < 0.01)
+    assert(math.abs(counts("val") / n - 26.0 / 256) < 0.01)
+    assert(math.abs(counts("train") / n - 217.0 / 256) < 0.02)
+  }
+
+  test("novelty: shared shingles lower the score, unique docs score 1") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),     // shares "alpha beta gamma" + "beta gamma delta"? no — doc 2 shares only the first
+      (2L, "alpha beta gamma epsilon"),   // shares shingle "alpha beta gamma" with doc 1
+      (3L, "one two three four five")     // fully unique
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.novelty(docs, $"doc_id", $"text", n = 3)
+      .orderBy("doc_id").collect()
+    // doc 1: shingles {abg, bgd}; abg shared with doc 2 → 1/2 unique
+    assert(out(0).getLong(1) == 2 && out(0).getLong(2) == 1)
+    assert(out(0).getDouble(3) == 0.5)
+    // doc 3: all 3 shingles unique
+    assert(out(2).getLong(1) == 3 && out(2).getDouble(3) == 1.0)
+  }
+
+  test("HLL approx distinct stays within 5% of exact on 10k keys") {
+    val df = spark.range(0, 30000).toDF("id")
+      .select((pmod($"id", lit(10000))).as("u"))
+    val r = df.agg(
+      approx_count_distinct("u").as("a"),
+      countDistinct($"u").as("e")).head()
+    val (a, e) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(a - e) / e < 0.05)
+  }
+}
