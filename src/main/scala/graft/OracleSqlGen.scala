@@ -97,6 +97,20 @@ object OracleSqlGen {
         SELECT a AS doc_id, min(b) AS rep_id FROM reach GROUP BY a
         ORDER BY doc_id"""
 
+  /** Incremental-dedup oracle: the full minhashLsh pair list restricted to
+    * pairs touching the ingest batch (doc_id >= batchMinId), reshaped to the
+    * (new_id, dup_of) orientation `Dedup.incrementalMinhashPairs` emits.
+    * Every batch id exceeds every corpus id in the declared split, so the
+    * batch member of an ordered pair (a_id < b_id) is always b_id. Matching
+    * this oracle proves the batch-joins-index path finds exactly the pairs a
+    * full-corpus re-pairing would — the 100 TB ingestion contract.
+    */
+  def incrementalMinhash(n: Int, bands: Int, rowsPerBand: Int, batchMinId: Long): String =
+    s"""SELECT b_id AS new_id, a_id AS dup_of
+        FROM (${minhashLsh(n, bands, rowsPerBand)}) t
+        WHERE b_id >= $batchMinId
+        ORDER BY new_id, dup_of"""
+
   /** Intra-doc repetition ratio over word n-grams. */
   def repetition(n: Int): String =
     s"""SELECT doc_id,

@@ -201,14 +201,17 @@ object SparkEntry {
     }),
 
     // Stratified sampling for class rebalancing (downsample the dominant
-    // language): per-stratum Bernoulli fractions, deterministic under the
-    // seed — the sampling algorithm is engine-specific, so rows-only.
+    // language): md5-threshold per-stratum keep decisions — a pure function
+    // of doc_id, so the sample is identical across reruns, engines, and
+    // cluster layouts (unlike seeded sampleBy, whose RNG stream is
+    // partition-layout-dependent). Emits the sampled rows themselves so the
+    // oracle verifies the exact membership, not just per-stratum counts.
     "q_sample_stratified" -> ((s, d) =>
-      documents(s, d).stat.sampleBy("lang",
-        Map("en" -> 0.5, "de" -> 1.0, "es" -> 1.0, "fr" -> 1.0, "zh" -> 1.0),
-        seed = 42L)
-        .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
-        .orderBy("lang")),
+      documents(s, d)
+        .filter(graft.pipeline.Splits.stratifiedKeep(col("doc_id"), col("lang"),
+          Map("en" -> 0.5, "de" -> 1.0, "es" -> 1.0, "fr" -> 1.0, "zh" -> 1.0)))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
 
     // Date/time function battery over order dates.
     "q_dates" -> ((s, d) =>
@@ -273,6 +276,22 @@ object SparkEntry {
         Dedup.minhashLsh(documents(s, d), col("doc_id"), col("text"),
           n = 3, bands = 8, rowsPerBand = 2))
         .orderBy("doc_id")),
+
+    // Incremental dedup end-to-end: the corpus (doc_id < 400) contributes
+    // only its precomputed band index; the ingest batch (doc_id >= 400) is
+    // shingled/hashed alone and joined against it — cost O(batch), not
+    // O(corpus). The oracle is the FULL-corpus minhash pair list filtered to
+    // pairs touching the batch, so a hash-match proves the incremental path
+    // finds exactly what a from-scratch re-pairing would.
+    "dedup_incremental" -> ((s, d) => {
+      val docs0 = documents(s, d)
+      Dedup.incrementalMinhashPairs(
+        docs0.filter(col("doc_id") >= 400), col("doc_id"), col("text"),
+        Dedup.minhashBandIndex(docs0.filter(col("doc_id") < 400),
+          col("doc_id"), col("text"), n = 3, bands = 8, rowsPerBand = 2),
+        n = 3, bands = 8, rowsPerBand = 2)
+        .orderBy("new_id", "dup_of")
+    }),
 
     "dedup_simhash" -> ((s, d) =>
       documents(s, d)
@@ -573,17 +592,23 @@ object SparkEntry {
         .orderBy("c_mktsegment")),
 
     // Sketch surface (HLL distinct + t-digest percentile): estimates are
-    // algorithm-specific, so rows-only — the exact distinct rides along to
-    // expose the observed HLL error.
+    // algorithm-specific, so rows-only. Production-shaped: no exact
+    // ride-along — at 100 TB the exact distinct IS the expensive thing the
+    // sketch replaces (it lives in `q_exact_distinct` below, hash-verified).
     "q_sketch_distinct" -> ((s, d) =>
       events(s, d).groupBy("event_type")
         .agg(
           approx_count_distinct("user_id").as("approx_users"),
-          countDistinct(col("user_id")).as("exact_users"),
           round(expr("approx_percentile(value, 0.5, 10000)"), 4).as("approx_p50"))
-        .withColumn("rel_err",
-          round(abs(col("approx_users") - col("exact_users")).cast("double") /
-            col("exact_users"), 4))
+        .orderBy("event_type")),
+
+    // Exact distinct-count surface (two-phase: partial distinct per
+    // partition, then merge — Spark plans groupBy+countDistinct as an
+    // expand + two hash aggregates, no single-reducer hot spot). The
+    // hash-verified twin of q_sketch_distinct's HLL estimate.
+    "q_exact_distinct" -> ((s, d) =>
+      events(s, d).groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"))
         .orderBy("event_type")),
 
     // Corpus novelty: fraction of each doc's distinct 3-grams occurring in
@@ -818,6 +843,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> OracleSqlGen.ngramJaccard(3, 0.5, maxDocFreq = 8),
     "dedup_minhash" -> OracleSqlGen.minhashLsh(3, 8, 2),
     "dedup_components" -> OracleSqlGen.minhashComponents(3, 8, 2),
+    "dedup_incremental" -> OracleSqlGen.incrementalMinhash(3, 8, 2, batchMinId = 400),
     "dedup_simhash" -> OracleSqlGen.simhash(60),
     "dedup_embedding" -> OracleSqlGen.embeddingNearDup(0.45, 4, 4),
 
@@ -862,6 +888,18 @@ object SparkEntry {
     "q_zorder" -> OracleSqlGen.zorder(20, 100),
     "events_anomaly" -> OracleSqlGen.eventAnomalies(24, 2.0),
     "text_novelty" -> OracleSqlGen.novelty(3),
+    // en threshold '8000' = floor(0.5 * 65536) in hex — must match
+    // Splits.stratifiedKeep's floor(frac * 65536) for frac = 0.5.
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE CASE WHEN lang = 'en'
+                    THEN substr(md5(CAST(doc_id AS VARCHAR) || ':sample'), 1, 4) < '8000'
+                    WHEN lang IN ('de', 'es', 'fr', 'zh') THEN TRUE
+                    ELSE FALSE END
+         ORDER BY doc_id""",
+    "q_exact_distinct" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q_skew_join" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
@@ -924,9 +962,6 @@ object SparkEntry {
          WHERE CAST(purchase_ts AS TIMESTAMP) > CAST(signup_ts AS TIMESTAMP)
          ORDER BY s.user_id""",
 
-    // Subqueries pre-truncate TIMESTAMP_NS → µs so the as-of comparison
-    // happens at the same precision Spark compares at (Tables.events
-    // floor-converts nanos); ties at µs yield the same signup_ts either way.
     "q_pivot" ->
       """SELECT o_orderpriority,
              CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS F,
@@ -953,6 +988,9 @@ object SparkEntry {
            AND l_shipdate >= o_orderdate
            AND l_shipdate <= o_orderdate + INTERVAL 6 DAY
          GROUP BY o_orderkey ORDER BY o_orderkey""",
+    // Subqueries pre-truncate TIMESTAMP_NS → µs so the as-of comparison
+    // happens at the same precision Spark compares at (Tables.events
+    // floor-converts nanos); ties at µs yield the same signup_ts either way.
     "events_asof" ->
       """SELECT p.user_id, p.event_id, p.purchase_ts, s.signup_ts
          FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS purchase_ts

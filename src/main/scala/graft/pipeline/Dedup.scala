@@ -235,9 +235,10 @@ object Dedup {
     * list alone can't answer "which docs do I drop": duplicates are
     * transitive through chains A~B~C). Iterative min-label propagation, the
     * standard distributed-CC pattern: each round every node takes the min
-    * representative among itself and its neighbors — one shuffle per round,
-    * O(component diameter) rounds (near-dup clusters are shallow; `maxIter`
-    * bounds pathology). Per-round `localCheckpoint` truncates lineage so the
+    * representative among itself and its neighbors, then pointer-jumps
+    * through its rep's rep — one shuffle per round, O(log diameter) rounds
+    * (pinned by CCSpec on a 4096-node path; `maxIter` bounds pathology).
+    * Per-round checkpointing truncates lineage so the
     * plan doesn't grow with iterations, and the driver loop runs ACTIONS
     * (convergence counts), never collects data. Returns (doc_id, rep_id =
     * min doc id of the component) for every node appearing in a pair;
@@ -247,7 +248,30 @@ object Dedup {
       pairs: DataFrame,
       aCol: String = "a_id",
       bCol: String = "b_id",
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50,
+      reliableCheckpoint: Boolean = false): DataFrame =
+    ccWithRounds(pairs, aCol, bCol, maxIter, reliableCheckpoint)._1
+
+  /** [[connectedComponents]] plus the number of propagation rounds it took —
+    * the observable that lets CCSpec pin the pointer-jumping complexity
+    * claim (rounds ≈ O(log diameter), not O(diameter)).
+    *
+    * Checkpoint durability: `localCheckpoint` stores blocks in executor
+    * memory/disk — fast, but on a real cluster an executor loss mid-iteration
+    * kills the job (lineage is truncated, blocks are gone). For cluster runs
+    * pass `reliable = true` and set `sparkContext.setCheckpointDir` to a
+    * durable store (HDFS/S3): same lineage truncation, recoverable blocks,
+    * one extra write per round — the standard trade for long iterative jobs
+    * at 100 TB.
+    */
+  private[graft] def ccWithRounds(
+      pairs: DataFrame,
+      aCol: String = "a_id",
+      bCol: String = "b_id",
+      maxIter: Int = 50,
+      reliable: Boolean = false): (DataFrame, Int) = {
+    def ckpt(df: DataFrame, eager: Boolean): DataFrame =
+      if (reliable) df.checkpoint(eager) else df.localCheckpoint(eager)
     val fwd = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
     // pairs come in as a<b once each, so reversing cannot create duplicates
     // — no distinct needed
@@ -258,22 +282,21 @@ object Dedup {
       // round's edge-side shuffle is already done (AQE sizes the partition
       // count to the data — few at test scale, many at 100 TB)
       .repartition(col("dst"))
-      .localCheckpoint(true)
+    val undC = ckpt(und, eager = true)
     // seed with the first hop folded in: rep = min(self, neighbors)
-    var labels = und.groupBy(col("src").as("node"))
-      .agg(least(col("src"), min(col("dst"))).as("rep"))
-      .localCheckpoint(false)
+    var labels = ckpt(undC.groupBy(col("src").as("node"))
+      .agg(least(col("src"), min(col("dst"))).as("rep")), eager = false)
     // labels only ever decrease, so sum(rep) is strictly monotone until the
     // fixpoint — an O(labels) agg per round instead of a join+count
     val seed = labels.agg(sum("rep")).head()
     if (seed.isNullAt(0)) // no pairs at all → no components
-      return labels.select(col("node").as("doc_id"), col("rep").as("rep_id"))
+      return (labels.select(col("node").as("doc_id"), col("rep").as("rep_id")), 0)
     var prevSum = seed.getLong(0)
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxIter) {
-      val prop = und.join(labels, und("dst") === labels("node"))
-        .select(und("src").as("node"), labels("rep").as("rep"))
+      val prop = undC.join(labels, undC("dst") === labels("node"))
+        .select(undC("src").as("node"), labels("rep").as("rep"))
       val merged = prop.unionByName(labels.select("node", "rep"))
         .groupBy("node").agg(min("rep").as("rep"))
       // pointer jumping (path halving): follow each node's new rep to that
@@ -284,13 +307,13 @@ object Dedup {
       // convergence certificate). The jump join keys on the unique `node`
       // side, so one-row-per-node is preserved without another aggregate.
       val jump = labels.select(col("node").as("_jn"), col("rep").as("_jr"))
-      labels = merged
+      labels = ckpt(merged
         .join(jump, merged("rep") === col("_jn"), "left")
         .select(merged("node"),
-          least(merged("rep"), coalesce(col("_jr"), merged("rep"))).as("rep"))
+          least(merged("rep"), coalesce(col("_jr"), merged("rep"))).as("rep")),
         // lazy: the convergence agg below materializes the checkpoint in the
         // SAME job — one job per round instead of checkpoint + agg
-        .localCheckpoint(false)
+        eager = false)
       val s = labels.agg(sum("rep")).head().getLong(0)
       converged = s == prevSum
       prevSum = s
@@ -304,7 +327,7 @@ object Dedup {
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge within $maxIter rounds — " +
         "a component's diameter exceeds maxIter; raise it")
-    labels.select(col("node").as("doc_id"), col("rep").as("rep_id"))
+    (labels.select(col("node").as("doc_id"), col("rep").as("rep_id")), rounds)
   }
 
   /** Embedding-cosine near-dup: pairs above a cosine threshold, candidate

@@ -37,4 +37,31 @@ object Splits {
       .when(b < lit(f"${testBuckets + valBuckets}%02x"), "val")
       .otherwise("train")
   }
+
+  /** 16-bit sample coordinate in [0, 0x10000) as four hex chars. Salted with
+    * a ":sample" suffix so sampling decisions are independent of
+    * [[hashBucket]]/[[assignSplit]] (the unsalted prefix would correlate
+    * "keep" with "test" — the first buckets of the same md5).
+    */
+  def sampleHash(key: Column): Column =
+    substring(md5(concat(key.cast("string"), lit(":sample")).cast("binary")), 1, 4)
+
+  /** Deterministic per-stratum sampling predicate: keep a row iff its
+    * [[sampleHash]] falls below `floor(fraction * 65536)` for its stratum
+    * (fixed-width lowercase hex compares like the number in every engine).
+    * Strata absent from `fractions` are dropped — `sampleBy` semantics.
+    *
+    * Unlike seeded `rand()`/`sampleBy` (partition-layout-dependent RNG
+    * streams), the decision is a pure function of the row's key: the sample
+    * is identical across reruns, engines, and cluster layouts — which is
+    * what a 100 TB backfill needs, and what lets the DuckDB oracle recompute
+    * the exact same sample.
+    */
+  def stratifiedKeep(key: Column, strata: Column, fractions: Map[String, Double]): Column =
+    fractions.toSeq.sortBy(_._1).foldLeft(lit(false)) { case (acc, (stratum, frac)) =>
+      val keep =
+        if (frac >= 1.0) lit(true)
+        else sampleHash(key) < lit(f"${math.floor(frac * 65536).toLong}%04x")
+      when(strata === stratum, keep).otherwise(acc)
+    }
 }

@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.Dedup
+
+/** Complexity + durability evidence for connectedComponents, beyond the
+  * semantic coverage in PipelineSpec:
+  *
+  *  - the pointer-jumping (path-halving) claim: a path graph is the
+  *    worst-case diameter for min-label propagation. Plain propagation needs
+  *    `diameter` rounds — for the 4096-node path below that is 4095, far
+  *    beyond maxIter=50, so convergence inside the bound is only possible if
+  *    the jump actually collapses chains; the round count is additionally
+  *    pinned to the O(log d) envelope.
+  *  - the reliable-checkpoint mode (`reliableCheckpoint = true`) for cluster
+  *    runs, where localCheckpoint blocks die with their executor.
+  */
+class CCSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("pointer jumping: 4096-node path converges in O(log d) rounds, not O(d)") {
+    val n = 4096
+    val pairs = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val (labels, rounds) = Dedup.ccWithRounds(pairs, maxIter = 50)
+    val out = labels.as[(Long, Long)].collect()
+    assert(out.length == n)
+    assert(out.forall(_._2 == 0L), "every node must resolve to rep 0")
+    // log2(4096) = 12; allow 2× slack for the halving (not full doubling)
+    // schedule. Plain propagation would need 4095 rounds.
+    assert(rounds <= 24, s"expected O(log d) rounds, got $rounds")
+  }
+
+  test("reliable-checkpoint mode produces the same components") {
+    val dir = java.nio.file.Files.createTempDirectory("cc_ckpt").toFile
+    spark.sparkContext.setCheckpointDir(dir.getAbsolutePath)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val local = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toSet
+    val durable = Dedup.connectedComponents(pairs, reliableCheckpoint = true)
+      .as[(Long, Long)].collect().toSet
+    assert(durable == local)
+    assert(durable == Set((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
+  }
+}

@@ -65,6 +65,44 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
     assert(cy < ry * 0.6, s"y span $cy !< $ry * 0.6")
   }
 
+  test("z-clustered parquet prunes row groups for a predicate on the SECOND dimension") {
+    val rnd = new scala.util.Random(13)
+    val df = Seq.fill(8000)((rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong))
+      .toDF("x", "y")
+    val base = java.nio.file.Files.createTempDirectory("zprune").toFile.getAbsolutePath
+    // linear layout baseline: sorted by x only — every file's y min/max
+    // spans the full domain, so a y predicate can skip nothing
+    df.repartitionByRange(16, $"x").sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(s"$base/linear")
+    Layout.clusterByZ(df, $"x", $"y", numFiles = 16, bits = 10)
+      .write.mode("overwrite").parquet(s"$base/zorder")
+    // rows the parquet scan emits = rows in row groups surviving min/max
+    // pruning of the pushed-down y predicate (row-LEVEL filtering happens in
+    // the later FilterExec, so this metric isolates the layout's effect)
+    def scanRows(path: String): (Long, Set[(Long, Long)]) = {
+      val q = spark.read.parquet(path).filter($"y" >= 256 && $"y" < 320)
+      val res = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val plan = q.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val scanned = plan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numOutputRows").value
+      }.sum
+      (scanned, res)
+    }
+    val (linRows, linRes) = scanRows(s"$base/linear")
+    val (zRows, zRes) = scanRows(s"$base/zorder")
+    assert(zRes == linRes, "layout must not change query results")
+    // 16 z-tiles over a 1024² domain ≈ a 4×4 grid; a 64-wide y band touches
+    // one grid row = ~4 of 16 files. Linear reads everything.
+    assert(linRows == 8000L, s"x-sorted layout should scan all rows, got $linRows")
+    assert(zRows <= linRows / 2,
+      s"z-clustered scan read $zRows rows vs $linRows unclustered — no pruning")
+  }
+
   test("bucketed tables equi-join with zero shuffle exchanges") {
     val a = spark.range(0, 1000).toDF("k").withColumn("va", $"k" * 2)
     val b = spark.range(0, 1000).toDF("k").withColumn("vb", $"k" + 1)

@@ -108,18 +108,25 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
 
   test("stratified sampling: untouched strata exact, downsampled near fraction") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val fr = Map("en" -> 0.5, "de" -> 1.0, "es" -> 1.0, "fr" -> 1.0, "zh" -> 1.0)
+    val keep = graft.pipeline.Splits.stratifiedKeep(col("doc_id"), col("lang"), fr)
     val counts = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
-    val sampled = docs.stat.sampleBy("lang",
-        Map("en" -> 0.5, "de" -> 1.0, "es" -> 1.0, "fr" -> 1.0, "zh" -> 1.0), 42L)
+    val sampled = docs.filter(keep)
       .groupBy("lang").count().as[(String, Long)].collect().toMap
     Seq("de", "es", "fr", "zh").foreach(l => assert(sampled(l) == counts(l)))
     val frac = sampled("en").toDouble / counts("en")
     assert(frac > 0.3 && frac < 0.7, s"en sampled fraction $frac")
-    // deterministic under the fixed seed
-    val again = docs.stat.sampleBy("lang", Map("en" -> 0.5, "de" -> 1.0,
-        "es" -> 1.0, "fr" -> 1.0, "zh" -> 1.0), 42L)
-      .groupBy("lang").count().as[(String, Long)].collect().toMap
-    assert(again == sampled)
+    // layout-independent: the EXACT same rows survive under any partitioning
+    // (the property seeded sampleBy lacks — its RNG stream is per-partition)
+    val first = docs.filter(keep).select("doc_id").as[Long].collect().toSet
+    val again = docs.repartition(7).filter(keep)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == first)
+    // strata absent from the fraction map are dropped (sampleBy semantics)
+    val only = docs.filter(
+        graft.pipeline.Splits.stratifiedKeep(col("doc_id"), col("lang"), Map("en" -> 1.0)))
+      .select("lang").distinct().as[String].collect().toSeq
+    assert(only == Seq("en"))
   }
 
   test("curate: exact dups dropped, per-lang median threshold applied") {
@@ -223,6 +230,40 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     val pairs = Dedup.incrementalMinhashPairs(batch, col("doc_id"), col("text"), idx)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((10L, 1L), (12L, 11L)))
+  }
+
+  test("incremental minhash: persisted index round-trip — append batches, equal full recompute") {
+    // the 100 TB ingestion story end-to-end: the band index is durable state
+    // on disk; each ingest batch (a) detects pairs against the persisted
+    // index and (b) appends its own rows, so no batch ever re-shingles the
+    // corpus. Two batches in, the pair set must equal what a from-scratch
+    // pairing of everything seen so far would find.
+    val dir = java.nio.file.Files.createTempDirectory("mh_idx").toFile.getAbsolutePath
+    val corpus = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6"),
+      (2L, "z1 z2 z3 z4 z5 z6")).toDF("doc_id", "text")
+    val b1 = Seq(
+      (10L, "w1 w2 w3 w4 w5 w6"),   // dup of corpus doc 1
+      (11L, "q1 q2 q3 q4 q5 q6")).toDF("doc_id", "text")
+    val b2 = Seq(
+      (20L, "q1 q2 q3 q4 q5 q6"),   // dup of batch-1 doc 11 — only visible
+        (21L, "r1 r2 r3 r4 r5 r6")  // through the persisted index
+      ).toDF("doc_id", "text")
+    Dedup.minhashBandIndex(corpus, col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(dir)
+    var found = Set.empty[(Long, Long)]
+    Seq(b1, b2).foreach { batch =>
+      val idx = spark.read.parquet(dir)
+      found ++= Dedup.incrementalMinhashPairs(batch, col("doc_id"), col("text"), idx)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      Dedup.minhashBandIndex(batch, col("doc_id"), col("text"))
+        .write.mode("append").parquet(dir)
+    }
+    assert(found == Set((10L, 1L), (20L, 11L)))
+    // cross-check vs from-scratch pairing of the full corpus
+    val full = Dedup.minhashLsh(corpus.union(b1).union(b2), col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSet // (b,a) = (new, dup_of)
+    assert(found == full)
   }
 
   test("simhash: identical text identical hash; near text within small hamming") {
