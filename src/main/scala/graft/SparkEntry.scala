@@ -213,6 +213,15 @@ object SparkEntry {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    // Per-group deterministic k-sample (min-hash reservoir): the 20
+    // smallest-salted-md5 docs per language — the count-based companion to
+    // q_sample_stratified's fraction-based sampler. TopKAgg bounds map-side
+    // state to k coordinates per group; no per-group window sort.
+    "q_sample_group" -> ((s, d) =>
+      graft.pipeline.Splits.sampleKPerGroup(
+        documents(s, d).select("doc_id", "lang"), col("lang"), col("doc_id"), k = 20)
+        .orderBy("doc_id")),
+
     // Date/time function battery over order dates.
     "q_dates" -> ((s, d) =>
       orders(s, d)
@@ -474,6 +483,24 @@ object SparkEntry {
           (unix_timestamp(col("purchase_ts")) - unix_timestamp(col("signup_ts")))
             .as("lag_seconds"))
         .orderBy("user_id")
+    }),
+
+    // Cohort retention: users grouped by signup week, distinct active users
+    // per (cohort, weeks-since). All-integer week arithmetic (both engines
+    // truncate weeks to Monday; day deltas between Mondays are exact
+    // multiples of 7, so the division is float-safe).
+    "events_retention" -> ((s, d) => {
+      val e = events(s, d)
+      val cohorts = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(date_trunc("week", min("ts")).as("cohort_week"))
+      e.select(col("user_id"), date_trunc("week", col("ts")).as("act_week"))
+        .join(cohorts, "user_id")
+        .filter(col("act_week") >= col("cohort_week"))
+        .groupBy(col("cohort_week"),
+          (datediff(col("act_week").cast("date"), col("cohort_week").cast("date")) / 7)
+            .cast("int").as("weeks_since"))
+        .agg(countDistinct("user_id").as("n_active"))
+        .orderBy("cohort_week", "weeks_since")
     }),
 
     // Pivot: order counts by priority × status (relational pivot surface;
@@ -897,6 +924,16 @@ object SparkEntry {
                     WHEN lang IN ('de', 'es', 'fr', 'zh') THEN TRUE
                     ELSE FALSE END
          ORDER BY doc_id""",
+    "q_sample_group" ->
+      """WITH h AS (
+           SELECT doc_id, lang,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':gsample'), 1, 13) AS BIGINT) AS hv
+           FROM documents),
+         r AS (
+           SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn
+           FROM h)
+         SELECT doc_id, lang FROM r WHERE rn <= 20 ORDER BY doc_id""",
     "q_exact_distinct" ->
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
          FROM events GROUP BY event_type ORDER BY event_type""",
@@ -962,6 +999,19 @@ object SparkEntry {
          WHERE CAST(purchase_ts AS TIMESTAMP) > CAST(signup_ts AS TIMESTAMP)
          ORDER BY s.user_id""",
 
+    "events_retention" ->
+      """WITH f AS (
+           SELECT user_id, date_trunc('week', min(CAST(ts AS TIMESTAMP))) AS cohort_week
+           FROM events WHERE event_type = 'signup' GROUP BY user_id),
+         a AS (
+           SELECT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS act_week
+           FROM events)
+         SELECT CAST(f.cohort_week AS TIMESTAMP) AS cohort_week,
+             CAST(datediff('day', CAST(f.cohort_week AS DATE), CAST(a.act_week AS DATE)) / 7 AS INT) AS weeks_since,
+             CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+         FROM a JOIN f USING (user_id)
+         WHERE a.act_week >= f.cohort_week
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_pivot" ->
       """SELECT o_orderpriority,
              CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS F,

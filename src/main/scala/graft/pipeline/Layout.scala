@@ -42,4 +42,37 @@ object Layout {
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table) // managed: lives under spark.sql.warehouse.dir
+
+  /** Hive-style partitioned write: one directory per distinct value of
+    * `partCol`. Predicates on the partition column then prune at PLANNING
+    * time (directories never listed into the scan — stronger than row-group
+    * stats, which still read every footer). The partition column should be
+    * low-cardinality (a date, a language); high-cardinality partitioning
+    * produces the small-file problem [[compact]] exists to fix.
+    */
+  def writePartitioned(df: DataFrame, dir: String, partCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partCol).parquet(dir)
+
+  /** Compact a small-file parquet directory into ≈`targetFileBytes` files,
+    * written to `outDir`. Streaming ingest (per-batch appends) and
+    * fine-grained partitioning accumulate tiny files; at 100 TB scan cost,
+    * listing pressure, and footer overhead scale with FILE COUNT, and
+    * min/max pruning loses power when every file is a sliver.
+    *
+    * `coalesce` (not `repartition`): compaction must not pay a full shuffle
+    * of the table — narrow merging of existing splits is the point.
+    * Returns the output file count.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, inDir: String,
+      outDir: String, targetFileBytes: Long): Int = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val onDisk = new java.io.File(inDir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val totalBytes = onDisk.map(_.length).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    spark.read.parquet(inDir).coalesce(nFiles)
+      .write.mode("overwrite").parquet(outDir)
+    new java.io.File(outDir).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+  }
 }

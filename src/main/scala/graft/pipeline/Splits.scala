@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic train/val/test split assignment by content hash — the
@@ -64,4 +64,41 @@ object Splits {
         else sampleHash(key) < lit(f"${math.floor(frac * 65536).toLong}%04x")
       when(strata === stratum, keep).otherwise(acc)
     }
+
+  /** 52-bit sample coordinate (13 hex chars of a salted md5) as a long —
+    * fits a double exactly, so it can pass through TopKAgg's double heap
+    * without precision loss. Distinct keys get distinct coordinates (md5
+    * collision odds are negligible), making k-th-smallest thresholds exact.
+    */
+  private[graft] def sampleCoord(key: Column): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(":gsample")).cast("binary")),
+      1, 13), 16, 10).cast("long")
+
+  /** Deterministic per-group uniform k-sample ("min-hash reservoir"): the k
+    * rows with the smallest salted-md5 coordinate in each group. Uniform
+    * because md5 is; deterministic and engine/layout-independent for the
+    * same reasons as [[stratifiedKeep]] — and count-based where
+    * stratifiedKeep is fraction-based (the two sampling surfaces a
+    * rebalancing pipeline needs).
+    *
+    * Scale shape: a `row_number` window would shuffle and sort EVERY row per
+    * group. Instead TopKAgg reduces each map partition to ≤k coordinates, the
+    * per-group k-th-smallest threshold table (one tiny row per group) is
+    * broadcast back, and rows keep iff coordinate ≤ threshold — the shuffle
+    * carries O(partitions·k), never the table.
+    */
+  def sampleKPerGroup(df: DataFrame, group: Column, key: Column, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val hashed = df.withColumn("_gs_h", sampleCoord(key))
+    // TopKAgg keeps the k LARGEST, so feed negated coordinates; the last
+    // (smallest) element of the descending top array is minus the k-th
+    // smallest coordinate — the group's admission threshold.
+    val thr = hashed.groupBy(group.as("_gs_g"))
+      .agg(graft.functions.TopKAgg.topK(-col("_gs_h").cast("double"), k).as("_t"))
+      .select(col("_gs_g"),
+        (-element_at(col("_t"), size(col("_t")))).cast("long").as("_gs_thr"))
+    hashed.join(broadcast(thr), group === col("_gs_g"))
+      .filter(col("_gs_h") <= col("_gs_thr"))
+      .drop("_gs_h", "_gs_g", "_gs_thr")
+  }
 }

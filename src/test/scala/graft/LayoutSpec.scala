@@ -129,6 +129,46 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
     assert(joined.count() == 1000)
   }
 
+  test("compact merges a small-file directory without losing rows (no shuffle: coalesce)") {
+    val base = java.nio.file.Files.createTempDirectory("compact").toFile.getAbsolutePath
+    spark.range(0, 20000).toDF("id").repartition(64)
+      .write.parquet(s"$base/in")
+    val inFiles = new java.io.File(s"$base/in").listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(inFiles == 64)
+    val inBytes = new java.io.File(s"$base/in").listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.length).sum
+    val outFiles = Layout.compact(spark, s"$base/in", s"$base/out", inBytes / 4)
+    assert(outFiles <= 5, s"expected ~4 files, got $outFiles")
+    val a = spark.read.parquet(s"$base/in").as[Long].collect().sorted
+    val b = spark.read.parquet(s"$base/out").as[Long].collect().sorted
+    assert(java.util.Arrays.equals(a, b))
+  }
+
+  test("partitioned write prunes directories at planning time") {
+    val base = java.nio.file.Files.createTempDirectory("partprune").toFile.getAbsolutePath
+    val df = spark.range(0, 3000).toDF("id")
+      .withColumn("day", concat(lit("2024-01-0"), ($"id" % 5 + 1).cast("string")))
+    Layout.writePartitioned(df, s"$base/t", "day")
+    def scanFiles(q: org.apache.spark.sql.DataFrame): Long = {
+      q.collect()
+      val plan = q.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      plan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value
+      }.sum
+    }
+    val all = spark.read.parquet(s"$base/t")
+    val full = scanFiles(all)
+    val pruned = scanFiles(all.filter($"day" === "2024-01-03"))
+    assert(pruned * 5 <= full, s"pruned scan lists $pruned of $full files")
+    assert(all.filter($"day" === "2024-01-03").count() == 600)
+  }
+
   test("anomalies flags a spike against its trailing window and nulls short histories") {
     val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
     // 30 hourly buckets of ~10 events, one bucket with 60

@@ -62,6 +62,27 @@ class PrivacySpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(counts("train") / n - 217.0 / 256) < 0.02)
   }
 
+  test("sampleKPerGroup: exactly k per big group, whole group when smaller, layout-independent") {
+    val df = spark.range(0, 5000).toDF("id")
+      .withColumn("g", when($"id" < 4990, lit("big")).otherwise(lit("small")))
+    val out = Splits.sampleKPerGroup(df, $"g", $"id", k = 25)
+      .select("g", "id").as[(String, Long)].collect()
+    val byG = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byG("big").size == 25)
+    assert(byG("small").size == 10) // group smaller than k → keep all
+    // equals the window-reference formulation (k smallest coordinates)
+    val ref = df.withColumn("h", Splits.sampleCoord($"id"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"g").orderBy($"h", $"id")))
+      .filter($"rn" <= 25).select("g", "id").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byG == ref)
+    // identical sample under a different physical layout
+    val again = Splits.sampleKPerGroup(df.repartition(7), $"g", $"id", k = 25)
+      .select("g", "id").as[(String, Long)].collect().toSet
+    assert(again == out.toSet)
+  }
+
   test("novelty: shared shingles lower the score, unique docs score 1") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"),     // shares "alpha beta gamma" + "beta gamma delta"? no — doc 2 shares only the first
