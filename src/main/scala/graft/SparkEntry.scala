@@ -139,6 +139,63 @@ object SparkEntry {
         .orderBy("o_custkey", "rn")
     }),
 
+    // Frame-based rolling aggregate: per-user 3-event moving sum (ROWS
+    // frame, exact decimal accumulation, double output at the boundary).
+    "events_rolling" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-2, 0)
+      events(s, d)
+        .withColumn("roll_sum", sum(dec(col("value"))).over(w).cast("double"))
+        .withColumn("roll_n", count(lit(1)).over(w))
+        .select("user_id", "event_id", "roll_sum", "roll_n")
+        .orderBy("user_id", "event_id")
+    }),
+
+    // lead/lag surface: day gaps between a customer's consecutive orders.
+    "q_order_gaps" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      orders(s, d)
+        .withColumn("next_date", lead(col("o_orderdate"), 1).over(w))
+        .filter(col("next_date").isNotNull)
+        .select(col("o_custkey"), col("o_orderkey"),
+          datediff(col("next_date"), col("o_orderdate")).as("gap_days"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // Distribution binning via ntile: global price deciles with ranges.
+    // Exact deciles need a global sort — the 100 TB form of this query is
+    // approx_percentile (q_sketch_distinct); this is the exact surface.
+    "q_ntile" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy("o_totalprice", "o_orderkey")
+      orders(s, d)
+        .withColumn("decile", ntile(10).over(w))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n"),
+          min(dec(col("o_totalprice"))).cast("double").as("min_price"),
+          max(dec(col("o_totalprice"))).cast("double").as("max_price"))
+        .select(col("decile").cast("int").as("decile"), col("n"),
+          col("min_price"), col("max_price"))
+        .orderBy("decile")
+    }),
+
+    // Edit-distance fuzzy match (levenshtein is the same DP in both
+    // engines): top-10 part names nearest the probe. The length-band
+    // prefilter is part of the operator's semantics (edit distance >= length
+    // difference, so it only drops candidates that cannot beat the band) —
+    // at scale it bounds the candidate set before any distance is computed.
+    "q_fuzzy_match" -> ((s, d) => {
+      val probe = "red wigdet" // a typo'd "red widget" — dist 2 to the real name
+      part(s, d)
+        .filter(abs(length(col("p_name")) - lit(probe.length)) <= 5)
+        .select(col("p_partkey"), col("p_name"),
+          levenshtein(lit(probe), col("p_name")).as("dist"))
+        .orderBy("dist", "p_partkey")
+        .limit(10)
+    }),
+
     // Grouping sets via rollup; explicit NULLS FIRST for cross-engine order.
     "q_rollup" -> ((s, d) =>
       lineitem(s, d)
@@ -802,6 +859,36 @@ object SparkEntry {
              row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
            FROM orders)
          WHERE rn <= 3 AND o_custkey < 200 ORDER BY o_custkey, rn""",
+    "events_rolling" ->
+      """SELECT user_id, event_id,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS roll_sum,
+             CAST(count(*) OVER w AS BIGINT) AS roll_n
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, event_id""",
+    "q_order_gaps" ->
+      """SELECT o_custkey, o_orderkey,
+             CAST(datediff('day', o_orderdate, next_date) AS INT) AS gap_days
+         FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+                 lead(o_orderdate) OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS next_date
+               FROM orders)
+         WHERE next_date IS NOT NULL ORDER BY o_custkey, o_orderkey""",
+    "q_ntile" ->
+      """SELECT CAST(decile AS INT) AS decile, CAST(count(*) AS BIGINT) AS n,
+             CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
+             CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
+         FROM (SELECT o_totalprice,
+                 ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+               FROM orders)
+         GROUP BY decile ORDER BY decile""",
+    "q_fuzzy_match" ->
+      """SELECT p_partkey, p_name,
+             CAST(levenshtein('red wigdet', p_name) AS INT) AS dist
+         FROM part
+         WHERE abs(length(p_name) - 10) <= 5
+         ORDER BY dist, p_partkey LIMIT 10""",
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

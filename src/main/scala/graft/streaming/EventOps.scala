@@ -109,11 +109,24 @@ object EventOps {
     * bounded ROWS window per type over the (tiny) bucket series.
     */
   def anomalies(events: DataFrame, every: String = "1 hour", lookback: Int = 24,
-      zThreshold: Double = 2.0): DataFrame = {
-    val hourly = events
+      zThreshold: Double = 2.0): DataFrame =
+    scoreBuckets(bucketCounts(events, every), lookback, zThreshold)
+
+  /** Per-(bucket, type) event counts — the only stage that touches the raw
+    * stream; runs incrementally under Structured Streaming.
+    */
+  def bucketCounts(events: DataFrame, every: String): DataFrame =
+    events
       .groupBy(window(col("ts"), every).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Z-score each bucket against its trailing `lookback` buckets (see
+    * [[anomalies]] for the exact-integer-sums determinism argument). Input
+    * is the compact bucket series — one row per bucket per type — so this
+    * is cheap regardless of raw-stream volume.
+    */
+  def scoreBuckets(hourly: DataFrame, lookback: Int, zThreshold: Double): DataFrame = {
     val trail = Window.partitionBy("event_type").orderBy("window_start")
       .rowsBetween(-lookback, -1)
     hourly
@@ -135,6 +148,35 @@ object EventOps {
       .withColumn("is_anomaly", coalesce(abs(col("z")) > zThreshold, lit(false)))
       .select("window_start", "event_type", "n", "z", "is_anomaly")
   }
+
+  /** Streaming anomaly detection. The heavy stage ([[bucketCounts]]) runs
+    * incrementally inside the engine — append mode emits each bucket exactly
+    * once, when the watermark passes its end. Finalized buckets append to a
+    * compact parquet store, and [[scoreBuckets]] runs over THAT store per
+    * micro-batch: one row per bucket per type, tiny forever, so the raw
+    * stream is never re-scanned no matter how many TB/day it carries.
+    * `onBatch` receives the full scored series after each batch (route it to
+    * an alerting sink in production).
+    */
+  def anomalySink(
+      events: DataFrame,
+      storeDir: String,
+      every: String = "1 hour",
+      lookback: Int = 24,
+      zThreshold: Double = 2.0,
+      watermark: String = "0 seconds")(
+      onBatch: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    bucketCounts(withWatermarkIfStreaming(events, "ts", watermark), every)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          batch.write.mode("append").parquet(storeDir)
+          onBatch(scoreBuckets(
+            batch.sparkSession.read.parquet(storeDir), lookback, zThreshold))
+        }
+      }
+      .start()
 
   /** JSON property extraction from the `props` column + top-k per event type
     * by extracted value — exercises semi-structured access at scan time.

@@ -175,6 +175,37 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(hour0.head.getAs[Long]("n") == 2) // late event 4 was dropped
   }
 
+  test("streaming anomaly sink equals the batch anomaly query on finalized buckets") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = ts("2024-01-01 00:00:00").getTime
+    // 30 hourly buckets, a spike at hour 25 (the LayoutSpec fixture shape)
+    val rows = (0 until 30).flatMap { h =>
+      val n = if (h == 25) 60 else 10 + (h % 3)
+      (0 until n).map(i => Ev(h.toLong * 1000 + i,
+        new Timestamp(base + h * 3600L * 1000 + i * 1000), 1, "click", 1.0))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("anom_store").toFile.getAbsolutePath
+    var last: org.apache.spark.sql.DataFrame = null
+    val mem = MemoryStream[Ev]
+    val q = graft.streaming.EventOps.anomalySink(
+      mem.toDF(), s"$dir/counts", "1 hour", lookback = 24, zThreshold = 2.0)(
+      scored => last = scored)
+    mem.addData(rows.take(150): _*)   // mid-bucket split: a bucket must not
+    q.processAllAvailable()           // be emitted before the watermark
+    mem.addData(rows.drop(150): _*)   // passes its end
+    q.processAllAvailable()
+    mem.addData(flush)                // finalize all 30 real buckets
+    q.processAllAvailable()
+    q.stop()
+    val streamed = last.filter($"event_type" === "click")
+      .orderBy("window_start").collect().toSeq
+    val batch = graft.streaming.EventOps.anomalies(
+        rows.toDF(), "1 hour", lookback = 24, zThreshold = 2.0)
+      .orderBy("window_start").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.count(_.getAs[Boolean]("is_anomaly")) >= 1) // the spike
+  }
+
   test("batch sessionization splits on gap strictly greater than threshold") {
     val out = EventOps.sessionizeBatch(evs.toDF(), 30)
       .orderBy("user_id", "session_start").collect()
