@@ -61,7 +61,9 @@ object Layout {
     *
     * `coalesce` (not `repartition`): compaction must not pay a full shuffle
     * of the table — narrow merging of existing splits is the point.
-    * Returns the output file count.
+    * Returns the output file count. Operates on a FLAT parquet directory;
+    * compact Hive-partitioned tables one partition directory at a time (the
+    * natural unit — partitions compact independently and in parallel).
     */
   def compact(spark: org.apache.spark.sql.SparkSession, inDir: String,
       outDir: String, targetFileBytes: Long): Int = {

@@ -49,7 +49,8 @@ object Splits {
   /** Deterministic per-stratum sampling predicate: keep a row iff its
     * [[sampleHash]] falls below `floor(fraction * 65536)` for its stratum
     * (fixed-width lowercase hex compares like the number in every engine).
-    * Strata absent from `fractions` are dropped — `sampleBy` semantics.
+    * Strata absent from `fractions` are dropped — `sampleBy` semantics
+    * (null strata are likewise absent-from-map, hence dropped).
     *
     * Unlike seeded `rand()`/`sampleBy` (partition-layout-dependent RNG
     * streams), the decision is a pure function of the row's key: the sample
@@ -86,6 +87,10 @@ object Splits {
     * per-group k-th-smallest threshold table (one tiny row per group) is
     * broadcast back, and rows keep iff coordinate ≤ threshold — the shuffle
     * carries O(partitions·k), never the table.
+    *
+    * `key` must be unique per row (it is the row's sampling identity):
+    * duplicate keys share a coordinate, and every row at the threshold
+    * coordinate is kept, so duplicates would push a group past k.
     */
   def sampleKPerGroup(df: DataFrame, group: Column, key: Column, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
@@ -97,7 +102,10 @@ object Splits {
       .agg(graft.functions.TopKAgg.topK(-col("_gs_h").cast("double"), k).as("_t"))
       .select(col("_gs_g"),
         (-element_at(col("_t"), size(col("_t")))).cast("long").as("_gs_thr"))
-    hashed.join(broadcast(thr), group === col("_gs_g"))
+    // null-safe equality: a null group is a legitimate stratum for groupBy,
+    // so it must also match its own threshold row (plain === would silently
+    // drop every null-group row)
+    hashed.join(broadcast(thr), group <=> col("_gs_g"))
       .filter(col("_gs_h") <= col("_gs_thr"))
       .drop("_gs_h", "_gs_g", "_gs_thr")
   }

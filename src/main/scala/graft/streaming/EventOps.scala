@@ -156,7 +156,10 @@ object EventOps {
     * micro-batch: one row per bucket per type, tiny forever, so the raw
     * stream is never re-scanned no matter how many TB/day it carries.
     * `onBatch` receives the full scored series after each batch (route it to
-    * an alerting sink in production).
+    * an alerting sink in production). Note: a plain parquet append is
+    * at-least-once under batch retries — if duplicate finalized buckets
+    * matter, dedupe the store on (window_start, event_type) at read or use
+    * a transactional sink (the GraphStore manifest pattern).
     */
   def anomalySink(
       events: DataFrame,

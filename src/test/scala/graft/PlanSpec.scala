@@ -87,4 +87,33 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double," +
       "l_discount:double,l_returnflag:string,l_linestatus:string>"))
   }
+
+  test("q_sample_group plans bounded partial top_k agg + broadcast threshold join") {
+    val p = plan("q_sample_group")
+    // the TypedImperativeAggregate must run partial+final (map-side state ≤k
+    // coords per group) and the tiny threshold table must broadcast — a
+    // SortMergeJoin or window sort here would shuffle the whole table
+    assert(p.contains("top_k"), s"missing top_k agg:\n$p")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"top_k must have partial+final aggregate levels:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"thresholds must broadcast:\n$p")
+    assert(!p.contains("Window"), s"sampler must not fall back to a window sort:\n$p")
+  }
+
+  test("events_rolling: the window runs off ONE hash shuffle") {
+    val p = plan("events_rolling")
+    assert(p.contains("Window"))
+    // exactly two exchanges: one hash (the per-user window partitioning) and
+    // one range (the declared query's output orderBy — not the operator)
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size == 2,
+      s"rolling agg should have exactly window-hash + output-sort exchanges:\n$p")
+    assert(p.contains("hashpartitioning") && p.contains("rangepartitioning"),
+      s"expected one hash (window) and one range (output sort) exchange:\n$p")
+  }
+
+  test("q_fuzzy_match is scan -> top-k, no join or shuffle beyond the final cut") {
+    val p = plan("q_fuzzy_match")
+    assert(p.contains("TakeOrderedAndProject"), s"top-10 must be TakeOrdered:\n$p")
+    assert(!p.contains("Join"), s"fuzzy match must be a single scan:\n$p")
+  }
 }
