@@ -31,6 +31,36 @@ class CCSpec extends AnyFunSuite with SparkTestBase {
     assert(rounds <= 24, s"expected O(log d) rounds, got $rounds")
   }
 
+  test("property: components equal an in-memory union-find on random graphs") {
+    Seq(3, 17, 41).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 80
+      val pairs = (0 until 120).map { _ =>
+        val a = rnd.nextInt(n).toLong
+        val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      // reference: plain union-find with path compression
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        .map(v => v -> find(v.toInt).toLong).toMap
+      val got = Dedup.connectedComponents(pairs.toDF("a_id", "b_id"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
   test("reliable-checkpoint mode produces the same components") {
     val dir = java.nio.file.Files.createTempDirectory("cc_ckpt").toFile
     spark.sparkContext.setCheckpointDir(dir.getAbsolutePath)
