@@ -330,6 +330,24 @@ object Dedup {
     (labels.select(col("node").as("doc_id"), col("rep").as("rep_id")), rounds)
   }
 
+  /** The terminal step of the dedup pipeline: given the corpus and the
+    * components output (doc_id, rep_id), keep every doc that is either
+    * pair-free (absent from components — its own trivial cluster) or its
+    * cluster's representative. A broadcast-able left join + filter: the
+    * components table holds only docs that appeared in a near-dup pair —
+    * tiny relative to the corpus at real dup rates — so the corpus is
+    * never shuffled.
+    */
+  def keepRepresentatives(
+      docs: DataFrame,
+      id: Column,
+      components: DataFrame): DataFrame = {
+    val drop = components
+      .filter(col("doc_id") =!= col("rep_id"))
+      .select(col("doc_id").as("_dup_id"))
+    docs.join(broadcast(drop), id === col("_dup_id"), "left_anti")
+  }
+
   /** Embedding-cosine near-dup: pairs above a cosine threshold, candidate
     * set bounded by a multi-band random-hyperplane LSH join (OR over
     * `bands` sign-bucket tables of `planesPerBand` planes each — standard

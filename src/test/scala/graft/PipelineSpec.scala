@@ -266,6 +266,20 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(found == full)
   }
 
+  test("keepRepresentatives: drops non-representative cluster members, keeps pair-free docs") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6"),
+      (2L, "w1 w2 w3 w4 w5 w6"),  // dup of 1 → dropped
+      (3L, "w1 w2 w3 w4 w5 w6"),  // dup of 1 → dropped
+      (4L, "z1 z2 z3 z4 z5 z6")   // pair-free → kept
+    ).toDF("doc_id", "text")
+    val comps = Dedup.connectedComponents(
+      Dedup.minhashLsh(docs, col("doc_id"), col("text")))
+    val kept = Dedup.keepRepresentatives(docs, col("doc_id"), comps)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L))
+  }
+
   test("simhash: identical text identical hash; near text within small hamming") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
