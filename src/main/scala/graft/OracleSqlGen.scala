@@ -445,6 +445,36 @@ object OracleSqlGen {
         FROM sh JOIN dfreq USING (sh)
         GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Mirrors GraphAnalytics.pageRankInt over the customer→order→part FK
+    * graph: one CTE per iteration (the SQL twin of the Spark loop), all
+    * integer arithmetic so the ranks hash-match exactly. Node ids are longs
+    * with disjoint offsets (customers +2e9, parts +1e9) — no string keys.
+    */
+  def pageRankInt(iters: Int, topK: Int, scale: Long = 1000000L,
+      dampNum: Long = 85, dampDen: Long = 100): String = {
+    val base = (scale * (dampDen - dampNum)) / dampDen
+    val iterCtes = (1 to iters).map { i =>
+      s"""r$i AS (
+           SELECT n.node, $base + coalesce(sum(c.contrib), 0) AS pr
+           FROM n LEFT JOIN (
+             SELECT e.dst AS node, ((r.pr * $dampNum) // $dampDen) // d.out_deg AS contrib
+             FROM r${i - 1} r JOIN d ON r.node = d.node JOIN e ON e.src = r.node) c
+             ON c.node = n.node
+           GROUP BY n.node)"""
+    }.mkString(",\n        ")
+    s"""WITH e AS (
+          SELECT 2000000000 + o_custkey AS src, o_orderkey AS dst FROM orders
+          UNION ALL
+          SELECT l_orderkey AS src, 1000000000 + l_partkey AS dst FROM lineitem),
+        n AS (SELECT DISTINCT node FROM
+                (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+        d AS (SELECT src AS node, count(*) AS out_deg FROM e GROUP BY src),
+        r0 AS (SELECT node, CAST($scale AS BIGINT) AS pr FROM n),
+        $iterCtes
+        SELECT node, CAST(pr AS BIGINT) AS pr FROM r$iters
+        ORDER BY pr DESC, node ASC LIMIT $topK"""
+  }
+
   /** Must mirror Multimodal.FakeDecoder exactly (text is ASCII in the test
     * tables, so ascii(substr) == byte values).
     */

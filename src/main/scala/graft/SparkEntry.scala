@@ -762,7 +762,133 @@ object SparkEntry {
         .select(col("user_id"), col("purchase_id"),
           col("signup_ts").cast("timestamp").as("signup_ts"),
           col("purchase_ts").cast("timestamp").as("purchase_ts"))
-        .orderBy("user_id", "purchase_id", "signup_ts"))
+        .orderBy("user_id", "purchase_id", "signup_ts")),
+
+    // ── graph analytics / time-series battery (round 4 wave 2) ────────────
+
+    // Fixed-point integer PageRank (3 iterations) over the customer→order→
+    // part FK graph. Integer arithmetic throughout so the per-target
+    // contribution sums are order-independent — hash-verifiable against the
+    // chained-CTE oracle, unlike float PageRank. Edges partitioned by src
+    // once; each iteration is exactly one shuffle (the groupBy(dst)).
+    "graph_pagerank" -> ((s, d) => {
+      val o = orders(s, d).select(
+        (lit(2000000000L) + col("o_custkey")).as("src"),
+        col("o_orderkey").as("dst"))
+      val li = lineitem(s, d).select(
+        col("l_orderkey").as("src"),
+        (lit(1000000000L) + col("l_partkey")).as("dst"))
+      graft.operators.GraphAnalytics.pageRankInt(o.union(li), iters = 3)
+        .orderBy(desc("pr"), asc("node")).limit(20)
+    }),
+
+    // Markov next-event transition matrix: per-user event sequences (total
+    // order: ts then event_id), lead() for the successor, integer counts and
+    // one rounded division for the transition probability. One window sort +
+    // one tiny aggregation — the window partitions by user_id, so at scale
+    // the sort is per-user and balanced.
+    "events_transitions" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+      val tot = Window.partitionBy("from_type")
+      events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", round(col("n") / sum("n").over(tot), 6))
+        .orderBy("from_type", "to_type")
+    }),
+
+    // Time-series gap fill: dense hourly grid (global min..max hour ×
+    // distinct event types, built with sequence+explode — tiny, broadcast)
+    // left-joined against the hourly counts; missing buckets emit 0. The
+    // only full-data operation is the counts aggregation.
+    "events_gapfill" -> ((s, d) => {
+      val e = events(s, d)
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      val grid = e.agg(min("hour").as("lo"), max("hour").as("hi"))
+        .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("hour"))
+        .crossJoin(e.select("event_type").distinct())
+      grid.join(e.groupBy("event_type", "hour").agg(count(lit(1)).as("n")),
+          Seq("event_type", "hour"), "left")
+        .select(col("event_type"), col("hour").cast("timestamp").as("hour"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("event_type", "hour")
+    }),
+
+    // Fixed-width histogram: integer bucket = floor(price / width). One
+    // partial-agg shuffle; bucket count is bounded by the value domain, not
+    // the row count.
+    "q_histogram" -> ((s, d) =>
+      orders(s, d)
+        .groupBy(floor(col("o_totalprice") / 50000).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket")),
+
+    // Materialized rollup + incremental maintenance, end to end: history
+    // (ship year < 1998) builds the summary, the 1998 batch appends via
+    // O(batch) appendDelta (the existing summary is never read), and the
+    // merging read re-aggregates to a coarser grain. The oracle is a direct
+    // aggregate over the FULL fact table, so the hash-match proves
+    // build+append+merge ≡ recompute — the don't-rescan-the-fact-table
+    // pattern a 100 TB warehouse lives on. Decimal partials make the merge
+    // bit-exact.
+    "q_rollup_mv" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_mv").toString + "/mv"
+      val li = lineitem(s, d)
+      val dims = Seq("l_returnflag", "l_linestatus")
+      val ms = Seq("l_quantity", "l_extendedprice")
+      graft.pipeline.Rollup.build(
+        li.filter(year(col("l_shipdate")) < 1998), dims, ms, dir)
+      graft.pipeline.Rollup.appendDelta(
+        li.filter(year(col("l_shipdate")) >= 1998), dims, ms, dir)
+      graft.pipeline.Rollup.query(s, dir, Seq("l_returnflag"), ms)
+        .select(col("l_returnflag"), col("n"),
+          col("sum_l_quantity").as("sum_qty"),
+          col("sum_l_extendedprice").as("sum_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Winsorized aggregation: per-group p5/p95 (tiny, broadcast back) clamp
+    // the measure before the exact decimal sum — the standard outlier-robust
+    // rollup. Percentiles rounded to 4 decimals at the clamp boundary (the
+    // q_percentile portability rule); clamped values cast to DECIMAL(18,4)
+    // so the sum is order-independent, final output cast to DOUBLE.
+    "q_winsorize" -> ((s, d) => {
+      val pct = orders(s, d).groupBy("o_orderpriority")
+        .agg(round(expr("percentile(o_totalprice, 0.05)"), 4).as("p5"),
+          round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95"))
+      orders(s, d).join(broadcast(pct), "o_orderpriority")
+        .select(col("o_orderpriority"),
+          least(greatest(col("o_totalprice"), col("p5")), col("p95")).as("w"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("w").cast(DecimalType(18, 4))).cast("double").as("sum_w"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // SCD-2-style status spans: collapse each user's event stream to runs of
+    // equal event_type (lag ≠ current ⇒ new span), close each span at the
+    // next change (lead), then aggregate span counts and total seconds per
+    // status. Two windows over the SAME (user_id, ts, event_id) order — one
+    // shuffle, the sort is reused.
+    "events_status_spans" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+      val changes = events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_type").isNull.or(col("prev_type") =!= col("event_type")))
+      changes
+        .withColumn("valid_to", lead("ts", 1).over(w))
+        .filter(col("valid_to").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(unix_timestamp(col("valid_to")) - unix_timestamp(col("ts"))).as("total_s"))
+        .orderBy("event_type")
+    })
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names, same total
@@ -1177,6 +1303,64 @@ object SparkEntry {
            SELECT event_id, event_type, CAST(props->>'$.k' AS INT) AS k_val,
              row_number() OVER (PARTITION BY event_type ORDER BY CAST(props->>'$.k' AS INT) DESC, event_id ASC) AS rank
            FROM events)
-         WHERE rank <= 5 ORDER BY event_type, rank"""
+         WHERE rank <= 5 ORDER BY event_type, rank""",
+    "graph_pagerank" -> OracleSqlGen.pageRankInt(iters = 3, topK = 20),
+    "events_transitions" ->
+      """WITH x AS (
+           SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_type
+           FROM events)
+         SELECT event_type AS from_type, next_type AS to_type,
+             CAST(count(*) AS BIGINT) AS n,
+             round(count(*) / sum(count(*)) OVER (PARTITION BY event_type), 6) AS p
+         FROM x WHERE next_type IS NOT NULL
+         GROUP BY 1, 2 ORDER BY from_type, to_type""",
+    "events_gapfill" ->
+      """WITH e AS (
+           SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour
+           FROM events),
+         b AS (SELECT min(hour) AS lo, max(hour) AS hi FROM e),
+         g AS (SELECT t.event_type, CAST(h.h AS TIMESTAMP) AS hour
+               FROM (SELECT DISTINCT event_type FROM e) t,
+                    (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b) h),
+         c AS (SELECT event_type, hour, count(*) AS n FROM e GROUP BY 1, 2)
+         SELECT g.event_type, g.hour, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+         FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.hour = c.hour
+         ORDER BY 1, 2""",
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n
+         FROM orders GROUP BY 1 ORDER BY bucket""",
+    "q_rollup_mv" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_price
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q_winsorize" ->
+      """WITH pct AS (
+           SELECT o_orderpriority,
+             round(quantile_cont(o_totalprice, 0.05), 4) AS p5,
+             round(quantile_cont(o_totalprice, 0.95), 4) AS p95
+           FROM orders GROUP BY 1)
+         SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(least(greatest(o_totalprice, p5), p95) AS DECIMAL(18,4))) AS DOUBLE) AS sum_w
+         FROM orders JOIN pct USING (o_orderpriority)
+         GROUP BY 1 ORDER BY 1""",
+    "events_status_spans" ->
+      """WITH x AS (
+           SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+           FROM events),
+         c AS (SELECT user_id, event_type, ts, event_id FROM x
+               WHERE prev_type IS NULL OR prev_type <> event_type),
+         sp AS (SELECT user_id, event_type, ts,
+                  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+                FROM c)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(sum(CAST(floor(epoch(valid_to)) - floor(epoch(ts)) AS BIGINT)) AS BIGINT) AS total_s
+         FROM sp WHERE valid_to IS NOT NULL
+         GROUP BY 1 ORDER BY 1"""
   )
 }

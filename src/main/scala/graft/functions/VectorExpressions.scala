@@ -304,5 +304,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TopKAgg].getName, "top_k"),
       (exprs: Seq[Expression]) => TopKAgg.fromSql(exprs)))
     e.injectOptimizerRule(_ => graft.plans.RewriteDisjunctiveSemiJoin)
+    // materialized-rollup rewrite; no-op until RollupRegistry.register
+    e.injectOptimizerRule(_ => graft.plans.RewriteAggregateToRollup)
   }
 }

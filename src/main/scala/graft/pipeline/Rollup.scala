@@ -1,0 +1,78 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Materialized rollup (summary table) with incremental maintenance — the
+  * standard way a 100 TB warehouse avoids rescanning the fact table for every
+  * dashboard aggregate.
+  *
+  * The rollup stores ALGEBRAIC partial aggregates at a declared grain:
+  * `dims..., _n (count), _sum_<measure> (exact decimal)`. Any query grouping
+  * by a SUBSET of the grain re-aggregates the summary (sum of counts, sum of
+  * sums; avg = merged sum / merged n) — the classic partial-aggregate merge,
+  * identical in spirit to Spark's own partial/final HashAggregate split but
+  * persisted across jobs.
+  *
+  * Incremental maintenance is append-only: a new batch is aggregated AT THE
+  * SAME GRAIN (an O(batch) job — the existing summary is not read) and
+  * appended. Duplicate grain rows across appends are merged by the reader's
+  * re-aggregation, so maintenance needs no rewrite, no merge-on-write, and no
+  * locking beyond the parquet append. A periodic `compactRollup` re-groups
+  * the summary back to one row per grain key.
+  *
+  * Sums are DECIMAL(28,4): exact and order-independent, so
+  * rollup-then-merge equals a direct aggregation of the base table
+  * bit-for-bit (spec-pinned) — with double sums the two orders of
+  * accumulation would drift in the last mantissa bits.
+  */
+object Rollup {
+
+  private def sumCol(m: String) = s"_sum_$m"
+
+  /** Aggregate `df` to the grain and write it (overwrite ⇒ initial build). */
+  def build(df: DataFrame, dims: Seq[String], measures: Seq[String],
+      path: String): Unit =
+    aggregateToGrain(df, dims, measures)
+      .write.mode("overwrite").parquet(path)
+
+  /** O(batch) incremental maintenance: aggregate ONLY the new batch at the
+    * grain and append. Never reads the existing summary.
+    */
+  def appendDelta(batch: DataFrame, dims: Seq[String], measures: Seq[String],
+      path: String): Unit =
+    aggregateToGrain(batch, dims, measures)
+      .write.mode("append").parquet(path)
+
+  private def aggregateToGrain(df: DataFrame, dims: Seq[String],
+      measures: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("_n") +:
+      measures.map(m => sum(col(m).cast(DecimalType(28, 4))).as(sumCol(m)))
+    df.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Merging read: group the summary by `groupCols` (must be a subset of the
+    * build grain) and merge the partials. Output per measure: `sum_<m>`
+    * (DOUBLE at the boundary per the portability rule) and `n`.
+    */
+  def query(spark: SparkSession, path: String, groupCols: Seq[String],
+      measures: Seq[String]): DataFrame = {
+    val summary = spark.read.parquet(path)
+    val aggs = sum(col("_n")).as("n") +:
+      measures.map(m => sum(col(sumCol(m))).cast("double").as(s"sum_$m"))
+    summary.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Re-merge appended grain rows back to one row per key (periodic
+    * maintenance; bounds summary growth at O(grain), not O(appends)).
+    */
+  def compactRollup(spark: SparkSession, path: String, dims: Seq[String],
+      measures: Seq[String], outPath: String): Unit = {
+    val summary = spark.read.parquet(path)
+    val aggs = sum(col("_n")).as("_n") +:
+      measures.map(m => sum(col(sumCol(m))).as(sumCol(m)))
+    summary.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .write.mode("overwrite").parquet(outPath)
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.Rollup
+
+/** Materialized-rollup contract:
+  *  1. merging a rollup at a coarser grain equals aggregating the base table
+  *     directly — bit-for-bit (decimal partials);
+  *  2. incremental maintenance (O(batch) appendDelta) equals a full rebuild
+  *     over base ∪ batch;
+  *  3. the reader touches only the summary: scanned rows are bounded by the
+  *     grain cardinality (× appends), never the fact-table row count;
+  *  4. compactRollup restores one row per grain key without changing results.
+  */
+class RollupSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val dims = Seq("flag", "status")
+  private val measures = Seq("qty", "price")
+
+  private def fact(n: Int, seed: Int) =
+    (0 until n).map { i =>
+      val h = (i * 2654435761L + seed) & 0x7fffffff
+      (s"f${h % 3}", s"s${h % 2}", (h % 100).toDouble, (h % 1000) / 4.0)
+    }.toDF("flag", "status", "qty", "price")
+
+  private def direct(df: org.apache.spark.sql.DataFrame, by: Seq[String]) =
+    df.groupBy(by.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("qty").cast(DecimalType(28, 4))).cast("double").as("sum_qty"),
+        sum(col("price").cast(DecimalType(28, 4))).cast("double").as("sum_price"))
+      .orderBy(by.map(col): _*)
+
+  test("rollup merge at coarser grain == direct aggregation of the base") {
+    val dir = Files.createTempDirectory("rollup").toString + "/r"
+    val base = fact(5000, 1)
+    Rollup.build(base, dims, measures, dir)
+    for (by <- Seq(Seq("flag"), Seq("flag", "status"))) {
+      val got = Rollup.query(spark, dir, by, measures).orderBy(by.map(col): _*)
+      assert(got.collect().toSeq == direct(base, by).collect().toSeq)
+    }
+  }
+
+  test("appendDelta (O(batch)) == full rebuild over base ∪ batch; compact keeps results") {
+    val dir = Files.createTempDirectory("rollup").toString + "/r"
+    val base = fact(5000, 1)
+    val batch1 = fact(700, 2)
+    val batch2 = fact(300, 3)
+    Rollup.build(base, dims, measures, dir)
+    Rollup.appendDelta(batch1, dims, measures, dir)
+    Rollup.appendDelta(batch2, dims, measures, dir)
+    val all = base.union(batch1).union(batch2)
+    val got = Rollup.query(spark, dir, Seq("flag"), measures).orderBy("flag")
+    assert(got.collect().toSeq == direct(all, Seq("flag")).collect().toSeq)
+
+    // after two appends the summary holds up to 3 rows per key; compaction
+    // restores one per key and leaves every merged answer unchanged
+    val compacted = dir + "_c"
+    Rollup.compactRollup(spark, dir, dims, measures, compacted)
+    val perKey = spark.read.parquet(compacted).groupBy(dims.map(col): _*)
+      .count().agg(max("count")).as[Long].head()
+    assert(perKey == 1L)
+    val got2 = Rollup.query(spark, compacted, Seq("flag"), measures).orderBy("flag")
+    assert(got2.collect().toSeq == direct(all, Seq("flag")).collect().toSeq)
+  }
+
+  test("reader scans the summary, not the fact table") {
+    val dir = Files.createTempDirectory("rollup").toString + "/r"
+    val base = fact(20000, 5)
+    Rollup.build(base, dims, measures, dir)
+    // grain has ≤6 keys, so the merging read's scan must be ≤6 rows — three
+    // orders of magnitude under the 20k fact rows.
+    val summaryRows = spark.read.parquet(dir).count()
+    assert(summaryRows <= 6L)
+    val q = Rollup.query(spark, dir, Seq("flag"), measures)
+    val scans = q.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    assert(scans.forall(_.contains("rollup")), s"unexpected scan: $scans")
+  }
+}
