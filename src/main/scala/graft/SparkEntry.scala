@@ -869,6 +869,42 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // Declarative data-quality battery (Deequ pattern): four constraints,
+    // ONE aggregation pass (one scan, one reduce — never a scan per check),
+    // unpivoted to (check_name, metric, ok) rows in-plan.
+    "q_quality_checks" -> ((s, d) =>
+      graft.pipeline.Quality.run(orders(s, d), Seq(
+        graft.pipeline.Quality.completeness("o_custkey"),
+        graft.pipeline.Quality.uniqueness("o_orderkey"),
+        graft.pipeline.Quality.minimum("o_totalprice", 0.0),
+        graft.pipeline.Quality.acceptedValues("o_orderstatus", Seq("F", "O", "P"))))),
+
+    // Frequent co-purchase pairs (2-itemsets): distinct parts per order,
+    // self-join co-partitioned on the order key (pair fanout bounded by
+    // basket size), support threshold prunes the tail before the top-k.
+    "graph_copurchase" -> ((s, d) => {
+      val lp = lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+      lp.as("a").join(lp.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 2)
+        .orderBy(desc("n_orders"), asc("p1"), asc("p2")).limit(20)
+    }),
+
+    // Persisted mergeable HLL sketch summary (rows-only by contract — the
+    // estimates are Datasketches-algorithm-specific): distinct suppliers per
+    // returnflag, estimated by union-merging a (returnflag, linestatus)-grain
+    // sketch table — the distinct-count analog of q_rollup_mv, since
+    // distinct is not algebraic and plain decimal partials can't express it.
+    "q_hll_rollup" -> ((s, d) => {
+      val summary = graft.pipeline.Profile.hllSummary(
+        lineitem(s, d), Seq("l_returnflag", "l_linestatus"), "l_suppkey")
+      graft.pipeline.Profile.hllEstimate(summary, Seq("l_returnflag"), "l_suppkey")
+        .orderBy("l_returnflag")
+    }),
+
     // SCD-2-style status spans: collapse each user's event stream to runs of
     // equal event_type (lag ≠ current ⇒ new span), close each span at the
     // next change (lead), then aggregate span counts and total seconds per
@@ -1347,6 +1383,31 @@ object SparkEntry {
              CAST(sum(CAST(least(greatest(o_totalprice, p5), p95) AS DECIMAL(18,4))) AS DOUBLE) AS sum_w
          FROM orders JOIN pct USING (o_orderpriority)
          GROUP BY 1 ORDER BY 1""",
+    "q_quality_checks" ->
+      """SELECT check_name, metric, ok FROM (
+           SELECT 'completeness(o_custkey)' AS check_name,
+               CAST(count(o_custkey) AS DOUBLE) / count(*) AS metric,
+               count(o_custkey) = count(*) AS ok FROM orders
+           UNION ALL
+           SELECT 'uniqueness(o_orderkey)',
+               CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(*),
+               count(DISTINCT o_orderkey) = count(*) FROM orders
+           UNION ALL
+           SELECT 'min(o_totalprice)', min(o_totalprice),
+               min(o_totalprice) >= 0 FROM orders
+           UNION ALL
+           SELECT 'accepted_values(o_orderstatus)',
+               CAST(sum(CASE WHEN o_orderstatus IN ('F','O','P') THEN 0 ELSE 1 END) AS DOUBLE),
+               sum(CASE WHEN o_orderstatus IN ('F','O','P') THEN 0 ELSE 1 END) = 0 FROM orders)
+         ORDER BY check_name""",
+    "graph_copurchase" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+         SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+             CAST(count(*) AS BIGINT) AS n_orders
+         FROM lp a JOIN lp b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         GROUP BY 1, 2 HAVING count(*) >= 2
+         ORDER BY n_orders DESC, p1, p2 LIMIT 20""",
     "events_status_spans" ->
       """WITH x AS (
            SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,

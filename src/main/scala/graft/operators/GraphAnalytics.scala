@@ -44,25 +44,37 @@ object GraphAnalytics {
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .repartition(col("src"))
       .cache()
+    // deg groups on e's partitioning key — no exchange; stays src-partitioned
+    val deg = e.groupBy("src").agg(count(lit(1)).as("out_deg")).cache()
+    val base = (scale * (dampDen - dampNum)) / dampDen
+
+    // Ranks are carried ONLY as received mass keyed by dst: any node absent
+    // from `recv` has rank = base (no in-edges), so the full O(V) rank frame
+    // never enters the loop. Per iteration exactly two exchanges: recv →
+    // src-hash for the degree join (e and deg are already src-partitioned,
+    // so the edge side never re-shuffles), and the groupBy(dst) sum.
+    var recv: Option[DataFrame] = None
+    for (_ <- 1 to iters) {
+      val contrib = recv match {
+        case None => // rank_0 = scale for every node
+          deg.select(col("src"),
+            expr(s"(($scale * $dampNum) div $dampDen) div out_deg").as("contrib"))
+        case Some(r) =>
+          deg.join(r.withColumnRenamed("node", "src"), Seq("src"), "left")
+            .select(col("src"),
+              expr(s"((($base + coalesce(recv, 0L)) * $dampNum) div $dampDen) div out_deg")
+                .as("contrib"))
+      }
+      recv = Some(
+        e.join(contrib, "src")
+          .groupBy(col("dst").as("node"))
+          .agg(sum("contrib").as("recv")))
+    }
+    // The O(V) node set is joined exactly once, at the end, for the output.
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-      .cache()
-    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("out_deg"))
-    val base = (scale * (dampDen - dampNum)) / dampDen
-
-    var ranks = nodes.withColumn("pr", lit(scale))
-    for (_ <- 1 to iters) {
-      val contrib = ranks.join(deg, "node")
-        .select(
-          col("node").as("src"),
-          expr(s"((pr * $dampNum) div $dampDen) div out_deg").as("contrib"))
-      val recv = e.join(contrib, "src")
-        .groupBy(col("dst").as("node"))
-        .agg(sum("contrib").as("recv"))
-      ranks = nodes.join(recv, Seq("node"), "left")
-        .select(col("node"), (lit(base) + coalesce(col("recv"), lit(0L))).as("pr"))
-    }
-    ranks
+    nodes.join(recv.get, Seq("node"), "left")
+      .select(col("node"), (lit(base) + coalesce(col("recv"), lit(0L))).as("pr"))
   }
 }

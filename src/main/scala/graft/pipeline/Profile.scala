@@ -39,4 +39,27 @@ object Profile {
       approx_count_distinct(col(cols.head), rsd).as(cols.head),
       cols.tail.map(c => approx_count_distinct(col(c), rsd).as(c)): _*)
   }
+
+  /** PERSISTED mergeable distinct-count summary: one Datasketches HLL sketch
+    * (binary column) per grain key. Unlike `approx_count_distinct` (whose
+    * sketch lives only inside one aggregation), these survive as data:
+    * union-merging them — across grain keys for a coarser group-by, or
+    * across appended batches for incremental maintenance — keeps the full
+    * HLL accuracy guarantee (union is lossless for the sketch's error
+    * bounds; it is NOT always bit-identical to a direct single-pass sketch,
+    * because the union gadget may promote the sketch's internal mode — the
+    * spec pins estimates to the exact count within the configured error
+    * band instead). This is the rollup pattern for distinct counts, which
+    * plain `Rollup` sums cannot express (distinct is not algebraic; the
+    * sketch makes it so).
+    */
+  def hllSummary(df: DataFrame, dims: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(dims.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol)).as(s"hll_$valueCol"))
+
+  /** Merge the summary to `groupCols` (⊆ build dims) and estimate. */
+  def hllEstimate(summary: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame =
+    summary.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_estimate(hll_union_agg(col(s"hll_$valueCol")))
+        .as(s"n_distinct_$valueCol"))
 }

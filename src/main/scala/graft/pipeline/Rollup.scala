@@ -64,6 +64,30 @@ object Rollup {
     summary.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** One micro-batch of streaming maintenance: the batch's grain aggregate
+    * lands in a `batch_id=N` partition dir with overwrite, so a replayed
+    * batch (foreachBatch is at-least-once) overwrites its own partition
+    * instead of double-counting — effective exactly-once without reading or
+    * locking the summary.
+    */
+  def writeMicroBatch(batch: DataFrame, dims: Seq[String], measures: Seq[String],
+      path: String, batchId: Long): Unit =
+    aggregateToGrain(batch, dims, measures)
+      .write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+
+  /** Maintain the rollup from a stream: foreachBatch → writeMicroBatch.
+    * Readers (`query`) merge across batch partitions by construction.
+    */
+  def maintainFromStream(stream: DataFrame, dims: Seq[String],
+      measures: Seq[String], path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeMicroBatch(batch, dims, measures, path, batchId)
+      }
+      .start()
+
   /** Re-merge appended grain rows back to one row per key (periodic
     * maintenance; bounds summary growth at O(grain), not O(appends)).
     */

@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Profile, Rollup}
+
+/** Mergeable-summary contracts that go beyond RollupSpec's algebraic sums:
+  *
+  *  - HLL summaries: distinct counts are NOT algebraic, so `Rollup` can't
+  *    maintain them — persisted Datasketches HLL sketches can. Union-merge is
+  *    max-of-registers (commutative/associative/idempotent), so estimating
+  *    from the merged summary must equal the direct one-pass estimate
+  *    EXACTLY, both when merging grain keys and when merging appended
+  *    batches.
+  *  - Streaming rollup maintenance: foreachBatch writes each micro-batch's
+  *    grain aggregate into its own batch_id partition with overwrite, making
+  *    replays idempotent (at-least-once foreachBatch → exactly-once effect).
+  */
+class SketchSummarySpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def docs(n: Int, seed: Int) =
+    (0 until n).map { i =>
+      val h = (i * 2654435761L + seed) & 0x7fffffff
+      (s"f${h % 3}", s"s${h % 2}", h % 500)
+    }.toDF("flag", "status", "uid")
+
+  /** Union keeps HLL's error guarantee but may promote the sketch's internal
+    * mode, so merged estimates are pinned to the EXACT count within the
+    * sketch's error band (±5% is generous: default lgK=12 gives ~1.6% rse),
+    * not to bit-equality with a direct sketch.
+    */
+  private def assertWithinBand(got: Seq[(String, Long)], exact: Map[String, Long]): Unit =
+    got.foreach { case (k, est) =>
+      val ex = exact(k)
+      assert(math.abs(est - ex) <= math.max(1L, (ex * 0.05).toLong),
+        s"estimate $est for $k outside ±5% of exact $ex")
+    }
+
+  test("HLL summary merged to a coarser grain estimates the exact count within the error band") {
+    val base = docs(8000, 11)
+    val summary = Profile.hllSummary(base, Seq("flag", "status"), "uid")
+    val merged = Profile.hllEstimate(summary, Seq("flag"), "uid")
+      .as[(String, Long)].collect().toSeq
+    val exact = base.groupBy("flag").agg(countDistinct("uid").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(merged.map(_._1).sorted == exact.keys.toSeq.sorted)
+    assertWithinBand(merged, exact)
+  }
+
+  test("persisted HLL summary: appended batches merge to a full-corpus-accurate estimate") {
+    val dir = Files.createTempDirectory("hll").toString + "/s"
+    val b1 = docs(5000, 11)
+    val b2 = docs(3000, 12)
+    Profile.hllSummary(b1, Seq("flag"), "uid").write.mode("overwrite").parquet(dir)
+    Profile.hllSummary(b2, Seq("flag"), "uid").write.mode("append").parquet(dir)
+    val merged = Profile.hllEstimate(spark.read.parquet(dir), Seq("flag"), "uid")
+      .as[(String, Long)].collect().toSeq
+    val exact = b1.union(b2).groupBy("flag").agg(countDistinct("uid").as("n"))
+      .as[(String, Long)].collect().toMap
+    assertWithinBand(merged, exact)
+  }
+
+  test("streaming rollup maintenance: stream == batch, and replayed batches don't double-count") {
+    val tmp = Files.createTempDirectory("stream-mv").toString
+    val srcDir = s"$tmp/src"
+    val mvDir = s"$tmp/mv"
+    val base = docs(4000, 3).withColumn("qty", col("uid").cast("double"))
+    base.write.mode("overwrite").parquet(srcDir)
+
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val q = Rollup.maintainFromStream(stream, Seq("flag"), Seq("qty"),
+      mvDir, s"$tmp/ckpt")
+    q.processAllAvailable()
+    q.stop()
+
+    val want = Rollup.query(spark, mvDir, Seq("flag"), Seq("qty"))
+      .orderBy("flag").collect().toSeq
+    // replay the whole source as the same batch ids a restart would reuse:
+    // batch 0 again — the partition overwrite must keep results identical
+    Rollup.writeMicroBatch(spark.read.parquet(srcDir), Seq("flag"), Seq("qty"),
+      mvDir, batchId = 0L)
+    val after = Rollup.query(spark, mvDir, Seq("flag"), Seq("qty"))
+      .orderBy("flag").collect().toSeq
+    assert(after == want, "replayed micro-batch must overwrite, not append")
+
+    // and the maintained summary answers match a direct batch aggregate
+    val direct = base.groupBy("flag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("qty").cast(org.apache.spark.sql.types.DecimalType(28, 4)))
+          .cast("double").as("sum_qty"))
+      .orderBy("flag").collect().toSeq
+    assert(want == direct)
+  }
+}
