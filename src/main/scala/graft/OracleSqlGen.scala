@@ -54,6 +54,32 @@ object OracleSqlGen {
         ORDER BY a_id, b_id"""
   }
 
+  /** Mirrors Dedup.containment: asymmetric |∩|/|A| with unpruned
+    * denominators and stop-shingle-pruned common counts, pair kept when
+    * either direction clears the threshold.
+    */
+  def containment(n: Int, threshold: Double, maxDocFreq: Long = Long.MaxValue): String = {
+    val pruned =
+      if (maxDocFreq == Long.MaxValue) "sh"
+      else s"""(SELECT s.* FROM sh s JOIN (
+                 SELECT sh FROM sh GROUP BY sh HAVING count(*) <= $maxDocFreq) k
+               USING (sh))"""
+    s"""WITH sh AS (
+          SELECT doc_id, unnest(list_distinct(${shinglesSql(n)})) AS sh FROM documents),
+        sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        pr AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
+          FROM $pruned a JOIN $pruned b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT a_id, b_id,
+            CAST(n_common AS DOUBLE) / sa.n_sh AS c_a_in_b,
+            CAST(n_common AS DOUBLE) / sb.n_sh AS c_b_in_a
+        FROM pr JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+        WHERE greatest(CAST(n_common AS DOUBLE) / sa.n_sh,
+                       CAST(n_common AS DOUBLE) / sb.n_sh) >= $threshold
+        ORDER BY a_id, b_id"""
+  }
+
   def minhashLsh(n: Int, bands: Int, rowsPerBand: Int): String = {
     val nh = bands * rowsPerBand
     val mins = (0 until nh)

@@ -222,6 +222,19 @@ object SparkEntry {
           sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
         .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))),
 
+    // Explicit GROUPING SETS (not the full cube): per-status totals,
+    // per-priority totals, and the grand total in ONE pass with map-side
+    // partial aggregation — at 100 TB this replaces three separate scans of
+    // the fact table with one.
+    "q_grouping_sets" -> ((s, d) =>
+      orders(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))),
+
     // Set operators with discriminating thresholds (sf0.01: >9950 leaves
     // {AUTOMOBILE,BUILDING,FURNITURE}; <-990 leaves {AUTOMOBILE,HOUSEHOLD};
     // EXCEPT drops AUTOMOBILE, INTERSECT drops FURNITURE → {BUILDING}; both
@@ -328,6 +341,14 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccard(documents(s, d), col("doc_id"), col("text"), n = 3, threshold = 0.5,
         maxDocFreq = 8)
+        .orderBy("a_id", "b_id")),
+
+    // Asymmetric containment (|∩|/|A|): catches a short doc quoted inside a
+    // long one, which Jaccard dilutes below threshold. Same inverted-index
+    // join + stop-shingle guard as dedup_ngram_jaccard.
+    "dedup_containment" -> ((s, d) =>
+      Dedup.containment(documents(s, d), col("doc_id"), col("text"), n = 3,
+        threshold = 0.8, maxDocFreq = 8)
         .orderBy("a_id", "b_id")),
 
     "dedup_minhash" -> ((s, d) =>
@@ -1067,6 +1088,12 @@ object SparkEntry {
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
          ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
     "q_set_ops" ->
       """SELECT c_mktsegment FROM (
            SELECT c_mktsegment FROM customer WHERE c_acctbal > 9950
@@ -1117,6 +1144,7 @@ object SparkEntry {
              min(p_partkey) AS keep_id
          FROM part GROUP BY p_name HAVING count(*) > 1 ORDER BY dup_key""",
     "dedup_ngram_jaccard" -> OracleSqlGen.ngramJaccard(3, 0.5, maxDocFreq = 8),
+    "dedup_containment" -> OracleSqlGen.containment(3, 0.8, maxDocFreq = 8),
     "dedup_minhash" -> OracleSqlGen.minhashLsh(3, 8, 2),
     "dedup_components" -> OracleSqlGen.minhashComponents(3, 8, 2),
     "dedup_incremental" -> OracleSqlGen.incrementalMinhash(3, 8, 2, batchMinId = 400),

@@ -114,6 +114,51 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** Shingle-containment near-dup: C(A⊆B) = |A∩B| / |A|. Asymmetric — a
+    * short doc quoted verbatim inside a long one scores ~1.0 here while its
+    * Jaccard (|∩|/|∪|) is diluted toward |A|/|B| and slips under any usable
+    * threshold. This is the standard quote/boilerplate-inclusion detector in
+    * training-data pipelines. Emits one row per unordered pair with BOTH
+    * directions, kept when either direction clears `threshold`.
+    *
+    * Same inverted-index self-join as [[ngramJaccard]] (candidate pairs
+    * bounded by shared shingles, stop-shingle pruning for hot keys);
+    * denominators come from the unpruned per-doc sets. The output doubles
+    * are exact-integer divisions — bit-identical across engines.
+    */
+  def containment(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int = 3,
+      threshold: Double = 0.8,
+      maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    val base = spread(docs)
+      .select(id.as("doc_id"), array_distinct(shingles(text, n)).as("shs"))
+    val sizes = base.select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"))
+    val sh = base.select(col("doc_id"), explode(col("shs")).as("sh"))
+    val coPart = sh.repartition(col("sh"))
+    val pruned =
+      if (maxDocFreq == Long.MaxValue) coPart
+      else {
+        val hot = sh.groupBy("sh").agg(count(lit(1)).as("_df"))
+          .filter(col("_df") > maxDocFreq).select("sh")
+        coPart.join(broadcast(hot), Seq("sh"), "left_anti")
+      }
+    val a = pruned.select(col("doc_id").as("a_id"), col("sh")).hint("shuffle_hash")
+    val b = pruned.select(col("doc_id").as("b_id"), col("sh"))
+    a.join(b, Seq("sh"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "a_sh"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "b_sh"), "b_id")
+      .withColumn("c_a_in_b", col("n_common").cast("double") / col("a_sh").cast("double"))
+      .withColumn("c_b_in_a", col("n_common").cast("double") / col("b_sh").cast("double"))
+      .filter(greatest(col("c_a_in_b"), col("c_b_in_a")) >= threshold)
+      .select("a_id", "b_id", "c_a_in_b", "c_b_in_a")
+  }
+
   /** MinHash+LSH candidate pairs: signature of `bands*rowsPerBand` md5
     * minhashes over word-n-gram shingles (hex strings order like their
     * 128-bit values, so `min(md5(...))` is a valid permutation-min and is

@@ -181,6 +181,24 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       out.head.getDouble(2) == 1.0)
   }
 
+  test("containment: short doc quoted in long doc scores 1.0 where jaccard misses it") {
+    // doc 1 (6 shingles) appears verbatim inside doc 2 (18 shingles):
+    // containment(1⊆2) = 6/6 = 1.0, but jaccard = 6/18 = 0.33 — under any
+    // usable near-dup threshold. Doc 3 is disjoint and must not pair.
+    val quoted = "q1 q2 q3 q4 q5 q6 q7 q8"
+    val docs = Seq(
+      (1L, quoted),
+      (2L, s"p1 p2 p3 p4 p5 $quoted s1 s2 s3 s4 s5"),
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8")).toDF("doc_id", "text")
+    val cont = Dedup.containment(docs, col("doc_id"), col("text"), 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(cont.keySet == Set((1L, 2L)))
+    assert(cont((1L, 2L))._1 == 1.0)             // all of 1's shingles in 2
+    assert(cont((1L, 2L))._2 < 0.5)              // 2 mostly NOT in 1
+    val jac = Dedup.ngramJaccard(docs, col("doc_id"), col("text"), 3, 0.5).collect()
+    assert(jac.isEmpty)                          // jaccard misses the quote
+  }
+
   test("connected components: chains merge, disjoint stay apart, rep is min id") {
     // chain 5-4-3-2-1 needs multiple propagation rounds; (10,11) is a
     // separate component
