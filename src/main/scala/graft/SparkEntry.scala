@@ -696,6 +696,23 @@ object SparkEntry {
           sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
         .orderBy("c_mktsegment")),
 
+    // Bloom semi-join reduction: the fact side is prefiltered by a compact
+    // bit-set of the (selectively filtered) dim keys BEFORE the join — at
+    // 100 TB this drops non-matching fact rows at scan speed instead of
+    // shuffling them into a sort-merge join. The exact join that follows
+    // removes bloom false positives, so the oracle IS the plain join.
+    "q_bloom_join" -> ((s, d) => {
+      val dim = customer(s, d).filter(col("c_acctbal") > 9000)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      graft.operators.BloomJoin.reducedJoin(
+        orders(s, d), col("o_custkey"), dim, col("c_custkey"),
+        expectedItems = 20000L, numBits = 1 << 20)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+        .orderBy("c_mktsegment")
+    }),
+
     // Sketch surface (HLL distinct + t-digest percentile): estimates are
     // algorithm-specific, so rows-only. Production-shaped: no exact
     // ride-along — at 100 TB the exact distinct IS the expensive thing the
@@ -1218,6 +1235,12 @@ object SparkEntry {
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
          FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_bloom_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE c_acctbal > 9000
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
     "mm_decode" -> OracleSqlGen.mmDecode,
