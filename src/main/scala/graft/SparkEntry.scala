@@ -292,6 +292,16 @@ object SparkEntry {
         documents(s, d).select("doc_id", "lang"), col("lang"), col("doc_id"), k = 20)
         .orderBy("doc_id")),
 
+    // Length-weighted Bernoulli sample: p = min(1, n_chars · 0.0015), so a
+    // 10× longer doc is 10× likelier drawn. Pure function of doc_id
+    // (md5-coordinate < floor(p·2^52), integer compare) — reproducible
+    // across engines/reruns/layouts; map-side, no shuffle.
+    "q_weighted_sample" -> ((s, d) =>
+      documents(s, d)
+        .filter(graft.pipeline.Splits.weightedKeep(col("doc_id"), col("n_chars"), 0.0015))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")),
+
     // Date/time function battery over order dates.
     "q_dates" -> ((s, d) =>
       orders(s, d)
@@ -931,6 +941,19 @@ object SparkEntry {
         .orderBy(desc("n_orders"), asc("p1"), asc("p2")).limit(20)
     }),
 
+    // Per-node triangle counts on the co-purchase graph (parts co-ordered in
+    // one order). Degree-ordered orientation caps oriented out-degree at
+    // O(√|E|) — the hub guard that keeps the wedge join feasible at scale.
+    "graph_triangles" -> ((s, d) => {
+      val lp = lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+      val e = lp.as("a").join(lp.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+      graft.operators.GraphAnalytics.triangleCounts(e).orderBy("node")
+    }),
+
     // Persisted mergeable HLL sketch summary (rows-only by contract — the
     // estimates are Datasketches-algorithm-specific): distinct suppliers per
     // returnflag, estimated by union-merging a (returnflag, linestatus)-grain
@@ -1228,6 +1251,14 @@ object SparkEntry {
              row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn
            FROM h)
          SELECT doc_id, lang FROM r WHERE rn <= 20 ORDER BY doc_id""",
+    // weighted Bernoulli keep: coordinate and threshold are both exact
+    // BIGINTs (the double multiply + floor is IEEE-identical in both
+    // engines; the compare is integer)
+    "q_weighted_sample" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':wsample'), 1, 13) AS BIGINT)
+             < CAST(floor(least(1.0, n_chars * 0.0015) * 4503599627370496.0) AS BIGINT)
+         ORDER BY doc_id""",
     "q_exact_distinct" ->
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
          FROM events GROUP BY event_type ORDER BY event_type""",
@@ -1459,6 +1490,23 @@ object SparkEntry {
            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
          GROUP BY 1, 2 HAVING count(*) >= 2
          ORDER BY n_orders DESC, p1, p2 LIMIT 20""",
+    // id-oriented enumeration (u < v < w via the two join predicates) counts
+    // the same triangle set as Spark's degree-oriented enumeration —
+    // orientation changes order of discovery, never membership
+    "graph_triangles" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS (
+           SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+           FROM lp a JOIN lp b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         tri AS (
+           SELECT e1.u AS a, e1.v AS b, e2.v AS c
+           FROM e e1
+           JOIN e e2 ON e2.u = e1.u AND e1.v < e2.v
+           JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
+         SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+         FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+         GROUP BY node ORDER BY node""",
     "events_status_spans" ->
       """WITH x AS (
            SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,

@@ -75,6 +75,28 @@ object Splits {
     conv(substring(md5(concat(key.cast("string"), lit(":gsample")).cast("binary")),
       1, 13), 16, 10).cast("long")
 
+  /** 52-bit weighted-sample coordinate (13 hex chars of a salted md5) in
+    * [0, 2^52). Salt ":wsample" keeps weighted-sampling decisions
+    * independent of [[assignSplit]]/[[sampleHash]]/[[sampleCoord]].
+    */
+  private[graft] def weightCoord(key: Column): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(":wsample")).cast("binary")),
+      1, 13), 16, 10).cast("long")
+
+  /** Deterministic weighted Bernoulli sample: keep a row with probability
+    * min(1, weight · rate) — e.g. length-weighted document sampling, where a
+    * 10× longer doc is 10× likelier to be drawn. The decision is a pure
+    * function of the row key (coordinate < floor(p · 2^52), integer compare)
+    * so the sample is identical across reruns, engines, and layouts, and
+    * rows with weight ≥ 1/rate are ALWAYS kept (p = 1 ⇒ threshold 2^52,
+    * above every coordinate). Map-side predicate: no shuffle, no state.
+    */
+  def weightedKeep(key: Column, weight: Column, rate: Double): Column = {
+    require(rate > 0, "rate must be positive")
+    val p = least(lit(1.0), weight.cast("double") * rate)
+    weightCoord(key) < floor(p * lit(4503599627370496.0)).cast("long") // 2^52
+  }
+
   /** Deterministic per-group uniform k-sample ("min-hash reservoir"): the k
     * rows with the smallest salted-md5 coordinate in each group. Uniform
     * because md5 is; deterministic and engine/layout-independent for the

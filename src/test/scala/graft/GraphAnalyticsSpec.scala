@@ -44,4 +44,34 @@ class GraphAnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(total <= exact && total > exact - 5 * n * 100,
       s"total $total outside conservation envelope of $exact")
   }
+
+  test("triangleCounts: K4 gives 3 per node; path has none; hub star has none") {
+    // K4 on 1..4 (4 triangles, each node in 3); path 10-11-12 (no triangle);
+    // star hub 20 → 21..24 with no rim edges (wedges but no closing edge)
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val path = Seq((10L, 11L), (11L, 12L))
+    val star = (21L to 24L).map(r => (20L, r))
+    val got = GraphAnalytics.triangleCounts((k4 ++ path ++ star).toDF("u", "v"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangleCounts: degree orientation and id orientation count identically") {
+    // deterministic pseudo-random graph with hubs: node i and j connected
+    // iff (i*31 + j*17) % 7 == 0 — dense enough for many triangles
+    val edges = (for (i <- 0L until 40L; j <- (i + 1) until 40L
+                      if (i * 31 + j * 17) % 7 == 0) yield (i, j)).toDF("u", "v")
+    val got = GraphAnalytics.triangleCounts(edges)
+      .as[(Long, Long)].collect().toMap
+    // reference: brute-force id-ordered enumeration on the driver
+    val es = (for (i <- 0L until 40L; j <- (i + 1) until 40L
+                   if (i * 31 + j * 17) % 7 == 0) yield (i, j)).toSet
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val want = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      a <- nodes; b <- nodes if a < b && es((a, b))
+      c <- nodes if b < c && es((b, c)) && es((a, c))
+    } { want(a) += 1; want(b) += 1; want(c) += 1 }
+    assert(got == want.toMap)
+  }
 }

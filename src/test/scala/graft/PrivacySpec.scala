@@ -83,6 +83,23 @@ class PrivacySpec extends AnyFunSuite with SparkTestBase {
     assert(again == out.toSet)
   }
 
+  test("weightedKeep: rate scales with weight, saturates at 1, layout-independent") {
+    // three weight tiers: w=100 → p=0.1, w=500 → p=0.5, w=2000 → p=1 (capped)
+    val df = spark.range(0, 30000).toDF("id")
+      .withColumn("w", when($"id" % 3 === 0, 100L).when($"id" % 3 === 1, 500L)
+        .otherwise(2000L))
+    val kept = df.filter(Splits.weightedKeep($"id", $"w", 0.001))
+    val byW = kept.groupBy("w").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(math.abs(byW(100L) / 10000.0 - 0.1) < 0.02)
+    assert(math.abs(byW(500L) / 10000.0 - 0.5) < 0.02)
+    assert(byW(2000L) == 10000L) // p = 1: every row kept, not approximately
+    // pure function of id: identical sample under another physical layout
+    val again = df.repartition(13).filter(Splits.weightedKeep($"id", $"w", 0.001))
+      .select("id").as[Long].collect().toSet
+    assert(again == kept.select("id").as[Long].collect().toSet)
+  }
+
   test("novelty: shared shingles lower the score, unique docs score 1") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"),     // shares "alpha beta gamma" + "beta gamma delta"? no — doc 2 shares only the first
