@@ -302,6 +302,46 @@ object SparkEntry {
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")),
 
+    // Training-data mixing: downsample sources to 40/30/20/10 proportions
+    // (others dropped). src0 is the binding constraint and keeps all rows;
+    // the rest keep deterministic md5-thresholded fractions. One tiny count
+    // agg + broadcast fractions + map-side filter — the corpus never
+    // shuffles.
+    "q_source_mix" -> ((s, d) =>
+      graft.pipeline.Splits.mixToProportions(
+        documents(s, d).select("doc_id", "source"), col("source"), col("doc_id"),
+        Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1))
+        .orderBy("doc_id")),
+
+    // Point-in-time (SCD-2) join: each purchase is attributed to the UI
+    // state (last click/view/error) active at its timestamp. Spans come
+    // from a lead() window; the probe uses the bucketed range join — no
+    // BNLJ. Half-open [from, to) via inclusive hi = to-1 epoch second.
+    "events_scd_join" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, d)
+      val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+      val spans = ev.filter(col("event_type").isin("click", "view", "error"))
+        .select(col("user_id"), col("event_type").as("ui_state"),
+          unix_timestamp(col("ts")).as("valid_from"), col("event_id"))
+        .withColumn("valid_to",
+          coalesce(lead("valid_from", 1).over(
+            Window.partitionBy("user_id").orderBy(asc("valid_from"), asc("event_id"))),
+            lit(253402300800L)))
+        .filter(col("valid_from") < col("valid_to")) // same-second successor
+        .select(col("user_id").as("s_user"), col("ui_state"),
+          col("valid_from"), (col("valid_to") - 1).as("valid_hi"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_timestamp(col("ts")).as("p_ts"), dec(col("value")).as("v"))
+      graft.operators.RangeJoin.pointInRangeKeyed(
+        purchases, spans, "user_id", "s_user", "p_ts", "valid_from", "valid_hi",
+        binWidth = 86400L)
+        .groupBy("ui_state")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("v")).cast("double").as("sum_value"))
+        .orderBy("ui_state")
+    }),
+
     // Date/time function battery over order dates.
     "q_dates" -> ((s, d) =>
       orders(s, d)
@@ -1521,6 +1561,45 @@ object SparkEntry {
          SELECT event_type, CAST(count(*) AS BIGINT) AS n_spans,
              CAST(sum(CAST(floor(epoch(valid_to)) - floor(epoch(ts)) AS BIGINT)) AS BIGINT) AS total_s
          FROM sp WHERE valid_to IS NOT NULL
-         GROUP BY 1 ORDER BY 1"""
+         GROUP BY 1 ORDER BY 1""",
+    // mixing fractions: all intermediates are DOUBLE on both sides (the
+    // binding group's tgt*(n/tgt)/n roundtrip may land an ulp under 1.0 —
+    // identically in both engines, so the compare agrees either way)
+    "q_source_mix" ->
+      """WITH t AS (
+           SELECT * FROM (VALUES
+             ('src0', CAST(0.4 AS DOUBLE)), ('src1', CAST(0.3 AS DOUBLE)),
+             ('src2', CAST(0.2 AS DOUBLE)), ('src3', CAST(0.1 AS DOUBLE)))
+             AS t(src, tgt)),
+         d AS (SELECT doc_id, source, tgt FROM documents JOIN t ON source = t.src),
+         c AS (SELECT source, tgt, count(*) AS n FROM d GROUP BY 1, 2),
+         tot AS (SELECT min(CAST(n AS DOUBLE) / tgt) AS T FROM c),
+         f AS (SELECT source, least(CAST(1.0 AS DOUBLE),
+                 tgt * T / CAST(n AS DOUBLE)) AS frac FROM c, tot)
+         SELECT doc_id, source FROM d JOIN f USING (source)
+         WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 13) AS BIGINT)
+             < CAST(floor(frac * 4503599627370496.0) AS BIGINT)
+         ORDER BY doc_id""",
+    "events_scd_join" ->
+      """WITH sp AS (
+           SELECT user_id, event_type AS ui_state,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS valid_from,
+               event_id
+           FROM events WHERE event_type IN ('click', 'view', 'error')),
+         sp2 AS (
+           SELECT user_id, ui_state, valid_from,
+               coalesce(lead(valid_from) OVER (PARTITION BY user_id
+                 ORDER BY valid_from, event_id), 253402300800) AS valid_to
+           FROM sp),
+         p AS (
+           SELECT user_id, CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS p_ts,
+               CAST(value AS DECIMAL(18, 2)) AS v
+           FROM events WHERE event_type = 'purchase')
+         SELECT ui_state, CAST(count(*) AS BIGINT) AS n_purchases,
+             CAST(sum(v) AS DOUBLE) AS sum_value
+         FROM p JOIN sp2 ON p.user_id = sp2.user_id
+           AND p.p_ts >= sp2.valid_from AND p.p_ts < sp2.valid_to
+         WHERE sp2.valid_from < sp2.valid_to
+         GROUP BY ui_state ORDER BY ui_state"""
   )
 }

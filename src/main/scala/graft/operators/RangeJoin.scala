@@ -43,4 +43,35 @@ object RangeJoin {
       .filter(col(point) >= col(lo) && col(point) <= col(hi))
       .drop("_bin")
   }
+
+  /** [[pointInRange]] with an extra equi-key (e.g. per-user validity spans):
+    * the shuffle key is (key, bin), so one entity's intervals never meet
+    * another's points. Without the key in the JOIN (vs a post-filter), every
+    * point would pair with every co-binned interval of every entity — the
+    * difference between O(matches) and O(points × entities) at scale.
+    */
+  def pointInRangeKeyed(
+      points: DataFrame,
+      intervals: DataFrame,
+      pointKey: String,
+      intervalKey: String,
+      point: String,
+      lo: String,
+      hi: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def bin(c: String) = expr(s"((`$c` - pmod(`$c`, ${binWidth}L)) div ${binWidth}L)")
+    // distinct bin column names: after the join both frames' columns are in
+    // scope, and the key columns must also be differently named (the caller
+    // picks them; same-named keys would be ambiguous in the output)
+    require(pointKey != intervalKey,
+      "pointKey and intervalKey must have different column names")
+    val binnedP = points.withColumn("_pbin", bin(point))
+    val binnedI = intervals.withColumn("_ibin",
+      explode(sequence(bin(lo), bin(hi))))
+    binnedP.join(binnedI,
+        col("_pbin") === col("_ibin") && col(pointKey) === col(intervalKey))
+      .filter(col(point) >= col(lo) && col(point) <= col(hi))
+      .drop("_pbin", "_ibin")
+  }
 }

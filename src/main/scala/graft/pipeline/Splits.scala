@@ -97,6 +97,51 @@ object Splits {
     weightCoord(key) < floor(p * lit(4503599627370496.0)).cast("long") // 2^52
   }
 
+  /** 52-bit mixing coordinate; salt ":mix" keeps mixing decisions
+    * independent of the other sampling surfaces.
+    */
+  private[graft] def mixCoord(key: Column): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(":mix")).cast("binary")),
+      1, 13), 16, 10).cast("long")
+
+  /** Deterministic source mixing: downsample groups so the surviving corpus
+    * matches `targets`' proportions (the data-mixing step of a training
+    * pipeline — "40% web, 30% books, …"). The achievable total is bound by
+    * the scarcest group: T = min_g count_g / target_g; each group then keeps
+    * fraction target_g·T/count_g of its rows via the salted md5-coordinate
+    * threshold (the binding group keeps everything). Groups absent from
+    * `targets` are dropped.
+    *
+    * Scale shape: one tiny count aggregate (rows = groups), fractions
+    * broadcast back, then a map-side integer-compare filter — the corpus is
+    * never shuffled, and the kept set is a pure function of each row's key
+    * (identical across engines/reruns/layouts; proportions hold to binomial
+    * noise, not exactly).
+    */
+  def mixToProportions(
+      df: DataFrame,
+      group: Column,
+      key: Column,
+      targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0),
+      "targets must be non-empty with positive shares")
+    val tcol = targets.toSeq.sortBy(_._1).foldLeft(lit(null).cast("double")) {
+      case (acc, (g, t)) => when(group === g, lit(t)).otherwise(acc)
+    }
+    val withT = df.withColumn("_mix_t", tcol).filter(col("_mix_t").isNotNull)
+    val counts = withT.groupBy(group.as("_mix_g"), col("_mix_t"))
+      .agg(count(lit(1)).as("_mix_n"))
+    val tot = counts.agg(min(col("_mix_n").cast("double") / col("_mix_t")).as("_mix_tot"))
+    val fracs = counts.crossJoin(broadcast(tot))
+      .select(col("_mix_g"),
+        least(lit(1.0), col("_mix_t") * col("_mix_tot") / col("_mix_n").cast("double"))
+          .as("_mix_frac"))
+    withT.join(broadcast(fracs), group === col("_mix_g"))
+      .filter(mixCoord(key) <
+        floor(col("_mix_frac") * lit(4503599627370496.0)).cast("long")) // 2^52
+      .drop("_mix_t", "_mix_g", "_mix_frac")
+  }
+
   /** Deterministic per-group uniform k-sample ("min-hash reservoir"): the k
     * rows with the smallest salted-md5 coordinate in each group. Uniform
     * because md5 is; deterministic and engine/layout-independent for the

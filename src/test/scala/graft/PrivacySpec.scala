@@ -100,6 +100,27 @@ class PrivacySpec extends AnyFunSuite with SparkTestBase {
     assert(again == kept.select("id").as[Long].collect().toSet)
   }
 
+  test("mixToProportions: binding group keeps all, others downsample to ratio, untargeted dropped") {
+    // groups: a=1000, b=4000, c=2000, x=500 (untargeted). targets a:0.5 b:0.25
+    // c:0.25 → T = min(1000/0.5, 4000/0.25, 2000/0.25) = 2000 → expected
+    // keeps: a=1000 (all), b=500, c=500
+    val df = spark.range(0, 7500).toDF("id")
+      .withColumn("g", when($"id" < 1000, "a").when($"id" < 5000, "b")
+        .when($"id" < 7000, "c").otherwise("x"))
+    val out = Splits.mixToProportions(df, $"g", $"id",
+      Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25))
+    val byG = out.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!byG.contains("x"))
+    assert(byG("a") == 1000L) // binding group: every row, not approximately
+    assert(math.abs(byG("b") - 500.0) < 80 && math.abs(byG("c") - 500.0) < 80)
+    // deterministic under another layout
+    val again = Splits.mixToProportions(df.repartition(11), $"g", $"id",
+      Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25))
+      .select("id").as[Long].collect().toSet
+    assert(again == out.select("id").as[Long].collect().toSet)
+  }
+
   test("novelty: shared shingles lower the score, unique docs score 1") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"),     // shares "alpha beta gamma" + "beta gamma delta"? no — doc 2 shares only the first

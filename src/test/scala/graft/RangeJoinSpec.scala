@@ -56,4 +56,19 @@ class RangeJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"range join must not plan a nested loop:\n$plan")
   }
+
+  test("pointInRangeKeyed: entities isolated; matches naive keyed predicate join") {
+    // two users with overlapping time windows: user 1's point must not match
+    // user 2's interval even though the ranges overlap
+    val pts = Seq((1L, 50L, "p1"), (2L, 50L, "p2"), (1L, 500L, "p3"))
+      .toDF("pu", "pt", "ptag")
+    val ivs = Seq((1L, 40L, 60L, "i1"), (2L, 45L, 55L, "i2"), (2L, 400L, 600L, "i3"))
+      .toDF("iu", "lo", "hi", "itag")
+    val got = RangeJoin.pointInRangeKeyed(pts, ivs, "pu", "iu", "pt", "lo", "hi", 7L)
+      .select("ptag", "itag").as[(String, String)].collect().toSet
+    val naive = pts.join(ivs, $"pu" === $"iu" && $"pt" >= $"lo" && $"pt" <= $"hi")
+      .select("ptag", "itag").as[(String, String)].collect().toSet
+    assert(got == naive)
+    assert(got == Set(("p1", "i1"), ("p2", "i2"))) // p3: right time, wrong user
+  }
 }
