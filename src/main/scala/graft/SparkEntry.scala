@@ -320,14 +320,21 @@ object SparkEntry {
     "events_scd_join" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val ev = events(s, d)
-      val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+      // Open-ended last spans are capped at max(ts)+1, NOT a far-future
+      // sentinel: the bin-exploded range join materializes one row per
+      // binWidth bucket a span covers, and a year-9999 cap would explode
+      // ~2.8M daily bins per open span (measured: 291s at sf0.1; 1.5s with
+      // the data-driven cap). No purchase exists after max(ts), so
+      // attribution is unchanged.
+      val maxTs = ev.agg((max(unix_timestamp(col("ts"))) + 1).as("max_ts"))
       val spans = ev.filter(col("event_type").isin("click", "view", "error"))
         .select(col("user_id"), col("event_type").as("ui_state"),
           unix_timestamp(col("ts")).as("valid_from"), col("event_id"))
+        .crossJoin(broadcast(maxTs))
         .withColumn("valid_to",
           coalesce(lead("valid_from", 1).over(
             Window.partitionBy("user_id").orderBy(asc("valid_from"), asc("event_id"))),
-            lit(253402300800L)))
+            col("max_ts")))
         .filter(col("valid_from") < col("valid_to")) // same-second successor
         .select(col("user_id").as("s_user"), col("ui_state"),
           col("valid_from"), (col("valid_to") - 1).as("valid_hi"))
@@ -1589,7 +1596,9 @@ object SparkEntry {
          sp2 AS (
            SELECT user_id, ui_state, valid_from,
                coalesce(lead(valid_from) OVER (PARTITION BY user_id
-                 ORDER BY valid_from, event_id), 253402300800) AS valid_to
+                 ORDER BY valid_from, event_id),
+                 (SELECT CAST(floor(epoch(max(CAST(ts AS TIMESTAMP)))) AS BIGINT) + 1
+                  FROM events)) AS valid_to
            FROM sp),
          p AS (
            SELECT user_id, CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS p_ts,
