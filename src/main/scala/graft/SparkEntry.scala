@@ -302,6 +302,31 @@ object SparkEntry {
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")),
 
+    // Deterministic 5-fold CV assignment, audited as fold × lang counts —
+    // balance to binomial noise, identical on any engine/layout.
+    "q_kfold" -> ((s, d) =>
+      documents(s, d)
+        .select(col("lang"), graft.pipeline.Splits.foldAssign(col("doc_id"), 5).as("fold"))
+        .groupBy("fold", "lang").agg(count(lit(1)).as("n"))
+        .orderBy("fold", "lang")),
+
+    // DIY data-skipping: write orders range-clustered on o_custkey (tight
+    // per-file min/max), build the stats manifest, then answer a selective
+    // custkey-range aggregate reading ONLY intersecting files. Pruning can
+    // never change the answer — the oracle is the plain filtered aggregate.
+    "q_manifest_prune" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_manifest").toString + "/orders"
+      orders(s, d)
+        .repartitionByRange(8, col("o_custkey")).sortWithinPartitions("o_custkey")
+        .write.mode("overwrite").parquet(dir)
+      val mf = graft.pipeline.Layout.statsManifest(s, dir, Seq("o_custkey"))
+      graft.pipeline.Layout.readPruned(s, dir, mf, "o_custkey", 100L, 199L)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Training-data mixing: downsample sources to 40/30/20/10 proportions
     // (others dropped). src0 is the binding constraint and keeps all rows;
     // the rest keep deterministic md5-thresholded fractions. One tiny count
@@ -1569,6 +1594,15 @@ object SparkEntry {
              CAST(sum(CAST(floor(epoch(valid_to)) - floor(epoch(ts)) AS BIGINT)) AS BIGINT) AS total_s
          FROM sp WHERE valid_to IS NOT NULL
          GROUP BY 1 ORDER BY 1""",
+    "q_kfold" ->
+      """SELECT CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':fold'), 1, 2) AS BIGINT) % 5 AS INT) AS fold,
+             lang, CAST(count(*) AS BIGINT) AS n
+         FROM documents GROUP BY 1, 2 ORDER BY fold, lang""",
+    "q_manifest_prune" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders WHERE o_custkey BETWEEN 100 AND 199
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     // mixing fractions: all intermediates are DOUBLE on both sides (the
     // binding group's tgt*(n/tgt)/n roundtrip may land an ulp under 1.0 —
     // identically in both engines, so the compare agrees either way)

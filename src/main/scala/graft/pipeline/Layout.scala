@@ -53,6 +53,41 @@ object Layout {
   def writePartitioned(df: DataFrame, dir: String, partCol: String): Unit =
     df.write.mode("overwrite").partitionBy(partCol).parquet(dir)
 
+  /** File-level min/max stats manifest — the DIY data-skipping index that
+    * table formats (Iceberg/Delta) maintain natively. One distributed pass
+    * computes per-file row counts and min/max of the named columns; persist
+    * the result next to the data and [[readPruned]] plans scans against it.
+    * Rebuild cost is one column-pruned scan; at 100 TB you'd maintain it
+    * incrementally per written file, but the contract is the same: manifest
+    * rows = file count (metadata-scale, millions at most — NOT data-scale).
+    */
+  def statsManifest(spark: org.apache.spark.sql.SparkSession, dir: String,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one stats column")
+    val aggs = count(lit(1)).as("n_rows") +:
+      cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    spark.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Scan only the files whose [min, max] envelope intersects [lo, hi] on
+    * `c`, then apply the exact predicate. Result ≡ the full scan + filter
+    * (pruning only removes files that CANNOT match); what changes is bytes
+    * read. The manifest collect is planning-time metadata — one row per
+    * file, the same work any table format's scan planning does.
+    */
+  def readPruned(spark: org.apache.spark.sql.SparkSession, dir: String,
+      manifest: DataFrame, c: String, lo: Long, hi: Long): DataFrame = {
+    val files = manifest
+      .filter(col(s"min_$c") <= hi && col(s"max_$c") >= lo)
+      .select("file").collect().map(_.getString(0))
+    val base =
+      if (files.isEmpty) spark.read.parquet(dir).filter(lit(false))
+      else spark.read.parquet(files.toIndexedSeq: _*)
+    base.filter(col(c) >= lo && col(c) <= hi)
+  }
+
   /** Compact a small-file parquet directory into ≈`targetFileBytes` files,
     * written to `outDir`. Streaming ingest (per-batch appends) and
     * fine-grained partitioning accumulate tiny files; at 100 TB scan cost,

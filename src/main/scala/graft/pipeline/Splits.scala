@@ -75,6 +75,17 @@ object Splits {
     conv(substring(md5(concat(key.cast("string"), lit(":gsample")).cast("binary")),
       1, 13), 16, 10).cast("long")
 
+  /** Deterministic k-fold cross-validation assignment: fold(key) ∈ [0, k),
+    * uniform under md5, independent of the other surfaces (salt ":fold").
+    * Every engine recomputes the same folds — train/eval jobs on different
+    * stacks agree without shipping an assignment table.
+    */
+  def foldAssign(key: Column, k: Int): Column = {
+    require(k >= 2 && k <= 256, s"k must be in [2, 256], got $k")
+    (conv(substring(md5(concat(key.cast("string"), lit(":fold")).cast("binary")),
+      1, 2), 16, 10).cast("int") % k).as("fold")
+  }
+
   /** 52-bit weighted-sample coordinate (13 hex chars of a salted md5) in
     * [0, 2^52). Salt ":wsample" keeps weighted-sampling decisions
     * independent of [[assignSplit]]/[[sampleHash]]/[[sampleCoord]].

@@ -169,6 +169,29 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
     assert(all.filter($"day" === "2024-01-03").count() == 600)
   }
 
+  test("statsManifest + readPruned: skips non-intersecting files, answer equals full scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-manifest-").toString + "/t"
+    // 8 range-clustered files over k = 0..7999 → each file covers ~1000 keys
+    spark.range(0, 8000).toDF("k").withColumn("v", $"k" * 2)
+      .repartitionByRange(8, $"k").sortWithinPartitions("k")
+      .write.parquet(dir)
+    val mf = Layout.statsManifest(spark, dir, Seq("k")).cache()
+    assert(mf.count() == 8)
+    // manifest envelopes are consistent: min ≤ max, rows sum to the table
+    assert(mf.filter($"min_k" > $"max_k").isEmpty)
+    assert(mf.agg(sum("n_rows")).head.getLong(0) == 8000L)
+    val pruned = Layout.readPruned(spark, dir, mf, "k", 2100L, 2900L)
+    // a ~1-file range must not read all 8 files
+    assert(pruned.inputFiles.length <= 2,
+      s"read ${pruned.inputFiles.length} of 8 files")
+    val full = spark.read.parquet(dir).filter($"k" >= 2100 && $"k" <= 2900)
+    assert(pruned.count() == 801 && full.count() == 801)
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+    // range outside every envelope → empty, schema preserved
+    val none = Layout.readPruned(spark, dir, mf, "k", 100000L, 200000L)
+    assert(none.isEmpty && none.columns.toSeq == Seq("k", "v"))
+  }
+
   test("anomalies flags a spike against its trailing window and nulls short histories") {
     val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
     // 30 hourly buckets of ~10 events, one bucket with 60
