@@ -71,6 +71,25 @@ object Layout {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Incremental manifest maintenance: stats for `newFiles` only, unioned
+    * onto the existing manifest. O(new data), never rescans the table —
+    * the same discipline as Rollup.appendDelta. Equality with a full
+    * rebuild is spec-pinned. `manifest` must be PERSISTED TO DISK before
+    * the table grows: a live manifest plan — even a cached one, since
+    * recache/refresh re-runs it — re-lists the directory at evaluation
+    * time and would double-count the appended files.
+    */
+  def appendToManifest(spark: org.apache.spark.sql.SparkSession,
+      manifest: DataFrame, newFiles: Seq[String], cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one stats column")
+    val aggs = count(lit(1)).as("n_rows") +:
+      cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    val fresh = spark.read.parquet(newFiles: _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+    manifest.unionByName(fresh)
+  }
+
   /** Scan only the files whose [min, max] envelope intersects [lo, hi] on
     * `c`, then apply the exact predicate. Result ≡ the full scan + filter
     * (pruning only removes files that CANNOT match); what changes is bytes
@@ -86,6 +105,25 @@ object Layout {
       if (files.isEmpty) spark.read.parquet(dir).filter(lit(false))
       else spark.read.parquet(files.toIndexedSeq: _*)
     base.filter(col(c) >= lo && col(c) <= hi)
+  }
+
+  /** Two-dimensional pruned read: files must intersect BOTH ranges. Pairs
+    * with [[clusterByZ]] — Morton clustering keeps per-file envelopes tight
+    * on both dimensions, so a box predicate skips on either axis (a plain
+    * sort only ever serves its leading column).
+    */
+  def readPrunedBox(spark: org.apache.spark.sql.SparkSession, dir: String,
+      manifest: DataFrame, cx: String, xlo: Long, xhi: Long,
+      cy: String, ylo: Long, yhi: Long): DataFrame = {
+    val files = manifest
+      .filter(col(s"min_$cx") <= xhi && col(s"max_$cx") >= xlo &&
+        col(s"min_$cy") <= yhi && col(s"max_$cy") >= ylo)
+      .select("file").collect().map(_.getString(0))
+    val base =
+      if (files.isEmpty) spark.read.parquet(dir).filter(lit(false))
+      else spark.read.parquet(files.toIndexedSeq: _*)
+    base.filter(col(cx) >= xlo && col(cx) <= xhi &&
+      col(cy) >= ylo && col(cy) <= yhi)
   }
 
   /** Compact a small-file parquet directory into ≈`targetFileBytes` files,

@@ -192,6 +192,43 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
     assert(none.isEmpty && none.columns.toSeq == Seq("k", "v"))
   }
 
+  test("appendToManifest equals a full rebuild; z-clustered box read prunes on both dims") {
+    val root = java.nio.file.Files.createTempDirectory("graft-manifest2-").toString
+    val mk = (lo: Long, hi: Long) => spark.range(lo, hi).toDF("id")
+      .withColumn("x", ($"id" * 37) % 1000).withColumn("y", ($"id" * 61) % 1000)
+    // initial table: 4 z-clustered files; batch: 2 more
+    Layout.clusterByZ(mk(0, 4000), $"x", $"y", numFiles = 4, bits = 10)
+      .write.parquet(s"$root/t")
+    // persist the manifest BEFORE the append — a live plan (even a cached
+    // one: recache re-lists) tracks the directory and would double-count
+    Layout.statsManifest(spark, s"$root/t", Seq("x", "y"))
+      .write.parquet(s"$root/manifest")
+    val m0 = spark.read.parquet(s"$root/manifest")
+    Layout.clusterByZ(mk(4000, 6000), $"x", $"y", numFiles = 2, bits = 10)
+      .write.mode("append").parquet(s"$root/t")
+    spark.catalog.refreshByPath(s"$root/t")
+    val m0Paths = m0.select("file").collect()
+      .map(r => new java.net.URI(r.getString(0)).getPath).toSet
+    assert(m0Paths.size == 4)
+    val listed = spark.read.parquet(s"$root/t").inputFiles.toSeq
+    val newFiles = listed.filterNot(f => m0Paths(new java.net.URI(f).getPath))
+    assert(newFiles.size == 2,
+      s"listed=${listed.sorted}\nm0=${m0Paths.toSeq.sorted}")
+    val incr = Layout.appendToManifest(spark, m0, newFiles, Seq("x", "y"))
+    val rebuilt = Layout.statsManifest(spark, s"$root/t", Seq("x", "y"))
+    assert(incr.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(incr).isEmpty)
+    // box read: selective on BOTH dims of the z-layout must skip files
+    val box = Layout.readPrunedBox(spark, s"$root/t", incr,
+      "x", 100L, 200L, "y", 100L, 200L)
+    val total = spark.read.parquet(s"$root/t").inputFiles.length
+    assert(box.inputFiles.length < total,
+      s"box read ${box.inputFiles.length} of $total files")
+    val full = spark.read.parquet(s"$root/t")
+      .filter($"x".between(100, 200) && $"y".between(100, 200))
+    assert(box.exceptAll(full).isEmpty && full.exceptAll(box).isEmpty)
+    assert(box.count() == full.count() && box.count() > 0)
+  }
+
   test("anomalies flags a spike against its trailing window and nulls short histories") {
     val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
     // 30 hourly buckets of ~10 events, one bucket with 60
