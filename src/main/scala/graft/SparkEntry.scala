@@ -302,6 +302,35 @@ object SparkEntry {
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")),
 
+    // CDC latest-record compaction: one row per (user, type) = the record
+    // with the highest (ts, event_id). max(struct(...)) aggregates with
+    // MAP-SIDE COMBINE — one shuffle of one row per key, versus a window
+    // sort that shuffles and orders every record. The struct's field order
+    // makes the tie-break (unique event_id) part of the comparison.
+    "events_latest" -> ((s, d) =>
+      events(s, d)
+        .groupBy("user_id", "event_type")
+        .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("last"))
+        .select(col("user_id"), col("event_type"),
+          col("last.ts").as("last_ts"),
+          dec(col("last.value")).cast("double").as("last_value"))
+        .orderBy("user_id", "event_type")),
+
+    // Time-RANGE window frame: trailing 1-hour sum per user at event
+    // granularity (RANGE, not ROWS — same-second peers all join the frame,
+    // identically in both engines).
+    "events_range_frame" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(unix_timestamp(col("ts")))
+        .rangeBetween(-3600L, 0L)
+      events(s, d)
+        .withColumn("hr_sum", sum(dec(col("value"))).over(w).cast("double"))
+        .withColumn("hr_n", count(lit(1)).over(w))
+        .select(col("event_id"), col("user_id"), col("hr_sum"), col("hr_n"))
+        .orderBy("event_id")
+    }),
+
     // Deterministic 5-fold CV assignment, audited as fold × lang counts —
     // balance to binomial noise, identical on any engine/layout.
     "q_kfold" -> ((s, d) =>
@@ -1594,6 +1623,26 @@ object SparkEntry {
              CAST(sum(CAST(floor(epoch(valid_to)) - floor(epoch(ts)) AS BIGINT)) AS BIGINT) AS total_s
          FROM sp WHERE valid_to IS NOT NULL
          GROUP BY 1 ORDER BY 1""",
+    // same one-row-per-key result via a window in the oracle (the unique
+    // event_id tie-break makes both formulations deterministic)
+    "events_latest" ->
+      """WITH r AS (
+           SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value,
+               row_number() OVER (PARTITION BY user_id, event_type
+                 ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+           FROM events)
+         SELECT user_id, event_type, ts AS last_ts,
+             CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS last_value
+         FROM r WHERE rn = 1 ORDER BY user_id, event_type""",
+    "events_range_frame" ->
+      """SELECT event_id, user_id,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS hr_sum,
+             CAST(count(*) OVER w AS BIGINT) AS hr_n
+         FROM events
+         WINDOW w AS (PARTITION BY user_id
+           ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
     "q_kfold" ->
       """SELECT CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':fold'), 1, 2) AS BIGINT) % 5 AS INT) AS fold,
              lang, CAST(count(*) AS BIGINT) AS n
