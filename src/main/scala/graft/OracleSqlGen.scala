@@ -363,6 +363,36 @@ object OracleSqlGen {
         WHERE s.quality >= m
         ORDER BY s.doc_id"""
 
+  /** Mirrors the composed pipeline_train_prep query: curate (dedup →
+    * quality ≥ language median) → hash split assignment → per-(split, lang)
+    * report. Split boundaries are the same two-hex-char md5 buckets as
+    * Splits.assignSplit; min/max of the double quality are
+    * order-independent, so the report is hash-exact.
+    */
+  def trainPrep(testBuckets: Int = 13, valBuckets: Int = 26): String = {
+    val testHex = f"$testBuckets%02x"
+    val valHex = f"${testBuckets + valBuckets}%02x"
+    s"""WITH dd AS (
+          SELECT doc_id, lang, text,
+            row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          FROM documents),
+        ${qualityCtes("dd WHERE rn = 1", "lang,")},
+        med AS (
+          SELECT lang, quantile_cont(quality, 0.5) AS m FROM scored GROUP BY lang),
+        kept AS (
+          SELECT s.doc_id, s.lang, s.quality
+          FROM scored s JOIN med USING (lang) WHERE s.quality >= m),
+        sp AS (
+          SELECT lang, quality,
+            CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '$testHex' THEN 'test'
+                 WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '$valHex' THEN 'val'
+                 ELSE 'train' END AS split
+          FROM kept)
+        SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+            min(quality) AS min_q, max(quality) AS max_q
+        FROM sp GROUP BY 1, 2 ORDER BY split, lang"""
+  }
+
   def langId: String = {
     val markers = graft.pipeline.TextAnalysis.langMarkersPublic
     val hitCols = markers.map { case (lang, ws) =>

@@ -302,6 +302,19 @@ object SparkEntry {
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")),
 
+    // The full training-prep pipeline as ONE verifiable artifact: exact
+    // dedup → quality ≥ language median (Curate) → deterministic hash
+    // split → per-(split, lang) report. Every stage is the engine's own
+    // operator; min/max of the double quality keep the report
+    // order-independent and hash-exact.
+    "pipeline_train_prep" -> ((s, d) =>
+      graft.pipeline.Curate.curate(documents(s, d), col("doc_id"), col("text"), col("lang"))
+        .withColumn("split", graft.pipeline.Splits.assignSplit(col("doc_id")))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("quality")).as("min_q"), max(col("quality")).as("max_q"))
+        .orderBy("split", "lang")),
+
     // CDC latest-record compaction: one row per (user, type) = the record
     // with the highest (ts, event_id). max(struct(...)) aggregates with
     // MAP-SIDE COMBINE — one shuffle of one row per key, versus a window
@@ -1317,6 +1330,7 @@ object SparkEntry {
          FROM documents ORDER BY doc_id""",
 
     "pipeline_curate" -> OracleSqlGen.curate,
+    "pipeline_train_prep" -> OracleSqlGen.trainPrep(),
     "text_repetition" -> OracleSqlGen.repetition(3),
     "text_contamination" -> OracleSqlGen.contamination(3, benchMaxId = 10),
     "text_pack" ->

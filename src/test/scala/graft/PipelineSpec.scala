@@ -199,6 +199,21 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(jac.isEmpty)                          // jaccard misses the quote
   }
 
+  test("containment dominates jaccard: every jaccard pair passes containment at the same threshold") {
+    // max-direction containment = |∩|/min(|A|,|B|) ≥ |∩|/|A∪B| = jaccard,
+    // so at equal thresholds the jaccard pair set must be a subset
+    val docs = (1 to 40).map { i =>
+      val words = (0 until (3 + i % 7)).map(j => s"w${(i * 13 + j * 7) % 25}")
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val jac = Dedup.ngramJaccard(docs, col("doc_id"), col("text"), 2, 0.4)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val con = Dedup.containment(docs, col("doc_id"), col("text"), 2, 0.4)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(jac.nonEmpty, "fixture must produce jaccard pairs")
+    assert(jac.subsetOf(con), s"jaccard pairs missing from containment: ${jac -- con}")
+  }
+
   test("connected components: chains merge, disjoint stay apart, rep is min id") {
     // chain 5-4-3-2-1 needs multiple propagation rounds; (10,11) is a
     // separate component
