@@ -329,6 +329,41 @@ object SparkEntry {
           dec(col("last.value")).cast("double").as("last_value"))
         .orderBy("user_id", "event_type")),
 
+    // Time-series resample to hourly OHLC bars: open/close via
+    // min/max(struct(ts, id, value)) — the same map-side-combine trick as
+    // events_latest, one shuffled row per bar, no per-bar sort.
+    "events_ohlc" -> ((s, d) =>
+      events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(date_trunc("hour", col("ts")).as("bar"))
+        .agg(
+          min(struct(col("ts"), col("event_id"), dec(col("value")).as("value"))).as("_o"),
+          max(struct(col("ts"), col("event_id"), dec(col("value")).as("value"))).as("_c"),
+          min(dec(col("value"))).cast("double").as("low"),
+          max(dec(col("value"))).cast("double").as("high"),
+          count(lit(1)).as("n"))
+        .select(col("bar"),
+          col("_o.value").cast("double").as("open"),
+          col("_c.value").cast("double").as("close"),
+          col("low"), col("high"), col("n"))
+        .orderBy("bar")),
+
+    // Per-dimension embedding stats (feature-normalization input): explode
+    // with position, aggregate FIXED-POINT µ-scaled integers — floor(x·1e6)
+    // of the exact float→double widening — so the sums are
+    // order-independent and engine-exact. Partial aggregation bounds the
+    // shuffle at dims × partitions regardless of row count.
+    "embed_dim_stats" -> ((s, d) =>
+      embeddings(s, d)
+        .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("dim"),
+          floor(col("x").cast("double") * lit(1000000.0)).cast("long").as("xi"))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n"), sum(col("xi")).as("sum_u"),
+          min(col("xi")).as("min_u"), max(col("xi")).as("max_u"))
+        .withColumn("mean_u", col("sum_u").cast("double") / col("n").cast("double"))
+        .orderBy("dim")),
+
     // Time-RANGE window frame: trailing 1-hour sum per user at event
     // granularity (RANGE, not ROWS — same-second peers all join the frame,
     // identically in both engines).
@@ -1637,6 +1672,34 @@ object SparkEntry {
              CAST(sum(CAST(floor(epoch(valid_to)) - floor(epoch(ts)) AS BIGINT)) AS BIGINT) AS total_s
          FROM sp WHERE valid_to IS NOT NULL
          GROUP BY 1 ORDER BY 1""",
+    "events_ohlc" ->
+      """WITH p AS (
+           SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar,
+               CAST(ts AS TIMESTAMP) AS ts, event_id,
+               CAST(value AS DECIMAL(18,2)) AS v
+           FROM events WHERE event_type = 'purchase'),
+         r AS (
+           SELECT bar, v,
+               row_number() OVER (PARTITION BY bar ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY bar ORDER BY ts DESC, event_id DESC) AS rn_d
+           FROM p)
+         SELECT bar,
+             CAST(max(CASE WHEN rn_a = 1 THEN v END) AS DOUBLE) AS open,
+             CAST(max(CASE WHEN rn_d = 1 THEN v END) AS DOUBLE) AS close,
+             CAST(min(v) AS DOUBLE) AS low, CAST(max(v) AS DOUBLE) AS high,
+             CAST(count(*) AS BIGINT) AS n
+         FROM r GROUP BY bar ORDER BY bar""",
+    // Spark posexplode is 0-based; generate_subscripts is 1-based — align
+    "embed_dim_stats" ->
+      """SELECT pos - 1 AS dim, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(xi) AS BIGINT) AS sum_u,
+             CAST(min(xi) AS BIGINT) AS min_u, CAST(max(xi) AS BIGINT) AS max_u,
+             CAST(sum(xi) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_u
+         FROM (
+           SELECT generate_subscripts(embedding, 1) AS pos,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS xi
+           FROM embeddings)
+         GROUP BY 1 ORDER BY dim""",
     // same one-row-per-key result via a window in the oracle (the unique
     // event_id tie-break makes both formulations deterministic)
     "events_latest" ->
