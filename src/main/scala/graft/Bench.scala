@@ -11,6 +11,17 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.ui.enabled", "false")
+      // 99 queries share this JVM: without a periodic GC the ContextCleaner
+      // never learns that checkpoint/broadcast blocks from earlier queries
+      // are unreachable, and accumulated state taxes every later query (the
+      // round-4 suite-wide 1.7× inflation — isolated reruns were fine).
+      .config("spark.cleaner.periodicGC.interval", "30s")
+      // honor write-time sortBy on bucketed scans (safe: Layout.writeBucketed
+      // writes one file per bucket from one job) — q_bucketed_join then
+      // plans zero Exchange AND zero Sort
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: JVM/codegen/parquet-footer costs land here instead of
@@ -23,6 +34,7 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    var sinceGc = 0
     val results = Seq.fill(reps)(selected.toSeq).flatten.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // toRdd.count() forces FULL evaluation of every projected expression —
@@ -34,9 +46,24 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           false
         }
+      val secs = (System.nanoTime() - t0) / 1e9
+      // Suite hygiene: a query's cached/checkpoint blocks must not tax the
+      // NEXT query. clearCache drops catalog-registered cached plans;
+      // the GC nudge (every 8 queries — cheap relative to query cost) lets
+      // the ContextCleaner reclaim checkpoint RDD blocks whose frames went
+      // out of scope. One storage line per query makes any future leak
+      // visible in the artifact instead of needing a bisect.
+      spark.catalog.clearCache()
+      sinceGc += 1
+      if (sinceGc >= 8) { System.gc(); sinceGc = 0 }
+      val storage = spark.sparkContext.getRDDStorageInfo
+      val memMb = storage.map(_.memSize).sum / (1024 * 1024)
+      val diskMb = storage.map(_.diskSize).sum / (1024 * 1024)
+      System.err.println(
+        f"[bench] $name%-28s ${secs}%8.2fs  storage=${memMb}MB mem/${diskMb}MB disk, ${storage.length} rdds")
       // a failed query must NOT bench as ~0s and flatter the total — it
       // reports the -1 sentinel in the machine-readable JSON
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> (if (ok) secs else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

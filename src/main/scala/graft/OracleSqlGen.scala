@@ -108,7 +108,7 @@ object OracleSqlGen {
     * generation is the same deterministic minhashLsh SQL, inlined as a
     * derived table.
     */
-  def minhashComponents(n: Int, bands: Int, rowsPerBand: Int): String =
+  private def componentCtes(n: Int, bands: Int, rowsPerBand: Int): String =
     s"""WITH RECURSIVE pairs AS (
           SELECT * FROM (${minhashLsh(n, bands, rowsPerBand)}) t
         ), edges AS (
@@ -119,9 +119,24 @@ object OracleSqlGen {
           SELECT a, a FROM nodes
           UNION
           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-        )
+        )"""
+
+  def minhashComponents(n: Int, bands: Int, rowsPerBand: Int): String =
+    s"""${componentCtes(n, bands, rowsPerBand)}
         SELECT a AS doc_id, min(b) AS rep_id FROM reach GROUP BY a
         ORDER BY doc_id"""
+
+  /** Surviving corpus after minhash dedup (Dedup.keepRepresentatives): drop
+    * every doc that belongs to a component but is not its min-id
+    * representative; pair-free docs survive as their own trivial cluster.
+    */
+  def minhashSurvivors(n: Int, bands: Int, rowsPerBand: Int,
+      cols: Seq[String]): String =
+    s"""${componentCtes(n, bands, rowsPerBand)},
+        comp AS (SELECT a AS doc_id, min(b) AS rep_id FROM reach GROUP BY a)
+        SELECT ${cols.map("d." + _).mkString(", ")} FROM documents d
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> rep_id)
+        ORDER BY d.doc_id"""
 
   /** Incremental-dedup oracle: the full minhashLsh pair list restricted to
     * pairs touching the ingest batch (doc_id >= batchMinId), reshaped to the

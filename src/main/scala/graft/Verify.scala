@@ -15,12 +15,19 @@ object Verify {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.ui.enabled", "false")
+      // same suite hygiene as Bench: ~100 queries share this JVM
+      .config("spark.cleaner.periodicGC.interval", "30s")
+      // honor write-time sortBy on bucketed scans (see Bench/BucketingSpec)
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Local iteration aid (mirrors Bench): SPARK_GRAFT_ONLY=q1,q2 restricts
     // the dump to a subset. Unset for the driver, which needs all queries.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    var sinceGc = 0
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -29,6 +36,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // suite hygiene (mirrors Bench): drop cached plans + let the cleaner
+      // reclaim checkpoint blocks so state can't accumulate across queries
+      spark.catalog.clearCache()
+      sinceGc += 1
+      if (sinceGc >= 8) { System.gc(); sinceGc = 0 }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

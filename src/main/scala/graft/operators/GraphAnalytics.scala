@@ -74,8 +74,18 @@ object GraphAnalytics {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-    nodes.join(recv.get, Seq("node"), "left")
+    val out = nodes.join(recv.get, Seq("node"), "left")
       .select(col("node"), (lit(base) + coalesce(col("recv"), lit(0L))).as("pr"))
+    // Cache lifecycle: materialize the O(V) result eagerly, then release the
+    // cached edge/degree blocks — they exist only so the iteration reuses one
+    // scan+shuffle, and holding them past the operator taxes every later
+    // query sharing the JVM/cluster (the round-4 bench-suite regression).
+    // The checkpoint blocks themselves are reclaimed by the ContextCleaner
+    // once the returned frame is dereferenced.
+    val mat = out.localCheckpoint(true)
+    e.unpersist(false)
+    deg.unpersist(false)
+    mat
   }
 
   /** Per-node triangle counts over an undirected simple graph. `edges` must
@@ -113,8 +123,13 @@ object GraphAnalytics {
     val wedges = w1.join(w2, "src")
       .filter(struct(col("dd1"), col("dst1")) < struct(col("dd2"), col("dst2")))
     val closing = oriented.select(col("src").as("dst1"), col("dst").as("dst2"))
-    wedges.join(closing, Seq("dst1", "dst2"))
+    val out = wedges.join(closing, Seq("dst1", "dst2"))
       .select(explode(array(col("src"), col("dst1"), col("dst2"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    // Same lifecycle as pageRankInt: force the O(V) counts, then drop the
+    // cached oriented edge list instead of leaving it resident.
+    val mat = out.localCheckpoint(true)
+    oriented.unpersist(false)
+    mat
   }
 }

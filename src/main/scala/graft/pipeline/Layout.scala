@@ -36,7 +36,15 @@ object Layout {
     * pattern for a fact table joined on the same key by every query.
     */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
-    df.write
+    df
+      // one shuffle at WRITE time, so each bucket lands in exactly one file:
+      // repartition's hash is the same murmur3-pmod as the bucket id, so
+      // task i holds precisely bucket i. With multiple files per bucket
+      // Spark drops the sortBy metadata and every downstream SMJ re-sorts;
+      // with one file per bucket reads skip both the shuffle AND the sort
+      // (BucketingSpec pins the zero-Exchange zero-Sort plan).
+      .repartition(buckets, col(key))
+      .write
       .mode("overwrite")
       .bucketBy(buckets, key)
       .sortBy(key)

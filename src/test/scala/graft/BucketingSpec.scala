@@ -44,4 +44,44 @@ class BucketingSpec extends AnyFunSuite with SparkTestBase {
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
     spark.sql("DROP TABLE IF EXISTS ord_bucketed")
   }
+
+  test("q_bucketed_join plans ZERO exchanges and ZERO sorts end to end") {
+    val sf = "/root/testdata/sf0.001"
+    Seq("graft_li_bucketed", "graft_ord_bucketed").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      // a stale location from a prior JVM blocks managed-table creation even
+      // after DROP (the in-memory catalog forgot the table, the dir remains)
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      if (loc.exists()) rm(loc)
+    }
+    // disable broadcast: at 100 TB neither side fits, so the pin must be the
+    // big-data shape — SMJ over co-bucketed scans, not a small-sf BHJ
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // honor the write-time sortBy: safe because writeBucketed writes each
+    // bucket as ONE file from one job (the case the default guards against
+    // is multi-job appends); Bench/Verify set the same flag
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try {
+      val q = SparkEntry.queries("q_bucketed_join")(spark, sf)
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      // The whole declared query — SMJ on the bucket key, aggregate whose
+      // leading grouping key is the bucket key, global top-k — runs without
+      // a single shuffle, and the write-time sortBy also removes both
+      // join-side sorts. TakeOrderedAndProject limits without an exchange.
+      assert(!plan.contains("Exchange"), s"unexpected exchange:\n$plan")
+      assert(!plan.contains("Sort "), s"unexpected sort:\n$plan")
+      assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+      assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+    }
+  }
 }
