@@ -546,6 +546,32 @@ object OracleSqlGen {
         ORDER BY pr DESC, node ASC LIMIT $topK"""
   }
 
+  /** Mirrors GraphAnalytics.kCore over the order→part bipartite graph from
+    * lineitem: one CTE per peel round (survivors = nodes with ≥ k surviving
+    * neighbors), then a final degree-attach round — the exact shape of the
+    * Spark loop, so results hash-match whether or not `rounds` reached the
+    * fixpoint. Node ids disjoint: parts offset +1e9.
+    */
+  def kCore(k: Int, rounds: Int, topK: Int): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      s"""s$i AS (
+           SELECT adj.a AS node FROM adj
+           JOIN s${i - 1} x ON adj.a = x.node
+           JOIN s${i - 1} y ON adj.b = y.node
+           GROUP BY adj.a HAVING count(*) >= $k)"""
+    }.mkString(",\n        ")
+    s"""WITH e AS (
+          SELECT DISTINCT l_orderkey AS u, 1000000000 + l_partkey AS v FROM lineitem),
+        adj AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v AS a, u AS b FROM e),
+        s0 AS (SELECT DISTINCT a AS node FROM adj),
+        $roundCtes
+        SELECT adj.a AS node, CAST(count(*) AS BIGINT) AS core_deg FROM adj
+        JOIN s$rounds x ON adj.a = x.node
+        JOIN s$rounds y ON adj.b = y.node
+        GROUP BY adj.a HAVING count(*) >= $k
+        ORDER BY core_deg DESC, node ASC LIMIT $topK"""
+  }
+
   /** Must mirror Multimodal.FakeDecoder exactly (text is ASCII in the test
     * tables, so ascii(substr) == byte values).
     */

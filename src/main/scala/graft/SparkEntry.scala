@@ -784,6 +784,29 @@ object SparkEntry {
         .orderBy("doc_id", "rnk")
     }),
 
+    // Corpus vocabulary coverage: top-100 tokens by occurrence count with
+    // the cumulative share of all token occurrences they cover — the
+    // how-big-must-the-vocab-be curve of tokenizer design. The full-vocab
+    // count is a two-phase agg + TakeOrdered(100); only then does the
+    // unpartitioned running-sum window run, over exactly 100 rows (the
+    // global-window cost ceiling is the constant k, never the corpus). The
+    // share division is one exact-int-to-double op — deterministic on both
+    // engines.
+    "text_vocab" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = documents(s, d).select(explode(split(col("text"), " ")).as("tok"))
+      val top = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
+        .orderBy(desc("freq"), asc("tok")).limit(100)
+      val total = toks.agg(count(lit(1)).as("total"))
+      val run = Window.orderBy(desc("freq"), asc("tok"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      top.withColumn("cum", sum(col("freq")).over(run))
+        .crossJoin(broadcast(total))
+        .select(col("tok"), col("freq"),
+          (col("cum").cast("double") / col("total").cast("double")).as("cum_share"))
+        .orderBy(desc("freq"), asc("tok"))
+    }),
+
     // 2-hop graph traversal: top-5 recent orders → their parts → other
     // orders sharing those parts (co-purchase neighborhood).
     "graph_two_hop" -> ((s, d) => {
@@ -1073,6 +1096,19 @@ object SparkEntry {
         .orderBy(desc("pr"), asc("node")).limit(20)
     }),
 
+    // k-core of the order→part bipartite graph: fixed 6-round peel (measured
+    // fixpoint: 2 rounds at sf0.01, 4 at sf0.1 for k=5 — two rounds of
+    // margin; the oracle runs the IDENTICAL rounds so the hash matches
+    // regardless). Top-200 by in-core degree keeps the output compact.
+    "graph_kcore" -> ((s, d) => {
+      val e = lineitem(s, d)
+        .select(col("l_orderkey").as("u"),
+          (lit(1000000000L) + col("l_partkey")).as("v"))
+        .distinct()
+      graft.operators.GraphAnalytics.kCore(e, k = 5, rounds = 6)
+        .orderBy(desc("core_deg"), asc("node")).limit(200)
+    }),
+
     // Markov next-event transition matrix: per-user event sequences (total
     // order: ts then event_id), lead() for the successor, integer counts and
     // one rounded division for the transition probability. One window sort +
@@ -1232,6 +1268,59 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_spans"),
           sum(unix_timestamp(col("valid_to")) - unix_timestamp(col("ts"))).as("total_s"))
         .orderBy("event_type")
+    }),
+
+    // Gap-based batch sessionization (the batch twin of stream_session):
+    // a session breaks when >30min separates consecutive events. lag() for
+    // the gap, a running sum of break flags for the session id — both over
+    // the SAME per-user window, so one sort serves both; the window
+    // partitions by user_id and stays balanced at scale. Explicit ROWS
+    // frame on the running sum (ties would make RANGE ambiguous even with
+    // a unique key; ROWS is what both engines then execute).
+    "events_sessionize" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull.or(
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800L), 1L)
+            .otherwise(0L))
+        .withColumn("sess_id", sum(col("new_sess")).over(run))
+        .groupBy("user_id", "sess_id")
+        .agg(count(lit(1)).as("n_events"),
+          (max(unix_timestamp(col("ts"))) - min(unix_timestamp(col("ts"))))
+            .as("duration_s"))
+        .orderBy("user_id", "sess_id")
+    }),
+
+    // Gaps-and-islands interval coverage: each event claims [ts, ts+15min);
+    // overlapping/touching intervals merge into islands via the running max
+    // of prior interval ends (strictly-greater start ⇒ new island). Output
+    // is per-user island count + covered seconds — the deduped "active
+    // time" a naive sum(15min × n_events) overstates. Same single per-user
+    // window sort discipline as events_sessionize.
+    "q_interval_merge" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val span = 900L
+      val w = Window.partitionBy("user_id").orderBy(col("start_s"), col("event_id"))
+      val prior = w.rowsBetween(Window.unboundedPreceding, -1)
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("start_s"))
+        .withColumn("end_s", col("start_s") + span)
+        .withColumn("max_prior_end", max(col("end_s")).over(prior))
+        .withColumn("new_isl",
+          when(col("max_prior_end").isNull.or(col("start_s") > col("max_prior_end")), 1L)
+            .otherwise(0L))
+        .withColumn("isl_id", sum(col("new_isl")).over(run))
+        .groupBy("user_id", "isl_id")
+        .agg((max(col("end_s")) - min(col("start_s"))).as("covered_s"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_islands"), sum(col("covered_s")).as("covered_s"))
+        .orderBy("user_id")
     })
   )
 
@@ -1588,6 +1677,19 @@ object SparkEntry {
            FROM toks t JOIN dfreq USING (tok))
          SELECT doc_id, tok, df, CAST(rnk AS INT) AS rnk
          FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+    "text_vocab" ->
+      """WITH toks AS (
+           SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq
+                  FROM toks GROUP BY tok),
+         top AS (SELECT tok, freq FROM freq
+                 ORDER BY freq DESC, tok ASC LIMIT 100),
+         tot AS (SELECT count(*) AS total FROM toks)
+         SELECT tok, freq,
+             CAST(sum(freq) OVER (ORDER BY freq DESC, tok ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / CAST(total AS DOUBLE) AS cum_share
+         FROM top, tot ORDER BY freq DESC, tok ASC""",
     "graph_two_hop" ->
       """WITH recent AS (
            SELECT o_orderkey AS seed_order FROM orders
@@ -1708,6 +1810,7 @@ object SparkEntry {
            FROM events)
          WHERE rank <= 5 ORDER BY event_type, rank""",
     "graph_pagerank" -> OracleSqlGen.pageRankInt(iters = 3, topK = 20),
+    "graph_kcore" -> OracleSqlGen.kCore(k = 5, rounds = 6, topK = 200),
     "events_transitions" ->
       """WITH x AS (
            SELECT user_id, event_type,
@@ -1807,6 +1910,56 @@ object SparkEntry {
              CAST(sum(CAST(floor(epoch(valid_to)) - floor(epoch(ts)) AS BIGINT)) AS BIGINT) AS total_s
          FROM sp WHERE valid_to IS NOT NULL
          GROUP BY 1 ORDER BY 1""",
+    "events_sessionize" ->
+      """WITH x AS (
+           SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts
+           FROM events),
+         y AS (
+           SELECT user_id, event_id, ts,
+             CASE WHEN prev_ts IS NULL
+                    OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+           FROM x),
+         z AS (
+           SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+           FROM y)
+         SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(max(floor(epoch(ts))) - min(floor(epoch(ts))) AS BIGINT) AS duration_s
+         FROM z GROUP BY user_id, sess_id ORDER BY user_id, sess_id""",
+    "q_interval_merge" ->
+      """WITH iv AS (
+           SELECT user_id, event_id,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS start_s,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP))) + 900 AS BIGINT) AS end_s
+           FROM events),
+         m AS (
+           SELECT user_id, start_s, end_s,
+             max(end_s) OVER (PARTITION BY user_id ORDER BY start_s, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_prior_end,
+             event_id
+           FROM iv),
+         f AS (
+           SELECT user_id, start_s, end_s,
+             CASE WHEN max_prior_end IS NULL OR start_s > max_prior_end
+                  THEN 1 ELSE 0 END AS new_isl,
+             event_id
+           FROM m),
+         g AS (
+           SELECT user_id, start_s, end_s,
+             sum(new_isl) OVER (PARTITION BY user_id ORDER BY start_s, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id
+           FROM f),
+         isl AS (
+           SELECT user_id, isl_id, max(end_s) - min(start_s) AS covered_s
+           FROM g GROUP BY user_id, isl_id)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+             CAST(sum(covered_s) AS BIGINT) AS covered_s
+         FROM isl GROUP BY user_id ORDER BY user_id""",
     "events_ohlc" ->
       """WITH p AS (
            SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar,

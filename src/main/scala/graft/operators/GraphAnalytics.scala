@@ -102,7 +102,7 @@ object GraphAnalytics {
     * Orientation changes only the enumeration order, never the triangle
     * set, so an id-oriented engine (the DuckDB oracle) counts identically.
     */
-  def triangleCounts(edges: DataFrame): DataFrame = {
+  def triangleCounts(edges: DataFrame, bloomMinEdges: Long = 4000000L): DataFrame = {
     val e = edges.select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
     val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
@@ -120,9 +120,29 @@ object GraphAnalytics {
     // closing edge, if present, is oriented dst1 → dst2 under the same order
     val w1 = oriented.select(col("src"), col("dst").as("dst1"), col("dd").as("dd1"))
     val w2 = oriented.select(col("src"), col("dst").as("dst2"), col("dd").as("dd2"))
-    val wedges = w1.join(w2, "src")
-      .filter(struct(col("dd1"), col("dst1")) < struct(col("dd2"), col("dst2")))
+    // Most wedges never close (triangles ≪ wedges on real graphs). While the
+    // closing-edge side fits a broadcast-hash join (≲ a few M edges), the
+    // hash probe IS the cheapest possible wedge filter and nothing extra
+    // helps. Past broadcast scale the closing join goes shuffled and every
+    // wedge — O(Σ min(d,√E)²) rows — would ride that exchange; there a bloom
+    // over the |E| closing pairs (~10 bits/pair, built with a distributed
+    // partial-bloom aggregate) drops non-closing wedges at codegen speed
+    // BEFORE the shuffle. False positives are removed by the exact join, so
+    // the triangle set is unchanged — the spec pins both paths equal.
     val closing = oriented.select(col("src").as("dst1"), col("dst").as("dst2"))
+    val nEdges = oriented.count() // also materializes the cache once
+    val wedgeFilter = struct(col("dd1"), col("dst1")) < struct(col("dd2"), col("dst2"))
+    val wedges =
+      if (nEdges < bloomMinEdges) {
+        w1.join(w2, "src").filter(wedgeFilter)
+      } else {
+        val bloom = BloomJoin.buildBloom(
+          closing, struct(col("dst1"), col("dst2")),
+          expectedItems = math.max(nEdges, 1L),
+          numBits = math.max(nEdges * 10L, 1L << 16))
+        w1.join(w2, "src").filter(wedgeFilter)
+          .filter(BloomJoin.mightContain(bloom, struct(col("dst1"), col("dst2"))))
+      }
     val out = wedges.join(closing, Seq("dst1", "dst2"))
       .select(explode(array(col("src"), col("dst1"), col("dst2"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
@@ -130,6 +150,53 @@ object GraphAnalytics {
     // cached oriented edge list instead of leaving it resident.
     val mat = out.localCheckpoint(true)
     oriented.unpersist(false)
+    mat
+  }
+
+  /** k-core by fixed-round peeling: repeatedly drop nodes whose degree
+    * (within the surviving subgraph) is < k. `rounds` is FIXED, not
+    * run-to-fixpoint, for the same reason pageRankInt is fixed-iteration:
+    * a data-dependent round count is not expressible as deterministic
+    * chained SQL CTEs, so the DuckDB oracle runs the identical R rounds and
+    * the results hash-match whether or not R reached the fixpoint. Peeling
+    * is monotone (survivor sets only shrink), so once two consecutive
+    * rounds agree the answer IS the k-core; the spec pins convergence on a
+    * cascade fixture and callers size R from data (KCoreSpec + the declared
+    * query's measured fixpoint).
+    *
+    * Scale shape: the symmetric adjacency is hash-partitioned by endpoint
+    * ONCE and cached; each round is (a) a semi-join of adjacency against
+    * the current survivor set on BOTH endpoints and (b) one groupBy(count)
+    * — 2–3 exchanges of an O(V) frame per round, never a re-shuffle of the
+    * O(E) adjacency. Lineage grows linearly in R (small, ≤ ~12), so no
+    * checkpointing is needed; the cache is released before returning.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1 && rounds <= 30)
+    val e = edges.select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
+    val adj = e.select(col("u").as("a"), col("v").as("b"))
+      .union(e.select(col("v").as("a"), col("u").as("b")))
+      .repartition(col("a"))
+      .cache()
+    // survivors carried as (node) — O(V); degree recomputed per round from
+    // the cached adjacency restricted to surviving endpoints on both sides
+    var surv = adj.select(col("a").as("node")).distinct()
+    for (_ <- 1 to rounds) {
+      surv = adj
+        .join(surv.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(surv.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select("node")
+    }
+    // final pass re-attaches the in-core degree for the output frame
+    val out = adj
+      .join(surv.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+      .join(surv.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+      .groupBy(col("a").as("node")).agg(count(lit(1)).as("core_deg"))
+      .filter(col("core_deg") >= k)
+    val mat = out.localCheckpoint(true)
+    adj.unpersist(false)
     mat
   }
 }

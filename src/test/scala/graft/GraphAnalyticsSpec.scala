@@ -73,5 +73,35 @@ class GraphAnalyticsSpec extends AnyFunSuite with SparkTestBase {
       c <- nodes if b < c && es((b, c)) && es((a, c))
     } { want(a) += 1; want(b) += 1; want(c) += 1 }
     assert(got == want.toMap)
+    // scale path: wedge-bloom prefilter (forced via bloomMinEdges=0) must
+    // count the identical triangle set — FPs die in the exact closing join
+    val gotBloom = GraphAnalytics.triangleCounts(edges, bloomMinEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(gotBloom == want.toMap)
+  }
+
+  test("kCore: K5 plus pendant chain keeps exactly the clique at k=4") {
+    // K5 on 1..5 (every node has 4 in-clique neighbors); chain 5-10-11-12
+    // hangs off the clique — chain degrees ≤ 2, so k=4 peels it entirely
+    val k5 = for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)
+    val chain = Seq((5L, 10L), (10L, 11L), (11L, 12L))
+    val got = GraphAnalytics.kCore((k5 ++ chain).toDF("u", "v"), k = 4, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 4L, 2L -> 4L, 3L -> 4L, 4L -> 4L, 5L -> 4L))
+  }
+
+  test("kCore: peeling cascades — a path has no 2-core, a cycle is one") {
+    // path 1-2-...-8: endpoints peel first, cascade inward round by round
+    // (the multi-round case); cycle 20..25 survives k=2 intact
+    val path = (1L until 8L).map(i => (i, i + 1))
+    val cycle = (20L until 25L).map(i => (i, i + 1)) :+ (20L, 25L)
+    val edges = (path ++ cycle).toDF("u", "v")
+    val got = GraphAnalytics.kCore(edges, k = 2, rounds = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(got == (20L to 25L).map(_ -> 2L).toMap)
+    // fixed-round determinism: more rounds past the fixpoint change nothing
+    val more = GraphAnalytics.kCore(edges, k = 2, rounds = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(more == got)
   }
 }
