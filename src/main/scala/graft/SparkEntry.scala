@@ -1145,6 +1145,27 @@ object SparkEntry {
         .orderBy("event_type", "hour")
     }),
 
+    // Rolling 7-day distinct actives (the WAU curve): COUNT(DISTINCT) over a
+    // sliding window has no partial-agg form, so each (user, day) activity
+    // is EXPLODED into the ≤7 target days it contributes to and deduped —
+    // turning a windowed distinct into two plain distinct aggregates. The
+    // amplification is bounded by the constant window length (7×) on the
+    // already-day-deduped frame, never the raw event count; every stage is
+    // a keyed shuffle with map-side combine, so the shape survives 100 TB.
+    "events_wau" -> ((s, d) => {
+      val days = events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val maxDay = days.agg(max(col("day")).as("max_day"))
+      days
+        .select(col("user_id"), explode(sequence(lit(0), lit(6))).as("off"), col("day"))
+        .select(col("user_id"), date_add(col("day"), col("off")).as("day"))
+        .distinct()
+        .crossJoin(broadcast(maxDay))
+        .filter(col("day") <= col("max_day"))
+        .groupBy("day").agg(count(lit(1)).as("active_7d"))
+        .orderBy("day")
+    }),
+
     // Fixed-width histogram: integer bucket = floor(price / width). One
     // partial-agg shuffle; bucket count is bounded by the value domain, not
     // the row count.
@@ -1822,6 +1843,16 @@ object SparkEntry {
              round(count(*) / sum(count(*)) OVER (PARTITION BY event_type), 6) AS p
          FROM x WHERE next_type IS NOT NULL
          GROUP BY 1, 2 ORDER BY from_type, to_type""",
+    "events_wau" ->
+      """WITH days AS (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+         mx AS (SELECT max(day) AS max_day FROM days),
+         contrib AS (
+           SELECT DISTINCT user_id, day + CAST(off AS INTEGER) AS day
+           FROM days, (SELECT unnest(generate_series(0, 6)) AS off) o)
+         SELECT day, CAST(count(*) AS BIGINT) AS active_7d
+         FROM contrib, mx WHERE day <= max_day
+         GROUP BY day ORDER BY day""",
     "events_gapfill" ->
       """WITH e AS (
            SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour

@@ -75,6 +75,43 @@ class GraphStore(spark: SparkSession, root: String) {
       .parquet(tableDir(table).resolve("v" + version).toString)
   }
 
+  /** Snapshot diff between two committed versions of `table`: which keys
+    * were added, removed, or changed — the change-data-feed a downstream
+    * consumer needs to incrementally react to writes, derived purely from
+    * the immutable version directories (no write-path hooks, no log).
+    *
+    * One full-outer join keyed on the table's natural key (entities: name;
+    * observations: id — both unique per snapshot by construction); "changed"
+    * is a null-safe struct inequality over the remaining columns, evaluated
+    * inside the join's codegen stage. Scale shape: keyed shuffle of the two
+    * snapshots, no driver materialization — diffing two 10 TB snapshots is
+    * one sort-merge join.
+    */
+  def diffVersions(table: String, fromVersion: Long, toVersion: Long,
+      keyOverride: Seq[String] = Nil): DataFrame = {
+    val keys = if (keyOverride.nonEmpty) keyOverride else table match {
+      case "entities" => Seq("name")
+      case "observations" => Seq("id")
+      // parallel relations are exact-duplicate-free per (from, to, type)
+      // only if callers keep them so; pass keyOverride otherwise
+      case "relations" => Seq("from_entity", "to_entity", "relation_type")
+      case other => throw new IllegalArgumentException(s"Unknown table: $other")
+    }
+    val oldT = readTableVersion(table, fromVersion)
+    val newT = readTableVersion(table, toVersion)
+    val rest = oldT.columns.filterNot(keys.contains).toSeq
+    def packed(df: DataFrame, payload: String) = df.select(
+      struct(keys.map(col): _*).as("k"),
+      struct((lit(1).as("present") +: rest.map(col)): _*).as(payload))
+    packed(oldT, "o").join(packed(newT, "n"), Seq("k"), "full_outer")
+      .withColumn("change",
+        when(col("o").isNull, lit("added"))
+          .when(col("n").isNull, lit("removed"))
+          .when(!(col("o") <=> col("n")), lit("changed")))
+      .filter(col("change").isNotNull)
+      .select(keys.map(kc => col("k." + kc).as(kc)) :+ col("change"): _*)
+  }
+
   private def schemaFor(table: String): StructType = table match {
     case "entities" => EntitiesSchema
     case "observations" => ObservationsSchema

@@ -121,6 +121,24 @@ class GraphStoreSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException] { st.tableVersions("nope") }
   }
 
+  test("diffVersions: snapshot diff reports added/removed/changed keys") {
+    val st = freshStore()
+    st.createEntities(Seq(
+      Entity("A", "t1", Seq("o1")), Entity("B", "t1", Seq("o1")),
+      Entity("C", "t1", Seq("o1"))))
+    val v1 = st.tableVersions("entities").last
+    st.createEntities(Seq(Entity("A", "t2", Seq("o2")))) // change A
+    st.createEntities(Seq(Entity("D", "t1", Seq("o1")))) // add D
+    st.deleteEntity("C")                                 // remove C
+    val v2 = st.tableVersions("entities").last
+    val diff = st.diffVersions("entities", v1, v2)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(diff == Map("A" -> "changed", "C" -> "removed", "D" -> "added"))
+    // self-diff is empty; unknown table rejected
+    assert(st.diffVersions("entities", v2, v2).isEmpty)
+    intercept[IllegalArgumentException] { st.diffVersions("nope", v1, v2) }
+  }
+
   test("manifest tracks id high-water mark: no O(table) max-id scan per write") {
     val dir = Files.createTempDirectory("graft-store-").toString
     val st = new GraphStore(spark, dir)
