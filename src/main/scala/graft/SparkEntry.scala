@@ -1175,6 +1175,58 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy("bucket")),
 
+    // Per-group categorical mode as a pure aggregation: count per (group,
+    // value), then min(struct(-cnt, value)) picks highest-count-then-
+    // lexicographically-smallest — the argmax-struct pattern (same shape as
+    // events_latest/OHLC), so both phases keep map-side combine and no
+    // per-group window sort ever runs. Deterministic tiebreak makes it
+    // hash-verifiable.
+    "q_mode" -> ((s, d) => {
+      val counts = orders(s, d)
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))
+      counts
+        .groupBy("n_name")
+        .agg(min(struct((-col("cnt")).as("neg"), col("o_orderpriority").as("p"))).as("m"))
+        .select(col("n_name"), col("m.p").as("mode_priority"),
+          (-col("m.neg")).as("cnt"))
+        .orderBy("n_name")
+    }),
+
+    // Approximate heavy hitters via Spark's mergeable ApproxTopK sketch
+    // (rows-only by contract — estimates are algorithm-specific; the exact
+    // hash-verified twin is text_vocab). The sketch is partial-agg mergeable
+    // like the HLL summaries, so it survives any partitioning; estimates on
+    // this skewed-token corpus are exact for the deep head.
+    "q_approx_topk" -> ((s, d) => {
+      val toks = documents(s, d).select(explode(split(col("text"), " ")).as("tok"))
+      toks.select(expr("approx_top_k(tok, 20)").as("top"))
+        .select(explode(col("top")).as("e"))
+        .select(col("e.item").as("tok"), col("e.count").as("freq"))
+        .orderBy(desc("freq"), asc("tok"))
+    }),
+
+    // Period-over-period: daily gross revenue and its % change vs the prior
+    // day. The window runs over the already-aggregated O(days) frame — the
+    // lag sort costs days, not orders; one exact-decimal division at the
+    // boundary keeps the output hash-stable.
+    "q_period_over_period" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = orders(s, d)
+        .groupBy(col("o_orderdate").as("day"))
+        .agg(sum(dec(col("o_totalprice"))).as("rev"))
+      val w = Window.orderBy("day")
+      daily
+        .withColumn("prev_rev", lag(col("rev"), 1).over(w))
+        .filter(col("prev_rev").isNotNull)
+        .select(col("day"), col("rev").cast("double").as("rev"),
+          ((col("rev") - col("prev_rev")).cast("double") /
+            col("prev_rev").cast("double")).as("pct_change"))
+        .orderBy("day")
+    }),
+
     // Materialized rollup + incremental maintenance, end to end: history
     // (ship year < 1998) builds the summary, the 1998 batch appends via
     // O(batch) appendDelta (the existing summary is never read), and the
@@ -1843,6 +1895,31 @@ object SparkEntry {
              round(count(*) / sum(count(*)) OVER (PARTITION BY event_type), 6) AS p
          FROM x WHERE next_type IS NOT NULL
          GROUP BY 1, 2 ORDER BY from_type, to_type""",
+    "q_period_over_period" ->
+      """WITH daily AS (
+           SELECT o_orderdate AS day,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+           FROM orders GROUP BY o_orderdate),
+         l AS (
+           SELECT day, rev, lag(rev) OVER (ORDER BY day) AS prev_rev
+           FROM daily)
+         SELECT day, CAST(rev AS DOUBLE) AS rev,
+             CAST(rev - prev_rev AS DOUBLE) / CAST(prev_rev AS DOUBLE) AS pct_change
+         FROM l WHERE prev_rev IS NOT NULL ORDER BY day""",
+    "q_mode" ->
+      """WITH c AS (
+           SELECT n_name, o_orderpriority AS p, CAST(count(*) AS BIGINT) AS cnt
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY n_name, o_orderpriority),
+         r AS (
+           SELECT n_name, p, cnt,
+             row_number() OVER (PARTITION BY n_name
+               ORDER BY cnt DESC, p ASC) AS rn
+           FROM c)
+         SELECT n_name, p AS mode_priority, cnt
+         FROM r WHERE rn = 1 ORDER BY n_name""",
     "events_wau" ->
       """WITH days AS (
            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

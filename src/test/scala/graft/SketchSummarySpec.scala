@@ -96,4 +96,20 @@ class SketchSummarySpec extends AnyFunSuite with SparkTestBase {
       .orderBy("flag").collect().toSeq
     assert(want == direct)
   }
+
+  test("approx_top_k recovers the exact deep head on a skewed distribution") {
+    import spark.implicits._
+    // zipf-ish: token t_i appears 2^(10-i) times — head dominated, the
+    // regime where the sketch's top-k counts are exact
+    val rows = (0 until 10).flatMap(i => Seq.fill(1 << (10 - i))(s"t_$i"))
+    val df = rows.toDF("tok")
+    val approx = df.selectExpr("approx_top_k(tok, 5) AS top")
+      .selectExpr("explode(top) AS e")
+      .selectExpr("e.item AS tok", "e.count AS freq")
+      .as[(String, Long)].collect().toMap
+    val exact = df.groupBy("tok").count()
+      .orderBy(org.apache.spark.sql.functions.desc("count"))
+      .limit(5).as[(String, Long)].collect().toMap
+    assert(approx == exact)
+  }
 }
