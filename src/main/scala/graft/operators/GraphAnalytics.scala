@@ -179,8 +179,13 @@ object GraphAnalytics {
       .repartition(col("a"))
       .cache()
     // survivors carried as (node) — O(V); degree recomputed per round from
-    // the cached adjacency restricted to surviving endpoints on both sides
-    var surv = adj.select(col("a").as("node")).distinct()
+    // the cached adjacency restricted to surviving endpoints on both sides.
+    // Each round references the previous survivor frame TWICE (both
+    // endpoint semi-joins), so an unmaterialized lineage would recompute
+    // early rounds 2^R times; the per-round eager localCheckpoint (same
+    // discipline as the CC loop, Dedup.scala) keeps every round O(1) jobs
+    // over an O(V) frame.
+    var surv = adj.select(col("a").as("node")).distinct().localCheckpoint(true)
     for (_ <- 1 to rounds) {
       surv = adj
         .join(surv.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
@@ -188,6 +193,7 @@ object GraphAnalytics {
         .groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select("node")
+        .localCheckpoint(true)
     }
     // final pass re-attaches the in-core degree for the output frame
     val out = adj
