@@ -1145,6 +1145,24 @@ object SparkEntry {
         .orderBy("event_type", "hour")
     }),
 
+    // Longest consecutive-day activity streak per user: on the day-deduped
+    // frame, day_number − row_number is constant exactly within a run of
+    // consecutive days (the gaps-and-islands integer trick at day grain),
+    // so streaks fall out of one per-user window sort + two tiny
+    // aggregations. All-integer, no date arithmetic in the output.
+    "events_streaks" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("day")
+      events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        .withColumn("grp", unix_date(col("day")) - row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(max(col("len")).as("max_streak"))
+        .orderBy("user_id")
+    }),
+
     // Rolling 7-day distinct actives (the WAU curve): COUNT(DISTINCT) over a
     // sliding window has no partial-agg form, so each (user, day) activity
     // is EXPLODED into the ≤7 target days it contributes to and deduped —
@@ -1295,6 +1313,31 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"))
         .filter(col("n_orders") >= 2)
         .orderBy(desc("n_orders"), asc("p1"), asc("p2")).limit(20)
+    }),
+
+    // Item-item cosine similarity over co-purchase counts — the classic
+    // collaborative-filtering neighborhood: sim(p1,p2) = |orders with both|
+    // / sqrt(|orders with p1| · |orders with p2|). Same co-partitioned
+    // basket self-join as graph_copurchase; the O(parts) degree frame joins
+    // the pair frame twice (broadcast-sized here, AQE decides at scale).
+    // Support floor prunes noise pairs before normalization; one sqrt +
+    // one division of exact integers keeps the score hash-stable.
+    "graph_item_sim" -> ((s, d) => {
+      val lp = lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+      val deg = lp.groupBy(col("l_partkey").as("p")).agg(count(lit(1)).as("deg"))
+      val pairs = lp.as("a").join(lp.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+        .agg(count(lit(1)).as("n_both"))
+        .filter(col("n_both") >= 3)
+      pairs
+        .join(deg.select(col("p").as("p1"), col("deg").as("d1")), "p1")
+        .join(deg.select(col("p").as("p2"), col("deg").as("d2")), "p2")
+        .select(col("p1"), col("p2"), col("n_both"),
+          (col("n_both").cast("double") /
+            sqrt((col("d1") * col("d2")).cast("double"))).as("cosine"))
+        .orderBy(desc("cosine"), asc("p1"), asc("p2")).limit(50)
     }),
 
     // Per-node triangle counts on the co-purchase graph (parts co-ordered in
@@ -1920,6 +1963,19 @@ object SparkEntry {
            FROM c)
          SELECT n_name, p AS mode_priority, cnt
          FROM r WHERE rn = 1 ORDER BY n_name""",
+    "events_streaks" ->
+      """WITH days AS (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+         g AS (
+           SELECT user_id, day,
+             (day - DATE '1970-01-01')
+               - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+           FROM days),
+         runs AS (
+           SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+           FROM g GROUP BY user_id, grp)
+         SELECT user_id, max(len) AS max_streak
+         FROM runs GROUP BY user_id ORDER BY user_id""",
     "events_wau" ->
       """WITH days AS (
            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
@@ -1986,6 +2042,22 @@ object SparkEntry {
            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
          GROUP BY 1, 2 HAVING count(*) >= 2
          ORDER BY n_orders DESC, p1, p2 LIMIT 20""",
+    "graph_item_sim" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         deg AS (SELECT l_partkey AS p, CAST(count(*) AS BIGINT) AS deg
+                 FROM lp GROUP BY l_partkey),
+         pairs AS (
+           SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+               CAST(count(*) AS BIGINT) AS n_both
+           FROM lp a JOIN lp b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 3)
+         SELECT p1, p2, n_both,
+             CAST(n_both AS DOUBLE) / sqrt(CAST(d1.deg * d2.deg AS DOUBLE)) AS cosine
+         FROM pairs
+         JOIN deg d1 ON p1 = d1.p
+         JOIN deg d2 ON p2 = d2.p
+         ORDER BY cosine DESC, p1, p2 LIMIT 50""",
     // id-oriented enumeration (u < v < w via the two join predicates) counts
     // the same triangle set as Spark's degree-oriented enumeration —
     // orientation changes order of discovery, never membership

