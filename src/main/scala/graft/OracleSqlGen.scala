@@ -588,4 +588,33 @@ object OracleSqlGen {
             ELSE 1 END AS INT) AS n_frames
         FROM documents ORDER BY doc_id"""
   }
+
+  /** Mirrors GraphAnalytics.bfs over the customer→order→part FK graph
+    * (pageRankInt's node-id scheme): one CTE per expansion round — the
+    * visited set grows by the frontier's unvisited neighbors at dist = i.
+    * Output is the per-distance census (count + min/max/sum of node ids),
+    * which pins the exact reached set without emitting O(V) rows.
+    */
+  def bfs(src: Long, rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      s"""v$i AS (
+           SELECT node, dist FROM v${i - 1}
+           UNION ALL
+           SELECT node, $i AS dist FROM (
+             SELECT DISTINCT adj.b AS node FROM adj
+             JOIN v${i - 1} f ON adj.a = f.node AND f.dist = ${i - 1}
+             WHERE adj.b NOT IN (SELECT node FROM v${i - 1})))"""
+    }.mkString(",\n        ")
+    s"""WITH e AS (
+          SELECT 2000000000 + o_custkey AS u, o_orderkey AS v FROM orders
+          UNION ALL
+          SELECT l_orderkey AS u, 1000000000 + l_partkey AS v FROM lineitem),
+        adj AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v AS a, u AS b FROM e),
+        v0 AS (SELECT CAST($src AS BIGINT) AS node, 0 AS dist),
+        $roundCtes
+        SELECT CAST(dist AS INT) AS dist, CAST(count(*) AS BIGINT) AS n_nodes,
+          CAST(min(node) AS BIGINT) AS min_node, CAST(max(node) AS BIGINT) AS max_node,
+          CAST(sum(node) AS BIGINT) AS sum_node
+        FROM v$rounds GROUP BY dist ORDER BY dist"""
+  }
 }

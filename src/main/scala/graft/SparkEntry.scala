@@ -1109,6 +1109,141 @@ object SparkEntry {
         .orderBy(desc("core_deg"), asc("node")).limit(200)
     }),
 
+    // BFS shortest distances from customer#1 over the customer→order→part
+    // FK graph (pageRankInt's node-id scheme). Output is the per-distance
+    // census — count + min/max/sum of node ids — which pins the exact
+    // reached set at each hop without emitting O(V) rows.
+    "graph_bfs" -> ((s, d) => {
+      val o = orders(s, d).select(
+        (lit(2000000000L) + col("o_custkey")).as("u"),
+        col("o_orderkey").as("v"))
+      val li = lineitem(s, d).select(
+        col("l_orderkey").as("u"),
+        (lit(1000000000L) + col("l_partkey")).as("v"))
+      graft.operators.GraphAnalytics.bfs(o.union(li), src = 2000000001L, rounds = 4)
+        .groupBy("dist").agg(
+          count(lit(1)).as("n_nodes"),
+          min("node").as("min_node"),
+          max("node").as("max_node"),
+          sum("node").as("sum_node"))
+        .orderBy("dist")
+    }),
+
+    // Blocked fuzzy entity resolution: candidate pairs only WITHIN a
+    // blocking key (first name token), never all-pairs — the classic
+    // entity-matching shape. At 100 TB the block sizes bound the quadratic
+    // term; levenshtein runs on the tiny within-block candidate set.
+    "q_entity_match" -> ((s, d) => {
+      val names = part(s, d).select(col("p_name")).distinct()
+        .withColumn("blk", split(col("p_name"), " ").getItem(0))
+      val a = names.select(col("p_name").as("name_a"), col("blk"))
+      val b = names.select(col("p_name").as("name_b"), col("blk"))
+      a.join(b, "blk")
+        .filter(col("name_a") < col("name_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("dist") <= 4)
+        .select("name_a", "name_b", "dist")
+        .orderBy("name_a", "name_b")
+    }),
+
+    // Robust outlier detection: per-group median + MAD (median absolute
+    // deviation), flag |x − med| > 3·MAD. Two exact-percentile passes over
+    // the group-partitioned frame; the per-group stats broadcast back.
+    "q_mad_outliers" -> ((s, d) => {
+      val e = events(s, d)
+      val med = e.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val mad = e.join(broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(first("med").as("med"),
+          expr("percentile(abs(value - med), 0.5)").as("mad"))
+      e.join(broadcast(mad), "event_type")
+        .filter(abs(col("value") - col("med")) > lit(3.0) * col("mad"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_outliers"),
+          round(first("med"), 6).as("med"),
+          round(first("mad"), 6).as("mad"))
+        .orderBy("event_type")
+    }),
+
+    // Per-group OLS trend from EXACT decimal sums (n, Σx, Σy, Σx², Σxy):
+    // the aggregation is order-independent decimal arithmetic, and only the
+    // final slope/intercept division happens in double — deterministic
+    // across engines and partitionings, unlike a float regr_slope fold.
+    "q_regression" -> ((s, d) => {
+      val q = dec(col("l_quantity")); val p = dec(col("l_extendedprice"))
+      val st = lineitem(s, d).groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum(q).cast("double").as("sx"),
+        sum(p).cast("double").as("sy"),
+        sum(q * q).cast("double").as("sxx"),
+        sum(q * p).cast("double").as("sxy"))
+      val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+      st.select(col("l_returnflag"), col("n"),
+          round(slope, 6).as("slope"),
+          round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Cohort lifetime value: first-order year = cohort, cumulative decimal
+    // revenue by years-since. The window runs over the O(cohorts × years)
+    // aggregated frame, never the fact table.
+    "events_cohort_ltv" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = orders(s, d)
+      val firstYr = o.groupBy("o_custkey")
+        .agg(min(year(col("o_orderdate"))).as("cohort"))
+      val yearly = o.join(firstYr, "o_custkey")
+        .groupBy(col("cohort"), (year(col("o_orderdate")) - col("cohort")).as("yrs"))
+        .agg(sum(dec(col("o_totalprice"))).as("rev"))
+      yearly.select(col("cohort").cast("int").as("cohort"),
+          col("yrs").cast("int").as("yrs"),
+          sum("rev").over(Window.partitionBy("cohort").orderBy("yrs"))
+            .cast("double").as("cum_rev"))
+        .orderBy("cohort", "yrs")
+    }),
+
+    // Wide→long unpivot (melt) of a per-flag metrics frame via stack() —
+    // the relational dual of q_pivot.
+    "q_unpivot" -> ((s, d) =>
+      lineitem(s, d).groupBy("l_returnflag").agg(
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"),
+          count(lit(1)).cast("double").as("n"))
+        .selectExpr("l_returnflag",
+          "stack(3, 'sum_qty', sum_qty, 'sum_price', sum_price, 'n', n) AS (metric, value)")
+        .orderBy("l_returnflag", "metric")),
+
+    // BM25 probe-term relevance over the documents corpus. Per-(doc, term)
+    // scores are fixed-point longs (floor ·1e6) so the per-doc sum is
+    // order-independent and hash-verifiable; df/dl/avgdl stats broadcast.
+    "text_bm25" -> ((s, d) => {
+      val probes = Seq("spark", "query", "vector")
+      val tok = documents(s, d).select(col("doc_id"),
+          explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+        .filter(col("term") =!= "")
+      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val tf = tok.filter(col("term").isin(probes: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfT = tok.filter(col("term").isin(probes: _*))
+        .select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+      val idf = log((col("n_docs").cast("double") - col("df") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)) + lit(1.0))
+      val tscore = idf * (col("tf").cast("double") * lit(2.2)) /
+        (col("tf").cast("double") +
+          lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / avgdl))
+      tf.join(broadcast(dfT), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), floor(tscore * lit(1000000.0)).cast("long").as("iscore"))
+        .groupBy("doc_id").agg(sum("iscore").as("bm25_fp"))
+        .orderBy(desc("bm25_fp"), asc("doc_id")).limit(20)
+    }),
+
     // Markov next-event transition matrix: per-user event sequences (total
     // order: ts then event_id), lead() for the successor, integer counts and
     // one rounded division for the transition probability. One window sort +
@@ -1927,6 +2062,84 @@ object SparkEntry {
          WHERE rank <= 5 ORDER BY event_type, rank""",
     "graph_pagerank" -> OracleSqlGen.pageRankInt(iters = 3, topK = 20),
     "graph_kcore" -> OracleSqlGen.kCore(k = 5, rounds = 6, topK = 200),
+    "graph_bfs" -> OracleSqlGen.bfs(src = 2000000001L, rounds = 4),
+    "q_entity_match" ->
+      """WITH names AS (
+           SELECT DISTINCT p_name, split_part(p_name, ' ', 1) AS blk FROM part)
+         SELECT a.p_name AS name_a, b.p_name AS name_b,
+             CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+         FROM names a JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
+         WHERE levenshtein(a.p_name, b.p_name) <= 4
+         ORDER BY name_a, name_b""",
+    "q_mad_outliers" ->
+      """WITH med AS (
+           SELECT event_type, quantile_cont(value, 0.5) AS med
+           FROM events GROUP BY event_type),
+         mad AS (
+           SELECT e.event_type, any_value(m.med) AS med,
+               quantile_cont(abs(e.value - m.med), 0.5) AS mad
+           FROM events e JOIN med m USING (event_type) GROUP BY e.event_type)
+         SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_outliers,
+             round(any_value(m.med), 6) AS med, round(any_value(m.mad), 6) AS mad
+         FROM events e JOIN mad m USING (event_type)
+         WHERE abs(e.value - m.med) > 3.0 * m.mad
+         GROUP BY e.event_type ORDER BY e.event_type""",
+    "q_regression" ->
+      """WITH s AS (
+           SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, n,
+             round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+             round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept
+         FROM s ORDER BY l_returnflag""",
+    "events_cohort_ltv" ->
+      """WITH f AS (
+           SELECT o_custkey, min(year(o_orderdate)) AS cohort
+           FROM orders GROUP BY o_custkey),
+         yearly AS (
+           SELECT f.cohort, year(o.o_orderdate) - f.cohort AS yrs,
+             sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+           FROM orders o JOIN f ON o.o_custkey = f.o_custkey
+           GROUP BY 1, 2)
+         SELECT CAST(cohort AS INT) AS cohort, CAST(yrs AS INT) AS yrs,
+             CAST(sum(rev) OVER (PARTITION BY cohort ORDER BY yrs) AS DOUBLE) AS cum_rev
+         FROM yearly ORDER BY cohort, yrs""",
+    "q_unpivot" ->
+      """WITH a AS (
+           SELECT l_returnflag,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             CAST(count(*) AS DOUBLE) AS n
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
+         UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM a
+         UNION ALL SELECT l_returnflag, 'n', n FROM a
+         ORDER BY l_returnflag, metric""",
+    "text_bm25" ->
+      """WITH tok AS (
+           SELECT doc_id, t AS term
+           FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS u(t)
+           WHERE t <> ''),
+         dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+         tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok
+                WHERE term IN ('spark', 'query', 'vector') GROUP BY 1, 2),
+         df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok
+                WHERE term IN ('spark', 'query', 'vector') GROUP BY 1),
+         sc AS (
+           SELECT tf.doc_id,
+             CAST(floor(
+               ln((CAST(st.n_docs AS DOUBLE) - df.df + 0.5) / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+               * (CAST(tf.tf AS DOUBLE) * 2.2)
+               / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))
+               * 1000000.0) AS BIGINT) AS iscore
+           FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st)
+         SELECT doc_id, CAST(sum(iscore) AS BIGINT) AS bm25_fp
+         FROM sc GROUP BY doc_id ORDER BY bm25_fp DESC, doc_id LIMIT 20""",
     "events_transitions" ->
       """WITH x AS (
            SELECT user_id, event_type,

@@ -205,4 +205,47 @@ object GraphAnalytics {
     adj.unpersist(false)
     mat
   }
+
+  /** Fixed-round breadth-first shortest distances from a single source over
+    * an undirected graph: returns (node: long, dist: int) for every node
+    * reached within `rounds` hops. Fixed rounds (not run-to-frontier-empty)
+    * for the same reason as kCore/pageRankInt: a data-dependent round count
+    * is not expressible as deterministic chained SQL CTEs, so the DuckDB
+    * oracle (OracleSqlGen.bfs) runs the identical R expansions.
+    *
+    * Scale shape: the symmetric adjacency is hash-partitioned by source
+    * endpoint ONCE and cached; each round is one semi-join of the O(E)
+    * adjacency against the O(frontier) frame, a distinct, and an anti-join
+    * against the visited set — the carried frames are O(V), never the edge
+    * list. The frontier/visited frames are referenced twice per round
+    * (expansion + anti-join), so each is eagerly localCheckpoint'ed to keep
+    * every round O(1) jobs (the kCore discipline); the cache is released
+    * before returning the O(V) result.
+    */
+  def bfs(edges: DataFrame, src: Long, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 30)
+    val e = edges.select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
+    val adj = e.select(col("u").as("a"), col("v").as("b"))
+      .union(e.select(col("v").as("a"), col("u").as("b")))
+      .repartition(col("a"))
+      .cache()
+    val spark = edges.sparkSession
+    var visited = spark.range(1)
+      .select(lit(src).as("node"), lit(0).cast("int").as("dist"))
+      .localCheckpoint(true)
+    var frontier = visited.select("node")
+    for (i <- 1 to rounds) {
+      val next = adj
+        .join(frontier.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .select(col("b").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .localCheckpoint(true)
+      visited = visited
+        .union(next.select(col("node"), lit(i).cast("int").as("dist")))
+        .localCheckpoint(true)
+      frontier = next
+    }
+    adj.unpersist(false)
+    visited
+  }
 }
