@@ -60,13 +60,19 @@ object GraphAnalytics {
           deg.select(col("src"),
             expr(s"(($scale * $dampNum) div $dampDen) div out_deg").as("contrib"))
         case Some(r) =>
-          deg.join(r.withColumnRenamed("node", "src"), Seq("src"), "left")
+          // recv is O(V) — broadcast it so the src-partitioned deg cache is
+          // probed map-side (no re-sort of the degree frame per iteration)
+          deg.join(broadcast(r.withColumnRenamed("node", "src")), Seq("src"), "left")
             .select(col("src"),
               expr(s"((($base + coalesce(recv, 0L)) * $dampNum) div $dampDen) div out_deg")
                 .as("contrib"))
       }
+      // contrib is O(V) — broadcasting it leaves the cached O(E) edge list
+      // untouched in place; the groupBy(dst) sum is then the iteration's
+      // ONLY exchange. (Past broadcast scale: drop the hints and the loop
+      // degrades to the documented two-exchange shape.)
       recv = Some(
-        e.join(contrib, "src")
+        e.join(broadcast(contrib), "src")
           .groupBy(col("dst").as("node"))
           .agg(sum("contrib").as("recv")))
     }
@@ -103,6 +109,10 @@ object GraphAnalytics {
     * set, so an id-oriented engine (the DuckDB oracle) counts identically.
     */
   def triangleCounts(edges: DataFrame, bloomMinEdges: Long = 4000000L): DataFrame = {
+    // NOTE: e is consumed three times below, but Spark's exchange reuse
+    // already shares the caller's shuffle across those branches — caching it
+    // here was measured SLOWER (columnar materialization cost exceeds the
+    // reuse win; 16.8→21.8s cold at sf0.1).
     val e = edges.select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
     val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
@@ -131,19 +141,29 @@ object GraphAnalytics {
     // the triangle set is unchanged — the spec pins both paths equal.
     val closing = oriented.select(col("src").as("dst1"), col("dst").as("dst2"))
     val nEdges = oriented.count() // also materializes the cache once
-    val wedgeFilter = struct(col("dd1"), col("dst1")) < struct(col("dd2"), col("dst2"))
-    val wedges =
+    // scalar (deg, id) lexicographic compare — no per-row struct allocation
+    // on the O(Σ od²) wedge stream
+    val wedgeFilter = col("dd1") < col("dd2") ||
+      (col("dd1") === col("dd2") && col("dst1") < col("dst2"))
+    // Below the bloom gate the closing side fits a broadcast by
+    // construction — hint it EXPLICITLY. The wedge stream is O(Σ od²) rows
+    // (41M at sf0.1); if the planner's inflated self-join estimate pushes
+    // the closing join to sort-merge, that whole stream gets sorted and
+    // shuffled. With the hint the wedges never leave their stage: codegen
+    // streams them through the broadcast hash probe.
+    val (wedges, closer) =
       if (nEdges < bloomMinEdges) {
-        w1.join(w2, "src").filter(wedgeFilter)
+        (w1.join(w2, "src").filter(wedgeFilter), broadcast(closing))
       } else {
         val bloom = BloomJoin.buildBloom(
           closing, struct(col("dst1"), col("dst2")),
           expectedItems = math.max(nEdges, 1L),
           numBits = math.max(nEdges * 10L, 1L << 16))
-        w1.join(w2, "src").filter(wedgeFilter)
-          .filter(BloomJoin.mightContain(bloom, struct(col("dst1"), col("dst2"))))
+        (w1.join(w2, "src").filter(wedgeFilter)
+          .filter(BloomJoin.mightContain(bloom, struct(col("dst1"), col("dst2")))),
+          closing)
       }
-    val out = wedges.join(closing, Seq("dst1", "dst2"))
+    val out = wedges.join(closer, Seq("dst1", "dst2"))
       .select(explode(array(col("src"), col("dst1"), col("dst2"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
     // Same lifecycle as pageRankInt: force the O(V) counts, then drop the
@@ -185,11 +205,16 @@ object GraphAnalytics {
     // early rounds 2^R times; the per-round eager localCheckpoint (same
     // discipline as the CC loop, Dedup.scala) keeps every round O(1) jobs
     // over an O(V) frame.
+    // The survivor frame is O(V) and shrinks every round — BROADCAST it
+    // into both semi-joins so the O(E) cached adjacency is probed in place
+    // (map-side) instead of being re-sorted/re-shuffled twice per round.
+    // (On a cluster where V outgrows the broadcast limit, drop the hint and
+    // the same plan degrades gracefully to shuffled semi-joins.)
     var surv = adj.select(col("a").as("node")).distinct().localCheckpoint(true)
     for (_ <- 1 to rounds) {
       surv = adj
-        .join(surv.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
-        .join(surv.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .join(broadcast(surv.withColumnRenamed("node", "a")), Seq("a"), "left_semi")
+        .join(broadcast(surv.withColumnRenamed("node", "b")), Seq("b"), "left_semi")
         .groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select("node")
@@ -197,8 +222,8 @@ object GraphAnalytics {
     }
     // final pass re-attaches the in-core degree for the output frame
     val out = adj
-      .join(surv.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
-      .join(surv.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+      .join(broadcast(surv.withColumnRenamed("node", "a")), Seq("a"), "left_semi")
+      .join(broadcast(surv.withColumnRenamed("node", "b")), Seq("b"), "left_semi")
       .groupBy(col("a").as("node")).agg(count(lit(1)).as("core_deg"))
       .filter(col("core_deg") >= k)
     val mat = out.localCheckpoint(true)
