@@ -617,4 +617,31 @@ object OracleSqlGen {
           CAST(sum(node) AS BIGINT) AS sum_node
         FROM v$rounds GROUP BY dist ORDER BY dist"""
   }
+
+  /** Mirrors GraphAnalytics.sssp (fixed-round Bellman-Ford) over the
+    * weighted customer→order→part graph: customer→order edges weigh 1,
+    * order→part edges weigh l_quantity. One CTE per relaxation round —
+    * union the previous frame with every out-edge relaxation, keep the
+    * per-node min. Integer weights ⇒ hash-exact.
+    */
+  def sssp(src: Long, rounds: Int, topK: Int): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      s"""d$i AS (
+           SELECT node, min(dist) AS dist FROM (
+             SELECT node, dist FROM d${i - 1}
+             UNION ALL
+             SELECT adj.b AS node, d.dist + adj.w AS dist
+             FROM adj JOIN d${i - 1} d ON adj.a = d.node)
+           GROUP BY node)"""
+    }.mkString(",\n        ")
+    s"""WITH e AS (
+          SELECT 2000000000 + o_custkey AS u, o_orderkey AS v, CAST(1 AS BIGINT) AS w FROM orders
+          UNION ALL
+          SELECT l_orderkey AS u, 1000000000 + l_partkey AS v, CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+        adj AS (SELECT u AS a, v AS b, w FROM e UNION ALL SELECT v AS a, u AS b, w FROM e),
+        d0 AS (SELECT CAST($src AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist),
+        $roundCtes
+        SELECT node, CAST(dist AS BIGINT) AS dist FROM d$rounds
+        ORDER BY dist, node LIMIT $topK"""
+  }
 }

@@ -1129,6 +1129,41 @@ object SparkEntry {
         .orderBy("dist")
     }),
 
+    // Weighted single-source shortest paths (fixed-round Bellman-Ford,
+    // min-plus semiring) over the same FK graph: customer→order edges
+    // weigh 1, order→part edges weigh l_quantity. Integer distances ⇒
+    // hash-exact against the chained-CTE oracle.
+    "graph_sssp" -> ((s, d) => {
+      val o = orders(s, d).select(
+        (lit(2000000000L) + col("o_custkey")).as("u"),
+        col("o_orderkey").as("v"), lit(1L).as("w"))
+      val li = lineitem(s, d).select(
+        col("l_orderkey").as("u"),
+        (lit(1000000000L) + col("l_partkey")).as("v"),
+        col("l_quantity").cast("long").as("w"))
+      graft.operators.GraphAnalytics.sssp(o.union(li), src = 2000000001L, rounds = 4)
+        .orderBy("dist", "node").limit(100)
+    }),
+
+    // Pearson chi-square independence test: event_type × ISO weekday
+    // contingency table, expected counts from the margins, per-cell terms
+    // fixed-point (floor ·1e6) so the Σ over cells is order-independent.
+    "q_chi_square" -> ((s, d) => {
+      val e = events(s, d).select(col("event_type"),
+        (expr("weekday(ts)") + lit(1)).as("dow"))
+      val obs = e.groupBy("event_type", "dow").agg(count(lit(1)).as("o"))
+      val rt = obs.groupBy("event_type").agg(sum("o").as("rt"))
+      val ct = obs.groupBy("dow").agg(sum("o").as("ct"))
+      val g = obs.agg(sum("o").as("g"))
+      val expd = (col("rt") * col("ct")).cast("double") / col("g").cast("double")
+      val term = (col("o").cast("double") - expd) * (col("o").cast("double") - expd) / expd
+      obs.join(broadcast(rt), "event_type")
+        .join(broadcast(ct), "dow")
+        .crossJoin(broadcast(g))
+        .select(floor(term * lit(1000000.0)).cast("long").as("term_fp"))
+        .agg(sum("term_fp").as("chi2_fp"), count(lit(1)).as("n_cells"))
+    }),
+
     // Blocked fuzzy entity resolution: candidate pairs only WITHIN a
     // blocking key (first name token), never all-pairs — the classic
     // entity-matching shape. At 100 TB the block sizes bound the quadratic
@@ -2063,6 +2098,25 @@ object SparkEntry {
     "graph_pagerank" -> OracleSqlGen.pageRankInt(iters = 3, topK = 20),
     "graph_kcore" -> OracleSqlGen.kCore(k = 5, rounds = 6, topK = 200),
     "graph_bfs" -> OracleSqlGen.bfs(src = 2000000001L, rounds = 4),
+    "graph_sssp" -> OracleSqlGen.sssp(src = 2000000001L, rounds = 4, topK = 100),
+    "q_chi_square" ->
+      """WITH e AS (
+           SELECT event_type, isodow(CAST(ts AS TIMESTAMP)) AS dow FROM events),
+         obs AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS o
+                 FROM e GROUP BY 1, 2),
+         rt AS (SELECT event_type, sum(o) AS rt FROM obs GROUP BY 1),
+         ct AS (SELECT dow, sum(o) AS ct FROM obs GROUP BY 1),
+         g AS (SELECT sum(o) AS g FROM obs),
+         t AS (
+           SELECT CAST(floor(
+             (CAST(obs.o AS DOUBLE) - CAST(rt.rt * ct.ct AS DOUBLE) / CAST(g.g AS DOUBLE))
+             * (CAST(obs.o AS DOUBLE) - CAST(rt.rt * ct.ct AS DOUBLE) / CAST(g.g AS DOUBLE))
+             / (CAST(rt.rt * ct.ct AS DOUBLE) / CAST(g.g AS DOUBLE))
+             * 1000000.0) AS BIGINT) AS term_fp
+           FROM obs JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN g)
+         SELECT CAST(sum(term_fp) AS BIGINT) AS chi2_fp,
+             CAST(count(*) AS BIGINT) AS n_cells
+         FROM t""",
     "q_entity_match" ->
       """WITH names AS (
            SELECT DISTINCT p_name, split_part(p_name, ' ', 1) AS blk FROM part)

@@ -273,4 +273,44 @@ object GraphAnalytics {
     adj.unpersist(false)
     visited
   }
+
+  /** Fixed-round single-source shortest paths (Bellman-Ford) over an
+    * undirected weighted graph: edges (u, v, w: long ≥ 0), returns
+    * (node, dist: long) for nodes reachable within `rounds` relaxations.
+    * The min-plus generalization of [[bfs]]: each round relaxes every edge
+    * out of the current distance frame and keeps the per-node minimum —
+    * after R rounds distances using ≤ R edges are exact. Fixed rounds keep
+    * the DuckDB oracle expressible as chained CTEs (OracleSqlGen.sssp).
+    *
+    * Scale shape: identical to bfs — adjacency partitioned+cached once,
+    * O(V) distance frame per round, one groupBy(min) exchange per round,
+    * eager per-round checkpoint (the frame is consumed by both the union
+    * and the relaxation join). min() is order-independent, so results are
+    * deterministic under any partitioning.
+    */
+  def sssp(edges: DataFrame, src: Long, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 30)
+    val e = edges.select(col("u").cast("long").as("u"),
+      col("v").cast("long").as("v"), col("w").cast("long").as("w"))
+    val adj = e.select(col("u").as("a"), col("v").as("b"), col("w"))
+      .union(e.select(col("v").as("a"), col("u").as("b"), col("w")))
+      .repartition(col("a"))
+      .cache()
+    val spark = edges.sparkSession
+    var dist = spark.range(1)
+      .select(lit(src).as("node"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      // the O(V) frame broadcasts into the relaxation join (same caveat as
+      // kCore: past broadcast scale drop the hint for a shuffled join)
+      val relaxed = adj
+        .join(broadcast(dist.withColumnRenamed("node", "a")), "a")
+        .select(col("b").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.union(relaxed)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint(true)
+    }
+    adj.unpersist(false)
+    dist
+  }
 }

@@ -104,4 +104,47 @@ class GraphAnalyticsSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Long)].collect().toMap
     assert(more == got)
   }
+
+  test("bfs: hop distances on a path, unreached nodes absent, rounds cap") {
+    // path 1-2-3-4-5 plus disconnected edge 10-11: from src=1 with 3 rounds,
+    // node 5 (4 hops away) and the 10-11 component must be absent
+    val edges = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))).toDF("u", "v")
+    val got = GraphAnalytics.bfs(edges, src = 1L, rounds = 3)
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+    // a 4th round reaches node 5; distances already found never change
+    val more = GraphAnalytics.bfs(edges, src = 1L, rounds = 4)
+      .as[(Long, Int)].collect().toMap
+    assert(more == got + (5L -> 4))
+  }
+
+  test("bfs: shortest hop count wins over a longer alternative route") {
+    // triangle 1-2-3 plus chain 3-4: 3 is reachable in 1 hop (direct edge),
+    // not 2 (via 2); 4 is at 2
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("u", "v")
+    val got = GraphAnalytics.bfs(edges, src = 1L, rounds = 3)
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2))
+  }
+
+  test("sssp: weighted shortest path beats fewer-hop heavier route") {
+    // 1→3 direct weighs 10; 1→2→3 weighs 1+2=3. Bellman-Ford with enough
+    // rounds must return 3; with rounds=1 only the direct edge is usable.
+    val edges = Seq((1L, 3L, 10L), (1L, 2L, 1L), (2L, 3L, 2L)).toDF("u", "v", "w")
+    val one = GraphAnalytics.sssp(edges, src = 1L, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(one == Map(1L -> 0L, 2L -> 1L, 3L -> 10L))
+    val full = GraphAnalytics.sssp(edges, src = 1L, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(full == Map(1L -> 0L, 2L -> 1L, 3L -> 3L))
+  }
+
+  test("sssp: multi-edges keep the lightest; undirected symmetry") {
+    // parallel edges 1-2 with weights 5 and 2 → dist(2) = 2; traversal works
+    // against edge direction (edges stored as (2,3) but reached from 1)
+    val edges = Seq((1L, 2L, 5L), (1L, 2L, 2L), (3L, 2L, 4L)).toDF("u", "v", "w")
+    val got = GraphAnalytics.sssp(edges, src = 1L, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 2L, 3L -> 6L))
+  }
 }
