@@ -601,6 +601,21 @@ object SparkEntry {
           n = 3, bands = 8, rowsPerBand = 2))
         .orderBy("doc_id")),
 
+    // Incremental label maintenance — the O(batch) ingest path for the
+    // component table: old labels (docs < 400) + the batch's pairs (any
+    // pair touching a doc ≥ 400, exactly what incrementalMinhashPairs
+    // yields at ingest) merged via contraction, WITHOUT re-pairing the old
+    // corpus. Oracle = the from-scratch transitive closure over ALL pairs:
+    // matching it proves merge ≡ recompute.
+    "dedup_components_inc" -> ((s, d) => {
+      val docs0 = documents(s, d)
+      val allPairs = Dedup.minhashLsh(docs0, col("doc_id"), col("text"),
+        n = 3, bands = 8, rowsPerBand = 2)
+      val oldLabels = Dedup.connectedComponents(allPairs.filter(col("b_id") < 400))
+      Dedup.mergeComponents(oldLabels, allPairs.filter(col("b_id") >= 400))
+        .orderBy("doc_id")
+    }),
+
     // The terminal dedup step a user actually ships: pairs → components →
     // surviving corpus (each cluster keeps its min-id representative;
     // pair-free docs keep themselves). The components table is tiny relative
@@ -1844,6 +1859,8 @@ object SparkEntry {
     "dedup_containment" -> OracleSqlGen.containment(3, 0.8, maxDocFreq = 8),
     "dedup_minhash" -> OracleSqlGen.minhashLsh(3, 8, 2),
     "dedup_components" -> OracleSqlGen.minhashComponents(3, 8, 2),
+    // incremental merge must equal the from-scratch closure — same oracle
+    "dedup_components_inc" -> OracleSqlGen.minhashComponents(3, 8, 2),
     "dedup_representatives" ->
       OracleSqlGen.minhashSurvivors(3, 8, 2, Seq("doc_id", "lang", "source")),
     "dedup_incremental" -> OracleSqlGen.incrementalMinhash(3, 8, 2, batchMinId = 400),

@@ -375,6 +375,64 @@ object Dedup {
     (labels.select(col("node").as("doc_id"), col("rep").as("rep_id")), rounds)
   }
 
+  /** Incremental connected-components maintenance: merge a BATCH of new
+    * near-dup pairs into an existing (doc_id, rep_id) labeling without
+    * re-reading or re-pairing the old corpus — the labeling analog of
+    * [[incrementalMinhashPairs]], and together with it the full O(batch)
+    * ingest path: new docs → index join → new pairs → label merge.
+    *
+    * Algorithm (contraction): project each batch endpoint onto its current
+    * representative (identity for unseen nodes); the distinct non-self-loop
+    * projected edges form a CONTRACTED graph whose vertices are component
+    * representatives — its size is O(components touched by the batch), not
+    * O(corpus). Run [[connectedComponents]] on that contracted graph, then
+    * remap old labels and label the batch's new nodes in one pass each.
+    * Representatives are min node ids at every step, so merge-of-mins ==
+    * min-of-merged and the result is IDENTICAL to a from-scratch run over
+    * oldPairs ∪ newPairs (the oracle pins this).
+    *
+    * Scale shape: two O(batch) joins against the label table (shuffle-joins
+    * on node at scale; AQE broadcasts the small side at test scale), a CC
+    * loop over the tiny contracted graph, one broadcast remap join over the
+    * O(labels) frame. The old PAIR LIST is never touched.
+    */
+  def mergeComponents(
+      labels: DataFrame,
+      newPairs: DataFrame,
+      aCol: String = "a_id",
+      bCol: String = "b_id"): DataFrame = {
+    val lab = labels.select(
+      col("doc_id").cast("long").as("node"), col("rep_id").cast("long").as("rep"))
+    val np = newPairs.select(
+      col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+    val proj = np
+      .join(lab.select(col("node").as("a"), col("rep").as("ra")), Seq("a"), "left")
+      .join(lab.select(col("node").as("b"), col("rep").as("rb")), Seq("b"), "left")
+      .select(coalesce(col("ra"), col("a")).as("ca"),
+        coalesce(col("rb"), col("b")).as("cb"))
+    val contracted = proj.filter(col("ca") =!= col("cb"))
+      .select(least(col("ca"), col("cb")).as("a_id"),
+        greatest(col("ca"), col("cb")).as("b_id"))
+      .distinct()
+    // (old rep | new node id) -> merged representative; tiny by construction
+    val superLabels = connectedComponents(contracted)
+      .select(col("doc_id").as("rep"), col("rep_id").as("new_rep"))
+    val remapped = lab.join(broadcast(superLabels), Seq("rep"), "left")
+      .select(col("node"), coalesce(col("new_rep"), col("rep")).as("rep"))
+    // batch endpoints never seen before: their contracted vertex is their
+    // own id, so their merged label comes straight from superLabels
+    val newNodes = np.select(col("a").as("node"))
+      .union(np.select(col("b").as("node")))
+      .distinct()
+      .join(lab.select("node"), Seq("node"), "left_anti")
+    val newLabels = newNodes
+      .join(broadcast(superLabels.select(col("rep").as("node"), col("new_rep"))),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("new_rep"), col("node")).as("rep"))
+    remapped.unionByName(newLabels)
+      .select(col("node").as("doc_id"), col("rep").as("rep_id"))
+  }
+
   /** The terminal step of the dedup pipeline: given the corpus and the
     * components output (doc_id, rep_id), keep every doc that is either
     * pair-free (absent from components — its own trivial cluster) or its

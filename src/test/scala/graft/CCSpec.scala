@@ -72,4 +72,41 @@ class CCSpec extends AnyFunSuite with SparkTestBase {
     assert(durable == local)
     assert(durable == Set((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
   }
+
+  test("mergeComponents: batch merge equals from-scratch on every shape") {
+    // old graph: {1,2,3} (rep 1) and {10,11} (rep 10), singleton-free
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val oldLabels = Dedup.connectedComponents(oldPairs)
+    // batch exercises every merge shape at once:
+    //  (3,10)  — bridges the two old components directly
+    //  (11,20) — attaches a NEW node to an old component
+    //  (30,31) — a brand-new component
+    //  (1,2)   — a redundant pair inside one old component (self-loop in
+    //            the contracted graph; must be a no-op)
+    val batch = Seq((3L, 10L), (11L, 20L), (30L, 31L), (1L, 2L)).toDF("a_id", "b_id")
+    val merged = Dedup.mergeComponents(oldLabels, batch)
+      .as[(Long, Long)].collect().toSet
+    val scratch = Dedup.connectedComponents(oldPairs.unionByName(batch))
+      .as[(Long, Long)].collect().toSet
+    assert(merged == scratch)
+    assert(merged == Set((1L, 1L), (2L, 1L), (3L, 1L), (10L, 1L), (11L, 1L),
+      (20L, 1L), (30L, 30L), (31L, 30L)))
+  }
+
+  test("mergeComponents: a new node with the smallest id becomes the rep") {
+    // from-scratch reps are min ids — the merge must relabel the whole old
+    // component when the batch brings a smaller id
+    val oldLabels = Dedup.connectedComponents(Seq((5L, 6L)).toDF("a_id", "b_id"))
+    val merged = Dedup.mergeComponents(oldLabels, Seq((2L, 5L)).toDF("a_id", "b_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(merged == Set((2L, 2L), (5L, 2L), (6L, 2L)))
+  }
+
+  test("mergeComponents: empty batch is the identity") {
+    val oldLabels = Dedup.connectedComponents(Seq((1L, 2L)).toDF("a_id", "b_id"))
+    val empty = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    val merged = Dedup.mergeComponents(oldLabels, empty)
+      .as[(Long, Long)].collect().toSet
+    assert(merged == Set((1L, 1L), (2L, 1L)))
+  }
 }
