@@ -138,6 +138,17 @@ object OracleSqlGen {
         WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> rep_id)
         ORDER BY d.doc_id"""
 
+  /** Duplicate-cluster size histogram — the dedup audit artifact (how much
+    * of the corpus collapses, and into how many clusters of which size).
+    */
+  def minhashClusterSizes(n: Int, bands: Int, rowsPerBand: Int): String =
+    s"""${componentCtes(n, bands, rowsPerBand)},
+        comp AS (SELECT a AS doc_id, min(b) AS rep_id FROM reach GROUP BY a),
+        sizes AS (SELECT rep_id, CAST(count(*) AS BIGINT) AS cluster_size
+                  FROM comp GROUP BY rep_id)
+        SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+        FROM sizes GROUP BY cluster_size ORDER BY cluster_size"""
+
   /** Incremental-dedup oracle: the full minhashLsh pair list restricted to
     * pairs touching the ingest batch (doc_id >= batchMinId), reshaped to the
     * (new_id, dup_of) orientation `Dedup.incrementalMinhashPairs` emits.

@@ -601,6 +601,17 @@ object SparkEntry {
           n = 3, bands = 8, rowsPerBand = 2))
         .orderBy("doc_id")),
 
+    // Dedup audit: the duplicate-cluster size histogram (how much of the
+    // corpus collapses, into how many clusters of which size) — two
+    // aggregations over the O(components) label table, never the corpus.
+    "dedup_cluster_sizes" -> ((s, d) =>
+      Dedup.connectedComponents(
+        Dedup.minhashLsh(documents(s, d), col("doc_id"), col("text"),
+          n = 3, bands = 8, rowsPerBand = 2))
+        .groupBy("rep_id").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size")),
+
     // Incremental label maintenance — the O(batch) ingest path for the
     // component table: old labels (docs < 400) + the batch's pairs (any
     // pair touching a doc ≥ 400, exactly what incrementalMinhashPairs
@@ -1861,6 +1872,7 @@ object SparkEntry {
     "dedup_components" -> OracleSqlGen.minhashComponents(3, 8, 2),
     // incremental merge must equal the from-scratch closure — same oracle
     "dedup_components_inc" -> OracleSqlGen.minhashComponents(3, 8, 2),
+    "dedup_cluster_sizes" -> OracleSqlGen.minhashClusterSizes(3, 8, 2),
     "dedup_representatives" ->
       OracleSqlGen.minhashSurvivors(3, 8, 2, Seq("doc_id", "lang", "source")),
     "dedup_incremental" -> OracleSqlGen.incrementalMinhash(3, 8, 2, batchMinId = 400),

@@ -116,4 +116,33 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), s"top-10 must be TakeOrdered:\n$p")
     assert(!p.contains("Join"), s"fuzzy match must be a single scan:\n$p")
   }
+
+  test("q_entity_match blocks on an equi-join — never a cartesian/nested-loop pairing") {
+    val p = plan("q_entity_match")
+    // the blocking key must drive a hash-based equi-join; levenshtein runs
+    // as a post-join filter on the within-block candidates only
+    assert(!p.contains("CartesianProduct"), s"blocked matcher went all-pairs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"blocked matcher went nested-loop:\n$p")
+    assert(p.contains("levenshtein"), s"edit distance must gate candidates:\n$p")
+  }
+
+  test("text_bm25 broadcasts the df/corpus stats — the token stream shuffles once") {
+    val p = plan("text_bm25")
+    // tf is the only big aggregation; df + corpus stats ride broadcasts and
+    // the final top-20 is TakeOrdered, not a global sort
+    assert(p.contains("BroadcastHashJoin"), s"stats must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 must be TakeOrdered:\n$p")
+    assert(!p.contains("CartesianProduct"), s"scalar stats must broadcast, not cross:\n$p")
+  }
+
+  test("q_regression is one scan with partial aggregation and full column pruning") {
+    val p = plan("q_regression")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1,
+      s"regression must read lineitem once:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"decimal sums must combine map-side:\n$p")
+    assert(p.contains("ReadSchema: struct<l_quantity:double," +
+      "l_extendedprice:double,l_returnflag:string>"),
+      s"scan must prune to the 3 referenced columns:\n$p")
+  }
 }
