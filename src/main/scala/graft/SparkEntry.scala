@@ -601,6 +601,31 @@ object SparkEntry {
           n = 3, bands = 8, rowsPerBand = 2))
         .orderBy("doc_id")),
 
+    // TPC-H Q5 shape: the 6-table star join (region→nation anchors both the
+    // customer and supplier legs; lineitem is the fact). Catalyst broadcasts
+    // every dimension and the fact table shuffles once for the n_name
+    // aggregate — the canonical warehouse plan the optimizer must produce
+    // unaided. Decimal-exact revenue, double only at the output boundary.
+    "q5_revenue_by_nation" -> ((s, d) => {
+      val cutLo = to_timestamp(lit("1996-01-01 00:00:00"))
+      val cutHi = to_timestamp(lit("1998-01-01 00:00:00"))
+      customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(supplier(s, d),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .join(region(s, d), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA" &&
+          col("o_orderdate") >= cutLo && col("o_orderdate") < cutHi)
+        .groupBy("n_name")
+        .agg(sum(dec(col("l_extendedprice")) *
+            (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(desc("revenue"), asc("n_name"))
+    }),
+
     // Dedup audit: the duplicate-cluster size histogram (how much of the
     // corpus collapses, into how many clusters of which size) — two
     // aggregations over the O(components) label table, never the corpus.
@@ -1873,6 +1898,20 @@ object SparkEntry {
     // incremental merge must equal the from-scratch closure — same oracle
     "dedup_components_inc" -> OracleSqlGen.minhashComponents(3, 8, 2),
     "dedup_cluster_sizes" -> OracleSqlGen.minhashClusterSizes(3, 8, 2),
+    "q5_revenue_by_nation" ->
+      """SELECT n_name,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
     "dedup_representatives" ->
       OracleSqlGen.minhashSurvivors(3, 8, 2, Seq("doc_id", "lang", "source")),
     "dedup_incremental" -> OracleSqlGen.incrementalMinhash(3, 8, 2, batchMinId = 400),

@@ -135,6 +135,16 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("CartesianProduct"), s"scalar stats must broadcast, not cross:\n$p")
   }
 
+  test("q5 six-table star join broadcasts the dimensions") {
+    val p = plan("q5_revenue_by_nation")
+    // region/nation/supplier/customer must ride broadcast-hash joins; the
+    // planner may only shuffle the fact-side aggregation
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
+      s"q5 dimensions must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q5 must stay equi-join only:\n$p")
+  }
+
   test("q_regression is one scan with partial aggregation and full column pruning") {
     val p = plan("q_regression")
     assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1,
