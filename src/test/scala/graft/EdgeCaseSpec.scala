@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.GraphAnalytics
+import graft.pipeline.{Dedup, Splits}
+
+/** Degenerate-input behavior for the operator families: empty frames,
+  * single elements, and out-of-range parameters must return the correct
+  * (usually empty) answer, not throw — at 100 TB a partition, a tenant, or
+  * an ingest batch being empty is an everyday event, and an operator that
+  * crashes on it takes the whole pipeline down.
+  */
+class EdgeCaseSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val noPairs = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+  private val noEdges = Seq.empty[(Long, Long)].toDF("u", "v")
+
+  test("connectedComponents: empty pair list gives empty labels") {
+    assert(Dedup.connectedComponents(noPairs).count() == 0)
+  }
+
+  test("mergeComponents: empty labels + batch behaves as from-scratch") {
+    val merged = Dedup.mergeComponents(
+      Dedup.connectedComponents(noPairs), Seq((7L, 3L)).toDF("a_id", "b_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(merged == Set((3L, 3L), (7L, 3L)))
+  }
+
+  test("triangleCounts: empty graph and triangle-free graph give no rows") {
+    assert(GraphAnalytics.triangleCounts(noEdges).count() == 0)
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    assert(GraphAnalytics.triangleCounts(path).count() == 0)
+  }
+
+  test("pageRankInt: empty edges yield an empty rank table; self-loop converges") {
+    val e = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(GraphAnalytics.pageRankInt(e, iters = 2).count() == 0)
+    // a single self-loop: all mass recirculates to the one node
+    val loop = Seq((1L, 1L)).toDF("src", "dst")
+    val got = GraphAnalytics.pageRankInt(loop, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == Set(1L) && got(1L) > 0L)
+  }
+
+  test("kCore: k above every degree peels the whole graph") {
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    assert(GraphAnalytics.kCore(e, k = 5, rounds = 3).count() == 0)
+  }
+
+  test("sssp/bfs: empty edges leave only the source at distance 0") {
+    val sp = GraphAnalytics.sssp(
+      Seq.empty[(Long, Long, Long)].toDF("u", "v", "w"), src = 42L, rounds = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(sp == Set((42L, 0L)))
+    val bf = GraphAnalytics.bfs(noEdges, src = 42L, rounds = 2)
+      .as[(Long, Int)].collect().toSet
+    assert(bf == Set((42L, 0)))
+  }
+
+  test("minhashLsh: empty corpus and single-doc corpus give no pairs") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.minhashLsh(empty, col("doc_id"), col("text"),
+      n = 3, bands = 8, rowsPerBand = 2).count() == 0)
+    val one = Seq((1L, "only one document here")).toDF("doc_id", "text")
+    assert(Dedup.minhashLsh(one, col("doc_id"), col("text"),
+      n = 3, bands = 8, rowsPerBand = 2).count() == 0)
+  }
+
+  test("keepRepresentatives: empty components table keeps the whole corpus") {
+    val docs = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val comp = Seq.empty[(Long, Long)].toDF("doc_id", "rep_id")
+    assert(Dedup.keepRepresentatives(docs, col("doc_id"), comp).count() == 2)
+  }
+
+  test("assignSplit: empty frame returns empty with the split column present") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val out = empty.withColumn("split", Splits.assignSplit(col("doc_id")))
+    assert(out.columns.contains("split"))
+    assert(out.count() == 0)
+  }
+}
