@@ -600,6 +600,26 @@ object OracleSqlGen {
         FROM documents ORDER BY doc_id"""
   }
 
+  /** Mirrors Multimodal.resizePlan over the FakeDecoder dims: the same
+    * integer cross-multiplication / integer-division arithmetic, applied to
+    * the mmDecode CTE.
+    */
+  def mmResize(maxW: Int, maxH: Int): String =
+    s"""WITH m AS ($mmDecode)
+        SELECT doc_id, width, height,
+          CAST(CASE
+            WHEN width <= $maxW AND height <= $maxH THEN width
+            WHEN CAST(width AS BIGINT) * $maxH >= CAST(height AS BIGINT) * $maxW THEN $maxW
+            ELSE greatest(1, (CAST(width AS BIGINT) * $maxH) // CAST(height AS BIGINT))
+          END AS INT) AS out_w,
+          CAST(CASE
+            WHEN width <= $maxW AND height <= $maxH THEN height
+            WHEN CAST(width AS BIGINT) * $maxH >= CAST(height AS BIGINT) * $maxW
+              THEN greatest(1, (CAST(height AS BIGINT) * $maxW) // CAST(width AS BIGINT))
+            ELSE $maxH
+          END AS INT) AS out_h
+        FROM m ORDER BY doc_id"""
+
   /** Mirrors GraphAnalytics.bfs over the customer→order→part FK graph
     * (pageRankInt's node-id scheme): one CTE per expansion round — the
     * visited set grows by the frontier's unvisited neighbors at dist = i.

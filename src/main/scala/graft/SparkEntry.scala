@@ -791,6 +791,17 @@ object SparkEntry {
       Multimodal.decodeMeta(media).toDF().orderBy("doc_id")
     }),
 
+    // Aspect-preserving resize plan inside a 224×224 box — pure integer
+    // arithmetic on the O(rows) metadata frame (the binary payloads are
+    // never touched), so the target dims hash-match the oracle exactly.
+    "mm_resize" -> ((s, d) => {
+      import s.implicits._
+      val media = Multimodal.withMediaColumn(documents(s, d), "doc_id", "text")
+        .as[MediaRow]
+      Multimodal.resizePlan(Multimodal.decodeMeta(media).toDF(), 224, 224)
+        .orderBy("doc_id")
+    }),
+
     // End-to-end curation: exact dedup → quality score → at-or-above the
     // language's median quality (aggregated+broadcast threshold, not a
     // per-lang ranking window — languages are few and huge, the canonical
@@ -2003,6 +2014,7 @@ object SparkEntry {
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
     "mm_decode" -> OracleSqlGen.mmDecode,
+    "mm_resize" -> OracleSqlGen.mmResize(224, 224),
     "mm_frames" ->
       """SELECT doc_id, n_frames,
              CAST(unnest(range(0, n_frames, 7)) AS BIGINT) AS frame_idx

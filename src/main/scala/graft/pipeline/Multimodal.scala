@@ -97,6 +97,32 @@ object Multimodal {
     }.toDF("doc_id", "embedding")
   }
 
+  /** Resize planner: aspect-preserving target dimensions inside a
+    * maxW × maxH box, never upscaling. PURE INTEGER arithmetic (the binding
+    * side is decided by cross-multiplication, the scaled side by integer
+    * division) — no floats, so the plan is bit-identical on any engine and
+    * any partitioning. This is the real pre-decode planning step of an image
+    * pipeline: it runs on the O(rows) metadata frame and the binary payloads
+    * are never touched, so at 100 TB it costs one metadata scan.
+    */
+  def resizePlan(meta: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val w = col("width").cast("long")
+    val h = col("height").cast("long")
+    val fits = w <= maxW && h <= maxH
+    // width binds ⇔ w/h ≥ maxW/maxH ⇔ w·maxH ≥ h·maxW (exact, no division)
+    val widthBinds = w * maxH >= h * maxW
+    meta.select(
+      col("doc_id"), col("width"), col("height"),
+      when(fits, w)
+        .when(widthBinds, lit(maxW.toLong))
+        .otherwise(greatest(lit(1L), expr(s"(CAST(width AS BIGINT) * $maxH) div CAST(height AS BIGINT)")))
+        .cast("int").as("out_w"),
+      when(fits, h)
+        .when(widthBinds, greatest(lit(1L), expr(s"(CAST(height AS BIGINT) * $maxW) div CAST(width AS BIGINT)")))
+        .otherwise(lit(maxH.toLong))
+        .cast("int").as("out_h"))
+  }
+
   /** Frame-sample stub for video rows: deterministic frame indices (every
     * `stride`-th frame), the partition-parallel shape of real frame
     * extraction.
