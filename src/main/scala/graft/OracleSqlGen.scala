@@ -306,6 +306,80 @@ object OracleSqlGen {
         SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
         FROM r WHERE rank <= $k ORDER BY query_id, rank"""
 
+  /** BM25 CTE chain (tok → dl → st → tf → df → sc → bm): fixed-point
+    * per-(doc,term) scores so the per-doc sum is order-independent. Shared
+    * by the bm25 oracle and the hybrid-RRF oracle.
+    */
+  private def bm25Ctes(probes: Seq[String]): String = {
+    val inList = probes.map(p => s"'$p'").mkString(", ")
+    s"""tok AS (
+          SELECT doc_id, t AS term
+          FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS u(t)
+          WHERE t <> ''),
+        dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+        st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+        tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok
+               WHERE term IN ($inList) GROUP BY 1, 2),
+        df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok
+               WHERE term IN ($inList) GROUP BY 1),
+        sc AS (
+          SELECT tf.doc_id,
+            CAST(floor(
+              ln((CAST(st.n_docs AS DOUBLE) - df.df + 0.5) / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+              * (CAST(tf.tf AS DOUBLE) * 2.2)
+              / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))
+              * 1000000.0) AS BIGINT) AS iscore
+          FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+        bm AS (SELECT doc_id, CAST(sum(iscore) AS BIGINT) AS bm25_fp
+               FROM sc GROUP BY doc_id)"""
+  }
+
+  def bm25(probes: Seq[String], topK: Int): String =
+    s"""WITH ${bm25Ctes(probes)}
+        SELECT doc_id, bm25_fp FROM bm
+        ORDER BY bm25_fp DESC, doc_id LIMIT $topK"""
+
+  /** Hybrid search: BM25 rank list ⊕ cosine rank list fused with reciprocal
+    * rank fusion (score = Σ 1/(rrfK + rank)). Ranks are integers from the
+    * engines' bit-identical scoring, so the fused doubles are bit-identical
+    * too.
+    */
+  def hybridRrf(probes: Seq[String], probeVecId: Long, kEach: Int,
+      topK: Int, rrfK: Int = 60): String =
+    s"""WITH ${bm25Ctes(probes)},
+        tr AS (SELECT doc_id,
+                 row_number() OVER (ORDER BY bm25_fp DESC, doc_id) AS rt FROM bm),
+        qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $probeVecId),
+        vs AS (SELECT vec_id AS doc_id, ${cosineSql("embedding", "qv")} AS cosine
+               FROM embeddings, qv WHERE vec_id <> $probeVecId),
+        vr AS (SELECT doc_id,
+                 row_number() OVER (ORDER BY cosine DESC, doc_id) AS rv FROM vs),
+        trk AS (SELECT * FROM tr WHERE rt <= $kEach),
+        vrk AS (SELECT * FROM vr WHERE rv <= $kEach),
+        f AS (SELECT coalesce(trk.doc_id, vrk.doc_id) AS doc_id,
+                coalesce(1.0 / ($rrfK + rt), 0.0) + coalesce(1.0 / ($rrfK + rv), 0.0) AS rrf
+              FROM trk FULL OUTER JOIN vrk ON trk.doc_id = vrk.doc_id)
+        SELECT doc_id, round(rrf, 8) AS rrf FROM f
+        ORDER BY rrf DESC, doc_id LIMIT $topK"""
+
+  /** Filtered vector search: the ann_topk oracle with a metadata predicate
+    * (documents.lang) restricting the candidate set.
+    */
+  def annTopKFiltered(nQueries: Int, k: Int, lang: String): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < $nQueries),
+        c AS (SELECT vec_id AS neighbor_id, embedding AS cv
+              FROM embeddings JOIN documents ON vec_id = doc_id
+              WHERE lang = '$lang'),
+        s AS (
+          SELECT query_id, neighbor_id, ${cosineSql("qv", "cv")} AS cosine
+          FROM q, c WHERE query_id <> neighbor_id),
+        r AS (
+          SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM s)
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= $k ORDER BY query_id, rank"""
+
   def annTopK(nQueries: Int, k: Int): String =
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < $nQueries),
         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),

@@ -26,6 +26,35 @@ object SparkEntry {
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
 
+  /** BM25 per-doc scores for the standard probe set, shared by `text_bm25`
+    * and `search_hybrid_rrf`. Fixed-point longs (floor ·1e6 per term) so the
+    * per-doc sum is order-independent; df/dl/avgdl stats ride broadcasts.
+    */
+  private def bm25Scored(s: SparkSession, d: String,
+      probes: Seq[String] = Seq("spark", "query", "vector")): DataFrame = {
+    val tok = documents(s, d).select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+      .filter(col("term") =!= "")
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val tf = tok.filter(col("term").isin(probes: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfT = tok.filter(col("term").isin(probes: _*))
+      .select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idf = log((col("n_docs").cast("double") - col("df") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val tscore = idf * (col("tf").cast("double") * lit(2.2)) /
+      (col("tf").cast("double") +
+        lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / avgdl))
+    tf.join(broadcast(dfT), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), floor(tscore * lit(1000000.0)).cast("long").as("iscore"))
+      .groupBy("doc_id").agg(sum("iscore").as("bm25_fp"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ── §2.1 reference read parity ────────────────────────────────────────
@@ -1315,30 +1344,44 @@ object SparkEntry {
     // BM25 probe-term relevance over the documents corpus. Per-(doc, term)
     // scores are fixed-point longs (floor ·1e6) so the per-doc sum is
     // order-independent and hash-verifiable; df/dl/avgdl stats broadcast.
-    "text_bm25" -> ((s, d) => {
-      val probes = Seq("spark", "query", "vector")
-      val tok = documents(s, d).select(col("doc_id"),
-          explode(split(lower(col("text")), "[^a-z]+")).as("term"))
-        .filter(col("term") =!= "")
-      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      val tf = tok.filter(col("term").isin(probes: _*))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dfT = tok.filter(col("term").isin(probes: _*))
-        .select("doc_id", "term").distinct()
-        .groupBy("term").agg(count(lit(1)).as("df"))
-      val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
-      val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
-      val idf = log((col("n_docs").cast("double") - col("df") + lit(0.5)) /
-        (col("df").cast("double") + lit(0.5)) + lit(1.0))
-      val tscore = idf * (col("tf").cast("double") * lit(2.2)) /
-        (col("tf").cast("double") +
-          lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / avgdl))
-      tf.join(broadcast(dfT), "term")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(stats))
-        .select(col("doc_id"), floor(tscore * lit(1000000.0)).cast("long").as("iscore"))
-        .groupBy("doc_id").agg(sum("iscore").as("bm25_fp"))
-        .orderBy(desc("bm25_fp"), asc("doc_id")).limit(20)
+    "text_bm25" -> ((s, d) =>
+      bm25Scored(s, d).orderBy(desc("bm25_fp"), asc("doc_id")).limit(20)),
+
+    // Hybrid search: BM25 rank list ⊕ cosine rank list (probe = doc 0's
+    // embedding), fused by reciprocal rank fusion Σ 1/(60 + rank). Both
+    // rank lists come from bit-identical scoring, so the fused doubles
+    // hash-match. This is the retrieval composition the reference's memory
+    // engine exists to serve — lexical and semantic evidence in one list.
+    "search_hybrid_rrf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tr = bm25Scored(s, d)
+        .withColumn("rt",
+          row_number().over(Window.orderBy(desc("bm25_fp"), asc("doc_id"))))
+        .filter(col("rt") <= 100).select("doc_id", "rt")
+      val e = embeddings(s, d)
+      val vr = Similarity.bruteForceTopK(
+        e.filter(col("vec_id") === 0), e,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), k = 100)
+        .select(col("neighbor_id").as("doc_id"), col("rank").as("rv"))
+      tr.join(vr, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          round(coalesce(lit(1.0) / (lit(60) + col("rt")), lit(0.0)) +
+                coalesce(lit(1.0) / (lit(60) + col("rv")), lit(0.0)), 8).as("rrf"))
+        .orderBy(desc("rrf"), asc("doc_id")).limit(20)
+    }),
+
+    // Filtered vector search: ANN restricted by a metadata predicate (the
+    // everyday production shape — "similar docs, but only lang='en'"). The
+    // filter prunes the candidate side BEFORE scoring, so selectivity cuts
+    // compute proportionally; the query side broadcasts as in ann_topk.
+    "ann_filtered" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val en = documents(s, d).filter(col("lang") === "en")
+        .select(col("doc_id").as("vec_id"))
+      Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 32), e.join(en, "vec_id"),
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), k = 5)
+        .orderBy("query_id", "rank")
     }),
 
     // Markov next-event transition matrix: per-user event sequences (total
@@ -2253,27 +2296,10 @@ object SparkEntry {
          UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM a
          UNION ALL SELECT l_returnflag, 'n', n FROM a
          ORDER BY l_returnflag, metric""",
-    "text_bm25" ->
-      """WITH tok AS (
-           SELECT doc_id, t AS term
-           FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS u(t)
-           WHERE t <> ''),
-         dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
-         st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
-         tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok
-                WHERE term IN ('spark', 'query', 'vector') GROUP BY 1, 2),
-         df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok
-                WHERE term IN ('spark', 'query', 'vector') GROUP BY 1),
-         sc AS (
-           SELECT tf.doc_id,
-             CAST(floor(
-               ln((CAST(st.n_docs AS DOUBLE) - df.df + 0.5) / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
-               * (CAST(tf.tf AS DOUBLE) * 2.2)
-               / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))
-               * 1000000.0) AS BIGINT) AS iscore
-           FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st)
-         SELECT doc_id, CAST(sum(iscore) AS BIGINT) AS bm25_fp
-         FROM sc GROUP BY doc_id ORDER BY bm25_fp DESC, doc_id LIMIT 20""",
+    "text_bm25" -> OracleSqlGen.bm25(Seq("spark", "query", "vector"), topK = 20),
+    "search_hybrid_rrf" -> OracleSqlGen.hybridRrf(
+      Seq("spark", "query", "vector"), probeVecId = 0L, kEach = 100, topK = 20),
+    "ann_filtered" -> OracleSqlGen.annTopKFiltered(32, 5, "en"),
     "events_transitions" ->
       """WITH x AS (
            SELECT user_id, event_type,
