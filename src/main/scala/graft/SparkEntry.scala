@@ -1272,6 +1272,54 @@ object SparkEntry {
         .orderBy("name_a", "name_b")
     }),
 
+    // MERGE / SCD-1 upsert as a relational rewrite (the plain-parquet
+    // equivalent of MERGE INTO): delta rows win on key collision
+    // (anti-join), surviving base rows union back, inserts append. The
+    // per-status rollup pins the merged state compactly. At 100 TB the
+    // anti-join is a shuffle on the merge key — or a partition-pruned
+    // overwrite via Layout.overwritePartitions when deltas cluster.
+    "q_merge_upsert" -> ((s, d) => {
+      val base = orders(s, d)
+      val updates = base.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(5.0))
+      val inserts = base.filter(col("o_orderkey") % 13 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+      val delta = updates.unionByName(inserts)
+      val merged = base
+        .join(delta.select(col("o_orderkey").as("dk")),
+          col("o_orderkey") === col("dk"), "left_anti")
+        .unionByName(delta)
+      merged.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // Fuzzy entity resolution END-TO-END: blocked levenshtein pairs →
+    // connected components → survivorship (each cluster resolves to its
+    // min-id member's name). The same components machinery as minhash
+    // dedup, driven by a fuzzy-key pair source — name ids are
+    // min(p_partkey) per distinct name so both engines agree without
+    // engine-specific hashes. Pair-free names survive as themselves.
+    "q_entity_clusters" -> ((s, d) => {
+      val ids = part(s, d).groupBy("p_name").agg(min("p_partkey").as("nid"))
+      val names = ids.withColumn("blk", split(col("p_name"), " ").getItem(0))
+      val a = names.select(col("p_name").as("name_a"), col("nid").as("a_id"), col("blk"))
+      val b = names.select(col("p_name").as("name_b"), col("nid").as("b_id"), col("blk"))
+      val pairs = a.join(b, "blk")
+        .filter(col("name_a") < col("name_b") &&
+          levenshtein(col("name_a"), col("name_b")) <= 4)
+        .select("a_id", "b_id")
+      val comp = Dedup.connectedComponents(pairs)
+      val labeled = ids
+        .join(comp, ids("nid") === comp("doc_id"), "left")
+        .select(col("p_name"), coalesce(col("rep_id"), col("nid")).as("rep"))
+      val repNames = ids.select(col("nid").as("rep"), col("p_name").as("rep_name"))
+      labeled.join(repNames, "rep")
+        .select("p_name", "rep_name")
+        .orderBy("p_name")
+    }),
+
     // Robust outlier detection: per-group median + MAD (median absolute
     // deviation), flag |x − med| > 3·MAD. Two exact-percentile passes over
     // the group-partitioned frame; the per-group stats broadcast back.
@@ -2248,6 +2296,42 @@ object SparkEntry {
          FROM names a JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
          WHERE levenshtein(a.p_name, b.p_name) <= 4
          ORDER BY name_a, name_b""",
+    "q_merge_upsert" ->
+      """WITH updates AS (
+           SELECT * REPLACE (o_totalprice + 5.0 AS o_totalprice)
+           FROM orders WHERE o_orderkey % 7 = 0),
+         inserts AS (
+           SELECT * REPLACE (o_orderkey + 10000000 AS o_orderkey)
+           FROM orders WHERE o_orderkey % 13 = 0),
+         delta AS (SELECT * FROM updates UNION ALL SELECT * FROM inserts),
+         merged AS (
+           SELECT * FROM orders
+           WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta)
+           UNION ALL SELECT * FROM delta)
+         SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM merged GROUP BY 1 ORDER BY 1""",
+    "q_entity_clusters" ->
+      """WITH RECURSIVE ids AS (
+           SELECT p_name, min(p_partkey) AS nid FROM part GROUP BY p_name),
+         names AS (SELECT p_name, nid, split_part(p_name, ' ', 1) AS blk FROM ids),
+         pairs AS (
+           SELECT a.nid AS a_id, b.nid AS b_id FROM names a JOIN names b
+           ON a.blk = b.blk AND a.p_name < b.p_name
+           WHERE levenshtein(a.p_name, b.p_name) <= 4),
+         edges AS (SELECT a_id AS a, b_id AS b FROM pairs
+                   UNION SELECT b_id, a_id FROM pairs),
+         nodes AS (SELECT DISTINCT a FROM edges),
+         reach(a, b) AS (
+           SELECT a, a FROM nodes
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         comp AS (SELECT a AS nid, min(b) AS rep FROM reach GROUP BY a)
+         SELECT n.p_name, rn.p_name AS rep_name
+         FROM names n
+         LEFT JOIN comp c ON n.nid = c.nid
+         JOIN ids rn ON rn.nid = coalesce(c.rep, n.nid)
+         ORDER BY n.p_name""",
     "q_mad_outliers" ->
       """WITH med AS (
            SELECT event_type, quantile_cont(value, 0.5) AS med
