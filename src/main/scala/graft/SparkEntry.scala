@@ -1272,6 +1272,34 @@ object SparkEntry {
         .orderBy("name_a", "name_b")
     }),
 
+    // Gini coefficient of customer revenue per nation — the order-statistic
+    // formula G = (2·Σxᵢ·i − (n+1)·Σx) / (n·Σx) over per-customer decimal
+    // revenue ranked within nation. Every accumulation is exact decimal ×
+    // integer rank (tie blocks contribute identically under any tie order,
+    // so the result is rank-assignment-independent); only the final ratio
+    // is double. The window sorts the O(customers) aggregated frame per
+    // nation, never the fact table.
+    "q_gini" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val rev = orders(s, d).groupBy("o_custkey")
+        .agg(sum(dec(col("o_totalprice"))).as("x"))
+      val byNation = rev
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("x"), col("o_custkey"))
+      val ranked = byNation.withColumn("i",
+        row_number().over(Window.partitionBy("n_name").orderBy("x", "o_custkey")))
+      ranked.groupBy("n_name").agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"),
+          sum(col("x") * col("i")).as("sxi"))
+        .select(col("n_name"), col("n"),
+          round((lit(2) * col("sxi").cast("double") -
+              (col("n") + lit(1)) * col("sx").cast("double")) /
+            (col("n") * col("sx").cast("double")), 6).as("gini"))
+        .orderBy("n_name")
+    }),
+
     // MERGE / SCD-1 upsert as a relational rewrite (the plain-parquet
     // equivalent of MERGE INTO): delta rows win on key collision
     // (anti-join), surviving base rows union back, inserts append. The
@@ -2296,6 +2324,24 @@ object SparkEntry {
          FROM names a JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
          WHERE levenshtein(a.p_name, b.p_name) <= 4
          ORDER BY name_a, name_b""",
+    "q_gini" ->
+      """WITH rev AS (
+           SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+           FROM orders GROUP BY o_custkey),
+         ranked AS (
+           SELECT n_name, x, o_custkey,
+             row_number() OVER (PARTITION BY n_name ORDER BY x, o_custkey) AS i
+           FROM rev
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey),
+         agg AS (
+           SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(x * i) AS sxi
+           FROM ranked GROUP BY n_name)
+         SELECT n_name, n,
+             round((2 * CAST(sxi AS DOUBLE) - (n + 1) * CAST(sx AS DOUBLE))
+               / (n * CAST(sx AS DOUBLE)), 6) AS gini
+         FROM agg ORDER BY n_name""",
     "q_merge_upsert" ->
       """WITH updates AS (
            SELECT * REPLACE (o_totalprice + 5.0 AS o_totalprice)
