@@ -674,8 +674,11 @@ object SparkEntry {
     // matching it proves merge ≡ recompute.
     "dedup_components_inc" -> ((s, d) => {
       val docs0 = documents(s, d)
+      // checkpoint the pair list once: the old-corpus CC and the batch merge
+      // are separate actions, so without it the LSH pair generation runs
+      // twice (lineage re-execution, not exchange reuse)
       val allPairs = Dedup.minhashLsh(docs0, col("doc_id"), col("text"),
-        n = 3, bands = 8, rowsPerBand = 2)
+        n = 3, bands = 8, rowsPerBand = 2).localCheckpoint(false)
       val oldLabels = Dedup.connectedComponents(allPairs.filter(col("b_id") < 400))
       Dedup.mergeComponents(oldLabels, allPairs.filter(col("b_id") >= 400))
         .orderBy("doc_id")

@@ -140,7 +140,13 @@ object GraphAnalytics {
     // BEFORE the shuffle. False positives are removed by the exact join, so
     // the triangle set is unchanged — the spec pins both paths equal.
     val closing = oriented.select(col("src").as("dst1"), col("dst").as("dst2"))
-    val nEdges = oriented.count() // also materializes the cache once
+    // one job on the cached list: edge count (bloom gate) + max node id
+    // (packed-key gate)
+    val st = oriented
+      .agg(count(lit(1)).as("n"), max(greatest(col("src"), col("dst"))).as("m"))
+      .head()
+    val nEdges = st.getLong(0)
+    val maxId = if (st.isNullAt(1)) 0L else st.getLong(1)
     // scalar (deg, id) lexicographic compare — no per-row struct allocation
     // on the O(Σ od²) wedge stream
     val wedgeFilter = col("dd1") < col("dd2") ||
@@ -150,22 +156,35 @@ object GraphAnalytics {
     // (41M at sf0.1); if the planner's inflated self-join estimate pushes
     // the closing join to sort-merge, that whole stream gets sorted and
     // shuffled. With the hint the wedges never leave their stage: codegen
-    // streams them through the broadcast hash probe.
-    val (wedges, closer) =
+    // streams them through the broadcast hash probe. When ids fit 31 bits
+    // the closing pair packs into ONE long — the probe then uses Spark's
+    // specialized long-keyed hash relation instead of two-column row keys.
+    val rawWedges = w1.join(w2, "src").filter(wedgeFilter)
+    val packable = maxId < (1L << 31)
+    def packed(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      (a * lit(1L << 31)) + b
+    val out =
       if (nEdges < bloomMinEdges) {
-        (w1.join(w2, "src").filter(wedgeFilter), broadcast(closing))
+        val joined =
+          if (packable) {
+            val ckeys = closing.select(packed(col("dst1"), col("dst2")).as("ck"))
+            rawWedges.withColumn("ck", packed(col("dst1"), col("dst2")))
+              .join(broadcast(ckeys), "ck")
+          } else rawWedges.join(broadcast(closing), Seq("dst1", "dst2"))
+        joined
+          .select(explode(array(col("src"), col("dst1"), col("dst2"))).as("node"))
+          .groupBy("node").agg(count(lit(1)).as("n_tri"))
       } else {
         val bloom = BloomJoin.buildBloom(
           closing, struct(col("dst1"), col("dst2")),
           expectedItems = math.max(nEdges, 1L),
           numBits = math.max(nEdges * 10L, 1L << 16))
-        (w1.join(w2, "src").filter(wedgeFilter)
-          .filter(BloomJoin.mightContain(bloom, struct(col("dst1"), col("dst2")))),
-          closing)
+        rawWedges
+          .filter(BloomJoin.mightContain(bloom, struct(col("dst1"), col("dst2"))))
+          .join(closing, Seq("dst1", "dst2"))
+          .select(explode(array(col("src"), col("dst1"), col("dst2"))).as("node"))
+          .groupBy("node").agg(count(lit(1)).as("n_tri"))
       }
-    val out = wedges.join(closer, Seq("dst1", "dst2"))
-      .select(explode(array(col("src"), col("dst1"), col("dst2"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("n_tri"))
     // Same lifecycle as pageRankInt: force the O(V) counts, then drop the
     // cached oriented edge list instead of leaving it resident.
     val mat = out.localCheckpoint(true)

@@ -80,6 +80,16 @@ class GraphAnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(gotBloom == want.toMap)
   }
 
+  test("triangleCounts: node ids beyond 31 bits take the unpacked closing join") {
+    // ids ≥ 2^31 disable the packed-long closing key; the two-column join
+    // path must count identically
+    val base = 1L << 32
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (base + a, base + b)
+    val got = GraphAnalytics.triangleCounts(k4.toDF("u", "v"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == (1L to 4L).map(i => (base + i) -> 3L).toMap)
+  }
+
   test("kCore: K5 plus pendant chain keeps exactly the clique at k=4") {
     // K5 on 1..5 (every node has 4 in-clique neighbors); chain 5-10-11-12
     // hangs off the clique — chain degrees ≤ 2, so k=4 peels it entirely
