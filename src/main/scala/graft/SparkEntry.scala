@@ -1275,6 +1275,49 @@ object SparkEntry {
         .orderBy("name_a", "name_b")
     }),
 
+    // ABC (Pareto) classification: parts ranked by revenue, classified by
+    // cumulative share (A ≤ 80%, B ≤ 95%, C rest). The cumulative sum is
+    // exact decimal over the O(parts) aggregated frame (global window on
+    // 20k rows — the documented small-frame case); shares go double only
+    // for the boundary compare, identically in both engines.
+    "q_abc_analysis" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val rev = lineitem(s, d).groupBy("l_partkey")
+        .agg(sum(dec(col("l_extendedprice"))).as("rev"))
+      val tot = rev.agg(sum("rev").as("tot"))
+      val w = Window.orderBy(desc("rev"), asc("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rev.crossJoin(broadcast(tot))
+        .withColumn("share", sum("rev").over(w).cast("double") / col("tot").cast("double"))
+        .withColumn("cls", when(col("share") <= 0.8, "A")
+          .when(col("share") <= 0.95, "B").otherwise("C"))
+        .groupBy("cls")
+        .agg(count(lit(1)).as("n_parts"),
+          sum(col("rev")).cast("double").as("class_rev"))
+        .orderBy("cls")
+    }),
+
+    // Cross-correlation of two event series: Pearson r between hourly view
+    // and purchase volumes. Counts are integers, so every accumulated sum
+    // (n, Σx, Σy, Σx², Σy², Σxy) is EXACT; only the final r is double, with
+    // identical expression order in both engines. The correlation runs on
+    // the O(hours) aggregated frame — one fact-scan pass.
+    "q_cross_corr" -> ((s, d) => {
+      val h = events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hr"))
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      h.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+             sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))), 6)
+            .as("r"))
+    }),
+
     // Gini coefficient of customer revenue per nation — the order-statistic
     // formula G = (2·Σxᵢ·i − (n+1)·Σx) / (n·Σx) over per-customer decimal
     // revenue ranked within nation. Every accumulation is exact decimal ×
@@ -2327,6 +2370,38 @@ object SparkEntry {
          FROM names a JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
          WHERE levenshtein(a.p_name, b.p_name) <= 4
          ORDER BY name_a, name_b""",
+    "q_abc_analysis" ->
+      """WITH rev AS (
+           SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+           FROM lineitem GROUP BY l_partkey),
+         tot AS (SELECT sum(rev) AS tot FROM rev),
+         cum AS (
+           SELECT l_partkey, rev,
+             CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / CAST(tot AS DOUBLE) AS share
+           FROM rev CROSS JOIN tot),
+         cls AS (
+           SELECT CASE WHEN share <= 0.8 THEN 'A'
+                       WHEN share <= 0.95 THEN 'B' ELSE 'C' END AS cls, rev
+           FROM cum)
+         SELECT cls, CAST(count(*) AS BIGINT) AS n_parts,
+             CAST(sum(rev) AS DOUBLE) AS class_rev
+         FROM cls GROUP BY cls ORDER BY cls""",
+    "q_cross_corr" ->
+      """WITH h AS (
+           SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+           FROM events GROUP BY 1),
+         s AS (
+           SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+           FROM h)
+         SELECT n,
+             round(CAST(n * sxy - sx * sy AS DOUBLE) /
+               (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS r
+         FROM s""",
     "q_gini" ->
       """WITH rev AS (
            SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS x
