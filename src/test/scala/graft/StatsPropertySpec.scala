@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Multimodal
+
+/** Mathematical invariants of the round-5 statistics/planning operators —
+  * properties that must hold for ANY input, checked on deterministic
+  * pseudo-random data (no fixed oracle values, so these complement the
+  * DuckDB hash gate rather than duplicating it).
+  */
+class StatsPropertySpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("resizePlan: never upscales, respects the box, preserves orientation") {
+    val rnd = new scala.util.Random(7)
+    val dims = (1 to 300).map(i =>
+      (i.toLong, 1 + rnd.nextInt(2000), 1 + rnd.nextInt(2000)))
+    val meta = dims.toDF("doc_id", "width", "height")
+    val out = Multimodal.resizePlan(meta, 224, 224)
+      .as[(Long, Int, Int, Int, Int)].collect()
+    out.foreach { case (id, w, h, ow, oh) =>
+      assert(ow <= 224 && oh <= 224, s"doc $id exceeds the box: ${ow}x$oh")
+      assert(ow <= w && oh <= h, s"doc $id upscaled: ${w}x$h -> ${ow}x$oh")
+      assert(ow >= 1 && oh >= 1, s"doc $id degenerate output: ${ow}x$oh")
+      // orientation (landscape vs portrait) survives the resize
+      if (w > h) assert(ow >= oh, s"doc $id flipped orientation")
+      if (h > w) assert(oh >= ow, s"doc $id flipped orientation")
+      // a fitting image passes through untouched
+      if (w <= 224 && h <= 224) assert(ow == w && oh == h)
+    }
+  }
+
+  test("gini formula: 0 for perfect equality, approaches 1 for concentration") {
+    import org.apache.spark.sql.expressions.Window
+    def gini(values: Seq[Double]): Double = {
+      val df = values.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("k", "x0")
+        .select(col("k"), col("x0").cast("decimal(18,2)").as("x"))
+      val ranked = df.withColumn("i",
+        row_number().over(Window.orderBy("x", "k")))
+      ranked.agg(
+        ((lit(2) * sum(col("x") * col("i")).cast("double") -
+          (count(lit(1)) + lit(1)) * sum(col("x")).cast("double")) /
+          (count(lit(1)) * sum(col("x")).cast("double"))).as("g"))
+        .as[Double].head()
+    }
+    assert(math.abs(gini(Seq.fill(50)(10.0))) < 1e-12, "equal incomes must give 0")
+    // one holder of everything among n: G = (n-1)/n
+    val n = 40
+    val concentrated = Seq.fill(n - 1)(0.01) ++ Seq(100000.0)
+    assert(gini(concentrated) > 0.9, "extreme concentration must approach 1")
+  }
+
+  test("pearson r from integer sums stays in [-1, 1] and is exactly ±1 on linear data") {
+    def corr(xs: Seq[Long], ys: Seq[Long]): Double = {
+      val df = xs.zip(ys).toDF("x", "y")
+      df.agg(
+        ((count(lit(1)) * sum(col("x") * col("y")) - sum("x") * sum("y")).cast("double") /
+          (sqrt((count(lit(1)) * sum(col("x") * col("x")) - sum("x") * sum("x")).cast("double")) *
+           sqrt((count(lit(1)) * sum(col("y") * col("y")) - sum("y") * sum("y")).cast("double"))))
+          .as("r")).as[Double].head()
+    }
+    val xs = (1L to 100L).toSeq
+    assert(math.abs(corr(xs, xs.map(_ * 3 + 7)) - 1.0) < 1e-12)
+    assert(math.abs(corr(xs, xs.map(x => -2 * x + 5)) + 1.0) < 1e-12)
+    val rnd = new scala.util.Random(11)
+    val noisy = xs.map(_ => rnd.nextInt(1000).toLong)
+    val r = corr(xs, noisy)
+    assert(r >= -1.0 && r <= 1.0)
+  }
+
+  test("driver smoke: SparkEntry.entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
