@@ -1297,6 +1297,24 @@ object SparkEntry {
         .orderBy("cls")
     }),
 
+    // Inter-arrival latency distribution: per-user gaps between consecutive
+    // events, bucketed into capped 5-minute bins. One per-user window sort;
+    // second-granularity diffs and integer division keep every bucket
+    // assignment exact in both engines (timestamp floor-to-second semantics
+    // agree: boundary-crossing count == floor-second difference).
+    "events_gap_hist" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .withColumn("prev", lag("ts", 1).over(w))
+        .filter(col("prev").isNotNull)
+        .withColumn("gap_s",
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev")))
+        .select(least(expr("gap_s div 300"), lit(24L)).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    }),
+
     // Cross-correlation of two event series: Pearson r between hourly view
     // and purchase volumes. Counts are integers, so every accumulated sum
     // (n, Σx, Σy, Σx², Σy², Σxy) is EXACT; only the final r is double, with
@@ -2370,6 +2388,17 @@ object SparkEntry {
          FROM names a JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
          WHERE levenshtein(a.p_name, b.p_name) <= 4
          ORDER BY name_a, name_b""",
+    "events_gap_hist" ->
+      """WITH g AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
+           FROM events),
+         b AS (
+           SELECT least(date_diff('second', prev, ts) // 300, 24) AS bucket
+           FROM g WHERE prev IS NOT NULL)
+         SELECT CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n
+         FROM b GROUP BY 1 ORDER BY 1""",
     "q_abc_analysis" ->
       """WITH rev AS (
            SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
