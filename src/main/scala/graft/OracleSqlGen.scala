@@ -242,6 +242,26 @@ object OracleSqlGen {
         ORDER BY a_id, b_id"""
   }
 
+  /** Semantic-dedup clusters: transitive closure over the embedding
+    * near-dup pair list, summarized per cluster (rep, size, id range).
+    */
+  def embeddingClusters(threshold: Double, bands: Int, planesPerBand: Int): String =
+    s"""WITH RECURSIVE pairs AS (
+          SELECT * FROM (${embeddingNearDup(threshold, bands, planesPerBand)}) t
+        ), edges AS (
+          SELECT a_id AS a, b_id AS b FROM pairs
+          UNION SELECT b_id, a_id FROM pairs
+        ), nodes AS (SELECT DISTINCT a FROM edges),
+        reach(a, b) AS (
+          SELECT a, a FROM nodes
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ), comp AS (SELECT a AS vec_id, min(b) AS rep FROM reach GROUP BY a)
+        SELECT rep AS rep_id, CAST(count(*) AS BIGINT) AS cluster_size,
+          CAST(min(vec_id) AS BIGINT) AS min_member,
+          CAST(max(vec_id) AS BIGINT) AS max_member
+        FROM comp GROUP BY rep ORDER BY rep_id"""
+
   def annLshTopK(nQueries: Int, k: Int, bands: Int, planesPerBand: Int): String = {
     def bandSelects(src: String, idAlias: String) = (0 until bands).map { b =>
       s"SELECT vec_id AS $idAlias, $b AS band, ${signBucketSql("embedding", planesPerBand, b * planesPerBand)} AS bucket FROM $src"
@@ -673,6 +693,26 @@ object OracleSqlGen {
             ELSE 1 END AS INT) AS n_frames
         FROM documents ORDER BY doc_id"""
   }
+
+  /** Mirrors the bigram LM scoring: per-doc mean surprisal −ln P(w2|w1)
+    * under an add-1-smoothed corpus bigram model, positive fixed-point so
+    * integer division truncates identically in both engines.
+    */
+  def lmScore: String =
+    s"""WITH bg0 AS (
+          SELECT doc_id, unnest(${shinglesSql(2)}) AS bg FROM documents),
+        bg AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM bg0),
+        c12 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY 1),
+        c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY 1),
+        v AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v
+              FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)),
+        t AS (
+          SELECT doc_id,
+            CAST(floor(-ln((c12.c12 + 1.0) / CAST(c1.c1 + v.v AS DOUBLE)) * 1000000.0) AS BIGINT) AS fp
+          FROM bg JOIN c12 USING (bg) JOIN c1 USING (w1) CROSS JOIN v)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+          CAST(sum(fp) // count(*) AS BIGINT) AS avg_surprisal_fp
+        FROM t GROUP BY doc_id ORDER BY doc_id"""
 
   /** Mirrors Multimodal.resizePlan over the FakeDecoder dims: the same
     * integer cross-multiplication / integer-division arithmetic, applied to

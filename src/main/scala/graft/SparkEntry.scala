@@ -727,6 +727,23 @@ object SparkEntry {
         .select("a_id", "b_id")
         .orderBy("a_id", "b_id")),
 
+    // Semantic dedup end-to-end: embedding near-dup pairs → connected
+    // components → per-cluster summary. The same LSH-candidates + exact
+    // cosine + pointer-jumping CC machinery, composed over the VECTOR
+    // modality — output pins rep, size, and id range of every semantic
+    // cluster without emitting O(V) rows.
+    "dedup_semantic_clusters" -> ((s, d) => {
+      val pairs = Dedup.embeddingNearDup(embeddings(s, d),
+        col("vec_id"), col("embedding"), threshold = 0.45)
+        .select("a_id", "b_id")
+      Dedup.connectedComponents(pairs)
+        .groupBy(col("rep_id"))
+        .agg(count(lit(1)).as("cluster_size"),
+          min("doc_id").as("min_member"),
+          max("doc_id").as("max_member"))
+        .orderBy("rep_id")
+    }),
+
     // ── similarity search (embeddings) ────────────────────────────────────
 
     "ann_topk" -> ((s, d) => {
@@ -1108,6 +1125,35 @@ object SparkEntry {
     "text_novelty" -> ((s, d) =>
       TextAnalysis.novelty(documents(s, d), col("doc_id"), col("text"), n = 3)
         .orderBy("doc_id")),
+
+    // Corpus bigram language-model scoring — the perplexity-proxy quality
+    // signal of a training-data pipeline: per-doc mean SURPRISAL
+    // −ln P(w2|w1) under an add-1-smoothed corpus bigram model. Surprisal
+    // terms are positive fixed-point longs (floor ·1e6), so the per-doc sum
+    // is order-independent and the integer mean truncates identically in
+    // both engines (negative fixed-point would floor vs truncate
+    // differently). One shingle explode drives counts AND scoring; the
+    // count tables broadcast.
+    "text_lm_score" -> ((s, d) => {
+      val docs = documents(s, d)
+      val bg = docs.select(col("doc_id"),
+          explode(Dedup.shingles(col("text"), 2)).as("bg"))
+        .withColumn("w1", substring_index(col("bg"), " ", 1))
+      val c12 = bg.groupBy("bg").agg(count(lit(1)).as("c12"))
+      val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val vocab = docs.select(explode(split(col("text"), " ")).as("t"))
+        .agg(countDistinct("t").as("v"))
+      val surprisal = floor(-log((col("c12") + lit(1.0)) /
+        (col("c1") + col("v")).cast("double")) * lit(1000000.0)).cast("long")
+      bg.join(broadcast(c12), "bg")
+        .join(broadcast(c1), "w1")
+        .crossJoin(broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(surprisal).as("sum_fp"))
+        .select(col("doc_id"), col("n_bigrams"),
+          expr("sum_fp div n_bigrams").as("avg_surprisal_fp"))
+        .orderBy("doc_id")
+    }),
 
     // ── MLlib scale paths (engine-specific hashing → rows-only check) ─────
 
@@ -2111,6 +2157,7 @@ object SparkEntry {
     "dedup_incremental" -> OracleSqlGen.incrementalMinhash(3, 8, 2, batchMinId = 400),
     "dedup_simhash" -> OracleSqlGen.simhash(60),
     "dedup_embedding" -> OracleSqlGen.embeddingNearDup(0.45, 4, 4),
+    "dedup_semantic_clusters" -> OracleSqlGen.embeddingClusters(0.45, 4, 4),
 
     "ann_topk" -> OracleSqlGen.annTopK(32, 5),
     "ann_lsh_topk" -> OracleSqlGen.annLshTopK(32, 5, 4, 4),
@@ -2154,6 +2201,7 @@ object SparkEntry {
     "q_zorder" -> OracleSqlGen.zorder(20, 100),
     "events_anomaly" -> OracleSqlGen.eventAnomalies(24, 2.0),
     "text_novelty" -> OracleSqlGen.novelty(3),
+    "text_lm_score" -> OracleSqlGen.lmScore,
     // en threshold '8000' = floor(0.5 * 65536) in hex — must match
     // Splits.stratifiedKeep's floor(frac * 65536) for frac = 0.5.
     "q_sample_stratified" ->
