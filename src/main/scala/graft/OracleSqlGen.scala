@@ -108,9 +108,13 @@ object OracleSqlGen {
     * generation is the same deterministic minhashLsh SQL, inlined as a
     * derived table.
     */
-  private def componentCtes(n: Int, bands: Int, rowsPerBand: Int): String =
+  /** Transitive-closure CTE scaffolding over ANY (a_id, b_id) pair source —
+    * shared by the minhash component family and the embedding-cluster
+    * oracle so closure semantics can never diverge between them.
+    */
+  private def closureCtes(pairSourceSql: String): String =
     s"""WITH RECURSIVE pairs AS (
-          SELECT * FROM (${minhashLsh(n, bands, rowsPerBand)}) t
+          SELECT * FROM ($pairSourceSql) t
         ), edges AS (
           SELECT a_id AS a, b_id AS b FROM pairs
           UNION SELECT b_id, a_id FROM pairs
@@ -120,6 +124,9 @@ object OracleSqlGen {
           UNION
           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
         )"""
+
+  private def componentCtes(n: Int, bands: Int, rowsPerBand: Int): String =
+    closureCtes(minhashLsh(n, bands, rowsPerBand))
 
   def minhashComponents(n: Int, bands: Int, rowsPerBand: Int): String =
     s"""${componentCtes(n, bands, rowsPerBand)}
@@ -246,17 +253,8 @@ object OracleSqlGen {
     * near-dup pair list, summarized per cluster (rep, size, id range).
     */
   def embeddingClusters(threshold: Double, bands: Int, planesPerBand: Int): String =
-    s"""WITH RECURSIVE pairs AS (
-          SELECT * FROM (${embeddingNearDup(threshold, bands, planesPerBand)}) t
-        ), edges AS (
-          SELECT a_id AS a, b_id AS b FROM pairs
-          UNION SELECT b_id, a_id FROM pairs
-        ), nodes AS (SELECT DISTINCT a FROM edges),
-        reach(a, b) AS (
-          SELECT a, a FROM nodes
-          UNION
-          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-        ), comp AS (SELECT a AS vec_id, min(b) AS rep FROM reach GROUP BY a)
+    s"""${closureCtes(embeddingNearDup(threshold, bands, planesPerBand))},
+        comp AS (SELECT a AS vec_id, min(b) AS rep FROM reach GROUP BY a)
         SELECT rep AS rep_id, CAST(count(*) AS BIGINT) AS cluster_size,
           CAST(min(vec_id) AS BIGINT) AS min_member,
           CAST(max(vec_id) AS BIGINT) AS max_member

@@ -38,9 +38,9 @@ object SparkEntry {
     val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val tf = tok.filter(col("term").isin(probes: _*))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfT = tok.filter(col("term").isin(probes: _*))
-      .select("doc_id", "term").distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
+    // df falls out of tf (one row per (doc, term) already) — no third
+    // corpus tokenization pass
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
     val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
     val idf = log((col("n_docs").cast("double") - col("df") + lit(0.5)) /
@@ -492,16 +492,20 @@ object SparkEntry {
     // same key: the shuffle moves from every query to one write. The oracle
     // is the plain (unbucketed) join — bucketing may never change answers.
     "q_bucketed_join" -> ((s, d) => {
+      // table names carry a dataset suffix: a bare name keyed by a
+      // dataset-qualified memo would let a second sfDir in the same JVM
+      // overwrite the first's tables while its memo still says "built"
+      val suf = java.lang.Integer.toHexString(d.hashCode)
       Setup.once(s"bucketed:$d") {
         graft.pipeline.Layout.writeBucketed(
           lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount"),
-          "graft_li_bucketed", "l_orderkey", buckets = 16)
+          s"graft_li_bucketed_$suf", "l_orderkey", buckets = 16)
         graft.pipeline.Layout.writeBucketed(
           orders(s, d).select("o_orderkey", "o_orderdate"),
-          "graft_ord_bucketed", "o_orderkey", buckets = 16)
+          s"graft_ord_bucketed_$suf", "o_orderkey", buckets = 16)
       }
-      s.table("graft_li_bucketed")
-        .join(s.table("graft_ord_bucketed"), col("l_orderkey") === col("o_orderkey"))
+      s.table(s"graft_li_bucketed_$suf")
+        .join(s.table(s"graft_ord_bucketed_$suf"), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
         .agg(
           sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
@@ -1140,7 +1144,10 @@ object SparkEntry {
           explode(Dedup.shingles(col("text"), 2)).as("bg"))
         .withColumn("w1", substring_index(col("bg"), " ", 1))
       val c12 = bg.groupBy("bg").agg(count(lit(1)).as("c12"))
-      val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+      // left-marginal counts fall out of the tiny aggregated bigram table —
+      // summing c12 per w1 equals recounting the corpus stream
+      val c1 = c12.withColumn("w1", substring_index(col("bg"), " ", 1))
+        .groupBy("w1").agg(sum("c12").as("c1"))
       val vocab = docs.select(explode(split(col("text"), " ")).as("t"))
         .agg(countDistinct("t").as("v"))
       val surprisal = floor(-log((col("c12") + lit(1.0)) /

@@ -140,13 +140,17 @@ object GraphAnalytics {
     // BEFORE the shuffle. False positives are removed by the exact join, so
     // the triangle set is unchanged — the spec pins both paths equal.
     val closing = oriented.select(col("src").as("dst1"), col("dst").as("dst2"))
-    // one job on the cached list: edge count (bloom gate) + max node id
-    // (packed-key gate)
+    // one job on the cached list: edge count (bloom gate) + id range
+    // (packed-key gate — BOTH bounds: packing is only injective for ids in
+    // [0, 2^31); a negative id would alias another pair's key)
     val st = oriented
-      .agg(count(lit(1)).as("n"), max(greatest(col("src"), col("dst"))).as("m"))
+      .agg(count(lit(1)).as("n"),
+        max(greatest(col("src"), col("dst"))).as("mx"),
+        min(least(col("src"), col("dst"))).as("mn"))
       .head()
     val nEdges = st.getLong(0)
     val maxId = if (st.isNullAt(1)) 0L else st.getLong(1)
+    val minId = if (st.isNullAt(2)) 0L else st.getLong(2)
     // scalar (deg, id) lexicographic compare — no per-row struct allocation
     // on the O(Σ od²) wedge stream
     val wedgeFilter = col("dd1") < col("dd2") ||
@@ -160,7 +164,7 @@ object GraphAnalytics {
     // the closing pair packs into ONE long — the probe then uses Spark's
     // specialized long-keyed hash relation instead of two-column row keys.
     val rawWedges = w1.join(w2, "src").filter(wedgeFilter)
-    val packable = maxId < (1L << 31)
+    val packable = minId >= 0L && maxId < (1L << 31)
     def packed(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       (a * lit(1L << 31)) + b
     val out =
