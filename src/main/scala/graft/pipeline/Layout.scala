@@ -35,7 +35,22 @@ object Layout {
     * SortMergeJoin with ZERO Exchange (verified by LayoutSpec) — the 100 TB
     * pattern for a fact table joined on the same key by every query.
     */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    // A fresh JVM has an empty in-memory catalog, but the warehouse dir may
+    // still hold the MANAGED location from a previous session — saveAsTable
+    // would then fail with LOCATION_ALREADY_EXISTS. Drop any registered
+    // table and clear the stale location first (local-filesystem warehouse;
+    // on a shared metastore the catalog entry survives JVMs and the DROP
+    // alone removes the managed location).
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val loc = new java.io.File(wh, table)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    if (loc.exists()) rm(loc)
     df
       // one shuffle at WRITE time, so each bucket lands in exactly one file:
       // repartition's hash is the same murmur3-pmod as the bucket id, so
@@ -50,6 +65,7 @@ object Layout {
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table) // managed: lives under spark.sql.warehouse.dir
+  }
 
   /** Hive-style partitioned write: one directory per distinct value of
     * `partCol`. Predicates on the partition column then prune at PLANNING
