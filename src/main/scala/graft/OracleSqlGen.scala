@@ -712,6 +712,23 @@ object OracleSqlGen {
           CAST(sum(fp) // count(*) AS BIGINT) AS avg_surprisal_fp
         FROM t GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Mirrors the PMI collocation mining: top bigrams by fixed-point
+    * pointwise mutual information with a support floor.
+    */
+  def collocations(minSupport: Int, topK: Int): String =
+    s"""WITH bg0 AS (
+          SELECT unnest(${shinglesSql(2)}) AS bg FROM documents),
+        c12 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM bg0 GROUP BY 1),
+        tot AS (SELECT CAST(sum(c12) AS BIGINT) AS n FROM c12),
+        w AS (SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2, c12 FROM c12),
+        c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM w GROUP BY 1),
+        c2 AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM w GROUP BY 1)
+        SELECT w.w1, w.w2, w.c12,
+          CAST(floor(ln((CAST(w.c12 AS DOUBLE) * n) / (CAST(c1.c1 AS DOUBLE) * c2.c2)) * 1000000.0) AS BIGINT) AS pmi_fp
+        FROM w JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN tot
+        WHERE w.c12 >= $minSupport
+        ORDER BY pmi_fp DESC, w1, w2 LIMIT $topK"""
+
   /** Mirrors Multimodal.resizePlan over the FakeDecoder dims: the same
     * integer cross-multiplication / integer-division arithmetic, applied to
     * the mmDecode CTE.

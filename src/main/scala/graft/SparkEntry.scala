@@ -1328,6 +1328,48 @@ object SparkEntry {
         .orderBy("name_a", "name_b")
     }),
 
+    // 2-D skyline (Pareto frontier): parts not dominated on (cheaper,
+    // bigger). One sorted pass — a part survives iff its size beats the
+    // running max over all strictly-earlier rows in (price, key) order —
+    // the O(n log n) sweep, not the O(n²) dominance self-join. The window
+    // runs over the O(parts) dimension frame (documented small-frame case).
+    "q_skyline" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy("p_retailprice", "p_partkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      part(s, d)
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+        .withColumn("best_cheaper", max("p_size").over(w))
+        .filter(col("best_cheaper").isNull || col("p_size") > col("best_cheaper"))
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_partkey")
+    }),
+
+    // Collocation mining: top bigrams by pointwise mutual information
+    // ln(P(w1,w2)/(P(w1)P(w2))) with a support floor — phrase extraction
+    // for a training-data vocabulary pass. All counts integer; PMI is
+    // fixed-point from identical expression order, so the ranking is
+    // engine-exact.
+    "text_collocations" -> ((s, d) => {
+      val bg = documents(s, d)
+        .select(explode(Dedup.shingles(col("text"), 2)).as("bg"))
+      val c12 = bg.groupBy("bg").agg(count(lit(1)).as("c12"))
+      val tot = c12.agg(sum("c12").as("n"))
+      val w = c12.select(
+        substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"), col("c12"))
+      val c1 = w.groupBy("w1").agg(sum("c12").as("c1"))
+      val c2 = w.groupBy("w2").agg(sum("c12").as("c2"))
+      val pmi = floor(log((col("c12").cast("double") * col("n")) /
+        (col("c1").cast("double") * col("c2"))) * lit(1000000.0)).cast("long")
+      w.join(broadcast(c1), "w1")
+        .join(broadcast(c2), "w2")
+        .crossJoin(broadcast(tot))
+        .filter(col("c12") >= 20)
+        .select(col("w1"), col("w2"), col("c12"), pmi.as("pmi_fp"))
+        .orderBy(desc("pmi_fp"), asc("w1"), asc("w2")).limit(15)
+    }),
+
     // ABC (Pareto) classification: parts ranked by revenue, classified by
     // cumulative share (A ≤ 80%, B ≤ 95%, C rest). The cumulative sum is
     // exact decimal over the O(parts) aggregated frame (global window on
@@ -2454,6 +2496,17 @@ object SparkEntry {
            FROM g WHERE prev IS NOT NULL)
          SELECT CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n
          FROM b GROUP BY 1 ORDER BY 1""",
+    "q_skyline" ->
+      """WITH ranked AS (
+           SELECT p_partkey, p_retailprice, p_size,
+             max(p_size) OVER (ORDER BY p_retailprice, p_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_cheaper
+           FROM part)
+         SELECT p_partkey, p_retailprice, CAST(p_size AS INT) AS p_size
+         FROM ranked
+         WHERE best_cheaper IS NULL OR p_size > best_cheaper
+         ORDER BY p_partkey""",
+    "text_collocations" -> OracleSqlGen.collocations(minSupport = 20, topK = 15),
     "q_abc_analysis" ->
       """WITH rev AS (
            SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
