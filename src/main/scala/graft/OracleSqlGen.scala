@@ -590,7 +590,7 @@ object OracleSqlGen {
           FROM events GROUP BY 1, 2),
         s AS (
           SELECT window_start, event_type, n,
-            sum(n) OVER w AS s1, sum(n*n) OVER w AS s2, count(n) OVER w AS c
+            sum(n) OVER w AS s1, sum(CAST(n AS DOUBLE) * n) OVER w AS s2, count(n) OVER w AS c
           FROM h
           WINDOW w AS (PARTITION BY event_type ORDER BY window_start
                        ROWS BETWEEN $lookback PRECEDING AND 1 PRECEDING)),

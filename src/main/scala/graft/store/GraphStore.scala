@@ -92,9 +92,9 @@ class GraphStore(spark: SparkSession, root: String) {
     val keys = if (keyOverride.nonEmpty) keyOverride else table match {
       case "entities" => Seq("name")
       case "observations" => Seq("id")
-      // parallel relations are exact-duplicate-free per (from, to, type)
-      // only if callers keep them so; pass keyOverride otherwise
-      case "relations" => Seq("from_entity", "to_entity", "relation_type")
+      // parallel relations are exact-duplicate-free per (source, target,
+      // type) only if callers keep them so; pass keyOverride otherwise
+      case "relations" => Seq("source", "target", "relation_type")
       case other => throw new IllegalArgumentException(s"Unknown table: $other")
     }
     val oldT = readTableVersion(table, fromVersion)
@@ -359,7 +359,11 @@ class GraphStore(spark: SparkSession, root: String) {
     * multi-driver cloud deployment would swap this for the
     * metastore/catalog commit protocol.
     */
-  private val lockDepth = new ThreadLocal[Integer] { override def initialValue = 0 }
+  // depth lives in the COMPANION keyed by normalized root (like jvmLock):
+  // two GraphStore instances over the same root must share one reentrancy
+  // counter, or a nested write through the second instance would attempt a
+  // second FileChannel.lock() and throw OverlappingFileLockException
+  private def lockDepth = GraphStore.lockDepthFor(root)
 
   def withWriteLock[T](body: => T): T =
     GraphStore.jvmLock(root).synchronized {
@@ -521,6 +525,16 @@ object GraphStore {
       // normalize so different spellings of the same dir share one mutex
       java.nio.file.Paths.get(root).toAbsolutePath.normalize.toString,
       _ => new Object)
+
+  /** Per-root reentrancy depth for withWriteLock — shared across instances
+    * of the same root for the same reason jvmLock is.
+    */
+  private val lockDepths =
+    new java.util.concurrent.ConcurrentHashMap[String, ThreadLocal[Integer]]()
+  private[store] def lockDepthFor(root: String): ThreadLocal[Integer] =
+    lockDepths.computeIfAbsent(
+      java.nio.file.Paths.get(root).toAbsolutePath.normalize.toString,
+      _ => new ThreadLocal[Integer] { override def initialValue = 0 })
 
   /** Codepoint-lexicographic string ordering — identical to Spark's
     * UTF8String (UTF-8 byte) ordering, unlike java.lang.String's UTF-16

@@ -47,12 +47,16 @@ object EventOps {
     */
   def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val gapSec = gapMinutes * 60L
+    val gapUs = gapMinutes * 60L * 1000000L
     events
       .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      // MICROSECOND precision (unix_timestamp would truncate to seconds and
+      // misjudge sub-second gaps), and >= so a gap of EXACTLY the threshold
+      // starts a new session — matching session_window's half-open
+      // [start, last + gap) semantics, not just approximately agreeing
       .withColumn("new_session",
         (col("prev_ts").isNull ||
-          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapSec).cast("int"))
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) >= gapUs).cast("int"))
       .withColumn("session_seq", sum("new_session").over(
         byUser.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("user_id"), col("session_seq"))
@@ -131,7 +135,11 @@ object EventOps {
       .rowsBetween(-lookback, -1)
     hourly
       .withColumn("_s1", sum(col("n")).over(trail))
-      .withColumn("_s2", sum(col("n") * col("n")).over(trail))
+      // square in DOUBLE: long n*n overflows once a bucket count reaches
+      // ~3.04e9 (ANSI: runtime error; legacy: corrupt variance). The window
+      // holds ≤ lookback exact-integer doubles, so the sum stays
+      // order-independent at gate scale
+      .withColumn("_s2", sum(col("n").cast("double") * col("n")).over(trail))
       .withColumn("_c", count(col("n")).over(trail))
       // divisor null-guards: ANSI mode errors on x/0 where DuckDB's double
       // division yields NULL — `when` makes the empty/singleton-window rows

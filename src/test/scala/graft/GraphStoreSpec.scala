@@ -139,6 +139,24 @@ class GraphStoreSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException] { st.diffVersions("nope", v1, v2) }
   }
 
+  test("diffVersions: relations default keys resolve against the stored schema") {
+    // the relations table's columns are (source, target, relation_type) —
+    // the default key set must reference those, not GraphOps' renamed
+    // output columns (this path was latent-crashing before round 5)
+    val st = freshStore()
+    st.createEntities(Seq(
+      Entity("A", "t", Seq("o")), Entity("B", "t", Seq("o")),
+      Entity("C", "t", Seq("o"))))
+    st.createRelations(Seq(Relation("A", "B", "likes")))
+    val v1 = st.tableVersions("relations").last
+    st.createRelations(Seq(Relation("A", "C", "likes")))
+    val v2 = st.tableVersions("relations").last
+    val diff = st.diffVersions("relations", v1, v2)
+      .select("source", "target", "change")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(diff == Set(("A", "C", "added")))
+  }
+
   test("manifest tracks id high-water mark: no O(table) max-id scan per write") {
     val dir = Files.createTempDirectory("graft-store-").toString
     val st = new GraphStore(spark, dir)

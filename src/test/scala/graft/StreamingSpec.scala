@@ -164,6 +164,24 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("session boundary: a gap of EXACTLY the threshold starts a new session") {
+    // session_window's window is half-open [start, last + gap), so an event
+    // exactly gap after its predecessor opens a NEW session; the batch twin
+    // must agree (>=, not >) — and sub-second fractions must count (micros
+    // precision, not unix_timestamp's whole-second truncation)
+    val edge = Seq(
+      Ev(1, ts("2024-01-01 00:00:00"), 7, "click", 1.0),
+      Ev(2, ts("2024-01-01 00:30:00"), 7, "click", 2.0), // exactly 30min → split
+      Ev(3, Timestamp.valueOf("2024-01-01 00:59:59.5"), 7, "click", 3.0)) // 29:59.5 → same
+    val got = EventOps.sessionizeBatch(edge.toDF(), 30)
+      .orderBy("session_start")
+      .select("session_start", "n_events")
+      .as[(Timestamp, Long)].collect().toSeq
+    assert(got == Seq(
+      (ts("2024-01-01 00:00:00"), 1L),
+      (ts("2024-01-01 00:30:00"), 2L)))
+  }
+
   test("watermark drops late data in append mode") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
