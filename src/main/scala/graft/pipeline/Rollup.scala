@@ -22,14 +22,18 @@ import org.apache.spark.sql.types.DecimalType
   * locking beyond the parquet append. A periodic `compactRollup` re-groups
   * the summary back to one row per grain key.
   *
-  * Sums are DECIMAL(28,4): exact and order-independent, so
-  * rollup-then-merge equals a direct aggregation of the base table
-  * bit-for-bit (spec-pinned) — with double sums the two orders of
-  * accumulation would drift in the last mantissa bits.
+  * Sums are DECIMAL(38,12): order-independent, and exact for measures
+  * with ≤ 12 fractional digits (beyond that each row rounds at 1e-12 —
+  * still tighter than double accumulation drift at warehouse magnitudes),
+  * so rollup-then-merge equals a direct decimal aggregation of the base
+  * table bit-for-bit (spec-pinned). `_cnt_<m>` keeps each measure's
+  * NON-NULL count so a merged avg(m) = Σ_sum_m / Σ_cnt_m is correct even
+  * when the measure column has nulls (count(*) would overcount them).
   */
 object Rollup {
 
   private def sumCol(m: String) = s"_sum_$m"
+  private def cntCol(m: String) = s"_cnt_$m"
 
   /** Aggregate `df` to the grain and write it (overwrite ⇒ initial build). */
   def build(df: DataFrame, dims: Seq[String], measures: Seq[String],
@@ -48,7 +52,8 @@ object Rollup {
   private def aggregateToGrain(df: DataFrame, dims: Seq[String],
       measures: Seq[String]): DataFrame = {
     val aggs = count(lit(1)).as("_n") +:
-      measures.map(m => sum(col(m).cast(DecimalType(28, 4))).as(sumCol(m)))
+      (measures.map(m => sum(col(m).cast(DecimalType(38, 12))).as(sumCol(m))) ++
+        measures.map(m => count(col(m)).as(cntCol(m))))
     df.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -95,7 +100,8 @@ object Rollup {
       measures: Seq[String], outPath: String): Unit = {
     val summary = spark.read.parquet(path)
     val aggs = sum(col("_n")).as("_n") +:
-      measures.map(m => sum(col(sumCol(m))).as(sumCol(m)))
+      (measures.map(m => sum(col(sumCol(m))).as(sumCol(m))) ++
+        measures.map(m => sum(col(cntCol(m))).as(cntCol(m))))
     summary.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
       .write.mode("overwrite").parquet(outPath)
   }
