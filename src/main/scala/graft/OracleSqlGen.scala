@@ -675,10 +675,39 @@ object OracleSqlGen {
         ORDER BY core_deg DESC, node ASC LIMIT $topK"""
   }
 
-  /** Must mirror Multimodal.FakeDecoder exactly (text is ASCII in the test
-    * tables, so ascii(substr) == byte values).
+  /** Mirrors the REAL ImageIO decode over the synthetic PNGs: the pixel
+    * pattern (Multimodal.synthesizePng) is a = id mod 256, w = 16+id mod 17,
+    * h = 16+(7·id) mod 13, r(x,y) = (a+x) mod 256, g = 255−r,
+    * b(x,y) = (a+y) mod 256 — the wrap past 256 happens at most once per
+    * axis (w,h ≤ 32), so the channel sums of the DECODED raster reduce to
+    * the closed forms below. Any divergence between the oracle and the Spark
+    * side means ImageIO produced pixels that differ from the pattern — i.e.
+    * this pins a real encode→decode round trip, not a formula echo.
     */
-  def mmDecode: String = {
+  def mmDecode: String =
+    s"""WITH m AS (
+          SELECT doc_id,
+            CAST(doc_id % 256 AS BIGINT) AS a,
+            CAST(16 + doc_id % 17 AS BIGINT) AS w,
+            CAST(16 + (doc_id * 7) % 13 AS BIGINT) AS h
+          FROM documents),
+        sums AS (
+          SELECT doc_id, w, h,
+            h * (w*a + (w*(w-1))//2 - 256*greatest(0, a+w-256)) AS r_sum,
+            w * (h*a + (h*(h-1))//2 - 256*greatest(0, a+h-256)) AS b_sum
+          FROM m)
+        SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+          CAST(w*h AS BIGINT) AS n_px,
+          CAST(r_sum AS BIGINT) AS r_sum,
+          CAST(255*w*h - r_sum AS BIGINT) AS g_sum,
+          CAST(b_sum AS BIGINT) AS b_sum
+        FROM sums ORDER BY doc_id"""
+
+  /** Must mirror Multimodal.FakeDecoder exactly (text is ASCII in the test
+    * tables, so ascii(substr) == byte values). Retained as the metadata CTE
+    * for the resize-planner oracle (the a/v stub path).
+    */
+  def mmStubMeta: String = {
     val head = (1 to 8).map(i => s"ascii(substr(text, $i, 1))").mkString(" + ")
     s"""SELECT doc_id,
           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
@@ -731,10 +760,10 @@ object OracleSqlGen {
 
   /** Mirrors Multimodal.resizePlan over the FakeDecoder dims: the same
     * integer cross-multiplication / integer-division arithmetic, applied to
-    * the mmDecode CTE.
+    * the mmStubMeta CTE.
     */
   def mmResize(maxW: Int, maxH: Int): String =
-    s"""WITH m AS ($mmDecode)
+    s"""WITH m AS ($mmStubMeta)
         SELECT doc_id, width, height,
           CAST(CASE
             WHEN width <= $maxW AND height <= $maxH THEN width

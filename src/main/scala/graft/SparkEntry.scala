@@ -835,13 +835,25 @@ object SparkEntry {
         shard = col("lang"), budget = 1000L, order = col("doc_id"))
         .orderBy("shard", "doc_id")),
 
-    // ── multimodal plumbing (stubbed decode, real Spark shape) ────────────
+    // ── multimodal plumbing (REAL ImageIO decode + stubbed a/v shape) ─────
 
+    // REAL image decode: Setup writes one deterministic synthetic PNG per
+    // doc (JDK ImageIO encode, keyed on doc_id) as a binary column; the
+    // declared query reads the blobs and decodes ACTUAL pixel data per
+    // partition — width/height/per-channel sums come from getRGB over the
+    // decoded raster, not from the byte stream. The pixel pattern's channel
+    // sums have closed forms (see Multimodal.synthesizePng), so the DuckDB
+    // oracle pins the real decode output exactly.
     "mm_decode" -> ((s, d) => {
       import s.implicits._
-      val media = Multimodal.withMediaColumn(documents(s, d), "doc_id", "text")
-        .as[MediaRow]
-      Multimodal.decodeMeta(media).toDF().orderBy("doc_id")
+      val base = Setup.dir(s"mm_png:$d") { dir =>
+        documents(s, d).select(col("doc_id").cast("long").as("doc_id"))
+          .as[Long]
+          .mapPartitions(_.map(id => MediaRow(id, Multimodal.synthesizePng(id), "image")))
+          .write.mode("overwrite").parquet(s"$dir/png")
+      }
+      Multimodal.decodeImage(s.read.parquet(s"$base/png").as[MediaRow])
+        .toDF().orderBy("doc_id")
     }),
 
     // Aspect-preserving resize plan inside a 224×224 box — pure integer

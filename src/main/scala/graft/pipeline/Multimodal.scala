@@ -17,6 +17,18 @@ case class MediaMeta(
 
 case class MediaRow(doc_id: Long, media: Array[Byte], meta_format: String)
 
+/** One really-decoded image row: dimensions plus per-channel pixel sums,
+  * all derived from the decoded pixel data (not from the byte stream).
+  */
+case class ImageStats(
+    doc_id: Long,
+    width: Int,
+    height: Int,
+    n_px: Long,
+    r_sum: Long,
+    g_sum: Long,
+    b_sum: Long)
+
 /** Multimodal columns: image/audio/video as opaque `binary` columns with
   * typed metadata, processed per-partition (the Scala analog of
   * `mapInPandas` — one iterator pass per partition, batch-shaped, no
@@ -45,6 +57,82 @@ object Multimodal {
         case _ => 1
       }
       (width, height, frames)
+    }
+  }
+
+  // ImageIO writes a disk cache file per encode/decode by default; decode
+  // runs inside executor tasks, so keep it purely in-memory.
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Deterministic synthetic PNG keyed on the doc id — REAL image bytes
+    * (JDK `javax.imageio`, no external codec lib) with a pixel pattern whose
+    * channel sums have closed forms, so a SQL oracle can pin stats computed
+    * from the actual decoded pixels:
+    *   a = id mod 256, w = 16 + id mod 17, h = 16 + (id*7) mod 13
+    *   r(x,y) = (a+x) mod 256,  g = 255 − r,  b(x,y) = (a+y) mod 256
+    * With w,h ≤ 32 the (a+·) sequence wraps past 256 at most once, so
+    *   Σr = h·(w·a + w(w−1)/2 − 256·max(0, a+w−256)),  Σg = 255·w·h − Σr,
+    *   Σb = w·(h·a + h(h−1)/2 − 256·max(0, a+h−256)).
+    */
+  def synthesizePng(docId: Long): Array[Byte] = {
+    val a = (docId % 256).toInt
+    val w = (16 + docId % 17).toInt
+    val h = (16 + (docId * 7) % 13).toInt
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      val b = (a + y) % 256
+      var x = 0
+      while (x < w) {
+        val r = (a + x) % 256
+        img.setRGB(x, y, (r << 16) | ((255 - r) << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream(1024)
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** REAL image decode: `ImageIO.read` over the binary column, per-partition
+    * (model-broadcast batch shape — one iterator sweep, no shuffle, binary
+    * payload dropped as soon as the stats are extracted). PNG/BMP/GIF decode
+    * ships with the JDK; bytes no reader recognizes fall back to the
+    * deterministic [[FakeDecoder]] so the stage is total. At 100 TB decode is
+    * embarrassingly parallel: cost scales with payload bytes per partition
+    * and the output is O(rows) of fixed-width stats.
+    */
+  def decodeImage(media: Dataset[MediaRow]): Dataset[ImageStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { row =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.media))
+          catch { case _: java.io.IOException => null }
+        if (img != null) {
+          val w = img.getWidth
+          val h = img.getHeight
+          var rs = 0L; var gs = 0L; var bs = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              rs += (rgb >> 16) & 0xff
+              gs += (rgb >> 8) & 0xff
+              bs += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          ImageStats(row.doc_id, w, h, w.toLong * h, rs, gs, bs)
+        } else {
+          // non-image payload: deterministic stub keeps the stage total
+          val (w, h, _) = FakeDecoder.decode(row.media, row.meta_format)
+          ImageStats(row.doc_id, w, h, w.toLong * h, -1L, -1L, -1L)
+        }
+      }
     }
   }
 

@@ -445,4 +445,29 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       .collect().sortBy(_.doc_id)
     assert(meta.toSeq == again.toSeq)
   }
+
+  test("multimodal: REAL ImageIO decode of a known synthetic PNG pins exact pixel stats") {
+    // doc_id=5: a=5, w=21, h=25 → closed-form sums (verified brute-force):
+    //   r_sum = 25·(21·5 + 210) = 7875, g_sum = 255·525 − 7875 = 126000,
+    //   b_sum = 21·(25·5 + 300) = 8925
+    val png = Multimodal.synthesizePng(5L)
+    assert(png.take(8).map(_ & 0xff).toSeq ==
+      Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)) // real PNG magic
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth == 21 && img.getHeight == 25)
+    assert((img.getRGB(3, 0) >> 16 & 0xff) == 8) // r(x=3) = (5+3) % 256
+
+    val stats = Multimodal.decodeImage(
+      Seq(MediaRow(5L, png, "image")).toDS()).head()
+    assert(stats == graft.pipeline.ImageStats(5L, 21, 25, 525, 7875, 126000, 8925))
+  }
+
+  test("multimodal: decodeImage falls back to the deterministic stub on non-image bytes") {
+    val bytes = "not an image at all".getBytes("UTF-8")
+    val stats = Multimodal.decodeImage(
+      Seq(MediaRow(9L, bytes, "audio")).toDS()).head()
+    val (w, h, _) = Multimodal.FakeDecoder.decode(bytes, "audio")
+    assert(stats.width == w && stats.height == h)
+    assert(stats.r_sum == -1L && stats.g_sum == -1L && stats.b_sum == -1L)
+  }
 }
