@@ -1359,21 +1359,17 @@ object SparkEntry {
     }),
 
     // 2-D skyline (Pareto frontier): parts not dominated on (cheaper,
-    // bigger). One sorted pass — a part survives iff its size beats the
-    // running max over all strictly-earlier rows in (price, key) order —
-    // the O(n log n) sweep, not the O(n²) dominance self-join. The window
-    // runs over the O(parts) dimension frame (documented small-frame case).
-    "q_skyline" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.orderBy("p_retailprice", "p_partkey")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      part(s, d)
-        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
-        .withColumn("best_cheaper", max("p_size").over(w))
-        .filter(col("best_cheaper").isNull || col("p_size") > col("best_cheaper"))
+    // bigger) — the O(n log n) sweep, not the O(n²) dominance self-join,
+    // and DISTRIBUTED: a range-partitioned per-partition sweep seeded by
+    // broadcast prefix maxima of earlier partitions (Skyline.sweep2d), so
+    // no global single-partition Sort/Window ever exists in the plan.
+    "q_skyline" -> ((s, d) =>
+      graft.operators.Skyline.sweep2d(
+        part(s, d).select(col("p_partkey"), col("p_retailprice"), col("p_size")),
+        price = col("p_retailprice"), size = col("p_size"),
+        key = col("p_partkey"), partitions = 32)
         .select("p_partkey", "p_retailprice", "p_size")
-        .orderBy("p_partkey")
-    }),
+        .orderBy("p_partkey")),
 
     // Collocation mining: top bigrams by pointwise mutual information
     // ln(P(w1,w2)/(P(w1)P(w2))) with a support floor — phrase extraction

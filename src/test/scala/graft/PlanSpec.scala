@@ -117,6 +117,16 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("Join"), s"fuzzy match must be a single scan:\n$p")
   }
 
+  test("q_skyline sweep is distributed: the window partitions by _pid, never globally") {
+    val p = plan("q_skyline")
+    // per-partition sweep window, seeded by the broadcast prefix maxima
+    assert(p.contains("windowspecdefinition(_pid"), s"window must partition by _pid:\n$p")
+    // a windowspec whose FIRST argument is the order column = empty
+    // partition spec = the single-partition global sweep this operator bans
+    assert(!p.contains("windowspecdefinition(p_retailprice"),
+      s"global unpartitioned window crept back in:\n$p")
+  }
+
   test("q_entity_match blocks on an equi-join — never a cartesian/nested-loop pairing") {
     val p = plan("q_entity_match")
     // the blocking key must drive a hash-based equi-join; levenshtein runs
