@@ -133,6 +133,42 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .select(col("n"), (col("n") > 0).as("found"))),
 
+    // Change-data-feed read over the versioned store (GraphStore.diffVersions
+    // — the W3 time-travel surface a downstream consumer polls). Setup builds
+    // the store once: bulk-load entities from the customer table, then a
+    // deterministic mutation batch — retype every custkey%5 row, insert an
+    // extra#<key> entity per custkey%97 row, cascade-delete custkeys
+    // {11,22,33} — so the diff between the bulk version and the final version
+    // is a pure function of `customer`. Oracle reconstructs the three change
+    // sets from the same predicates; a hash-match proves the full-outer
+    // null-safe struct compare classifies added/removed/changed exactly.
+    "store_diff_versions" -> ((s, d) => {
+      val base = Setup.dir(s"store_diff:$d") { dir =>
+        val st = new graft.store.GraphStore(s, dir)
+        st.initialize()
+        val cust = customer(s, d)
+        st.upsertEntitiesDf(cust.select(
+          col("c_name").as("name"),
+          col("c_mktsegment").as("entity_type"),
+          array(concat(lit("segment "), col("c_mktsegment"))).as("observations")))
+        val retyped = cust.filter(col("c_custkey") % 5 === 0).select(
+          col("c_name").as("name"),
+          concat(col("c_mktsegment"), lit("-v2")).as("entity_type"),
+          array(lit("retyped")).as("observations"))
+        val extras = cust.filter(col("c_custkey") % 97 === 0).select(
+          concat(lit("extra#"), col("c_custkey").cast("string")).as("name"),
+          lit("EXTRA").as("entity_type"),
+          array(lit("born in batch 2")).as("observations"))
+        st.upsertEntitiesDf(retyped.unionByName(extras))
+        Seq(11L, 22L, 33L).foreach(k =>
+          st.deleteEntity(f"Customer#$k%09d"))
+      }
+      val st = new graft.store.GraphStore(s, base)
+      val vs = st.tableVersions("entities")
+      // vs: [init(empty), bulk, retype+extras, del, del, del]
+      st.diffVersions("entities", vs(1), vs.last).orderBy("name")
+    }),
+
     // ── aggregation battery (star-schema surface) ─────────────────────────
 
     // Accumulation stays decimal (order-independent, exact); the OUTPUT
@@ -2046,6 +2082,26 @@ object SparkEntry {
     "r11_exists" ->
       """SELECT CAST(count(*) AS BIGINT) AS n, count(*) > 0 AS found
          FROM part WHERE p_name = 'cold widget'""",
+
+    // mirrors the deterministic mutation script of store_diff_versions:
+    // retype %5 → changed, insert extra#<key> per %97 → added, cascade-
+    // delete {11,22,33} → removed (delete wins over the earlier retype)
+    "store_diff_versions" ->
+      """WITH changed AS (
+           SELECT c_name AS name, 'changed' AS change FROM customer
+           WHERE c_custkey % 5 = 0 AND c_custkey NOT IN (11, 22, 33)),
+         added AS (
+           SELECT 'extra#' || CAST(c_custkey AS VARCHAR) AS name,
+             'added' AS change
+           FROM customer WHERE c_custkey % 97 = 0),
+         removed AS (
+           SELECT c_name AS name, 'removed' AS change FROM customer
+           WHERE c_custkey IN (11, 22, 33))
+         SELECT name, change FROM (
+           SELECT * FROM changed
+           UNION ALL SELECT * FROM added
+           UNION ALL SELECT * FROM removed)
+         ORDER BY name""",
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
