@@ -28,6 +28,17 @@ object Bench {
     // inflating whichever query the map iterates first.
     try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     catch { case _: Throwable => () }
+    // Untimed maintenance: build every memoized Setup artifact (bucketed
+    // tables, manifests, rollups, label tables, PNG blobs, store versions)
+    // BEFORE the loop — ingest-time work is not the read path the suite
+    // times. NOTE the queries themselves stay fully timed, construction
+    // included: iterative operators execute during construction, so only
+    // this explicit prepare step may run outside the timers.
+    try SparkEntry.prepareSetups(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] prepareSetups failed: ${e.getMessage}")
+    }
+    spark.catalog.clearCache()
     // Local profiling aid: SPARK_GRAFT_ONLY=q1,q2 restricts the run to a
     // subset (and repeats it SPARK_GRAFT_REPS times). Unset for the driver.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
@@ -42,16 +53,16 @@ object Bench {
     val twice = sys.env.getOrElse("SPARK_GRAFT_TWICE", "1") == "1"
     var sinceGc = 0
     val results = Seq.fill(reps)(selected.toSeq).flatten.map { case (name, fn) =>
-      // Construct the DataFrame OUTSIDE the timer: Setup.dir maintenance
-      // (once-per-ingest layout/label builds) and plan construction are not
-      // the declared read path. Planning + execution (toRdd) stay timed.
+      // The WHOLE query is timed, construction included — iterative
+      // operators (pagerank/kcore/cc/sssp) execute eagerly during
+      // construction, so excluding it would untime their actual work.
+      // Setup maintenance is already memoized by the prepare phase above.
       def timedRun(): Double = {
-        val df = fn(spark, sfDir)
         val t0 = System.nanoTime()
         // toRdd.count() forces FULL evaluation of every projected expression —
         // df.count() lets Catalyst prune unreferenced projections, so map-only
         // queries (s1_sanitize, text_*) would be timed as bare scans.
-        df.queryExecution.toRdd.count()
+        fn(spark, sfDir).queryExecution.toRdd.count()
         (System.nanoTime() - t0) / 1e9
       }
       val (ok, secs, secs2) =

@@ -26,12 +26,24 @@ object SparkEntry {
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
 
-  /** Once-per-ingest dedup maintenance artifacts, memoized (Setup): the
-    * minhash-LSH pair list, the full component label table, and the
-    * old-corpus (doc_id < 400) label table. The declared queries that READ
-    * these (`dedup_cluster_sizes`, `dedup_components_inc`) then time only
-    * their own operator — the audit aggregations / the batch contraction —
-    * not the pair regeneration, which a warehouse pays once per ingest.
+  // ── once-per-ingest maintenance (memoized Setup artifacts) ─────────────
+  // Each helper builds a persisted layout a warehouse pays for once per
+  // ingest; the declared queries READ them. Bench runs `prepareSetups`
+  // untimed before its loop so suite timings cover the read path only.
+
+  /** Stable per-dataset table-name suffix: first 8 hex chars of md5(path).
+    * (Not String.hashCode — a 32-bit hashCode collision between two dataset
+    * paths in one JVM would silently cross-wire memoized bucketed tables.)
+    */
+  private def datasetSuffix(d: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(4).map(b => f"${b & 0xff}%02x").mkString
+
+  /** Dedup maintenance: the minhash-LSH pair list, the full component label
+    * table, and the old-corpus (doc_id < 400) label table. The declared
+    * queries that READ these (`dedup_cluster_sizes`, `dedup_components_inc`)
+    * then time only their own operator — the audit aggregations / the batch
+    * contraction — not the pair regeneration.
     */
   private def dedupCcSetup(s: SparkSession, d: String): String =
     Setup.dir(s"dedup_cc:$d") { dir =>
@@ -43,6 +55,107 @@ object SparkEntry {
       Dedup.connectedComponents(pairs.filter(col("b_id") < 400))
         .write.mode("overwrite").parquet(s"$dir/labels_old")
     }
+
+  /** Range-clustered orders + stats manifest (file-skipping maintenance). */
+  private def manifestSetup(s: SparkSession, d: String): String =
+    Setup.dir(s"manifest:$d") { dir =>
+      orders(s, d)
+        .repartitionByRange(8, col("o_custkey")).sortWithinPartitions("o_custkey")
+        .write.mode("overwrite").parquet(s"$dir/orders")
+      graft.pipeline.Layout.statsManifest(s, s"$dir/orders", Seq("o_custkey"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/manifest")
+    }
+
+  /** Events range-clustered on epoch second + stats manifest. */
+  private def eventsTsSetup(s: SparkSession, d: String): String =
+    Setup.dir(s"events_ts:$d") { dir =>
+      events(s, d).withColumn("ts_s", unix_timestamp(col("ts")))
+        .repartitionByRange(8, col("ts_s")).sortWithinPartitions("ts_s")
+        .write.mode("overwrite").parquet(s"$dir/events")
+      graft.pipeline.Layout.statsManifest(s, s"$dir/events", Seq("ts_s"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/manifest")
+    }
+
+  /** Bucketed lineitem/orders warehouse tables; returns the table suffix. */
+  private def bucketedSetup(s: SparkSession, d: String): String = {
+    // table names carry a dataset suffix: a bare name keyed by a
+    // dataset-qualified memo would let a second sfDir in the same JVM
+    // overwrite the first's tables while its memo still says "built"
+    val suf = datasetSuffix(d)
+    Setup.once(s"bucketed:$d") {
+      graft.pipeline.Layout.writeBucketed(
+        lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount"),
+        s"graft_li_bucketed_$suf", "l_orderkey", buckets = 16)
+      graft.pipeline.Layout.writeBucketed(
+        orders(s, d).select("o_orderkey", "o_orderdate"),
+        s"graft_ord_bucketed_$suf", "o_orderkey", buckets = 16)
+    }
+    suf
+  }
+
+  /** Materialized rollup summary: build + O(batch) delta append (RollupSpec
+    * pins their behavior); the declared query times the merging READ.
+    */
+  private def mvSetup(s: SparkSession, d: String): String =
+    Setup.dir(s"mv:$d") { dir =>
+      val li = lineitem(s, d)
+      val dims = Seq("l_returnflag", "l_linestatus")
+      val ms = Seq("l_quantity", "l_extendedprice")
+      graft.pipeline.Rollup.build(
+        li.filter(year(col("l_shipdate")) < 1998), dims, ms, s"$dir/mv")
+      graft.pipeline.Rollup.appendDelta(
+        li.filter(year(col("l_shipdate")) >= 1998), dims, ms, s"$dir/mv")
+    }
+
+  /** One deterministic synthetic PNG per doc (JDK ImageIO encode). */
+  private def mmPngSetup(s: SparkSession, d: String): String =
+    Setup.dir(s"mm_png:$d") { dir =>
+      import s.implicits._
+      documents(s, d).select(col("doc_id").cast("long").as("doc_id"))
+        .as[Long]
+        .mapPartitions(_.map(id => MediaRow(id, Multimodal.synthesizePng(id), "image")))
+        .write.mode("overwrite").parquet(s"$dir/png")
+    }
+
+  /** Versioned store with a deterministic mutation history (see
+    * `store_diff_versions` for the script and its oracle contract).
+    */
+  private def storeDiffSetup(s: SparkSession, d: String): String =
+    Setup.dir(s"store_diff:$d") { dir =>
+      val st = new graft.store.GraphStore(s, dir)
+      st.initialize()
+      val cust = customer(s, d)
+      st.upsertEntitiesDf(cust.select(
+        col("c_name").as("name"),
+        col("c_mktsegment").as("entity_type"),
+        array(concat(lit("segment "), col("c_mktsegment"))).as("observations")))
+      val retyped = cust.filter(col("c_custkey") % 5 === 0).select(
+        col("c_name").as("name"),
+        concat(col("c_mktsegment"), lit("-v2")).as("entity_type"),
+        array(lit("retyped")).as("observations"))
+      val extras = cust.filter(col("c_custkey") % 97 === 0).select(
+        concat(lit("extra#"), col("c_custkey").cast("string")).as("name"),
+        lit("EXTRA").as("entity_type"),
+        array(lit("born in batch 2")).as("observations"))
+      st.upsertEntitiesDf(retyped.unionByName(extras))
+      Seq(11L, 22L, 33L).foreach(k =>
+        st.deleteEntity(f"Customer#$k%09d"))
+    }
+
+  /** Build EVERY memoized maintenance artifact for `d` — Bench calls this
+    * once, untimed, before its loop (ingest-time work is not the read path);
+    * Verify needs no special handling (memoization makes it a no-op cost
+    * inside the first query that touches each artifact).
+    */
+  def prepareSetups(s: SparkSession, d: String): Unit = {
+    dedupCcSetup(s, d): Unit
+    manifestSetup(s, d): Unit
+    eventsTsSetup(s, d): Unit
+    bucketedSetup(s, d): Unit
+    mvSetup(s, d): Unit
+    mmPngSetup(s, d): Unit
+    storeDiffSetup(s, d): Unit
+  }
 
   /** BM25 per-doc scores for the standard probe set, shared by `text_bm25`
     * and `search_hybrid_rrf`. Fixed-point longs (floor ·1e6 per term) so the
@@ -143,27 +256,7 @@ object SparkEntry {
     // sets from the same predicates; a hash-match proves the full-outer
     // null-safe struct compare classifies added/removed/changed exactly.
     "store_diff_versions" -> ((s, d) => {
-      val base = Setup.dir(s"store_diff:$d") { dir =>
-        val st = new graft.store.GraphStore(s, dir)
-        st.initialize()
-        val cust = customer(s, d)
-        st.upsertEntitiesDf(cust.select(
-          col("c_name").as("name"),
-          col("c_mktsegment").as("entity_type"),
-          array(concat(lit("segment "), col("c_mktsegment"))).as("observations")))
-        val retyped = cust.filter(col("c_custkey") % 5 === 0).select(
-          col("c_name").as("name"),
-          concat(col("c_mktsegment"), lit("-v2")).as("entity_type"),
-          array(lit("retyped")).as("observations"))
-        val extras = cust.filter(col("c_custkey") % 97 === 0).select(
-          concat(lit("extra#"), col("c_custkey").cast("string")).as("name"),
-          lit("EXTRA").as("entity_type"),
-          array(lit("born in batch 2")).as("observations"))
-        st.upsertEntitiesDf(retyped.unionByName(extras))
-        Seq(11L, 22L, 33L).foreach(k =>
-          st.deleteEntity(f"Customer#$k%09d"))
-      }
-      val st = new graft.store.GraphStore(s, base)
+      val st = new graft.store.GraphStore(s, storeDiffSetup(s, d))
       val vs = st.tableVersions("entities")
       // vs: [init(empty), bulk, retype+extras, del, del, del]
       st.diffVersions("entities", vs(1), vs.last).orderBy("name")
@@ -479,13 +572,7 @@ object SparkEntry {
     // path: load the persisted manifest (metadata-scale), plan the pruned
     // scan, aggregate — exactly what a table-format reader does per query.
     "q_manifest_prune" -> ((s, d) => {
-      val base = Setup.dir(s"manifest:$d") { dir =>
-        orders(s, d)
-          .repartitionByRange(8, col("o_custkey")).sortWithinPartitions("o_custkey")
-          .write.mode("overwrite").parquet(s"$dir/orders")
-        graft.pipeline.Layout.statsManifest(s, s"$dir/orders", Seq("o_custkey"))
-          .coalesce(1).write.mode("overwrite").parquet(s"$dir/manifest")
-      }
+      val base = manifestSetup(s, d)
       val mf = s.read.parquet(s"$base/manifest")
       graft.pipeline.Layout.readPruned(s, s"$base/orders", mf, "o_custkey", 100L, 199L)
         .groupBy("o_orderstatus")
@@ -507,13 +594,7 @@ object SparkEntry {
       import org.apache.spark.sql.expressions.Window
       val t0 = 1704672000L // 2024-01-08 UTC
       val t1 = 1705276800L // 2024-01-15 UTC (exclusive)
-      val base = Setup.dir(s"events_ts:$d") { dir =>
-        events(s, d).withColumn("ts_s", unix_timestamp(col("ts")))
-          .repartitionByRange(8, col("ts_s")).sortWithinPartitions("ts_s")
-          .write.mode("overwrite").parquet(s"$dir/events")
-        graft.pipeline.Layout.statsManifest(s, s"$dir/events", Seq("ts_s"))
-          .coalesce(1).write.mode("overwrite").parquet(s"$dir/manifest")
-      }
+      val base = eventsTsSetup(s, d)
       val mf = s.read.parquet(s"$base/manifest")
       val ev = graft.pipeline.Layout.readPruned(
         s, s"$base/events", mf, "ts_s", t0, t1 - 1)
@@ -546,18 +627,7 @@ object SparkEntry {
     // same key: the shuffle moves from every query to one write. The oracle
     // is the plain (unbucketed) join — bucketing may never change answers.
     "q_bucketed_join" -> ((s, d) => {
-      // table names carry a dataset suffix: a bare name keyed by a
-      // dataset-qualified memo would let a second sfDir in the same JVM
-      // overwrite the first's tables while its memo still says "built"
-      val suf = java.lang.Integer.toHexString(d.hashCode)
-      Setup.once(s"bucketed:$d") {
-        graft.pipeline.Layout.writeBucketed(
-          lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount"),
-          s"graft_li_bucketed_$suf", "l_orderkey", buckets = 16)
-        graft.pipeline.Layout.writeBucketed(
-          orders(s, d).select("o_orderkey", "o_orderdate"),
-          s"graft_ord_bucketed_$suf", "o_orderkey", buckets = 16)
-      }
+      val suf = bucketedSetup(s, d)
       s.table(s"graft_li_bucketed_$suf")
         .join(s.table(s"graft_ord_bucketed_$suf"), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
@@ -900,13 +970,7 @@ object SparkEntry {
     // oracle pins the real decode output exactly.
     "mm_decode" -> ((s, d) => {
       import s.implicits._
-      val base = Setup.dir(s"mm_png:$d") { dir =>
-        documents(s, d).select(col("doc_id").cast("long").as("doc_id"))
-          .as[Long]
-          .mapPartitions(_.map(id => MediaRow(id, Multimodal.synthesizePng(id), "image")))
-          .write.mode("overwrite").parquet(s"$dir/png")
-      }
-      Multimodal.decodeImage(s.read.parquet(s"$base/png").as[MediaRow])
+      Multimodal.decodeImage(s.read.parquet(s"${mmPngSetup(s, d)}/png").as[MediaRow])
         .toDF().orderBy("doc_id")
     }),
 
@@ -1338,7 +1402,11 @@ object SparkEntry {
           count(lit(1)).as("n_nodes"),
           min("node").as("min_node"),
           max("node").as("max_node"),
-          sum("node").as("sum_node"))
+          // decimal accumulation: ~2e9-scale ids summed over a 100 TB-scale
+          // reached set would overflow a silent non-ANSI long sum; the
+          // oracle (DuckDB) accumulates HUGEINT. The output stays BIGINT —
+          // valid while the census sum < 2^63 (any realistic graph).
+          sum(col("node").cast(DecimalType(28, 0))).cast("long").as("sum_node"))
         .orderBy("dist")
     }),
 
@@ -1368,7 +1436,11 @@ object SparkEntry {
       val rt = obs.groupBy("event_type").agg(sum("o").as("rt"))
       val ct = obs.groupBy("dow").agg(sum("o").as("ct"))
       val g = obs.agg(sum("o").as("g"))
-      val expd = (col("rt") * col("ct")).cast("double") / col("g").cast("double")
+      // rt·ct as an EXACT decimal product cast to double — mirrors the
+      // oracle's HUGEINT product (a long product would overflow silently
+      // once row totals × column totals pass 2^63 at scale)
+      val expd = (col("rt").cast(DecimalType(20, 0)) * col("ct").cast(DecimalType(20, 0)))
+        .cast("double") / col("g").cast("double")
       val term = (col("o").cast("double") - expd) * (col("o").cast("double") - expd) / expd
       obs.join(broadcast(rt), "event_type")
         .join(broadcast(ct), "dow")
@@ -1482,14 +1554,27 @@ object SparkEntry {
         .groupBy(date_trunc("hour", col("ts")).as("hr"))
         .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x"),
           sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      // products and their sums accumulate as EXACT decimals (the oracle's
+      // HUGEINT): hourly counts are longs, and a long x·x sum overflows
+      // silently in non-ANSI mode at scales past the gate. The correlation
+      // itself is double only at the output boundary, same expression order
+      // both engines.
+      val dx = col("x").cast(DecimalType(18, 0))
+      val dy = col("y").cast(DecimalType(18, 0))
       h.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
-          sum(col("x") * col("x")).as("sxx"),
-          sum(col("y") * col("y")).as("syy"),
-          sum(col("x") * col("y")).as("sxy"))
+          sum(dx * dx).as("sxx"),
+          sum(dy * dy).as("syy"),
+          sum(dx * dy).as("sxy"))
         .select(col("n"),
-          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
-             sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))), 6)
+          round((col("n") * col("sxy") -
+              col("sx").cast(DecimalType(18, 0)) * col("sy").cast(DecimalType(18, 0)))
+            .cast("double") /
+            (sqrt((col("n") * col("sxx") -
+                col("sx").cast(DecimalType(18, 0)) * col("sx").cast(DecimalType(18, 0)))
+              .cast("double")) *
+             sqrt((col("n") * col("syy") -
+                col("sy").cast(DecimalType(18, 0)) * col("sy").cast(DecimalType(18, 0)))
+              .cast("double"))), 6)
             .as("r"))
     }),
 
@@ -1709,7 +1794,7 @@ object SparkEntry {
         .select(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
       val grid = e.agg(min("hour").as("lo"), max("hour").as("hi"))
         .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("hour"))
-        .crossJoin(e.select("event_type").distinct())
+        .crossJoin(broadcast(e.select("event_type").distinct()))
       grid.join(e.groupBy("event_type", "hour").agg(count(lit(1)).as("n")),
           Seq("event_type", "hour"), "left")
         .select(col("event_type"), col("hour").cast("timestamp").as("hour"),
@@ -1827,18 +1912,7 @@ object SparkEntry {
     // bit-exact.
     "q_rollup_mv" -> ((s, d) => {
       val ms = Seq("l_quantity", "l_extendedprice")
-      // build + O(batch) append are once-per-ingest maintenance (memoized;
-      // RollupSpec pins their behavior) — the declared query times the
-      // merging READ, which is why the summary exists at all.
-      val base = Setup.dir(s"mv:$d") { dir =>
-        val li = lineitem(s, d)
-        val dims = Seq("l_returnflag", "l_linestatus")
-        graft.pipeline.Rollup.build(
-          li.filter(year(col("l_shipdate")) < 1998), dims, ms, s"$dir/mv")
-        graft.pipeline.Rollup.appendDelta(
-          li.filter(year(col("l_shipdate")) >= 1998), dims, ms, s"$dir/mv")
-      }
-      graft.pipeline.Rollup.query(s, s"$base/mv", Seq("l_returnflag"), ms)
+      graft.pipeline.Rollup.query(s, s"${mvSetup(s, d)}/mv", Seq("l_returnflag"), ms)
         .select(col("l_returnflag"), col("n"),
           col("sum_l_quantity").as("sum_qty"),
           col("sum_l_extendedprice").as("sum_price"))
@@ -1959,12 +2033,16 @@ object SparkEntry {
     }),
 
     // Gap-based batch sessionization (the batch twin of stream_session):
-    // a session breaks when >30min separates consecutive events. lag() for
-    // the gap, a running sum of break flags for the session id — both over
-    // the SAME per-user window, so one sort serves both; the window
-    // partitions by user_id and stays balanced at scale. Explicit ROWS
-    // frame on the running sum (ties would make RANGE ambiguous even with
-    // a unique key; ROWS is what both engines then execute).
+    // a session breaks when the gap to the previous event reaches 30min —
+    // gap >= threshold, Spark `session_window`'s half-open semantics, THE
+    // session definition everywhere in this engine (sessionizeBatch,
+    // stream_session, and here), measured in exact microseconds (no
+    // whole-second truncation). lag() for the gap, a running sum of break
+    // flags for the session id — both over the SAME per-user window, so one
+    // sort serves both; the window partitions by user_id and stays balanced
+    // at scale. Explicit ROWS frame on the running sum (ties would make
+    // RANGE ambiguous even with a unique key; ROWS is what both engines
+    // then execute).
     "events_sessionize" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -1973,7 +2051,7 @@ object SparkEntry {
         .withColumn("prev_ts", lag(col("ts"), 1).over(w))
         .withColumn("new_sess",
           when(col("prev_ts").isNull.or(
-            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800L), 1L)
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) >= 1800000000L), 1L)
             .otherwise(0L))
         .withColumn("sess_id", sum(col("new_sess")).over(run))
         .groupBy("user_id", "sess_id")
@@ -2899,7 +2977,7 @@ object SparkEntry {
          y AS (
            SELECT user_id, event_id, ts,
              CASE WHEN prev_ts IS NULL
-                    OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800
+                    OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
                   THEN 1 ELSE 0 END AS new_sess
            FROM x),
          z AS (

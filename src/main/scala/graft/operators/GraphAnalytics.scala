@@ -46,6 +46,12 @@ object GraphAnalytics {
       .cache()
     // deg groups on e's partitioning key — no exchange; stays src-partitioned
     val deg = e.groupBy("src").agg(count(lit(1)).as("out_deg")).cache()
+    // one upfront size gate for every per-round O(V) hint below: deg has one
+    // row per out-node (≤ V), and counting it just materializes the cache
+    // the first iteration needs anyway. Past the cap the hints drop out and
+    // the loop degrades to the documented two-exchange shuffled shape.
+    val vRows = deg.count()
+    def bc(df: DataFrame): DataFrame = Hints.broadcastIfUnder(df, vRows)
     val base = (scale * (dampDen - dampNum)) / dampDen
 
     // Ranks are carried ONLY as received mass keyed by dst: any node absent
@@ -62,17 +68,16 @@ object GraphAnalytics {
         case Some(r) =>
           // recv is O(V) — broadcast it so the src-partitioned deg cache is
           // probed map-side (no re-sort of the degree frame per iteration)
-          deg.join(broadcast(r.withColumnRenamed("node", "src")), Seq("src"), "left")
+          deg.join(bc(r.withColumnRenamed("node", "src")), Seq("src"), "left")
             .select(col("src"),
               expr(s"((($base + coalesce(recv, 0L)) * $dampNum) div $dampDen) div out_deg")
                 .as("contrib"))
       }
       // contrib is O(V) — broadcasting it leaves the cached O(E) edge list
       // untouched in place; the groupBy(dst) sum is then the iteration's
-      // ONLY exchange. (Past broadcast scale: drop the hints and the loop
-      // degrades to the documented two-exchange shape.)
+      // ONLY exchange.
       recv = Some(
-        e.join(broadcast(contrib), "src")
+        e.join(bc(contrib), "src")
           .groupBy(col("dst").as("node"))
           .agg(sum("contrib").as("recv")))
     }
@@ -231,13 +236,15 @@ object GraphAnalytics {
     // The survivor frame is O(V) and shrinks every round — BROADCAST it
     // into both semi-joins so the O(E) cached adjacency is probed in place
     // (map-side) instead of being re-sorted/re-shuffled twice per round.
-    // (On a cluster where V outgrows the broadcast limit, drop the hint and
-    // the same plan degrades gracefully to shuffled semi-joins.)
+    // The hint is gated on the INITIAL node count (survivors only shrink):
+    // past the cap it drops out and every round plans shuffled semi-joins.
     var surv = adj.select(col("a").as("node")).distinct().localCheckpoint(true)
+    val vRows = surv.count() // counts the eager checkpoint — metadata cost
+    def bc(df: DataFrame): DataFrame = Hints.broadcastIfUnder(df, vRows)
     for (_ <- 1 to rounds) {
       surv = adj
-        .join(broadcast(surv.withColumnRenamed("node", "a")), Seq("a"), "left_semi")
-        .join(broadcast(surv.withColumnRenamed("node", "b")), Seq("b"), "left_semi")
+        .join(bc(surv.withColumnRenamed("node", "a")), Seq("a"), "left_semi")
+        .join(bc(surv.withColumnRenamed("node", "b")), Seq("b"), "left_semi")
         .groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select("node")
@@ -245,8 +252,8 @@ object GraphAnalytics {
     }
     // final pass re-attaches the in-core degree for the output frame
     val out = adj
-      .join(broadcast(surv.withColumnRenamed("node", "a")), Seq("a"), "left_semi")
-      .join(broadcast(surv.withColumnRenamed("node", "b")), Seq("b"), "left_semi")
+      .join(bc(surv.withColumnRenamed("node", "a")), Seq("a"), "left_semi")
+      .join(bc(surv.withColumnRenamed("node", "b")), Seq("b"), "left_semi")
       .groupBy(col("a").as("node")).agg(count(lit(1)).as("core_deg"))
       .filter(col("core_deg") >= k)
     val mat = out.localCheckpoint(true)
@@ -301,10 +308,11 @@ object GraphAnalytics {
       .select(lit(src).as("node"), lit(0L).as("dist"))
       .localCheckpoint(true)
     for (_ <- 1 to rounds) {
-      // the O(V) frame broadcasts into the relaxation join (same caveat as
-      // kCore: past broadcast scale drop the hint for a shuffled join)
+      // the O(≤V) frame broadcasts into the relaxation join, size-gated per
+      // round (the frontier GROWS — counting the eager checkpoint is a
+      // metadata-cost job, and past the cap the round plans a shuffled join)
       val relaxed = adj
-        .join(broadcast(dist.withColumnRenamed("node", "a")), "a")
+        .join(Hints.broadcastGated(dist.withColumnRenamed("node", "a")), "a")
         .select(col("b").as("node"), (col("dist") + col("w")).as("dist"))
       dist = dist.union(relaxed)
         .groupBy("node").agg(min("dist").as("dist"))

@@ -415,9 +415,16 @@ object Dedup {
         greatest(col("ca"), col("cb")).as("b_id"))
       .distinct()
     // (old rep | new node id) -> merged representative; tiny by construction
+    // (O(touched components)) — but the broadcast hint is still size-GATED:
+    // a pathological batch that touches most of the corpus must degrade to
+    // a shuffled join, not force a broadcast OOM. The CC output is
+    // checkpointed, so the gating count is a metadata-cost job.
     val superLabels = connectedComponents(contracted)
       .select(col("doc_id").as("rep"), col("rep_id").as("new_rep"))
-    val remapped = lab.join(broadcast(superLabels), Seq("rep"), "left")
+    val superRows = superLabels.count()
+    def bcSuper(df: DataFrame): DataFrame =
+      graft.operators.Hints.broadcastIfUnder(df, superRows)
+    val remapped = lab.join(bcSuper(superLabels), Seq("rep"), "left")
       .select(col("node"), coalesce(col("new_rep"), col("rep")).as("rep"))
     // batch endpoints never seen before: their contracted vertex is their
     // own id, so their merged label comes straight from superLabels
@@ -426,7 +433,7 @@ object Dedup {
       .distinct()
       .join(lab.select("node"), Seq("node"), "left_anti")
     val newLabels = newNodes
-      .join(broadcast(superLabels.select(col("rep").as("node"), col("new_rep"))),
+      .join(bcSuper(superLabels.select(col("rep").as("node"), col("new_rep"))),
         Seq("node"), "left")
       .select(col("node"), coalesce(col("new_rep"), col("node")).as("rep"))
     remapped.unionByName(newLabels)

@@ -44,13 +44,35 @@ object Layout {
     // alone removes the managed location).
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    val loc = new java.io.File(wh, table)
+    // Clearing the stale location is deliberately NARROW: only local
+    // (file-scheme) warehouses — never hdfs/s3, where a shared metastore's
+    // DROP TABLE is the sole authority — and only when the directory has
+    // the managed-parquet-table shape (data/metadata files exclusively).
+    // Anything else is left in place so saveAsTable fails loudly with
+    // LOCATION_ALREADY_EXISTS instead of this helper silently destroying a
+    // directory it does not own. Every removal is logged.
+    val whConf = spark.conf.get("spark.sql.warehouse.dir")
+    val localWh: Option[String] =
+      if (whConf.startsWith("file:")) Some(java.net.URI.create(whConf).getPath)
+      else if (!whConf.contains(":/")) Some(whConf) // bare local path
+      else None // remote scheme (hdfs://, s3a://, ...): no direct FS access
+    def isTableFile(name: String): Boolean =
+      name.startsWith("part-") || name == "_SUCCESS" || name.startsWith(".") ||
+        name.startsWith("_committed") || name.startsWith("_started")
+    def looksLikeTableDir(f: java.io.File): Boolean =
+      f.isDirectory &&
+        Option(f.listFiles()).getOrElse(Array.empty).forall(c => isTableFile(c.getName))
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
       f.delete(): Unit
     }
-    if (loc.exists()) rm(loc)
+    localWh.foreach { wh =>
+      val loc = new java.io.File(wh, table)
+      if (loc.exists() && looksLikeTableDir(loc)) {
+        System.err.println(s"[layout] clearing stale managed-table dir $loc")
+        rm(loc)
+      }
+    }
     df
       // one shuffle at WRITE time, so each bucket lands in exactly one file:
       // repartition's hash is the same murmur3-pmod as the bucket id, so

@@ -157,4 +157,36 @@ class GraphAnalyticsSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 0L, 2L -> 2L, 3L -> 6L))
   }
+
+  test("iterative broadcast hints are size-gated: hint under the cap, plain frame above") {
+    import graft.operators.Hints
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val df = spark.range(10).toDF("x")
+    def hinted(d: org.apache.spark.sql.DataFrame): Boolean =
+      d.queryExecution.analyzed.collectFirst { case h: ResolvedHint => h }.nonEmpty
+    assert(hinted(Hints.broadcastIfUnder(df, 10)))
+    assert(!hinted(Hints.broadcastIfUnder(df, Hints.DefaultMaxRows + 1)))
+    spark.conf.set(Hints.IterativeBroadcastMaxRows, "0")
+    try assert(!hinted(Hints.broadcastIfUnder(df, 1)))
+    finally spark.conf.unset(Hints.IterativeBroadcastMaxRows)
+  }
+
+  test("operators return identical results with the broadcast hints disabled (shuffled fallback)") {
+    val k5 = for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)
+    val chain = Seq((5L, 10L), (10L, 11L), (11L, 12L))
+    val edges = (k5 ++ chain).toDF("u", "v")
+    val prEdges = edges.select($"u".as("src"), $"v".as("dst"))
+    def run() = (
+      GraphAnalytics.kCore(edges, k = 4, rounds = 4)
+        .as[(Long, Long)].collect().toMap,
+      GraphAnalytics.pageRankInt(prEdges, iters = 3)
+        .as[(Long, Long)].collect().toMap,
+      GraphAnalytics.bfs(edges, src = 1L, rounds = 3)
+        .as[(Long, Int)].collect().toMap)
+    val withHints = run()
+    spark.conf.set(graft.operators.Hints.IterativeBroadcastMaxRows, "0")
+    val without = try run()
+    finally spark.conf.unset(graft.operators.Hints.IterativeBroadcastMaxRows)
+    assert(withHints == without)
+  }
 }
