@@ -703,6 +703,41 @@ object OracleSqlGen {
           CAST(b_sum AS BIGINT) AS b_sum
         FROM sums ORDER BY doc_id"""
 
+  /** Mirrors mm_ann_pipeline: the closed-form decoded-pixel features of
+    * [[mmDecode]] restricted to lang='en', scored by cosine against the
+    * literal probe vector with the SAME left-associated double expression
+    * order as the Spark side (e-notation literals — DuckDB types bare
+    * decimals as DECIMAL, which would silently change the arithmetic).
+    */
+  def mmAnnPipeline: String =
+    s"""WITH m AS (
+          SELECT doc_id,
+            CAST(doc_id % 256 AS BIGINT) AS a,
+            CAST(16 + doc_id % 17 AS BIGINT) AS w,
+            CAST(16 + (doc_id * 7) % 13 AS BIGINT) AS h
+          FROM documents WHERE lang = 'en'),
+        sums AS (
+          SELECT doc_id, w, h, w*h AS n_px,
+            h * (w*a + (w*(w-1))//2 - 256*greatest(0, a+w-256)) AS r_sum,
+            w * (h*a + (h*(h-1))//2 - 256*greatest(0, a+h-256)) AS b_sum
+          FROM m),
+        f AS (
+          SELECT doc_id,
+            CAST(w AS DOUBLE) AS f1, CAST(h AS DOUBLE) AS f2,
+            CAST((r_sum * 1000000) // n_px AS DOUBLE) AS f3,
+            CAST(((255*n_px - r_sum) * 1000000) // n_px AS DOUBLE) AS f4,
+            CAST((b_sum * 1000000) // n_px AS DOUBLE) AS f5
+          FROM sums),
+        sc AS (
+          SELECT doc_id,
+            f1 * 2.4e1 + f2 * 2.2e1 + f3 * 1.275e8 + f4 * 1.275e8 + f5 * 1.275e8 AS dot,
+            f1 * f1 + f2 * f2 + f3 * f3 + f4 * f4 + f5 * f5 AS nf
+          FROM f)
+        SELECT doc_id,
+          CAST(floor(dot / (sqrt(nf) * sqrt(2.4e1*2.4e1 + 2.2e1*2.2e1 + 1.275e8*1.275e8 + 1.275e8*1.275e8 + 1.275e8*1.275e8)) * 1.0e6) AS BIGINT) AS score_fp
+        FROM sc
+        ORDER BY score_fp DESC, doc_id LIMIT 25"""
+
   /** Must mirror Multimodal.FakeDecoder exactly (text is ASCII in the test
     * tables, so ascii(substr) == byte values). Retained as the metadata CTE
     * for the resize-planner oracle (the a/v stub path).

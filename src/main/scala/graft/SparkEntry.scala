@@ -1007,6 +1007,38 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // Multimodal → ANN end-to-end: the vector-modality analog of
+    // pipeline_train_prep. REAL ImageIO decode of the PNG blobs → a
+    // 5-dim feature vector from the decoded pixels (dims + fixed-point
+    // channel means — integer div, so features are engine-exact longs) →
+    // metadata-filtered cosine top-k against a literal probe vector. The
+    // lang='en' predicate prunes candidates BEFORE scoring (the filtered-ANN
+    // shape); cosine is double only at the boundary with identical
+    // expression order both engines, floor·1e6 for the hash compare.
+    "mm_ann_pipeline" -> ((s, d) => {
+      import s.implicits._
+      val stats = Multimodal.decodeImage(
+        s.read.parquet(s"${mmPngSetup(s, d)}/png").as[MediaRow]).toDF()
+      val en = documents(s, d).filter(col("lang") === "en").select("doc_id")
+      val feats = stats.join(en, "doc_id")
+        .select(col("doc_id"),
+          col("width").cast("double").as("f1"),
+          col("height").cast("double").as("f2"),
+          expr("(r_sum * 1000000) div n_px").cast("double").as("f3"),
+          expr("(g_sum * 1000000) div n_px").cast("double").as("f4"),
+          expr("(b_sum * 1000000) div n_px").cast("double").as("f5"))
+      val dot = col("f1") * lit(2.4e1) + col("f2") * lit(2.2e1) +
+        col("f3") * lit(1.275e8) + col("f4") * lit(1.275e8) + col("f5") * lit(1.275e8)
+      val nf = col("f1") * col("f1") + col("f2") * col("f2") +
+        col("f3") * col("f3") + col("f4") * col("f4") + col("f5") * col("f5")
+      val nq = lit(2.4e1 * 2.4e1 + 2.2e1 * 2.2e1 +
+        1.275e8 * 1.275e8 + 1.275e8 * 1.275e8 + 1.275e8 * 1.275e8)
+      feats
+        .select(col("doc_id"),
+          floor(dot / (sqrt(nf) * sqrt(nq)) * lit(1.0e6)).cast("long").as("score_fp"))
+        .orderBy(desc("score_fp"), asc("doc_id")).limit(25)
+    }),
+
     // One-pass column profiling (counts/nulls/distincts/extrema).
     "q_profile" -> ((s, d) =>
       graft.pipeline.Profile.profile(orders(s, d),
@@ -2454,6 +2486,7 @@ object SparkEntry {
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
     "mm_decode" -> OracleSqlGen.mmDecode,
+    "mm_ann_pipeline" -> OracleSqlGen.mmAnnPipeline,
     "mm_resize" -> OracleSqlGen.mmResize(224, 224),
     "mm_frames" ->
       """SELECT doc_id, n_frames,
