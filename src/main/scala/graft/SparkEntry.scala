@@ -1039,6 +1039,43 @@ object SparkEntry {
         .orderBy(desc("score_fp"), asc("doc_id")).limit(25)
     }),
 
+    // Cross-engine portability fuzz, run as a standing oracle row: 60-bit
+    // md5-derived pseudo-random values (deterministic per dataset, one per
+    // doc) pushed through EVERY canonicalization rule this engine relies on
+    // — decimal accumulation cast to double at the boundary, fixed-point
+    // floor, round(double, k), truncating div and C-style % on negatives,
+    // hex→long parsing, codepoint length/substr over non-ASCII, concat_ws
+    // null-skipping, upper/min/max string collation. A future Spark or
+    // DuckDB semantic drift on any of these turns this row red before it
+    // can silently skew a real query. (OracleSqlGen header documents the
+    // ruleset; the probe constants are pinned in PortabilitySpec.)
+    "q_fuzz_portability" -> ((s, d) =>
+      documents(s, d)
+        .selectExpr("md5(CAST(concat(CAST(doc_id AS STRING), ':fuzz') AS BINARY)) AS h")
+        .selectExpr("h", "CAST(conv(substring(h, 1, 15), 16, 10) AS BIGINT) AS b")
+        .selectExpr(
+          "b % 7 AS g",
+          "b % 100000000 AS cents",
+          "CAST(b % 100000000 AS DECIMAL(16,0)) * 0.01 AS dec2",
+          "CAST(b AS DOUBLE) / 1.152921504606847e18 AS f",
+          "b % 1000 - 500 AS neg",
+          "substring(h, CAST(1 + b % 5 AS INT), 4) AS hx",
+          "substring('αβé漢🙂ñ∆ø', CAST(1 + b % 8 AS INT), 2) AS uni")
+        .groupBy(col("g"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum("cents").as("sum_cents"),
+          sum("dec2").cast("double").as("sum_dec"),
+          sum(floor(col("f") * lit(1.0e6)).cast("long")).as("sum_fp"),
+          sum(floor(round(col("f"), 6) * lit(1.0e6)).cast("long")).as("sum_round_fp"),
+          sum(expr("neg div 7")).as("sum_div"),
+          sum(expr("neg % 7")).as("sum_mod"),
+          min(upper(col("hx"))).as("min_hex"),
+          max(col("hx")).as("max_hex"),
+          sum(length(col("uni"))).as("sum_uni_len"),
+          max(concat_ws("-", col("hx"), col("uni"))).as("max_cw"))
+        .orderBy("g")),
+
     // One-pass column profiling (counts/nulls/distincts/extrema).
     "q_profile" -> ((s, d) =>
       graft.pipeline.Profile.profile(orders(s, d),
@@ -2487,6 +2524,35 @@ object SparkEntry {
 
     "mm_decode" -> OracleSqlGen.mmDecode,
     "mm_ann_pipeline" -> OracleSqlGen.mmAnnPipeline,
+
+    "q_fuzz_portability" ->
+      """WITH r0 AS (
+           SELECT md5(CAST(doc_id AS VARCHAR) || ':fuzz') AS h FROM documents),
+         r1 AS (
+           SELECT h, CAST('0x' || substr(h, 1, 15) AS BIGINT) AS b FROM r0),
+         r2 AS (
+           SELECT
+             b % 7 AS g,
+             b % 100000000 AS cents,
+             CAST(b % 100000000 AS DECIMAL(16,0)) * 0.01 AS dec2,
+             CAST(b AS DOUBLE) / 1.152921504606847e18 AS f,
+             b % 1000 - 500 AS neg,
+             substr(h, CAST(1 + b % 5 AS INT), 4) AS hx,
+             substr('αβé漢🙂ñ∆ø', CAST(1 + b % 8 AS INT), 2) AS uni
+           FROM r1)
+         SELECT CAST(g AS BIGINT) AS g,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(sum(dec2) AS DOUBLE) AS sum_dec,
+           CAST(sum(CAST(floor(f * 1.0e6) AS BIGINT)) AS BIGINT) AS sum_fp,
+           CAST(sum(CAST(floor(round(f, 6) * 1.0e6) AS BIGINT)) AS BIGINT) AS sum_round_fp,
+           CAST(sum(neg // 7) AS BIGINT) AS sum_div,
+           CAST(sum(neg % 7) AS BIGINT) AS sum_mod,
+           min(upper(hx)) AS min_hex,
+           max(hx) AS max_hex,
+           CAST(sum(length(uni)) AS BIGINT) AS sum_uni_len,
+           max(concat_ws('-', hx, uni)) AS max_cw
+         FROM r2 GROUP BY g ORDER BY g""",
     "mm_resize" -> OracleSqlGen.mmResize(224, 224),
     "mm_frames" ->
       """SELECT doc_id, n_frames,
