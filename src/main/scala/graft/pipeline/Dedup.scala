@@ -415,13 +415,46 @@ object Dedup {
         greatest(col("ca"), col("cb")).as("b_id"))
       .distinct()
     // (old rep | new node id) -> merged representative; tiny by construction
-    // (O(touched components)) — but the broadcast hint is still size-GATED:
-    // a pathological batch that touches most of the corpus must degrade to
-    // a shuffled join, not force a broadcast OOM. The CC output is
-    // checkpointed, so the gating count is a metadata-cost job.
-    val superLabels = connectedComponents(contracted)
-      .select(col("doc_id").as("rep"), col("rep_id").as("new_rep"))
-    val superRows = superLabels.count()
+    // (O(touched components)). Because it is tiny, the iterative CC loop is
+    // pure fixed overhead here (3 jobs × O(log d) rounds for a graph of a
+    // few thousand edges), so under `spark.graft.localCcMaxEdges` (default
+    // 100k — a few MB on the driver) the contraction solves driver-side
+    // with union-find + min-per-component labels, IDENTICAL output to the
+    // distributed loop (reps are component minima either way). A
+    // pathological batch past the cap falls back to distributed CC
+    // automatically. The broadcast hints stay size-GATED for the same
+    // reason: degrade to shuffled joins, never force a broadcast OOM.
+    val spark = labels.sparkSession
+    val contractedC = contracted.localCheckpoint(true)
+    val nContracted = contractedC.count()
+    val localCap = spark.conf.getOption("spark.graft.localCcMaxEdges")
+      .map(_.toLong).getOrElse(100000L)
+    val (superLabels, superRows) =
+      if (nContracted <= localCap) {
+        val edges = contractedC.collect().map(r => (r.getLong(0), r.getLong(1)))
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x // path compression
+          while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        edges.foreach { case (a, b) =>
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) parent(if (ra < rb) rb else ra) = math.min(ra, rb)
+        }
+        val nodes = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct
+        val minOfRoot = scala.collection.mutable.LongMap.empty[Long]
+        nodes.foreach { n => val r = find(n); minOfRoot(r) = math.min(minOfRoot.getOrElse(r, n), n) }
+        import spark.implicits._
+        val lbls = nodes.toSeq.map(n => (n, minOfRoot(find(n))))
+        (lbls.toDF("rep", "new_rep"), lbls.size.toLong)
+      } else {
+        val cc = connectedComponents(contractedC)
+          .select(col("doc_id").as("rep"), col("rep_id").as("new_rep"))
+        (cc, cc.count())
+      }
     def bcSuper(df: DataFrame): DataFrame =
       graft.operators.Hints.broadcastIfUnder(df, superRows)
     val remapped = lab.join(bcSuper(superLabels), Seq("rep"), "left")

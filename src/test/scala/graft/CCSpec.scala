@@ -93,6 +93,26 @@ class CCSpec extends AnyFunSuite with SparkTestBase {
       (20L, 1L), (30L, 30L), (31L, 30L)))
   }
 
+  test("mergeComponents: driver-side union-find path equals the distributed CC path") {
+    val rnd = new scala.util.Random(7)
+    val oldPairs = (1 to 120).map(_ => (rnd.nextInt(60).toLong, 60L + rnd.nextInt(60)))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b) + 1) }
+      .distinct.toDF("a_id", "b_id")
+    val oldLabels = Dedup.connectedComponents(oldPairs)
+    val batch = (1 to 80).map(_ => (rnd.nextInt(150).toLong, 150L + rnd.nextInt(60)))
+      .distinct.toDF("a_id", "b_id")
+    val local = Dedup.mergeComponents(oldLabels, batch)
+      .as[(Long, Long)].collect().toSet // default cap: contraction solves locally
+    spark.conf.set("spark.graft.localCcMaxEdges", "0") // force distributed CC
+    val dist = try Dedup.mergeComponents(oldLabels, batch)
+      .as[(Long, Long)].collect().toSet
+    finally spark.conf.unset("spark.graft.localCcMaxEdges")
+    assert(local == dist)
+    val scratch = Dedup.connectedComponents(oldPairs.unionByName(batch))
+      .as[(Long, Long)].collect().toSet
+    assert(local == scratch)
+  }
+
   test("mergeComponents: a new node with the smallest id becomes the rep") {
     // from-scratch reps are min ids — the merge must relabel the whole old
     // component when the batch brings a smaller id
