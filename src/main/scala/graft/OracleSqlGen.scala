@@ -703,6 +703,61 @@ object OracleSqlGen {
           CAST(b_sum AS BIGINT) AS b_sum
         FROM sums ORDER BY doc_id"""
 
+  /** Mirrors mm_audio_decode: closed forms of the synthetic WAV sample ramp
+    * (Multimodal.synthesizeWav — a = id mod 256, n = 64 + id mod 97,
+    * s(i) = ((a+i) mod 256 − 128)·256; the mod sequence wraps at most once
+    * for n ≤ 160), pinning what the JDK audio codec actually decodes.
+    */
+  def mmAudioDecode: String =
+    s"""WITH m AS (
+          SELECT doc_id,
+            CAST(doc_id % 256 AS BIGINT) AS a,
+            CAST(64 + doc_id % 97 AS BIGINT) AS n
+          FROM documents),
+        s AS (
+          SELECT doc_id, a, n,
+            n*a + (n*(n-1))//2 - 256*greatest(0, a+n-256) AS s8,
+            CASE WHEN a+n-1 >= 256 THEN 255 ELSE a+n-1 END AS max8,
+            CASE WHEN a+n-1 >= 256 THEN 0 ELSE a END AS min8
+          FROM m)
+        SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+          CAST(n AS BIGINT) AS n_samples,
+          CAST(256*(s8 - 128*n) AS BIGINT) AS sum_samples,
+          CAST(256*greatest(abs(max8-128), abs(min8-128)) AS INT) AS peak_abs,
+          CAST(n*125 AS BIGINT) AS duration_us
+        FROM s ORDER BY doc_id"""
+
+  /** Mirrors mm_video_frames at the given stride: every stride-th frame of
+    * the synthetic container (Multimodal.synthesizeVideo — nf = 3 + id mod
+    * 5 frames at the doc's fixed w×h, frame f phased a_f = (id+11f) mod
+    * 256), each frame's channel sums by the same closed forms as
+    * [[mmDecode]].
+    */
+  def mmVideoFrames(stride: Int): String =
+    s"""WITH m AS (
+          SELECT doc_id,
+            CAST(16 + doc_id % 17 AS BIGINT) AS w,
+            CAST(16 + (doc_id * 7) % 13 AS BIGINT) AS h,
+            CAST(3 + doc_id % 5 AS BIGINT) AS nf
+          FROM documents),
+        fr AS (
+          SELECT doc_id, w, h,
+            CAST(unnest(range(0, nf, $stride)) AS BIGINT) AS f
+          FROM m),
+        ph AS (
+          SELECT doc_id, w, h, f, (doc_id + 11*f) % 256 AS a FROM fr),
+        sums AS (
+          SELECT doc_id, f, w, h,
+            h * (w*a + (w*(w-1))//2 - 256*greatest(0, a+w-256)) AS r_sum,
+            w * (h*a + (h*(h-1))//2 - 256*greatest(0, a+h-256)) AS b_sum
+          FROM ph)
+        SELECT doc_id, CAST(f AS INT) AS frame_idx,
+          CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+          CAST(r_sum AS BIGINT) AS r_sum,
+          CAST(255*w*h - r_sum AS BIGINT) AS g_sum,
+          CAST(b_sum AS BIGINT) AS b_sum
+        FROM sums ORDER BY doc_id, frame_idx"""
+
   /** Mirrors mm_ann_pipeline: the closed-form decoded-pixel features of
     * [[mmDecode]] restricted to lang='en', scored by cosine against the
     * literal probe vector with the SAME left-associated double expression

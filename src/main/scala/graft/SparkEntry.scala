@@ -117,6 +117,26 @@ object SparkEntry {
         .write.mode("overwrite").parquet(s"$dir/png")
     }
 
+  /** One deterministic synthetic WAV per doc (hand-rolled RIFF/PCM). */
+  private def mmWavSetup(s: SparkSession, d: String): String =
+    Setup.dir(s"mm_wav:$d") { dir =>
+      import s.implicits._
+      documents(s, d).select(col("doc_id").cast("long").as("doc_id"))
+        .as[Long]
+        .mapPartitions(_.map(id => MediaRow(id, Multimodal.synthesizeWav(id), "audio")))
+        .write.mode("overwrite").parquet(s"$dir/wav")
+    }
+
+  /** One deterministic synthetic video container per doc (real PNG frames). */
+  private def mmVideoSetup(s: SparkSession, d: String): String =
+    Setup.dir(s"mm_video:$d") { dir =>
+      import s.implicits._
+      documents(s, d).select(col("doc_id").cast("long").as("doc_id"))
+        .as[Long]
+        .mapPartitions(_.map(id => MediaRow(id, Multimodal.synthesizeVideo(id), "video")))
+        .write.mode("overwrite").parquet(s"$dir/video")
+    }
+
   /** Versioned store with a deterministic mutation history (see
     * `store_diff_versions` for the script and its oracle contract).
     */
@@ -154,6 +174,8 @@ object SparkEntry {
     bucketedSetup(s, d): Unit
     mvSetup(s, d): Unit
     mmPngSetup(s, d): Unit
+    mmWavSetup(s, d): Unit
+    mmVideoSetup(s, d): Unit
     storeDiffSetup(s, d): Unit
   }
 
@@ -972,6 +994,32 @@ object SparkEntry {
       import s.implicits._
       Multimodal.decodeImage(s.read.parquet(s"${mmPngSetup(s, d)}/png").as[MediaRow])
         .toDF().orderBy("doc_id")
+    }),
+
+    // REAL audio decode: Setup writes one deterministic WAV per doc
+    // (canonical RIFF/PCM header + 16-bit sample ramp); the declared query
+    // decodes ACTUAL PCM frames through the JDK's own audio codec
+    // (javax.sound.sampled) — sample rate from the parsed header, sum/peak
+    // from the decoded samples. The ramp's stats have closed forms (see
+    // Multimodal.synthesizeWav), so the DuckDB oracle pins the real
+    // encode→decode round trip.
+    "mm_audio_decode" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.decodeAudio(s.read.parquet(s"${mmWavSetup(s, d)}/wav").as[MediaRow])
+        .toDF().orderBy("doc_id")
+    }),
+
+    // REAL strided video-frame decode: Setup writes a length-prefixed
+    // container of real PNG frames per doc; the query ImageIO-decodes every
+    // 2nd frame and SKIPS the rest via their length prefix (O(sampled), not
+    // O(frames) — the economics of frame sampling). Per-frame channel sums
+    // come from the decoded rasters; the per-frame gradient phase has the
+    // same closed forms as mm_decode, so the oracle pins real pixel data.
+    "mm_video_frames" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.decodeVideoFrames(
+          s.read.parquet(s"${mmVideoSetup(s, d)}/video").as[MediaRow], stride = 2)
+        .toDF().orderBy("doc_id", "frame_idx")
     }),
 
     // Aspect-preserving resize plan inside a 224×224 box — pure integer
@@ -2523,6 +2571,8 @@ object SparkEntry {
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
     "mm_decode" -> OracleSqlGen.mmDecode,
+    "mm_audio_decode" -> OracleSqlGen.mmAudioDecode,
+    "mm_video_frames" -> OracleSqlGen.mmVideoFrames(2),
     "mm_ann_pipeline" -> OracleSqlGen.mmAnnPipeline,
 
     "q_fuzz_portability" ->

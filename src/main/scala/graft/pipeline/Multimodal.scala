@@ -29,6 +29,29 @@ case class ImageStats(
     g_sum: Long,
     b_sum: Long)
 
+/** One really-decoded audio row: format facts from the container header plus
+  * sample statistics computed from the decoded PCM frames themselves.
+  */
+case class AudioStats(
+    doc_id: Long,
+    sample_rate: Int,
+    n_samples: Long,
+    sum_samples: Long,
+    peak_abs: Int,
+    duration_us: Long)
+
+/** One really-decoded video frame: per-frame pixel channel sums from the
+  * decoded raster (see [[Multimodal.decodeVideoFrames]]).
+  */
+case class FrameStats(
+    doc_id: Long,
+    frame_idx: Int,
+    width: Int,
+    height: Int,
+    r_sum: Long,
+    g_sum: Long,
+    b_sum: Long)
+
 /** Multimodal columns: image/audio/video as opaque `binary` columns with
   * typed metadata, processed per-partition (the Scala analog of
   * `mapInPandas` — one iterator pass per partition, batch-shaped, no
@@ -78,6 +101,13 @@ object Multimodal {
     val a = (docId % 256).toInt
     val w = (16 + docId % 17).toInt
     val h = (16 + (docId * 7) % 13).toInt
+    gradientPng(a, w, h)
+  }
+
+  /** The shared gradient raster (see [[synthesizePng]] for its closed-form
+    * channel sums), encoded as a real PNG via JDK ImageIO.
+    */
+  private def gradientPng(a: Int, w: Int, h: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < h) {
@@ -131,6 +161,159 @@ object Multimodal {
           // non-image payload: deterministic stub keeps the stage total
           val (w, h, _) = FakeDecoder.decode(row.media, row.meta_format)
           ImageStats(row.doc_id, w, h, w.toLong * h, -1L, -1L, -1L)
+        }
+      }
+    }
+  }
+
+  /** Deterministic synthetic WAV keyed on the doc id — REAL audio bytes:
+    * a canonical 44-byte RIFF/PCM header (mono, 8 kHz, 16-bit LE) followed
+    * by a sample ramp whose statistics have closed forms:
+    *   a = id mod 256,  n = 64 + id mod 97,  s(i) = ((a+i) mod 256 − 128)·256
+    * With n ≤ 160 the (a+i) sequence wraps past 256 at most once, so with
+    *   S8 = n·a + n(n−1)/2 − 256·max(0, a+n−256)
+    *   max8 = (a+n−1 ≥ 256) ? 255 : a+n−1,  min8 = (a+n−1 ≥ 256) ? 0 : a
+    * the decoded stats are Σs = 256·(S8 − 128n) and
+    * peak = 256·max(|max8−128|, |min8−128|) — a SQL oracle can pin the
+    * encode→decode round trip without ever parsing a WAV.
+    */
+  def synthesizeWav(docId: Long): Array[Byte] = {
+    val a = (docId % 256).toInt
+    val n = (64 + docId % 97).toInt
+    val dataSize = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(8000).putInt(16000) // sample rate, byte rate
+      .putShort(2).putShort(16) // block align, bits per sample
+    bb.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < n) {
+      bb.putShort(((((a + i) % 256) - 128) * 256).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** REAL audio decode: `javax.sound.sampled.AudioSystem` (the JDK's own
+    * WAV/AIFF/AU codec — no external lib) parses the container and hands
+    * back PCM frames; the stats are computed from the decoded samples, not
+    * the byte stream. Per-partition iterator pass, payload dropped once the
+    * O(1) stats are out — at 100 TB the stage is embarrassingly parallel
+    * and its output is O(rows). Bytes no reader recognizes fall back to the
+    * deterministic [[FakeDecoder]] (sentinel −1 stats) so the stage is total.
+    */
+  def decodeAudio(media: Dataset[MediaRow]): Dataset[AudioStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { row =>
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(row.media))
+          val fmt = ais.getFormat
+          val pcm = ais.readAllBytes()
+          val bb = java.nio.ByteBuffer.wrap(pcm).order(
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          var sum = 0L
+          var peak = 0
+          var cnt = 0L
+          while (bb.remaining() >= 2) {
+            val s = bb.getShort.toInt
+            sum += s
+            if (math.abs(s) > peak) peak = math.abs(s)
+            cnt += 1
+          }
+          val rate = fmt.getSampleRate.toInt
+          val framesPerChannel = cnt / fmt.getChannels
+          AudioStats(row.doc_id, rate, cnt, sum, peak,
+            framesPerChannel * 1000000L / rate)
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException |
+              _: java.io.IOException =>
+            val (_, _, f) = FakeDecoder.decode(row.media, row.meta_format)
+            AudioStats(row.doc_id, -1, f.toLong, -1L, -1, -1L)
+        }
+      }
+    }
+  }
+
+  /** Deterministic synthetic video keyed on the doc id: a length-prefixed
+    * container ("GFV1" magic, LE frame count, then [LE byte-length | REAL
+    * PNG bytes] per frame) holding 3 + id mod 5 frames; frame f is the
+    * [[synthesizePng]] gradient with phase a_f = (id + 11·f) mod 256 at the
+    * doc's fixed w×h. Length prefixes are the point: a strided reader seeks
+    * past unsampled frames in O(1) without decoding them — the property
+    * real containers (MP4 stbl, MKV Cues) provide with index boxes.
+    */
+  def synthesizeVideo(docId: Long): Array[Byte] = {
+    val w = (16 + docId % 17).toInt
+    val h = (16 + (docId * 7) % 13).toInt
+    val nFrames = (3 + docId % 5).toInt
+    val frames = (0 until nFrames).map { f =>
+      gradientPng(((docId + 11L * f) % 256).toInt, w, h)
+    }
+    val bb = java.nio.ByteBuffer
+      .allocate(8 + frames.map(_.length + 4).sum)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("GFV1".getBytes("US-ASCII")).putInt(nFrames)
+    frames.foreach { fr => bb.putInt(fr.length).put(fr) }
+    bb.array()
+  }
+
+  /** REAL strided frame decode over the video container: every `stride`-th
+    * frame is ImageIO-decoded to per-channel pixel sums; frames between
+    * sample points are SKIPPED via their length prefix — decode cost is
+    * O(sampled frames), not O(frames), which is the whole economics of
+    * frame sampling at 100 TB. Rows that don't carry the container magic
+    * fall back to one deterministic [[FakeDecoder]] sentinel row.
+    */
+  def decodeVideoFrames(media: Dataset[MediaRow], stride: Int): Dataset[FrameStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { row =>
+        val bb = java.nio.ByteBuffer.wrap(row.media)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val magicOk = row.media.length >= 8 && {
+          val m = new Array[Byte](4); bb.get(m)
+          new String(m, "US-ASCII") == "GFV1"
+        }
+        if (!magicOk) {
+          val (w, h, _) = FakeDecoder.decode(row.media, row.meta_format)
+          Iterator.single(FrameStats(row.doc_id, -1, w, h, -1L, -1L, -1L))
+        } else {
+          val nFrames = bb.getInt
+          Iterator.range(0, nFrames).flatMap { f =>
+            val len = bb.getInt
+            if (f % stride != 0) {
+              bb.position(bb.position() + len) // O(1) skip, no decode
+              Iterator.empty
+            } else {
+              val frame = new Array[Byte](len)
+              bb.get(frame)
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(frame))
+              val w = img.getWidth
+              val h = img.getHeight
+              var rs = 0L; var gs = 0L; var bs = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  rs += (rgb >> 16) & 0xff
+                  gs += (rgb >> 8) & 0xff
+                  bs += rgb & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              Iterator.single(FrameStats(row.doc_id, f, w, h, rs, gs, bs))
+            }
+          }
         }
       }
     }

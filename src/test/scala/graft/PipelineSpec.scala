@@ -470,4 +470,48 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(stats.width == w && stats.height == h)
     assert(stats.r_sum == -1L && stats.g_sum == -1L && stats.b_sum == -1L)
   }
+
+  test("multimodal: REAL JDK audio decode of a known synthetic WAV pins exact sample stats") {
+    // doc_id=5: a=5, n=69 → Σs = 256·(2691 − 128·69) = −1572096,
+    //   peak = 256·max(|73−128|, |5−128|) = 31488, duration = 69·125 µs
+    val wav = Multimodal.synthesizeWav(5L)
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    // independent parse: the JDK codec agrees with the hand-rolled header
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    assert(ais.getFormat.getSampleRate == 8000f)
+    assert(ais.getFormat.getChannels == 1)
+    assert(ais.getFrameLength == 69L)
+
+    val stats = Multimodal.decodeAudio(
+      Seq(MediaRow(5L, wav, "audio")).toDS()).head()
+    assert(stats == graft.pipeline.AudioStats(5L, 8000, 69, -1572096L, 31488, 8625L))
+  }
+
+  test("multimodal: decodeAudio falls back to the deterministic stub on non-audio bytes") {
+    val bytes = "definitely not a wav".getBytes("UTF-8")
+    val stats = Multimodal.decodeAudio(
+      Seq(MediaRow(9L, bytes, "image")).toDS()).head()
+    assert(stats.sample_rate == -1 && stats.sum_samples == -1L && stats.peak_abs == -1)
+  }
+
+  test("multimodal: strided video decode reads real PNG frames and skips the rest in O(1)") {
+    // doc_id=5: w=21, h=25, nf=3; stride 2 → frames 0 and 2 decoded.
+    // Frame 0 phase a=5 matches the PNG pin; frame 2 phase a=(5+22)=27.
+    val video = Multimodal.synthesizeVideo(5L)
+    assert(new String(video.take(4), "US-ASCII") == "GFV1")
+    val frames = Multimodal.decodeVideoFrames(
+      Seq(MediaRow(5L, video, "video")).toDS(), stride = 2)
+      .collect().sortBy(_.frame_idx).toSeq
+    assert(frames == Seq(
+      graft.pipeline.FrameStats(5L, 0, 21, 25, 7875L, 126000L, 8925L),
+      graft.pipeline.FrameStats(5L, 2, 21, 25, 19425L, 114450L, 20475L)))
+  }
+
+  test("multimodal: decodeVideoFrames emits one sentinel row on foreign bytes") {
+    val bytes = "no container here".getBytes("UTF-8")
+    val rows = Multimodal.decodeVideoFrames(
+      Seq(MediaRow(9L, bytes, "video")).toDS(), stride = 2).collect().toSeq
+    assert(rows.length == 1 && rows.head.frame_idx == -1 && rows.head.r_sum == -1L)
+  }
 }
