@@ -363,13 +363,15 @@ object SparkEntry {
     }),
 
     // Distribution binning via ntile: global price deciles with ranges.
-    // Exact deciles need a global sort — the 100 TB form of this query is
-    // approx_percentile (q_sketch_distinct); this is the exact surface.
+    // Exact deciles via the DISTRIBUTED global rank (Ranking.withGlobalNtile
+    // — range-partitioned parallel sort + broadcast rank offsets, identical
+    // output to ntile(10) over an unpartitioned window without its
+    // all-rows-to-one-task sort); approx_percentile remains the sketch
+    // alternative when one-pass estimates suffice.
     "q_ntile" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.orderBy("o_totalprice", "o_orderkey")
-      orders(s, d)
-        .withColumn("decile", ntile(10).over(w))
+      graft.operators.Ranking.withGlobalNtile(
+          orders(s, d).select("o_totalprice", "o_orderkey"),
+          Seq(col("o_totalprice"), col("o_orderkey")), 10, "decile")
         .groupBy("decile")
         .agg(count(lit(1)).as("n"),
           min(dec(col("o_totalprice"))).cast("double").as("min_price"),
@@ -1853,10 +1855,14 @@ object SparkEntry {
     // engine exists to serve — lexical and semantic evidence in one list.
     "search_hybrid_rrf" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
+      // top-100 via sort-limit (TakeOrderedAndProject — distributed top-k,
+      // no global window over the full scored corpus); ranks then come from
+      // a window over the already-cut 100-row frame, like text_vocab
       val tr = bm25Scored(s, d)
+        .orderBy(desc("bm25_fp"), asc("doc_id")).limit(100)
         .withColumn("rt",
           row_number().over(Window.orderBy(desc("bm25_fp"), asc("doc_id"))))
-        .filter(col("rt") <= 100).select("doc_id", "rt")
+        .select("doc_id", "rt")
       val e = embeddings(s, d)
       val vr = Similarity.bruteForceTopK(
         e.filter(col("vec_id") === 0), e,

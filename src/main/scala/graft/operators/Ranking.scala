@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact GLOBAL ranking without a single-partition sort.
+  *
+  * `row_number()` / `ntile()` over an unpartitioned window move every row to
+  * one task (`WindowExec` "No Partition Defined") — the single-node
+  * bottleneck a 100 TB plan cannot contain. The distributed form is the same
+  * range-partitioned decomposition as [[Skyline]]:
+  *
+  *  1. range-partition on the sort key and sort within partitions — a total
+  *     order across partition boundaries, each partition a contiguous key
+  *     range;
+  *  2. per-partition ROW COUNTS (O(partitions) rows — metadata scale, the
+  *     only driver hop) prefix-sum into each partition's global rank offset,
+  *     broadcast back;
+  *  3. a window PARTITIONED BY the physical partition id ranks within
+  *     partitions in parallel; global rank = offset + local rank.
+  *
+  * The input is localCheckpoint'd so the count pass and the rank pass
+  * observe identical partition ids. `sortCols` must be a TOTAL order
+  * (include a unique tiebreaker) — with ties at a range boundary the
+  * partitioner could split equal keys across partitions and ranks within
+  * the tie would be partitioner-dependent.
+  */
+object Ranking {
+
+  /** `df` plus `out` = exact 1-based global row number in `sortCols` order. */
+  def withGlobalRowNumber(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      out: String = "grank",
+      partitions: Int = 32): DataFrame = {
+    val (parted, offDf, _) = rankScaffold(df, sortCols, partitions)
+    val w = Window.partitionBy("_pid").orderBy(sortCols: _*)
+    parted
+      .join(broadcast(offDf), Seq("_pid"), "left")
+      .withColumn(out, col("_off") + row_number().over(w))
+      .drop("_pid", "_off")
+  }
+
+  /** `df` plus `out` = NTILE(k) bucket in `sortCols` order, by the standard
+    * allocation (first n mod k buckets take ceil(n/k) rows, the rest
+    * floor(n/k)) — identical output to `ntile(k).over(Window.orderBy(...))`
+    * without its all-rows-to-one-task sort. Bucket arithmetic is integer
+    * `div` on the exact global rank, so the assignment is engine-exact.
+    */
+  def withGlobalNtile(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      k: Int,
+      out: String,
+      partitions: Int = 32): DataFrame = {
+    val rankCol = "_grank"
+    val (parted, offDf, n) = rankScaffold(df, sortCols, partitions)
+    val w = Window.partitionBy("_pid").orderBy(sortCols: _*)
+    val ranked = parted
+      .join(broadcast(offDf), Seq("_pid"), "left")
+      .withColumn(rankCol, col("_off") + row_number().over(w))
+      .drop("_pid", "_off")
+    val q = n / k
+    val rem = n % k
+    // rank r (1-based): first rem buckets hold q+1 rows each
+    val bucket =
+      if (q == 0) expr(s"$rankCol - 1")
+      else expr(
+        s"""CASE WHEN $rankCol <= ${rem * (q + 1)}
+              THEN ($rankCol - 1) div ${q + 1}
+              ELSE ${rem} + ($rankCol - 1 - ${rem * (q + 1)}) div ${q}
+            END""")
+    ranked
+      .withColumn(out, (bucket + 1).cast("int"))
+      .drop(rankCol)
+  }
+
+  /** Shared scaffold: range-partitioned, partition-sorted, pid-stamped frame,
+    * the broadcast (pid → strictly-earlier row count) offset table, and the
+    * total row count (a free by-product of the offset pass).
+    */
+  private def rankScaffold(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      partitions: Int): (DataFrame, DataFrame, Long) = {
+    val parted = df
+      .repartitionByRange(partitions, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(false)
+    val counts = parted.groupBy(col("_pid")).count().collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    val offsets = {
+      var running = 0L
+      counts.map { case (pid, c) =>
+        val o = running; running += c; (pid, o)
+      }
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    (parted, offsets.toSeq.toDF("_pid", "_off"), counts.map(_._2).sum)
+  }
+}

@@ -127,6 +127,15 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"global unpartitioned window crept back in:\n$p")
   }
 
+  test("q_ntile deciles are distributed: the rank window partitions by _pid, never globally") {
+    val p = plan("q_ntile")
+    assert(p.contains("windowspecdefinition(_pid"), s"rank window must partition by _pid:\n$p")
+    // a windowspec whose FIRST argument is the sort column = empty partition
+    // spec = ntile's all-rows-to-one-task sort this operator replaces
+    assert(!p.contains("windowspecdefinition(o_totalprice"),
+      s"global unpartitioned window crept back in:\n$p")
+  }
+
   test("q_entity_match blocks on an equi-join — never a cartesian/nested-loop pairing") {
     val p = plan("q_entity_match")
     // the blocking key must drive a hash-based equi-join; levenshtein runs
