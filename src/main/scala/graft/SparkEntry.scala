@@ -1629,14 +1629,13 @@ object SparkEntry {
     // 20k rows — the documented small-frame case); shares go double only
     // for the boundary compare, identically in both engines.
     "q_abc_analysis" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val rev = lineitem(s, d).groupBy("l_partkey")
         .agg(sum(dec(col("l_extendedprice"))).as("rev"))
       val tot = rev.agg(sum("rev").as("tot"))
-      val w = Window.orderBy(desc("rev"), asc("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      rev.crossJoin(broadcast(tot))
-        .withColumn("share", sum("rev").over(w).cast("double") / col("tot").cast("double"))
+      graft.operators.Ranking.withGlobalCumSum(rev,
+          Seq(desc("rev"), asc("l_partkey")), col("rev"), "cum")
+        .crossJoin(broadcast(tot))
+        .withColumn("share", col("cum").cast("double") / col("tot").cast("double"))
         .withColumn("cls", when(col("share") <= 0.8, "A")
           .when(col("share") <= 0.95, "B").otherwise("C"))
         .groupBy("cls")

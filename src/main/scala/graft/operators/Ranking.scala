@@ -76,6 +76,69 @@ object Ranking {
       .drop(rankCol)
   }
 
+  /** `df` plus `out` = exact global running sum of `value` in `sortCols`
+    * order (inclusive of the current row) — the distributed form of
+    * `sum(value).over(Window.orderBy(...).rowsBetween(unboundedPreceding,
+    * currentRow))`. Per-partition TOTALS (not rows) hop to the driver,
+    * prefix-sum over strictly-earlier partitions in exact arithmetic
+    * (BigDecimal for decimal columns, Long for integral ones), and broadcast
+    * back as each partition's seed. `value` must be a decimal or integral
+    * column — the exactness contract this engine's oracles rely on; nulls
+    * in `value` count as zero.
+    */
+  def withGlobalCumSum(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      value: Column,
+      out: String,
+      partitions: Int = 32): DataFrame = {
+    import org.apache.spark.sql.types.{DataTypes, DecimalType, LongType, IntegerType, StructField, StructType}
+    val parted = df
+      .repartitionByRange(partitions, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_v", value)
+      .localCheckpoint(false)
+    val sumType = parted.select(sum(col("_v")).as("_s")).schema.head.dataType
+    val totals = parted.groupBy(col("_pid")).agg(sum(col("_v")).as("_s"))
+      .collect()
+      .map(r => (r.getInt(0), r.get(1)))
+      .sortBy(_._1)
+    val seeds = sumType match {
+      case _: DecimalType =>
+        var running = java.math.BigDecimal.ZERO
+        totals.map { case (pid, s) =>
+          val seed = running
+          if (s != null)
+            running = running.add(s.asInstanceOf[java.math.BigDecimal])
+          org.apache.spark.sql.Row(pid, seed)
+        }
+      case LongType | IntegerType =>
+        var running = 0L
+        totals.map { case (pid, s) =>
+          val seed = running
+          if (s != null) running += s.asInstanceOf[Number].longValue()
+          org.apache.spark.sql.Row(pid, java.lang.Long.valueOf(seed))
+        }
+      case t => throw new IllegalArgumentException(
+        s"withGlobalCumSum needs a decimal or integral value column, got $t")
+    }
+    val seedField = sumType match {
+      case d: DecimalType => StructField("_seed", d)
+      case _ => StructField("_seed", LongType)
+    }
+    val spark = df.sparkSession
+    val seedDf = spark.createDataFrame(
+      java.util.Arrays.asList(seeds: _*),
+      StructType(Seq(StructField("_pid", DataTypes.IntegerType), seedField)))
+    val w = Window.partitionBy("_pid").orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parted
+      .join(broadcast(seedDf), Seq("_pid"), "left")
+      .withColumn(out, col("_seed") + sum(col("_v")).over(w))
+      .drop("_pid", "_seed", "_v")
+  }
+
   /** Shared scaffold: range-partitioned, partition-sorted, pid-stamped frame,
     * the broadcast (pid → strictly-earlier row count) offset table, and the
     * total row count (a free by-product of the offset pass).

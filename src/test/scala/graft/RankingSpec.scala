@@ -51,4 +51,36 @@ class RankingSpec extends AnyFunSuite with SparkTestBase {
     val df = Seq.empty[(Long, Long)].toDF("v", "id")
     assert(Ranking.withGlobalNtile(df, Seq(col("v"), col("id")), 10, "b").count() == 0L)
   }
+
+  test("withGlobalCumSum equals the unpartitioned running-sum window (long values)") {
+    val df = randomDf(3000, 25, seed = 3)
+    val got = Ranking.withGlobalCumSum(df, Seq(col("v"), col("id")), col("id"), "c", partitions = 6)
+      .select("v", "id", "c").as[(Long, Long, Long)].collect().toSet
+    val w = Window.orderBy("v", "id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.withColumn("c", sum(col("id")).over(w))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
+  test("withGlobalCumSum: exact decimal accumulation, descending order") {
+    val df = (1 to 2000)
+      .map(i => (i.toLong, new java.math.BigDecimal(s"$i.${i % 100}")))
+      .toDF("id", "x")
+      .select(col("id"), col("x").cast("decimal(12,2)").as("x"))
+    val got = Ranking.withGlobalCumSum(df, Seq(desc("x"), asc("id")), col("x"), "c", partitions = 5)
+      .select(col("id"), col("c").cast("string")).as[(Long, String)].collect().toSet
+    val w = Window.orderBy(desc("x"), asc("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.withColumn("c", sum(col("x")).over(w))
+      .select(col("id"), col("c").cast("string")).as[(Long, String)].collect().toSet
+    assert(got == want)
+  }
+
+  test("withGlobalCumSum rejects inexact (floating) value columns") {
+    val df = Seq((1L, 1.5), (2L, 2.5)).toDF("id", "x")
+    intercept[IllegalArgumentException] {
+      Ranking.withGlobalCumSum(df, Seq(col("id")), col("x"), "c")
+    }
+  }
 }
