@@ -727,6 +727,40 @@ object OracleSqlGen {
           CAST(n*125 AS BIGINT) AS duration_us
         FROM s ORDER BY doc_id"""
 
+  /** Mirrors mm_audio_frames at the given frame width: wrap-aware range
+    * sums of the WAV ramp over [j·W, min(n, (j+1)·W)) — the windowed
+    * generalization of [[mmAudioDecode]]'s whole-stream forms. Peak cases:
+    * a frame entirely past the mod-256 wrap, straddling it, or before it.
+    */
+  def mmAudioFrames(frameLen: Int): String =
+    s"""WITH m AS (
+          SELECT doc_id,
+            CAST(doc_id % 256 AS BIGINT) AS a,
+            CAST(64 + doc_id % 97 AS BIGINT) AS n
+          FROM documents),
+        fr AS (
+          SELECT doc_id, a, n,
+            CAST(unnest(range(0, (n + ${frameLen - 1}) // $frameLen)) AS BIGINT) AS j
+          FROM m),
+        b AS (
+          SELECT doc_id, a, j, j*$frameLen AS lo,
+            least(n, j*$frameLen + $frameLen) AS hi
+          FROM fr),
+        s AS (
+          SELECT doc_id, j, lo, hi,
+            (hi-lo)*a + (hi*(hi-1) - lo*(lo-1))//2
+              - 256*(greatest(0, a+hi-256) - greatest(0, a+lo-256)) AS s8,
+            CASE WHEN a+lo >= 256 THEN a+hi-1-256
+                 WHEN a+hi-1 >= 256 THEN 255 ELSE a+hi-1 END AS mx,
+            CASE WHEN a+lo >= 256 THEN a+lo-256
+                 WHEN a+hi-1 >= 256 THEN 0 ELSE a+lo END AS mn
+          FROM b)
+        SELECT doc_id, CAST(j AS INT) AS frame_idx,
+          CAST(hi-lo AS BIGINT) AS n_samples,
+          CAST(256*(s8 - 128*(hi-lo)) AS BIGINT) AS sum_samples,
+          CAST(256*greatest(abs(mx-128), abs(mn-128)) AS INT) AS peak_abs
+        FROM s ORDER BY doc_id, frame_idx"""
+
   /** Mirrors mm_video_frames at the given stride: every stride-th frame of
     * the synthetic container (Multimodal.synthesizeVideo — nf = 3 + id mod
     * 5 frames at the doc's fixed w×h, frame f phased a_f = (id+11f) mod

@@ -1011,6 +1011,18 @@ object SparkEntry {
         .toDF().orderBy("doc_id")
     }),
 
+    // Windowed audio analysis: the decoded PCM stream cut into 32-sample
+    // frames, each aggregated to count/sum/peak — the short-time windowing
+    // under every spectral front-end, over REAL decoded samples. The ramp's
+    // per-window aggregates have closed forms (wrap-aware range sums), so
+    // the oracle pins the decode+windowing round trip exactly.
+    "mm_audio_frames" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.decodeAudioFrames(
+          s.read.parquet(s"${mmWavSetup(s, d)}/wav").as[MediaRow], frameLen = 32)
+        .toDF().orderBy("doc_id", "frame_idx")
+    }),
+
     // REAL strided video-frame decode: Setup writes a length-prefixed
     // container of real PNG frames per doc; the query ImageIO-decodes every
     // 2nd frame and SKIPS the rest via their length prefix (O(sampled), not
@@ -2577,6 +2589,7 @@ object SparkEntry {
 
     "mm_decode" -> OracleSqlGen.mmDecode,
     "mm_audio_decode" -> OracleSqlGen.mmAudioDecode,
+    "mm_audio_frames" -> OracleSqlGen.mmAudioFrames(32),
     "mm_video_frames" -> OracleSqlGen.mmVideoFrames(2),
     "mm_ann_pipeline" -> OracleSqlGen.mmAnnPipeline,
 

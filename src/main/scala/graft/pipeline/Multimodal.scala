@@ -40,6 +40,16 @@ case class AudioStats(
     peak_abs: Int,
     duration_us: Long)
 
+/** One fixed-width analysis frame of really-decoded audio: per-frame sample
+  * aggregates from the decoded PCM (see [[Multimodal.decodeAudioFrames]]).
+  */
+case class AudioFrame(
+    doc_id: Long,
+    frame_idx: Int,
+    n_samples: Long,
+    sum_samples: Long,
+    peak_abs: Int)
+
 /** One really-decoded video frame: per-frame pixel channel sums from the
   * decoded raster (see [[Multimodal.decodeVideoFrames]]).
   */
@@ -236,6 +246,51 @@ object Multimodal {
               _: java.io.IOException =>
             val (_, _, f) = FakeDecoder.decode(row.media, row.meta_format)
             AudioStats(row.doc_id, -1, f.toLong, -1L, -1, -1L)
+        }
+      }
+    }
+  }
+
+  /** Windowed audio analysis over REALLY-decoded PCM: the stream is cut
+    * into fixed `frameLen`-sample frames (the short-time windowing under
+    * every spectral/energy front-end — MFCC, VAD, loudness), each frame
+    * aggregated to count/sum/peak. One decode, one pass, O(frames) output
+    * rows per doc; the last frame may be short. Unrecognized bytes fall
+    * back to one sentinel row (frame_idx −1) so the stage is total.
+    */
+  def decodeAudioFrames(media: Dataset[MediaRow], frameLen: Int): Dataset[AudioFrame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { row =>
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(row.media))
+          val fmt = ais.getFormat
+          val pcm = ais.readAllBytes()
+          val bb = java.nio.ByteBuffer.wrap(pcm).order(
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          val out = scala.collection.mutable.ArrayBuffer.empty[AudioFrame]
+          var j = 0
+          var cnt = 0L
+          var sum = 0L
+          var peak = 0
+          while (bb.remaining() >= 2) {
+            val s = bb.getShort.toInt
+            sum += s
+            if (math.abs(s) > peak) peak = math.abs(s)
+            cnt += 1
+            if (cnt == frameLen) {
+              out += AudioFrame(row.doc_id, j, cnt, sum, peak)
+              j += 1; cnt = 0L; sum = 0L; peak = 0
+            }
+          }
+          if (cnt > 0) out += AudioFrame(row.doc_id, j, cnt, sum, peak)
+          out.iterator
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException |
+              _: java.io.IOException =>
+            Iterator.single(AudioFrame(row.doc_id, -1, -1L, -1L, -1))
         }
       }
     }

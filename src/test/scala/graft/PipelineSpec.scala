@@ -495,6 +495,24 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(stats.sample_rate == -1 && stats.sum_samples == -1L && stats.peak_abs == -1)
   }
 
+  test("multimodal: windowed audio frames aggregate the really-decoded PCM per 32-sample cut") {
+    // doc_id=5 (a=5, n=69): frames of 32/32/5 samples with closed-form
+    // sums/peaks (verified brute-force against the ramp)
+    val wav = Multimodal.synthesizeWav(5L)
+    val frames = Multimodal.decodeAudioFrames(
+      Seq(MediaRow(5L, wav, "audio")).toDS(), frameLen = 32)
+      .collect().sortBy(_.frame_idx).toSeq
+    assert(frames == Seq(
+      graft.pipeline.AudioFrame(5L, 0, 32, -880640L, 31488),
+      graft.pipeline.AudioFrame(5L, 1, 32, -618496L, 23296),
+      graft.pipeline.AudioFrame(5L, 2, 5, -72960L, 15104)))
+    // windowing is a partition of the stream: totals match the whole-stream decode
+    val whole = Multimodal.decodeAudio(Seq(MediaRow(5L, wav, "audio")).toDS()).head()
+    assert(frames.map(_.n_samples).sum == whole.n_samples)
+    assert(frames.map(_.sum_samples).sum == whole.sum_samples)
+    assert(frames.map(_.peak_abs).max == whole.peak_abs)
+  }
+
   test("multimodal: strided video decode reads real PNG frames and skips the rest in O(1)") {
     // doc_id=5: w=21, h=25, nf=3; stride 2 → frames 0 and 2 decoded.
     // Frame 0 phase a=5 matches the PNG pin; frame 2 phase a=(5+22)=27.
