@@ -83,8 +83,8 @@ object Ranking {
     * prefix-sum over strictly-earlier partitions in exact arithmetic
     * (BigDecimal for decimal columns, Long for integral ones), and broadcast
     * back as each partition's seed. `value` must be a decimal or integral
-    * column — the exactness contract this engine's oracles rely on; nulls
-    * in `value` count as zero.
+    * column — the exactness contract this engine's oracles rely on; null
+    * values are skipped by the sums exactly as in the window form.
     */
   def withGlobalCumSum(
       df: DataFrame,

@@ -242,8 +242,10 @@ object Multimodal {
           AudioStats(row.doc_id, rate, cnt, sum, peak,
             framesPerChannel * 1000000L / rate)
         } catch {
+          // RuntimeException too: a corrupt-but-RIFF-tagged header can
+          // surface as e.g. NegativeArraySizeException from the JDK parser
           case _: javax.sound.sampled.UnsupportedAudioFileException |
-              _: java.io.IOException =>
+              _: java.io.IOException | _: RuntimeException =>
             val (_, _, f) = FakeDecoder.decode(row.media, row.meta_format)
             AudioStats(row.doc_id, -1, f.toLong, -1L, -1, -1L)
         }
@@ -289,7 +291,7 @@ object Multimodal {
           out.iterator
         } catch {
           case _: javax.sound.sampled.UnsupportedAudioFileException |
-              _: java.io.IOException =>
+              _: java.io.IOException | _: RuntimeException =>
             Iterator.single(AudioFrame(row.doc_id, -1, -1L, -1L, -1))
         }
       }
@@ -330,27 +332,30 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.flatMap { row =>
-        val bb = java.nio.ByteBuffer.wrap(row.media)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        val magicOk = row.media.length >= 8 && {
+        // parse EAGERLY inside the guard: a well-magicked but corrupt
+        // container (truncated frame, unreadable image) must fall back to
+        // the sentinel row, not throw from a lazily-consumed iterator
+        // downstream of this try
+        try {
+          val bb = java.nio.ByteBuffer.wrap(row.media)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          if (row.media.length < 8) throw new java.io.IOException("short")
           val m = new Array[Byte](4); bb.get(m)
-          new String(m, "US-ASCII") == "GFV1"
-        }
-        if (!magicOk) {
-          val (w, h, _) = FakeDecoder.decode(row.media, row.meta_format)
-          Iterator.single(FrameStats(row.doc_id, -1, w, h, -1L, -1L, -1L))
-        } else {
+          if (new String(m, "US-ASCII") != "GFV1")
+            throw new java.io.IOException("bad magic")
           val nFrames = bb.getInt
-          Iterator.range(0, nFrames).flatMap { f =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[FrameStats]
+          var f = 0
+          while (f < nFrames) {
             val len = bb.getInt
             if (f % stride != 0) {
               bb.position(bb.position() + len) // O(1) skip, no decode
-              Iterator.empty
             } else {
               val frame = new Array[Byte](len)
               bb.get(frame)
               val img = javax.imageio.ImageIO.read(
                 new java.io.ByteArrayInputStream(frame))
+              if (img == null) throw new java.io.IOException("undecodable frame")
               val w = img.getWidth
               val h = img.getHeight
               var rs = 0L; var gs = 0L; var bs = 0L
@@ -366,9 +371,15 @@ object Multimodal {
                 }
                 y += 1
               }
-              Iterator.single(FrameStats(row.doc_id, f, w, h, rs, gs, bs))
+              out += FrameStats(row.doc_id, f, w, h, rs, gs, bs)
             }
+            f += 1
           }
+          out.iterator
+        } catch {
+          case _: java.io.IOException | _: RuntimeException =>
+            val (w, h, _) = FakeDecoder.decode(row.media, row.meta_format)
+            Iterator.single(FrameStats(row.doc_id, -1, w, h, -1L, -1L, -1L))
         }
       }
     }

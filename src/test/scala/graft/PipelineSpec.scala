@@ -532,4 +532,12 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       Seq(MediaRow(9L, bytes, "video")).toDS(), stride = 2).collect().toSeq
     assert(rows.length == 1 && rows.head.frame_idx == -1 && rows.head.r_sum == -1L)
   }
+
+  test("multimodal: a well-magicked but TRUNCATED container falls back, never throws") {
+    val whole = Multimodal.synthesizeVideo(5L)
+    val truncated = whole.take(whole.length / 2) // magic + count survive; frames don't
+    val rows = Multimodal.decodeVideoFrames(
+      Seq(MediaRow(5L, truncated, "video")).toDS(), stride = 1).collect().toSeq
+    assert(rows.length == 1 && rows.head.frame_idx == -1 && rows.head.r_sum == -1L)
+  }
 }
