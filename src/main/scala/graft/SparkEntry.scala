@@ -1336,6 +1336,21 @@ object SparkEntry {
       EventOps.anomalies(events(s, d), "1 hour", lookback = 24, zThreshold = 2.0)
         .orderBy("window_start", "event_type")),
 
+    // Single-pass data-validation gate: six range/domain/non-null
+    // assertions over lineitem evaluated in ONE partial-aggregated scan
+    // (N constraints never cost N scans); NULL verdicts count as
+    // violations (the three-valued-logic trap). Mixed outcomes by
+    // construction: three assertions hold, three have real violations.
+    "q_expectations" -> ((s, d) =>
+      graft.pipeline.Expectations.check(lineitem(s, d), Seq(
+        "qty_le_30" -> (col("l_quantity") <= 30),
+        "discount_le_5pct" -> (col("l_discount") <= 0.05),
+        "price_positive" -> (col("l_extendedprice") > 0),
+        "tax_le_8pct" -> (col("l_tax") <= 0.08),
+        "ship_in_window" -> col("l_shipdate")
+          .between("1995-01-01", "1998-12-31"),
+        "flag_known" -> col("l_returnflag").isin("A", "N", "R")))),
+
     // Skew-safe join: deterministic fact-side salting × replicated dim —
     // same result as the plain join (the oracle IS the plain join), with no
     // single-reducer hot key at scale.
@@ -2586,6 +2601,27 @@ object SparkEntry {
          FROM orders JOIN customer ON o_custkey = c_custkey
          WHERE c_acctbal > 9000
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q_expectations" ->
+      """WITH a AS (
+           SELECT count(*) AS n,
+             sum(CASE WHEN NOT coalesce(l_quantity <= 30, FALSE) THEN 1 ELSE 0 END) AS v_qty_le_30,
+             sum(CASE WHEN NOT coalesce(l_discount <= 0.05, FALSE) THEN 1 ELSE 0 END) AS v_discount_le_5pct,
+             sum(CASE WHEN NOT coalesce(l_extendedprice > 0, FALSE) THEN 1 ELSE 0 END) AS v_price_positive,
+             sum(CASE WHEN NOT coalesce(l_tax <= 0.08, FALSE) THEN 1 ELSE 0 END) AS v_tax_le_8pct,
+             sum(CASE WHEN NOT coalesce(l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1998-12-31', FALSE) THEN 1 ELSE 0 END) AS v_ship_in_window,
+             sum(CASE WHEN NOT coalesce(l_returnflag IN ('A','N','R'), FALSE) THEN 1 ELSE 0 END) AS v_flag_known
+           FROM lineitem)
+         SELECT expectation, CAST(n AS BIGINT) AS n_rows,
+           CAST(v AS BIGINT) AS n_violations, v = 0 AS pass
+         FROM (
+           SELECT 'qty_le_30' AS expectation, n, v_qty_le_30 AS v FROM a
+           UNION ALL SELECT 'discount_le_5pct', n, v_discount_le_5pct FROM a
+           UNION ALL SELECT 'price_positive', n, v_price_positive FROM a
+           UNION ALL SELECT 'tax_le_8pct', n, v_tax_le_8pct FROM a
+           UNION ALL SELECT 'ship_in_window', n, v_ship_in_window FROM a
+           UNION ALL SELECT 'flag_known', n, v_flag_known FROM a)
+         ORDER BY expectation""",
 
     "mm_decode" -> OracleSqlGen.mmDecode,
     "mm_audio_decode" -> OracleSqlGen.mmAudioDecode,

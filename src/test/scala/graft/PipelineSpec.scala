@@ -533,6 +533,31 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.length == 1 && rows.head.frame_idx == -1 && rows.head.r_sum == -1L)
   }
 
+  test("expectations: one-pass suite counts violations; NULL verdict is a violation") {
+    val df = Seq(
+      (Some(10), Some("a")),
+      (Some(60), Some("b")), // fails small
+      (None, Some("c")),     // NULL verdict on small -> violation
+      (Some(5), None)        // fails named
+    ).toDF("x", "name")
+    val out = graft.pipeline.Expectations.check(df, Seq(
+        "small" -> (col("x") <= 50),
+        "named" -> col("name").isNotNull))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq(
+      ("named", 4L, 1L, false),
+      ("small", 4L, 2L, false)))
+  }
+
+  test("expectations: empty input passes every expectation over zero rows") {
+    val df = Seq.empty[(Option[Int], Option[String])].toDF("x", "name")
+    val out = graft.pipeline.Expectations.check(df, Seq(
+        "small" -> (col("x") <= 50),
+        "named" -> col("name").isNotNull))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq(("named", 0L, 0L, true), ("small", 0L, 0L, true)))
+  }
+
   test("multimodal: a well-magicked but TRUNCATED container falls back, never throws") {
     val whole = Multimodal.synthesizeVideo(5L)
     val truncated = whole.take(whole.length / 2) // magic + count survive; frames don't
