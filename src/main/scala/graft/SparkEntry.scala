@@ -117,6 +117,17 @@ object SparkEntry {
         .write.mode("overwrite").parquet(s"$dir/png")
     }
 
+  /** Persisted IVF index over the embeddings corpus (first 8 vectors as
+    * centroids — matching ann_ivf_topk), partitioned by cell on disk.
+    */
+  private def ivfIndexSetup(s: SparkSession, d: String): String =
+    Setup.dir(s"ivf_index:$d") { dir =>
+      val e = embeddings(s, d)
+      Similarity.buildIvfIndex(e, e.filter(col("vec_id") < 8),
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        s"$dir/ivf")
+    }
+
   /** One deterministic synthetic WAV per doc (hand-rolled RIFF/PCM). */
   private def mmWavSetup(s: SparkSession, d: String): String =
     Setup.dir(s"mm_wav:$d") { dir =>
@@ -176,6 +187,7 @@ object SparkEntry {
     mmPngSetup(s, d): Unit
     mmWavSetup(s, d): Unit
     mmVideoSetup(s, d): Unit
+    ivfIndexSetup(s, d): Unit
     storeDiffSetup(s, d): Unit
   }
 
@@ -931,6 +943,22 @@ object SparkEntry {
         e.filter(col("vec_id") < 32), e, e.filter(col("vec_id") < 8),
         col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
         col("vec_id"), col("embedding"), k = 5, nprobe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Persisted-index IVF probe: the index is built ONCE (Setup, corpus
+    // pre-assigned to cells and written partitionBy(centroid_id) WITH its
+    // vectors); the declared query times what an ANN service pays per probe
+    // batch — nprobe cell selection, a partition-PRUNED read of exactly
+    // those cell directories, and top-k scoring. Identical output to the
+    // inline ann_ivf_topk (same oracle), proving index ≡ inline.
+    "ann_ivf_persisted" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Similarity.ivfProbeIndex(
+        e.filter(col("vec_id") < 32), s"${ivfIndexSetup(s, d)}/ivf",
+        e.filter(col("vec_id") < 8),
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 5, nprobe = 2)
         .orderBy("query_id", "rank")
     }),
 
@@ -2521,6 +2549,9 @@ object SparkEntry {
     "ann_lsh_topk" -> OracleSqlGen.annLshTopK(32, 5, 4, 4),
     "ann_ivf_assign" -> OracleSqlGen.annIvfAssign(8),
     "ann_ivf_topk" -> OracleSqlGen.annIvfTopK(32, 8, 5, 2),
+    // the persisted-index probe must return EXACTLY what the inline IVF
+    // search returns — same oracle, same parameters
+    "ann_ivf_persisted" -> OracleSqlGen.annIvfTopK(32, 8, 5, 2),
 
     "text_stats" ->
       """SELECT doc_id,

@@ -185,4 +185,70 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
   }
+
+  /** PERSISTED IVF index build: the corpus, pre-assigned to its nearest
+    * centroid, written `partitionBy(centroid_id)` WITH its vectors — the
+    * index is self-contained, probes never touch the corpus table again.
+    * This is the maintenance write an ANN service pays once per ingest
+    * (the disk-layout form of [[assignToCentroids]]'s comment); at 100 TB
+    * each cell is its own partition directory, so a probe's cell list
+    * prunes the scan to nprobe/num_centroids of the data.
+    */
+  def buildIvfIndex(
+      corpus: DataFrame,
+      centroids: DataFrame,
+      cId: Column,
+      cVec: Column,
+      centId: Column,
+      centVec: Column,
+      path: String): Unit = {
+    val assigned = assignToCentroids(
+        Dedup.spread(corpus), cId, cVec, centroids, centId, centVec)
+      .withColumnRenamed("vec_id", "neighbor_id")
+    corpus.select(cId.as("neighbor_id"), cVec.as("cv"))
+      .join(assigned, "neighbor_id")
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+  }
+
+  /** Probe a persisted IVF index: per-query nprobe nearest cells, then ONE
+    * partition-pruned read of exactly those cell directories (the distinct
+    * probed-cell list is an O(centroids) driver hop, the same metadata-scale
+    * pattern as the stats-manifest prune) and top-k scoring of the
+    * candidates found there. Identical output to the inline [[ivfTopK]] —
+    * spec-pinned — with the index build amortized across probe batches.
+    */
+  def ivfProbeIndex(
+      queries: DataFrame,
+      indexPath: String,
+      centroids: DataFrame,
+      qId: Column,
+      qVec: Column,
+      centId: Column,
+      centVec: Column,
+      k: Int,
+      nprobe: Int = 2): DataFrame = {
+    val spark = queries.sparkSession
+    val cent = broadcast(centroids.select(centId.as("centroid_id"), centVec.as("centv")))
+    val wq = Window.partitionBy("query_id").orderBy(desc("csim"), asc("centroid_id"))
+    val probes = queries.select(qId.as("query_id"), qVec.as("qv"))
+      .crossJoin(cent)
+      .withColumn("csim", cosine(col("qv"), col("centv")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nprobe)
+      .select("query_id", "centroid_id")
+      .localCheckpoint(false) // cells collected AND joined: compute once
+    val cells = probes.select("centroid_id").distinct()
+      .collect().map(_.get(0)).toSeq
+    val idx = spark.read.parquet(indexPath)
+      .filter(col("centroid_id").isInCollection(cells)) // partition-pruned scan
+    val cand = probes.join(idx, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+    val qv = queries.select(qId.as("query_id"), qVec.as("qv"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
+    cand.join(qv, "query_id")
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
 }

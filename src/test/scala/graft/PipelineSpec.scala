@@ -106,6 +106,37 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.5, s"nprobe=2 recall $recall")
   }
 
+  test("ivf persisted index: probe equals the inline search and prunes to probed cells") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter(col("vec_id") < 8)
+    val cents = e.filter(col("vec_id") < 4)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_spec").toString
+    Similarity.buildIvfIndex(e, cents,
+      col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), s"$dir/ivf")
+    val persisted = Similarity.ivfProbeIndex(q, s"$dir/ivf", cents,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 3, nprobe = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    val inline = Similarity.ivfTopK(q, e, cents,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        col("vec_id"), col("embedding"), k = 3, nprobe = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(persisted == inline, "index probe must equal the inline IVF search")
+    // disk-level pruning: a one-cell filter must SCAN only that cell's
+    // directory. (inputFiles reflects the pre-pruning listing, so the
+    // evidence is the executed scan's numFiles metric + PartitionFilters.)
+    val oneCell = spark.read.parquet(s"$dir/ivf").filter(col("centroid_id") === 0)
+    assert(oneCell.collect().nonEmpty)
+    val scan = oneCell.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.metadata("PartitionFilters").contains("centroid_id"),
+      s"no partition filter pushed: ${scan.metadata("PartitionFilters")}")
+    val total = spark.read.parquet(s"$dir/ivf").inputFiles.length
+    assert(scan.metrics("numFiles").value < total,
+      s"scanned ${scan.metrics("numFiles").value} of $total files - no pruning")
+  }
+
   test("stratified sampling: untouched strata exact, downsampled near fraction") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")
     val fr = Map("en" -> 0.5, "de" -> 1.0, "es" -> 1.0, "fr" -> 1.0, "zh" -> 1.0)
