@@ -1515,6 +1515,21 @@ object SparkEntry {
         .withColumn("session_end", col("session_end").cast("timestamp"))
         .orderBy("user_id", "session_start")),
 
+    // Per-day data-quality monitor: the streaming form of q_expectations
+    // (same conditional-sum shape inside ONE tumbling-window agg; under
+    // readStream the identical code emits each day's validation report when
+    // the watermark closes it — spec-pinned stream ≡ batch). Mixed outcomes
+    // by construction: two assertions hold, two have real violations.
+    "stream_expectations" -> ((s, d) =>
+      EventOps.expectationsByWindow(events(s, d), Seq(
+          "value_positive" -> (col("value") > 0),
+          "value_le_100" -> (col("value") <= 100),
+          "type_known" -> col("event_type")
+            .isin("click", "signup", "error", "view", "purchase"),
+          "not_error" -> (col("event_type") =!= "error")), every = "1 day")
+        .withColumn("window_start", col("window_start").cast("timestamp"))
+        .orderBy("window_start", "expectation")),
+
     "events_topk_json" -> ((s, d) =>
       EventOps.topEventsByProp(events(s, d), k = 5)
         .orderBy("event_type", "rank")),
@@ -2807,6 +2822,24 @@ object SparkEntry {
                FROM events WHERE event_type = 'signup') s
            ON p.user_id = s.user_id AND p.purchase_ts >= s.signup_ts
          ORDER BY p.user_id, p.event_id""",
+    "stream_expectations" ->
+      """WITH a AS (
+           SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+             count(*) AS n,
+             sum(CASE WHEN NOT coalesce(value > 0, FALSE) THEN 1 ELSE 0 END) AS v_value_positive,
+             sum(CASE WHEN NOT coalesce(value <= 100, FALSE) THEN 1 ELSE 0 END) AS v_value_le_100,
+             sum(CASE WHEN NOT coalesce(event_type IN ('click','signup','error','view','purchase'), FALSE) THEN 1 ELSE 0 END) AS v_type_known,
+             sum(CASE WHEN NOT coalesce(event_type <> 'error', FALSE) THEN 1 ELSE 0 END) AS v_not_error
+           FROM events GROUP BY 1)
+         SELECT window_start, expectation, CAST(n AS BIGINT) AS n_rows,
+           CAST(v AS BIGINT) AS n_violations, v = 0 AS pass
+         FROM (
+           SELECT window_start, 'value_positive' AS expectation, n, v_value_positive AS v FROM a
+           UNION ALL SELECT window_start, 'value_le_100', n, v_value_le_100 FROM a
+           UNION ALL SELECT window_start, 'type_known', n, v_type_known FROM a
+           UNION ALL SELECT window_start, 'not_error', n, v_not_error FROM a)
+         ORDER BY window_start, expectation""",
+
     "stream_tumbling" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
              CAST(count(*) AS BIGINT) AS n,

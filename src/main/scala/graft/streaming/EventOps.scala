@@ -39,6 +39,37 @@ object EventOps {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"))
 
+  /** Per-window data-quality monitoring: the streaming form of
+    * `pipeline.Expectations.check` — N row-level assertions as conditional
+    * sums inside ONE tumbling-window aggregation, melted to a
+    * per-(window, expectation) report. NULL verdicts count as violations.
+    * Under Structured Streaming the aggregation is watermark-bounded and
+    * each finalized window emits its validation report exactly once — a
+    * live data-quality monitor from the same code the batch gate runs.
+    */
+  def expectationsByWindow(
+      events: DataFrame,
+      expectations: Seq[(String, Column)],
+      every: String = "1 day"): DataFrame = {
+    require(expectations.nonEmpty, "at least one expectation")
+    val aggs = expectations.map { case (name, pred) =>
+      coalesce(
+        sum(when(coalesce(pred, lit(false)), lit(0L)).otherwise(lit(1L))),
+        lit(0L)).as(s"v_$name")
+    } :+ count(lit(1)).as("_n")
+    val agged = events
+      .groupBy(window(col("ts"), every).as("w"))
+      .agg(aggs.head, aggs.tail: _*)
+    val stackArgs = expectations
+      .map { case (name, _) => s"'$name', v_$name" }.mkString(", ")
+    agged
+      .selectExpr("w.start AS window_start", "_n",
+        s"stack(${expectations.size}, $stackArgs) AS (expectation, n_violations)")
+      .select(col("window_start"), col("expectation"),
+        col("_n").as("n_rows"), col("n_violations"),
+        (col("n_violations") === 0L).as("pass"))
+  }
+
   /** Batch sessionization — gaps-and-islands with a window function: a new
     * session starts when the gap to the previous event of the same user
     * exceeds `gapMinutes`. Total-ordered by (user, ts, event_id) so results

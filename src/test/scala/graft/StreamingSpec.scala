@@ -148,6 +148,23 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("streaming windowed expectations equal the batch suite per window") {
+    val exps = Seq(
+      "value_positive" -> ($"value" > 0),
+      "click_only" -> ($"event_type" === "click")) // real violations per window
+    val streamed = runStream(
+      df => EventOps.expectationsByWindow(
+        EventOps.withWatermarkIfStreaming(df, "ts", "0 seconds"), exps, "1 hour"),
+      "expect_out")
+      .filter($"window_start" < ts("2024-06-01 00:00:00")) // drop the flush window
+      .orderBy("window_start", "expectation")
+      .collect().toSeq
+    val batch = EventOps.expectationsByWindow(evs.toDF(), exps, "1 hour")
+      .orderBy("window_start", "expectation")
+      .collect().toSeq
+    assert(streamed == batch && batch.size == 6) // 3 hourly windows × 2 assertions
+  }
+
   test("streaming session_window equals batch gaps-and-islands sessionization") {
     val streamed = runStream(
       df => EventOps.sessionWindowStreaming(
