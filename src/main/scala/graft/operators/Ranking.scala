@@ -93,6 +93,7 @@ object Ranking {
       out: String,
       partitions: Int = 32): DataFrame = {
     import org.apache.spark.sql.types.{DataTypes, DecimalType, LongType, IntegerType, StructField, StructType}
+    requireNoScratchColumns(df)
     val parted = df
       .repartitionByRange(partitions, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
@@ -147,6 +148,7 @@ object Ranking {
       df: DataFrame,
       sortCols: Seq[Column],
       partitions: Int): (DataFrame, DataFrame, Long) = {
+    requireNoScratchColumns(df)
     val parted = df
       .repartitionByRange(partitions, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
@@ -164,5 +166,16 @@ object Ranking {
     val spark = df.sparkSession
     import spark.implicits._
     (parted, offsets.toSeq.toDF("_pid", "_off"), counts.map(_._2).sum)
+  }
+
+  /** The decomposition stamps scratch columns onto the input; a caller
+    * column with one of these names would be silently clobbered or joined
+    * against — refuse loudly instead.
+    */
+  private def requireNoScratchColumns(df: DataFrame): Unit = {
+    val scratch = Set("_pid", "_off", "_seed", "_v", "_grank")
+    val clash = df.columns.filter(scratch)
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with Ranking scratch columns $scratch")
   }
 }

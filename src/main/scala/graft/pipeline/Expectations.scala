@@ -24,8 +24,18 @@ object Expectations {
     * through a generated `stack`). Empty input passes every expectation
     * over zero rows.
     */
+  /** Names flow into a generated `stack(...)` — restrict to identifier
+    * characters so a quote or comma can't mangle the projection.
+    */
+  private[graft] def requireSafeNames(expectations: Seq[(String, Column)]): Unit =
+    expectations.foreach { case (name, _) =>
+      require(name.matches("[A-Za-z][A-Za-z0-9_]*"),
+        s"expectation name '$name' must be a plain identifier")
+    }
+
   def check(df: DataFrame, expectations: Seq[(String, Column)]): DataFrame = {
     require(expectations.nonEmpty, "at least one expectation")
+    requireSafeNames(expectations)
     val aggs = expectations.map { case (name, pred) =>
       coalesce(
         sum(when(coalesce(pred, lit(false)), lit(0L)).otherwise(lit(1L))),

@@ -52,6 +52,7 @@ object EventOps {
       expectations: Seq[(String, Column)],
       every: String = "1 day"): DataFrame = {
     require(expectations.nonEmpty, "at least one expectation")
+    graft.pipeline.Expectations.requireSafeNames(expectations)
     val aggs = expectations.map { case (name, pred) =>
       coalesce(
         sum(when(coalesce(pred, lit(false)), lit(0L)).otherwise(lit(1L))),

@@ -580,6 +580,13 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       ("small", 4L, 2L, false)))
   }
 
+  test("expectations: non-identifier names are refused before SQL generation") {
+    val df = Seq((1, "a")).toDF("x", "name")
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Expectations.check(df, Seq("bad', x" -> (col("x") > 0)))
+    }
+  }
+
   test("expectations: empty input passes every expectation over zero rows") {
     val df = Seq.empty[(Option[Int], Option[String])].toDF("x", "name")
     val out = graft.pipeline.Expectations.check(df, Seq(

@@ -83,4 +83,11 @@ class RankingSpec extends AnyFunSuite with SparkTestBase {
       Ranking.withGlobalCumSum(df, Seq(col("id")), col("x"), "c")
     }
   }
+
+  test("scratch-column collisions are refused loudly, never silently clobbered") {
+    val df = Seq((1L, 2L)).toDF("v", "_pid")
+    intercept[IllegalArgumentException] {
+      Ranking.withGlobalRowNumber(df, Seq(col("v")), "r")
+    }
+  }
 }
