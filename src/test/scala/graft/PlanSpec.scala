@@ -136,6 +136,13 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"global unpartitioned window crept back in:\n$p")
   }
 
+  test("q_abc_analysis running share is distributed: cumsum window partitions by _pid") {
+    val p = plan("q_abc_analysis")
+    assert(p.contains("windowspecdefinition(_pid"), s"cumsum window must partition by _pid:\n$p")
+    assert(!p.contains("windowspecdefinition(rev"),
+      s"global unpartitioned window crept back in:\n$p")
+  }
+
   test("q_entity_match blocks on an equi-join — never a cartesian/nested-loop pairing") {
     val p = plan("q_entity_match")
     // the blocking key must drive a hash-based equi-join; levenshtein runs

@@ -84,6 +84,44 @@ class RankingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("property: rank/ntile/cumsum equal DEFINITIONAL in-memory references on random shapes") {
+    // complements the window-equality tests above: the reference here is the
+    // definition (sorted position; first-rem-buckets-take-ceil allocation
+    // filled sequentially; running sum), not another Spark plan
+    Seq(13, 47, 101).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 200 + rnd.nextInt(1500)
+      val dv = 1 + rnd.nextInt(30) // includes heavy-tie regimes
+      val parts = 2 + rnd.nextInt(12)
+      val k = 2 + rnd.nextInt(15)
+      val data = (1 to n).map(i => (rnd.nextInt(dv).toLong, i.toLong))
+      val df = data.toDF("v", "id")
+      val sorted = data.sorted
+      val expRank = sorted.zipWithIndex.map { case (p, i) => p -> (i + 1L) }.toMap
+
+      val gotRank = Ranking.withGlobalRowNumber(df, Seq(col("v"), col("id")), "r", parts)
+        .select("v", "id", "r").as[(Long, Long, Long)].collect()
+      assert(gotRank.length == n && gotRank.forall { case (v, id, r) => expRank((v, id)) == r },
+        s"rank mismatch at seed=$seed n=$n parts=$parts")
+
+      val q = n / k
+      val rem = n % k
+      val bucketOfRank = (1 to k).flatMap(b =>
+        Seq.fill(q + (if (b <= rem) 1 else 0))(b)) // sequential fill per definition
+      val gotN = Ranking.withGlobalNtile(df, Seq(col("v"), col("id")), k, "b", parts)
+        .select("v", "id", "b").as[(Long, Long, Int)].collect()
+      assert(gotN.forall { case (v, id, b) =>
+        bucketOfRank(expRank((v, id)).toInt - 1) == b },
+        s"ntile mismatch at seed=$seed n=$n k=$k")
+
+      val expCum = sorted.zip(sorted.scanLeft(0L)(_ + _._2).tail).toMap
+      val gotC = Ranking.withGlobalCumSum(df, Seq(col("v"), col("id")), col("id"), "c", parts)
+        .select("v", "id", "c").as[(Long, Long, Long)].collect()
+      assert(gotC.forall { case (v, id, c) => expCum((v, id)) == c },
+        s"cumsum mismatch at seed=$seed n=$n parts=$parts")
+    }
+  }
+
   test("scratch-column collisions are refused loudly, never silently clobbered") {
     val df = Seq((1L, 2L)).toDF("v", "_pid")
     intercept[IllegalArgumentException] {
