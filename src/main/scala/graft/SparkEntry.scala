@@ -128,6 +128,21 @@ object SparkEntry {
         s"$dir/ivf")
     }
 
+  /** Incrementally-maintained IVF index: base build over the old corpus
+    * (vec_id >= 100), then an O(batch) append of the rest — never a rebuild.
+    */
+  private def ivfIncSetup(s: SparkSession, d: String): String =
+    Setup.dir(s"ivf_index_inc:$d") { dir =>
+      val e = embeddings(s, d)
+      val cents = e.filter(col("vec_id") < 8)
+      Similarity.buildIvfIndex(e.filter(col("vec_id") >= 100), cents,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        s"$dir/ivf")
+      Similarity.appendToIvfIndex(e.filter(col("vec_id") < 100), cents,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        s"$dir/ivf")
+    }
+
   /** One deterministic synthetic WAV per doc (hand-rolled RIFF/PCM). */
   private def mmWavSetup(s: SparkSession, d: String): String =
     Setup.dir(s"mm_wav:$d") { dir =>
@@ -188,6 +203,7 @@ object SparkEntry {
     mmWavSetup(s, d): Unit
     mmVideoSetup(s, d): Unit
     ivfIndexSetup(s, d): Unit
+    ivfIncSetup(s, d): Unit
     storeDiffSetup(s, d): Unit
   }
 
@@ -956,6 +972,21 @@ object SparkEntry {
       val e = embeddings(s, d)
       Similarity.ivfProbeIndex(
         e.filter(col("vec_id") < 32), s"${ivfIndexSetup(s, d)}/ivf",
+        e.filter(col("vec_id") < 8),
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 5, nprobe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Incremental-maintenance proof for the persisted index: the probed
+    // index was built on the old corpus then APPENDED with a batch (O(batch)
+    // ingest, existing cells never re-read); the oracle is the from-scratch
+    // search over the union — hash-match proves append ≡ rebuild, the same
+    // contract dedup_components_inc pins for CC labels.
+    "ann_ivf_incremental" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Similarity.ivfProbeIndex(
+        e.filter(col("vec_id") < 32), s"${ivfIncSetup(s, d)}/ivf",
         e.filter(col("vec_id") < 8),
         col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
         k = 5, nprobe = 2)
@@ -2565,8 +2596,10 @@ object SparkEntry {
     "ann_ivf_assign" -> OracleSqlGen.annIvfAssign(8),
     "ann_ivf_topk" -> OracleSqlGen.annIvfTopK(32, 8, 5, 2),
     // the persisted-index probe must return EXACTLY what the inline IVF
-    // search returns — same oracle, same parameters
+    // search returns — same oracle, same parameters; and the appended index
+    // must return exactly what a from-scratch rebuild returns
     "ann_ivf_persisted" -> OracleSqlGen.annIvfTopK(32, 8, 5, 2),
+    "ann_ivf_incremental" -> OracleSqlGen.annIvfTopK(32, 8, 5, 2),
 
     "text_stats" ->
       """SELECT doc_id,

@@ -210,6 +210,30 @@ object Similarity {
       .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
   }
 
+  /** Incremental IVF index maintenance: assign ONLY the new batch to its
+    * cells and append to the partitioned layout (each cell directory gains
+    * files; existing data is never rewritten or re-read) — O(batch) ingest,
+    * the same maintenance contract as the incremental MinHash band index.
+    * Probing the appended index is IDENTICAL to probing a from-scratch
+    * rebuild over the union (oracle- and spec-pinned), because cell
+    * assignment is a pure per-vector function of the fixed centroids.
+    */
+  def appendToIvfIndex(
+      batch: DataFrame,
+      centroids: DataFrame,
+      cId: Column,
+      cVec: Column,
+      centId: Column,
+      centVec: Column,
+      path: String): Unit = {
+    val assigned = assignToCentroids(
+        Dedup.spread(batch), cId, cVec, centroids, centId, centVec)
+      .withColumnRenamed("vec_id", "neighbor_id")
+    batch.select(cId.as("neighbor_id"), cVec.as("cv"))
+      .join(assigned, "neighbor_id")
+      .write.mode("append").partitionBy("centroid_id").parquet(path)
+  }
+
   /** Probe a persisted IVF index: per-query nprobe nearest cells, then ONE
     * partition-pruned read of exactly those cell directories (the distinct
     * probed-cell list is an O(centroids) driver hop, the same metadata-scale

@@ -137,6 +137,25 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       s"scanned ${scan.metrics("numFiles").value} of $total files - no pruning")
   }
 
+  test("ivf incremental append: probing base+appended index equals a from-scratch rebuild") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter(col("vec_id") < 8)
+    val cents = e.filter(col("vec_id") < 4)
+    val incDir = java.nio.file.Files.createTempDirectory("ivf_inc").toString
+    val allDir = java.nio.file.Files.createTempDirectory("ivf_all").toString
+    Similarity.buildIvfIndex(e.filter(col("vec_id") >= 20), cents,
+      col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), s"$incDir/ivf")
+    Similarity.appendToIvfIndex(e.filter(col("vec_id") < 20), cents,
+      col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), s"$incDir/ivf")
+    Similarity.buildIvfIndex(e, cents,
+      col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), s"$allDir/ivf")
+    def probe(path: String) = Similarity.ivfProbeIndex(q, path, cents,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 3, nprobe = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(probe(s"$incDir/ivf") == probe(s"$allDir/ivf"))
+  }
+
   test("stratified sampling: untouched strata exact, downsampled near fraction") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")
     val fr = Map("en" -> 0.5, "de" -> 1.0, "es" -> 1.0, "fr" -> 1.0, "zh" -> 1.0)
