@@ -411,6 +411,40 @@ object OracleSqlGen {
         SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
         FROM r WHERE rank <= $k ORDER BY query_id, rank"""
 
+  /** Int8-quantized ANN oracle: mirrors QuantizeInt8Expr exactly — per-vector
+    * maxabs scale, `floor(x * 127 / maxabs + 0.5)` in one left-assoc double
+    * expression, all-zero vectors quantize to zeros — then exact integer dot
+    * products and the same `dot / (sqrt(qn) * sqrt(cn))` association as
+    * Similarity.quantizedTopK. Codes are kept as BIGINT (values are in
+    * [-127, 127]; only the dot products matter).
+    */
+  def annQuantizedTopK(nQueries: Int, k: Int): String = {
+    val maxabs = "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
+    val quant =
+      s"""CASE WHEN $maxabs > 0 THEN
+            list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / $maxabs + 0.5) AS BIGINT))
+          ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END"""
+    def idot(a: String, b: String) =
+      s"CAST(list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) AS BIGINT)"
+    s"""WITH q8 AS (
+          SELECT vec_id, $quant AS qv FROM embeddings),
+        n AS (
+          SELECT vec_id, qv, ${idot("qv", "qv")} AS nrm FROM q8),
+        s AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            CAST(${idot("q.qv", "c.qv")} AS DOUBLE)
+              / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS qcos
+          FROM n q, n c
+          WHERE q.vec_id < $nQueries AND q.vec_id <> c.vec_id),
+        r AS (
+          SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, neighbor_id ASC) AS rank
+          FROM s)
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
   def annIvfAssign(nCentroids: Int): String =
     s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < $nCentroids),
         s AS (

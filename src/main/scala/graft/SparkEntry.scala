@@ -934,6 +934,17 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Int8-quantized top-k: same brute-force shape as ann_topk, but scoring
+    // runs over 4×-smaller int8 codes with exact integer dot products — the
+    // memory-bandwidth lever a 100 TB vector corpus needs before any index.
+    "ann_quantized_topk" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Similarity.quantizedTopK(
+        e.filter(col("vec_id") < 32), e,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     "ann_lsh_topk" -> ((s, d) => {
       val e = embeddings(s, d)
       Similarity.lshTopK(
@@ -2592,6 +2603,7 @@ object SparkEntry {
     "dedup_semantic_clusters" -> OracleSqlGen.embeddingClusters(0.45, 4, 4),
 
     "ann_topk" -> OracleSqlGen.annTopK(32, 5),
+    "ann_quantized_topk" -> OracleSqlGen.annQuantizedTopK(32, 5),
     "ann_lsh_topk" -> OracleSqlGen.annLshTopK(32, 5, 4, 4),
     "ann_ivf_assign" -> OracleSqlGen.annIvfAssign(8),
     "ann_ivf_topk" -> OracleSqlGen.annIvfTopK(32, 8, 5, 2),

@@ -68,6 +68,105 @@ case class CosineSimExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Int8 scalar quantization of a float vector: each component mapped to
+  * `floor(x * 127 / maxabs + 0.5)` (round-half-up in one double expression),
+  * where `maxabs` is the vector's own max |component| — the per-vector-scale
+  * symmetric quantizer production vector stores use to cut index memory 4×
+  * (float32 → int8) while keeping relative component structure. An all-zero
+  * vector quantizes to all zeros.
+  *
+  * Downstream scoring over the quantized codes is EXACT INTEGER arithmetic
+  * (IntDotExpr), so quantized similarity is order-independent and hash-exact
+  * by construction — no float-fold portability contract needed.
+  */
+case class QuantizeInt8Expr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.graftbridge.FloatArrayUnaryInput {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType, containsNull = false)
+  override def prettyName: String = "quantize_int8"
+
+  def compute(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    var maxabs = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(v.getFloat(i).toDouble)
+      if (a > maxabs) maxabs = a
+      i += 1
+    }
+    val out = new Array[Byte](n)
+    if (maxabs > 0.0) {
+      i = 0
+      while (i < n) {
+        // one left-assoc double expression, mirrored verbatim in the oracle
+        out(i) = math.floor(v.getFloat(i).toDouble * 127.0 / maxabs + 0.5).toByte
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("quantizeInt8", this, classOf[QuantizeInt8Expr].getName)
+    defineCodeGen(ctx, ev, v => s"$self.compute($v)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Exact integer dot product of two int8 code vectors (array<tinyint> →
+  * bigint) as a fused codegen loop. Every product is ≤ 127² and the sum over
+  * any realistic dimensionality is far inside long range, so the result is
+  * EXACT — identical under any evaluation order, partitioning, or engine.
+  * This is the hot scoring loop of quantized ANN; `IntDotExpr(q, q)` doubles
+  * as the exact squared norm.
+  */
+case class IntDotExpr(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.graftbridge.ByteArrayBinaryInputs {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "int_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0L
+    var i = 0
+    while (i < n) {
+      dot += x.getByte(i).toLong * y.getByte(i).toLong
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val i = ctx.freshName("i")
+      s"""
+        int $n = Math.min($a.numElements(), $b.numElements());
+        long $dot = 0L;
+        for (int $i = 0; $i < $n; $i++) {
+          $dot += (long) $a.getByte($i) * (long) $b.getByte($i);
+        }
+        ${ev.value} = $dot;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** All multi-band random-hyperplane sign buckets of a float vector in one
   * pass: returns `array<int>` of length `bands`, where element b is the
   * sign-pattern bucket of planes [b*planesPerBand, (b+1)*planesPerBand).
@@ -259,6 +358,14 @@ object VectorFunctions {
   /** Column API: codegen'd cosine similarity. */
   def cosineSim(a: Column, b: Column): Column =
     Bridge.column(CosineSimExpr(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column API: per-vector-scale symmetric int8 quantization (array<tinyint>). */
+  def quantizeInt8(vec: Column): Column =
+    Bridge.column(QuantizeInt8Expr(Bridge.expression(vec)))
+
+  /** Column API: exact integer dot product of two int8 code vectors (bigint). */
+  def intDot(a: Column, b: Column): Column =
+    Bridge.column(IntDotExpr(Bridge.expression(a), Bridge.expression(b)))
 
   /** Column API: all band sign-buckets of a float vector (array<int>). */
   def signBuckets(vec: Column, bands: Int, planesPerBand: Int, dims: Int = 64): Column =

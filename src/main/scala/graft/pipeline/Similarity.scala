@@ -64,6 +64,45 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank")
   }
 
+  /** Int8-quantized brute-force top-k — the memory-bandwidth scale path:
+    * vectors are symmetric-quantized to int8 codes ONCE (4× smaller than
+    * float32 — at 100 TB the quantized corpus is what fits in cluster page
+    * cache), then scored with exact integer dot products fused into
+    * whole-stage codegen (IntDotExpr). The ranking score is the cosine of
+    * the QUANTIZED codes: per-vector scale cancels in cosine, so quantized
+    * cosine tracks true cosine to ~1/127 per component. Every arithmetic
+    * step up to the final double division is EXACT integer math, so the
+    * result is order/partition/engine-independent by construction.
+    */
+  def quantizedTopK(
+      queries: DataFrame,
+      candidates: DataFrame,
+      qId: Column,
+      qVec: Column,
+      cId: Column,
+      cVec: Column,
+      k: Int): DataFrame = {
+    import graft.functions.VectorFunctions.{intDot, quantizeInt8}
+    val q = broadcast(
+      queries.select(qId.as("query_id"), quantizeInt8(qVec).as("qq"))
+        .withColumn("qn", intDot(col("qq"), col("qq"))))
+    val c = Dedup.spread(candidates)
+      .select(cId.as("neighbor_id"), quantizeInt8(cVec).as("cq"))
+      .withColumn("cn", intDot(col("cq"), col("cq")))
+    val scored = q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      // dot / (sqrt(qn) * sqrt(cn)) — same association as the oracle SQL;
+      // inputs are exact integers, so the doubles are engine-identical
+      .withColumn("qcos", intDot(col("qq"), col("cq")).cast("double")
+        / (sqrt(col("qn").cast("double")) * sqrt(col("cn").cast("double"))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("qcos"), asc("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
   /** Random-hyperplane sign bucket: `planes` pseudo-random hyperplanes drawn
     * deterministically from md5(plane#, dim) → ±1 components; bucket = the
     * sign pattern of the projections. Engine-portable LSH for the scale path:

@@ -24,6 +24,20 @@ trait FloatArrayBinaryInputs extends ExpectsInputTypes { self: Expression =>
     Seq(ArrayType(FloatType), ArrayType(FloatType))
 }
 
+/** Input-type contract `(array<float>)` for unary vector expressions. */
+trait FloatArrayUnaryInput extends ExpectsInputTypes { self: Expression =>
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+}
+
+/** Input-type contract `(array<tinyint>, array<tinyint>)` for binary
+  * quantized-vector expressions.
+  */
+trait ByteArrayBinaryInputs extends ExpectsInputTypes { self: Expression =>
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.ByteType),
+      ArrayType(org.apache.spark.sql.types.ByteType))
+}
+
 /** Input-type contract `(bigint, bigint)` with implicit casts — narrower
   * integer children are widened at analysis time.
   */
