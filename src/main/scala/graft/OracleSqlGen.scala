@@ -445,6 +445,58 @@ object OracleSqlGen {
         FROM r WHERE rank <= $k ORDER BY query_id, rank"""
   }
 
+  /** Mirrors the ENTIRE Pq pipeline — fixed-point image, deterministic
+    * seeding, every Lloyd round (exact integer argmin, ties → smaller code;
+    * floor(sum/count) re-center; empty clusters keep their centroid),
+    * encoding, and the ADC probe — from the base table. All arithmetic is
+    * exact longs (sums < 2⁵³ keep the re-center division exact), so
+    * training + index + probe pin end-to-end by hash.
+    */
+  def annPqAdc(nQueries: Int, m: Int, sub: Int, k: Int, iters: Int, topK: Int): String = {
+    def sqd(a: String, b: String) =
+      s"list_sum(list_transform(range($sub), j -> ($a[j+1]-$b[j+1])*($a[j+1]-$b[j+1])))"
+    val rounds = (1 to iters).map { i =>
+      val p = i - 1
+      s"""a$i AS (SELECT vec_id, subspace, code, sv FROM (
+           SELECT s.vec_id, s.subspace, c.code, s.sv,
+                  row_number() OVER (PARTITION BY s.vec_id, s.subspace
+                    ORDER BY ${sqd("s.sv", "c.cent")}, c.code) AS rn
+           FROM sv s JOIN cb$p c USING (subspace)) WHERE rn = 1),
+        m$i AS (SELECT subspace, code, j.range AS pos,
+                   CAST(floor(CAST(sum(sv[j.range+1]) AS DOUBLE)/count(*)) AS BIGINT) AS cj
+                 FROM a$i, range($sub) j GROUP BY 1,2,3),
+        n$i AS (SELECT subspace, code, list(cj ORDER BY pos) AS cent FROM m$i GROUP BY 1,2),
+        cb$i AS (SELECT c.subspace, c.code, coalesce(n.cent, c.cent) AS cent
+                  FROM cb$p c LEFT JOIN n$i n USING (subspace, code))"""
+    }.mkString(",\n        ")
+    s"""WITH iv AS (
+          SELECT vec_id,
+            list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS iv
+          FROM embeddings),
+        sv AS (SELECT vec_id, s.range AS subspace,
+                 list_slice(iv, s.range*$sub+1, (s.range+1)*$sub) AS sv
+               FROM iv, range($m) s),
+        cb0 AS (SELECT subspace, CAST(vec_id AS INTEGER) AS code, sv AS cent
+                FROM sv WHERE vec_id < $k),
+        $rounds,
+        codes AS (SELECT vec_id, subspace, code FROM (
+           SELECT s.vec_id, s.subspace, c.code,
+                  row_number() OVER (PARTITION BY s.vec_id, s.subspace
+                    ORDER BY ${sqd("s.sv", "c.cent")}, c.code) AS rn
+           FROM sv s JOIN cb$iters c USING (subspace)) WHERE rn = 1),
+        lut AS (SELECT q.vec_id AS query_id, c.subspace, c.code,
+                  ${sqd("q.sv", "c.cent")} AS pd
+                FROM sv q JOIN cb$iters c USING (subspace) WHERE q.vec_id < $nQueries),
+        adc AS (SELECT l.query_id, n.vec_id AS neighbor_id, sum(l.pd) AS adc_dist
+                FROM codes n JOIN lut l ON l.subspace = n.subspace AND l.code = n.code
+                WHERE l.query_id != n.vec_id GROUP BY 1,2)
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+               CAST(adc_dist AS BIGINT) AS adc_dist FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rank FROM adc)
+        WHERE rank <= $topK ORDER BY query_id, rank"""
+  }
+
   def annIvfAssign(nCentroids: Int): String =
     s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < $nCentroids),
         s AS (

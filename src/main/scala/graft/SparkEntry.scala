@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.operators.GraphOps
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis, MediaRow}
+import graft.pipeline.{Dedup, Multimodal, Pq, Similarity, TextAnalysis, MediaRow}
 import graft.streaming.EventOps
 import graft.Tables._
 
@@ -143,6 +143,17 @@ object SparkEntry {
         s"$dir/ivf")
     }
 
+  /** Persisted PQ index: deterministic integer-domain codebook training
+    * (m=8 subspaces × 8 dims, K=16 codes, 2 Lloyd rounds) + corpus encode,
+    * written once per (sfDir, JVM) — the maintenance an ANN service pays
+    * per ingest; ann_pq_adc times only the ADC probe.
+    */
+  private def pqIndexSetup(s: SparkSession, d: String): String =
+    Setup.dir(s"pq_index:$d") { dir =>
+      Pq.buildIndex(embeddings(s, d), col("vec_id"), col("embedding"),
+        s"$dir/pq", m = 8, sub = 8, k = 16, iters = 2)
+    }
+
   /** One deterministic synthetic WAV per doc (hand-rolled RIFF/PCM). */
   private def mmWavSetup(s: SparkSession, d: String): String =
     Setup.dir(s"mm_wav:$d") { dir =>
@@ -204,6 +215,7 @@ object SparkEntry {
     mmVideoSetup(s, d): Unit
     ivfIndexSetup(s, d): Unit
     ivfIncSetup(s, d): Unit
+    pqIndexSetup(s, d): Unit
     storeDiffSetup(s, d): Unit
   }
 
@@ -942,6 +954,20 @@ object SparkEntry {
       Similarity.quantizedTopK(
         e.filter(col("vec_id") < 32), e,
         col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Product-quantization ADC probe: the corpus lives in the persisted PQ
+    // index as 8 one-byte codes per vector (32× smaller than float32 —
+    // beyond int8's 4×); probing joins the code table against a broadcast
+    // O(Q·m·K) distance lookup table and never reads a raw vector. The
+    // oracle replays codebook TRAINING (2 exact-integer Lloyd rounds),
+    // encoding, and the probe from the base table — training is
+    // deterministic by construction and pinned by hash.
+    "ann_pq_adc" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Pq.adcProbe(e.filter(col("vec_id") < 32), col("vec_id"), col("embedding"),
+        s"${pqIndexSetup(s, d)}/pq", k = 5, m = 8, sub = 8)
         .orderBy("query_id", "rank")
     }),
 
@@ -2604,6 +2630,7 @@ object SparkEntry {
 
     "ann_topk" -> OracleSqlGen.annTopK(32, 5),
     "ann_quantized_topk" -> OracleSqlGen.annQuantizedTopK(32, 5),
+    "ann_pq_adc" -> OracleSqlGen.annPqAdc(32, 8, 8, 16, 2, 5),
     "ann_lsh_topk" -> OracleSqlGen.annLshTopK(32, 5, 4, 4),
     "ann_ivf_assign" -> OracleSqlGen.annIvfAssign(8),
     "ann_ivf_topk" -> OracleSqlGen.annIvfTopK(32, 8, 5, 2),

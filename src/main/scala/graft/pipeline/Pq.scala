@@ -1,0 +1,185 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for vector search — the memory-compression
+  * scale path beyond int8: each vector is split into `m` subvectors, each
+  * subvector replaced by the id of its nearest codebook centroid, so a
+  * 64-dim float32 vector becomes `m` small codes (here 8 bytes — 32×
+  * smaller). Probes score candidates with an Asymmetric Distance
+  * Computation (ADC) lookup table instead of touching raw vectors.
+  * Extends the vector capability the reference dropped in v0.0.16
+  * (/root/reference/CHANGELOG.md:11-16) with the standard IVF-PQ
+  * compression companion (Jégou et al., "Product Quantization for Nearest
+  * Neighbor Search", TPAMI 2011).
+  *
+  * EVERY arithmetic step is exact integer math in a fixed-point domain
+  * (component → floor(x·10⁶) as BIGINT), including codebook TRAINING:
+  * Lloyd iterations assign by exact squared-L2 longs (ties → smaller code)
+  * and re-center by floor(sum/count) — sums are < 2⁵³ so the double
+  * division is exact and its floor is engine-identical. Training is
+  * therefore deterministic across engines, partitionings, and reruns, and
+  * the DuckDB oracle replays the ENTIRE pipeline — seeding, every Lloyd
+  * round, encoding, ADC — from the base tables, pinning training + index +
+  * probe end-to-end by hash.
+  *
+  * Scale shape (100 TB): the codebook is O(m·K) and broadcasts; encoding
+  * is one map-side pass (argmin fold over the broadcast codebook — no
+  * shuffle, no K× row fanout); the per-round re-center is one
+  * partial-aggregated shuffle of m·K·sub cells. Probing joins the code
+  * table against a broadcast O(Q·m·K) lookup table and partial-aggregates
+  * Q·N pair distances — the corpus vectors themselves are never read at
+  * probe time.
+  */
+object Pq {
+
+  /** Fixed-point image of a float vector: floor(x·10⁶) per component. */
+  def intVec(v: Column): Column =
+    transform(v, x => floor(x.cast("double") * lit(1000000.0)))
+
+  /** Exact squared-L2 distance between two long vectors (sequential fold,
+    * but integer addition is associative so the order is irrelevant).
+    */
+  def sqDistL(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+
+  /** (vec_id, subspace, sv): the `m` fixed-point subvectors of each row. */
+  private[pipeline] def subvectors(
+      df: DataFrame, id: Column, vec: Column, m: Int, sub: Int): DataFrame =
+    df.select(id.as("vec_id"), intVec(vec).as("iv"))
+      .select(col("vec_id"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          s => slice(col("iv"), s * lit(sub) + lit(1), lit(sub)))))
+      .select(col("vec_id"), col("pos").as("subspace"), col("col").as("sv"))
+
+  /** Nearest-centroid code via a fold over the broadcast per-subspace
+    * codebook array (sorted by code, strict `<` keeps the smallest code on
+    * ties). Map-side — no shuffle, no K× fanout.
+    */
+  private def argminCode(sv: Column, cb: Column): Column = {
+    val init = struct(lit(Long.MaxValue).as("d"), lit(Int.MaxValue).as("c"))
+    aggregate(cb, init, (acc, e) => {
+      val d = sqDistL(sv, e.getField("cent"))
+      when(d < acc.getField("d"),
+        struct(d.as("d"), e.getField("code").as("c"))).otherwise(acc)
+    }).getField("c")
+  }
+
+  /** Codebook rows (subspace, code, cent) folded to one broadcastable array
+    * per subspace, sorted by code (the argmin tiebreak order).
+    */
+  private def cbArrays(codebook: DataFrame): DataFrame =
+    codebook.groupBy("subspace")
+      .agg(sort_array(collect_list(struct(col("code"), col("cent")))).as("cb"))
+
+  /** Train per-subspace codebooks with `iters` Lloyd rounds in the exact
+    * integer domain. Seeding is deterministic: code c of subspace s starts
+    * as subvector s of the corpus row with id == c (ids [0, k) must exist —
+    * the caller picks/reassigns ids, the usual deterministic-seed contract).
+    * Empty clusters keep their previous centroid. The per-round codebook
+    * merge is an O(m·k)-row driver hop (planning-scale, like the layout
+    * manifest) that keeps each round's lineage flat.
+    */
+  def trainCodebook(
+      corpus: DataFrame,
+      id: Column,
+      vec: Column,
+      m: Int,
+      sub: Int,
+      k: Int,
+      iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sv = subvectors(Dedup.spread(corpus), id, vec, m, sub)
+
+    var cb: Seq[(Int, Int, Seq[Long])] = sv.filter(col("vec_id") < k)
+      .select(col("subspace"), col("vec_id").cast("int").as("code"), col("sv"))
+      .as[(Int, Int, Seq[Long])].collect().toSeq.sortBy(t => (t._1, t._2))
+
+    for (_ <- 1 to iters) {
+      val cbDf = cb.toDF("subspace", "code", "cent")
+      val assigned = sv.join(broadcast(cbArrays(cbDf)), "subspace")
+        .withColumn("code", argminCode(col("sv"), col("cb")))
+      // floor(sum/count): sums stay < 2^53, so the double division is exact
+      // and floor() is the true integer floor on any engine
+      val means = assigned.select(col("subspace"), col("code"), posexplode(col("sv")))
+        .groupBy("subspace", "code", "pos")
+        .agg(floor(sum("col").cast("double") / count(lit(1)).cast("double")).as("cj"))
+        .groupBy("subspace", "code")
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("cj")))),
+          p => p.getField("cj")).as("cent"))
+        .as[(Int, Int, Seq[Long])].collect()
+        .map(t => (t._1, t._2) -> t._3).toMap
+      cb = cb.map { case (s, c, old) => (s, c, means.getOrElse((s, c), old)) }
+    }
+    cb.toDF("subspace", "code", "cent")
+  }
+
+  /** Encode the corpus against a trained codebook: one map-side pass,
+    * (vec_id, subspace, code) — the 32×-compressed index payload.
+    */
+  def encode(
+      corpus: DataFrame,
+      id: Column,
+      vec: Column,
+      codebook: DataFrame,
+      m: Int,
+      sub: Int): DataFrame =
+    subvectors(Dedup.spread(corpus), id, vec, m, sub)
+      .join(broadcast(cbArrays(codebook)), "subspace")
+      .select(col("vec_id"), col("subspace"), argminCode(col("sv"), col("cb")).as("code"))
+
+  /** Build the persisted PQ index: train, then encode, writing `codebook`
+    * and `codes` under `path`. The maintenance write an ANN service pays
+    * once per ingest; probes read only these two tables.
+    */
+  def buildIndex(
+      corpus: DataFrame,
+      id: Column,
+      vec: Column,
+      path: String,
+      m: Int,
+      sub: Int,
+      k: Int,
+      iters: Int): Unit = {
+    val cb = trainCodebook(corpus, id, vec, m, sub, k, iters)
+    cb.write.mode("overwrite").parquet(s"$path/codebook")
+    encode(corpus, id, vec, cb, m, sub)
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** ADC probe of a persisted PQ index: per (query, subspace, code) partial
+    * distances form a broadcast O(Q·m·K) lookup table; the code table joins
+    * it map-side and partial-aggregates to Q·N pair distances; top-k per
+    * query. Raw corpus vectors are never touched. Distances are exact longs
+    * end-to-end — ranking is engine/partition-independent.
+    */
+  def adcProbe(
+      queries: DataFrame,
+      qId: Column,
+      qVec: Column,
+      indexPath: String,
+      k: Int,
+      m: Int,
+      sub: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val cb = spark.read.parquet(s"$indexPath/codebook")
+    val codes = spark.read.parquet(s"$indexPath/codes")
+    val qsv = subvectors(queries, qId, qVec, m, sub)
+      .withColumnRenamed("vec_id", "query_id").withColumnRenamed("sv", "qsv")
+    val lut = broadcast(
+      qsv.join(cb, "subspace")
+        .select(col("query_id"), col("subspace"), col("code"),
+          sqDistL(col("qsv"), col("cent")).as("pd")))
+    val w = Window.partitionBy("query_id").orderBy(asc("adc_dist"), asc("neighbor_id"))
+    codes.join(lut, Seq("subspace", "code"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum("pd").as("adc_dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "adc_dist")
+  }
+}

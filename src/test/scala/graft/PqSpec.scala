@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.Pq
+
+/** Pins the product-quantization contract: deterministic integer-domain
+  * codebook training (partition-count independence, empty-cluster
+  * retention, floor-mean re-centering), map-side encoding, and ADC probes
+  * agreeing with exact search on well-separated fixtures.
+  */
+class PqSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  /** 8-dim vectors → m=2 subspaces × 4 dims; ids 0,1 seed a K=2 codebook.
+    * Two tight groups: A = {0,2,4}, B = {1,3,5} in both subspaces.
+    */
+  private def twoGroups = Seq(
+    (0L, Seq(1.0f, 1.0f, 0.0f, 0.0f, 5.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Seq(0.0f, 0.0f, 1.0f, 1.0f, 0.0f, 5.0f, 0.0f, 0.0f)),
+    (2L, Seq(1.1f, 0.9f, 0.0f, 0.0f, 5.1f, 0.0f, 0.0f, 0.0f)),
+    (3L, Seq(0.0f, 0.0f, 1.1f, 0.9f, 0.0f, 5.1f, 0.0f, 0.0f)),
+    (4L, Seq(0.9f, 1.1f, 0.0f, 0.0f, 4.9f, 0.0f, 0.0f, 0.0f)),
+    (5L, Seq(0.0f, 0.0f, 0.9f, 1.1f, 0.0f, 4.9f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  private def intsOf(xs: Seq[Float]): Seq[Long] =
+    xs.map(x => math.floor(x.toDouble * 1e6).toLong)
+
+  test("training is partition-count independent and centroids are floor-means") {
+    val cb1 = Pq.trainCodebook(twoGroups.repartition(1), col("vec_id"),
+      col("embedding"), m = 2, sub = 4, k = 2, iters = 2)
+      .orderBy("subspace", "code").as[(Int, Int, Seq[Long])].collect()
+    val cb7 = Pq.trainCodebook(twoGroups.repartition(7), col("vec_id"),
+      col("embedding"), m = 2, sub = 4, k = 2, iters = 2)
+      .orderBy("subspace", "code").as[(Int, Int, Seq[Long])].collect()
+    assert(cb1.toSeq == cb7.toSeq)
+    // cluster 0 of subspace 0 holds ids {0,2,4} both rounds: component 0 is
+    // floor((⌊1.0e6⌋+⌊1.1e6⌋+⌊0.9e6⌋)/3) computed from the fixed-point longs
+    val expect0 = {
+      val ints = Seq(1.0f, 1.1f, 0.9f).map(x => math.floor(x.toDouble * 1e6).toLong)
+      math.floor(ints.sum.toDouble / 3.0).toLong
+    }
+    assert(cb1.find(t => t._1 == 0 && t._2 == 0).get._3.head == expect0)
+  }
+
+  test("empty clusters keep their previous centroid") {
+    // id 2 duplicates id 0 exactly, so seed 2's own vector ties seed 0 and
+    // the tiebreak sends it to code 0 — cluster 2 is EMPTY in the round and
+    // must retain its seed centroid while cluster 0's centroid moves to the
+    // floor-mean of {0,2,4}
+    val dupSeeds = Seq(
+      (0L, Seq(1.0f, 1.0f, 0.0f, 0.0f, 5.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.0f, 0.0f, 1.0f, 1.0f, 0.0f, 5.0f, 0.0f, 0.0f)),
+      (2L, Seq(1.0f, 1.0f, 0.0f, 0.0f, 5.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f, 1.0f, 1.0f, 0.0f, 5.0f, 0.0f, 0.0f)),
+      (4L, Seq(0.9f, 1.1f, 0.0f, 0.0f, 4.9f, 0.0f, 0.0f, 0.0f)),
+      (5L, Seq(0.0f, 0.0f, 0.9f, 1.1f, 0.0f, 4.9f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val cb = Pq.trainCodebook(dupSeeds, col("vec_id"), col("embedding"),
+      m = 2, sub = 4, k = 4, iters = 1)
+      .orderBy("subspace", "code").as[(Int, Int, Seq[Long])].collect()
+    val seed = intsOf(Seq(1.0f, 1.0f, 0.0f, 0.0f))
+    assert(cb.find(t => t._1 == 0 && t._2 == 2).get._3 == seed)
+    val moved = cb.find(t => t._1 == 0 && t._2 == 0).get._3
+    assert(moved != seed) // cluster 0 re-centered on {0,2,4}
+    assert(moved.head == math.floor((1000000L + 1000000L + 899999L).toDouble / 3.0).toLong)
+  }
+
+  test("ADC probe matches exact nearest neighbors on separated clusters") {
+    val idx = java.nio.file.Files.createTempDirectory("pqspec").toString
+    Pq.buildIndex(twoGroups, col("vec_id"), col("embedding"), s"$idx/pq",
+      m = 2, sub = 4, k = 2, iters = 2)
+    val got = Pq.adcProbe(twoGroups.filter(col("vec_id") < 2), col("vec_id"),
+      col("embedding"), s"$idx/pq", k = 1, m = 2, sub = 4)
+      .orderBy("query_id").as[(Long, Long, Int, Long)].collect()
+    // one centroid per group → same-group neighbors tie on ADC distance and
+    // the id tiebreak picks the smallest non-self group member
+    assert(got.map(t => (t._1, t._2)).toSeq == Seq((0L, 2L), (1L, 3L)))
+  }
+
+  test("encoding assigns every (vector, subspace) exactly one code in [0, k)") {
+    val cb = Pq.trainCodebook(twoGroups, col("vec_id"), col("embedding"),
+      m = 2, sub = 4, k = 2, iters = 1)
+    val codes = Pq.encode(twoGroups, col("vec_id"), col("embedding"), cb,
+      m = 2, sub = 4).as[(Long, Int, Int)].collect()
+    assert(codes.length == 12) // 6 vectors × 2 subspaces
+    assert(codes.forall(c => c._3 >= 0 && c._3 < 2))
+    assert(codes.map(c => (c._1, c._2)).distinct.length == 12)
+  }
+}
