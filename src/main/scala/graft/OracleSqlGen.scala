@@ -54,6 +54,26 @@ object OracleSqlGen {
         ORDER BY a_id, b_id"""
   }
 
+  /** Mirrors TextAnalysis.duplicatedSpanStats: position-indexed k-grams,
+    * corpus-wide occurrence counts (≥ 2 ⇒ duplicated), coverage = distinct
+    * positions inside any duplicated window. Counts are exact integers; the
+    * final ratio is one int/int double division — engine-identical.
+    */
+  def dedupSpanStats(k: Int): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        n AS (SELECT doc_id, len(toks) AS n_tokens FROM t),
+        sp0 AS (SELECT doc_id, unnest(list_transform(range(len(toks)-$k+1),
+                  i -> {'i': i, 'sh': concat_ws(' ', list_slice(toks, i+1, i+$k))})) AS u FROM t),
+        sp AS (SELECT doc_id, u.i AS i, u.sh AS sh FROM sp0),
+        dup AS (SELECT sh FROM sp GROUP BY sh HAVING count(*) >= 2),
+        cov AS (SELECT DISTINCT doc_id, i + j.range AS pos
+                FROM sp JOIN dup USING (sh) CROSS JOIN range($k) j),
+        cnt AS (SELECT doc_id, count(*) AS dup_tokens FROM cov GROUP BY doc_id)
+        SELECT n.doc_id, CAST(n.n_tokens AS BIGINT) AS n_tokens,
+               CAST(coalesce(c.dup_tokens,0) AS BIGINT) AS dup_tokens,
+               CAST(coalesce(c.dup_tokens,0) AS DOUBLE)/CAST(n.n_tokens AS DOUBLE) AS dup_ratio
+        FROM n LEFT JOIN cnt c USING (doc_id) ORDER BY doc_id"""
+
   /** Mirrors Dedup.containment: asymmetric |∩|/|A| with unpruned
     * denominators and stop-shingle-pruned common counts, pair kept when
     * either direction clears the threshold.

@@ -809,6 +809,14 @@ object SparkEntry {
         threshold = 0.8, maxDocFreq = 8)
         .orderBy("a_id", "b_id")),
 
+    // Fixed-k approximation of exact-substring dedup (suffix-array dedup's
+    // distributed cousin): per-doc coverage of token positions lying inside
+    // any corpus-duplicated 8-gram window — the span-cut signal.
+    "dedup_span_stats" -> ((s, d) =>
+      TextAnalysis.duplicatedSpanStats(documents(s, d), col("doc_id"),
+        col("text"), k = 8)
+        .orderBy("doc_id")),
+
     "dedup_minhash" -> ((s, d) =>
       Dedup.minhashLsh(documents(s, d), col("doc_id"), col("text"),
         n = 3, bands = 8, rowsPerBand = 2)
@@ -2602,6 +2610,7 @@ object SparkEntry {
          FROM part GROUP BY p_name HAVING count(*) > 1 ORDER BY dup_key""",
     "dedup_ngram_jaccard" -> OracleSqlGen.ngramJaccard(3, 0.5, maxDocFreq = 8),
     "dedup_containment" -> OracleSqlGen.containment(3, 0.8, maxDocFreq = 8),
+    "dedup_span_stats" -> OracleSqlGen.dedupSpanStats(8),
     "dedup_minhash" -> OracleSqlGen.minhashLsh(3, 8, 2),
     "dedup_components" -> OracleSqlGen.minhashComponents(3, 8, 2),
     // incremental merge must equal the from-scratch closure — same oracle

@@ -190,6 +190,44 @@ object TextAnalysis {
         round(col("n_unique").cast("double") / col("n_shingles"), 6))
   }
 
+  /** Duplicated-span coverage — the fixed-k distributed approximation of
+    * exact-substring dedup (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", ACL 2022, which uses suffix arrays
+    * single-node): a token position counts as duplicated when ANY k-gram
+    * window covering it occurs ≥ 2 times corpus-wide (within- or cross-doc).
+    * Per doc: token count, duplicated-token count, coverage ratio — the
+    * signal a curation pipeline thresholds or uses to cut spans.
+    *
+    * Scale shape: position-indexed k-grams are O(total tokens); occurrence
+    * counting is a partial-aggregated shuffle co-partitioned with the join
+    * back (one exchange, reused — the novelty pattern); coverage expansion
+    * is bounded by the constant k before the per-doc distinct.
+    */
+  def duplicatedSpanStats(
+      docs: DataFrame, id: Column, text: Column, k: Int = 8): DataFrame = {
+    val toks = docs.select(id.as("doc_id"), tokens(text).as("toks"))
+      .withColumn("n_tokens", size(col("toks")))
+    val spans = toks.select(col("doc_id"), col("toks"),
+        explode(when(col("n_tokens") >= k,
+          sequence(lit(0), col("n_tokens") - lit(k)))
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .select(col("doc_id"), col("i"),
+        concat_ws(" ", slice(col("toks"), col("i") + 1, lit(k))).as("sh"))
+    val coPart = spans.repartition(col("sh"))
+    val dup = coPart.groupBy("sh").agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= 2).select("sh")
+    val cov = coPart.hint("shuffle_hash").join(dup, Seq("sh"))
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + lit(k - 1))).as("pos"))
+      .distinct()
+    val cnt = cov.groupBy("doc_id").agg(count(lit(1)).as("dup_tokens"))
+    toks.select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
+      .join(cnt, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("dup_tokens"))
+      .withColumn("dup_ratio",
+        col("dup_tokens").cast("double") / col("n_tokens").cast("double"))
+  }
+
   /** Rolling-hash document fingerprint (winnowing-lite): the minimum md5 over
     * word 5-gram windows + the full-text md5. Two docs sharing the min-window
     * fingerprint almost surely share a 5-gram run — a cheap containment

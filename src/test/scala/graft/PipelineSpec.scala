@@ -622,4 +622,21 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       Seq(MediaRow(5L, truncated, "video")).toDS(), stride = 1).collect().toSeq
     assert(rows.length == 1 && rows.head.frame_idx == -1 && rows.head.r_sum == -1L)
   }
+
+  test("duplicatedSpanStats: cross-doc and intra-doc spans, short docs, overlap union") {
+    val docs = Seq(
+      (1L, "a b c d e f g h x y"),       // shares the 8-gram with doc 2
+      (2L, "z w a b c d e f g h"),       // → positions 2..9 covered
+      (3L, "p q r"),                     // shorter than k → zero coverage
+      (4L, "m m m m m m m m m")          // intra-doc repeat: both 8-gram
+    ).toDF("doc_id", "text")             //   windows duplicated → all 9 covered
+    val out = TextAnalysis.duplicatedSpanStats(docs, col("doc_id"), col("text"), k = 8)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 10L, 8L, 0.8),
+      (2L, 10L, 8L, 0.8),
+      (3L, 3L, 0L, 0.0),
+      (4L, 9L, 9L, 1.0)))
+  }
 }
