@@ -781,6 +781,31 @@ object OracleSqlGen {
         ORDER BY core_deg DESC, node ASC LIMIT $topK"""
   }
 
+  /** Mirrors GraphAnalytics.labelPropagation over the order↔part bipartite
+    * graph: one CTE pair per synchronous round (neighbor-label counts, then
+    * argmax with smallest-label tiebreak), then the top community sizes —
+    * the exact shape of the Spark loop, so results hash-match whether or
+    * not `rounds` reached the fixpoint.
+    */
+  def labelPropagation(rounds: Int, topK: Int): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      s"""c$i AS (SELECT adj.a, l.lbl, count(*) AS cnt
+           FROM adj JOIN l${i - 1} l ON adj.b = l.node GROUP BY 1, 2),
+        l$i AS (SELECT a AS node, lbl FROM (
+           SELECT a, lbl, row_number() OVER (
+             PARTITION BY a ORDER BY cnt DESC, lbl ASC) AS rn
+           FROM c$i) WHERE rn = 1)"""
+    }.mkString(",\n        ")
+    s"""WITH e AS (
+          SELECT DISTINCT l_orderkey AS u, 1000000000 + l_partkey AS v FROM lineitem),
+        adj AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v AS a, u AS b FROM e),
+        l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM adj),
+        $roundCtes
+        SELECT CAST(lbl AS BIGINT) AS community, CAST(count(*) AS BIGINT) AS n_members
+        FROM l$rounds GROUP BY lbl
+        ORDER BY n_members DESC, community ASC LIMIT $topK"""
+  }
+
   /** Mirrors the REAL ImageIO decode over the synthetic PNGs: the pixel
     * pattern (Multimodal.synthesizePng) is a = id mod 256, w = 16+id mod 17,
     * h = 16+(7·id) mod 13, r(x,y) = (a+x) mod 256, g = 255−r,

@@ -1651,6 +1651,20 @@ object SparkEntry {
         .orderBy(desc("core_deg"), asc("node")).limit(200)
     }),
 
+    // Deterministic label-propagation communities over the same bipartite
+    // graph: 4 synchronous rounds (most-frequent neighbor label, ties to
+    // the smallest — the Raghavan et al. algorithm with its random
+    // tiebreak replaced by a total order), then the 20 largest communities.
+    "graph_lpa" -> ((s, d) => {
+      val e = lineitem(s, d)
+        .select(col("l_orderkey").as("u"),
+          (lit(1000000000L) + col("l_partkey")).as("v"))
+        .distinct()
+      graft.operators.GraphAnalytics.labelPropagation(e, rounds = 4)
+        .groupBy(col("lbl").as("community")).agg(count(lit(1)).as("n_members"))
+        .orderBy(desc("n_members"), asc("community")).limit(20)
+    }),
+
     // BFS shortest distances from customer#1 over the customer→order→part
     // FK graph (pageRankInt's node-id scheme). Output is the per-distance
     // census — count + min/max/sum of node ids — which pins the exact
@@ -2965,6 +2979,7 @@ object SparkEntry {
          WHERE rank <= 5 ORDER BY event_type, rank""",
     "graph_pagerank" -> OracleSqlGen.pageRankInt(iters = 3, topK = 20),
     "graph_kcore" -> OracleSqlGen.kCore(k = 5, rounds = 6, topK = 200),
+    "graph_lpa" -> OracleSqlGen.labelPropagation(rounds = 4, topK = 20),
     "graph_bfs" -> OracleSqlGen.bfs(src = 2000000001L, rounds = 4),
     "graph_sssp" -> OracleSqlGen.sssp(src = 2000000001L, rounds = 4, topK = 100),
     "q_chi_square" ->

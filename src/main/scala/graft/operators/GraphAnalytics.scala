@@ -261,6 +261,56 @@ object GraphAnalytics {
     mat
   }
 
+  /** Synchronous label-propagation community detection (Raghavan et al.,
+    * "Near linear time algorithm to detect community structures in
+    * large-scale networks", Phys. Rev. E 2007) made deterministic: every
+    * round, each node adopts the label that is MOST FREQUENT among its
+    * neighbors' previous-round labels, ties broken by the SMALLEST label —
+    * the classic algorithm's random tiebreak replaced with a total order so
+    * results are engine/partition/rerun-identical and the DuckDB oracle
+    * (chained CTEs, one per round — OracleSqlGen.labelPropagation) pins
+    * every round by hash. Fixed `rounds` for the kCore/bfs reason: a
+    * data-dependent stopping rule is not expressible as deterministic
+    * chained SQL.
+    *
+    * Returns (node: long, lbl: long) — community = shared label.
+    *
+    * Scale shape: adjacency is partitioned by neighbor key ONCE and cached;
+    * each round sends each neighbor label once per edge (O(E) rows), counts
+    * by (node, label) with map-side partials, and picks the argmax as a pure
+    * min(struct(-cnt, lbl)) aggregation — NO per-node window sort. The label
+    * frame stays O(V) and rides the size-gated broadcast; past the cap the
+    * rounds degrade to shuffled joins automatically.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 20, s"rounds must be in [1, 20], got $rounds")
+    val e = edges.select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
+    val adj = e.select(col("u").as("a"), col("v").as("b"))
+      .union(e.select(col("v").as("a"), col("u").as("b")))
+      .repartition(col("b"))
+      .cache()
+    var labels = adj.select(col("a").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint(true)
+    val vRows = labels.count() // counts the eager checkpoint — metadata cost
+    def bc(df: DataFrame): DataFrame = Hints.broadcastIfUnder(df, vRows)
+    for (_ <- 1 to rounds) {
+      // neighbor labels arrive via the cached b-partitioned adjacency (the
+      // broadcast label frame is probed map-side); argmax-by-count with
+      // smallest-label tiebreak is min over (-cnt, lbl) pairs — an ordinary
+      // aggregation that partial-aggregates, not a window
+      labels = adj
+        .join(bc(labels.withColumnRenamed("node", "b")), Seq("b"))
+        .groupBy("a", "lbl").agg(count(lit(1)).as("cnt"))
+        .groupBy(col("a").as("node"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("l"))).as("m"))
+        .select(col("node"), col("m.l").as("lbl"))
+        .localCheckpoint(true)
+    }
+    adj.unpersist(false)
+    labels
+  }
+
   /** Fixed-round breadth-first shortest distances from a single source over
     * an undirected graph: returns (node: long, dist: int) for every node
     * reached within `rounds` hops. Fixed rounds (not run-to-frontier-empty)

@@ -189,4 +189,19 @@ class GraphAnalyticsSpec extends AnyFunSuite with SparkTestBase {
     finally spark.conf.unset(graft.operators.Hints.IterativeBroadcastMaxRows)
     assert(withHints == without)
   }
+
+  test("labelPropagation: bridged triangles settle into two communities; rounds pinned") {
+    // hand-simulated synchronous rounds with the (count desc, label asc)
+    // tiebreak: round 1 {1→2,2→1,3→1,4→3,5→4,6→4}, round 3 fixpoint
+    // {1,2,3}→1, {4,5,6}→3 — the bridge 3–4 does NOT merge the triangles
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+      .toDF("u", "v")
+    val l4 = GraphAnalytics.labelPropagation(edges, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(l4 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L))
+    // pre-fixpoint round count must reproduce the hand simulation exactly
+    val l1 = GraphAnalytics.labelPropagation(edges, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(l1 == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 4L, 6L -> 4L))
+  }
 }
