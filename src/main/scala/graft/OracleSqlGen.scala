@@ -781,6 +781,40 @@ object OracleSqlGen {
         ORDER BY core_deg DESC, node ASC LIMIT $topK"""
   }
 
+  /** Mirrors GraphAnalytics.personalizedPageRankInt over the customer→order
+    * →part FK graph: pageRankInt's chained CTEs with the teleport base
+    * restricted to the seed set and zero-mass nodes filtered from the
+    * output. All integer math — hash-exact per round.
+    */
+  def personalizedPageRank(sources: Seq[Long], iters: Int, topK: Int,
+      scale: Long = 1000000L, dampNum: Long = 85, dampDen: Long = 100): String = {
+    val base = (scale * (dampDen - dampNum)) / dampDen
+    val inSrc = sources.mkString("(", ", ", ")")
+    val iterCtes = (1 to iters).map { i =>
+      s"""r$i AS (
+           SELECT n.node,
+             CASE WHEN n.node IN $inSrc THEN $base ELSE 0 END
+               + coalesce(sum(c.contrib), 0) AS pr
+           FROM n LEFT JOIN (
+             SELECT e.dst AS node, ((r.pr * $dampNum) // $dampDen) // d.out_deg AS contrib
+             FROM r${i - 1} r JOIN d ON r.node = d.node JOIN e ON e.src = r.node
+             WHERE r.pr > 0) c
+             ON c.node = n.node
+           GROUP BY n.node)"""
+    }.mkString(",\n        ")
+    s"""WITH e AS (
+          SELECT 2000000000 + o_custkey AS src, o_orderkey AS dst FROM orders
+          UNION ALL
+          SELECT l_orderkey AS src, 1000000000 + l_partkey AS dst FROM lineitem),
+        n AS (SELECT DISTINCT node FROM
+                (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+        d AS (SELECT src AS node, count(*) AS out_deg FROM e GROUP BY src),
+        r0 AS (SELECT node, CAST($scale AS BIGINT) AS pr FROM n WHERE node IN $inSrc),
+        $iterCtes
+        SELECT node, CAST(pr AS BIGINT) AS ppr FROM r$iters WHERE pr > 0
+        ORDER BY ppr DESC, node ASC LIMIT $topK"""
+  }
+
   /** Mirrors GraphAnalytics.labelPropagation over the order↔part bipartite
     * graph: one CTE pair per synchronous round (neighbor-label counts, then
     * argmax with smallest-label tiebreak), then the top community sizes —

@@ -1651,6 +1651,22 @@ object SparkEntry {
         .orderBy(desc("core_deg"), asc("node")).limit(200)
     }),
 
+    // Personalized PageRank seeded at customer#42 over the FK graph —
+    // proximity-to-seed ranking (the seeded analog of graph_pagerank, the
+    // relevance order a memory engine wants around one entity). 3 rounds
+    // reach the customer's orders, their parts, and sibling orders.
+    "graph_ppr" -> ((s, d) => {
+      val o = orders(s, d).select(
+        (lit(2000000000L) + col("o_custkey")).as("src"),
+        col("o_orderkey").as("dst"))
+      val li = lineitem(s, d).select(
+        col("l_orderkey").as("src"),
+        (lit(1000000000L) + col("l_partkey")).as("dst"))
+      graft.operators.GraphAnalytics.personalizedPageRankInt(
+        o.union(li), sources = Seq(2000000042L), iters = 3)
+        .orderBy(desc("ppr"), asc("node")).limit(20)
+    }),
+
     // Deterministic label-propagation communities over the same bipartite
     // graph: 4 synchronous rounds (most-frequent neighbor label, ties to
     // the smallest — the Raghavan et al. algorithm with its random
@@ -2980,6 +2996,8 @@ object SparkEntry {
     "graph_pagerank" -> OracleSqlGen.pageRankInt(iters = 3, topK = 20),
     "graph_kcore" -> OracleSqlGen.kCore(k = 5, rounds = 6, topK = 200),
     "graph_lpa" -> OracleSqlGen.labelPropagation(rounds = 4, topK = 20),
+    "graph_ppr" -> OracleSqlGen.personalizedPageRank(
+      sources = Seq(2000000042L), iters = 3, topK = 20),
     "graph_bfs" -> OracleSqlGen.bfs(src = 2000000001L, rounds = 4),
     "graph_sssp" -> OracleSqlGen.sssp(src = 2000000001L, rounds = 4, topK = 100),
     "q_chi_square" ->

@@ -261,6 +261,79 @@ object GraphAnalytics {
     mat
   }
 
+  /** Personalized PageRank (Haveliwala, "Topic-Sensitive PageRank", WWW
+    * 2002) in the same fixed-point integer domain as [[pageRankInt]]: the
+    * teleport mass lands ONLY on the `sources` seed set, so scores measure
+    * proximity to the seeds — the ranking a knowledge-graph memory engine
+    * wants when hydrating context around a seed entity (the reference's
+    * read_graph/search surface ranks globally; this is the seeded variant).
+    *
+    * rank_0(v)   = scale·[v ∈ S]
+    * rank_i+1(v) = base·[v ∈ S] + Σ_{(u,v)∈E} ((rank_i(u)·dampNum) div dampDen) div outDeg(u)
+    * base        = (scale·(dampDen − dampNum)) div dampDen
+    *
+    * Scale shape identical to pageRankInt: edges src-partitioned and cached
+    * once, received mass carried as an O(reached) frame (zero-rank nodes
+    * never materialize — early rounds touch only the seed neighborhood),
+    * one groupBy(dst) exchange per iteration, size-gated broadcasts.
+    */
+  def personalizedPageRankInt(
+      edges: DataFrame,
+      sources: Seq[Long],
+      iters: Int,
+      scale: Long = 1000000L,
+      dampNum: Long = 85,
+      dampDen: Long = 100): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
+    require(sources.nonEmpty, "personalized PageRank needs a non-empty seed set")
+    val e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .repartition(col("src"))
+      .cache()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("out_deg")).cache()
+    val vRows = deg.count()
+    def bc(df: DataFrame): DataFrame = Hints.broadcastIfUnder(df, vRows)
+    val base = (scale * (dampDen - dampNum)) / dampDen
+    val isSrc = (n: org.apache.spark.sql.Column) => n.isin(sources: _*)
+
+    var recv: Option[DataFrame] = None
+    for (_ <- 1 to iters) {
+      val contrib = recv match {
+        case None => // rank_0 = scale on seeds only
+          deg.filter(isSrc(col("src")))
+            .select(col("src"),
+              expr(s"(($scale * $dampNum) div $dampDen) div out_deg").as("contrib"))
+        case Some(r) =>
+          // rank_i(u) = base·[u ∈ S] + recv(u); nodes absent from recv and
+          // outside S hold rank 0 and contribute nothing — inner join keeps
+          // the active frontier sparse
+          deg.join(bc(r.withColumnRenamed("node", "src")), Seq("src"), "left")
+            .select(col("src"), col("out_deg"),
+              when(isSrc(col("src")), lit(base)).otherwise(lit(0L))
+                .plus(coalesce(col("recv"), lit(0L))).as("rank"))
+            .filter(col("rank") > 0)
+            .select(col("src"),
+              expr(s"((rank * $dampNum) div $dampDen) div out_deg").as("contrib"))
+      }
+      recv = Some(
+        e.join(bc(contrib), "src")
+          .groupBy(col("dst").as("node"))
+          .agg(sum("contrib").as("recv")))
+    }
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+    val out = nodes.join(recv.get, Seq("node"), "left")
+      .select(col("node"),
+        (when(isSrc(col("node")), lit(base)).otherwise(lit(0L))
+          + coalesce(col("recv"), lit(0L))).as("ppr"))
+      .filter(col("ppr") > 0)
+    val mat = out.localCheckpoint(true)
+    e.unpersist(false)
+    deg.unpersist(false)
+    mat
+  }
+
   /** Synchronous label-propagation community detection (Raghavan et al.,
     * "Near linear time algorithm to detect community structures in
     * large-scale networks", Phys. Rev. E 2007) made deterministic: every

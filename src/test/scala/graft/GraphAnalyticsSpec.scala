@@ -190,6 +190,22 @@ class GraphAnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(withHints == without)
   }
 
+  test("personalizedPageRankInt: hand-computed seeded ranks on a path; fan-out splits") {
+    // path 1→2→3 seeded at 1 (base = 150000):
+    //   round 1: 1=150000, 2=850000
+    //   round 2: 1=150000, 2=127500, 3=722500
+    //   round 3: 1=150000, 2=127500, 3=108375 — zero-mass nodes absent
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = GraphAnalytics.personalizedPageRankInt(path, Seq(1L), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 150000L, 2L -> 127500L, 3L -> 108375L))
+    // fan-out 1→{2,3}: the damped mass integer-divides across out-degree 2
+    val fan = Seq((1L, 2L), (1L, 3L)).toDF("src", "dst")
+    val g1 = GraphAnalytics.personalizedPageRankInt(fan, Seq(1L), iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(g1 == Map(1L -> 150000L, 2L -> 425000L, 3L -> 425000L))
+  }
+
   test("labelPropagation: bridged triangles settle into two communities; rounds pinned") {
     // hand-simulated synchronous rounds with the (count desc, label asc)
     // tiebreak: round 1 {1→2,2→1,3→1,4→3,5→4,6→4}, round 3 fixpoint
