@@ -714,6 +714,15 @@ object SparkEntry {
         Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1))
         .orderBy("doc_id")),
 
+    // Temperature-flattened language mixing (α = 1/2): scarce languages
+    // keep everything, the dominant language keeps sqrt(n_min/n_en) of its
+    // rows — counts^α sampling from multilingual LLM training mixes. sqrt
+    // is IEEE-exact on both engines, so the kept set is bit-identical.
+    "q_temperature_mix" -> ((s, d) =>
+      graft.pipeline.Splits.temperatureFlatten(
+        documents(s, d).select("doc_id", "lang"), col("lang"), col("doc_id"))
+        .orderBy("doc_id")),
+
     // Point-in-time (SCD-2) join: each purchase is attributed to the UI
     // state (last click/view/error) active at its timestamp. Spans come
     // from a lead() window; the probe uses the bucketed range join — no
@@ -3473,6 +3482,16 @@ object SparkEntry {
          SELECT doc_id, source FROM d JOIN f USING (source)
          WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 13) AS BIGINT)
              < CAST(floor(frac * 4503599627370496.0) AS BIGINT)
+         ORDER BY doc_id""",
+    // temperature mixing: sqrt is correctly rounded (IEEE) on both engines
+    // and the 2^52 scale is exact, so the thresholds agree bit-for-bit
+    "q_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         m AS (SELECT min(n) AS mn FROM c),
+         r AS (SELECT lang, sqrt(CAST(mn AS DOUBLE) / CAST(n AS DOUBLE)) AS p FROM c, m)
+         SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+         WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 13) AS BIGINT)
+             < CAST(floor(p * 4503599627370496.0) AS BIGINT)
          ORDER BY doc_id""",
     "events_scd_join" ->
       """WITH sp AS (

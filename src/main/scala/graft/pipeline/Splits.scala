@@ -153,6 +153,32 @@ object Splits {
       .drop("_mix_t", "_mix_g", "_mix_frac")
   }
 
+  /** Temperature-flattened mixing at α = 1/2: group g keeps fraction
+    * (n_min/n_g)^α — the counts^α reweighting that upsamples scarce
+    * languages/domains relative to their natural share (temperature-based
+    * sampling in multilingual LLM training mixes; α=1 is the natural
+    * distribution, α→0 uniform). The smallest group keeps everything; a
+    * group 4× larger keeps half its rows instead of a quarter.
+    *
+    * α is fixed at 1/2 deliberately: sqrt is IEEE-correctly-rounded on
+    * every engine and floor(sqrt(r)·2^52) scales by a power of two (exact),
+    * so the per-row keep decision is bit-identical across engines — an
+    * arbitrary pow() exponent would not be. Same scale shape as
+    * [[mixToProportions]]: one tiny count aggregate, broadcast rates, one
+    * map-side integer-compare filter; the corpus never shuffles.
+    */
+  def temperatureFlatten(df: DataFrame, group: Column, key: Column): DataFrame = {
+    val counts = df.groupBy(group.as("_tf_g")).agg(count(lit(1)).as("_tf_n"))
+    val minN = counts.agg(min("_tf_n").as("_tf_min"))
+    val rates = counts.crossJoin(broadcast(minN))
+      .select(col("_tf_g"),
+        sqrt(col("_tf_min").cast("double") / col("_tf_n").cast("double")).as("_tf_p"))
+    df.join(broadcast(rates), group === col("_tf_g"))
+      .filter(mixCoord(key) <
+        floor(col("_tf_p") * lit(4503599627370496.0)).cast("long")) // 2^52
+      .drop("_tf_g", "_tf_p")
+  }
+
   /** Deterministic per-group uniform k-sample ("min-hash reservoir"): the k
     * rows with the smallest salted-md5 coordinate in each group. Uniform
     * because md5 is; deterministic and engine/layout-independent for the

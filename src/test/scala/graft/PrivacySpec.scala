@@ -121,6 +121,18 @@ class PrivacySpec extends AnyFunSuite with SparkTestBase {
     assert(again == out.select("id").as[Long].collect().toSet)
   }
 
+  test("temperatureFlatten: smallest group intact, big group at ~sqrt rate, layout-independent") {
+    val df = (1 to 400).map(i => (i.toLong, if (i <= 320) "big" else "small"))
+      .toDF("id", "g")
+    val kept = Splits.temperatureFlatten(df, col("g"), col("id"))
+    val counts = kept.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(counts("small") == 80) // the n_min group keeps every row
+    // big keeps sqrt(80/320) = 1/2 of 320 in expectation (binomial noise)
+    assert(counts("big") > 120 && counts("big") < 200)
+    val kept7 = Splits.temperatureFlatten(df.repartition(7), col("g"), col("id"))
+    assert(kept7.orderBy("id").collect().toSeq == kept.orderBy("id").collect().toSeq)
+  }
+
   test("novelty: shared shingles lower the score, unique docs score 1") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"),     // shares "alpha beta gamma" + "beta gamma delta"? no — doc 2 shares only the first
