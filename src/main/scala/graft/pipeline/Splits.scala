@@ -169,8 +169,13 @@ object Splits {
     */
   def temperatureFlatten(df: DataFrame, group: Column, key: Column): DataFrame = {
     val counts = df.groupBy(group.as("_tf_g")).agg(count(lit(1)).as("_tf_n"))
-    val minN = counts.agg(min("_tf_n").as("_tf_min"))
-    val rates = counts.crossJoin(broadcast(minN))
+    // n_min via a global window over the O(groups) count frame — the frame
+    // is tiny by definition, and deriving it in-plan keeps the corpus
+    // scanned exactly twice (count pass + keep pass), not three times
+    val rates = counts
+      .withColumn("_tf_min",
+        min("_tf_n").over(org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1))))
       .select(col("_tf_g"),
         sqrt(col("_tf_min").cast("double") / col("_tf_n").cast("double")).as("_tf_p"))
     df.join(broadcast(rates), group === col("_tf_g"))

@@ -181,4 +181,25 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       "l_extendedprice:double,l_returnflag:string>"),
       s"scan must prune to the 3 referenced columns:\n$p")
   }
+
+  test("ann_pq_adc probes via broadcast LUT joins and reads raw vectors only for the probe set") {
+    val p = plan("ann_pq_adc")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"ADC scoring must be equi-join only:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"the O(Q·m·K) LUT must broadcast:\n$p")
+    // exactly one scan touches the embedding column (the 32-row query set);
+    // the corpus contributes ONLY its persisted code table
+    assert("embedding:array".r.findAllIn(p).size == 1,
+      s"only the probe set may read raw vectors:\n$p")
+  }
+
+  test("q_temperature_mix joins the corpus by broadcast — no sort-merge shuffle of the rows") {
+    val p = plan("q_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"), s"rate table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the keep decision must stay map-side on the corpus:\n$p")
+    // documents is read twice by design (count pass + corpus pass), no more
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 2,
+      s"exactly the count pass and the corpus pass:\n$p")
+  }
 }
