@@ -472,7 +472,13 @@ object OracleSqlGen {
     * exact longs (sums < 2⁵³ keep the re-center division exact), so
     * training + index + probe pin end-to-end by hash.
     */
-  def annPqAdc(nQueries: Int, m: Int, sub: Int, k: Int, iters: Int, topK: Int): String = {
+  def annPqAdc(nQueries: Int, m: Int, sub: Int, k: Int, iters: Int, topK: Int,
+      trainMaxId: Long = Long.MaxValue): String = {
+    // trainMaxId < MaxValue mirrors the INCREMENTAL index: the codebook is
+    // trained on the old corpus (vec_id < trainMaxId) only, then the whole
+    // corpus (old + appended batch) is encoded under that frozen codebook
+    val trainWhere =
+      if (trainMaxId == Long.MaxValue) "" else s" WHERE s.vec_id < $trainMaxId"
     def sqd(a: String, b: String) =
       s"list_sum(list_transform(range($sub), j -> ($a[j+1]-$b[j+1])*($a[j+1]-$b[j+1])))"
     val rounds = (1 to iters).map { i =>
@@ -481,7 +487,7 @@ object OracleSqlGen {
            SELECT s.vec_id, s.subspace, c.code, s.sv,
                   row_number() OVER (PARTITION BY s.vec_id, s.subspace
                     ORDER BY ${sqd("s.sv", "c.cent")}, c.code) AS rn
-           FROM sv s JOIN cb$p c USING (subspace)) WHERE rn = 1),
+           FROM sv s JOIN cb$p c USING (subspace)$trainWhere) WHERE rn = 1),
         m$i AS (SELECT subspace, code, j.range AS pos,
                    CAST(floor(CAST(sum(sv[j.range+1]) AS DOUBLE)/count(*)) AS BIGINT) AS cj
                  FROM a$i, range($sub) j GROUP BY 1,2,3),

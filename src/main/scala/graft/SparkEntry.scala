@@ -154,6 +154,19 @@ object SparkEntry {
         s"$dir/pq", m = 8, sub = 8, k = 16, iters = 2)
     }
 
+  /** Incrementally-maintained PQ index: codebook trained + base encode on
+    * the old corpus (vec_id < 400), then an O(batch) append of the rest
+    * under the FROZEN codebook — never a re-encode of existing codes.
+    */
+  private def pqIncSetup(s: SparkSession, d: String): String =
+    Setup.dir(s"pq_index_inc:$d") { dir =>
+      val e = embeddings(s, d)
+      Pq.buildIndex(e.filter(col("vec_id") < 400), col("vec_id"), col("embedding"),
+        s"$dir/pq", m = 8, sub = 8, k = 16, iters = 2)
+      Pq.appendToIndex(e.filter(col("vec_id") >= 400), col("vec_id"), col("embedding"),
+        s"$dir/pq", m = 8, sub = 8)
+    }
+
   /** One deterministic synthetic WAV per doc (hand-rolled RIFF/PCM). */
   private def mmWavSetup(s: SparkSession, d: String): String =
     Setup.dir(s"mm_wav:$d") { dir =>
@@ -216,6 +229,7 @@ object SparkEntry {
     ivfIndexSetup(s, d): Unit
     ivfIncSetup(s, d): Unit
     pqIndexSetup(s, d): Unit
+    pqIncSetup(s, d): Unit
     storeDiffSetup(s, d): Unit
   }
 
@@ -985,6 +999,19 @@ object SparkEntry {
       val e = embeddings(s, d)
       Pq.adcProbe(e.filter(col("vec_id") < 32), col("vec_id"), col("embedding"),
         s"${pqIndexSetup(s, d)}/pq", k = 5, m = 8, sub = 8)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Incremental-maintenance proof for the PQ index: the probed index was
+    // built (codebook + codes) on the old corpus then APPENDED with a batch
+    // encoded under the frozen codebook — O(batch) ingest. The oracle
+    // trains on the old corpus and encodes the union from scratch —
+    // hash-match proves append ≡ rebuild-under-the-same-codebook, the
+    // ann_ivf_incremental contract applied to PQ.
+    "ann_pq_incremental" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Pq.adcProbe(e.filter(col("vec_id") < 32), col("vec_id"), col("embedding"),
+        s"${pqIncSetup(s, d)}/pq", k = 5, m = 8, sub = 8)
         .orderBy("query_id", "rank")
     }),
 
@@ -2679,6 +2706,7 @@ object SparkEntry {
     "ann_topk" -> OracleSqlGen.annTopK(32, 5),
     "ann_quantized_topk" -> OracleSqlGen.annQuantizedTopK(32, 5),
     "ann_pq_adc" -> OracleSqlGen.annPqAdc(32, 8, 8, 16, 2, 5),
+    "ann_pq_incremental" -> OracleSqlGen.annPqAdc(32, 8, 8, 16, 2, 5, trainMaxId = 400L),
     "ann_lsh_topk" -> OracleSqlGen.annLshTopK(32, 5, 4, 4),
     "ann_ivf_assign" -> OracleSqlGen.annIvfAssign(8),
     "ann_ivf_topk" -> OracleSqlGen.annIvfTopK(32, 8, 5, 2),

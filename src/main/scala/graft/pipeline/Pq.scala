@@ -150,6 +150,28 @@ object Pq {
       .write.mode("overwrite").parquet(s"$path/codes")
   }
 
+  /** Incremental PQ index maintenance: encode ONLY the new batch against
+    * the persisted (frozen) codebook and append its codes — O(batch)
+    * ingest, existing codes never re-read or rewritten; sound because
+    * encoding is a pure per-vector function of the fixed codebook. The
+    * same maintenance contract as the incremental IVF/MinHash indexes:
+    * probing the appended index is IDENTICAL to re-encoding the union
+    * under that codebook (oracle- and spec-pinned). Codebook drift
+    * (retraining on grown corpora) is a rebuild, by design — the codebook
+    * is the index's frozen vocabulary.
+    */
+  def appendToIndex(
+      batch: DataFrame,
+      id: Column,
+      vec: Column,
+      path: String,
+      m: Int,
+      sub: Int): Unit = {
+    val cb = batch.sparkSession.read.parquet(s"$path/codebook")
+    encode(batch, id, vec, cb, m, sub)
+      .write.mode("append").parquet(s"$path/codes")
+  }
+
   /** ADC probe of a persisted PQ index: per (query, subspace, code) partial
     * distances form a broadcast O(Q·m·K) lookup table; the code table joins
     * it map-side and partial-aggregates to Q·N pair distances; top-k per

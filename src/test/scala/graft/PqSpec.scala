@@ -80,6 +80,28 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
     assert(got.map(t => (t._1, t._2)).toSeq == Seq((0L, 2L), (1L, 3L)))
   }
 
+  test("appendToIndex equals re-encoding the union under the frozen codebook") {
+    val idx1 = java.nio.file.Files.createTempDirectory("pqinc1").toString
+    Pq.buildIndex(twoGroups.filter(col("vec_id") < 4), col("vec_id"),
+      col("embedding"), s"$idx1/pq", m = 2, sub = 4, k = 2, iters = 2)
+    Pq.appendToIndex(twoGroups.filter(col("vec_id") >= 4), col("vec_id"),
+      col("embedding"), s"$idx1/pq", m = 2, sub = 4)
+    val got = Pq.adcProbe(twoGroups.filter(col("vec_id") < 2), col("vec_id"),
+      col("embedding"), s"$idx1/pq", k = 3, m = 2, sub = 4)
+      .orderBy("query_id", "rank").as[(Long, Long, Int, Long)].collect().toSeq
+    // rebuild comparator: same old-corpus codebook, whole corpus encoded at once
+    val cb = Pq.trainCodebook(twoGroups.filter(col("vec_id") < 4), col("vec_id"),
+      col("embedding"), m = 2, sub = 4, k = 2, iters = 2)
+    val idx2 = java.nio.file.Files.createTempDirectory("pqinc2").toString
+    cb.write.parquet(s"$idx2/pq/codebook")
+    Pq.encode(twoGroups, col("vec_id"), col("embedding"), cb, m = 2, sub = 4)
+      .write.parquet(s"$idx2/pq/codes")
+    val want = Pq.adcProbe(twoGroups.filter(col("vec_id") < 2), col("vec_id"),
+      col("embedding"), s"$idx2/pq", k = 3, m = 2, sub = 4)
+      .orderBy("query_id", "rank").as[(Long, Long, Int, Long)].collect().toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("encoding assigns every (vector, subspace) exactly one code in [0, k)") {
     val cb = Pq.trainCodebook(twoGroups, col("vec_id"), col("embedding"),
       m = 2, sub = 4, k = 2, iters = 1)
