@@ -472,11 +472,14 @@ object OracleSqlGen {
     * exact longs (sums < 2⁵³ keep the re-center division exact), so
     * training + index + probe pin end-to-end by hash.
     */
-  def annPqAdc(nQueries: Int, m: Int, sub: Int, k: Int, iters: Int, topK: Int,
-      trainMaxId: Long = Long.MaxValue): String = {
-    // trainMaxId < MaxValue mirrors the INCREMENTAL index: the codebook is
-    // trained on the old corpus (vec_id < trainMaxId) only, then the whole
-    // corpus (old + appended batch) is encoded under that frozen codebook
+  /** Shared PQ CTE chain (iv → sv → cb0..cbN → codes → lut), reused by the
+    * plain/incremental ADC oracles and the IVF-PQ composition. trainMaxId <
+    * MaxValue mirrors the INCREMENTAL index: the codebook is trained on the
+    * old corpus (vec_id < trainMaxId) only, then the whole corpus (old +
+    * appended batch) is encoded under that frozen codebook.
+    */
+  private def pqCtes(nQueries: Int, m: Int, sub: Int, k: Int, iters: Int,
+      trainMaxId: Long): String = {
     val trainWhere =
       if (trainMaxId == Long.MaxValue) "" else s" WHERE s.vec_id < $trainMaxId"
     def sqd(a: String, b: String) =
@@ -495,7 +498,7 @@ object OracleSqlGen {
         cb$i AS (SELECT c.subspace, c.code, coalesce(n.cent, c.cent) AS cent
                   FROM cb$p c LEFT JOIN n$i n USING (subspace, code))"""
     }.mkString(",\n        ")
-    s"""WITH iv AS (
+    s"""iv AS (
           SELECT vec_id,
             list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS iv
           FROM embeddings),
@@ -512,16 +515,58 @@ object OracleSqlGen {
            FROM sv s JOIN cb$iters c USING (subspace)) WHERE rn = 1),
         lut AS (SELECT q.vec_id AS query_id, c.subspace, c.code,
                   ${sqd("q.sv", "c.cent")} AS pd
-                FROM sv q JOIN cb$iters c USING (subspace) WHERE q.vec_id < $nQueries),
-        adc AS (SELECT l.query_id, n.vec_id AS neighbor_id, sum(l.pd) AS adc_dist
-                FROM codes n JOIN lut l ON l.subspace = n.subspace AND l.code = n.code
-                WHERE l.query_id != n.vec_id GROUP BY 1,2)
-        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+                FROM sv q JOIN cb$iters c USING (subspace) WHERE q.vec_id < $nQueries)"""
+  }
+
+  /** ADC top-k select over an `adc(query_id, neighbor_id, adc_dist)` CTE. */
+  private def adcTopKSelect(topK: Int): String =
+    s"""SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
                CAST(adc_dist AS BIGINT) AS adc_dist FROM (
           SELECT *, row_number() OVER (
             PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rank FROM adc)
         WHERE rank <= $topK ORDER BY query_id, rank"""
-  }
+
+  def annPqAdc(nQueries: Int, m: Int, sub: Int, k: Int, iters: Int, topK: Int,
+      trainMaxId: Long = Long.MaxValue): String =
+    s"""WITH ${pqCtes(nQueries, m, sub, k, iters, trainMaxId)},
+        adc AS (SELECT l.query_id, n.vec_id AS neighbor_id, sum(l.pd) AS adc_dist
+                FROM codes n JOIN lut l ON l.subspace = n.subspace AND l.code = n.code
+                WHERE l.query_id != n.vec_id GROUP BY 1,2)
+        ${adcTopKSelect(topK)}"""
+
+  /** Mirrors Pq.buildIvfPqIndex + ivfPqProbe: coarse cosine cells (the IVF
+    * oracle's assignment/probe CTEs) composed with the PQ training/encode/
+    * LUT chain; ADC scoring restricted to residents of probed cells.
+    */
+  def annIvfPq(nQueries: Int, nCentroids: Int, nprobe: Int, m: Int, sub: Int,
+      k: Int, iters: Int, topK: Int): String =
+    s"""WITH cent AS (
+          SELECT vec_id AS centroid_id, embedding AS centv FROM embeddings
+          WHERE vec_id < $nCentroids),
+        assigned AS (
+          SELECT vec_id, centroid_id FROM (
+            SELECT e.vec_id, cent.centroid_id,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY ${cosineSql("e.embedding", "centv")} DESC, centroid_id ASC) AS rn
+            FROM embeddings e, cent)
+          WHERE rn = 1),
+        probes AS (
+          SELECT query_id, centroid_id FROM (
+            SELECT q.vec_id AS query_id, cent.centroid_id,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY ${cosineSql("q.embedding", "centv")} DESC, centroid_id ASC) AS rn
+            FROM (SELECT * FROM embeddings WHERE vec_id < $nQueries) q, cent)
+          WHERE rn <= $nprobe),
+        ${pqCtes(nQueries, m, sub, k, iters, Long.MaxValue)},
+        adc AS (
+          SELECT l.query_id, n.vec_id AS neighbor_id, sum(l.pd) AS adc_dist
+          FROM codes n
+          JOIN assigned a ON a.vec_id = n.vec_id
+          JOIN probes p ON p.centroid_id = a.centroid_id
+          JOIN lut l ON l.query_id = p.query_id
+            AND l.subspace = n.subspace AND l.code = n.code
+          WHERE l.query_id != n.vec_id GROUP BY 1, 2)
+        ${adcTopKSelect(topK)}"""
 
   def annIvfAssign(nCentroids: Int): String =
     s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < $nCentroids),

@@ -167,6 +167,18 @@ object SparkEntry {
         s"$dir/pq", m = 8, sub = 8)
     }
 
+  /** IVF-PQ index (FAISS-style): coarse cells from the first 8 embeddings
+    * (matching the IVF index) × the PQ codebook; the code table is written
+    * partitionBy(centroid_id) so probes prune to nprobe cell directories.
+    */
+  private def ivfPqSetup(s: SparkSession, d: String): String =
+    Setup.dir(s"ivfpq_index:$d") { dir =>
+      val e = embeddings(s, d)
+      Pq.buildIvfPqIndex(e, e.filter(col("vec_id") < 8),
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        s"$dir/ivfpq", m = 8, sub = 8, k = 16, iters = 2)
+    }
+
   /** One deterministic synthetic WAV per doc (hand-rolled RIFF/PCM). */
   private def mmWavSetup(s: SparkSession, d: String): String =
     Setup.dir(s"mm_wav:$d") { dir =>
@@ -230,6 +242,7 @@ object SparkEntry {
     ivfIncSetup(s, d): Unit
     pqIndexSetup(s, d): Unit
     pqIncSetup(s, d): Unit
+    ivfPqSetup(s, d): Unit
     storeDiffSetup(s, d): Unit
   }
 
@@ -1012,6 +1025,18 @@ object SparkEntry {
       val e = embeddings(s, d)
       Pq.adcProbe(e.filter(col("vec_id") < 32), col("vec_id"), col("embedding"),
         s"${pqIncSetup(s, d)}/pq", k = 5, m = 8, sub = 8)
+        .orderBy("query_id", "rank")
+    }),
+
+    // IVF-PQ probe (the billion-scale composition): 2 of 8 coarse cells per
+    // query via the broadcast centroid table, a partition-pruned read of
+    // exactly those cell directories, ADC scoring of resident codes — the
+    // candidate set shrinks ~4× AND each candidate costs O(m) integer
+    // lookups instead of a 64-dim float cosine; raw vectors untouched.
+    "ann_ivfpq" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Pq.ivfPqProbe(e.filter(col("vec_id") < 32), col("vec_id"), col("embedding"),
+        s"${ivfPqSetup(s, d)}/ivfpq", k = 5, nprobe = 2, m = 8, sub = 8)
         .orderBy("query_id", "rank")
     }),
 
@@ -2707,6 +2732,7 @@ object SparkEntry {
     "ann_quantized_topk" -> OracleSqlGen.annQuantizedTopK(32, 5),
     "ann_pq_adc" -> OracleSqlGen.annPqAdc(32, 8, 8, 16, 2, 5),
     "ann_pq_incremental" -> OracleSqlGen.annPqAdc(32, 8, 8, 16, 2, 5, trainMaxId = 400L),
+    "ann_ivfpq" -> OracleSqlGen.annIvfPq(32, 8, 2, 8, 8, 16, 2, 5),
     "ann_lsh_topk" -> OracleSqlGen.annLshTopK(32, 5, 4, 4),
     "ann_ivf_assign" -> OracleSqlGen.annIvfAssign(8),
     "ann_ivf_topk" -> OracleSqlGen.annIvfTopK(32, 8, 5, 2),

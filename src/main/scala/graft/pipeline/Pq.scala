@@ -172,6 +172,85 @@ object Pq {
       .write.mode("append").parquet(s"$path/codes")
   }
 
+  /** IVF-PQ index build — the flagship billion-scale ANN layout (FAISS's
+    * IVFPQ architecture: coarse inverted-file cells × product-quantized
+    * residents): every corpus vector is assigned its nearest coarse
+    * centroid (cosine, as the IVF index) AND its PQ codes, and the code
+    * table is written `partitionBy(centroid_id)` — a probe reads only the
+    * nprobe probed cell directories and scores them from codes alone. The
+    * corpus raw vectors appear in NO index file: cells + codes are the
+    * entire probe-side state (32× smaller than the vectors).
+    */
+  def buildIvfPqIndex(
+      corpus: DataFrame,
+      centroids: DataFrame,
+      cId: Column,
+      cVec: Column,
+      centId: Column,
+      centVec: Column,
+      path: String,
+      m: Int,
+      sub: Int,
+      k: Int,
+      iters: Int): Unit = {
+    val cb = trainCodebook(corpus, cId, cVec, m, sub, k, iters)
+    cb.write.mode("overwrite").parquet(s"$path/codebook")
+    centroids.select(centId.as("centroid_id"), centVec.as("centv"))
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    val cells = Similarity.assignToCentroids(
+      Dedup.spread(corpus), cId, cVec, centroids, centId, centVec)
+    encode(corpus, cId, cVec, cb, m, sub)
+      .join(cells, "vec_id")
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$path/codes")
+  }
+
+  /** IVF-PQ probe: nprobe coarse cells per query (cosine against the
+    * broadcast O(centroids) table), a partition-PRUNED read of exactly
+    * those cell directories, then ADC scoring of the resident codes via
+    * the broadcast lookup table — candidate set ≈ nprobe/num_centroids of
+    * the corpus, per-candidate cost O(m) lookups, raw vectors untouched.
+    */
+  def ivfPqProbe(
+      queries: DataFrame,
+      qId: Column,
+      qVec: Column,
+      indexPath: String,
+      k: Int,
+      nprobe: Int,
+      m: Int,
+      sub: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val cb = spark.read.parquet(s"$indexPath/codebook")
+    val cent = broadcast(spark.read.parquet(s"$indexPath/centroids"))
+    val wq = Window.partitionBy("query_id").orderBy(desc("csim"), asc("centroid_id"))
+    val probes = queries.select(qId.as("query_id"), qVec.as("qv"))
+      .crossJoin(cent)
+      .withColumn("csim", Similarity.cosine(col("qv"), col("centv")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nprobe)
+      .select("query_id", "centroid_id")
+      .localCheckpoint(false) // cells collected AND joined: compute once
+    val cells = probes.select("centroid_id").distinct()
+      .collect().map(_.get(0)).toSeq // O(centroids) driver hop, as ivfProbeIndex
+    val codes = spark.read.parquet(s"$indexPath/codes")
+      .filter(col("centroid_id").isInCollection(cells)) // partition-pruned scan
+    val qsv = subvectors(queries, qId, qVec, m, sub)
+      .withColumnRenamed("vec_id", "query_id").withColumnRenamed("sv", "qsv")
+    val lut = broadcast(
+      qsv.join(cb, "subspace")
+        .select(col("query_id"), col("subspace"), col("code"),
+          sqDistL(col("qsv"), col("cent")).as("pd")))
+    val w = Window.partitionBy("query_id").orderBy(asc("adc_dist"), asc("neighbor_id"))
+    codes.join(broadcast(probes), Seq("centroid_id"))
+      .join(lut, Seq("query_id", "subspace", "code"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum("pd").as("adc_dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "adc_dist")
+  }
+
   /** ADC probe of a persisted PQ index: per (query, subspace, code) partial
     * distances form a broadcast O(Q·m·K) lookup table; the code table joins
     * it map-side and partial-aggregates to Q·N pair distances; top-k per

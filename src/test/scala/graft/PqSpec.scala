@@ -102,6 +102,25 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want && got.nonEmpty)
   }
 
+  test("ivfPqProbe with every cell probed equals the plain ADC probe") {
+    // nprobe = nCentroids ⇒ no candidate ever pruned; the composition must
+    // then reduce exactly to adcProbe over the same codebook
+    val flat = java.nio.file.Files.createTempDirectory("pqflat").toString
+    Pq.buildIndex(twoGroups, col("vec_id"), col("embedding"), s"$flat/pq",
+      m = 2, sub = 4, k = 2, iters = 2)
+    val ivfpq = java.nio.file.Files.createTempDirectory("pqivf").toString
+    Pq.buildIvfPqIndex(twoGroups, twoGroups.filter(col("vec_id") < 2),
+      col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+      s"$ivfpq/ivfpq", m = 2, sub = 4, k = 2, iters = 2)
+    val want = Pq.adcProbe(twoGroups.filter(col("vec_id") < 2), col("vec_id"),
+      col("embedding"), s"$flat/pq", k = 3, m = 2, sub = 4)
+      .orderBy("query_id", "rank").as[(Long, Long, Int, Long)].collect().toSeq
+    val got = Pq.ivfPqProbe(twoGroups.filter(col("vec_id") < 2), col("vec_id"),
+      col("embedding"), s"$ivfpq/ivfpq", k = 3, nprobe = 2, m = 2, sub = 4)
+      .orderBy("query_id", "rank").as[(Long, Long, Int, Long)].collect().toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("encoding assigns every (vector, subspace) exactly one code in [0, k)") {
     val cb = Pq.trainCodebook(twoGroups, col("vec_id"), col("embedding"),
       m = 2, sub = 4, k = 2, iters = 1)
