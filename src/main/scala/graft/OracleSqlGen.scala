@@ -418,6 +418,43 @@ object OracleSqlGen {
         SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
         FROM r WHERE rank <= $k ORDER BY query_id, rank"""
 
+  /** Mirrors the PQ recall@k evaluation: the exact brute-force top-k and
+    * the PQ/ADC top-k (both deterministic) joined per query — n_common is
+    * the intersection size, recall its /k fraction. An index-quality
+    * measurement that is itself hash-pinned, because both rankings are.
+    */
+  def annPqRecall(nQueries: Int, m: Int, sub: Int, k: Int, iters: Int,
+      topK: Int): String =
+    s"""WITH qx AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+                    WHERE vec_id < $nQueries),
+        cx AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+        sx AS (
+          SELECT query_id, neighbor_id, ${cosineSql("qv", "cv")} AS cosine
+          FROM qx, cx WHERE query_id <> neighbor_id),
+        exact AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM sx) WHERE rank <= $topK),
+        ${pqCtes(nQueries, m, sub, k, iters, Long.MaxValue)},
+        adc AS (SELECT l.query_id, n.vec_id AS neighbor_id, sum(l.pd) AS adc_dist
+                FROM codes n JOIN lut l ON l.subspace = n.subspace AND l.code = n.code
+                WHERE l.query_id != n.vec_id GROUP BY 1,2),
+        pq AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY adc_dist, neighbor_id) AS rank FROM adc)
+          WHERE rank <= $topK),
+        common AS (
+          SELECT query_id, count(*) AS n_common
+          FROM exact JOIN pq USING (query_id, neighbor_id) GROUP BY query_id)
+        SELECT q.query_id, CAST(coalesce(c.n_common, 0) AS BIGINT) AS n_common,
+               CAST(coalesce(c.n_common, 0) AS DOUBLE) / $topK AS recall
+        FROM (SELECT DISTINCT query_id FROM exact) q
+        LEFT JOIN common c USING (query_id) ORDER BY q.query_id"""
+
   def annTopK(nQueries: Int, k: Int): String =
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < $nQueries),
         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),

@@ -1040,6 +1040,33 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Index-quality evaluation: recall@5 of the PQ/ADC probe against exact
+    // brute-force cosine, per query. Both rankings are deterministic, so
+    // the MEASUREMENT itself is hash-pinned — quality regressions in the
+    // compressed index show up as a correctness diff, not a vibe.
+    // Measured ~0.2-0.3 here: the synthetic embeddings are near-random, the
+    // hardest case for 32× PQ compression (real embedding corpora cluster,
+    // where PQ recall is far higher) — the low value is the honest reading,
+    // and exactly what this query exists to surface.
+    "ann_pq_recall" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val q = e.filter(col("vec_id") < 32)
+      val exact = Similarity.bruteForceTopK(q, e,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), k = 5)
+        .select("query_id", "neighbor_id")
+      val pq = Pq.adcProbe(q, col("vec_id"), col("embedding"),
+        s"${pqIndexSetup(s, d)}/pq", k = 5, m = 8, sub = 8)
+        .select("query_id", "neighbor_id")
+      val common = exact.join(pq, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_common"))
+      exact.select("query_id").distinct()
+        .join(common, Seq("query_id"), "left")
+        .na.fill(0L, Seq("n_common"))
+        .select(col("query_id"), col("n_common"),
+          (col("n_common").cast("double") / lit(5.0)).as("recall"))
+        .orderBy("query_id")
+    }),
+
     "ann_lsh_topk" -> ((s, d) => {
       val e = embeddings(s, d)
       Similarity.lshTopK(
@@ -2733,6 +2760,7 @@ object SparkEntry {
     "ann_pq_adc" -> OracleSqlGen.annPqAdc(32, 8, 8, 16, 2, 5),
     "ann_pq_incremental" -> OracleSqlGen.annPqAdc(32, 8, 8, 16, 2, 5, trainMaxId = 400L),
     "ann_ivfpq" -> OracleSqlGen.annIvfPq(32, 8, 2, 8, 8, 16, 2, 5),
+    "ann_pq_recall" -> OracleSqlGen.annPqRecall(32, 8, 8, 16, 2, 5),
     "ann_lsh_topk" -> OracleSqlGen.annLshTopK(32, 5, 4, 4),
     "ann_ivf_assign" -> OracleSqlGen.annIvfAssign(8),
     "ann_ivf_topk" -> OracleSqlGen.annIvfTopK(32, 8, 5, 2),
