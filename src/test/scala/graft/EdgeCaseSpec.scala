@@ -81,4 +81,37 @@ class EdgeCaseSpec extends AnyFunSuite with SparkTestBase {
     assert(out.columns.contains("split"))
     assert(out.count() == 0)
   }
+
+  test("labelPropagation: empty edges give empty labels; isolated edge keeps both endpoints") {
+    assert(GraphAnalytics.labelPropagation(noEdges, rounds = 2).count() == 0)
+    val one = GraphAnalytics.labelPropagation(Seq((5L, 9L)).toDF("u", "v"), rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    // each endpoint's only neighbor label oscillates to the other's — after
+    // an even round count both carry their own start label again… except
+    // round 1 swaps (5→9, 9→5) and round 2 swaps back
+    assert(one == Map(5L -> 5L, 9L -> 9L))
+  }
+
+  test("personalizedPageRankInt: empty edges give an empty frame (no reachable mass)") {
+    val e = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(GraphAnalytics.personalizedPageRankInt(e, Seq(1L), iters = 2).count() == 0)
+  }
+
+  test("temperatureFlatten: empty frame returns empty; single group keeps everything") {
+    val empty = Seq.empty[(Long, String)].toDF("id", "g")
+    assert(Splits.temperatureFlatten(empty, col("g"), col("id")).count() == 0)
+    val single = (1 to 50).map(i => (i.toLong, "only")).toDF("id", "g")
+    assert(Splits.temperatureFlatten(single, col("g"), col("id")).count() == 50)
+  }
+
+  test("duplicatedSpanStats: empty corpus is empty; all-sub-k corpus is all-zero") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.pipeline.TextAnalysis.duplicatedSpanStats(
+      empty, col("doc_id"), col("text"), k = 8).count() == 0)
+    val shorts = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    val out = graft.pipeline.TextAnalysis.duplicatedSpanStats(
+      shorts, col("doc_id"), col("text"), k = 8)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(out == Seq((1L, 2L, 0L, 0.0), (2L, 2L, 0L, 0.0)))
+  }
 }
