@@ -121,6 +121,24 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want && got.nonEmpty)
   }
 
+  test("ivfPq code table prunes the scan to the probed cell's directory") {
+    val dir = java.nio.file.Files.createTempDirectory("pqprune").toString
+    Pq.buildIvfPqIndex(twoGroups, twoGroups.filter(col("vec_id") < 2),
+      col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+      s"$dir/ivfpq", m = 2, sub = 4, k = 2, iters = 1)
+    val oneCell = spark.read.parquet(s"$dir/ivfpq/codes")
+      .filter(col("centroid_id") === 0)
+    assert(oneCell.collect().nonEmpty)
+    val scan = oneCell.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.metadata("PartitionFilters").contains("centroid_id"),
+      s"no partition filter pushed: ${scan.metadata("PartitionFilters")}")
+    val total = spark.read.parquet(s"$dir/ivfpq/codes").inputFiles.length
+    assert(scan.metrics("numFiles").value < total,
+      s"scanned ${scan.metrics("numFiles").value} of $total files - no pruning")
+  }
+
   test("encoding assigns every (vector, subspace) exactly one code in [0, k)") {
     val cb = Pq.trainCodebook(twoGroups, col("vec_id"), col("embedding"),
       m = 2, sub = 4, k = 2, iters = 1)
