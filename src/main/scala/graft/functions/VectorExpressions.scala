@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.{Bridge, FloatArrayBinaryInputs}
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
 
 /** Native Catalyst expression for cosine similarity over `array<float>`.
   *
@@ -354,6 +354,85 @@ case class ShinglesExpr(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Nearest-PQ-centroid code: argmin over a per-subspace codebook array of
+  * exact squared-L2 distances between fixed-point long vectors, ties to the
+  * FIRST entry (the codebook array is sorted by code, so ties go to the
+  * smallest code — the Pq training/encoding contract).
+  *
+  * Why not `aggregate(...)` with a struct accumulator: PQ encoding runs this
+  * argmin once per (corpus row × subspace) against K centroids — the index-
+  * build hot loop — and higher-order functions evaluate interpreted. This is
+  * the same fused-loop upgrade IntDotExpr applies to quantized scoring; the
+  * numeric contract (exact longs, strict `<`) is identical to the fold, so
+  * results are bit-equal (spec-pinned).
+  */
+case class PqArgminExpr(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.graftbridge.PqArgminInputs {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "pq_argmin"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val sv = a.asInstanceOf[ArrayData]
+    val cb = b.asInstanceOf[ArrayData]
+    var best = Long.MaxValue
+    var bestCode = Int.MaxValue
+    var i = 0
+    while (i < cb.numElements()) {
+      val st = cb.getStruct(i, 2)
+      val code = st.getInt(0)
+      val cent = st.getArray(1)
+      val n = math.min(sv.numElements(), cent.numElements())
+      var d = 0L
+      var j = 0
+      while (j < n) {
+        val t = sv.getLong(j) - cent.getLong(j)
+        d += t * t
+        j += 1
+      }
+      if (d < best) { best = d; bestCode = code }
+      i += 1
+    }
+    bestCode
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val best = ctx.freshName("best")
+      val bestCode = ctx.freshName("bestCode")
+      val st = ctx.freshName("st")
+      val code = ctx.freshName("code")
+      val cent = ctx.freshName("cent")
+      val d = ctx.freshName("d")
+      val t = ctx.freshName("t")
+      s"""
+        long $best = Long.MAX_VALUE;
+        int $bestCode = Integer.MAX_VALUE;
+        for (int $i = 0; $i < $b.numElements(); $i++) {
+          InternalRow $st = $b.getStruct($i, 2);
+          int $code = $st.getInt(0);
+          ArrayData $cent = $st.getArray(1);
+          int $n = Math.min($a.numElements(), $cent.numElements());
+          long $d = 0L;
+          for (int $j = 0; $j < $n; $j++) {
+            long $t = $a.getLong($j) - $cent.getLong($j);
+            $d += $t * $t;
+          }
+          if ($d < $best) { $best = $d; $bestCode = $code; }
+        }
+        ${ev.value} = $bestCode;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Column API: codegen'd cosine similarity. */
   def cosineSim(a: Column, b: Column): Column =
@@ -366,6 +445,12 @@ object VectorFunctions {
   /** Column API: exact integer dot product of two int8 code vectors (bigint). */
   def intDot(a: Column, b: Column): Column =
     Bridge.column(IntDotExpr(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column API: nearest-PQ-centroid code (int) for a fixed-point subvector
+    * against a code-sorted codebook array.
+    */
+  def pqArgmin(sv: Column, cb: Column): Column =
+    Bridge.column(PqArgminExpr(Bridge.expression(sv), Bridge.expression(cb)))
 
   /** Column API: all band sign-buckets of a float vector (array<int>). */
   def signBuckets(vec: Column, bands: Int, planesPerBand: Int, dims: Int = 64): Column =

@@ -46,7 +46,7 @@ object Pq {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
 
   /** (vec_id, subspace, sv): the `m` fixed-point subvectors of each row. */
-  private[pipeline] def subvectors(
+  private[graft] def subvectors(
       df: DataFrame, id: Column, vec: Column, m: Int, sub: Int): DataFrame =
     df.select(id.as("vec_id"), intVec(vec).as("iv"))
       .select(col("vec_id"),
@@ -54,11 +54,20 @@ object Pq {
           s => slice(col("iv"), s * lit(sub) + lit(1), lit(sub)))))
       .select(col("vec_id"), col("pos").as("subspace"), col("col").as("sv"))
 
-  /** Nearest-centroid code via a fold over the broadcast per-subspace
-    * codebook array (sorted by code, strict `<` keeps the smallest code on
-    * ties). Map-side — no shuffle, no K× fanout.
+  /** Nearest-centroid code against the broadcast per-subspace codebook
+    * array (sorted by code, strict `<` keeps the smallest code on ties).
+    * Map-side — no shuffle, no K× fanout — and codegen'd (PqArgminExpr's
+    * fused loop): encoding is the index-build hot path, once per
+    * (corpus row × subspace), where an interpreted HOF fold would drop the
+    * stage out of whole-stage codegen.
     */
-  private def argminCode(sv: Column, cb: Column): Column = {
+  private def argminCode(sv: Column, cb: Column): Column =
+    graft.functions.VectorFunctions.pqArgmin(sv, cb)
+
+  /** Pure-builtin fold twin of [[argminCode]] — same exact-long arithmetic
+    * and tiebreak, kept for spec cross-checking the native expression.
+    */
+  private[graft] def argminCodeFold(sv: Column, cb: Column): Column = {
     val init = struct(lit(Long.MaxValue).as("d"), lit(Int.MaxValue).as("c"))
     aggregate(cb, init, (acc, e) => {
       val d = sqDistL(sv, e.getField("cent"))

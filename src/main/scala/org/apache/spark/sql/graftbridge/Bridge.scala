@@ -57,3 +57,16 @@ trait DoubleUnaryInput
   override def inputTypes: Seq[AbstractDataType] =
     Seq(org.apache.spark.sql.types.DoubleType)
 }
+
+/** Input-type contract `(array<bigint>, array<struct<code int, cent
+  * array<bigint>>>)` for the PQ nearest-centroid argmin expression.
+  */
+trait PqArgminInputs extends ExpectsInputTypes { self: Expression =>
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.LongType),
+      ArrayType(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("code",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("cent",
+          ArrayType(org.apache.spark.sql.types.LongType))))))
+}

@@ -139,6 +139,20 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
       s"scanned ${scan.metrics("numFiles").value} of $total files - no pruning")
   }
 
+  test("codegen'd pq_argmin equals the builtin fold twin on every (vector, subspace)") {
+    val cb = Pq.trainCodebook(twoGroups, col("vec_id"), col("embedding"),
+      m = 2, sub = 4, k = 2, iters = 2)
+    val cbArr = cb.groupBy("subspace")
+      .agg(sort_array(collect_list(struct(col("code"), col("cent")))).as("cb"))
+    val sv = Pq.subvectors(twoGroups, col("vec_id"), col("embedding"), m = 2, sub = 4)
+      .join(broadcast(cbArr), "subspace")
+    val both = sv.select(col("vec_id"), col("subspace"),
+        graft.functions.VectorFunctions.pqArgmin(col("sv"), col("cb")).as("expr"),
+        Pq.argminCodeFold(col("sv"), col("cb")).as("fold"))
+      .as[(Long, Int, Int, Int)].collect().toSeq
+    assert(both.nonEmpty && both.forall(r => r._3 == r._4))
+  }
+
   test("encoding assigns every (vector, subspace) exactly one code in [0, k)") {
     val cb = Pq.trainCodebook(twoGroups, col("vec_id"), col("embedding"),
       m = 2, sub = 4, k = 2, iters = 1)
