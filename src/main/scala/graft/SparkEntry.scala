@@ -2397,6 +2397,21 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // Persisted mergeable QUANTILE summary (rows-only, the q_hll_rollup
+    // contract: sketch estimates are algorithm/merge-order specific): daily
+    // per-event-type KLL sketches of `value`, merged to event_type, then
+    // p50/p95/p99 — the percentile rollup a summary table answers without
+    // rescanning the fact stream. SketchSummarySpec bands the estimates
+    // against exact percentiles and pins merged ≈ direct.
+    "q_kll_rollup" -> ((s, d) => {
+      val e = events(s, d).withColumn("day", to_date(col("ts")))
+      val summary = graft.pipeline.Profile.kllSummary(
+        e, Seq("event_type", "day"), "value")
+      graft.pipeline.Profile.kllQuantiles(
+        summary, Seq("event_type"), "value", Seq(0.5, 0.95, 0.99))
+        .orderBy("event_type")
+    }),
+
     // SCD-2-style status spans: collapse each user's event stream to runs of
     // equal event_type (lag ≠ current ⇒ new span), close each span at the
     // next change (lead), then aggregate span counts and total seconds per

@@ -62,4 +62,31 @@ object Profile {
     summary.groupBy(groupCols.map(col): _*)
       .agg(hll_sketch_estimate(hll_union_agg(col(s"hll_$valueCol")))
         .as(s"n_distinct_$valueCol"))
+
+  /** PERSISTED mergeable QUANTILE summary — the KLL companion to
+    * [[hllSummary]]: one Datasketches KLL sketch (binary) per grain key.
+    * Spark's `approx_percentile` sketch lives only inside one aggregation;
+    * these survive as data, and union-merging them (coarser group-bys,
+    * appended batches) keeps the ~1.65% normalized-rank-error guarantee at
+    * k=200 — the rollup pattern for percentiles, which plain sums cannot
+    * express (quantiles are not algebraic; the sketch makes them mergeable).
+    */
+  def kllSummary(df: DataFrame, dims: Seq[String], valueCol: String,
+      k: Int = 200): DataFrame =
+    df.groupBy(dims.map(col): _*)
+      .agg(graft.functions.KllFunctions.kllSketch(col(valueCol), k)
+        .as(s"kll_$valueCol"))
+
+  /** Merge the summary to `groupCols` (⊆ build dims) and estimate the given
+    * quantile ranks as columns `p50`, `p95`, ….
+    */
+  def kllQuantiles(summary: DataFrame, groupCols: Seq[String], valueCol: String,
+      qs: Seq[Double], k: Int = 200): DataFrame = {
+    val merged = summary.groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.KllFunctions.kllMerge(col(s"kll_$valueCol"), k).as("_sk"))
+    qs.foldLeft(merged) { (d, q) =>
+      d.withColumn(s"p${math.round(q * 100)}",
+        graft.functions.KllFunctions.kllQuantile(col("_sk"), q))
+    }.drop("_sk")
+  }
 }

@@ -112,4 +112,28 @@ class SketchSummarySpec extends AnyFunSuite with SparkTestBase {
       .limit(5).as[(String, Long)].collect().toMap
     assert(approx == exact)
   }
+
+  test("KLL summary: quantile estimates land within the rank-error band of exact") {
+    // 10k uniform values: value ≈ rank, so a ±ε rank error is a ±ε·10000
+    // value error; k=200's 99%-confidence band is ~1.65% — assert a loose 5%
+    val df = (0 until 10000).map(i => (i % 4, i.toDouble)).toDF("g", "v")
+    val est = Profile.kllQuantiles(
+      Profile.kllSummary(df, Seq("g"), "v"), Seq.empty, "v", Seq(0.5, 0.95))
+      .select("p50", "p95").as[(Double, Double)].head()
+    assert(math.abs(est._1 - 5000.0) < 500, s"p50 ${est._1}")
+    assert(math.abs(est._2 - 9500.0) < 500, s"p95 ${est._2}")
+  }
+
+  test("KLL summary: merging per-group sketches ≈ one direct sketch over the union") {
+    val df = (0 until 8000).map(i => (i % 8, (i * 37 % 8000).toDouble)).toDF("g", "v")
+    val merged = Profile.kllQuantiles(
+      Profile.kllSummary(df, Seq("g"), "v"), Seq.empty, "v", Seq(0.5))
+      .select("p50").as[Double].head()
+    val direct = Profile.kllQuantiles(
+      Profile.kllSummary(df, Seq.empty, "v"), Seq.empty, "v", Seq(0.5))
+      .select("p50").as[Double].head()
+    // both within the band of the true median (3999/4000)
+    assert(math.abs(merged - 4000.0) < 400, s"merged p50 $merged")
+    assert(math.abs(direct - 4000.0) < 400, s"direct p50 $direct")
+  }
 }
