@@ -59,20 +59,43 @@ object OracleSqlGen {
     * positions inside any duplicated window. Counts are exact integers; the
     * final ratio is one int/int double division — engine-identical.
     */
-  def dedupSpanStats(k: Int): String =
-    s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
-        n AS (SELECT doc_id, len(toks) AS n_tokens FROM t),
+  /** Shared duplicated-span CTE chain (tokens → positioned k-grams →
+    * corpus-duplicated shingles → covered positions), reused by the stats
+    * and removal oracles.
+    */
+  private def spanCtes(k: Int): String =
+    s"""t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
         sp0 AS (SELECT doc_id, unnest(list_transform(range(len(toks)-$k+1),
                   i -> {'i': i, 'sh': concat_ws(' ', list_slice(toks, i+1, i+$k))})) AS u FROM t),
         sp AS (SELECT doc_id, u.i AS i, u.sh AS sh FROM sp0),
         dup AS (SELECT sh FROM sp GROUP BY sh HAVING count(*) >= 2),
         cov AS (SELECT DISTINCT doc_id, i + j.range AS pos
-                FROM sp JOIN dup USING (sh) CROSS JOIN range($k) j),
+                FROM sp JOIN dup USING (sh) CROSS JOIN range($k) j)"""
+
+  def dedupSpanStats(k: Int): String =
+    s"""WITH ${spanCtes(k)},
+        n AS (SELECT doc_id, len(toks) AS n_tokens FROM t),
         cnt AS (SELECT doc_id, count(*) AS dup_tokens FROM cov GROUP BY doc_id)
         SELECT n.doc_id, CAST(n.n_tokens AS BIGINT) AS n_tokens,
                CAST(coalesce(c.dup_tokens,0) AS BIGINT) AS dup_tokens,
                CAST(coalesce(c.dup_tokens,0) AS DOUBLE)/CAST(n.n_tokens AS DOUBLE) AS dup_ratio
         FROM n LEFT JOIN cnt c USING (doc_id) ORDER BY doc_id"""
+
+  /** Mirrors TextAnalysis.removeDuplicatedSpans: kept tokens re-assembled
+    * in position order; fully-duplicated docs keep an empty string.
+    */
+  def dedupSpanClean(k: Int): String =
+    s"""WITH ${spanCtes(k)},
+        tk AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM
+               (SELECT doc_id, unnest(list_transform(range(len(toks)),
+                  i -> {'pos': i, 'tok': toks[i+1]})) AS u FROM t)),
+        kept AS (SELECT tk.doc_id, count(*) AS n_kept,
+                        string_agg(tok, ' ' ORDER BY tk.pos) AS clean_text
+                 FROM tk LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.pos = cov.pos
+                 WHERE cov.pos IS NULL GROUP BY tk.doc_id)
+        SELECT t.doc_id, CAST(coalesce(k.n_kept,0) AS BIGINT) AS n_kept,
+               coalesce(k.clean_text, '') AS clean_text
+        FROM t LEFT JOIN kept k USING (doc_id) ORDER BY doc_id"""
 
   /** Mirrors Dedup.containment: asymmetric |∩|/|A| with unpruned
     * denominators and stop-shingle-pruned common counts, pair kept when

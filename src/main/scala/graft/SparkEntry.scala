@@ -853,6 +853,14 @@ object SparkEntry {
         col("text"), k = 8)
         .orderBy("doc_id")),
 
+    // The destructive completion of dedup_span_stats: the cleaned corpus
+    // with every corpus-duplicated 8-gram span cut out (conservative
+    // both-copies cut — the pipeline's actual output artifact).
+    "dedup_span_clean" -> ((s, d) =>
+      TextAnalysis.removeDuplicatedSpans(documents(s, d), col("doc_id"),
+        col("text"), k = 8)
+        .orderBy("doc_id")),
+
     "dedup_minhash" -> ((s, d) =>
       Dedup.minhashLsh(documents(s, d), col("doc_id"), col("text"),
         n = 3, bands = 8, rowsPerBand = 2)
@@ -2744,6 +2752,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> OracleSqlGen.ngramJaccard(3, 0.5, maxDocFreq = 8),
     "dedup_containment" -> OracleSqlGen.containment(3, 0.8, maxDocFreq = 8),
     "dedup_span_stats" -> OracleSqlGen.dedupSpanStats(8),
+    "dedup_span_clean" -> OracleSqlGen.dedupSpanClean(8),
     "dedup_minhash" -> OracleSqlGen.minhashLsh(3, 8, 2),
     "dedup_components" -> OracleSqlGen.minhashComponents(3, 8, 2),
     // incremental merge must equal the from-scratch closure — same oracle

@@ -228,6 +228,51 @@ object TextAnalysis {
         col("dup_tokens").cast("double") / col("n_tokens").cast("double"))
   }
 
+  /** Duplicated-span REMOVAL — the destructive completion of
+    * [[duplicatedSpanStats]]: emit each document's text with every token
+    * position covered by a corpus-duplicated k-gram window cut out (the
+    * conservative both-copies cut; the curation pipeline's cleaned-corpus
+    * output in the Lee et al. 2022 shape). Returns
+    * (doc_id, n_kept, clean_text); fully-duplicated docs keep the row with
+    * an empty string — the downstream filter decides their fate.
+    *
+    * Scale shape: identical to the stats pass (position-indexed k-grams,
+    * one co-partitioned exchange, k-bounded coverage fanout), plus one
+    * per-doc rebuild: kept tokens re-assemble via sort_array over
+    * (pos, token) structs — an O(doc length) in-memory sort per row, never
+    * a cross-row window.
+    */
+  def removeDuplicatedSpans(
+      docs: DataFrame, id: Column, text: Column, k: Int = 8): DataFrame = {
+    val toks = docs.select(id.as("doc_id"), tokens(text).as("toks"))
+      .withColumn("n_tokens", size(col("toks")))
+    val spans = toks.select(col("doc_id"), col("toks"),
+        explode(when(col("n_tokens") >= k,
+          sequence(lit(0), col("n_tokens") - lit(k)))
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .select(col("doc_id"), col("i"),
+        concat_ws(" ", slice(col("toks"), col("i") + 1, lit(k))).as("sh"))
+    val coPart = spans.repartition(col("sh"))
+    val dup = coPart.groupBy("sh").agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= 2).select("sh")
+    val cov = coPart.hint("shuffle_hash").join(dup, Seq("sh"))
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + lit(k - 1))).as("pos"))
+      .distinct()
+    val kept = toks
+      .select(col("doc_id"), posexplode(col("toks")))
+      .withColumnsRenamed(Map("pos" -> "pos", "col" -> "tok"))
+      .join(cov, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("pos"), col("tok")))),
+          p => p.getField("tok"))).as("clean_text"))
+    toks.select("doc_id")
+      .join(kept, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_kept")).na.fill("", Seq("clean_text"))
+  }
+
   /** Rolling-hash document fingerprint (winnowing-lite): the minimum md5 over
     * word 5-gram windows + the full-text md5. Two docs sharing the min-window
     * fingerprint almost surely share a 5-gram run — a cheap containment

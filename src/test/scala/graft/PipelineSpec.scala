@@ -638,5 +638,14 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       (2L, 10L, 8L, 0.8),
       (3L, 3L, 0L, 0.0),
       (4L, 9L, 9L, 1.0)))
+    // removal: the shared span is cut from BOTH docs, untouched docs pass
+    // through verbatim, a fully-covered doc keeps its row with empty text
+    val cleaned = TextAnalysis.removeDuplicatedSpans(docs, col("doc_id"), col("text"), k = 8)
+      .orderBy("doc_id").as[(Long, Long, String)].collect().toSeq
+    assert(cleaned == Seq(
+      (1L, 2L, "x y"),
+      (2L, 2L, "z w"),
+      (3L, 3L, "p q r"),
+      (4L, 0L, "")))
   }
 }
