@@ -599,7 +599,7 @@ object OracleSqlGen {
     * LUT chain; ADC scoring restricted to residents of probed cells.
     */
   def annIvfPq(nQueries: Int, nCentroids: Int, nprobe: Int, m: Int, sub: Int,
-      k: Int, iters: Int, topK: Int): String =
+      k: Int, iters: Int, topK: Int, trainMaxId: Long = Long.MaxValue): String =
     s"""WITH cent AS (
           SELECT vec_id AS centroid_id, embedding AS centv FROM embeddings
           WHERE vec_id < $nCentroids),
@@ -617,7 +617,7 @@ object OracleSqlGen {
                 ORDER BY ${cosineSql("q.embedding", "centv")} DESC, centroid_id ASC) AS rn
             FROM (SELECT * FROM embeddings WHERE vec_id < $nQueries) q, cent)
           WHERE rn <= $nprobe),
-        ${pqCtes(nQueries, m, sub, k, iters, Long.MaxValue)},
+        ${pqCtes(nQueries, m, sub, k, iters, trainMaxId)},
         adc AS (
           SELECT l.query_id, n.vec_id AS neighbor_id, sum(l.pd) AS adc_dist
           FROM codes n

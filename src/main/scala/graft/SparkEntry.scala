@@ -179,6 +179,20 @@ object SparkEntry {
         s"$dir/ivfpq", m = 8, sub = 8, k = 16, iters = 2)
     }
 
+  /** Incrementally-maintained IVF-PQ index: built on the old corpus
+    * (vec_id < 400, codebook trained there), then an O(batch) append of the
+    * rest under the frozen centroids + codebook.
+    */
+  private def ivfPqIncSetup(s: SparkSession, d: String): String =
+    Setup.dir(s"ivfpq_index_inc:$d") { dir =>
+      val e = embeddings(s, d)
+      Pq.buildIvfPqIndex(e.filter(col("vec_id") < 400), e.filter(col("vec_id") < 8),
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        s"$dir/ivfpq", m = 8, sub = 8, k = 16, iters = 2)
+      Pq.appendToIvfPqIndex(e.filter(col("vec_id") >= 400),
+        col("vec_id"), col("embedding"), s"$dir/ivfpq", m = 8, sub = 8)
+    }
+
   /** One deterministic synthetic WAV per doc (hand-rolled RIFF/PCM). */
   private def mmWavSetup(s: SparkSession, d: String): String =
     Setup.dir(s"mm_wav:$d") { dir =>
@@ -243,6 +257,7 @@ object SparkEntry {
     pqIndexSetup(s, d): Unit
     pqIncSetup(s, d): Unit
     ivfPqSetup(s, d): Unit
+    ivfPqIncSetup(s, d): Unit
     storeDiffSetup(s, d): Unit
   }
 
@@ -1073,6 +1088,16 @@ object SparkEntry {
         .select(col("query_id"), col("n_common"),
           (col("n_common").cast("double") / lit(5.0)).as("recall"))
         .orderBy("query_id")
+    }),
+
+    // Incremental-maintenance proof for the IVF-PQ index: base build on the
+    // old corpus, O(batch) append under the frozen centroids + codebook;
+    // oracle = from-scratch encode of the union under the same frozen state.
+    "ann_ivfpq_incremental" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Pq.ivfPqProbe(e.filter(col("vec_id") < 32), col("vec_id"), col("embedding"),
+        s"${ivfPqIncSetup(s, d)}/ivfpq", k = 5, nprobe = 2, m = 8, sub = 8)
+        .orderBy("query_id", "rank")
     }),
 
     "ann_lsh_topk" -> ((s, d) => {
@@ -2784,6 +2809,8 @@ object SparkEntry {
     "ann_pq_adc" -> OracleSqlGen.annPqAdc(32, 8, 8, 16, 2, 5),
     "ann_pq_incremental" -> OracleSqlGen.annPqAdc(32, 8, 8, 16, 2, 5, trainMaxId = 400L),
     "ann_ivfpq" -> OracleSqlGen.annIvfPq(32, 8, 2, 8, 8, 16, 2, 5),
+    "ann_ivfpq_incremental" -> OracleSqlGen.annIvfPq(32, 8, 2, 8, 8, 16, 2, 5,
+      trainMaxId = 400L),
     "ann_pq_recall" -> OracleSqlGen.annPqRecall(32, 8, 8, 16, 2, 5),
     "ann_lsh_topk" -> OracleSqlGen.annLshTopK(32, 5, 4, 4),
     "ann_ivf_assign" -> OracleSqlGen.annIvfAssign(8),

@@ -213,6 +213,32 @@ object Pq {
       .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$path/codes")
   }
 
+  /** Incremental IVF-PQ maintenance: assign ONLY the new batch to its
+    * coarse cells and PQ codes (both pure per-vector functions of the
+    * frozen centroid table and codebook) and append into the cell
+    * partition directories — O(batch) ingest, existing cells never re-read
+    * or rewritten. Probing the appended index is IDENTICAL to a
+    * from-scratch encode of the union under the same frozen state
+    * (oracle-pinned), the contract shared by the incremental IVF, PQ, and
+    * MinHash indexes.
+    */
+  def appendToIvfPqIndex(
+      batch: DataFrame,
+      cId: Column,
+      cVec: Column,
+      path: String,
+      m: Int,
+      sub: Int): Unit = {
+    val spark = batch.sparkSession
+    val cb = spark.read.parquet(s"$path/codebook")
+    val cent = spark.read.parquet(s"$path/centroids")
+    val cells = Similarity.assignToCentroids(
+      Dedup.spread(batch), cId, cVec, cent, col("centroid_id"), col("centv"))
+    encode(batch, cId, cVec, cb, m, sub)
+      .join(cells, "vec_id")
+      .write.mode("append").partitionBy("centroid_id").parquet(s"$path/codes")
+  }
+
   /** IVF-PQ probe: nprobe coarse cells per query (cosine against the
     * broadcast O(centroids) table), a partition-PRUNED read of exactly
     * those cell directories, then ADC scoring of the resident codes via
