@@ -2405,6 +2405,20 @@ object SparkEntry {
         .orderBy(desc("cosine"), asc("p1"), asc("p2")).limit(50)
     }),
 
+    // Resource-allocation link prediction over the order→part basket graph:
+    // graph_copurchase's common-neighbor count with each shared order
+    // down-weighted by its basket size (Σ 1/deg as exact floor(2^20/deg)
+    // integer contributions — order-independent sums, hash-stable). maxDeg
+    // drops hub baskets before the quadratic self-join; principled for RA
+    // because a hub's per-pair weight tends to zero anyway.
+    "graph_resource_alloc" -> ((s, d) => {
+      val lp = lineitem(s, d).select(
+        col("l_orderkey").as("u"), col("l_partkey").as("v"))
+      graft.operators.GraphAnalytics.resourceAllocation(lp, maxDeg = 64)
+        .filter(col("n_common") >= 2)
+        .orderBy(desc("ra_score"), asc("v1"), asc("v2")).limit(20)
+    }),
+
     // Per-node triangle counts on the co-purchase graph (parts co-ordered in
     // one order). Degree-ordered orientation caps oriented out-degree at
     // O(√|E|) — the hub guard that keeps the wedge join feasible at scale.
@@ -3443,6 +3457,19 @@ object SparkEntry {
            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
          GROUP BY 1, 2 HAVING count(*) >= 2
          ORDER BY n_orders DESC, p1, p2 LIMIT 20""",
+    "graph_resource_alloc" ->
+      """WITH e AS (SELECT DISTINCT l_orderkey AS u, l_partkey AS v FROM lineitem),
+         deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM e
+                 GROUP BY u HAVING count(*) <= 64),
+         ew AS (SELECT e.u, e.v, 1048576 // deg AS w FROM e JOIN deg USING (u)),
+         pr AS (
+           SELECT a.v AS v1, b.v AS v2,
+               CAST(sum(a.w) AS BIGINT) AS ra_score,
+               CAST(count(*) AS BIGINT) AS n_common
+           FROM ew a JOIN ew b ON a.u = b.u AND a.v < b.v
+           GROUP BY 1, 2)
+         SELECT v1, v2, ra_score, n_common FROM pr WHERE n_common >= 2
+         ORDER BY ra_score DESC, v1, v2 LIMIT 20""",
     "graph_item_sim" ->
       """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          deg AS (SELECT l_partkey AS p, CAST(count(*) AS BIGINT) AS deg

@@ -444,4 +444,40 @@ object GraphAnalytics {
     adj.unpersist(false)
     dist
   }
+
+  /** Resource-allocation link-prediction index (Zhou, Lü & Zhang,
+    * "Predicting missing links via local information", Eur. Phys. J. B 2009)
+    * over a bipartite graph (u = container/basket, v = item): for every item
+    * pair sharing at least one u, RA(v1,v2) = Σ_{u ∈ Γ(v1)∩Γ(v2)} 1/deg(u).
+    * The common-neighbor count of [[graph_copurchase]] weighted so that
+    * promiscuous baskets contribute less — the standard fix for
+    * popularity-biased co-occurrence.
+    *
+    * Numeric contract: each common u contributes the EXACT integer
+    * floor(scale / deg(u)); pair scores are integer sums, so they are
+    * partition/order/engine-independent (a 1.0/deg double sum would be
+    * order-dependent in the last mantissa bits). With scale = 2^20 a pair
+    * needs > 2^43 common neighbors to overflow the long sum — unreachable.
+    *
+    * Scale shape: `maxDeg` drops hub u's BEFORE the self-join — the
+    * quadratic-fanout guard (a u with n items emits n(n-1)/2 pair rows).
+    * Dropping hubs is principled for RA specifically: their per-pair weight
+    * scale/deg → 0, so the score mass lost is bounded by n·scale/maxDeg per
+    * hub. Remaining work is one shuffle on u (the self-join key), one
+    * map-side-combined sum on the pair key — no window, no driver state.
+    */
+  def resourceAllocation(
+      edges: DataFrame, maxDeg: Long = 256, scale: Long = 1L << 20): DataFrame = {
+    require(maxDeg >= 2 && scale > 0)
+    val e = edges.select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
+      .distinct()
+    val deg = e.groupBy("u").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") <= maxDeg)
+    // weight depends only on u, so compute it once per edge before the join
+    val ew = e.join(deg, "u").select(col("u"), col("v"), expr(s"$scale div deg").as("w"))
+    ew.as("a").join(ew.as("b"),
+        col("a.u") === col("b.u") && col("a.v") < col("b.v"))
+      .groupBy(col("a.v").as("v1"), col("b.v").as("v2"))
+      .agg(sum(col("a.w")).as("ra_score"), count(lit(1)).as("n_common"))
+  }
 }

@@ -220,4 +220,36 @@ class GraphAnalyticsSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Long)].collect().toMap
     assert(l1 == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 4L, 6L -> 4L))
   }
+
+  test("resourceAllocation: hand-computed 1/deg weights; hub cap drops baskets") {
+    // baskets: u=10 holds {1,2} (deg 2 → w = 2^20/2 = 524288),
+    //          u=11 holds {1,2,3} (deg 3 → w = 1048576/3 = 349525),
+    //          u=12 holds {2,3} (deg 2 → w = 524288)
+    val edges = Seq(
+      (10L, 1L), (10L, 2L),
+      (11L, 1L), (11L, 2L), (11L, 3L),
+      (12L, 2L), (12L, 3L)).toDF("u", "v")
+    val got = GraphAnalytics.resourceAllocation(edges)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (a, b, s2, n) => (a, b) -> ((s2, n)) }.toMap
+    assert(got == Map(
+      (1L, 2L) -> ((524288L + 349525L, 2L)),
+      (1L, 3L) -> ((349525L, 1L)),
+      (2L, 3L) -> ((349525L + 524288L, 2L))))
+    // maxDeg = 2 drops basket 11 entirely: pair (1,3) disappears, the
+    // remaining pairs keep only their deg-2 contributions
+    val capped = GraphAnalytics.resourceAllocation(edges, maxDeg = 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (a, b, s2, n) => (a, b) -> ((s2, n)) }.toMap
+    assert(capped == Map(
+      (1L, 2L) -> ((524288L, 1L)),
+      (2L, 3L) -> ((524288L, 1L))))
+    // duplicate edges collapse before weighting (distinct), so a repeated
+    // (basket, item) row cannot double-count
+    val dup = edges.union(Seq((10L, 1L)).toDF("u", "v"))
+    val got2 = GraphAnalytics.resourceAllocation(dup)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (a, b, s2, n) => (a, b) -> ((s2, n)) }.toMap
+    assert(got2 == got)
+  }
 }
