@@ -630,6 +630,33 @@ object SparkEntry {
           col("low"), col("high"), col("n"))
         .orderBy("bar")),
 
+    // Bar TWAP: per (event_type, day), each observation holds its value
+    // until the next one (or the bar's end — the standard last-value-carried
+    // TWAP bar). Durations are exact µs longs; value·duration accumulates
+    // in decimal, so the weighted sums are order-independent and the final
+    // double division is the only float op (same expression both engines).
+    // The window partitions on (type, day) — parallelism grows with the
+    // time range, never a global sort. Ties on ts break by event_id (the
+    // tied observation gets duration 0 — deterministic either way).
+    "events_twap" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, d).select(
+        col("event_type"), col("event_id"), dec(col("value")).as("v"),
+        to_date(col("ts")).as("day"), unix_micros(col("ts")).as("us"))
+      val w = Window.partitionBy("event_type", "day").orderBy("us", "event_id")
+      val barEnd = unix_micros(
+        (col("day") + expr("INTERVAL 1 DAY")).cast("timestamp"))
+      e.withColumn("dur",
+          coalesce(lead(col("us"), 1).over(w), barEnd) - col("us"))
+        .groupBy("event_type", "day")
+        .agg(
+          (sum(col("v") * col("dur").cast(DecimalType(18, 0))).cast("double") /
+            sum(col("dur")).cast("double")).as("twap"),
+          sum(col("dur")).as("total_us"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type", "day")
+    }),
+
     // Per-dimension embedding stats (feature-normalization input): explode
     // with position, aggregate FIXED-POINT µ-scaled integers — floor(x·1e6)
     // of the exact float→double widening — so the sums are
@@ -3585,6 +3612,24 @@ object SparkEntry {
              CAST(min(v) AS DOUBLE) AS low, CAST(max(v) AS DOUBLE) AS high,
              CAST(count(*) AS BIGINT) AS n
          FROM r GROUP BY bar ORDER BY bar""",
+    "events_twap" ->
+      """WITH e AS (
+           SELECT event_type, event_id, CAST(value AS DECIMAL(18,2)) AS v,
+               CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+           FROM events),
+         w AS (
+           SELECT event_type, day, v,
+               coalesce(
+                 lead(us) OVER (PARTITION BY event_type, day ORDER BY us, event_id),
+                 epoch_us(CAST(day + INTERVAL 1 DAY AS TIMESTAMP))) - us AS dur
+           FROM e)
+         SELECT event_type, day,
+             CAST(sum(v * CAST(dur AS DECIMAL(18,0))) AS DOUBLE)
+               / CAST(sum(dur) AS DOUBLE) AS twap,
+             CAST(sum(dur) AS BIGINT) AS total_us,
+             CAST(count(*) AS BIGINT) AS n
+         FROM w GROUP BY 1, 2 ORDER BY 1, 2""",
     // Spark posexplode is 0-based; generate_subscripts is 1-based — align
     "embed_dim_stats" ->
       """SELECT pos - 1 AS dim, CAST(count(*) AS BIGINT) AS n,
