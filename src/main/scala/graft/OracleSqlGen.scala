@@ -97,6 +97,45 @@ object OracleSqlGen {
                coalesce(k.clean_text, '') AS clean_text
         FROM t LEFT JOIN kept k USING (doc_id) ORDER BY doc_id"""
 
+  /** Shared chunk-dedup CTE chain, mirroring Dedup.chunkDedup: consecutive
+    * k-word chunks (ragged tail kept), winner = min packed (doc_id, idx)
+    * key per chunk text. Reused by the stats and clean oracles.
+    */
+  private def chunkCtes(k: Int): String =
+    s"""t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        c0 AS (SELECT doc_id, unnest(list_transform(
+                 range(CAST(ceil(len(toks)/$k.0) AS BIGINT)),
+                 i -> {'idx': i,
+                       'chunk': array_to_string(list_slice(toks, i*$k+1, i*$k+$k), ' ')})) AS u
+               FROM t),
+        ch AS (SELECT doc_id, u.idx AS idx, u.chunk AS chunk FROM c0),
+        fst AS (SELECT chunk, min(doc_id*1048576 + idx) AS firstk
+                FROM ch GROUP BY chunk),
+        kp AS (SELECT ch.doc_id, ch.idx, ch.chunk,
+                      (ch.doc_id*1048576 + ch.idx = firstk) AS kept
+               FROM ch JOIN fst USING (chunk))"""
+
+  /** Mirrors SparkEntry dedup_chunk_stats over Dedup.chunkDedup. */
+  def dedupChunkStats(k: Int): String =
+    s"""WITH ${chunkCtes(k)}
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS kept_ratio
+        FROM kp GROUP BY doc_id ORDER BY doc_id"""
+
+  /** Mirrors SparkEntry dedup_chunk_clean: kept chunks re-assembled in
+    * position order; docs whose every chunk lost keep an empty string.
+    */
+  def dedupChunkClean(k: Int): String =
+    s"""WITH ${chunkCtes(k)},
+        kt AS (SELECT doc_id, count(*) AS n_kept,
+                      string_agg(chunk, ' ' ORDER BY idx) AS clean_text
+               FROM kp WHERE kept GROUP BY doc_id)
+        SELECT t.doc_id, CAST(coalesce(k.n_kept,0) AS BIGINT) AS n_kept,
+               coalesce(k.clean_text, '') AS clean_text
+        FROM t LEFT JOIN kt k USING (doc_id) ORDER BY doc_id"""
+
   /** Mirrors Dedup.containment: asymmetric |∩|/|A| with unpruned
     * denominators and stop-shingle-pruned common counts, pair kept when
     * either direction clears the threshold.

@@ -903,6 +903,35 @@ object SparkEntry {
         col("text"), k = 8)
         .orderBy("doc_id")),
 
+    // Paragraph-analog exact dedup (RefinedWeb/CCNet stage) over the
+    // newline-free corpus: fixed 8-word chunks, corpus-wide first
+    // occurrence wins, per-doc survival stats.
+    "dedup_chunk_stats" -> ((s, d) =>
+      Dedup.chunkDedup(documents(s, d), col("doc_id"), col("text"), k = 8)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          (sum(when(col("kept"), 1L).otherwise(0L)).cast("double") /
+            count(lit(1)).cast("double")).as("kept_ratio"))
+        .orderBy("doc_id")),
+
+    // The cleaned-corpus artifact: surviving chunks re-assembled in
+    // position order (O(doc) in-row sort, never a cross-row window); docs
+    // that lose every chunk keep an empty row for the downstream filter.
+    "dedup_chunk_clean" -> ((s, d) => {
+      val kept = Dedup.chunkDedup(documents(s, d), col("doc_id"), col("text"), k = 8)
+        .filter(col("kept"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          concat_ws(" ", transform(
+            sort_array(collect_list(struct(col("idx"), col("chunk")))),
+            p => p.getField("chunk"))).as("clean_text"))
+      documents(s, d).select(col("doc_id").cast("long").as("doc_id"))
+        .join(kept, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_kept")).na.fill("", Seq("clean_text"))
+        .orderBy("doc_id")
+    }),
+
     "dedup_minhash" -> ((s, d) =>
       Dedup.minhashLsh(documents(s, d), col("doc_id"), col("text"),
         n = 3, bands = 8, rowsPerBand = 2)
@@ -2818,6 +2847,8 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> OracleSqlGen.ngramJaccard(3, 0.5, maxDocFreq = 8),
     "dedup_containment" -> OracleSqlGen.containment(3, 0.8, maxDocFreq = 8),
     "dedup_span_stats" -> OracleSqlGen.dedupSpanStats(8),
+    "dedup_chunk_stats" -> OracleSqlGen.dedupChunkStats(8),
+    "dedup_chunk_clean" -> OracleSqlGen.dedupChunkClean(8),
     "dedup_span_clean" -> OracleSqlGen.dedupSpanClean(8),
     "dedup_minhash" -> OracleSqlGen.minhashLsh(3, 8, 2),
     "dedup_components" -> OracleSqlGen.minhashComponents(3, 8, 2),

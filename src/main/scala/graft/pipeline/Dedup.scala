@@ -525,4 +525,45 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("a_id", "b_id", "cosine")
   }
+
+  /** Chunk-level exact deduplication — the paragraph-dedup stage of
+    * RefinedWeb/CCNet-style curation expressed over whitespace corpora as
+    * consecutive fixed-width `k`-word chunks (the last chunk may be ragged).
+    * A chunk text that occurs at several (doc, position) sites survives only
+    * at its FIRST site in (doc_id, idx) lexicographic order; every other
+    * occurrence is marked dropped. Returns one row per chunk:
+    * (doc_id, idx, chunk, kept) — stats and cleaned-corpus reassembly are
+    * one aggregation away.
+    *
+    * Determinism: the winner is min(doc_id·2^20 + idx) — a single long
+    * min-aggregate, order/partition/engine-independent. Bounds: idx < 2^20
+    * (docs up to ~8M words at k=8) and doc_id < 2^43, checked at runtime.
+    *
+    * Scale shape: chunking is O(total tokens / k) rows; the winner
+    * aggregation and the join back are both keyed on the chunk text —
+    * one exchange, co-partitioned reuse, map-side-combined min. A
+    * corpus-hot chunk ("the the the …") costs its occurrence count in
+    * join rows but never fans out quadratically (each occurrence meets
+    * exactly its one winner row).
+    */
+  def chunkDedup(docs: DataFrame, id: Column, text: Column, k: Int = 8): DataFrame = {
+    require(k >= 1)
+    val toks = docs.select(id.cast("long").as("doc_id"), split(text, " ").as("toks"))
+    val ch = toks
+      .select(col("doc_id"),
+        explode(sequence(lit(0L),
+          expr(s"(size(toks) + ${k - 1}) div $k - 1").cast("long"))).as("idx"),
+        col("toks"))
+      .select(col("doc_id"), col("idx"),
+        concat_ws(" ", slice(col("toks"), (col("idx") * k + 1).cast("int"), lit(k))).as("chunk"))
+    // packed first-occurrence key; the guard keeps the packing injective
+    val packed = when(col("doc_id") < (1L << 43) && col("idx") < (1L << 20),
+      col("doc_id") * lit(1L << 20) + col("idx"))
+      .otherwise(raise_error(lit("chunkDedup: doc_id/idx exceed packing bounds")))
+    val withKey = ch.withColumn("_k", packed).repartition(col("chunk"))
+    val first = withKey.groupBy("chunk").agg(min(col("_k")).as("_firstk"))
+    withKey.hint("shuffle_hash").join(first, Seq("chunk"))
+      .select(col("doc_id"), col("idx"), col("chunk"),
+        (col("_k") === col("_firstk")).as("kept"))
+  }
 }

@@ -648,4 +648,22 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       (3L, 3L, "p q r"),
       (4L, 0L, "")))
   }
+
+  test("chunkDedup: first (doc,pos) occurrence wins; ragged tail; intra-doc repeats") {
+    // k=2 chunks: doc1 = ["a b","c d","e"], doc2 = ["c d","c d","a b"],
+    // doc3 = ["e"]. Winners: "a b"@(1,0), "c d"@(1,1), "e"@(1,2) — doc2
+    // loses everything (its second "c d" loses to its own first, which
+    // loses to doc1), doc3's "e" loses cross-doc.
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "c d c d a b"),
+      (3L, "e")).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(docs, col("doc_id"), col("text"), k = 2)
+      .orderBy("doc_id", "idx")
+      .as[(Long, Long, String, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0L, "a b", true), (1L, 1L, "c d", true), (1L, 2L, "e", true),
+      (2L, 0L, "c d", false), (2L, 1L, "c d", false), (2L, 2L, "a b", false),
+      (3L, 0L, "e", false)))
+  }
 }
