@@ -185,6 +185,29 @@ object OracleSqlGen {
         ORDER BY a_id, b_id"""
   }
 
+  /** Pair-level recall/precision of the minhash-LSH candidate set against
+    * exact n-gram Jaccard ≥ threshold — both replayed from the base table
+    * with the same generators the individual oracles use, so the quality
+    * measurement itself is hash-pinned. Counts are integers; the two
+    * ratios are single int/int double divisions.
+    */
+  def minhashRecall(
+      n: Int, threshold: Double, maxDocFreq: Long,
+      bands: Int, rowsPerBand: Int): String =
+    s"""WITH exact AS (SELECT a_id, b_id FROM (${ngramJaccard(n, threshold, maxDocFreq)}) x),
+        lsh AS (SELECT a_id, b_id FROM (${minhashLsh(n, bands, rowsPerBand)}) y),
+        j AS (
+          SELECT CASE WHEN e.a_id IS NOT NULL THEN 1 ELSE 0 END AS e,
+                 CASE WHEN s.a_id IS NOT NULL THEN 1 ELSE 0 END AS l
+          FROM exact e FULL OUTER JOIN lsh s
+            ON e.a_id = s.a_id AND e.b_id = s.b_id)
+        SELECT CAST(sum(e) AS BIGINT) AS n_exact,
+               CAST(sum(l) AS BIGINT) AS n_lsh,
+               CAST(sum(e*l) AS BIGINT) AS n_common,
+               CAST(sum(e*l) AS DOUBLE) / CAST(sum(e) AS DOUBLE) AS lsh_recall,
+               CAST(sum(e*l) AS DOUBLE) / CAST(sum(l) AS DOUBLE) AS lsh_precision
+        FROM j"""
+
   /** Connected components (min representative per component) over the
     * md5-minhash pair list — transitive closure via recursive CTE; the pair
     * generation is the same deterministic minhashLsh SQL, inlined as a

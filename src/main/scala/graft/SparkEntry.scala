@@ -937,6 +937,31 @@ object SparkEntry {
         n = 3, bands = 8, rowsPerBand = 2)
         .orderBy("a_id", "b_id")),
 
+    // Pair-level recall/precision of the LSH candidate set against exact
+    // Jaccard ≥ 0.5 — the measurement that justifies the band/row choice,
+    // itself hash-pinned (the ann_pq_recall contract applied to minhash).
+    // Integer flag sums over one full-outer join of two id-pair frames;
+    // vectors/shingles never reach the join.
+    "dedup_minhash_recall" -> ((s, d) => {
+      val docs = documents(s, d)
+      val exact = Dedup.ngramJaccard(docs, col("doc_id"), col("text"),
+          n = 3, threshold = 0.5, maxDocFreq = 8)
+        .select(col("a_id"), col("b_id"), lit(1L).as("e"))
+      val lsh = Dedup.minhashLsh(docs, col("doc_id"), col("text"),
+          n = 3, bands = 8, rowsPerBand = 2)
+        .select(col("a_id"), col("b_id"), lit(1L).as("l"))
+      exact.join(lsh, Seq("a_id", "b_id"), "full_outer")
+        .select(coalesce(col("e"), lit(0L)).as("e"), coalesce(col("l"), lit(0L)).as("l"))
+        .agg(
+          sum(col("e")).as("n_exact"),
+          sum(col("l")).as("n_lsh"),
+          sum(col("e") * col("l")).as("n_common"),
+          (sum(col("e") * col("l")).cast("double") / sum(col("e")).cast("double"))
+            .as("lsh_recall"),
+          (sum(col("e") * col("l")).cast("double") / sum(col("l")).cast("double"))
+            .as("lsh_precision"))
+    }),
+
     // Duplicate clustering: connected components over the minhash pairs
     // (min-label propagation; the step that decides which docs to DROP).
     "dedup_components" -> ((s, d) =>
@@ -2851,6 +2876,8 @@ object SparkEntry {
     "dedup_chunk_clean" -> OracleSqlGen.dedupChunkClean(8),
     "dedup_span_clean" -> OracleSqlGen.dedupSpanClean(8),
     "dedup_minhash" -> OracleSqlGen.minhashLsh(3, 8, 2),
+    "dedup_minhash_recall" ->
+      OracleSqlGen.minhashRecall(3, 0.5, maxDocFreq = 8, bands = 8, rowsPerBand = 2),
     "dedup_components" -> OracleSqlGen.minhashComponents(3, 8, 2),
     // incremental merge must equal the from-scratch closure — same oracle
     "dedup_components_inc" -> OracleSqlGen.minhashComponents(3, 8, 2),
