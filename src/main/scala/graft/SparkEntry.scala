@@ -1466,6 +1466,30 @@ object SparkEntry {
         .orderBy("doc_id", "rnk")
     }),
 
+    // TF-IDF-shaped keyword extraction, integer-exact: score = tf ·
+    // floor(N·2^20 / df) — monotone in tf·N/df, so the ranking is the
+    // classic one while every score is an exact long (the float idf log is
+    // what makes real TF-IDF engine-ambiguous; the rational form isn't).
+    // The idf factor down-weights ubiquitous terms; no hard stopword cut
+    // (this corpus's 31-term vocabulary is near-uniformly ubiquitous, so a
+    // df cutoff keeps either everything or nothing). The window partitions
+    // on doc_id — parallelism grows with the corpus.
+    "text_keywords" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = documents(s, d)
+      val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("term"))
+      tf.join(df_, "term").crossJoin(broadcast(n))
+        .withColumn("score", col("tf") * expr("(n * 1048576) div df"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("term"), col("score"), col("rk").cast("int").as("rk"))
+        .orderBy("doc_id", "rk")
+    }),
+
     // Corpus vocabulary coverage: top-100 tokens by occurrence count with
     // the cumulative share of all token occurrences they cover — the
     // how-big-must-the-vocab-be curve of tokenizer design. The full-vocab
@@ -3084,6 +3108,22 @@ object SparkEntry {
            FROM toks t JOIN dfreq USING (tok))
          SELECT doc_id, tok, df, CAST(rnk AS INT) AS rnk
          FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+    "text_keywords" ->
+      """WITH tk AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM tk GROUP BY 1, 2),
+         dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         sc AS (
+           SELECT doc_id, tf.term, CAST(tf * ((n.n * 1048576) // df) AS BIGINT) AS score
+           FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+         r AS (
+           SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk
+           FROM sc)
+         SELECT doc_id, term, score, CAST(rk AS INT) AS rk
+         FROM r WHERE rk <= 3 ORDER BY doc_id, rk""",
     "text_vocab" ->
       """WITH toks AS (
            SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
