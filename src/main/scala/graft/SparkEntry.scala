@@ -1846,6 +1846,49 @@ object SparkEntry {
           col("purchase_ts").cast("timestamp").as("purchase_ts"))
         .orderBy("user_id", "purchase_id", "signup_ts")),
 
+    // Multi-touch revenue attribution: every purchase's revenue is credited
+    // to the user's non-purchase touches in the preceding 24h under three
+    // models at once — first-touch, last-touch, linear. All arithmetic is
+    // exact integer cents: the linear split is cents div k per touch with
+    // the remainder assigned to the last touch, so each model's column sums
+    // to exactly the attributed revenue and every engine agrees bit-for-bit
+    // (a double revenue/k split would be neither). The touch join is keyed
+    // on user_id and the per-purchase windows partition on purchase_id —
+    // both grow with the data; no global ordering anywhere.
+    "events_attribution" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          unix_micros(col("ts")).as("p_us"),
+          (dec(col("value")) * 100).cast("long").as("cents"))
+      val touches = e.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("event_id").as("touch_id"),
+          col("event_type").as("touch_type"), unix_micros(col("ts")).as("t_us"))
+      val lookbackUs = 24L * 3600 * 1000000
+      val joined = purchases.join(touches, Seq("user_id"))
+        .filter(col("t_us") >= col("p_us") - lookbackUs && col("t_us") < col("p_us"))
+      val wAsc = Window.partitionBy("purchase_id").orderBy(asc("t_us"), asc("touch_id"))
+      val wDesc = Window.partitionBy("purchase_id").orderBy(desc("t_us"), desc("touch_id"))
+      val wAll = Window.partitionBy("purchase_id")
+      joined
+        .withColumn("rn_a", row_number().over(wAsc))
+        .withColumn("rn_d", row_number().over(wDesc))
+        .withColumn("k", count(lit(1)).over(wAll))
+        .select(col("touch_type"),
+          when(col("rn_a") === 1, col("cents")).otherwise(0L).as("first_c"),
+          when(col("rn_d") === 1, col("cents")).otherwise(0L).as("last_c"),
+          (expr("cents div k") +
+            when(col("rn_d") === 1, expr("cents % k")).otherwise(0L)).as("lin_c"))
+        .groupBy("touch_type")
+        .agg(
+          (sum(col("first_c")).cast("double") / 100).as("first_touch"),
+          (sum(col("last_c")).cast("double") / 100).as("last_touch"),
+          (sum(col("lin_c")).cast("double") / 100).as("linear"),
+          count(lit(1)).as("n_touches"))
+        .orderBy("touch_type")
+    }),
+
     // ── graph analytics / time-series battery (round 4 wave 2) ────────────
 
     // Fixed-point integer PageRank (3 iterations) over the customer→order→
@@ -3268,6 +3311,32 @@ object SparkEntry {
           AND CAST(p.ts AS TIMESTAMP) <= CAST(s.ts AS TIMESTAMP) + INTERVAL 1 HOUR
          WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
          ORDER BY s.user_id, purchase_id, signup_ts""",
+    "events_attribution" ->
+      """WITH p AS (
+           SELECT user_id, event_id AS purchase_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS p_us,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase'),
+         t AS (
+           SELECT user_id, event_id AS touch_id, event_type AS touch_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS t_us
+           FROM events WHERE event_type <> 'purchase'),
+         j AS (
+           SELECT p.purchase_id, p.cents, t.touch_type, t.t_us, t.touch_id
+           FROM p JOIN t ON p.user_id = t.user_id
+            AND t.t_us >= p.p_us - 86400000000 AND t.t_us < p.p_us),
+         r AS (
+           SELECT touch_type, cents,
+             row_number() OVER (PARTITION BY purchase_id ORDER BY t_us ASC, touch_id ASC) AS rn_a,
+             row_number() OVER (PARTITION BY purchase_id ORDER BY t_us DESC, touch_id DESC) AS rn_d,
+             count(*) OVER (PARTITION BY purchase_id) AS k
+           FROM j)
+         SELECT touch_type,
+             CAST(sum(CASE WHEN rn_a = 1 THEN cents ELSE 0 END) AS DOUBLE) / 100 AS first_touch,
+             CAST(sum(CASE WHEN rn_d = 1 THEN cents ELSE 0 END) AS DOUBLE) / 100 AS last_touch,
+             CAST(sum(cents // k + CASE WHEN rn_d = 1 THEN cents % k ELSE 0 END) AS DOUBLE) / 100 AS linear,
+             CAST(count(*) AS BIGINT) AS n_touches
+         FROM r GROUP BY touch_type ORDER BY touch_type""",
     "events_topk_json" ->
       """SELECT event_id, event_type, k_val, CAST(rank AS INT) AS rank FROM (
            SELECT event_id, event_type, CAST(props->>'$.k' AS INT) AS k_val,
