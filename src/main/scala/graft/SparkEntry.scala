@@ -1811,6 +1811,15 @@ object SparkEntry {
         .withColumn("window_start", col("window_start").cast("timestamp"))
         .orderBy("window_start", "event_type")),
 
+    // Hourly top-3 event-type leaderboard — the batch path of topkSink
+    // (stream ≡ batch pinned by StreamingSpec): one tumbling count agg,
+    // then an O(types) rank per window partitioned on window_start.
+    "stream_topk" -> ((s, d) =>
+      EventOps.topkOfBucketCounts(EventOps.bucketCounts(events(s, d), "1 hour"), k = 3)
+        .withColumn("window_start", col("window_start").cast("timestamp"))
+        .withColumn("rank", col("rank").cast("int"))
+        .orderBy("window_start", "rank")),
+
     "stream_session" -> ((s, d) =>
       EventOps.sessionizeBatch(events(s, d), gapMinutes = 30)
         .withColumn("session_start", col("session_start").cast("timestamp"))
@@ -3280,6 +3289,17 @@ object SparkEntry {
              CAST(count(*) AS BIGINT) AS n,
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "stream_topk" ->
+      """WITH c AS (
+           SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+               event_type, CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         r AS (
+           SELECT window_start, event_type, n,
+             row_number() OVER (PARTITION BY window_start ORDER BY n DESC, event_type ASC) AS rank
+           FROM c)
+         SELECT window_start, event_type, n, CAST(rank AS INT) AS rank
+         FROM r WHERE rank <= 3 ORDER BY window_start, rank""",
     "stream_sliding" ->
       """SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n FROM (
            SELECT unnest([

@@ -249,6 +249,44 @@ object EventOps {
       }
       .start()
 
+  /** Per-window top-k leaderboard over a [[bucketCounts]] series: rank
+    * event types by count inside each window, ties to the smaller type
+    * string. Input is the compact bucket frame (one row per window × type),
+    * so the window sort is O(types) per window regardless of raw volume,
+    * partitioned on window_start — parallelism grows with the time range.
+    */
+  def topkOfBucketCounts(counts: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("window_start").orderBy(desc("n"), asc("event_type"))
+    counts.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Streaming leaderboard — the [[anomalySink]] pattern applied to top-k:
+    * the count aggregation runs incrementally in-engine (watermark-bounded,
+    * append mode — each finalized (window, type) count emits exactly once),
+    * finalized counts append to a compact store, and the O(windows × types)
+    * rank stage re-runs over that store per batch with the SAME
+    * [[topkOfBucketCounts]] the batch query uses. The raw stream is never
+    * re-scanned; stream ≡ batch is structural (spec-pinned).
+    */
+  def topkSink(
+      events: DataFrame,
+      storeDir: String,
+      k: Int,
+      every: String = "1 hour",
+      watermark: String = "0 seconds")(
+      onBatch: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    bucketCounts(withWatermarkIfStreaming(events, "ts", watermark), every)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          batch.write.mode("append").parquet(storeDir)
+          onBatch(topkOfBucketCounts(
+            batch.sparkSession.read.parquet(storeDir), k))
+        }
+      }
+      .start()
+
   /** JSON property extraction from the `props` column + top-k per event type
     * by extracted value — exercises semi-structured access at scan time.
     */

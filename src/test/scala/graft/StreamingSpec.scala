@@ -279,6 +279,29 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed.count(_.getAs[Boolean]("is_anomaly")) >= 1) // the spike
   }
 
+  test("streaming top-k sink equals the batch leaderboard on finalized windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("topk_store").toFile.getAbsolutePath
+    var last: org.apache.spark.sql.DataFrame = null
+    val mem = MemoryStream[Ev]
+    val q = EventOps.topkSink(mem.toDF(), s"$dir/counts", k = 2, "1 hour")(
+      ranked => last = ranked)
+    mem.addData(evs.take(4): _*)  // chronology-safe split (event 4 backdates
+    q.processAllAvailable()       // to 00:10 — later batches would drop it
+    mem.addData(evs.drop(4): _*)  // as late under the 0s watermark)
+    q.processAllAvailable()
+    mem.addData(flush)            // finalize all real windows
+    q.processAllAvailable()
+    q.stop()
+    val streamed = last.filter($"event_type" =!= "flush")
+      .orderBy("window_start", "rank").collect().toSeq
+    val batch = EventOps.topkOfBucketCounts(
+        EventOps.bucketCounts(evs.toDF(), "1 hour"), k = 2)
+      .orderBy("window_start", "rank").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty && streamed.forall(_.getAs[Int]("rank") <= 2))
+  }
+
   test("batch sessionization splits on gap strictly greater than threshold") {
     val out = EventOps.sessionizeBatch(evs.toDF(), 30)
       .orderBy("user_id", "session_start").collect()
