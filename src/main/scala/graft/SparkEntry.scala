@@ -673,6 +673,34 @@ object SparkEntry {
         .withColumn("mean_u", col("sum_u").cast("double") / col("n").cast("double"))
         .orderBy("dim")),
 
+    // Per-dimension z-score standardization — the feature-normalization
+    // pass itself, bit-exact: values quantize to µ-scaled ints (the
+    // embed_dim_stats contract), moments accumulate as exact decimal sums,
+    // and every float op after that (two divisions, one multiply, one
+    // subtract, one correctly-rounded IEEE sqrt, the final (x-µ)/σ) runs in
+    // the same expression order on both engines — so even the doubles
+    // hash-match. Stats frame is O(dims) and broadcasts into the apply
+    // join; output sliced to an 800-row witness.
+    "embed_standardize" -> ((s, d) => {
+      val x = embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("vec_id"), col("dim"),
+          floor(col("x").cast("double") * lit(1000000.0)).cast("long").as("xi"))
+      val mean = col("s1").cast("double") / col("n").cast("double")
+      val st = x.groupBy("dim").agg(
+          count(lit(1)).as("n"),
+          sum(col("xi").cast(DecimalType(38, 0))).as("s1"),
+          sum((col("xi") * col("xi")).cast(DecimalType(38, 0))).as("s2"))
+        .select(col("dim"), mean.as("mean"),
+          sqrt(col("s2").cast("double") / col("n").cast("double") - mean * mean)
+            .as("std"))
+      x.filter(col("vec_id") < 100 && col("dim") < 8)
+        .join(broadcast(st), "dim")
+        .select(col("vec_id"), col("dim"),
+          ((col("xi").cast("double") - col("mean")) / col("std")).as("z"))
+        .orderBy("vec_id", "dim")
+    }),
+
     // Time-RANGE window frame: trailing 1-hour sum per user at event
     // granularity (RANGE, not ROWS — same-second peers all join the frame,
     // identically in both engines).
@@ -3828,6 +3856,22 @@ object SparkEntry {
                CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS xi
            FROM embeddings)
          GROUP BY 1 ORDER BY dim""",
+    "embed_standardize" ->
+      """WITH x AS (
+           SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS xi
+           FROM embeddings),
+         st AS (
+           SELECT dim,
+               CAST(sum(xi) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean,
+               sqrt(CAST(sum(xi*xi) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                    - (CAST(sum(xi) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+                      * (CAST(sum(xi) AS DOUBLE) / CAST(count(*) AS DOUBLE))) AS std
+           FROM x GROUP BY dim)
+         SELECT x.vec_id, x.dim, (CAST(xi AS DOUBLE) - mean) / std AS z
+         FROM x JOIN st USING (dim)
+         WHERE vec_id < 100 AND x.dim < 8
+         ORDER BY vec_id, dim""",
     // same one-row-per-key result via a window in the oracle (the unique
     // event_id tie-break makes both formulations deterministic)
     "events_latest" ->
