@@ -238,6 +238,27 @@ object OracleSqlGen {
         SELECT a AS doc_id, min(b) AS rep_id FROM reach GROUP BY a
         ORDER BY doc_id"""
 
+  /** Leakage-safe split assignment: the split hash is computed from the
+    * near-dup COMPONENT representative, not the doc itself, so a duplicate
+    * cluster can never straddle train/test (the eval-contamination vector
+    * plain per-doc hashing leaves open). Pair-free docs are their own
+    * representative. Mirrors Splits.assignSplit's bucket hex compare.
+    */
+  def leakageSafeSplit(n: Int, bands: Int, rowsPerBand: Int,
+      testBuckets: Int, valBuckets: Int): String = {
+    val t = f"$testBuckets%02x"
+    val v = f"${testBuckets + valBuckets}%02x"
+    val rep = "coalesce(c.rep_id, d.doc_id)"
+    s"""${componentCtes(n, bands, rowsPerBand)},
+        comp AS (SELECT a AS doc_id, min(b) AS rep_id FROM reach GROUP BY a)
+        SELECT d.doc_id, $rep AS rep,
+          CASE WHEN substr(md5(CAST($rep AS VARCHAR)), 1, 2) < '$t' THEN 'test'
+               WHEN substr(md5(CAST($rep AS VARCHAR)), 1, 2) < '$v' THEN 'val'
+               ELSE 'train' END AS split
+        FROM documents d LEFT JOIN comp c USING (doc_id)
+        ORDER BY doc_id"""
+  }
+
   /** Surviving corpus after minhash dedup (Dedup.keepRepresentatives): drop
     * every doc that belongs to a component but is not its min-id
     * representative; pair-free docs survive as their own trivial cluster.
@@ -789,6 +810,32 @@ object OracleSqlGen {
             min(quality) AS min_q, max(quality) AS max_q
         FROM sp GROUP BY 1, 2 ORDER BY split, lang"""
   }
+
+  /** Per-source corpus report composing the quality and langid generators
+    * (same expression chains, joined on doc_id): doc counts, fixed-point
+    * mean quality, low-quality counts, char volume, and langid-vs-label
+    * agreement — the table a curation run consults before dropping or
+    * down-weighting a source. Quality doubles are hash-equal cross-engine
+    * (text_quality proves it), so floor(q·1e6 + 0.5) is the same long on
+    * both sides and the mean is an exact-integer ratio.
+    */
+  def sourceQuality: String =
+    s"""WITH q AS (SELECT doc_id, quality FROM ($quality) qq),
+        l AS (SELECT doc_id, predicted_lang FROM ($langId) ll),
+        j AS (
+          SELECT d.source, d.n_chars,
+              CAST(floor(q.quality * 1000000 + 0.5) AS BIGINT) AS q_fp,
+              CASE WHEN l.predicted_lang = d.lang THEN 1 ELSE 0 END AS lang_ok
+          FROM documents d JOIN q USING (doc_id) JOIN l USING (doc_id))
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(q_fp) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0
+              AS avg_quality,
+            CAST(sum(CASE WHEN q_fp < 500000 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_low_quality,
+            CAST(sum(n_chars) AS BIGINT) AS total_chars,
+            CAST(sum(lang_ok) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+              AS lang_id_agreement
+        FROM j GROUP BY source ORDER BY source"""
 
   def langId: String = {
     val markers = graft.pipeline.TextAnalysis.langMarkersPublic

@@ -1289,6 +1289,27 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("predicted_lang"))
         .orderBy("doc_id")),
 
+    // Per-source curation report: the table a pipeline consults before
+    // dropping or down-weighting a source — doc counts, mean quality
+    // (fixed-point: the per-doc quality doubles are hash-equal cross-engine,
+    // so floor(q·1e6+0.5) sums are exact), low-quality counts, char volume,
+    // and langid-vs-label agreement. One scan, one O(sources) aggregate.
+    "q_source_quality" -> ((s, d) => {
+      val q = documents(s, d).select(col("source"), col("n_chars"),
+        floor(TextAnalysis.qualityScore(col("text")) * 1000000 + 0.5).as("q_fp"),
+        when(TextAnalysis.langId(col("text")) === col("lang"), 1L).otherwise(0L)
+          .as("lang_ok"))
+      q.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          (sum("q_fp").cast("double") / count(lit(1)).cast("double") / 1000000.0)
+            .as("avg_quality"),
+          sum(when(col("q_fp") < 500000, 1L).otherwise(0L)).as("n_low_quality"),
+          sum("n_chars").as("total_chars"),
+          (sum("lang_ok").cast("double") / count(lit(1)).cast("double"))
+            .as("lang_id_agreement"))
+        .orderBy("source")
+    }),
+
     "text_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprint(documents(s, d), col("doc_id"), col("text"))
         .orderBy("doc_id")),
@@ -1677,6 +1698,22 @@ object SparkEntry {
         graft.pipeline.Splits.hashBucket(col("doc_id")).as("bucket"),
         graft.pipeline.Splits.assignSplit(col("doc_id")).as("split"))
         .orderBy("doc_id")),
+
+    // Leakage-safe splits: the split hash comes from the near-dup CLUSTER
+    // representative (memoized component labels), so a duplicate pair can
+    // never straddle train/test — the eval-contamination vector plain
+    // per-doc hashing leaves open. Singletons are their own representative;
+    // the O(dup docs) label frame broadcasts into the apply join.
+    "q_leakage_safe_split" -> ((s, d) => {
+      val dir = dedupCcSetup(s, d)
+      val labels = s.read.parquet(s"$dir/labels")
+      documents(s, d).select(col("doc_id"))
+        .join(broadcast(labels), Seq("doc_id"), "left")
+        .withColumn("rep", coalesce(col("rep_id"), col("doc_id")))
+        .select(col("doc_id"), col("rep"),
+          graft.pipeline.Splits.assignSplit(col("rep")).as("split"))
+        .orderBy("doc_id")
+    }),
 
     // Morton (Z-order) clustering key over two dimensions — the layout key
     // Layout.clusterByZ range-partitions by so parquet min/max stats prune
@@ -2389,6 +2426,33 @@ object SparkEntry {
         .orderBy("from_type", "to_type")
     }),
 
+    // Top behavioral paths: event-type trigrams WITHIN 30-min sessions
+    // (events_transitions' bigram Markov view can't see these — a trigram
+    // spanning a session boundary is a different behavior than one inside
+    // it). Session ids come from the same gaps-and-islands cumsum as
+    // sessionizeBatch (>= gap starts a session); trigrams are two leads in
+    // a per-(user, session) window; all windows partition on user —
+    // parallelism grows with the user base.
+    "events_session_paths" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gapUs = 30 * 60L * 1000000L
+      val sess = events(s, d)
+        .withColumn("prev_ts", lag("ts", 1).over(byUser))
+        .withColumn("new_session", (col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) >= gapUs).cast("int"))
+        .withColumn("session_seq", sum("new_session").over(
+          byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      val bySess = Window.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+      sess
+        .withColumn("t2", lead("event_type", 1).over(bySess))
+        .withColumn("t3", lead("event_type", 2).over(bySess))
+        .filter(col("t3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("path")).limit(15)
+    }),
+
     // Time-series gap fill: dense hourly grid (global min..max hour ×
     // distinct event types, built with sequence+explode — tiny, broadcast)
     // left-joined against the hourly counts; missing buckets emit 0. The
@@ -3034,6 +3098,7 @@ object SparkEntry {
     "text_subwords" -> OracleSqlGen.subwords,
     "text_quality" -> OracleSqlGen.quality,
     "text_langid" -> OracleSqlGen.langId,
+    "q_source_quality" -> OracleSqlGen.sourceQuality,
     "text_fingerprint" ->
       """SELECT doc_id, md5(text) AS full_md5,
              coalesce(list_min(list_transform(
@@ -3058,6 +3123,7 @@ object SparkEntry {
 
     "text_pii_redact" -> OracleSqlGen.piiRedact,
     "q_split_assign" -> OracleSqlGen.splitAssign(13, 26),
+    "q_leakage_safe_split" -> OracleSqlGen.leakageSafeSplit(3, 8, 2, 13, 26),
     "q_zorder" -> OracleSqlGen.zorder(20, 100),
     "events_anomaly" -> OracleSqlGen.eventAnomalies(24, 2.0),
     "text_novelty" -> OracleSqlGen.novelty(3),
@@ -3595,6 +3661,34 @@ object SparkEntry {
              round(count(*) / sum(count(*)) OVER (PARTITION BY event_type), 6) AS p
          FROM x WHERE next_type IS NOT NULL
          GROUP BY 1, 2 ORDER BY from_type, to_type""",
+    "events_session_paths" ->
+      """WITH e AS (
+           SELECT user_id, event_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+           FROM events),
+         s AS (
+           SELECT user_id, event_id, event_type, us,
+             CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+                    OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+                       >= 1800000000
+                  THEN 1 ELSE 0 END AS ns
+           FROM e),
+         s2 AS (
+           SELECT user_id, event_id, event_type, us,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS seq
+           FROM s),
+         tg AS (
+           SELECT event_type || '>' ||
+               lead(event_type, 1) OVER (PARTITION BY user_id, seq ORDER BY us, event_id)
+               || '>' ||
+               lead(event_type, 2) OVER (PARTITION BY user_id, seq ORDER BY us, event_id)
+               AS path,
+             lead(event_type, 2) OVER (PARTITION BY user_id, seq ORDER BY us, event_id) AS t3
+           FROM s2)
+         SELECT path, CAST(count(*) AS BIGINT) AS n
+         FROM tg WHERE t3 IS NOT NULL
+         GROUP BY path ORDER BY n DESC, path LIMIT 15""",
     "q_period_over_period" ->
       """WITH daily AS (
            SELECT o_orderdate AS day,
