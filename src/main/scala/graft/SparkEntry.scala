@@ -2426,6 +2426,21 @@ object SparkEntry {
         .orderBy("from_type", "to_type")
     }),
 
+    // Running distinct-user count without distinct-state: each user reduces
+    // to a first-seen day (one map-side-combined min), daily new-user
+    // counts aggregate O(days) rows, and the cumulative sum runs over that
+    // bounded frame — the cohort_ltv pattern, giving an exact "users to
+    // date" series no windowed count-distinct could provide incrementally.
+    "events_user_growth" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = events(s, d)
+        .groupBy("user_id").agg(min(to_date(col("ts"))).as("first_day"))
+        .groupBy(col("first_day").as("day")).agg(count(lit(1)).as("new_users"))
+      daily.withColumn("cum_users", sum("new_users").over(
+          Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)))
+        .orderBy("day")
+    }),
+
     // Top behavioral paths: event-type trigrams WITHIN 30-min sessions
     // (events_transitions' bigram Markov view can't see these — a trigram
     // spanning a session boundary is a different behavior than one inside
@@ -2627,6 +2642,37 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"))
         .filter(col("n_orders") >= 2)
         .orderBy(desc("n_orders"), asc("p1"), asc("p2")).limit(20)
+    }),
+
+    // Association rules over baskets: support, confidence, lift for part
+    // pairs — the classic market-basket mining graph_copurchase's raw
+    // counts feed. lift = n_both·N / (n_a·n_b) is an exact integer ratio
+    // with ONE double division (same expression order both engines);
+    // confidence likewise. Same co-partitioned basket self-join as
+    // copurchase; the O(parts) degree frame joins twice (broadcast-sized
+    // here, AQE's call at scale). Support floor prunes before scoring.
+    "q_assoc_rules" -> ((s, d) => {
+      val lp = lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+      val nOrders = lp.select("l_orderkey").distinct().agg(count(lit(1)).as("n_orders"))
+      val deg = lp.groupBy(col("l_partkey").as("p")).agg(count(lit(1)).as("deg"))
+      val pairs = lp.as("a").join(lp.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+        .agg(count(lit(1)).as("n_both"))
+        .filter(col("n_both") >= 3)
+      pairs
+        .join(deg.select(col("p").as("p1"), col("deg").as("d1")), "p1")
+        .join(deg.select(col("p").as("p2"), col("deg").as("d2")), "p2")
+        .crossJoin(broadcast(nOrders))
+        .select(col("p1"), col("p2"), col("n_both"),
+          (col("n_both").cast("double") / col("n_orders").cast("double"))
+            .as("support"),
+          (col("n_both").cast("double") / col("d1").cast("double"))
+            .as("confidence"),
+          ((col("n_both") * col("n_orders")).cast("double") /
+            (col("d1") * col("d2")).cast("double")).as("lift"))
+        .orderBy(desc("lift"), asc("p1"), asc("p2")).limit(20)
     }),
 
     // Item-item cosine similarity over co-purchase counts — the classic
@@ -3661,6 +3707,16 @@ object SparkEntry {
              round(count(*) / sum(count(*)) OVER (PARTITION BY event_type), 6) AS p
          FROM x WHERE next_type IS NOT NULL
          GROUP BY 1, 2 ORDER BY from_type, to_type""",
+    "events_user_growth" ->
+      """WITH f AS (
+           SELECT user_id, min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS first_day
+           FROM events GROUP BY user_id),
+         d AS (SELECT first_day AS day, CAST(count(*) AS BIGINT) AS new_users
+               FROM f GROUP BY 1)
+         SELECT day, new_users,
+             CAST(sum(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_users
+         FROM d ORDER BY day""",
     "events_session_paths" ->
       """WITH e AS (
            SELECT user_id, event_id, event_type,
@@ -3806,6 +3862,26 @@ object SparkEntry {
            GROUP BY 1, 2)
          SELECT v1, v2, ra_score, n_common FROM pr WHERE n_common >= 2
          ORDER BY ra_score DESC, v1, v2 LIMIT 20""",
+    "q_assoc_rules" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM lp),
+         deg AS (SELECT l_partkey AS p, CAST(count(*) AS BIGINT) AS deg
+                 FROM lp GROUP BY l_partkey),
+         pairs AS (
+           SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+               CAST(count(*) AS BIGINT) AS n_both
+           FROM lp a JOIN lp b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 3)
+         SELECT p1, p2, n_both,
+             CAST(n_both AS DOUBLE) / CAST(n_orders AS DOUBLE) AS support,
+             CAST(n_both AS DOUBLE) / CAST(d1.deg AS DOUBLE) AS confidence,
+             CAST(n_both * n_orders AS DOUBLE) / CAST(d1.deg * d2.deg AS DOUBLE) AS lift
+         FROM pairs
+         JOIN deg d1 ON p1 = d1.p
+         JOIN deg d2 ON p2 = d2.p
+         CROSS JOIN n
+         ORDER BY lift DESC, p1, p2 LIMIT 20""",
     "graph_item_sim" ->
       """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          deg AS (SELECT l_partkey AS p, CAST(count(*) AS BIGINT) AS deg
