@@ -984,9 +984,13 @@ object SparkEntry {
           sum(col("e")).as("n_exact"),
           sum(col("l")).as("n_lsh"),
           sum(col("e") * col("l")).as("n_common"),
-          (sum(col("e") * col("l")).cast("double") / sum(col("e")).cast("double"))
+          // empty denominator → NULL, matching DuckDB's x/0 (ANSI Spark
+          // would throw; sf0.1's pruned exact set is legitimately empty)
+          when(sum(col("e")) > 0,
+            sum(col("e") * col("l")).cast("double") / sum(col("e")).cast("double"))
             .as("lsh_recall"),
-          (sum(col("e") * col("l")).cast("double") / sum(col("l")).cast("double"))
+          when(sum(col("l")) > 0,
+            sum(col("e") * col("l")).cast("double") / sum(col("l")).cast("double"))
             .as("lsh_precision"))
     }),
 
