@@ -202,4 +202,31 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 2,
       s"exactly the count pass and the corpus pass:\n$p")
   }
+
+  test("graph_resource_alloc pairs via equi-joins, ends in TakeOrdered — never all-pairs") {
+    val p = plan("graph_resource_alloc")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"RA pairing must stay keyed on the shared basket:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 must be TakeOrdered:\n$p")
+  }
+
+  test("q_assoc_rules: degree/corpus stats join by hash or broadcast, no cartesian blowup") {
+    val p = plan("q_assoc_rules")
+    assert(!p.contains("CartesianProduct"), s"rule mining went all-pairs:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 must be TakeOrdered:\n$p")
+  }
+
+  test("text_keywords: df stats and the corpus-size scalar broadcast into the scoring join") {
+    val p = plan("text_keywords")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"stats must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"scalar must broadcast, not cross:\n$p")
+  }
+
+  test("q_leakage_safe_split applies labels by broadcast — the corpus never shuffles") {
+    val p = plan("q_leakage_safe_split")
+    assert(p.contains("BroadcastHashJoin"), s"label frame must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the split decision must stay map-side on the corpus:\n$p")
+  }
 }
