@@ -124,6 +124,18 @@ object OracleSqlGen {
                  / CAST(count(*) AS DOUBLE) AS kept_ratio
         FROM kp GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Incremental-chunk-dedup oracle: the FULL from-scratch pass restricted
+    * to batch docs — hash-match proves the O(batch) index-consulting pass
+    * computes exactly the from-scratch answer for the batch.
+    */
+  def dedupChunkInc(k: Int, batchFrom: Long): String =
+    s"""WITH ${chunkCtes(k)}
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS kept_ratio
+        FROM kp WHERE doc_id >= $batchFrom GROUP BY doc_id ORDER BY doc_id"""
+
   /** Mirrors SparkEntry dedup_chunk_clean: kept chunks re-assembled in
     * position order; docs whose every chunk lost keep an empty string.
     */

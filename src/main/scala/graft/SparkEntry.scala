@@ -56,6 +56,16 @@ object SparkEntry {
         .write.mode("overwrite").parquet(s"$dir/labels_old")
     }
 
+  /** Persisted chunk index over the old corpus (doc_id < 400) — the
+    * artifact `dedup_chunk_inc`'s O(batch) incremental pass consults.
+    */
+  private def chunkIndexSetup(s: SparkSession, d: String): String =
+    Setup.dir(s"chunk_index:$d") { dir =>
+      Dedup.chunkIndex(documents(s, d).filter(col("doc_id") < 400),
+        col("doc_id"), col("text"), k = 8)
+        .write.mode("overwrite").parquet(s"$dir/index")
+    }
+
   /** Range-clustered orders + stats manifest (file-skipping maintenance). */
   private def manifestSetup(s: SparkSession, d: String): String =
     Setup.dir(s"manifest:$d") { dir =>
@@ -245,6 +255,7 @@ object SparkEntry {
     */
   def prepareSetups(s: SparkSession, d: String): Unit = {
     dedupCcSetup(s, d): Unit
+    chunkIndexSetup(s, d): Unit
     manifestSetup(s, d): Unit
     eventsTsSetup(s, d): Unit
     bucketedSetup(s, d): Unit
@@ -942,6 +953,25 @@ object SparkEntry {
           (sum(when(col("kept"), 1L).otherwise(0L)).cast("double") /
             count(lit(1)).cast("double")).as("kept_ratio"))
         .orderBy("doc_id")),
+
+    // O(batch) incremental chunk dedup: the batch (doc_id ≥ 400) is chunked
+    // alone against the memoized old-corpus chunk index — the corpus is
+    // never re-read. The oracle re-runs the from-scratch pass over the FULL
+    // corpus and restricts to batch docs, proving incremental ≡ recompute
+    // (the dedup_components_inc contract applied to chunks).
+    "dedup_chunk_inc" -> ((s, d) => {
+      val dir = chunkIndexSetup(s, d)
+      Dedup.incrementalChunkDedup(
+          documents(s, d).filter(col("doc_id") >= 400),
+          col("doc_id"), col("text"),
+          s.read.parquet(s"$dir/index"), k = 8)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          (sum(when(col("kept"), 1L).otherwise(0L)).cast("double") /
+            count(lit(1)).cast("double")).as("kept_ratio"))
+        .orderBy("doc_id")
+    }),
 
     // The cleaned-corpus artifact: surviving chunks re-assembled in
     // position order (O(doc) in-row sort, never a cross-row window); docs
@@ -3091,6 +3121,7 @@ object SparkEntry {
     "dedup_containment" -> OracleSqlGen.containment(3, 0.8, maxDocFreq = 8),
     "dedup_span_stats" -> OracleSqlGen.dedupSpanStats(8),
     "dedup_chunk_stats" -> OracleSqlGen.dedupChunkStats(8),
+    "dedup_chunk_inc" -> OracleSqlGen.dedupChunkInc(8, batchFrom = 400),
     "dedup_chunk_clean" -> OracleSqlGen.dedupChunkClean(8),
     "dedup_span_clean" -> OracleSqlGen.dedupSpanClean(8),
     "dedup_minhash" -> OracleSqlGen.minhashLsh(3, 8, 2),

@@ -547,23 +547,68 @@ object Dedup {
     * exactly its one winner row).
     */
   def chunkDedup(docs: DataFrame, id: Column, text: Column, k: Int = 8): DataFrame = {
+    val withKey = chunked(docs, id, text, k).repartition(col("chunk"))
+    val first = withKey.groupBy("chunk").agg(min(col("_k")).as("_firstk"))
+    withKey.hint("shuffle_hash").join(first, Seq("chunk"))
+      .select(col("doc_id"), col("idx"), col("chunk"),
+        (col("_k") === col("_firstk")).as("kept"))
+  }
+
+  /** Shared chunker: (doc_id, idx, chunk, _k) with the packed
+    * first-occurrence key (injectivity guarded at runtime).
+    */
+  private def chunked(docs: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
     require(k >= 1)
-    val toks = docs.select(id.cast("long").as("doc_id"), split(text, " ").as("toks"))
-    val ch = toks
+    val packed = when(col("doc_id") < (1L << 43) && col("idx") < (1L << 20),
+      col("doc_id") * lit(1L << 20) + col("idx"))
+      .otherwise(raise_error(lit("chunkDedup: doc_id/idx exceed packing bounds")))
+    docs.select(id.cast("long").as("doc_id"), split(text, " ").as("toks"))
       .select(col("doc_id"),
         explode(sequence(lit(0L),
           expr(s"(size(toks) + ${k - 1}) div $k - 1").cast("long"))).as("idx"),
         col("toks"))
       .select(col("doc_id"), col("idx"),
         concat_ws(" ", slice(col("toks"), (col("idx") * k + 1).cast("int"), lit(k))).as("chunk"))
-    // packed first-occurrence key; the guard keeps the packing injective
-    val packed = when(col("doc_id") < (1L << 43) && col("idx") < (1L << 20),
-      col("doc_id") * lit(1L << 20) + col("idx"))
-      .otherwise(raise_error(lit("chunkDedup: doc_id/idx exceed packing bounds")))
-    val withKey = ch.withColumn("_k", packed).repartition(col("chunk"))
-    val first = withKey.groupBy("chunk").agg(min(col("_k")).as("_firstk"))
-    withKey.hint("shuffle_hash").join(first, Seq("chunk"))
+      .withColumn("_k", packed)
+  }
+
+  /** The persisted artifact of chunk dedup: one (chunk, firstk) row per
+    * distinct chunk text — O(distinct chunks), no positions, no documents.
+    * An incremental pipeline maintains THIS instead of re-deduping the
+    * corpus (the minhashBandIndex contract applied to chunks).
+    */
+  def chunkIndex(docs: DataFrame, id: Column, text: Column, k: Int = 8): DataFrame =
+    chunked(docs, id, text, k).groupBy("chunk").agg(min(col("_k")).as("firstk"))
+
+  /** O(batch) incremental chunk dedup: the batch is chunked alone and
+    * consults the persisted [[chunkIndex]] — the indexed corpus is never
+    * re-read. Sound when every batch doc_id exceeds every indexed doc_id
+    * (append-only ingest): the packed key is monotone in (doc_id, idx), so
+    * an indexed chunk always beats any batch occurrence, and within the
+    * batch the min-key occurrence wins exactly as the from-scratch pass
+    * would decide. Output rows (batch only) therefore equal chunkDedup over
+    * corpus ∪ batch restricted to batch docs — the oracle proves it.
+    */
+  def incrementalChunkDedup(
+      batch: DataFrame, id: Column, text: Column,
+      index: DataFrame, k: Int = 8): DataFrame = {
+    val bch = chunked(batch, id, text, k).repartition(col("chunk"))
+    val bwin = bch.groupBy("chunk").agg(min(col("_k")).as("_bk"))
+    bch.hint("shuffle_hash").join(bwin, Seq("chunk"))
+      .join(index.select(col("chunk"), col("firstk").as("_ik")), Seq("chunk"), "left")
       .select(col("doc_id"), col("idx"), col("chunk"),
-        (col("_k") === col("_firstk")).as("kept"))
+        (col("_k") === col("_bk") && col("_ik").isNull).as("kept"))
+  }
+
+  /** O(batch) index maintenance: append the batch's winning keys for chunks
+    * the index has never seen; existing index rows are never rewritten
+    * (their keys are smaller by the append-only precondition). append ≡
+    * rebuild is spec-pinned.
+    */
+  def appendChunkIndex(
+      index: DataFrame, batch: DataFrame, id: Column, text: Column,
+      k: Int = 8): DataFrame = {
+    val bwin = chunked(batch, id, text, k).groupBy("chunk").agg(min(col("_k")).as("firstk"))
+    index.unionByName(bwin.join(index.select("chunk"), Seq("chunk"), "left_anti"))
   }
 }

@@ -666,4 +666,28 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       (2L, 0L, "c d", false), (2L, 1L, "c d", false), (2L, 2L, "a b", false),
       (3L, 0L, "e", false)))
   }
+
+  test("incrementalChunkDedup ≡ from-scratch on the batch slice; append ≡ rebuild") {
+    val corpus = Seq((1L, "a b c d e"), (2L, "c d x y")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "a b f g"),      // "a b" loses to index, "f g" wins
+      (11L, "f g f g e"))    // both "f g" lose to doc 10's; "e" loses to index
+      .toDF("doc_id", "text")
+    val idx = Dedup.chunkIndex(corpus, col("doc_id"), col("text"), k = 2)
+    val inc = Dedup.incrementalChunkDedup(batch, col("doc_id"), col("text"), idx, k = 2)
+      .orderBy("doc_id", "idx")
+      .as[(Long, Long, String, Boolean)].collect().toSeq
+    val scratch = Dedup.chunkDedup(corpus.union(batch), col("doc_id"), col("text"), k = 2)
+      .filter(col("doc_id") >= 10).orderBy("doc_id", "idx")
+      .as[(Long, Long, String, Boolean)].collect().toSeq
+    assert(inc == scratch)
+    assert(inc.map(r => (r._3, r._4)).toSet ==
+      Set(("a b", false), ("f g", true), ("f g", false), ("e", false)))
+    // index maintenance: O(batch) append equals a from-scratch rebuild
+    val appended = Dedup.appendChunkIndex(idx, batch, col("doc_id"), col("text"), k = 2)
+      .orderBy("chunk").as[(String, Long)].collect().toSeq
+    val rebuilt = Dedup.chunkIndex(corpus.union(batch), col("doc_id"), col("text"), k = 2)
+      .orderBy("chunk").as[(String, Long)].collect().toSeq
+    assert(appended == rebuilt)
+  }
 }
