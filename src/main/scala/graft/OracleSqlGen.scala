@@ -348,6 +348,30 @@ object OracleSqlGen {
         FROM agg ORDER BY doc_id"""
   }
 
+  /** Banded simhash near-dup pairs: band equi-join candidates, exact
+    * bit_count(xor) verification — mirrors Dedup.simhashPairs over the same
+    * simhash generator.
+    */
+  def simhashPairs(bits: Int, bands: Int, maxHamming: Int): String = {
+    val w = bits / bands
+    val mask = (1L << w) - 1
+    val bandSql = (0 until bands)
+      .map(b => s"SELECT doc_id, simhash, $b AS band, " +
+        s"(simhash >> ${b * w}) & $mask AS bucket FROM h")
+      .mkString("\n          UNION ALL ")
+    s"""WITH h AS (SELECT doc_id, simhash FROM (${simhash(bits)}) s0),
+        bd AS (
+          $bandSql),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+              a.simhash AS sa, b.simhash AS sb
+          FROM bd a JOIN bd b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+        SELECT a_id, b_id, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(sa, sb)) <= $maxHamming
+        ORDER BY a_id, b_id"""
+  }
+
   /** Sequential-fold cosine between list columns `$a` and `$b`. */
   private def cosineSql(a: String, b: String): String =
     s"""(list_reduce(list_transform(list_zip($a, $b),

@@ -1118,6 +1118,15 @@ object SparkEntry {
         .orderBy("new_id", "dup_of")
     }),
 
+    // The join the fingerprint exists for: banded simhash candidates (any
+    // exact 15-bit band match) verified by exact Hamming ≤ 3. Pigeonhole-
+    // complete at this config (4 bands > 3 differing bits ⇒ some band
+    // untouched) — recall 1.0 by construction; equi-joins only.
+    "dedup_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(documents(s, d), col("doc_id"), col("text"),
+        bits = 60, bands = 4, maxHamming = 3)
+        .orderBy("a_id", "b_id")),
+
     "dedup_simhash" -> ((s, d) =>
       documents(s, d)
         .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
@@ -1723,6 +1732,15 @@ object SparkEntry {
         graft.pipeline.Privacy.redactPii(
           graft.pipeline.Privacy.withFakePii(col("text"), col("doc_id"))).as("redacted"))
         .orderBy("doc_id")),
+
+    // k-anonymity release decision over the (segment, nation) quasi-
+    // identifier lattice: release at the finest level whose equivalence
+    // class reaches k=10 (2 = fine ok, 1 = generalize the nation away,
+    // 0 = suppress). Two O(groups) aggregations, coarse counts broadcast.
+    "q_k_anonymity" -> ((s, d) =>
+      graft.pipeline.Privacy.kAnonymityLevels(
+          customer(s, d), col("c_mktsegment"), col("c_nationkey"), k = 10)
+        .orderBy("qi_coarse", "qi_fine")),
 
     // Deterministic md5-hash train/val/test split (13/26/217 of 256 buckets
     // ≈ 5%/10%/85%) — reproducible across reruns, engines, and cluster
@@ -3149,6 +3167,7 @@ object SparkEntry {
       OracleSqlGen.minhashSurvivors(3, 8, 2, Seq("doc_id", "lang", "source")),
     "dedup_incremental" -> OracleSqlGen.incrementalMinhash(3, 8, 2, batchMinId = 400),
     "dedup_simhash" -> OracleSqlGen.simhash(60),
+    "dedup_simhash_pairs" -> OracleSqlGen.simhashPairs(60, 4, 3),
     "dedup_embedding" -> OracleSqlGen.embeddingNearDup(0.45, 4, 4),
     "dedup_semantic_clusters" -> OracleSqlGen.embeddingClusters(0.45, 4, 4),
 
@@ -3203,6 +3222,18 @@ object SparkEntry {
          FROM documents ORDER BY shard, doc_id""",
 
     "text_pii_redact" -> OracleSqlGen.piiRedact,
+    "q_k_anonymity" ->
+      """WITH g2 AS (
+           SELECT c_mktsegment AS qi_coarse, c_nationkey AS qi_fine,
+               CAST(count(*) AS BIGINT) AS n
+           FROM customer GROUP BY 1, 2),
+         g1 AS (SELECT qi_coarse, sum(n) AS n_coarse FROM g2 GROUP BY 1)
+         SELECT qi_coarse, qi_fine, n,
+             CAST(CASE WHEN n >= 10 THEN 2
+                       WHEN n_coarse >= 10 THEN 1
+                       ELSE 0 END AS INT) AS release_level
+         FROM g2 JOIN g1 USING (qi_coarse)
+         ORDER BY qi_coarse, qi_fine""",
     "q_split_assign" -> OracleSqlGen.splitAssign(13, 26),
     "q_leakage_safe_split" -> OracleSqlGen.leakageSafeSplit(3, 8, 2, 13, 26),
     "q_zorder" -> OracleSqlGen.zorder(20, 100),

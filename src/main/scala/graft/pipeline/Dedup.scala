@@ -214,6 +214,42 @@ object Dedup {
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** Banded simhash near-dup pairs — the JOIN the fingerprint exists for:
+    * the `bits`-bit simhash splits into `bands` equal bit-bands; two docs
+    * become candidates when ANY band matches exactly, then exact Hamming ≤
+    * `maxHamming` verifies. Pigeonhole-complete: a pair within `bands - 1`
+    * differing bits must share at least one untouched band, so for
+    * maxHamming < bands recall is 1.0 by construction, not probabilistic.
+    *
+    * Scale shape: candidates come from equi-joins on (band, bucket) — never
+    * an all-pairs Hamming scan; a 15-bit band over uniform fingerprints
+    * keeps bucket collisions rare, and the exact bit_count verification
+    * runs only on candidates (the embeddingNearDup pattern in integer
+    * space).
+    */
+  def simhashPairs(
+      docs: DataFrame, id: Column, text: Column,
+      bits: Int = 60, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    require(bits % bands == 0, "bands must divide bits")
+    val w = bits / bands
+    val mask = (1L << w) - 1
+    val h = spread(docs).select(id.as("doc_id"), simhash(text, bits).as("sh"))
+    val banded = h.select(col("doc_id"), col("sh"),
+        posexplode(array((0 until bands).map(b =>
+          shiftright(col("sh"), b * w).bitwiseAND(lit(mask))): _*))
+          .as(Seq("band", "bucket")))
+    val l = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("a_id"), col("sh").as("_sa"))
+    val r = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("b_id"), col("sh").as("_sb"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "_sa", "_sb").distinct()
+      .withColumn("hamming", hamming(col("_sa"), col("_sb")).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
+  }
+
   /** Persistent minhash band index of a corpus: (doc_id, band, bucket) rows,
     * written once and appended per ingest batch. This is the state that
     * makes dedup INCREMENTAL at 100 TB — new data joins the index instead of

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** PII scrubbing for training corpora: redact e-mail addresses, IPv4
@@ -43,4 +43,26 @@ object Privacy {
       lit(" contact user"), id, lit("@example.com or 10.0."),
       pmod(id, lit(256)), lit(".7 tel +1 555-010-"),
       lpad(pmod(id, lit(10000)).cast("string"), 4, "0"))
+
+  /** k-anonymity generalization decision over a two-level quasi-identifier
+    * lattice (Sweeney, "k-anonymity: a model for protecting privacy",
+    * IJUFKS 2002): for each (coarse, fine) group, release at the finest
+    * level whose equivalence class reaches `k` —
+    * level 2 = (coarse, fine) is already k-anonymous,
+    * level 1 = only the coarse class is (fine value must generalize away),
+    * level 0 = even coarse is below k (suppress).
+    * Two aggregations (fine O(groups), coarse O(coarse values)); the
+    * coarse counts broadcast back — never a per-row pass.
+    */
+  def kAnonymityLevels(df: DataFrame, coarse: Column, fine: Column, k: Long): DataFrame = {
+    require(k >= 1)
+    val g2 = df.groupBy(coarse.as("qi_coarse"), fine.as("qi_fine"))
+      .agg(count(lit(1)).as("n"))
+    val g1 = g2.groupBy("qi_coarse").agg(sum("n").as("n_coarse"))
+    g2.join(broadcast(g1), Seq("qi_coarse"))
+      .select(col("qi_coarse"), col("qi_fine"), col("n"),
+        when(col("n") >= k, 2)
+          .when(col("n_coarse") >= k, 1)
+          .otherwise(0).cast("int").as("release_level"))
+  }
 }

@@ -157,4 +157,15 @@ class PrivacySpec extends AnyFunSuite with SparkTestBase {
     val (a, e) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
     assert(math.abs(a - e) / e < 0.05)
   }
+
+  test("kAnonymityLevels: finest k-reaching level wins; suppression when even coarse fails") {
+    // coarse A: fine 1 has 3 rows (level 2 at k=3), fine 2 has 1 row but
+    // A totals 4 ≥ 3 → level 1; coarse B: single row, total 1 < 3 → level 0
+    val rows = Seq(
+      ("A", 1), ("A", 1), ("A", 1), ("A", 2), ("B", 9)).toDF("seg", "nat")
+    val got = Privacy.kAnonymityLevels(rows, $"seg", $"nat", k = 3)
+      .orderBy("qi_coarse", "qi_fine")
+      .as[(String, Int, Long, Int)].collect().toSeq
+    assert(got == Seq(("A", 1, 3L, 2), ("A", 2, 1L, 1), ("B", 9, 1L, 0)))
+  }
 }
