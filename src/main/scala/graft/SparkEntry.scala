@@ -2779,6 +2779,22 @@ object SparkEntry {
       graft.operators.GraphAnalytics.triangleCounts(e).orderBy("node")
     }),
 
+    // Per-edge triangle support (k-truss building block: edge ∈ k-truss ⟺
+    // support ≥ k−2) on the same co-purchase graph — shared degree-oriented
+    // wedge machinery with graph_triangles; support ≥ 2 = the 4-truss
+    // candidate edges.
+    "graph_edge_support" -> ((s, d) => {
+      val lp = lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+      val e = lp.as("a").join(lp.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+      graft.operators.GraphAnalytics.edgeSupport(e)
+        .filter(col("support") >= 2)
+        .orderBy(desc("support"), asc("u"), asc("v")).limit(100)
+    }),
+
     // Persisted mergeable HLL sketch summary (rows-only by contract — the
     // estimates are Datasketches-algorithm-specific): distinct suppliers per
     // returnflag, estimated by union-merging a (returnflag, linestatus)-grain
@@ -3981,6 +3997,26 @@ object SparkEntry {
          SELECT node, CAST(count(*) AS BIGINT) AS n_tri
          FROM (SELECT unnest([a, b, c]) AS node FROM tri)
          GROUP BY node ORDER BY node""",
+    // id-oriented enumeration again; each triangle (a<b<c) credits its
+    // three already-canonical edges
+    "graph_edge_support" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS (
+           SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+           FROM lp a JOIN lp b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         tri AS (
+           SELECT e1.u AS a, e1.v AS b, e2.v AS c
+           FROM e e1
+           JOIN e e2 ON e2.u = e1.u AND e1.v < e2.v
+           JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+         ed AS (
+           SELECT a AS u, b AS v FROM tri
+           UNION ALL SELECT a, c FROM tri
+           UNION ALL SELECT b, c FROM tri)
+         SELECT u, v, CAST(count(*) AS BIGINT) AS support
+         FROM ed GROUP BY u, v HAVING count(*) >= 2
+         ORDER BY support DESC, u, v LIMIT 100""",
     "events_status_spans" ->
       """WITH x AS (
            SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,

@@ -114,6 +114,48 @@ object GraphAnalytics {
     * set, so an id-oriented engine (the DuckDB oracle) counts identically.
     */
   def triangleCounts(edges: DataFrame, bloomMinEdges: Long = 4000000L): DataFrame = {
+    val (tris, oriented) = closedTriangles(edges, bloomMinEdges)
+    val out = tris
+      .select(explode(array(col("src"), col("dst1"), col("dst2"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    // Same lifecycle as pageRankInt: force the O(V) counts, then drop the
+    // cached oriented edge list instead of leaving it resident.
+    val mat = out.localCheckpoint(true)
+    oriented.unpersist(false)
+    mat
+  }
+
+  /** Per-EDGE triangle support over the same oriented enumeration — the
+    * building block of k-truss cohesion (an edge is in the k-truss iff its
+    * support ≥ k−2): each closed triangle credits its three edges in
+    * undirected (min, max) canonical form. Identical scale shape to
+    * [[triangleCounts]] (shared wedge/closing machinery); the only change
+    * is what the triangle stream explodes into.
+    */
+  def edgeSupport(edges: DataFrame, bloomMinEdges: Long = 4000000L): DataFrame = {
+    val (tris, oriented) = closedTriangles(edges, bloomMinEdges)
+    def canon(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      struct(least(a, b).as("u"), greatest(a, b).as("v"))
+    val out = tris
+      .select(explode(array(
+        canon(col("src"), col("dst1")),
+        canon(col("src"), col("dst2")),
+        canon(col("dst1"), col("dst2")))).as("e"))
+      .groupBy(col("e.u").as("u"), col("e.v").as("v"))
+      .agg(count(lit(1)).as("support"))
+    val mat = out.localCheckpoint(true)
+    oriented.unpersist(false)
+    mat
+  }
+
+  /** Degree-oriented closed-triangle enumeration shared by
+    * [[triangleCounts]] and [[edgeSupport]]: returns the (src, dst1, dst2)
+    * triangle stream (each triangle exactly once, from its lowest-ordered
+    * vertex) plus the cached oriented edge list the CALLER must unpersist
+    * after materializing its aggregate.
+    */
+  private def closedTriangles(
+      edges: DataFrame, bloomMinEdges: Long): (DataFrame, DataFrame) = {
     // NOTE: e is consumed three times below, but Spark's exchange reuse
     // already shares the caller's shuffle across those branches — caching it
     // here was measured SLOWER (columnar materialization cost exceeds the
@@ -172,17 +214,15 @@ object GraphAnalytics {
     val packable = minId >= 0L && maxId < (1L << 31)
     def packed(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       (a * lit(1L << 31)) + b
-    val out =
+    val tris =
       if (nEdges < bloomMinEdges) {
-        val joined =
-          if (packable) {
-            val ckeys = closing.select(packed(col("dst1"), col("dst2")).as("ck"))
-            rawWedges.withColumn("ck", packed(col("dst1"), col("dst2")))
-              .join(broadcast(ckeys), "ck")
-          } else rawWedges.join(broadcast(closing), Seq("dst1", "dst2"))
-        joined
-          .select(explode(array(col("src"), col("dst1"), col("dst2"))).as("node"))
-          .groupBy("node").agg(count(lit(1)).as("n_tri"))
+        if (packable) {
+          val ckeys = closing.select(packed(col("dst1"), col("dst2")).as("ck"))
+          rawWedges.withColumn("ck", packed(col("dst1"), col("dst2")))
+            .join(broadcast(ckeys), "ck")
+            .select("src", "dst1", "dst2")
+        } else rawWedges.join(broadcast(closing), Seq("dst1", "dst2"))
+          .select("src", "dst1", "dst2")
       } else {
         val bloom = BloomJoin.buildBloom(
           closing, struct(col("dst1"), col("dst2")),
@@ -191,14 +231,9 @@ object GraphAnalytics {
         rawWedges
           .filter(BloomJoin.mightContain(bloom, struct(col("dst1"), col("dst2"))))
           .join(closing, Seq("dst1", "dst2"))
-          .select(explode(array(col("src"), col("dst1"), col("dst2"))).as("node"))
-          .groupBy("node").agg(count(lit(1)).as("n_tri"))
+          .select("src", "dst1", "dst2")
       }
-    // Same lifecycle as pageRankInt: force the O(V) counts, then drop the
-    // cached oriented edge list instead of leaving it resident.
-    val mat = out.localCheckpoint(true)
-    oriented.unpersist(false)
-    mat
+    (tris, oriented)
   }
 
   /** k-core by fixed-round peeling: repeatedly drop nodes whose degree

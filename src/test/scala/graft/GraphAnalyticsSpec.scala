@@ -221,6 +221,23 @@ class GraphAnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(l1 == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 4L, 6L -> 4L))
   }
 
+  test("edgeSupport: hand-counted supports on K4 minus an edge; bloom path agrees") {
+    // K4 on {1,2,3,4} minus edge (3,4): triangles {1,2,3} and {1,2,4}.
+    // Edge (1,2) is in both → support 2; the other four edges → 1.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+      .toDF("u", "v")
+    val got = GraphAnalytics.edgeSupport(edges)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == Map(
+      (1L, 2L) -> 2L, (1L, 3L) -> 1L, (1L, 4L) -> 1L,
+      (2L, 3L) -> 1L, (2L, 4L) -> 1L))
+    // force the bloom-gated path (threshold below the edge count): the
+    // bloom only pre-filters wedges, the exact join keeps the set identical
+    val bloomed = GraphAnalytics.edgeSupport(edges, bloomMinEdges = 1L)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(bloomed == got)
+  }
+
   test("resourceAllocation: hand-computed 1/deg weights; hub cap drops baskets") {
     // baskets: u=10 holds {1,2} (deg 2 → w = 2^20/2 = 524288),
     //          u=11 holds {1,2,3} (deg 3 → w = 1048576/3 = 349525),
