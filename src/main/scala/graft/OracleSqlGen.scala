@@ -1037,6 +1037,37 @@ object OracleSqlGen {
         ORDER BY core_deg DESC, node ASC LIMIT $topK"""
   }
 
+  /** Mirrors GraphAnalytics.trussEdges over the co-purchase graph: one
+    * (triangle, support, filter) CTE triple per peel round, id-oriented
+    * triangle enumeration (same set as the degree-oriented Spark
+    * enumeration), final round's surviving edges with their support.
+    */
+  def trussEdges(k: Int, rounds: Int, topK: Int): String = {
+    val bar = k - 2
+    val roundCtes = (1 to rounds).map { i =>
+      s"""t$i AS (
+           SELECT e1.u AS a, e1.v AS b, e2.v AS c
+           FROM e${i - 1} e1
+           JOIN e${i - 1} e2 ON e2.u = e1.u AND e1.v < e2.v
+           JOIN e${i - 1} e3 ON e3.u = e1.v AND e3.v = e2.v),
+        s$i AS (
+           SELECT u, v, count(*) AS support FROM (
+             SELECT a AS u, b AS v FROM t$i
+             UNION ALL SELECT a, c FROM t$i
+             UNION ALL SELECT b, c FROM t$i)
+           GROUP BY u, v HAVING count(*) >= $bar),
+        e$i AS (SELECT u, v FROM s$i)"""
+    }.mkString(",\n        ")
+    s"""WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e0 AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM lp a JOIN lp b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        $roundCtes
+        SELECT u, v, CAST(support AS BIGINT) AS support FROM s$rounds
+        ORDER BY support DESC, u, v LIMIT $topK"""
+  }
+
   /** Mirrors GraphAnalytics.personalizedPageRankInt over the customer→order
     * →part FK graph: pageRankInt's chained CTEs with the teleport base
     * restricted to the seed set and zero-mass nodes filtered from the

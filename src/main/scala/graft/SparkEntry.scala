@@ -2795,6 +2795,22 @@ object SparkEntry {
         .orderBy(desc("support"), asc("u"), asc("v")).limit(100)
     }),
 
+    // Full k-truss (4-truss: every surviving edge in ≥2 triangles WITHIN
+    // the survivor set) — the cascading peel graph_edge_support is the
+    // building block of. 3 fixed rounds (the oracle unrolls the same 3;
+    // peeling is monotone so equal consecutive rounds = the fixpoint — the
+    // spec pins convergence on this graph's scale shape).
+    "graph_ktruss" -> ((s, d) => {
+      val lp = lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+      val e = lp.as("a").join(lp.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+      graft.operators.GraphAnalytics.trussEdges(e, k = 4, rounds = 3)
+        .orderBy(desc("support"), asc("u"), asc("v")).limit(100)
+    }),
+
     // Persisted mergeable HLL sketch summary (rows-only by contract — the
     // estimates are Datasketches-algorithm-specific): distinct suppliers per
     // returnflag, estimated by union-merging a (returnflag, linestatus)-grain
@@ -4017,6 +4033,7 @@ object SparkEntry {
          SELECT u, v, CAST(count(*) AS BIGINT) AS support
          FROM ed GROUP BY u, v HAVING count(*) >= 2
          ORDER BY support DESC, u, v LIMIT 100""",
+    "graph_ktruss" -> OracleSqlGen.trussEdges(4, 3, 100),
     "events_status_spans" ->
       """WITH x AS (
            SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,

@@ -19,15 +19,27 @@ object Tables {
   def part(s: SparkSession, d: String) = load(s, d, "part")
   def orders(s: SparkSession, d: String) = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String) = load(s, d, "lineitem")
-  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as long (legacy
-    * conf) and floor-convert to a micros timestamp — the same truncation
-    * DuckDB applies casting TIMESTAMP_NS → TIMESTAMP.
+  /** The events table's `ts` encoding has varied across driver testdata
+    * generations — TIMESTAMP(NANOS) (which Spark's reader rejects with
+    * [PARQUET_TYPE_ILLEGAL]) and plain TIMESTAMP_MICROS (isAdjustedToUTC
+    * = false, which Spark reads as TIMESTAMP_NTZ). Adapt on the footer
+    * schema so both land on the same micros TIMESTAMP column: nanos are
+    * read as long (legacy conf) and floor-converted — the truncation
+    * DuckDB applies casting TIMESTAMP_NS → TIMESTAMP — and NTZ wall-clock
+    * values are reinterpreted as UTC instants (the session timezone is
+    * pinned to UTC everywhere), which is exactly how the DuckDB oracle
+    * treats the same naive values.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) as long
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw // already a micros TIMESTAMP
+    }
   }
   def documents(s: SparkSession, d: String) = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String) = load(s, d, "embeddings")

@@ -148,6 +148,42 @@ object GraphAnalytics {
     mat
   }
 
+  /** k-truss by fixed-round support peeling: each round recomputes per-edge
+    * triangle support WITHIN the surviving edge set ([[edgeSupport]] — the
+    * shared degree-oriented wedge machinery) and keeps edges with support
+    * ≥ k−2. Removing an edge can drop a neighbor's support below the bar,
+    * so one support pass is not enough — the peel must cascade.
+    *
+    * `rounds` is FIXED, not run-to-fixpoint (the [[kCore]] contract): the
+    * DuckDB oracle unrolls the identical R rounds as chained CTEs, and
+    * since peeling is monotone (survivor sets only shrink) two equal
+    * consecutive rounds mean the answer IS the k-truss. Returns the
+    * surviving canonical edges (u < v) with their support as computed in
+    * the final round (i.e. within the previous round's survivor set) —
+    * exactly what the oracle's last CTE emits.
+    *
+    * Scale shape: each round is one full [[edgeSupport]] pass over a
+    * SHRINKING edge set — the first round dominates and is the same
+    * O(Σ min(d,√E)²) wedge enumeration graph_triangles already pays;
+    * every edgeSupport eagerly localCheckpoints, so lineage stays O(1)
+    * per round and nothing re-enumerates earlier rounds.
+    */
+  def trussEdges(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 3 && rounds >= 1 && rounds <= 10,
+      s"need k >= 3 and rounds in [1, 10], got k=$k rounds=$rounds")
+    var cur = edges.select(
+      least(col("u"), col("v")).cast("long").as("u"),
+      greatest(col("u"), col("v")).cast("long").as("v"))
+    var out: DataFrame = null
+    for (_ <- 1 to rounds) {
+      // edgeSupport materializes (localCheckpoint) before returning, so
+      // each round's filter reads a settled frame — no lineage pyramid.
+      out = edgeSupport(cur).filter(col("support") >= k - 2)
+      cur = out.select("u", "v")
+    }
+    out
+  }
+
   /** Degree-oriented closed-triangle enumeration shared by
     * [[triangleCounts]] and [[edgeSupport]]: returns the (src, dst1, dst2)
     * triangle stream (each triangle exactly once, from its lowest-ordered

@@ -238,6 +238,36 @@ class GraphAnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(bloomed == got)
   }
 
+  test("trussEdges: cascading peel — K5 plus a pendant triangle keeps only the clique at k=4") {
+    // K5 on {1..5} (every edge in 3 triangles) plus triangle {5,10,11} and
+    // a bare edge (11,12). Round 1 computes supports within the whole
+    // graph: clique edges 3, pendant-triangle edges 1, (11,12) has none —
+    // at k=4 (bar = 2) the pendant triangle and bare edge peel, the clique
+    // survives with its supports intact.
+    val clique = for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)
+    val edges = (clique ++ Seq((5L, 10L), (5L, 11L), (10L, 11L), (11L, 12L)))
+      .toDF("u", "v")
+    val got = GraphAnalytics.trussEdges(edges, k = 4, rounds = 2)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == clique.map(e => e -> 3L).toMap)
+    // monotone convergence: one more round changes nothing once settled
+    val more = GraphAnalytics.trussEdges(edges, k = 4, rounds = 3)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(more == got)
+  }
+
+  test("trussEdges: the peel cascades — removing one edge's support collapses a chain") {
+    // Triangle strip 1-2-3, 2-3-4, 3-4-5: supports (2,3)=2, (3,4)=2, the
+    // rest 1. A single support pass at k=4 would keep {(2,3),(3,4)} — but
+    // those two edges alone close no triangle, so round 2 must empty the
+    // survivor set entirely. Pins that trussEdges recomputes support
+    // within survivors instead of filtering once.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (3L, 5L), (4L, 5L)).toDF("u", "v")
+    assert(GraphAnalytics.trussEdges(edges, k = 4, rounds = 1).count() == 2L)
+    assert(GraphAnalytics.trussEdges(edges, k = 4, rounds = 2).count() == 0L)
+  }
+
   test("resourceAllocation: hand-computed 1/deg weights; hub cap drops baskets") {
     // baskets: u=10 holds {1,2} (deg 2 → w = 2^20/2 = 524288),
     //          u=11 holds {1,2,3} (deg 3 → w = 1048576/3 = 349525),
