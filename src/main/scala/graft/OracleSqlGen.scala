@@ -1068,6 +1068,44 @@ object OracleSqlGen {
         ORDER BY support DESC, u, v LIMIT $topK"""
   }
 
+  /** Mirrors GraphAnalytics.hitsInt over the customer→order→part FK graph:
+    * one (auth-raw, auth, hub-raw, hub) CTE quadruple per round, max
+    * normalization by scalar subquery, integer floor division throughout —
+    * positive operands, so DuckDB's `//` equals Spark's `div`.
+    */
+  def hits(iters: Int, topK: Int, scale: Long = 1000000L): String = {
+    val roundCtes = (1 to iters).map { i =>
+      s"""ar$i AS (
+           SELECT e.dst AS node, sum(h.score) AS raw
+           FROM e JOIN h${i - 1} h ON e.src = h.node GROUP BY e.dst),
+        a$i AS (
+           SELECT node, (raw * $scale) // (SELECT max(raw) FROM ar$i) AS score
+           FROM ar$i),
+        hr$i AS (
+           SELECT e.src AS node, sum(a.score) AS raw
+           FROM e JOIN a$i a ON e.dst = a.node GROUP BY e.src),
+        h$i AS (
+           SELECT node, (raw * $scale) // (SELECT max(raw) FROM hr$i) AS score
+           FROM hr$i)"""
+    }.mkString(",\n        ")
+    s"""WITH e AS (
+          SELECT 2000000000 + o_custkey AS src, o_orderkey AS dst FROM orders
+          UNION ALL
+          SELECT l_orderkey AS src, 1000000000 + l_partkey AS dst FROM lineitem),
+        h0 AS (SELECT DISTINCT src AS node, CAST($scale AS BIGINT) AS score FROM e),
+        $roundCtes,
+        sides AS (
+          SELECT 'auth' AS kind, node, score FROM a$iters
+          UNION ALL SELECT 'hub' AS kind, node, score FROM h$iters),
+        ranked AS (
+          SELECT kind, node, score, row_number() OVER (
+            PARTITION BY kind ORDER BY score DESC, node ASC) AS rn
+          FROM sides)
+        SELECT kind, CAST(node AS BIGINT) AS node, CAST(score AS BIGINT) AS score
+        FROM ranked WHERE rn <= $topK
+        ORDER BY kind, score DESC, node"""
+  }
+
   /** Mirrors GraphAnalytics.personalizedPageRankInt over the customer→order
     * →part FK graph: pageRankInt's chained CTEs with the teleport base
     * restricted to the seed set and zero-mass nodes filtered from the

@@ -2062,6 +2062,25 @@ object SparkEntry {
         .orderBy(desc("ppr"), asc("node")).limit(20)
     }),
 
+    // HITS hubs/authorities over the same FK graph, 3 full mutual-
+    // reinforcement rounds in max-normalized integer math (L2 isn't
+    // hash-verifiable; the max norm keeps the same ranking fixpoint);
+    // top 20 per side in one (kind, node, score) frame.
+    "graph_hits" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = orders(s, d).select(
+        (lit(2000000000L) + col("o_custkey")).as("src"),
+        col("o_orderkey").as("dst"))
+      val li = lineitem(s, d).select(
+        col("l_orderkey").as("src"),
+        (lit(1000000000L) + col("l_partkey")).as("dst"))
+      graft.operators.GraphAnalytics.hitsInt(o.union(li), iters = 3)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("kind").orderBy(desc("score"), asc("node"))))
+        .filter(col("rn") <= 20).drop("rn")
+        .orderBy(asc("kind"), desc("score"), asc("node"))
+    }),
+
     // Deterministic label-propagation communities over the same bipartite
     // graph: 4 synchronous rounds (most-frequent neighbor label, ties to
     // the smallest — the Raghavan et al. algorithm with its random
@@ -3602,6 +3621,7 @@ object SparkEntry {
            FROM events)
          WHERE rank <= 5 ORDER BY event_type, rank""",
     "graph_pagerank" -> OracleSqlGen.pageRankInt(iters = 3, topK = 20),
+    "graph_hits" -> OracleSqlGen.hits(iters = 3, topK = 20),
     "graph_kcore" -> OracleSqlGen.kCore(k = 5, rounds = 6, topK = 200),
     "graph_lpa" -> OracleSqlGen.labelPropagation(rounds = 4, topK = 20),
     "graph_ppr" -> OracleSqlGen.personalizedPageRank(

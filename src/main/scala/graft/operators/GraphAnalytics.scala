@@ -184,6 +184,66 @@ object GraphAnalytics {
     out
   }
 
+  /** HITS hubs-and-authorities (Kleinberg, "Authoritative sources in a
+    * hyperlinked environment", JACM 1999) in the [[pageRankInt]] integer
+    * domain: mutual reinforcement auth(v) = Σ hub(u) over in-edges,
+    * hub(u) = Σ auth(v) over out-edges, renormalized each half-step by the
+    * MAX (top score pinned to `scale`) with integer floor division — the
+    * L2 norm of the float formulation is not hash-verifiable, the max norm
+    * preserves the same ranking fixpoint and stays in exact long math.
+    *
+    * Overflow bound: raw sums are ≤ deg_max·scale and the normalize step
+    * multiplies by scale before dividing, so the intermediate is ≤
+    * deg_max·scale² — with scale = 10⁶ that stays inside a signed long up
+    * to deg_max ≈ 9·10⁶; graphs with hotter hubs should lower `scale` (the
+    * ranking only needs ~6 significant digits).
+    *
+    * Scale shape: edges cached once; each half-step is one groupBy
+    * exchange of an O(V) frame plus a size-gated broadcast of the scores
+    * into the edge probe; the max-reduction rides a broadcast scalar
+    * (crossJoin of a 1-row agg), never a driver collect.
+    *
+    * Returns (kind ∈ {auth, hub}, node, score) for every node of the
+    * respective side after `iters` full rounds.
+    */
+  def hitsInt(edges: DataFrame, iters: Int, scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters must be in [1, 20], got $iters")
+    val e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .repartition(col("src"))
+      .cache()
+    var h = e.select(col("src").as("node")).distinct()
+      .withColumn("score", lit(scale))
+      .localCheckpoint(true)
+    val vRows = h.count()
+    def bc(df: DataFrame): DataFrame = Hints.broadcastIfUnder(df, vRows)
+    // top score = scale exactly; everything else floors proportionally.
+    // The raw frame is referenced twice (max-agg + the scored projection),
+    // so it is settled eagerly — O(V), same discipline as the kCore loop.
+    def normalize(raw0: DataFrame): DataFrame = {
+      val raw = raw0.localCheckpoint(true)
+      raw.crossJoin(broadcast(raw.agg(max("raw").as("mx"))))
+        .select(col("node"), expr(s"(raw * ${scale}L) div mx").as("score"))
+    }
+    var a: DataFrame = null
+    for (_ <- 1 to iters) {
+      // every dst has an in-edge from a scored src (h covers all srcs
+      // inductively), so both frames stay total over their side
+      val araw = e
+        .join(bc(h.select(col("node").as("src"), col("score").as("hs"))), "src")
+        .groupBy(col("dst").as("node")).agg(sum("hs").as("raw"))
+      a = normalize(araw)
+      val hraw = e
+        .join(bc(a.select(col("node").as("dst"), col("score").as("as"))), "dst")
+        .groupBy(col("src").as("node")).agg(sum("as").as("raw"))
+      h = normalize(hraw)
+    }
+    val out = a.select(lit("auth").as("kind"), col("node"), col("score"))
+      .union(h.select(lit("hub").as("kind"), col("node"), col("score")))
+    e.unpersist(false)
+    out
+  }
+
   /** Degree-oriented closed-triangle enumeration shared by
     * [[triangleCounts]] and [[edgeSupport]]: returns the (src, dst1, dst2)
     * triangle stream (each triangle exactly once, from its lowest-ordered

@@ -268,6 +268,34 @@ class GraphAnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(GraphAnalytics.trussEdges(edges, k = 4, rounds = 2).count() == 0L)
   }
 
+  test("hitsInt: hand-computed scores on a two-hub fan; max pins top to scale") {
+    // Hubs 1 and 2 point into authorities: 1→{10,11,12}, 2→{11,12}.
+    // Round 1: araw(10)=1e6, araw(11)=araw(12)=2e6 → max 2e6 →
+    //   a(10)=500000, a(11)=a(12)=1000000.
+    // hraw(1)=500000+2e6=2.5e6, hraw(2)=2e6 → max 2.5e6 →
+    //   h(1)=1000000, h(2)=2000000*1000000 div 2500000 = 800000.
+    val edges = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 11L), (2L, 12L))
+      .toDF("src", "dst")
+    val got = GraphAnalytics.hitsInt(edges, iters = 1)
+      .as[(String, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == Map(
+      ("auth", 10L) -> 500000L, ("auth", 11L) -> 1000000L,
+      ("auth", 12L) -> 1000000L,
+      ("hub", 1L) -> 1000000L, ("hub", 2L) -> 800000L))
+  }
+
+  test("hitsInt: a second round reinforces the better-connected authority") {
+    // Same fan: round 2 re-weights araw with the round-1 hub scores:
+    // araw(10)=h(1)=1e6, araw(11)=araw(12)=1e6+800000=1.8e6 →
+    //   a(10)=1000000*1000000 div 1800000=555555, a(11)=a(12)=1000000.
+    val edges = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 11L), (2L, 12L))
+      .toDF("src", "dst")
+    val got = GraphAnalytics.hitsInt(edges, iters = 2)
+      .filter($"kind" === "auth")
+      .as[(String, Long, Long)].collect().map(r => r._2 -> r._3).toMap
+    assert(got == Map(10L -> 555555L, 11L -> 1000000L, 12L -> 1000000L))
+  }
+
   test("resourceAllocation: hand-computed 1/deg weights; hub cap drops baskets") {
     // baskets: u=10 holds {1,2} (deg 2 → w = 2^20/2 = 524288),
     //          u=11 holds {1,2,3} (deg 3 → w = 1048576/3 = 349525),
