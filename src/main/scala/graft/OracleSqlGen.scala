@@ -1037,6 +1037,16 @@ object OracleSqlGen {
         ORDER BY core_deg DESC, node ASC LIMIT $topK"""
   }
 
+  /** Benford first-digit expectation log₁₀(1 + 1/d) as a CASE usable
+    * verbatim in BOTH engines: the double literals are formatted once here
+    * (Double.toString round-trips), so Spark's `expr` and DuckDB parse the
+    * identical nearest double and the downstream deviations hash-match.
+    */
+  def benfordExpectedCase: String =
+    (1 to 9).map { d =>
+      s"WHEN $d THEN CAST(${math.log10(1 + 1.0 / d)} AS DOUBLE)"
+    }.mkString("CASE digit ", " ", " ELSE CAST(0 AS DOUBLE) END")
+
   /** Mirrors GraphAnalytics.trussEdges over the co-purchase graph: one
     * (triangle, support, filter) CTE triple per peel round, id-oriented
     * triangle enumeration (same set as the degree-oriented Spark

@@ -1742,6 +1742,39 @@ object SparkEntry {
           customer(s, d), col("c_mktsegment"), col("c_nationkey"), k = 10)
         .orderBy("qi_coarse", "qi_fine")),
 
+    // l-diversity audit on the SAME quasi-identifier classes q_k_anonymity
+    // releases: class size alone doesn't protect the sensitive attribute
+    // (here the account-balance band) when a class is homogeneous. Exact
+    // distinct counts via two chained aggregations; diverse = d ≥ 3.
+    "q_l_diversity" -> ((s, d) =>
+      graft.pipeline.Privacy.lDiversity(
+          customer(s, d).withColumn("bal_band",
+            floor(col("c_acctbal").cast(DecimalType(18, 2)) / 1000).cast("int")),
+          Seq("c_mktsegment", "c_nationkey"), col("bal_band"), l = 3)
+        .orderBy("c_mktsegment", "c_nationkey")),
+
+    // Benford first-digit profile of order totals — the classic synthetic-
+    // data / fraud screen. The digit comes from exact integer cents
+    // (BIGINT→string is canonical in both engines; no float log10 near a
+    // power-of-ten boundary), the expectation is a shared literal CASE
+    // (OracleSqlGen.benfordExpectedCase — byte-identical doubles both
+    // sides), and only the final fractions are doubles.
+    "q_benford" -> ((s, d) => {
+      val counts = orders(s, d)
+        .select(substring((dec(col("o_totalprice")) * 100).cast("long")
+          .cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      counts.crossJoin(broadcast(counts.agg(sum("n").as("total"))))
+        .withColumn("exp_frac", expr(OracleSqlGen.benfordExpectedCase))
+        .select(col("digit"), col("n"),
+          round(col("n").cast("double") / col("total").cast("double"), 6)
+            .as("obs_frac"),
+          round(col("exp_frac"), 6).as("exp_frac"),
+          round(col("n").cast("double") / col("total").cast("double")
+            - col("exp_frac"), 6).as("dev"))
+        .orderBy("digit")
+    }),
+
     // Deterministic md5-hash train/val/test split (13/26/217 of 256 buckets
     // ≈ 5%/10%/85%) — reproducible across reruns, engines, and cluster
     // layouts, unlike rand()-based splits.
@@ -2286,6 +2319,70 @@ object SparkEntry {
             .as("r"))
     }),
 
+    // Lag-k autocorrelation of the hourly event-count series (lags 1–6):
+    // the q_cross_corr Pearson machinery applied to the series against its
+    // own lag, paired by exact hour arithmetic (a window lead() would
+    // silently pair across gaps in sparse hours). The series is an O(hours)
+    // aggregate settled once and joined six times — the events fact table
+    // is scanned once; counts accumulate as longs, squares as exact
+    // decimals, the ratio is double only at the output boundary.
+    "events_autocorr" -> ((s, d) => {
+      val series = events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      val pairs = (1 to 6).map { l =>
+        series.as("s1").join(series.as("s2"),
+            col("s2.hr") === col("s1.hr") + expr(s"INTERVAL $l HOURS"))
+          .select(lit(l).as("lag"), col("s1.c").as("x"), col("s2.c").as("y"))
+      }.reduce(_ union _)
+      val dx = col("x").cast(DecimalType(18, 0))
+      val dy = col("y").cast(DecimalType(18, 0))
+      pairs.groupBy("lag")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(dx * dx).as("sxx"), sum(dy * dy).as("syy"), sum(dx * dy).as("sxy"))
+        .select(col("lag"), col("n"),
+          round((col("n") * col("sxy") -
+              col("sx").cast(DecimalType(18, 0)) * col("sy").cast(DecimalType(18, 0)))
+            .cast("double") /
+            (sqrt((col("n") * col("sxx") -
+                col("sx").cast(DecimalType(18, 0)) * col("sx").cast(DecimalType(18, 0)))
+              .cast("double")) *
+             sqrt((col("n") * col("syy") -
+                col("sy").cast(DecimalType(18, 0)) * col("sy").cast(DecimalType(18, 0)))
+              .cast("double"))), 6)
+            .as("r"))
+        .orderBy("lag")
+    }),
+
+    // CUSUM changepoint per event type, all-integer: with hourly counts
+    // c₁..cₙ and total T, the mean-centered cumulative sum at hour i is
+    // cum(i) − i·T/n — scaled by n it stays an exact long:
+    // s(i) = n·cum(i) − i·T. The hour with max |s| is the classic CUSUM
+    // changepoint estimate. Windows partition by event_type (parallel);
+    // bound: n ≤ hours, cum ≤ total events — n·cum needs ≈ 2·log₂(rows)
+    // bits, far inside a long at any driver scale.
+    "events_cusum" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourly = events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("event_type").orderBy("hr")
+      val scored = hourly
+        .withColumn("i", row_number().over(w))
+        .withColumn("cum", sum("c").over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+        .withColumn("t", sum("c").over(Window.partitionBy("event_type")))
+        .withColumn("s", col("n") * col("cum") - col("i") * col("t"))
+      scored
+        .withColumn("rn", row_number().over(Window.partitionBy("event_type")
+          .orderBy(abs(col("s")).desc, col("hr").asc)))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("hr").as("cp_hr"), col("s").as("cusum_scaled"),
+          col("n").cast("long").as("n_hours"))
+        .orderBy("event_type")
+    }),
+
     // Gini coefficient of customer revenue per nation — the order-statistic
     // formula G = (2·Σxᵢ·i − (n+1)·Σx) / (n·Σx) over per-customer decimal
     // revenue ranked within nation. Every accumulation is exact decimal ×
@@ -2312,6 +2409,36 @@ object SparkEntry {
               (col("n") + lit(1)) * col("sx").cast("double")) /
             (col("n") * col("sx").cast("double")), 6).as("gini"))
         .orderBy("n_name")
+    }),
+
+    // RFM segmentation (recency / frequency / monetary quintiles — the
+    // classic CRM cohorting): per-customer aggregates in exact day counts
+    // and decimal cents, then three ntile(5) scores with custkey
+    // tiebreaks, rolled up to the ≤125 (r,f,m) cells. The global windows
+    // run over the O(customers) AGGREGATE frame — the orders fact table
+    // never sorts globally (q_ntile contract; approx_percentile thresholds
+    // are the stated 100 TB path for the scoring step).
+    "q_rfm" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = orders(s, d)
+      val cust = o.groupBy("o_custkey").agg(
+        max("o_orderdate").as("last_order"),
+        count(lit(1)).as("frequency"),
+        (sum(dec(col("o_totalprice"))) * 100).cast("long").as("monetary_cents"))
+      val scored = cust
+        .crossJoin(broadcast(o.agg(max("o_orderdate").as("refd"))))
+        .withColumn("recency_days",
+          datediff(col("refd").cast("date"), col("last_order").cast("date")))
+        .withColumn("r", ntile(5).over(
+          Window.orderBy(asc("recency_days"), asc("o_custkey"))))
+        .withColumn("f", ntile(5).over(
+          Window.orderBy(desc("frequency"), asc("o_custkey"))))
+        .withColumn("m", ntile(5).over(
+          Window.orderBy(desc("monetary_cents"), asc("o_custkey"))))
+      scored.groupBy("r", "f", "m").agg(
+          count(lit(1)).as("n_customers"),
+          sum("monetary_cents").as("segment_cents"))
+        .orderBy("r", "f", "m")
     }),
 
     // MERGE / SCD-1 upsert as a relational rewrite (the plain-parquet
@@ -3708,6 +3835,44 @@ object SparkEntry {
              round(CAST(n * sxy - sx * sy AS DOUBLE) /
                (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS r
          FROM s""",
+    "events_autocorr" ->
+      """WITH series AS (
+           SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+             CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1),
+         lags AS (SELECT unnest([1, 2, 3, 4, 5, 6]) AS lag),
+         pairs AS (
+           SELECT l.lag, s1.c AS x, s2.c AS y
+           FROM lags l
+           CROSS JOIN series s1
+           JOIN series s2 ON s2.hr = s1.hr + to_hours(l.lag)),
+         agg AS (
+           SELECT lag, CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+           FROM pairs GROUP BY lag)
+         SELECT CAST(lag AS INT) AS lag, n,
+             round(CAST(n * sxy - sx * sy AS DOUBLE) /
+               (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS r
+         FROM agg ORDER BY lag""",
+    "events_cusum" ->
+      """WITH hourly AS (
+           SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+             CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         scored AS (
+           SELECT event_type, hr,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+             CAST(count(*) OVER (PARTITION BY event_type) *
+               sum(c) OVER (PARTITION BY event_type ORDER BY hr) -
+               row_number() OVER (PARTITION BY event_type ORDER BY hr) *
+               sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS s
+           FROM hourly),
+         top AS (
+           SELECT event_type, hr, s, n, row_number() OVER (
+             PARTITION BY event_type ORDER BY abs(s) DESC, hr ASC) AS rn
+           FROM scored)
+         SELECT event_type, hr AS cp_hr, s AS cusum_scaled, n AS n_hours
+         FROM top WHERE rn = 1 ORDER BY event_type""",
     "q_gini" ->
       """WITH rev AS (
            SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS x
@@ -3726,6 +3891,50 @@ object SparkEntry {
              round((2 * CAST(sxi AS DOUBLE) - (n + 1) * CAST(sx AS DOUBLE))
                / (n * CAST(sx AS DOUBLE)), 6) AS gini
          FROM agg ORDER BY n_name""",
+    "q_l_diversity" ->
+      """WITH per_sv AS (
+           SELECT c_mktsegment, c_nationkey,
+             CAST(floor(CAST(c_acctbal AS DECIMAL(18,2)) / 1000) AS INT) AS sv,
+             CAST(count(*) AS BIGINT) AS n
+           FROM customer GROUP BY 1, 2, 3)
+         SELECT c_mktsegment, c_nationkey,
+             CAST(sum(n) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS d,
+             CAST(CASE WHEN count(*) >= 3 THEN 1 ELSE 0 END AS INT) AS diverse
+         FROM per_sv GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_benford" ->
+      s"""WITH digits AS (
+           SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+           FROM orders),
+         counts AS (
+           SELECT digit, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY digit),
+         tot AS (SELECT sum(n) AS total FROM counts),
+         ex AS (
+           SELECT digit, n, total,
+             ${OracleSqlGen.benfordExpectedCase} AS exp_frac
+           FROM counts CROSS JOIN tot)
+         SELECT digit, n,
+             round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS obs_frac,
+             round(exp_frac, 6) AS exp_frac,
+             round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE) - exp_frac, 6) AS dev
+         FROM ex ORDER BY digit""",
+    "q_rfm" ->
+      """WITH cust AS (
+           SELECT o_custkey,
+             date_diff('day', CAST(max(o_orderdate) AS DATE),
+               CAST((SELECT max(o_orderdate) FROM orders) AS DATE)) AS recency_days,
+             count(*) AS frequency,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS monetary_cents
+           FROM orders GROUP BY o_custkey),
+         scored AS (
+           SELECT monetary_cents,
+             ntile(5) OVER (ORDER BY recency_days ASC, o_custkey) AS r,
+             ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+             ntile(5) OVER (ORDER BY monetary_cents DESC, o_custkey) AS m
+           FROM cust)
+         SELECT CAST(r AS INT) AS r, CAST(f AS INT) AS f, CAST(m AS INT) AS m,
+             CAST(count(*) AS BIGINT) AS n_customers,
+             CAST(sum(monetary_cents) AS BIGINT) AS segment_cents
+         FROM scored GROUP BY r, f, m ORDER BY r, f, m""",
     "q_merge_upsert" ->
       """WITH updates AS (
            SELECT * REPLACE (o_totalprice + 5.0 AS o_totalprice)

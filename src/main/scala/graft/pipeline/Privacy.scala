@@ -54,6 +54,24 @@ object Privacy {
     * Two aggregations (fine O(groups), coarse O(coarse values)); the
     * coarse counts broadcast back — never a per-row pass.
     */
+  /** Distinct-l-diversity audit (Machanavajjhala et al., "l-diversity:
+    * privacy beyond k-anonymity", TKDD 2007): a k-anonymous equivalence
+    * class still leaks its sensitive attribute when the class is
+    * homogeneous — every member shares the value. For each
+    * quasi-identifier class: size, distinct sensitive values, and whether
+    * distinct-l-diversity holds (d ≥ l). One exact two-key aggregation
+    * then an O(classes) rollup — the sensitive column never leaves the
+    * group-by, and nothing is per-row after the first shuffle.
+    */
+  def lDiversity(df: DataFrame, qi: Seq[String], sensitive: Column, l: Long): DataFrame = {
+    require(l >= 1)
+    df.groupBy(qi.map(col) :+ sensitive.as("sv"): _*)
+      .agg(count(lit(1)).as("n"))
+      .groupBy(qi.map(col): _*)
+      .agg(sum("n").as("n"), count(lit(1)).as("d"))
+      .withColumn("diverse", (col("d") >= l).cast("int"))
+  }
+
   def kAnonymityLevels(df: DataFrame, coarse: Column, fine: Column, k: Long): DataFrame = {
     require(k >= 1)
     val g2 = df.groupBy(coarse.as("qi_coarse"), fine.as("qi_fine"))

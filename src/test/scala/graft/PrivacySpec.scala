@@ -168,4 +168,17 @@ class PrivacySpec extends AnyFunSuite with SparkTestBase {
       .as[(String, Int, Long, Int)].collect().toSeq
     assert(got == Seq(("A", 1, 3L, 2), ("A", 2, 1L, 1), ("B", 9, 1L, 0)))
   }
+
+  test("lDiversity: homogeneous class flagged, diverse class passes, sizes exact") {
+    // class (A,1): 3 rows but all sensitive value 'x' → d=1, not diverse;
+    // class (A,2): 2 rows, values x,y → d=2 ≥ 2 diverse;
+    // class (B,1): 1 row → d=1, not diverse
+    val rows = Seq(
+      ("A", 1, "x"), ("A", 1, "x"), ("A", 1, "x"),
+      ("A", 2, "x"), ("A", 2, "y"), ("B", 1, "z")).toDF("seg", "nat", "sv")
+    val got = Privacy.lDiversity(rows, Seq("seg", "nat"), $"sv", l = 2)
+      .orderBy("seg", "nat")
+      .as[(String, Int, Long, Long, Int)].collect().toSeq
+    assert(got == Seq(("A", 1, 3L, 1L, 0), ("A", 2, 2L, 2L, 1), ("B", 1, 1L, 1L, 0)))
+  }
 }
