@@ -1402,6 +1402,65 @@ object OracleSqlGen {
           END AS INT) AS out_h
         FROM m ORDER BY doc_id"""
 
+  /** Mirrors GraphAnalytics.harmonicInt over the FK graph: min-plus
+    * relaxation CTEs keyed (seed, node), then the floor(scale/d) sum.
+    */
+  def harmonic(seeds: Seq[Long], rounds: Int, topK: Int,
+      scale: Long = 1000000L): String = {
+    val seedList = seeds.mkString("[", ", ", "]")
+    val roundCtes = (1 to rounds).map { i =>
+      s"""d$i AS (
+           SELECT seed, node, min(dist) AS dist FROM (
+             SELECT seed, node, dist FROM d${i - 1}
+             UNION ALL
+             SELECT f.seed, adj.b AS node, f.dist + 1 AS dist
+             FROM adj JOIN d${i - 1} f ON adj.a = f.node)
+           GROUP BY seed, node)"""
+    }.mkString(",\n        ")
+    s"""WITH e AS (
+          SELECT 2000000000 + o_custkey AS u, o_orderkey AS v FROM orders
+          UNION ALL
+          SELECT l_orderkey AS u, 1000000000 + l_partkey AS v FROM lineitem),
+        adj AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v AS a, u AS b FROM e),
+        d0 AS (SELECT s AS seed, s AS node, 0 AS dist
+               FROM (SELECT CAST(unnest($seedList) AS BIGINT) AS s)),
+        $roundCtes
+        SELECT node, CAST(sum($scale // dist) AS BIGINT) AS harmonic,
+          CAST(count(*) AS BIGINT) AS n_reached
+        FROM d$rounds WHERE dist > 0
+        GROUP BY node
+        ORDER BY harmonic DESC, node ASC LIMIT $topK"""
+  }
+
+  /** Mirrors events_markov_stationary: the events_transitions lead()
+    * window builds the count matrix, then `rounds` integer power-iteration
+    * CTEs — mass moves as (pi·n) // tot, so states without out-transitions
+    * evaporate their mass identically on both engines.
+    */
+  def markovStationary(rounds: Int, scale: Long = 1000000L): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      s"""p$i AS (
+           SELECT tm.to_type AS st, sum((p.pi * tm.n) // tm.tot) AS pi
+           FROM tm JOIN p${i - 1} p ON tm.from_type = p.st GROUP BY 1)"""
+    }.mkString(",\n        ")
+    s"""WITH seq AS (
+          SELECT event_type AS from_type,
+            lead(event_type) OVER (PARTITION BY user_id
+              ORDER BY CAST(ts AS TIMESTAMP), event_id) AS to_type
+          FROM events),
+        t AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+              FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        tot AS (SELECT from_type, sum(n) AS tot FROM t GROUP BY 1),
+        tm AS (SELECT t.from_type, t.to_type, t.n, tot.tot
+               FROM t JOIN tot USING (from_type)),
+        states AS (SELECT DISTINCT from_type AS st FROM t
+                   UNION SELECT DISTINCT to_type FROM t),
+        p0 AS (SELECT st, CAST($scale AS BIGINT) AS pi FROM states),
+        $roundCtes
+        SELECT st AS event_type, CAST(pi AS BIGINT) AS pi
+        FROM p$rounds ORDER BY event_type"""
+  }
+
   /** Mirrors GraphAnalytics.bfs over the customer→order→part FK graph
     * (pageRankInt's node-id scheme): one CTE per expansion round — the
     * visited set grows by the frontier's unvisited neighbors at dist = i.

@@ -1605,6 +1605,25 @@ object SparkEntry {
         .orderBy(desc("freq"), asc("tok"))
     }),
 
+    // Zipf rank-frequency check over the text_vocab tokenization: Zipf's
+    // law predicts freq·rank ≈ const, so the product column IS the fit
+    // diagnostic — all integer (rank from a 50-row window, ppm ratio by
+    // integer division), no log-log regression doubles to drift.
+    "text_zipf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val top = documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+        .orderBy(desc("freq"), asc("tok")).limit(50)
+        .withColumn("rnk",
+          row_number().over(Window.orderBy(desc("freq"), asc("tok"))))
+      top.crossJoin(broadcast(top.agg(max("freq").as("f1"))))
+        .select(col("rnk"), col("tok"), col("freq"),
+          (col("freq") * col("rnk")).as("fr_product"),
+          expr("(freq * rnk * 1000000L) div f1").as("zipf_ppm"))
+        .orderBy("rnk")
+    }),
+
     // 2-hop graph traversal: top-5 recent orders → their parts → other
     // orders sharing those parts (co-purchase neighborhood).
     "graph_two_hop" -> ((s, d) => {
@@ -2093,6 +2112,58 @@ object SparkEntry {
       graft.operators.GraphAnalytics.personalizedPageRankInt(
         o.union(li), sources = Seq(2000000042L), iters = 3)
         .orderBy(desc("ppr"), asc("node")).limit(20)
+    }),
+
+    // Harmonic centrality estimated from 8 fixed customer seeds (exact
+    // all-pairs is O(V·E); sampled sources is the standard estimator, and
+    // a FIXED seed set keeps it hash-verifiable): one multi-source BFS
+    // carrying (seed, node, dist), then Σ floor(scale/d) — top 100.
+    "graph_harmonic" -> ((s, d) => {
+      val o = orders(s, d).select(
+        (lit(2000000000L) + col("o_custkey")).as("u"),
+        col("o_orderkey").as("v"))
+      val li = lineitem(s, d).select(
+        col("l_orderkey").as("u"),
+        (lit(1000000000L) + col("l_partkey")).as("v"))
+      graft.operators.GraphAnalytics.harmonicInt(
+          o.union(li), seeds = (1L to 8L).map(2000000000L + _), rounds = 4)
+        .orderBy(desc("harmonic"), asc("node")).limit(100)
+    }),
+
+    // Degree assortativity (Newman, "Assortative mixing in networks",
+    // PRL 2002): Pearson correlation of endpoint degrees over every
+    // undirected edge, both orientations (the standard symmetric
+    // treatment). One degree aggregation + two broadcast-able joins +
+    // integer sums; double only at the output ratio. A single scalar that
+    // says whether hubs attach to hubs — cheap at any scale.
+    "graph_assortativity" -> ((s, d) => {
+      val lp = lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+      val e = lp.as("a").join(lp.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+      val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val xy = sym
+        .join(deg.select(col("n").as("u"), col("deg").as("x")), "u")
+        .join(deg.select(col("n").as("v"), col("deg").as("y")), "v")
+      val dx = col("x").cast(DecimalType(18, 0))
+      val dy = col("y").cast(DecimalType(18, 0))
+      xy.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(dx * dx).as("sxx"), sum(dy * dy).as("syy"), sum(dx * dy).as("sxy"))
+        .select(col("n"),
+          round((col("n") * col("sxy") -
+              col("sx").cast(DecimalType(18, 0)) * col("sy").cast(DecimalType(18, 0)))
+            .cast("double") /
+            (sqrt((col("n") * col("sxx") -
+                col("sx").cast(DecimalType(18, 0)) * col("sx").cast(DecimalType(18, 0)))
+              .cast("double")) *
+             sqrt((col("n") * col("syy") -
+                col("sy").cast(DecimalType(18, 0)) * col("sy").cast(DecimalType(18, 0)))
+              .cast("double"))), 6)
+            .as("assortativity"))
     }),
 
     // HITS hubs/authorities over the same FK graph, 3 full mutual-
@@ -2622,6 +2693,49 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .withColumn("p", round(col("n") / sum("n").over(tot), 6))
         .orderBy("from_type", "to_type")
+    }),
+
+    // Stationary distribution of the event-type Markov chain: the
+    // events_transitions count matrix driven through 4 integer power-
+    // iteration rounds — mass moves as (pi·n) div tot(from), so the loop
+    // is exact long math end-to-end (a float chain would drift by
+    // reduction order). States with no out-transitions evaporate their
+    // mass; the oracle's join shape mirrors that exactly. The matrix is
+    // O(types²) — every join below auto-broadcasts.
+    "events_markov_stationary" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+      val trans = events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val tm = trans.join(
+        trans.groupBy("from_type").agg(sum("n").as("tot")), "from_type")
+      val states = trans.select(col("from_type").as("st"))
+        .union(trans.select(col("to_type").as("st"))).distinct()
+      var pi = states.withColumn("pi", lit(1000000L))
+      for (_ <- 1 to 4) {
+        pi = tm.join(pi.withColumnRenamed("st", "from_type"), "from_type")
+          .select(col("to_type").as("st"), expr("(pi * n) div tot").as("m"))
+          .groupBy("st").agg(sum("m").as("pi"))
+      }
+      pi.select(col("st").as("event_type"), col("pi")).orderBy("event_type")
+    }),
+
+    // Hour-of-day × day-of-week seasonality profile in exact ppm shares —
+    // the load-shape matrix a pipeline consults before scheduling
+    // backfills. One aggregation, one broadcast scalar; ≤168 cells.
+    "events_seasonality" -> ((s, d) => {
+      val counts = events(s, d)
+        .select(dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hr"))
+        .groupBy("dow", "hr").agg(count(lit(1)).as("n"))
+      counts.crossJoin(broadcast(counts.agg(sum("n").as("total"))))
+        .select(col("dow"), col("hr"), col("n"),
+          expr("(n * 1000000L) div total").as("share_ppm"))
+        .orderBy("dow", "hr")
     }),
 
     // Running distinct-user count without distinct-state: each user reduces
@@ -3749,6 +3863,54 @@ object SparkEntry {
          WHERE rank <= 5 ORDER BY event_type, rank""",
     "graph_pagerank" -> OracleSqlGen.pageRankInt(iters = 3, topK = 20),
     "graph_hits" -> OracleSqlGen.hits(iters = 3, topK = 20),
+    "graph_harmonic" -> OracleSqlGen.harmonic(
+      seeds = (1L to 8L).map(2000000000L + _), rounds = 4, topK = 100),
+    "graph_assortativity" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS (
+           SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+           FROM lp a JOIN lp b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         deg AS (
+           SELECT n, CAST(count(*) AS BIGINT) AS deg FROM (
+             SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+           GROUP BY n),
+         sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+         xy AS (
+           SELECT du.deg AS x, dv.deg AS y
+           FROM sym JOIN deg du ON sym.u = du.n JOIN deg dv ON sym.v = dv.n),
+         agg AS (
+           SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+           FROM xy)
+         SELECT n,
+             round(CAST(n * sxy - sx * sy AS DOUBLE) /
+               (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+               AS assortativity
+         FROM agg""",
+    "events_markov_stationary" -> OracleSqlGen.markovStationary(rounds = 4),
+    "events_seasonality" ->
+      """WITH c AS (
+           SELECT CAST(dayofweek(CAST(ts AS TIMESTAMP)) AS INT) + 1 AS dow,
+             CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hr,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         tot AS (SELECT sum(n) AS total FROM c)
+         SELECT dow, hr, n, CAST((n * 1000000) // total AS BIGINT) AS share_ppm
+         FROM c, tot ORDER BY dow, hr""",
+    "text_zipf" ->
+      """WITH toks AS (
+           SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq
+                  FROM toks GROUP BY tok),
+         top AS (SELECT tok, freq, row_number() OVER (
+                   ORDER BY freq DESC, tok ASC) AS rnk
+                 FROM freq ORDER BY freq DESC, tok ASC LIMIT 50),
+         f1 AS (SELECT max(freq) AS f1 FROM top)
+         SELECT CAST(rnk AS INT) AS rnk, tok, freq,
+             CAST(freq * rnk AS BIGINT) AS fr_product,
+             CAST((freq * rnk * 1000000) // f1 AS BIGINT) AS zipf_ppm
+         FROM top, f1 ORDER BY rnk""",
     "graph_kcore" -> OracleSqlGen.kCore(k = 5, rounds = 6, topK = 200),
     "graph_lpa" -> OracleSqlGen.labelPropagation(rounds = 4, topK = 20),
     "graph_ppr" -> OracleSqlGen.personalizedPageRank(

@@ -576,6 +576,51 @@ object GraphAnalytics {
     dist
   }
 
+  /** Harmonic centrality (Boldi & Vigna, "Axioms for centrality", Internet
+    * Math 2014) from a fixed seed sample, exact integer math:
+    * H(v) = Σ_{s ∈ seeds, 0 < d(s,v) ≤ rounds} floor(scale / d(s,v)).
+    * Exact all-pairs harmonic is O(V·E) — the standard estimator samples
+    * sources; with a FIXED deterministic seed set the estimate is
+    * hash-verifiable. One multi-source BFS: the distance frame carries
+    * (seed, node, dist) so all seeds expand together — per round one
+    * relaxation join against the cached adjacency and one
+    * groupBy(seed,node).min exchange over an O(S·V) frame, never S
+    * separate traversals. min() is order-independent; floor(scale/d) sums
+    * are exact longs.
+    */
+  def harmonicInt(
+      edges: DataFrame,
+      seeds: Seq[Long],
+      rounds: Int,
+      scale: Long = 1000000L): DataFrame = {
+    require(seeds.nonEmpty && rounds >= 1 && rounds <= 15)
+    val e = edges.select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
+    val adj = e.select(col("u").as("a"), col("v").as("b"))
+      .union(e.select(col("v").as("a"), col("u").as("b")))
+      .repartition(col("a"))
+      .cache()
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var dist = seeds.toDF("seed")
+      .select(col("seed"), col("seed").as("node"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      // min-plus relaxation (the sssp loop with unit weights and a seed
+      // key): O(S·V) frame, size-gated broadcast into the cached adjacency
+      val relaxed = adj
+        .join(Hints.broadcastGated(dist.withColumnRenamed("node", "a")), "a")
+        .select(col("seed"), col("b").as("node"), (col("dist") + lit(1L)).as("dist"))
+      dist = dist.union(relaxed)
+        .groupBy("seed", "node").agg(min("dist").as("dist"))
+        .localCheckpoint(true)
+    }
+    adj.unpersist(false)
+    dist.filter(col("dist") > 0)
+      .groupBy("node")
+      .agg(sum(expr(s"${scale}L div dist")).as("harmonic"),
+        count(lit(1)).as("n_reached"))
+  }
+
   /** Resource-allocation link-prediction index (Zhou, Lü & Zhang,
     * "Predicting missing links via local information", Eur. Phys. J. B 2009)
     * over a bipartite graph (u = container/basket, v = item): for every item

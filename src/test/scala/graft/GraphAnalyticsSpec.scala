@@ -296,6 +296,27 @@ class GraphAnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Map(10L -> 555555L, 11L -> 1000000L, 12L -> 1000000L))
   }
 
+  test("harmonicInt: hand-computed floor(scale/d) sums on a path; seeds expand together") {
+    // Path 1-2-3-4-5, seeds {1,5}, 4 rounds reach everything.
+    // From 1: d(2)=1 d(3)=2 d(4)=3 d(5)=4; from 5 symmetric.
+    // H(1)=H(5)=250000 (the other seed at d=4); H(2)=H(4)=1e6+333333;
+    // H(3)=5e5+5e5. Seeds see each other but never themselves (d=0 filtered).
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("u", "v")
+    val got = GraphAnalytics.harmonicInt(edges, seeds = Seq(1L, 5L), rounds = 4)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      1L -> ((250000L, 1L)), 2L -> ((1333333L, 2L)), 3L -> ((1000000L, 2L)),
+      4L -> ((1333333L, 2L)), 5L -> ((250000L, 1L))))
+  }
+
+  test("harmonicInt: rounds cap truncates contributions beyond the horizon") {
+    // Same path, seed {1}, 2 rounds: only nodes within d<=2 contribute.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("u", "v")
+    val got = GraphAnalytics.harmonicInt(edges, seeds = Seq(1L), rounds = 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(got == Map(2L -> 1000000L, 3L -> 500000L))
+  }
+
   test("resourceAllocation: hand-computed 1/deg weights; hub cap drops baskets") {
     // baskets: u=10 holds {1,2} (deg 2 → w = 2^20/2 = 524288),
     //          u=11 holds {1,2,3} (deg 3 → w = 1048576/3 = 349525),
