@@ -2262,6 +2262,54 @@ object SparkEntry {
         .agg(sum("term_fp").as("chi2_fp"), count(lit(1)).as("n_cells"))
     }),
 
+    // Vocabulary-drift detector: chi-square independence test of the
+    // (source × token) contingency table over the top-30 global tokens —
+    // the statistic a pipeline watches to catch one ingestion source's
+    // token distribution diverging. Same fixed-point discipline as
+    // q_chi_square: per-cell terms floor to ppm longs so the sum is
+    // reduction-order-independent; expected counts use exact decimal
+    // rt·ct products. Token universe is capped (top-30) so the
+    // contingency table is O(sources·30) regardless of corpus size.
+    "text_source_divergence" -> ((s, d) => {
+      val toks = documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      val top = toks.groupBy("tok").agg(count(lit(1)).as("f"))
+        .orderBy(desc("f"), asc("tok")).limit(30).select("tok")
+      val obs = toks.join(broadcast(top), "tok")
+        .groupBy("source", "tok").agg(count(lit(1)).as("o"))
+      val rt = obs.groupBy("source").agg(sum("o").as("rt"))
+      val ct = obs.groupBy("tok").agg(sum("o").as("ct"))
+      val g = obs.agg(sum("o").as("g"))
+      val expd = (col("rt").cast(DecimalType(20, 0)) * col("ct").cast(DecimalType(20, 0)))
+        .cast("double") / col("g").cast("double")
+      val term = (col("o").cast("double") - expd) * (col("o").cast("double") - expd) / expd
+      obs.join(broadcast(rt), "source")
+        .join(broadcast(ct), "tok")
+        .crossJoin(broadcast(g))
+        .select(floor(term * lit(1000000.0)).cast("long").as("term_fp"))
+        .agg(sum("term_fp").as("chi2_fp"), count(lit(1)).as("n_cells"))
+    }),
+
+    // Inter-arrival latency percentiles per event type: exact micros gaps
+    // from a partitioned lag window (ties broken by event_id), then the
+    // exact-percentile surface q_percentile pins (linear interpolation,
+    // round 4, both engines). The window partitions by type — parallel,
+    // never a global sort.
+    "events_interarrival" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy(asc("ts"), asc("event_id"))
+      events(s, d)
+        .select(col("event_type"), col("ts"), col("event_id"))
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w)))
+        .filter(col("gap_us").isNotNull)
+        .groupBy("event_type").agg(
+          count(lit(1)).as("n_gaps"),
+          round(expr("percentile(gap_us, 0.5)"), 4).as("p50_us"),
+          round(expr("percentile(gap_us, 0.9)"), 4).as("p90_us"))
+        .orderBy("event_type")
+    }),
+
     // Blocked fuzzy entity resolution: candidate pairs only WITHIN a
     // blocking key (first name token), never all-pairs — the classic
     // entity-matching shape. At 100 TB the block sizes bound the quadratic
@@ -3935,6 +3983,41 @@ object SparkEntry {
          SELECT CAST(sum(term_fp) AS BIGINT) AS chi2_fp,
              CAST(count(*) AS BIGINT) AS n_cells
          FROM t""",
+    "text_source_divergence" ->
+      """WITH toks AS (
+           SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+         top AS (
+           SELECT tok FROM (
+             SELECT tok, count(*) AS f FROM toks GROUP BY tok
+             ORDER BY f DESC, tok ASC LIMIT 30)),
+         obs AS (
+           SELECT source, toks.tok, CAST(count(*) AS BIGINT) AS o
+           FROM toks JOIN top ON toks.tok = top.tok GROUP BY 1, 2),
+         rt AS (SELECT source, sum(o) AS rt FROM obs GROUP BY 1),
+         ct AS (SELECT tok, sum(o) AS ct FROM obs GROUP BY 1),
+         g AS (SELECT sum(o) AS g FROM obs),
+         t AS (
+           SELECT CAST(floor(
+             (CAST(obs.o AS DOUBLE) - CAST(rt.rt * ct.ct AS DOUBLE) / CAST(g.g AS DOUBLE))
+             * (CAST(obs.o AS DOUBLE) - CAST(rt.rt * ct.ct AS DOUBLE) / CAST(g.g AS DOUBLE))
+             / (CAST(rt.rt * ct.ct AS DOUBLE) / CAST(g.g AS DOUBLE))
+             * 1000000.0) AS BIGINT) AS term_fp
+           FROM obs JOIN rt USING (source) JOIN ct USING (tok) CROSS JOIN g)
+         SELECT CAST(sum(term_fp) AS BIGINT) AS chi2_fp,
+             CAST(count(*) AS BIGINT) AS n_cells
+         FROM t""",
+    "events_interarrival" ->
+      """WITH gpre AS (
+           SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER (
+               PARTITION BY event_type
+               ORDER BY CAST(ts AS TIMESTAMP), event_id)) AS gap_us
+           FROM events)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+             round(quantile_cont(gap_us, 0.5), 4) AS p50_us,
+             round(quantile_cont(gap_us, 0.9), 4) AS p90_us
+         FROM gpre WHERE gap_us IS NOT NULL
+         GROUP BY 1 ORDER BY 1""",
     "q_entity_match" ->
       """WITH names AS (
            SELECT DISTINCT p_name, split_part(p_name, ' ', 1) AS blk FROM part)
