@@ -1432,6 +1432,40 @@ object OracleSqlGen {
         ORDER BY harmonic DESC, node ASC LIMIT $topK"""
   }
 
+  /** Mirrors Embeddings.topPrincipalInt: thousandth-quantized values, the
+    * d×d second-moment matrix by a dims×dims position cross, max|·|
+    * renormalization with sign-separated positive division (`//` and
+    * Spark's `div` agree only on non-negative operands), `rounds` power-
+    * iteration CTE pairs.
+    */
+  def topPrincipal(rounds: Int, dims: Int): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      s"""w$i AS (
+           SELECT cp.j, sum(cp.cp * v.v) AS w
+           FROM cp JOIN v${i - 1} v ON cp.k = v.k GROUP BY 1),
+        v$i AS (
+           SELECT j AS k, CAST(sign(w) AS BIGINT)
+             * ((abs(w) * 100000) // (SELECT max(abs(w)) FROM w$i)) AS v
+           FROM w$i)"""
+    }.mkString(",\n        ")
+    s"""WITH q AS (
+          SELECT list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+          FROM embeddings),
+        dims AS (SELECT unnest(range(1, ${dims + 1})) AS i),
+        c AS (
+          SELECT dj.i - 1 AS j, dk.i - 1 AS k, sum(q.q[dj.i] * q.q[dk.i]) AS c
+          FROM q CROSS JOIN dims dj CROSS JOIN dims dk GROUP BY 1, 2),
+        cp AS (
+          SELECT j, k, CAST(sign(c) AS BIGINT)
+            * ((abs(c) * 1000000) // (SELECT max(abs(c)) FROM c)) AS cp
+          FROM c),
+        v0 AS (SELECT i - 1 AS k, CAST(100000 AS BIGINT) AS v FROM dims),
+        $roundCtes
+        SELECT CAST(k AS INT) AS dim, CAST(v AS BIGINT) AS v
+        FROM v$rounds ORDER BY dim"""
+  }
+
   /** Mirrors events_markov_stationary: the events_transitions lead()
     * window builds the count matrix, then `rounds` integer power-iteration
     * CTEs — mass moves as (pi·n) // tot, so states without out-transitions

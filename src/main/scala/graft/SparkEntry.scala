@@ -684,6 +684,16 @@ object SparkEntry {
         .withColumn("mean_u", col("sum_u").cast("double") / col("n").cast("double"))
         .orderBy("dim")),
 
+    // Dominant singular direction of the embedding matrix (one-component
+    // uncentered PCA) by integer power iteration — the anisotropy /
+    // mode-collapse probe for an embedding corpus. Exact long math
+    // end-to-end; sign-separated positive division keeps DuckDB's
+    // flooring // and Spark's truncating div in agreement.
+    "embed_top_pc" -> ((s, d) =>
+      graft.pipeline.Embeddings.topPrincipalInt(
+          embeddings(s, d), "embedding", rounds = 3)
+        .orderBy("dim")),
+
     // Per-dimension z-score standardization — the feature-normalization
     // pass itself, bit-exact: values quantize to µ-scaled ints (the
     // embed_dim_stats contract), moments accumulate as exact decimal sums,
@@ -4609,6 +4619,7 @@ object SparkEntry {
              CAST(count(*) AS BIGINT) AS n
          FROM w GROUP BY 1, 2 ORDER BY 1, 2""",
     // Spark posexplode is 0-based; generate_subscripts is 1-based — align
+    "embed_top_pc" -> OracleSqlGen.topPrincipal(rounds = 3, dims = 64),
     "embed_dim_stats" ->
       """SELECT pos - 1 AS dim, CAST(count(*) AS BIGINT) AS n,
              CAST(sum(xi) AS BIGINT) AS sum_u,

@@ -101,6 +101,53 @@ object Embeddings {
 
   // Built-in codegen-friendly converters (not Scala UDFs): ml.functions
   // ships native vector<->array bridges.
+  /** Dominant singular direction of the quantized embedding matrix by
+    * integer power iteration — the one-component (uncentered) PCA a
+    * pipeline uses to find the axis its vectors collapse along (an
+    * anisotropy / mode-collapse probe). Everything is exact long math so
+    * the result is hash-verifiable cross-engine:
+    *  - values quantize to thousandths (3 significant digits is plenty
+    *    for a direction estimate, and keeps every bound below well inside
+    *    a signed long);
+    *  - the d×d second-moment matrix is built by double posexplode —
+    *    O(rows·d²) products, ONE exchange (the groupBy(j,k)), no join;
+    *  - the matrix and each iterate renormalize by max|·| with
+    *    sign-separated positive division (DuckDB's // floors while
+    *    Spark's div truncates — they only agree on non-negative
+    *    operands, so division never sees a negative);
+    *  - the O(d²) matrix and O(d) iterate broadcast into every round.
+    * Overflow bounds (documented against sf1): |q| ≤ 10³ ⇒ |C| ≤ 10⁶·rows
+    * ≤ 5·10¹⁰, |C|·10⁶ ≤ 5·10¹⁶; |w| ≤ d·10⁶·10⁵ = 6.4·10¹²,
+    * |w|·10⁵ ≤ 6.4·10¹⁷ — all inside 2⁶³.
+    */
+  def topPrincipalInt(emb: DataFrame, vecCol: String, rounds: Int = 3,
+      dims: Int = 64): DataFrame = {
+    require(rounds >= 1 && rounds <= 10)
+    val spark = emb.sparkSession
+    val q = emb.select(expr(
+      s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("q"))
+    val jk = q.select(posexplode(col("q")).as(Seq("j", "xj")), col("q"))
+      .select(col("j"), col("xj"), posexplode(col("q")).as(Seq("k", "xk")))
+    val c = jk.groupBy("j", "k").agg(sum(col("xj") * col("xk")).as("c"))
+      .localCheckpoint(true)
+    val cp = c.crossJoin(broadcast(c.agg(max(abs(col("c"))).as("mx"))))
+      .select(col("j"), col("k"),
+        expr("CAST(sign(c) AS BIGINT) * ((abs(c) * 1000000L) div mx)").as("cp"))
+      .localCheckpoint(true)
+    var v = spark.range(dims.toLong)
+      .select(col("id").cast("int").as("k"), lit(100000L).as("v"))
+    for (_ <- 1 to rounds) {
+      val w = cp.join(broadcast(v), "k")
+        .groupBy(col("j")).agg(sum(col("cp") * col("v")).as("w"))
+        .localCheckpoint(true)
+      v = w.crossJoin(broadcast(w.agg(max(abs(col("w"))).as("mw"))))
+        .select(col("j").as("k"),
+          expr("CAST(sign(w) AS BIGINT) * ((abs(w) * 100000L) div mw)").as("v"))
+        .localCheckpoint(true)
+    }
+    v.select(col("k").as("dim"), col("v"))
+  }
+
   private def vecToArray(c: org.apache.spark.sql.Column) =
     org.apache.spark.ml.functions.vector_to_array(c)
   private def arrayToVec(c: org.apache.spark.sql.Column) =

@@ -18,6 +18,20 @@ class EmbeddingsSpec extends AnyFunSuite with SparkTestBase {
     (4L, "completely unrelated text about cooking pasta")
   ).toDF("doc_id", "text")
 
+  test("topPrincipalInt: hand-computed 2-dim power iteration incl. negative loading") {
+    // q rows (thousandth-quantized): (1000,-1000) ×2, (1000,0).
+    // C = [[3e6, -2e6], [-2e6, 2e6]], max 3e6 →
+    // cp = [[1e6, -666666], [-666666, 666666]].
+    // v0 = (1e5, 1e5): w = (333334e5, 0) → v1 = (1e5, 0).
+    // round 2: w = (1e11, -666666e5) → v2 = (100000, -66666).
+    val emb = Seq(
+      (1L, Seq(1.0f, -1.0f)), (2L, Seq(1.0f, -1.0f)), (3L, Seq(1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Embeddings.topPrincipalInt(emb, "embedding", rounds = 2, dims = 2)
+      .as[(Int, Long)].collect().toMap
+    assert(got == Map(0 -> 100000L, 1 -> -66666L))
+  }
+
   test("tfidf: stable dim, identical docs get identical vectors") {
     val out = Embeddings.tfidf(docs, "doc_id", "text", dim = 64)
       .orderBy("doc_id").as[(Long, Seq[Double])].collect()
