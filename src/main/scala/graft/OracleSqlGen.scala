@@ -1405,8 +1405,7 @@ object OracleSqlGen {
   /** Mirrors GraphAnalytics.harmonicInt over the FK graph: min-plus
     * relaxation CTEs keyed (seed, node), then the floor(scale/d) sum.
     */
-  def harmonic(seeds: Seq[Long], rounds: Int, topK: Int,
-      scale: Long = 1000000L): String = {
+  private def multiSourceCtes(seeds: Seq[Long], rounds: Int): String = {
     val seedList = seeds.mkString("[", ", ", "]")
     val roundCtes = (1 to rounds).map { i =>
       s"""d$i AS (
@@ -1417,20 +1416,35 @@ object OracleSqlGen {
              FROM adj JOIN d${i - 1} f ON adj.a = f.node)
            GROUP BY seed, node)"""
     }.mkString(",\n        ")
-    s"""WITH e AS (
+    s"""e AS (
           SELECT 2000000000 + o_custkey AS u, o_orderkey AS v FROM orders
           UNION ALL
           SELECT l_orderkey AS u, 1000000000 + l_partkey AS v FROM lineitem),
         adj AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v AS a, u AS b FROM e),
         d0 AS (SELECT s AS seed, s AS node, 0 AS dist
                FROM (SELECT CAST(unnest($seedList) AS BIGINT) AS s)),
-        $roundCtes
+        $roundCtes"""
+  }
+
+  def harmonic(seeds: Seq[Long], rounds: Int, topK: Int,
+      scale: Long = 1000000L): String =
+    s"""WITH ${multiSourceCtes(seeds, rounds)}
         SELECT node, CAST(sum($scale // dist) AS BIGINT) AS harmonic,
           CAST(count(*) AS BIGINT) AS n_reached
         FROM d$rounds WHERE dist > 0
         GROUP BY node
         ORDER BY harmonic DESC, node ASC LIMIT $topK"""
-  }
+
+  /** Per-seed eccentricity within the BFS horizon + reached count — the
+    * multi-source frame's other standard reduction (max(dist) per seed is
+    * the diameter lower bound over the sample).
+    */
+  def eccentricity(seeds: Seq[Long], rounds: Int): String =
+    s"""WITH ${multiSourceCtes(seeds, rounds)}
+        SELECT seed, CAST(max(dist) AS BIGINT) AS ecc,
+          CAST(count(*) AS BIGINT) AS n_reached
+        FROM d$rounds WHERE dist > 0
+        GROUP BY seed ORDER BY seed"""
 
   /** Mirrors Embeddings.topPrincipalInt: thousandth-quantized values, the
     * d×d second-moment matrix by a dims×dims position cross, max|·|

@@ -1342,6 +1342,27 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("predicted_lang"))
         .orderBy("doc_id")),
 
+    // Code-vs-prose screen: the training-data filter that routes source
+    // files away from the prose pipeline. Character-class densities by
+    // the remove-and-diff idiom (length minus length-after-removal — one
+    // codegen'd pass, no tokenization), exact ppm ratios, and the flag at
+    // a fixed 2% symbol-density threshold.
+    "text_code_ratio" -> ((s, d) => {
+      val t = col("text")
+      val n = length(t)
+      def cnt(pat: String) = n - length(regexp_replace(t, pat, ""))
+      documents(s, d).select(col("doc_id"), n.cast("long").as("n_chars"),
+          cnt("[{}();=<>]").cast("long").as("n_sym"),
+          cnt("[0-9]").cast("long").as("n_digit"),
+          cnt("[A-Z]").cast("long").as("n_upper"))
+        .select(col("doc_id"), col("n_chars"),
+          expr("(n_sym * 1000000L) div greatest(n_chars, 1L)").as("sym_ppm"),
+          expr("(n_digit * 1000000L) div greatest(n_chars, 1L)").as("digit_ppm"),
+          expr("(n_upper * 1000000L) div greatest(n_chars, 1L)").as("upper_ppm"))
+        .withColumn("codeish", (col("sym_ppm") >= 20000).cast("int"))
+        .orderBy("doc_id")
+    }),
+
     // Per-source curation report: the table a pipeline consults before
     // dropping or down-weighting a source — doc counts, mean quality
     // (fixed-point: the per-doc quality doubles are hash-equal cross-engine,
@@ -2138,6 +2159,24 @@ object SparkEntry {
       graft.operators.GraphAnalytics.harmonicInt(
           o.union(li), seeds = (1L to 8L).map(2000000000L + _), rounds = 4)
         .orderBy(desc("harmonic"), asc("node")).limit(100)
+    }),
+
+    // Per-seed eccentricity within the BFS horizon (max distance + reach)
+    // — the diameter lower bound over the seed sample, the other standard
+    // reduction of the SAME multi-source frame graph_harmonic uses.
+    "graph_ecc" -> ((s, d) => {
+      val o = orders(s, d).select(
+        (lit(2000000000L) + col("o_custkey")).as("u"),
+        col("o_orderkey").as("v"))
+      val li = lineitem(s, d).select(
+        col("l_orderkey").as("u"),
+        (lit(1000000000L) + col("l_partkey")).as("v"))
+      graft.operators.GraphAnalytics.multiSourceDistances(
+          o.union(li), seeds = (1L to 8L).map(2000000000L + _), rounds = 4)
+        .filter(col("dist") > 0)
+        .groupBy("seed")
+        .agg(max("dist").as("ecc"), count(lit(1)).as("n_reached"))
+        .orderBy("seed")
     }),
 
     // Degree assortativity (Newman, "Assortative mixing in networks",
@@ -3548,6 +3587,20 @@ object SparkEntry {
     "text_subwords" -> OracleSqlGen.subwords,
     "text_quality" -> OracleSqlGen.quality,
     "text_langid" -> OracleSqlGen.langId,
+    "text_code_ratio" ->
+      """WITH c AS (
+           SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(length(text) - length(regexp_replace(text, '[{}();=<>]', '', 'g')) AS BIGINT) AS n_sym,
+             CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+             CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS BIGINT) AS n_upper
+           FROM documents)
+         SELECT doc_id, n_chars,
+             CAST((n_sym * 1000000) // greatest(n_chars, 1) AS BIGINT) AS sym_ppm,
+             CAST((n_digit * 1000000) // greatest(n_chars, 1) AS BIGINT) AS digit_ppm,
+             CAST((n_upper * 1000000) // greatest(n_chars, 1) AS BIGINT) AS upper_ppm,
+             CAST(CASE WHEN (n_sym * 1000000) // greatest(n_chars, 1) >= 20000
+               THEN 1 ELSE 0 END AS INT) AS codeish
+         FROM c ORDER BY doc_id""",
     "q_source_quality" -> OracleSqlGen.sourceQuality,
     "text_fingerprint" ->
       """SELECT doc_id, md5(text) AS full_md5,
@@ -3923,6 +3976,8 @@ object SparkEntry {
     "graph_hits" -> OracleSqlGen.hits(iters = 3, topK = 20),
     "graph_harmonic" -> OracleSqlGen.harmonic(
       seeds = (1L to 8L).map(2000000000L + _), rounds = 4, topK = 100),
+    "graph_ecc" -> OracleSqlGen.eccentricity(
+      seeds = (1L to 8L).map(2000000000L + _), rounds = 4),
     "graph_assortativity" ->
       """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          e AS (

@@ -592,7 +592,22 @@ object GraphAnalytics {
       edges: DataFrame,
       seeds: Seq[Long],
       rounds: Int,
-      scale: Long = 1000000L): DataFrame = {
+      scale: Long = 1000000L): DataFrame =
+    multiSourceDistances(edges, seeds, rounds)
+      .filter(col("dist") > 0)
+      .groupBy("node")
+      .agg(sum(expr(s"${scale}L div dist")).as("harmonic"),
+        count(lit(1)).as("n_reached"))
+
+  /** One synchronized multi-source BFS: (seed, node, dist ≤ rounds) for
+    * every seed — the shared engine under [[harmonicInt]] and the
+    * eccentricity/diameter estimate (max dist per seed). Min-plus
+    * relaxation with a seed key: per round one relaxation join against
+    * the cached adjacency and one groupBy(seed,node).min exchange over an
+    * O(S·V) frame — never S separate traversals.
+    */
+  def multiSourceDistances(
+      edges: DataFrame, seeds: Seq[Long], rounds: Int): DataFrame = {
     require(seeds.nonEmpty && rounds >= 1 && rounds <= 15)
     val e = edges.select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
     val adj = e.select(col("u").as("a"), col("v").as("b"))
@@ -605,8 +620,7 @@ object GraphAnalytics {
       .select(col("seed"), col("seed").as("node"), lit(0L).as("dist"))
       .localCheckpoint(true)
     for (_ <- 1 to rounds) {
-      // min-plus relaxation (the sssp loop with unit weights and a seed
-      // key): O(S·V) frame, size-gated broadcast into the cached adjacency
+      // O(S·V) frame, size-gated broadcast into the cached adjacency
       val relaxed = adj
         .join(Hints.broadcastGated(dist.withColumnRenamed("node", "a")), "a")
         .select(col("seed"), col("b").as("node"), (col("dist") + lit(1L)).as("dist"))
@@ -615,10 +629,7 @@ object GraphAnalytics {
         .localCheckpoint(true)
     }
     adj.unpersist(false)
-    dist.filter(col("dist") > 0)
-      .groupBy("node")
-      .agg(sum(expr(s"${scale}L div dist")).as("harmonic"),
-        count(lit(1)).as("n_reached"))
+    dist
   }
 
   /** Resource-allocation link-prediction index (Zhou, Lü & Zhang,
