@@ -1054,22 +1054,27 @@ object OracleSqlGen {
     */
   def trussEdges(k: Int, rounds: Int, topK: Int): String = {
     val bar = k - 2
+    // Every round CTE is MATERIALIZED: each e$i is referenced three times
+    // by the next round's triangle join, and inlining re-evaluates the
+    // whole prior peel per reference — at sf0.1 that turned a ~30s chain
+    // into an unbounded spill (observed 33 GB of temp before the disk
+    // filled). Materialization pins each round to one evaluation.
     val roundCtes = (1 to rounds).map { i =>
-      s"""t$i AS (
+      s"""t$i AS MATERIALIZED (
            SELECT e1.u AS a, e1.v AS b, e2.v AS c
            FROM e${i - 1} e1
            JOIN e${i - 1} e2 ON e2.u = e1.u AND e1.v < e2.v
            JOIN e${i - 1} e3 ON e3.u = e1.v AND e3.v = e2.v),
-        s$i AS (
+        s$i AS MATERIALIZED (
            SELECT u, v, count(*) AS support FROM (
              SELECT a AS u, b AS v FROM t$i
              UNION ALL SELECT a, c FROM t$i
              UNION ALL SELECT b, c FROM t$i)
            GROUP BY u, v HAVING count(*) >= $bar),
-        e$i AS (SELECT u, v FROM s$i)"""
+        e$i AS MATERIALIZED (SELECT u, v FROM s$i)"""
     }.mkString(",\n        ")
     s"""WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        e0 AS (
+        e0 AS MATERIALIZED (
           SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
           FROM lp a JOIN lp b
             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
