@@ -229,4 +229,38 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("SortMergeJoin"),
       s"the split decision must stay map-side on the corpus:\n$p")
   }
+
+  test("graph_assortativity stays keyed — degree joins never go cartesian") {
+    val p = plan("graph_assortativity")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"endpoint-degree attachment must be equi-joins:\n$p")
+  }
+
+  test("text_source_divergence: capped token set and marginals broadcast into the cells") {
+    val p = plan("text_source_divergence")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the top-30 token cap and rt/ct marginals must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastExchange"),
+      s"only the 1-row grand-total scalar may cross:\n$p")
+  }
+
+  test("events_autocorr: six lag joins off ONE settled series — a single events scan") {
+    val p = plan("events_autocorr")
+    // the series is localCheckpointed, so the fact table appears zero times
+    // in the plan (the scan happened at checkpoint time) — the six
+    // self-joins read the checkpoint, not six re-scans of events
+    assert(!p.contains("events.parquet"),
+      s"lag pairs must read the settled series, not re-scan the facts:\n$p")
+  }
+
+  test("q_rfm: quintile windows run over the aggregated customer frame only") {
+    // the EXECUTED plan (formatted explain of an AQE plan appends the
+    // pre-execution "Initial Plan" — slice it off before counting)
+    val full = finalPlan("q_rfm")
+    val p = full.split("Initial Plan").head
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 2,
+      s"expected one orders scan for the aggregate + one for the max-date scalar, got $scans:\n$p")
+    assert(!p.contains("CartesianProduct"), s"the reference-date scalar must broadcast:\n$p")
+  }
 }
