@@ -2822,6 +2822,31 @@ object SparkEntry {
       pi.select(col("st").as("event_type"), col("pi")).orderBy("event_type")
     }),
 
+    // DAU/MAU stickiness per day — the product-analytics ratio, exact:
+    // the (user, day) distinct-pairs frame is the standard
+    // activity-fact materialization (O(active-user-days), built once);
+    // MAU(d) counts distinct users over the trailing 28 days by joining
+    // the TINY day index (broadcast nested loop with a range predicate —
+    // the right plan when one side is O(days)) back to the pairs.
+    "events_stickiness" -> ((s, d) => {
+      val pairs = events(s, d)
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .distinct()
+        .localCheckpoint(true)
+      val days = pairs.select(col("day")).distinct()
+      val dau = pairs.groupBy("day").agg(count(lit(1)).as("dau"))
+      val mau = broadcast(days)
+        .join(pairs.withColumnRenamed("day", "aday"),
+          col("aday") <= col("day") &&
+            col("aday") > col("day") - expr("INTERVAL 28 DAYS"))
+        .select(col("day"), col("user_id")).distinct()
+        .groupBy("day").agg(count(lit(1)).as("mau"))
+      dau.join(mau, "day")
+        .select(col("day"), col("dau"), col("mau"),
+          expr("(dau * 1000000L) div mau").as("stickiness_ppm"))
+        .orderBy("day")
+    }),
+
     // Hour-of-day × day-of-week seasonality profile in exact ppm shares —
     // the load-shape matrix a pipeline consults before scheduling
     // backfills. One aggregation, one broadcast scalar; ≤168 cells.
@@ -4004,6 +4029,21 @@ object SparkEntry {
                AS assortativity
          FROM agg""",
     "events_markov_stationary" -> OracleSqlGen.markovStationary(rounds = 4),
+    "events_stickiness" ->
+      """WITH pairs AS (
+           SELECT DISTINCT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
+           FROM events),
+         days AS (SELECT DISTINCT day FROM pairs),
+         dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM pairs GROUP BY 1),
+         mau AS (
+           SELECT d.day, CAST(count(DISTINCT p.user_id) AS BIGINT) AS mau
+           FROM days d JOIN pairs p
+             ON p.day <= d.day AND p.day > d.day - INTERVAL 28 DAY
+           GROUP BY 1)
+         SELECT day, dau, mau,
+             CAST((dau * 1000000) // mau AS BIGINT) AS stickiness_ppm
+         FROM dau JOIN mau USING (day)
+         ORDER BY day""",
     "events_seasonality" ->
       """WITH c AS (
            SELECT CAST(dayofweek(CAST(ts AS TIMESTAMP)) AS INT) + 1 AS dow,
