@@ -184,6 +184,42 @@ object GraphAnalytics {
     out
   }
 
+  /** O(batch) incremental triangle-count maintenance: given per-node
+    * counts for an old graph and the batch of NEW canonical edges B
+    * (disjoint from the old edge set), returns merged counts for
+    * old ∪ B. Every union triangle either lies entirely in the old graph
+    * (already counted) or contains ≥1 batch edge — those are found from
+    * B alone: each (u,v) ∈ B closes a triangle per common neighbor c in
+    * the union adjacency. A triangle with 2–3 batch edges is found once
+    * per batch edge, so candidates dedupe on the canonical vertex triple
+    * before crediting nodes. The expensive part of triangle counting —
+    * the O(Σ d²) wedge enumeration — never runs: the union adjacency is
+    * only SCANNED as the probe side of two keyed joins against the O(|B|)
+    * batch, and the candidate stream is O(|B|·d̄).
+    */
+  def incrementalTriangleCounts(
+      oldCounts: DataFrame, batch: DataFrame, unionEdges: DataFrame): DataFrame = {
+    val b = batch.select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
+    val e = unionEdges.select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
+    val adj = e.select(col("u").as("a"), col("v").as("n"))
+      .union(e.select(col("v").as("a"), col("u").as("n")))
+    val cand = b
+      .join(adj.select(col("a").as("u"), col("n").as("c")), "u")
+      .join(adj.select(col("a").as("v"), col("n").as("c")), Seq("v", "c"))
+      .filter(col("c") =!= col("u") && col("c") =!= col("v"))
+    val x = least(col("u"), col("v"), col("c"))
+    val z = greatest(col("u"), col("v"), col("c"))
+    val y = col("u") + col("v") + col("c") - x - z
+    val tris = cand.select(x.as("x"), y.as("y"), z.as("z")).distinct()
+    val delta = tris
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    oldCounts.select(col("node"), col("n_tri"))
+      .join(delta, Seq("node"), "full_outer")
+      .select(col("node"),
+        (coalesce(col("n_tri"), lit(0L)) + coalesce(col("d"), lit(0L))).as("n_tri"))
+  }
+
   /** HITS hubs-and-authorities (Kleinberg, "Authoritative sources in a
     * hyperlinked environment", JACM 1999) in the [[pageRankInt]] integer
     * domain: mutual reinforcement auth(v) = Σ hub(u) over in-edges,

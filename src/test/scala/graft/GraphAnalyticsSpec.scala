@@ -268,6 +268,31 @@ class GraphAnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(GraphAnalytics.trussEdges(edges, k = 4, rounds = 2).count() == 0L)
   }
 
+  test("incrementalTriangleCounts: closing edge credits only the delta; increment == recompute") {
+    // Old graph K4 minus (3,4): triangles {123},{124} → counts 2,2,1,1.
+    // Batch {(3,4)} closes {134},{234}: delta 1,1,2,2 → merged all 3 —
+    // exactly the from-scratch K4 census.
+    val oldE = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L)).toDF("u", "v")
+    val oldCounts = GraphAnalytics.triangleCounts(oldE)
+    val batch = Seq((3L, 4L)).toDF("u", "v")
+    val got = GraphAnalytics.incrementalTriangleCounts(
+        oldCounts, batch, oldE.union(batch))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("incrementalTriangleCounts: a triangle with two batch edges dedupes on the triple") {
+    // Old {(1,2)} (no triangles); batch {(1,3),(2,3)} — triangle 123 is
+    // found from BOTH batch edges and must count once per node.
+    val oldE = Seq((1L, 2L)).toDF("u", "v")
+    val oldCounts = GraphAnalytics.triangleCounts(oldE) // empty
+    val batch = Seq((1L, 3L), (2L, 3L)).toDF("u", "v")
+    val got = GraphAnalytics.incrementalTriangleCounts(
+        oldCounts, batch, oldE.union(batch))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("hitsInt: hand-computed scores on a two-hub fan; max pins top to scale") {
     // Hubs 1 and 2 point into authorities: 1→{10,11,12}, 2→{11,12}.
     // Round 1: araw(10)=1e6, araw(11)=araw(12)=2e6 → max 2e6 →
