@@ -372,6 +372,17 @@ object OracleSqlGen {
         ORDER BY a_id, b_id"""
   }
 
+  /** Simhash near-dup clusters: the banded pairs closed transitively
+    * (shared recursive-closure machinery) and summarized per component.
+    */
+  def simhashClusters(bits: Int, bands: Int, maxHamming: Int): String =
+    s"""${closureCtes(simhashPairs(bits, bands, maxHamming))},
+        labels AS (SELECT a AS doc_id, min(b) AS rep_id FROM reach GROUP BY a)
+        SELECT rep_id, CAST(count(*) AS BIGINT) AS cluster_size,
+          CAST(min(doc_id) AS BIGINT) AS min_member,
+          CAST(max(doc_id) AS BIGINT) AS max_member
+        FROM labels GROUP BY rep_id ORDER BY rep_id"""
+
   /** Sequential-fold cosine between list columns `$a` and `$b`. */
   private def cosineSql(a: String, b: String): String =
     s"""(list_reduce(list_transform(list_zip($a, $b),

@@ -1165,6 +1165,22 @@ object SparkEntry {
         .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
         .orderBy("doc_id")),
 
+    // Simhash near-dup CLUSTERS: the banded hamming pairs closed into
+    // components (pointer-jumping CC) and summarized per cluster — the
+    // text-modality twin of dedup_semantic_clusters, proving the CC
+    // machinery over a second pair source with a recursive-closure oracle.
+    "dedup_simhash_clusters" -> ((s, d) => {
+      val pairs = Dedup.simhashPairs(documents(s, d), col("doc_id"), col("text"),
+        bits = 60, bands = 4, maxHamming = 3)
+        .select("a_id", "b_id")
+      Dedup.connectedComponents(pairs)
+        .groupBy(col("rep_id"))
+        .agg(count(lit(1)).as("cluster_size"),
+          min("doc_id").as("min_member"),
+          max("doc_id").as("max_member"))
+        .orderBy("rep_id")
+    }),
+
     "dedup_embedding" -> ((s, d) =>
       Dedup.embeddingNearDup(embeddings(s, d), col("vec_id"), col("embedding"),
         threshold = 0.45)
@@ -3666,6 +3682,7 @@ object SparkEntry {
       OracleSqlGen.minhashSurvivors(3, 8, 2, Seq("doc_id", "lang", "source")),
     "dedup_incremental" -> OracleSqlGen.incrementalMinhash(3, 8, 2, batchMinId = 400),
     "dedup_simhash" -> OracleSqlGen.simhash(60),
+    "dedup_simhash_clusters" -> OracleSqlGen.simhashClusters(60, 4, 3),
     "dedup_simhash_pairs" -> OracleSqlGen.simhashPairs(60, 4, 3),
     "dedup_embedding" -> OracleSqlGen.embeddingNearDup(0.45, 4, 4),
     "dedup_semantic_clusters" -> OracleSqlGen.embeddingClusters(0.45, 4, 4),
