@@ -3270,7 +3270,10 @@ object SparkEntry {
             col("a.l_partkey") < col("b.l_partkey"))
         .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
         .distinct()
+      // settle the anti-join once: bNew feeds the delta probes AND the
+      // union adjacency
       val bNew = bPairs.join(oldE, Seq("u", "v"), "left_anti")
+        .localCheckpoint(true)
       graft.operators.GraphAnalytics.incrementalTriangleCounts(
           old, bNew, oldE.union(bNew))
         .orderBy("node")

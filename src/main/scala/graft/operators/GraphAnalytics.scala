@@ -199,12 +199,19 @@ object GraphAnalytics {
     */
   def incrementalTriangleCounts(
       oldCounts: DataFrame, batch: DataFrame, unionEdges: DataFrame): DataFrame = {
+    // Settle the batch once (it feeds both probe joins and may itself be
+    // the product of an anti-join) and size-gate a broadcast: while the
+    // batch fits, the union adjacency is probed in place — zero adjacency
+    // shuffles; past the gate the joins degrade to shuffled hash joins.
     val b = batch.select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
+      .localCheckpoint(true)
+    val bRows = b.count()
+    def bc(df: DataFrame): DataFrame = Hints.broadcastIfUnder(df, bRows)
     val e = unionEdges.select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
     val adj = e.select(col("u").as("a"), col("v").as("n"))
       .union(e.select(col("v").as("a"), col("u").as("n")))
-    val cand = b
-      .join(adj.select(col("a").as("u"), col("n").as("c")), "u")
+    val cand = adj.select(col("a").as("u"), col("n").as("c"))
+      .join(bc(b), "u")
       .join(adj.select(col("a").as("v"), col("n").as("c")), Seq("v", "c"))
       .filter(col("c") =!= col("u") && col("c") =!= col("v"))
     val x = least(col("u"), col("v"), col("c"))
