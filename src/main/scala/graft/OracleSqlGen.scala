@@ -245,6 +245,25 @@ object OracleSqlGen {
   private def componentCtes(n: Int, bands: Int, rowsPerBand: Int): String =
     closureCtes(minhashLsh(n, bands, rowsPerBand))
 
+  /** Soft dedup: every doc joins its near-dup cluster size (1 when
+    * unpaired) and survives iff u(doc)·size < 2^52 — Splits.inverseKeep's
+    * exact multiply-compare, mirrored literally.
+    */
+  def softDedup(n: Int, bands: Int, rowsPerBand: Int): String =
+    s"""${componentCtes(n, bands, rowsPerBand)},
+        labels AS (SELECT a AS doc_id, min(b) AS rep_id FROM reach GROUP BY a),
+        sizes AS (SELECT rep_id, CAST(count(*) AS BIGINT) AS sz
+                  FROM labels GROUP BY 1)
+        SELECT d.doc_id, coalesce(s.sz, 1) AS cluster_size,
+          CAST(CASE WHEN
+            CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':soft'), 1, 13) AS BIGINT)
+              * coalesce(s.sz, 1) < 4503599627370496
+            THEN 1 ELSE 0 END AS INT) AS kept
+        FROM documents d
+        LEFT JOIN labels l ON d.doc_id = l.doc_id
+        LEFT JOIN sizes s ON l.rep_id = s.rep_id
+        ORDER BY d.doc_id"""
+
   def minhashComponents(n: Int, bands: Int, rowsPerBand: Int): String =
     s"""${componentCtes(n, bands, rowsPerBand)}
         SELECT a AS doc_id, min(b) AS rep_id FROM reach GROUP BY a
@@ -809,6 +828,21 @@ object OracleSqlGen {
   def quality: String =
     s"""WITH ${qualityCtes("documents", "")}
         SELECT doc_id, quality FROM scored ORDER BY doc_id"""
+
+  /** Curriculum ordering: quality-threshold difficulty buckets (easy =
+    * high quality first), deterministic md5 shuffle within a bucket —
+    * the seeded-shuffle every epoch of a training run replays exactly.
+    */
+  def curriculum(topK: Int): String =
+    s"""WITH ${qualityCtes("documents", "")},
+        b AS (
+          SELECT doc_id,
+            CAST(CASE WHEN quality >= 0.66 THEN 2
+                      WHEN quality >= 0.33 THEN 1 ELSE 0 END AS INT) AS bucket,
+            substr(md5(CAST(doc_id AS VARCHAR) || ':epoch0'), 1, 13) AS shuffle_key
+          FROM scored)
+        SELECT doc_id, bucket, shuffle_key FROM b
+        ORDER BY bucket DESC, shuffle_key ASC, doc_id ASC LIMIT $topK"""
 
   /** Curation pipeline oracle: exact dedup (min doc per md5(text)) →
     * quality score → keep docs at or above their language's median quality.

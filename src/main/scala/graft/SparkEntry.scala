@@ -642,6 +642,45 @@ object SparkEntry {
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")),
 
+    // SOFT dedup: instead of dropping duplicates, each member of an
+    // n-strong near-dup cluster survives with probability 1/n (exact
+    // multiply-compare md5 coordinate — Splits.inverseKeep), so every
+    // cluster contributes ~one copy in expectation and rare docs are
+    // never lost — the repetition-reweighting alternative to hard
+    // removal. Reads the memoized component labels; O(docs) after the
+    // broadcast size join.
+    "dedup_soft" -> ((s, d) => {
+      val dir = dedupCcSetup(s, d)
+      val labels = s.read.parquet(s"$dir/labels")
+      val sizes = labels.groupBy("rep_id").agg(count(lit(1)).as("sz"))
+      documents(s, d).select("doc_id")
+        .join(labels, Seq("doc_id"), "left")
+        .join(broadcast(sizes), Seq("rep_id"), "left")
+        .withColumn("cluster_size", coalesce(col("sz"), lit(1L)))
+        .withColumn("kept", graft.pipeline.Splits
+          .inverseKeep(col("doc_id"), col("cluster_size")).cast("int"))
+        .select(col("doc_id"), col("cluster_size"), col("kept"))
+        .orderBy("doc_id")
+    }),
+
+    // Curriculum ordering: difficulty buckets from the quality score
+    // (easy = high quality first) with a deterministic md5 shuffle
+    // within each bucket — the seeded shuffle every epoch of a training
+    // run replays exactly, on any engine, under any partitioning.
+    "q_curriculum" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          graft.pipeline.TextAnalysis.qualityScore(col("text")).as("quality"))
+        .withColumn("bucket",
+          when(col("quality") >= 0.66, 2)
+            .when(col("quality") >= 0.33, 1).otherwise(0).cast("int"))
+        .withColumn("shuffle_key",
+          substring(md5(concat(col("doc_id").cast("string"), lit(":epoch0"))
+            .cast("binary")), 1, 13))
+        .select("doc_id", "bucket", "shuffle_key")
+        .orderBy(desc("bucket"), asc("shuffle_key"), asc("doc_id"))
+        .limit(100)),
+
     // The full training-prep pipeline as ONE verifiable artifact: exact
     // dedup → quality ≥ language median (Curate) → deterministic hash
     // split → per-(split, lang) report. Every stage is the engine's own
@@ -3800,6 +3839,8 @@ object SparkEntry {
          WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':wsample'), 1, 13) AS BIGINT)
              < CAST(floor(least(1.0, n_chars * 0.0015) * 4503599627370496.0) AS BIGINT)
          ORDER BY doc_id""",
+    "dedup_soft" -> OracleSqlGen.softDedup(3, 8, 2),
+    "q_curriculum" -> OracleSqlGen.curriculum(topK = 100),
     "q_exact_distinct" ->
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
          FROM events GROUP BY event_type ORDER BY event_type""",

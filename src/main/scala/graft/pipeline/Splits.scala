@@ -108,6 +108,19 @@ object Splits {
     weightCoord(key) < floor(p * lit(4503599627370496.0)).cast("long") // 2^52
   }
 
+  /** Keep with probability ≈ 1/n — the soft-dedup decision: instead of
+    * dropping duplicates, each member of an n-strong cluster survives
+    * with probability 1/n, so every cluster contributes ~one copy in
+    * expectation while rare docs are never lost. Decided as
+    * u(key)·n < 2^52 (multiply, not divide — exact integer compare on
+    * both engines with no floor-vs-truncate edge); sound while
+    * n < 2^11 · (clusters larger than ~2000 would overflow the product;
+    * cap n upstream if that ever holds).
+    */
+  def inverseKeep(key: Column, n: Column, salt: String = ":soft"): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(salt)).cast("binary")),
+      1, 13), 16, 10).cast("long") * n < lit(4503599627370496L) // 2^52
+
   /** 52-bit mixing coordinate; salt ":mix" keeps mixing decisions
     * independent of the other sampling surfaces.
     */

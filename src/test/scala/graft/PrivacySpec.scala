@@ -51,6 +51,17 @@ class PrivacySpec extends AnyFunSuite with SparkTestBase {
     assert(df.select("id", "split").exceptAll(again).isEmpty)
   }
 
+  test("inverseKeep: singletons always survive; 1/n rate lands in band; deterministic") {
+    val keys = spark.range(2000).toDF("k")
+    // n = 1: u·1 < 2^52 is true for every 52-bit coordinate — rare
+    // (unclustered) docs are never lost
+    assert(keys.filter(Splits.inverseKeep($"k", lit(1L))).count() == 2000L)
+    val kept4 = keys.filter(Splits.inverseKeep($"k", lit(4L))).count()
+    assert(kept4 > 400 && kept4 < 600, s"~1/4 of 2000 expected, got $kept4")
+    val again = keys.filter(Splits.inverseKeep($"k", lit(4L))).count()
+    assert(again == kept4)
+  }
+
   test("split fractions land near 13/26/217 of 256") {
     val counts = spark.range(0, 20000).toDF("id")
       .select(Splits.assignSplit($"id").as("split"))
