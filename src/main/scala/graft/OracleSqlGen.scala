@@ -402,6 +402,24 @@ object OracleSqlGen {
           CAST(max(doc_id) AS BIGINT) AS max_member
         FROM labels GROUP BY rep_id ORDER BY rep_id"""
 
+  /** Mirrors Similarity.hardNegatives: top-k cosine neighbors with a
+    * DIFFERENT class label (self-pairs are excluded by their own label).
+    */
+  def annHardNegatives(nQueries: Int, k: Int): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+                   FROM embeddings WHERE vec_id < $nQueries),
+        c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS cl
+              FROM embeddings),
+        s AS (
+          SELECT query_id, neighbor_id, ${cosineSql("qv", "cv")} AS cosine
+          FROM q, c WHERE ql <> cl),
+        r AS (
+          SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM s)
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= $k ORDER BY query_id, rank"""
+
   /** Sequential-fold cosine between list columns `$a` and `$b`. */
   private def cosineSql(a: String, b: String): String =
     s"""(list_reduce(list_transform(list_zip($a, $b),
@@ -1206,7 +1224,13 @@ object OracleSqlGen {
     * the exact shape of the Spark loop, so results hash-match whether or
     * not `rounds` reached the fixpoint.
     */
-  def labelPropagation(rounds: Int, topK: Int): String = {
+  /** Shared synchronous-LPA CTE chain over the bipartite order–part graph:
+    * edges `e`, both-direction adjacency `adj`, and label frames l0…l$rounds
+    * (argmax neighbor label, smallest-label tiebreak). Reused by the
+    * community-size and modularity oracles so the replayed fixpoint cannot
+    * drift between them.
+    */
+  private def lpaCtes(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { i =>
       s"""c$i AS (SELECT adj.a, l.lbl, count(*) AS cnt
            FROM adj JOIN l${i - 1} l ON adj.b = l.node GROUP BY 1, 2),
@@ -1215,15 +1239,46 @@ object OracleSqlGen {
              PARTITION BY a ORDER BY cnt DESC, lbl ASC) AS rn
            FROM c$i) WHERE rn = 1)"""
     }.mkString(",\n        ")
-    s"""WITH e AS (
+    s"""e AS (
           SELECT DISTINCT l_orderkey AS u, 1000000000 + l_partkey AS v FROM lineitem),
         adj AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v AS a, u AS b FROM e),
         l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM adj),
-        $roundCtes
+        $roundCtes"""
+  }
+
+  def labelPropagation(rounds: Int, topK: Int): String =
+    s"""WITH ${lpaCtes(rounds)}
         SELECT CAST(lbl AS BIGINT) AS community, CAST(count(*) AS BIGINT) AS n_members
         FROM l$rounds GROUP BY lbl
         ORDER BY n_members DESC, community ASC LIMIT $topK"""
-  }
+
+  /** Mirrors graph_modularity: Newman modularity Q = Σ_c (m_c/m −
+    * (d_c/2m)²) of the round-$rounds LPA partition, kept integer as
+    * q_num = Σ_c (4·m·m_c − d_c²) over q_den = 4m² (HUGEINT here,
+    * DECIMAL(38,0) on the Spark side); only the final Q is a double.
+    */
+  def lpaModularity(rounds: Int): String =
+    s"""WITH ${lpaCtes(rounds)},
+        lab AS (SELECT node, lbl FROM l$rounds),
+        mm AS (SELECT count(*) AS m FROM e),
+        intra AS (
+          SELECT lu.lbl AS c, count(*) AS m_c
+          FROM e JOIN lab lu ON e.u = lu.node JOIN lab lv ON e.v = lv.node
+          WHERE lu.lbl = lv.lbl GROUP BY 1),
+        deg AS (SELECT a AS node, count(*) AS deg FROM adj GROUP BY a),
+        dc AS (
+          SELECT lab.lbl AS c, sum(deg.deg) AS d_c
+          FROM deg JOIN lab ON deg.node = lab.node GROUP BY 1),
+        terms AS (
+          SELECT CAST(4 AS HUGEINT) * mm.m * coalesce(intra.m_c, 0)
+                   - CAST(dc.d_c AS HUGEINT) * dc.d_c AS term,
+                 mm.m AS m
+          FROM dc LEFT JOIN intra ON intra.c = dc.c CROSS JOIN mm)
+        SELECT CAST(m AS BIGINT) AS m, CAST(count(*) AS BIGINT) AS n_comm,
+          CAST(sum(term) AS BIGINT) AS q_num,
+          CAST(sum(term) AS DOUBLE)
+            / CAST(CAST(4 AS HUGEINT) * m * m AS DOUBLE) AS modularity
+        FROM terms GROUP BY m ORDER BY m"""
 
   /** Mirrors the REAL ImageIO decode over the synthetic PNGs: the pixel
     * pattern (Multimodal.synthesizePng) is a = id mod 256, w = 16+id mod 17,

@@ -298,8 +298,37 @@ object SparkEntry {
   private def copurchaseEdges(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"${graphEdgeSetup(s, d)}/copurchase")
 
+  /** Materialized per-node triangle census of the co-purchase graph — the
+    * input table `graph_clustering_coef` joins against. The census itself
+    * is the declared operator of `graph_triangles`; memoizing it here keeps
+    * the coefficient query timing its own work (degree join + ratio), per
+    * the de-scaffolding rule applied to dedup_cluster_sizes in r6.
+    */
+  private def triCountSetup(s: SparkSession, d: String): String =
+    Setup.dir(s"tri_counts:$d") { dir =>
+      graft.operators.GraphAnalytics.triangleCounts(copurchaseEdges(s, d))
+        .write.mode("overwrite").parquet(s"$dir/tri")
+    }
+
+  /** Materialized LPA community labels (4 synchronous rounds over the
+    * bipartite order–part graph) — the partition table `graph_modularity`
+    * audits. The fixpoint construction itself is what `graph_lpa` declares
+    * and times; the modularity query times its own three aggregations.
+    */
+  private def lpaSetup(s: SparkSession, d: String): String =
+    Setup.dir(s"lpa:$d") { dir =>
+      val e = lineitem(s, d)
+        .select(col("l_orderkey").as("u"),
+          (lit(1000000000L) + col("l_partkey")).as("v"))
+        .distinct()
+      graft.operators.GraphAnalytics.labelPropagation(e, rounds = 4)
+        .write.mode("overwrite").parquet(s"$dir/labels")
+    }
+
   def prepareSetups(s: SparkSession, d: String): Unit = {
     graphEdgeSetup(s, d): Unit
+    triCountSetup(s, d): Unit
+    lpaSetup(s, d): Unit
     triIncSetup(s, d): Unit
     dedupCcSetup(s, d): Unit
     chunkIndexSetup(s, d): Unit
@@ -3439,7 +3468,231 @@ object SparkEntry {
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_islands"), sum(col("covered_s")).as("covered_s"))
         .orderBy("user_id")
-    })
+    }),
+
+    // TPC-H Q13 shape: orders-per-customer distribution including the
+    // zero-order customers a plain inner join drops. Orders are aggregated
+    // to O(active customers) BEFORE the join — the join input is one row
+    // per customer, not one per order — then the distribution aggregation
+    // is O(distinct counts). All-integer output; both shuffles are on
+    // natural keys (custkey, then the tiny count domain).
+    "q13_custdist" -> ((s, d) => {
+      val oc = orders(s, d).filter(col("o_orderpriority") =!= "1-URGENT")
+        .groupBy("o_custkey").agg(count(lit(1)).as("c_count"))
+      customer(s, d).select(col("c_custkey"))
+        .join(oc, col("c_custkey") === col("o_custkey"), "left")
+        .withColumn("c_count", coalesce(col("c_count"), lit(0L)))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    }),
+
+    // TPC-H Q4 shape: orders with at least one lineitem shipped more than
+    // 90 days after the order date, counted per priority. The EXISTS
+    // becomes a LEFT SEMI join — exactly-once per order regardless of how
+    // many lineitems qualify; the equi-key (orderkey) drives the shuffle
+    // and the date predicate rides along as a residual condition. Pure
+    // microsecond timestamp comparison — engine-exact.
+    "q4_priority_exists" -> ((s, d) =>
+      orders(s, d)
+        .join(lineitem(s, d).select(col("l_orderkey"), col("l_shipdate")),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")),
+
+    // TPC-H Q22 shape: high-balance customers with no orders at all. The
+    // "above average positive balance" scalar subquery is cross-multiplied
+    // into integers (cents·npos > total_pos_cents — no division, no float
+    // average) and broadcast as one row; the no-orders test is a LEFT ANTI
+    // join on custkey. Products and sums run in DECIMAL(38,0) so the
+    // arithmetic cannot silently wrap at scales where cents·npos exceeds
+    // the long range (the DuckDB side computes them in HUGEINT).
+    "q22_dormant" -> ((s, d) => {
+      val c = customer(s, d).withColumn("cents",
+        (dec(col("c_acctbal")) * 100).cast("long"))
+      val pos = c.filter(col("cents") > 0)
+        .agg(sum(col("cents").cast(DecimalType(38, 0))).as("tot"),
+          count(lit(1)).as("npos"))
+      c.crossJoin(broadcast(pos))
+        .filter(col("cents").cast(DecimalType(38, 0)) * col("npos") > col("tot"))
+        .join(orders(s, d).select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("cents").cast(DecimalType(38, 0))).cast("long").as("bal_cents"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // Exact two-sample Kolmogorov-Smirnov distance between the value
+    // distributions of two event types — the drift test a training pipeline
+    // runs between data snapshots. D = max |F1 - F2| over the pooled
+    // support, computed WITHOUT division: both ECDFs stay as integer
+    // cumulative counts (the distributed range-partitioned cumsum — no
+    // global single-task window), and the max runs over the cross-
+    // multiplied |c1·n2 − c2·n1| in DECIMAL(38,0) (HUGEINT on the oracle
+    // side), so the statistic's numerator is engine/partition/order-exact;
+    // only the final D division is a double, identical both sides.
+    "q_ks_test" -> ((s, d) => {
+      val x = events(s, d).filter(col("event_type").isin("click", "view"))
+        .select((dec(col("value")) * 100).cast("long").as("v"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("is1"),
+          when(col("event_type") === "view", 1L).otherwise(0L).as("is2"))
+      val g = x.groupBy("v").agg(sum("is1").as("n1"), sum("is2").as("n2"))
+      val c2 = graft.operators.Ranking.withGlobalCumSum(
+        graft.operators.Ranking.withGlobalCumSum(g, Seq(col("v")), col("n1"), "c1"),
+        Seq(col("v")), col("n2"), "c2")
+      val tot = x.agg(sum("is1").as("t1"), sum("is2").as("t2"))
+      c2.crossJoin(broadcast(tot))
+        .select(col("t1"), col("t2"),
+          abs(col("c1").cast(DecimalType(38, 0)) * col("t2")
+            - col("c2").cast(DecimalType(38, 0)) * col("t1")).as("dn"))
+        .groupBy("t1", "t2").agg(max(col("dn")).as("dmax"))
+        .select(col("t1").as("n1"), col("t2").as("n2"),
+          col("dmax").cast("long").as("d_num"),
+          (col("dmax").cast("double") / (col("t1") * col("t2")).cast("double"))
+            .as("d_stat"))
+        .orderBy("n1")
+    }),
+
+    // Truncated binary EWMA of the hourly event rate: weights 1/2, 1/4, …,
+    // 1/2^20 over the trailing 20 hours, in fixed point scaled by 2^20 —
+    // every weight is a power of two, so the smoothed series is EXACT
+    // integer arithmetic end to end (the one closing division by 2^20 is
+    // itself exact in IEEE doubles). Missing hours contribute zero via the
+    // explode-to-target formulation: each hour SCATTERS its count forward
+    // to the 20 target hours it influences (O(20·hours) rows, no gapfill
+    // scan, no per-hour window), and an inner join back to observed hours
+    // keeps the output at O(hours).
+    "events_ewma" -> ((s, d) => {
+      val hc = events(s, d)
+        .select((unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
+          .cast("long").as("hh"))
+        .groupBy("hh").agg(count(lit(1)).as("n"))
+      val contrib = hc
+        .select(col("hh"), col("n"),
+          explode(sequence(lit(0), lit(19))).as("j"))
+        .select((col("hh") + col("j")).as("th"),
+          (col("n") * expr("CAST(round(power(2.0, 19 - j)) AS BIGINT)")).as("w"))
+      val e = contrib.groupBy("th").agg(sum("w").as("ewma_fp"))
+      hc.join(e, col("th") === col("hh"))
+        .select(col("hh").as("h_epoch"), col("n"), col("ewma_fp"),
+          (col("ewma_fp").cast("double") / lit(1048576.0)).as("ewma"))
+        .orderBy("h_epoch")
+    }),
+
+    // Hard-negative mining for contrastive training: nearest neighbors with
+    // a DIFFERENT class label — the broadcast-query brute-force scan with a
+    // label-inequality prefilter (Similarity.hardNegatives). The labeled
+    // corpus never shuffles; at index scale the same exclusion composes
+    // with the IVF/PQ probes.
+    "ann_hard_negatives" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Similarity.hardNegatives(
+        e.filter(col("vec_id") < 32), e,
+        col("vec_id"), col("embedding"), col("label"),
+        col("vec_id"), col("embedding"), col("label"), k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Strict-order three-step funnel (view → click → purchase) with a
+    // 7-day completion gate — each stage is a conditional min over the
+    // PREVIOUS stage's survivors (join on user_id + strictly-later
+    // timestamp), so stage frames shrink monotonically and every join is
+    // keyed on user_id; no per-user window sort, no event_type pivot. The
+    // four stage counts are O(1) rows unioned at the end.
+    "events_funnel_steps" -> ((s, d) => {
+      val e = events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+      val u1 = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val u2 = e.filter(col("event_type") === "click")
+        .join(u1, "user_id").filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val u3 = e.filter(col("event_type") === "purchase")
+        .join(u2, "user_id").filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      val u4 = u3.join(u1, "user_id")
+        .filter(col("t3") <= col("t1") + expr("INTERVAL 7 DAYS"))
+      u1.agg(count(lit(1)).as("n_users")).select(lit(1).as("step"), col("n_users"))
+        .unionAll(u2.agg(count(lit(1)).as("n_users"))
+          .select(lit(2).as("step"), col("n_users")))
+        .unionAll(u3.agg(count(lit(1)).as("n_users"))
+          .select(lit(3).as("step"), col("n_users")))
+        .unionAll(u4.agg(count(lit(1)).as("n_users"))
+          .select(lit(4).as("step"), col("n_users")))
+        .orderBy("step")
+    }),
+
+    // Local clustering coefficient: 2·T(v) / (deg(v)·(deg(v)−1)) over the
+    // co-purchase graph. The per-node triangle census is the memoized
+    // once-per-ingest artifact (its construction is what graph_triangles
+    // declares and times); this query's own work is the degree aggregation
+    // and the O(V) ratio join. Integer numerator/denominator, one double
+    // division — engine-exact.
+    "graph_clustering_coef" -> ((s, d) => {
+      val tri = s.read.parquet(s"${triCountSetup(s, d)}/tri")
+      val deg = copurchaseEdges(s, d)
+        .select(explode(array(col("u"), col("v"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      deg.join(tri, Seq("node"), "left")
+        .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+        .filter(col("deg") >= 2)
+        .select(col("node"), col("deg"), col("n_tri"),
+          ((col("n_tri") * 2).cast("double")
+            / (col("deg") * (col("deg") - 1)).cast("double")).as("coef"))
+        .orderBy("node")
+    }),
+
+    // Newman modularity of the LPA partition — the quality score that says
+    // whether the communities graph_lpa found are real structure or noise.
+    // Q = Σ_c (m_c/m − (d_c/2m)²), integerized as Σ(4·m·m_c − d_c²) / 4m²
+    // with DECIMAL(38,0) products (HUGEINT in the oracle — 4m·m_c reaches
+    // m² at scale). Labels are the memoized once-per-ingest artifact
+    // (graph_lpa declares the fixpoint construction); this query's work is
+    // the intra-edge count, the degree-mass rollup, and an O(communities)
+    // reduction. The O(V) label frame rides size-gated broadcasts.
+    "graph_modularity" -> ((s, d) => {
+      val labels = s.read.parquet(s"${lpaSetup(s, d)}/labels")
+      def bc(df: DataFrame) = graft.operators.Hints.broadcastGated(df)
+      val e = lineitem(s, d)
+        .select(col("l_orderkey").as("u"),
+          (lit(1000000000L) + col("l_partkey")).as("v"))
+        .distinct()
+      val mAgg = e.agg(count(lit(1)).as("m"))
+      val intra = e
+        .join(bc(labels.select(col("node").as("u"), col("lbl").as("cu"))), Seq("u"))
+        .join(bc(labels.select(col("node").as("v"), col("lbl").as("cv"))), Seq("v"))
+        .filter(col("cu") === col("cv"))
+        .groupBy(col("cu").as("c")).agg(count(lit(1)).as("m_c"))
+      val deg = e.select(explode(array(col("u"), col("v"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val dc = deg.join(bc(labels), Seq("node"))
+        .groupBy(col("lbl").as("c")).agg(sum("deg").as("d_c"))
+      dc.join(intra, Seq("c"), "left").na.fill(0, Seq("m_c"))
+        .crossJoin(broadcast(mAgg))
+        .select(col("m"),
+          (col("m").cast(DecimalType(38, 0)) * 4 * col("m_c")
+            - col("d_c").cast(DecimalType(38, 0)) * col("d_c")).as("term"))
+        .groupBy("m")
+        .agg(count(lit(1)).as("n_comm"), sum("term").as("q_num_dec"))
+        .select(col("m"), col("n_comm"),
+          col("q_num_dec").cast("long").as("q_num"),
+          (col("q_num_dec").cast("double")
+            / (col("m").cast(DecimalType(38, 0)) * col("m") * 4).cast("double"))
+            .as("modularity"))
+        .orderBy("m")
+    }),
+
+    // t-closeness audit over the same quasi-identifier classes and ordered
+    // sensitive bands as q_l_diversity — completing the k-anonymity /
+    // l-diversity / t-closeness triad. All-integer ordered-EMD (see
+    // Privacy.tCloseness); t = 0.25.
+    "q_t_closeness" -> ((s, d) =>
+      graft.pipeline.Privacy.tCloseness(
+          customer(s, d).withColumn("bal_band",
+            floor(dec(col("c_acctbal")) / 1000).cast("int")),
+          Seq("c_mktsegment", "c_nationkey"), col("bal_band"), t = 0.25)
+        .orderBy("c_mktsegment", "c_nationkey"))
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names, same total
@@ -5009,6 +5262,151 @@ object SparkEntry {
          FROM p JOIN sp2 ON p.user_id = sp2.user_id
            AND p.p_ts >= sp2.valid_from AND p.p_ts < sp2.valid_to
          WHERE sp2.valid_from < sp2.valid_to
-         GROUP BY ui_state ORDER BY ui_state"""
+         GROUP BY ui_state ORDER BY ui_state""",
+    "q13_custdist" ->
+      """WITH oc AS (
+           SELECT o_custkey, count(*) AS c_count FROM orders
+           WHERE o_orderpriority <> '1-URGENT' GROUP BY o_custkey)
+         SELECT CAST(coalesce(c_count, 0) AS BIGINT) AS c_count,
+             CAST(count(*) AS BIGINT) AS custdist
+         FROM customer LEFT JOIN oc ON c_custkey = o_custkey
+         GROUP BY 1 ORDER BY custdist DESC, c_count DESC""",
+    "q4_priority_exists" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+         FROM orders o
+         WHERE EXISTS (
+           SELECT 1 FROM lineitem
+           WHERE l_orderkey = o.o_orderkey
+             AND l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q22_dormant" ->
+      """WITH c AS (
+           SELECT c_custkey, c_mktsegment,
+               CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM customer),
+         pos AS (
+           SELECT sum(CAST(cents AS HUGEINT)) AS tot, count(*) AS npos
+           FROM c WHERE cents > 0)
+         SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+             CAST(sum(cents) AS BIGINT) AS bal_cents
+         FROM c CROSS JOIN pos
+         WHERE CAST(cents AS HUGEINT) * npos > tot
+           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
+         GROUP BY 1 ORDER BY 1""",
+    "q_ks_test" ->
+      """WITH x AS (
+           SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is1,
+               CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is2
+           FROM events WHERE event_type IN ('click', 'view')),
+         g AS (SELECT v, sum(is1) AS n1, sum(is2) AS n2 FROM x GROUP BY v),
+         cum AS (
+           SELECT v, sum(n1) OVER (ORDER BY v) AS c1,
+               sum(n2) OVER (ORDER BY v) AS c2 FROM g),
+         tot AS (SELECT sum(is1) AS t1, sum(is2) AS t2 FROM x),
+         dn AS (
+           SELECT t1, t2,
+               max(abs(CAST(c1 AS HUGEINT) * t2 - CAST(c2 AS HUGEINT) * t1)) AS dmax
+           FROM cum CROSS JOIN tot GROUP BY t1, t2)
+         SELECT CAST(t1 AS BIGINT) AS n1, CAST(t2 AS BIGINT) AS n2,
+             CAST(dmax AS BIGINT) AS d_num,
+             CAST(dmax AS DOUBLE) / CAST(t1 * t2 AS DOUBLE) AS d_stat
+         FROM dn ORDER BY n1""",
+    "events_ewma" ->
+      """WITH hc AS (
+           SELECT CAST(floor(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))) AS BIGINT) // 3600 AS hh,
+               count(*) AS n
+           FROM events GROUP BY 1),
+         contrib AS (
+           SELECT hh + j.range AS th,
+               n * CAST(round(power(2.0, 19 - j.range)) AS BIGINT) AS w
+           FROM hc CROSS JOIN range(20) j),
+         e AS (SELECT th, sum(w) AS ewma_fp FROM contrib GROUP BY th)
+         SELECT hc.hh AS h_epoch, CAST(hc.n AS BIGINT) AS n,
+             CAST(e.ewma_fp AS BIGINT) AS ewma_fp,
+             CAST(e.ewma_fp AS DOUBLE) / 1048576.0 AS ewma
+         FROM hc JOIN e ON e.th = hc.hh ORDER BY h_epoch""",
+    "ann_hard_negatives" -> OracleSqlGen.annHardNegatives(32, 5),
+    "events_funnel_steps" ->
+      """WITH u1 AS (
+           SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+         u2 AS (
+           SELECT e.user_id, min(e.ts) AS t2
+           FROM events e JOIN u1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > u1.t1 GROUP BY e.user_id),
+         u3 AS (
+           SELECT e.user_id, min(e.ts) AS t3
+           FROM events e JOIN u2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > u2.t2 GROUP BY e.user_id),
+         u4 AS (
+           SELECT u3.user_id FROM u3 JOIN u1 USING (user_id)
+           WHERE u3.t3 <= u1.t1 + INTERVAL 7 DAY)
+         SELECT * FROM (
+           SELECT 1 AS step, CAST(count(*) AS BIGINT) AS n_users FROM u1
+           UNION ALL SELECT 2, CAST(count(*) AS BIGINT) FROM u2
+           UNION ALL SELECT 3, CAST(count(*) AS BIGINT) FROM u3
+           UNION ALL SELECT 4, CAST(count(*) AS BIGINT) FROM u4)
+         ORDER BY step""",
+    "graph_clustering_coef" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS (
+           SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+           FROM lp a JOIN lp b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         tri AS (
+           SELECT e1.u AS a, e1.v AS b, e2.v AS c
+           FROM e e1
+           JOIN e e2 ON e2.u = e1.u AND e1.v < e2.v
+           JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+         tc AS (
+           SELECT node, count(*) AS n_tri
+           FROM (SELECT unnest([a, b, c]) AS node FROM tri) GROUP BY node),
+         deg AS (
+           SELECT node, count(*) AS deg
+           FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+           GROUP BY node)
+         SELECT deg.node, CAST(deg.deg AS BIGINT) AS deg,
+             CAST(coalesce(tc.n_tri, 0) AS BIGINT) AS n_tri,
+             CAST(coalesce(tc.n_tri, 0) * 2 AS DOUBLE)
+               / CAST(deg.deg * (deg.deg - 1) AS DOUBLE) AS coef
+         FROM deg LEFT JOIN tc USING (node)
+         WHERE deg.deg >= 2 ORDER BY node""",
+    "graph_modularity" -> OracleSqlGen.lpaModularity(rounds = 4),
+    "q_t_closeness" ->
+      """WITH sv AS (
+           SELECT c_mktsegment, c_nationkey,
+             CAST(floor(CAST(c_acctbal AS DECIMAL(18,2)) / 1000) AS INT) AS sv
+           FROM customer),
+         gl AS (SELECT sv, count(*) AS g FROM sv GROUP BY sv),
+         tot AS (SELECT sum(g) AS nn, count(*) AS k FROM gl),
+         cls AS (
+           SELECT c_mktsegment, c_nationkey, count(*) AS n_g
+           FROM sv GROUP BY 1, 2),
+         cells AS (
+           SELECT c_mktsegment, c_nationkey, sv, count(*) AS c
+           FROM sv GROUP BY 1, 2, 3),
+         grid AS (
+           SELECT cls.c_mktsegment, cls.c_nationkey, cls.n_g, gl.sv, gl.g,
+                  coalesce(cells.c, 0) AS c
+           FROM cls CROSS JOIN gl
+           LEFT JOIN cells ON cells.c_mktsegment = cls.c_mktsegment
+             AND cells.c_nationkey = cls.c_nationkey AND cells.sv = gl.sv),
+         cum AS (
+           SELECT c_mktsegment, c_nationkey, n_g, nn, k,
+             sum(CAST(c AS HUGEINT) * nn - CAST(g AS HUGEINT) * n_g)
+               OVER (PARTITION BY c_mktsegment, c_nationkey ORDER BY sv
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM grid CROSS JOIN tot),
+         res AS (
+           SELECT c_mktsegment, c_nationkey, n_g, sum(abs(cum)) AS emd_num,
+             CAST(n_g AS HUGEINT) * nn * (k - 1) AS den
+           FROM cum GROUP BY c_mktsegment, c_nationkey, n_g, nn, k)
+         SELECT c_mktsegment, c_nationkey, CAST(n_g AS BIGINT) AS n_g,
+           CAST(emd_num AS BIGINT) AS emd_num,
+           CAST(emd_num AS DOUBLE) / CAST(den AS DOUBLE) AS emd,
+           CAST(CASE WHEN CAST(emd_num AS DOUBLE) / CAST(den AS DOUBLE) <= 0.25
+                THEN 1 ELSE 0 END AS INT) AS close
+         FROM res ORDER BY c_mktsegment, c_nationkey"""
   )
 }

@@ -72,6 +72,48 @@ object Privacy {
       .withColumn("diverse", (col("d") >= l).cast("int"))
   }
 
+  /** t-closeness audit (Li, Li & Venkatasubramanian, "t-closeness: privacy
+    * beyond k-anonymity and l-diversity", ICDE 2007) for an ORDERED
+    * sensitive attribute: a class leaks when its sensitive-value
+    * distribution strays from the table-wide one, measured by the earth
+    * mover's distance, which for an ordered domain of k values is
+    * Σᵢ|cumᵢ(p−q)| / (k−1). Everything stays integer by cross-multiplying
+    * the two distributions onto the common denominator n_g·N:
+    * cumᵢ = Σ_{j≤i} (c_j·N − g_j·n_g), EMD = Σ|cumᵢ| / (n_g·N·(k−1)).
+    * Products run in DECIMAL(38,0) (c·N alone reaches N² at scale); the
+    * one closing division is a double of exact integers. Shape: three
+    * aggregations, a broadcast (k global counts + totals) grid join, and a
+    * per-class window over k rows — nothing global, nothing per-row after
+    * the first shuffle.
+    */
+  def tCloseness(df: DataFrame, qi: Seq[String], sensitive: Column, t: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val sv = df.select(qi.map(col) :+ sensitive.as("sv"): _*)
+    val glob = sv.groupBy("sv").agg(count(lit(1)).as("g"))
+    val tot = glob.agg(sum("g").as("nn"), count(lit(1)).as("k"))
+    val cls = sv.groupBy(qi.map(col): _*).agg(count(lit(1)).as("n_g"))
+    val cells = sv.groupBy(qi.map(col) :+ col("sv"): _*).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(qi.map(col): _*).orderBy("sv")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cls.crossJoin(broadcast(glob))
+      .join(cells, qi :+ "sv", "left").na.fill(0, Seq("c"))
+      .crossJoin(broadcast(tot))
+      .withColumn("diff",
+        col("c").cast(DecimalType(38, 0)) * col("nn")
+          - col("g").cast(DecimalType(38, 0)) * col("n_g"))
+      .withColumn("cum", sum(col("diff")).over(w))
+      .groupBy(qi.map(col) :+ col("n_g") :+ col("nn") :+ col("k"): _*)
+      .agg(sum(abs(col("cum"))).as("emd_num"))
+      .withColumn("den",
+        col("n_g").cast(DecimalType(38, 0)) * col("nn") * (col("k") - 1))
+      .select(qi.map(col) :+ col("n_g") :+
+        col("emd_num").cast("long").as("emd_num") :+
+        (col("emd_num").cast("double") / col("den").cast("double")).as("emd") :+
+        (col("emd_num").cast("double") / col("den").cast("double") <= t)
+          .cast("int").as("close"): _*)
+  }
+
   def kAnonymityLevels(df: DataFrame, coarse: Column, fine: Column, k: Long): DataFrame = {
     require(k >= 1)
     val g2 = df.groupBy(coarse.as("qi_coarse"), fine.as("qi_fine"))

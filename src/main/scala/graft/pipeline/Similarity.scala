@@ -64,6 +64,37 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank")
   }
 
+  /** Hard-negative mining for contrastive training: per query, the top-k
+    * cosine neighbors whose group label DIFFERS from the query's — the
+    * nearest non-members, which make the hardest negatives. Same
+    * broadcast-queries × partitioned-candidates shape as bruteForceTopK;
+    * the label inequality prunes pairs BEFORE scoring (a self-pair shares
+    * its own label, so the id-inequality filter is implied).
+    */
+  def hardNegatives(
+      queries: DataFrame,
+      candidates: DataFrame,
+      qId: Column,
+      qVec: Column,
+      qGroup: Column,
+      cId: Column,
+      cVec: Column,
+      cGroup: Column,
+      k: Int): DataFrame = {
+    val q = broadcast(
+      queries.select(qId.as("query_id"), qVec.as("qv"), qGroup.as("qg")))
+    val c = Dedup.spread(candidates)
+      .select(cId.as("neighbor_id"), cVec.as("cv"), cGroup.as("cg"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cosine"), asc("neighbor_id"))
+    q.crossJoin(c)
+      .filter(col("qg") =!= col("cg"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
   /** Int8-quantized brute-force top-k — the memory-bandwidth scale path:
     * vectors are symmetric-quantized to int8 codes ONCE (4× smaller than
     * float32 — at 100 TB the quantized corpus is what fits in cluster page

@@ -1,0 +1,129 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Similarity
+
+/** Independent driver-side brute-force twins for the session's analytics
+  * additions: each test recomputes the expected answer from the same
+  * sf0.001 parquet with plain Scala collections (no Spark, no SQL), so a
+  * bug shared between the Spark query and its DuckDB oracle cannot hide.
+  */
+class AnalyticsTwinSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def cents(v: Double): Long =
+    (BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
+
+  test("q_ks_test matches a sequential-scan KS computation") {
+    val rows = Tables.events(spark, sf)
+      .select("event_type", "value").as[(String, Double)].collect()
+    val s1 = rows.filter(_._1 == "click").map(r => cents(r._2)).sorted
+    val s2 = rows.filter(_._1 == "view").map(r => cents(r._2)).sorted
+    val pooled = (s1 ++ s2).distinct.sorted
+    def cdfCount(s: Array[Long], x: Long): Long = s.count(_ <= x).toLong
+    val dNum = pooled.map(x =>
+      math.abs(cdfCount(s1, x) * s2.length - cdfCount(s2, x) * s1.length)).max
+
+    val got = SparkEntry.queries("q_ks_test")(spark, sf).head()
+    assert(got.getLong(0) == s1.length.toLong)
+    assert(got.getLong(1) == s2.length.toLong)
+    assert(got.getLong(2) == dNum)
+    assert(got.getDouble(3) == dNum.toDouble / (s1.length.toLong * s2.length))
+    assert(got.getDouble(3) >= 0.0 && got.getDouble(3) <= 1.0)
+  }
+
+  test("events_ewma matches a sequential-scan fixed-point EWMA") {
+    val hours = Tables.events(spark, sf).select("ts")
+      .as[java.sql.Timestamp].collect()
+      .map(t => Math.floorDiv(Math.floorDiv(t.getTime, 1000L), 3600L))
+    val counts = hours.groupBy(identity).map { case (h, a) => h -> a.length.toLong }
+    val expected = counts.keys.toSeq.sorted.map { t =>
+      val fp = (0 to 19).map { j =>
+        counts.getOrElse(t - j, 0L) * (1L << (19 - j))
+      }.sum
+      (t, counts(t), fp)
+    }
+    val got = SparkEntry.queries("events_ewma")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3)) == expected)
+    got.foreach(r => assert(r._4 == r._3.toDouble / 1048576.0))
+    // a 20-hour-saturated constant-rate stretch would give fp = c*(2^20-1);
+    // sanity: fp is always below that bound for the max hourly count
+    val cMax = counts.values.max
+    got.foreach(r => assert(r._3 <= cMax * ((1L << 20) - 1)))
+  }
+
+  test("events_funnel_steps matches a per-user sequential scan") {
+    // microsecond precision end to end — getTime would truncate to ms
+    val rowsUs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .as[(Long, String, Long)].collect()
+    val byUser = rowsUs.groupBy(_._1)
+    var n1, n2, n3, n4 = 0L
+    byUser.foreach { case (_, evs) =>
+      val t1 = evs.filter(_._2 == "view").map(_._3).sorted.headOption
+      t1.foreach { a =>
+        n1 += 1
+        val t2 = evs.filter(e => e._2 == "click" && e._3 > a).map(_._3).sorted.headOption
+        t2.foreach { b =>
+          n2 += 1
+          val t3 = evs.filter(e => e._2 == "purchase" && e._3 > b).map(_._3).sorted.headOption
+          t3.foreach { c =>
+            n3 += 1
+            if (c <= a + 7L * 86400L * 1000000L) n4 += 1
+          }
+        }
+      }
+    }
+    val got = SparkEntry.queries("events_funnel_steps")(spark, sf)
+      .as[(Int, Long)].collect().toMap
+    assert(got == Map(1 -> n1, 2 -> n2, 3 -> n3, 4 -> n4))
+    assert(n1 >= n2 && n2 >= n3 && n3 >= n4)
+    assert(rowsUs.nonEmpty)
+  }
+
+  test("graph_modularity matches a driver-side recomputation from the labels") {
+    val e = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("u"), (lit(1000000000L) + col("l_partkey")).as("v"))
+      .distinct().as[(Long, Long)].collect()
+    val labels = graft.operators.GraphAnalytics.labelPropagation(
+      Tables.lineitem(spark, sf)
+        .select(col("l_orderkey").as("u"), (lit(1000000000L) + col("l_partkey")).as("v"))
+        .distinct(), rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    val m = e.length.toLong
+    val mc = e.filter { case (u, v) => labels(u) == labels(v) }
+      .groupBy { case (u, _) => labels(u) }.map { case (c, a) => c -> a.length.toLong }
+    val deg = e.flatMap { case (u, v) => Seq(u, v) }
+      .groupBy(identity).map { case (n, a) => n -> a.length.toLong }
+    val dc = deg.toSeq.groupBy { case (n, _) => labels(n) }
+      .map { case (c, a) => c -> a.map(_._2).sum }
+    val qNum = dc.map { case (c, d_c) =>
+      BigInt(4) * m * BigInt(mc.getOrElse(c, 0L)) - BigInt(d_c) * d_c }.sum
+    val got = SparkEntry.queries("graph_modularity")(spark, sf).head()
+    assert(got.getLong(0) == m)
+    assert(got.getLong(1) == dc.size.toLong)
+    assert(got.getLong(2) == qNum.toLong)
+    assert(got.getDouble(3) == qNum.toDouble / (4.0 * m * m))
+    assert(got.getDouble(3) >= -1.0 && got.getDouble(3) <= 1.0)
+  }
+
+  test("hardNegatives skips same-label neighbors however close") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 7),
+      (1L, Array(0.999f, 0.01f), 7), // nearest overall — same label, excluded
+      (2L, Array(0.9f, 0.1f), 3),
+      (3L, Array(0.0f, 1.0f), 3)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(
+      vecs.filter(col("vec_id") === 0), vecs,
+      col("vec_id"), col("embedding"), col("label"),
+      col("vec_id"), col("embedding"), col("label"), k = 2)
+      .orderBy("rank").as[(Long, Long, Int)].collect()
+    assert(out.map(_._2).toSeq == Seq(2L, 3L))
+    assert(out.map(_._3).toSeq == Seq(1, 2))
+  }
+}

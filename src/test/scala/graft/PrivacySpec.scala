@@ -192,4 +192,25 @@ class PrivacySpec extends AnyFunSuite with SparkTestBase {
       .as[(String, Int, Long, Long, Int)].collect().toSeq
     assert(got == Seq(("A", 1, 3L, 1L, 0), ("A", 2, 2L, 2L, 1), ("B", 1, 1L, 1L, 0)))
   }
+
+  test("tCloseness: hand-computed ordered EMD, threshold on both sides") {
+    // global: value counts 1→2, 2→2, 3→2 (N=6, k=3)
+    // class A: (2,1,0) → diffs c·N−g·n_g = (6,0,−6), cums (6,6,0), Σ|cum|=12
+    //   EMD = 12 / (3·6·2) = 1/3; class B mirrors it
+    val rows = Seq(
+      ("A", 1), ("A", 1), ("A", 2),
+      ("B", 2), ("B", 3), ("B", 3)).toDF("grp", "sv")
+    val loose = Privacy.tCloseness(rows, Seq("grp"), $"sv", t = 0.4)
+      .orderBy("grp").as[(String, Long, Long, Double, Int)].collect().toSeq
+    assert(loose == Seq(
+      ("A", 3L, 12L, 12.0 / 36.0, 1), ("B", 3L, 12L, 12.0 / 36.0, 1)))
+    val strict = Privacy.tCloseness(rows, Seq("grp"), $"sv", t = 0.2)
+      .orderBy("grp").as[(String, Long, Long, Double, Int)].collect().toSeq
+    assert(strict.map(_._5) == Seq(0, 0))
+    // a class whose distribution IS the global one has EMD exactly 0
+    val uniform = Seq(("A", 1), ("A", 2), ("B", 1), ("B", 2)).toDF("grp", "sv")
+    val zero = Privacy.tCloseness(uniform, Seq("grp"), $"sv", t = 0.0)
+      .orderBy("grp").as[(String, Long, Long, Double, Int)].collect().toSeq
+    assert(zero.forall(r => r._3 == 0L && r._4 == 0.0 && r._5 == 1))
+  }
 }
