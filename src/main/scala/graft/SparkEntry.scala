@@ -3692,7 +3692,60 @@ object SparkEntry {
           customer(s, d).withColumn("bal_band",
             floor(dec(col("c_acctbal")) / 1000).cast("int")),
           Seq("c_mktsegment", "c_nationkey"), col("bal_band"), t = 0.25)
-        .orderBy("c_mktsegment", "c_nationkey"))
+        .orderBy("c_mktsegment", "c_nationkey")),
+
+    // Streaming form of events_ewma (EventOps.ewmaByHour, stream ≡ batch
+    // spec-pinned): the scatter-forward explode makes the smoothed series
+    // an ordinary watermark-bounded tumbling-window sum, so the monitor
+    // emits every influenced hour — including zero-event hours that still
+    // carry decaying mass, which events_ewma's observed-hours join drops.
+    "stream_ewma" -> ((s, d) =>
+      EventOps.ewmaByHour(events(s, d))
+        .withColumn("window_start", col("window_start").cast("timestamp"))
+        .withColumn("ewma", col("ewma_fp").cast("double") / lit(1048576.0))
+        .orderBy("window_start")),
+
+    // First BPE merge round — the core step of subword-tokenizer training:
+    // corpus word frequencies (O(vocab) after the first aggregation), each
+    // DISTINCT word exploded into its adjacent character pairs weighted by
+    // word frequency, top-20 merge candidates. The explode is bounded by
+    // vocabulary size × word length, never corpus size — the reason real
+    // BPE trainers also run on word-frequency tables.
+    "text_bpe_merges" -> ((s, d) => {
+      val words = documents(s, d)
+        .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).as("n"))
+      words
+        .select(col("n"), explode(sequence(lit(1), length(col("w")) - 1)).as("i"),
+          col("w"))
+        .select(expr("substr(w, i, 2)").as("pair"), col("n"))
+        .groupBy("pair").agg(sum("n").as("cnt"))
+        .orderBy(desc("cnt"), asc("pair")).limit(20)
+    }),
+
+    // Peak concurrency per day: each event holds a 15-minute session slot;
+    // +1/−1 boundary deltas, ends-before-starts at the same instant (the
+    // half-open [ts, ts+15min) convention), running level via the
+    // distributed range-partitioned cumsum — no single-task global window —
+    // and an O(days) max. The reported peak is the highest level reached
+    // at a boundary within the day (concurrency only changes at
+    // boundaries; a day's carry-in level was counted as the previous
+    // day's closing max).
+    "events_concurrency" -> ((s, d) => {
+      val e = events(s, d).select(col("event_id"), unix_micros(col("ts")).as("t0"))
+      val bounds = e.select(col("t0").as("t"), lit(1L).as("delta"), col("event_id"))
+        .unionAll(e.select((col("t0") + 900000000L).as("t"),
+          lit(-1L).as("delta"), col("event_id")))
+      val lvl = graft.operators.Ranking.withGlobalCumSum(
+        bounds, Seq(col("t"), col("delta"), col("event_id")), col("delta"), "lvl")
+      // `div` (not `/` + cast): true integer floor on both engines — a
+      // double quotient that rounds up to the next integer would truncate
+      // to the wrong day
+      lvl.select(expr("t div 86400000000").as("day"), col("lvl"))
+        .groupBy("day").agg(max("lvl").as("peak"))
+        .orderBy("day")
+    })
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names, same total
@@ -5407,6 +5460,47 @@ object SparkEntry {
            CAST(emd_num AS DOUBLE) / CAST(den AS DOUBLE) AS emd,
            CAST(CASE WHEN CAST(emd_num AS DOUBLE) / CAST(den AS DOUBLE) <= 0.25
                 THEN 1 ELSE 0 END AS INT) AS close
-         FROM res ORDER BY c_mktsegment, c_nationkey"""
+         FROM res ORDER BY c_mktsegment, c_nationkey""",
+    "stream_ewma" ->
+      """WITH hc AS (
+           SELECT CAST(floor(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))) AS BIGINT) // 3600 AS hh,
+               count(*) AS n
+           FROM events GROUP BY 1),
+         contrib AS (
+           SELECT hh + j.range AS th,
+               n * CAST(round(power(2.0, 19 - j.range)) AS BIGINT) AS w
+           FROM hc CROSS JOIN range(20) j)
+         SELECT make_timestamp(th * 3600 * 1000000) AS window_start,
+             CAST(sum(w) AS BIGINT) AS ewma_fp,
+             CAST(sum(w) AS DOUBLE) / 1048576.0 AS ewma
+         FROM contrib GROUP BY th ORDER BY window_start""",
+    "text_bpe_merges" ->
+      """WITH words AS (
+           SELECT w, count(*) AS n FROM (
+             SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+             FROM documents)
+           WHERE len(w) >= 2 GROUP BY w),
+         pairs AS (
+           SELECT unnest(list_transform(range(len(w) - 1),
+               i -> substr(w, CAST(i + 1 AS INT), 2))) AS pair, n
+           FROM words)
+         SELECT pair, CAST(sum(n) AS BIGINT) AS cnt
+         FROM pairs GROUP BY pair
+         ORDER BY cnt DESC, pair ASC LIMIT 20""",
+    "events_concurrency" ->
+      """WITH b AS (
+           SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+               CAST(1 AS BIGINT) AS delta, event_id
+           FROM events
+           UNION ALL
+           SELECT epoch_us(CAST(ts AS TIMESTAMP)) + 900000000,
+               CAST(-1 AS BIGINT), event_id
+           FROM events),
+         lvl AS (
+           SELECT t, sum(delta) OVER (ORDER BY t, delta, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lvl
+           FROM b)
+         SELECT t // 86400000000 AS day, CAST(max(lvl) AS BIGINT) AS peak
+         FROM lvl GROUP BY 1 ORDER BY day"""
   )
 }

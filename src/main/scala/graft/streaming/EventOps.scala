@@ -39,6 +39,31 @@ object EventOps {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"))
 
+  /** Binary-exact trailing-20-hour EWMA of the hourly event rate (α = 1/2),
+    * runnable batch OR streaming from the same code: each event SCATTERS
+    * its unit weight forward to the 20 hour-windows it influences
+    * (ts + j hours carries weight 2^(19−j), all powers of two ⇒ the
+    * smoothed series is exact integer fixed point scaled by 2^20). The
+    * scatter is a stateless explode, so under Structured Streaming the
+    * aggregation is an ordinary watermark-bounded tumbling-window sum —
+    * the monitor emits each finalized hour's smoothed rate exactly once.
+    * Emits EVERY influenced hour (a zero-event hour still has decaying
+    * mass); callers wanting only observed hours join against the base.
+    */
+  def ewmaByHour(events: DataFrame): DataFrame = {
+    val contrib = events.select(col("ts"), explode(sequence(lit(0), lit(19))).as("j"))
+      .select(col("ts"),
+        (col("ts") + expr("make_interval(0, 0, 0, 0, j, 0, 0)")).as("tts"),
+        expr("CAST(round(power(2.0, 19 - j)) AS BIGINT)").as("w"))
+    // watermark on the SCATTERED time: an event influences windows up to
+    // 19 h ahead of its own timestamp, so late-data tolerance composes as
+    // (scatter horizon + slack) relative to source event time
+    withWatermarkIfStreaming(contrib, "tts", "2 hours")
+      .groupBy(window(col("tts"), "1 hour").as("win"))
+      .agg(sum(col("w")).as("ewma_fp"))
+      .select(col("win.start").as("window_start"), col("ewma_fp"))
+  }
+
   /** Per-window data-quality monitoring: the streaming form of
     * `pipeline.Expectations.check` — N row-level assertions as conditional
     * sums inside ONE tumbling-window aggregation, melted to a

@@ -61,6 +61,28 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want && got.size == 7)
   }
 
+  test("ewmaByHour streaming equals the batch twin on finalized windows") {
+    val got = runStream(s => EventOps.ewmaByHour(s), "ewma_hours")
+      .as[(Timestamp, Long)].collect().toMap
+    val batchAll = EventOps.ewmaByHour((evs :+ flush).toDF())
+      .as[(Timestamp, Long)].collect().toMap
+    // append mode emits exactly the finalized prefix of the batch answer:
+    // every emitted window matches the batch twin bit-for-bit, and every
+    // real (January) window was finalized by the flush's watermark advance
+    assert(got.forall { case (k, v) => batchAll.get(k).contains(v) })
+    val want = EventOps.ewmaByHour(evs.toDF())
+      .as[(Timestamp, Long)].collect().toMap
+    assert(want.keySet.subsetOf(got.keySet))
+    want.foreach { case (k, v) => assert(got(k) == v) }
+    // hand-pinned fixed point: hour 00 has 3 events, each weight 2^19
+    assert(want(ts("2024-01-01 00:00:00")) == 3L * (1L << 19))
+    // hour 01 = hour-00 mass halved + its own event: 3·2^18 + 2^19
+    assert(want(ts("2024-01-01 01:00:00")) == 3L * (1L << 18) + (1L << 19))
+    // 20 hours after the last event the mass is gone: exactly the scatter
+    // horizon many windows exist past each contributing hour
+    assert(!want.contains(ts("2024-01-02 02:00:00")))
+  }
+
   test("stateful first-seen dedup drops duplicates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
