@@ -645,6 +645,41 @@ object OracleSqlGen {
         FROM (SELECT DISTINCT query_id FROM exact) q
         LEFT JOIN common c USING (query_id) ORDER BY q.query_id"""
 
+  /** Mirrors ann_matryoshka_recall: exact top-k by full-dimension cosine vs
+    * top-k by the first-$dims prefix (Matryoshka truncation), intersection
+    * size per query. Both rankings are deterministic, so the quality
+    * measurement itself is hash-pinned — the PQ-recall contract applied to
+    * dimensionality truncation.
+    */
+  def annMatryoshkaRecall(nQueries: Int, dims: Int, topK: Int): String =
+    s"""WITH qx AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+                    WHERE vec_id < $nQueries),
+        cx AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+        sx AS (
+          SELECT query_id, neighbor_id, ${cosineSql("qv", "cv")} AS cosine,
+            ${cosineSql(s"qv[1:$dims]", s"cv[1:$dims]")} AS cosine_t
+          FROM qx, cx WHERE query_id <> neighbor_id),
+        full_k AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM sx) WHERE rank <= $topK),
+        trunc_k AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine_t DESC, neighbor_id ASC) AS rank
+            FROM sx) WHERE rank <= $topK),
+        common AS (
+          SELECT query_id, count(*) AS n_common
+          FROM full_k JOIN trunc_k USING (query_id, neighbor_id)
+          GROUP BY query_id)
+        SELECT q.query_id, CAST(coalesce(c.n_common, 0) AS BIGINT) AS n_common,
+               CAST(coalesce(c.n_common, 0) AS DOUBLE) / $topK AS recall
+        FROM (SELECT DISTINCT query_id FROM full_k) q
+        LEFT JOIN common c USING (query_id) ORDER BY q.query_id"""
+
   def annTopK(nQueries: Int, k: Int): String =
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < $nQueries),
         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),

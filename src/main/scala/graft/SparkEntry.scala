@@ -3745,6 +3745,69 @@ object SparkEntry {
       lvl.select(expr("t div 86400000000").as("day"), col("lvl"))
         .groupBy("day").agg(max("lvl").as("peak"))
         .orderBy("day")
+    }),
+
+    // Apriori frequent-triple mining — one lattice level above
+    // q_assoc_rules: baskets are pruned to frequent ITEMS before any join,
+    // the (p1,p2) wedge is semi-joined against the frequent-PAIR set
+    // before the third leg attaches, and the (p1,p3)/(p2,p3) closures
+    // prune again before counting — the downward-closure property that
+    // keeps level-3 candidate generation polynomial at any corpus size.
+    "q_assoc_triples" -> ((s, d) => {
+      val lp = lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+      val freqItems = lp.groupBy("l_partkey").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= 3).select("l_partkey")
+      val lpf = lp.join(freqItems, "l_partkey")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val pairs = lpf.as("a").join(lpf.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+        .agg(count(lit(1)).as("n_both"))
+        .filter(col("n_both") >= 3)
+      val fp = pairs.select("p1", "p2")
+      val wedge = lpf.as("a").join(lpf.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.o").as("wo"), col("a.p").as("p1"), col("b.p").as("p2"))
+        .join(fp, Seq("p1", "p2"), "left_semi")
+      val tri = wedge.join(lpf.as("c"),
+          col("wo") === col("c.o") && col("p2") < col("c.p"))
+        .select(col("p1"), col("p2"), col("c.p").as("p3"))
+        .join(fp.select(col("p1"), col("p2").as("p3")), Seq("p1", "p3"), "left_semi")
+        .join(fp.select(col("p1").as("p2"), col("p2").as("p3")), Seq("p2", "p3"), "left_semi")
+      val nOrders = lp.select("l_orderkey").distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      tri.groupBy("p1", "p2", "p3").agg(count(lit(1)).as("n_all"))
+        .filter(col("n_all") >= 3)
+        .crossJoin(broadcast(nOrders))
+        .select(col("p1"), col("p2"), col("p3"), col("n_all"),
+          (col("n_all").cast("double") / col("n_orders").cast("double"))
+            .as("support"))
+        .orderBy(desc("n_all"), asc("p1"), asc("p2"), asc("p3")).limit(20)
+    }),
+
+    // Matryoshka-truncation retrieval quality: exact top-k by full-dim
+    // cosine vs top-k by the first-16-dim prefix, per-query intersection —
+    // how much ranking the cheap prefix search loses. Both rankings are
+    // deterministic fold-cosines, so the measurement itself hash-matches.
+    "ann_matryoshka_recall" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val q = e.filter(col("vec_id") < 32)
+      def trunc(df: DataFrame) = df.withColumn("embedding",
+        slice(col("embedding"), 1, 16))
+      val full = Similarity.bruteForceTopK(q, e,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), k = 5)
+        .select("query_id", "neighbor_id")
+      val pre = Similarity.bruteForceTopK(trunc(q), trunc(e),
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), k = 5)
+        .select("query_id", "neighbor_id")
+      val common = full.join(pre, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_common"))
+      full.select("query_id").distinct()
+        .join(common, Seq("query_id"), "left")
+        .na.fill(0L, Seq("n_common"))
+        .select(col("query_id"), col("n_common"),
+          (col("n_common").cast("double") / lit(5.0)).as("recall"))
+        .orderBy("query_id")
     })
   )
 
@@ -5501,6 +5564,28 @@ object SparkEntry {
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lvl
            FROM b)
          SELECT t // 86400000000 AS day, CAST(max(lvl) AS BIGINT) AS peak
-         FROM lvl GROUP BY 1 ORDER BY day"""
+         FROM lvl GROUP BY 1 ORDER BY day""",
+    "q_assoc_triples" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         fi AS (SELECT l_partkey FROM lp GROUP BY l_partkey HAVING count(*) >= 3),
+         lpf AS (SELECT l_orderkey AS o, l_partkey AS p FROM lp JOIN fi USING (l_partkey)),
+         pairs AS (
+           SELECT a.p AS p1, b.p AS p2, count(*) AS n_both
+           FROM lpf a JOIN lpf b ON a.o = b.o AND a.p < b.p
+           GROUP BY 1, 2 HAVING count(*) >= 3),
+         tri AS (
+           SELECT a.p AS p1, b.p AS p2, c.p AS p3, count(*) AS n_all
+           FROM lpf a JOIN lpf b ON a.o = b.o AND a.p < b.p
+                JOIN lpf c ON b.o = c.o AND b.p < c.p
+           WHERE EXISTS (SELECT 1 FROM pairs WHERE p1 = a.p AND p2 = b.p)
+             AND EXISTS (SELECT 1 FROM pairs WHERE p1 = a.p AND p2 = c.p)
+             AND EXISTS (SELECT 1 FROM pairs WHERE p1 = b.p AND p2 = c.p)
+           GROUP BY 1, 2, 3 HAVING count(*) >= 3),
+         n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lp)
+         SELECT p1, p2, p3, CAST(n_all AS BIGINT) AS n_all,
+             CAST(n_all AS DOUBLE) / CAST(n_orders AS DOUBLE) AS support
+         FROM tri CROSS JOIN n
+         ORDER BY n_all DESC, p1 ASC, p2 ASC, p3 ASC LIMIT 20""",
+    "ann_matryoshka_recall" -> OracleSqlGen.annMatryoshkaRecall(32, 16, 5)
   )
 }
