@@ -290,6 +290,39 @@ object OracleSqlGen {
         ORDER BY doc_id"""
   }
 
+  /** Mirrors q_split_leakage_audit: per near-dup pair, do the endpoints
+    * share a split under (a) naive per-doc hashing and (b) representative
+    * hashing? Pairs and components replay the same deterministic
+    * generators; the rep scheme's straddle count is structurally zero.
+    */
+  def splitLeakageAudit(n: Int, bands: Int, rowsPerBand: Int,
+      testBuckets: Int, valBuckets: Int): String = {
+    val t = f"$testBuckets%02x"
+    val v = f"${testBuckets + valBuckets}%02x"
+    def sp(x: String) =
+      s"""CASE WHEN substr(md5(CAST($x AS VARCHAR)), 1, 2) < '$t' THEN 'test'
+           WHEN substr(md5(CAST($x AS VARCHAR)), 1, 2) < '$v' THEN 'val'
+           ELSE 'train' END"""
+    s"""${componentCtes(n, bands, rowsPerBand)},
+        comp AS (SELECT a AS doc_id, min(b) AS rep_id FROM reach GROUP BY a),
+        ann AS (
+          SELECT ${sp("p.a_id")} AS na, ${sp("p.b_id")} AS nb,
+            ${sp("coalesce(ca.rep_id, p.a_id)")} AS ra,
+            ${sp("coalesce(cb.rep_id, p.b_id)")} AS rb
+          FROM pairs p
+          LEFT JOIN comp ca ON ca.doc_id = p.a_id
+          LEFT JOIN comp cb ON cb.doc_id = p.b_id)
+        SELECT * FROM (
+          SELECT 'naive' AS scheme, CAST(count(*) AS BIGINT) AS n_pairs,
+            CAST(sum(CASE WHEN na <> nb THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling
+          FROM ann
+          UNION ALL
+          SELECT 'rep', CAST(count(*) AS BIGINT),
+            CAST(sum(CASE WHEN ra <> rb THEN 1 ELSE 0 END) AS BIGINT)
+          FROM ann)
+        ORDER BY scheme"""
+  }
+
   /** Surviving corpus after minhash dedup (Dedup.keepRepresentatives): drop
     * every doc that belongs to a component but is not its min-id
     * representative; pair-free docs survive as their own trivial cluster.

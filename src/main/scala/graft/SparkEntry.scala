@@ -3808,6 +3808,68 @@ object SparkEntry {
         .select(col("query_id"), col("n_common"),
           (col("n_common").cast("double") / lit(5.0)).as("recall"))
         .orderBy("query_id")
+    }),
+
+    // Split-leakage audit: for every near-dup pair, do the two endpoints
+    // land in the same split? Under naive per-doc hashing some pairs
+    // straddle train/test (the eval-contamination vector); under the
+    // representative-hash scheme (q_leakage_safe_split) the straddle count
+    // is structurally zero — a pair shares its component, hence its rep,
+    // hence its split. Pairs and labels are the memoized dedup artifacts;
+    // the audit itself is one O(pairs) pass with broadcast label joins.
+    "q_split_leakage_audit" -> ((s, d) => {
+      val dir = dedupCcSetup(s, d)
+      val pairs = s.read.parquet(s"$dir/pairs").select("a_id", "b_id")
+      val labels = s.read.parquet(s"$dir/labels")
+      def sp(c: org.apache.spark.sql.Column) = graft.pipeline.Splits.assignSplit(c)
+      val ann = pairs
+        .join(broadcast(labels.select(col("doc_id").as("a_id"),
+          col("rep_id").as("rep_a"))), Seq("a_id"), "left")
+        .join(broadcast(labels.select(col("doc_id").as("b_id"),
+          col("rep_id").as("rep_b"))), Seq("b_id"), "left")
+        .select(sp(col("a_id")).as("na"), sp(col("b_id")).as("nb"),
+          sp(coalesce(col("rep_a"), col("a_id"))).as("ra"),
+          sp(coalesce(col("rep_b"), col("b_id"))).as("rb"))
+      val naive = ann.agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("na") =!= col("nb"), 1L).otherwise(0L)).as("n_straddling"))
+        .select(lit("naive").as("scheme"), col("n_pairs"), col("n_straddling"))
+      val rep = ann.agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("ra") =!= col("rb"), 1L).otherwise(0L)).as("n_straddling"))
+        .select(lit("rep").as("scheme"), col("n_pairs"), col("n_straddling"))
+      naive.unionAll(rep).orderBy("scheme")
+    }),
+
+    // Welch two-sample t statistic: weekday vs weekend purchase values.
+    // n/Σ/Σ² accumulate exactly (integer cents, DECIMAL(38,0) squares);
+    // mean, variance, and t are the ONLY doubles, written as the
+    // byte-identical expression tree on both engines, so the statistic is
+    // hash-exact. One conditional-aggregation pass — no pivot, no second
+    // scan.
+    "q_ab_ttest" -> ((s, d) => {
+      val x = events(s, d).filter(col("event_type") === "purchase")
+        .select((dec(col("value")) * 100).cast("long").as("v"),
+          (expr("weekday(ts)") + lit(1) >= 6).cast("int").as("we"))
+      def side(flag: Int, suffix: String) = Seq(
+        sum(when(col("we") === flag, 1L).otherwise(0L)).as(s"n$suffix"),
+        sum(when(col("we") === flag, col("v")).otherwise(lit(0L))
+          .cast(DecimalType(38, 0))).as(s"s$suffix"),
+        sum(when(col("we") === flag,
+          col("v").cast(DecimalType(38, 0)) * col("v")).otherwise(lit(0)))
+          .as(s"q$suffix"))
+      val aggs = side(0, "1") ++ side(1, "2")
+      val agg = x.agg(aggs.head, aggs.tail: _*)
+      def m(sc: String, nc: String) =
+        col(sc).cast("double") / col(nc).cast("double")
+      def va(qc: String, sc: String, nc: String) =
+        (col(qc).cast("double")
+          - col(sc).cast("double") * col(sc).cast("double") / col(nc).cast("double")) /
+          (col(nc).cast("double") - lit(1.0))
+      agg.select(col("n1"), col("n2"),
+          m("s1", "n1").as("mean1"), m("s2", "n2").as("mean2"),
+          ((m("s1", "n1") - m("s2", "n2"))
+            / sqrt(va("q1", "s1", "n1") / col("n1").cast("double")
+              + va("q2", "s2", "n2") / col("n2").cast("double"))).as("t_stat"))
+        .orderBy("n1")
     })
   )
 
@@ -5586,6 +5648,34 @@ object SparkEntry {
              CAST(n_all AS DOUBLE) / CAST(n_orders AS DOUBLE) AS support
          FROM tri CROSS JOIN n
          ORDER BY n_all DESC, p1 ASC, p2 ASC, p3 ASC LIMIT 20""",
-    "ann_matryoshka_recall" -> OracleSqlGen.annMatryoshkaRecall(32, 16, 5)
+    "ann_matryoshka_recall" -> OracleSqlGen.annMatryoshkaRecall(32, 16, 5),
+    "q_split_leakage_audit" -> OracleSqlGen.splitLeakageAudit(3, 8, 2, 13, 26),
+    "q_ab_ttest" ->
+      """WITH x AS (
+           SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+               CASE WHEN isodow(CAST(ts AS TIMESTAMP)) >= 6 THEN 1 ELSE 0 END AS we
+           FROM events WHERE event_type = 'purchase'),
+         a AS (
+           SELECT
+             sum(CASE WHEN we = 0 THEN 1 ELSE 0 END) AS n1,
+             sum(CASE WHEN we = 0 THEN CAST(v AS HUGEINT) ELSE 0 END) AS s1,
+             sum(CASE WHEN we = 0 THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS q1,
+             sum(CASE WHEN we = 1 THEN 1 ELSE 0 END) AS n2,
+             sum(CASE WHEN we = 1 THEN CAST(v AS HUGEINT) ELSE 0 END) AS s2,
+             sum(CASE WHEN we = 1 THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS q2
+           FROM x)
+         SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean1,
+           CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS mean2,
+           (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+              - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+           / sqrt(
+             ((CAST(q1 AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+               / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE)
+             + ((CAST(q2 AS DOUBLE)
+                 - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+               / (CAST(n2 AS DOUBLE) - 1.0)) / CAST(n2 AS DOUBLE)) AS t_stat
+         FROM a ORDER BY n1"""
   )
 }
