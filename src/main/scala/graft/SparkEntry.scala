@@ -3870,6 +3870,67 @@ object SparkEntry {
             / sqrt(va("q1", "s1", "n1") / col("n1").cast("double")
               + va("q2", "s2", "n2") / col("n2").cast("double"))).as("t_stat"))
         .orderBy("n1")
+    }),
+
+    // Order-to-ship latency distribution: whole-day latency buckets per
+    // priority from exact date arithmetic — the operational-latency
+    // histogram every fulfillment dashboard carries. One join shuffled on
+    // orderkey, then an O(priorities × latency-days) aggregation.
+    "q_ship_latency" -> ((s, d) =>
+      orders(s, d)
+        .join(lineitem(s, d).select("l_orderkey", "l_shipdate"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderpriority"),
+          datediff(col("l_shipdate"), col("o_orderdate")).as("lat_days"))
+        .groupBy("o_orderpriority", "lat_days")
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 10)
+        .orderBy("o_orderpriority", "lat_days")),
+
+    // Bursty-user detection: the max number of events any user packs into
+    // a trailing 5-minute window — a RANGE frame on epoch seconds (the
+    // same per-user balanced window discipline as events_range_frame; no
+    // sliding-window explode), then an O(users) max and top-50.
+    "events_burst" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(unix_timestamp(col("ts")))
+        .rangeBetween(-300L, 0L)
+      events(s, d)
+        .withColumn("w_n", count(lit(1)).over(w))
+        .groupBy("user_id").agg(max(col("w_n")).as("peak_5min"))
+        .orderBy(desc("peak_5min"), asc("user_id")).limit(50)
+    }),
+
+    // Sketch-based audience overlap: |click ∩ view| users by
+    // inclusion–exclusion over mergeable HLL sketches (|A|+|B|−|A∪B| —
+    // set-intersection is the one set operation HLL cannot answer
+    // directly). Each side is ONE sketch row, the union is a sketch merge,
+    // and the same pass carries the exact intersection for the error band.
+    // Rows-only by contract (Datasketches estimates have no DuckDB twin);
+    // SketchSummarySpec pins the estimate against the exact overlap.
+    "q_sketch_overlap" -> ((s, d) => {
+      val e = events(s, d).filter(col("event_type").isin("click", "view"))
+        .select(col("event_type"), col("user_id"))
+      val sk = graft.pipeline.Profile.hllSummary(e, Seq("event_type"), "user_id")
+      val per = sk.select(col("event_type"),
+        expr("hll_sketch_estimate(hll_user_id)").as("est"))
+      val wide = per.agg(
+        sum(when(col("event_type") === "click", col("est"))).as("n_click_est"),
+        sum(when(col("event_type") === "view", col("est"))).as("n_view_est"))
+      val uni = sk.agg(
+        expr("hll_sketch_estimate(hll_union_agg(hll_user_id))").as("n_union_est"))
+      val exact = e.groupBy("user_id")
+        .agg(max(when(col("event_type") === "click", 1).otherwise(0)).as("c"),
+          max(when(col("event_type") === "view", 1).otherwise(0)).as("v"))
+        .agg(sum(when(col("c") === 1 && col("v") === 1, 1L).otherwise(0L))
+          .as("overlap_exact"))
+      wide.crossJoin(broadcast(uni)).crossJoin(broadcast(exact))
+        .select(col("n_click_est"), col("n_view_est"), col("n_union_est"),
+          (col("n_click_est") + col("n_view_est") - col("n_union_est"))
+            .as("overlap_est"),
+          col("overlap_exact"))
+        .orderBy("overlap_exact")
     })
   )
 
@@ -5676,6 +5737,23 @@ object SparkEntry {
              + ((CAST(q2 AS DOUBLE)
                  - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
                / (CAST(n2 AS DOUBLE) - 1.0)) / CAST(n2 AS DOUBLE)) AS t_stat
-         FROM a ORDER BY n1"""
+         FROM a ORDER BY n1""",
+    "q_ship_latency" ->
+      """SELECT o_orderpriority,
+             CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS INT) AS lat_days,
+             CAST(count(*) AS BIGINT) AS n
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY 1, 2 HAVING count(*) >= 10
+         ORDER BY o_orderpriority, lat_days""",
+    "events_burst" ->
+      """WITH w AS (
+           SELECT user_id, count(*) OVER (
+             PARTITION BY user_id
+             ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+             RANGE BETWEEN 300 PRECEDING AND CURRENT ROW) AS w_n
+           FROM events)
+         SELECT user_id, CAST(max(w_n) AS BIGINT) AS peak_5min
+         FROM w GROUP BY user_id
+         ORDER BY peak_5min DESC, user_id ASC LIMIT 50"""
   )
 }

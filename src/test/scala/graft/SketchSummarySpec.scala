@@ -158,4 +158,17 @@ class SketchSummarySpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(merged - 4000.0) < 400, s"merged p50 $merged")
     assert(math.abs(direct - 4000.0) < 400, s"direct p50 $direct")
   }
+
+  test("q_sketch_overlap: inclusion-exclusion estimate brackets the exact overlap") {
+    val row = SparkEntry.queries("q_sketch_overlap")(spark, "/root/testdata/sf0.001")
+      .head()
+    val (nc, nv, nu, est, exact) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))
+    assert(nu <= nc + nv)            // union never exceeds the sum
+    assert(exact > 0)                // the fixture has overlapping audiences
+    // three lg(k)=12 sketches, each ~±1.6% at 1σ; allow a generous 3σ-ish
+    // combined band relative to the union size
+    assert(math.abs(est - exact).toDouble <= math.max(50.0, 0.10 * nu),
+      s"est $est vs exact $exact (union $nu)")
+  }
 }
