@@ -26,6 +26,49 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
   }
 
+  test("q13 pre-aggregates orders before the customer join (no per-order join rows)") {
+    val p = plan("q13_custdist")
+    // the aggregate must sit BELOW the left join: the join's right side is
+    // the already-grouped O(customers) frame, and the priority filter is
+    // pushed into the orders scan
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderpriority), Not(EqualTo(o_orderpriority,1-URGENT))"),
+      s"priority filter not pushed:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q4 EXISTS compiles to a semi join, never a per-row subquery") {
+    val p = plan("q4_priority_exists")
+    assert(p.contains("LeftSemi"), s"expected LeftSemi:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_ks_test / events_concurrency window only by the range-partition id") {
+    for (n <- Seq("q_ks_test", "events_concurrency")) {
+      val p = plan(n)
+      // the cumsum scaffold partitions its window by _pid — a global
+      // (unpartitioned) running-sum window would be a single-task sort
+      assert(p.contains("windowspecdefinition(_pid"),
+        s"$n window lost its _pid partitioning:\n$p")
+    }
+  }
+
+  test("q_assoc_triples stays on equi-joins (closure prunes, no cartesian)") {
+    // the three Apriori closure semi-joins may legally rewrite to inner
+    // hash joins (the frequent-pair frame is distinct-keyed); what must
+    // never appear is a cartesian in the lattice walk — the only permitted
+    // nested-loop is the deliberate one-row n_orders broadcast scalar
+    // (formatted explain prints each node twice: tree + detail)
+    val p = plan("q_assoc_triples")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("events_burst keeps the RANGE frame partitioned per user") {
+    val p = plan("events_burst")
+    assert(p.contains("windowspecdefinition(user_id"),
+      s"burst window must partition by user_id:\n$p")
+  }
+
   test("r1 point lookup pushes the predicate into the parquet scan") {
     val p = plan("r1_point_lookup")
     // the name filter is derived from p_partkey format_string, so the scan
