@@ -1029,6 +1029,23 @@ object OracleSqlGen {
         FROM x ORDER BY doc_id"""
   }
 
+  /** Mirrors text_lang_confusion: the langId CASE replayed per doc, then a
+    * (declared, predicted) confusion matrix with per-row precision of the
+    * declared label — the audit that tells you where the n-gram heuristic
+    * disagrees with the corpus metadata.
+    */
+  def langConfusion: String =
+    s"""WITH pred AS (SELECT doc_id, predicted_lang FROM (${langId.stripSuffix(" ORDER BY doc_id")}) p),
+        j AS (
+          SELECT d.lang, p.predicted_lang, count(*) AS n
+          FROM documents d JOIN pred p USING (doc_id)
+          GROUP BY 1, 2),
+        tot AS (SELECT lang, sum(n) AS n_lang FROM j GROUP BY lang)
+        SELECT j.lang, j.predicted_lang, CAST(j.n AS BIGINT) AS n,
+          CAST((j.n * 1000000) // t.n_lang AS BIGINT) AS share_ppm
+        FROM j JOIN tot t ON t.lang = j.lang
+        ORDER BY j.lang, j.predicted_lang"""
+
   /** PII redaction oracle — regex constants come STRAIGHT from
     * graft.pipeline.Privacy so the two sides cannot drift. The patterns use
     * only constructs whose semantics agree between Java regex (Spark) and

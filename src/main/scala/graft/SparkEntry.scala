@@ -3931,6 +3931,56 @@ object SparkEntry {
             .as("overlap_est"),
           col("overlap_exact"))
         .orderBy("overlap_exact")
+    }),
+
+    // TPC-H Q6 shape: the pure predicate-pushdown benchmark — a one-scan
+    // filtered aggregate whose three range predicates must all reach the
+    // parquet reader (PlanSpec pins PushedFilters). Revenue in exact
+    // decimal cents, double only at the boundary.
+    "q6_forecast_revenue" -> ((s, d) =>
+      lineitem(s, d)
+        .filter(year(col("l_shipdate")) === 1995 &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(count(lit(1)).as("n_items"),
+          sum((dec(col("l_extendedprice")) * 100).cast("long")
+            .cast(DecimalType(38, 0)) * (dec(col("l_discount")) * 100).cast("long"))
+            .as("rev"))
+        .select(col("n_items"), col("rev").cast("long").as("revenue_fp"))
+        .orderBy("n_items")),
+
+    // TPC-H Q10 shape: returned-item revenue — customer × orders ×
+    // returned lineitems, top-20 accounts by lost revenue. The returnflag
+    // filter pushes into the lineitem scan; revenue accumulates in exact
+    // cents·(100−disc) fixed point; TakeOrderedAndProject, no global sort.
+    "q10_returned_revenue" -> ((s, d) => {
+      val l = lineitem(s, d).filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          ((dec(col("l_extendedprice")) * 100).cast("long")
+            .cast(DecimalType(38, 0))
+            * (lit(100L) - (dec(col("l_discount")) * 100).cast("long"))).as("rev"))
+      orders(s, d).select("o_orderkey", "o_custkey")
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_custkey").agg(sum("rev").as("rev"))
+        .join(customer(s, d).select("c_custkey", "c_name", "c_mktsegment"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          col("rev").cast("long").as("revenue_fp"))
+        .orderBy(desc("revenue_fp"), asc("c_custkey")).limit(20)
+    }),
+
+    // Language-ID confusion matrix: the n-gram heuristic (text_langid)
+    // against the declared lang column — (declared, predicted) counts and
+    // exact ppm shares; the audit locating where the classifier and the
+    // metadata disagree. One scan + O(langs²) aggregation.
+    "text_lang_confusion" -> ((s, d) => {
+      val p = documents(s, d).select(col("lang"),
+        TextAnalysis.langId(col("text")).as("predicted_lang"))
+      val j = p.groupBy("lang", "predicted_lang").agg(count(lit(1)).as("n"))
+      val tot = j.groupBy("lang").agg(sum("n").as("n_lang"))
+      j.join(broadcast(tot), Seq("lang"))
+        .select(col("lang"), col("predicted_lang"), col("n"),
+          expr("(n * 1000000L) div n_lang").as("share_ppm"))
+        .orderBy("lang", "predicted_lang")
     })
   )
 
@@ -5754,6 +5804,28 @@ object SparkEntry {
            FROM events)
          SELECT user_id, CAST(max(w_n) AS BIGINT) AS peak_5min
          FROM w GROUP BY user_id
-         ORDER BY peak_5min DESC, user_id ASC LIMIT 50"""
+         ORDER BY peak_5min DESC, user_id ASC LIMIT 50""",
+    "q6_forecast_revenue" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS HUGEINT)
+               * CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS revenue_fp
+         FROM lineitem
+         WHERE year(l_shipdate) = 1995
+           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+         ORDER BY n_items""",
+    "q10_returned_revenue" ->
+      """WITH l AS (
+           SELECT l_orderkey,
+               CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS HUGEINT)
+                 * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)) AS rev
+           FROM lineitem WHERE l_returnflag = 'R'),
+         g AS (
+           SELECT o_custkey, sum(rev) AS rev
+           FROM orders JOIN l ON o_orderkey = l_orderkey
+           GROUP BY o_custkey)
+         SELECT c_custkey, c_name, c_mktsegment, CAST(rev AS BIGINT) AS revenue_fp
+         FROM g JOIN customer ON o_custkey = c_custkey
+         ORDER BY revenue_fp DESC, c_custkey ASC LIMIT 20""",
+    "text_lang_confusion" -> OracleSqlGen.langConfusion
   )
 }
