@@ -69,6 +69,20 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"burst window must partition by user_id:\n$p")
   }
 
+  test("q6 pushes the range predicates into the parquet scan") {
+    val p = plan("q6_forecast_revenue")
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.05)") &&
+      p.contains("LessThanOrEqual(l_discount,0.07)") &&
+      p.contains("LessThan(l_quantity,24.0)"),
+      s"range predicates not pushed:\n$p")
+  }
+
+  test("q10 pushes the returnflag filter and ends in TakeOrderedAndProject") {
+    val p = plan("q10_returned_revenue")
+    assert(p.contains("EqualTo(l_returnflag,R)"), s"returnflag not pushed:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("r1 point lookup pushes the predicate into the parquet scan") {
     val p = plan("r1_point_lookup")
     // the name filter is derived from p_partkey format_string, so the scan
