@@ -453,6 +453,27 @@ object OracleSqlGen {
         SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
         FROM r WHERE rank <= $k ORDER BY query_id, rank"""
 
+  /** Mirrors embed_norm_outliers: per-vector squared-norm fold quantized to
+    * 2^20 fixed point, then a 3σ outlier flag by the cross-multiplied
+    * integer compare (nf·n − S)² > 9·(n·Q − S²) — no float mean/σ ever
+    * computed, so the flag is engine-exact.
+    */
+  def embedNormOutliers: String = {
+    val norm2 = "list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x)"
+    s"""WITH e AS (
+          SELECT vec_id, CAST(floor($norm2 * 1048576) AS BIGINT) AS nf
+          FROM embeddings),
+        st AS (
+          SELECT count(*) AS n, sum(CAST(nf AS HUGEINT)) AS s,
+                 sum(CAST(nf AS HUGEINT) * nf) AS q
+          FROM e)
+        SELECT vec_id, nf,
+          CAST(CASE WHEN (CAST(nf AS HUGEINT) * n - s) * (CAST(nf AS HUGEINT) * n - s)
+                      > (CAST(n AS HUGEINT) * q - s * s) * 9
+               THEN 1 ELSE 0 END AS INT) AS flag
+        FROM e CROSS JOIN st ORDER BY vec_id"""
+  }
+
   /** Sequential-fold cosine between list columns `$a` and `$b`. */
   private def cosineSql(a: String, b: String): String =
     s"""(list_reduce(list_transform(list_zip($a, $b),

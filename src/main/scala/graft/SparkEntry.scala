@@ -3981,6 +3981,51 @@ object SparkEntry {
         .select(col("lang"), col("predicted_lang"), col("n"),
           expr("(n * 1000000L) div n_lang").as("share_ppm"))
         .orderBy("lang", "predicted_lang")
+    }),
+
+    // User-dormancy histogram: whole days since each user's last activity,
+    // relative to the corpus snapshot (max ts) — the churn-risk curve.
+    // One per-user max, one broadcast scalar, integer `div` day bucketing.
+    "events_dormancy" -> ((s, d) => {
+      val e = events(s, d)
+      val snap = e.agg(max(unix_micros(col("ts"))).as("snap"))
+      e.groupBy("user_id").agg(max(unix_micros(col("ts"))).as("last_us"))
+        .crossJoin(broadcast(snap))
+        .select(expr("(snap - last_us) div 86400000000").as("dormant_days"))
+        .groupBy("dormant_days").agg(count(lit(1)).as("n_users"))
+        .orderBy("dormant_days")
+    }),
+
+    // Return rate per brand: the part dimension joins the fact ONCE keyed
+    // on partkey (broadcast-sized here; AQE decides at scale), exact ppm
+    // rates by integer floor division.
+    "q_return_rate_brand" -> ((s, d) =>
+      lineitem(s, d).select(col("l_partkey"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("r"))
+        .join(part(s, d).select("p_partkey", "p_brand"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"), sum("r").as("n_returned"))
+        .withColumn("return_ppm", expr("(n_returned * 1000000L) div n_items"))
+        .orderBy("p_brand")),
+
+    // Embedding-norm outliers: per-vector squared-norm (deterministic
+    // sequential fold) quantized to 2^20 fixed point; the 3σ flag is the
+    // cross-multiplied integer compare (nf·n − S)² > 9·(n·Q − S²) — mean
+    // and σ never materialize as floats, so the audit is engine-exact.
+    // One scan + one broadcast stats row.
+    "embed_norm_outliers" -> ((s, d) => {
+      val e = embeddings(s, d).select(col("vec_id"),
+        floor(Similarity.norm2(col("embedding")) * (1 << 20)).as("nf"))
+      val st = e.agg(count(lit(1)).as("n"),
+        sum(col("nf").cast(DecimalType(38, 0))).as("s"),
+        sum(col("nf").cast(DecimalType(38, 0)) * col("nf")).as("q"))
+      e.crossJoin(broadcast(st))
+        .withColumn("dev", col("nf").cast(DecimalType(38, 0)) * col("n") - col("s"))
+        .withColumn("flag", (col("dev") * col("dev") >
+          (col("n").cast(DecimalType(38, 0)) * col("q") - col("s") * col("s")) * 9)
+          .cast("int"))
+        .select("vec_id", "nf", "flag").orderBy("vec_id")
     })
   )
 
@@ -5826,6 +5871,22 @@ object SparkEntry {
          SELECT c_custkey, c_name, c_mktsegment, CAST(rev AS BIGINT) AS revenue_fp
          FROM g JOIN customer ON o_custkey = c_custkey
          ORDER BY revenue_fp DESC, c_custkey ASC LIMIT 20""",
-    "text_lang_confusion" -> OracleSqlGen.langConfusion
+    "text_lang_confusion" -> OracleSqlGen.langConfusion,
+    "events_dormancy" ->
+      """WITH l AS (
+           SELECT user_id, max(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us
+           FROM events GROUP BY user_id),
+         s AS (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS snap FROM events)
+         SELECT (snap - last_us) // 86400000000 AS dormant_days,
+             CAST(count(*) AS BIGINT) AS n_users
+         FROM l CROSS JOIN s GROUP BY 1 ORDER BY dormant_days""",
+    "q_return_rate_brand" ->
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+             CAST((sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) * 1000000)
+               // count(*) AS BIGINT) AS return_ppm
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand ORDER BY p_brand""",
+    "embed_norm_outliers" -> OracleSqlGen.embedNormOutliers
   )
 }
