@@ -11,6 +11,69 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StatefulOps {
 
+  /** Streaming strict-order funnel detection (CEP-lite): per key, match
+    * stage0 → stage1 → stage2 with strictly increasing event time and emit
+    * ONE completion record carrying the three matched timestamps — the
+    * incremental form of the events_funnel_steps chain (t1 = first stage0,
+    * t2 = first stage1 after t1, t3 = first stage2 after t2). State is one
+    * tiny (t1, t2, done) record per key, expired `retentionMs` past the
+    * key's last activity.
+    *
+    * Ordering contract: events are folded in event-time order WITHIN each
+    * micro-batch (the group iterator's shuffle order is sorted first);
+    * across batches the strict ts > state guards mean a late-arriving
+    * earlier-stage event can only MISS a match, never fabricate an
+    * out-of-order one. In batch mode the whole group is one sorted fold —
+    * exactly the conditional-min chain, which is what the spec pins.
+    */
+  def funnelDetect[K, T](
+      events: Dataset[T],
+      key: T => K,
+      eventTimeMs: T => Long,
+      stageOf: T => Int,
+      retentionMs: Long)(implicit
+      kEnc: Encoder[K],
+      tEnc: Encoder[T]): Dataset[(K, Long, Long, Long)] = {
+    val streaming = events.isStreaming
+    // tuple encoders, not a nested case class: janino's codegen for a
+    // statefully-referenced inner case class fails to find its constructor
+    val stateEnc: Encoder[(Long, Long, Boolean)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaBoolean)
+    val outEnc: Encoder[(K, Long, Long, Long)] =
+      Encoders.tuple(kEnc, Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    events.groupByKey(key)
+      .flatMapGroupsWithState[(Long, Long, Boolean), (K, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (k: K, rows: Iterator[T], state: GroupState[(Long, Long, Boolean)]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val buf = rows.toList.sortBy(eventTimeMs)
+            var (t1, t2, done) = state.getOption.getOrElse((0L, 0L, false))
+            var hit: Option[(K, Long, Long, Long)] = None
+            buf.foreach { ev =>
+              val t = eventTimeMs(ev)
+              stageOf(ev) match {
+                case 0 if t1 == 0L => t1 = t
+                case 1 if t1 != 0L && t2 == 0L && t > t1 => t2 = t
+                case 2 if t2 != 0L && !done && t > t2 =>
+                  done = true
+                  hit = Some((k, t1, t2, t))
+                case _ => ()
+              }
+            }
+            state.update((t1, t2, done))
+            if (streaming) { // Spark rejects timeouts at/below the watermark
+              val last = if (buf.isEmpty) 0L else buf.map(eventTimeMs).max
+              state.setTimeoutTimestamp(math.max(
+                last + retentionMs, state.getCurrentWatermarkMs() + 1))
+            }
+            hit.iterator
+          }
+      }(stateEnc, outEnc)
+  }
+
   /** First-seen streaming dedup: emits the first occurrence of every key and
     * drops all later ones (within and across micro-batches) until the key's
     * state times out `retentionMs` past the key's LAST-SEEN event time. The

@@ -116,6 +116,43 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(out == evs.map(_.event_id).sorted.toSeq)
   }
 
+  test("stateful funnel detection: strict order, one hit per key, stream == batch") {
+    def stage(e: Ev): Int = e.event_type match {
+      case "view" => 0; case "click" => 1; case "buy" => 2; case _ => -1
+    }
+    val fevs = Seq(
+      Ev(20, ts("2024-01-01 00:00:00"), 1, "click", 0.0), // click BEFORE view: no stage
+      Ev(21, ts("2024-01-01 00:10:00"), 1, "view", 0.0),  // t1
+      Ev(22, ts("2024-01-01 00:20:00"), 1, "click", 0.0), // t2
+      Ev(23, ts("2024-01-01 00:30:00"), 1, "buy", 0.0),   // t3 → hit
+      Ev(24, ts("2024-01-01 00:40:00"), 1, "buy", 0.0),   // second buy ignored
+      Ev(25, ts("2024-01-01 00:05:00"), 2, "view", 0.0),
+      Ev(26, ts("2024-01-01 00:06:00"), 2, "buy", 0.0))   // buy w/o click: no hit
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = graft.streaming.StatefulOps.funnelDetect[Long, Ev](
+        mem.toDF().withWatermark("ts", "0 seconds").as[Ev],
+        _.user_id, _.ts.getTime, stage, retentionMs = 365L * 24 * 3600 * 1000)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_out").start()
+    // split across micro-batches: state must carry the partial funnel
+    mem.addData(fevs.take(3): _*)
+    q.processAllAvailable()
+    mem.addData(fevs.drop(3): _*)
+    q.processAllAvailable()
+    mem.addData(flush)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("funnel_out")
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    val batch = graft.streaming.StatefulOps.funnelDetect[Long, Ev](
+        fevs.toDS(), _.user_id, _.ts.getTime, stage, retentionMs = 1000L)
+      .collect().sorted.toSeq
+    assert(streamed == batch)
+    assert(batch == Seq((1L, ts("2024-01-01 00:10:00").getTime,
+      ts("2024-01-01 00:20:00").getTime, ts("2024-01-01 00:30:00").getTime)))
+  }
+
   test("stream-stream interval join equals its batch twin") {
     val funnelEvs = Seq(
       Ev(10, ts("2024-01-01 00:00:00"), 1, "signup", 0.0),
