@@ -28,6 +28,29 @@ object OracleSqlGen {
     s"list_transform(range(len($toks)-${n - 1}), i -> $gram)"
   }
 
+  /** Mirrors text_source_overlap: pairwise source containment over DISTINCT
+    * word n-grams — for each source pair, how much of A's shingle
+    * vocabulary appears in B's (and vice versa), exact ppm. The
+    * cross-source governance view of the per-doc containment dedup.
+    */
+  def sourceOverlap(n: Int): String =
+    s"""WITH sh AS (
+          SELECT DISTINCT source, sh FROM (
+            SELECT source, unnest(list_distinct(${shinglesSql(n)})) AS sh
+            FROM documents)),
+        sz AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY source),
+        pr AS (
+          SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+          GROUP BY 1, 2)
+        SELECT src_a, src_b, CAST(n_common AS BIGINT) AS n_common,
+          CAST(sa.n_sh AS BIGINT) AS n_a, CAST(sb.n_sh AS BIGINT) AS n_b,
+          CAST((n_common * 1000000) // sa.n_sh AS BIGINT) AS contain_a_ppm,
+          CAST((n_common * 1000000) // sb.n_sh AS BIGINT) AS contain_b_ppm
+        FROM pr JOIN sz sa ON sa.source = pr.src_a
+                JOIN sz sb ON sb.source = pr.src_b
+        ORDER BY src_a, src_b"""
+
   /** Mirrors Dedup.ngramJaccard exactly: per-doc shingle sizes come from the
     * UNPRUNED shingle sets (the Jaccard denominator is the true union size),
     * while candidate-pair common counts come from the stop-shingle-pruned

@@ -4026,6 +4026,49 @@ object SparkEntry {
           (col("n").cast(DecimalType(38, 0)) * col("q") - col("s") * col("s")) * 9)
           .cast("int"))
         .select("vec_id", "nf", "flag").orderBy("vec_id")
+    }),
+
+    // The stateful funnel detector (StatefulOps.funnelDetect — the same
+    // code that runs incrementally under Structured Streaming) driven in
+    // batch mode and oracled by the conditional-min chain: per completed
+    // funnel, the three matched timestamps. The hash-match proves the
+    // per-key fold ≡ the relational chain.
+    "events_funnel_hits" -> ((s, d) => {
+      import s.implicits._
+      val e = events(s, d)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t_us"))
+        .as[(Long, String, Long)]
+      graft.streaming.StatefulOps.funnelDetect[Long, (Long, String, Long)](
+          e, _._1, _._3,
+          ev => ev._2 match {
+            case "view" => 0; case "click" => 1; case "purchase" => 2; case _ => -1
+          },
+          retentionMs = Long.MaxValue / 4)
+        .toDF("user_id", "t1_us", "t2_us", "t3_us")
+        .orderBy("user_id")
+    }),
+
+    // Pairwise source vocabulary overlap: distinct word-3-gram containment
+    // between every source pair, exact ppm both directions — the
+    // cross-source governance view of shingle dedup. One distinct
+    // (source, shingle) aggregation, one shingle-keyed self-join whose
+    // per-key fanout is bounded by the (few) sources.
+    "text_source_overlap" -> ((s, d) => {
+      val sh = documents(s, d)
+        .select(col("source"),
+          explode(array_distinct(Dedup.shingles(col("text"), 3))).as("sh"))
+        .distinct()
+      val sz = sh.groupBy("source").agg(count(lit(1)).as("n_sh"))
+      val pr = sh.as("a").join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_common"))
+      pr.join(broadcast(sz.select(col("source").as("src_a"), col("n_sh").as("n_a"))), "src_a")
+        .join(broadcast(sz.select(col("source").as("src_b"), col("n_sh").as("n_b"))), "src_b")
+        .select(col("src_a"), col("src_b"), col("n_common"), col("n_a"), col("n_b"),
+          expr("(n_common * 1000000L) div n_a").as("contain_a_ppm"),
+          expr("(n_common * 1000000L) div n_b").as("contain_b_ppm"))
+        .orderBy("src_a", "src_b")
     })
   )
 
@@ -5887,6 +5930,24 @@ object SparkEntry {
                // count(*) AS BIGINT) AS return_ppm
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY p_brand ORDER BY p_brand""",
-    "embed_norm_outliers" -> OracleSqlGen.embedNormOutliers
+    "embed_norm_outliers" -> OracleSqlGen.embedNormOutliers,
+    "events_funnel_hits" ->
+      """WITH u1 AS (
+           SELECT user_id, min(epoch_us(CAST(ts AS TIMESTAMP))) AS t1
+           FROM events WHERE event_type = 'view' GROUP BY user_id),
+         u2 AS (
+           SELECT e.user_id, min(epoch_us(CAST(e.ts AS TIMESTAMP))) AS t2
+           FROM events e JOIN u1 USING (user_id)
+           WHERE e.event_type = 'click'
+             AND epoch_us(CAST(e.ts AS TIMESTAMP)) > u1.t1 GROUP BY e.user_id),
+         u3 AS (
+           SELECT e.user_id, min(epoch_us(CAST(e.ts AS TIMESTAMP))) AS t3
+           FROM events e JOIN u2 USING (user_id)
+           WHERE e.event_type = 'purchase'
+             AND epoch_us(CAST(e.ts AS TIMESTAMP)) > u2.t2 GROUP BY e.user_id)
+         SELECT u3.user_id, u1.t1 AS t1_us, u2.t2 AS t2_us, u3.t3 AS t3_us
+         FROM u3 JOIN u2 USING (user_id) JOIN u1 USING (user_id)
+         ORDER BY user_id""",
+    "text_source_overlap" -> OracleSqlGen.sourceOverlap(3)
   )
 }
