@@ -3533,27 +3533,11 @@ object SparkEntry {
     // multiplied |c1·n2 − c2·n1| in DECIMAL(38,0) (HUGEINT on the oracle
     // side), so the statistic's numerator is engine/partition/order-exact;
     // only the final D division is a double, identical both sides.
-    "q_ks_test" -> ((s, d) => {
-      val x = events(s, d).filter(col("event_type").isin("click", "view"))
-        .select((dec(col("value")) * 100).cast("long").as("v"),
-          when(col("event_type") === "click", 1L).otherwise(0L).as("is1"),
-          when(col("event_type") === "view", 1L).otherwise(0L).as("is2"))
-      val g = x.groupBy("v").agg(sum("is1").as("n1"), sum("is2").as("n2"))
-      val c2 = graft.operators.Ranking.withGlobalCumSum(
-        graft.operators.Ranking.withGlobalCumSum(g, Seq(col("v")), col("n1"), "c1"),
-        Seq(col("v")), col("n2"), "c2")
-      val tot = x.agg(sum("is1").as("t1"), sum("is2").as("t2"))
-      c2.crossJoin(broadcast(tot))
-        .select(col("t1"), col("t2"),
-          abs(col("c1").cast(DecimalType(38, 0)) * col("t2")
-            - col("c2").cast(DecimalType(38, 0)) * col("t1")).as("dn"))
-        .groupBy("t1", "t2").agg(max(col("dn")).as("dmax"))
-        .select(col("t1").as("n1"), col("t2").as("n2"),
-          col("dmax").cast("long").as("d_num"),
-          (col("dmax").cast("double") / (col("t1") * col("t2")).cast("double"))
-            .as("d_stat"))
-        .orderBy("n1")
-    }),
+    "q_ks_test" -> ((s, d) =>
+      graft.operators.Stats.ksTest(
+        events(s, d).withColumn("v_cents", (dec(col("value")) * 100).cast("long")),
+        col("v_cents"),
+        col("event_type") === "click", col("event_type") === "view")),
 
     // Truncated binary EWMA of the hourly event rate: weights 1/2, 1/4, …,
     // 1/2^20 over the trailing 20 hours, in fixed point scaled by 2^20 —

@@ -32,6 +32,28 @@ class StatsPropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("ksTest: identical→0, disjoint→1, hand case, scale invariance") {
+    import graft.operators.Stats
+    import org.apache.spark.sql.functions.{col, lit}
+    // identical distributions (every row in both samples) → D = 0
+    val same = (1 to 100).map(i => (i.toLong % 7)).toDF("v")
+    val r0 = Stats.ksTest(same, col("v"), lit(true), lit(true)).head()
+    assert(r0.getLong(2) == 0L && r0.getDouble(3) == 0.0)
+    // disjoint supports → D = 1
+    val dis = ((1 to 50).map(i => (i.toLong, true)) ++
+      (101 to 150).map(i => (i.toLong, false))).toDF("v", "a")
+    val r1 = Stats.ksTest(dis, col("v"), col("a"), !col("a")).head()
+    assert(r1.getDouble(3) == 1.0)
+    // hand case: {1,2} vs {2,3} → d_num=2 over 2·2 → 0.5
+    val h = Seq((1L, true), (2L, true), (2L, false), (3L, false)).toDF("v", "a")
+    val r2 = Stats.ksTest(h, col("v"), col("a"), !col("a")).head()
+    assert(r2.getLong(2) == 2L && r2.getDouble(3) == 0.5)
+    // monotone (affine) transform leaves D unchanged
+    val r3 = Stats.ksTest(h.withColumn("v", col("v") * 1000 + 7),
+      col("v"), col("a"), !col("a")).head()
+    assert(r3.getLong(2) == r2.getLong(2) && r3.getDouble(3) == r2.getDouble(3))
+  }
+
   test("gini formula: 0 for perfect equality, approaches 1 for concentration") {
     import org.apache.spark.sql.expressions.Window
     def gini(values: Seq[Double]): Double = {
