@@ -4053,6 +4053,43 @@ object SparkEntry {
           expr("(n_common * 1000000L) div n_a").as("contain_a_ppm"),
           expr("(n_common * 1000000L) div n_b").as("contain_b_ppm"))
         .orderBy("src_a", "src_b")
+    }),
+
+    // TPC-H Q8 shape: NATION_3's market share of ASIA-region revenue per
+    // order year — the seven-relation join-order stress test (fact ×
+    // orders, every dimension broadcast-shaped, nation joined TWICE on
+    // different roles). Numerator and denominator accumulate in one
+    // conditional aggregation over the same joined stream; exact cents
+    // fixed point, one closing double division.
+    "q8_market_share" -> ((s, d) => {
+      val l = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"),
+        ((dec(col("l_extendedprice")) * 100).cast("long").cast(DecimalType(38, 0))
+          * (lit(100L) - (dec(col("l_discount")) * 100).cast("long"))).as("rev"))
+      val o = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).as("yr"))
+      val asiaCust = customer(s, d)
+        .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .join(region(s, d), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .select(col("c_custkey"))
+      val suppNation = supplier(s, d)
+        .join(nation(s, d).select(col("n_nationkey").as("sn_key"),
+          col("n_name").as("supp_nation")),
+          col("s_nationkey") === col("sn_key"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(asiaCust, col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+        .groupBy("yr")
+        .agg(
+          sum(when(col("supp_nation") === "NATION_3", col("rev"))
+            .otherwise(lit(0).cast(DecimalType(38, 0)))).as("nat_rev"),
+          sum(col("rev")).as("tot_rev"))
+        .select(col("yr"), col("nat_rev").cast("long").as("nation_fp"),
+          col("tot_rev").cast("long").as("total_fp"),
+          (col("nat_rev").cast("double") / col("tot_rev").cast("double"))
+            .as("share"))
+        .orderBy("yr")
     })
   )
 
@@ -5932,6 +5969,35 @@ object SparkEntry {
          SELECT u3.user_id, u1.t1 AS t1_us, u2.t2 AS t2_us, u3.t3 AS t3_us
          FROM u3 JOIN u2 USING (user_id) JOIN u1 USING (user_id)
          ORDER BY user_id""",
-    "text_source_overlap" -> OracleSqlGen.sourceOverlap(3)
+    "text_source_overlap" -> OracleSqlGen.sourceOverlap(3),
+    "q8_market_share" ->
+      """WITH l AS (
+           SELECT l_orderkey, l_suppkey,
+               CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS HUGEINT)
+                 * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)) AS rev
+           FROM lineitem),
+         ac AS (
+           SELECT c_custkey FROM customer
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name = 'ASIA'),
+         sn AS (
+           SELECT s_suppkey, n_name AS supp_nation FROM supplier
+           JOIN nation ON s_nationkey = n_nationkey),
+         j AS (
+           SELECT year(o_orderdate) AS yr, supp_nation, rev
+           FROM l JOIN orders ON l_orderkey = o_orderkey
+           JOIN sn ON l_suppkey = s_suppkey
+           WHERE o_custkey IN (SELECT c_custkey FROM ac)),
+         g AS (
+           SELECT yr,
+             sum(CASE WHEN supp_nation = 'NATION_3' THEN rev ELSE 0 END) AS nat_rev,
+             sum(rev) AS tot_rev
+           FROM j GROUP BY yr)
+         SELECT CAST(yr AS INT) AS yr,
+             CAST(nat_rev AS BIGINT) AS nation_fp,
+             CAST(tot_rev AS BIGINT) AS total_fp,
+             CAST(nat_rev AS DOUBLE) / CAST(tot_rev AS DOUBLE) AS share
+         FROM g ORDER BY yr"""
   )
 }
