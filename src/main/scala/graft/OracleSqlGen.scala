@@ -346,6 +346,22 @@ object OracleSqlGen {
         ORDER BY scheme"""
   }
 
+  /** Mirrors text_dup_by_source: per-source duplication burden over the
+    * replayed minhash components — clustered share (ppm) and the surviving
+    * count after representative dedup.
+    */
+  def dupBySource(n: Int, bands: Int, rowsPerBand: Int): String =
+    s"""${componentCtes(n, bands, rowsPerBand)},
+        comp AS (SELECT a AS doc_id, min(b) AS rep_id FROM reach GROUP BY a)
+        SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(CASE WHEN c.rep_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clustered,
+          CAST((sum(CASE WHEN c.rep_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000)
+            // count(*) AS BIGINT) AS dup_ppm,
+          CAST(sum(CASE WHEN c.rep_id IS NULL OR c.rep_id = d.doc_id
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
+        FROM documents d LEFT JOIN comp c USING (doc_id)
+        GROUP BY d.source ORDER BY d.source"""
+
   /** Surviving corpus after minhash dedup (Dedup.keepRepresentatives): drop
     * every doc that belongs to a component but is not its min-id
     * representative; pair-free docs survive as their own trivial cluster.

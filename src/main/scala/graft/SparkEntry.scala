@@ -4090,7 +4090,36 @@ object SparkEntry {
           (col("nat_rev").cast("double") / col("tot_rev").cast("double"))
             .as("share"))
         .orderBy("yr")
-    })
+    }),
+
+    // Duplication burden per source: how much of each source sits inside a
+    // near-dup cluster, and how much of it would survive representative
+    // dedup — the governance view that decides which feed gets fixed
+    // first. Memoized labels, one broadcast join, exact ppm.
+    "text_dup_by_source" -> ((s, d) => {
+      val labels = s.read.parquet(s"${dedupCcSetup(s, d)}/labels")
+      documents(s, d).select(col("doc_id"), col("source"))
+        .join(broadcast(labels), Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rep_id").isNotNull, 1L).otherwise(0L)).as("n_clustered"),
+          sum(when(col("rep_id").isNull || col("rep_id") === col("doc_id"), 1L)
+            .otherwise(0L)).as("n_survivors"))
+        .select(col("source"), col("n_docs"), col("n_clustered"),
+          expr("(n_clustered * 1000000L) div n_docs").as("dup_ppm"),
+          col("n_survivors"))
+        .orderBy("source")
+    }),
+
+    // Degree distribution of the co-purchase graph — the first profile of
+    // any graph (power-law check, hub census). O(V) degree aggregation on
+    // the memoized edge table, O(distinct degrees) histogram.
+    "graph_degree_dist" -> ((s, d) =>
+      copurchaseEdges(s, d)
+        .select(explode(array(col("u"), col("v"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+        .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("deg"))
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names, same total
@@ -5998,6 +6027,19 @@ object SparkEntry {
              CAST(nat_rev AS BIGINT) AS nation_fp,
              CAST(tot_rev AS BIGINT) AS total_fp,
              CAST(nat_rev AS DOUBLE) / CAST(tot_rev AS DOUBLE) AS share
-         FROM g ORDER BY yr"""
+         FROM g ORDER BY yr""",
+    "text_dup_by_source" -> OracleSqlGen.dupBySource(3, 8, 2),
+    "graph_degree_dist" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS (
+           SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+           FROM lp a JOIN lp b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         deg AS (
+           SELECT node, count(*) AS deg
+           FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+           GROUP BY node)
+         SELECT CAST(deg AS BIGINT) AS deg, CAST(count(*) AS BIGINT) AS n_nodes
+         FROM deg GROUP BY deg ORDER BY deg"""
   )
 }
