@@ -4111,6 +4111,38 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // Second BPE merge round: apply the round-1 winner (non-overlapping
+    // left-to-right `replace` over the space-separated unit form — the
+    // scan-forward semantics both engines' literal replace implements),
+    // then recount adjacent UNIT pairs (merged token + chars mixed) — the
+    // iterative step that grows a subword vocabulary. The winning pair is
+    // a broadcast one-row scalar; the recount explodes O(vocab·len) units.
+    "text_bpe_round2" -> ((s, d) => {
+      val words = documents(s, d)
+        .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .withColumn("sp", trim(regexp_replace(col("w"), "(.)", "$1 ")))
+      val r1 = words
+        .select(col("n"), explode(sequence(lit(1), length(col("w")) - 1)).as("i"),
+          col("w"))
+        .select(expr("substr(w, i, 2)").as("pair"), col("n"))
+        .groupBy("pair").agg(sum("n").as("cnt"))
+        .orderBy(desc("cnt"), asc("pair")).limit(1)
+        .select(concat(substring(col("pair"), 1, 1), lit(" "),
+          substring(col("pair"), 2, 1)).as("spaced_pair"),
+          col("pair").as("merged"))
+      words.crossJoin(broadcast(r1))
+        .withColumn("units",
+          split(expr("replace(sp, spaced_pair, merged)"), " "))
+        .select(col("n"), col("units"),
+          explode(sequence(lit(1), size(col("units")) - 1)).as("i"))
+        .select(concat_ws(" ", element_at(col("units"), col("i")),
+          element_at(col("units"), col("i") + 1)).as("pair"), col("n"))
+        .groupBy("pair").agg(sum("n").as("cnt"))
+        .orderBy(desc("cnt"), asc("pair")).limit(20)
+    }),
+
     // Degree distribution of the co-purchase graph — the first profile of
     // any graph (power-law check, hub census). O(V) degree aggregation on
     // the memoized edge table, O(distinct degrees) histogram.
@@ -6029,6 +6061,33 @@ object SparkEntry {
              CAST(nat_rev AS DOUBLE) / CAST(tot_rev AS DOUBLE) AS share
          FROM g ORDER BY yr""",
     "text_dup_by_source" -> OracleSqlGen.dupBySource(3, 8, 2),
+    "text_bpe_round2" ->
+      """WITH words AS (
+           SELECT w, count(*) AS n FROM (
+             SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+             FROM documents)
+           WHERE len(w) >= 2 GROUP BY w),
+         sp AS (SELECT w, n, trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS sp
+                FROM words),
+         p1 AS (
+           SELECT unnest(list_transform(range(len(w) - 1),
+               i -> substr(w, CAST(i + 1 AS INT), 2))) AS pair, n
+           FROM words),
+         top1 AS (
+           SELECT pair FROM (
+             SELECT pair, sum(n) AS cnt FROM p1
+             GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 1)),
+         applied AS (
+           SELECT n, string_split(replace(sp.sp,
+               substr(top1.pair, 1, 1) || ' ' || substr(top1.pair, 2, 1),
+               top1.pair), ' ') AS units
+           FROM sp CROSS JOIN top1),
+         p2 AS (
+           SELECT unnest(list_transform(range(len(units) - 1),
+               i -> units[CAST(i + 1 AS INT)] || ' ' || units[CAST(i + 2 AS INT)])) AS pair, n
+           FROM applied)
+         SELECT pair, CAST(sum(n) AS BIGINT) AS cnt
+         FROM p2 GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 20""",
     "graph_degree_dist" ->
       """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          e AS (
