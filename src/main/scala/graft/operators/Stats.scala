@@ -37,7 +37,11 @@ object Stats {
       .groupBy("t1", "t2").agg(max(col("dn")).as("dmax"))
       .select(col("t1").as("n1"), col("t2").as("n2"),
         col("dmax").cast("long").as("d_num"),
-        (col("dmax").cast("double") / (col("t1") * col("t2")).cast("double"))
+        // explicit zero-divisor guard: ANSI mode would otherwise throw on a
+        // one-sided input; an empty comparison sample yields NULL, not a crash
+        when(col("t1") * col("t2") === 0, lit(null).cast("double"))
+          .otherwise(col("dmax").cast("double")
+            / (col("t1") * col("t2")).cast("double"))
           .as("d_stat"))
       .orderBy("n1")
   }

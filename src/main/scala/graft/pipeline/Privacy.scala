@@ -107,11 +107,16 @@ object Privacy {
       .agg(sum(abs(col("cum"))).as("emd_num"))
       .withColumn("den",
         col("n_g").cast(DecimalType(38, 0)) * col("nn") * (col("k") - 1))
+      // explicit k=1 guard: with a single sensitive value the EMD is the
+      // 0/0 form (every class matches the global distribution exactly);
+      // ANSI mode would throw on the division, so emit NULL emd/close
+      .withColumn("emd",
+        when(col("den") === 0, lit(null).cast("double"))
+          .otherwise(col("emd_num").cast("double") / col("den").cast("double")))
       .select(qi.map(col) :+ col("n_g") :+
         col("emd_num").cast("long").as("emd_num") :+
-        (col("emd_num").cast("double") / col("den").cast("double")).as("emd") :+
-        (col("emd_num").cast("double") / col("den").cast("double") <= t)
-          .cast("int").as("close"): _*)
+        col("emd") :+
+        (col("emd") <= t).cast("int").as("close"): _*)
   }
 
   def kAnonymityLevels(df: DataFrame, coarse: Column, fine: Column, k: Long): DataFrame = {

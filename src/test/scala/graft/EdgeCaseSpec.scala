@@ -104,6 +104,48 @@ class EdgeCaseSpec extends AnyFunSuite with SparkTestBase {
     assert(Splits.temperatureFlatten(single, col("g"), col("id")).count() == 50)
   }
 
+  test("ksTest: one-sided input yields NULL d_stat, never a throw") {
+    import graft.operators.Stats
+    val oneSided = (1 to 20).map(i => (i.toLong, true)).toDF("v", "a")
+    val r = Stats.ksTest(oneSided, col("v"), col("a"), !col("a")).head()
+    assert(r.getLong(0) == 20L && r.getLong(1) == 0L)
+    assert(r.getLong(2) == 0L)                 // |c1·0 − c2·20| with c2 ≡ 0
+    assert(r.isNullAt(3))                      // guarded 0/0 → NULL, no throw
+  }
+
+  test("tCloseness: single sensitive value (k=1) yields zero-distance classes") {
+    import graft.pipeline.Privacy
+    // k−1 = 0 denominator, but emd_num is identically 0 for every class
+    // (c·N = g·n_g when the single value covers everything) → 0/0 NaN emd
+    val df = Seq(("A", 7), ("A", 7), ("B", 7)).toDF("grp", "sv")
+    val out = Privacy.tCloseness(df, Seq("grp"), col("sv"), t = 0.5)
+      .orderBy("grp").collect()
+    assert(out.length == 2)
+    out.foreach { r => assert(r.getLong(2) == 0L) } // emd_num exactly 0
+  }
+
+  test("funnelDetect: no stage-0 events → no hits; empty input → empty") {
+    import graft.streaming.StatefulOps
+    val noViews = Seq((1L, "click", 10L), (1L, "purchase", 20L)).toDS()
+    assert(StatefulOps.funnelDetect[Long, (Long, String, Long)](
+      noViews, _._1, _._3,
+      e => e._2 match { case "view" => 0; case "click" => 1; case "purchase" => 2; case _ => -1 },
+      1000L).count() == 0)
+    val empty = Seq.empty[(Long, String, Long)].toDS()
+    assert(StatefulOps.funnelDetect[Long, (Long, String, Long)](
+      empty, _._1, _._3, _ => 0, 1000L).count() == 0)
+  }
+
+  test("hardNegatives: all candidates share the query's label → empty result") {
+    import graft.pipeline.Similarity
+    val vecs = Seq((0L, Array(1.0f, 0.0f), 1), (1L, Array(0.9f, 0.1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.hardNegatives(
+      vecs.filter(col("vec_id") === 0), vecs,
+      col("vec_id"), col("embedding"), col("label"),
+      col("vec_id"), col("embedding"), col("label"), k = 3).count() == 0)
+  }
+
   test("duplicatedSpanStats: empty corpus is empty; all-sub-k corpus is all-zero") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(graft.pipeline.TextAnalysis.duplicatedSpanStats(
