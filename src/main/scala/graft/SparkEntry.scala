@@ -4143,6 +4143,45 @@ object SparkEntry {
         .orderBy(desc("cnt"), asc("pair")).limit(20)
     }),
 
+    // Weekly growth accounting: every active user decomposes into exactly
+    // one of new / retained / resurrected, and churn is attributed to the
+    // week after the activity stopped — the standard product-growth
+    // identity (active(w) = new + retained + resurrected). Shape: one
+    // distinct (user, week) materialization reused three ways (self-join
+    // on week−1, min-week frame), everything keyed on user_id; counts are
+    // integers, no windows.
+    "events_growth_accounting" -> ((s, d) => {
+      val uw = events(s, d)
+        .select(col("user_id"),
+          expr("CAST(unix_timestamp(date_trunc('week', ts)) AS LONG) div 604800")
+            .as("wk"))
+        .distinct()
+      val first = uw.groupBy("user_id").agg(min("wk").as("first_wk"))
+      val prev = uw.select(col("user_id"), (col("wk") + 1).as("wk"),
+        lit(1L).as("was_prev"))
+      val cur = uw.join(first, "user_id")
+        .join(prev, Seq("user_id", "wk"), "left")
+        .select(col("wk"),
+          when(col("first_wk") === col("wk"), 1L).otherwise(0L).as("is_new"),
+          when(col("was_prev").isNotNull && col("first_wk") =!= col("wk"), 1L)
+            .otherwise(0L).as("is_retained"),
+          when(col("was_prev").isNull && col("first_wk") =!= col("wk"), 1L)
+            .otherwise(0L).as("is_resurrected"))
+        .groupBy("wk").agg(sum("is_new").as("n_new"),
+          sum("is_retained").as("n_retained"),
+          sum("is_resurrected").as("n_resurrected"))
+      val churn = uw.select(col("user_id"), (col("wk") + 1).as("wk"))
+        .join(uw.select(col("user_id"), col("wk"), lit(1L).as("still")),
+          Seq("user_id", "wk"), "left")
+        .filter(col("still").isNull)
+        .groupBy("wk").agg(count(lit(1)).as("n_churned"))
+      // FULL OUTER: the week after the data's final activity exists only
+      // on the churn side (everyone active in the last week churns there)
+      cur.join(churn, Seq("wk"), "full_outer")
+        .na.fill(0L, Seq("n_new", "n_retained", "n_resurrected", "n_churned"))
+        .orderBy("wk")
+    }),
+
     // Degree distribution of the co-purchase graph — the first profile of
     // any graph (power-law check, hub census). O(V) degree aggregation on
     // the memoized edge table, O(distinct degrees) histogram.
@@ -6088,6 +6127,34 @@ object SparkEntry {
            FROM applied)
          SELECT pair, CAST(sum(n) AS BIGINT) AS cnt
          FROM p2 GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 20""",
+    "events_growth_accounting" ->
+      """WITH uw AS (
+           SELECT DISTINCT user_id,
+             CAST(floor(epoch(date_trunc('week', CAST(ts AS TIMESTAMP)))) AS BIGINT) // 604800 AS wk
+           FROM events),
+         f AS (SELECT user_id, min(wk) AS first_wk FROM uw GROUP BY user_id),
+         cur AS (
+           SELECT u.wk,
+             sum(CASE WHEN f.first_wk = u.wk THEN 1 ELSE 0 END) AS n_new,
+             sum(CASE WHEN p.user_id IS NOT NULL AND f.first_wk <> u.wk
+                 THEN 1 ELSE 0 END) AS n_retained,
+             sum(CASE WHEN p.user_id IS NULL AND f.first_wk <> u.wk
+                 THEN 1 ELSE 0 END) AS n_resurrected
+           FROM uw u JOIN f USING (user_id)
+           LEFT JOIN uw p ON p.user_id = u.user_id AND p.wk = u.wk - 1
+           GROUP BY u.wk),
+         ch AS (
+           SELECT u.wk + 1 AS wk, count(*) AS n_churned
+           FROM uw u LEFT JOIN uw nx
+             ON nx.user_id = u.user_id AND nx.wk = u.wk + 1
+           WHERE nx.user_id IS NULL GROUP BY u.wk + 1)
+         SELECT coalesce(cur.wk, ch.wk) AS wk,
+           CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+           CAST(coalesce(n_retained, 0) AS BIGINT) AS n_retained,
+           CAST(coalesce(n_resurrected, 0) AS BIGINT) AS n_resurrected,
+           CAST(coalesce(n_churned, 0) AS BIGINT) AS n_churned
+         FROM cur FULL OUTER JOIN ch ON cur.wk = ch.wk
+         ORDER BY wk""",
     "graph_degree_dist" ->
       """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          e AS (
