@@ -34,6 +34,8 @@ object Rollup {
 
   private def sumCol(m: String) = s"_sum_$m"
   private def cntCol(m: String) = s"_cnt_$m"
+  private def minCol(m: String) = s"_min_$m"
+  private def maxCol(m: String) = s"_max_$m"
 
   /** Aggregate `df` to the grain and write it (overwrite ⇒ initial build). */
   def build(df: DataFrame, dims: Seq[String], measures: Seq[String],
@@ -51,9 +53,13 @@ object Rollup {
 
   private def aggregateToGrain(df: DataFrame, dims: Seq[String],
       measures: Seq[String]): DataFrame = {
+    // min/max partials keep the ORIGINAL measure type: selection, not
+    // accumulation, so they are order-independent without a decimal cast
     val aggs = count(lit(1)).as("_n") +:
       (measures.map(m => sum(col(m).cast(DecimalType(38, 12))).as(sumCol(m))) ++
-        measures.map(m => count(col(m)).as(cntCol(m))))
+        measures.map(m => count(col(m)).as(cntCol(m))) ++
+        measures.map(m => min(col(m)).as(minCol(m))) ++
+        measures.map(m => max(col(m)).as(maxCol(m))))
     df.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -101,7 +107,9 @@ object Rollup {
     val summary = spark.read.parquet(path)
     val aggs = sum(col("_n")).as("_n") +:
       (measures.map(m => sum(col(sumCol(m))).as(sumCol(m))) ++
-        measures.map(m => sum(col(cntCol(m))).as(cntCol(m))))
+        measures.map(m => sum(col(cntCol(m))).as(cntCol(m))) ++
+        measures.map(m => min(col(minCol(m))).as(minCol(m))) ++
+        measures.map(m => max(col(maxCol(m))).as(maxCol(m))))
     summary.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
       .write.mode("overwrite").parquet(outPath)
   }

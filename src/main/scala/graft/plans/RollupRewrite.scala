@@ -18,12 +18,13 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   *   - scans the base path (through attribute-only Projects),
   *   - filters, if at all, on grain dims only,
   *   - groups by a subset of the grain dims, and
-  *   - computes only count(*) / sum(measure) / avg(measure) without
-  *     DISTINCT or FILTER clauses,
+  *   - computes only count(*) / sum / avg / min / max over measures,
+  *     without DISTINCT or FILTER clauses,
   *
   * is rewritten to merge the summary instead: count(*) ⇒ sum(_n),
-  * sum(m) ⇒ sum(_sum_m), avg(m) ⇒ sum(_sum_m)/sum(_n) — the classic
-  * partial-aggregate merge, now done at plan time. At 100 TB this turns a
+  * sum(m) ⇒ sum(_sum_m), avg(m) ⇒ sum(_sum_m)/sum(_n), min(m) ⇒
+  * min(_min_m), max(m) ⇒ max(_max_m) — the classic partial-aggregate
+  * merge, now done at plan time. At 100 TB this turns a
   * fact-table scan into a read of a grain-sized summary; the user query does
   * not change.
   *
@@ -113,16 +114,18 @@ object RewriteAggregateToRollup extends Rule[LogicalPlan] {
       val nAttr = attrByName("_n")
       def sumOf(e: Expression): AggregateExpression =
         AggregateExpression(Sum(e), Complete, isDistinct = false)
-      def measureSum(e: Expression): Option[Attribute] = {
+      def measurePartial(e: Expression, prefix: String): Option[Attribute] = {
         val stripped = e match {
           case Cast(a: AttributeReference, _, _, _) => Some(a)
           case a: AttributeReference => Some(a)
           case _ => None
         }
-        stripped.collect {
-          case a if entry.measures.contains(a.name) => attrByName(s"_sum_${a.name}")
-        }
+        // .get-based lookup: a summary built before a partial existed
+        // (e.g. pre-min/max artifacts) yields None → no rewrite, base scan
+        stripped.filter(a => entry.measures.contains(a.name))
+          .flatMap(a => attrByName.get(s"$prefix${a.name}"))
       }
+      def measureSum(e: Expression): Option[Attribute] = measurePartial(e, "_sum_")
 
       val rewritten: Seq[Option[NamedExpression]] = resultExprs.map {
         case attr: AttributeReference if dims.contains(attr.name) =>
@@ -139,6 +142,18 @@ object RewriteAggregateToRollup extends Rule[LogicalPlan] {
             case av: Average =>
               measureSum(av.child).map { p =>
                 Cast(Divide(Cast(sumOf(p), DoubleType), Cast(sumOf(nAttr), DoubleType)),
+                  a.dataType)
+              }
+            // min/max merge by re-applying themselves over the stored
+            // same-typed partials — selection aggregates, exact by nature
+            case mn: Min =>
+              measurePartial(mn.child, "_min_").map { p =>
+                Cast(AggregateExpression(Min(p), Complete, isDistinct = false),
+                  a.dataType)
+              }
+            case mx: Max =>
+              measurePartial(mx.child, "_max_").map { p =>
+                Cast(AggregateExpression(Max(p), Complete, isDistinct = false),
                   a.dataType)
               }
             case _ => None

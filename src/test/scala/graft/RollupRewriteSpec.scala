@@ -98,11 +98,27 @@ class RollupRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q.collect().toSeq == want.toSeq)
   }
 
-  test("outside the contract: non-algebraic agg and measure filters still scan the base") {
+  test("min/max rewrite onto the stored same-typed partials, answers equal") {
     val base = spark.read.parquet(basePath)
-    val maxq = base.groupBy("flag").agg(max("qty"))
-    assert(scannedPaths(maxq).forall(_.contains("fact")),
-      s"max() must not be rewritten: ${scannedPaths(maxq)}")
+    val q = base.groupBy("flag")
+      .agg(max("qty").as("mx"), min("price").as("mn")).orderBy("flag")
+    assert(scannedPaths(q).forall(_.contains("summary")),
+      s"min/max should rewrite: ${scannedPaths(q)}")
+    val got = q.collect().toSeq
+    RollupRegistry.clear()
+    val want = spark.read.parquet(basePath).groupBy("flag")
+      .agg(max("qty").as("mx"), min("price").as("mn")).orderBy("flag")
+      .collect().toSeq
+    RollupRegistry.register(spark, basePath, mvPath,
+      Seq("flag", "status"), Seq("qty", "price"))
+    assert(got == want)
+  }
+
+  test("outside the contract: distinct agg and measure filters still scan the base") {
+    val base = spark.read.parquet(basePath)
+    val dq = base.groupBy("flag").agg(countDistinct("qty"))
+    assert(scannedPaths(dq).forall(_.contains("fact")),
+      s"count(DISTINCT) must not be rewritten: ${scannedPaths(dq)}")
     val mfilter = base.filter(col("qty") > 50).groupBy("flag").agg(count(lit(1)))
     assert(scannedPaths(mfilter).forall(_.contains("fact")),
       s"measure filter must not be rewritten: ${scannedPaths(mfilter)}")
