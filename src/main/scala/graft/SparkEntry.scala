@@ -4182,6 +4182,35 @@ object SparkEntry {
         .orderBy("wk")
     }),
 
+    // Referential-integrity audit battery: orphan and duplicate-key counts
+    // across the star schema in one result — the data-contract gate a
+    // warehouse runs after every ingest. Each check is an anti-join or a
+    // grouped-count aggregate on its natural key; the O(1) verdict rows
+    // union at the end.
+    "q_fk_integrity" -> ((s, d) => {
+      val o = orders(s, d)
+      val li = lineitem(s, d)
+      val c = customer(s, d)
+      def row(name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_bad")).select(lit(name).as("check_name"), col("n_bad"))
+      row("orders_without_customer",
+          o.join(c.select("c_custkey"),
+            col("o_custkey") === col("c_custkey"), "left_anti"))
+        .unionAll(row("lineitems_without_order",
+          li.join(o.select("o_orderkey"),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")))
+        .unionAll(row("lineitems_without_part",
+          li.join(part(s, d).select("p_partkey"),
+            col("l_partkey") === col("p_partkey"), "left_anti")))
+        .unionAll(row("duplicate_order_keys",
+          o.groupBy("o_orderkey").agg(count(lit(1)).as("k"))
+            .filter(col("k") > 1)))
+        .unionAll(row("duplicate_lineitem_keys",
+          li.groupBy("l_orderkey", "l_linenumber").agg(count(lit(1)).as("k"))
+            .filter(col("k") > 1)))
+        .orderBy("check_name")
+    }),
+
     // Degree distribution of the co-purchase graph — the first profile of
     // any graph (power-law check, hub census). O(V) degree aggregation on
     // the memoized edge table, O(distinct degrees) histogram.
@@ -6127,6 +6156,25 @@ object SparkEntry {
            FROM applied)
          SELECT pair, CAST(sum(n) AS BIGINT) AS cnt
          FROM p2 GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 20""",
+    "q_fk_integrity" ->
+      """SELECT * FROM (
+           SELECT 'orders_without_customer' AS check_name,
+               CAST(count(*) AS BIGINT) AS n_bad
+           FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+           UNION ALL
+           SELECT 'lineitems_without_order', CAST(count(*) AS BIGINT)
+           FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+           UNION ALL
+           SELECT 'lineitems_without_part', CAST(count(*) AS BIGINT)
+           FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+           UNION ALL
+           SELECT 'duplicate_order_keys', CAST(count(*) AS BIGINT) FROM (
+             SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
+           UNION ALL
+           SELECT 'duplicate_lineitem_keys', CAST(count(*) AS BIGINT) FROM (
+             SELECT l_orderkey, l_linenumber FROM lineitem
+             GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1))
+         ORDER BY check_name""",
     "events_growth_accounting" ->
       """WITH uw AS (
            SELECT DISTINCT user_id,
