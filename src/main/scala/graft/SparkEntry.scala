@@ -4182,6 +4182,29 @@ object SparkEntry {
         .orderBy("wk")
     }),
 
+    // Trailing-24h distinct users per hour from MERGEABLE hourly HLL
+    // sketches: one sketch per hour, scattered forward onto the 24 windows
+    // it serves (the events_ewma trick applied to sketches), union-merged
+    // per target hour. The scale path for events_wau-style sliding
+    // distincts — the raw stream is touched once, the slide is O(24·hours)
+    // sketch rows, and the same sketches roll up to any coarser window.
+    // Rows-only by contract; SketchSummarySpec bands it against exact.
+    "events_hll_sliding" -> ((s, d) => {
+      val hourly = events(s, d)
+        .select((unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
+          .cast("long").as("hh"), col("user_id"))
+        .groupBy("hh").agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      val scattered = hourly
+        .select(col("hh"), col("sk"), explode(sequence(lit(0), lit(23))).as("j"))
+        .select((col("hh") + col("j")).as("th"), col("sk"))
+      val base = hourly.select(col("hh"))
+      scattered.groupBy("th")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("n_users_24h"))
+        .join(base, col("th") === col("hh"))
+        .select(col("hh").as("h_epoch"), col("n_users_24h"))
+        .orderBy("h_epoch")
+    }),
+
     // Referential-integrity audit battery: orphan and duplicate-key counts
     // across the star schema in one result — the data-contract gate a
     // warehouse runs after every ingest. Each check is an anti-join or a

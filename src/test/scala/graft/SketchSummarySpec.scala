@@ -159,6 +159,27 @@ class SketchSummarySpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(direct - 4000.0) < 400, s"direct p50 $direct")
   }
 
+  test("events_hll_sliding: merged trailing estimates track exact within the band") {
+    import org.apache.spark.sql.functions.{col, countDistinct, expr, unix_timestamp, date_trunc}
+    val sf = "/root/testdata/sf0.001"
+    val est = SparkEntry.queries("events_hll_sliding")(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    // exact twin: distinct users over hours (t-23..t]
+    val hrs = Tables.events(spark, sf)
+      .select((unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
+        .cast("long").as("hh"), col("user_id"))
+    val pairs = hrs.as[(Long, Long)].collect()
+    val byHour = pairs.groupBy(_._1)
+    val exact = byHour.keys.map { t =>
+      t -> pairs.filter(p => p._1 <= t && p._1 > t - 24).map(_._2).distinct.length.toLong
+    }.toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (t, ex) =>
+      assert(math.abs(est(t) - ex).toDouble <= math.max(10.0, 0.05 * ex),
+        s"hour $t: est ${est(t)} vs exact $ex")
+    }
+  }
+
   test("q_sketch_overlap: inclusion-exclusion estimate brackets the exact overlap") {
     val row = SparkEntry.queries("q_sketch_overlap")(spark, "/root/testdata/sf0.001")
       .head()
