@@ -4182,6 +4182,32 @@ object SparkEntry {
         .orderBy("wk")
     }),
 
+    // Sliding-window passage chunking — the embedding-input prep step of a
+    // RAG/retrieval pipeline: 64-token windows, stride 48 (16-token
+    // overlap), ragged tail covered by the closed-form chunk count
+    // ((n−17) div 48 + 1 — pure integer, engine-exact). The per-doc audit
+    // row carries an ORDER-INDEPENDENT checksum: Σ over chunks of the
+    // 52-bit md5 prefix of the chunk text — any lost, duplicated, or
+    // corrupted chunk changes it, so the hash-match pins every chunk's
+    // exact content without emitting O(chunks) rows.
+    "text_chunking" -> ((s, d) => {
+      val t = documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .withColumn("n_tok", size(col("tk")))
+      t.select(col("doc_id"), col("n_tok"), col("tk"),
+          explode(sequence(lit(0),
+            when(col("n_tok") <= 64, 0)
+              .otherwise(expr("(n_tok - 17) div 48")))).as("i"))
+        .select(col("doc_id"), col("n_tok"),
+          concat_ws(" ", slice(col("tk"), col("i") * 48 + 1, lit(64))).as("chunk"))
+        .groupBy("doc_id", "n_tok")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(size(split(col("chunk"), " "))).as("sum_chunk_tokens"),
+          sum(conv(substring(md5(col("chunk").cast("binary")), 1, 13), 16, 10)
+            .cast("long")).as("checksum"))
+        .orderBy("doc_id")
+    }),
+
     // Trailing-24h distinct users per hour from MERGEABLE hourly HLL
     // sketches: one sketch per hour, scattered forward onto the 24 windows
     // it serves (the events_ewma trick applied to sketches), union-merged
@@ -6179,6 +6205,22 @@ object SparkEntry {
            FROM applied)
          SELECT pair, CAST(sum(n) AS BIGINT) AS cnt
          FROM p2 GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 20""",
+    "text_chunking" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS tk,
+               len(string_split(text, ' ')) AS n_tok
+           FROM documents),
+         ch AS (
+           SELECT doc_id, n_tok,
+               unnest(list_transform(
+                 range(CASE WHEN n_tok <= 64 THEN 1 ELSE (n_tok - 17) // 48 + 1 END),
+                 i -> array_to_string(list_slice(tk, i * 48 + 1, i * 48 + 64), ' '))) AS chunk
+           FROM t)
+         SELECT doc_id, CAST(n_tok AS INT) AS n_tok,
+             CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(len(string_split(chunk, ' '))) AS BIGINT) AS sum_chunk_tokens,
+             CAST(sum(CAST('0x' || substr(md5(chunk), 1, 13) AS BIGINT)) AS BIGINT) AS checksum
+         FROM ch GROUP BY doc_id, n_tok ORDER BY doc_id""",
     "q_fk_integrity" ->
       """SELECT * FROM (
            SELECT 'orders_without_customer' AS check_name,
