@@ -4182,6 +4182,31 @@ object SparkEntry {
         .orderBy("wk")
     }),
 
+    // Seasonality-adjusted hourly anomalies: each hour's event count is
+    // z-scored against ITS OWN (iso-dow, hour-of-day) cell — the load
+    // shape events_anomaly's global z-score confounds. The 3σ flag is the
+    // cross-multiplied integer compare (c·K − S)² > 9·(K·Q − S²) over the
+    // cell's exact count/sum/sum-of-squares, so no float mean/σ ever
+    // materializes. O(hours) frame, broadcast O(168) cell stats.
+    "events_seasonal_anomaly" -> ((s, d) => {
+      val hc = events(s, d)
+        .select((unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
+          .cast("long").as("hh"),
+          (expr("weekday(ts)") + lit(1)).as("dow"), hour(col("ts")).as("hr"))
+        .groupBy("hh", "dow", "hr").agg(count(lit(1)).as("c"))
+      val cells = hc.groupBy("dow", "hr").agg(count(lit(1)).as("k"),
+        sum(col("c")).as("s2"),
+        sum(col("c").cast(DecimalType(38, 0)) * col("c")).as("q"))
+      hc.join(broadcast(cells), Seq("dow", "hr"))
+        .withColumn("devn",
+          col("c").cast(DecimalType(38, 0)) * col("k") - col("s2"))
+        .filter(col("devn") * col("devn") >
+          (col("k").cast(DecimalType(38, 0)) * col("q")
+            - col("s2").cast(DecimalType(38, 0)) * col("s2")) * 9)
+        .select(col("hh").as("h_epoch"), col("dow"), col("hr"), col("c"))
+        .orderBy("h_epoch")
+    }),
+
     // Sliding-window passage chunking — the embedding-input prep step of a
     // RAG/retrieval pipeline: 64-token windows, stride 48 (16-token
     // overlap), ragged tail covered by the closed-form chunk count
@@ -6205,6 +6230,23 @@ object SparkEntry {
            FROM applied)
          SELECT pair, CAST(sum(n) AS BIGINT) AS cnt
          FROM p2 GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 20""",
+    "events_seasonal_anomaly" ->
+      """WITH hc AS (
+           SELECT CAST(floor(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))) AS BIGINT) // 3600 AS hh,
+               isodow(CAST(ts AS TIMESTAMP)) AS dow,
+               hour(CAST(ts AS TIMESTAMP)) AS hr,
+               count(*) AS c
+           FROM events GROUP BY 1, 2, 3),
+         cells AS (
+           SELECT dow, hr, count(*) AS k, sum(c) AS s2,
+               sum(CAST(c AS HUGEINT) * c) AS q
+           FROM hc GROUP BY 1, 2)
+         SELECT hh AS h_epoch, CAST(hc.dow AS INT) AS dow,
+             CAST(hc.hr AS INT) AS hr, CAST(c AS BIGINT) AS c
+         FROM hc JOIN cells ON hc.dow = cells.dow AND hc.hr = cells.hr
+         WHERE (CAST(c AS HUGEINT) * k - s2) * (CAST(c AS HUGEINT) * k - s2)
+             > 9 * (CAST(k AS HUGEINT) * q - CAST(s2 AS HUGEINT) * s2)
+         ORDER BY h_epoch""",
     "text_chunking" ->
       """WITH t AS (
            SELECT doc_id, string_split(text, ' ') AS tk,
