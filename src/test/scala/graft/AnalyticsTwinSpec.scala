@@ -112,6 +112,39 @@ class AnalyticsTwinSpec extends AnyFunSuite with SparkTestBase {
     assert(got.getDouble(3) >= -1.0 && got.getDouble(3) <= 1.0)
   }
 
+  test("events_growth_accounting matches a per-user sequential recomputation") {
+    val uw = Tables.events(spark, sf)
+      .select(col("user_id"),
+        expr("CAST(unix_timestamp(date_trunc('week', ts)) AS LONG) div 604800").as("wk"))
+      .distinct().as[(Long, Long)].collect()
+    val byUser = uw.groupBy(_._1).map { case (u, a) => u -> a.map(_._2).toSet }
+    val allWeeks = uw.map(_._2).toSet
+    val out = collection.mutable.Map[Long, Array[Long]]() // wk -> new,ret,res,churn
+    def row(w: Long) = out.getOrElseUpdate(w, Array(0L, 0L, 0L, 0L))
+    byUser.foreach { case (_, wks) =>
+      val first = wks.min
+      wks.foreach { w =>
+        if (w == first) row(w)(0) += 1
+        else if (wks.contains(w - 1)) row(w)(1) += 1
+        else row(w)(2) += 1
+        if (!wks.contains(w + 1)) row(w + 1)(3) += 1
+      }
+    }
+    val got = SparkEntry.queries("events_growth_accounting")(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> Array(r._2, r._3, r._4, r._5)).toMap
+    assert(got.keySet == out.keySet)
+    out.foreach { case (w, a) =>
+      assert(got(w).toSeq == a.toSeq, s"week $w: ${got(w).toSeq} vs ${a.toSeq}")
+    }
+    // identity: every active week decomposes exactly
+    val active = uw.groupBy(_._2).map { case (w, a) => w -> a.length.toLong }
+    active.foreach { case (w, n) =>
+      assert(got(w)(0) + got(w)(1) + got(w)(2) == n)
+    }
+    assert(allWeeks.nonEmpty)
+  }
+
   test("hardNegatives skips same-label neighbors however close") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f), 7),
