@@ -4182,6 +4182,21 @@ object SparkEntry {
         .orderBy("wk")
     }),
 
+    // Out-of-orderness (lateness) histogram: how far events arrive behind
+    // the running event-time high-water mark, in ingest order (event_id) —
+    // the measurement that SIZES a streaming watermark instead of guessing
+    // it. The running max rides the distributed range-partitioned cummax
+    // (Ranking.withGlobalCumMax — no single-task window); output is the
+    // O(distinct lateness) histogram.
+    "events_lateness" -> ((s, d) => {
+      val e = events(s, d).select(col("event_id"), unix_micros(col("ts")).as("t_us"))
+      graft.operators.Ranking.withGlobalCumMax(
+          e, Seq(col("event_id")), col("t_us"), "run_max_us")
+        .select(expr("(run_max_us - t_us) div 1000000").as("late_s"))
+        .groupBy("late_s").agg(count(lit(1)).as("n"))
+        .orderBy("late_s")
+    }),
+
     // Seasonality-adjusted hourly anomalies: each hour's event count is
     // z-scored against ITS OWN (iso-dow, hour-of-day) cell — the load
     // shape events_anomaly's global z-score confounds. The 3σ flag is the
@@ -6230,6 +6245,16 @@ object SparkEntry {
            FROM applied)
          SELECT pair, CAST(sum(n) AS BIGINT) AS cnt
          FROM p2 GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 20""",
+    "events_lateness" ->
+      """WITH x AS (
+           SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us FROM events),
+         rm AS (
+           SELECT t_us, max(t_us) OVER (ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_max_us
+           FROM x)
+         SELECT (run_max_us - t_us) // 1000000 AS late_s,
+             CAST(count(*) AS BIGINT) AS n
+         FROM rm GROUP BY 1 ORDER BY late_s""",
     "events_seasonal_anomaly" ->
       """WITH hc AS (
            SELECT CAST(floor(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))) AS BIGINT) // 3600 AS hh,

@@ -140,6 +140,50 @@ object Ranking {
       .drop("_pid", "_seed", "_v")
   }
 
+  /** `df` plus `out` = running MAX of `value` in `sortCols` order (inclusive
+    * of the current row) — the distributed form of `max(value).over(
+    * Window.orderBy(...).rowsBetween(unboundedPreceding, currentRow))`.
+    * Same decomposition as [[withGlobalCumSum]], with the partition seeds
+    * being the prefix-MAX of strictly-earlier partitions' maxima (the
+    * Skyline boundary-seed construction for an arbitrary long column).
+    */
+  def withGlobalCumMax(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      value: Column,
+      out: String,
+      partitions: Int = 32): DataFrame = {
+    import org.apache.spark.sql.types.{DataTypes, LongType, StructField, StructType}
+    requireNoScratchColumns(df)
+    val parted = df
+      .repartitionByRange(partitions, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_v", value.cast("long"))
+      .localCheckpoint(false)
+    val totals = parted.groupBy(col("_pid")).agg(max(col("_v")).as("_m"))
+      .collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .sortBy(_._1)
+    var running: Option[Long] = None
+    val seeds = totals.map { case (pid, m) =>
+      val seed = running
+      running = (running.toSeq ++ m.toSeq).reduceOption((a, b) => math.max(a, b))
+      org.apache.spark.sql.Row(pid, seed.map(java.lang.Long.valueOf).orNull)
+    }
+    val seedDf = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(seeds: _*),
+      StructType(Seq(StructField("_pid", DataTypes.IntegerType),
+        StructField("_seed", LongType))))
+    val w = Window.partitionBy("_pid").orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parted
+      .join(broadcast(seedDf), Seq("_pid"), "left")
+      .withColumn(out, greatest(coalesce(col("_seed"), lit(Long.MinValue)),
+        max(col("_v")).over(w)))
+      .drop("_pid", "_seed", "_v")
+  }
+
   /** Shared scaffold: range-partitioned, partition-sorted, pid-stamped frame,
     * the broadcast (pid → strictly-earlier row count) offset table, and the
     * total row count (a free by-product of the offset pass).

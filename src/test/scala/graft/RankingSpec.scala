@@ -63,6 +63,24 @@ class RankingSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want)
   }
 
+  test("withGlobalCumMax equals the unpartitioned running-max window") {
+    val df = randomDf(3000, 25, seed = 11)
+    val got = Ranking.withGlobalCumMax(df, Seq(col("id")), col("v"), "m", partitions = 6)
+      .select("id", "v", "m").as[(Long, Long, Long)].collect().toSet
+    val w = Window.orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.withColumn("m", max(col("v")).over(w))
+      .select("id", "v", "m").as[(Long, Long, Long)].collect().toSet
+    assert(got == want)
+    // empty input is empty, single row is its own max
+    assert(Ranking.withGlobalCumMax(
+      Seq.empty[(Long, Long)].toDF("id", "v"), Seq(col("id")), col("v"), "m").count() == 0)
+    val one = Ranking.withGlobalCumMax(
+      Seq((1L, 7L)).toDF("id", "v"), Seq(col("id")), col("v"), "m")
+      .select("m").as[Long].head()
+    assert(one == 7L)
+  }
+
   test("withGlobalCumSum: exact decimal accumulation, descending order") {
     val df = (1 to 2000)
       .map(i => (i.toLong, new java.math.BigDecimal(s"$i.${i % 100}")))
