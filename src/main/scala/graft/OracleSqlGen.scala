@@ -934,6 +934,27 @@ object OracleSqlGen {
           FROM s)
         SELECT vec_id, centroid_id FROM r WHERE rn = 1 ORDER BY vec_id"""
 
+  /** Mirrors embed_cluster_purity: the replayed IVF assignment joined to
+    * ground-truth labels; per-cluster majority via row_number (= Spark's
+    * min(struct(−cnt, label)) argmax), exact ppm purity.
+    */
+  def clusterPurity(nCentroids: Int): String =
+    s"""WITH a AS (SELECT * FROM (${annIvfAssign(nCentroids)}) x),
+        cl AS (
+          SELECT centroid_id, label, count(*) AS cnt
+          FROM a JOIN embeddings e ON a.vec_id = e.vec_id GROUP BY 1, 2),
+        r AS (
+          SELECT centroid_id, label, cnt,
+            row_number() OVER (PARTITION BY centroid_id
+              ORDER BY cnt DESC, label ASC) AS rn,
+            sum(cnt) OVER (PARTITION BY centroid_id) AS n_members
+          FROM cl)
+        SELECT centroid_id, CAST(n_members AS BIGINT) AS n_members,
+          CAST(label AS INT) AS majority_label,
+          CAST(cnt AS BIGINT) AS majority_n,
+          CAST((cnt * 1000000) // n_members AS BIGINT) AS purity_ppm
+        FROM r WHERE rn = 1 ORDER BY centroid_id"""
+
   def subwords: String =
     """SELECT doc_id,
          CAST(list_reduce(list_transform(

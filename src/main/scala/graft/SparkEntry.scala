@@ -4182,6 +4182,70 @@ object SparkEntry {
         .orderBy("wk")
     }),
 
+    // Cluster-purity evaluation: the IVF centroid assignment (the engine's
+    // k-means surface) scored against the ground-truth labels — per
+    // cluster, the majority label and its exact ppm share. The argmax is
+    // the min(struct(−cnt, label)) aggregation idiom (no window); O(cells ×
+    // labels) rows after one assignment pass.
+    "embed_cluster_purity" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val assign = Similarity.assignToCentroids(
+        e, col("vec_id"), col("embedding"),
+        e.filter(col("vec_id") < 8), col("vec_id"), col("embedding"))
+      val cl = assign
+        .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+        .groupBy("centroid_id", "label").agg(count(lit(1)).as("cnt"))
+      cl.groupBy("centroid_id")
+        .agg(sum("cnt").as("n_members"),
+          min(struct((-col("cnt")).as("nc"), col("label").as("l"))).as("m"))
+        .select(col("centroid_id"), col("n_members"),
+          col("m.l").as("majority_label"), (-col("m.nc")).as("majority_n"),
+          expr("(-m.nc * 1000000L) div n_members").as("purity_ppm"))
+        .orderBy("centroid_id")
+    }),
+
+    // Rule-based bot scoring: the traffic filter a training pipeline runs
+    // before any text leaves the events stream. Three exact integer
+    // signals per user — trailing-5-min burst peak, error share (ppm), and
+    // inter-arrival regularity (cross-multiplied variance of gaps, flagged
+    // when K·Q−S² is implausibly LOW for the activity volume) — each
+    // thresholded into a flag; score = flag sum, top-50 reported. One
+    // per-user window pass + one aggregation; no floats anywhere.
+    "events_bot_score" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val wr = Window.partitionBy("user_id")
+        .orderBy(unix_timestamp(col("ts"))).rangeBetween(-300L, 0L)
+      val base = events(s, d)
+        .withColumn("gap_us", unix_micros(col("ts"))
+          - unix_micros(lag(col("ts"), 1).over(w)))
+        .withColumn("w_n", count(lit(1)).over(wr))
+      val perUser = base.groupBy("user_id").agg(
+        count(lit(1)).as("n_events"),
+        max(col("w_n")).as("burst"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_err"),
+        count(col("gap_us")).as("k"),
+        sum(col("gap_us").cast(DecimalType(38, 0))).as("s_gap"),
+        sum(col("gap_us").cast(DecimalType(38, 0)) * col("gap_us")).as("q_gap"))
+      perUser
+        .withColumn("err_ppm", expr("(n_err * 1000000L) div n_events"))
+        .withColumn("var_num",
+          col("k").cast(DecimalType(38, 0)) * col("q_gap")
+            - col("s_gap") * col("s_gap"))
+        .withColumn("f_burst", (col("burst") >= 10).cast("int"))
+        .withColumn("f_err", (col("err_ppm") >= 400000).cast("int"))
+        // regularity: variance of gaps below (mean gap)² · k / 4 — i.e.
+        // relative stddev under 1/2 — cross-multiplied: 4·(K·Q−S²) < S²
+        .withColumn("f_regular",
+          (col("k") >= 5 && col("var_num") * 4 < col("s_gap") * col("s_gap"))
+            .cast("int"))
+        .withColumn("score", col("f_burst") + col("f_err") + col("f_regular"))
+        .filter(col("score") >= 1)
+        .select("user_id", "n_events", "burst", "err_ppm", "f_burst", "f_err",
+          "f_regular", "score")
+        .orderBy(desc("score"), desc("n_events"), asc("user_id")).limit(50)
+    }),
+
     // Out-of-orderness (lateness) histogram: how far events arrive behind
     // the running event-time high-water mark, in ingest order (event_id) —
     // the measurement that SIZES a streaming watermark instead of guessing
@@ -6245,6 +6309,40 @@ object SparkEntry {
            FROM applied)
          SELECT pair, CAST(sum(n) AS BIGINT) AS cnt
          FROM p2 GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 20""",
+    "embed_cluster_purity" -> OracleSqlGen.clusterPurity(8),
+    "events_bot_score" ->
+      """WITH b AS (
+           SELECT user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(lag(CAST(ts AS TIMESTAMP))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us,
+             count(*) OVER (PARTITION BY user_id
+               ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+               RANGE BETWEEN 300 PRECEDING AND CURRENT ROW) AS w_n
+           FROM events),
+         p AS (
+           SELECT user_id, count(*) AS n_events, max(w_n) AS burst,
+             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_err,
+             count(gap_us) AS k,
+             sum(CAST(gap_us AS HUGEINT)) AS s_gap,
+             sum(CAST(gap_us AS HUGEINT) * gap_us) AS q_gap
+           FROM b GROUP BY user_id),
+         f AS (
+           SELECT user_id, n_events, burst,
+             (n_err * 1000000) // n_events AS err_ppm,
+             CAST(k AS HUGEINT) * q_gap - s_gap * s_gap AS var_num, k, s_gap
+           FROM p),
+         g AS (
+           SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+             CAST(burst AS BIGINT) AS burst, CAST(err_ppm AS BIGINT) AS err_ppm,
+             CAST(CASE WHEN burst >= 10 THEN 1 ELSE 0 END AS INT) AS f_burst,
+             CAST(CASE WHEN err_ppm >= 400000 THEN 1 ELSE 0 END AS INT) AS f_err,
+             CAST(CASE WHEN k >= 5 AND var_num * 4 < s_gap * s_gap
+                  THEN 1 ELSE 0 END AS INT) AS f_regular
+           FROM f)
+         SELECT user_id, n_events, burst, err_ppm, f_burst, f_err, f_regular,
+           CAST(f_burst + f_err + f_regular AS INT) AS score
+         FROM g WHERE f_burst + f_err + f_regular >= 1
+         ORDER BY score DESC, n_events DESC, user_id ASC LIMIT 50""",
     "events_lateness" ->
       """WITH x AS (
            SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us FROM events),
