@@ -4182,6 +4182,34 @@ object SparkEntry {
         .orderBy("wk")
     }),
 
+    // Order-independent table checksum — the replication/migration
+    // validation primitive: Σ over rows of the 52-bit md5 prefix of a
+    // canonical key string (integers and epoch micros only — no
+    // float formatting ambiguity), plus the row count. Any lost,
+    // duplicated, or altered row moves it; partitioning and row order
+    // cannot. One scan, one partial-aggregated sum per table.
+    "q_table_checksum" -> ((s, d) => {
+      def ck(df: DataFrame, name: String, keyCols: Seq[org.apache.spark.sql.Column]) =
+        df.select(conv(substring(md5(concat_ws("|", keyCols: _*).cast("binary")),
+            1, 13), 16, 10).cast("long").as("h"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("h").cast(DecimalType(38, 0))).as("cs"))
+          // Σ of 52-bit prefixes outgrows a long after ~2k rows — keep the
+          // exact decimal sum and report it mod 2^61 (both engines compute
+          // the same nonnegative remainder)
+          .select(lit(name).as("tbl"), col("n_rows"),
+            pmod(col("cs"), lit(2305843009213693952L)).cast("long").as("checksum"))
+      ck(orders(s, d), "orders", Seq(col("o_orderkey"), col("o_custkey"),
+          (dec(col("o_totalprice")) * 100).cast("long"),
+          unix_micros(col("o_orderdate").cast("timestamp"))))
+        .unionAll(ck(lineitem(s, d), "lineitem", Seq(col("l_orderkey"),
+          col("l_linenumber"), col("l_partkey"),
+          (dec(col("l_extendedprice")) * 100).cast("long"))))
+        .unionAll(ck(customer(s, d), "customer", Seq(col("c_custkey"),
+          col("c_nationkey"), (dec(col("c_acctbal")) * 100).cast("long"))))
+        .orderBy("tbl")
+    }),
+
     // Cluster-purity evaluation: the IVF centroid assignment (the engine's
     // k-means surface) scored against the ground-truth labels — per
     // cluster, the majority label and its exact ppm share. The argmax is
@@ -6310,6 +6338,28 @@ object SparkEntry {
          SELECT pair, CAST(sum(n) AS BIGINT) AS cnt
          FROM p2 GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 20""",
     "embed_cluster_purity" -> OracleSqlGen.clusterPurity(8),
+    "q_table_checksum" ->
+      """SELECT * FROM (
+           SELECT 'orders' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST('0x' || substr(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+               || '|' || CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR)
+               || '|' || CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS VARCHAR)), 1, 13) AS BIGINT)) % 2305843009213693952 AS BIGINT) AS checksum
+           FROM orders
+           UNION ALL
+           SELECT 'lineitem', CAST(count(*) AS BIGINT),
+             CAST(sum(CAST('0x' || substr(md5(
+               CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)
+               || '|' || CAST(l_partkey AS VARCHAR)
+               || '|' || CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR)), 1, 13) AS BIGINT)) % 2305843009213693952 AS BIGINT)
+           FROM lineitem
+           UNION ALL
+           SELECT 'customer', CAST(count(*) AS BIGINT),
+             CAST(sum(CAST('0x' || substr(md5(
+               CAST(c_custkey AS VARCHAR) || '|' || CAST(c_nationkey AS VARCHAR)
+               || '|' || CAST(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR)), 1, 13) AS BIGINT)) % 2305843009213693952 AS BIGINT)
+           FROM customer)
+         ORDER BY tbl""",
     "events_bot_score" ->
       """WITH b AS (
            SELECT user_id, event_type,
