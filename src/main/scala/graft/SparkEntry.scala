@@ -4182,6 +4182,21 @@ object SparkEntry {
         .orderBy("wk")
     }),
 
+    // Tokenizer fertility per language: subword tokens per 1000 chars —
+    // the metric that says which languages a byte-level tokenizer taxes.
+    // Integer sums, exact per-mille by floor division; one scan, O(langs).
+    "text_fertility" -> ((s, d) =>
+      documents(s, d)
+        .select(col("lang"),
+          TextAnalysis.subwordCount(col("text")).cast("long").as("sw"),
+          length(col("text")).cast("long").as("nc"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("sw").as("n_subwords"),
+          sum("nc").as("n_chars"))
+        .withColumn("fert_permille",
+          expr("(n_subwords * 1000L) div greatest(n_chars, 1L)"))
+        .orderBy("lang")),
+
     // Order-independent table checksum — the replication/migration
     // validation primitive: Σ over rows of the 52-bit md5 prefix of a
     // canonical key string (integers and epoch micros only — no
@@ -6338,6 +6353,14 @@ object SparkEntry {
          SELECT pair, CAST(sum(n) AS BIGINT) AS cnt
          FROM p2 GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 20""",
     "embed_cluster_purity" -> OracleSqlGen.clusterPurity(8),
+    "text_fertility" ->
+      s"""WITH sw AS (SELECT doc_id, n_subwords FROM (${OracleSqlGen.subwords}) x)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_subwords) AS BIGINT) AS n_subwords,
+             CAST(sum(length(text)) AS BIGINT) AS n_chars,
+             CAST((sum(n_subwords) * 1000) // greatest(sum(length(text)), 1) AS BIGINT) AS fert_permille
+         FROM documents JOIN sw USING (doc_id)
+         GROUP BY lang ORDER BY lang""",
     "q_table_checksum" ->
       """SELECT * FROM (
            SELECT 'orders' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
