@@ -4182,6 +4182,35 @@ object SparkEntry {
         .orderBy("wk")
     }),
 
+    // Year-over-year revenue bridge: ΔR decomposed into volume effect
+    // ((q2−q1) at year-1 unit price) and price effect (the exact
+    // remainder, so the two effects sum to ΔR BY CONSTRUCTION — no float
+    // identity to trust). Yearly revenue/quantity accumulate as exact
+    // cents; the two effects are the only doubles, same expression tree
+    // both engines. O(years) frame after one fact aggregation.
+    "q_revenue_bridge" -> ((s, d) => {
+      val yearly = lineitem(s, d)
+        .join(orders(s, d).select(col("o_orderkey"),
+          year(col("o_orderdate")).as("yr")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("yr")
+        .agg(sum((dec(col("l_extendedprice")) * 100).cast("long")
+          .cast(DecimalType(38, 0))).cast("long").as("r"),
+          sum((dec(col("l_quantity")) * 100).cast("long")
+            .cast(DecimalType(38, 0))).cast("long").as("q"))
+      val prev = yearly.select((col("yr") + 1).as("yr"),
+        col("r").as("r1"), col("q").as("q1"))
+      yearly.join(prev, Seq("yr"))
+        .withColumn("vol_effect",
+          (col("q") - col("q1")).cast("double") * col("r1").cast("double")
+            / col("q1").cast("double"))
+        .select(col("yr"), col("r1"), col("r").as("r2"),
+          col("vol_effect"),
+          ((col("r") - col("r1")).cast("double") - col("vol_effect"))
+            .as("price_effect"))
+        .orderBy("yr")
+    }),
+
     // Tokenizer fertility per language: subword tokens per 1000 chars —
     // the metric that says which languages a byte-level tokenizer taxes.
     // Integer sums, exact per-mille by floor division; one scan, O(langs).
@@ -6353,6 +6382,19 @@ object SparkEntry {
          SELECT pair, CAST(sum(n) AS BIGINT) AS cnt
          FROM p2 GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 20""",
     "embed_cluster_purity" -> OracleSqlGen.clusterPurity(8),
+    "q_revenue_bridge" ->
+      """WITH yearly AS (
+           SELECT year(o_orderdate) AS yr,
+             CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS HUGEINT)) AS BIGINT) AS r,
+             CAST(sum(CAST(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS HUGEINT)) AS BIGINT) AS q
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           GROUP BY 1)
+         SELECT CAST(a.yr AS INT) AS yr, b.r AS r1, a.r AS r2,
+           CAST(a.q - b.q AS DOUBLE) * CAST(b.r AS DOUBLE) / CAST(b.q AS DOUBLE) AS vol_effect,
+           CAST(a.r - b.r AS DOUBLE)
+             - CAST(a.q - b.q AS DOUBLE) * CAST(b.r AS DOUBLE) / CAST(b.q AS DOUBLE) AS price_effect
+         FROM yearly a JOIN yearly b ON a.yr = b.yr + 1
+         ORDER BY yr""",
     "text_fertility" ->
       s"""WITH sw AS (SELECT doc_id, n_subwords FROM (${OracleSqlGen.subwords}) x)
          SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
