@@ -4182,6 +4182,40 @@ object SparkEntry {
         .orderBy("wk")
     }),
 
+    // Customer segment-migration matrix: each customer's spend quintile in
+    // 1996 vs 1997 (distributed exact ntile both years — no single-task
+    // window), counts per (from, to) cell — the churn/upgrade flow view.
+    // O(customers) frames, O(25) output.
+    "q_segment_migration" -> ((s, d) => {
+      def spend(yr: Int) = orders(s, d)
+        .filter(year(col("o_orderdate")) === yr)
+        .groupBy("o_custkey")
+        .agg(sum((dec(col("o_totalprice")) * 100).cast("long")
+          .cast(DecimalType(38, 0))).cast("long").as("cents"))
+      val a = graft.operators.Ranking.withGlobalNtile(
+        spend(1996), Seq(desc("cents"), asc("o_custkey")), 5, "q_from")
+        .select(col("o_custkey"), col("q_from"))
+      val b = graft.operators.Ranking.withGlobalNtile(
+        spend(1997), Seq(desc("cents"), asc("o_custkey")), 5, "q_to")
+        .select(col("o_custkey"), col("q_to"))
+      a.join(b, "o_custkey")
+        .groupBy("q_from", "q_to").agg(count(lit(1)).as("n_customers"))
+        .select(col("q_from").cast("int").as("q_from"),
+          col("q_to").cast("int").as("q_to"), col("n_customers"))
+        .orderBy("q_from", "q_to")
+    }),
+
+    // Near-dup similarity histogram: the exact n-gram Jaccard pair scores
+    // bucketed by decile — the curve that picks a dedup threshold instead
+    // of guessing one. Reuses the inverted-index pair machinery; the
+    // bucket floor runs on the identical IEEE double both engines compute.
+    "dedup_jaccard_hist" -> ((s, d) =>
+      Dedup.ngramJaccard(documents(s, d), col("doc_id"), col("text"),
+          n = 3, threshold = 0.2)
+        .select(floor(col("jaccard") * 10).cast("int").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("bucket")),
+
     // Year-over-year revenue bridge: ΔR decomposed into volume effect
     // ((q2−q1) at year-1 unit price) and price effect (the exact
     // remainder, so the two effects sum to ΔR BY CONSTRUCTION — no float
@@ -6382,6 +6416,30 @@ object SparkEntry {
          SELECT pair, CAST(sum(n) AS BIGINT) AS cnt
          FROM p2 GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 20""",
     "embed_cluster_purity" -> OracleSqlGen.clusterPurity(8),
+    "q_segment_migration" ->
+      """WITH s96 AS (
+           SELECT o_custkey,
+             CAST(sum(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS HUGEINT)) AS BIGINT) AS cents
+           FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1),
+         s97 AS (
+           SELECT o_custkey,
+             CAST(sum(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS HUGEINT)) AS BIGINT) AS cents
+           FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1),
+         a AS (SELECT o_custkey,
+                 ntile(5) OVER (ORDER BY cents DESC, o_custkey ASC) AS q_from
+               FROM s96),
+         b AS (SELECT o_custkey,
+                 ntile(5) OVER (ORDER BY cents DESC, o_custkey ASC) AS q_to
+               FROM s97)
+         SELECT CAST(q_from AS INT) AS q_from, CAST(q_to AS INT) AS q_to,
+             CAST(count(*) AS BIGINT) AS n_customers
+         FROM a JOIN b USING (o_custkey)
+         GROUP BY 1, 2 ORDER BY q_from, q_to""",
+    "dedup_jaccard_hist" ->
+      s"""WITH p AS (SELECT jaccard FROM (${OracleSqlGen.ngramJaccard(3, 0.2)}) x)
+         SELECT CAST(floor(jaccard * 10) AS INT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_pairs
+         FROM p GROUP BY 1 ORDER BY bucket""",
     "q_revenue_bridge" ->
       """WITH yearly AS (
            SELECT year(o_orderdate) AS yr,
