@@ -4151,11 +4151,14 @@ object SparkEntry {
     // on week−1, min-week frame), everything keyed on user_id; counts are
     // integers, no windows.
     "events_growth_accounting" -> ((s, d) => {
+      // materialized once: four consumers below would otherwise re-run
+      // the events scan + distinct per branch
       val uw = events(s, d)
         .select(col("user_id"),
           expr("CAST(unix_timestamp(date_trunc('week', ts)) AS LONG) div 604800")
             .as("wk"))
         .distinct()
+        .localCheckpoint(false)
       val first = uw.groupBy("user_id").agg(min("wk").as("first_wk"))
       val prev = uw.select(col("user_id"), (col("wk") + 1).as("wk"),
         lit(1L).as("was_prev"))
