@@ -145,6 +145,42 @@ class AnalyticsTwinSpec extends AnyFunSuite with SparkTestBase {
     assert(allWeeks.nonEmpty)
   }
 
+  test("events_concurrency matches a driver-side boundary sweep") {
+    val ts = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")))
+      .as[(Long, Long)].collect()
+    val bounds = ts.flatMap { case (id, t) =>
+      Seq((t, 1L, id), (t + 900000000L, -1L, id)) }
+      .sortBy { case (t, dl, id) => (t, dl, id) }
+    var lvl = 0L
+    val peaks = collection.mutable.Map[Long, Long]()
+    bounds.foreach { case (t, dl, _) =>
+      lvl += dl
+      val day = Math.floorDiv(t, 86400000000L)
+      peaks(day) = math.max(peaks.getOrElse(day, Long.MinValue), lvl)
+    }
+    val got = SparkEntry.queries("events_concurrency")(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    assert(got == peaks.toMap)
+  }
+
+  test("events_lateness matches a driver-side running-max scan") {
+    val rows = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    var runMax = Long.MinValue
+    val hist = collection.mutable.Map[Long, Long]()
+    rows.foreach { case (_, t) =>
+      runMax = math.max(runMax, t)
+      val lateS = Math.floorDiv(runMax - t, 1000000L)
+      hist(lateS) = hist.getOrElse(lateS, 0L) + 1
+    }
+    val got = SparkEntry.queries("events_lateness")(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    assert(got == hist.toMap)
+    assert(got.contains(0L)) // the high-water-mark events themselves
+  }
+
   test("hardNegatives skips same-label neighbors however close") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f), 7),
