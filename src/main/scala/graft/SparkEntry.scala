@@ -4185,6 +4185,41 @@ object SparkEntry {
         .orderBy("wk")
     }),
 
+    // Rich-club coefficient: do the hubs of the co-purchase graph connect
+    // to EACH OTHER more than random? φ = 2·E_hub / (N_hub·(N_hub−1)) for
+    // nodes of degree ≥ 10 — integer numerator/denominator from the
+    // memoized edge table, one broadcast hub set, one double division.
+    "graph_rich_club" -> ((s, d) => {
+      val e = copurchaseEdges(s, d)
+      val hubs = e.select(explode(array(col("u"), col("v"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= 10).select("node")
+      val nHub = hubs.agg(count(lit(1)).as("n_hub"))
+      val eHub = e
+        .join(broadcast(hubs.select(col("node").as("u"))), Seq("u"), "left_semi")
+        .join(broadcast(hubs.select(col("node").as("v"))), Seq("v"), "left_semi")
+        .agg(count(lit(1)).as("e_hub"))
+      eHub.crossJoin(broadcast(nHub))
+        .select(col("n_hub"), col("e_hub"),
+          ((col("e_hub") * 2).cast("double")
+            / (col("n_hub") * (col("n_hub") - 1)).cast("double")).as("phi"))
+        .orderBy("n_hub")
+    }),
+
+    // Word burstiness (Church–Gale): collection frequency over document
+    // frequency per term — cf/df ≈ 1 for function words, ≫ 1 for bursty
+    // topical terms. One tokenization pass feeds both counts; top-30 by
+    // cf with a total order; exact integer ratio in ppm.
+    "text_burstiness" -> ((s, d) => {
+      val tok = documents(s, d).select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+        .filter(length(col("term")) >= 3)
+      tok.groupBy("term")
+        .agg(count(lit(1)).as("cf"), countDistinct(col("doc_id")).as("df"))
+        .withColumn("burst_ppm", expr("(cf * 1000000L) div df"))
+        .orderBy(desc("cf"), asc("term")).limit(30)
+    }),
+
     // Customer segment-migration matrix: each customer's spend quintile in
     // 1996 vs 1997 (distributed exact ntile both years — no single-task
     // window), counts per (from, to) cell — the churn/upgrade flow view.
@@ -6419,6 +6454,35 @@ object SparkEntry {
          SELECT pair, CAST(sum(n) AS BIGINT) AS cnt
          FROM p2 GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 20""",
     "embed_cluster_purity" -> OracleSqlGen.clusterPurity(8),
+    "graph_rich_club" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS (
+           SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+           FROM lp a JOIN lp b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         deg AS (
+           SELECT node, count(*) AS deg
+           FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+           GROUP BY node),
+         hubs AS (SELECT node FROM deg WHERE deg >= 10),
+         nh AS (SELECT count(*) AS n_hub FROM hubs),
+         eh AS (
+           SELECT count(*) AS e_hub FROM e
+           WHERE u IN (SELECT node FROM hubs) AND v IN (SELECT node FROM hubs))
+         SELECT CAST(n_hub AS BIGINT) AS n_hub, CAST(e_hub AS BIGINT) AS e_hub,
+           CAST(e_hub * 2 AS DOUBLE) / CAST(n_hub * (n_hub - 1) AS DOUBLE) AS phi
+         FROM eh CROSS JOIN nh ORDER BY n_hub""",
+    "text_burstiness" ->
+      """WITH tok AS (
+           SELECT doc_id, t AS term FROM (
+             SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS t
+             FROM documents)
+           WHERE len(t) >= 3)
+         SELECT term, CAST(count(*) AS BIGINT) AS cf,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+             CAST((count(*) * 1000000) // count(DISTINCT doc_id) AS BIGINT) AS burst_ppm
+         FROM tok GROUP BY term
+         ORDER BY cf DESC, term ASC LIMIT 30""",
     "q_segment_migration" ->
       """WITH s96 AS (
            SELECT o_custkey,
