@@ -3524,6 +3524,126 @@ object SparkEntry {
         .orderBy("c_mktsegment")
     }),
 
+    // TPC-H Q17 shape: revenue locked in small-quantity lineitems — those
+    // below 20% of their part's average quantity, for three brands. The
+    // correlated AVG subquery becomes a per-part (n, sum_qty) aggregate
+    // joined back (broadcast — O(filtered parts) rows); the 20%-of-average
+    // test is cross-multiplied into integers (5·qty·n < sum_qty, in
+    // DECIMAL(38,0)/HUGEINT) so no division or float average exists
+    // anywhere; revenue is the one closing division of exact cents.
+    "q17_small_qty" -> ((s, d) => {
+      val p = part(s, d)
+        .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+        .select(col("p_partkey"), col("p_brand"))
+      val li = lineitem(s, d)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"), col("l_partkey"),
+          (dec(col("l_quantity")) * 100).cast("long").as("qc"),
+          (dec(col("l_extendedprice")) * 100).cast("long").as("pc"))
+      val pa = li.groupBy(col("l_partkey").as("pk"))
+        .agg(count(lit(1)).as("n_li"), sum("qc").as("sq"))
+      li.join(broadcast(pa), col("l_partkey") === col("pk"))
+        .filter(col("qc").cast(DecimalType(38, 0)) * 5 * col("n_li")
+          < col("sq").cast(DecimalType(38, 0)))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_small"),
+          (sum(col("pc").cast(DecimalType(38, 0))).cast("double") / 100)
+            .as("revenue"))
+        .orderBy("p_brand")
+    }),
+
+    // TPC-H Q18 shape: large-volume orders. The per-order quantity sum runs
+    // over lineitem ALONE (map-side combinable, one shuffle on orderkey),
+    // the HAVING threshold shrinks it to a tail BEFORE any join, and the
+    // survivors broadcast into orders then customer — orders never joins
+    // raw lineitem rows. Integer cents; date as epoch seconds.
+    "q18_large_orders" -> ((s, d) => {
+      val big = lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(sum((dec(col("l_quantity")) * 100).cast("long")).as("qty_cents"))
+        .filter(col("qty_cents") > 300 * 100)
+      orders(s, d).join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"),
+          unix_timestamp(col("o_orderdate").cast("timestamp")).as("od_epoch"),
+          col("qty_cents"))
+        .orderBy(desc("qty_cents"), asc("o_orderkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    // multi-supplier order ("late" = shipped >60 days after the order
+    // date — this testdata has no commit/receipt dates). The two correlated
+    // EXISTS / NOT EXISTS of the original collapse into one per-(order,
+    // supplier) late flag plus two window aggregates PARTITIONED BY order
+    // (parallel, no self-join, no global sort): n_supp > 1 is the EXISTS
+    // (another supplier), n_late = 1 the NOT EXISTS (no other late one).
+    "q21_late_sole" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val lo = lineitem(s, d)
+        .join(orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(max((col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 60 DAYS")).cast("long")).as("late"))
+      val w = Window.partitionBy("l_orderkey")
+      lo.withColumn("n_supp", count(lit(1)).over(w))
+        .withColumn("n_late", sum("late").over(w))
+        .filter(col("late") === 1 && col("n_supp") > 1 && col("n_late") === 1)
+        .groupBy("l_suppkey").agg(count(lit(1)).as("numwait"))
+        .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_name"), col("numwait"))
+        .orderBy(desc("numwait"), asc("s_name")).limit(50)
+    }),
+
+    // TPC-H Q2 shape: cheapest supplier per part — the correlated
+    // min-subquery-then-rejoin becomes ONE argmin aggregation:
+    // min(struct(price, suppkey)) picks the minimum price with a
+    // deterministic supplier tie-break in a single map-side-combinable
+    // pass (no window, no self-join), then the O(parts) result joins the
+    // broadcast supplier dim for attributes.
+    "q2_cheapest_supplier" -> ((s, d) => {
+      val li = lineitem(s, d)
+        .join(broadcast(part(s, d).filter(col("p_size") === 15)
+          .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+        .select(col("p_partkey"),
+          (dec(col("l_extendedprice")) * 100).cast("long").as("price_cents"),
+          col("l_suppkey"))
+      li.groupBy("p_partkey")
+        .agg(min(struct(col("price_cents"), col("l_suppkey"))).as("m"))
+        .select(col("p_partkey"), col("m.price_cents").as("best_cents"),
+          col("m.l_suppkey").as("best_supp"))
+        .join(broadcast(supplier(s, d)), col("best_supp") === col("s_suppkey"))
+        .select(col("p_partkey"),
+          (col("best_cents").cast("double") / 100).as("best_price"),
+          col("s_name"))
+        .orderBy("p_partkey")
+    }),
+
+    // TPC-H Q19 shape: disjunctive brand/size/quantity predicate — the
+    // OR-of-ANDs that exercises CNF conversion and partial pushdown (the
+    // common size lower bound and the quantity envelope are extractable;
+    // the per-branch conjunctions evaluate post-join). Revenue accumulates
+    // as exact integer cents·(100−disc_pct) in DECIMAL(38,0).
+    "q19_disjunctive" -> ((s, d) => {
+      val li = lineitem(s, d).select(col("l_partkey"),
+        (dec(col("l_quantity")) * 100).cast("long").as("qc"),
+        (dec(col("l_extendedprice")) * 100).cast("long").as("pc"),
+        (dec(col("l_discount")) * 100).cast("long").as("dc"))
+      val p = part(s, d).select(col("p_partkey"), col("p_brand"), col("p_size"))
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 5)
+            && col("qc").between(100, 1100)) ||
+          (col("p_brand") === "Brand#13" && col("p_size").between(1, 10)
+            && col("qc").between(1000, 2000)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 15)
+            && col("qc").between(2000, 3000)))
+        .agg(count(lit(1)).as("n_li"),
+          (sum((col("pc").cast(DecimalType(38, 0)) * (lit(100) - col("dc"))))
+            .cast("double") / 10000).as("revenue"))
+    }),
+
     // Exact two-sample Kolmogorov-Smirnov distance between the value
     // distributions of two event types — the drift test a training pipeline
     // runs between data snapshots. D = max |F1 - F2| over the pooled
@@ -6117,6 +6237,79 @@ object SparkEntry {
          WHERE CAST(cents AS HUGEINT) * npos > tot
            AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
          GROUP BY 1 ORDER BY 1""",
+    "q17_small_qty" ->
+      """WITH li AS (
+           SELECT p_brand, l_partkey,
+               CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qc,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')),
+         pa AS (
+           SELECT l_partkey AS pk, count(*) AS n_li, sum(qc) AS sq
+           FROM li GROUP BY 1)
+         SELECT p_brand, CAST(count(*) AS BIGINT) AS n_small,
+             CAST(sum(CAST(pc AS HUGEINT)) AS DOUBLE) / 100 AS revenue
+         FROM li JOIN pa ON l_partkey = pk
+         WHERE CAST(qc AS HUGEINT) * 5 * n_li < CAST(sq AS HUGEINT)
+         GROUP BY p_brand ORDER BY p_brand""",
+    "q18_large_orders" ->
+      """WITH big AS (
+           SELECT l_orderkey,
+               sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS qty_cents
+           FROM lineitem GROUP BY 1 HAVING qty_cents > 30000)
+         SELECT c_name, o_orderkey,
+             CAST(floor(epoch(CAST(o_orderdate AS TIMESTAMP))) AS BIGINT) AS od_epoch,
+             CAST(qty_cents AS BIGINT) AS qty_cents
+         FROM big JOIN orders ON o_orderkey = l_orderkey
+                  JOIN customer ON o_custkey = c_custkey
+         ORDER BY qty_cents DESC, o_orderkey ASC LIMIT 100""",
+    "q21_late_sole" ->
+      """WITH lo AS (
+           SELECT l_orderkey, l_suppkey,
+               max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                   THEN 1 ELSE 0 END) AS late
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           GROUP BY 1, 2),
+         f AS (
+           SELECT l_suppkey, late,
+               count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+               sum(late) OVER (PARTITION BY l_orderkey) AS n_late
+           FROM lo)
+         SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+         FROM f JOIN supplier ON l_suppkey = s_suppkey
+         WHERE late = 1 AND n_supp > 1 AND n_late = 1
+         GROUP BY s_name ORDER BY numwait DESC, s_name ASC LIMIT 50""",
+    "q2_cheapest_supplier" ->
+      """WITH li AS (
+           SELECT l_partkey,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents,
+               l_suppkey
+           FROM lineitem JOIN part ON l_partkey = p_partkey AND p_size = 15),
+         r AS (
+           SELECT l_partkey, price_cents, l_suppkey,
+               row_number() OVER (PARTITION BY l_partkey
+                 ORDER BY price_cents, l_suppkey) AS rn
+           FROM li)
+         SELECT l_partkey AS p_partkey,
+             CAST(price_cents AS DOUBLE) / 100 AS best_price, s_name
+         FROM r JOIN supplier ON l_suppkey = s_suppkey
+         WHERE rn = 1 ORDER BY p_partkey""",
+    "q19_disjunctive" ->
+      """WITH li AS (
+           SELECT l_partkey,
+               CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qc,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc,
+               CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS dc
+           FROM lineitem)
+         SELECT CAST(count(*) AS BIGINT) AS n_li,
+             CAST(sum(CAST(pc AS HUGEINT) * (100 - dc)) AS DOUBLE) / 10000 AS revenue
+         FROM li JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 5
+                AND qc BETWEEN 100 AND 1100)
+            OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+                AND qc BETWEEN 1000 AND 2000)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 15
+                AND qc BETWEEN 2000 AND 3000)""",
     "q_ks_test" ->
       """WITH x AS (
            SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
