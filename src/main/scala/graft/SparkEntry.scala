@@ -3659,6 +3659,30 @@ object SparkEntry {
         col("v_cents"),
         col("event_type") === "click", col("event_type") === "view")),
 
+    // Exact tie-corrected Mann-Whitney U between two event types' value
+    // distributions — the rank-based (distribution-free) complement of
+    // q_ab_ttest and q_ks_test. Average ranks stay integral as 2×-scaled
+    // ranks from the distributed cumsum; the rank sum and both U numerators
+    // live in DECIMAL(38,0)/HUGEINT, so everything up to the closing
+    // halving is engine/partition/order-exact.
+    "q_mannwhitney" -> ((s, d) =>
+      graft.operators.Stats.mannWhitneyU(
+        events(s, d).withColumn("v_cents", (dec(col("value")) * 100).cast("long")),
+        col("v_cents"),
+        col("event_type") === "purchase", col("event_type") === "click")),
+
+    // Exact tie-corrected Spearman rank correlation between lineitem
+    // quantity and extended price: Pearson over 2×-scaled average ranks
+    // (integers under ties; the 2× cancels). Per-variable rank maps are
+    // O(distinct values) frames joined back; moments are exact decimals;
+    // the ratio is the only double. The monotone-association complement of
+    // the Pearson battery (q_cross_corr / graph_assortativity).
+    "q_spearman" -> ((s, d) =>
+      graft.operators.Stats.spearman(
+        lineitem(s, d),
+        (dec(col("l_quantity")) * 100).cast("long"),
+        (dec(col("l_extendedprice")) * 100).cast("long"))),
+
     // Truncated binary EWMA of the hourly event rate: weights 1/2, 1/4, …,
     // 1/2^20 over the trailing 20 hours, in fixed point scaled by 2^20 —
     // every weight is a power of two, so the smoothed series is EXACT
@@ -6310,6 +6334,57 @@ object SparkEntry {
                 AND qc BETWEEN 1000 AND 2000)
             OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 15
                 AND qc BETWEEN 2000 AND 3000)""",
+    "q_mannwhitney" ->
+      """WITH x AS (
+           SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is1,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is2
+           FROM events WHERE event_type IN ('purchase', 'click')),
+         g AS (
+           SELECT v, sum(is1) AS n1v, sum(is2) AS n2v,
+               sum(is1) + sum(is2) AS nt
+           FROM x GROUP BY v),
+         c AS (
+           SELECT v, n1v, nt, sum(nt) OVER (ORDER BY v) AS cum FROM g),
+         r AS (
+           SELECT sum(CAST(n1v AS HUGEINT) * (cum * 2 - nt + 1)) AS r1_2
+           FROM c),
+         t AS (SELECT sum(is1) AS t1, sum(is2) AS t2 FROM x),
+         u AS (
+           SELECT t1, t2,
+               r1_2 - CAST(t1 AS HUGEINT) * (t1 + 1) AS u1x2,
+               2 * CAST(t1 AS HUGEINT) * t2
+                 - (r1_2 - CAST(t1 AS HUGEINT) * (t1 + 1)) AS u2x2
+           FROM r CROSS JOIN t)
+         SELECT CAST(t1 AS BIGINT) AS n1, CAST(t2 AS BIGINT) AS n2,
+             CAST(u1x2 AS BIGINT) AS u1_x2, CAST(u2x2 AS BIGINT) AS u2_x2,
+             CAST(least(u1x2, u2x2) AS DOUBLE) / 2 AS u_stat
+         FROM u""",
+    "q_spearman" ->
+      """WITH b AS (
+           SELECT CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS xv,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS yv
+           FROM lineitem),
+         rx AS (
+           SELECT xv, 2 * sum(cnt) OVER (ORDER BY xv) - cnt + 1 AS rx2
+           FROM (SELECT xv, count(*) AS cnt FROM b GROUP BY xv)),
+         ry AS (
+           SELECT yv, 2 * sum(cnt) OVER (ORDER BY yv) - cnt + 1 AS ry2
+           FROM (SELECT yv, count(*) AS cnt FROM b GROUP BY yv)),
+         j AS (
+           SELECT rx2, ry2 FROM b JOIN rx USING (xv) JOIN ry USING (yv)),
+         m AS (
+           SELECT count(*) AS n,
+               sum(CAST(rx2 AS HUGEINT)) AS sx, sum(CAST(ry2 AS HUGEINT)) AS sy,
+               sum(CAST(rx2 AS HUGEINT) * rx2) AS sxx,
+               sum(CAST(ry2 AS HUGEINT) * ry2) AS syy,
+               sum(CAST(rx2 AS HUGEINT) * ry2) AS sxy
+           FROM j)
+         SELECT CAST(n AS BIGINT) AS n,
+             round(CAST(n * sxy - sx * sy AS DOUBLE)
+               / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS rho
+         FROM m""",
     "q_ks_test" ->
       """WITH x AS (
            SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,

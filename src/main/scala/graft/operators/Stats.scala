@@ -45,4 +45,68 @@ object Stats {
           .as("d_stat"))
       .orderBy("n1")
   }
+
+  /** Exact Mann–Whitney U between the `value` distributions of the rows
+    * where `in1` / `in2` hold (value must be integral — quantize first).
+    * Tie-corrected via AVERAGE ranks, kept integral by working with 2×
+    * ranks: for a value with `nt` observations and `cb` observations
+    * strictly below it, 2·avgrank = 2·cb + nt + 1. The rank-sum uses the
+    * distributed range-partitioned cumsum (no single-task global window);
+    * rank sums and the U numerators stay DECIMAL(38,0)/HUGEINT, so the
+    * statistic is partition/order/engine-exact; U itself is the one closing
+    * halving (exact in doubles — 2×U is an integer).
+    * Returns one row: (n1, n2, u1_x2, u2_x2, u_stat).
+    */
+  def mannWhitneyU(df: DataFrame, value: Column, in1: Column, in2: Column): DataFrame = {
+    val x = df.filter(in1 || in2)
+      .select(value.as("v"),
+        in1.cast("long").as("is1"), in2.cast("long").as("is2"))
+    val g = x.groupBy("v")
+      .agg(sum("is1").as("n1v"), sum("is2").as("n2v"))
+      .withColumn("nt", col("n1v") + col("n2v"))
+    val c = Ranking.withGlobalCumSum(g, Seq(col("v")), col("nt"), "cum")
+    // 2×avgrank = 2·(cum − nt) + nt + 1 = 2·cum − nt + 1
+    val r1 = c.agg(sum(col("n1v").cast(DecimalType(38, 0))
+      * (col("cum") * 2 - col("nt") + 1)).as("r1_2"))
+    val tot = x.agg(sum("is1").as("t1"), sum("is2").as("t2"))
+    val d1 = col("t1").cast(DecimalType(38, 0))
+    val d2 = col("t2").cast(DecimalType(38, 0))
+    // U1 = R1 − n1(n1+1)/2, so 2×U1 = (2×R1) − n1(n1+1); r1_2 is 2×R1
+    val u1 = col("r1_2") - d1 * (d1 + 1)
+    r1.crossJoin(broadcast(tot))
+      .select(col("t1"), col("t2"), u1.as("u1x2"), (d1 * d2 * 2 - u1).as("u2x2"))
+      .select(col("t1").as("n1"), col("t2").as("n2"),
+        col("u1x2").cast("long").as("u1_x2"),
+        col("u2x2").cast("long").as("u2_x2"),
+        (least(col("u1x2"), col("u2x2")).cast("double") / 2).as("u_stat"))
+  }
+
+  /** Exact Spearman rank correlation between `x` and `y` over the whole
+    * frame, tie-corrected: Pearson computed on 2×-scaled AVERAGE ranks (the
+    * 2× cancels in the ratio), which stay integers under ties. Per-variable
+    * rank maps are O(distinct values) aggregates cumsum'd distributedly and
+    * joined back; moments accumulate in DECIMAL(38,0); the ratio is double
+    * only at the output boundary (rounded to 6 dp — the engine's Pearson
+    * convention, see events_autocorr). Returns one row: (n, rho).
+    */
+  def spearman(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val base = df.select(x.as("xv"), y.as("yv"))
+    def rankMap(c: String, out: String): DataFrame = {
+      val g = base.groupBy(c).agg(count(lit(1)).as("nt"))
+      Ranking.withGlobalCumSum(g, Seq(col(c)), col("nt"), "cum")
+        .select(col(c), (col("cum") * 2 - col("nt") + 1).as(out))
+    }
+    val j = base
+      .join(rankMap("xv", "rx2"), "xv")
+      .join(rankMap("yv", "ry2"), "yv")
+    val dx = col("rx2").cast(DecimalType(38, 0))
+    val dy = col("ry2").cast(DecimalType(38, 0))
+    j.agg(count(lit(1)).as("n"), sum(dx).as("sx"), sum(dy).as("sy"),
+        sum(dx * dx).as("sxx"), sum(dy * dy).as("syy"), sum(dx * dy).as("sxy"))
+      .select(col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))),
+          6).as("rho"))
+  }
 }

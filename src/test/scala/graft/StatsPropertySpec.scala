@@ -54,6 +54,47 @@ class StatsPropertySpec extends AnyFunSuite with SparkTestBase {
     assert(r3.getLong(2) == r2.getLong(2) && r3.getDouble(3) == r2.getDouble(3))
   }
 
+  test("mannWhitneyU: identical→U1=U2, separation→0, tie hand case, shift invariance") {
+    import graft.operators.Stats
+    import org.apache.spark.sql.functions.{col, lit}
+    // identical samples → U1 = U2 = n1·n2/2 (u1_x2 = u2_x2 = n1·n2)
+    val same = (1 to 60).map(i => (i.toLong % 9)).toDF("v")
+    val r0 = Stats.mannWhitneyU(same, col("v"), lit(true), lit(true)).head()
+    assert(r0.getLong(2) == r0.getLong(3) && r0.getLong(2) == 60L * 60L)
+    // complete separation: group A strictly below B → U1 = 0, U2 = n1·n2
+    val sep = ((1 to 30).map(i => (i.toLong, true)) ++
+      (100 to 129).map(i => (i.toLong, false))).toDF("v", "a")
+    val r1 = Stats.mannWhitneyU(sep, col("v"), col("a"), !col("a")).head()
+    assert(r1.getLong(2) == 0L && r1.getLong(3) == 1800L && r1.getDouble(4) == 0.0)
+    // tie hand case: {1,2} vs {2,3} — avg ranks 1, 2.5, 2.5, 4 →
+    // R1 = 3.5, U1 = 0.5, U2 = 3.5
+    val h = Seq((1L, true), (2L, true), (2L, false), (3L, false)).toDF("v", "a")
+    val r2 = Stats.mannWhitneyU(h, col("v"), col("a"), !col("a")).head()
+    assert(r2.getLong(2) == 1L && r2.getLong(3) == 7L && r2.getDouble(4) == 0.5)
+    // monotone (affine) transform leaves U unchanged
+    val r3 = Stats.mannWhitneyU(h.withColumn("v", col("v") * 500 + 3),
+      col("v"), col("a"), !col("a")).head()
+    assert(r3.getLong(2) == r2.getLong(2) && r3.getDouble(4) == r2.getDouble(4))
+  }
+
+  test("spearman: ±1 on monotone (nonlinear) data, tie-corrected hand case") {
+    import graft.operators.Stats
+    import org.apache.spark.sql.functions.col
+    // perfectly monotone but NONLINEAR association → rho exactly 1
+    // (Pearson on these values would be < 1 — the rank transform is the point)
+    val cube = (1L to 50L).map(x => (x, x * x * x)).toDF("x", "y")
+    assert(Stats.spearman(cube, col("x"), col("y")).head().getDouble(1) == 1.0)
+    val neg = (1L to 50L).map(x => (x, -(x * x))).toDF("x", "y")
+    assert(Stats.spearman(neg, col("x"), col("y")).head().getDouble(1) == -1.0)
+    // hand case with ties: x=(1,2,2,3), y=(1,3,3,5) — identical rank
+    // vectors under average ranks → rho = 1
+    val ties = Seq((1L, 1L), (2L, 3L), (2L, 3L), (3L, 5L)).toDF("x", "y")
+    assert(Stats.spearman(ties, col("x"), col("y")).head().getDouble(1) == 1.0)
+    // reversal → -1 even with ties
+    val rev = Seq((1L, 5L), (2L, 3L), (2L, 3L), (3L, 1L)).toDF("x", "y")
+    assert(Stats.spearman(rev, col("x"), col("y")).head().getDouble(1) == -1.0)
+  }
+
   test("gini formula: 0 for perfect equality, approaches 1 for concentration") {
     import org.apache.spark.sql.expressions.Window
     def gini(values: Seq[Double]): Double = {
