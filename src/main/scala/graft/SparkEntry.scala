@@ -1767,6 +1767,24 @@ object SparkEntry {
         .orderBy(desc("freq"), asc("tok"))
     }),
 
+    // Lexical diversity per source: type-token ratio and hapax-legomenon
+    // share — the standard corpus-QC signals for template/boilerplate
+    // detection (low TTR) and OCR/noise detection (hapax spikes). One
+    // (source, token) frequency aggregation feeds both; shares are exact
+    // integer ppm. O(vocab) intermediate, O(sources) output.
+    "text_ttr_hapax" -> ((s, d) => {
+      val tf = documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("freq"))
+      tf.groupBy("source")
+        .agg(sum("freq").as("n_tokens"), count(lit(1)).as("n_types"),
+          sum((col("freq") === 1).cast("long")).as("n_hapax"))
+        .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+          expr("n_types * 1000000 div n_tokens").as("ttr_ppm"),
+          expr("n_hapax * 1000000 div n_types").as("hapax_ppm"))
+        .orderBy("source")
+    }),
+
     // Zipf rank-frequency check over the text_vocab tokenization: Zipf's
     // law predicts freq·rank ≈ const, so the product column IS the fit
     // diagnostic — all integer (rank from a 50-row window, ppm ratio by
@@ -3683,6 +3701,31 @@ object SparkEntry {
         (dec(col("l_quantity")) * 100).cast("long"),
         (dec(col("l_extendedprice")) * 100).cast("long"))),
 
+    // Binned distribution-drift report between two data snapshots (first
+    // vs second half-month of events): per fixed-width value bin, both
+    // counts, exact ppm shares, and the cross-multiplied total-variation
+    // numerator |na·tb − nb·ta| — all integer (HUGEINT on the oracle side),
+    // so the drift scores are engine/partition/order-exact. The binned
+    // integer companion to q_ks_test: O(bins) output, one scan, one
+    // map-side-combinable aggregation — the shape that survives 100 TB
+    // (a KS over raw support is O(distinct values); bins are O(1)).
+    "q_drift_bins" -> ((s, d) => {
+      val e = events(s, d).select(
+        (dec(col("value")) * 100).cast("long").as("vc"),
+        (col("ts") < lit("2024-01-16").cast("timestamp")).cast("long").as("isa"))
+      val g = e.groupBy(expr("vc div 5000").as("bin"))
+        .agg(sum("isa").as("na"), sum(lit(1) - col("isa")).as("nb"))
+      val tot = g.agg(sum("na").as("ta"), sum("nb").as("tb"))
+      g.crossJoin(broadcast(tot))
+        .select(col("bin"), col("na"), col("nb"),
+          expr("na * 1000000 div ta").as("pa_ppm"),
+          expr("nb * 1000000 div tb").as("pb_ppm"),
+          abs(col("na").cast(DecimalType(38, 0)) * col("tb")
+            - col("nb").cast(DecimalType(38, 0)) * col("ta"))
+            .cast("long").as("tvd_num"))
+        .orderBy("bin")
+    }),
+
     // Truncated binary EWMA of the hourly event rate: weights 1/2, 1/4, …,
     // 1/2^20 over the trailing 20 hours, in fixed point scaled by 2^20 —
     // every weight is a power of two, so the smoothed series is EXACT
@@ -3706,6 +3749,39 @@ object SparkEntry {
       hc.join(e, col("th") === col("hh"))
         .select(col("hh").as("h_epoch"), col("n"), col("ewma_fp"),
           (col("ewma_fp").cast("double") / lit(1048576.0)).as("ewma"))
+        .orderBy("h_epoch")
+    }),
+
+    // Brown double exponential smoothing (α = 1/2, truncated to 20 taps) of
+    // the hourly event rate — the trend-aware extension of events_ewma.
+    // Both smoothing passes collapse into ONE convolution because the
+    // second EWMA's kernel composed with the first is closed-form:
+    // s1 weights 2^(20−j), s2 weights (j+1)·2^(19−j), both scaled by 2^21
+    // so every weight is an exact integer (j ≤ 19 ⇒ no fractional tap).
+    // Level = 2·s1 − s2 and trend = s1 − s2 (α/(1−α) = 1) stay integers.
+    // Same scatter-forward shape as events_ewma: one explode, one
+    // map-side-combinable sum, inner join back to observed hours.
+    "events_holt_brown" -> ((s, d) => {
+      val hc = events(s, d)
+        .select((unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
+          .cast("long").as("hh"))
+        .groupBy("hh").agg(count(lit(1)).as("n"))
+      val contrib = hc
+        .select(col("hh"), col("n"),
+          explode(sequence(lit(0), lit(19))).as("j"))
+        .select((col("hh") + col("j")).as("th"),
+          (col("n") * expr("CAST(round(power(2.0, 20 - j)) AS BIGINT)")).as("w1"),
+          (col("n") * (col("j") + 1)
+            * expr("CAST(round(power(2.0, 19 - j)) AS BIGINT)")).as("w2"))
+      val sm = contrib.groupBy("th")
+        .agg(sum("w1").as("s1_fp"), sum("w2").as("s2_fp"))
+      hc.join(sm, col("th") === col("hh"))
+        .select(col("hh").as("h_epoch"), col("n"),
+          col("s1_fp"), col("s2_fp"),
+          (col("s1_fp") * 2 - col("s2_fp")).as("level_fp"),
+          (col("s1_fp") - col("s2_fp")).as("trend_fp"),
+          ((col("s1_fp") * 2 - col("s2_fp")).cast("double") / lit(2097152.0))
+            .as("level"))
         .orderBy("h_epoch")
     }),
 
@@ -6385,6 +6461,55 @@ object SparkEntry {
                / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
                   * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS rho
          FROM m""",
+    "q_drift_bins" ->
+      """WITH e AS (
+           SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc,
+               CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
+                 THEN 1 ELSE 0 END AS isa
+           FROM events),
+         g AS (
+           SELECT vc // 5000 AS bin, sum(isa) AS na, sum(1 - isa) AS nb
+           FROM e GROUP BY 1),
+         t AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM g)
+         SELECT CAST(bin AS BIGINT) AS bin,
+             CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+             CAST(na * 1000000 // ta AS BIGINT) AS pa_ppm,
+             CAST(nb * 1000000 // tb AS BIGINT) AS pb_ppm,
+             CAST(abs(CAST(na AS HUGEINT) * tb - CAST(nb AS HUGEINT) * ta)
+               AS BIGINT) AS tvd_num
+         FROM g CROSS JOIN t ORDER BY bin""",
+    "events_holt_brown" ->
+      """WITH hc AS (
+           SELECT CAST(floor(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))) AS BIGINT) // 3600 AS hh,
+               count(*) AS n
+           FROM events GROUP BY 1),
+         contrib AS (
+           SELECT hh + j.range AS th,
+               n * CAST(round(power(2.0, 20 - j.range)) AS BIGINT) AS w1,
+               n * (j.range + 1)
+                 * CAST(round(power(2.0, 19 - j.range)) AS BIGINT) AS w2
+           FROM hc CROSS JOIN range(20) j),
+         sm AS (SELECT th, sum(w1) AS s1_fp, sum(w2) AS s2_fp
+                FROM contrib GROUP BY th)
+         SELECT hc.hh AS h_epoch, CAST(hc.n AS BIGINT) AS n,
+             CAST(s1_fp AS BIGINT) AS s1_fp, CAST(s2_fp AS BIGINT) AS s2_fp,
+             CAST(s1_fp * 2 - s2_fp AS BIGINT) AS level_fp,
+             CAST(s1_fp - s2_fp AS BIGINT) AS trend_fp,
+             CAST(s1_fp * 2 - s2_fp AS DOUBLE) / 2097152.0 AS level
+         FROM hc JOIN sm ON th = hh ORDER BY h_epoch""",
+    "text_ttr_hapax" ->
+      """WITH tf AS (
+           SELECT source, tok, count(*) AS freq FROM (
+             SELECT source, unnest(string_split(text, ' ')) AS tok
+             FROM documents)
+           GROUP BY 1, 2)
+         SELECT source, CAST(sum(freq) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+             CAST(count(*) * 1000000 // sum(freq) AS BIGINT) AS ttr_ppm,
+             CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) * 1000000
+               // count(*) AS BIGINT) AS hapax_ppm
+         FROM tf GROUP BY source ORDER BY source""",
     "q_ks_test" ->
       """WITH x AS (
            SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
