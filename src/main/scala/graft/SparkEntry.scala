@@ -76,6 +76,20 @@ object SparkEntry {
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/manifest")
     }
 
+  /** HASH-scattered orders (8 files, keys spread across every file — the
+    * layout where min/max envelopes are useless) + per-file bloom manifest.
+    * The maintenance a warehouse pays once per ingest; q_bloom_prune times
+    * the planning probe + pruned point-lookup read.
+    */
+  private def bloomIndexSetup(s: SparkSession, d: String): String =
+    Setup.dir(s"bloom_index:$d") { dir =>
+      orders(s, d).repartition(8, col("o_orderkey"))
+        .write.mode("overwrite").parquet(s"$dir/orders")
+      graft.pipeline.Layout.bloomManifest(s, s"$dir/orders", "o_orderkey",
+          expectedItems = 200000L, numBits = 1L << 21)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/manifest")
+    }
+
   /** Events range-clustered on epoch second + stats manifest. */
   private def eventsTsSetup(s: SparkSession, d: String): String =
     Setup.dir(s"events_ts:$d") { dir =>
@@ -876,6 +890,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
         .orderBy("o_orderstatus")
+    }),
+
+    // Point lookups through the per-file BLOOM manifest — the skipping
+    // index for keys the layout is NOT clustered by: Setup hash-scatters
+    // orders across 8 files (every file's [min,max] spans the whole key
+    // domain, so stats pruning keeps all of them), and the bloom probe
+    // keeps only the files that might hold one of the 5 probe keys
+    // (~1 file per key + false positives). Oracle = the plain IN filter;
+    // equality holds because blooms are never false-negative.
+    "q_bloom_prune" -> ((s, d) => {
+      val base = bloomIndexSetup(s, d)
+      val mf = s.read.parquet(s"$base/manifest")
+      graft.pipeline.Layout.readPrunedByKeys(s, s"$base/orders", mf,
+          "o_orderkey", Seq(17L, 142L, 567L, 890L, 1234L))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+          (dec(col("o_totalprice")) * 100).cast("long").as("price_cents"))
+        .orderBy("o_orderkey")
     }),
 
     // The 100 TB read path in ONE artifact: manifest-pruned time-window scan
@@ -6256,6 +6287,11 @@ object SparkEntry {
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
          FROM orders WHERE o_custkey BETWEEN 100 AND 199
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_bloom_prune" ->
+      """SELECT o_orderkey, o_custkey, o_orderpriority,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents
+         FROM orders WHERE o_orderkey IN (17, 142, 567, 890, 1234)
+         ORDER BY o_orderkey""",
     // mixing fractions: all intermediates are DOUBLE on both sides (the
     // binding group's tgt*(n/tgt)/n roundtrip may land an ulp under 1.0 —
     // identically in both engines, so the compare agrees either way)

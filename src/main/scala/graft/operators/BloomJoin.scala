@@ -31,17 +31,43 @@ import org.apache.spark.sql.types.BinaryType
   */
 object BloomJoin {
 
+  /** The bloom build as a plain aggregate COLUMN — usable in a groupBy (one
+    * filter per group, e.g. per file for a bloom manifest) as well as the
+    * global build below. Hashes with XxHash64 seed 42, the same convention
+    * Spark's InjectRuntimeFilter uses, so the serialized buffer probes
+    * identically via [[mightContain]] (codegen) or [[mightContainLocal]]
+    * (driver-side planning).
+    */
+  def bloomAggColumn(key: Column, expectedItems: Long, numBits: Long): Column = {
+    val agg = new BloomFilterAggregate(
+      new XxHash64(Seq(Bridge.expression(key))),
+      Literal(expectedItems), Literal(numBits))
+    Bridge.column(agg.toAggregateExpression())
+  }
+
   /** Build a bloom filter over `key` with a distributed aggregate (partial
     * blooms OR-merge map-side). Returns the serialized filter, or null when
     * `dim` is empty.
     */
   def buildBloom(dim: DataFrame, key: Column, expectedItems: Long, numBits: Long): Array[Byte] = {
-    val agg = new BloomFilterAggregate(
-      new XxHash64(Seq(Bridge.expression(key))),
-      Literal(expectedItems), Literal(numBits))
-    val row = dim.select(Bridge.column(agg.toAggregateExpression()).as("bf")).head()
+    val row = dim.select(bloomAggColumn(key, expectedItems, numBits).as("bf")).head()
     if (row.isNullAt(0)) null else row.getAs[Array[Byte]](0)
   }
+
+  /** Driver-side probe of a serialized bloom for a LONG key — planning-time
+    * file pruning over a bloom manifest (O(files) work, no Spark job). Same
+    * buffer format (`BloomFilter.readFrom`) and same XxHash64(seed=42)
+    * the aggregate applied, so never false-negative vs the codegen probe.
+    */
+  def openBloom(bloom: Array[Byte]): org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloom))
+
+  def mightContainLocal(bf: org.apache.spark.util.sketch.BloomFilter,
+      key: Long): Boolean =
+    bf.mightContainLong(
+      org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        key, org.apache.spark.sql.types.LongType, 42L))
 
   /** Codegen'd membership probe; never false-negative. A null `bloom`
     * (empty build side) matches nothing — the join would be empty anyway.

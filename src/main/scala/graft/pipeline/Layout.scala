@@ -153,6 +153,51 @@ object Layout {
     base.filter(col(c) >= lo && col(c) <= hi)
   }
 
+  /** Per-file BLOOM-FILTER manifest over a high-cardinality key — the
+    * data-skipping index for the case min/max envelopes cannot serve: point
+    * lookups on a key the layout is NOT sorted/clustered by (hash-scattered
+    * ingest order, say), where every file's [min, max] spans the whole
+    * domain and [[readPruned]] keeps everything. Table formats maintain the
+    * same structure natively (Parquet column-index blooms, Iceberg/Delta
+    * file-level bloom metadata). One distributed pass, one bloom per file
+    * via a grouped BloomFilterAggregate (partial buffers OR-merge
+    * map-side); manifest rows = file count — metadata scale.
+    */
+  def bloomManifest(spark: org.apache.spark.sql.SparkSession, dir: String,
+      keyCol: String, expectedItems: Long = 1000000L,
+      numBits: Long = 8388608L): DataFrame =
+    spark.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        graft.operators.BloomJoin.bloomAggColumn(
+          col(keyCol), expectedItems, numBits).as("bloom"))
+
+  /** Point-lookup read through the bloom manifest: scan only the files
+    * whose bloom might contain AT LEAST ONE probe key, then apply the exact
+    * IN predicate. Blooms are never false-negative, so the result is
+    * value-identical to the full scan + filter; false positives only cost
+    * extra files read. The manifest collect and probes are planning-time
+    * metadata work — one bloom deserialization per file, O(files · keys)
+    * hash probes, no Spark job.
+    */
+  def readPrunedByKeys(spark: org.apache.spark.sql.SparkSession, dir: String,
+      manifest: DataFrame, keyCol: String, keys: Seq[Long]): DataFrame = {
+    import graft.operators.BloomJoin
+    val files = manifest.select("file", "bloom").collect().flatMap { r =>
+      val b = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+      if (b == null) None // all-null key file: can never match an IN probe
+      else {
+        val bf = BloomJoin.openBloom(b)
+        if (keys.exists(BloomJoin.mightContainLocal(bf, _))) Some(r.getString(0))
+        else None
+      }
+    }
+    val base =
+      if (files.isEmpty) spark.read.parquet(dir).filter(lit(false))
+      else spark.read.parquet(files.toIndexedSeq: _*)
+    base.filter(col(keyCol).isin(keys: _*))
+  }
+
   /** Two-dimensional pruned read: files must intersect BOTH ranges. Pairs
     * with [[clusterByZ]] — Morton clustering keeps per-file envelopes tight
     * on both dimensions, so a box predicate skips on either axis (a plain

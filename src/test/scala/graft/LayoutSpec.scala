@@ -192,6 +192,30 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
     assert(none.isEmpty && none.columns.toSeq == Seq("k", "v"))
   }
 
+  test("bloomManifest + readPrunedByKeys: prunes hash-scattered files, never false-negative") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom-").toString + "/t"
+    // HASH-scattered layout: every file's [min,max] spans the whole domain,
+    // so stats pruning would keep all 8 files — the case blooms exist for
+    spark.range(0, 8000).toDF("k").withColumn("v", $"k" * 3)
+      .repartition(8, $"k").write.parquet(dir)
+    val mf = Layout.bloomManifest(spark, dir, "k",
+      expectedItems = 10000L, numBits = 1L << 17).cache()
+    assert(mf.count() == 8)
+    assert(mf.agg(sum("n_rows")).head.getLong(0) == 8000L)
+    // single-key probe: correct row back, and strictly fewer than 8 files
+    val one = Layout.readPrunedByKeys(spark, dir, mf, "k", Seq(4242L))
+    assert(one.inputFiles.length < 8, s"bloom kept ${one.inputFiles.length}/8")
+    assert(one.select("v").as[Long].collect().toSeq == Seq(4242L * 3))
+    // multi-key probe ≡ plain IN filter (blooms never false-negative)
+    val keys = Seq(1L, 999L, 4242L, 7777L)
+    val pruned = Layout.readPrunedByKeys(spark, dir, mf, "k", keys)
+    val full = spark.read.parquet(dir).filter($"k".isin(keys: _*))
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+    // absent key → empty result, no error (files may still be probed)
+    assert(Layout.readPrunedByKeys(spark, dir, mf, "k", Seq(999999L)).isEmpty)
+    mf.unpersist()
+  }
+
   test("appendToManifest equals a full rebuild; z-clustered box read prunes on both dims") {
     val root = java.nio.file.Files.createTempDirectory("graft-manifest2-").toString
     val mk = (lo: Long, hi: Long) => spark.range(lo, hi).toDF("id")
