@@ -563,6 +563,45 @@ object OracleSqlGen {
           CAST(max(vec_id) AS BIGINT) AS max_member
         FROM comp GROUP BY rep ORDER BY rep_id"""
 
+  /** Mirrors Similarity.hammingRerank: 64-dim sign bits packed into two
+    * 32-bit words (weights CAST(round(power(2,j))) — the identical
+    * expression tree Spark evaluates), Hamming shortlist (integer
+    * bit_count(xor) sums, ties → neighbor_id), exact sequential-fold cosine
+    * rerank of shortlist members only.
+    */
+  def annHammingRerank(nQueries: Int, shortlist: Int, k: Int): String = {
+    def word(off: Int) =
+      s"""list_sum(list_transform(range(32),
+            i -> CASE WHEN embedding[i + ${off + 1}] > 0
+                 THEN CAST(round(power(2.0, i)) AS BIGINT) ELSE 0 END))"""
+    s"""WITH b AS (
+          SELECT vec_id, ${word(0)} AS w0, ${word(32)} AS w1 FROM embeddings),
+        s AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1)) AS hd
+          FROM b q, b c
+          WHERE q.vec_id < $nQueries AND q.vec_id <> c.vec_id),
+        sl AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY hd ASC, neighbor_id ASC) AS hrank
+            FROM s)
+          WHERE hrank <= $shortlist),
+        r AS (
+          SELECT sl.query_id, sl.neighbor_id,
+            ${cosineSql("qe.embedding", "ce.embedding")} AS qcos
+          FROM sl JOIN embeddings qe ON qe.vec_id = sl.query_id
+                  JOIN embeddings ce ON ce.vec_id = sl.neighbor_id),
+        f AS (
+          SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY qcos DESC, neighbor_id ASC) AS rank
+          FROM r)
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+        FROM f WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
   def annLshTopK(nQueries: Int, k: Int, bands: Int, planesPerBand: Int): String = {
     def bandSelects(src: String, idAlias: String) = (0 until bands).map { b =>
       s"SELECT vec_id AS $idAlias, $b AS band, ${signBucketSql("embedding", planesPerBand, b * planesPerBand)} AS bucket FROM $src"

@@ -1337,6 +1337,22 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Binary-quantized top-k with exact rerank: the 1-bit rung below int8 —
+    // each vector shrinks to its 64-bit sign pattern (16 bytes, 16× smaller
+    // than float32), the scan is two bit_count(xor) integer ops per pair,
+    // and only the 20-deep Hamming shortlist touches raw vectors for the
+    // exact cosine rerank. Shortlist membership and both rankings are
+    // deterministic (integer distances, id tie-breaks, sequential-fold
+    // cosine), so the DuckDB replay pins the whole pipeline by hash.
+    "ann_hamming_rerank" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Similarity.hammingRerank(
+        e.filter(col("vec_id") < 32), e,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        shortlist = 20, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // Int8-quantized top-k: same brute-force shape as ann_topk, but scoring
     // runs over 4×-smaller int8 codes with exact integer dot products — the
     // memory-bandwidth lever a 100 TB vector corpus needs before any index.
@@ -5059,6 +5075,7 @@ object SparkEntry {
 
     "ann_topk" -> OracleSqlGen.annTopK(32, 5),
     "ann_quantized_topk" -> OracleSqlGen.annQuantizedTopK(32, 5),
+    "ann_hamming_rerank" -> OracleSqlGen.annHammingRerank(32, 20, 5),
     "ann_pq_adc" -> OracleSqlGen.annPqAdc(32, 8, 8, 16, 2, 5),
     "ann_pq_incremental" -> OracleSqlGen.annPqAdc(32, 8, 8, 16, 2, 5, trainMaxId = 400L),
     "ann_ivfpq" -> OracleSqlGen.annIvfPq(32, 8, 2, 8, 8, 16, 2, 5),

@@ -134,6 +134,68 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank")
   }
 
+  /** One 32-bit SIGN word of a float vector: bit j set iff
+    * vec[from+j] > 0. Two words cover a 64-dim embedding; weights are
+    * CAST(round(power(2,j))) — exact for j ≤ 31, and the identical
+    * expression tree the DuckDB oracle evaluates.
+    */
+  def signWord(vec: Column, from: Int): Column =
+    aggregate(
+      sequence(lit(from), lit(from + 31)),
+      lit(0L),
+      (acc, i) => acc + when(element_at(vec, i + 1) > lit(0f),
+        round(pow(lit(2.0), (i - lit(from)).cast("double"))).cast("long"))
+        .otherwise(lit(0L)))
+
+  /** Binary-quantized ANN with exact rerank — the 1-bit compression rung
+    * below int8 ([[quantizedTopK]]) and PQ: each vector becomes its 64-bit
+    * sign pattern (two longs, 16 bytes — a 16× shrink over float32), the
+    * shortlist is the `shortlist` nearest by HAMMING distance (two
+    * codegen'd bit_count(xor) ops per pair — the memory-bandwidth scan a
+    * 100 TB corpus wants), and only shortlist members are re-scored with
+    * exact cosine against raw vectors. Raw candidate vectors are touched
+    * for O(queries · shortlist) rows, never during the scan.
+    *
+    * Determinism: the bit table is an exact function of sign(v_i); Hamming
+    * distances are integers (ties → neighbor_id); the rerank cosine is the
+    * sequential fold. Recall < 1 by construction (sign quantization) —
+    * `shortlist` tunes the recall/cost curve.
+    */
+  def hammingRerank(
+      queries: DataFrame,
+      candidates: DataFrame,
+      qId: Column,
+      qVec: Column,
+      cId: Column,
+      cVec: Column,
+      shortlist: Int,
+      k: Int): DataFrame = {
+    val q = broadcast(queries.select(qId.as("query_id"), qVec.as("qvec"))
+      .withColumn("q0", signWord(col("qvec"), 0))
+      .withColumn("q1", signWord(col("qvec"), 32)))
+    val cRaw = candidates.select(cId.as("neighbor_id"), cVec.as("cvec"))
+    val cBits = Dedup.spread(cRaw)
+      .select(col("neighbor_id"),
+        signWord(col("cvec"), 0).as("c0"), signWord(col("cvec"), 32).as("c1"))
+    val hw = Window.partitionBy("query_id").orderBy(asc("hd"), asc("neighbor_id"))
+    val short = q.select("query_id", "q0", "q1").crossJoin(cBits)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("hd",
+        bit_count(col("q0").bitwiseXOR(col("c0")))
+          + bit_count(col("q1").bitwiseXOR(col("c1"))))
+      .withColumn("hrank", row_number().over(hw))
+      .filter(col("hrank") <= shortlist)
+      .select("query_id", "neighbor_id")
+    val rw = Window.partitionBy("query_id").orderBy(desc("qcos"), asc("neighbor_id"))
+    short
+      .join(cRaw, "neighbor_id")
+      .join(q.select("query_id", "qvec"), "query_id")
+      .withColumn("qcos", cosineFold(col("qvec"), col("cvec")))
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
   /** Random-hyperplane sign bucket: `planes` pseudo-random hyperplanes drawn
     * deterministically from md5(plane#, dim) → ±1 components; bucket = the
     * sign pattern of the projections. Engine-portable LSH for the scale path:

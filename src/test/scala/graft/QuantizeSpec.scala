@@ -38,6 +38,39 @@ class QuantizeSpec extends AnyFunSuite with SparkTestBase {
     assert(r._2 == 64L * 64 + 127L * 127 + 32L * 32)
   }
 
+  test("signWord: exact bit patterns on known signs") {
+    // dims 0..63: positive iff dim % 3 == 0 → bit j of word w set iff
+    // (32w + j) % 3 == 0; zero entries must NOT set bits (strict > 0)
+    val v = (0 until 64).map(i =>
+      if (i % 3 == 0) 1.5f else if (i % 2 == 0) 0.0f else -2.0f)
+    val df = Seq((1L, v)).toDF("id", "emb")
+    val (w0, w1) = df.select(
+      Similarity.signWord(col("emb"), 0).as("w0"),
+      Similarity.signWord(col("emb"), 32).as("w1"))
+      .as[(Long, Long)].head()
+    def expected(from: Int): Long =
+      (0 until 32).map(j => if ((from + j) % 3 == 0) 1L << j else 0L).sum
+    assert(w0 == expected(0) && w1 == expected(32))
+  }
+
+  test("hammingRerank with full-corpus shortlist equals exact brute-force top-k") {
+    // with shortlist >= corpus the Hamming stage prunes nothing, so the
+    // exact-cosine rerank must reproduce bruteForceTopK verbatim
+    val rnd = new scala.util.Random(19)
+    val vecs = (0 until 12).map { i =>
+      (i.toLong, Seq.fill(64)((rnd.nextFloat() - 0.5f) * 4f))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") < 3)
+    val exact = Similarity.bruteForceTopK(q, vecs,
+      col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), k = 4)
+      .orderBy("query_id", "rank").as[(Long, Long, Int)].collect()
+    val ham = Similarity.hammingRerank(q, vecs,
+      col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+      shortlist = 12, k = 4)
+      .orderBy("query_id", "rank").as[(Long, Long, Int)].collect()
+    assert(ham.toSeq == exact.toSeq)
+  }
+
   test("quantizedTopK matches exact top-k on well-separated vectors") {
     // three tight clusters in 4-d; nearest neighbors are unambiguous, so
     // 1/127-scale quantization noise cannot flip any rank
