@@ -1736,6 +1736,44 @@ object OracleSqlGen {
         $roundCtes"""
   }
 
+  /** Mirrors GraphAnalytics.randomWalks over the orders/lineitem graph:
+    * DISTINCT symmetric adjacency with row_number neighbor indexes, then
+    * one CTE per step choosing index md5(walk:step:node:walk-salt) mod
+    * degree — the identical 52-bit hash coordinate Spark computes.
+    */
+  def randomWalks(seeds: Seq[Long], walksPerSeed: Int, steps: Int): String = {
+    val seedRows = seeds
+      .flatMap(s => (0 until walksPerSeed).map(w => s"(${s * 100 + w}, ${s})"))
+      .mkString(", ")
+    val stepCtes = (1 to steps).map { t =>
+      s"""w$t AS (
+           SELECT c.walk_id, $t AS step, adj.b AS node
+           FROM w${t - 1} c
+           JOIN deg ON deg.node = c.node
+           JOIN adj ON adj.a = c.node AND adj.idx =
+             CAST('0x' || substr(md5(CAST(c.walk_id AS VARCHAR) || ':'
+               || CAST(c.step AS VARCHAR) || ':' || CAST(c.node AS VARCHAR)
+               || ':walk'), 1, 13) AS BIGINT) % deg.deg)"""
+    }.mkString(",\n        ")
+    val unions = (0 to steps).map(t => s"SELECT * FROM w$t")
+      .mkString("\n          UNION ALL ")
+    s"""WITH e AS (
+          SELECT 2000000000 + o_custkey AS u, o_orderkey AS v FROM orders
+          UNION ALL
+          SELECT l_orderkey AS u, 1000000000 + l_partkey AS v FROM lineitem),
+        sym AS (SELECT DISTINCT a, b FROM (
+          SELECT u AS a, v AS b FROM e UNION ALL SELECT v AS a, u AS b FROM e)),
+        adj AS (SELECT a, b,
+          row_number() OVER (PARTITION BY a ORDER BY b) - 1 AS idx FROM sym),
+        deg AS (SELECT a AS node, count(*) AS deg FROM sym GROUP BY a),
+        w0 AS (SELECT CAST(walk_id AS BIGINT) AS walk_id, 0 AS step,
+                 CAST(node AS BIGINT) AS node
+               FROM (VALUES $seedRows) AS t0(walk_id, node)),
+        $stepCtes
+        SELECT walk_id, CAST(step AS INT) AS step, CAST(node AS BIGINT) AS node
+        FROM ($unions) ORDER BY walk_id, step"""
+  }
+
   def harmonic(seeds: Seq[Long], rounds: Int, topK: Int,
       scale: Long = 1000000L): String =
     s"""WITH ${multiSourceCtes(seeds, rounds)}

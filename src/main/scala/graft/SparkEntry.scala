@@ -2341,6 +2341,25 @@ object SparkEntry {
         .orderBy(desc("ppr"), asc("node")).limit(20)
     }),
 
+    // Deterministic random-walk corpus over the customer-order-part graph —
+    // the sampling stage under DeepWalk/node2vec graph embeddings, made
+    // hash-verifiable: every step's neighbor choice is md5(walk:step:node)
+    // mod degree over the sorted neighbor list, a pure function any engine
+    // regenerates identically (true-RNG walks can't be oracle-checked).
+    // 16 walks (2 per seed), 6 steps each.
+    "graph_random_walks" -> ((s, d) => {
+      val o = orders(s, d).select(
+        (lit(2000000000L) + col("o_custkey")).as("u"),
+        col("o_orderkey").as("v"))
+      val li = lineitem(s, d).select(
+        col("l_orderkey").as("u"),
+        (lit(1000000000L) + col("l_partkey")).as("v"))
+      graft.operators.GraphAnalytics.randomWalks(
+          o.union(li), seeds = (1L to 8L).map(2000000000L + _),
+          walksPerSeed = 2, steps = 6)
+        .orderBy("walk_id", "step")
+    }),
+
     // Harmonic centrality estimated from 8 fixed customer seeds (exact
     // all-pairs is O(V·E); sampled sources is the standard estimator, and
     // a FIXED seed set keeps it hash-verifiable): one multi-source BFS
@@ -5492,6 +5511,8 @@ object SparkEntry {
     "graph_hits" -> OracleSqlGen.hits(iters = 3, topK = 20),
     "graph_harmonic" -> OracleSqlGen.harmonic(
       seeds = (1L to 8L).map(2000000000L + _), rounds = 4, topK = 100),
+    "graph_random_walks" -> OracleSqlGen.randomWalks(
+      seeds = (1L to 8L).map(2000000000L + _), walksPerSeed = 2, steps = 6),
     "graph_ecc" -> OracleSqlGen.eccentricity(
       seeds = (1L to 8L).map(2000000000L + _), rounds = 4),
     "graph_assortativity" ->

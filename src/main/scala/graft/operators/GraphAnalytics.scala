@@ -710,4 +710,62 @@ object GraphAnalytics {
       .groupBy(col("a.v").as("v1"), col("b.v").as("v2"))
       .agg(sum(col("a.w")).as("ra_score"), count(lit(1)).as("n_common"))
   }
+
+  /** DETERMINISTIC unbiased random walks over the undirected graph — the
+    * corpus generator under DeepWalk/node2vec-style graph embeddings
+    * (Perozzi et al., KDD 2014), made engine-reproducible: at step t of
+    * walk w standing on node n, the chosen neighbor index is
+    * md5(w:t:n:walk) mod deg(n) over the SORTED distinct-neighbor list —
+    * a pure function of (walk, step, node), so any engine regenerates the
+    * identical corpus (the md5-coordinate discipline of Splits applied to
+    * graph sampling; true RNG walks are not hash-verifiable).
+    *
+    * Scale shape: the indexed adjacency is built once (row_number windows
+    * PARTITIONED by node — parallel) and cached; each step is one
+    * size-gated broadcast join against the O(walks) frontier to fetch the
+    * degree, then one equi-join on (node, idx) into the cached adjacency —
+    * the frontier never fans out. Walks at a dead-end node (no neighbors)
+    * terminate early via the inner degree join. Returns
+    * (walk_id, step, node) for steps 0..`steps`.
+    */
+  def randomWalks(
+      edges: DataFrame,
+      seeds: Seq[Long],
+      walksPerSeed: Int,
+      steps: Int): DataFrame = {
+    require(seeds.nonEmpty && walksPerSeed >= 1 && steps >= 1 && steps <= 12)
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
+    val sym = e.select(col("u").as("a"), col("v").as("b"))
+      .union(e.select(col("v").as("a"), col("u").as("b")))
+      .distinct()
+      .cache()
+    val adj = sym
+      .withColumn("idx", row_number().over(Window.partitionBy("a").orderBy("b")) - 1)
+      .select(col("a").as("adj_a"), col("idx").as("adj_idx"), col("b"))
+    val deg = sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val w0 = seeds.flatMap(s => (0 until walksPerSeed).map(w => (s * 100 + w, s)))
+      .toDF("walk_id", "node")
+      .select(col("walk_id"), lit(0).as("step"), col("node"))
+      .localCheckpoint(true)
+    var cur = w0
+    var all = w0
+    for (t <- 1 to steps) {
+      val next = cur
+        .join(Hints.broadcastGated(deg), Seq("node"))
+        .withColumn("tgt",
+          conv(substring(md5(concat_ws(":",
+            col("walk_id"), col("step"), col("node"), lit("walk"))
+            .cast("binary")), 1, 13), 16, 10).cast("long") % col("deg"))
+        .join(adj, col("node") === col("adj_a") && col("tgt") === col("adj_idx"))
+        .select(col("walk_id"), lit(t).as("step"), col("b").as("node"))
+        .localCheckpoint(true)
+      all = all.union(next)
+      cur = next
+    }
+    sym.unpersist(false)
+    all
+  }
 }

@@ -373,4 +373,38 @@ class GraphAnalyticsSpec extends AnyFunSuite with SparkTestBase {
       .map { case (a, b, s2, n) => (a, b) -> ((s2, n)) }.toMap
     assert(got2 == got)
   }
+
+  test("randomWalks: valid edges, hand-checked hash choice, reproducible, dup-edge proof") {
+    // triangle 1-2-3 plus pendant 4; undirected
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("u", "v")
+    val walks = GraphAnalytics.randomWalks(edges, Seq(1L), walksPerSeed = 2, steps = 4)
+      .as[(Long, Int, Long)].collect().sortBy(w => (w._1, w._2))
+    // symmetric graph: no dead ends → every walk has steps 0..4
+    assert(walks.length == 2 * 5)
+    walks.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).toSeq == (0 to 4))
+      // every consecutive pair is a real edge
+      val adj = Set((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+        .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      rows.sliding(2).foreach { case Array(p, n) =>
+        assert(adj.contains((p._3, n._3)), s"${p._3}->${n._3} not an edge")
+      }
+    }
+    // hand-check step 1 of walk 100 (seed 1, neighbors sorted: [2, 3]):
+    // idx = md5("100:0:1:walk")[52-bit] mod 2
+    val h = java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex("100:0:1:walk")
+        .substring(0, 13), 16)
+    val expected = Seq(2L, 3L)((h % 2).toInt)
+    assert(walks.find(w => w._1 == 100L && w._2 == 1).get._3 == expected)
+    // deterministic: a second evaluation returns the identical corpus
+    val again = GraphAnalytics.randomWalks(edges, Seq(1L), 2, 4)
+      .as[(Long, Int, Long)].collect().sortBy(w => (w._1, w._2))
+    assert(again.toSeq == walks.toSeq)
+    // duplicate edges collapse (distinct): same walks with a repeated edge
+    val dup = edges.union(Seq((2L, 1L), (3L, 4L)).toDF("u", "v"))
+    val withDup = GraphAnalytics.randomWalks(dup, Seq(1L), 2, 4)
+      .as[(Long, Int, Long)].collect().sortBy(w => (w._1, w._2))
+    assert(withDup.toSeq == walks.toSeq)
+  }
 }
