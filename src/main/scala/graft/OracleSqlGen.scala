@@ -1736,6 +1736,61 @@ object OracleSqlGen {
         $roundCtes"""
   }
 
+  /** Mirrors GraphAnalytics.betweennessInt over the orders/lineitem graph:
+    * forward level CTEs carry (seed, node, sigma) with an anti-join against
+    * the settled set; backward CTEs accumulate the fixed-point dependency
+    * (sigma_v·(SCALE+delta_w)) // sigma_w from the deepest level up. CTEs
+    * are MATERIALIZED — each level is referenced by the next level, the
+    * settled union, AND the backward sweep, and DuckDB's default inlining
+    * would re-evaluate the whole prefix per reference (the k-truss lesson).
+    */
+  def betweenness(seeds: Seq[Long], rounds: Int, topK: Int,
+      scale: Long = 1L << 20): String = {
+    val seedList = seeds.mkString("[", ", ", "]")
+    val fwd = (1 to rounds).map { t =>
+      s"""f$t AS MATERIALIZED (
+           SELECT x.seed, x.node, x.sigma FROM (
+             SELECT f.seed, adj.b AS node, sum(f.sigma) AS sigma
+             FROM f${t - 1} f JOIN adj ON adj.a = f.node
+             GROUP BY f.seed, adj.b) x
+           LEFT JOIN s${t - 1} s ON s.seed = x.seed AND s.node = x.node
+           WHERE s.node IS NULL),
+         s$t AS MATERIALIZED (
+           SELECT * FROM s${t - 1} UNION ALL SELECT seed, node FROM f$t)"""
+    }.mkString(",\n        ")
+    val bwd = (rounds - 1 to 1 by -1).map { t =>
+      s"""c$t AS (
+           SELECT v.seed, v.node,
+             sum(CAST(CAST(v.sigma AS HUGEINT) * ($scale + w.delta)
+               // w.sigma AS BIGINT)) AS delta
+           FROM f$t v JOIN adj ON adj.a = v.node
+           JOIN d${t + 1} w ON w.seed = v.seed AND w.node = adj.b
+           GROUP BY v.seed, v.node),
+         d$t AS MATERIALIZED (
+           SELECT f.seed, f.node, f.sigma,
+             CAST(coalesce(c.delta, 0) AS BIGINT) AS delta
+           FROM f$t f LEFT JOIN c$t c ON c.seed = f.seed AND c.node = f.node)"""
+    }.mkString(",\n        ")
+    val unions = (1 to rounds).map(t => s"SELECT node, delta FROM d$t")
+      .mkString("\n          UNION ALL ")
+    s"""WITH e AS (
+          SELECT 2000000000 + o_custkey AS u, o_orderkey AS v FROM orders
+          UNION ALL
+          SELECT l_orderkey AS u, 1000000000 + l_partkey AS v FROM lineitem),
+        adj AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+          SELECT u AS a, v AS b FROM e UNION ALL SELECT v AS a, u AS b FROM e)),
+        f0 AS (SELECT s AS seed, s AS node, CAST(1 AS BIGINT) AS sigma
+               FROM (SELECT CAST(unnest($seedList) AS BIGINT) AS s)),
+        s0 AS (SELECT seed, node FROM f0),
+        $fwd,
+        d$rounds AS MATERIALIZED (
+          SELECT seed, node, sigma, CAST(0 AS BIGINT) AS delta FROM f$rounds),
+        $bwd
+        SELECT node, CAST(sum(delta) AS BIGINT) AS bc_fp
+        FROM ($unions)
+        GROUP BY node ORDER BY bc_fp DESC, node ASC LIMIT $topK"""
+  }
+
   /** Mirrors GraphAnalytics.randomWalks over the orders/lineitem graph:
     * DISTINCT symmetric adjacency with row_number neighbor indexes, then
     * one CTE per step choosing index md5(walk:step:node:walk-salt) mod

@@ -2341,6 +2341,24 @@ object SparkEntry {
         .orderBy(desc("ppr"), asc("node")).limit(20)
     }),
 
+    // Sampled-source betweenness centrality (truncated Brandes, 8 fixed
+    // customer seeds, 3-hop horizon): forward multi-source BFS carries
+    // shortest-path counts, the backward sweep accumulates fixed-point
+    // dependencies with integer division — every level hash-pinned by the
+    // chained-CTE oracle. The broker-node scores PageRank (flow at
+    // stationarity) and harmonic (distance) centralities can't see.
+    "graph_betweenness" -> ((s, d) => {
+      val o = orders(s, d).select(
+        (lit(2000000000L) + col("o_custkey")).as("u"),
+        col("o_orderkey").as("v"))
+      val li = lineitem(s, d).select(
+        col("l_orderkey").as("u"),
+        (lit(1000000000L) + col("l_partkey")).as("v"))
+      graft.operators.GraphAnalytics.betweennessInt(
+          o.union(li), seeds = (1L to 8L).map(2000000000L + _), rounds = 3)
+        .orderBy(desc("bc_fp"), asc("node")).limit(50)
+    }),
+
     // Deterministic random-walk corpus over the customer-order-part graph —
     // the sampling stage under DeepWalk/node2vec graph embeddings, made
     // hash-verifiable: every step's neighbor choice is md5(walk:step:node)
@@ -5513,6 +5531,8 @@ object SparkEntry {
       seeds = (1L to 8L).map(2000000000L + _), rounds = 4, topK = 100),
     "graph_random_walks" -> OracleSqlGen.randomWalks(
       seeds = (1L to 8L).map(2000000000L + _), walksPerSeed = 2, steps = 6),
+    "graph_betweenness" -> OracleSqlGen.betweenness(
+      seeds = (1L to 8L).map(2000000000L + _), rounds = 3, topK = 50),
     "graph_ecc" -> OracleSqlGen.eccentricity(
       seeds = (1L to 8L).map(2000000000L + _), rounds = 4),
     "graph_assortativity" ->

@@ -711,6 +711,87 @@ object GraphAnalytics {
       .agg(sum(col("a.w")).as("ra_score"), count(lit(1)).as("n_common"))
   }
 
+  /** Sampled-source betweenness centrality (truncated Brandes): the exact
+    * algorithm's two sweeps (Brandes, "A faster algorithm for betweenness
+    * centrality", J. Math. Sociol. 2001) restricted to a FIXED seed sample
+    * and a FIXED BFS horizon — the standard estimator (exact all-pairs is
+    * O(V·E)), and the fixed sample/horizon keep it hash-verifiable.
+    *
+    *  - Forward: level-synchronous multi-source BFS carrying (seed, node,
+    *    dist, sigma) where sigma = #shortest paths — each level is one
+    *    relaxation join against the cached distinct adjacency, one
+    *    groupBy(seed, node) sigma-sum, one anti-join against settled nodes.
+    *  - Backward: dependency accumulation from the deepest level up,
+    *    FIXED-POINT: delta_fp(v) = Σ_{succ w} (sigma_v·(SCALE+delta_fp(w)))
+    *    div sigma_w — integer division on non-negative operands, identical
+    *    in Spark (`div`) and DuckDB (`//`), so the chained-CTE oracle pins
+    *    every level by hash. Products run in DECIMAL(38,0)/HUGEINT so
+    *    sigma·delta cannot silently wrap at scale.
+    *
+    * Betweenness(v) = Σ_seeds delta_fp(v), v ∉ seeds. Per-level frames are
+    * O(seeds·V); every join is equi-keyed; no windows, no driver state
+    * beyond the fixed loop.
+    */
+  def betweennessInt(
+      edges: DataFrame,
+      seeds: Seq[Long],
+      rounds: Int,
+      scale: Long = 1L << 20): DataFrame = {
+    require(seeds.nonEmpty && rounds >= 1 && rounds <= 8)
+    import org.apache.spark.sql.types.DecimalType
+    val e = edges.select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
+    val adj = e.select(col("u").as("a"), col("v").as("b"))
+      .union(e.select(col("v").as("a"), col("u").as("b")))
+      .distinct()
+      .repartition(col("a"))
+      .cache()
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // forward: one frame per level (seed, node, sigma)
+    val f0 = seeds.toDF("seed")
+      .select(col("seed"), col("seed").as("node"), lit(1L).as("sigma"))
+      .localCheckpoint(true)
+    val levels = scala.collection.mutable.ArrayBuffer(f0)
+    var settled = f0.select("seed", "node").localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val frontier = levels.last
+      val next = adj
+        .join(Hints.broadcastGated(frontier.withColumnRenamed("node", "a")), "a")
+        .groupBy(col("seed"), col("b").as("node"))
+        .agg(sum("sigma").as("sigma"))
+        .join(settled, Seq("seed", "node"), "left_anti")
+        .localCheckpoint(true)
+      levels += next
+      settled = settled.union(next.select("seed", "node")).localCheckpoint(true)
+    }
+    // backward: delta_fp per level, deepest first (level `rounds` has no
+    // in-horizon successors → delta 0)
+    // level 0 (the sources) never feeds the result — stop at level 1
+    val deltas = new Array[DataFrame](rounds + 1)
+    deltas(rounds) = levels(rounds).withColumn("delta", lit(0L))
+    for (t <- rounds - 1 to 1 by -1) {
+      val w = deltas(t + 1)
+        .select(col("seed"), col("node").as("b"),
+          col("sigma").as("sigma_w"), col("delta").as("delta_w"))
+      val contrib = levels(t)
+        .withColumnRenamed("node", "a")
+        .join(adj, "a")
+        .join(w, Seq("seed", "b"))
+        .groupBy(col("seed"), col("a").as("node"))
+        .agg(sum(expr(s"CAST(CAST(sigma AS DECIMAL(38,0)) * ($scale + delta_w)" +
+          s" div sigma_w AS BIGINT)")).as("delta"))
+      deltas(t) = levels(t)
+        .join(contrib, Seq("seed", "node"), "left")
+        .select(col("seed"), col("node"), col("sigma"),
+          coalesce(col("delta"), lit(0L)).as("delta"))
+        .localCheckpoint(true)
+    }
+    adj.unpersist(false)
+    // seeds excluded (delta of the source counts paths FROM it, not through)
+    (1 to rounds).map(deltas(_)).reduce(_ union _)
+      .groupBy("node").agg(sum("delta").as("bc_fp"))
+  }
+
   /** DETERMINISTIC unbiased random walks over the undirected graph — the
     * corpus generator under DeepWalk/node2vec-style graph embeddings
     * (Perozzi et al., KDD 2014), made engine-reproducible: at step t of

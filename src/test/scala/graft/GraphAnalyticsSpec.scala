@@ -374,6 +374,27 @@ class GraphAnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(got2 == got)
   }
 
+  test("betweennessInt: hand-computed dependencies on path and diamond graphs") {
+    val S = 1L << 20
+    // path 1-2-3-4-5, seed 1: exact Brandes deltas 3, 2, 1, 0
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("u", "v")
+    val bcPath = GraphAnalytics.betweennessInt(path, Seq(1L), rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(bcPath == Map(2L -> 3 * S, 3L -> 2 * S, 4L -> S, 5L -> 0L))
+    // diamond 1-2, 1-3, 2-4, 3-4, seed 1: two shortest paths to 4 →
+    // delta(2) = delta(3) = 1/2 (sigma_v/sigma_w = 1/2), delta(4) = 0
+    val diamond = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("u", "v")
+    val bcD = GraphAnalytics.betweennessInt(diamond, Seq(1L), rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(bcD == Map(2L -> S / 2, 3L -> S / 2, 4L -> 0L))
+    // two seeds accumulate: seeds {1, 4} double the middle nodes' scores
+    // (1 is at distance 2 from seed 4 and collects delta 0 — sources'
+    // own rows are excluded, but a seed can appear as another's target)
+    val bc2 = GraphAnalytics.betweennessInt(diamond, Seq(1L, 4L), rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(bc2(2L) == S && bc2(3L) == S && bc2(1L) == 0L && bc2(4L) == 0L)
+  }
+
   test("randomWalks: valid edges, hand-checked hash choice, reproducible, dup-edge proof") {
     // triangle 1-2-3 plus pendant 4; undirected
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("u", "v")
