@@ -932,9 +932,12 @@ object OracleSqlGen {
     * oracle's assignment/probe CTEs) composed with the PQ training/encode/
     * LUT chain; ADC scoring restricted to residents of probed cells.
     */
-  def annIvfPq(nQueries: Int, nCentroids: Int, nprobe: Int, m: Int, sub: Int,
-      k: Int, iters: Int, topK: Int, trainMaxId: Long = Long.MaxValue): String =
-    s"""WITH cent AS (
+  /** Shared IVF-PQ prefix: coarse cells, assignment, probes, the PQ chain,
+    * and the cell-restricted `adc(query_id, neighbor_id, adc_dist)` CTE.
+    */
+  private def ivfPqAdcCtes(nQueries: Int, nCentroids: Int, nprobe: Int,
+      m: Int, sub: Int, k: Int, iters: Int, trainMaxId: Long): String =
+    s"""cent AS (
           SELECT vec_id AS centroid_id, embedding AS centv FROM embeddings
           WHERE vec_id < $nCentroids),
         assigned AS (
@@ -959,8 +962,38 @@ object OracleSqlGen {
           JOIN probes p ON p.centroid_id = a.centroid_id
           JOIN lut l ON l.query_id = p.query_id
             AND l.subspace = n.subspace AND l.code = n.code
-          WHERE l.query_id != n.vec_id GROUP BY 1, 2)
+          WHERE l.query_id != n.vec_id GROUP BY 1, 2)"""
+
+  def annIvfPq(nQueries: Int, nCentroids: Int, nprobe: Int, m: Int, sub: Int,
+      k: Int, iters: Int, topK: Int, trainMaxId: Long = Long.MaxValue): String =
+    s"""WITH ${ivfPqAdcCtes(nQueries, nCentroids, nprobe, m, sub, k, iters, trainMaxId)}
         ${adcTopKSelect(topK)}"""
+
+  /** Mirrors Pq.ivfPqRefine: the ADC shortlist (rank ≤ `shortlist` by
+    * compressed distance) re-scored with the exact sequential-fold cosine
+    * against RAW vectors — FAISS's refine stage. Same prefix CTEs as
+    * [[annIvfPq]]; only the closing selects differ.
+    */
+  def annIvfPqRefined(nQueries: Int, nCentroids: Int, nprobe: Int, m: Int,
+      sub: Int, k: Int, iters: Int, shortlist: Int, topK: Int,
+      trainMaxId: Long = Long.MaxValue): String =
+    s"""WITH ${ivfPqAdcCtes(nQueries, nCentroids, nprobe, m, sub, k, iters, trainMaxId)},
+        sl AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id, row_number() OVER (
+              PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS arank
+            FROM adc)
+          WHERE arank <= $shortlist),
+        rr AS (
+          SELECT sl.query_id, sl.neighbor_id,
+            ${cosineSql("qe.embedding", "ce.embedding")} AS qcos
+          FROM sl JOIN embeddings qe ON qe.vec_id = sl.query_id
+                  JOIN embeddings ce ON ce.vec_id = sl.neighbor_id)
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+          SELECT query_id, neighbor_id, row_number() OVER (
+            PARTITION BY query_id ORDER BY qcos DESC, neighbor_id) AS rank
+          FROM rr)
+        WHERE rank <= $topK ORDER BY query_id, rank"""
 
   def annIvfAssign(nCentroids: Int): String =
     s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < $nCentroids),

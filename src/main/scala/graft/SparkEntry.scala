@@ -90,6 +90,36 @@ object SparkEntry {
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/manifest")
     }
 
+  /** Incremental-bloom fixture: the BASE corpus (o_orderkey % 97 != 0)
+    * hash-scattered into 8 files with its bloom manifest, then the batch
+    * (% 97 == 0) APPENDED as new files and indexed via
+    * appendToBloomManifest — O(batch), the base is never rescanned. The
+    * combined manifest must cover every file: pruned reads skip unlisted
+    * files entirely, so a missed append would lose the batch's rows (which
+    * is exactly what q_bloom_prune_inc's oracle would catch).
+    */
+  private def bloomIncSetup(s: SparkSession, d: String): String =
+    Setup.dir(s"bloom_inc:$d") { dir =>
+      val o = orders(s, d)
+      o.filter(col("o_orderkey") % 97 =!= 0).repartition(8, col("o_orderkey"))
+        .write.mode("overwrite").parquet(s"$dir/orders")
+      val base = graft.pipeline.Layout.bloomManifest(s, s"$dir/orders",
+        "o_orderkey", expectedItems = 200000L, numBits = 1L << 21)
+        .localCheckpoint(false) // settle BEFORE the append (live plans re-list)
+      val before = new java.io.File(s"$dir/orders").listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(_.getName).toSet
+      o.filter(col("o_orderkey") % 97 === 0).coalesce(1)
+        .write.mode("append").parquet(s"$dir/orders")
+      val newFiles = new java.io.File(s"$dir/orders").listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet")
+          && !before.contains(f.getName))
+        .map(_.getAbsolutePath).toIndexedSeq
+      graft.pipeline.Layout.appendToBloomManifest(s, base, newFiles,
+          "o_orderkey", expectedItems = 200000L, numBits = 1L << 21)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/manifest")
+    }
+
   /** Events range-clustered on epoch second + stats manifest. */
   private def eventsTsSetup(s: SparkSession, d: String): String =
     Setup.dir(s"events_ts:$d") { dir =>
@@ -564,6 +594,29 @@ object SparkEntry {
         .orderBy("decile")
     }),
 
+    // Global RANK-with-ties + percent_rank WITHOUT the single-task window:
+    // rank(v) = (# strictly smaller) + 1 comes from a value-grouped count
+    // cumsum'd by the distributed range-partitioned machinery (O(distinct
+    // values) frame), joined back to rows; percent_rank is the one closing
+    // division of exact integers, written out explicitly on both sides
+    // (never an engine's percent_rank builtin — its arithmetic is pinned
+    // here). Completes the distributed window family: row_number / ntile /
+    // cumsum / cummax / rank.
+    "q_percent_rank" -> ((s, d) => {
+      val base = customer(s, d).select(col("c_custkey"),
+        (dec(col("c_acctbal")) * 100).cast("long").as("cents"))
+      val g = base.groupBy("cents").agg(count(lit(1)).as("cnt"))
+      val ranks = graft.operators.Ranking
+        .withGlobalCumSum(g, Seq(col("cents")), col("cnt"), "cum")
+        .select(col("cents"), (col("cum") - col("cnt") + 1).as("rnk"))
+      val tot = base.agg(count(lit(1)).as("n"))
+      base.join(ranks, "cents").crossJoin(broadcast(tot))
+        .select(col("c_custkey"), col("cents"), col("rnk"),
+          ((col("rnk") - 1).cast("double") / (col("n") - 1).cast("double"))
+            .as("pr"))
+        .orderBy("c_custkey")
+    }),
+
     // Edit-distance fuzzy match (levenshtein is the same DP in both
     // engines): top-10 part names nearest the probe. The length-band
     // prefilter is part of the operator's semantics (edit distance >= length
@@ -904,6 +957,24 @@ object SparkEntry {
       val mf = s.read.parquet(s"$base/manifest")
       graft.pipeline.Layout.readPrunedByKeys(s, s"$base/orders", mf,
           "o_orderkey", Seq(17L, 142L, 567L, 890L, 1234L))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+          (dec(col("o_totalprice")) * 100).cast("long").as("price_cents"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Incremental-maintenance proof for the bloom index: the probed
+    // manifest was built on the base corpus then APPENDED for the batch
+    // files (O(batch) — the base is never rescanned); probe keys hit BOTH
+    // sides (97/194/291 live in the appended batch, the rest in the base).
+    // The oracle filters the full table, so a hash-match proves the
+    // appended index covers every file — the dedup_components_inc contract
+    // applied to the skipping index, where a missed append means silently
+    // LOST rows, not just slower reads.
+    "q_bloom_prune_inc" -> ((s, d) => {
+      val base = bloomIncSetup(s, d)
+      val mf = s.read.parquet(s"$base/manifest")
+      graft.pipeline.Layout.readPrunedByKeys(s, s"$base/orders", mf,
+          "o_orderkey", Seq(17L, 97L, 194L, 291L, 890L, 1234L))
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
           (dec(col("o_totalprice")) * 100).cast("long").as("price_cents"))
         .orderBy("o_orderkey")
@@ -1400,6 +1471,20 @@ object SparkEntry {
       val e = embeddings(s, d)
       Pq.ivfPqProbe(e.filter(col("vec_id") < 32), col("vec_id"), col("embedding"),
         s"${ivfPqSetup(s, d)}/ivfpq", k = 5, nprobe = 2, m = 8, sub = 8)
+        .orderBy("query_id", "rank")
+    }),
+
+    // IVF-PQ + exact refine (the full production retrieval stack): the
+    // compressed ADC ranking yields a 20-deep shortlist without touching a
+    // raw vector; only those O(Q·20) candidates fetch raw vectors for the
+    // exact cosine rerank — the recall the 32× compression costs is bought
+    // back at a bounded exact-scoring budget.
+    "ann_ivfpq_refined" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Pq.ivfPqRefine(e.filter(col("vec_id") < 32), col("vec_id"), col("embedding"),
+        e, col("vec_id"), col("embedding"),
+        s"${ivfPqSetup(s, d)}/ivfpq", shortlist = 20, k = 5,
+        nprobe = 2, m = 8, sub = 8)
         .orderBy("query_id", "rank")
     }),
 
@@ -4996,6 +5081,21 @@ object SparkEntry {
                  ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
                FROM orders)
          GROUP BY decile ORDER BY decile""",
+    "q_percent_rank" ->
+      """WITH b AS (
+           SELECT c_custkey,
+               CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM customer),
+         g AS (SELECT cents, count(*) AS cnt FROM b GROUP BY cents),
+         r AS (
+           SELECT cents,
+               sum(cnt) OVER (ORDER BY cents) - cnt + 1 AS rnk
+           FROM g),
+         t AS (SELECT count(*) AS n FROM b)
+         SELECT c_custkey, cents, CAST(rnk AS BIGINT) AS rnk,
+             CAST(rnk - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS pr
+         FROM b JOIN r USING (cents) CROSS JOIN t
+         ORDER BY c_custkey""",
     "q_fuzzy_match" ->
       """SELECT p_partkey, p_name,
              CAST(levenshtein('red wigdet', p_name) AS INT) AS dist
@@ -5116,6 +5216,7 @@ object SparkEntry {
     "ann_pq_adc" -> OracleSqlGen.annPqAdc(32, 8, 8, 16, 2, 5),
     "ann_pq_incremental" -> OracleSqlGen.annPqAdc(32, 8, 8, 16, 2, 5, trainMaxId = 400L),
     "ann_ivfpq" -> OracleSqlGen.annIvfPq(32, 8, 2, 8, 8, 16, 2, 5),
+    "ann_ivfpq_refined" -> OracleSqlGen.annIvfPqRefined(32, 8, 2, 8, 8, 16, 2, 20, 5),
     "ann_ivfpq_incremental" -> OracleSqlGen.annIvfPq(32, 8, 2, 8, 8, 16, 2, 5,
       trainMaxId = 400L),
     "ann_pq_recall" -> OracleSqlGen.annPqRecall(32, 8, 8, 16, 2, 5),
@@ -6349,6 +6450,11 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_orderpriority,
              CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents
          FROM orders WHERE o_orderkey IN (17, 142, 567, 890, 1234)
+         ORDER BY o_orderkey""",
+    "q_bloom_prune_inc" ->
+      """SELECT o_orderkey, o_custkey, o_orderpriority,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents
+         FROM orders WHERE o_orderkey IN (17, 97, 194, 291, 890, 1234)
          ORDER BY o_orderkey""",
     // mixing fractions: all intermediates are DOUBLE on both sides (the
     // binding group's tgt*(n/tgt)/n roundtrip may land an ulp under 1.0 —

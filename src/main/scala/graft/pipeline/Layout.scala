@@ -172,6 +172,26 @@ object Layout {
         graft.operators.BloomJoin.bloomAggColumn(
           col(keyCol), expectedItems, numBits).as("bloom"))
 
+  /** Incremental bloom-manifest maintenance: blooms for `newFiles` only,
+    * unioned onto the existing manifest — O(new data), never rescans the
+    * table (the appendToManifest discipline). The append MUST happen for
+    * every ingested file: [[readPrunedByKeys]] scans only manifest-listed
+    * files, so an unindexed file's rows would silently vanish from pruned
+    * reads (the equality spec and the incremental declared query exist to
+    * pin exactly this).
+    */
+  def appendToBloomManifest(spark: org.apache.spark.sql.SparkSession,
+      manifest: DataFrame, newFiles: Seq[String], keyCol: String,
+      expectedItems: Long = 1000000L, numBits: Long = 8388608L): DataFrame = {
+    require(newFiles.nonEmpty, "no new files to index")
+    val fresh = spark.read.parquet(newFiles: _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        graft.operators.BloomJoin.bloomAggColumn(
+          col(keyCol), expectedItems, numBits).as("bloom"))
+    manifest.unionByName(fresh)
+  }
+
   /** Point-lookup read through the bloom manifest: scan only the files
     * whose bloom might contain AT LEAST ONE probe key, then apply the exact
     * IN predicate. Blooms are never false-negative, so the result is

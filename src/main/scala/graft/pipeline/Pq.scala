@@ -286,6 +286,39 @@ object Pq {
       .select("query_id", "neighbor_id", "rank", "adc_dist")
   }
 
+  /** IVF-PQ probe + exact REFINE (FAISS's refine stage): the compressed ADC
+    * ranking supplies a `shortlist`-deep candidate set (raw vectors
+    * untouched), then ONLY those O(queries·shortlist) candidates fetch
+    * their raw vectors for an exact sequential-fold cosine rerank —
+    * recovering most of the recall PQ compression costs at a bounded
+    * exact-scoring budget. Both stages deterministic (integer ADC
+    * distances, fold cosine, id tie-breaks) → hash-pinned end to end.
+    */
+  def ivfPqRefine(
+      queries: DataFrame,
+      qId: Column,
+      qVec: Column,
+      candidates: DataFrame,
+      cId: Column,
+      cVec: Column,
+      indexPath: String,
+      shortlist: Int,
+      k: Int,
+      nprobe: Int,
+      m: Int,
+      sub: Int): DataFrame = {
+    val short = ivfPqProbe(queries, qId, qVec, indexPath, shortlist, nprobe, m, sub)
+      .select("query_id", "neighbor_id")
+    val rw = Window.partitionBy("query_id").orderBy(desc("qcos"), asc("neighbor_id"))
+    short
+      .join(candidates.select(cId.as("neighbor_id"), cVec.as("cvec")), "neighbor_id")
+      .join(broadcast(queries.select(qId.as("query_id"), qVec.as("qvec"))), "query_id")
+      .withColumn("qcos", Similarity.cosineFold(col("qvec"), col("cvec")))
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
   /** ADC probe of a persisted PQ index: per (query, subspace, code) partial
     * distances form a broadcast O(Q·m·K) lookup table; the code table joins
     * it map-side and partial-aggregates to Q·N pair distances; top-k per

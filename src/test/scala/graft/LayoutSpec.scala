@@ -216,6 +216,36 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
     mf.unpersist()
   }
 
+  test("appendToBloomManifest: O(batch) append prunes identically to a full rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloominc-").toString + "/t"
+    spark.range(0, 4000).toDF("k").repartition(4, $"k").write.parquet(dir)
+    val base = Layout.bloomManifest(spark, dir, "k",
+      expectedItems = 10000L, numBits = 1L << 17).localCheckpoint(false)
+    val before = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.getName).toSet
+    spark.range(4000, 5000).toDF("k").coalesce(1)
+      .write.mode("append").parquet(dir)
+    val newFiles = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")
+        && !before.contains(f.getName)).map(_.getAbsolutePath).toIndexedSeq
+    assert(newFiles.nonEmpty)
+    val appended = Layout.appendToBloomManifest(spark, base, newFiles, "k",
+      expectedItems = 10000L, numBits = 1L << 17).cache()
+    val rebuilt = Layout.bloomManifest(spark, dir, "k",
+      expectedItems = 10000L, numBits = 1L << 17).cache()
+    assert(appended.count() == rebuilt.count())
+    assert(appended.agg(sum("n_rows")).head.getLong(0) == 5000L)
+    // probes spanning base and batch: identical rows through either index,
+    // and both equal the plain filter (a missed append would LOSE 4500)
+    val keys = Seq(12L, 3999L, 4500L)
+    val viaApp = Layout.readPrunedByKeys(spark, dir, appended, "k", keys)
+    val viaReb = Layout.readPrunedByKeys(spark, dir, rebuilt, "k", keys)
+    val plain = spark.read.parquet(dir).filter($"k".isin(keys: _*))
+    assert(viaApp.exceptAll(plain).isEmpty && plain.exceptAll(viaApp).isEmpty)
+    assert(viaReb.exceptAll(plain).isEmpty && plain.exceptAll(viaReb).isEmpty)
+    appended.unpersist(); rebuilt.unpersist()
+  }
+
   test("appendToManifest equals a full rebuild; z-clustered box read prunes on both dims") {
     val root = java.nio.file.Files.createTempDirectory("graft-manifest2-").toString
     val mk = (lo: Long, hi: Long) => spark.range(lo, hi).toDF("id")

@@ -310,6 +310,41 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"lag pairs must read the settled series, not re-scan the facts:\n$p")
   }
 
+  test("q17/q2: the correlated-subquery rewrites broadcast their per-part frames") {
+    for (n <- Seq("q17_small_qty", "q2_cheapest_supplier")) {
+      val p = plan(n)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$n: per-part aggregate / filtered part dim must broadcast:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$n grew a nested-loop join:\n$p")
+    }
+  }
+
+  test("q21: sole-late-supplier windows partition by order — never a global sort") {
+    val p = plan("q21_late_sole")
+    assert(p.contains("windowspecdefinition(l_orderkey"),
+      s"q21 window lost its per-order partitioning:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_percent_rank / q_mannwhitney: rank machinery windows only by the partition id") {
+    for (n <- Seq("q_percent_rank", "q_mannwhitney")) {
+      val p = plan(n)
+      assert(p.contains("windowspecdefinition(_pid"),
+        s"$n rank cumsum lost its _pid partitioning:\n$p")
+    }
+  }
+
+  test("ann_hamming_rerank: queries broadcast; the Hamming scan never shuffles the corpus") {
+    val p = plan("ann_hamming_rerank")
+    assert(p.contains("BroadcastExchange"), s"query side must broadcast:\n$p")
+    // the corpus-side bit table reaches the scorer without an Exchange on
+    // the candidate rows: the only allowed exchanges are broadcasts and the
+    // O(queries·shortlist) rerank joins
+    assert(!p.contains("CartesianProduct"),
+      s"the bit-table scan must be the broadcast cross, not a cartesian:\n$p")
+  }
+
   test("q_rfm: quintile windows run over the aggregated customer frame only") {
     // the EXECUTED plan (formatted explain of an AQE plan appends the
     // pre-execution "Initial Plan" — slice it off before counting)
