@@ -2312,6 +2312,24 @@ object SparkEntry {
     // readStream the identical code emits each day's validation report when
     // the watermark closes it — spec-pinned stream ≡ batch). Mixed outcomes
     // by construction: two assertions hold, two have real violations.
+    // Streaming drift monitor: per-day fixed-width value histograms
+    // maintained on the stream (EventOps.histogramByWindow — one
+    // watermark-bounded event-time aggregation; this declared query runs
+    // the identical code path in batch, StreamingSpec pins stream ≡
+    // batch). Shares are exact integer ppm derived from the emitted
+    // counts — the q_drift_bins comparison can then run over two days'
+    // histograms without ever rescanning raw events.
+    "stream_histogram" -> ((s, d) => {
+      val h = EventOps.histogramByWindow(
+        events(s, d).withColumn("vc", (dec(col("value")) * 100).cast("long")),
+        col("vc"), binWidth = 5000L, every = "1 day")
+      val tot = h.groupBy("window_start").agg(sum("n").as("wn"))
+      h.join(tot, "window_start")
+        .select(col("window_start").cast("timestamp").as("window_start"),
+          col("bin"), col("n"), expr("n * 1000000 div wn").as("share_ppm"))
+        .orderBy("window_start", "bin")
+    }),
+
     "stream_expectations" -> ((s, d) =>
       EventOps.expectationsByWindow(events(s, d), Seq(
           "value_positive" -> (col("value") > 0),
@@ -3829,6 +3847,87 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_li"),
           (sum((col("pc").cast(DecimalType(38, 0)) * (lit(100) - col("dc"))))
             .cast("double") / 10000).as("revenue"))
+    }),
+
+    // TPC-H Q7 shape: bilateral revenue flow between two nations per ship
+    // year — nation joins in TWO roles (customer side through orders,
+    // supplier side through lineitem). Both nation-filtered key sets are
+    // pruned to the two nations BEFORE broadcasting, so the fact scan is
+    // semi-filtered by both broadcast joins; the cross-pair disjunction
+    // then only drops the 1→1 / 2→2 combinations. Exact integer revenue.
+    "q7_nation_volume" -> ((s, d) => {
+      val two = Seq("NATION_1", "NATION_2")
+      val n = nation(s, d).filter(col("n_name").isin(two: _*))
+        .select(col("n_nationkey"), col("n_name"))
+      val cn = customer(s, d)
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val sn = supplier(s, d)
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (dec(col("l_extendedprice")) * 100).cast("long").as("pc"),
+          (dec(col("l_discount")) * 100).cast("long").as("dc"),
+          year(col("l_shipdate")).as("l_year"))
+        .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+        .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cn), col("o_custkey") === col("c_custkey"))
+        .filter(col("cust_nation") =!= col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation", "l_year")
+        .agg(count(lit(1)).as("n_li"),
+          (sum(col("pc").cast(DecimalType(38, 0)) * (lit(100) - col("dc")))
+            .cast("double") / 10000).as("revenue"))
+        .orderBy("cust_nation", "supp_nation", "l_year")
+    }),
+
+    // TPC-H Q14 shape: promo revenue share per month — the conditional-
+    // over-total aggregation, with the share kept EXACT as integer ppm
+    // (promo_rev·1e6 div total_rev in DECIMAL(38,0)/HUGEINT) instead of the
+    // float percentage the original prints.
+    "q14_promo_share" -> ((s, d) => {
+      val li = lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("l_partkey"), month(col("l_shipdate")).as("mth"),
+          (dec(col("l_extendedprice")) * 100).cast("long").as("pc"),
+          (dec(col("l_discount")) * 100).cast("long").as("dc"))
+      li.join(broadcast(part(s, d).select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .withColumn("rev",
+          col("pc").cast(DecimalType(38, 0)) * (lit(100) - col("dc")))
+        .groupBy("mth")
+        .agg(count(lit(1)).as("n_li"),
+          sum(when(col("p_type") === "PROMO", col("rev"))
+            .otherwise(lit(0).cast(DecimalType(38, 0)))).as("promo_rev"),
+          sum(col("rev")).as("total_rev"))
+        .select(col("mth"), col("n_li"),
+          expr("CAST(promo_rev * 1000000 div total_rev AS BIGINT)")
+            .as("promo_ppm"),
+          (col("total_rev").cast("double") / 10000).as("revenue"))
+        .orderBy("mth")
+    }),
+
+    // TPC-H Q15 shape: the top supplier(s) by quarterly revenue — the
+    // revenue-view + max scalar subquery + equality rejoin. Revenue stays
+    // an exact decimal, so the max-equality test cannot suffer float
+    // tie ambiguity; the one-row max broadcasts.
+    "q15_top_supplier" -> ((s, d) => {
+      val rev = lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy("l_suppkey")
+        .agg(sum((dec(col("l_extendedprice")) * 100).cast("long")
+          .cast(DecimalType(38, 0))
+          * (lit(100) - (dec(col("l_discount")) * 100).cast("long")))
+          .as("rev"))
+      val mx = rev.agg(max("rev").as("mx"))
+      rev.crossJoin(broadcast(mx)).filter(col("rev") === col("mx"))
+        .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          (col("rev").cast("double") / 10000).as("revenue"))
+        .orderBy("s_suppkey")
     }),
 
     // Exact two-sample Kolmogorov-Smirnov distance between the value
@@ -5529,6 +5628,18 @@ object SparkEntry {
                FROM events WHERE event_type = 'signup') s
            ON p.user_id = s.user_id AND p.purchase_ts >= s.signup_ts
          ORDER BY p.user_id, p.event_id""",
+    "stream_histogram" ->
+      """WITH h AS (
+           SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 5000 AS bin,
+               count(*) AS n
+           FROM events GROUP BY 1, 2),
+         t AS (SELECT window_start, sum(n) AS wn FROM h GROUP BY 1)
+         SELECT h.window_start, CAST(bin AS BIGINT) AS bin,
+             CAST(n AS BIGINT) AS n,
+             CAST(n * 1000000 // wn AS BIGINT) AS share_ppm
+         FROM h JOIN t ON h.window_start = t.window_start
+         ORDER BY h.window_start, bin""",
     "stream_expectations" ->
       """WITH a AS (
            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
@@ -6610,6 +6721,57 @@ object SparkEntry {
                 AND qc BETWEEN 1000 AND 2000)
             OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 15
                 AND qc BETWEEN 2000 AND 3000)""",
+    "q7_nation_volume" ->
+      """WITH li AS (
+           SELECT l_orderkey, l_suppkey,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc,
+               CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS dc,
+               year(l_shipdate) AS l_year
+           FROM lineitem)
+         SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+             CAST(l_year AS INT) AS l_year,
+             CAST(count(*) AS BIGINT) AS n_li,
+             CAST(sum(CAST(pc AS HUGEINT) * (100 - dc)) AS DOUBLE) / 10000 AS revenue
+         FROM li
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation sn ON s_nationkey = sn.n_nationkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation cn ON c_nationkey = cn.n_nationkey
+         WHERE cn.n_name IN ('NATION_1', 'NATION_2')
+           AND sn.n_name IN ('NATION_1', 'NATION_2')
+           AND cn.n_name <> sn.n_name
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "q14_promo_share" ->
+      """WITH li AS (
+           SELECT l_partkey, CAST(month(l_shipdate) AS INT) AS mth,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc,
+               CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS dc
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             AND l_shipdate < TIMESTAMP '1998-01-01'),
+         j AS (
+           SELECT mth, CAST(pc AS HUGEINT) * (100 - dc) AS rev, p_type
+           FROM li JOIN part ON l_partkey = p_partkey)
+         SELECT mth, CAST(count(*) AS BIGINT) AS n_li,
+             CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)
+               * 1000000 // sum(rev) AS BIGINT) AS promo_ppm,
+             CAST(sum(rev) AS DOUBLE) / 10000 AS revenue
+         FROM j GROUP BY mth ORDER BY mth""",
+    "q15_top_supplier" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+               sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS HUGEINT)
+                 * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS rev
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             AND l_shipdate < TIMESTAMP '1997-04-01'
+           GROUP BY 1),
+         mx AS (SELECT max(rev) AS mx FROM rev)
+         SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) / 10000 AS revenue
+         FROM rev CROSS JOIN mx
+         JOIN supplier ON l_suppkey = s_suppkey
+         WHERE rev = mx ORDER BY s_suppkey""",
     "q_mannwhitney" ->
       """WITH x AS (
            SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,

@@ -96,6 +96,29 @@ object EventOps {
         (col("n_violations") === 0L).as("pass"))
   }
 
+  /** Streaming drift monitor: per-window fixed-width value histograms —
+    * the binned distribution (q_drift_bins' input) maintained ON the
+    * stream, so a snapshot-vs-snapshot drift check never rescans raw
+    * events. One event-time window aggregation (watermark-bounded state
+    * under readStream, append mode — each finalized (window, bin) count
+    * emits once); the SAME code path serves batch. `value` must be
+    * integral (quantize first); bins are `value div binWidth` —
+    * truncating division, non-negative inputs.
+    */
+  def histogramByWindow(
+      events: DataFrame,
+      value: Column,
+      binWidth: Long,
+      every: String = "1 day"): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    events
+      .withColumn("_vc", value)
+      .groupBy(window(col("ts"), every).as("w"),
+        expr(s"_vc div ${binWidth}L").as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("bin"), col("n"))
+  }
+
   /** Streaming quantile monitor: per-(window, group) KLL sketches of a
     * value column, finalized to quantile estimates — latency/size
     * percentile dashboards over an event stream without retaining raw

@@ -224,6 +224,23 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed == batch && batch.size == 6) // 3 hourly windows × 2 assertions
   }
 
+  test("streaming windowed histogram equals the batch binned counts") {
+    val streamed = runStream(
+      df => EventOps.histogramByWindow(
+        EventOps.withWatermarkIfStreaming(df, "ts", "0 seconds"),
+        (col("value") * 100).cast("long"), binWidth = 200L, every = "1 hour"),
+      "hist_out")
+      .filter($"window_start" < ts("2024-06-01 00:00:00")) // drop the flush window
+      .orderBy("window_start", "bin")
+      .collect().toSeq
+    val batch = EventOps.histogramByWindow(evs.toDF(),
+      (col("value") * 100).cast("long"), binWidth = 200L, every = "1 hour")
+      .orderBy("window_start", "bin")
+      .collect().toSeq
+    // values 1..6 ×100 with width 200 → real bin splits inside windows
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("streaming windowed KLL quantiles match batch within the rank-error band") {
     val streamed = runStream(
       df => EventOps.quantilesByWindow(
