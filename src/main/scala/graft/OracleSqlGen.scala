@@ -1769,6 +1769,39 @@ object OracleSqlGen {
         $roundCtes"""
   }
 
+  /** Mirrors q_corr_matrix: one aggregation pass over all four lineitem
+    * measures (sums/squares/cross-moments in HUGEINT), unpivoted to one
+    * Pearson row per pair — identical pair order and ratio expression.
+    */
+  def corrMatrix: String = {
+    val ms = Seq(
+      "discount" -> "dc", "price" -> "pc", "quantity" -> "qc", "tax" -> "tc")
+    val sums = ms.map { case (_, c) => s"sum(CAST($c AS HUGEINT)) AS s_$c" }
+    val sqs = ms.map { case (_, c) => s"sum(CAST($c AS HUGEINT) * $c) AS ss_$c" }
+    val crosses = ms.combinations(2).map { case Seq((_, a), (_, b)) =>
+      s"sum(CAST($a AS HUGEINT) * $b) AS sp_${a}_$b"
+    }.toSeq
+    val rows = ms.combinations(2).map { case Seq((na, a), (nb, b)) =>
+      s"""SELECT '$na' AS var_a, '$nb' AS var_b, n,
+            round(CAST(n * sp_${a}_$b - s_$a * s_$b AS DOUBLE)
+              / (sqrt(CAST(n * ss_$a - s_$a * s_$a AS DOUBLE))
+                 * sqrt(CAST(n * ss_$b - s_$b * s_$b AS DOUBLE))), 6) AS r
+          FROM m"""
+    }.mkString("\n          UNION ALL ")
+    s"""WITH b AS (
+          SELECT CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qc,
+              CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc,
+              CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS dc,
+              CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT) AS tc
+          FROM lineitem),
+        m AS (
+          SELECT count(*) AS n, ${(sums ++ sqs ++ crosses).mkString(",\n            ")}
+          FROM b)
+        SELECT var_a, var_b, CAST(n AS BIGINT) AS n, r FROM (
+          $rows)
+        ORDER BY var_a, var_b"""
+  }
+
   /** Mirrors GraphAnalytics.betweennessInt over the orders/lineitem graph:
     * forward level CTEs carry (seed, node, sigma) with an anti-join against
     * the settled set; backward CTEs accumulate the fixed-point dependency

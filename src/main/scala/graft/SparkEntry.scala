@@ -1899,6 +1899,29 @@ object SparkEntry {
         .orderBy(desc("freq"), asc("tok"))
     }),
 
+    // Gini-Simpson lexical diversity per source — the probability two
+    // tokens drawn without replacement differ. Unlike entropy (a sum of
+    // per-term doubles — reduction-order-dependent), Simpson's index stays
+    // EXACT: Σf(f−1) and N(N−1) are integers and the index is one closing
+    // division. Same (source, token) frequency pass as text_ttr_hapax.
+    "text_simpson" -> ((s, d) => {
+      val tf = documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("freq"))
+      tf.groupBy("source")
+        .agg(sum("freq").as("n_tokens"),
+          // f² and N² outgrow longs at corpus scale — exact decimals
+          sum(col("freq").cast(DecimalType(38, 0)) * (col("freq") - 1))
+            .as("sum_ff1"))
+        .select(col("source"), col("n_tokens"),
+          col("sum_ff1").cast("long").as("sum_ff1"),
+          (lit(1.0) - col("sum_ff1").cast("double")
+            / (col("n_tokens").cast(DecimalType(38, 0))
+              * (col("n_tokens") - 1)).cast("double"))
+            .as("simpson"))
+        .orderBy("source")
+    }),
+
     // Lexical diversity per source: type-token ratio and hapax-legomenon
     // share — the standard corpus-QC signals for template/boilerplate
     // detection (low TTR) and OCR/noise detection (hapax spikes). One
@@ -3968,6 +3991,40 @@ object SparkEntry {
         lineitem(s, d),
         (dec(col("l_quantity")) * 100).cast("long"),
         (dec(col("l_extendedprice")) * 100).cast("long"))),
+
+    // Pairwise Pearson correlation MATRIX over four lineitem measures in
+    // ONE aggregation pass: all 4 sums, 4 squares, and 6 cross-moments
+    // accumulate as exact decimals in a single map-side-combinable agg (the
+    // profiling shape — never 6 separate scans), then the single-row frame
+    // unpivots to one row per pair with the engine's standard integer-
+    // moment Pearson (double + round(6) only at the boundary).
+    "q_corr_matrix" -> ((s, d) => {
+      val ms = Seq(
+        "discount" -> "dc", "price" -> "pc", "quantity" -> "qc", "tax" -> "tc")
+      val base = lineitem(s, d).select(
+        (dec(col("l_quantity")) * 100).cast("long").as("qc"),
+        (dec(col("l_extendedprice")) * 100).cast("long").as("pc"),
+        (dec(col("l_discount")) * 100).cast("long").as("dc"),
+        (dec(col("l_tax")) * 100).cast("long").as("tc"))
+      def D(c: String) = col(c).cast(DecimalType(38, 0))
+      val aggs = count(lit(1)).as("n") +:
+        (ms.map { case (_, c) => sum(D(c)).as(s"s_$c") } ++
+          ms.map { case (_, c) => sum(D(c) * D(c)).as(s"ss_$c") } ++
+          ms.combinations(2).map { case Seq((_, a), (_, b)) =>
+            sum(D(a) * D(b)).as(s"sp_${a}_$b")
+          }.toSeq)
+      val m = base.agg(aggs.head, aggs.tail: _*).localCheckpoint(true)
+      val pairs = ms.combinations(2).map { case Seq((na, a), (nb, b)) =>
+        m.select(lit(na).as("var_a"), lit(nb).as("var_b"), col("n"),
+          round((col("n") * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b"))
+            .cast("double")
+            / (sqrt((col("n") * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a"))
+                .cast("double"))
+              * sqrt((col("n") * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b"))
+                .cast("double"))), 6).as("r"))
+      }.toSeq
+      pairs.reduce(_ union _).orderBy("var_a", "var_b")
+    }),
 
     // Binned distribution-drift report between two data snapshots (first
     // vs second half-month of events): per fixed-width value bin, both
@@ -6859,6 +6916,22 @@ object SparkEntry {
              CAST(s1_fp - s2_fp AS BIGINT) AS trend_fp,
              CAST(s1_fp * 2 - s2_fp AS DOUBLE) / 2097152.0 AS level
          FROM hc JOIN sm ON th = hh ORDER BY h_epoch""",
+    "q_corr_matrix" -> OracleSqlGen.corrMatrix,
+    "text_simpson" ->
+      """WITH tf AS (
+           SELECT source, tok, count(*) AS freq FROM (
+             SELECT source, unnest(string_split(text, ' ')) AS tok
+             FROM documents)
+           GROUP BY 1, 2),
+         a AS (
+           SELECT source, sum(freq) AS n_tokens,
+               sum(freq * (freq - 1)) AS sum_ff1
+           FROM tf GROUP BY source)
+         SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(sum_ff1 AS BIGINT) AS sum_ff1,
+             1.0 - CAST(sum_ff1 AS DOUBLE)
+               / CAST(n_tokens * (n_tokens - 1) AS DOUBLE) AS simpson
+         FROM a ORDER BY source""",
     "text_ttr_hapax" ->
       """WITH tf AS (
            SELECT source, tok, count(*) AS freq FROM (

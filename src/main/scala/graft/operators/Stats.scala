@@ -101,12 +101,17 @@ object Stats {
       .join(rankMap("yv", "ry2"), "yv")
     val dx = col("rx2").cast(DecimalType(38, 0))
     val dy = col("ry2").cast(DecimalType(38, 0))
+    val den1 = col("n") * col("sxx") - col("sx") * col("sx")
+    val den2 = col("n") * col("syy") - col("sy") * col("sy")
     j.agg(count(lit(1)).as("n"), sum(dx).as("sx"), sum(dy).as("sy"),
         sum(dx * dx).as("sxx"), sum(dy * dy).as("syy"), sum(dx * dy).as("sxy"))
       .select(col("n"),
-        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-          / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
-            * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))),
-          6).as("rho"))
+        // zero-variance guard (constant column → 0/0): NULL, never a throw
+        // (ANSI mode errors on a zero divisor) — the ksTest convention
+        when(den1 === 0 || den2 === 0, lit(null).cast("double"))
+          .otherwise(round(
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+              / (sqrt(den1.cast("double")) * sqrt(den2.cast("double"))), 6))
+          .as("rho"))
   }
 }

@@ -146,6 +146,48 @@ class EdgeCaseSpec extends AnyFunSuite with SparkTestBase {
       col("vec_id"), col("embedding"), col("label"), k = 3).count() == 0)
   }
 
+  test("mannWhitneyU: one-sided input yields U1 = 0 exactly, never a throw") {
+    import graft.operators.Stats
+    val oneSided = (1 to 20).map(i => (i.toLong, true)).toDF("v", "a")
+    val r = Stats.mannWhitneyU(oneSided, col("v"), col("a"), !col("a")).head()
+    // n2 = 0: R1 = n1(n1+1)/2 exactly → U1 = 0, U2 = 0, u_stat 0
+    assert(r.getLong(0) == 20L && r.getLong(1) == 0L)
+    assert(r.getLong(2) == 0L && r.getLong(3) == 0L && r.getDouble(4) == 0.0)
+  }
+
+  test("spearman: constant column yields NULL rho (zero variance), never a throw") {
+    import graft.operators.Stats
+    val const = (1 to 10).map(i => (i.toLong, 5L)).toDF("x", "y")
+    val r = Stats.spearman(const, col("x"), col("y")).head()
+    assert(r.getLong(0) == 10L)
+    assert(r.isNullAt(1)) // guarded 0/0 → NULL (ANSI would throw on a raw div)
+  }
+
+  test("betweennessInt: empty edges empty; rounds=1 gives all-zero dependencies") {
+    val empty = Seq.empty[(Long, Long)].toDF("u", "v")
+    assert(GraphAnalytics.betweennessInt(empty, Seq(1L), rounds = 3).count() == 0)
+    // one-hop horizon: every reached node is a leaf → delta 0 everywhere
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    val r1 = GraphAnalytics.betweennessInt(path, Seq(1L), rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(2L -> 0L))
+  }
+
+  test("randomWalks: a seed absent from the graph emits only its step-0 rows") {
+    val edges = Seq((1L, 2L)).toDF("u", "v")
+    val out = GraphAnalytics.randomWalks(edges, Seq(42L), walksPerSeed = 2, steps = 3)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(out.forall(_._2 == 0) && out.length == 2)
+  }
+
+  test("readPrunedByKeys: empty key list reads nothing and returns empty") {
+    import graft.pipeline.Layout
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloomedge-").toString + "/t"
+    spark.range(0, 100).toDF("k").coalesce(1).write.parquet(dir)
+    val mf = Layout.bloomManifest(spark, dir, "k", 1000L, 1L << 12)
+    assert(Layout.readPrunedByKeys(spark, dir, mf, "k", Seq.empty).count() == 0)
+  }
+
   test("duplicatedSpanStats: empty corpus is empty; all-sub-k corpus is all-zero") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(graft.pipeline.TextAnalysis.duplicatedSpanStats(
