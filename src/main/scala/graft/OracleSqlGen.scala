@@ -220,6 +220,18 @@ object OracleSqlGen {
         ORDER BY a_id, b_id"""
   }
 
+  /** Mirrors dedup_verified: the LSH candidate pairs re-verified by exact
+    * levenshtein (same DP in both engines) — recall stage bounds the pair
+    * count, the distance gate restores precision.
+    */
+  def dedupVerified(n: Int, bands: Int, rowsPerBand: Int, maxDist: Int): String =
+    s"""SELECT a_id, b_id, CAST(lev AS INT) AS lev FROM (
+          SELECT p.a_id, p.b_id, levenshtein(da.text, db.text) AS lev
+          FROM (${minhashLsh(n, bands, rowsPerBand)}) p
+          JOIN documents da ON da.doc_id = p.a_id
+          JOIN documents db ON db.doc_id = p.b_id)
+        WHERE lev <= $maxDist ORDER BY a_id, b_id"""
+
   /** Pair-level recall/precision of the minhash-LSH candidate set against
     * exact n-gram Jaccard ≥ threshold — both replayed from the base table
     * with the same generators the individual oracles use, so the quality
@@ -1306,6 +1318,42 @@ object OracleSqlGen {
         n AS (SELECT DISTINCT node FROM
                 (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
         d AS (SELECT src AS node, count(*) AS out_deg FROM e GROUP BY src),
+        r0 AS (SELECT node, CAST($scale AS BIGINT) AS pr FROM n),
+        $iterCtes
+        SELECT node, CAST(pr AS BIGINT) AS pr FROM r$iters
+        ORDER BY pr DESC, node ASC LIMIT $topK"""
+  }
+
+  /** Mirrors GraphAnalytics.pageRankWeightedInt over the orders/lineitem
+    * graph with quantity-weighted order→part edges: per-node damping then
+    * per-edge (damped · w) // wsum — the same two-division order Spark
+    * evaluates.
+    */
+  def pageRankWeightedInt(iters: Int, topK: Int, scale: Long = 1000000L,
+      dampNum: Long = 85, dampDen: Long = 100): String = {
+    val base = (scale * (dampDen - dampNum)) / dampDen
+    val damped0 = (scale * dampNum) / dampDen
+    val iterCtes = (1 to iters).map { i =>
+      val dampedExpr =
+        if (i == 1) s"$damped0"
+        else s"((r.pr * $dampNum) // $dampDen)"
+      s"""r$i AS (
+           SELECT n.node, $base + coalesce(sum(c.contrib), 0) AS pr
+           FROM n LEFT JOIN (
+             SELECT e.dst AS node, ($dampedExpr * e.w) // d.wsum AS contrib
+             FROM r${i - 1} r JOIN d ON r.node = d.node JOIN e ON e.src = r.node) c
+             ON c.node = n.node
+           GROUP BY n.node)"""
+    }.mkString(",\n        ")
+    s"""WITH e AS (
+          SELECT 2000000000 + o_custkey AS src, o_orderkey AS dst,
+              CAST(1 AS BIGINT) AS w FROM orders
+          UNION ALL
+          SELECT l_orderkey AS src, 1000000000 + l_partkey AS dst,
+              CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT) AS w FROM lineitem),
+        n AS (SELECT DISTINCT node FROM
+                (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+        d AS (SELECT src AS node, sum(w) AS wsum FROM e GROUP BY src),
         r0 AS (SELECT node, CAST($scale AS BIGINT) AS pr FROM n),
         $iterCtes
         SELECT node, CAST(pr AS BIGINT) AS pr FROM r$iters

@@ -1222,6 +1222,26 @@ object SparkEntry {
         n = 3, bands = 8, rowsPerBand = 2)
         .orderBy("a_id", "b_id")),
 
+    // Two-stage near-dup pipeline: LSH recall stage (the memoized candidate
+    // pair list — O(colliding pairs), never all-pairs) + an exact edit-
+    // distance PRECISION stage that re-verifies only the candidates.
+    // Levenshtein is O(len²) per pair — affordable exactly because the
+    // recall stage bounded the pair count; the ≤50 gate separates true
+    // near-dups (distance ~4 here) from same-bucket false positives
+    // (~300). The standard candidate→verify architecture of production
+    // dedup, end-to-end under one oracle.
+    "dedup_verified" -> ((s, d) => {
+      val pairs = s.read.parquet(s"${dedupCcSetup(s, d)}/pairs")
+      val docs = documents(s, d)
+      pairs
+        .join(docs.select(col("doc_id").as("a_id"), col("text").as("ta")), "a_id")
+        .join(docs.select(col("doc_id").as("b_id"), col("text").as("tb")), "b_id")
+        .select(col("a_id"), col("b_id"),
+          levenshtein(col("ta"), col("tb")).as("lev"))
+        .filter(col("lev") <= 50)
+        .orderBy("a_id", "b_id")
+    }),
+
     // Pair-level recall/precision of the LSH candidate set against exact
     // Jaccard ≥ 0.5 — the measurement that justifies the band/row choice,
     // itself hash-pinned (the ann_pq_recall contract applied to minhash).
@@ -2465,6 +2485,23 @@ object SparkEntry {
       graft.operators.GraphAnalytics.personalizedPageRankInt(
         o.union(li), sources = Seq(2000000042L), iters = 3)
         .orderBy(desc("ppr"), asc("node")).limit(20)
+    }),
+
+    // Weighted PageRank over the purchase graph: order→part edges carry
+    // the line quantity, so a part's rank reflects VOLUME routed through
+    // it, not just link counts — contributions split as (damped·w) div
+    // Σw(u) in exact integers (graph_pagerank's contract generalized to
+    // weighted edges; per-level oracle CTEs pin every iteration).
+    "graph_pagerank_weighted" -> ((s, d) => {
+      val o = orders(s, d).select(
+        (lit(2000000000L) + col("o_custkey")).as("src"),
+        col("o_orderkey").as("dst"), lit(1L).as("w"))
+      val li = lineitem(s, d).select(
+        col("l_orderkey").as("src"),
+        (lit(1000000000L) + col("l_partkey")).as("dst"),
+        dec(col("l_quantity")).cast("long").as("w"))
+      graft.operators.GraphAnalytics.pageRankWeightedInt(o.union(li), iters = 3)
+        .orderBy(desc("pr"), asc("node")).limit(20)
     }),
 
     // Sampled-source betweenness centrality (truncated Brandes, 8 fixed
@@ -5337,6 +5374,7 @@ object SparkEntry {
     "dedup_chunk_clean" -> OracleSqlGen.dedupChunkClean(8),
     "dedup_span_clean" -> OracleSqlGen.dedupSpanClean(8),
     "dedup_minhash" -> OracleSqlGen.minhashLsh(3, 8, 2),
+    "dedup_verified" -> OracleSqlGen.dedupVerified(3, 8, 2, maxDist = 50),
     "dedup_minhash_recall" ->
       OracleSqlGen.minhashRecall(3, 0.5, maxDocFreq = 8, bands = 8, rowsPerBand = 2),
     "dedup_components" -> OracleSqlGen.minhashComponents(3, 8, 2),
@@ -5795,6 +5833,8 @@ object SparkEntry {
            FROM events)
          WHERE rank <= 5 ORDER BY event_type, rank""",
     "graph_pagerank" -> OracleSqlGen.pageRankInt(iters = 3, topK = 20),
+    "graph_pagerank_weighted" ->
+      OracleSqlGen.pageRankWeightedInt(iters = 3, topK = 20),
     "graph_hits" -> OracleSqlGen.hits(iters = 3, topK = 20),
     "graph_harmonic" -> OracleSqlGen.harmonic(
       seeds = (1L to 8L).map(2000000000L + _), rounds = 4, topK = 100),

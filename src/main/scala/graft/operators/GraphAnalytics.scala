@@ -99,6 +99,62 @@ object GraphAnalytics {
     mat
   }
 
+  /** WEIGHTED fixed-point PageRank: contributions split proportionally to
+    * edge weight instead of uniformly — contrib(u→v) =
+    * (((base + recv_u)·dampNum) div dampDen) · w(u,v) div Σw(u,·), every
+    * step integer, so the chained-CTE oracle hash-matches exactly (the
+    * [[pageRankInt]] contract generalized; w ≡ 1 degenerates to it up to
+    * division order). Same scale shape: weighted edges cached
+    * src-partitioned with their source weight-sum attached once; per
+    * iteration one size-gated broadcast of the O(V) damped frame and one
+    * groupBy(dst) exchange. Weights must be positive longs; the per-edge
+    * product damped·w stays far inside a long for any realistic scale
+    * (rank mass ≤ scale·V ≈ 10¹⁵ at V = 10⁹, times w ≤ 10³).
+    */
+  def pageRankWeightedInt(
+      edges: DataFrame,
+      iters: Int,
+      scale: Long = 1000000L,
+      dampNum: Long = 85,
+      dampDen: Long = 100): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
+    val e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"),
+        col("w").cast("long").as("w"))
+      .repartition(col("src"))
+      .cache()
+    val ws = e.groupBy("src").agg(sum("w").as("wsum")).cache()
+    val vRows = ws.count()
+    def bc(df: DataFrame): DataFrame = Hints.broadcastIfUnder(df, vRows)
+    val base = (scale * (dampDen - dampNum)) / dampDen
+    var recv: Option[DataFrame] = None
+    for (_ <- 1 to iters) {
+      val damped = recv match {
+        case None =>
+          ws.select(col("src"),
+            lit((scale * dampNum) / dampDen).as("damped"), col("wsum"))
+        case Some(r) =>
+          ws.join(bc(r.withColumnRenamed("node", "src")), Seq("src"), "left")
+            .select(col("src"),
+              expr(s"(($base + coalesce(recv, 0L)) * $dampNum) div $dampDen")
+                .as("damped"), col("wsum"))
+      }
+      recv = Some(
+        e.join(bc(damped), "src")
+          .groupBy(col("dst").as("node"))
+          .agg(sum(expr("damped * w div wsum")).as("recv")))
+    }
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+    val out = nodes.join(recv.get, Seq("node"), "left")
+      .select(col("node"), (lit(base) + coalesce(col("recv"), lit(0L))).as("pr"))
+    val mat = out.localCheckpoint(true)
+    e.unpersist(false)
+    ws.unpersist(false)
+    mat
+  }
+
   /** Per-node triangle counts over an undirected simple graph. `edges` must
     * have columns (u, v) with u < v and no duplicate pairs.
     *

@@ -374,6 +374,23 @@ class GraphAnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(got2 == got)
   }
 
+  test("pageRankWeightedInt: hand-computed split; w=1 equals unweighted exactly") {
+    // 1→2 (w=3), 1→3 (w=1), one iteration: damped0 = 850000 splits 3:1 →
+    // contrib 637500 / 212500; base = 150000
+    val we = Seq((1L, 2L, 3L), (1L, 3L, 1L)).toDF("src", "dst", "w")
+    val got = GraphAnalytics.pageRankWeightedInt(we, iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 150000L, 2L -> 787500L, 3L -> 362500L))
+    // unit weights degenerate to the unweighted operator, value-for-value
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
+    val unw = GraphAnalytics.pageRankInt(e, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val unit = GraphAnalytics.pageRankWeightedInt(
+      e.withColumn("w", org.apache.spark.sql.functions.lit(1L)), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(unit == unw)
+  }
+
   test("betweennessInt: hand-computed dependencies on path and diamond graphs") {
     val S = 1L << 20
     // path 1-2-3-4-5, seed 1: exact Brandes deltas 3, 2, 1, 0
