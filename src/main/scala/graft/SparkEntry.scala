@@ -4029,6 +4029,47 @@ object SparkEntry {
         (dec(col("l_quantity")) * 100).cast("long"),
         (dec(col("l_extendedprice")) * 100).cast("long"))),
 
+    // Conversion-latency distribution: exact percentiles of the
+    // signup→purchase delay over the interval-join pairs (events_conv's
+    // join reused) — the funnel-health metric read off the stream-stream
+    // join's output without retaining raw events.
+    "events_conv_latency" -> ((s, d) =>
+      EventOps.conversionsWithin(events(s, d), "1 HOUR")
+        .select((unix_micros(col("purchase_ts"))
+          - unix_micros(col("signup_ts"))).as("lat_us"))
+        .agg(count(lit(1)).as("n_conv"),
+          round(expr("percentile(lat_us, 0.5)"), 4).as("p50_us"),
+          round(expr("percentile(lat_us, 0.9)"), 4).as("p90_us"))),
+
+    // Model-evaluation lift/gain table: users ranked by an engagement
+    // score (clicks), cut into deciles by the DISTRIBUTED exact ntile (no
+    // single-task window over users), then per-decile conversion rate,
+    // lift vs the base rate, and cumulative gain — all exact integer ppm
+    // (cross-multiplied in DECIMAL(38,0)/HUGEINT). The 10-row cumulative
+    // window runs over the O(deciles) aggregate, not user rows.
+    "q_lift_table" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val per = events(s, d).groupBy("user_id")
+        .agg(sum((col("event_type") === "click").cast("long")).as("score"),
+          max((col("event_type") === "purchase").cast("long")).as("label"))
+      val ranked = graft.operators.Ranking.withGlobalNtile(
+        per, Seq(col("score").desc, col("user_id").asc), 10, "decile")
+      val g = ranked.groupBy("decile")
+        .agg(count(lit(1)).as("n_users"), sum("label").as("n_pos"))
+      val tot = g.agg(sum("n_users").as("tn"), sum("n_pos").as("tp"))
+      val w = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.crossJoin(broadcast(tot))
+        .withColumn("cum_pos", sum("n_pos").over(w))
+        .select(col("decile"), col("n_users"), col("n_pos"),
+          expr("n_pos * 1000000 div n_users").as("rate_ppm"),
+          expr("CAST((CAST(n_pos AS DECIMAL(38,0)) * tn * 1000000)" +
+            " div (CAST(n_users AS DECIMAL(38,0)) * tp) AS BIGINT)")
+            .as("lift_ppm"),
+          expr("cum_pos * 1000000 div tp").as("cum_gain_ppm"))
+        .orderBy("decile")
+    }),
+
     // Pairwise Pearson correlation MATRIX over four lineitem measures in
     // ONE aggregation pass: all 4 sums, 4 squares, and 6 cross-moments
     // accumulate as exact decimals in a single map-side-combinable agg (the
@@ -6957,6 +6998,42 @@ object SparkEntry {
              CAST(s1_fp * 2 - s2_fp AS DOUBLE) / 2097152.0 AS level
          FROM hc JOIN sm ON th = hh ORDER BY h_epoch""",
     "q_corr_matrix" -> OracleSqlGen.corrMatrix,
+    "events_conv_latency" ->
+      """WITH c AS (
+           SELECT epoch_us(CAST(p.ts AS TIMESTAMP))
+               - epoch_us(CAST(s.ts AS TIMESTAMP)) AS lat_us
+           FROM events s JOIN events p
+             ON s.user_id = p.user_id
+            AND CAST(p.ts AS TIMESTAMP) >= CAST(s.ts AS TIMESTAMP)
+            AND CAST(p.ts AS TIMESTAMP) <= CAST(s.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+           WHERE s.event_type = 'signup' AND p.event_type = 'purchase')
+         SELECT CAST(count(*) AS BIGINT) AS n_conv,
+             round(quantile_cont(lat_us, 0.5), 4) AS p50_us,
+             round(quantile_cont(lat_us, 0.9), 4) AS p90_us
+         FROM c""",
+    "q_lift_table" ->
+      """WITH per AS (
+           SELECT user_id,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS score,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS label
+           FROM events GROUP BY user_id),
+         r AS (
+           SELECT label,
+               ntile(10) OVER (ORDER BY score DESC, user_id ASC) AS decile
+           FROM per),
+         g AS (
+           SELECT decile, count(*) AS n_users, sum(label) AS n_pos
+           FROM r GROUP BY decile),
+         t AS (SELECT sum(n_users) AS tn, sum(n_pos) AS tp FROM g)
+         SELECT CAST(decile AS INT) AS decile,
+             CAST(n_users AS BIGINT) AS n_users,
+             CAST(n_pos AS BIGINT) AS n_pos,
+             CAST(n_pos * 1000000 // n_users AS BIGINT) AS rate_ppm,
+             CAST((CAST(n_pos AS HUGEINT) * tn * 1000000)
+               // (CAST(n_users AS HUGEINT) * tp) AS BIGINT) AS lift_ppm,
+             CAST(sum(n_pos) OVER (ORDER BY decile) * 1000000 // tp AS BIGINT)
+               AS cum_gain_ppm
+         FROM g CROSS JOIN t ORDER BY decile""",
     "text_simpson" ->
       """WITH tf AS (
            SELECT source, tok, count(*) AS freq FROM (
