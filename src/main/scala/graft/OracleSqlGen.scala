@@ -581,38 +581,77 @@ object OracleSqlGen {
     * bit_count(xor) sums, ties → neighbor_id), exact sequential-fold cosine
     * rerank of shortlist members only.
     */
-  def annHammingRerank(nQueries: Int, shortlist: Int, k: Int): String = {
-    def word(off: Int) =
-      s"""list_sum(list_transform(range(32),
-            i -> CASE WHEN embedding[i + ${off + 1}] > 0
-                 THEN CAST(round(power(2.0, i)) AS BIGINT) ELSE 0 END))"""
-    s"""WITH b AS (
-          SELECT vec_id, ${word(0)} AS w0, ${word(32)} AS w1 FROM embeddings),
-        s AS (
+  /** 32-bit sign word of `embedding` starting at dimension `off` — the
+    * identical expression tree Similarity.signWord evaluates.
+    */
+  private def signWordSql(off: Int): String =
+    s"""list_sum(list_transform(range(32),
+          i -> CASE WHEN embedding[i + ${off + 1}] > 0
+               THEN CAST(round(power(2.0, i)) AS BIGINT) ELSE 0 END))"""
+
+  /** The Hamming-shortlist + exact-rerank CTE chain shared by the rerank
+    * and recall oracles: bit table, integer Hamming scan, shortlist,
+    * cosine rerank, final per-query ranks (CTE `hamf`).
+    */
+  private def hammingCtes(nQueries: Int, shortlist: Int): String =
+    s"""hb AS (
+          SELECT vec_id, ${signWordSql(0)} AS w0, ${signWordSql(32)} AS w1
+          FROM embeddings),
+        hs AS (
           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
             bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1)) AS hd
-          FROM b q, b c
+          FROM hb q, hb c
           WHERE q.vec_id < $nQueries AND q.vec_id <> c.vec_id),
-        sl AS (
+        hsl AS (
           SELECT query_id, neighbor_id FROM (
             SELECT query_id, neighbor_id,
               row_number() OVER (PARTITION BY query_id
                 ORDER BY hd ASC, neighbor_id ASC) AS hrank
-            FROM s)
+            FROM hs)
           WHERE hrank <= $shortlist),
-        r AS (
-          SELECT sl.query_id, sl.neighbor_id,
+        hrr AS (
+          SELECT hsl.query_id, hsl.neighbor_id,
             ${cosineSql("qe.embedding", "ce.embedding")} AS qcos
-          FROM sl JOIN embeddings qe ON qe.vec_id = sl.query_id
-                  JOIN embeddings ce ON ce.vec_id = sl.neighbor_id),
-        f AS (
+          FROM hsl JOIN embeddings qe ON qe.vec_id = hsl.query_id
+                   JOIN embeddings ce ON ce.vec_id = hsl.neighbor_id),
+        hamf AS (
           SELECT query_id, neighbor_id,
             row_number() OVER (PARTITION BY query_id
               ORDER BY qcos DESC, neighbor_id ASC) AS rank
-          FROM r)
+          FROM hrr)"""
+
+  def annHammingRerank(nQueries: Int, shortlist: Int, k: Int): String =
+    s"""WITH ${hammingCtes(nQueries, shortlist)}
         SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
-        FROM f WHERE rank <= $k ORDER BY query_id, rank"""
-  }
+        FROM hamf WHERE rank <= $k ORDER BY query_id, rank"""
+
+  /** Recall@topK of the Hamming-rerank path against exact brute-force
+    * cosine — the ann_pq_recall contract applied to 1-bit quantization:
+    * the quality measurement itself is hash-pinned.
+    */
+  def annHammingRecall(nQueries: Int, shortlist: Int, topK: Int): String =
+    s"""WITH qx AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+                    WHERE vec_id < $nQueries),
+        cx AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+        sx AS (
+          SELECT query_id, neighbor_id, ${cosineSql("qv", "cv")} AS cosine
+          FROM qx, cx WHERE query_id <> neighbor_id),
+        exact AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM sx) WHERE rank <= $topK),
+        ${hammingCtes(nQueries, shortlist)},
+        ham AS (
+          SELECT query_id, neighbor_id FROM hamf WHERE rank <= $topK),
+        common AS (
+          SELECT query_id, count(*) AS n_common
+          FROM exact JOIN ham USING (query_id, neighbor_id) GROUP BY query_id)
+        SELECT q.query_id, CAST(coalesce(c.n_common, 0) AS BIGINT) AS n_common,
+               CAST(coalesce(c.n_common, 0) AS DOUBLE) / $topK AS recall
+        FROM (SELECT DISTINCT query_id FROM exact) q
+        LEFT JOIN common c USING (query_id) ORDER BY q.query_id"""
 
   def annLshTopK(nQueries: Int, k: Int, bands: Int, planesPerBand: Int): String = {
     def bandSelects(src: String, idAlias: String) = (0 until bands).map { b =>

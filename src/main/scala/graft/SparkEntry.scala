@@ -1444,6 +1444,30 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Recall@5 of the Hamming-rerank path against exact brute-force cosine
+    // — the hash-pinned quality measurement (ann_pq_recall's contract) for
+    // 1-bit quantization: how much ranking the 16× compression plus
+    // 20-deep shortlist actually costs on THIS corpus.
+    "ann_hamming_recall" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val q = e.filter(col("vec_id") < 32)
+      val exact = Similarity.bruteForceTopK(q, e,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), k = 5)
+        .select("query_id", "neighbor_id")
+      val ham = Similarity.hammingRerank(q, e,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        shortlist = 20, k = 5)
+        .select("query_id", "neighbor_id")
+      val common = exact.join(ham, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_common"))
+      exact.select("query_id").distinct()
+        .join(common, Seq("query_id"), "left")
+        .na.fill(0L, Seq("n_common"))
+        .select(col("query_id"), col("n_common"),
+          (col("n_common").cast("double") / lit(5.0)).as("recall"))
+        .orderBy("query_id")
+    }),
+
     // Int8-quantized top-k: same brute-force shape as ann_topk, but scoring
     // runs over 4×-smaller int8 codes with exact integer dot products — the
     // memory-bandwidth lever a 100 TB vector corpus needs before any index.
@@ -4188,6 +4212,39 @@ object SparkEntry {
         .orderBy("h_epoch")
     }),
 
+    // One-step-ahead backtest of the Brown forecast: level+trend computed
+    // through hour t predicts hour t+1; the error aggregates as the exact
+    // integer Σ|2²¹·actual − (level+trend)| (MAE numerator in fixed
+    // point, DECIMAL(38,0)/HUGEINT) — forecast-quality measurement itself
+    // hash-pinned, the events_forecast_snaive contract applied to the
+    // trend-aware smoother.
+    "events_holt_backtest" -> ((s, d) => {
+      val hc = events(s, d)
+        .select((unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
+          .cast("long").as("hh"))
+        .groupBy("hh").agg(count(lit(1)).as("n"))
+      val contrib = hc
+        .select(col("hh"), col("n"),
+          explode(sequence(lit(0), lit(19))).as("j"))
+        .select((col("hh") + col("j")).as("th"),
+          (col("n") * expr("CAST(round(power(2.0, 20 - j)) AS BIGINT)")).as("w1"),
+          (col("n") * (col("j") + 1)
+            * expr("CAST(round(power(2.0, 19 - j)) AS BIGINT)")).as("w2"))
+      val sm = contrib.groupBy("th")
+        .agg(sum("w1").as("s1_fp"), sum("w2").as("s2_fp"))
+      val fc = hc.join(sm, col("th") === col("hh"))
+        // forecast for t+1 from state at t: (2s1−s2) + (s1−s2) = 3s1 − 2s2
+        .select((col("hh") + 1).as("fh"),
+          (col("s1_fp") * 3 - col("s2_fp") * 2).as("fc_fp"))
+      hc.join(fc, col("hh") === col("fh"))
+        .select(abs(col("n").cast(DecimalType(38, 0)) * lit(2097152L)
+          - col("fc_fp")).as("err"))
+        .agg(count(lit(1)).as("n_hours"),
+          sum(col("err")).cast("long").as("sum_abs_err_fp"),
+          (sum(col("err")).cast("double")
+            / (count(lit(1)) * lit(2097152L)).cast("double")).as("mae"))
+    }),
+
     // Hard-negative mining for contrastive training: nearest neighbors with
     // a DIFFERENT class label — the broadcast-query brute-force scan with a
     // label-inequality prefilter (Similarity.hardNegatives). The labeled
@@ -5448,6 +5505,7 @@ object SparkEntry {
     "ann_topk" -> OracleSqlGen.annTopK(32, 5),
     "ann_quantized_topk" -> OracleSqlGen.annQuantizedTopK(32, 5),
     "ann_hamming_rerank" -> OracleSqlGen.annHammingRerank(32, 20, 5),
+    "ann_hamming_recall" -> OracleSqlGen.annHammingRecall(32, 20, 5),
     "ann_pq_adc" -> OracleSqlGen.annPqAdc(32, 8, 8, 16, 2, 5),
     "ann_pq_incremental" -> OracleSqlGen.annPqAdc(32, 8, 8, 16, 2, 5, trainMaxId = 400L),
     "ann_ivfpq" -> OracleSqlGen.annIvfPq(32, 8, 2, 8, 8, 16, 2, 5),
@@ -6978,6 +7036,29 @@ object SparkEntry {
              CAST(abs(CAST(na AS HUGEINT) * tb - CAST(nb AS HUGEINT) * ta)
                AS BIGINT) AS tvd_num
          FROM g CROSS JOIN t ORDER BY bin""",
+    "events_holt_backtest" ->
+      """WITH hc AS (
+           SELECT CAST(floor(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))) AS BIGINT) // 3600 AS hh,
+               count(*) AS n
+           FROM events GROUP BY 1),
+         contrib AS (
+           SELECT hh + j.range AS th,
+               n * CAST(round(power(2.0, 20 - j.range)) AS BIGINT) AS w1,
+               n * (j.range + 1)
+                 * CAST(round(power(2.0, 19 - j.range)) AS BIGINT) AS w2
+           FROM hc CROSS JOIN range(20) j),
+         sm AS (SELECT th, sum(w1) AS s1_fp, sum(w2) AS s2_fp
+                FROM contrib GROUP BY th),
+         fc AS (
+           SELECT hc.hh + 1 AS fh, s1_fp * 3 - s2_fp * 2 AS fc_fp
+           FROM hc JOIN sm ON th = hh),
+         e AS (
+           SELECT abs(CAST(n AS HUGEINT) * 2097152 - fc_fp) AS err
+           FROM hc JOIN fc ON hh = fh)
+         SELECT CAST(count(*) AS BIGINT) AS n_hours,
+             CAST(sum(err) AS BIGINT) AS sum_abs_err_fp,
+             CAST(sum(err) AS DOUBLE) / CAST(count(*) * 2097152 AS DOUBLE) AS mae
+         FROM e""",
     "events_holt_brown" ->
       """WITH hc AS (
            SELECT CAST(floor(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))) AS BIGINT) // 3600 AS hh,
