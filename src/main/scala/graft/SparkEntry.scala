@@ -4053,6 +4053,38 @@ object SparkEntry {
         (dec(col("l_quantity")) * 100).cast("long"),
         (dec(col("l_extendedprice")) * 100).cast("long"))),
 
+    // Mann-Kendall trend test on the daily event-count series: S =
+    // Σ_{i<j} sign(c_j − c_i), with the tie-corrected variance — the
+    // standard nonparametric is-there-a-trend test. S and var stay exact
+    // integers (HUGEINT on the oracle side); the pair self-join runs over
+    // the O(days) AGGREGATED series, never raw events, so the quadratic
+    // is bounded by the calendar, not the data.
+    "events_mann_kendall" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      val pairs = daily.as("a").join(daily.as("b"), col("a.day") < col("b.day"))
+        .select(signum(col("b.c") - col("a.c")).cast("long").as("sgn"))
+      val sStat = pairs.agg(sum("sgn").as("s_stat"), count(lit(1)).as("n_pairs"))
+      // tie-corrected variance: 18·Var = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)
+      val n = daily.agg(count(lit(1)).as("n"))
+      val ties = daily.groupBy("c").agg(count(lit(1)).as("t"))
+        .agg(coalesce(sum(col("t").cast(DecimalType(38, 0)) * (col("t") - 1)
+          * (col("t") * 2 + 5)), lit(0).cast(DecimalType(38, 0))).as("tie_term"))
+      sStat.crossJoin(broadcast(n)).crossJoin(broadcast(ties))
+        .select(col("n").as("n_days"), col("s_stat"),
+          ((col("n").cast(DecimalType(38, 0)) * (col("n") - 1) * (col("n") * 2 + 5)
+            - col("tie_term")).cast("long")).as("var18"),
+          // z uses the continuity correction sign(S)·(|S|−1)/sqrt(Var)
+          when(col("s_stat") === 0, lit(0.0))
+            .otherwise(signum(col("s_stat"))
+              * (abs(col("s_stat")) - 1).cast("double")
+              / sqrt((col("n").cast(DecimalType(38, 0)) * (col("n") - 1)
+                * (col("n") * 2 + 5) - col("tie_term")).cast("double") / 18.0))
+            .as("z"))
+    }),
+
     // Conversion-latency distribution: exact percentiles of the
     // signup→purchase delay over the interval-join pairs (events_conv's
     // join reused) — the funnel-health metric read off the stream-stream
@@ -7079,6 +7111,29 @@ object SparkEntry {
              CAST(s1_fp * 2 - s2_fp AS DOUBLE) / 2097152.0 AS level
          FROM hc JOIN sm ON th = hh ORDER BY h_epoch""",
     "q_corr_matrix" -> OracleSqlGen.corrMatrix,
+    "events_mann_kendall" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS day, count(*) AS c
+           FROM events GROUP BY 1),
+         p AS (
+           SELECT sum(CAST(sign(b.c - a.c) AS BIGINT)) AS s_stat,
+               count(*) AS n_pairs
+           FROM daily a JOIN daily b ON a.day < b.day),
+         nn AS (SELECT count(*) AS n FROM daily),
+         tt AS (
+           SELECT coalesce(sum(CAST(t AS HUGEINT) * (t - 1) * (t * 2 + 5)), 0)
+             AS tie_term
+           FROM (SELECT c, count(*) AS t FROM daily GROUP BY c)),
+         f AS (
+           SELECT n, s_stat,
+               CAST(n AS HUGEINT) * (n - 1) * (n * 2 + 5) - tie_term AS v18
+           FROM p CROSS JOIN nn CROSS JOIN tt)
+         SELECT CAST(n AS BIGINT) AS n_days, CAST(s_stat AS BIGINT) AS s_stat,
+             CAST(v18 AS BIGINT) AS var18,
+             CASE WHEN s_stat = 0 THEN 0.0
+               ELSE CAST(sign(s_stat) AS DOUBLE) * CAST(abs(s_stat) - 1 AS DOUBLE)
+                 / sqrt(CAST(v18 AS DOUBLE) / 18.0) END AS z
+         FROM f""",
     "events_conv_latency" ->
       """WITH c AS (
            SELECT epoch_us(CAST(p.ts AS TIMESTAMP))
