@@ -412,6 +412,27 @@ class GraphAnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(bc2(2L) == S && bc2(3L) == S && bc2(1L) == 0L && bc2(4L) == 0L)
   }
 
+  test("randomWalksOver a persisted adjacencyIndex equals the direct walk") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L)).toDF("u", "v")
+    val direct = GraphAnalytics.randomWalks(edges, Seq(1L, 4L), 2, 5)
+      .as[(Long, Int, Long)].collect().sortBy(w => (w._1, w._2))
+    val dir = java.nio.file.Files.createTempDirectory("walkidx").toString
+    GraphAnalytics.adjacencyIndex(edges).write.mode("overwrite").parquet(dir)
+    val viaIndex = GraphAnalytics.randomWalksOver(
+        spark.read.parquet(dir), Seq(1L, 4L), 2, 5)
+      .as[(Long, Int, Long)].collect().sortBy(w => (w._1, w._2))
+    assert(viaIndex.toSeq == direct.toSeq)
+    // index invariants: idx is the 0-based rank of b in per-a sorted order,
+    // deg is the per-a row count
+    val idx = spark.read.parquet(dir)
+      .as[(Long, Int, Long, Long)].collect().groupBy(_._1)
+    idx.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.map(_._2).toSeq == rows.indices)
+      assert(rows.forall(_._4 == rows.length))
+    }
+  }
+
   test("randomWalks: valid edges, hand-checked hash choice, reproducible, dup-edge proof") {
     // triangle 1-2-3 plus pendant 4; undirected
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("u", "v")
