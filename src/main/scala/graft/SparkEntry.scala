@@ -4815,6 +4815,130 @@ object SparkEntry {
         .orderBy("yr")
     }),
 
+    // TPC-H Q9 shape: product-line profit by supplier nation × order year.
+    // The testdata has no partsupp, so cost is the part's retail price ×
+    // quantity — same five-relation join topology (name-filtered part
+    // broadcast into the fact, supplier→nation, orders for the year).
+    // Profit accumulates as exact integer 1e-4 dollars: cents·(100−disc%)
+    // minus retail-cents·qty-cents are both dollars×10⁴ fixed point.
+    "q9_profit_by_nation" -> ((s, d) => {
+      val p = part(s, d).filter(col("p_name").like("%gear%"))
+        .select(col("p_partkey"),
+          (dec(col("p_retailprice")) * 100).cast("long").as("rpc"))
+      val sn = supplier(s, d)
+        .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      val li = lineitem(s, d)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          ((dec(col("l_extendedprice")) * 100).cast("long").cast(DecimalType(38, 0))
+            * (lit(100L) - (dec(col("l_discount")) * 100).cast("long"))
+            - col("rpc").cast(DecimalType(38, 0))
+            * (dec(col("l_quantity")) * 100).cast("long")).as("profit"))
+      li.join(orders(s, d).select(col("o_orderkey"),
+          year(col("o_orderdate")).as("yr")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("n_name").as("nation"), col("yr"))
+        .agg(sum(col("profit")).as("pr"))
+        .select(col("nation"), col("yr"), col("pr").cast("long").as("profit_fp"),
+          (col("pr").cast("double") / 10000).as("profit"))
+        .orderBy(asc("nation"), desc("yr"))
+    }),
+
+    // TPC-H Q11 shape: parts whose NATION_1-supplied value exceeds a
+    // multiple of the MEAN part value — group-by + HAVING against a scalar
+    // subquery over the SAME aggregated stream (computed once, broadcast
+    // as a one-row frame). The original's fixed fraction-of-total shrinks
+    // to an empty answer as the part count grows; 3× the mean is the
+    // scale-free form. Cross-multiplied (pval·n > 3·tot) so no division
+    // or float exists anywhere.
+    "q11_important_parts" -> ((s, d) => {
+      val sn = supplier(s, d)
+        .join(broadcast(nation(s, d).filter(col("n_name") === "NATION_1")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val v = lineitem(s, d)
+        .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(sum((dec(col("l_extendedprice")) * 100).cast("long")
+          .cast(DecimalType(38, 0))).as("pval"))
+      v.crossJoin(broadcast(v.agg(sum("pval").as("tot"),
+          count(lit(1)).as("n_parts"))))
+        .filter(col("pval") * col("n_parts") > col("tot") * 3)
+        .select(col("l_partkey").as("p_partkey"),
+          col("pval").cast("long").as("value_fp"))
+        .orderBy(desc("value_fp"), asc("p_partkey"))
+    }),
+
+    // TPC-H Q12 shape: late-shipment priority split — the two-level
+    // conditional count by a line attribute (returnflag stands in for the
+    // absent shipmode; "late" = shipped >60 days after the order date, as
+    // q21). One join, one conditional aggregation, map-side combinable.
+    "q12_late_priority" -> ((s, d) => {
+      lineitem(s, d)
+        .join(orders(s, d).select(col("o_orderkey"), col("o_orderdate"),
+            col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("low_line_count"))
+        .orderBy("l_returnflag")
+    }),
+
+    // TPC-H Q16 shape: supplier variety per part attribute triple, with a
+    // NOT IN exclusion subquery (suppliers with negative balances stand in
+    // for the complaints predicate) applied as a broadcast anti-join
+    // BEFORE the part join, and a distinct-count aggregation (two-phase,
+    // never a global collect).
+    "q16_supplier_variety" -> ((s, d) => {
+      val badSupp = supplier(s, d).filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      val p = part(s, d)
+        .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO"
+          && col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      lineitem(s, d).select(col("l_partkey"), col("l_suppkey"))
+        .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+        .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"),
+          asc("p_size"))
+    }),
+
+    // TPC-H Q20 shape: NATION_2 suppliers who shipped more than half of a
+    // red part's all-time quantity in the recent window (shipyear ≥ 1999;
+    // availqty has no testdata column so the half-sum threshold runs
+    // against the pair's own history). The correlated half-sum becomes one
+    // (supplier, part) conditional aggregation with a cross-multiplied
+    // integer compare; the surviving supplier set is O(suppliers) and
+    // broadcast into the dimension scan.
+    "q20_heavy_recent" -> ((s, d) => {
+      val redParts = part(s, d).filter(col("p_name").like("red%"))
+        .select(col("p_partkey"))
+      val qc = (dec(col("l_quantity")) * 100).cast("long")
+      val sp = lineitem(s, d)
+        .join(broadcast(redParts), col("l_partkey") === col("p_partkey"),
+          "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(sum(qc).as("total_qc"),
+          sum(when(year(col("l_shipdate")) >= 1999, qc).otherwise(0L))
+            .as("recent_qc"))
+        .filter(col("recent_qc") * 2 > col("total_qc"))
+        .select(col("l_suppkey")).distinct()
+      supplier(s, d)
+        .join(broadcast(nation(s, d).filter(col("n_name") === "NATION_2")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(sp), col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_name"), col("s_suppkey"))
+        .orderBy("s_name")
+    }),
+
     // Duplication burden per source: how much of each source sits inside a
     // near-dup cluster, and how much of it would survive representative
     // dedup — the governance view that decides which feed gets fixed
@@ -7517,6 +7641,77 @@ object SparkEntry {
              CAST(tot_rev AS BIGINT) AS total_fp,
              CAST(nat_rev AS DOUBLE) / CAST(tot_rev AS DOUBLE) AS share
          FROM g ORDER BY yr""",
+    "q9_profit_by_nation" ->
+      """WITH p AS (
+           SELECT p_partkey,
+               CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS rpc
+           FROM part WHERE p_name LIKE '%gear%'),
+         li AS (
+           SELECT l_orderkey, l_suppkey,
+               CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS HUGEINT)
+                 * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))
+               - CAST(rpc AS HUGEINT)
+                 * CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS profit
+           FROM lineitem JOIN p ON l_partkey = p_partkey),
+         j AS (
+           SELECT n_name AS nation, year(o_orderdate) AS yr, profit
+           FROM li JOIN orders ON l_orderkey = o_orderkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey)
+         SELECT nation, CAST(yr AS INT) AS yr,
+             CAST(sum(profit) AS BIGINT) AS profit_fp,
+             CAST(sum(profit) AS DOUBLE) / 10000 AS profit
+         FROM j GROUP BY nation, yr ORDER BY nation, yr DESC""",
+    "q11_important_parts" ->
+      """WITH sn AS (
+           SELECT s_suppkey FROM supplier
+           JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_1'),
+         v AS (
+           SELECT l_partkey,
+               sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS HUGEINT)) AS pval
+           FROM lineitem WHERE l_suppkey IN (SELECT s_suppkey FROM sn)
+           GROUP BY l_partkey),
+         t AS (SELECT sum(pval) AS tot, count(*) AS n_parts FROM v)
+         SELECT l_partkey AS p_partkey, CAST(pval AS BIGINT) AS value_fp
+         FROM v, t WHERE pval * n_parts > tot * 3
+         ORDER BY value_fp DESC, p_partkey""",
+    "q12_late_priority" ->
+      """SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q16_supplier_variety" ->
+      """SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+           AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+           AND l_suppkey NOT IN
+             (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY p_brand, p_type, p_size
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    "q20_heavy_recent" ->
+      """WITH rp AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+         sp AS (
+           SELECT l_suppkey FROM (
+             SELECT l_suppkey, l_partkey,
+                 sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS total_qc,
+                 sum(CASE WHEN year(l_shipdate) >= 1999
+                     THEN CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+                     ELSE 0 END) AS recent_qc
+             FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM rp)
+             GROUP BY l_suppkey, l_partkey)
+           WHERE recent_qc * 2 > total_qc
+           GROUP BY l_suppkey)
+         SELECT s_name, s_suppkey FROM supplier
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE n_name = 'NATION_2'
+           AND s_suppkey IN (SELECT l_suppkey FROM sp)
+         ORDER BY s_name""",
     "text_dup_by_source" -> OracleSqlGen.dupBySource(3, 8, 2),
     "text_bpe_round2" ->
       """WITH words AS (

@@ -228,6 +228,32 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"q5 must stay equi-join only:\n$p")
   }
 
+  test("q9 five-relation profit join broadcasts part and supplier-nation") {
+    val p = plan("q9_profit_by_nation")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"q9 dimensions must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q9 must stay equi-join only:\n$p")
+    // the name filter must reach the part scan
+    assert(p.contains("StringContains(p_name,gear)"),
+      s"p_name filter not pushed:\n$p")
+  }
+
+  test("q16 NOT IN exclusion is a broadcast anti-join before the part join") {
+    val p = plan("q16_supplier_variety")
+    assert(p.contains("LeftAnti"), s"expected LeftAnti:\n$p")
+    assert(p.contains("In(p_size, [1,16,25,36,4,49,9])") ||
+      p.contains("In(p_size"), s"p_size IN-list not pushed:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q20 half-sum threshold stays map-side; survivors semi-join the dim") {
+    val p = plan("q20_heavy_recent")
+    assert(p.contains("LeftSemi"), s"expected LeftSemi joins:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q20 must stay equi-join only:\n$p")
+  }
+
   test("q_regression is one scan with partial aggregation and full column pruning") {
     val p = plan("q_regression")
     assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1,
