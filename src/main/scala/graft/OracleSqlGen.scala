@@ -1722,6 +1722,74 @@ object OracleSqlGen {
           CAST(b_sum AS BIGINT) AS b_sum
         FROM sums ORDER BY doc_id, frame_idx"""
 
+  /** Closed-form replay of Multimodal.averageHash over the synthetic
+    * gradient: luminance 2r+b separates into x- and y-marginals
+    * (r = (a+x) mod 256 is y-free, b = (a+y) mod 256 is x-free), so each
+    * 8×8 cell's sum is 2·ny·Rx(cx) + nx·By(cy) from two O(w)+O(h)
+    * marginal aggregations — never a per-pixel expansion. The mean test is
+    * the same cross-multiplied integer compare the Spark side runs on real
+    * decoded pixels; bit 63 is assembled through the two's-complement
+    * sentinel (HUGEINT sum, BIGINT cast) since 1<<63 overflows.
+    */
+  private def phashCte: String =
+    s"""WITH m AS (
+          SELECT doc_id, CAST(doc_id % 256 AS BIGINT) AS a,
+            CAST(16 + doc_id % 17 AS BIGINT) AS w,
+            CAST(16 + (doc_id*7) % 13 AS BIGINT) AS h
+          FROM documents),
+        xc AS (
+          SELECT doc_id, cx, sum(r) AS rx, count(*) AS nx FROM (
+            SELECT doc_id, (x*8)//w AS cx, (a+x)%256 AS r
+            FROM (SELECT doc_id, a, w,
+                  CAST(unnest(range(w)) AS BIGINT) AS x FROM m))
+          GROUP BY doc_id, cx),
+        yc AS (
+          SELECT doc_id, cy, sum(b) AS by_, count(*) AS ny FROM (
+            SELECT doc_id, (y*8)//h AS cy, (a+y)%256 AS b
+            FROM (SELECT doc_id, a, h,
+                  CAST(unnest(range(h)) AS BIGINT) AS y FROM m))
+          GROUP BY doc_id, cy),
+        tx AS (SELECT doc_id, sum(rx) AS srx FROM xc GROUP BY doc_id),
+        ty AS (SELECT doc_id, sum(by_) AS sby FROM yc GROUP BY doc_id),
+        tot AS (SELECT m.doc_id, m.w, m.h, 2*m.h*srx + m.w*sby AS total
+                FROM m JOIN tx USING(doc_id) JOIN ty USING(doc_id)),
+        bits AS (
+          SELECT x.doc_id, y.cy, x.cx,
+            CASE WHEN (2*y.ny*x.rx + x.nx*y.by_) * (t.w*t.h)
+                      > t.total * (x.nx*y.ny)
+              THEN 1 ELSE 0 END AS bit
+          FROM xc x JOIN yc y USING (doc_id) JOIN tot t USING (doc_id)),
+        hash AS (
+          SELECT doc_id, CAST(sum(CASE WHEN bit=0 THEN 0::HUGEINT
+            WHEN cy*8+cx = 63 THEN (-9223372036854775808)::HUGEINT
+            ELSE CAST(1::BIGINT << CAST(cy*8+cx AS INT) AS HUGEINT)
+            END) AS BIGINT) AS ahash
+          FROM bits GROUP BY doc_id)"""
+
+  /** Mirrors mm_phash_clusters: exact-hash duplicate groups. */
+  def mmPhashClusters: String =
+    s"""$phashCte
+        SELECT ahash, CAST(count(*) AS BIGINT) AS n_docs,
+          min(doc_id) AS rep_id
+        FROM hash GROUP BY ahash
+        ORDER BY n_docs DESC, ahash"""
+
+  /** Mirrors mm_phash_nn via the ALL-PAIRS Hamming scan (the declared
+    * query's banded join must lose nothing — pigeonhole recall 1.0 for
+    * maxHamming 3 < 4 bands, and this oracle is the proof). The argmin is
+    * the composite min_by key hamming·10⁷+nb ≡ Spark's min(struct).
+    */
+  def mmPhashNn: String =
+    s"""$phashCte,
+        pairs AS (
+          SELECT a.doc_id AS doc_id, b.doc_id AS nb,
+            bit_count(xor(a.ahash, b.ahash)) AS hamming
+          FROM hash a JOIN hash b ON a.doc_id <> b.doc_id
+          WHERE bit_count(xor(a.ahash, b.ahash)) <= 3)
+        SELECT doc_id, CAST(min(hamming) AS INT) AS hamming,
+          min_by(nb, hamming*10000000 + nb) AS nn_id
+        FROM pairs GROUP BY doc_id ORDER BY doc_id"""
+
   /** Mirrors mm_ann_pipeline: the closed-form decoded-pixel features of
     * [[mmDecode]] restricted to lang='en', scored by cosine against the
     * literal probe vector with the SAME left-associated double expression

@@ -1751,6 +1751,46 @@ object SparkEntry {
         .toDF().orderBy("doc_id")
     }),
 
+    // Perceptual-hash image dedup over REAL decoded pixels: averageHash
+    // mean-pools each decoded PNG onto an 8×8 grid (integer cross-
+    // multiplied mean test — an exact function of the pixels), then exact
+    // duplicate clusters fall out of one groupBy(ahash). The oracle
+    // recomputes every hash from the gradient's closed forms, so the
+    // hash-match pins the whole decode → pool → threshold → cluster chain
+    // against real image bytes.
+    "mm_phash_clusters" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.averageHash(
+          s.read.parquet(s"${mmPngSetup(s, d)}/png").as[MediaRow])
+        .groupBy("ahash")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("rep_id"))
+        .orderBy(desc("n_docs"), asc("ahash"))
+    }),
+
+    // Per-doc nearest neighbor by perceptual-hash Hamming distance: the
+    // banded join (4×16-bit bands — recall 1.0 for distance ≤ 3 by
+    // pigeonhole) proposes candidates, exact bit_count verifies, and a
+    // min(struct) argmin keeps O(docs) output. The oracle runs the
+    // ALL-PAIRS Hamming scan over closed-form hashes — the hash-match
+    // PROVES the banded candidates lose nothing against brute force.
+    "mm_phash_nn" -> ((s, d) => {
+      import s.implicits._
+      val fp = Multimodal.averageHash(
+          s.read.parquet(s"${mmPngSetup(s, d)}/png").as[MediaRow])
+        .select(col("doc_id"), col("ahash").as("fp"))
+      val pairs = Dedup.bandedHammingPairs(fp, bits = 64, bands = 4,
+        maxHamming = 3)
+      pairs.select(col("a_id").as("doc_id"), col("b_id").as("nb"),
+          col("hamming"))
+        .union(pairs.select(col("b_id").as("doc_id"), col("a_id").as("nb"),
+          col("hamming")))
+        .groupBy("doc_id")
+        .agg(min(struct(col("hamming"), col("nb"))).as("m"))
+        .select(col("doc_id"), col("m.hamming").as("hamming"),
+          col("m.nb").as("nn_id"))
+        .orderBy("doc_id")
+    }),
+
     // REAL audio decode: Setup writes one deterministic WAV per doc
     // (canonical RIFF/PCM header + 16-bit sample ramp); the declared query
     // decodes ACTUAL PCM frames through the JDK's own audio codec
@@ -5821,6 +5861,8 @@ object SparkEntry {
          ORDER BY expectation""",
 
     "mm_decode" -> OracleSqlGen.mmDecode,
+    "mm_phash_clusters" -> OracleSqlGen.mmPhashClusters,
+    "mm_phash_nn" -> OracleSqlGen.mmPhashNn,
     "mm_audio_decode" -> OracleSqlGen.mmAudioDecode,
     "mm_audio_frames" -> OracleSqlGen.mmAudioFrames(32),
     "mm_video_frames" -> OracleSqlGen.mmVideoFrames(2),

@@ -229,11 +229,26 @@ object Dedup {
     */
   def simhashPairs(
       docs: DataFrame, id: Column, text: Column,
-      bits: Int = 60, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+      bits: Int = 60, bands: Int = 4, maxHamming: Int = 3): DataFrame =
+    bandedHammingPairs(
+      spread(docs).select(id.as("doc_id"), simhash(text, bits).as("fp")),
+      bits, bands, maxHamming)
+
+  /** Banded Hamming pairs over an ALREADY-COMPUTED fingerprint frame
+    * `(doc_id, fp)` — the join simhashPairs runs, factored out so any
+    * 64-bit-or-less fingerprint (simhash, perceptual image hash, sign
+    * sketch) gets the same candidates-by-band + exact-verify shape.
+    * Recall is 1.0 (pigeonhole) whenever maxHamming < bands.
+    */
+  def bandedHammingPairs(
+      fps: DataFrame, bits: Int, bands: Int, maxHamming: Int): DataFrame = {
     require(bits % bands == 0, "bands must divide bits")
+    require(bits <= 64 && bands >= 1)
     val w = bits / bands
-    val mask = (1L << w) - 1
-    val h = spread(docs).select(id.as("doc_id"), simhash(text, bits).as("sh"))
+    // mask must stay positive for w = 16 over 64 bits etc.; 1L<<64 wraps,
+    // so cap at the full-width -1 only when a band spans all 64 bits
+    val mask = if (w == 64) -1L else (1L << w) - 1
+    val h = fps.select(col("doc_id"), col("fp").as("sh"))
     val banded = h.select(col("doc_id"), col("sh"),
         posexplode(array((0 until bands).map(b =>
           shiftright(col("sh"), b * w).bitwiseAND(lit(mask))): _*))

@@ -176,6 +176,64 @@ object Multimodal {
     }
   }
 
+  /** 64-bit perceptual average-hash over REAL decoded pixels: the raster is
+    * mean-pooled onto an 8×8 grid (cell (cy,cx) covers
+    * y ∈ [⌊cy·h/8⌋, ⌊(cy+1)·h/8⌋) × the analogous x range — i.e. pixel
+    * (x,y) lands in cell (y·8 div h, x·8 div w)), and bit cy·8+cx is set
+    * iff the cell's luminance exceeds the image's mean luminance. Luminance
+    * is the integer proxy 2r+b and the mean test is cross-multiplied
+    * (cell_sum · n_px > total_sum · cell_px), so the hash is an EXACT
+    * integer function of the pixels — replayable by any engine, no float
+    * rounding. Undecodable payloads hash to 0 with decoded=false.
+    * Embarrassingly parallel; O(rows) × 8 bytes out.
+    */
+  def averageHash(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { row =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.media))
+          catch { case _: java.io.IOException => null }
+        if (img == null) (row.doc_id, 0L, false)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val cellSum = Array.ofDim[Long](8, 8)
+          val cellPx = Array.ofDim[Long](8, 8)
+          var total = 0L
+          var y = 0
+          while (y < h) {
+            val cy = y * 8 / h
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val lum = 2L * ((rgb >> 16) & 0xff) + (rgb & 0xff)
+              val cx = x * 8 / w
+              cellSum(cy)(cx) += lum
+              cellPx(cy)(cx) += 1
+              total += lum
+              x += 1
+            }
+            y += 1
+          }
+          val nPx = w.toLong * h
+          var hash = 0L
+          var cy = 0
+          while (cy < 8) {
+            var cx = 0
+            while (cx < 8) {
+              if (cellSum(cy)(cx) * nPx > total * cellPx(cy)(cx))
+                hash |= 1L << (cy * 8 + cx)
+              cx += 1
+            }
+            cy += 1
+          }
+          (row.doc_id, hash, true)
+        }
+      }
+    }.toDF("doc_id", "ahash", "decoded")
+  }
+
   /** Deterministic synthetic WAV keyed on the doc id — REAL audio bytes:
     * a canonical 44-byte RIFF/PCM header (mono, 8 kHz, 16-bit LE) followed
     * by a sample ramp whose statistics have closed forms:

@@ -512,6 +512,41 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(stats == graft.pipeline.ImageStats(5L, 21, 25, 525, 7875, 126000, 8925))
   }
 
+  test("multimodal: averageHash matches an independent brute-force replica; fallback hashes 0") {
+    val png = Multimodal.synthesizePng(5L)
+    // independent replica of the definition: decode here, pool 8×8 on
+    // luminance 2r+b, cross-multiplied mean test
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val (w, h) = (img.getWidth, img.getHeight)
+    val cs = Array.ofDim[Long](8, 8); val cp = Array.ofDim[Long](8, 8)
+    var tot = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = img.getRGB(x, y)
+      val lum = 2L * ((rgb >> 16) & 0xff) + (rgb & 0xff)
+      cs(y * 8 / h)(x * 8 / w) += lum; cp(y * 8 / h)(x * 8 / w) += 1; tot += lum
+    }
+    var want = 0L
+    for (cy <- 0 until 8; cx <- 0 until 8)
+      if (cs(cy)(cx) * w * h > tot * cp(cy)(cx)) want |= 1L << (cy * 8 + cx)
+    val got = Multimodal.averageHash(Seq(MediaRow(5L, png, "image")).toDS())
+      .as[(Long, Long, Boolean)].head()
+    assert(got == ((5L, want, true)))
+    // same image bytes → hamming 0 through the banded join
+    val fps = Seq((1L, want), (2L, want)).toDF("doc_id", "fp")
+    val p = Dedup.bandedHammingPairs(fps, 64, 4, 3)
+      .as[(Long, Long, Int)].collect()
+    assert(p.toSeq == Seq((1L, 2L, 0)))
+    // 3 flipped bits inside ONE band: other bands match → found (pigeonhole)
+    val fps3 = Seq((1L, want), (2L, want ^ 0x7L)).toDF("doc_id", "fp")
+    assert(Dedup.bandedHammingPairs(fps3, 64, 4, 3)
+      .as[(Long, Long, Int)].collect().toSeq == Seq((1L, 2L, 3)))
+    // undecodable payload → hash 0, decoded=false
+    val bad = Multimodal.averageHash(
+      Seq(MediaRow(9L, "junk".getBytes("UTF-8"), "image")).toDS())
+      .as[(Long, Long, Boolean)].head()
+    assert(bad == ((9L, 0L, false)))
+  }
+
   test("multimodal: decodeImage falls back to the deterministic stub on non-image bytes") {
     val bytes = "not an image at all".getBytes("UTF-8")
     val stats = Multimodal.decodeImage(
