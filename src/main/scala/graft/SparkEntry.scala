@@ -2989,6 +2989,45 @@ object SparkEntry {
         .orderBy("lag")
     }),
 
+    // Classical seasonal decomposition (the moving-average step under
+    // STL): hourly counts on a gap-filled spine, trend = centered 2×24
+    // moving average — kept EXACT by doubling into integer weights
+    // (T2 = x₋₁₂ + 2Σ₋₁₁..₁₁ + x₊₁₂, Σw = 48) — detrended as the integer
+    // 48·x − T2, and the seasonal profile is the hour-of-day mean of the
+    // detrended series (one closing double division). Neighbors pair by
+    // exact hour arithmetic against the spine (a window would be a global
+    // single-task sort; the 25-offset broadcast join is parallel and
+    // gap-correct). Interior hours only (all 25 taps present).
+    "events_stl_seasonal" -> ((s, d) => {
+      import s.implicits._
+      val c = events(s, d)
+        .groupBy(expr("unix_micros(ts) div 3600000000").as("hr"))
+        .agg(count(lit(1)).as("n"))
+      val spine = c.agg(min("hr").as("mn"), max("hr").as("mx"))
+        .select(explode(sequence(col("mn"), col("mx"))).as("hr"))
+      val sp = spine.join(c, Seq("hr"), "left")
+        .select(col("hr"), coalesce(col("n"), lit(0L)).as("n"))
+        .localCheckpoint(true)
+      val offs = (-12 to 12).map(k => (k.toLong, if (k.abs == 12) 1L else 2L))
+        .toDF("k", "w2")
+      sp.as("s1").crossJoin(broadcast(offs))
+        .join(sp.as("s2"), col("s2.hr") === col("s1.hr") + col("k"))
+        .select(col("s1.hr").as("hr"), col("s2.n").as("n_nb"), col("w2"),
+          col("k"))
+        .groupBy("hr")
+        .agg(sum(col("w2") * col("n_nb")).as("t2"),
+          max(when(col("k") === 0, col("n_nb"))).as("n0"),
+          count(lit(1)).as("cnt"))
+        .filter(col("cnt") === 25)
+        .select(col("hr"), (lit(48) * col("n0") - col("t2")).as("det48"))
+        .groupBy((col("hr") % 24).cast("int").as("hod"))
+        .agg(sum("det48").as("s_num"), count(lit(1)).as("n_hours"))
+        .select(col("hod"), col("n_hours"), col("s_num"),
+          (col("s_num").cast("double") / (col("n_hours") * 48).cast("double"))
+            .as("seasonal"))
+        .orderBy("hod")
+    }),
+
     // CUSUM changepoint per event type, all-integer: with hourly counts
     // c₁..cₙ and total T, the mean-centered cumulative sum at hour i is
     // cum(i) − i·T/n — scaled by n it stays an exact long:
@@ -3704,6 +3743,42 @@ object SparkEntry {
       graft.operators.GraphAnalytics.trussEdges(
           copurchaseEdges(s, d), k = 4, rounds = 3)
         .orderBy(desc("support"), asc("u"), asc("v")).limit(100)),
+
+    // Deterministic count-min sketch, FULL oracle — unlike the HLL/KLL
+    // rows-only entries, the md5-derived row hashes make the whole sketch a
+    // pure function of the corpus, so DuckDB rebuilds it cell-for-cell and
+    // the always-overestimating point estimates hash-match exactly. One
+    // map-side-combinable pass to ≤ 4·1024 cells; probes are an
+    // O(probe·depth) equi-join against the tiny cell table.
+    "q_cms_estimate" -> ((s, d) => {
+      val cells = graft.pipeline.Cms.build(
+        lineitem(s, d), col("l_partkey"), depth = 4, width = 1024)
+      graft.pipeline.Cms.probe(cells,
+          part(s, d).filter(col("p_partkey") < 25), col("p_partkey"),
+          depth = 4, width = 1024)
+        .join(broadcast(lineitem(s, d).filter(col("l_partkey") < 25)
+          .groupBy(col("l_partkey").as("k"))
+          .agg(count(lit(1)).as("true_n"))), Seq("k"), "left")
+        .select(col("k").as("p_partkey"),
+          coalesce(col("true_n"), lit(0L)).as("true_n"), col("cms_est"))
+        .orderBy("p_partkey")
+    }),
+
+    // CMS mergeability — the property the sketch exists for at 100 TB
+    // (per-partition/per-day sketches sum cell-wise): two disjoint-half
+    // sketches merged, probed; the oracle builds ONCE over the union, so
+    // the hash-match proves merge(build(A), build(B)) ≡ build(A∪B).
+    "q_cms_merged" -> ((s, d) => {
+      val o = orders(s, d)
+      val half = (p: Int) => graft.pipeline.Cms.build(
+        o.filter(col("o_orderkey") % 2 === p), col("o_custkey"), 4, 1024)
+      val merged = graft.pipeline.Cms.merge(half(0), half(1))
+      graft.pipeline.Cms.probe(merged,
+          customer(s, d).filter(col("c_custkey") < 20), col("c_custkey"),
+          4, 1024)
+        .select(col("k").as("c_custkey"), col("cms_est"))
+        .orderBy("c_custkey")
+    }),
 
     // Persisted mergeable HLL sketch summary (rows-only by contract — the
     // estimates are Datasketches-algorithm-specific): distinct suppliers per
@@ -6379,6 +6454,75 @@ object SparkEntry {
              round(CAST(n * sxy - sx * sy AS DOUBLE) /
                (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS r
          FROM agg ORDER BY lag""",
+    "q_cms_estimate" ->
+      """WITH js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+         cells AS (
+           SELECT j,
+             CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' ||
+               CAST(l_partkey AS VARCHAR)), 1, 13) AS BIGINT) % 1024 AS b,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM lineitem CROSS JOIN js GROUP BY 1, 2),
+         pb AS (
+           SELECT p_partkey AS k, j,
+             CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' ||
+               CAST(p_partkey AS VARCHAR)), 1, 13) AS BIGINT) % 1024 AS b
+           FROM part CROSS JOIN js WHERE p_partkey < 25),
+         est AS (
+           SELECT pb.k, min(coalesce(cells.cnt, 0)) AS cms_est
+           FROM pb LEFT JOIN cells ON pb.j = cells.j AND pb.b = cells.b
+           GROUP BY pb.k),
+         tru AS (
+           SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS true_n
+           FROM lineitem WHERE l_partkey < 25 GROUP BY 1)
+         SELECT est.k AS p_partkey, coalesce(tru.true_n, 0) AS true_n,
+           CAST(cms_est AS BIGINT) AS cms_est
+         FROM est LEFT JOIN tru ON est.k = tru.k
+         ORDER BY p_partkey""",
+    "q_cms_merged" ->
+      """WITH js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+         cells AS (
+           SELECT j,
+             CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' ||
+               CAST(o_custkey AS VARCHAR)), 1, 13) AS BIGINT) % 1024 AS b,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM orders CROSS JOIN js GROUP BY 1, 2),
+         pb AS (
+           SELECT c_custkey AS k, j,
+             CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' ||
+               CAST(c_custkey AS VARCHAR)), 1, 13) AS BIGINT) % 1024 AS b
+           FROM customer CROSS JOIN js WHERE c_custkey < 20)
+         SELECT pb.k AS c_custkey,
+           CAST(min(coalesce(cells.cnt, 0)) AS BIGINT) AS cms_est
+         FROM pb LEFT JOIN cells ON pb.j = cells.j AND pb.b = cells.b
+         GROUP BY pb.k ORDER BY c_custkey""",
+    "events_stl_seasonal" ->
+      """WITH c AS (
+           SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1),
+         bounds AS (SELECT min(hr) AS mn, max(hr) AS mx FROM c),
+         spine AS (
+           SELECT CAST(unnest(range(mn, mx + 1)) AS BIGINT) AS hr FROM bounds),
+         s AS (SELECT spine.hr, coalesce(c.n, 0) AS n
+               FROM spine LEFT JOIN c USING (hr)),
+         offs AS (SELECT CAST(unnest(range(-12, 13)) AS BIGINT) AS k),
+         nb AS (
+           SELECT s1.hr, s2.n AS n_nb, k,
+             CASE WHEN abs(k) = 12 THEN 1 ELSE 2 END AS w2
+           FROM s s1 CROSS JOIN offs JOIN s s2 ON s2.hr = s1.hr + k),
+         tr AS (
+           SELECT hr, sum(w2 * n_nb) AS t2,
+             max(CASE WHEN k = 0 THEN n_nb END) AS n0, count(*) AS cnt
+           FROM nb GROUP BY hr),
+         det AS (SELECT hr, 48 * n0 - t2 AS det48 FROM tr WHERE cnt = 25),
+         sea AS (
+           SELECT hr % 24 AS hod, sum(det48) AS s_num,
+             CAST(count(*) AS BIGINT) AS n_hours
+           FROM det GROUP BY 1)
+         SELECT CAST(hod AS INT) AS hod, n_hours,
+           CAST(s_num AS BIGINT) AS s_num,
+           CAST(s_num AS DOUBLE) / CAST(48 * n_hours AS DOUBLE) AS seasonal
+         FROM sea ORDER BY hod""",
     "events_cusum" ->
       """WITH hourly AS (
            SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
