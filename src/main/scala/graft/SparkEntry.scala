@@ -4790,6 +4790,72 @@ object SparkEntry {
         .orderBy(desc("revenue_fp"), asc("c_custkey")).limit(20)
     }),
 
+    // Bernoulli Naive Bayes language classifier, trained AND applied
+    // in-corpus, scored hash-exactly: the 8 highest-document-frequency
+    // tokens are the feature set, per-class Laplace probabilities
+    // p = (df_ct+1)/(n_c+2) are single divisions, and each doc's class
+    // score is a FIXED-ORDER product prior·f₀·…·f₇ (pivoted to columns —
+    // *,/ are IEEE-correctly-rounded, so an identical expression tree is
+    // bit-identical in any engine; only exp/ln would diverge, and none
+    // exist here). Argmax by (score desc, lang) total order; output is the
+    // O(langs²) confusion matrix. One tokenization pass, every join
+    // broadcast (probes 8 rows, grid 40, classes 5). (The synthetic corpus
+    // shares one token pool across langs, so accuracy is near-prior — the
+    // hash-match pins the SCORING machinery, not a separable dataset.)
+    "text_nb_confusion" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+      val toks = docs
+        .select(col("doc_id"), col("lang"),
+          explode(array_distinct(split(lower(col("text")), "[^a-z]+"))).as("t"))
+        .filter(length(col("t")) >= 2)
+        .localCheckpoint(true)
+      val probes = toks.groupBy("t").agg(count(lit(1)).as("df"))
+        .orderBy(desc("df"), asc("t")).limit(8)
+        .withColumn("i",
+          row_number().over(Window.orderBy(desc("df"), asc("t"))) - 1)
+        .select("t", "i")
+      val classes = docs.groupBy("lang").agg(count(lit(1)).as("n_c"))
+      val total = docs.agg(count(lit(1)).as("n_docs"))
+      val grid = classes.crossJoin(broadcast(probes))
+        .join(toks.join(broadcast(probes), Seq("t"))
+            .groupBy("lang", "t").agg(count(lit(1)).as("n_ct")),
+          Seq("lang", "t"), "left")
+        .select(col("lang"), col("i"),
+          ((coalesce(col("n_ct"), lit(0L)) + 1).cast("double") /
+            (col("n_c") + 2).cast("double")).as("pp"))
+      val pres = docs.select("doc_id").crossJoin(broadcast(probes))
+        .join(toks.select(col("doc_id"), col("t"), lit(1).as("hit")),
+          Seq("doc_id", "t"), "left")
+        .select(col("doc_id"), col("i"),
+          coalesce(col("hit"), lit(0)).as("present"))
+      val wide = pres.join(broadcast(grid), Seq("i"))
+        .select(col("doc_id"), col("lang"), col("i"),
+          when(col("present") === 1, col("pp"))
+            .otherwise(lit(1.0) - col("pp")).as("f"))
+        .groupBy("doc_id", "lang")
+        .agg((0 to 7).map(i =>
+          max(when(col("i") === i, col("f"))).as(s"f$i")).head,
+          (1 to 7).map(i =>
+            max(when(col("i") === i, col("f"))).as(s"f$i")): _*)
+      val scored = wide
+        .join(broadcast(classes.crossJoin(total)
+          .select(col("lang"),
+            (col("n_c").cast("double") / col("n_docs").cast("double"))
+              .as("prior"))), Seq("lang"))
+        .withColumn("score", (0 to 7).foldLeft(col("prior"))(
+          (acc, i) => acc * col(s"f$i")))
+      val pred = scored
+        .withColumn("rn", row_number().over(Window.partitionBy("doc_id")
+          .orderBy(desc("score"), asc("lang"))))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang").as("pred_lang"))
+      docs.select(col("doc_id"), col("lang").as("true_lang"))
+        .join(pred, Seq("doc_id"))
+        .groupBy("true_lang", "pred_lang").agg(count(lit(1)).as("n"))
+        .orderBy("true_lang", "pred_lang")
+    }),
+
     // Language-ID confusion matrix: the n-gram heuristic (text_langid)
     // against the declared lang column — (declared, predicted) counts and
     // exact ppm shares; the audit locating where the classifier and the
@@ -7764,6 +7830,68 @@ object SparkEntry {
          FROM g JOIN customer ON o_custkey = c_custkey
          ORDER BY revenue_fp DESC, c_custkey ASC LIMIT 20""",
     "text_lang_confusion" -> OracleSqlGen.langConfusion,
+    "text_nb_confusion" ->
+      """WITH toks AS (
+           SELECT DISTINCT doc_id, lang, t FROM (
+             SELECT doc_id, lang,
+               unnest(string_split_regex(lower(text), '[^a-z]+')) AS t
+             FROM documents)
+           WHERE len(t) >= 2),
+         top8 AS (
+           SELECT t, df FROM (SELECT t, count(*) AS df FROM toks GROUP BY t)
+           ORDER BY df DESC, t LIMIT 8),
+         probes AS (
+           SELECT t, row_number() OVER (ORDER BY df DESC, t) - 1 AS i
+           FROM top8),
+         classes AS (
+           SELECT lang, CAST(count(*) AS BIGINT) AS n_c
+           FROM documents GROUP BY lang),
+         total AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         grid AS (
+           SELECT c.lang, p.i,
+             CAST(coalesce(ct.n_ct, 0) + 1 AS DOUBLE)
+               / CAST(c.n_c + 2 AS DOUBLE) AS pp
+           FROM classes c CROSS JOIN probes p
+           LEFT JOIN (
+             SELECT lang, t, count(*) AS n_ct FROM toks
+             WHERE t IN (SELECT t FROM probes) GROUP BY lang, t) ct
+             ON ct.lang = c.lang AND ct.t = p.t),
+         pres AS (
+           SELECT d.doc_id, p.i,
+             CASE WHEN tk.t IS NOT NULL THEN 1 ELSE 0 END AS present
+           FROM (SELECT doc_id FROM documents) d
+           CROSS JOIN probes p
+           LEFT JOIN toks tk ON tk.doc_id = d.doc_id AND tk.t = p.t),
+         wide AS (
+           SELECT doc_id, lang,
+             max(CASE WHEN i=0 THEN f END) AS f0,
+             max(CASE WHEN i=1 THEN f END) AS f1,
+             max(CASE WHEN i=2 THEN f END) AS f2,
+             max(CASE WHEN i=3 THEN f END) AS f3,
+             max(CASE WHEN i=4 THEN f END) AS f4,
+             max(CASE WHEN i=5 THEN f END) AS f5,
+             max(CASE WHEN i=6 THEN f END) AS f6,
+             max(CASE WHEN i=7 THEN f END) AS f7
+           FROM (
+             SELECT pres.doc_id, g.lang, pres.i,
+               CASE WHEN pres.present = 1 THEN g.pp
+                 ELSE 1 - g.pp END AS f
+             FROM pres JOIN grid g ON g.i = pres.i)
+           GROUP BY doc_id, lang),
+         scored AS (
+           SELECT w.doc_id, w.lang,
+             (CAST(c.n_c AS DOUBLE) / CAST(t.n_docs AS DOUBLE))
+               * f0 * f1 * f2 * f3 * f4 * f5 * f6 * f7 AS score
+           FROM wide w JOIN classes c ON c.lang = w.lang CROSS JOIN total t),
+         pred AS (
+           SELECT doc_id, lang AS pred_lang FROM (
+             SELECT doc_id, lang, row_number() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+             FROM scored) WHERE rn = 1)
+         SELECT d.lang AS true_lang, p.pred_lang,
+           CAST(count(*) AS BIGINT) AS n
+         FROM documents d JOIN pred p USING (doc_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "events_dormancy" ->
       """WITH l AS (
            SELECT user_id, max(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us
