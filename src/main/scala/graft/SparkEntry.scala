@@ -137,6 +137,22 @@ object SparkEntry {
         .write.mode("overwrite").parquet(s"$dir/adj")
     }
 
+  /** Hive-partitioned events (dir per event_type) + a tiny tier dim whose
+    * 'hot' rows are the two lexicographically-first types — the layout pair
+    * under q_dpp_join's dynamic-partition-pruning read.
+    */
+  private def dppSetup(s: SparkSession, d: String): String =
+    Setup.dir(s"dpp:$d") { dir =>
+      import org.apache.spark.sql.expressions.Window
+      events(s, d).write.partitionBy("event_type").mode("overwrite")
+        .parquet(s"$dir/events_part")
+      events(s, d).select("event_type").distinct()
+        .withColumn("rn", row_number().over(Window.orderBy("event_type")))
+        .select(col("event_type"),
+          when(col("rn") <= 2, "hot").otherwise("cold").as("tier"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/dim")
+    }
+
   /** Events range-clustered on epoch second + stats manifest. */
   private def eventsTsSetup(s: SparkSession, d: String): String =
     Setup.dir(s"events_ts:$d") { dir =>
@@ -943,6 +959,26 @@ object SparkEntry {
         .select(col("lang"), graft.pipeline.Splits.foldAssign(col("doc_id"), 5).as("fold"))
         .groupBy("fold", "lang").agg(count(lit(1)).as("n"))
         .orderBy("fold", "lang")),
+
+    // DYNAMIC partition pruning — the runtime analog of the static pruning
+    // above: the fact side is Hive-partitioned by event_type, the filter
+    // ('hot' tier) lives only on the broadcast dim side, and Spark injects
+    // the dim's surviving keys into the fact scan's PartitionFilters AT
+    // RUNTIME (dynamicpruningexpression — PlanSpec pins it), so 3 of 5
+    // partition directories are never read. At 100 TB this is the
+    // difference between scanning a day and scanning the lake; no manual
+    // key list exists anywhere in the query. Aggregates are
+    // order-independent (count/min/max), oracle = the plain join.
+    "q_dpp_join" -> ((s, d) => {
+      val base = dppSetup(s, d)
+      val fact = s.read.parquet(s"$base/events_part")
+      val dim = s.read.parquet(s"$base/dim")
+      fact.join(broadcast(dim.filter(col("tier") === "hot")), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), min("value").as("min_v"),
+          max("value").as("max_v"))
+        .orderBy("event_type")
+    }),
 
     // DIY data-skipping: write orders range-clustered on o_custkey (tight
     // per-file min/max), build the stats manifest, then answer a selective
@@ -7167,6 +7203,15 @@ object SparkEntry {
       """SELECT CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':fold'), 1, 2) AS BIGINT) % 5 AS INT) AS fold,
              lang, CAST(count(*) AS BIGINT) AS n
          FROM documents GROUP BY 1, 2 ORDER BY fold, lang""",
+    "q_dpp_join" ->
+      """WITH tiers AS (
+           SELECT event_type, row_number() OVER (ORDER BY event_type) AS rn
+           FROM (SELECT DISTINCT event_type FROM events))
+         SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+           min(e.value) AS min_v, max(e.value) AS max_v
+         FROM events e JOIN tiers t
+           ON e.event_type = t.event_type AND t.rn <= 2
+         GROUP BY 1 ORDER BY 1""",
     "q_manifest_prune" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

@@ -228,6 +228,16 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"q5 must stay equi-join only:\n$p")
   }
 
+  test("q_dpp_join prunes fact partitions at runtime via dynamic pruning") {
+    val p = plan("q_dpp_join")
+    // the 'hot' filter lives only on the dim side; the fact scan must carry
+    // a dynamicpruningexpression in its PartitionFilters so non-hot
+    // event_type directories are skipped at runtime, not scanned
+    assert(p.contains("dynamicpruning"),
+      s"fact scan lost dynamic partition pruning:\n$p")
+    assert(p.contains("PartitionFilters"), p)
+  }
+
   test("q9 five-relation profit join broadcasts part and supplier-nation") {
     val p = plan("q9_profit_by_nation")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
