@@ -979,6 +979,21 @@ object OracleSqlGen {
                 WHERE l.query_id != n.vec_id GROUP BY 1,2)
         ${adcTopKSelect(topK)}"""
 
+  /** Mirrors embed_kmeans: full-vector k-means IS the m=1 degenerate of the
+    * PQ training chain (one subspace spanning all 64 dims), so the oracle
+    * reuses [[pqCtes]] verbatim — deterministic seeding, exact-integer
+    * Lloyd rounds, floor means — and summarizes each cluster as
+    * (code, member count, centroid component sum).
+    */
+  def embedKmeans(dim: Int, k: Int, iters: Int): String =
+    s"""WITH ${pqCtes(0, 1, dim, k, iters, Long.MaxValue)},
+        g AS (SELECT code, CAST(count(*) AS BIGINT) AS n_vecs
+              FROM codes GROUP BY code),
+        cs AS (SELECT code, CAST(list_sum(cent) AS BIGINT) AS cent_sum
+               FROM cb$iters)
+        SELECT CAST(g.code AS INT) AS code, g.n_vecs, cs.cent_sum
+        FROM g JOIN cs USING (code) ORDER BY code"""
+
   /** Mirrors Pq.buildIvfPqIndex + ivfPqProbe: coarse cosine cells (the IVF
     * oracle's assignment/probe CTEs) composed with the PQ training/encode/
     * LUT chain; ADC scoring restricted to residents of probed cells.

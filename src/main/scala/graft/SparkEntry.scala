@@ -1546,6 +1546,25 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Full-vector k-means clustering — the m=1 degenerate of PQ training
+    // (one subspace spanning all 64 dims), so the SAME exact-integer Lloyd
+    // machinery clusters whole embeddings: deterministic id-based seeding,
+    // argmin by (squared-L2, code), floor means, empty clusters retained.
+    // The oracle replays BOTH training rounds and the final assignment in
+    // SQL; output is the O(k) cluster summary (members + centroid
+    // component sum), so the hash-match pins every round end-to-end.
+    "embed_kmeans" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val cb = Pq.trainCodebook(e, col("vec_id"), col("embedding"),
+        m = 1, sub = 64, k = 8, iters = 2)
+      Pq.encode(e, col("vec_id"), col("embedding"), cb, m = 1, sub = 64)
+        .groupBy("code").agg(count(lit(1)).as("n_vecs"))
+        .join(broadcast(cb.select(col("code"),
+          expr("aggregate(cent, 0L, (acc, x) -> acc + x)").as("cent_sum"))),
+          Seq("code"))
+        .orderBy("code")
+    }),
+
     // Incremental-maintenance proof for the PQ index: the probed index was
     // built (codebook + codes) on the old corpus then APPENDED with a batch
     // encoded under the frozen codebook — O(batch) ingest. The oracle
@@ -5891,6 +5910,7 @@ object SparkEntry {
     "ann_hamming_rerank" -> OracleSqlGen.annHammingRerank(32, 20, 5),
     "ann_hamming_recall" -> OracleSqlGen.annHammingRecall(32, 20, 5),
     "ann_pq_adc" -> OracleSqlGen.annPqAdc(32, 8, 8, 16, 2, 5),
+    "embed_kmeans" -> OracleSqlGen.embedKmeans(64, 8, 2),
     "ann_pq_incremental" -> OracleSqlGen.annPqAdc(32, 8, 8, 16, 2, 5, trainMaxId = 400L),
     "ann_ivfpq" -> OracleSqlGen.annIvfPq(32, 8, 2, 8, 8, 16, 2, 5),
     "ann_ivfpq_refined" -> OracleSqlGen.annIvfPqRefined(32, 8, 2, 8, 8, 16, 2, 20, 5),
