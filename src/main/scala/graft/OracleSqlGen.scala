@@ -994,6 +994,31 @@ object OracleSqlGen {
         SELECT CAST(g.code AS INT) AS code, g.n_vecs, cs.cent_sum
         FROM g JOIN cs USING (code) ORDER BY code"""
 
+  /** Mirrors embed_cluster_quality: the k-means chain of [[embedKmeans]]
+    * extended with per-cluster cohesion (sum of member squared-L2 to the
+    * centroid) and separation (min squared-L2 to another centroid).
+    */
+  def embedClusterQuality(dim: Int, k: Int, iters: Int): String = {
+    def sqd(a: String, b: String) =
+      s"list_sum(list_transform(range($dim), j -> ($a[j+1]-$b[j+1])*($a[j+1]-$b[j+1])))"
+    s"""WITH ${pqCtes(0, 1, dim, k, iters, Long.MaxValue)},
+        intra AS (
+          SELECT c.code, CAST(count(*) AS BIGINT) AS n_vecs,
+            sum(${sqd("s.sv", "cb.cent")}) AS intra_sum
+          FROM codes c
+          JOIN sv s ON s.vec_id = c.vec_id AND s.subspace = c.subspace
+          JOIN cb$iters cb ON cb.code = c.code
+          GROUP BY c.code),
+        sep AS (
+          SELECT a.code, min(${sqd("a.cent", "b.cent")}) AS sep_min
+          FROM cb$iters a JOIN cb$iters b ON a.code <> b.code
+          GROUP BY a.code)
+        SELECT CAST(i.code AS INT) AS code, i.n_vecs,
+          CAST(i.intra_sum AS BIGINT) AS intra_sum,
+          CAST(s.sep_min AS BIGINT) AS sep_min
+        FROM intra i JOIN sep s USING (code) ORDER BY code"""
+  }
+
   /** Mirrors Pq.buildIvfPqIndex + ivfPqProbe: coarse cosine cells (the IVF
     * oracle's assignment/probe CTEs) composed with the PQ training/encode/
     * LUT chain; ADC scoring restricted to residents of probed cells.

@@ -1565,6 +1565,37 @@ object SparkEntry {
         .orderBy("code")
     }),
 
+    // Cluster-quality diagnostics for the k-means partition, all in exact
+    // integers: per-cluster member count, total squared-L2 spread around
+    // the centroid (cohesion), and the squared distance to the nearest
+    // OTHER centroid (separation) — the Davies-Bouldin inputs without the
+    // engine-specific division. O(n·k) distance evaluations plus an 8×8
+    // centroid table; sums ride DECIMAL(38,0) so a 100× corpus can't
+    // silently wrap a long.
+    "embed_cluster_quality" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val cb = Pq.trainCodebook(e, col("vec_id"), col("embedding"),
+        m = 1, sub = 64, k = 8, iters = 2)
+      val cents = cb.select(col("code"), col("cent"))
+      val iv = e.select(col("vec_id"), Pq.intVec(col("embedding")).as("iv"))
+      val intra = Pq.encode(e, col("vec_id"), col("embedding"), cb, 1, 64)
+        .join(iv, Seq("vec_id"))
+        .join(broadcast(cents), Seq("code"))
+        .groupBy("code")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(Pq.sqDistL(col("iv"), col("cent")).cast(DecimalType(38, 0)))
+            .as("intra"))
+      val sep = cents.as("a")
+        .join(broadcast(cents.as("b")), col("a.code") =!= col("b.code"))
+        .select(col("a.code").as("code"),
+          Pq.sqDistL(col("a.cent"), col("b.cent")).as("d2"))
+        .groupBy("code").agg(min("d2").as("sep_min"))
+      intra.join(broadcast(sep), Seq("code"))
+        .select(col("code"), col("n_vecs"),
+          col("intra").cast("long").as("intra_sum"), col("sep_min"))
+        .orderBy("code")
+    }),
+
     // Incremental-maintenance proof for the PQ index: the probed index was
     // built (codebook + codes) on the old corpus then APPENDED with a batch
     // encoded under the frozen codebook — O(batch) ingest. The oracle
@@ -5911,6 +5942,7 @@ object SparkEntry {
     "ann_hamming_recall" -> OracleSqlGen.annHammingRecall(32, 20, 5),
     "ann_pq_adc" -> OracleSqlGen.annPqAdc(32, 8, 8, 16, 2, 5),
     "embed_kmeans" -> OracleSqlGen.embedKmeans(64, 8, 2),
+    "embed_cluster_quality" -> OracleSqlGen.embedClusterQuality(64, 8, 2),
     "ann_pq_incremental" -> OracleSqlGen.annPqAdc(32, 8, 8, 16, 2, 5, trainMaxId = 400L),
     "ann_ivfpq" -> OracleSqlGen.annIvfPq(32, 8, 2, 8, 8, 16, 2, 5),
     "ann_ivfpq_refined" -> OracleSqlGen.annIvfPqRefined(32, 8, 2, 8, 8, 16, 2, 20, 5),
