@@ -717,6 +717,71 @@ object OracleSqlGen {
         SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
         FROM r WHERE rank <= $k ORDER BY query_id, rank"""
 
+  /** Mirrors ann_ivf_recall_curve: the [[annIvfTopK]] chain evaluated at
+    * each probe budget (lateral over the nprobe list), intersected with
+    * the brute-force top-k per budget.
+    */
+  def annIvfRecallCurve(nQueries: Int, nCentroids: Int, k: Int,
+      nprobes: Seq[Int]): String = {
+    val npList = nprobes.mkString(", ")
+    val denom = nQueries * k
+    s"""WITH qx AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+                    WHERE vec_id < $nQueries),
+        cx AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+        sx AS (
+          SELECT query_id, neighbor_id, ${cosineSql("qv", "cv")} AS cosine
+          FROM qx, cx WHERE query_id <> neighbor_id),
+        exact AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM sx) WHERE rank <= $k),
+        cent AS (
+          SELECT vec_id AS centroid_id, embedding AS centv FROM embeddings
+          WHERE vec_id < $nCentroids),
+        assigned AS (
+          SELECT neighbor_id, centroid_id FROM (
+            SELECT e.vec_id AS neighbor_id, cent.centroid_id,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY ${cosineSql("e.embedding", "centv")} DESC, centroid_id ASC) AS rn
+            FROM embeddings e, cent)
+          WHERE rn = 1),
+        nps AS (SELECT unnest([$npList]) AS np),
+        probes AS (
+          SELECT np, query_id, centroid_id FROM (
+            SELECT n.np, q.vec_id AS query_id, cent.centroid_id,
+              row_number() OVER (PARTITION BY n.np, q.vec_id
+                ORDER BY ${cosineSql("q.embedding", "centv")} DESC, centroid_id ASC) AS rn
+            FROM nps n, (SELECT * FROM embeddings WHERE vec_id < $nQueries) q,
+              cent)
+          WHERE rn <= np),
+        cand AS (
+          SELECT np, query_id, neighbor_id
+          FROM probes JOIN assigned USING (centroid_id)
+          WHERE query_id <> neighbor_id),
+        scored AS (
+          SELECT np, query_id, neighbor_id,
+            ${cosineSql("q.embedding", "c.embedding")} AS cosine
+          FROM cand
+          JOIN embeddings q ON q.vec_id = query_id
+          JOIN embeddings c ON c.vec_id = neighbor_id),
+        ivf AS (
+          SELECT np, query_id, neighbor_id FROM (
+            SELECT np, query_id, neighbor_id,
+              row_number() OVER (PARTITION BY np, query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM scored) WHERE rank <= $k),
+        common AS (
+          SELECT np, CAST(count(*) AS BIGINT) AS n_common
+          FROM ivf JOIN exact USING (query_id, neighbor_id) GROUP BY np)
+        SELECT CAST(n.np AS INT) AS nprobe,
+          coalesce(c.n_common, 0) AS n_common,
+          CAST(coalesce(c.n_common, 0) AS DOUBLE) / CAST($denom AS DOUBLE)
+            AS recall
+        FROM nps n LEFT JOIN common c ON c.np = n.np ORDER BY nprobe"""
+  }
+
   /** BM25 CTE chain (tok → dl → st → tf → df → sc → bm): fixed-point
     * per-(doc,term) scores so the per-doc sum is order-independent. Shared
     * by the bm25 oracle and the hybrid-RRF oracle.

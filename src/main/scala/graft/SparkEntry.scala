@@ -1700,6 +1700,35 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF recall-vs-nprobe curve — the accuracy/cost dial of the inverted
+    // index, measured hash-exactly: recall@5 of the nprobe ∈ {1,2,4,8}
+    // probes against the brute-force ranking (computed once, reused for
+    // all four points). nprobe=8 probes every cell, so its recall is 1.0
+    // BY CONSTRUCTION — a built-in sanity anchor the oracle must also
+    // reproduce. The measurement family of ann_pq_recall applied to the
+    // probe budget.
+    "ann_ivf_recall_curve" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val q = e.filter(col("vec_id") < 32)
+      val cents = e.filter(col("vec_id") < 8)
+      val exact = Similarity.bruteForceTopK(q, e,
+          col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+          k = 5)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+      Seq(1, 2, 4, 8).map { np =>
+        Similarity.ivfTopK(q, e, cents,
+            col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+            col("vec_id"), col("embedding"), k = 5, nprobe = np)
+          .join(exact, Seq("query_id", "neighbor_id"))
+          .agg(count(lit(1)).as("n_common"))
+          .select(lit(np).as("nprobe"), col("n_common"))
+      }.reduce(_ union _)
+        .select(col("nprobe"), col("n_common"),
+          (col("n_common").cast("double") / lit(160).cast("double"))
+            .as("recall"))
+        .orderBy("nprobe")
+    }),
+
     // Persisted-index IVF probe: the index is built ONCE (Setup, corpus
     // pre-assigned to cells and written partitionBy(centroid_id) WITH its
     // vectors); the declared query times what an ANN service pays per probe
@@ -5952,6 +5981,8 @@ object SparkEntry {
     "ann_lsh_topk" -> OracleSqlGen.annLshTopK(32, 5, 4, 4),
     "ann_ivf_assign" -> OracleSqlGen.annIvfAssign(8),
     "ann_ivf_topk" -> OracleSqlGen.annIvfTopK(32, 8, 5, 2),
+    "ann_ivf_recall_curve" ->
+      OracleSqlGen.annIvfRecallCurve(32, 8, 5, Seq(1, 2, 4, 8)),
     // the persisted-index probe must return EXACTLY what the inline IVF
     // search returns — same oracle, same parameters; and the appended index
     // must return exactly what a from-scratch rebuild returns
