@@ -504,6 +504,36 @@ object OracleSqlGen {
         SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
         FROM r WHERE rank <= $k ORDER BY query_id, rank"""
 
+  /** Mirrors pipeline_contrastive: per anchor the nearest same-label
+    * (positive) and nearest cross-label (hard negative) neighbors, both
+    * argmaxes tie-broken on neighbor_id. LEFT JOINs from the anchor list so
+    * an anchor with an empty pool keeps its row (nulls), matching Spark's
+    * max-over-empty-set semantics.
+    */
+  def pipelineContrastive(nQueries: Int): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+                   FROM embeddings WHERE vec_id < $nQueries),
+        c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS cl
+              FROM embeddings),
+        s AS (
+          SELECT query_id, ql, neighbor_id, cl,
+            ${cosineSql("qv", "cv")} AS cosine
+          FROM q, c WHERE query_id <> neighbor_id),
+        p AS (SELECT query_id, neighbor_id, cosine FROM (
+            SELECT query_id, neighbor_id, cosine, row_number() OVER (
+              PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+            FROM s WHERE ql = cl) WHERE rn = 1),
+        n AS (SELECT query_id, neighbor_id, cosine FROM (
+            SELECT query_id, neighbor_id, cosine, row_number() OVER (
+              PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+            FROM s WHERE ql <> cl) WHERE rn = 1)
+        SELECT q.query_id,
+          p.neighbor_id AS pos_id, p.cosine AS pos_cos,
+          n.neighbor_id AS neg_id, n.cosine AS neg_cos
+        FROM q LEFT JOIN p ON p.query_id = q.query_id
+        LEFT JOIN n ON n.query_id = q.query_id
+        ORDER BY q.query_id"""
+
   /** Mirrors embed_norm_outliers: per-vector squared-norm fold quantized to
     * 2^20 fixed point, then a 3σ outlier flag by the cross-multiplied
     * integer compare (nf·n − S)² > 9·(n·Q − S²) — no float mean/σ ever

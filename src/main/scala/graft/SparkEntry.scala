@@ -4532,6 +4532,36 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Contrastive training triplets in ONE corpus sweep: per anchor, the
+    // nearest same-label neighbor (positive) and the nearest cross-label
+    // neighbor (hard negative) fall out of a single scored scan — the
+    // label match bit rides the argmin struct, so the corpus is scanned
+    // once, not once per pool. Exact sequential-fold cosine; both argmaxes
+    // tie-break on neighbor_id, so the triplet table is hash-deterministic.
+    "pipeline_contrastive" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val q = broadcast(e.filter(col("vec_id") < 32)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("label").as("ql")))
+      val c = e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv"), col("label").as("cl"))
+      q.crossJoin(c)
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cosine", Similarity.cosine(col("qv"), col("cv")))
+        .groupBy("query_id")
+        .agg(
+          max(when(col("ql") === col("cl"),
+            struct(col("cosine"), (-col("neighbor_id")).as("nid"))))
+            .as("p"),
+          max(when(col("ql") =!= col("cl"),
+            struct(col("cosine"), (-col("neighbor_id")).as("nid"))))
+            .as("n"))
+        .select(col("query_id"),
+          (-col("p.nid")).as("pos_id"), col("p.cosine").as("pos_cos"),
+          (-col("n.nid")).as("neg_id"), col("n.cosine").as("neg_cos"))
+        .orderBy("query_id")
+    }),
+
     // Strict-order three-step funnel (view → click → purchase) with a
     // 7-day completion gate — each stage is a conditional min over the
     // PREVIOUS stage's survivors (join on user_id + strictly-later
@@ -7747,6 +7777,7 @@ object SparkEntry {
              CAST(e.ewma_fp AS DOUBLE) / 1048576.0 AS ewma
          FROM hc JOIN e ON e.th = hc.hh ORDER BY h_epoch""",
     "ann_hard_negatives" -> OracleSqlGen.annHardNegatives(32, 5),
+    "pipeline_contrastive" -> OracleSqlGen.pipelineContrastive(32),
     "events_funnel_steps" ->
       """WITH u1 AS (
            SELECT user_id, min(ts) AS t1 FROM events
