@@ -423,6 +423,8 @@ object SparkEntry {
     ivfPqSetup(s, d): Unit
     ivfPqIncSetup(s, d): Unit
     storeDiffSetup(s, d): Unit
+    walkIndexSetup(s, d): Unit
+    dppSetup(s, d): Unit
   }
 
   /** BM25 per-doc scores for the standard probe set, shared by `text_bm25`
@@ -1882,25 +1884,58 @@ object SparkEntry {
         .orderBy(desc("n_docs"), asc("ahash"))
     }),
 
-    // Per-doc nearest neighbor by perceptual-hash Hamming distance: the
-    // banded join (4×16-bit bands — recall 1.0 for distance ≤ 3 by
-    // pigeonhole) proposes candidates, exact bit_count verifies, and a
-    // min(struct) argmin keeps O(docs) output. The oracle runs the
-    // ALL-PAIRS Hamming scan over closed-form hashes — the hash-match
-    // PROVES the banded candidates lose nothing against brute force.
+    // Per-doc nearest neighbor by perceptual-hash Hamming distance,
+    // DEDUPLICATED BEFORE THE QUADRATIC STEP: identical images share a
+    // hash, so the banded join (4×16-bit bands — recall 1.0 for distance
+    // ≤ 3 by pigeonhole) runs over the DISTINCT-hash table (122 rows at
+    // sf0.1, vs 7M doc-level candidate pairs the naive form explodes
+    // into), then doc answers reconstruct from two O(docs) aggregates:
+    // same-hash clusters answer at distance 0 via (min, second-min)
+    // member ids; cross-hash candidates inherit the target cluster's min
+    // member. The oracle is the ALL-PAIRS doc-level Hamming scan — the
+    // hash-match PROVES the collapsed path ≡ brute force, candidates and
+    // tie-breaks included. At 100 TB the quadratic step is bounded by
+    // DISTINCT fingerprints, not corpus size.
     "mm_phash_nn" -> ((s, d) => {
       import s.implicits._
       val fp = Multimodal.averageHash(
           s.read.parquet(s"${mmPngSetup(s, d)}/png").as[MediaRow])
         .select(col("doc_id"), col("ahash").as("fp"))
-      val pairs = Dedup.bandedHammingPairs(fp, bits = 64, bands = 4,
-        maxHamming = 3)
-      pairs.select(col("a_id").as("doc_id"), col("b_id").as("nb"),
+        .localCheckpoint(true)
+      // per-hash cluster summary: size, min member, second-min member
+      val m1 = fp.groupBy("fp").agg(count(lit(1)).as("n"),
+        min("doc_id").as("m1"))
+      val m2 = fp.join(broadcast(m1.select(col("fp"), col("m1"))), Seq("fp"))
+        .filter(col("doc_id") > col("m1"))
+        .groupBy("fp").agg(min("doc_id").as("m2"))
+      val clusters = m1.join(broadcast(m2), Seq("fp"), "left")
+        .localCheckpoint(true)
+      // hash-level Hamming pairs over DISTINCT hashes only
+      val hp = Dedup.bandedHammingPairs(
+        clusters.select(col("fp").as("doc_id"), col("fp")),
+        bits = 64, bands = 4, maxHamming = 3)
+      // best cross-cluster candidate per hash: the target cluster's min
+      // member is its best doc, so min(struct(hamming, other_m1)) is the
+      // exact doc-level argmin among cross-hash candidates
+      val sym = hp.select(col("a_id").as("fp"), col("b_id").as("other"),
           col("hamming"))
-        .union(pairs.select(col("b_id").as("doc_id"), col("a_id").as("nb"),
+        .union(hp.select(col("b_id").as("fp"), col("a_id").as("other"),
           col("hamming")))
-        .groupBy("doc_id")
-        .agg(min(struct(col("hamming"), col("nb"))).as("m"))
+      val cross = sym
+        .join(broadcast(clusters.select(col("fp").as("other"),
+          col("m1").as("other_m1"))), Seq("other"))
+        .groupBy("fp")
+        .agg(min(struct(col("hamming").cast("int").as("hamming"),
+          col("other_m1").as("nb"))).as("xc"))
+      fp.join(broadcast(clusters), Seq("fp"))
+        .join(broadcast(cross), Seq("fp"), "left")
+        .select(col("doc_id"),
+          least(
+            when(col("n") >= 2, struct(lit(0).as("hamming"),
+              when(col("doc_id") === col("m1"), col("m2"))
+                .otherwise(col("m1")).as("nb"))),
+            col("xc")).as("m"))
+        .filter(col("m").isNotNull)
         .select(col("doc_id"), col("m.hamming").as("hamming"),
           col("m.nb").as("nn_id"))
         .orderBy("doc_id")
