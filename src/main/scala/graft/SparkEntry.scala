@@ -153,6 +153,30 @@ object SparkEntry {
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/dim")
     }
 
+  /** Persisted inverted text index (bucket-partitioned postings + doc
+    * lengths) over the full corpus — the once-per-ingest build under
+    * search_index_probe.
+    */
+  private def searchIndexSetup(s: SparkSession, d: String): String =
+    Setup.dir(s"search_idx:$d") { dir =>
+      graft.pipeline.SearchIndex.buildIndex(
+        documents(s, d), col("doc_id"), col("text"), s"$dir/idx")
+    }
+
+  /** Incrementally-maintained inverted index: base build over the old
+    * corpus (doc_id < 400), then an O(batch) append of the rest.
+    */
+  private def searchIncSetup(s: SparkSession, d: String): String =
+    Setup.dir(s"search_idx_inc:$d") { dir =>
+      val docs = documents(s, d)
+      graft.pipeline.SearchIndex.buildIndex(
+        docs.filter(col("doc_id") < 400), col("doc_id"), col("text"),
+        s"$dir/idx")
+      graft.pipeline.SearchIndex.appendToIndex(
+        docs.filter(col("doc_id") >= 400), col("doc_id"), col("text"),
+        s"$dir/idx")
+    }
+
   /** Events range-clustered on epoch second + stats manifest. */
   private def eventsTsSetup(s: SparkSession, d: String): String =
     Setup.dir(s"events_ts:$d") { dir =>
@@ -425,6 +449,8 @@ object SparkEntry {
     storeDiffSetup(s, d): Unit
     walkIndexSetup(s, d): Unit
     dppSetup(s, d): Unit
+    searchIndexSetup(s, d): Unit
+    searchIncSetup(s, d): Unit
   }
 
   /** BM25 per-doc scores for the standard probe set, shared by `text_bm25`
@@ -3386,6 +3412,28 @@ object SparkEntry {
     // order-independent and hash-verifiable; df/dl/avgdl stats broadcast.
     "text_bm25" -> ((s, d) =>
       bm25Scored(s, d).orderBy(desc("bm25_fp"), asc("doc_id")).limit(20)),
+
+    // BM25 served from the PERSISTED inverted index: the probe reads only
+    // the partition directories its terms hash into (literal bucket
+    // IN-list, plan-time pruning — SearchIndexSpec pins the reduced scan)
+    // plus the O(docs) doclen table; the scoring tree is byte-identical to
+    // the inline path, so the oracle is text_bm25's from-scratch SQL —
+    // hash-match proves index-read ≡ corpus-scan. The fuzzy-search surface
+    // (reference client.ts:389-423) served the way a search service
+    // actually runs it.
+    "search_index_probe" -> ((s, d) =>
+      graft.pipeline.SearchIndex.bm25Probe(s,
+        s"${searchIndexSetup(s, d)}/idx", Seq("spark", "query", "vector"),
+        topK = 20)),
+
+    // Incremental index maintenance: base postings built on the old corpus
+    // (doc_id < 400), the batch APPENDED in O(batch) — the old corpus is
+    // never re-tokenized. Same from-scratch oracle: append ≡ rebuild by
+    // hash (the dedup_components_inc contract applied to text search).
+    "search_index_inc" -> ((s, d) =>
+      graft.pipeline.SearchIndex.bm25Probe(s,
+        s"${searchIncSetup(s, d)}/idx", Seq("spark", "query", "vector"),
+        topK = 20)),
 
     // Hybrid search: BM25 rank list ⊕ cosine rank list (probe = doc 0's
     // embedding), fused by reciprocal rank fusion Σ 1/(60 + rank). Both
@@ -6939,6 +6987,10 @@ object SparkEntry {
          UNION ALL SELECT l_returnflag, 'n', n FROM a
          ORDER BY l_returnflag, metric""",
     "text_bm25" -> OracleSqlGen.bm25(Seq("spark", "query", "vector"), topK = 20),
+    "search_index_probe" ->
+      OracleSqlGen.bm25(Seq("spark", "query", "vector"), topK = 20),
+    "search_index_inc" ->
+      OracleSqlGen.bm25(Seq("spark", "query", "vector"), topK = 20),
     "search_hybrid_rrf" -> OracleSqlGen.hybridRrf(
       Seq("spark", "query", "vector"), probeVecId = 0L, kEach = 100, topK = 20),
     "ann_filtered" -> OracleSqlGen.annTopKFiltered(32, 5, "en"),

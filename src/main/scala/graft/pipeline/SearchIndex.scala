@@ -1,0 +1,98 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted inverted text index — the lexical-search analog of the
+  * persisted IVF layout: per-(doc, term) postings written
+  * `partitionBy(term_bucket)` so a probe reads ONLY the directories its
+  * probe terms hash into (md5-derived buckets — any engine, and the
+  * driver-side planner below, compute the same bucket for the same term),
+  * plus an O(docs) doc-length table. BM25 scoring over the index is the
+  * IDENTICAL expression tree the inline query uses, so index-read ≡
+  * inline-compute is provable by hash.
+  *
+  * Scale shape: the index build is one tokenization + one partial-agg
+  * shuffle, paid once per ingest; appends are O(batch) (new docs' postings
+  * land in their buckets, doc lengths append — nothing rescans the old
+  * corpus); probes touch probe_terms/buckets of the postings and the tiny
+  * doclen aggregate. Reference behavior: the fuzzy search surface
+  * (/root/reference/src/db/client.ts:389-423) served from an index instead
+  * of a scan.
+  */
+object SearchIndex {
+  /** md5-derived term bucket — matches [[plannedBuckets]] driver-side. */
+  def termBucket(t: Column, buckets: Int): Column =
+    conv(substring(md5(t.cast("binary")), 1, 13), 16, 10)
+      .cast("long") % buckets
+
+  /** The bucket ids a probe-term list hashes to, computed at PLAN time so
+    * the scan's partition filter is a literal IN-list (static pruning).
+    */
+  def plannedBuckets(probes: Seq[String], buckets: Int): Seq[Long] =
+    probes.map { t =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex.take(13), 16) % buckets
+    }.distinct
+
+  private def tokenize(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("doc_id"),
+        explode(split(lower(text), "[^a-z]+")).as("term"))
+      .filter(col("term") =!= "")
+
+  /** Build the index: bucket-partitioned postings + doc-length table. */
+  def buildIndex(docs: DataFrame, id: Column, text: Column,
+      path: String, buckets: Int = 16): Unit = {
+    val tok = tokenize(docs, id, text).localCheckpoint(false)
+    tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("tb", termBucket(col("term"), buckets))
+      .write.partitionBy("tb").mode("overwrite").parquet(s"$path/postings")
+    tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .write.mode("overwrite").parquet(s"$path/doclen")
+  }
+
+  /** O(batch) incremental maintenance: the new docs' postings and lengths
+    * append into place — the old corpus is never re-tokenized. (Doc ids
+    * must be new; re-ingesting an existing doc would double its rows.)
+    */
+  def appendToIndex(newDocs: DataFrame, id: Column, text: Column,
+      path: String, buckets: Int = 16): Unit = {
+    val tok = tokenize(newDocs, id, text).localCheckpoint(false)
+    tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("tb", termBucket(col("term"), buckets))
+      .write.partitionBy("tb").mode("append").parquet(s"$path/postings")
+    tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .write.mode("append").parquet(s"$path/doclen")
+  }
+
+  /** BM25 top-k probe over the persisted index: the postings scan carries
+    * a literal bucket IN-list (partition-pruned at plan time) plus the
+    * term filter; df/dl/corpus stats and the fixed-point score are the
+    * SAME expressions as the inline bm25 path, so the result hash-matches
+    * the from-scratch oracle.
+    */
+  def bm25Probe(spark: SparkSession, path: String, probes: Seq[String],
+      topK: Int, buckets: Int = 16): DataFrame = {
+    val tbs = plannedBuckets(probes, buckets)
+    val tf = spark.read.parquet(s"$path/postings")
+      .filter(col("tb").isin(tbs: _*) && col("term").isin(probes: _*))
+      .select("doc_id", "term", "tf")
+    val dl = spark.read.parquet(s"$path/doclen")
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idf = log((col("n_docs").cast("double") - col("df") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val tscore = idf * (col("tf").cast("double") * lit(2.2)) /
+      (col("tf").cast("double") +
+        lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / avgdl))
+    tf.join(broadcast(dfT), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        floor(tscore * lit(1000000.0)).cast("long").as("iscore"))
+      .groupBy("doc_id").agg(sum("iscore").as("bm25_fp"))
+      .orderBy(desc("bm25_fp"), asc("doc_id")).limit(topK)
+  }
+}

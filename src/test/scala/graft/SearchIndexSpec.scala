@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.SearchIndex
+
+/** Persisted inverted-index laws: planner buckets agree with the engine's
+  * md5 bucket column, the probe scan prunes to the probe terms' partition
+  * directories, and append ≡ rebuild.
+  */
+class SearchIndexSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("driver-side planned buckets equal the engine's md5 bucket column") {
+    val terms = Seq("spark", "query", "vector", "agg", "zz").toDF("t")
+    val engine = terms
+      .select(col("t"), SearchIndex.termBucket(col("t"), 16).as("tb"))
+      .as[(String, Long)].collect().toMap
+    terms.as[String].collect().foreach { t =>
+      assert(SearchIndex.plannedBuckets(Seq(t), 16) == Seq(engine(t)),
+        s"bucket mismatch for '$t'")
+    }
+  }
+
+  test("probe prunes the postings scan to the probe terms' buckets; equals inline bm25") {
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("sidx").toString
+    SearchIndex.buildIndex(docs, col("doc_id"), col("text"), s"$dir/idx")
+    val probes = Seq("spark", "query", "vector")
+    val probe = SearchIndex.bm25Probe(spark, s"$dir/idx", probes, topK = 20)
+    val rows = probe.as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // the postings scan must carry a tb partition filter and read fewer
+    // files than the full index (checked on the same pruned read the probe
+    // issues — AQE wraps the probe's own executed plan)
+    val tbs = SearchIndex.plannedBuckets(probes, 16)
+    val pruned = spark.read.parquet(s"$dir/idx/postings")
+      .filter(col("tb").isin(tbs: _*) && col("term").isin(probes: _*))
+    assert(pruned.collect().nonEmpty)
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.metadata("PartitionFilters").contains("tb"),
+      s"no bucket partition filter: ${scan.metadata("PartitionFilters")}")
+    val total = spark.read.parquet(s"$dir/idx/postings").inputFiles.length
+    assert(scan.metrics("numFiles").value < total,
+      s"scanned ${scan.metrics("numFiles").value} of $total files - no pruning")
+  }
+
+  test("append ≡ rebuild: probing the incrementally-built index equals the full build") {
+    val docs = Tables.documents(spark, sf)
+    val incDir = java.nio.file.Files.createTempDirectory("sidx_inc").toString
+    val allDir = java.nio.file.Files.createTempDirectory("sidx_all").toString
+    SearchIndex.buildIndex(docs.filter(col("doc_id") < 30),
+      col("doc_id"), col("text"), s"$incDir/idx")
+    SearchIndex.appendToIndex(docs.filter(col("doc_id") >= 30),
+      col("doc_id"), col("text"), s"$incDir/idx")
+    SearchIndex.buildIndex(docs, col("doc_id"), col("text"), s"$allDir/idx")
+    val probes = Seq("spark", "query", "vector")
+    def run(p: String) = SearchIndex.bm25Probe(spark, p, probes, topK = 20)
+      .as[(Long, Long)].collect().toSeq
+    assert(run(s"$incDir/idx") == run(s"$allDir/idx"))
+  }
+}
