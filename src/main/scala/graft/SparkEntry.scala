@@ -177,6 +177,23 @@ object SparkEntry {
         s"$dir/idx")
     }
 
+  /** Incrementally-maintained perceptual-hash index: base hashes decoded
+    * from the old media corpus (doc_id < 400), the batch decoded and
+    * APPENDED — old payloads are never re-decoded (decode is the expensive
+    * stage; the index is 8 bytes/doc).
+    */
+  private def phashIncSetup(s: SparkSession, d: String): String =
+    Setup.dir(s"phash_inc:$d") { dir =>
+      import s.implicits._
+      val png = s.read.parquet(s"${mmPngSetup(s, d)}/png").as[MediaRow]
+      Multimodal.averageHash(png.filter(col("doc_id") < 400))
+        .select("doc_id", "ahash")
+        .write.mode("overwrite").parquet(s"$dir/hashes")
+      Multimodal.averageHash(png.filter(col("doc_id") >= 400))
+        .select("doc_id", "ahash")
+        .write.mode("append").parquet(s"$dir/hashes")
+    }
+
   /** Events range-clustered on epoch second + stats manifest. */
   private def eventsTsSetup(s: SparkSession, d: String): String =
     Setup.dir(s"events_ts:$d") { dir =>
@@ -451,6 +468,7 @@ object SparkEntry {
     dppSetup(s, d): Unit
     searchIndexSetup(s, d): Unit
     searchIncSetup(s, d): Unit
+    phashIncSetup(s, d): Unit
   }
 
   /** BM25 per-doc scores for the standard probe set, shared by `text_bm25`
@@ -1905,6 +1923,19 @@ object SparkEntry {
       import s.implicits._
       Multimodal.averageHash(
           s.read.parquet(s"${mmPngSetup(s, d)}/png").as[MediaRow])
+        .groupBy("ahash")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("rep_id"))
+        .orderBy(desc("n_docs"), asc("ahash"))
+    }),
+
+    // Incremental fingerprint maintenance for the image-dedup path: the
+    // batch's hashes are decoded and APPENDED to the persisted 8-byte/doc
+    // index — the old corpus's payloads are never re-decoded (decode is
+    // the expensive stage). The oracle recomputes every hash from scratch,
+    // so the hash-match proves append ≡ full re-decode — the
+    // dedup_components_inc contract applied to media fingerprints.
+    "mm_phash_inc_clusters" -> ((s, d) => {
+      s.read.parquet(s"${phashIncSetup(s, d)}/hashes")
         .groupBy("ahash")
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("rep_id"))
         .orderBy(desc("n_docs"), asc("ahash"))
@@ -6235,6 +6266,7 @@ object SparkEntry {
 
     "mm_decode" -> OracleSqlGen.mmDecode,
     "mm_phash_clusters" -> OracleSqlGen.mmPhashClusters,
+    "mm_phash_inc_clusters" -> OracleSqlGen.mmPhashClusters,
     "mm_phash_nn" -> OracleSqlGen.mmPhashNn,
     "mm_audio_decode" -> OracleSqlGen.mmAudioDecode,
     "mm_audio_frames" -> OracleSqlGen.mmAudioFrames(32),
