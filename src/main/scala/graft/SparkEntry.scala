@@ -4396,6 +4396,27 @@ object SparkEntry {
         col("v_cents"),
         col("event_type") === "purchase", col("event_type") === "click")),
 
+    // Exact AUC — the probability a random positive out-scores a random
+    // negative, which IS Mann-Whitney U1/(n1·n2) with ties counted half:
+    // per-user activity count as the score, heavy purchaser (≥ 14
+    // purchases — the population median is 13 at every sf, so both
+    // classes stay populated) as the label, the 2×-scaled tie-corrected U
+    // from the distributed-cumsum rank machinery, ONE closing double
+    // division. The model-eval metric (ROC area) computed without any
+    // curve interpolation.
+    "q_auc" -> ((s, d) => {
+      val users = events(s, d).groupBy("user_id")
+        .agg(count(lit(1)).as("score"),
+          when(sum(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)) >= 14, 1L).otherwise(0L).as("label"))
+      graft.operators.Stats.mannWhitneyU(users, col("score"),
+          col("label") === 1, col("label") === 0)
+        .select(col("n1").as("n_pos"), col("n2").as("n_neg"),
+          col("u1_x2"),
+          (col("u1_x2").cast("double") /
+            (col("n1") * col("n2") * 2).cast("double")).as("auc"))
+    }),
+
     // Exact tie-corrected Spearman rank correlation between lineitem
     // quantity and extended price: Pearson over 2×-scaled average ranks
     // (integers under ties; the 2× cancels). Per-variable rank maps are
@@ -7689,6 +7710,32 @@ object SparkEntry {
          SELECT CAST(t1 AS BIGINT) AS n1, CAST(t2 AS BIGINT) AS n2,
              CAST(u1x2 AS BIGINT) AS u1_x2, CAST(u2x2 AS BIGINT) AS u2_x2,
              CAST(least(u1x2, u2x2) AS DOUBLE) / 2 AS u_stat
+         FROM u""",
+    "q_auc" ->
+      """WITH users AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS score,
+               CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                   THEN 1 ELSE 0 END) >= 14 THEN 1 ELSE 0 END AS label
+           FROM events GROUP BY user_id),
+         x AS (
+           SELECT score AS v, label AS is1, 1 - label AS is2 FROM users),
+         g AS (
+           SELECT v, sum(is1) AS n1v, sum(is2) AS n2v,
+               sum(is1) + sum(is2) AS nt
+           FROM x GROUP BY v),
+         c AS (
+           SELECT v, n1v, nt, sum(nt) OVER (ORDER BY v) AS cum FROM g),
+         r AS (
+           SELECT sum(CAST(n1v AS HUGEINT) * (cum * 2 - nt + 1)) AS r1_2
+           FROM c),
+         t AS (SELECT sum(is1) AS t1, sum(is2) AS t2 FROM x),
+         u AS (
+           SELECT t1, t2,
+               r1_2 - CAST(t1 AS HUGEINT) * (t1 + 1) AS u1x2
+           FROM r CROSS JOIN t)
+         SELECT CAST(t1 AS BIGINT) AS n_pos, CAST(t2 AS BIGINT) AS n_neg,
+             CAST(u1x2 AS BIGINT) AS u1_x2,
+             CAST(u1x2 AS DOUBLE) / CAST(t1 * t2 * 2 AS DOUBLE) AS auc
          FROM u""",
     "q_spearman" ->
       """WITH b AS (
