@@ -4396,6 +4396,33 @@ object SparkEntry {
         col("v_cents"),
         col("event_type") === "purchase", col("event_type") === "click")),
 
+    // Temporal train/test split + leakage audit — the split ML event
+    // pipelines actually use (train strictly before the boundary), with
+    // the audit that matters for user-level features: how many users SPAN
+    // the boundary (their test rows leak training-time identity signal).
+    // One scan, one user-grain aggregate, O(1) verdict row, exact ppm.
+    "q_time_split_audit" -> ((s, d) => {
+      val byUser = events(s, d)
+        .select(col("user_id"),
+          (col("ts") < lit("2024-01-25").cast("timestamp")).as("is_train"))
+        .groupBy("user_id")
+        .agg(max(when(col("is_train"), 1L).otherwise(0L)).as("in_train"),
+          max(when(!col("is_train"), 1L).otherwise(0L)).as("in_test"),
+          sum(when(col("is_train"), 1L).otherwise(0L)).as("tr_ev"),
+          sum(when(!col("is_train"), 1L).otherwise(0L)).as("te_ev"))
+      byUser.agg(
+          sum("tr_ev").as("n_train_events"),
+          sum("te_ev").as("n_test_events"),
+          sum("in_train").as("n_train_users"),
+          sum("in_test").as("n_test_users"),
+          sum(col("in_train") * col("in_test")).as("n_spanning_users"),
+          count(lit(1)).as("n_users"))
+        .select(col("n_train_events"), col("n_test_events"),
+          col("n_train_users"), col("n_test_users"),
+          col("n_spanning_users"),
+          expr("(n_spanning_users * 1000000L) div n_users").as("span_ppm"))
+    }),
+
     // Exact AUC — the probability a random positive out-scores a random
     // negative, which IS Mann-Whitney U1/(n1·n2) with ties counted half:
     // per-user activity count as the score, heavy purchaser (≥ 14
@@ -7710,6 +7737,25 @@ object SparkEntry {
          SELECT CAST(t1 AS BIGINT) AS n1, CAST(t2 AS BIGINT) AS n2,
              CAST(u1x2 AS BIGINT) AS u1_x2, CAST(u2x2 AS BIGINT) AS u2_x2,
              CAST(least(u1x2, u2x2) AS DOUBLE) / 2 AS u_stat
+         FROM u""",
+    "q_time_split_audit" ->
+      """WITH b AS (
+           SELECT user_id,
+               CASE WHEN ts < TIMESTAMP '2024-01-25 00:00:00'
+                 THEN 1 ELSE 0 END AS is_train
+           FROM events),
+         u AS (
+           SELECT user_id, max(is_train) AS in_train,
+               max(1 - is_train) AS in_test,
+               sum(is_train) AS tr_ev, sum(1 - is_train) AS te_ev
+           FROM b GROUP BY user_id)
+         SELECT CAST(sum(tr_ev) AS BIGINT) AS n_train_events,
+             CAST(sum(te_ev) AS BIGINT) AS n_test_events,
+             CAST(sum(in_train) AS BIGINT) AS n_train_users,
+             CAST(sum(in_test) AS BIGINT) AS n_test_users,
+             CAST(sum(in_train * in_test) AS BIGINT) AS n_spanning_users,
+             CAST(sum(in_train * in_test) * 1000000
+               // count(*) AS BIGINT) AS span_ppm
          FROM u""",
     "q_auc" ->
       """WITH users AS (
