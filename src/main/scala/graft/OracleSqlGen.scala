@@ -504,6 +504,31 @@ object OracleSqlGen {
         SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
         FROM r WHERE rank <= $k ORDER BY query_id, rank"""
 
+  /** Mirrors stream_cms: per-day CMS point estimates for literal probe
+    * keys — each probed cell compiles to a literal bucket comparison
+    * (Cms.plannedBucket, the same driver-side md5 the Spark reader uses),
+    * one conditional-sum branch per (probe, depth row).
+    */
+  def streamCms(probes: Seq[Long], depth: Int, width: Int): String = {
+    val selects = probes.map { p =>
+      val conds = (0 until depth).map { j =>
+        val b = graft.pipeline.Cms.plannedBucket(j, p.toString, width)
+        s"""sum(CASE WHEN CAST('0x' || substr(md5('$j:' ||
+           CAST(user_id AS VARCHAR)), 1, 13) AS BIGINT) % $width = $b
+           THEN 1 ELSE 0 END)"""
+      }
+      s"""SELECT window_start, CAST($p AS BIGINT) AS probe_key,
+          CAST(least(${conds.mkString(", ")}) AS BIGINT) AS cms_est
+          FROM b GROUP BY window_start"""
+    }
+    s"""WITH b AS (
+          SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+            user_id
+          FROM events)
+        SELECT * FROM (${selects.mkString(" UNION ALL ")})
+        ORDER BY window_start, probe_key"""
+  }
+
   /** Mirrors pipeline_contrastive: per anchor the nearest same-label
     * (positive) and nearest cross-label (hard negative) neighbors, both
     * argmaxes tie-broken on neighbor_id. LEFT JOINs from the anchor list so

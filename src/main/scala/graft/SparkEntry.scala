@@ -2661,6 +2661,19 @@ object SparkEntry {
         .orderBy("window_start", "bin")
     }),
 
+    // Streaming heavy-key monitor: per-day CMS point estimates for three
+    // probe users (EventOps.cmsProbeByWindow — fixed probes compile the
+    // cell tests to literal bucket comparisons, so the sketch read is
+    // depth×probes conditional sums in ONE tumbling-window agg; identical
+    // code under readStream, StreamingSpec pins stream ≡ batch). The
+    // oracle replays the literal cells — per-window estimates carry the
+    // overestimate guarantee and hash-match exactly.
+    "stream_cms" -> ((s, d) =>
+      EventOps.cmsProbeByWindow(events(s, d), col("user_id"),
+          probes = Seq(1L, 2L, 3L), depth = 4, width = 1024)
+        .withColumn("window_start", col("window_start").cast("timestamp"))
+        .orderBy("window_start", "probe_key")),
+
     "stream_expectations" -> ((s, d) =>
       EventOps.expectationsByWindow(events(s, d), Seq(
           "value_positive" -> (col("value") > 0),
@@ -6496,6 +6509,7 @@ object SparkEntry {
              CAST(n * 1000000 // wn AS BIGINT) AS share_ppm
          FROM h JOIN t ON h.window_start = t.window_start
          ORDER BY h.window_start, bin""",
+    "stream_cms" -> OracleSqlGen.streamCms(Seq(1L, 2L, 3L), 4, 1024),
     "stream_expectations" ->
       """WITH a AS (
            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,

@@ -27,6 +27,22 @@ object Cms {
       key.cast("string")).cast("binary")), 1, 13), 16, 10)
       .cast("long") % width
 
+  /** Driver-side twin of [[bucket]] for literal probe keys — lets
+    * fixed-probe readers (e.g. the streaming monitor) compile their cell
+    * tests down to literal bucket comparisons at plan time.
+    */
+  def plannedBucket(j: Int, key: String, width: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$j:$key".getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex.take(13), 16) % width
+  }
+
+  /** The engine-side bucket column, exposed for readers that inline the
+    * cell test instead of materializing the sketch.
+    */
+  def bucketCol(j: Int, key: Column, width: Int): Column = bucket(j, key, width)
+
   /** Sketch cells for the keyed corpus: depth rows per input row, reduced
     * to ≤ depth·width `(j, b, cnt)` cells by one partial aggregation.
     */

@@ -119,6 +119,39 @@ object EventOps {
       .select(col("w.start").as("window_start"), col("bin"), col("n"))
   }
 
+  /** Streaming heavy-key monitor: per-window count-min point estimates for
+    * a FIXED probe-key list. Fixed probes mean the probed cells are
+    * literal buckets (Cms.plannedBucket at plan time), so the whole sketch
+    * read collapses to depth×probes conditional sums inside ONE
+    * tumbling-window aggregation — no explode, no cell state beyond the
+    * ordinary window agg; the identical code serves batch, and each
+    * window's estimate carries CMS's overestimate guarantee.
+    */
+  def cmsProbeByWindow(
+      events: DataFrame,
+      key: Column,
+      probes: Seq[Long],
+      depth: Int,
+      width: Int,
+      every: String = "1 day"): DataFrame = {
+    require(probes.nonEmpty && depth >= 1 && width >= 2)
+    val aggs = probes.map { p =>
+      least((0 until depth).map { j =>
+        sum(when(graft.pipeline.Cms.bucketCol(j, key, width) ===
+          lit(graft.pipeline.Cms.plannedBucket(j, p.toString, width)), 1L)
+          .otherwise(0L))
+      }: _*).as(s"est_$p")
+    }
+    events
+      .groupBy(window(col("ts"), every).as("w"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("w.start").as("window_start"),
+        explode(array(probes.map(p =>
+          struct(lit(p).as("probe_key"), col(s"est_$p").as("cms_est"))): _*))
+          .as("e"))
+      .select(col("window_start"), col("e.probe_key"), col("e.cms_est"))
+  }
+
   /** Streaming quantile monitor: per-(window, group) KLL sketches of a
     * value column, finalized to quantile estimates — latency/size
     * percentile dashboards over an event stream without retaining raw

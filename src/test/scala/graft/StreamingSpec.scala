@@ -241,6 +241,32 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("streaming CMS probe monitor equals the batch estimates per window") {
+    val probes = Seq(1L, 2L, 3L, 99L) // 99 absent → estimate 0 (or collision overcount)
+    val streamed = runStream(
+      df => EventOps.cmsProbeByWindow(
+        EventOps.withWatermarkIfStreaming(df, "ts", "0 seconds"),
+        col("user_id"), probes, depth = 4, width = 64, every = "1 hour"),
+      "cms_out")
+      .filter($"window_start" < ts("2024-06-01 00:00:00")) // drop the flush window
+      .orderBy("window_start", "probe_key")
+      .collect().toSeq
+    val batch = EventOps.cmsProbeByWindow(evs.toDF(), col("user_id"),
+        probes, depth = 4, width = 64, every = "1 hour")
+      .orderBy("window_start", "probe_key")
+      .collect().toSeq
+    assert(streamed == batch && batch.nonEmpty)
+    // every estimate is an overestimate of the window's true key count
+    val truth = evs.groupBy(e => (e.ts.getTime / 3600000L, e.user_id))
+      .map { case (k, rs) => k -> rs.size.toLong }
+    batch.foreach { r =>
+      val w = r.getTimestamp(0).getTime / 3600000L
+      val est = r.getLong(2)
+      assert(est >= truth.getOrElse((w, r.getLong(1)), 0L),
+        s"CMS under-estimated $r")
+    }
+  }
+
   test("streaming windowed KLL quantiles match batch within the rank-error band") {
     val streamed = runStream(
       df => EventOps.quantilesByWindow(
