@@ -3248,6 +3248,32 @@ object SparkEntry {
         .orderBy("hod")
     }),
 
+    // Queueing backlog per event type — the Lindley recursion
+    // W_t = max(0, W_{t-1} + net_t), which looks sequential but has the
+    // closed form W_t = cum_t − min(0, min_{j≤t} cum_j): one cumulative
+    // sum and one running min, both per-type partitioned windows
+    // (parallel, exact integers). Net flow = hourly arrivals − a fixed
+    // service capacity of 20/h, over OBSERVED hours (an empty hour would
+    // drain 20 — at these volumes every (type, hour) cell is populated;
+    // the gap-filled variant would reuse the stl spine). The nonlinear
+    // clamp linearized — the same algebra that makes waiting-time /
+    // inventory simulations distributable.
+    "events_backlog" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourly = events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("hr"))
+        .agg((count(lit(1)) - 20L).as("net"))
+      val w = Window.partitionBy("event_type").orderBy("hr")
+      hourly
+        .withColumn("cum", sum("net").over(w))
+        .withColumn("runmin",
+          least(lit(0L), min("cum").over(w)))
+        .select(col("event_type"), col("hr"),
+          (col("cum") - col("runmin")).as("backlog"))
+        .orderBy("event_type", "hr")
+    }),
+
     // CUSUM changepoint per event type, all-integer: with hourly counts
     // c₁..cₙ and total T, the mean-centered cumulative sum at hour i is
     // cum(i) − i·T/n — scaled by n it stays an exact long:
@@ -6915,6 +6941,20 @@ object SparkEntry {
            CAST(s_num AS BIGINT) AS s_num,
            CAST(s_num AS DOUBLE) / CAST(48 * n_hours AS DOUBLE) AS seasonal
          FROM sea ORDER BY hod""",
+    "events_backlog" ->
+      """WITH hourly AS (
+           SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+             CAST(count(*) AS BIGINT) - 20 AS net
+           FROM events GROUP BY 1, 2),
+         c AS (
+           SELECT event_type, hr,
+             sum(net) OVER (PARTITION BY event_type ORDER BY hr) AS cum
+           FROM hourly)
+         SELECT event_type, hr,
+           CAST(cum - least(0, min(cum) OVER (
+             PARTITION BY event_type ORDER BY hr)) AS BIGINT) AS backlog
+         FROM c ORDER BY event_type, hr""",
     "events_cusum" ->
       """WITH hourly AS (
            SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,

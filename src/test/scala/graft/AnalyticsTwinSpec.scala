@@ -181,6 +181,22 @@ class AnalyticsTwinSpec extends AnyFunSuite with SparkTestBase {
     assert(got.contains(0L)) // the high-water-mark events themselves
   }
 
+  test("events_backlog closed form equals the sequential Lindley recursion") {
+    import org.apache.spark.sql.expressions.Window
+    // W_t = max(0, W_{t-1} + net_t), including a deep-negative run that
+    // forces the clamp, then recovery
+    val net = Seq(5L, -8L, 3L, -2L, 7L, -30L, 4L, 4L, -1L)
+    val truth = net.scanLeft(0L)((w, x) => math.max(0L, w + x)).tail
+    val df = net.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      .toDF("hr", "net")
+    val w = Window.orderBy("hr")
+    val out = df.withColumn("cum", sum("net").over(w))
+      .withColumn("runmin", least(lit(0L), min("cum").over(w)))
+      .select(col("hr"), (col("cum") - col("runmin")).as("backlog"))
+      .orderBy("hr").as[(Long, Long)].collect().map(_._2).toSeq
+    assert(out == truth)
+  }
+
   test("hardNegatives skips same-label neighbors however close") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f), 7),
