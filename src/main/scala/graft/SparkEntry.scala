@@ -4479,8 +4479,11 @@ object SparkEntry {
           col("label") === 1, col("label") === 0)
         .select(col("n1").as("n_pos"), col("n2").as("n_neg"),
           col("u1_x2"),
-          (col("u1_x2").cast("double") /
-            (col("n1") * col("n2") * 2).cast("double")).as("auc"))
+          // NULL when a class is empty (AUC undefined) — the ANSI-mode
+          // zero-divisor guard the KS/t-closeness operators carry
+          when(col("n1") * col("n2") === 0, lit(null).cast("double"))
+            .otherwise(col("u1_x2").cast("double") /
+              (col("n1") * col("n2") * 2).cast("double")).as("auc"))
     }),
 
     // Exact tie-corrected Spearman rank correlation between lineitem

@@ -188,6 +188,52 @@ class EdgeCaseSpec extends AnyFunSuite with SparkTestBase {
     assert(Layout.readPrunedByKeys(spark, dir, mf, "k", Seq.empty).count() == 0)
   }
 
+  test("Cms: empty corpus builds an empty sketch; probes over it estimate 0") {
+    import graft.pipeline.Cms
+    val empty = Seq.empty[Long].toDF("k")
+    val cells = Cms.build(empty, col("k"), depth = 4, width = 64)
+    assert(cells.count() == 0)
+    val est = Cms.probe(cells, Seq(1L, 2L).toDF("k"), col("k"), 4, 64)
+      .as[(Long, Long)].collect().toMap
+    assert(est == Map(1L -> 0L, 2L -> 0L))
+  }
+
+  test("bandedHammingPairs: empty and singleton fingerprint frames pair nothing") {
+    import graft.pipeline.Dedup
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id", "fp")
+    assert(Dedup.bandedHammingPairs(empty, 64, 4, 3).count() == 0)
+    val one = Seq((1L, 42L)).toDF("doc_id", "fp")
+    assert(Dedup.bandedHammingPairs(one, 64, 4, 3).count() == 0)
+  }
+
+  test("averageHash: empty media dataset is empty") {
+    import graft.pipeline.{Multimodal, MediaRow}
+    assert(Multimodal.averageHash(
+      Seq.empty[MediaRow].toDS()).count() == 0)
+  }
+
+  test("SearchIndex probe: terms absent from the corpus score nothing") {
+    import graft.pipeline.SearchIndex
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "beta delta"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("sidx_edge").toString
+    SearchIndex.buildIndex(docs, col("doc_id"), col("text"), s"$dir/idx")
+    assert(SearchIndex.bm25Probe(spark, s"$dir/idx",
+      Seq("zeta", "omega"), topK = 5).count() == 0)
+  }
+
+  test("mannWhitneyU feeding AUC: one empty class yields NULL auc, not an ANSI error") {
+    val users = Seq((1L, 10L, 1L), (2L, 5L, 1L)).toDF("user_id", "score", "label")
+    val r = graft.operators.Stats.mannWhitneyU(users, col("score"),
+        col("label") === 1, col("label") === 0)
+      .select(col("n1"), col("n2"),
+        when(col("n1") * col("n2") === 0, lit(null).cast("double"))
+          .otherwise(col("u1_x2").cast("double") /
+            (col("n1") * col("n2") * 2).cast("double")).as("auc"))
+      .head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 0L && r.isNullAt(2))
+  }
+
   test("duplicatedSpanStats: empty corpus is empty; all-sub-k corpus is all-zero") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(graft.pipeline.TextAnalysis.duplicatedSpanStats(
