@@ -504,6 +504,19 @@ object OracleSqlGen {
         SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
         FROM r WHERE rank <= $k ORDER BY query_id, rank"""
 
+  /** Mirrors embed_cos_hist: pairwise exact-fold cosines of the 100-vector
+    * probe sample, binned by the identical (c+1)·10 floor expression.
+    */
+  def embedCosHist(nProbe: Int): String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+                   WHERE vec_id < $nProbe),
+        p AS (
+          SELECT ${cosineSql("a.embedding", "b.embedding")} AS c
+          FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        SELECT CAST(floor((c + 1.0) * 10.0) AS BIGINT) AS bin,
+          CAST(count(*) AS BIGINT) AS n
+        FROM p GROUP BY 1 ORDER BY bin"""
+
   /** Mirrors stream_cms: per-day CMS point estimates for literal probe
     * keys — each probed cell compiles to a literal bucket comparison
     * (Cms.plannedBucket, the same driver-side md5 the Spark reader uses),

@@ -4736,6 +4736,24 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Pairwise-cosine distribution of a deterministic 100-vector probe
+    // sample — the representation-collapse monitor (a healthy embedding
+    // space spreads mass across bins; a collapsed one piles onto cos≈1).
+    // Exact fold cosines, identical (c+1)·10 floor binning both engines,
+    // O(probe²)=4950 pairs regardless of corpus size.
+    "embed_cos_hist" -> ((s, d) => {
+      val e = embeddings(s, d).filter(col("vec_id") < 100)
+        .select(col("vec_id"), col("embedding"))
+      e.as("a").join(broadcast(e.as("b")),
+          col("a.vec_id") < col("b.vec_id"))
+        .select(Similarity.cosine(col("a.embedding"), col("b.embedding"))
+          .as("c"))
+        .groupBy(floor((col("c") + lit(1.0)) * lit(10.0)).cast("long")
+          .as("bin"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bin")
+    }),
+
     // Contrastive training triplets in ONE corpus sweep: per anchor, the
     // nearest same-label neighbor (positive) and the nearest cross-label
     // neighbor (hard negative) fall out of a single scored scan — the
@@ -8047,6 +8065,7 @@ object SparkEntry {
          FROM hc JOIN e ON e.th = hc.hh ORDER BY h_epoch""",
     "ann_hard_negatives" -> OracleSqlGen.annHardNegatives(32, 5),
     "pipeline_contrastive" -> OracleSqlGen.pipelineContrastive(32),
+    "embed_cos_hist" -> OracleSqlGen.embedCosHist(100),
     "events_funnel_steps" ->
       """WITH u1 AS (
            SELECT user_id, min(ts) AS t1 FROM events
