@@ -541,6 +541,24 @@ object SparkEntry {
         .orderBy("from_entity", "to_entity")
     }),
 
+    // Recency-decayed memory importance — the "what matters NOW" read an
+    // agent memory serves (the decay generalization of R7's plain
+    // recency sort): each order contributes 2^20 halved once per year of
+    // age, so a customer's score is an EXACT integer Σ 2^20 >> age — no
+    // exp(), no float decay constant, engine-identical by construction.
+    // Map-side combinable; top-20 by (score, key) total order.
+    "r12_decay_score" -> ((s, d) => {
+      orders(s, d)
+        .select(col("o_custkey"),
+          (lit(2001) - year(col("o_orderdate"))).cast("int").as("age"))
+        .select(col("o_custkey"),
+          expr("shiftright(1048576L, age)").as("w"))
+        .groupBy("o_custkey")
+        .agg(sum("w").as("decayed_fp"), count(lit(1)).as("n_orders"))
+        .orderBy(desc("decayed_fp"), asc("o_custkey"))
+        .limit(20)
+    }),
+
     "r9_read_graph" -> ((s, d) =>
       GraphOps.readGraphEdges(orderEntities(s, d), lineitemRelations(s, d), 10)
         .orderBy("from_entity", "to_entity")),
@@ -5954,6 +5972,13 @@ object SparkEntry {
          FROM lineitem
          WHERE l_orderkey IN (1, 2, 3) OR l_partkey IN (5, 7)
          ORDER BY from_entity, to_entity""",
+    "r12_decay_score" ->
+      """SELECT o_custkey,
+           CAST(sum(1048576 // (1 << (2001 - year(o_orderdate)))) AS BIGINT)
+             AS decayed_fp,
+           CAST(count(*) AS BIGINT) AS n_orders
+         FROM orders GROUP BY o_custkey
+         ORDER BY decayed_fp DESC, o_custkey LIMIT 20""",
     "r9_read_graph" ->
       """WITH recent AS (
            SELECT o_orderkey FROM orders
