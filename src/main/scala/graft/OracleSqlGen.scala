@@ -2312,6 +2312,39 @@ object OracleSqlGen {
     * Output is the per-distance census (count + min/max/sum of node ids),
     * which pins the exact reached set without emitting O(V) rows.
     */
+  /** Mirrors graph_influence: the [[bfs]] frontier CTEs run over the
+    * md5-ACTIVATED directed arcs only (the derandomized IC coin — same
+    * 52-bit prefix threshold the Spark side evaluates), seeded by the
+    * whole seed set at distance 0.
+    */
+  def influence(seeds: Seq[Long], pNum: Long, rounds: Int): String = {
+    val seedList = seeds.mkString(", ")
+    val roundCtes = (1 to rounds).map { i =>
+      s"""v$i AS (
+           SELECT node, dist FROM v${i - 1}
+           UNION ALL
+           SELECT node, $i AS dist FROM (
+             SELECT DISTINCT act.b AS node FROM act
+             JOIN v${i - 1} f ON act.a = f.node AND f.dist = ${i - 1}
+             WHERE act.b NOT IN (SELECT node FROM v${i - 1})))"""
+    }.mkString(",\n        ")
+    s"""WITH e AS (
+          SELECT 2000000000 + o_custkey AS u, o_orderkey AS v FROM orders
+          UNION ALL
+          SELECT l_orderkey AS u, 1000000000 + l_partkey AS v FROM lineitem),
+        adj AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v AS a, u AS b FROM e),
+        act AS (
+          SELECT a, b FROM adj
+          WHERE CAST('0x' || substr(md5(CAST(a AS VARCHAR) || ':' ||
+            CAST(b AS VARCHAR) || ':ic'), 1, 13) AS BIGINT) < $pNum),
+        v0 AS (SELECT CAST(unnest([$seedList]) AS BIGINT) AS node, 0 AS dist),
+        $roundCtes
+        SELECT CAST(dist AS INT) AS dist, CAST(count(*) AS BIGINT) AS n_nodes,
+          CAST(min(node) AS BIGINT) AS min_node, CAST(max(node) AS BIGINT) AS max_node,
+          CAST(sum(node) AS BIGINT) AS sum_node
+        FROM v$rounds GROUP BY dist ORDER BY dist"""
+  }
+
   def bfs(src: Long, rounds: Int): String = {
     val roundCtes = (1 to rounds).map { i =>
       s"""v$i AS (

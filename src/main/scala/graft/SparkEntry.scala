@@ -2956,6 +2956,30 @@ object SparkEntry {
     // FK graph (pageRankInt's node-id scheme). Output is the per-distance
     // census — count + min/max/sum of node ids — which pins the exact
     // reached set at each hop without emitting O(V) rows.
+    // Deterministic independent-cascade influence spread: each directed
+    // arc flips a DERANDOMIZED coin — active iff md5(a:b:ic)'s 52-bit
+    // prefix < floor(0.3·2^52) — so the cascade is a pure function of the
+    // graph (the md5-sampling family applied to IC simulation), and the
+    // per-round infection census hash-matches a chained-CTE replay. Same
+    // fixed-round multi-source BFS shape as graph_bfs.
+    "graph_influence" -> ((s, d) => {
+      val o = orders(s, d).select(
+        (lit(2000000000L) + col("o_custkey")).as("u"),
+        col("o_orderkey").as("v"))
+      val li = lineitem(s, d).select(
+        col("l_orderkey").as("u"),
+        (lit(1000000000L) + col("l_partkey")).as("v"))
+      graft.operators.GraphAnalytics.influenceSpread(o.union(li),
+          seeds = (1L to 4L).map(2000000000L + _),
+          pNum = 4503599627370496L * 3 / 10, rounds = 3)
+        .groupBy("dist").agg(
+          count(lit(1)).as("n_nodes"),
+          min("node").as("min_node"),
+          max("node").as("max_node"),
+          sum(col("node").cast(DecimalType(28, 0))).cast("long").as("sum_node"))
+        .orderBy("dist")
+    }),
+
     "graph_bfs" -> ((s, d) => {
       val o = orders(s, d).select(
         (lit(2000000000L) + col("o_custkey")).as("u"),
@@ -6783,6 +6807,8 @@ object SparkEntry {
     "graph_ppr" -> OracleSqlGen.personalizedPageRank(
       sources = Seq(2000000042L), iters = 3, topK = 20),
     "graph_bfs" -> OracleSqlGen.bfs(src = 2000000001L, rounds = 4),
+    "graph_influence" -> OracleSqlGen.influence(
+      (1L to 4L).map(2000000000L + _), 4503599627370496L * 3 / 10, 3),
     "graph_sssp" -> OracleSqlGen.sssp(src = 2000000001L, rounds = 4, topK = 100),
     "q_chi_square" ->
       """WITH e AS (

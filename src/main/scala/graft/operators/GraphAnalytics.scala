@@ -675,6 +675,44 @@ object GraphAnalytics {
     dist
   }
 
+  /** Deterministic independent-cascade influence spread (Kempe-Kleinberg-
+    * Tardos IC model with derandomized coin flips): arc (a,b) of the
+    * symmetric closure ACTIVATES iff md5("a:b:ic")'s 52-bit prefix falls
+    * under `pNum` (≈ p·2^52) — a pure function of the arc, so the "random"
+    * cascade is engine/partition/rerun-reproducible, exactly like the
+    * md5 sampling family. Reach = multi-source BFS over activated arcs
+    * only; returns (node, dist) for nodes infected within `rounds` steps.
+    * Note activation is per DIRECTED arc (a may infect b while b cannot
+    * infect a), matching the IC model's independent coin per attempt.
+    */
+  def influenceSpread(
+      edges: DataFrame, seeds: Seq[Long], pNum: Long, rounds: Int): DataFrame = {
+    require(seeds.nonEmpty && rounds >= 1 && rounds <= 30 && pNum > 0)
+    val e = edges.select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
+    val act = e.select(col("u").as("a"), col("v").as("b"))
+      .union(e.select(col("v").as("a"), col("u").as("b")))
+      .filter(conv(substring(md5(concat_ws(":",
+        col("a"), col("b"), lit("ic")).cast("binary")), 1, 13), 16, 10)
+        .cast("long") < pNum)
+      .repartition(col("a"))
+      .cache()
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var dist = seeds.toDF("node")
+      .select(col("node").cast("long").as("node"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val relaxed = act
+        .join(Hints.broadcastGated(dist.withColumnRenamed("node", "a")), "a")
+        .select(col("b").as("node"), (col("dist") + 1L).as("dist"))
+      dist = dist.union(relaxed)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint(true)
+    }
+    act.unpersist(false)
+    dist
+  }
+
   /** Harmonic centrality (Boldi & Vigna, "Axioms for centrality", Internet
     * Math 2014) from a fixed seed sample, exact integer math:
     * H(v) = Σ_{s ∈ seeds, 0 < d(s,v) ≤ rounds} floor(scale / d(s,v)).

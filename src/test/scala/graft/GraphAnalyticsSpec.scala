@@ -412,6 +412,34 @@ class GraphAnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(bc2(2L) == S && bc2(3L) == S && bc2(1L) == 0L && bc2(4L) == 0L)
   }
 
+  test("influenceSpread: derandomized IC coins — directed activation, p=1 is BFS, p→0 is seeds-only") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("u", "v")
+    val full = 1L << 52
+    // p = 1: every arc activates → identical to plain multi-source BFS
+    val p1 = GraphAnalytics.influenceSpread(edges, Seq(1L), full, 3)
+      .as[(Long, Long)].collect().toMap
+    val bfs = GraphAnalytics.bfs(edges, 1L, 3)
+      .as[(Long, Int)].collect().map { case (n, d) => n -> d.toLong }.toMap
+    assert(p1 == bfs)
+    // p ≈ 0 (threshold 1): no arc's 52-bit hash is below 1 → seeds only
+    val p0 = GraphAnalytics.influenceSpread(edges, Seq(1L), 1L, 3)
+      .as[(Long, Long)].collect().toMap
+    assert(p0 == Map(1L -> 0L))
+    // determinism: same cascade twice
+    val again = GraphAnalytics.influenceSpread(edges, Seq(1L), full / 2, 3)
+      .as[(Long, Long)].collect().toMap
+    val again2 = GraphAnalytics.influenceSpread(edges, Seq(1L), full / 2, 3)
+      .as[(Long, Long)].collect().toMap
+    assert(again == again2)
+    // direction matters: activation of (a,b) is independent of (b,a) —
+    // verify the two arc hashes differ for at least one fixture edge
+    val h = (a: Long, b: Long) => java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s"$a:$b:ic")
+        .substring(0, 13), 16)
+    assert(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+      .exists { case (a, b) => (h(a, b) < full / 2) != (h(b, a) < full / 2) })
+  }
+
   test("randomWalksOver a persisted adjacencyIndex equals the direct walk") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L)).toDF("u", "v")
     val direct = GraphAnalytics.randomWalks(edges, Seq(1L, 4L), 2, 5)
