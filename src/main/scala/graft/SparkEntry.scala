@@ -4778,6 +4778,23 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Deterministic epoch shuffle — the reproducible training-data
+    // permutation: global position = exact rank of md5(doc_id:epoch0)
+    // through the distributed rank scaffold (range partition →
+    // per-partition window → broadcast offsets; PlanSpec's _pid family,
+    // never a single-task global sort). Rerun/engine/layout-stable, new
+    // permutation per epoch salt. Declared output: the first 20 positions.
+    "q_shuffle_order" -> ((s, d) => {
+      val keyed = documents(s, d).select(col("doc_id"),
+        conv(substring(md5(concat_ws(":", col("doc_id"), lit("epoch0"))
+          .cast("binary")), 1, 13), 16, 10).cast("long").as("h"))
+      graft.operators.Ranking.withGlobalRowNumber(keyed,
+          Seq(col("h"), col("doc_id")), "pos")
+        .filter(col("pos") <= 20)
+        .select(col("pos"), col("doc_id"))
+        .orderBy("pos")
+    }),
+
     // Pairwise-cosine distribution of a deterministic 100-vector probe
     // sample — the representation-collapse monitor (a healthy embedding
     // space spreads mass across bins; a collapsed one piles onto cos≈1).
@@ -8117,6 +8134,15 @@ object SparkEntry {
     "ann_hard_negatives" -> OracleSqlGen.annHardNegatives(32, 5),
     "pipeline_contrastive" -> OracleSqlGen.pipelineContrastive(32),
     "embed_cos_hist" -> OracleSqlGen.embedCosHist(100),
+    "q_shuffle_order" ->
+      """SELECT pos, doc_id FROM (
+           SELECT doc_id, row_number() OVER (ORDER BY h, doc_id) AS pos
+           FROM (
+             SELECT doc_id,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':epoch0'),
+                 1, 13) AS BIGINT) AS h
+             FROM documents))
+         WHERE pos <= 20 ORDER BY pos""",
     "events_funnel_steps" ->
       """WITH u1 AS (
            SELECT user_id, min(ts) AS t1 FROM events
