@@ -504,6 +504,41 @@ object OracleSqlGen {
         SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
         FROM r WHERE rank <= $k ORDER BY query_id, rank"""
 
+  /** Mirrors pipeline_coreset_greedy: the k greedy max-coverage rounds as
+    * chained CTEs — each round counts uncovered terms per doc, takes the
+    * (gain desc, doc_id) argmax, and folds the winner's terms into the
+    * covered set.
+    */
+  def greedyCoverage(k: Int, n: Int = 3): String = {
+    val rounds = (1 to k).map { i =>
+      val prevCov =
+        if (i == 1) "" else s" WHERE t NOT IN (SELECT t FROM c${i - 1})"
+      val cov =
+        if (i == 1)
+          s"""c1 AS (SELECT DISTINCT t FROM toks
+               WHERE doc_id IN (SELECT doc_id FROM s1))"""
+        else
+          s"""c$i AS (SELECT t FROM c${i - 1} UNION
+               SELECT t FROM toks
+               WHERE doc_id IN (SELECT doc_id FROM s$i))"""
+      s"""s$i AS (
+           SELECT doc_id, gain FROM (
+             SELECT doc_id, count(*) AS gain FROM toks$prevCov
+             GROUP BY doc_id)
+           ORDER BY gain DESC, doc_id LIMIT 1),
+         $cov"""
+    }.mkString(",\n        ")
+    val arms = (1 to k).map(i =>
+      s"SELECT CAST($i AS INT) AS step, doc_id, CAST(gain AS BIGINT) AS gain FROM s$i")
+      .mkString(" UNION ALL ")
+    s"""WITH toks AS (
+          SELECT DISTINCT doc_id, t FROM (
+            SELECT doc_id, unnest(list_distinct(${shinglesSql(n)})) AS t
+            FROM documents)),
+        $rounds
+        SELECT * FROM ($arms) ORDER BY step"""
+  }
+
   /** Mirrors embed_cos_hist: pairwise exact-fold cosines of the 100-vector
     * probe sample, binned by the identical (c+1)·10 floor expression.
     */

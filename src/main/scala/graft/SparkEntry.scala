@@ -4778,6 +4778,16 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Greedy maximum-coverage data selection (facility-location coreset):
+    // five rounds of "pick the doc covering the most still-uncovered
+    // vocabulary", the Nemhauser greedy with its (1−1/e) guarantee —
+    // the data-curation step that picks a maximally-diverse seed set.
+    // Deterministic tie-breaks; each round one anti-join + one argmax.
+    "pipeline_coreset_greedy" -> ((s, d) =>
+      TextAnalysis.greedyCoverage(documents(s, d), col("doc_id"),
+          col("text"), k = 5)
+        .orderBy("step")),
+
     // Deterministic epoch shuffle — the reproducible training-data
     // permutation: global position = exact rank of md5(doc_id:epoch0)
     // through the distributed rank scaffold (range partition →
@@ -8134,6 +8144,7 @@ object SparkEntry {
     "ann_hard_negatives" -> OracleSqlGen.annHardNegatives(32, 5),
     "pipeline_contrastive" -> OracleSqlGen.pipelineContrastive(32),
     "embed_cos_hist" -> OracleSqlGen.embedCosHist(100),
+    "pipeline_coreset_greedy" -> OracleSqlGen.greedyCoverage(5),
     "q_shuffle_order" ->
       """SELECT pos, doc_id FROM (
            SELECT doc_id, row_number() OVER (ORDER BY h, doc_id) AS pos

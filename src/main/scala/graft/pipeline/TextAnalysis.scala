@@ -23,6 +23,45 @@ object TextAnalysis {
       round(length(text).cast("double") / size(toks), 6).as("mean_token_len"))
   }
 
+  /** Greedy maximum-coverage data selection (the facility-location /
+    * coreset step of training-data curation, Nemhauser-Wolsey-Fisher
+    * greedy): pick `k` docs one at a time, each maximizing the count of
+    * vocabulary terms NOT yet covered by earlier picks; ties break on
+    * doc_id, so the selection is deterministic. Returns
+    * (step, doc_id, gain). Each round is one anti-join + one aggregate +
+    * one 1-row argmax over the distinct (doc, term) frame — O(k) rounds,
+    * never a combinatorial search; the greedy solution carries the classic
+    * (1 − 1/e) coverage guarantee.
+    */
+  def greedyCoverage(docs: DataFrame, id: Column, text: Column,
+      k: Int, n: Int = 3): DataFrame = {
+    require(k >= 1 && k <= 32, "k bounded to keep the round chain flat")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // coverage units are word n-gram shingles — the unigram vocabulary of
+    // a templated corpus is tiny enough for one doc to cover it whole,
+    // which would collapse the greedy to a single round
+    val toks = docs
+      .select(id.as("doc_id"),
+        explode(array_distinct(Dedup.shingles(text, n))).as("t"))
+      .localCheckpoint(true)
+    var covered = Seq.empty[String].toDF("t").localCheckpoint(true)
+    var picks = Seq.empty[(Int, Long, Long)]
+    for (step <- 1 to k) {
+      val best = toks.join(covered, Seq("t"), "left_anti")
+        .groupBy("doc_id").agg(count(lit(1)).as("gain"))
+        .orderBy(desc("gain"), asc("doc_id")).limit(1)
+        .as[(Long, Long)].collect()
+      best.headOption.foreach { case (d, g) =>
+        picks :+= ((step, d, g))
+        covered = covered
+          .union(toks.filter(col("doc_id") === d).select("t"))
+          .distinct().localCheckpoint(true)
+      }
+    }
+    picks.toDF("step", "doc_id", "gain")
+  }
+
   /** BPE-ish subword count: whitespace tokens further split at letter/digit
     * boundaries and into ≤4-char chunks — a cheap, deterministic proxy for a
     * BPE tokenizer's token count (the real vocab isn't in this container).
