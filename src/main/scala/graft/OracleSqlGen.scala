@@ -539,6 +539,39 @@ object OracleSqlGen {
         SELECT * FROM ($arms) ORDER BY step"""
   }
 
+  /** Mirrors embed_kcenter: the Gonzalez farthest-point rounds as chained
+    * CTEs — each round min-distances every unselected vector to the
+    * selected set and takes the (dist desc, id) argmax.
+    */
+  def embedKCenter(dim: Int, k: Int, seed: Long): String = {
+    def sqd(a: String, b: String) =
+      s"list_sum(list_transform(range($dim), j -> ($a[j+1]-$b[j+1])*($a[j+1]-$b[j+1])))"
+    val rounds = (2 to k).map { i =>
+      s"""d$i AS (
+           SELECT e.vec_id, min(${sqd("e.iv", "s.iv")}) AS dmin
+           FROM iv e, iv s
+           WHERE s.vec_id IN (SELECT vec_id FROM sel${i - 1})
+             AND e.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+           GROUP BY e.vec_id),
+         p$i AS (
+           SELECT vec_id, dmin FROM d$i
+           ORDER BY dmin DESC, vec_id LIMIT 1),
+         sel$i AS (SELECT vec_id FROM sel${i - 1}
+           UNION ALL SELECT vec_id FROM p$i)"""
+    }.mkString(",\n        ")
+    val arms = s"SELECT 1 AS step, CAST($seed AS BIGINT) AS vec_id, CAST(0 AS BIGINT) AS dist_sq" +:
+      (2 to k).map(i =>
+        s"SELECT $i AS step, vec_id, CAST(dmin AS BIGINT) AS dist_sq FROM p$i")
+    s"""WITH iv AS (
+          SELECT vec_id,
+            list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS iv
+          FROM embeddings),
+        sel1 AS (SELECT CAST($seed AS BIGINT) AS vec_id),
+        $rounds
+        SELECT CAST(step AS INT) AS step, vec_id, dist_sq
+        FROM (${arms.mkString(" UNION ALL ")}) ORDER BY step"""
+  }
+
   /** Mirrors embed_cos_hist: pairwise exact-fold cosines of the 100-vector
     * probe sample, binned by the identical (c+1)·10 floor expression.
     */

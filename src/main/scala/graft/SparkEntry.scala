@@ -1629,6 +1629,17 @@ object SparkEntry {
         .orderBy("code")
     }),
 
+    // Greedy farthest-point diverse sampling (Gonzalez k-center 2-approx):
+    // 8 representatives, each maximizing exact integer squared-L2 distance
+    // to the nearest already-picked vector — the embedding-space analog of
+    // pipeline_coreset_greedy (select what the current set explains
+    // WORST). O(k·n) distances, (dist desc, id) tie-breaks; the oracle
+    // replays every traversal round.
+    "embed_kcenter" -> ((s, d) =>
+      Similarity.kCenter(embeddings(s, d), col("vec_id"), col("embedding"),
+          k = 8)
+        .orderBy("step")),
+
     // Cluster-quality diagnostics for the k-means partition, all in exact
     // integers: per-cluster member count, total squared-L2 spread around
     // the centroid (cohesion), and the squared distance to the nearest
@@ -6300,6 +6311,7 @@ object SparkEntry {
     "ann_pq_adc" -> OracleSqlGen.annPqAdc(32, 8, 8, 16, 2, 5),
     "embed_kmeans" -> OracleSqlGen.embedKmeans(64, 8, 2),
     "embed_cluster_quality" -> OracleSqlGen.embedClusterQuality(64, 8, 2),
+    "embed_kcenter" -> OracleSqlGen.embedKCenter(64, 8, 0L),
     "ann_pq_incremental" -> OracleSqlGen.annPqAdc(32, 8, 8, 16, 2, 5, trainMaxId = 400L),
     "ann_ivfpq" -> OracleSqlGen.annIvfPq(32, 8, 2, 8, 8, 16, 2, 5),
     "ann_ivfpq_refined" -> OracleSqlGen.annIvfPqRefined(32, 8, 2, 8, 8, 16, 2, 20, 5),

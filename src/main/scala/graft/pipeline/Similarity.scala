@@ -373,6 +373,43 @@ object Similarity {
     * candidates found there. Identical output to the inline [[ivfTopK]] —
     * spec-pinned — with the index build amortized across probe batches.
     */
+  /** Greedy farthest-point traversal (Gonzalez k-center, the 2-approx): k
+    * diverse representatives picked one at a time, each maximizing its
+    * squared-L2 distance to the nearest already-selected vector — the
+    * embedding analog of max-coverage data selection (pick what the
+    * selected set explains WORST). Exact fixed-point integer distances and
+    * (dist desc, id) tie-breaks make the traversal engine-deterministic.
+    * Each round is one broadcast of ≤ k selected vectors + one argmax over
+    * the corpus — O(k·n) distance evaluations total, never quadratic.
+    * Returns (step, vec_id, dist_sq) with the seed at dist_sq 0.
+    */
+  def kCenter(corpus: DataFrame, id: Column, vec: Column,
+      k: Int, seed: Long = 0L): DataFrame = {
+    require(k >= 1 && k <= 64)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val iv = Dedup.spread(corpus)
+      .select(id.cast("long").as("vec_id"), Pq.intVec(vec).as("iv"))
+      .localCheckpoint(true)
+    var sel = Seq(seed)
+    var out = Seq((1, seed, 0L))
+    for (step <- 2 to k) {
+      val selDf = broadcast(iv.filter(col("vec_id").isin(sel: _*))
+        .select(col("iv").as("siv")))
+      val best = iv.filter(!col("vec_id").isin(sel: _*))
+        .crossJoin(selDf)
+        .groupBy("vec_id")
+        .agg(min(Pq.sqDistL(col("iv"), col("siv"))).as("dmin"))
+        .orderBy(desc("dmin"), asc("vec_id")).limit(1)
+        .as[(Long, Long)].collect()
+      best.headOption.foreach { case (v, dm) =>
+        sel :+= v
+        out :+= ((step, v, dm))
+      }
+    }
+    out.toDF("step", "vec_id", "dist_sq")
+  }
+
   def ivfProbeIndex(
       queries: DataFrame,
       indexPath: String,
