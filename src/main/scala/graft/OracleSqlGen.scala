@@ -2007,6 +2007,53 @@ object OracleSqlGen {
             END) AS BIGINT) AS ahash
           FROM bits GROUP BY doc_id)"""
 
+  /** Mirrors mm_frame_dedup: the per-frame generalization of [[phashCte]] —
+    * the sampled frames' gradient phases a_f = (doc_id + 11·f) mod 256
+    * drive the same x/y-marginal hash construction, keyed by (doc, frame).
+    */
+  def mmFrameDedup(stride: Int): String =
+    s"""WITH m AS (
+          SELECT doc_id,
+            CAST(unnest(range(0, 3 + doc_id % 5, $stride)) AS BIGINT) AS f,
+            CAST(16 + doc_id % 17 AS BIGINT) AS w,
+            CAST(16 + (doc_id*7) % 13 AS BIGINT) AS h
+          FROM documents),
+        m2 AS (SELECT doc_id, f, (doc_id + 11*f) % 256 AS a, w, h FROM m),
+        xc AS (
+          SELECT doc_id, f, cx, sum(r) AS rx, count(*) AS nx FROM (
+            SELECT doc_id, f, (x*8)//w AS cx, (a+x)%256 AS r
+            FROM (SELECT doc_id, f, a, w,
+                  CAST(unnest(range(w)) AS BIGINT) AS x FROM m2))
+          GROUP BY doc_id, f, cx),
+        yc AS (
+          SELECT doc_id, f, cy, sum(b) AS by_, count(*) AS ny FROM (
+            SELECT doc_id, f, (y*8)//h AS cy, (a+y)%256 AS b
+            FROM (SELECT doc_id, f, a, h,
+                  CAST(unnest(range(h)) AS BIGINT) AS y FROM m2))
+          GROUP BY doc_id, f, cy),
+        tx AS (SELECT doc_id, f, sum(rx) AS srx FROM xc GROUP BY doc_id, f),
+        ty AS (SELECT doc_id, f, sum(by_) AS sby FROM yc GROUP BY doc_id, f),
+        tot AS (
+          SELECT m2.doc_id, m2.f, m2.w, m2.h, 2*m2.h*srx + m2.w*sby AS total
+          FROM m2 JOIN tx USING(doc_id, f) JOIN ty USING(doc_id, f)),
+        bits AS (
+          SELECT x.doc_id, x.f, y.cy, x.cx,
+            CASE WHEN (2*y.ny*x.rx + x.nx*y.by_) * (t.w*t.h)
+                      > t.total * (x.nx*y.ny)
+              THEN 1 ELSE 0 END AS bit
+          FROM xc x JOIN yc y USING (doc_id, f)
+          JOIN tot t USING (doc_id, f)),
+        hash AS (
+          SELECT doc_id, f, CAST(sum(CASE WHEN bit=0 THEN 0::HUGEINT
+            WHEN cy*8+cx = 63 THEN (-9223372036854775808)::HUGEINT
+            ELSE CAST(1::BIGINT << CAST(cy*8+cx AS INT) AS HUGEINT)
+            END) AS BIGINT) AS ahash
+          FROM bits GROUP BY doc_id, f)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sampled,
+          CAST(count(DISTINCT ahash) AS BIGINT) AS n_distinct,
+          min(ahash) AS min_hash
+        FROM hash GROUP BY doc_id ORDER BY doc_id"""
+
   /** Mirrors mm_phash_clusters: exact-hash duplicate groups. */
   def mmPhashClusters: String =
     s"""$phashCte

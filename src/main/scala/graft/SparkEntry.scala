@@ -1957,6 +1957,25 @@ object SparkEntry {
         .orderBy(desc("n_docs"), asc("ahash"))
     }),
 
+    // Frame-level perceptual dedup INSIDE videos — the scene-change /
+    // redundant-frame primitive of a video pipeline: every sampled frame
+    // is really decoded and reduced to its 8-byte average-hash, then one
+    // per-video aggregate counts distinct fingerprints (n_distinct <
+    // n_sampled ⇔ visually-identical frames). The oracle replays every
+    // frame's hash from the per-frame gradient phase via the same
+    // x/y-marginal construction as mm_phash_clusters.
+    "mm_frame_dedup" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.videoFrameHashes(
+          s.read.parquet(s"${mmVideoSetup(s, d)}/video").as[MediaRow],
+          stride = 2)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_sampled"),
+          countDistinct("ahash").as("n_distinct"),
+          min("ahash").as("min_hash"))
+        .orderBy("doc_id")
+    }),
+
     // Incremental fingerprint maintenance for the image-dedup path: the
     // batch's hashes are decoded and APPENDED to the persisted 8-byte/doc
     // index — the old corpus's payloads are never re-decoded (decode is
@@ -6463,6 +6482,7 @@ object SparkEntry {
     "mm_decode" -> OracleSqlGen.mmDecode,
     "mm_phash_clusters" -> OracleSqlGen.mmPhashClusters,
     "mm_phash_inc_clusters" -> OracleSqlGen.mmPhashClusters,
+    "mm_frame_dedup" -> OracleSqlGen.mmFrameDedup(2),
     "mm_phash_nn" -> OracleSqlGen.mmPhashNn,
     "mm_audio_decode" -> OracleSqlGen.mmAudioDecode,
     "mm_audio_frames" -> OracleSqlGen.mmAudioFrames(32),

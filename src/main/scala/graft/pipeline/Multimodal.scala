@@ -187,6 +187,45 @@ object Multimodal {
     * rounding. Undecodable payloads hash to 0 with decoded=false.
     * Embarrassingly parallel; O(rows) × 8 bytes out.
     */
+  /** The 8×8 average-hash of a decoded raster — the shared core of
+    * [[averageHash]] and [[videoFrameHashes]].
+    */
+  private def ahashOf(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val cellSum = Array.ofDim[Long](8, 8)
+    val cellPx = Array.ofDim[Long](8, 8)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      val cy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = 2L * ((rgb >> 16) & 0xff) + (rgb & 0xff)
+        val cx = x * 8 / w
+        cellSum(cy)(cx) += lum
+        cellPx(cy)(cx) += 1
+        total += lum
+        x += 1
+      }
+      y += 1
+    }
+    val nPx = w.toLong * h
+    var hash = 0L
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        if (cellSum(cy)(cx) * nPx > total * cellPx(cy)(cx))
+          hash |= 1L << (cy * 8 + cx)
+        cx += 1
+      }
+      cy += 1
+    }
+    hash
+  }
+
   def averageHash(media: Dataset[MediaRow]): DataFrame = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
@@ -195,43 +234,52 @@ object Multimodal {
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.media))
           catch { case _: java.io.IOException => null }
         if (img == null) (row.doc_id, 0L, false)
-        else {
-          val w = img.getWidth
-          val h = img.getHeight
-          val cellSum = Array.ofDim[Long](8, 8)
-          val cellPx = Array.ofDim[Long](8, 8)
-          var total = 0L
-          var y = 0
-          while (y < h) {
-            val cy = y * 8 / h
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              val lum = 2L * ((rgb >> 16) & 0xff) + (rgb & 0xff)
-              val cx = x * 8 / w
-              cellSum(cy)(cx) += lum
-              cellPx(cy)(cx) += 1
-              total += lum
-              x += 1
-            }
-            y += 1
-          }
-          val nPx = w.toLong * h
-          var hash = 0L
-          var cy = 0
-          while (cy < 8) {
-            var cx = 0
-            while (cx < 8) {
-              if (cellSum(cy)(cx) * nPx > total * cellPx(cy)(cx))
-                hash |= 1L << (cy * 8 + cx)
-              cx += 1
-            }
-            cy += 1
-          }
-          (row.doc_id, hash, true)
-        }
+        else (row.doc_id, ahashOf(img), true)
       }
     }.toDF("doc_id", "ahash", "decoded")
+  }
+
+  /** Per-frame perceptual hashes of a video container — the frame-level
+    * near-dup/scene-change primitive: every stride-th frame is REALLY
+    * decoded (others skipped in O(1) via the length prefix) and reduced to
+    * its 8 bytes of [[ahashOf]] fingerprint. Corrupt containers emit the
+    * (-1, 0) sentinel row, keeping the stage total.
+    */
+  def videoFrameHashes(media: Dataset[MediaRow], stride: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { row =>
+        try {
+          val bb = java.nio.ByteBuffer.wrap(row.media)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          if (row.media.length < 8) throw new java.io.IOException("short")
+          val m = new Array[Byte](4); bb.get(m)
+          if (new String(m, "US-ASCII") != "GFV1")
+            throw new java.io.IOException("bad magic")
+          val nFrames = bb.getInt
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long)]
+          var f = 0
+          while (f < nFrames) {
+            val len = bb.getInt
+            if (f % stride != 0) {
+              bb.position(bb.position() + len)
+            } else {
+              val frame = new Array[Byte](len)
+              bb.get(frame)
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(frame))
+              if (img == null) throw new java.io.IOException("undecodable frame")
+              out += ((row.doc_id, f, ahashOf(img)))
+            }
+            f += 1
+          }
+          out.iterator
+        } catch {
+          case _: java.io.IOException | _: RuntimeException =>
+            Iterator.single((row.doc_id, -1, 0L))
+        }
+      }
+    }.toDF("doc_id", "frame_idx", "ahash")
   }
 
   /** Deterministic synthetic WAV keyed on the doc id — REAL audio bytes:
