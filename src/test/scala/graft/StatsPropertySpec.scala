@@ -32,6 +32,29 @@ class StatsPropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("bandedHammingPairs pigeonhole recall: exactly the ≤maxHamming pairs, no more, no fewer") {
+    import graft.pipeline.Dedup
+    val rnd = new scala.util.Random(42)
+    // 40 random 64-bit fingerprints, each with a partner 0-3 bit flips away
+    // (flips may cancel — brute force below is the truth either way)
+    val rows = (0 until 40).flatMap { i =>
+      val base = rnd.nextLong()
+      val flipped = (1 to rnd.nextInt(4))
+        .foldLeft(base)((b, _) => b ^ (1L << rnd.nextInt(64)))
+      Seq((i * 2L, base), (i * 2L + 1, flipped))
+    }
+    val found = Dedup.bandedHammingPairs(rows.toDF("doc_id", "fp"), 64, 4, 3)
+      .as[(Long, Long, Int)].collect()
+      .map(p => (p._1, p._2)).toSet
+    val truth = (for {
+      a <- rows; b <- rows
+      if a._1 < b._1 && java.lang.Long.bitCount(a._2 ^ b._2) <= 3
+    } yield (a._1, b._1)).toSet
+    assert(found == truth,
+      s"missed=${truth -- found} extra=${found -- truth}")
+    assert(truth.size >= 30, "fixture must exercise a real pair population")
+  }
+
   test("ksTest: identical→0, disjoint→1, hand case, scale invariance") {
     import graft.operators.Stats
     import org.apache.spark.sql.functions.{col, lit}
