@@ -2986,6 +2986,29 @@ object SparkEntry {
     // FK graph (pageRankInt's node-id scheme). Output is the per-distance
     // census — count + min/max/sum of node ids — which pins the exact
     // reached set at each hop without emitting O(V) rows.
+    // Three-node motif census of the co-purchase graph — the graphlet
+    // profile (nodes, edges, closed vs open wedges, global clustering in
+    // exact ppm) that fingerprints a graph's local structure. Everything
+    // derives from two memoized artifacts: degrees give Σ C(d,2) wedges,
+    // the triangle census gives closures; open wedges fall out by
+    // identity (wedges − 3·triangles), never a path enumeration.
+    "graph_motif_census" -> ((s, d) => {
+      val e = s.read.parquet(s"${graphEdgeSetup(s, d)}/copurchase")
+      val deg = e.select(explode(array(col("u"), col("v"))).as("n"))
+        .groupBy("n").agg(count(lit(1)).as("dg"))
+      val wedges = deg.agg(count(lit(1)).as("n_nodes"),
+        sum(expr("dg * (dg - 1) div 2")).as("n_wedges"))
+      val nTri = s.read.parquet(s"${triCountSetup(s, d)}/tri")
+        .agg((sum("n_tri") / 3).cast("long").as("n_triangles"))
+      val nEdge = e.agg(count(lit(1)).as("n_edges"))
+      wedges.crossJoin(broadcast(nTri)).crossJoin(broadcast(nEdge))
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+          col("n_triangles"),
+          (col("n_wedges") - col("n_triangles") * 3).as("n_open_wedges"),
+          expr("(n_triangles * 3 * 1000000) div n_wedges")
+            .as("clustering_ppm"))
+    }),
+
     // Deterministic independent-cascade influence spread: each directed
     // arc flips a DERANDOMIZED coin — active iff md5(a:b:ic)'s 52-bit
     // prefix < floor(0.3·2^52) — so the cascade is a pure function of the
@@ -7464,6 +7487,31 @@ object SparkEntry {
     // id-oriented enumeration (u < v < w via the two join predicates) counts
     // the same triangle set as Spark's degree-oriented enumeration —
     // orientation changes order of discovery, never membership
+    "graph_motif_census" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS (
+           SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+           FROM lp a JOIN lp b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         deg AS (
+           SELECT n, count(*) AS dg FROM (
+             SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+           GROUP BY n),
+         wd AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(dg * (dg - 1) // 2) AS BIGINT) AS n_wedges
+           FROM deg),
+         tri AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_triangles
+           FROM e e1
+           JOIN e e2 ON e2.u = e1.u AND e1.v < e2.v
+           JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+         ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+         SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           CAST(n_wedges - n_triangles * 3 AS BIGINT) AS n_open_wedges,
+           CAST(n_triangles * 3 * 1000000 // n_wedges AS BIGINT)
+             AS clustering_ppm
+         FROM wd, tri, ne""",
     "graph_triangles" ->
       """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          e AS (
