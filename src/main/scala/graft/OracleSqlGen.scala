@@ -2054,6 +2054,34 @@ object OracleSqlGen {
           min(ahash) AS min_hash
         FROM hash GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Mirrors dedup_cross_modal: the minhash transitive-closure labels and
+    * the closed-form perceptual hashes composed into one CTE list, then
+    * three Σ C(n,2) group-size aggregations — the same combinatorics the
+    * Spark side runs (pair counts without pair materialization).
+    */
+  def crossModalAgreement(n: Int, bands: Int, rowsPerBand: Int): String =
+    s"""${componentCtes(n, bands, rowsPerBand)},
+        ${phashCte.trim.stripPrefix("WITH")},
+        labels AS (SELECT a AS doc_id, min(b) AS rep_id FROM reach GROUP BY a),
+        cells AS (
+          SELECT d.doc_id, coalesce(l.rep_id, d.doc_id) AS rep, h.ahash
+          FROM documents d
+          LEFT JOIN labels l ON l.doc_id = d.doc_id
+          JOIN hash h ON h.doc_id = d.doc_id),
+        tp AS (SELECT sum(n*(n-1)//2) AS text_pairs
+               FROM (SELECT count(*) AS n FROM cells GROUP BY rep)),
+        ip AS (SELECT sum(n*(n-1)//2) AS image_pairs
+               FROM (SELECT count(*) AS n FROM cells GROUP BY ahash)),
+        bp AS (SELECT sum(n*(n-1)//2) AS both_pairs
+               FROM (SELECT count(*) AS n FROM cells GROUP BY rep, ahash))
+        SELECT CAST(text_pairs AS BIGINT) AS text_pairs,
+          CAST(image_pairs AS BIGINT) AS image_pairs,
+          CAST(both_pairs AS BIGINT) AS both_pairs,
+          CAST(both_pairs * 1000000
+            // (text_pairs + image_pairs - both_pairs) AS BIGINT)
+            AS agree_ppm
+        FROM tp, ip, bp"""
+
   /** Mirrors mm_phash_clusters: exact-hash duplicate groups. */
   def mmPhashClusters: String =
     s"""$phashCte

@@ -1957,6 +1957,34 @@ object SparkEntry {
         .orderBy(desc("n_docs"), asc("ahash"))
     }),
 
+    // Cross-MODALITY duplicate agreement: how often text near-dup clusters
+    // (minhash CC labels) and image fingerprint clusters (perceptual hash)
+    // agree — evidence fusion for multimodal dedup. All three pair counts
+    // are PURE GROUP-SIZE COMBINATORICS (Σ C(n,2) per text cluster, per
+    // hash, per (cluster, hash) cell): no pair set is ever materialized,
+    // so the audit costs three O(docs) aggregations at any corpus size.
+    "dedup_cross_modal" -> ((s, d) => {
+      val labels = s.read.parquet(s"${dedupCcSetup(s, d)}/labels")
+      val hashes = s.read.parquet(s"${phashIncSetup(s, d)}/hashes")
+      val cells = documents(s, d).select(col("doc_id"))
+        .join(broadcast(labels), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("rep_id"), col("doc_id")).as("rep"))
+        .join(hashes, Seq("doc_id"))
+        .localCheckpoint(true)
+      def pairSum(grouped: org.apache.spark.sql.RelationalGroupedDataset,
+          out: String) = grouped
+        .agg(count(lit(1)).as("n"))
+        .agg(sum(expr("n * (n - 1) div 2")).as(out))
+      pairSum(cells.groupBy("rep"), "text_pairs")
+        .crossJoin(broadcast(pairSum(cells.groupBy("ahash"), "image_pairs")))
+        .crossJoin(broadcast(
+          pairSum(cells.groupBy("rep", "ahash"), "both_pairs")))
+        .select(col("text_pairs"), col("image_pairs"), col("both_pairs"),
+          expr("(both_pairs * 1000000) div (text_pairs + image_pairs - both_pairs)")
+            .as("agree_ppm"))
+    }),
+
     // Frame-level perceptual dedup INSIDE videos — the scene-change /
     // redundant-frame primitive of a video pipeline: every sampled frame
     // is really decoded and reduced to its 8-byte average-hash, then one
@@ -6506,6 +6534,7 @@ object SparkEntry {
     "mm_phash_clusters" -> OracleSqlGen.mmPhashClusters,
     "mm_phash_inc_clusters" -> OracleSqlGen.mmPhashClusters,
     "mm_frame_dedup" -> OracleSqlGen.mmFrameDedup(2),
+    "dedup_cross_modal" -> OracleSqlGen.crossModalAgreement(3, 8, 2),
     "mm_phash_nn" -> OracleSqlGen.mmPhashNn,
     "mm_audio_decode" -> OracleSqlGen.mmAudioDecode,
     "mm_audio_frames" -> OracleSqlGen.mmAudioFrames(32),
