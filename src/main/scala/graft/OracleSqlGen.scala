@@ -1630,7 +1630,11 @@ object OracleSqlGen {
               CAST(1 AS BIGINT) AS w FROM orders
           UNION ALL
           SELECT l_orderkey AS src, 1000000000 + l_partkey AS dst,
-              CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT) AS w FROM lineitem),
+              -- floor before the BIGINT cast: DuckDB DECIMAL->BIGINT rounds
+              -- while Spark's decimal->long cast truncates; floor makes the
+              -- oracle truncation-identical even for non-integral quantities
+              CAST(floor(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT) AS w
+          FROM lineitem),
         n AS (SELECT DISTINCT node FROM
                 (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
         d AS (SELECT src AS node, sum(w) AS wsum FROM e GROUP BY src),
@@ -2077,8 +2081,9 @@ object OracleSqlGen {
         SELECT CAST(text_pairs AS BIGINT) AS text_pairs,
           CAST(image_pairs AS BIGINT) AS image_pairs,
           CAST(both_pairs AS BIGINT) AS both_pairs,
-          CAST(both_pairs * 1000000
-            // (text_pairs + image_pairs - both_pairs) AS BIGINT)
+          CAST(CASE WHEN text_pairs + image_pairs - both_pairs = 0 THEN NULL
+            ELSE both_pairs * 1000000
+              // (text_pairs + image_pairs - both_pairs) END AS BIGINT)
             AS agree_ppm
         FROM tp, ip, bp"""
 
@@ -2330,8 +2335,9 @@ object OracleSqlGen {
 
   /** Mirrors GraphAnalytics.randomWalks over the orders/lineitem graph:
     * DISTINCT symmetric adjacency with row_number neighbor indexes, then
-    * one CTE per step choosing index md5(walk:step:node:walk-salt) mod
-    * degree — the identical 52-bit hash coordinate Spark computes.
+    * one CTE per step choosing index md5(walk:prevStep:node:walk-salt) mod
+    * degree, where prevStep = t−1 is the frontier row's step column — the
+    * identical hash coordinate Spark computes.
     */
   def randomWalks(seeds: Seq[Long], walksPerSeed: Int, steps: Int): String = {
     val seedRows = seeds

@@ -105,7 +105,7 @@ object SparkEntry {
         .write.mode("overwrite").parquet(s"$dir/orders")
       val base = graft.pipeline.Layout.bloomManifest(s, s"$dir/orders",
         "o_orderkey", expectedItems = 200000L, numBits = 1L << 21)
-        .localCheckpoint(false) // settle BEFORE the append (live plans re-list)
+        .localCheckpoint(true) // eager: settle BEFORE the append (live plans re-list)
       val before = new java.io.File(s"$dir/orders").listFiles()
         .filter(f => f.isFile && f.getName.endsWith(".parquet"))
         .map(_.getName).toSet
@@ -550,7 +550,13 @@ object SparkEntry {
     "r12_decay_score" -> ((s, d) => {
       orders(s, d)
         .select(col("o_custkey"),
-          (lit(2001) - year(col("o_orderdate"))).cast("int").as("age"))
+          // Clamp to [0, 63]: Spark shiftright wraps the shift mod 64
+          // (Java semantics) while integer division by (1 << age) does
+          // not — out-of-domain ages would silently diverge from the
+          // oracle. Fixture years are 1995-2001 (age 0-6) but the clamp
+          // makes the query domain-safe, not data-dependent.
+          greatest(lit(0), least(lit(63),
+            (lit(2001) - year(col("o_orderdate"))).cast("int"))).as("age"))
         .select(col("o_custkey"),
           expr("shiftright(1048576L, age)").as("w"))
         .groupBy("o_custkey")
@@ -1236,14 +1242,18 @@ object SparkEntry {
     }),
 
     // S1+S2 sanitize/truncate pipeline over deliberately dirtied input —
-    // exercises control-char strip, newline collapse, and regex trim in-plan.
+    // exercises control-char strip, newline collapse, and regex trim
+    // in-plan. The dirt includes Unicode whitespace the JS reference's
+    // .trim() strips but Java's ASCII \s does not — NBSP U+00A0 at the
+    // head, ideographic space U+3000 at the tail — so the oracle
+    // comparison pins JS-trim parity, not just ASCII trim.
     "s1_sanitize" -> ((s, d) =>
       documents(s, d)
         .select(col("doc_id"),
           graft.functions.TextFns.truncate(
             graft.functions.TextFns.sanitizeInput(
-              concat(lit("  "), col("text"), lit("\u0007"),
-                lit("\n\n\n\n"), lit("tail"))), 120).as("sanitized"))
+              concat(lit("\u00A0  "), col("text"), lit("\u0007"),
+                lit("\n\n\n\n"), lit("tail\u3000"))), 120).as("sanitized"))
         .orderBy("doc_id")),
 
     // ── dedup suite (documents / part) ────────────────────────────────────
@@ -1981,7 +1991,12 @@ object SparkEntry {
         .crossJoin(broadcast(
           pairSum(cells.groupBy("rep", "ahash"), "both_pairs")))
         .select(col("text_pairs"), col("image_pairs"), col("both_pairs"),
-          expr("(both_pairs * 1000000) div (text_pairs + image_pairs - both_pairs)")
+          // NULL when no modality found any duplicate pair (Jaccard of two
+          // empty sets is undefined) — guard mirrored in the oracle SQL
+          expr("""CASE WHEN text_pairs + image_pairs - both_pairs = 0
+                  THEN NULL
+                  ELSE (both_pairs * 1000000)
+                       div (text_pairs + image_pairs - both_pairs) END""")
             .as("agree_ppm"))
     }),
 
@@ -3033,7 +3048,10 @@ object SparkEntry {
         .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
           col("n_triangles"),
           (col("n_wedges") - col("n_triangles") * 3).as("n_open_wedges"),
-          expr("(n_triangles * 3 * 1000000) div n_wedges")
+          // NULL on a wedge-free graph (clustering undefined) — guard
+          // mirrored in the oracle SQL
+          expr("""CASE WHEN n_wedges = 0 THEN NULL
+                  ELSE (n_triangles * 3 * 1000000) div n_wedges END""")
             .as("clustering_ppm"))
     }),
 
@@ -6106,7 +6124,7 @@ object SparkEntry {
          ORDER BY from_entity, to_entity""",
     "r12_decay_score" ->
       """SELECT o_custkey,
-           CAST(sum(1048576 // (1 << (2001 - year(o_orderdate)))) AS BIGINT)
+           CAST(sum(1048576 // (1 << greatest(0, least(63, 2001 - year(o_orderdate))))) AS BIGINT)
              AS decayed_fp,
            CAST(count(*) AS BIGINT) AS n_orders
          FROM orders GROUP BY o_custkey
@@ -6328,9 +6346,9 @@ object SparkEntry {
     "s1_sanitize" ->
       """SELECT doc_id,
              substr(regexp_replace(regexp_replace(regexp_replace(
-               '  ' || text || chr(7) || chr(10) || chr(10) || chr(10) || chr(10) || 'tail',
+               chr(160) || '  ' || text || chr(7) || chr(10) || chr(10) || chr(10) || chr(10) || 'tail' || chr(12288),
                '[^\P{C}\n\t]', '', 'g'), '\n{3,}', chr(10) || chr(10), 'g'),
-               '^\s+|\s+$', '', 'g'), 1, 120) AS sanitized
+               '^[\s\p{Z}\x{FEFF}]+|[\s\p{Z}\x{FEFF}]+$', '', 'g'), 1, 120) AS sanitized
          FROM documents ORDER BY doc_id""",
     "dedup_exact" ->
       """SELECT p_name AS dup_key, CAST(count(*) AS BIGINT) AS n_dups,
@@ -7538,7 +7556,8 @@ object SparkEntry {
          ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
          SELECT n_nodes, n_edges, n_wedges, n_triangles,
            CAST(n_wedges - n_triangles * 3 AS BIGINT) AS n_open_wedges,
-           CAST(n_triangles * 3 * 1000000 // n_wedges AS BIGINT)
+           CAST(CASE WHEN n_wedges = 0 THEN NULL
+             ELSE n_triangles * 3 * 1000000 // n_wedges END AS BIGINT)
              AS clustering_ppm
          FROM wd, tri, ne""",
     "graph_triangles" ->
@@ -8043,7 +8062,9 @@ object SparkEntry {
            FROM r CROSS JOIN t)
          SELECT CAST(t1 AS BIGINT) AS n_pos, CAST(t2 AS BIGINT) AS n_neg,
              CAST(u1x2 AS BIGINT) AS u1_x2,
-             CAST(u1x2 AS DOUBLE) / CAST(t1 * t2 * 2 AS DOUBLE) AS auc
+             CASE WHEN t1 * t2 = 0 THEN NULL
+                  ELSE CAST(u1x2 AS DOUBLE) / CAST(t1 * t2 * 2 AS DOUBLE)
+             END AS auc
          FROM u""",
     "q_spearman" ->
       """WITH b AS (

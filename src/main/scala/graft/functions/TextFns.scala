@@ -40,14 +40,25 @@ object TextFns {
     * Java regex supports `\P{C}` (Unicode "other" category) like the JS `\p{C}`
     * with the /u flag the reference uses.
     */
+  /** Trim class matching ECMAScript's `String.prototype.trim` (the
+    * reference's client.ts:30): WhiteSpace (\t \v \f space + category Zs +
+    * ZWNBSP/BOM U+FEFF) ∪ LineTerminator (\n \r U+2028 U+2029). Java's bare
+    * `\s` is ASCII-only and would leave NBSP/ideographic-space/BOM at the
+    * ends. `\s ∪ \p{Z} ∪ U+FEFF` is exactly the JS set: `\p{Z}` supplies
+    * Zs plus U+2028/U+2029 (Zl/Zp). U+0085 (NEL, category Cc) is not JS
+    * whitespace and is removed everywhere by the control-strip pass anyway.
+    */
+  private val JsTrimClass = "[\\s\\p{Z}\\x{FEFF}]"
+
   def sanitizeInput(c: Column): Column =
     regexp_replace(
       regexp_replace(
         regexp_replace(c, "[^\\P{C}\\n\\t]", ""),
         "\\n{3,}",
         "\n\n"),
-      "^\\s+|\\s+$", "") // regex trim: Spark's trim() strips only spaces, but
-                         // the reference's JS .trim() strips all whitespace
+      s"^$JsTrimClass+|$JsTrimClass+$$", "") // regex trim: Spark's trim()
+                         // strips only spaces, but the reference's JS
+                         // .trim() strips Unicode whitespace (incl. NBSP)
 
   /** S2 truncation (client.ts:75-78,93-96,128-131). Counts codepoints
     * (Spark `substring`) where the JS reference counts UTF-16 units — pinned
@@ -69,7 +80,7 @@ object TextFns {
     */
   def sanitizeInputScala(s: String): String =
     s.replaceAll("[^\\P{C}\\n\\t]", "").replaceAll("\\n{3,}", "\n\n")
-      .replaceAll("^\\s+|\\s+$", "")
+      .replaceAll(s"^$JsTrimClass+|$JsTrimClass+$$", "")
 
   /** S7 LIKE-pattern compile (client.ts:217): runs of whitespace/_/- become
     * multi-char wildcards; wrap in %...% for infix match.
@@ -82,7 +93,11 @@ object TextFns {
     * SQLite's ASCII-only NOCASE — pinned divergence, SURVEY §2.3 S4).
     */
   def ciLike(c: Column, pattern: String): Column =
-    lower(c).like(pattern.toLowerCase)
+    // Locale.ROOT: the driver-side lowercase must match Spark's
+    // locale-independent lower() — under e.g. a Turkish default locale
+    // "I".toLowerCase is "ı" (dotless) and the pattern silently stops
+    // matching the column side.
+    lower(c).like(pattern.toLowerCase(java.util.Locale.ROOT))
 
   /** S5 CASE relevance scoring (client.ts:225-229): name hit → 3,
     * type hit → 2, observation-only hit → 1.

@@ -888,9 +888,11 @@ object GraphAnalytics {
 
   /** DETERMINISTIC unbiased random walks over the undirected graph — the
     * corpus generator under DeepWalk/node2vec-style graph embeddings
-    * (Perozzi et al., KDD 2014), made engine-reproducible: at step t of
-    * walk w standing on node n, the chosen neighbor index is
-    * md5(w:t:n:walk) mod deg(n) over the SORTED distinct-neighbor list —
+    * (Perozzi et al., KDD 2014), made engine-reproducible: when walk w
+    * stands on node n after t−1 steps, the step-t neighbor index is
+    * md5(w:t−1:n:walk) mod deg(n) — the hash coordinate is the frontier
+    * row's step column, i.e. the PREVIOUS step index — over the SORTED
+    * distinct-neighbor list —
     * a pure function of (walk, step, node), so any engine regenerates the
     * identical corpus (the md5-coordinate discipline of Splits applied to
     * graph sampling; true RNG walks are not hash-verifiable).
@@ -934,9 +936,10 @@ object GraphAnalytics {
   /** Walk over a prebuilt [[adjacencyIndex]]: each step is ONE scan of the
     * index with the O(walks) frontier broadcast into it — the degree rides
     * on the index row, so the chosen-neighbor condition
-    * idx = md5(walk:step:node) mod deg evaluates as a join residual and no
-    * separate degree join exists. Walks at absent/dead-end nodes terminate
-    * (no index row matches).
+    * idx = md5(walk:prevStep:node) mod deg (prevStep = the frontier row's
+    * step column, i.e. t−1 when producing step t) evaluates as a join
+    * residual and no separate degree join exists. Walks at absent/dead-end
+    * nodes terminate (no index row matches).
     */
   def randomWalksOver(
       index: DataFrame,

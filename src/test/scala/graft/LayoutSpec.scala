@@ -220,7 +220,7 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
     val dir = java.nio.file.Files.createTempDirectory("graft-bloominc-").toString + "/t"
     spark.range(0, 4000).toDF("k").repartition(4, $"k").write.parquet(dir)
     val base = Layout.bloomManifest(spark, dir, "k",
-      expectedItems = 10000L, numBits = 1L << 17).localCheckpoint(false)
+      expectedItems = 10000L, numBits = 1L << 17).localCheckpoint(true)
     val before = new java.io.File(dir).listFiles()
       .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.getName).toSet
     spark.range(4000, 5000).toDF("k").coalesce(1)

@@ -39,6 +39,19 @@ class TextFnsSpec extends AnyFunSuite with SparkTestBase {
   test("sanitize: trims surrounding whitespace") {
     assert(sanitize1("  hello  ") == "hello")
   }
+  // JS .trim() parity beyond sanitize.test.ts's ASCII cases: ECMAScript
+  // WhiteSpace includes NBSP, Zs spaces, ZWNBSP/BOM, and the U+2028/2029
+  // line separators — Java's bare \s strips none of these.
+  test("sanitize: trims Unicode whitespace like JS .trim() (NBSP/BOM/Zs)") {
+    assert(sanitize1(" hello ") == "hello")       // NBSP
+    assert(sanitize1("﻿hello﻿") == "hello")       // BOM / ZWNBSP
+    assert(sanitize1("　hello　") == "hello")       // ideographic space
+    assert(sanitize1("  hello ") == "hello") // en/em/thin space
+    assert(sanitize1(" hello ") == "hello")       // LS / PS
+    assert(sanitize1("  \t hello 　") == "hello")  // mixed run
+    // interior Unicode whitespace is NOT stripped (trim is ends-only)
+    assert(sanitize1("a b") == "a b")
+  }
   test("sanitize: empty string stays empty") {
     assert(sanitize1("") == "")
   }
@@ -51,7 +64,8 @@ class TextFnsSpec extends AnyFunSuite with SparkTestBase {
 
   test("scala twin agrees with the column pipeline") {
     val cases = Seq("hello world", "a\u0000b", "x\n\n\n\ny", "  pad  ",
-      "", "mixed\t \n\n\n\nz\u0007  ")
+      "", "mixed\t \n\n\n\nz\u0007  ",
+      "\u00A0nbsp\u00A0", "\uFEFFbom\uFEFF", "\u3000wide\u3000")
     assert(cases.map(TextFns.sanitizeInputScala) == sanitizeViaSpark(cases))
   }
 
@@ -71,6 +85,21 @@ class TextFnsSpec extends AnyFunSuite with SparkTestBase {
     assert(TextFns.likePattern("a_b-c") == "%a%b%c%")
     assert(TextFns.likePattern("a  \t b") == "%a%b%")
     assert(TextFns.likePattern("plain") == "%plain%")
+  }
+
+  test("ciLike is locale-independent (Turkish-I regression)") {
+    // Under a tr-TR default locale, "I".toLowerCase is dotless "ı" —
+    // if ciLike used the default locale, '%INDIA%' would stop matching
+    // what Spark's locale-independent lower() produces. Force the locale
+    // for the duration of the plan build (the lowercase happens eagerly
+    // at Column-construction time).
+    val saved = java.util.Locale.getDefault
+    java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+    try {
+      val hit = Seq("Entity from india").toDF("s")
+        .select(TextFns.ciLike(col("s"), "%INDIA%")).as[Boolean].head()
+      assert(hit, "ciLike must lowercase the pattern with Locale.ROOT")
+    } finally java.util.Locale.setDefault(saved)
   }
 
   test("clampLimit: default 10, cap 50 (client.ts:214,244)") {
