@@ -516,8 +516,15 @@ class GraphStore(spark: SparkSession, root: String) {
 }
 
 object GraphStore {
-  /** Per-store-root JVM mutex backing withWriteLock (file locks are
-    * per-JVM, so in-process writers must queue on this first).
+  /** Per-store-root JVM mutex backing withWriteLock. This map is NOT the
+    * cross-process exclusion — that is the `FileChannel.lock` on
+    * `root/_LOCK` taken by the outermost withWriteLock frame, which makes
+    * a second *process* writing the same store root block until the first
+    * commit's manifest flip lands (GraphStoreSpec pins this with a real
+    * subprocess). The JVM mutex only queues in-process writers ahead of
+    * the file lock, because JVM file locks are held per-process and a
+    * second in-process acquisition would throw
+    * OverlappingFileLockException instead of waiting.
     */
   private val jvmLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private[store] def jvmLock(root: String): Object =

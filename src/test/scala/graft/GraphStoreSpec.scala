@@ -271,6 +271,40 @@ class GraphStoreSpec extends AnyFunSuite with SparkTestBase {
     assert(e.name.codePointCount(0, e.name.length) == 256)
   }
 
+  test("cross-process writer blocks on the file lock instead of losing its commit") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = Files.createTempDirectory("graft-store-").toString
+    val st = new GraphStore(spark, dir)
+    st.initialize()
+    // second PROCESS takes the same fcntl lock the store's withWriteLock
+    // takes (root/_LOCK) — in-JVM channels can't simulate this (they throw
+    // OverlappingFileLockException rather than blocking)
+    val javaBin = java.nio.file.Paths.get(
+      System.getProperty("java.home"), "bin", "java").toString
+    val pb = new ProcessBuilder(javaBin, "-cp",
+      System.getProperty("java.class.path"), "graft.LockHolderMain", dir)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(proc.getInputStream))
+    try {
+      val line = reader.readLine()
+      assert(line == "LOCKED", s"lock-holder failed to start: $line")
+      val write = Future(st.createEntities(Seq(Entity("Held", "t", Seq("x")))))
+      Thread.sleep(2000)
+      // while the foreign process holds the lock, the commit must NOT have
+      // gone through (the round-5 failure mode was the opposite: a silent
+      // last-flip-wins manifest race)
+      assert(!write.isCompleted,
+        "writer must block while another process holds the store lock")
+      proc.destroyForcibly().waitFor() // process death releases the fcntl lock
+      Await.result(write, 120.seconds) // blocked writer proceeds, commit lands
+      assert(st.getEntity("Held").observations == Seq("x"))
+    } finally { proc.destroyForcibly(); reader.close() }
+  }
+
   test("commit is versioned: concurrent reader sees old or new, never partial") {
     val st = freshStore()
     seed(st)
