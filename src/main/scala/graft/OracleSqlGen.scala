@@ -2543,4 +2543,173 @@ object OracleSqlGen {
         SELECT node, CAST(dist AS BIGINT) AS dist FROM d$rounds
         ORDER BY dist, node LIMIT $topK"""
   }
+
+  // ── fixpoint-asserting twins of the iterative graph operators ───────────
+  //
+  // Each mirrors a GraphAnalytics.*Converged run: the CTE chain unrolls the
+  // engine's hard CAP, the per-round change statistics reproduce the
+  // engine's early-exit test in SQL (survivor-count equality for the
+  // monotone peels, changed-rows count for labels/distances), and the
+  // summary reads the CAP-round frame — sound because a reached fixpoint is
+  // absorbing (round r = round r−1 implies every later round is identical),
+  // so frame(cap) = frame(rounds_used) whether or not the engine stopped
+  // early. rounds_used counts the CONFIRMING round, exactly like the
+  // engine's loop counter.
+
+  /** Mirrors graph_kcore_fixpoint: [[kCore]]'s peel unrolled to `cap` with
+    * the count-equality convergence test and the final degree-attach
+    * summary. Each s$i is MATERIALIZED — it is referenced three times
+    * (both endpoint joins of the next round + the counts row).
+    */
+  def kCoreFixpoint(k: Int, cap: Int): String = {
+    val roundCtes = (1 to cap).map { i =>
+      s"""s$i AS MATERIALIZED (
+           SELECT adj.a AS node FROM adj
+           JOIN s${i - 1} x ON adj.a = x.node
+           JOIN s${i - 1} y ON adj.b = y.node
+           GROUP BY adj.a HAVING count(*) >= $k)"""
+    }.mkString(",\n        ")
+    val countRows = (0 to cap).map(i => s"SELECT $i AS r, count(*) AS n FROM s$i")
+      .mkString("\n          UNION ALL ")
+    s"""WITH e AS (
+          SELECT DISTINCT l_orderkey AS u, 1000000000 + l_partkey AS v FROM lineitem),
+        adj AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v AS a, u AS b FROM e),
+        s0 AS MATERIALIZED (SELECT DISTINCT a AS node FROM adj),
+        $roundCtes,
+        counts AS ($countRows),
+        conv AS (
+          SELECT min(c1.r) AS conv_r FROM counts c1
+          JOIN counts c0 ON c0.r = c1.r - 1 AND c0.n = c1.n),
+        core AS (
+          SELECT adj.a AS node, count(*) AS core_deg FROM adj
+          JOIN s$cap x ON adj.a = x.node
+          JOIN s$cap y ON adj.b = y.node
+          GROUP BY adj.a HAVING count(*) >= $k)
+        SELECT CAST(coalesce(conv_r, $cap) AS INT) AS rounds_used,
+          conv_r IS NOT NULL AS converged,
+          (SELECT CAST(count(*) AS BIGINT) FROM core) AS n_core,
+          (SELECT CAST(coalesce(sum(core_deg), 0) AS BIGINT) FROM core) AS sum_core_deg,
+          (SELECT CAST(coalesce(sum(node), 0) AS BIGINT) FROM core) AS sum_node
+        FROM conv"""
+  }
+
+  /** Mirrors graph_ktruss_fixpoint: [[trussEdges]]'s cascading support peel
+    * over the co-purchase graph RESTRICTED to parts ≡ 0 (mod `mod`) —
+    * sparser, so the cascade runs deep (12 rounds at sf0.01 vs 3 on the
+    * full graph) while each round stays cheap. Unrolled to `cap` with the
+    * edge-count convergence test.
+    */
+  def trussFixpoint(k: Int, cap: Int, mod: Int): String = {
+    val bar = k - 2
+    val roundCtes = (1 to cap).map { i =>
+      s"""t$i AS MATERIALIZED (
+           SELECT e1.u AS a, e1.v AS b, e2.v AS c
+           FROM e${i - 1} e1
+           JOIN e${i - 1} e2 ON e2.u = e1.u AND e1.v < e2.v
+           JOIN e${i - 1} e3 ON e3.u = e1.v AND e3.v = e2.v),
+        s$i AS MATERIALIZED (
+           SELECT u, v, count(*) AS support FROM (
+             SELECT a AS u, b AS v FROM t$i
+             UNION ALL SELECT a, c FROM t$i
+             UNION ALL SELECT b, c FROM t$i)
+           GROUP BY u, v HAVING count(*) >= $bar),
+        e$i AS MATERIALIZED (SELECT u, v FROM s$i)"""
+    }.mkString(",\n        ")
+    val countRows = (0 to cap).map(i => s"SELECT $i AS r, count(*) AS n FROM e$i")
+      .mkString("\n          UNION ALL ")
+    s"""WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+          WHERE l_partkey % $mod = 0),
+        e0 AS MATERIALIZED (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM lp a JOIN lp b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        $roundCtes,
+        counts AS ($countRows),
+        conv AS (
+          SELECT min(c1.r) AS conv_r FROM counts c1
+          JOIN counts c0 ON c0.r = c1.r - 1 AND c0.n = c1.n)
+        SELECT CAST(coalesce(conv_r, $cap) AS INT) AS rounds_used,
+          conv_r IS NOT NULL AS converged,
+          (SELECT CAST(count(*) AS BIGINT) FROM s$cap) AS n_edges,
+          (SELECT CAST(coalesce(sum(support), 0) AS BIGINT) FROM s$cap) AS sum_support,
+          (SELECT CAST(coalesce(sum(u), 0) + coalesce(sum(v), 0) AS BIGINT) FROM s$cap)
+            AS sum_ends
+        FROM conv"""
+  }
+
+  /** Mirrors graph_lpa_fixpoint: deterministic synchronous LPA over the
+    * same restricted co-purchase graph as [[trussFixpoint]], unrolled to
+    * `cap` with the changed-labels convergence test (labels are not
+    * monotone, so count equality would not do).
+    */
+  def lpaFixpoint(cap: Int, mod: Int): String = {
+    val roundCtes = (1 to cap).map { i =>
+      s"""c$i AS (SELECT adj.a, l.lbl, count(*) AS cnt
+           FROM adj JOIN l${i - 1} l ON adj.b = l.node GROUP BY 1, 2),
+        l$i AS MATERIALIZED (SELECT a AS node, lbl FROM (
+           SELECT a, lbl, row_number() OVER (
+             PARTITION BY a ORDER BY cnt DESC, lbl ASC) AS rn
+           FROM c$i) WHERE rn = 1)"""
+    }.mkString(",\n        ")
+    val chRows = (1 to cap).map { i =>
+      s"""SELECT $i AS r, count(*) AS ch FROM l$i a
+           JOIN l${i - 1} b ON a.node = b.node AND a.lbl <> b.lbl"""
+    }.mkString("\n          UNION ALL ")
+    s"""WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+          WHERE l_partkey % $mod = 0),
+        e AS MATERIALIZED (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM lp a JOIN lp b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        adj AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v AS a, u AS b FROM e),
+        l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lbl FROM adj),
+        $roundCtes,
+        changes AS ($chRows),
+        conv AS (SELECT min(r) AS conv_r FROM changes WHERE ch = 0)
+        SELECT CAST(coalesce(conv_r, $cap) AS INT) AS rounds_used,
+          conv_r IS NOT NULL AS converged,
+          (SELECT CAST(count(*) AS BIGINT) FROM l$cap) AS n_nodes,
+          (SELECT CAST(count(DISTINCT lbl) AS BIGINT) FROM l$cap) AS n_communities,
+          (SELECT CAST(coalesce(sum(lbl), 0) AS BIGINT) FROM l$cap) AS sum_lbl
+        FROM conv"""
+  }
+
+  /** Mirrors graph_bfs_fixpoint: unit-weight min-plus relaxation over the
+    * FK graph unrolled to `cap`, with the Bellman-Ford termination test
+    * (no distance improved AND no node reached — a round can improve
+    * distances without growing the frame, so the change test joins on
+    * (node, dist), not counts).
+    */
+  def bfsFixpoint(src: Long, cap: Int): String = {
+    val roundCtes = (1 to cap).map { i =>
+      s"""d$i AS MATERIALIZED (
+           SELECT node, min(dist) AS dist FROM (
+             SELECT node, dist FROM d${i - 1}
+             UNION ALL
+             SELECT adj.b AS node, d.dist + 1 AS dist
+             FROM adj JOIN d${i - 1} d ON adj.a = d.node)
+           GROUP BY node)"""
+    }.mkString(",\n        ")
+    val chRows = (1 to cap).map { i =>
+      s"""SELECT $i AS r, count(*) AS ch FROM d$i a
+           LEFT JOIN d${i - 1} b ON a.node = b.node
+           WHERE b.node IS NULL OR a.dist <> b.dist"""
+    }.mkString("\n          UNION ALL ")
+    s"""WITH e AS (
+          SELECT 2000000000 + o_custkey AS u, o_orderkey AS v FROM orders
+          UNION ALL
+          SELECT l_orderkey AS u, 1000000000 + l_partkey AS v FROM lineitem),
+        adj AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v AS a, u AS b FROM e),
+        d0 AS (SELECT CAST($src AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist),
+        $roundCtes,
+        changes AS ($chRows),
+        conv AS (SELECT min(r) AS conv_r FROM changes WHERE ch = 0)
+        SELECT CAST(coalesce(conv_r, $cap) AS INT) AS rounds_used,
+          conv_r IS NOT NULL AS converged,
+          (SELECT CAST(count(*) AS BIGINT) FROM d$cap) AS n_reached,
+          (SELECT CAST(max(dist) AS INT) FROM d$cap) AS max_dist,
+          (SELECT CAST(coalesce(sum(dist), 0) AS BIGINT) FROM d$cap) AS sum_dist,
+          (SELECT CAST(coalesce(sum(node), 0) AS BIGINT) FROM d$cap) AS sum_node
+        FROM conv"""
+  }
 }

@@ -4153,6 +4153,99 @@ object SparkEntry {
           copurchaseEdges(s, d), k = 4, rounds = 3)
         .orderBy(desc("support"), asc("u"), asc("v")).limit(100)),
 
+    // ── fixpoint-asserting twins of the fixed-round iterative family ─────
+    // The fixed-round queries above are oracle-replayable at ANY round
+    // count, which leaves an at-scale semantic gap: a tuned R can stop
+    // short of the fixpoint (measured: graph_ktruss's full-graph peel
+    // converges in 3 rounds at sf0.01 but needs 8 at sf0.1). These four run
+    // the run-to-fixpoint variants (cheap per-round early-exit under a hard
+    // cap that matches the oracle's unroll) and EMIT rounds_used +
+    // converged, so "did we actually reach the k-truss / k-core / stable
+    // labels / exhausted frontier" is machine-checked per run: the oracle
+    // replays the capped unroll and recomputes the convergence statistics
+    // in SQL (count-equality for the monotone peels, changed-rows for
+    // labels/distances). A reached fixpoint is absorbing, so the cap-round
+    // frame the oracle summarizes equals the engine's early-exit frame.
+
+    // k-core to fixpoint (k=5, cap 10): converges in 2 rounds at sf0.01,
+    // 4 at sf0.1 — the emitted rounds_used IS that measurement.
+    "graph_kcore_fixpoint" -> ((s, d) => {
+      val e = lineitem(s, d)
+        .select(col("l_orderkey").as("u"),
+          (lit(1000000000L) + col("l_partkey")).as("v"))
+        .distinct()
+      val fp = graft.operators.GraphAnalytics.kCoreConverged(e, k = 5, maxRounds = 10)
+      fp.result.agg(
+          count(lit(1)).as("n_core"),
+          coalesce(sum("core_deg"), lit(0L)).as("sum_core_deg"),
+          coalesce(sum(col("node").cast(DecimalType(28, 0))).cast("long"),
+            lit(0L)).as("sum_node"))
+        .select(lit(fp.roundsUsed).as("rounds_used"),
+          lit(fp.converged).as("converged"),
+          col("n_core"), col("sum_core_deg"), col("sum_node"))
+    }),
+
+    // 4-truss to fixpoint over the mod-3-restricted co-purchase graph: the
+    // sparser graph cascades DEEP (12 peel rounds at sf0.01 vs 3 on the
+    // full graph — the guard extends rounds far beyond any tuned constant)
+    // while each round's wedge enumeration stays ~1/9 the size.
+    "graph_ktruss_fixpoint" -> ((s, d) => {
+      val e = copurchaseEdges(s, d)
+        .filter(col("u") % 3 === 0 && col("v") % 3 === 0)
+      val fp = graft.operators.GraphAnalytics.trussEdgesConverged(e, k = 4, maxRounds = 14)
+      fp.result.agg(
+          count(lit(1)).as("n_edges"),
+          coalesce(sum("support"), lit(0L)).as("sum_support"),
+          (coalesce(sum(col("u").cast(DecimalType(28, 0))).cast("long"), lit(0L)) +
+            coalesce(sum(col("v").cast(DecimalType(28, 0))).cast("long"), lit(0L)))
+            .as("sum_ends"))
+        .select(lit(fp.roundsUsed).as("rounds_used"),
+          lit(fp.converged).as("converged"),
+          col("n_edges"), col("sum_support"), col("sum_ends"))
+    }),
+
+    // LPA to stable labels on the same restricted co-purchase graph
+    // (5 rounds at sf0.01, 8 at sf0.1). On bipartite graphs synchronous
+    // LPA 2-cycles forever — the cap turns that into converged=false
+    // instead of a hang, which is why this runs on the unipartite graph.
+    "graph_lpa_fixpoint" -> ((s, d) => {
+      val e = copurchaseEdges(s, d)
+        .filter(col("u") % 3 === 0 && col("v") % 3 === 0)
+      val fp = graft.operators.GraphAnalytics.lpaConverged(e, maxRounds = 12)
+      fp.result.agg(
+          count(lit(1)).as("n_nodes"),
+          countDistinct("lbl").as("n_communities"),
+          coalesce(sum(col("lbl").cast(DecimalType(28, 0))).cast("long"),
+            lit(0L)).as("sum_lbl"))
+        .select(lit(fp.roundsUsed).as("rounds_used"),
+          lit(fp.converged).as("converged"),
+          col("n_nodes"), col("n_communities"), col("sum_lbl"))
+    }),
+
+    // BFS to frontier exhaustion from customer#1 (8 rounds at sf0.01, 10
+    // at sf0.1): rounds_used − 1 is the source's eccentricity on its
+    // component, and converged=true asserts the reached census below is
+    // the WHOLE component, not a radius-R ball.
+    "graph_bfs_fixpoint" -> ((s, d) => {
+      val o = orders(s, d).select(
+        (lit(2000000000L) + col("o_custkey")).as("u"),
+        col("o_orderkey").as("v"))
+      val li = lineitem(s, d).select(
+        col("l_orderkey").as("u"),
+        (lit(1000000000L) + col("l_partkey")).as("v"))
+      val fp = graft.operators.GraphAnalytics.bfsConverged(
+        o.union(li), src = 2000000001L, maxRounds = 14)
+      fp.result.agg(
+          count(lit(1)).as("n_reached"),
+          max("dist").as("max_dist"),
+          coalesce(sum(col("dist").cast("long")), lit(0L)).as("sum_dist"),
+          coalesce(sum(col("node").cast(DecimalType(28, 0))).cast("long"),
+            lit(0L)).as("sum_node"))
+        .select(lit(fp.roundsUsed).as("rounds_used"),
+          lit(fp.converged).as("converged"),
+          col("n_reached"), col("max_dist"), col("sum_dist"), col("sum_node"))
+    }),
+
     // Deterministic count-min sketch, FULL oracle — unlike the HLL/KLL
     // rows-only entries, the md5-derived row hashes make the whole sketch a
     // pure function of the corpus, so DuckDB rebuilds it cell-for-cell and
@@ -7612,6 +7705,10 @@ object SparkEntry {
          FROM ed GROUP BY u, v HAVING count(*) >= 2
          ORDER BY support DESC, u, v LIMIT 100""",
     "graph_ktruss" -> OracleSqlGen.trussEdges(4, 3, 100),
+    "graph_kcore_fixpoint" -> OracleSqlGen.kCoreFixpoint(k = 5, cap = 10),
+    "graph_ktruss_fixpoint" -> OracleSqlGen.trussFixpoint(k = 4, cap = 14, mod = 3),
+    "graph_lpa_fixpoint" -> OracleSqlGen.lpaFixpoint(cap = 12, mod = 3),
+    "graph_bfs_fixpoint" -> OracleSqlGen.bfsFixpoint(src = 2000000001L, cap = 14),
     "events_status_spans" ->
       """WITH x AS (
            SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,

@@ -675,6 +675,192 @@ object GraphAnalytics {
     dist
   }
 
+  // ── convergence-guarded variants of the fixed-round family ─────────────
+  //
+  // The fixed-round operators above are the ORACLE-REPLAYABLE form: the
+  // DuckDB twin unrolls the identical R rounds as chained CTEs, so results
+  // hash-match whether or not R reached the fixpoint. At 100× the data the
+  // tuned R may stop short — the query silently becomes "R rounds of peel,"
+  // not "the k-truss." These variants close that gap: they run the same
+  // per-round step with a CHEAP early-exit (survivor-count equality for the
+  // monotone peels — nested sets make count equality ⇔ set equality — and a
+  // changed-rows count for the non-monotone label/distance maps) under a
+  // hard `maxRounds` cap, and report how many rounds they used and whether
+  // the fixpoint was actually reached. The early-exit check is O(1) (a
+  // count over an eagerly-checkpointed O(V) frame) or one O(V) join per
+  // round — negligible against the round's own shuffle. The declared
+  // `graph_*_fixpoint` queries pin this machinery against oracles that
+  // replay the capped unroll and compute rounds_used/converged in SQL.
+
+  /** Result of a run-to-fixpoint iteration: the final frame, the number of
+    * rounds executed (the confirming round — the first whose output equals
+    * its input — counts), and whether the fixpoint was reached within the
+    * cap. `converged = false` means `result` is the capped approximation
+    * and the caller must widen `maxRounds` (or accept R-rounds semantics).
+    */
+  final case class Fixpoint(result: DataFrame, roundsUsed: Int, converged: Boolean)
+
+  /** Run-to-fixpoint [[kCore]]: identical per-round peel, stops at the
+    * first round that drops no node. Survivor sets are nested, so the
+    * count-equality exit is exact, costing one metadata-count per round.
+    */
+  def kCoreConverged(edges: DataFrame, k: Int, maxRounds: Int): Fixpoint = {
+    require(k >= 1 && maxRounds >= 1 && maxRounds <= 200)
+    val e = edges.select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
+    val adj = e.select(col("u").as("a"), col("v").as("b"))
+      .union(e.select(col("v").as("a"), col("u").as("b")))
+      .repartition(col("a"))
+      .cache()
+    var surv = adj.select(col("a").as("node")).distinct().localCheckpoint(true)
+    var prevN = surv.count()
+    val vRows = prevN
+    def bc(df: DataFrame): DataFrame = Hints.broadcastIfUnder(df, vRows)
+    var used = 0
+    var converged = false
+    while (used < maxRounds && !converged) {
+      used += 1
+      surv = adj
+        .join(bc(surv.withColumnRenamed("node", "a")), Seq("a"), "left_semi")
+        .join(bc(surv.withColumnRenamed("node", "b")), Seq("b"), "left_semi")
+        .groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select("node")
+        .localCheckpoint(true)
+      val n = surv.count()
+      if (n == prevN) converged = true
+      prevN = n
+    }
+    val out = adj
+      .join(bc(surv.withColumnRenamed("node", "a")), Seq("a"), "left_semi")
+      .join(bc(surv.withColumnRenamed("node", "b")), Seq("b"), "left_semi")
+      .groupBy(col("a").as("node")).agg(count(lit(1)).as("core_deg"))
+      .filter(col("core_deg") >= k)
+    val mat = out.localCheckpoint(true)
+    adj.unpersist(false)
+    Fixpoint(mat, used, converged)
+  }
+
+  /** Run-to-fixpoint [[trussEdges]]: identical cascading support peel,
+    * stops at the first round that removes no edge (edge sets are nested —
+    * count equality is set equality). Early exit saves a full
+    * [[edgeSupport]] wedge enumeration per avoided round, the dominant
+    * cost of the operator.
+    */
+  def trussEdgesConverged(edges: DataFrame, k: Int, maxRounds: Int): Fixpoint = {
+    require(k >= 3 && maxRounds >= 1 && maxRounds <= 50,
+      s"need k >= 3 and maxRounds in [1, 50], got k=$k maxRounds=$maxRounds")
+    var cur = edges.select(
+      least(col("u"), col("v")).cast("long").as("u"),
+      greatest(col("u"), col("v")).cast("long").as("v"))
+      .localCheckpoint(true)
+    var prevM = cur.count()
+    var out: DataFrame = null
+    var used = 0
+    var converged = false
+    while (used < maxRounds && !converged) {
+      used += 1
+      out = edgeSupport(cur).filter(col("support") >= k - 2)
+      cur = out.select("u", "v")
+      val m = cur.count() // edgeSupport checkpointed — metadata cost
+      if (m == prevM) converged = true
+      prevM = m
+    }
+    Fixpoint(out, used, converged)
+  }
+
+  /** Run-to-fixpoint [[labelPropagation]]: identical synchronous round,
+    * stops when no node changes its label. Labels are NOT monotone, so the
+    * exit is a changed-rows count — one O(V) equi-join per round against
+    * the previous (checkpointed) label frame. Synchronous LPA can 2-cycle
+    * on bipartite structure; the cap turns that into a loud
+    * `converged = false` instead of an infinite loop.
+    */
+  def lpaConverged(edges: DataFrame, maxRounds: Int): Fixpoint = {
+    require(maxRounds >= 1 && maxRounds <= 100)
+    val e = edges.select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
+    val adj = e.select(col("u").as("a"), col("v").as("b"))
+      .union(e.select(col("v").as("a"), col("u").as("b")))
+      .repartition(col("b"))
+      .cache()
+    var labels = adj.select(col("a").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint(true)
+    val vRows = labels.count()
+    def bc(df: DataFrame): DataFrame = Hints.broadcastIfUnder(df, vRows)
+    var used = 0
+    var converged = false
+    while (used < maxRounds && !converged) {
+      used += 1
+      val next = adj
+        .join(bc(labels.withColumnRenamed("node", "b")), Seq("b"))
+        .groupBy("a", "lbl").agg(count(lit(1)).as("cnt"))
+        .groupBy(col("a").as("node"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("l"))).as("m"))
+        .select(col("node"), col("m.l").as("lbl"))
+        .localCheckpoint(true)
+      val changed = next
+        .join(bc(labels.withColumnRenamed("lbl", "prev_lbl")), Seq("node"))
+        .filter(col("lbl") =!= col("prev_lbl"))
+        .count()
+      if (changed == 0) converged = true
+      labels = next
+    }
+    adj.unpersist(false)
+    Fixpoint(labels, used, converged)
+  }
+
+  /** Run-to-fixpoint [[sssp]]: identical min-plus relaxation, stops when a
+    * round improves no distance and reaches no new node — the Bellman-Ford
+    * termination test, one O(V) left-join per round against the previous
+    * (checkpointed) distance frame. Count equality would NOT suffice here:
+    * a round can improve distances without growing the reached set.
+    */
+  def ssspConverged(edges: DataFrame, src: Long, maxRounds: Int): Fixpoint = {
+    require(maxRounds >= 1 && maxRounds <= 200)
+    val e = edges.select(col("u").cast("long").as("u"),
+      col("v").cast("long").as("v"), col("w").cast("long").as("w"))
+    val adj = e.select(col("u").as("a"), col("v").as("b"), col("w"))
+      .union(e.select(col("v").as("a"), col("u").as("b"), col("w")))
+      .repartition(col("a"))
+      .cache()
+    val spark = edges.sparkSession
+    var dist = spark.range(1)
+      .select(lit(src).as("node"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    var used = 0
+    var converged = false
+    while (used < maxRounds && !converged) {
+      used += 1
+      val relaxed = adj
+        .join(Hints.broadcastGated(dist.withColumnRenamed("node", "a")), "a")
+        .select(col("b").as("node"), (col("dist") + col("w")).as("dist"))
+      val next = dist.union(relaxed)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint(true)
+      val changed = next
+        .join(Hints.broadcastGated(dist.withColumnRenamed("dist", "prev_dist")),
+          Seq("node"), "left")
+        .filter(col("prev_dist").isNull || col("prev_dist") =!= col("dist"))
+        .count()
+      if (changed == 0) converged = true
+      dist = next
+    }
+    adj.unpersist(false)
+    Fixpoint(dist, used, converged)
+  }
+
+  /** Run-to-fixpoint [[bfs]]: [[ssspConverged]] with unit weights — stops
+    * when the frontier is exhausted (rounds_used = source eccentricity + 1
+    * on a connected component, the confirming round included).
+    */
+  def bfsConverged(edges: DataFrame, src: Long, maxRounds: Int): Fixpoint = {
+    val fp = ssspConverged(
+      edges.select(col("u"), col("v"), lit(1L).as("w")), src, maxRounds)
+    Fixpoint(
+      fp.result.select(col("node"), col("dist").cast("int").as("dist")),
+      fp.roundsUsed, fp.converged)
+  }
+
   /** Deterministic independent-cascade influence spread (Kempe-Kleinberg-
     * Tardos IC model with derandomized coin flips): arc (a,b) of the
     * symmetric closure ACTIVATES iff md5("a:b:ic")'s 52-bit prefix falls

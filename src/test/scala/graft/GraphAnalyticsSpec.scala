@@ -494,4 +494,106 @@ class GraphAnalyticsSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Int, Long)].collect().sortBy(w => (w._1, w._2))
     assert(withDup.toSeq == walks.toSeq)
   }
+
+  // ── convergence-guarded variants ─────────────────────────────────────────
+
+  test("kCoreConverged: matches fixed-round kCore at the fixpoint; exits early when pre-converged") {
+    val path = (1L until 8L).map(i => (i, i + 1))
+    val cycle = (20L until 25L).map(i => (i, i + 1)) :+ (20L, 25L)
+    val edges = (path ++ cycle).toDF("u", "v")
+    val fp = GraphAnalytics.kCoreConverged(edges, k = 2, maxRounds = 20)
+    assert(fp.converged)
+    // the 8-node path peels 2 endpoints per round: rounds 1-4 shrink it
+    // away (8→6→4→2→0 path nodes), round 5 confirms — 5 used, not the cap
+    assert(fp.roundsUsed == 5)
+    val fixed = GraphAnalytics.kCore(edges, k = 2, rounds = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(fp.result.as[(Long, Long)].collect().toMap == fixed)
+    // pre-converged graph (clique alone, nothing to peel): one confirming
+    // round and out
+    val k5 = (for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)).toDF("u", "v")
+    val pre = GraphAnalytics.kCoreConverged(k5, k = 4, maxRounds = 20)
+    assert(pre.converged && pre.roundsUsed == 1)
+  }
+
+  test("kCoreConverged: deep synthetic cascade runs far past any tuned round constant") {
+    // A 60-node path at k=2 peels exactly its two endpoints per round —
+    // the fixpoint (empty core) takes 30 peel rounds + 1 confirming round.
+    // This is the 10×-scale drill: every fixed-round constant in the
+    // declared queries is ≤ 14, and the guard keeps going to 31 because
+    // the DATA says so, not a constant.
+    val path = (1L until 60L).map(i => (i, i + 1)).toDF("u", "v")
+    val fp = GraphAnalytics.kCoreConverged(path, k = 2, maxRounds = 50)
+    assert(fp.converged)
+    assert(fp.roundsUsed == 31, s"expected 31 rounds, got ${fp.roundsUsed}")
+    assert(fp.result.isEmpty)
+    // and the cap is honored loudly when it's too small: the capped run
+    // reports converged=false instead of silently returning a part-peel
+    val capped = GraphAnalytics.kCoreConverged(path, k = 2, maxRounds = 5)
+    assert(!capped.converged && capped.roundsUsed == 5)
+    assert(capped.result.count() > 0) // the part-peeled remnant, flagged
+  }
+
+  test("trussEdgesConverged: matches fixed-round peel at the fixpoint; cascade counted") {
+    // K5 + pendant triangle off node 5: the pendant triangle's edges have
+    // support 1 and peel in round 1; K5 edges keep support 3 (within
+    // survivors) and the set stabilizes — round 2 drops nothing more at
+    // k=4, so rounds_used = 2... unless the pendant peel drops K5 edge
+    // support transiently. Assert equivalence to the fixed-round result
+    // and convergence rather than a hand-derived round count.
+    val k5 = for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)
+    val pendant = Seq((5L, 11L), (5L, 12L), (11L, 12L))
+    val edges = (k5 ++ pendant).toDF("u", "v")
+    val fp = GraphAnalytics.trussEdgesConverged(edges, k = 4, maxRounds = 10)
+    assert(fp.converged && fp.roundsUsed < 10)
+    val fixed = GraphAnalytics.trussEdges(edges, k = 4, rounds = fp.roundsUsed)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(fp.result.as[(Long, Long, Long)].collect().toSet == fixed)
+    assert(fp.result.select("u", "v").as[(Long, Long)].collect().toSet ==
+      k5.toSet)
+  }
+
+  test("lpaConverged: stable labels on a triangle in 3 rounds; bipartite 2-cycle hits the cap loudly") {
+    // triangle {1,2,3}: l1 = (2,1,1) — each adopts its smallest-label
+    // neighbor; l2 = (1,1,1) — 1's neighbors both carry 1 now; l3 confirms
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("u", "v")
+    val fp = GraphAnalytics.lpaConverged(tri, maxRounds = 10)
+    assert(fp.converged && fp.roundsUsed == 3)
+    assert(fp.result.as[(Long, Long)].collect().toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // a single edge {1,2} is the minimal synchronous-LPA oscillator: the
+    // two nodes swap labels forever — the cap reports that instead of
+    // hanging (the reason graph_lpa_fixpoint runs on the unipartite graph)
+    val edge = Seq((1L, 2L)).toDF("u", "v")
+    val osc = GraphAnalytics.lpaConverged(edge, maxRounds = 6)
+    assert(!osc.converged && osc.roundsUsed == 6)
+  }
+
+  test("bfsConverged: frontier exhaustion on a path; unreachable component never joins") {
+    // path 1-2-3-4-5 from node 1: each round reaches one more node, round
+    // 5 improves nothing — 5 used (4 expansions + confirm), ecc = 4
+    val path = (1L until 5L).map(i => (i, i + 1))
+    val island = Seq((100L, 101L)) // disconnected — must stay absent
+    val fp = GraphAnalytics.bfsConverged((path ++ island).toDF("u", "v"),
+      src = 1L, maxRounds = 20)
+    assert(fp.converged && fp.roundsUsed == 5)
+    assert(fp.result.as[(Long, Int)].collect().toMap ==
+      Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 4))
+    // fixed-round twin agrees once both are at the fixpoint
+    val fixed = GraphAnalytics.bfs((path ++ island).toDF("u", "v"), 1L, rounds = 6)
+      .as[(Long, Int)].collect().toMap
+    assert(fp.result.as[(Long, Int)].collect().toMap == fixed)
+  }
+
+  test("ssspConverged: detects distance improvements that do not grow the reached set") {
+    // 1→2 direct weight 10; 1→3→2 costs 2+2=4. Round 1 reaches 2 at 10 and
+    // 3 at 2; round 2 IMPROVES 2 to 4 without adding nodes — a count-based
+    // exit would have stopped wrongly after round 2's count equality;
+    // the (node,dist) change test keeps going until round 3 confirms.
+    val edges = Seq((1L, 2L, 10L), (1L, 3L, 2L), (3L, 2L, 2L)).toDF("u", "v", "w")
+    val fp = GraphAnalytics.ssspConverged(edges, src = 1L, maxRounds = 10)
+    assert(fp.converged && fp.roundsUsed == 3)
+    assert(fp.result.as[(Long, Long)].collect().toMap ==
+      Map(1L -> 0L, 2L -> 4L, 3L -> 2L))
+  }
 }
