@@ -70,5 +70,15 @@ for name, sql in sorted(oracle.items()):
     else:
         print(f"ok   {name} ({len(got)} rows)")
         ok += 1
+import os
+bands_path = f"{out_dir}/band_checks.json"
+if os.path.exists(bands_path):
+    bands = json.load(open(bands_path))
+    for name, b in sorted(bands.items()):
+        if b["band_ok"]:
+            print(f"band ok   {name}: {b['detail']}")
+        else:
+            print(f"band FAIL {name}: {b['detail']}")
+            fail += 1
 print(f"== {ok} ok, {fail} fail")
 sys.exit(1 if fail else 0)

@@ -57,6 +57,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Error-band verdicts for the rows-only (no-oracle) queries: the
+    // sketch/MLlib estimates are checked in-engine against exact twins
+    // under their documented bounds (BandChecks scaladoc), so the artifact
+    // carries band_ok booleans instead of bare no_oracle nulls.
+    val bands = BandChecks.run(spark, sfDir, only)
+    Files.writeString(Paths.get(s"$outDir/band_checks.json"),
+      BandChecks.toJson(bands))
+    bands.foreach(b => println(s"[band] ${b.query}: " +
+      s"${if (b.ok) "ok" else "FAIL"} — ${b.detail}"))
     spark.stop()
   }
 }

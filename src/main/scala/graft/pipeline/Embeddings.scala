@@ -61,11 +61,7 @@ object Embeddings {
       // sf0.1 (252/256) vs 3 tables, for ~25% less approxSimilarityJoin
       // candidate volume — the same table-count trim as annJoin below
       numHashTables: Int = 2): DataFrame = {
-    val tok = new Tokenizer().setInputCol(textCol).setOutputCol("_tokens")
-    val ngram = new NGram().setN(3).setInputCol("_tokens").setOutputCol("_shingles")
-    val tf = new HashingTF().setInputCol("_shingles").setOutputCol("_sets")
-      .setNumFeatures(dim).setBinary(true)
-    val featured = tf.transform(ngram.transform(tok.transform(docs)))
+    val featured = shingleFeatures(docs, textCol, dim)
     val mh = new MinHashLSH().setInputCol("_sets").setOutputCol("_hashes")
       .setNumHashTables(numHashTables).setSeed(42L).fit(featured)
     mh.approxSimilarityJoin(featured, featured, maxJaccardDistance, "jaccard_dist")
@@ -80,6 +76,67 @@ object Embeddings {
     * library-provided twin of Similarity's sign-bucket path (euclidean
     * bucketing).
     */
+  /** The binary shingle-set featurization under [[minhashJoin]] — shared
+    * with [[minhashExactPairs]] so the exact recall reference measures the
+    * SAME sets the LSH hashes, not a near-replica.
+    */
+  private def shingleFeatures(docs: DataFrame, textCol: String, dim: Int): DataFrame = {
+    val tok = new Tokenizer().setInputCol(textCol).setOutputCol("_tokens")
+    val ngram = new NGram().setN(3).setInputCol("_tokens").setOutputCol("_shingles")
+    val tf = new HashingTF().setInputCol("_shingles").setOutputCol("_sets")
+      .setNumFeatures(dim).setBinary(true)
+    tf.transform(ngram.transform(tok.transform(docs)))
+  }
+
+  // verification-path only (BandChecks / specs), never a query hot path —
+  // the one place a Scala UDF is acceptable: MLlib exposes no native
+  // sparse-index extractor
+  private val sparseIndices =
+    udf((v: org.apache.spark.ml.linalg.Vector) => v match {
+      case s: org.apache.spark.ml.linalg.SparseVector => s.indices
+      case d => d.toArray.zipWithIndex.filter(_._1 != 0.0).map(_._2)
+    })
+
+  /** EXACT near-dup pairs over [[minhashJoin]]'s own featurization — the
+    * recall reference its band check measures against. Inverted-index join
+    * on shared feature indices (pairs sharing no shingle never meet — not
+    * all-pairs), exact Jaccard from intersection and set sizes.
+    */
+  def minhashExactPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxJaccardDistance: Double, dim: Int = 1 << 18): DataFrame = {
+    val sets = shingleFeatures(docs, textCol, dim)
+      .select(col(idCol).as("id"), explode(sparseIndices(col("_sets"))).as("ix"))
+    val sizes = sets.groupBy("id").agg(count(lit(1)).as("sz"))
+    sets.as("a").join(sets.as("b"),
+        col("a.ix") === col("b.ix") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select(col("id").as("a_id"), col("sz").as("sza"))), "a_id")
+      .join(broadcast(sizes.select(col("id").as("b_id"), col("sz").as("szb"))), "b_id")
+      .withColumn("jaccard_dist",
+        lit(1.0) - col("inter").cast("double") /
+          (col("sza") + col("szb") - col("inter")).cast("double"))
+      .filter(col("jaccard_dist") <= maxJaccardDistance)
+      .select("a_id", "b_id", "jaccard_dist")
+  }
+
+  /** EXACT L2 near-neighbor pairs — [[annJoin]]'s recall reference. The
+    * embeddings tables are small enough for the canonical a<b pair scan
+    * here; the partition-pruned scale paths live in Similarity/Pq.
+    */
+  def annExactPairs(emb: DataFrame, idCol: String, vecCol: String,
+      maxL2Distance: Double): DataFrame = {
+    val a = emb.select(col(idCol).as("a_id"), col(vecCol).as("_va"))
+    val b = emb.select(col(idCol).as("b_id"), col(vecCol).as("_vb"))
+    a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .withColumn("l2_dist", sqrt(aggregate(
+        zip_with(col("_va"), col("_vb"),
+          (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, z) => acc + z)))
+      .filter(col("l2_dist") <= maxL2Distance)
+      .select("a_id", "b_id", "l2_dist")
+  }
+
   def annJoin(emb: DataFrame, idCol: String, vecCol: String,
       maxL2Distance: Double, numHashTables: Int = 2): DataFrame = {
     val withVec = emb.withColumn("_v", arrayToVec(col(vecCol)))
