@@ -96,6 +96,21 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("r4 search FINAL adaptive plan broadcasts the obs hit-set join") {
+    // the static explain can show a SortMergeJoin that AQE converts to a
+    // broadcast join once the reduced obs hit set's true size is known —
+    // pin the FINAL plan so a stats regression to a real shuffle join
+    // (the per-query cost cliff at scale) can't hide behind the conversion
+    val whole = finalPlan("r4_search")
+    // the adaptive explain prints Final AND Initial plans — assert on the
+    // final section only (the initial SMJ is exactly what AQE converts)
+    val p = whole.split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"),
+      s"r4 final plan must broadcast the hit set:\n$whole")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"r4 final plan must not shuffle-join:\n$whole")
+  }
+
   test("r7 recency top-k is TakeOrderedAndProject") {
     assert(plan("r7_recent").contains("TakeOrderedAndProject"))
   }

@@ -80,4 +80,73 @@ class StreamingIngestSpec extends AnyFunSuite with SparkTestBase {
     val one = st.getEntity("user#0001")
     assert(one.entityType == "user" && one.observations.nonEmpty)
   }
+
+  // ── failure recovery: kill + restart from the checkpoint ────────────────
+
+  test("rollup maintenance restarts from its checkpoint exactly-once") {
+    val src = Files.createTempDirectory("graft-rollup-src-").toString
+    val path = Files.createTempDirectory("graft-rollup-out-").toString + "/rollup"
+    val ckpt = Files.createTempDirectory("graft-rollup-ckpt-").toString
+    Seq((1L, "click", 10.0), (2L, "view", 20.0), (1L, "click", 5.0))
+      .toDF("user_id", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def start() = graft.pipeline.Rollup.maintainFromStream(
+      spark.readStream.schema(schema).parquet(src),
+      Seq("event_type"), Seq("value"), path, ckpt)
+    // epoch 1 processed, then the query dies
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    // epoch 2 lands while the maintainer is down
+    Seq((3L, "click", 2.0), (4L, "purchase", 7.0))
+      .toDF("user_id", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(src)
+    // restart from the SAME checkpoint: only the new files may be processed
+    // (re-listing the directory must not double-count epoch 1), and a
+    // replayed micro-batch would overwrite its own batch_id partition
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val got = graft.pipeline.Rollup.query(
+        spark, path, Seq("event_type"), Seq("value"))
+      .orderBy("event_type")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got == Seq(("click", 3L, 17.0), ("purchase", 1L, 7.0), ("view", 1L, 20.0)),
+      s"restart must resume exactly-once, got $got")
+    // a third restart with nothing new must be a no-op
+    val q3 = start(); q3.processAllAvailable(); q3.stop()
+    val again = graft.pipeline.Rollup.query(
+        spark, path, Seq("event_type"), Seq("value"))
+      .orderBy("event_type").as[(String, Long, Double)].collect().toSeq
+    assert(again == got, "idle restart must not change the summary")
+  }
+
+  test("streaming store upsert restarts from its checkpoint exactly-once") {
+    val src = Files.createTempDirectory("graft-ingest-src-").toString
+    val storeDir = Files.createTempDirectory("graft-store-").toString
+    val ckpt = Files.createTempDirectory("graft-ingest-ckpt-").toString
+    val st = new GraphStore(spark, storeDir)
+    st.initialize()
+    Seq(("user#1", "user", Seq("click")), ("user#2", "user", Seq("view")))
+      .toDF("name", "entity_type", "observations")
+      .coalesce(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def start() = st.streamingUpsertSink(
+        spark.readStream.schema(schema).parquet(src))
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start(); q1.processAllAvailable(); q1.stop() // dies after epoch 1
+    // epoch 2 while down: user#1 changes type+observations, user#3 arrives
+    Seq(("user#1", "vip", Seq("purchase")), ("user#3", "user", Seq("scroll")))
+      .toDF("name", "entity_type", "observations")
+      .coalesce(1).write.mode("append").parquet(src)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    // exactly-once effect: epoch 1's upsert of user#1 was REPLACED once by
+    // epoch 2 (not appended twice), user#2 untouched, user#3 inserted
+    assert(st.getEntity("user#1") == Entity("user#1", "vip", Seq("purchase")))
+    assert(st.getEntity("user#2") == Entity("user#2", "user", Seq("view")))
+    assert(st.getEntity("user#3") == Entity("user#3", "user", Seq("scroll")))
+    assert(st.entities.count() == 3)
+    assert(st.observations.count() == 3, "replay must not duplicate observations")
+    // idle restart: no new files → the store's version must not even flip
+    val versionBefore = st.observations.count()
+    val q3 = start(); q3.processAllAvailable(); q3.stop()
+    assert(st.entities.count() == 3 && st.observations.count() == versionBefore)
+  }
 }
