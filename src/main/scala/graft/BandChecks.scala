@@ -34,36 +34,61 @@ object BandChecks {
 
   final case class Band(query: String, ok: Boolean, detail: String)
 
-  /** All band checks, or the subset named in `only`. */
+  /** All band checks, or the subset named in `only`. When `dumpDir` is
+    * set (the Verify path), the ESTIMATE side of each check reads the
+    * parquet Verify just dumped instead of re-running the query — the
+    * expensive MLlib work (Word2Vec training, two approxSimilarityJoins)
+    * executes once per verify run, not twice. The exact twins always
+    * compute fresh.
+    */
   def run(spark: SparkSession, sfDir: String,
-      only: Option[Set[String]] = None): Seq[Band] = {
+      only: Option[Set[String]] = None,
+      dumpDir: Option[String] = None): Seq[Band] = {
+    def est(name: String): DataFrame = dumpDir match {
+      case Some(dir) => spark.read.parquet(s"$dir/$name")
+      case None => SparkEntry.queries(name)(spark, sfDir)
+    }
     val checks: Seq[(String, () => Band)] = Seq(
-      "q_sketch_distinct" -> (() => sketchDistinct(spark, sfDir)),
-      "q_hll_rollup" -> (() => hllRollup(spark, sfDir)),
-      "q_kll_rollup" -> (() => kllRollup(spark, sfDir)),
-      "q_sketch_overlap" -> (() => sketchOverlap(spark, sfDir)),
-      "events_hll_sliding" -> (() => hllSliding(spark, sfDir)),
-      "q_approx_topk" -> (() => approxTopK(spark, sfDir)),
-      "ann_mllib_join" -> (() => annMllib(spark, sfDir)),
-      "dedup_minhash_mllib" -> (() => minhashMllib(spark, sfDir)),
-      "embed_tfidf" -> (() => tfidfStructural(spark, sfDir)),
-      "embed_word2vec" -> (() => word2vecStructural(spark, sfDir)))
+      "q_sketch_distinct" -> (() => sketchDistinct(spark, sfDir, est)),
+      "q_hll_rollup" -> (() => hllRollup(spark, sfDir, est)),
+      "q_kll_rollup" -> (() => kllRollup(spark, sfDir, est)),
+      "q_sketch_overlap" -> (() => sketchOverlap(spark, sfDir, est)),
+      "events_hll_sliding" -> (() => hllSliding(spark, sfDir, est)),
+      "q_approx_topk" -> (() => approxTopK(spark, sfDir, est)),
+      "ann_mllib_join" -> (() => annMllib(spark, sfDir, est)),
+      "dedup_minhash_mllib" -> (() => minhashMllib(spark, sfDir, est)),
+      "embed_tfidf" -> (() => tfidfStructural(spark, sfDir, est)),
+      "embed_word2vec" -> (() => word2vecStructural(spark, sfDir, est)))
     checks
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, f) =>
         try f()
         catch { case e: Throwable =>
-          Band(name, ok = false, s"check crashed: ${e.getMessage}")
+          Band(name, ok = false,
+            s"check crashed: ${Option(e.getMessage).getOrElse(e.getClass.getName)}")
         }
       }
   }
 
-  /** Render as the JSON object Verify writes (same escaping contract as
-    * oracle_sql.json — detail strings are builder-authored ASCII).
+  /** JSON string escape — same contract as Verify's oracle_sql.json
+    * escaper: a crash-path detail embeds a raw Spark exception message,
+    * which routinely contains quotes and newlines that would otherwise
+    * break the driver-side json.load.
     */
+  private def jsonEsc(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  /** Render as the JSON object Verify writes. */
   def toJson(bands: Seq[Band]): String =
     bands.map { b =>
-      s""""${b.query}": {"band_ok": ${b.ok}, "detail": "${b.detail}"}"""
+      s""""${jsonEsc(b.query)}": {"band_ok": ${b.ok}, "detail": "${jsonEsc(b.detail)}"}"""
     }.mkString("{", ", ", "}")
 
   private def events(s: SparkSession, d: String) = s.read.parquet(s"$d/events.parquet")
@@ -73,9 +98,24 @@ object BandChecks {
 
   private def fmt(x: Double): String = f"$x%.4f"
 
+  /** The q_sketch_overlap verdict as a pure function, so the spec can
+    * prove the harness FALSIFIABLE (feed it a corrupted estimate and see
+    * it fail). Inclusion–exclusion sums three ~1.6%-rsd estimates: bound
+    * the absolute error by 5% of the union (the largest term), plus a
+    * slack of 5 so a tiny-corpus overlap of single digits can't flap the
+    * verdict. Returns (ok, err, bound).
+    */
+  private[graft] def overlapVerdict(est: Double, exact: Double,
+      union: Double): (Boolean, Double, Double) = {
+    val bound = 0.05 * union + 5
+    val err = math.abs(est - exact)
+    (err <= bound, err, bound)
+  }
+
   /** approx_count_distinct + approx_percentile vs exact, per event_type. */
-  private def sketchDistinct(s: SparkSession, d: String): Band = {
-    val est = SparkEntry.queries("q_sketch_distinct")(s, d)
+  private def sketchDistinct(s: SparkSession, d: String,
+      estOf: String => DataFrame): Band = {
+    val est = estOf("q_sketch_distinct")
     val exact = events(s, d).groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("exact_users"),
         expr("percentile(value, 0.49)").as("p49"),
@@ -95,8 +135,9 @@ object BandChecks {
   }
 
   /** Merged Datasketches HLL rollup vs exact distinct suppliers. */
-  private def hllRollup(s: SparkSession, d: String): Band = {
-    val est = SparkEntry.queries("q_hll_rollup")(s, d)
+  private def hllRollup(s: SparkSession, d: String,
+      estOf: String => DataFrame): Band = {
+    val est = estOf("q_hll_rollup")
     val exact = lineitem(s, d).groupBy("l_returnflag")
       .agg(countDistinct(col("l_suppkey")).as("exact_n"))
     val maxRel = est.join(exact, "l_returnflag")
@@ -108,9 +149,10 @@ object BandChecks {
   }
 
   /** Merged KLL quantiles vs exact percentiles at rank ±3%. */
-  private def kllRollup(s: SparkSession, d: String): Band = {
-    val est = SparkEntry.queries("q_kll_rollup")(s, d)
-    val exact = events(s, d).withColumn("day", to_date(col("ts")))
+  private def kllRollup(s: SparkSession, d: String,
+      estOf: String => DataFrame): Band = {
+    val est = estOf("q_kll_rollup")
+    val exact = events(s, d)
       .groupBy("event_type")
       .agg(
         expr("percentile(value, 0.47)").as("lo50"),
@@ -131,23 +173,21 @@ object BandChecks {
   /** HLL inclusion-exclusion overlap vs the exact overlap the query
     * itself carries.
     */
-  private def sketchOverlap(s: SparkSession, d: String): Band = {
-    val row = SparkEntry.queries("q_sketch_overlap")(s, d).head()
+  private def sketchOverlap(s: SparkSession, d: String,
+      estOf: String => DataFrame): Band = {
+    val row = estOf("q_sketch_overlap").head()
     val est = row.getAs[Long]("overlap_est").toDouble
     val exact = row.getAs[Long]("overlap_exact").toDouble
     val union = row.getAs[Long]("n_union_est").toDouble
-    // inclusion–exclusion sums three ~1.6%-rsd estimates: bound the absolute
-    // error by 5% of the union (the largest term), plus slack-of-5 so a
-    // tiny-corpus overlap of single digits can't flap the verdict
-    val bound = 0.05 * union + 5
-    val err = math.abs(est - exact)
-    Band("q_sketch_overlap", err <= bound,
+    val (ok, err, bound) = overlapVerdict(est, exact, union)
+    Band("q_sketch_overlap", ok,
       s"|overlap_est - exact| = ${fmt(err)} <= ${fmt(bound)} (5% of union + 5)")
   }
 
   /** Sliding 24h HLL distincts vs the exact trailing window, per hour. */
-  private def hllSliding(s: SparkSession, d: String): Band = {
-    val est = SparkEntry.queries("events_hll_sliding")(s, d)
+  private def hllSliding(s: SparkSession, d: String,
+      estOf: String => DataFrame): Band = {
+    val est = estOf("events_hll_sliding")
     val hourly = events(s, d)
       .select((unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
         .cast("long").as("hh"), col("user_id"))
@@ -166,8 +206,9 @@ object BandChecks {
   }
 
   /** approx_top_k(20) token set vs the exact top-20. */
-  private def approxTopK(s: SparkSession, d: String): Band = {
-    val est = SparkEntry.queries("q_approx_topk")(s, d)
+  private def approxTopK(s: SparkSession, d: String,
+      estOf: String => DataFrame): Band = {
+    val est = estOf("q_approx_topk")
       .select("tok").collect().map(_.getString(0)).toSet
     val exact = documents(s, d)
       .select(explode(split(col("text"), " ")).as("tok"))
@@ -183,8 +224,9 @@ object BandChecks {
     * precision is structural (approxSimilarityJoin filters by true
     * distance) but re-asserted from the emitted distances.
     */
-  private def annMllib(s: SparkSession, d: String): Band = {
-    val got = SparkEntry.queries("ann_mllib_join")(s, d)
+  private def annMllib(s: SparkSession, d: String,
+      estOf: String => DataFrame): Band = {
+    val got = estOf("ann_mllib_join")
       .select("a_id", "b_id", "l2_dist").collect()
     val gotPairs = got.map(r => (r.getLong(0), r.getLong(1))).toSet
     val precisionOk = got.forall(_.getDouble(2) <= 1.0 + 1e-9)
@@ -202,8 +244,9 @@ object BandChecks {
   /** MLlib MinHashLSH join: recall vs exact Jaccard pairs over the SAME
     * shingle featurization.
     */
-  private def minhashMllib(s: SparkSession, d: String): Band = {
-    val got = SparkEntry.queries("dedup_minhash_mllib")(s, d)
+  private def minhashMllib(s: SparkSession, d: String,
+      estOf: String => DataFrame): Band = {
+    val got = estOf("dedup_minhash_mllib")
       .select("a_id", "b_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = graft.pipeline.Embeddings.minhashExactPairs(
@@ -220,8 +263,9 @@ object BandChecks {
     * non-degenerate norms (a norm of 0 means every token of the doc
     * appeared in every doc — possible only on a degenerate corpus).
     */
-  private def tfidfStructural(s: SparkSession, d: String): Band = {
-    val r = SparkEntry.queries("embed_tfidf")(s, d)
+  private def tfidfStructural(s: SparkSession, d: String,
+      estOf: String => DataFrame): Band = {
+    val r = estOf("embed_tfidf")
       .agg(count(lit(1)).as("n"),
         sum(when(col("dim") =!= 256, 1L).otherwise(0L)).as("bad_dim"),
         sum(when(col("sq_norm") <= 0.0, 1L).otherwise(0L)).as("zero_norm"))
@@ -235,8 +279,9 @@ object BandChecks {
   }
 
   /** Word2Vec structural band: full dimensionality, one row per doc. */
-  private def word2vecStructural(s: SparkSession, d: String): Band = {
-    val r = SparkEntry.queries("embed_word2vec")(s, d)
+  private def word2vecStructural(s: SparkSession, d: String,
+      estOf: String => DataFrame): Band = {
+    val r = estOf("embed_word2vec")
       .agg(count(lit(1)).as("n"),
         sum(when(col("dim") =!= 16, 1L).otherwise(0L)).as("bad_dim"))
       .head()

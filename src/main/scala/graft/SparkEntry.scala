@@ -550,12 +550,14 @@ object SparkEntry {
     "r12_decay_score" -> ((s, d) => {
       orders(s, d)
         .select(col("o_custkey"),
-          // Clamp to [0, 63]: Spark shiftright wraps the shift mod 64
+          // Clamp to [0, 62]: Spark shiftright wraps the shift mod 64
           // (Java semantics) while integer division by (1 << age) does
           // not — out-of-domain ages would silently diverge from the
-          // oracle. Fixture years are 1995-2001 (age 0-6) but the clamp
-          // makes the query domain-safe, not data-dependent.
-          greatest(lit(0), least(lit(63),
+          // oracle — and DuckDB ERRORS on 1 << 63 (signed-overflow check),
+          // so the cap must stop at 62 (2^20 >> 62 is already 0, same as
+          // any larger shift). Fixture years are 1995-2001 (age 0-6) but
+          // the clamp makes the query domain-safe, not data-dependent.
+          greatest(lit(0), least(lit(62),
             (lit(2001) - year(col("o_orderdate"))).cast("int"))).as("age"))
         .select(col("o_custkey"),
           expr("shiftright(1048576L, age)").as("w"))
@@ -6217,7 +6219,7 @@ object SparkEntry {
          ORDER BY from_entity, to_entity""",
     "r12_decay_score" ->
       """SELECT o_custkey,
-           CAST(sum(1048576 // (1 << greatest(0, least(63, 2001 - year(o_orderdate))))) AS BIGINT)
+           CAST(sum(1048576 // (1 << greatest(0, least(62, 2001 - year(o_orderdate))))) AS BIGINT)
              AS decayed_fp,
            CAST(count(*) AS BIGINT) AS n_orders
          FROM orders GROUP BY o_custkey

@@ -61,7 +61,7 @@ object Verify {
     // sketch/MLlib estimates are checked in-engine against exact twins
     // under their documented bounds (BandChecks scaladoc), so the artifact
     // carries band_ok booleans instead of bare no_oracle nulls.
-    val bands = BandChecks.run(spark, sfDir, only)
+    val bands = BandChecks.run(spark, sfDir, only, dumpDir = Some(outDir))
     Files.writeString(Paths.get(s"$outDir/band_checks.json"),
       BandChecks.toJson(bands))
     bands.foreach(b => println(s"[band] ${b.query}: " +

@@ -28,14 +28,19 @@ class BandChecksSpec extends AnyFunSuite with SparkTestBase {
       """"q_y": {"band_ok": false, "detail": "detail b"}}""")
   }
 
-  test("band checks detect a broken estimate (sanity of the harness itself)") {
-    // a band harness that can never fail is no harness: feed the overlap
-    // check a corrupted estimate by asserting the bound math directly
+  test("band checks detect a broken estimate (the harness is falsifiable)") {
+    // a band harness that can never fail is no harness: run the REAL
+    // verdict function the overlap check uses, once with the true values
+    // and once with a corrupted estimate — the corrupted one must fail
     val row = SparkEntry.queries("q_sketch_overlap")(spark, sf).head()
+    val est = row.getAs[Long]("overlap_est").toDouble
+    val exact = row.getAs[Long]("overlap_exact").toDouble
     val union = row.getAs[Long]("n_union_est").toDouble
-    val bound = 0.05 * union + 5
-    // an estimate off by 10x the bound must fail the same comparison
-    assert(math.abs((row.getAs[Long]("overlap_exact") + 10 * bound) -
-      row.getAs[Long]("overlap_exact")) > bound)
+    val (okTrue, _, bound) = BandChecks.overlapVerdict(est, exact, union)
+    assert(okTrue, "true estimate must pass its own band")
+    val (okBroken, errBroken, _) =
+      BandChecks.overlapVerdict(exact + 10 * bound + 1, exact, union)
+    assert(!okBroken && errBroken > bound,
+      "an estimate 10x outside the bound must FAIL the verdict")
   }
 }
