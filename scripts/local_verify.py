@@ -77,6 +77,7 @@ if os.path.exists(bands_path):
     for name, b in sorted(bands.items()):
         if b["band_ok"]:
             print(f"band ok   {name}: {b['detail']}")
+            ok += 1
         else:
             print(f"band FAIL {name}: {b['detail']}")
             fail += 1

@@ -63,7 +63,9 @@ object BandChecks {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, f) =>
         try f()
-        catch { case e: Throwable =>
+        // NonFatal only: an OutOfMemoryError/LinkageError must kill the
+        // verify run loudly, not masquerade as a mere band failure
+        catch { case scala.util.control.NonFatal(e) =>
           Band(name, ok = false,
             s"check crashed: ${Option(e.getMessage).getOrElse(e.getClass.getName)}")
         }
@@ -205,19 +207,33 @@ object BandChecks {
       s"per-hour max rel err ${fmt(maxRel)} <= 0.05 (lgK 12, 3sigma)")
   }
 
-  /** approx_top_k(20) token set vs the exact top-20. */
+  /** Heavy-hitter quality band. q_approx_topk itself is hash-green since
+    * round 8 (deterministic md5 CMS + sampled candidates), so this band now
+    * checks QUALITY rather than standing in for a missing oracle: (a) the
+    * query's deterministic top-20 must still recall ≥ 0.9 of the exact
+    * heavy hitters (determinism alone wouldn't catch a sketch too small to
+    * rank correctly), and (b) the LIBRARY ApproxTopK sketch — kept as the
+    * engine-seeded cross-check per the round-7 verdict — must do the same.
+    */
   private def approxTopK(s: SparkSession, d: String,
       estOf: String => DataFrame): Band = {
     val est = estOf("q_approx_topk")
       .select("tok").collect().map(_.getString(0)).toSet
-    val exact = documents(s, d)
+    val toks = documents(s, d)
       .select(explode(split(col("text"), " ")).as("tok"))
+    val lib = toks.select(expr("approx_top_k(tok, 20)").as("top"))
+      .select(explode(col("top")).as("e"))
+      .select(col("e.item").as("tok"))
+      .collect().map(_.getString(0)).toSet
+    val exact = toks
       .groupBy("tok").agg(count(lit(1)).as("freq"))
       .orderBy(desc("freq"), asc("tok")).limit(20)
       .select("tok").collect().map(_.getString(0)).toSet
     val recall = (est & exact).size.toDouble / exact.size
-    Band("q_approx_topk", recall >= 0.9,
-      s"top-20 recall ${fmt(recall)} >= 0.9 vs exact heavy hitters")
+    val recallLib = (lib & exact).size.toDouble / exact.size
+    Band("q_approx_topk", recall >= 0.9 && recallLib >= 0.9,
+      s"cms-query top-20 recall ${fmt(recall)} >= 0.9 and library-sketch " +
+        s"recall ${fmt(recallLib)} >= 0.9 vs exact heavy hitters")
   }
 
   /** MLlib random-projection LSH join: recall vs the exact L2 pair set;

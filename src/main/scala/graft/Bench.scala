@@ -98,7 +98,43 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_t2":$qs2,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+
+    // ── per-query regression guard (round-7 verdict item 2) ───────────────
+    // bench_floor.json records each query's best observed t1 at sf0.1.
+    // Compare min(t1, t2) — the warm rerun exists precisely to strip
+    // suite-position noise — against max(floor, 0.3s) (sub-0.3s queries are
+    // pure noise at this scale): warn > 1.5×, fail > 2.5×. A fail means a
+    // real plan/code regression the total-time metric would hide.
+    val floorPath = sys.env.getOrElse("SPARK_GRAFT_FLOOR", "bench_floor.json")
+    val floors: Map[String, Double] =
+      if (new java.io.File(floorPath).exists()) {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(floorPath)))
+        val body = txt.indexOf("\"floors\"") match {
+          case -1 => txt
+          case i => txt.substring(i + 8)
+        }
+        "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9][0-9.eE+-]*)".r
+          .findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } else Map.empty
+    val graded = results.collect { case (k, t1, t2) if t1 >= 0 && floors.contains(k) =>
+      val tmin = if (t2 > 0) math.min(t1, t2) else t1
+      val eff = math.max(floors(k), 0.3)
+      (k, tmin / eff)
+    }
+    val floorWarn = graded.filter { case (_, r) => r > 1.5 && r <= 2.5 }
+    val floorFail = graded.filter { case (_, r) => r > 2.5 }
+    (floorWarn ++ floorFail).sortBy(-_._2).foreach { case (k, r) =>
+      val level = if (r > 2.5) "FAIL" else "warn"
+      System.err.println(f"[bench] floor-$level $k%-28s ${r}%.2fx its recorded floor")
+    }
+    if (floors.nonEmpty && floorFail.isEmpty)
+      System.err.println(s"[bench] floor guard: ${graded.size} queries checked, " +
+        s"${floorWarn.size} warn, 0 fail")
+    def ratioJson(xs: Seq[(String, Double)]) = xs
+      .map { case (k, r) => "\"" + k + "\":" + f"$r%.2f" }.mkString("{", ",", "}")
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_t2":$qs2,"failed":${failed.mkString("[", ",", "]")},"floor_checked":${graded.size},"floor_warn":${ratioJson(floorWarn)},"floor_fail":${ratioJson(floorFail)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -3939,17 +3939,31 @@ object SparkEntry {
         .orderBy("n_name")
     }),
 
-    // Approximate heavy hitters via Spark's mergeable ApproxTopK sketch
-    // (rows-only by contract — estimates are algorithm-specific; the exact
-    // hash-verified twin is text_vocab). The sketch is partial-agg mergeable
-    // like the HLL summaries, so it survives any partitioning; estimates on
-    // this skewed-token corpus are exact for the deep head.
+    // Approximate heavy hitters, FULLY DETERMINISTIC (round-7 verdict item
+    // 3 — was the library ApproxTopK sketch, rows-only): candidates come
+    // from a deterministic md5 occurrence sample (1/64 of token positions —
+    // any true heavy hitter has thousands of occurrences, so it appears in
+    // the sample with certainty for practical purposes), counts come from
+    // the md5 count-min sketch (pipeline/Cms, the q_cms_estimate pattern),
+    // top-20 by (estimate, token) is a TakeOrdered. Every stage is a pure
+    // function of the corpus, so the DuckDB oracle rebuilds it bit-for-bit
+    // — hash-green, not banded. Scale shape: two scans (cells ≤ 4·8192
+    // mergeable cells; sampled candidates ~1/64 of occurrences), one
+    // broadcast probe join, no O(vocab) global aggregation. The LIBRARY
+    // sketch remains covered as a band cross-check (BandChecks.approxTopK).
     "q_approx_topk" -> ((s, d) => {
-      val toks = documents(s, d).select(explode(split(col("text"), " ")).as("tok"))
-      toks.select(expr("approx_top_k(tok, 20)").as("top"))
-        .select(explode(col("top")).as("e"))
-        .select(col("e.item").as("tok"), col("e.count").as("freq"))
-        .orderBy(desc("freq"), asc("tok"))
+      val toks = documents(s, d).select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      val cells = graft.pipeline.Cms.build(toks, col("tok"), depth = 4, width = 8192)
+      val cand = toks.filter(
+          conv(substring(md5(concat_ws(":", col("doc_id").cast("string"),
+            col("pos").cast("string")).cast("binary")), 1, 13), 16, 10)
+            .cast("long") % 64 === 0)
+        .select("tok").distinct()
+      graft.pipeline.Cms.probe(broadcast(cells), cand, col("tok"),
+          depth = 4, width = 8192)
+        .orderBy(desc("cms_est"), asc("k")).limit(20)
+        .select(col("k").as("tok"), col("cms_est").cast("long").as("freq"))
     }),
 
     // Period-over-period: daily gross revenue and its % change vs the prior
@@ -7192,6 +7206,32 @@ object SparkEntry {
            CAST(cms_est AS BIGINT) AS cms_est
          FROM est LEFT JOIN tru ON est.k = tru.k
          ORDER BY p_partkey""",
+    // Deterministic heavy hitters: the same md5 CMS as q_cms_estimate plus
+    // an md5 occurrence-sampled candidate set — pure functions of the
+    // corpus, so the estimates (not just the token set) hash-match.
+    "q_approx_topk" ->
+      """WITH js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+         t AS (SELECT doc_id, string_split(text, ' ') AS ls FROM documents),
+         tp AS (SELECT doc_id, unnest(range(len(ls))) AS pos, ls FROM t),
+         tk AS (SELECT doc_id, pos, ls[pos + 1] AS tok FROM tp),
+         cells AS (
+           SELECT j,
+             CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || tok), 1, 13) AS BIGINT) % 8192 AS b,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM tk CROSS JOIN js GROUP BY 1, 2),
+         cand AS (
+           SELECT DISTINCT tok FROM tk
+           WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+             CAST(pos AS VARCHAR)), 1, 13) AS BIGINT) % 64 = 0),
+         pb AS (
+           SELECT tok, j,
+             CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || tok), 1, 13) AS BIGINT) % 8192 AS b
+           FROM cand CROSS JOIN js),
+         est AS (
+           SELECT pb.tok, CAST(min(coalesce(cells.cnt, 0)) AS BIGINT) AS freq
+           FROM pb LEFT JOIN cells ON pb.j = cells.j AND pb.b = cells.b
+           GROUP BY pb.tok)
+         SELECT tok, freq FROM est ORDER BY freq DESC, tok ASC LIMIT 20""",
     "q_cms_merged" ->
       """WITH js AS (SELECT unnest([0, 1, 2, 3]) AS j),
          cells AS (

@@ -1,6 +1,6 @@
 package graft.store
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -15,77 +15,111 @@ import graft.operators.GraphOps
 case class Entity(name: String, entityType: String, observations: Seq[String])
 case class Relation(from: String, to: String, relationType: String)
 
-/** Write path (SURVEY.md §2.2 W1–W7) over immutable parquet: every mutation is
-  * an anti-join + union rewrite committed atomically by writing a new
-  * versioned directory and flipping a pointer file (temp-write + atomic
-  * rename). Per-row interactive transactionality is out of scope for the
-  * analytics engine (SURVEY §2.2 W3) — a batch is the atomic unit, which is
-  * also the only model that survives 1000 executors writing one table.
+/** Write path (SURVEY.md §2.2 W1–W7) over immutable parquet, laid out as a
+  * BUCKET-PARTITIONED copy-on-write store:
+  *
+  * {{{
+  * root/_MANIFEST                  # one atomically-flipped pointer file:
+  *                                 #   <table>=s<N>  (current snapshot id)
+  *                                 #   maxid.<table>=<id high-water mark>
+  *                                 #   nbuckets=<B>  (fixed at initialize)
+  * root/<table>/_snapshots/s<N>    # immutable snapshot descriptor:
+  *                                 #   <bucket>=v<M> per non-empty bucket
+  * root/<table>/b<k>/v<M>/part-….parquet  # one bucket's content at version M
+  * }}}
+  *
+  * Rows live in bucket `pmod(xxhash64(key), B)` of their table's bucket key
+  * (entities: name; observations: entity_name; relations: source) — the same
+  * hash computed in-plan (codegen'd `xxhash64`) and driver-side
+  * (`XxHash64Function`), pinned equal by GraphStoreSpec. A mutation rewrites
+  * ONLY the buckets containing touched keys: a 50-entity upsert into a
+  * 100 TB store stages ≤50 bucket versions, not a 100 TB table copy — the
+  * round-7 whole-table rewrite was the one remaining write-path scale
+  * killer. Untouched buckets are carried by reference: the new snapshot
+  * descriptor maps them to their existing version directories.
+  *
+  * Atomicity is unchanged from the flat layout: stage all new bucket
+  * versions and snapshot descriptors for every table in the batch, then flip
+  * `_MANIFEST` once (temp-write + ATOMIC_MOVE). Readers resolve the manifest
+  * → snapshot → immutable bucket dirs, so they see the whole old or whole
+  * new cross-table state, never a mix; a crash mid-stage leaves only orphan
+  * dirs/descriptors the next `vacuum` removes.
+  *
+  * Sizing: `numBuckets` is fixed at `initialize()` (changing it would move
+  * rows between buckets — a full rewrite, exposed as nothing because no
+  * caller needs it at gate scale). Pick B so one bucket ≈ a task-sized unit
+  * at the target scale (100 TB / B ≈ tens of GB → B in the thousands); the
+  * default 16 suits test-scale stores. `filesPerBucket` adds an in-bucket
+  * split key so one bucket's rewrite parallelizes over that many tasks.
+  *
+  * Per-row interactive transactionality is out of scope for the analytics
+  * engine (SURVEY §2.2 W3) — a batch is the atomic unit, which is also the
+  * only model that survives 1000 executors writing one table.
   *
   * Reference behavior: /root/reference/src/db/client.ts:58-186 (create),
   * :298-338 (relations), :340-380 (cascade delete), :382-405 (conditional
   * delete), :481-543 (DDL bootstrap).
   */
-class GraphStore(spark: SparkSession, root: String) {
+class GraphStore(spark: SparkSession, root: String, numBuckets: Int = 16,
+    filesPerBucket: Int = 1) {
   import GraphStore._
+  require(numBuckets >= 1 && filesPerBucket >= 1)
 
   /** W7 DDL bootstrap — idempotent like the reference's CREATE IF NOT EXISTS
     * (client.ts:481-543). Indexes are moot: parquet min/max stats + predicate
-    * pushdown serve the same point lookups.
+    * pushdown (now plus bucket pruning) serve the same point lookups. Writes
+    * empty snapshot descriptors — no Spark job runs until the first row.
     */
   def initialize(): Unit = withWriteLock {
-    val missing = Seq("entities" -> EntitiesSchema,
-        "observations" -> ObservationsSchema,
-        "relations" -> RelationsSchema)
-      .filter { case (t, _) => currentVersion(t).isEmpty }
-      .map { case (t, schema) =>
-        t -> spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      }
-    if (missing.nonEmpty) commitTables(missing.toMap)
+    val missing = Tables.filter(t => currentSnapshot(t).isEmpty)
+    if (missing.nonEmpty)
+      commitBuckets(missing.map(t => t -> BucketWrite(Set.empty, null)).toMap)
   }
 
-  def entities: DataFrame = readTable("entities", EntitiesSchema)
-  def observations: DataFrame = readTable("observations", ObservationsSchema)
-  def relations: DataFrame = readTable("relations", RelationsSchema)
+  def entities: DataFrame = readTable("entities")
+  def observations: DataFrame = readTable("observations")
+  def relations: DataFrame = readTable("relations")
 
   // ── time travel over the versioned store ────────────────────────────────
 
-  /** COMMITTED versions of `table` still on disk, ascending (older ones
-    * disappear as `vacuum` retention passes). Directories ABOVE the
-    * manifest's current version are staged/orphaned writes — commitTables
-    * stages the new directory before flipping the manifest — and are never
-    * listed: they may be half-written.
+  /** COMMITTED snapshots of `table` still on disk, ascending (older ones
+    * disappear as `vacuum` retention passes). Descriptors ABOVE the
+    * manifest's current snapshot are staged/orphaned writes — commits stage
+    * descriptors before flipping the manifest — and are never listed.
     */
   def tableVersions(table: String): Seq[Long] = {
     schemaFor(table) // validates the table name
-    val current = currentVersion(table).map(_.drop(1).toLong).getOrElse(-1L)
-    versionsOnDisk(table).filter(_ <= current)
+    val current = currentSnapshot(table).getOrElse(-1L)
+    snapshotsOnDisk(table).filter(_ <= current)
   }
 
-  /** Snapshot read of a table at an explicit COMMITTED version — every
-    * commit leaves the previous version's files untouched, so any
-    * un-vacuumed committed version is a consistent point-in-time read (per
-    * table; cross-table consistency is what the CURRENT manifest provides).
+  /** Snapshot read of a table at an explicit COMMITTED snapshot — every
+    * commit leaves prior bucket versions untouched, so any un-vacuumed
+    * committed snapshot is a consistent point-in-time read (per table;
+    * cross-table consistency is what the CURRENT manifest provides).
     */
   def readTableVersion(table: String, version: Long): DataFrame = {
     require(tableVersions(table).contains(version),
       s"Version v$version of $table is not a committed on-disk version " +
         "(vacuumed, never written, or an in-flight commit)")
-    spark.read.schema(schemaFor(table))
-      .parquet(tableDir(table).resolve("v" + version).toString)
+    readDirs(schemaFor(table),
+      readSnapshot(table, version).toSeq.map { case (k, v) => bucketVersionDir(table, k, v) })
   }
 
   /** Snapshot diff between two committed versions of `table`: which keys
     * were added, removed, or changed — the change-data-feed a downstream
     * consumer needs to incrementally react to writes, derived purely from
-    * the immutable version directories (no write-path hooks, no log).
+    * the immutable snapshots (no write-path hooks, no log).
     *
     * One full-outer join keyed on the table's natural key (entities: name;
     * observations: id — both unique per snapshot by construction); "changed"
     * is a null-safe struct inequality over the remaining columns, evaluated
     * inside the join's codegen stage. Scale shape: keyed shuffle of the two
     * snapshots, no driver materialization — diffing two 10 TB snapshots is
-    * one sort-merge join.
+    * one sort-merge join. (Buckets shared by both snapshots at the SAME
+    * version could additionally be pruned — both sides identical by
+    * immutability — left as a note: the join already prunes nothing-changed
+    * buckets' rows at the cost of reading them.)
     */
   def diffVersions(table: String, fromVersion: Long, toVersion: Long,
       keyOverride: Seq[String] = Nil): DataFrame = {
@@ -119,12 +153,27 @@ class GraphStore(spark: SparkSession, root: String) {
     case other => throw new IllegalArgumentException(s"Unknown table: $other")
   }
 
+  /** Bucket key column per table — observations/relations bucket by their
+    * ENTITY-side key so child rewrites touch the same bucket ids as the
+    * parent entity write.
+    */
+  private def bucketKeyFor(table: String): String = table match {
+    case "entities" => "name"
+    case "observations" => "entity_name"
+    case "relations" => "source"
+    case other => throw new IllegalArgumentException(s"Unknown table: $other")
+  }
+
   // ── reads (facade over GraphOps, mirroring the six MCP tools) ───────────
 
+  /** Point lookup now reads ONE bucket (1/B of the table) instead of a full
+    * scan — the bucketed layout's read-side payoff.
+    */
   def getEntity(name: String): Entity = {
-    val rows = GraphOps.getEntity(entities, name).collect()
+    val b = Set(bucketOf(name))
+    val rows = GraphOps.getEntity(readTableBuckets("entities", b), name).collect()
     if (rows.isEmpty) throw new NoSuchElementException(s"Entity not found: $name")
-    val obs = GraphOps.observationsFor(observations, name)
+    val obs = GraphOps.observationsFor(readTableBuckets("observations", b), name)
       .orderBy("content").collect().map(_.getString(0)).toSeq
     Entity(rows.head.getString(0), rows.head.getString(1), obs)
   }
@@ -142,7 +191,7 @@ class GraphStore(spark: SparkSession, root: String) {
     * ONCE, then hydrate and fetch edges from the collected names — the
     * reference returns entities in ranked order (client.ts:241-246) and
     * re-running the full search scan for the edge lookup would double its
-    * cost.
+    * cost. Hydration reads only the hit names' observation buckets.
     */
   private def graphResult(hits: DataFrame): (Seq[Entity], Seq[Relation]) = {
     val ranked = hits.select("name", "entity_type").collect()
@@ -150,7 +199,7 @@ class GraphStore(spark: SparkSession, root: String) {
     if (ranked.isEmpty) return (Nil, Nil) // client.ts:460-462 short-circuit
     val names = ranked.map(_._1)
     import spark.implicits._
-    val obsByName = observations
+    val obsByName = readTableBuckets("observations", names.map(bucketOf).toSet)
       .filter(col("entity_name").isin(names.toIndexedSeq: _*))
       .select("entity_name", "content").collect()
       .map(r => (r.getString(0), r.getString(1)))
@@ -182,9 +231,17 @@ class GraphStore(spark: SparkSession, root: String) {
 
   /** W1+W2+W3 create/upsert entities with replace-children semantics
     * (client.ts:58-186): UPDATE keeps the original created_at and replaces
-    * entity_type; observations are fully replaced.
+    * entity_type; observations are fully replaced. Only the buckets of the
+    * batch's names are read or rewritten.
+    *
+    * The ≤50-entities-per-call cap mirrors the reference's valibot API
+    * boundary (/root/reference/src/index.ts:35); `upsertEntitiesDf` is the
+    * uncapped bulk path.
     */
   def createEntities(batch: Seq[Entity]): Unit = withWriteLock {
+    require(batch.size <= MaxEntitiesPerCall,
+      s"Too many entities in one call: ${batch.size} > $MaxEntitiesPerCall " +
+        "(reference API cap; use upsertEntitiesDf for bulk ingest)")
     val cleaned = batch.map { e =>
       val name = clean(e.name, MaxNameLength)
       require(name.nonEmpty, "Entity name cannot be empty")
@@ -206,8 +263,10 @@ class GraphStore(spark: SparkSession, root: String) {
     val incoming = cleaned.map(e => (e.name, e.entityType))
       .toDF("name", "in_type")
     val now = current_timestamp()
+    val names = cleaned.map(_.name)
+    val touched = names.map(bucketOf).toSet
 
-    val existing = entities
+    val existing = readTableBuckets("entities", touched)
     val kept = existing.join(incoming, Seq("name"), "left_anti")
     val updated = existing.join(incoming, Seq("name"))
       .select(col("name"), col("in_type").as("entity_type"), col("created_at"))
@@ -216,19 +275,20 @@ class GraphStore(spark: SparkSession, root: String) {
 
     val newObs = cleaned.flatMap(e => e.observations.map(o => (e.name, o)))
       .toDF("entity_name", "content")
-    val names = cleaned.map(_.name)
-    val survivors = observations.filter(!col("entity_name").isin(names: _*))
+    val survivors = readTableBuckets("observations", touched)
+      .filter(!col("entity_name").isin(names: _*))
     val base = nextIdBase("observations", observations)
     val fresh = newObs
       .withColumn("id", monotonically_increasing_id() + lit(base + 1))
       .withColumn("created_at", now)
     // one manifest flip covers both tables — W3's "per-entity transaction"
     // becomes per-batch cross-table atomicity
-    commitTables(Map(
-      "entities" ->
-        alignTo(EntitiesSchema, kept.unionByName(updated).unionByName(inserted)),
-      "observations" ->
-        alignTo(ObservationsSchema, survivors.unionByName(alignTo(ObservationsSchema, fresh)))),
+    commitBuckets(Map(
+      "entities" -> BucketWrite(touched,
+        alignTo(EntitiesSchema, kept.unionByName(updated).unionByName(inserted))),
+      "observations" -> BucketWrite(touched,
+        alignTo(ObservationsSchema,
+          survivors.unionByName(alignTo(ObservationsSchema, fresh))))),
       Map("observations" -> maxIdOf(fresh, base)))
   }
 
@@ -239,7 +299,10 @@ class GraphStore(spark: SparkSession, root: String) {
     * (TextFns column pipelines, codegen'd); invalid rows are dropped rather
     * than failing the batch (bad-row quarantine is the caller's concern at
     * scale). Upsert semantics match createEntities: replace entity_type,
-    * keep created_at, replace children.
+    * keep created_at, replace children. Touched buckets are discovered with
+    * one O(distinct buckets ≤ B) aggregation over the checkpointed batch;
+    * a batch clustered in few buckets rewrites only those, a corpus-wide
+    * batch degenerates to the full rewrite it genuinely is.
     */
   def upsertEntitiesDf(batch: DataFrame): Unit = withWriteLock {
     // dedup by name must be DETERMINISTIC: dropDuplicates keeps an arbitrary
@@ -265,8 +328,10 @@ class GraphStore(spark: SparkSession, root: String) {
       // observations were never written
       .localCheckpoint(true)
     val now = current_timestamp()
+    val touched = cleaned.select(bucketCol(col("name")).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
 
-    val existing = entities
+    val existing = readTableBuckets("entities", touched)
     val kept = existing.join(cleaned, Seq("name"), "left_anti")
     val updated = existing.join(cleaned.select("name", "in_type"), Seq("name"))
       .select(col("name"), col("in_type").as("entity_type"), col("created_at"))
@@ -274,7 +339,7 @@ class GraphStore(spark: SparkSession, root: String) {
       .select(col("name"), col("in_type").as("entity_type"), now.as("created_at"))
 
     val updNames = cleaned.select(col("name").as("_upd_name"))
-    val survivors = observations.join(updNames,
+    val survivors = readTableBuckets("observations", touched).join(updNames,
       col("entity_name") === col("_upd_name"), "left_anti")
     val base = nextIdBase("observations", observations)
     val fresh = cleaned
@@ -283,11 +348,12 @@ class GraphStore(spark: SparkSession, root: String) {
       .withColumn("created_at", now)
     // maxIdOf is O(batch) — `fresh` derives from the localCheckpointed
     // `cleaned`, so re-evaluating it for the max is cheap AND deterministic
-    commitTables(Map(
-      "entities" ->
-        alignTo(EntitiesSchema, kept.unionByName(updated).unionByName(inserted)),
-      "observations" ->
-        alignTo(ObservationsSchema, survivors.unionByName(alignTo(ObservationsSchema, fresh)))),
+    commitBuckets(Map(
+      "entities" -> BucketWrite(touched,
+        alignTo(EntitiesSchema, kept.unionByName(updated).unionByName(inserted))),
+      "observations" -> BucketWrite(touched,
+        alignTo(ObservationsSchema,
+          survivors.unionByName(alignTo(ObservationsSchema, fresh))))),
       Map("observations" -> maxIdOf(fresh, base)))
   }
 
@@ -300,10 +366,16 @@ class GraphStore(spark: SparkSession, root: String) {
       (batch: DataFrame, _: Long) => upsertEntitiesDf(batch)
     }
 
-  /** W4 batch edge insert (client.ts:298-338) — plain append, parallel edges
-    * allowed (the reference never dedups relations).
+  /** W4 batch edge insert (client.ts:298-338) — append, parallel edges
+    * allowed (the reference never dedups relations). Only the source-side
+    * buckets of the batch are rewritten (append = rewrite of those buckets'
+    * content plus the new rows). The ≤100-relations-per-call cap mirrors
+    * the reference's valibot API boundary (/root/reference/src/index.ts:53).
     */
   def createRelations(batch: Seq[Relation]): Unit = withWriteLock {
+    require(batch.size <= MaxRelationsPerCall,
+      s"Too many relations in one call: ${batch.size} > $MaxRelationsPerCall " +
+        "(reference API cap)")
     val cleaned = batch.map { r =>
       val from = clean(r.from, MaxNameLength)
       val to = clean(r.to, MaxNameLength)
@@ -313,42 +385,69 @@ class GraphStore(spark: SparkSession, root: String) {
       Relation(from, to, tpe)
     }
     import spark.implicits._
+    val touched = cleaned.map(r => bucketOf(r.from)).toSet
     val base = nextIdBase("relations", relations)
     val fresh = cleaned.map(r => (r.from, r.to, r.relationType))
       .toDF("source", "target", "relation_type")
       .withColumn("id", monotonically_increasing_id() + lit(base + 1))
       .withColumn("created_at", current_timestamp())
-    commitTables(Map("relations" ->
-      alignTo(RelationsSchema, relations.unionByName(alignTo(RelationsSchema, fresh)))),
+    commitBuckets(Map("relations" -> BucketWrite(touched,
+      alignTo(RelationsSchema,
+        readTableBuckets("relations", touched)
+          .unionByName(alignTo(RelationsSchema, fresh))))),
       Map("relations" -> maxIdOf(fresh, base)))
   }
 
   /** W5 cascading delete (client.ts:340-380): observations by entity_name,
-    * relations touching either side, then the entity row — one logical batch.
+    * relations touching either side, then the entity row — one logical
+    * batch, one manifest flip (a crash can never leave dangling
+    * edges/observations, client.ts:352-372's batch semantics).
+    *
+    * Bucket accounting: entities and observations are keyed by the deleted
+    * name → exactly one bucket each. Relations are bucketed by SOURCE, so
+    * source-side rows live in bucket(name), but target-side rows live in
+    * their own sources' buckets — those are discovered with one read-only
+    * pushed-filter scan projecting just the bucket id, and only buckets
+    * actually containing matching rows are rewritten (for a typical
+    * entity's edge list: a handful). The scan is O(table-read) but the
+    * REWRITE stays O(touched buckets) — the part that matters at 100 TB,
+    * where a write costs far more than a projected scan.
     */
   def deleteEntity(name: String): Unit = withWriteLock {
-    if (!GraphOps.entityExists(entities, name))
+    val nb = bucketOf(name)
+    val entBucket = readTableBuckets("entities", Set(nb))
+    if (!GraphOps.entityExists(entBucket, name))
       throw new NoSuchElementException(s"Entity not found: $name")
-    // one manifest flip: the cascade is all-or-nothing (client.ts:352-372's
-    // batch semantics) — a crash can never leave dangling edges/observations
-    commitTables(Map(
-      "observations" -> observations.filter(col("entity_name") =!= name),
-      "relations" ->
-        relations.filter(!(col("source") === name || col("target") === name)),
-      "entities" -> entities.filter(col("name") =!= name)))
+    val targetSideBuckets = relations.filter(col("target") === name)
+      .select(bucketCol(col("source")).as("b")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val relTouched = targetSideBuckets + nb
+    commitBuckets(Map(
+      "observations" -> BucketWrite(Set(nb),
+        readTableBuckets("observations", Set(nb))
+          .filter(col("entity_name") =!= name)),
+      "relations" -> BucketWrite(relTouched,
+        readTableBuckets("relations", relTouched)
+          .filter(!(col("source") === name || col("target") === name))),
+      "entities" -> BucketWrite(Set(nb),
+        entBucket.filter(col("name") =!= name))))
   }
 
-  /** W6 conditional delete with affected-count check (client.ts:382-405). */
+  /** W6 conditional delete with affected-count check (client.ts:382-405).
+    * The probe and the rewrite both touch only bucket(from).
+    */
   def deleteRelation(from: String, to: String, relationType: String): Unit = withWriteLock {
     val cond = col("source") === from && col("target") === to &&
       col("relation_type") === relationType
-    val n = relations.filter(cond).limit(1).count()
+    val b = Set(bucketOf(from))
+    val bucket = readTableBuckets("relations", b)
+    val n = bucket.filter(cond).limit(1).count()
     if (n == 0) throw new NoSuchElementException(
       s"Relation not found: $from -$relationType-> $to")
-    commitTable("relations", relations.filter(!cond))
+    commitBuckets(Map("relations" -> BucketWrite(b, bucket.filter(!cond))))
   }
 
-  // ── storage: versioned parquet with one atomic manifest flip ────────────
+  // ── storage: bucketed CoW parquet with one atomic manifest flip ─────────
 
   /** Mutations are read-modify-write over the current snapshot, so
     * concurrent writers would lose updates; an advisory file lock plus a
@@ -386,21 +485,64 @@ class GraphStore(spark: SparkSession, root: String) {
       }
     }
 
-  private def tableDir(t: String) = Paths.get(root, t)
+  private def tableDir(t: String): Path = Paths.get(root, t)
   private def manifestFile = Paths.get(root, "_MANIFEST")
+  private def snapshotsDir(t: String): Path = tableDir(t).resolve("_snapshots")
+  private def snapshotFile(t: String, s: Long): Path =
+    snapshotsDir(t).resolve("s" + s)
+  private def bucketDir(t: String, k: Int): Path = tableDir(t).resolve("b" + k)
+  private def bucketVersionDir(t: String, k: Int, v: Long): Path =
+    bucketDir(t, k).resolve("v" + v)
 
-  /** All `v<N>` directories present for a table (committed or staged),
-    * ascending — the single source for version-directory listing/parsing.
+  /** Bucket count, pinned in the manifest at initialize (a changed
+    * constructor argument on an existing store is ignored — honoring it
+    * would require rehashing every row).
     */
-  private def versionsOnDisk(t: String): Seq[Long] =
-    Option(tableDir(t).toFile.listFiles()).getOrElse(Array.empty)
+  private def bucketCount: Int =
+    readManifest().flatMap(_.get("nbuckets")).map(_.toInt).getOrElse(numBuckets)
+
+  /** In-plan bucket id — `pmod(xxhash64(key), B)`, wholly codegen'd. */
+  private def bucketCol(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(xxhash64(key), lit(bucketCount.toLong)).cast("int")
+
+  /** Driver-side twin of [[bucketCol]] for this store's bucket count. */
+  private[store] def bucketOf(name: String): Int =
+    GraphStore.bucketFor(name, bucketCount)
+
+  /** All `s<N>` snapshot descriptors present for a table (committed or
+    * staged), ascending.
+    */
+  private def snapshotsOnDisk(t: String): Seq[Long] =
+    Option(snapshotsDir(t).toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.matches("s\\d+"))
+      .map(_.getName.drop(1).toLong).sorted.toSeq
+
+  /** All `v<N>` version dirs present for a bucket (committed or staged),
+    * ascending.
+    */
+  private def bucketVersionsOnDisk(t: String, k: Int): Seq[Long] =
+    Option(bucketDir(t, k).toFile.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
       .map(_.getName.drop(1).toLong).sorted.toSeq
 
-  /** Snapshot manifest: one file mapping every table to its version. A
-    * multi-table mutation stages all new version directories, then flips
-    * THIS one pointer — cross-table atomicity (a cascade delete is all-or-
-    * nothing), not just per-table.
+  /** Bucket ids with at least one version dir on disk. */
+  private def bucketsOnDisk(t: String): Seq[Int] =
+    Option(tableDir(t).toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("b\\d+"))
+      .map(_.getName.drop(1).toInt).sorted.toSeq
+
+  /** Parse a snapshot descriptor: bucket id → bucket version. */
+  private def readSnapshot(t: String, s: Long): Map[Int, Long] =
+    new String(Files.readAllBytes(snapshotFile(t, s)), StandardCharsets.UTF_8)
+      .split("\n").filter(_.contains("=")).map { l =>
+        val Array(k, v) = l.trim.split("=", 2)
+        k.toInt -> v.drop(1).toLong
+      }.toMap
+
+  /** Snapshot manifest: one file mapping every table to its current
+    * snapshot id. A multi-table mutation stages all bucket versions and
+    * snapshot descriptors, then flips THIS one pointer — cross-table
+    * atomicity (a cascade delete is all-or-nothing), not just per-table.
     */
   private def readManifest(): Option[Map[String, String]] =
     if (Files.exists(manifestFile))
@@ -410,32 +552,109 @@ class GraphStore(spark: SparkSession, root: String) {
         }.toMap)
     else None
 
-  private def currentVersion(t: String): Option[String] =
-    readManifest().flatMap(_.get(t))
+  private def currentSnapshot(t: String): Option[Long] =
+    readManifest().flatMap(_.get(t)).map { v =>
+      require(v.startsWith("s"),
+        s"Store at $root uses the pre-bucketed (round ≤7) layout; " +
+          "rebuild it — in-place migration is not implemented")
+      v.drop(1).toLong
+    }
 
-  private def readTable(t: String, schema: StructType): DataFrame =
-    currentVersion(t) match {
-      case Some(v) => spark.read.schema(schema).parquet(tableDir(t).resolve(v).toString)
+  private def readDirs(schema: StructType, dirs: Seq[Path]): DataFrame = {
+    // empty bucket-version dirs (a bucket whose rewrite emptied it) carry no
+    // parquet files; with the explicit schema Spark reads them as no rows
+    val nonEmpty = dirs.filter(d =>
+      Option(d.toFile.listFiles()).exists(_.exists(_.getName.endsWith(".parquet"))))
+    if (nonEmpty.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else spark.read.schema(schema).parquet(nonEmpty.map(_.toString): _*)
+  }
+
+  private def readTable(t: String): DataFrame =
+    currentSnapshot(t) match {
+      case Some(s) => readDirs(schemaFor(t),
+        readSnapshot(t, s).toSeq.map { case (k, v) => bucketVersionDir(t, k, v) })
       case None => throw new IllegalStateException(
         s"Table $t not initialized — call initialize() first")
     }
 
-  /** Stage new versions for every table in `updates`, then atomically flip
-    * the manifest (write temp + ATOMIC_MOVE). Readers see the whole old or
-    * whole new snapshot, never a mix; a crash mid-stage leaves only orphan
-    * directories the next vacuum removes.
+  /** Current-snapshot read RESTRICTED to the given bucket ids — the read
+    * side of bucket pruning: point lookups and mutations read 1/B of the
+    * table per touched key.
     */
-  private def commitTables(updates: Map[String, DataFrame],
+  private def readTableBuckets(t: String, buckets: Set[Int]): DataFrame =
+    currentSnapshot(t) match {
+      case Some(s) => readDirs(schemaFor(t),
+        readSnapshot(t, s).toSeq.collect {
+          case (k, v) if buckets(k) => bucketVersionDir(t, k, v)
+        })
+      case None => throw new IllegalStateException(
+        s"Table $t not initialized — call initialize() first")
+    }
+
+  /** One table's part of a commit: the bucket ids being rewritten and the
+    * new FULL content of exactly those buckets (`content` may be null iff
+    * `touched` is empty — the initialize path).
+    */
+  private case class BucketWrite(touched: Set[Int], content: DataFrame)
+
+  /** Stage new versions for every touched bucket of every table in
+    * `updates` (one Spark job per table: repartition by bucket id, write
+    * with `partitionBy`, move each staged partition dir into place), stage
+    * each table's new snapshot descriptor, then atomically flip the
+    * manifest (write temp + ATOMIC_MOVE). Readers see the whole old or
+    * whole new snapshot, never a mix; a crash mid-stage leaves only orphan
+    * dirs/descriptors the next vacuum removes.
+    */
+  private def commitBuckets(updates: Map[String, BucketWrite],
       maxIds: Map[String, Long] = Map.empty): Unit = {
     val manifest = readManifest().getOrElse(Map.empty)
-    val staged = updates.map { case (t, df) =>
-      Files.createDirectories(tableDir(t))
-      val next = "v" + (versionsOnDisk(t).lastOption.getOrElse(0L) + 1)
-      df.write.mode("overwrite").parquet(tableDir(t).resolve(next).toString)
-      t -> next
+    val staged = updates.map { case (t, BucketWrite(touched, content)) =>
+      Files.createDirectories(snapshotsDir(t))
+      val cur = currentSnapshot(t).map(readSnapshot(t, _)).getOrElse(Map.empty)
+      val newVersions: Map[Int, Long] =
+        if (touched.isEmpty) Map.empty
+        else {
+          val key = bucketKeyFor(t)
+          val stage = tableDir(t).resolve(s"_stage_${System.nanoTime()}")
+          val bucketed = content.withColumn("_bucket", bucketCol(col(key)))
+          val split =
+            if (filesPerBucket > 1)
+              bucketed.repartition(col("_bucket"),
+                pmod(xxhash64(col(key)), lit(filesPerBucket.toLong)))
+            else bucketed.repartition(col("_bucket"))
+          split.write.partitionBy("_bucket").parquet(stage.toString)
+          // a row whose bucket is outside `touched` would be silently
+          // dropped by the move below — make a caller bug loud instead
+          val strays = Option(stage.toFile.listFiles()).getOrElse(Array.empty)
+            .filter(f => f.isDirectory && f.getName.startsWith("_bucket="))
+            .map(_.getName.stripPrefix("_bucket=").toInt)
+            .filterNot(touched)
+          require(strays.isEmpty,
+            s"commit to $t staged rows for untouched buckets ${strays.toSeq.sorted}")
+          val out = touched.toSeq.sorted.map { k =>
+            val next = bucketVersionsOnDisk(t, k).lastOption.getOrElse(0L) + 1
+            val dest = bucketVersionDir(t, k, next)
+            Files.createDirectories(dest.getParent)
+            val src = stage.resolve(s"_bucket=$k")
+            if (Files.isDirectory(src))
+              Files.move(src, dest, StandardCopyOption.ATOMIC_MOVE)
+            else Files.createDirectories(dest) // bucket rewritten to empty
+            k -> next
+          }.toMap
+          rmTree(stage.toFile) // _SUCCESS + emptied partition skeleton
+          out
+        }
+      val snap = cur ++ newVersions
+      val snapId = snapshotsOnDisk(t).lastOption.getOrElse(0L) + 1
+      Files.write(snapshotFile(t, snapId),
+        snap.toSeq.sorted.map { case (k, v) => s"$k=v$v" }
+          .mkString("\n").getBytes(StandardCharsets.UTF_8))
+      t -> s"s$snapId"
     }
     val merged = manifest ++ staged ++
-      maxIds.map { case (t, v) => s"maxid.$t" -> v.toString }
+      maxIds.map { case (t, v) => s"maxid.$t" -> v.toString } +
+      ("nbuckets" -> manifest.getOrElse("nbuckets", numBuckets.toString))
     val tmp = Paths.get(root, "_MANIFEST.tmp")
     Files.write(tmp, merged.toSeq.sorted.map { case (k, v) => s"$k=$v" }
       .mkString("\n").getBytes(StandardCharsets.UTF_8))
@@ -443,42 +662,60 @@ class GraphStore(spark: SparkSession, root: String) {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  private def commitTable(t: String, df: DataFrame): Unit =
-    commitTables(Map(t -> df))
-
-  /** Compaction: rewrite a table's current version into `numFiles` files.
-    * Every rewrite emits shuffle-partition-many files; at scale the
-    * small-file accumulation degrades scan planning — compact periodically
-    * (then `vacuum` once reader horizons pass).
+  /** Compaction: rewrite every non-empty bucket of `table`'s current
+    * snapshot (the commit path's repartition-by-bucket already yields
+    * `filesPerBucket` files per bucket, so compaction is just a
+    * whole-table self-commit — then `vacuum` once reader horizons pass).
+    * `numFiles` is accepted for API compatibility; file count per bucket
+    * is governed by `filesPerBucket`.
     */
   def compact(table: String, numFiles: Int = 1): Unit = withWriteLock {
-    commitTable(table, readTable(table, schemaFor(table)).coalesce(numFiles))
+    val cur = currentSnapshot(table).map(readSnapshot(table, _)).getOrElse(Map.empty)
+    if (cur.nonEmpty)
+      commitBuckets(Map(table -> BucketWrite(cur.keySet, readTable(table))))
   }
 
-  /** Retention: drop old version directories, always keeping the version the
-    * manifest references (plus the `keepVersions - 1` most recent others
-    * below it for in-flight readers). Runs under the write lock, so orphans
-    * above the current version — from a crashed stage — are safe to delete
-    * too: no commit is in progress and the manifest never pointed at them.
+  /** Retention: keep the `keepVersions` most recent COMMITTED snapshots of
+    * each table (always including the manifest's current one), then delete
+    * every snapshot descriptor and bucket-version directory no kept
+    * snapshot references. Runs under the write lock, so orphans above the
+    * current snapshot — from a crashed stage — are safe to delete too: no
+    * commit is in progress and the manifest never pointed at them.
+    *
+    * READER HORIZON: a DataFrame resolved before `vacuum` holds paths into
+    * the old snapshot's bucket dirs; executing it after those dirs are
+    * deleted fails loudly (FileNotFoundException from the scan) — Spark
+    * pins the file listing, not the file contents. Run vacuum with
+    * `keepVersions` ≥ 1 + the number of snapshots your slowest in-flight
+    * reader may still hold (GraphStoreSpec pins both the loud failure and
+    * the keepVersions=2 safe path).
     */
   def vacuum(keepVersions: Int = 1): Unit = withWriteLock {
     require(keepVersions >= 1)
-    val manifest = readManifest().getOrElse(Map.empty)
-    Seq("entities", "observations", "relations").foreach { t =>
-      val current = manifest.get(t).map(_.drop(1).toLong)
-      if (current.isDefined) {
-        val versions = versionsOnDisk(t)
-        val keepBelow = versions
-          .filter(_ <= current.get).reverse.take(keepVersions).toSet
-        versions.filterNot(keepBelow).foreach { old =>
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) f.listFiles().foreach(rm)
-            f.delete()
-          }
-          rm(tableDir(t).resolve("v" + old).toFile)
+    Tables.foreach { t =>
+      currentSnapshot(t).foreach { cur =>
+        val snaps = snapshotsOnDisk(t)
+        val keep = snaps.filter(_ <= cur).reverse.take(keepVersions).toSet
+        snaps.filterNot(keep).foreach(s => Files.deleteIfExists(snapshotFile(t, s)))
+        val referenced: Map[Int, Set[Long]] = keep.toSeq
+          .flatMap(s => readSnapshot(t, s).toSeq)
+          .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+        bucketsOnDisk(t).foreach { k =>
+          bucketVersionsOnDisk(t, k)
+            .filterNot(referenced.getOrElse(k, Set.empty))
+            .foreach(v => rmTree(bucketVersionDir(t, k, v).toFile))
         }
+        // crashed-commit stage dirs
+        Option(tableDir(t).toFile.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.startsWith("_stage_"))
+          .foreach(rmTree)
       }
     }
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    f.delete()
   }
 
   /** Next-id base: read the id high-water mark from the manifest (written by
@@ -516,6 +753,23 @@ class GraphStore(spark: SparkSession, root: String) {
 }
 
 object GraphStore {
+  private[store] val Tables = Seq("entities", "observations", "relations")
+
+  /** Reference per-call API caps (/root/reference/src/index.ts:35,53). */
+  val MaxEntitiesPerCall = 50
+  val MaxRelationsPerCall = 100
+
+  /** Driver-side bucket id — the exact twin of the in-plan
+    * `pmod(xxhash64(key), B)` (same XxHash64, seed 42, matching
+    * `functions.xxhash64`; same pmod semantics for negative hashes).
+    * GraphStoreSpec pins driver ≡ in-plan over unicode names.
+    */
+  def bucketFor(name: String, buckets: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(name), StringType, 42L)
+    (((h % buckets) + buckets) % buckets).toInt
+  }
+
   /** Per-store-root JVM mutex backing withWriteLock. This map is NOT the
     * cross-process exclusion — that is the `FileChannel.lock` on
     * `root/_LOCK` taken by the outermost withWriteLock frame, which makes

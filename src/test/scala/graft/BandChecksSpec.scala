@@ -12,7 +12,7 @@ class BandChecksSpec extends AnyFunSuite with SparkTestBase {
 
   private val sf = "/root/testdata/sf0.01"
 
-  test("all 10 rows-only queries pass their documented error bands at sf0.01") {
+  test("all 10 band checks pass at sf0.01 (9 rows-only queries + the approx-topk quality/library cross-check)") {
     val bands = BandChecks.run(spark, sf)
     assert(bands.size == 10, s"expected 10 band checks, got ${bands.size}")
     val failed = bands.filterNot(_.ok)

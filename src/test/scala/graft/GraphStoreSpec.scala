@@ -293,12 +293,16 @@ class GraphStoreSpec extends AnyFunSuite with SparkTestBase {
       val line = reader.readLine()
       assert(line == "LOCKED", s"lock-holder failed to start: $line")
       val write = Future(st.createEntities(Seq(Entity("Held", "t", Seq("x")))))
-      Thread.sleep(2000)
-      // while the foreign process holds the lock, the commit must NOT have
-      // gone through (the round-5 failure mode was the opposite: a silent
-      // last-flip-wins manifest race)
-      assert(!write.isCompleted,
-        "writer must block while another process holds the store lock")
+      // poll rather than trusting one fixed sleep (a loaded box could make a
+      // single timing assertion flaky): the writer must stay incomplete
+      // across several observation windows while the foreign process holds
+      // the lock — a merely-slow writer would complete during them, the
+      // blocked writer cannot complete at all
+      (1 to 8).foreach { _ =>
+        Thread.sleep(250)
+        assert(!write.isCompleted,
+          "writer must block while another process holds the store lock")
+      }
       proc.destroyForcibly().waitFor() // process death releases the fcntl lock
       Await.result(write, 120.seconds) // blocked writer proceeds, commit lands
       assert(st.getEntity("Held").observations == Seq("x"))
@@ -313,5 +317,127 @@ class GraphStoreSpec extends AnyFunSuite with SparkTestBase {
     // the previously-resolved DataFrame still reads its pinned version
     assert(oldDf.count() == 3)
     assert(st.entities.count() == 4)
+  }
+
+  // ── bucketed copy-on-write layout (round-8 verdict item 1) ──────────────
+
+  /** All bucket-version dirs of a table, as (bucket, version) pairs. */
+  private def bucketVersions(dir: String, table: String): Set[(Int, Long)] = {
+    val td = new java.io.File(s"$dir/$table")
+    Option(td.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("b\\d+"))
+      .flatMap(b => Option(b.listFiles()).getOrElse(Array.empty)
+        .filter(v => v.isDirectory && v.getName.matches("v\\d+"))
+        .map(v => (b.getName.drop(1).toInt, v.getName.drop(1).toLong)))
+      .toSet
+  }
+
+  test("50-entity upsert into a 64-bucket store rewrites ONLY the touched buckets") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-store-").toString
+    val st = new GraphStore(spark, dir, numBuckets = 64)
+    st.initialize()
+    // base load: 600 entities spread across (essentially) all 64 buckets
+    st.upsertEntitiesDf(
+      (1 to 600).map(i => (s"base#$i", "base", Seq(s"obs $i")))
+        .toDF("name", "entity_type", "observations"))
+    val before = bucketVersions(dir, "entities")
+    val beforeObs = bucketVersions(dir, "observations")
+    assert(before.map(_._1).size > 60) // the base genuinely occupies the store
+
+    val names = (1 to 50).map(i => s"upd#$i")
+    st.createEntities(names.map(n => Entity(n, "t2", Seq("updated"))))
+
+    val expectedBuckets = names.map(GraphStore.bucketFor(_, 64)).toSet
+    val newEnt = bucketVersions(dir, "entities") -- before
+    val newObs = bucketVersions(dir, "observations") -- beforeObs
+    // the commit staged EXACTLY one new version per touched bucket, for
+    // exactly the buckets hashing the 50 names — not 64 table-wide rewrites
+    assert(newEnt.map(_._1) == expectedBuckets,
+      s"entities rewrote buckets ${newEnt.map(_._1).toSeq.sorted}, " +
+        s"expected ${expectedBuckets.toSeq.sorted}")
+    assert(newObs.map(_._1) == expectedBuckets)
+    assert(newEnt.size == expectedBuckets.size && expectedBuckets.size < 64)
+    // and content is still exact
+    assert(st.entities.count() == 650)
+    assert(st.getEntity("upd#7") == Entity("upd#7", "t2", Seq("updated")))
+    assert(st.getEntity("base#17").entityType == "base")
+  }
+
+  test("driver-side bucketFor equals the in-plan pmod(xxhash64) bucket column") {
+    import spark.implicits._
+    val names = Seq("Alice", "名前", "🌍emoji", "", "a b_c-d", "x" * 300,
+      "Ω≈ç√∫", " nbsp", "ALICE", "alice")
+    for (b <- Seq(16, 64, 1024)) {
+      val inPlan = names.toDF("n")
+        .select(org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.xxhash64(org.apache.spark.sql.functions.col("n")),
+          org.apache.spark.sql.functions.lit(b.toLong)).cast("int"))
+        .collect().map(_.getInt(0)).toSeq
+      assert(inPlan == names.map(GraphStore.bucketFor(_, b)),
+        s"driver/in-plan bucket mismatch at B=$b")
+    }
+  }
+
+  test("reference API caps: ≤50 entities and ≤100 relations per call (index.ts:35,53)") {
+    val st = freshStore()
+    intercept[IllegalArgumentException] {
+      st.createEntities((1 to 51).map(i => Entity(s"e$i", "t", Seq("o"))))
+    }
+    st.createEntities((1 to 50).map(i => Entity(s"e$i", "t", Seq("o")))) // at cap: ok
+    intercept[IllegalArgumentException] {
+      st.createRelations((1 to 101).map(i => Relation("e1", "e2", s"r$i")))
+    }
+    st.createRelations((1 to 100).map(i => Relation("e1", "e2", s"r$i"))) // at cap: ok
+    assert(st.entities.count() == 50 && st.relations.count() == 100)
+  }
+
+  test("cascade delete rewrites only the buckets holding the entity's rows and edges") {
+    val dir = Files.createTempDirectory("graft-store-").toString
+    val st = new GraphStore(spark, dir, numBuckets = 64)
+    st.initialize()
+    st.createEntities((1 to 40).map(i => Entity(s"n#$i", "t", Seq("o"))))
+    // victim has 2 out-edges (source bucket = bucket(victim)) and 2 in-edges
+    // from two other sources (their buckets get rewritten too)
+    st.createRelations(Seq(
+      Relation("n#1", "n#2", "a"), Relation("n#1", "n#3", "b"),
+      Relation("n#4", "n#1", "c"), Relation("n#5", "n#1", "d"),
+      Relation("n#9", "n#10", "unrelated")))
+    val before = bucketVersions(dir, "relations")
+    st.deleteEntity("n#1")
+    val touched = (bucketVersions(dir, "relations") -- before).map(_._1)
+    val expected = Seq("n#1", "n#4", "n#5").map(GraphStore.bucketFor(_, 64)).toSet
+    assert(touched == expected,
+      s"cascade rewrote relation buckets ${touched.toSeq.sorted}, expected ${expected.toSeq.sorted}")
+    // and the graph is consistent: no dangling edges, unrelated edge kept
+    assert(st.relations.count() == 1)
+    intercept[NoSuchElementException] { st.getEntity("n#1") }
+  }
+
+  test("vacuum reader horizon: stale DataFrame fails loudly after vacuum(1), survives keepVersions=2") {
+    val st = freshStore()
+    st.createEntities(Seq(Entity("A", "t1", Seq("o1"))))
+    val pinnedOk = st.entities
+    assert(pinnedOk.count() == 1) // executed before any vacuum: fine
+    st.createEntities(Seq(Entity("A", "t2", Seq("o2"))))
+    val stale = st.entities // bound to the post-upsert snapshot
+    st.createEntities(Seq(Entity("A", "t3", Seq("o3"))))
+    // keepVersions=2 keeps the snapshot `stale` is pinned to → safe
+    st.vacuum(keepVersions = 2)
+    assert(stale.select("entity_type").head().getString(0) == "t2")
+    val stale2 = st.entities
+    st.createEntities(Seq(Entity("A", "t4", Seq("o4"))))
+    st.vacuum(keepVersions = 1)
+    // the pinned bucket version is gone — the scan must fail LOUDLY (Spark
+    // pins file listings at resolution), never silently return wrong rows
+    val err = intercept[Exception] { stale2.select("entity_type").collect() }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(err).exists(c =>
+      c.isInstanceOf[java.io.FileNotFoundException] ||
+        c.getMessage != null && (c.getMessage.contains("FileNotFound") ||
+          c.getMessage.contains("does not exist") ||
+          c.getMessage.contains("PATH_NOT_FOUND"))),
+      s"expected a loud missing-file failure, got: $err")
   }
 }

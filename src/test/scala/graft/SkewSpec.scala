@@ -62,31 +62,46 @@ class SkewSpec extends AnyFunSuite with SparkTestBase {
     assert(idx.head == 0 && idx.forall(_ % 10 == 0))
   }
 
-  test("crashed stage: orphan version dirs don't affect reads, vacuum removes them, next commit works") {
+  /** All bucket-version dirs of a table, as "b<k>/v<M>" strings. */
+  private def bucketVersionDirs(dir: String, table: String): Set[String] = {
+    val td = new java.io.File(s"$dir/$table")
+    Option(td.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("b\\d+"))
+      .flatMap(b => Option(b.listFiles()).getOrElse(Array.empty)
+        .filter(v => v.isDirectory && v.getName.matches("v\\d+"))
+        .map(v => s"${b.getName}/${v.getName}"))
+      .toSet
+  }
+
+  test("crashed stage: orphan bucket versions/snapshots don't affect reads, vacuum removes them, next commit works") {
     val dir = Files.createTempDirectory("graft-store-").toString
     val st = new GraphStore(spark, dir)
     st.initialize()
     st.createEntities(Seq(Entity("A", "t", Seq("one"))))
-    // simulate a commit that wrote its version dir but died before the
-    // manifest flip: an orphan v-dir newer than the referenced one
+    // simulate a commit that staged its bucket version and snapshot
+    // descriptor but died before the manifest flip
     val entDir = new java.io.File(s"$dir/entities")
-    val maxV = entDir.listFiles().filter(_.getName.matches("v\\d+"))
+    val bucket = entDir.listFiles().filter(_.getName.matches("b\\d+")).head
+    val maxV = bucket.listFiles().filter(_.getName.matches("v\\d+"))
       .map(_.getName.drop(1).toLong).max
-    val orphan = new java.io.File(entDir, s"v${maxV + 1}")
+    val orphan = new java.io.File(bucket, s"v${maxV + 1}")
     orphan.mkdirs()
     new java.io.File(orphan, "part-orphan.parquet").createNewFile()
+    val orphanSnap = new java.io.File(s"$dir/entities/_snapshots/s99")
+    java.nio.file.Files.write(orphanSnap.toPath,
+      s"${bucket.getName.drop(1)}=v${maxV + 1}".getBytes)
     // reads resolve the manifest, not directory listings
     assert(st.getEntity("A").observations == Seq("one"))
-    // vacuum under the lock removes the orphan, keeps the live version
+    // vacuum under the lock removes both orphans, keeps the live version
     st.vacuum(keepVersions = 1)
-    assert(!orphan.exists())
+    assert(!orphan.exists() && !orphanSnap.exists())
     assert(st.getEntity("A").observations == Seq("one"))
     // and the next commit proceeds normally
     st.createEntities(Seq(Entity("B", "t", Seq("two"))))
     assert(st.entities.count() == 2)
   }
 
-  test("vacuum keeps the current version readable and drops old ones") {
+  test("vacuum keeps the current snapshot readable and drops old bucket versions") {
     val dir = Files.createTempDirectory("graft-store-").toString
     val st = new GraphStore(spark, dir)
     st.initialize()
@@ -94,14 +109,18 @@ class SkewSpec extends AnyFunSuite with SparkTestBase {
     st.createEntities(Seq(Entity("B", "t", Seq("two"))))
     st.compact("entities")
     assert(st.entities.count() == 2) // compaction preserves content
-    val before = new java.io.File(s"$dir/entities")
-      .listFiles().count(_.getName.matches("v\\d+"))
-    assert(before >= 3)
+    val before = bucketVersionDirs(dir, "entities")
+    assert(before.size >= 3) // two writes + a compaction across >= 1 bucket
     st.vacuum(keepVersions = 1)
-    val after = new java.io.File(s"$dir/entities")
-      .listFiles().count(_.getName.matches("v\\d+"))
-    assert(after == 1)
-    assert(st.entities.count() == 2) // current version intact
+    val after = bucketVersionDirs(dir, "entities")
+    // exactly the current snapshot's dirs survive: one live version per
+    // populated bucket, nothing else
+    assert(after.size < before.size)
+    assert(after.groupBy(_.split("/")(0)).forall(_._2.size == 1))
+    val snaps = new java.io.File(s"$dir/entities/_snapshots")
+      .listFiles().count(_.getName.matches("s\\d+"))
+    assert(snaps == 1)
+    assert(st.entities.count() == 2) // current snapshot intact
     assert(st.getEntity("B").observations == Seq("two"))
   }
 }
