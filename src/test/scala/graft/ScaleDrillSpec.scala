@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Dedup, Similarity}
+
+/** 10×-scale drills for the dedup/ANN scale paths (round-7 verdict item 4,
+  * the pipeline mirror of GraphAnalyticsSpec's kCore cascade drill): each
+  * test synthesizes a corpus ~10× the sf0.1 table it stands in for, with a
+  * planted ground truth, and pins the property that makes the operator
+  * 100 TB-viable — candidate pairs from (band, bucket) equi-joins grow
+  * NEAR-LINEARLY with corpus size at a fixed dup rate (an all-pairs design
+  * would grow quadratically and could still pass every fixed-size
+  * correctness spec), and IVF probe recall holds its band when the corpus
+  * grows 10× around fixed centroids. Measured counts go into the assertion
+  * messages so a regression reports the observed scaling, not just a bool.
+  */
+class ScaleDrillSpec extends AnyFunSuite with SparkTestBase {
+
+  /** splitmix64 — deterministic pseudo-random stream for synthesis. */
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** 40 pseudo-random tokens from a 5000-word vocabulary — unique enough
+    * that cross-doc shingle collisions are negligible.
+    */
+  private def docText(base: Long): String =
+    (0 until 40).map(j => "w" + math.floorMod(mix(base * 31 + j), 5000))
+      .mkString(" ")
+
+  /** Corpus with a planted 5% near-dup rate: every doc with id % 20 == 7 is
+    * its predecessor with the last token replaced (shingle Jaccard ≈ 0.85).
+    */
+  private def synthDocs(n: Long) = {
+    import spark.implicits._
+    (0L until n).map { i =>
+      val dup = i % 20 == 7
+      val base = if (dup) i - 1 else i
+      val text = if (dup)
+        docText(base).split(" ").dropRight(1).mkString(" ") + " x" + i
+      else docText(base)
+      (i, text)
+    }.toDF("doc_id", "text")
+  }
+
+  test("minhashLsh drill: candidate pairs grow near-linearly 3k -> 30k docs, planted recall holds") {
+    val n1 = 3000L
+    val n2 = 30000L // ~6x the sf0.1 documents table
+    def run(n: Long): (Long, Double) = {
+      val pairs = Dedup.minhashLsh(synthDocs(n), col("doc_id"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val planted = (0L until n).filter(_ % 20 == 7).map(i => (i - 1, i)).toSet
+      val recall = (pairs & planted).size.toDouble / planted.size
+      (pairs.size.toLong, recall)
+    }
+    val (p1, r1) = run(n1)
+    val (p2, r2) = run(n2)
+    val ratio = p2.toDouble / p1
+    // banded md5 buckets collide only on true signature agreement, so at a
+    // fixed dup rate pairs scale with n — a quadratic all-pairs candidate
+    // step would show ~100x here
+    assert(ratio >= 6 && ratio <= 15,
+      s"minhashLsh pairs grew ${p1} -> ${p2} (${f"$ratio%.1f"}x) over a 10x " +
+        "corpus — expected near-linear (6x-15x)")
+    // 4 bands x 4 rows at Jaccard 0.85: P(pair found) ≈ 0.95 — and the md5
+    // lanes make the measured value a fixed function of the corpus
+    assert(r1 >= 0.85 && r2 >= 0.85,
+      s"planted near-dup recall fell: ${f"$r1%.3f"} @ $n1, ${f"$r2%.3f"} @ $n2")
+  }
+
+  test("bandedHammingPairs drill: emitted pairs exactly the planted set at 5k and 50k fingerprints") {
+    import spark.implicits._
+    def fps(n: Long) = (0L until n).map { i =>
+      val dup = i % 20 == 7
+      val base = mix(if (dup) i - 1 else i) & ((1L << 60) - 1)
+      (i, if (dup) base ^ (1L << (i % 60).toInt) else base)
+    }
+    def run(n: Long): (Set[(Long, Long)], Long) = {
+      val fpSeq = fps(n)
+      val df = fpSeq.toDF("doc_id", "fp")
+      val pairs = Dedup.bandedHammingPairs(df, bits = 60, bands = 4, maxHamming = 3)
+        .select("a_id", "b_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // candidate volume of the SAME (band, bucket) join, measured: sum of
+      // C(bucket, 2) — the true cost driver before Hamming verification
+      val w = 15
+      val cand = df.select(col("doc_id"),
+          posexplode(array((0 until 4).map(b =>
+            shiftright(col("fp"), b * w).bitwiseAND(lit((1L << w) - 1))): _*))
+            .as(Seq("band", "bucket")))
+        .groupBy("band", "bucket").agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * (col("c") - 1)).cast("long")).head().getLong(0) / 2
+      (pairs, cand)
+    }
+    for (n <- Seq(5000L, 50000L)) { // 50k ≈ 10x the sf0.1 documents table
+      val (pairs, cand) = run(n)
+      val planted = (0L until n).filter(_ % 20 == 7).map(i => (i - 1, i)).toSet
+      // pigeonhole: hamming 1 < 4 bands guarantees every planted pair is a
+      // candidate (recall 1.0 by construction, not probability), and random
+      // 60-bit fingerprints essentially never pass hamming <= 3 — so the
+      // output is EXACTLY the planted set, at both scales
+      assert(pairs == planted,
+        s"n=$n: got ${pairs.size} pairs, planted ${planted.size}; " +
+          s"missing=${(planted -- pairs).take(3)}, extra=${(pairs -- planted).take(3)}")
+      // the band join's candidate volume follows the birthday term
+      // 4*C(n,2)/2^15 + planted — quadratic in n/2^w by design, which is
+      // why production simhash sizes band width to the corpus; pin the
+      // formula (2x slack) so a bucketing regression (e.g. a truncated
+      // band) shows up as a candidate explosion here
+      val expected = planted.size + 4.0 * n * (n - 1) / 2 / (1L << 15)
+      assert(cand < 2 * expected && cand > expected / 4,
+        s"n=$n: candidate pairs $cand vs birthday-model ${expected.toLong}")
+    }
+  }
+
+  /** Clustered embedding: dominant one-hot direction (id % 16) + small
+    * deterministic noise — k-means-style cells with clean separation.
+    */
+  private def synthVec(i: Long, dim: Int = 16): Array[Float] = {
+    val c = (i % 16).toInt
+    Array.tabulate(dim) { j =>
+      (if (j == c) 8f else 0f) + (math.floorMod(mix(i * 31 + j), 7) - 3) * 0.25f
+    }
+  }
+
+  test("IVF probe drill: persisted-index recall holds its band when the corpus grows 10x") {
+    import spark.implicits._
+    val centroids = (0 until 16).map(c =>
+      (c.toLong, Array.tabulate(16)(j => if (j == c) 1f else 0f)))
+      .toDF("centroid_id", "centv")
+    def recallAt(n: Long): Double = {
+      val corpus = (0L until n).map(i => (i, synthVec(i))).toDF("vec_id", "embedding")
+      val queries = (0L until 50L).map(q => {
+        val i = q * (n / 50); (i, synthVec(i))
+      }).toDF("vec_id", "embedding")
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivf-drill-").toString
+      Similarity.buildIvfIndex(corpus, centroids,
+        col("vec_id"), col("embedding"), col("centroid_id"), col("centv"),
+        s"$dir/ivf")
+      val got = Similarity.ivfProbeIndex(queries, s"$dir/ivf", centroids,
+          col("vec_id"), col("embedding"), col("centroid_id"), col("centv"),
+          k = 10, nprobe = 2)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = Similarity.bruteForceTopK(queries, corpus,
+          col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), k = 10)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got & exact).size.toDouble / exact.size
+    }
+    val r1 = recallAt(2000L)  // the sf0.1 embeddings scale
+    val r2 = recallAt(20000L) // 10x
+    // the ann_* band floor (0.7, BandChecks.annMllib precedent); clustered
+    // cells + nprobe=2 should land far above it, and growing the corpus
+    // around FIXED centroids must not erode it (cells grow, geometry
+    // doesn't)
+    assert(r1 >= 0.7 && r2 >= 0.7,
+      s"IVF probe recall out of band: ${f"$r1%.3f"} @ 2k, ${f"$r2%.3f"} @ 20k")
+    assert(r2 >= r1 - 0.1,
+      s"recall eroded >0.1 under 10x growth: ${f"$r1%.3f"} -> ${f"$r2%.3f"}")
+  }
+}
