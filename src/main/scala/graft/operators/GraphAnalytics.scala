@@ -234,7 +234,7 @@ object GraphAnalytics {
     for (_ <- 1 to rounds) {
       // edgeSupport materializes (localCheckpoint) before returning, so
       // each round's filter reads a settled frame — no lineage pyramid.
-      out = edgeSupport(cur).filter(col("support") >= k - 2)
+      out = trussPeelRound(cur, k)
       cur = out.select("u", "v")
     }
     out
@@ -472,13 +472,7 @@ object GraphAnalytics {
     val vRows = surv.count() // counts the eager checkpoint — metadata cost
     def bc(df: DataFrame): DataFrame = Hints.broadcastIfUnder(df, vRows)
     for (_ <- 1 to rounds) {
-      surv = adj
-        .join(bc(surv.withColumnRenamed("node", "a")), Seq("a"), "left_semi")
-        .join(bc(surv.withColumnRenamed("node", "b")), Seq("b"), "left_semi")
-        .groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k)
-        .select("node")
-        .localCheckpoint(true)
+      surv = kCorePeelRound(adj, surv, k, bc).localCheckpoint(true)
     }
     // final pass re-attaches the in-core degree for the output frame
     val out = adj
@@ -599,16 +593,8 @@ object GraphAnalytics {
     def bc(df: DataFrame): DataFrame = Hints.broadcastIfUnder(df, vRows)
     for (_ <- 1 to rounds) {
       // neighbor labels arrive via the cached b-partitioned adjacency (the
-      // broadcast label frame is probed map-side); argmax-by-count with
-      // smallest-label tiebreak is min over (-cnt, lbl) pairs — an ordinary
-      // aggregation that partial-aggregates, not a window
-      labels = adj
-        .join(bc(labels.withColumnRenamed("node", "b")), Seq("b"))
-        .groupBy("a", "lbl").agg(count(lit(1)).as("cnt"))
-        .groupBy(col("a").as("node"))
-        .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("l"))).as("m"))
-        .select(col("node"), col("m.l").as("lbl"))
-        .localCheckpoint(true)
+      // broadcast label frame is probed map-side); see lpaRound
+      labels = lpaRound(adj, labels, bc).localCheckpoint(true)
     }
     adj.unpersist(false)
     labels
@@ -664,12 +650,7 @@ object GraphAnalytics {
       // the O(≤V) frame broadcasts into the relaxation join, size-gated per
       // round (the frontier GROWS — counting the eager checkpoint is a
       // metadata-cost job, and past the cap the round plans a shuffled join)
-      val relaxed = adj
-        .join(Hints.broadcastGated(dist.withColumnRenamed("node", "a")), "a")
-        .select(col("b").as("node"), (col("dist") + col("w")).as("dist"))
-      dist = dist.union(relaxed)
-        .groupBy("node").agg(min("dist").as("dist"))
-        .localCheckpoint(true)
+      dist = ssspRelaxRound(adj, dist).localCheckpoint(true)
     }
     adj.unpersist(false)
     dist
@@ -700,6 +681,58 @@ object GraphAnalytics {
     */
   final case class Fixpoint(result: DataFrame, roundsUsed: Int, converged: Boolean)
 
+  // The per-round STEPS below are shared verbatim between each fixed-round
+  // operator and its *Converged twin, so "the converged variant runs the
+  // identical per-round plan" is true by construction — the convergence
+  // guard adds only a count over the round's eager checkpoint (monotone
+  // peels) or one O(V) broadcast join against the previous checkpointed
+  // frame (labels/distances), never a different round dataflow. PlanSpec
+  // pins each step's physical shape (broadcast joins, no sort-merge, no
+  // extra exchange) and that the changed-rows probe plans no data shuffle.
+
+  /** One kCore peel: restrict the cached adjacency to surviving endpoints
+    * (two semi-joins), recount degrees, keep nodes with deg ≥ k.
+    */
+  private[graft] def kCorePeelRound(adj: DataFrame, surv: DataFrame, k: Int,
+      bc: DataFrame => DataFrame): DataFrame =
+    adj
+      .join(bc(surv.withColumnRenamed("node", "a")), Seq("a"), "left_semi")
+      .join(bc(surv.withColumnRenamed("node", "b")), Seq("b"), "left_semi")
+      .groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= k)
+      .select("node")
+
+  /** One synchronous LPA round: each node adopts its neighbors' most
+    * frequent label (smallest label breaks ties) — argmax-by-count as min
+    * over (-cnt, lbl) pairs, an ordinary partial-aggregating aggregation,
+    * not a window.
+    */
+  private[graft] def lpaRound(adj: DataFrame, labels: DataFrame,
+      bc: DataFrame => DataFrame): DataFrame =
+    adj
+      .join(bc(labels.withColumnRenamed("node", "b")), Seq("b"))
+      .groupBy("a", "lbl").agg(count(lit(1)).as("cnt"))
+      .groupBy(col("a").as("node"))
+      .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("l"))).as("m"))
+      .select(col("node"), col("m.l").as("lbl"))
+
+  /** One Bellman-Ford relaxation: propagate dist+w along the cached
+    * adjacency, min-merge with the previous distance frame.
+    */
+  private[graft] def ssspRelaxRound(adj: DataFrame, dist: DataFrame): DataFrame = {
+    val relaxed = adj
+      .join(Hints.broadcastGated(dist.withColumnRenamed("node", "a")), "a")
+      .select(col("b").as("node"), (col("dist") + col("w")).as("dist"))
+    dist.union(relaxed)
+      .groupBy("node").agg(min("dist").as("dist"))
+  }
+
+  /** One k-truss peel: recompute per-edge triangle support, keep edges with
+    * support ≥ k−2 (edgeSupport materializes before returning).
+    */
+  private[graft] def trussPeelRound(cur: DataFrame, k: Int): DataFrame =
+    edgeSupport(cur).filter(col("support") >= k - 2)
+
   /** Run-to-fixpoint [[kCore]]: identical per-round peel, stops at the
     * first round that drops no node. Survivor sets are nested, so the
     * count-equality exit is exact, costing one metadata-count per round.
@@ -719,13 +752,7 @@ object GraphAnalytics {
     var converged = false
     while (used < maxRounds && !converged) {
       used += 1
-      surv = adj
-        .join(bc(surv.withColumnRenamed("node", "a")), Seq("a"), "left_semi")
-        .join(bc(surv.withColumnRenamed("node", "b")), Seq("b"), "left_semi")
-        .groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k)
-        .select("node")
-        .localCheckpoint(true)
+      surv = kCorePeelRound(adj, surv, k, bc).localCheckpoint(true)
       val n = surv.count()
       if (n == prevN) converged = true
       prevN = n
@@ -759,7 +786,7 @@ object GraphAnalytics {
     var converged = false
     while (used < maxRounds && !converged) {
       used += 1
-      out = edgeSupport(cur).filter(col("support") >= k - 2)
+      out = trussPeelRound(cur, k)
       cur = out.select("u", "v")
       val m = cur.count() // edgeSupport checkpointed — metadata cost
       if (m == prevM) converged = true
@@ -791,13 +818,7 @@ object GraphAnalytics {
     var converged = false
     while (used < maxRounds && !converged) {
       used += 1
-      val next = adj
-        .join(bc(labels.withColumnRenamed("node", "b")), Seq("b"))
-        .groupBy("a", "lbl").agg(count(lit(1)).as("cnt"))
-        .groupBy(col("a").as("node"))
-        .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("l"))).as("m"))
-        .select(col("node"), col("m.l").as("lbl"))
-        .localCheckpoint(true)
+      val next = lpaRound(adj, labels, bc).localCheckpoint(true)
       val changed = next
         .join(bc(labels.withColumnRenamed("lbl", "prev_lbl")), Seq("node"))
         .filter(col("lbl") =!= col("prev_lbl"))
@@ -831,12 +852,7 @@ object GraphAnalytics {
     var converged = false
     while (used < maxRounds && !converged) {
       used += 1
-      val relaxed = adj
-        .join(Hints.broadcastGated(dist.withColumnRenamed("node", "a")), "a")
-        .select(col("b").as("node"), (col("dist") + col("w")).as("dist"))
-      val next = dist.union(relaxed)
-        .groupBy("node").agg(min("dist").as("dist"))
-        .localCheckpoint(true)
+      val next = ssspRelaxRound(adj, dist).localCheckpoint(true)
       val changed = next
         .join(Hints.broadcastGated(dist.withColumnRenamed("dist", "prev_dist")),
           Seq("node"), "left")

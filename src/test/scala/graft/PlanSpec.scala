@@ -396,6 +396,70 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"the bit-table scan must be the broadcast cross, not a cartesian:\n$p")
   }
 
+  test("q_approx_topk: broadcast CMS probe, two scans, top-k without a global sort") {
+    val p = plan("q_approx_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 must be TakeOrdered:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"the <=4*8192-cell sketch must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"probe join must not shuffle:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p.split("\\(1\\) Scan").head).length
+    assert(scans <= 2, s"expected cells scan + candidate scan only, got $scans:\n$p")
+  }
+
+  test("fixpoint round steps: one shared per-round plan; the convergence probe adds no data shuffle") {
+    // The *Converged operators call the SAME private round-step functions
+    // as their fixed-round (oracle-replayable) twins — kCorePeelRound,
+    // lpaRound, ssspRelaxRound, trussPeelRound — so their per-round plans
+    // are identical BY CONSTRUCTION. This test pins the two halves of that
+    // contract against regression: (a) the shared round step keeps its
+    // scale shape — broadcast joins against the cached adjacency, the
+    // aggregation reusing the adjacency's repartition key, never a
+    // sort-merge join or a second data exchange; (b) the convergence
+    // probe (the only thing the Converged loop ADDS per round) plans zero
+    // hash-partitioned exchange — just a broadcast join over two O(V)
+    // checkpointed frames and the count's single-partition collapse.
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    import graft.operators.GraphAnalytics
+    def simple(df: DataFrame): String = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    val e = (1L to 40L).map(i => (i, i % 37 + 1)).toDF("u", "v")
+    val adj = e.select(col("u").as("a"), col("v").as("b"))
+      .union(e.select(col("v").as("a"), col("u").as("b")))
+      .repartition(col("a")).cache()
+    val surv = adj.select(col("a").as("node")).distinct().localCheckpoint(true)
+    val bc = (df: DataFrame) => broadcast(df)
+
+    // (a) the shared kCore peel round: two broadcast SEMI joins, and the
+    // degree groupBy reuses the adjacency's hash partitioning — the ONLY
+    // hashpartitioning exchange is the adjacency's one-time repartition
+    val peel = simple(GraphAnalytics.kCorePeelRound(adj, surv, 2, bc))
+    assert(!peel.contains("SortMergeJoin"), s"peel round shuffled:\n$peel")
+    assert("BroadcastHashJoin".r.findAllIn(peel).length == 2,
+      s"expected 2 broadcast semi-joins:\n$peel")
+    // everything ABOVE the cached adjacency (whose own one-time repartition
+    // legitimately prints inside the InMemoryRelation subtree) must add
+    // zero exchanges: the degree groupBy reuses the cache's partitioning
+    val aboveCache = peel.split("InMemoryRelation").head
+    assert(!aboveCache.contains("Exchange hashpartitioning"),
+      s"peel round added a data exchange beyond the cached repartition:\n$peel")
+    adj.unpersist(false)
+
+    // (b) the LPA convergence probe over two checkpointed label frames:
+    // broadcast equi-join + count only — no hashpartitioning exchange at all
+    val l1 = (1L to 40L).map(i => (i, i % 7)).toDF("node", "lbl").localCheckpoint(true)
+    val l2 = (1L to 40L).map(i => (i, i % 5)).toDF("node", "lbl").localCheckpoint(true)
+    val probe = l2.join(bc(l1.withColumnRenamed("lbl", "prev_lbl")), Seq("node"))
+      .filter(col("lbl") =!= col("prev_lbl"))
+      .groupBy().count()
+    val pp = simple(probe)
+    assert(!pp.contains("SortMergeJoin") &&
+      !pp.contains("Exchange hashpartitioning"),
+      s"convergence probe must not shuffle data:\n$pp")
+    assert(pp.contains("Exchange SinglePartition") || pp.contains("partial_count") ||
+      pp.contains("count"), s"probe should be a plain count:\n$pp")
+  }
+
   test("q_rfm: quintile windows run over the aggregated customer frame only") {
     // the EXECUTED plan (formatted explain of an AQE plan appends the
     // pre-execution "Initial Plan" — slice it off before counting)
