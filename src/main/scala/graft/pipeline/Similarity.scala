@@ -394,9 +394,15 @@ object Similarity {
     var sel = Seq(seed)
     var out = Seq((1, seed, 0L))
     for (step <- 2 to k) {
-      val selDf = broadcast(iv.filter(col("vec_id").isin(sel: _*))
-        .select(col("iv").as("siv")))
-      val best = iv.filter(!col("vec_id").isin(sel: _*))
+      // selected ids as a broadcast FRAME, not an isin literal: the round
+      // plan stays structurally identical as the selection grows (codegen
+      // compiles once and caches; a growing literal re-compiles every
+      // round and would not survive k in the hundreds — round-7 verdict)
+      val selIds = broadcast(sel.map(Tuple1(_)).toDF("sel_id"))
+      val selDf = broadcast(
+        iv.join(selIds, col("vec_id") === col("sel_id"), "left_semi")
+          .select(col("iv").as("siv")))
+      val best = iv.join(selIds, col("vec_id") === col("sel_id"), "left_anti")
         .crossJoin(selDf)
         .groupBy("vec_id")
         .agg(min(Pq.sqDistL(col("iv"), col("siv"))).as("dmin"))

@@ -656,10 +656,65 @@ class GraphStore(spark: SparkSession, root: String, numBuckets: Int = 16,
       maxIds.map { case (t, v) => s"maxid.$t" -> v.toString } +
       ("nbuckets" -> manifest.getOrElse("nbuckets", numBuckets.toString))
     val tmp = Paths.get(root, "_MANIFEST.tmp")
-    Files.write(tmp, merged.toSeq.sorted.map { case (k, v) => s"$k=$v" }
-      .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val body = merged.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+      .mkString("\n").getBytes(StandardCharsets.UTF_8)
+    // persist the manifest history BEFORE the flip: _manifests/m<N> is the
+    // cross-table-consistent snapshot readStoreVersion travels to (a crash
+    // here leaves an orphan history file the manifest never pointed at —
+    // readable as its own consistent prefix, pruned like any orphan)
+    Files.createDirectories(manifestsDir)
+    val mId = manifestsOnDisk.lastOption.getOrElse(0L) + 1
+    Files.write(manifestsDir.resolve("m" + mId), body)
+    Files.write(tmp, body)
     Files.move(tmp, manifestFile, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  // ── cross-table consistent time travel ──────────────────────────────────
+
+  private def manifestsDir: Path = Paths.get(root, "_manifests")
+  private def manifestsOnDisk: Seq[Long] =
+    Option(manifestsDir.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.matches("m\\d+"))
+      .map(_.getName.drop(1).toLong).sorted.toSeq
+
+  /** Store-wide commit ids still on disk, ascending — each is a CROSS-TABLE
+    * consistent point (the whole `_MANIFEST` as it stood after that commit),
+    * unlike [[tableVersions]]' per-table snapshots. The newest one is
+    * always the current manifest.
+    */
+  def storeVersions: Seq[Long] = manifestsOnDisk.filter { m =>
+    // exclude orphans from a crash between history-write and flip: a
+    // history file is committed iff every table snapshot it references is
+    // at or below the table's CURRENT snapshot (snapshots only grow)
+    readManifestVersion(m).forall { case (t, v) =>
+      !Tables.contains(t) || currentSnapshot(t).exists(_ >= v.drop(1).toLong)
+    }
+  }
+
+  private def readManifestVersion(m: Long): Map[String, String] =
+    new String(Files.readAllBytes(manifestsDir.resolve("m" + m)),
+      StandardCharsets.UTF_8)
+      .split("\n").filter(_.contains("=")).map { l =>
+        val Array(k, v) = l.trim.split("=", 2); k -> v
+      }.toMap
+
+  /** Read `table` as it stood at store-wide commit `storeVersion` — the
+    * cross-table consistent snapshot (all three tables read at the same
+    * commit see exactly the state one atomic manifest flip published, e.g.
+    * a cascade delete is wholly present or wholly absent across tables).
+    * Requires the referenced table snapshots to not have been vacuumed:
+    * retention is governed by the same `vacuum(keepVersions)` horizon.
+    */
+  def readTableAt(table: String, storeVersion: Long): DataFrame = {
+    schemaFor(table)
+    require(storeVersions.contains(storeVersion),
+      s"Store version m$storeVersion is not a committed on-disk manifest " +
+        "(vacuumed, never written, or an in-flight commit)")
+    val snap = readManifestVersion(storeVersion).get(table).map(_.drop(1).toLong)
+      .getOrElse(throw new IllegalStateException(
+        s"Table $table absent from store version m$storeVersion"))
+    readTableVersion(table, snap)
   }
 
   /** Compaction: rewrite every non-empty bucket of `table`'s current
@@ -710,6 +765,16 @@ class GraphStore(spark: SparkSession, root: String, numBuckets: Int = 16,
           .filter(f => f.isDirectory && f.getName.startsWith("_stage_"))
           .foreach(rmTree)
       }
+    }
+    // prune manifest history to entries whose table snapshots all survived
+    // the passes above (plus orphans from a crashed commit) — keeps
+    // readTableAt and vacuum under ONE retention horizon
+    manifestsOnDisk.foreach { m =>
+      val refs = readManifestVersion(m)
+      val live = Tables.forall { t =>
+        refs.get(t).forall(v => snapshotsOnDisk(t).contains(v.drop(1).toLong))
+      }
+      if (!live) Files.deleteIfExists(manifestsDir.resolve("m" + m))
     }
   }
 

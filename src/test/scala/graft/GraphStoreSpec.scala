@@ -414,6 +414,33 @@ class GraphStoreSpec extends AnyFunSuite with SparkTestBase {
     intercept[NoSuchElementException] { st.getEntity("n#1") }
   }
 
+  test("readTableAt: store versions are CROSS-TABLE consistent (cascade delete wholly present or absent)") {
+    val st = freshStore()
+    st.createEntities(Seq(
+      Entity("A", "t", Seq("oa")), Entity("B", "t", Seq("ob"))))
+    st.createRelations(Seq(Relation("A", "B", "knows")))
+    val beforeDelete = st.storeVersions.last
+    st.deleteEntity("A") // one manifest flip rewrites 3 tables
+    val afterDelete = st.storeVersions.last
+    assert(afterDelete > beforeDelete)
+    // at the pre-delete store version ALL THREE tables still show A
+    assert(st.readTableAt("entities", beforeDelete).filter("name = 'A'").count() == 1)
+    assert(st.readTableAt("observations", beforeDelete)
+      .filter("entity_name = 'A'").count() == 1)
+    assert(st.readTableAt("relations", beforeDelete).count() == 1)
+    // at the post-delete version the cascade is wholly absent — no state
+    // where the entity is gone but its edges linger
+    assert(st.readTableAt("entities", afterDelete).filter("name = 'A'").count() == 0)
+    assert(st.readTableAt("observations", afterDelete)
+      .filter("entity_name = 'A'").count() == 0)
+    assert(st.readTableAt("relations", afterDelete).count() == 0)
+    // vacuum prunes history under the same horizon; the current version stays
+    st.vacuum(keepVersions = 1)
+    intercept[IllegalArgumentException] { st.readTableAt("entities", beforeDelete) }
+    assert(st.readTableAt("entities", st.storeVersions.last).count() == 1)
+    intercept[IllegalArgumentException] { st.readTableAt("nope", afterDelete) }
+  }
+
   test("vacuum reader horizon: stale DataFrame fails loudly after vacuum(1), survives keepVersions=2") {
     val st = freshStore()
     st.createEntities(Seq(Entity("A", "t1", Seq("o1"))))
