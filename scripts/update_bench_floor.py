@@ -3,8 +3,9 @@
 
 Usage: python3 scripts/update_bench_floor.py bench_output.json
 The input is the one-line JSON Bench prints ({"metric":"total",...,"queries":{...}}).
-Floors are each query's best observed t1 at sf0.1 — Bench warns at >1.5x and
-fails at >2.5x of max(floor, 0.3s), comparing min(t1, t2).
+Floors are each query's best observed t1 at sf0.1. Bench compares min(t1, t2)
+vs max(floor, 0.3s): warn at ratio>1.5 & excess>0.3s, fail at ratio>2.5 &
+excess>1.0s.
 """
 import json
 import sys
@@ -28,8 +29,9 @@ def main() -> None:
             floors[q] = round(t, 3)
             updated += 1
     out = {
-        "_doc": "Per-query t1 floors (sec) at sf0.1 — min over recorded runs. "
-                "Bench compares min(t1,t2) vs max(floor,0.3): warn >1.5x, fail >2.5x.",
+        "_doc": "Per-query t1 floors (sec) at sf0.1 - min over recorded runs. "
+                "Bench compares min(t1,t2) vs max(floor,0.3): warn ratio>1.5 & "
+                "excess>0.3s, fail ratio>2.5 & excess>1.0s.",
         "floors": dict(sorted(floors.items())),
     }
     with open(FLOOR_FILE, "w") as f:

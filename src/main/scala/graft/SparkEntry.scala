@@ -362,6 +362,24 @@ object SparkEntry {
         lit("EXTRA").as("entity_type"),
         array(lit("born in batch 2")).as("observations"))
       st.upsertEntitiesDf(retyped.unionByName(extras))
+      // one relations batch (≤100, the reference API cap): a %50 custkey
+      // chain plus one out-edge and one in-edge per soon-to-be-deleted
+      // victim, so the cascade deletes exercise BOTH bucket-discovery
+      // sides (source bucket + target-side scan) and the consistency
+      // query below has edges whose lifetime brackets the deletes
+      // custkeys start at 0; the 1..4650 band gives ≤93 chain edges, so
+      // chain + 6 victim edges stays within the 100-relation API cap at
+      // every sf
+      val ks = cust
+        .filter(col("c_custkey") % 50 === 0 &&
+          col("c_custkey").between(1, 4650))
+        .select(col("c_custkey").cast("long")).collect().map(_.getLong(0)).sorted
+      val chain = ks.toSeq.map(k => graft.store.Relation(
+        f"Customer#$k%09d", f"Customer#${k + 1}%09d", "next"))
+      val victimEdges = Seq(11L, 22L, 33L).flatMap(k => Seq(
+        graft.store.Relation(f"Customer#$k%09d", f"Customer#${k + 1}%09d", "victim_out"),
+        graft.store.Relation(f"Customer#${k + 1}%09d", f"Customer#$k%09d", "victim_in")))
+      st.createRelations(chain ++ victimEdges)
       Seq(11L, 22L, 33L).foreach(k =>
         st.deleteEntity(f"Customer#$k%09d"))
     }
@@ -598,8 +616,36 @@ object SparkEntry {
     "store_diff_versions" -> ((s, d) => {
       val st = new graft.store.GraphStore(s, storeDiffSetup(s, d))
       val vs = st.tableVersions("entities")
-      // vs: [init(empty), bulk, retype+extras, del, del, del]
+      // vs: [init(empty), bulk, retype+extras, del, del, del] — the
+      // relations batch in the setup commits only the relations table, so
+      // the entities snapshot chain is unchanged
       st.diffVersions("entities", vs(1), vs.last).orderBy("name")
+    }),
+
+    // Cross-table consistent time travel (round-8 store capability): walk
+    // EVERY store-wide commit (_manifests history) and count entities /
+    // observations / relations as of that commit, plus dangling edges —
+    // relations whose source or target is absent from the SAME-version
+    // entities snapshot. The oracle recomputes every count in closed form
+    // from the deterministic mutation script (bulk load, retype+extras,
+    // one ≤100-edge relations batch, three cascade deletes), and pins
+    // n_dangling = 0 at all 7 versions: the one-manifest-flip atomicity
+    // means no readable state ever shows a cascade half-applied. The
+    // counts are O(store) jobs against snapshot-pruned bucket dirs.
+    "store_consistent_travel" -> ((s, d) => {
+      import s.implicits._
+      val st = new graft.store.GraphStore(s, storeDiffSetup(s, d))
+      val rows = st.storeVersions.zipWithIndex.map { case (m, i) =>
+        val ent = st.readTableAt("entities", m).select("name")
+        val rel = st.readTableAt("relations", m)
+        val dangling =
+          rel.join(ent.withColumnRenamed("name", "source"), Seq("source"), "left_anti").count() +
+            rel.join(ent.withColumnRenamed("name", "target"), Seq("target"), "left_anti").count()
+        (i + 1, ent.count(), st.readTableAt("observations", m).count(),
+          rel.count(), dangling)
+      }
+      rows.toDF("v", "n_entities", "n_observations", "n_relations", "n_dangling")
+        .orderBy("v")
     }),
 
     // ── aggregation battery (star-schema surface) ─────────────────────────
@@ -6288,6 +6334,31 @@ object SparkEntry {
            UNION ALL SELECT * FROM added
            UNION ALL SELECT * FROM removed)
          ORDER BY name""",
+
+    // closed-form replay of the 7-commit store script: v1 init, v2 bulk
+    // (nc entities, 1 obs each), v3 retype+extras (+n97), v4 relations
+    // batch (nch chain + 3 out + 3 in victim edges), v5..v7 cascade
+    // deletes (-1 entity/obs, -2 relations each: the victim's out- and
+    // in-edge). n_dangling is literal 0 at every version — the atomicity
+    // claim the Spark side actually measures with per-version anti-joins.
+    "store_consistent_travel" ->
+      """WITH c AS (
+           SELECT CAST(count(*) AS BIGINT) AS nc,
+             CAST(count(*) FILTER (WHERE c_custkey % 97 = 0) AS BIGINT) AS n97,
+             CAST(count(*) FILTER (WHERE c_custkey % 50 = 0 AND c_custkey BETWEEN 1 AND 4650) AS BIGINT) AS nch
+           FROM customer),
+         v AS (SELECT unnest(generate_series(1, 7)) AS v)
+         SELECT CAST(v AS INT) AS v,
+           CAST(CASE WHEN v = 1 THEN 0 WHEN v = 2 THEN nc
+                WHEN v IN (3, 4) THEN nc + n97
+                ELSE nc + n97 - (v - 4) END AS BIGINT) AS n_entities,
+           CAST(CASE WHEN v = 1 THEN 0 WHEN v = 2 THEN nc
+                WHEN v IN (3, 4) THEN nc + n97
+                ELSE nc + n97 - (v - 4) END AS BIGINT) AS n_observations,
+           CAST(CASE WHEN v <= 3 THEN 0
+                ELSE nch + 6 - 2 * (v - 4) END AS BIGINT) AS n_relations,
+           CAST(0 AS BIGINT) AS n_dangling
+         FROM v, c ORDER BY v""",
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
