@@ -43,17 +43,24 @@ object Cms {
     */
   def bucketCol(j: Int, key: Column, width: Int): Column = bucket(j, key, width)
 
-  /** Sketch cells for the keyed corpus: depth rows per input row, reduced
-    * to ≤ depth·width `(j, b, cnt)` cells by one partial aggregation.
+  /** Sketch cells for the keyed corpus, reduced to ≤ depth·width
+    * `(j, b, cnt)` cells. Counts are pre-aggregated per DISTINCT key first
+    * (map-side combinable), so the depth md5 lanes are computed once per
+    * distinct key instead of once per row — on a 6M-row / 20k-key column
+    * that is 300× less hashing for bit-identical cells (the bucket sum of
+    * per-key counts ≡ the bucket count of rows; round-8 rewrite, oracles
+    * unchanged). Keys near-unique degrade gracefully: the pre-aggregation
+    * then shuffles what the cell aggregation would have anyway.
     */
   def build(df: DataFrame, key: Column, depth: Int, width: Int): DataFrame = {
     require(depth >= 1 && width >= 2)
     df.select(key.as("k"))
-      .select(explode(array((0 until depth).map(j =>
+      .groupBy("k").agg(count(lit(1)).as("_kcnt"))
+      .select(col("_kcnt"), explode(array((0 until depth).map(j =>
         struct(lit(j).as("j"), bucket(j, col("k"), width).as("b"))): _*))
         .as("cell"))
       .groupBy(col("cell.j").as("j"), col("cell.b").as("b"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum("_kcnt").as("cnt"))
   }
 
   /** Cell-wise sum of two sketches built with the same (depth, width):
