@@ -227,15 +227,21 @@ object GraphAnalytics {
   def trussEdges(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 3 && rounds >= 1 && rounds <= 10,
       s"need k >= 3 and rounds in [1, 10], got k=$k rounds=$rounds")
-    var cur = edges.select(
+    val cur = edges.select(
       least(col("u"), col("v")).cast("long").as("u"),
       greatest(col("u"), col("v")).cast("long").as("v"))
+    // Each round is a full edgeSupport re-enumeration of the (shrinking)
+    // survivor set. A decremental formulation (trussDecRound) was measured
+    // at sf0.1 and LOST on this workload: with ~10^6 survivors and sliver
+    // removals, the per-round anti-join + checkpoint + closure joins cost
+    // as much as re-enumerating — the decremental operator is kept for its
+    // real use case (maintaining supports under edge DELETIONS, the
+    // removal-side sibling of incrementalTriangleCounts), not the peel loop.
+    var cur2 = cur
     var out: DataFrame = null
     for (_ <- 1 to rounds) {
-      // edgeSupport materializes (localCheckpoint) before returning, so
-      // each round's filter reads a settled frame — no lineage pyramid.
-      out = trussPeelRound(cur, k)
-      cur = out.select("u", "v")
+      out = trussPeelRound(cur2, k)
+      cur2 = out.select("u", "v")
     }
     out
   }
@@ -733,6 +739,67 @@ object GraphAnalytics {
   private[graft] def trussPeelRound(cur: DataFrame, k: Int): DataFrame =
     edgeSupport(cur).filter(col("support") >= k - 2)
 
+  /** Canonical (x < y < z) vertex triples of the triangles WITHIN `prevSet`
+    * (a canonical u < v edge frame) that contain at least one `removed`
+    * edge — the triangles a peel round destroys. Enumerated from each
+    * removed edge's common-neighbor wedge (the (p,c) side comes from
+    * prevSet's adjacency, the (q,c) closure is a semi-join back into
+    * prevSet), then deduped on the vertex triple so triangles holding two
+    * or three removed edges decrement survivors exactly once. Cost is
+    * O(|removed|·d̄) wedges — NOT a full wedge enumeration.
+    */
+  private[graft] def lostTriangles(prevSet: DataFrame, removed: DataFrame): DataFrame = {
+    val adj = prevSet.select(col("u").as("a"), col("v").as("b"))
+      .union(prevSet.select(col("v").as("a"), col("u").as("b")))
+    val wedges = removed.select(col("u").as("p"), col("v").as("q"))
+      .join(adj, col("p") === col("a"))
+      .select(col("p"), col("q"), col("b").as("c"))
+      .filter(col("c") =!= col("q"))
+    val closed = wedges.join(prevSet,
+      least(col("q"), col("c")) === col("u") &&
+        greatest(col("q"), col("c")) === col("v"),
+      "left_semi")
+    closed
+      .select(col("p"), col("q"), col("c"),
+        least(col("p"), least(col("q"), col("c"))).as("x"),
+        greatest(col("p"), greatest(col("q"), col("c"))).as("z"))
+      .select(col("x"), (col("p") + col("q") + col("c") - col("x") - col("z")).as("y"),
+        col("z"))
+      .distinct()
+  }
+
+  /** DECREMENTAL support maintenance under edge deletions — the removal-
+    * side sibling of [[incrementalTriangleCounts]]: given survivors `surv`
+    * (u, v, support — supports computed within `prevSet`), subtract the
+    * triangles lost to the edges `prevSet` ∖ `surv` and re-filter at the
+    * truss bar. Produces exactly the frame a full [[trussPeelRound]] over
+    * surv's edge set would (the GraphAnalyticsSpec equivalence drill pins
+    * per-round equality on adversarial and random graphs), at
+    * O(removed·d̄) wedge work instead of a full O(Σ min(d,√E)²)
+    * enumeration. NOT used by the peel loops: measured at sf0.1 on the
+    * copurchase graph, the per-round anti-join + checkpoint + closure
+    * joins cost as much as re-enumerating the survivor set — the operator
+    * earns its keep when a DELETION BATCH arrives against a maintained
+    * support table (dynamic-graph maintenance), where a full
+    * re-enumeration is not on the table at all.
+    */
+  private[graft] def trussDecRound(prevSet: DataFrame, surv: DataFrame, k: Int): DataFrame = {
+    val removed = prevSet.select("u", "v")
+      .join(surv.select("u", "v"), Seq("u", "v"), "left_anti")
+      .localCheckpoint(true)
+    val dec = lostTriangles(prevSet.select("u", "v"), Hints.broadcastGated(removed))
+      .select(explode(array(
+        struct(col("x").as("u"), col("y").as("v")),
+        struct(col("x").as("u"), col("z").as("v")),
+        struct(col("y").as("u"), col("z").as("v")))).as("e"))
+      .groupBy(col("e.u").as("u"), col("e.v").as("v")).agg(count(lit(1)).as("_lost"))
+    surv.join(dec, Seq("u", "v"), "left")
+      .select(col("u"), col("v"),
+        (col("support") - coalesce(col("_lost"), lit(0L))).as("support"))
+      .filter(col("support") >= k - 2)
+  }
+
+
   /** Run-to-fixpoint [[kCore]]: identical per-round peel, stops at the
     * first round that drops no node. Survivor sets are nested, so the
     * count-equality exit is exact, costing one metadata-count per round.
@@ -776,19 +843,22 @@ object GraphAnalytics {
   def trussEdgesConverged(edges: DataFrame, k: Int, maxRounds: Int): Fixpoint = {
     require(k >= 3 && maxRounds >= 1 && maxRounds <= 50,
       s"need k >= 3 and maxRounds in [1, 50], got k=$k maxRounds=$maxRounds")
-    var cur = edges.select(
+    val cur = edges.select(
       least(col("u"), col("v")).cast("long").as("u"),
       greatest(col("u"), col("v")).cast("long").as("v"))
       .localCheckpoint(true)
     var prevM = cur.count()
+    // identical round structure to [[trussEdges]] (full re-enumeration per
+    // round — see the measured note there on why not decremental)
+    var cur2: DataFrame = cur
     var out: DataFrame = null
     var used = 0
     var converged = false
     while (used < maxRounds && !converged) {
       used += 1
-      out = trussPeelRound(cur, k)
-      cur = out.select("u", "v")
-      val m = cur.count() // edgeSupport checkpointed — metadata cost
+      out = trussPeelRound(cur2, k)
+      cur2 = out.select("u", "v")
+      val m = cur2.count() // edgeSupport checkpointed — metadata cost
       if (m == prevM) converged = true
       prevM = m
     }

@@ -534,6 +534,76 @@ class GraphAnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(capped.result.count() > 0) // the part-peeled remnant, flagged
   }
 
+  test("decremental support maintenance ≡ full recompute, every round, on cascade/random/clique graphs") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.{least => fLeast, greatest => fGreatest, col}
+    def canon(edges: DataFrame): DataFrame =
+      edges.select(fLeast(col("u"), col("v")).cast("long").as("u"),
+        fGreatest(col("u"), col("v")).cast("long").as("v"))
+    // reference: the peel loop trussEdges runs — a FULL edgeSupport
+    // re-enumeration per round
+    def fullRounds(edges: DataFrame, k: Int, rounds: Int): Set[(Long, Long, Long)] = {
+      var cur = canon(edges)
+      var out: DataFrame = null
+      for (_ <- 1 to rounds) {
+        out = GraphAnalytics.trussPeelRound(cur, k)
+        cur = out.select("u", "v")
+      }
+      out.as[(Long, Long, Long)].collect().toSet
+    }
+    // under test: round 1 full, every later round maintained DECREMENTALLY
+    // (trussDecRound — the deletion-batch maintenance operator)
+    def decRounds(edges: DataFrame, k: Int, rounds: Int): Set[(Long, Long, Long)] = {
+      val cur = canon(edges)
+      var supBase = cur
+      var out: DataFrame = null
+      for (_ <- 1 to rounds) {
+        val next =
+          if (out == null) GraphAnalytics.trussPeelRound(cur, k)
+          else GraphAnalytics.trussDecRound(supBase, out, k).localCheckpoint(true)
+        if (out != null) supBase = out.select("u", "v")
+        out = next
+      }
+      out.as[(Long, Long, Long)].collect().toSet
+    }
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    // (a) triangle strip — the adversarial cascade: k=4 peels the two end
+    // triangles each round and the wave propagates inward for many rounds,
+    // so every decremental step runs with a real removed set
+    val strip = (0L until 14L).flatMap(i => Seq((i, i + 1), (i, i + 2)))
+      .toDF("u", "v")
+    // (b) K6 + pendant triangles off two clique nodes
+    val k6 = for (i <- 1L to 6L; j <- (i + 1) to 6L) yield (i, j)
+    val pendants = Seq((1L, 10L), (1L, 11L), (10L, 11L), (4L, 12L), (4L, 13L), (12L, 13L))
+    val cliquey = (k6 ++ pendants).toDF("u", "v")
+    // (c) seeded random graphs (distinct canonical edges, no self-loops)
+    def rand(n: Int, m: Int, seed: Long) =
+      (0 until m).map { i =>
+        val a = math.floorMod(mix(seed + 2 * i), n).toLong
+        val b = math.floorMod(mix(seed + 2 * i + 1), n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct.toDF("u", "v")
+    val cases = Seq(
+      ("strip", strip, 4), ("cliquey", cliquey, 4), ("cliquey-k5", cliquey, 5),
+      ("rand40", rand(40, 220, 7L), 3), ("rand30", rand(30, 160, 99L), 4))
+    for ((name, g, k) <- cases; rounds <- Seq(1, 2, 3, 5, 8)) {
+      val dec = decRounds(g, k, rounds)
+      val full = fullRounds(g, k, rounds)
+      assert(dec == full,
+        s"$name k=$k rounds=$rounds: decremental ${dec.size} edges != full " +
+          s"${full.size}; dec-only=${(dec -- full).take(3)} full-only=${(full -- dec).take(3)}")
+    }
+    // and the converged variant still reports the strip's long cascade
+    val fp = GraphAnalytics.trussEdgesConverged(strip, k = 4, maxRounds = 20)
+    assert(fp.converged && fp.result.isEmpty && fp.roundsUsed >= 3,
+      s"strip cascade should peel over multiple rounds, used ${fp.roundsUsed}")
+  }
+
   test("trussEdgesConverged: matches fixed-round peel at the fixpoint; cascade counted") {
     // K5 + pendant triangle off node 5: the pendant triangle's edges have
     // support 1 and peel in round 1; K5 edges keep support 3 (within
