@@ -487,7 +487,18 @@ object SparkEntry {
     searchIndexSetup(s, d): Unit
     searchIncSetup(s, d): Unit
     phashIncSetup(s, d): Unit
+    supportSetup(s, d): Unit
   }
+
+  /** Persisted per-edge triangle-support table of the co-purchase graph —
+    * the maintained state `graph_support_dec` updates decrementally when a
+    * deletion batch arrives (the removal-side mirror of triIncSetup).
+    */
+  private def supportSetup(s: SparkSession, d: String): String =
+    Setup.dir(s"truss_support:$d") { dir =>
+      graft.operators.GraphAnalytics.edgeSupport(copurchaseEdges(s, d))
+        .write.mode("overwrite").parquet(s"$dir/support")
+    }
 
   /** BM25 per-doc scores for the standard probe set, shared by `text_bm25`
     * and `search_hybrid_rrf`. Fixed-point longs (floor ·1e6 per term) so the
@@ -4176,6 +4187,27 @@ object SparkEntry {
         .filter(col("support") >= 2)
         .orderBy(desc("support"), asc("u"), asc("v")).limit(100)),
 
+    // O(batch) DECREMENTAL support maintenance: a deletion batch (the
+    // (u+v)%17 sliver, ~6% of edges) arrives against the persisted
+    // per-edge support table (Setup artifact); trussDecRound subtracts
+    // exactly the triangles lost through deleted edges — O(batch·d̄) wedge
+    // work, never a re-enumeration — and the support histogram +
+    // endpoint checksums summarize the maintained table. The oracle
+    // recomputes support over the post-deletion graph from scratch, so
+    // the hash-match proves maintain ≡ recompute (the deletion-side
+    // mirror of graph_triangles_inc).
+    "graph_support_dec" -> ((s, d) => {
+      val edges = copurchaseEdges(s, d)
+      val oldSup = s.read.parquet(s"${supportSetup(s, d)}/support")
+      val del = edges.filter((col("u") + col("v")) % 17 === 0)
+      val surv = oldSup.join(del, Seq("u", "v"), "left_anti")
+      graft.operators.GraphAnalytics.trussDecRound(edges, surv, k = 3)
+        .groupBy("support")
+        .agg(count(lit(1)).as("n_edges"),
+          sum(col("u") + col("v")).cast("long").as("endpoint_sum"))
+        .orderBy("support")
+    }),
+
     // O(batch) incremental triangle maintenance: the persisted per-node
     // counts of the ~95% old graph (Setup artifact) plus only the delta
     // from the ~5% batch orders — batch pairs anti-join the stored edge
@@ -7817,6 +7849,30 @@ object SparkEntry {
          SELECT u, v, CAST(count(*) AS BIGINT) AS support
          FROM ed GROUP BY u, v HAVING count(*) >= 2
          ORDER BY support DESC, u, v LIMIT 100""",
+    // from-scratch support recount over the post-deletion graph — the
+    // hash-match against the decrementally-maintained table proves
+    // maintain ≡ recompute
+    "graph_support_dec" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e0 AS (
+           SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+           FROM lp a JOIN lp b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         e AS (SELECT u, v FROM e0 WHERE (u + v) % 17 <> 0),
+         tri AS (
+           SELECT e1.u AS a, e1.v AS b, e2.v AS c
+           FROM e e1
+           JOIN e e2 ON e2.u = e1.u AND e1.v < e2.v
+           JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+         ed AS (
+           SELECT a AS u, b AS v FROM tri
+           UNION ALL SELECT a, c FROM tri
+           UNION ALL SELECT b, c FROM tri),
+         sup AS (SELECT u, v, count(*) AS support FROM ed GROUP BY u, v)
+         SELECT CAST(support AS BIGINT) AS support,
+           CAST(count(*) AS BIGINT) AS n_edges,
+           CAST(sum(u + v) AS BIGINT) AS endpoint_sum
+         FROM sup GROUP BY support ORDER BY support""",
     "graph_ktruss" -> OracleSqlGen.trussEdges(4, 3, 100),
     "graph_kcore_fixpoint" -> OracleSqlGen.kCoreFixpoint(k = 5, cap = 10),
     "graph_ktruss_fixpoint" -> OracleSqlGen.trussFixpoint(k = 4, cap = 14, mod = 3),
