@@ -488,7 +488,19 @@ object SparkEntry {
     searchIncSetup(s, d): Unit
     phashIncSetup(s, d): Unit
     supportSetup(s, d): Unit
+    minhashIndexSetup(s, d): Unit
   }
+
+  /** Persisted minhash band index of the full documents corpus — the
+    * maintained dedup state `dedup_index_delete` filters (same signature
+    * config as dedup_incremental: n=3, 8 bands × 2 rows).
+    */
+  private def minhashIndexSetup(s: SparkSession, d: String): String =
+    Setup.dir(s"minhash_index:$d") { dir =>
+      graft.pipeline.Dedup.minhashBandIndex(documents(s, d),
+          col("doc_id"), col("text"), n = 3, bands = 8, rowsPerBand = 2)
+        .write.mode("overwrite").parquet(s"$dir/index")
+    }
 
   /** Persisted per-edge triangle-support table of the co-purchase graph —
     * the maintained state `graph_support_dec` updates decrementally when a
@@ -1549,6 +1561,19 @@ object SparkEntry {
           col("doc_id"), col("text"), n = 3, bands = 8, rowsPerBand = 2),
         n = 3, bands = 8, rowsPerBand = 2)
         .orderBy("new_id", "dup_of")
+    }),
+
+    // Index-DELETION maintenance: a deletion batch (doc_id % 13) against
+    // the persisted minhash band index is ONE filter — a signature depends
+    // only on its own document, so no other row changes — and the pair
+    // join over the maintained index must equal a from-scratch rebuild
+    // over the surviving corpus (the oracle computes exactly that, so the
+    // hash-match proves delete ≡ rebuild). Completes the index lifecycle:
+    // build (dedup_minhash), append (dedup_incremental), delete (here).
+    "dedup_index_delete" -> ((s, d) => {
+      val idx = s.read.parquet(s"${minhashIndexSetup(s, d)}/index")
+      Dedup.pairsFromBandIndex(idx.filter(col("doc_id") % 13 =!= 0))
+        .orderBy("a_id", "b_id")
     }),
 
     // The join the fingerprint exists for: banded simhash candidates (any
@@ -6598,6 +6623,13 @@ object SparkEntry {
     "dedup_representatives" ->
       OracleSqlGen.minhashSurvivors(3, 8, 2, Seq("doc_id", "lang", "source")),
     "dedup_incremental" -> OracleSqlGen.incrementalMinhash(3, 8, 2, batchMinId = 400),
+    // from-scratch pairing over the post-deletion corpus: a signature
+    // depends only on its own doc, so pairs of survivors are unchanged —
+    // equivalently, the full pair list with both endpoints surviving
+    "dedup_index_delete" ->
+      s"""SELECT a_id, b_id FROM (${OracleSqlGen.minhashLsh(3, 8, 2)}) t
+          WHERE a_id % 13 <> 0 AND b_id % 13 <> 0
+          ORDER BY a_id, b_id""",
     "dedup_simhash" -> OracleSqlGen.simhash(60),
     "dedup_simhash_clusters" -> OracleSqlGen.simhashClusters(60, 4, 3),
     "dedup_simhash_pairs" -> OracleSqlGen.simhashPairs(60, 4, 3),

@@ -178,10 +178,20 @@ object Dedup {
       text: Column,
       n: Int = 3,
       bands: Int = 4,
-      rowsPerBand: Int = 4): DataFrame = {
-    val banded = minhashBandIndex(docs, id, text, n, bands, rowsPerBand)
-    val l = banded.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
-    val r = banded.select(col("band"), col("bucket"), col("doc_id").as("b_id"))
+      rowsPerBand: Int = 4): DataFrame =
+    pairsFromBandIndex(minhashBandIndex(docs, id, text, n, bands, rowsPerBand))
+
+  /** Candidate pairs from an (already-built) band index — the (band,
+    * bucket) self-join minhashLsh runs, factored out so a PERSISTED index
+    * yields pairs without re-shingling anything. Because a document's
+    * signature depends on nothing but its own text, index maintenance is
+    * embarrassingly local: append = write the batch's rows
+    * ([[minhashBandIndex]] on the batch), DELETE = drop the doc's rows
+    * (one filter/anti-join — `dedup_index_delete` pins delete ≡ rebuild).
+    */
+  def pairsFromBandIndex(index: DataFrame): DataFrame = {
+    val l = index.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
+    val r = index.select(col("band"), col("bucket"), col("doc_id").as("b_id"))
     l.join(r, Seq("band", "bucket"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
