@@ -2637,6 +2637,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Differentially-private aggregate release via the GEOMETRIC mechanism
+    // (Ghosh et al. — discrete Laplace, epsilon = ln 2 at alpha = 1/2):
+    // per-nation customer counts plus integer noise sampled by inverse CDF
+    // over an exact md5 uniform. The cumulative thresholds are computed
+    // ONCE in Scala and embedded as identical literals in both engines
+    // (Privacy.geometricThresholds), so the branch comparisons — and hence
+    // the "random" noise — are bit-reproducible, partition-independent,
+    // and hash-verifiable. true_n is emitted for the oracle's benefit; a
+    // real release ships only noisy_n (and a secret seed).
+    "q_dp_release" -> ((s, d) => {
+      val counts = customer(s, d)
+        .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("grp"))
+        .agg(count(lit(1)).as("true_n"))
+      val noise = graft.pipeline.Privacy.geometricNoise(
+        concat(col("grp"), lit(":dp")))
+      counts.select(col("grp"), col("true_n"),
+          noise.cast("long").as("noise"),
+          (col("true_n") + noise).cast("long").as("noisy_n"))
+        .orderBy("grp")
+    }),
+
     // Morton (Z-order) clustering key over two dimensions — the layout key
     // Layout.clusterByZ range-partitions by so parquet min/max stats prune
     // on either column. Codegen'd native expression (ZOrderExpr).
@@ -6709,6 +6731,25 @@ object SparkEntry {
          FROM documents ORDER BY shard, doc_id""",
 
     "text_pii_redact" -> OracleSqlGen.piiRedact,
+    // same geometric-mechanism inverse CDF, thresholds interpolated from
+    // the ONE Scala table (Privacy.geometricThresholds) so both engines
+    // compare the exact same double literals against the exact md5 uniform
+    "q_dp_release" -> {
+      val th = graft.pipeline.Privacy.geometricThresholds(16)
+      val cases = th.init.map { case (t, k) => s"WHEN u < $t THEN ($k)" }.mkString(" ")
+      s"""WITH c AS (
+           SELECT n_name AS grp, CAST(count(*) AS BIGINT) AS true_n
+           FROM customer JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY 1),
+         nz AS (
+           SELECT grp, true_n,
+             CAST('0x' || substr(md5(grp || ':dp'), 1, 13) AS BIGINT) / 4503599627370496.0 AS u
+           FROM c)
+         SELECT grp, true_n,
+           CAST(CASE $cases ELSE 16 END AS BIGINT) AS noise,
+           CAST(true_n + (CASE $cases ELSE 16 END) AS BIGINT) AS noisy_n
+         FROM nz ORDER BY grp"""
+    },
     "q_k_anonymity" ->
       """WITH g2 AS (
            SELECT c_mktsegment AS qi_coarse, c_nationkey AS qi_fine,

@@ -27,6 +27,54 @@ object Privacy {
     */
   val PhonePattern = "(\\+?\\d{1,3}[ .-])?\\(?\\d{3}\\)?[ .-]?\\d{3}[ .-]\\d{4}"
 
+  /** Exact md5-derived uniform in [0, 1): the top 52 bits of md5(seed)
+    * over 2^52. Both numerator (a ≤52-bit integer) and the division are
+    * exactly representable in a double, so Spark and the DuckDB oracle
+    * produce bit-identical values — the foundation that makes the DP
+    * mechanism below hash-verifiable (the md5-sampling family's pattern).
+    */
+  def md5Uniform(seed: Column): Column =
+    conv(substring(md5(seed.cast("string")), 1, 13), 16, 10).cast("double") /
+      lit(4503599627370496.0) // 2^52
+
+  /** Inverse-CDF table of the TRUNCATED two-sided geometric distribution
+    * at alpha = 1/2 — the Ghosh–Roughgarden–Sundararajan geometric
+    * mechanism (the discrete analog of Laplace; epsilon = ln 2 per unit of
+    * query sensitivity): P(k) ∝ 2^{-|k|}, support clipped to
+    * [-maxMag, maxMag] and renormalized (tail mass 2^{-maxMag} ≈ 0 at the
+    * default). Returned as ascending (cumulative, k) pairs; the SAME
+    * doubles are embedded as literals on the Spark side and in the oracle
+    * SQL, so the branch comparisons agree exactly on both engines even
+    * though 1/3-scaled cumulative sums are not binary rationals.
+    */
+  def geometricThresholds(maxMag: Int): Seq[(Double, Int)] = {
+    require(maxMag >= 1 && maxMag <= 40)
+    val weights = (-maxMag to maxMag).map(k => math.pow(0.5, math.abs(k)))
+    val total = weights.sum
+    var cum = 0.0
+    (-maxMag to maxMag).map { k =>
+      cum += math.pow(0.5, math.abs(k)) / total
+      (cum, k)
+    }
+  }
+
+  /** Two-sided geometric (discrete Laplace) noise as a pure function of
+    * `seed`: md5-uniform inverse-CDF over [[geometricThresholds]]. A REAL
+    * release would seed from a secret; the pipeline's value here is the
+    * portable, partition-independent mechanism — integer noise, exact
+    * branch math, deterministic replay on any engine.
+    */
+  def geometricNoise(seed: Column, maxMag: Int = 16): Column = {
+    val u = md5Uniform(seed)
+    val th = geometricThresholds(maxMag)
+    th.init.foldLeft(Option.empty[Column]) { case (acc, (t, k)) =>
+      Some(acc match {
+        case None => when(u < lit(t), lit(k))
+        case Some(c) => c.when(u < lit(t), lit(k))
+      })
+    }.get.otherwise(lit(maxMag))
+  }
+
   def redactEmails(c: Column): Column = regexp_replace(c, EmailPattern, "<EMAIL>")
   def redactIps(c: Column): Column = regexp_replace(c, Ipv4Pattern, "<IP>")
   def redactPhones(c: Column): Column = regexp_replace(c, PhonePattern, "<PHONE>")

@@ -213,4 +213,26 @@ class PrivacySpec extends AnyFunSuite with SparkTestBase {
       .orderBy("grp").as[(String, Long, Long, Double, Int)].collect().toSeq
     assert(zero.forall(r => r._3 == 0L && r._4 == 0.0 && r._5 == 1))
   }
+
+  test("geometric mechanism: thresholds well-formed; noise deterministic, bounded, near-symmetric") {
+    val th = Privacy.geometricThresholds(16)
+    assert(th.size == 33 && th.map(_._2) == (-16 to 16))
+    assert(th.map(_._1) == th.map(_._1).sorted, "cumulative must ascend")
+    assert(math.abs(th.last._1 - 1.0) < 1e-12, "CDF must end at 1")
+    // P(0) of the alpha=1/2 geometric is ~1/3: the two central thresholds
+    // bracket a ~1/3-mass step
+    val p0 = th.find(_._2 == 0).get._1 - th.find(_._2 == -1).get._1
+    assert(math.abs(p0 - 1.0 / 3.0) < 1e-3)
+    // sampled over many seeds: deterministic across evaluations, bounded
+    // by the truncation, mean near 0 and ~1/3 of draws exactly 0
+    val seeds = (0 until 4000).map(i => s"seed-$i").toDF("s")
+    def draw() = seeds.select(Privacy.geometricNoise($"s").as("k"))
+      .as[Int].collect().toSeq
+    val a = draw()
+    assert(a == draw(), "noise must be a pure function of the seed")
+    assert(a.forall(k => k >= -16 && k <= 16))
+    assert(math.abs(a.sum.toDouble / a.size) < 0.1, s"mean ${a.sum.toDouble / a.size}")
+    val z = a.count(_ == 0).toDouble / a.size
+    assert(z > 0.30 && z < 0.37, s"P(0) sampled at $z, expected ~1/3")
+  }
 }
