@@ -620,8 +620,12 @@ class GraphStore(spark: SparkSession, root: String, numBuckets: Int = 16,
           val bucketed = content.withColumn("_bucket", bucketCol(col(key)))
           val split =
             if (filesPerBucket > 1)
-              bucketed.repartition(col("_bucket"),
-                pmod(xxhash64(col(key)), lit(filesPerBucket.toLong)))
+              // explicit partition count: an AQE-coalescible shuffle would
+              // merge the small (bucket, split) cells back into one task
+              // and defeat the in-bucket split; 4× oversubscription keeps
+              // hash collisions between cells rare
+              bucketed.repartition(4 * filesPerBucket * touched.size,
+                col("_bucket"), pmod(xxhash64(col(key)), lit(filesPerBucket.toLong)))
             else bucketed.repartition(col("_bucket"))
           split.write.partitionBy("_bucket").parquet(stage.toString)
           // a row whose bucket is outside `touched` would be silently

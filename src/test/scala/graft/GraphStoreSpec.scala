@@ -441,6 +441,35 @@ class GraphStoreSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException] { st.readTableAt("nope", afterDelete) }
   }
 
+  test("filesPerBucket splits a bucket's rewrite; nbuckets pinned by the manifest, not the constructor") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-store-").toString
+    val st = new GraphStore(spark, dir, numBuckets = 2, filesPerBucket = 4)
+    st.initialize()
+    st.upsertEntitiesDf(
+      (1 to 200).map(i => (s"e#$i", "t", Seq(s"o$i")))
+        .toDF("name", "entity_type", "observations"))
+    // each populated bucket's version dir carries up to filesPerBucket
+    // parquet files (the in-bucket split key), never one monolith per task
+    val perBucket = Option(new java.io.File(s"$dir/entities").listFiles()).get
+      .filter(_.getName.matches("b\\d+"))
+      .map { b =>
+        val v = b.listFiles().filter(_.getName.matches("v\\d+")).maxBy(_.getName.drop(1).toLong)
+        v.listFiles().count(_.getName.endsWith(".parquet"))
+      }
+    assert(perBucket.nonEmpty && perBucket.forall(n => n >= 2 && n <= 4),
+      s"expected 2-4 files per 100-entity bucket, got ${perBucket.toSeq}")
+    assert(st.entities.count() == 200)
+    // re-open with a DIFFERENT constructor bucket count: the manifest wins
+    // (honoring the new value would require rehashing every row), so reads
+    // and writes stay consistent
+    val st2 = new GraphStore(spark, dir, numBuckets = 64)
+    assert(st2.getEntity("e#7").observations == Seq("o7"))
+    st2.createEntities(Seq(Entity("e#7", "t2", Seq("updated"))))
+    assert(st2.getEntity("e#7").entityType == "t2")
+    assert(new GraphStore(spark, dir).entities.count() == 200)
+  }
+
   test("vacuum reader horizon: stale DataFrame fails loudly after vacuum(1), survives keepVersions=2") {
     val st = freshStore()
     st.createEntities(Seq(Entity("A", "t1", Seq("o1"))))
