@@ -57,7 +57,7 @@ class GraphStoreModelSpec extends AnyFunSuite with SparkTestBase {
 
   test("40 random ops: store ≡ in-memory model after every op, history consistent until vacuumed") {
     val dir = Files.createTempDirectory("graft-store-model-").toString
-    var st = new GraphStore(spark, dir, numBuckets = 8) // small B → bucket collisions likely
+    var st = new GraphStore(spark, dir, numBuckets = 8, filesPerBucket = 2) // small B → collisions; split path exercised
     st.initialize()
     var model = Model(Map.empty, Map.empty, Vector.empty)
     // recorded (storeVersion, modelSnapshot) pairs for time-travel checks
@@ -117,7 +117,7 @@ class GraphStoreModelSpec extends AnyFunSuite with SparkTestBase {
             history = Vector.empty // older versions intentionally gone
           }
         case 9 => // re-open: a fresh instance must resolve identical state
-          st = new GraphStore(spark, dir, numBuckets = 8)
+          st = new GraphStore(spark, dir, numBuckets = 8, filesPerBucket = 2)
       }
       val got = storeState(st)
       assert(got.entities == model.entities,
