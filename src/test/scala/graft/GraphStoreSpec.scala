@@ -441,6 +441,31 @@ class GraphStoreSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException] { st.readTableAt("nope", afterDelete) }
   }
 
+  test("write amplification: a 10-entity upsert into a 5000-entity 256-bucket store stages ~buckets-touched/B of the bytes") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-store-").toString
+    val st = new GraphStore(spark, dir, numBuckets = 256)
+    st.initialize()
+    st.upsertEntitiesDf(
+      (1 to 5000).map(i => (s"bulk#$i", "t", Seq(s"obs $i")))
+        .toDF("name", "entity_type", "observations"))
+    def bytesUnder(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(bytesUnder).sum).getOrElse(0L)
+      else f.length()
+    def dataBytes(table: String): Long =
+      bytesUnder(new java.io.File(s"$dir/$table")) // version dirs + snapshots
+    val before = dataBytes("entities") + dataBytes("observations")
+    st.createEntities((1 to 10).map(i => Entity(s"upd#$i", "t2", Seq("u"))))
+    val staged = dataBytes("entities") + dataBytes("observations") - before
+    val frac = staged.toDouble / before
+    // 10 names touch ≤10 of 256 buckets per table → the staged bytes are a
+    // few percent of the store, NOT a copy of it (2.5x slack over the
+    // 10/256 ideal covers parquet per-file overhead); the pre-round-8
+    // whole-table rewrite would put this at ~1.0
+    assert(frac < 10.0 / 256 * 2.5,
+      f"upsert staged ${staged} bytes = ${frac * 100}%.1f%% of the $before-byte store")
+  }
+
   test("filesPerBucket splits a bucket's rewrite; nbuckets pinned by the manifest, not the constructor") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-store-").toString
