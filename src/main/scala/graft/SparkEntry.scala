@@ -658,16 +658,36 @@ object SparkEntry {
     "store_consistent_travel" -> ((s, d) => {
       import s.implicits._
       val st = new graft.store.GraphStore(s, storeDiffSetup(s, d))
-      val rows = st.storeVersions.zipWithIndex.map { case (m, i) =>
-        val ent = st.readTableAt("entities", m).select("name")
-        val rel = st.readTableAt("relations", m)
-        val dangling =
-          rel.join(ent.withColumnRenamed("name", "source"), Seq("source"), "left_anti").count() +
-            rel.join(ent.withColumnRenamed("name", "target"), Seq("target"), "left_anti").count()
-        (i + 1, ent.count(), st.readTableAt("observations", m).count(),
-          rel.count(), dangling)
-      }
-      rows.toDF("v", "n_entities", "n_observations", "n_relations", "n_dangling")
+      // ONE declarative plan, not a per-version driver loop: each snapshot
+      // contributes a version-tagged union branch (immutable bucket dirs,
+      // so the union is 7 parquet scans), counts come from grouped
+      // aggregations, and dangling edges from (v, endpoint) anti-joins —
+      // at scale this is a handful of shuffles over tagged frames instead
+      // of 5 jobs × versions
+      val vs = st.storeVersions.zipWithIndex.map { case (m, i) => (m, i + 1) }
+      def tagged(table: String, cols: Seq[String]) = vs.map { case (m, v) =>
+        st.readTableAt(table, m)
+          .select(lit(v).as("v") +: cols.map(col): _*)
+      }.reduce(_ unionByName _)
+      val ents = tagged("entities", Seq("name"))
+      val rels = tagged("relations", Seq("source", "target"))
+      val nE = ents.groupBy("v").agg(count(lit(1)).as("n_entities"))
+      val nO = tagged("observations", Seq("id"))
+        .groupBy("v").agg(count(lit(1)).as("n_observations"))
+      val nR = rels.groupBy("v").agg(count(lit(1)).as("n_relations"))
+      val dang = rels
+        .join(ents.withColumnRenamed("name", "source"), Seq("v", "source"), "left_anti")
+        .unionByName(rels
+          .join(ents.withColumnRenamed("name", "target"), Seq("v", "target"), "left_anti"))
+        .groupBy("v").agg(count(lit(1)).as("n_dangling"))
+      vs.map(_._2).toDF("v")
+        .join(nE, Seq("v"), "left").join(nO, Seq("v"), "left")
+        .join(nR, Seq("v"), "left").join(dang, Seq("v"), "left")
+        .select(col("v"),
+          coalesce(col("n_entities"), lit(0L)).as("n_entities"),
+          coalesce(col("n_observations"), lit(0L)).as("n_observations"),
+          coalesce(col("n_relations"), lit(0L)).as("n_relations"),
+          coalesce(col("n_dangling"), lit(0L)).as("n_dangling"))
         .orderBy("v")
     }),
 
