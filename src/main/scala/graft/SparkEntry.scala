@@ -4268,7 +4268,8 @@ object SparkEntry {
       val oldSup = s.read.parquet(s"${supportSetup(s, d)}/support")
       val del = edges.filter((col("u") + col("v")) % 17 === 0)
       val surv = oldSup.join(del, Seq("u", "v"), "left_anti")
-      graft.operators.GraphAnalytics.trussDecRound(edges, surv, k = 3)
+      graft.operators.GraphAnalytics.trussDecRound(edges, surv, k = 3,
+          removedHint = Some(del))
         .groupBy("support")
         .agg(count(lit(1)).as("n_edges"),
           sum(col("u") + col("v")).cast("long").as("endpoint_sum"))

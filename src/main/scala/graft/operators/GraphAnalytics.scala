@@ -783,9 +783,15 @@ object GraphAnalytics {
     * support table (dynamic-graph maintenance), where a full
     * re-enumeration is not on the table at all.
     */
-  private[graft] def trussDecRound(prevSet: DataFrame, surv: DataFrame, k: Int): DataFrame = {
-    val removed = prevSet.select("u", "v")
-      .join(surv.select("u", "v"), Seq("u", "v"), "left_anti")
+  private[graft] def trussDecRound(prevSet: DataFrame, surv: DataFrame, k: Int,
+      removedHint: Option[DataFrame] = None): DataFrame = {
+    // a caller that KNOWS the deletion batch (the maintenance use case —
+    // graph_support_dec hands in its delete filter) skips the O(|prevSet|)
+    // anti-join; zero-support edges outside the hint are harmless to omit
+    // because an edge in no triangle decrements nothing
+    val removed = removedHint.getOrElse(
+        prevSet.select("u", "v")
+          .join(surv.select("u", "v"), Seq("u", "v"), "left_anti"))
       .localCheckpoint(true)
     val dec = lostTriangles(prevSet.select("u", "v"), Hints.broadcastGated(removed))
       .select(explode(array(
