@@ -1,0 +1,82 @@
+package graft
+
+/** Per-query bench regression guard with self-adjudication.
+  *
+  * `bench_floor.json` records each query's best observed t1 at sf0.1.
+  * A run compares min(t1, t2) against max(floor, 0.3s): warn at ratio
+  * > 1.5 with > 0.3s absolute excess, FAIL at ratio > 2.5 with > 1.0s
+  * absolute excess. Both a RATIO and an ABSOLUTE excess are required —
+  * sub-second queries jitter 2–3× with suite position/GC without any
+  * code change, while a real regression on a query worth guarding
+  * costs whole seconds.
+  *
+  * Self-adjudication (round-8 verdict item 2): a floor-FAIL measured
+  * in suite position can be noise from whatever the previous queries
+  * left behind (GC pressure, page cache, JIT state) — the round-8
+  * q_spearman "2.92×" needed a manual judge re-run to dismiss. The
+  * bench now re-runs every floor-FAIL query once more in ISOLATION at
+  * the end of the suite (cache cleared, GC'd, nothing else in flight)
+  * and keeps the FAIL only if the isolated time ALSO fails the floor;
+  * otherwise the query is reported under `floor_noise` with both
+  * ratios, so the artifact itself shows the adjudication.
+  */
+object FloorGuard {
+  /** Floors below 0.3s are clamped: timer+scheduler jitter dominates. */
+  def effectiveFloor(floor: Double): Double = math.max(floor, 0.3)
+
+  /** (ratio, absolute excess) of a measured time vs its floor. */
+  def excess(tmin: Double, floor: Double): (Double, Double) = {
+    val eff = effectiveFloor(floor)
+    (tmin / eff, tmin - eff)
+  }
+
+  def isWarn(ratio: Double, abs: Double): Boolean =
+    ratio > 1.5 && abs > 0.3 && !isFail(ratio, abs)
+
+  def isFail(ratio: Double, abs: Double): Boolean =
+    ratio > 2.5 && abs > 1.0
+
+  /** Grade a suite run: (name, t1, t2) rows vs the floor map.
+    * Returns (checkedCount, warns, fails) where warns/fails carry the
+    * suite-position ratio. t2 < 0 means the warm rerun was disabled.
+    */
+  def grade(
+      results: Seq[(String, Double, Double)],
+      floors: Map[String, Double])
+      : (Int, Seq[(String, Double)], Seq[(String, Double)]) = {
+    val graded = results.collect {
+      case (k, t1, t2) if t1 >= 0 && floors.contains(k) =>
+        val tmin = if (t2 > 0) math.min(t1, t2) else t1
+        val (r, ex) = excess(tmin, floors(k))
+        (k, r, ex)
+    }
+    val warns = graded.collect { case (k, r, ex) if isWarn(r, ex) => (k, r) }
+    val fails = graded.collect { case (k, r, ex) if isFail(r, ex) => (k, r) }
+    (graded.size, warns, fails)
+  }
+
+  /** Adjudicate suite-position FAILs by an isolated re-measurement.
+    * `rerun` runs the named query once, in isolation, and returns its
+    * wall seconds (or a negative sentinel if it errored — an erroring
+    * rerun keeps the FAIL: it cannot exonerate).
+    * Returns (confirmedFails, noise) where noise rows carry
+    * (name, suiteRatio, isolatedRatio).
+    */
+  def adjudicate(
+      fails: Seq[(String, Double)],
+      floors: Map[String, Double],
+      rerun: String => Double)
+      : (Seq[(String, Double)], Seq[(String, Double, Double)]) = {
+    val judged = fails.map { case (k, suiteRatio) =>
+      val t = rerun(k)
+      if (t < 0) Left((k, suiteRatio)) // rerun errored: keep the FAIL
+      else {
+        val (r, ex) = excess(t, floors(k))
+        if (isFail(r, ex)) Left((k, suiteRatio))
+        else Right((k, suiteRatio, r))
+      }
+    }
+    (judged.collect { case Left(x) => x },
+     judged.collect { case Right(x) => x })
+  }
+}
