@@ -166,14 +166,17 @@ class GraphStore(spark: SparkSession, root: String, numBuckets: Int = 16,
 
   // ── reads (facade over GraphOps, mirroring the six MCP tools) ───────────
 
-  /** Point lookup now reads ONE bucket (1/B of the table) instead of a full
-    * scan — the bucketed layout's read-side payoff.
+  /** Point lookup reads ONE FILE of one bucket: bucket pruning picks the
+    * 1/B slice, then the per-file key-range sidecar (buckets are written
+    * sorted by key into range-disjoint files) picks the single file whose
+    * range can hold the name — at B in the thousands a bucket is still
+    * tens of GB, so the in-bucket prune is what keeps a lookup I/O-bounded
+    * by one file/row-group at 100 TB.
     */
   def getEntity(name: String): Entity = {
-    val b = Set(bucketOf(name))
-    val rows = GraphOps.getEntity(readTableBuckets("entities", b), name).collect()
+    val rows = GraphOps.getEntity(readTableKeys("entities", Seq(name)), name).collect()
     if (rows.isEmpty) throw new NoSuchElementException(s"Entity not found: $name")
-    val obs = GraphOps.observationsFor(readTableBuckets("observations", b), name)
+    val obs = GraphOps.observationsFor(readTableKeys("observations", Seq(name)), name)
       .orderBy("content").collect().map(_.getString(0)).toSeq
     Entity(rows.head.getString(0), rows.head.getString(1), obs)
   }
@@ -199,7 +202,7 @@ class GraphStore(spark: SparkSession, root: String, numBuckets: Int = 16,
     if (ranked.isEmpty) return (Nil, Nil) // client.ts:460-462 short-circuit
     val names = ranked.map(_._1)
     import spark.implicits._
-    val obsByName = readTableBuckets("observations", names.map(bucketOf).toSet)
+    val obsByName = readTableKeys("observations", names.toIndexedSeq)
       .filter(col("entity_name").isin(names.toIndexedSeq: _*))
       .select("entity_name", "content").collect()
       .map(r => (r.getString(0), r.getString(1)))
@@ -416,7 +419,8 @@ class GraphStore(spark: SparkSession, root: String, numBuckets: Int = 16,
   def deleteEntity(name: String): Unit = withWriteLock {
     val nb = bucketOf(name)
     val entBucket = readTableBuckets("entities", Set(nb))
-    if (!GraphOps.entityExists(entBucket, name))
+    // existence probe on the file-pruned read; the rewrite keeps the bucket
+    if (!GraphOps.entityExists(readTableKeys("entities", Seq(name)), name))
       throw new NoSuchElementException(s"Entity not found: $name")
     val targetSideBuckets = relations.filter(col("target") === name)
       .select(bucketCol(col("source")).as("b")).distinct()
@@ -441,7 +445,9 @@ class GraphStore(spark: SparkSession, root: String, numBuckets: Int = 16,
       col("relation_type") === relationType
     val b = Set(bucketOf(from))
     val bucket = readTableBuckets("relations", b)
-    val n = bucket.filter(cond).limit(1).count()
+    // the existence probe prunes to the file(s) whose source range can hold
+    // `from`; the rewrite below still reads the whole (one) bucket
+    val n = readTableKeys("relations", Seq(from)).filter(cond).limit(1).count()
     if (n == 0) throw new NoSuchElementException(
       s"Relation not found: $from -$relationType-> $to")
     commitBuckets(Map("relations" -> BucketWrite(b, bucket.filter(!cond))))
@@ -618,15 +624,20 @@ class GraphStore(spark: SparkSession, root: String, numBuckets: Int = 16,
           val key = bucketKeyFor(t)
           val stage = tableDir(t).resolve(s"_stage_${System.nanoTime()}")
           val bucketed = content.withColumn("_bucket", bucketCol(col(key)))
-          val split =
-            if (filesPerBucket > 1)
-              // explicit partition count: an AQE-coalescible shuffle would
-              // merge the small (bucket, split) cells back into one task
-              // and defeat the in-bucket split; 4× oversubscription keeps
-              // hash collisions between cells rare
-              bucketed.repartition(4 * filesPerBucket * touched.size,
-                col("_bucket"), pmod(xxhash64(col(key)), lit(filesPerBucket.toLong)))
-            else bucketed.repartition(col("_bucket"))
+          // Every bucket version is written SORTED BY ITS BUCKET KEY, split
+          // into ~filesPerBucket files of DISJOINT key ranges: range-
+          // partition on (bucket, key) — explicit partition count, so AQE
+          // cannot coalesce the cells back into one task — then sort within
+          // partitions. Disjoint sorted files are what makes the per-file
+          // min/max sidecar written below prune a point lookup to ONE file
+          // (and parquet row-group stats prune within it): at B in the
+          // thousands a bucket is still tens of GB — a lookup must not read
+          // it all. (The pre-round-10 split was pmod(xxhash64(key)): file
+          // ranges fully overlapped, so footer stats could prune nothing.)
+          val split = bucketed
+            .repartitionByRange(math.max(filesPerBucket * touched.size, 1),
+              col("_bucket"), col(key))
+            .sortWithinPartitions(col("_bucket"), col(key))
           split.write.partitionBy("_bucket").parquet(stage.toString)
           // a row whose bucket is outside `touched` would be silently
           // dropped by the move below — make a caller bug loud instead
@@ -644,6 +655,7 @@ class GraphStore(spark: SparkSession, root: String, numBuckets: Int = 16,
             if (Files.isDirectory(src))
               Files.move(src, dest, StandardCopyOption.ATOMIC_MOVE)
             else Files.createDirectories(dest) // bucket rewritten to empty
+            writeFileStats(dest, key)
             k -> next
           }.toMap
           rmTree(stage.toFile) // _SUCCESS + emptied partition skeleton
@@ -672,6 +684,108 @@ class GraphStore(spark: SparkSession, root: String, numBuckets: Int = 16,
     Files.write(tmp, body)
     Files.move(tmp, manifestFile, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  // ── per-file key-range stats: point-lookup pruning below bucket level ───
+
+  /** Write the `_FILESTATS` sidecar for a just-committed bucket version dir:
+    * one line per parquet file, `name \t b64(min) \t b64(max)` of the bucket
+    * key column, read from the files' FOOTERS (metadata only — no data
+    * read). Because the commit path writes each bucket sorted by key into
+    * range-disjoint files, these [min,max] intervals don't overlap and a
+    * point lookup matches exactly one file. A file whose footer lacks key
+    * stats gets a `-` marker and is never pruned (conservative). Parquet may
+    * truncate long binary min/max, but always conservatively (min rounds
+    * down, max rounds up), so pruning on them stays sound.
+    */
+  private def writeFileStats(dir: Path, key: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val files = Option(dir.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).sortBy(_.getName)
+    val enc = java.util.Base64.getEncoder
+    val lines = files.map { f =>
+      val range =
+        try {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            import scala.jdk.CollectionConverters._
+            val perBlock = r.getFooter.getBlocks.asScala.toSeq.map { b =>
+              b.getColumns.asScala.find(_.getPath.toDotString == key)
+                .map(_.getStatistics)
+                .filter(s => s != null && !s.isEmpty && s.hasNonNullValue)
+                .map(s => (s.getMinBytes, s.getMaxBytes))
+            }
+            // every row group must carry stats or the file is unpruneable
+            if (perBlock.nonEmpty && perBlock.forall(_.isDefined)) {
+              val mins = perBlock.map(_.get._1)
+              val maxs = perBlock.map(_.get._2)
+              Some((mins.min(UnsignedBytesOrdering), maxs.max(UnsignedBytesOrdering)))
+            } else None
+          } finally r.close()
+        } catch { case scala.util.control.NonFatal(_) => None }
+      range match {
+        case Some((mn, mx)) =>
+          s"${f.getName}\t${enc.encodeToString(mn)}\t${enc.encodeToString(mx)}"
+        case None => s"${f.getName}\t-\t-"
+      }
+    }
+    Files.write(dir.resolve("_FILESTATS"),
+      lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** The parquet files of one bucket-version dir that can contain any of
+    * `keyBytes` (UTF-8 of the probe keys), per the `_FILESTATS` sidecar.
+    * No sidecar (store written before round 10) or a `-` stats marker
+    * falls back to "file may match" — pruning is only ever an elision.
+    */
+  private def pruneBucketFiles(dir: Path, keyBytes: Seq[Array[Byte]]): Seq[Path] = {
+    val all = Option(dir.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.toPath).toMap
+    val sidecar = dir.resolve("_FILESTATS")
+    if (!Files.exists(sidecar)) return all.values.toSeq.sortBy(_.getFileName.toString)
+    val dec = java.util.Base64.getDecoder
+    val ord = UnsignedBytesOrdering
+    new String(Files.readAllBytes(sidecar), StandardCharsets.UTF_8)
+      .split("\n").iterator.filter(_.nonEmpty).flatMap { line =>
+        line.split("\t") match {
+          case Array(name, "-", "-") => all.get(name)
+          case Array(name, mn, mx) =>
+            val (lo, hi) = (dec.decode(mn), dec.decode(mx))
+            if (keyBytes.exists(k => ord.lteq(lo, k) && ord.lteq(k, hi)))
+              all.get(name)
+            else None
+          case _ => None
+        }
+      }.toSeq.sortBy(_.getFileName.toString)
+  }
+
+  /** Point-lookup read: resolve each key's bucket, then prune INSIDE the
+    * bucket to the files whose key range can hold it — a lookup against a
+    * B-bucket store reads one file of one bucket, not one bucket. Keys
+    * outside any file's range read nothing at all.
+    */
+  private[graft] def filesForKeys(t: String, keys: Seq[String]): Seq[Path] =
+    currentSnapshot(t) match {
+      case Some(s) =>
+        val snap = readSnapshot(t, s)
+        val keyBytes = keys.map(k =>
+          k.getBytes(StandardCharsets.UTF_8) -> bucketOf(k))
+        keyBytes.groupBy(_._2).toSeq.sortBy(_._1).flatMap { case (b, ks) =>
+          snap.get(b).toSeq.flatMap(v =>
+            pruneBucketFiles(bucketVersionDir(t, b, v), ks.map(_._1)))
+        }.distinct
+      case None => throw new IllegalStateException(
+        s"Table $t not initialized — call initialize() first")
+    }
+
+  private def readTableKeys(t: String, keys: Seq[String]): DataFrame = {
+    val files = filesForKeys(t, keys)
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schemaFor(t))
+    else spark.read.schema(schemaFor(t)).parquet(files.map(_.toString): _*)
   }
 
   // ── cross-table consistent time travel ──────────────────────────────────
@@ -865,6 +979,19 @@ object GraphStore {
     lockDepths.computeIfAbsent(
       java.nio.file.Paths.get(root).toAbsolutePath.normalize.toString,
       _ => new ThreadLocal[Integer] { override def initialValue = 0 })
+
+  /** Unsigned lexicographic byte ordering — parquet's comparison order for
+    * BINARY/UTF8 statistics, and equal to codepoint order on UTF-8 bytes.
+    */
+  val UnsignedBytesOrdering: Ordering[Array[Byte]] = new Ordering[Array[Byte]] {
+    def compare(a: Array[Byte], b: Array[Byte]): Int = {
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n && a(i) == b(i)) i += 1
+      if (i < n) Integer.compare(a(i) & 0xff, b(i) & 0xff)
+      else Integer.compare(a.length, b.length)
+    }
+  }
 
   /** Codepoint-lexicographic string ordering — identical to Spark's
     * UTF8String (UTF-8 byte) ordering, unlike java.lang.String's UTF-16

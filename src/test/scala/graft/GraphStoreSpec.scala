@@ -474,16 +474,17 @@ class GraphStoreSpec extends AnyFunSuite with SparkTestBase {
     st.upsertEntitiesDf(
       (1 to 200).map(i => (s"e#$i", "t", Seq(s"o$i")))
         .toDF("name", "entity_type", "observations"))
-    // each populated bucket's version dir carries up to filesPerBucket
-    // parquet files (the in-bucket split key), never one monolith per task
+    // each populated bucket's version dir carries ~filesPerBucket parquet
+    // files (range cells over (bucket, key); a cell straddling a bucket
+    // boundary adds at most one extra file), never one monolith per task
     val perBucket = Option(new java.io.File(s"$dir/entities").listFiles()).get
       .filter(_.getName.matches("b\\d+"))
       .map { b =>
         val v = b.listFiles().filter(_.getName.matches("v\\d+")).maxBy(_.getName.drop(1).toLong)
         v.listFiles().count(_.getName.endsWith(".parquet"))
       }
-    assert(perBucket.nonEmpty && perBucket.forall(n => n >= 2 && n <= 4),
-      s"expected 2-4 files per 100-entity bucket, got ${perBucket.toSeq}")
+    assert(perBucket.nonEmpty && perBucket.forall(n => n >= 2 && n <= 5),
+      s"expected 2-5 files per 100-entity bucket, got ${perBucket.toSeq}")
     assert(st.entities.count() == 200)
     // re-open with a DIFFERENT constructor bucket count: the manifest wins
     // (honoring the new value would require rehashing every row), so reads
@@ -493,6 +494,63 @@ class GraphStoreSpec extends AnyFunSuite with SparkTestBase {
     st2.createEntities(Seq(Entity("e#7", "t2", Seq("updated"))))
     assert(st2.getEntity("e#7").entityType == "t2")
     assert(new GraphStore(spark, dir).entities.count() == 200)
+  }
+
+  test("point lookup reads ONE file of a split bucket (sorted buckets + _FILESTATS pruning)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-store-").toString
+    // single bucket, 4-way split: every entity shares the bucket, so only
+    // the per-file key-range sidecar can narrow a lookup below bucket level
+    val st = new GraphStore(spark, dir, numBuckets = 1, filesPerBucket = 4)
+    st.initialize()
+    val names = (1 to 400).map(i => f"e#$i%04d")
+    st.upsertEntitiesDf(
+      names.map(n => (n, "t", Seq(s"obs of $n"))).toDF("name", "entity_type", "observations"))
+    val bucketFiles = {
+      val b = new java.io.File(s"$dir/entities/b0")
+      val v = b.listFiles().filter(_.getName.matches("v\\d+")).maxBy(_.getName.drop(1).toLong)
+      v.listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    assert(bucketFiles >= 2, s"split bucket expected, got $bucketFiles file(s)")
+    // a point lookup prunes to EXACTLY one of those files — range-disjoint
+    // sorted files mean one key can live in at most one file's [min,max]
+    for (probe <- Seq("e#0001", "e#0123", "e#0256", "e#0400")) {
+      val files = st.filesForKeys("entities", Seq(probe))
+      assert(files.size == 1,
+        s"$probe should prune to 1 of $bucketFiles files, got ${files.size}")
+      assert(st.getEntity(probe).observations == Seq(s"obs of $probe"))
+    }
+    // a key OUTSIDE every file's range reads nothing at all
+    assert(st.filesForKeys("entities", Seq("zzz-absent")).isEmpty)
+    intercept[NoSuchElementException] { st.getEntity("zzz-absent") }
+    // no false prune: the union of per-key pruned reads covers every row
+    val viaPruned = names.grouped(50).flatMap(g =>
+      st.filesForKeys("entities", g)).toSeq.distinct
+    val allRows = spark.read.schema(GraphStore.EntitiesSchema)
+      .parquet(viaPruned.map(_.toString): _*).select("name")
+      .collect().map(_.getString(0)).toSet
+    assert(allRows == names.toSet)
+    // observations prune the same way (bucketed by entity_name)
+    assert(st.filesForKeys("observations", Seq("e#0123")).size == 1)
+  }
+
+  test("_FILESTATS sidecar missing falls back to reading the whole bucket (old stores)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-store-").toString
+    val st = new GraphStore(spark, dir, numBuckets = 1, filesPerBucket = 4)
+    st.initialize()
+    st.upsertEntitiesDf(
+      (1 to 100).map(i => (f"e#$i%03d", "t", Seq(s"o$i")))
+        .toDF("name", "entity_type", "observations"))
+    // simulate a pre-round-10 store: drop the sidecars
+    def dropSidecars(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(dropSidecars)
+      else if (f.getName == "_FILESTATS") f.delete()
+    }
+    dropSidecars(new java.io.File(dir))
+    val files = st.filesForKeys("entities", Seq("e#042"))
+    assert(files.size >= 2, s"no sidecar -> all bucket files, got ${files.size}")
+    assert(st.getEntity("e#042").observations == Seq("o42"))
   }
 
   test("vacuum reader horizon: stale DataFrame fails loudly after vacuum(1), survives keepVersions=2") {
