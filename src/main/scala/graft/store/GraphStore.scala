@@ -45,12 +45,14 @@ case class Relation(from: String, to: String, relationType: String)
   * new cross-table state, never a mix; a crash mid-stage leaves only orphan
   * dirs/descriptors the next `vacuum` removes.
   *
-  * Sizing: `numBuckets` is fixed at `initialize()` (changing it would move
-  * rows between buckets — a full rewrite, exposed as nothing because no
-  * caller needs it at gate scale). Pick B so one bucket ≈ a task-sized unit
-  * at the target scale (100 TB / B ≈ tens of GB → B in the thousands); the
-  * default 16 suits test-scale stores. `filesPerBucket` adds an in-bucket
-  * split key so one bucket's rewrite parallelizes over that many tasks.
+  * Sizing: `numBuckets` fixes GENERATION 0 at `initialize()`; a store that
+  * outgrows it doubles progressively via [[splitBucket]] /
+  * [[advanceGeneration]] (extendible hashing: one bucket-sized commit per
+  * split, no stop-the-world rewrite — snapshots carry mixed-generation
+  * bucket sets and ownership resolves per key, highest generation first).
+  * Pick B0 so one bucket ≈ a task-sized unit at the starting scale; the
+  * default 16 suits test-scale stores. `filesPerBucket` range-splits each
+  * bucket so one bucket's rewrite parallelizes over that many tasks.
   *
   * Per-row interactive transactionality is out of scope for the analytics
   * engine (SURVEY §2.2 W3) — a batch is the atomic unit, which is also the
@@ -267,9 +269,12 @@ class GraphStore(spark: SparkSession, root: String, numBuckets: Int = 16,
       .toDF("name", "in_type")
     val now = current_timestamp()
     val names = cleaned.map(_.name)
-    val touched = names.map(bucketOf).toSet
+    // owning buckets are PER TABLE: entities and observations may sit at
+    // different split generations
+    val touchedE = names.map(owningBucket(currentSnapMap("entities").keySet, _)).toSet
+    val touchedO = names.map(owningBucket(currentSnapMap("observations").keySet, _)).toSet
 
-    val existing = readTableBuckets("entities", touched)
+    val existing = readTableBuckets("entities", touchedE)
     val kept = existing.join(incoming, Seq("name"), "left_anti")
     val updated = existing.join(incoming, Seq("name"))
       .select(col("name"), col("in_type").as("entity_type"), col("created_at"))
@@ -278,7 +283,7 @@ class GraphStore(spark: SparkSession, root: String, numBuckets: Int = 16,
 
     val newObs = cleaned.flatMap(e => e.observations.map(o => (e.name, o)))
       .toDF("entity_name", "content")
-    val survivors = readTableBuckets("observations", touched)
+    val survivors = readTableBuckets("observations", touchedO)
       .filter(!col("entity_name").isin(names: _*))
     val base = nextIdBase("observations", observations)
     val fresh = newObs
@@ -287,9 +292,9 @@ class GraphStore(spark: SparkSession, root: String, numBuckets: Int = 16,
     // one manifest flip covers both tables — W3's "per-entity transaction"
     // becomes per-batch cross-table atomicity
     commitBuckets(Map(
-      "entities" -> BucketWrite(touched,
+      "entities" -> BucketWrite(touchedE,
         alignTo(EntitiesSchema, kept.unionByName(updated).unionByName(inserted))),
-      "observations" -> BucketWrite(touched,
+      "observations" -> BucketWrite(touchedO,
         alignTo(ObservationsSchema,
           survivors.unionByName(alignTo(ObservationsSchema, fresh))))),
       Map("observations" -> maxIdOf(fresh, base)))
@@ -331,10 +336,17 @@ class GraphStore(spark: SparkSession, root: String, numBuckets: Int = 16,
       // observations were never written
       .localCheckpoint(true)
     val now = current_timestamp()
-    val touched = cleaned.select(bucketCol(col("name")).as("b"))
-      .distinct().collect().map(_.getInt(0)).toSet
+    // touched-bucket discovery stays in-plan (one O(distinct buckets ≤ B)
+    // aggregation), but per table: each table's snapshot may sit at a
+    // different split generation
+    def touchedIn(table: String): Set[Bucket] =
+      cleaned.select(
+          bucketTokenCol(currentSnapMap(table).keySet, col("name")).as("b"))
+        .distinct().collect().map(r => Bucket.fromToken(r.getString(0))).toSet
+    val touchedE = touchedIn("entities")
+    val touchedO = touchedIn("observations")
 
-    val existing = readTableBuckets("entities", touched)
+    val existing = readTableBuckets("entities", touchedE)
     val kept = existing.join(cleaned, Seq("name"), "left_anti")
     val updated = existing.join(cleaned.select("name", "in_type"), Seq("name"))
       .select(col("name"), col("in_type").as("entity_type"), col("created_at"))
@@ -342,7 +354,7 @@ class GraphStore(spark: SparkSession, root: String, numBuckets: Int = 16,
       .select(col("name"), col("in_type").as("entity_type"), now.as("created_at"))
 
     val updNames = cleaned.select(col("name").as("_upd_name"))
-    val survivors = readTableBuckets("observations", touched).join(updNames,
+    val survivors = readTableBuckets("observations", touchedO).join(updNames,
       col("entity_name") === col("_upd_name"), "left_anti")
     val base = nextIdBase("observations", observations)
     val fresh = cleaned
@@ -352,9 +364,9 @@ class GraphStore(spark: SparkSession, root: String, numBuckets: Int = 16,
     // maxIdOf is O(batch) — `fresh` derives from the localCheckpointed
     // `cleaned`, so re-evaluating it for the max is cheap AND deterministic
     commitBuckets(Map(
-      "entities" -> BucketWrite(touched,
+      "entities" -> BucketWrite(touchedE,
         alignTo(EntitiesSchema, kept.unionByName(updated).unionByName(inserted))),
-      "observations" -> BucketWrite(touched,
+      "observations" -> BucketWrite(touchedO,
         alignTo(ObservationsSchema,
           survivors.unionByName(alignTo(ObservationsSchema, fresh))))),
       Map("observations" -> maxIdOf(fresh, base)))
@@ -388,7 +400,8 @@ class GraphStore(spark: SparkSession, root: String, numBuckets: Int = 16,
       Relation(from, to, tpe)
     }
     import spark.implicits._
-    val touched = cleaned.map(r => bucketOf(r.from)).toSet
+    val relBuckets = currentSnapMap("relations").keySet
+    val touched = cleaned.map(r => owningBucket(relBuckets, r.from)).toSet
     val base = nextIdBase("relations", relations)
     val fresh = cleaned.map(r => (r.from, r.to, r.relationType))
       .toDF("source", "target", "relation_type")
@@ -417,23 +430,26 @@ class GraphStore(spark: SparkSession, root: String, numBuckets: Int = 16,
     * where a write costs far more than a projected scan.
     */
   def deleteEntity(name: String): Unit = withWriteLock {
-    val nb = bucketOf(name)
-    val entBucket = readTableBuckets("entities", Set(nb))
+    val nbE = owningBucket(currentSnapMap("entities").keySet, name)
+    val nbO = owningBucket(currentSnapMap("observations").keySet, name)
+    val relSnapBuckets = currentSnapMap("relations").keySet
+    val nbR = owningBucket(relSnapBuckets, name)
+    val entBucket = readTableBuckets("entities", Set(nbE))
     // existence probe on the file-pruned read; the rewrite keeps the bucket
     if (!GraphOps.entityExists(readTableKeys("entities", Seq(name)), name))
       throw new NoSuchElementException(s"Entity not found: $name")
     val targetSideBuckets = relations.filter(col("target") === name)
-      .select(bucketCol(col("source")).as("b")).distinct()
-      .collect().map(_.getInt(0)).toSet
-    val relTouched = targetSideBuckets + nb
+      .select(bucketTokenCol(relSnapBuckets, col("source")).as("b")).distinct()
+      .collect().map(r => Bucket.fromToken(r.getString(0))).toSet
+    val relTouched = targetSideBuckets + nbR
     commitBuckets(Map(
-      "observations" -> BucketWrite(Set(nb),
-        readTableBuckets("observations", Set(nb))
+      "observations" -> BucketWrite(Set(nbO),
+        readTableBuckets("observations", Set(nbO))
           .filter(col("entity_name") =!= name)),
       "relations" -> BucketWrite(relTouched,
         readTableBuckets("relations", relTouched)
           .filter(!(col("source") === name || col("target") === name))),
-      "entities" -> BucketWrite(Set(nb),
+      "entities" -> BucketWrite(Set(nbE),
         entBucket.filter(col("name") =!= name))))
   }
 
@@ -443,7 +459,7 @@ class GraphStore(spark: SparkSession, root: String, numBuckets: Int = 16,
   def deleteRelation(from: String, to: String, relationType: String): Unit = withWriteLock {
     val cond = col("source") === from && col("target") === to &&
       col("relation_type") === relationType
-    val b = Set(bucketOf(from))
+    val b = Set(owningBucket(currentSnapMap("relations").keySet, from))
     val bucket = readTableBuckets("relations", b)
     // the existence probe prunes to the file(s) whose source range can hold
     // `from`; the rewrite below still reads the whole (one) bucket
@@ -496,9 +512,10 @@ class GraphStore(spark: SparkSession, root: String, numBuckets: Int = 16,
   private def snapshotsDir(t: String): Path = tableDir(t).resolve("_snapshots")
   private def snapshotFile(t: String, s: Long): Path =
     snapshotsDir(t).resolve("s" + s)
-  private def bucketDir(t: String, k: Int): Path = tableDir(t).resolve("b" + k)
-  private def bucketVersionDir(t: String, k: Int, v: Long): Path =
-    bucketDir(t, k).resolve("v" + v)
+  private def bucketDir(t: String, b: Bucket): Path =
+    tableDir(t).resolve(b.dirName)
+  private def bucketVersionDir(t: String, b: Bucket, v: Long): Path =
+    bucketDir(t, b).resolve("v" + v)
 
   /** Bucket count, pinned in the manifest at initialize (a changed
     * constructor argument on an existing store is ignored — honoring it
@@ -507,13 +524,52 @@ class GraphStore(spark: SparkSession, root: String, numBuckets: Int = 16,
   private def bucketCount: Int =
     readManifest().flatMap(_.get("nbuckets")).map(_.toInt).getOrElse(numBuckets)
 
-  /** In-plan bucket id — `pmod(xxhash64(key), B)`, wholly codegen'd. */
-  private def bucketCol(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    pmod(xxhash64(key), lit(bucketCount.toLong)).cast("int")
+  /** Candidate slot of hash `h` at generation `g` (driver-side pmod twin
+    * of the in-plan expression in [[bucketTokenCol]]).
+    */
+  private def slotAt(h: Long, gen: Int): Int = {
+    val m = bucketCount.toLong << gen
+    (((h % m) + m) % m).toInt
+  }
 
-  /** Driver-side twin of [[bucketCol]] for this store's bucket count. */
-  private[store] def bucketOf(name: String): Int =
-    GraphStore.bucketFor(name, bucketCount)
+  /** The bucket OWNING `name` under the given bucket set: the highest-
+    * generation candidate slot present, else the implicit generation-0
+    * slot. Splits preserve "exactly one owner per key" — a split removes
+    * the parent and adds both children in one commit.
+    */
+  private def owningBucket(buckets: Set[Bucket], name: String): Bucket = {
+    val h = GraphStore.rawHash(name)
+    buckets.iterator.map(_.gen).filter(_ > 0).toSeq.distinct.sortBy(-_)
+      .collectFirst { case g if buckets.contains(Bucket(g, slotAt(h, g))) =>
+        Bucket(g, slotAt(h, g)) }
+      .getOrElse(Bucket(0, slotAt(h, 0)))
+  }
+
+  /** In-plan twin of [[owningBucket]]: a codegen'd when-chain that checks
+    * each generation present in `buckets` from highest to lowest and falls
+    * back to the generation-0 slot, emitting the owning bucket's token
+    * (`"g_id"`). Chain depth = number of DISTINCT generations live at once
+    * (1 outside a split window, 2 during one); the per-generation id sets
+    * compile to `InSet`.
+    */
+  private def bucketTokenCol(buckets: Set[Bucket],
+      key: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h = xxhash64(key)
+    val default = concat_ws("_", lit(0),
+      pmod(h, lit(bucketCount.toLong)).cast("int"))
+    buckets.iterator.map(_.gen).filter(_ > 0).toSeq.distinct.sorted
+      .foldLeft(default) { (fallback, g) =>
+        val m = bucketCount.toLong << g
+        val idc = pmod(h, lit(m)).cast("int")
+        val ids = buckets.collect { case Bucket(`g`, id) => id }
+        when(idc.isInCollection(ids), concat_ws("_", lit(g), idc))
+          .otherwise(fallback)
+      }
+  }
+
+  /** Current snapshot descriptor of `t` as a map (empty if uninitialized). */
+  private def currentSnapMap(t: String): Map[Bucket, Long] =
+    currentSnapshot(t).map(readSnapshot(t, _)).getOrElse(Map.empty)
 
   /** All `s<N>` snapshot descriptors present for a table (committed or
     * staged), ascending.
@@ -526,23 +582,25 @@ class GraphStore(spark: SparkSession, root: String, numBuckets: Int = 16,
   /** All `v<N>` version dirs present for a bucket (committed or staged),
     * ascending.
     */
-  private def bucketVersionsOnDisk(t: String, k: Int): Seq[Long] =
-    Option(bucketDir(t, k).toFile.listFiles()).getOrElse(Array.empty)
+  private def bucketVersionsOnDisk(t: String, b: Bucket): Seq[Long] =
+    Option(bucketDir(t, b).toFile.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
       .map(_.getName.drop(1).toLong).sorted.toSeq
 
-  /** Bucket ids with at least one version dir on disk. */
-  private def bucketsOnDisk(t: String): Seq[Int] =
+  /** Buckets with at least one version dir on disk (any generation). */
+  private def bucketsOnDisk(t: String): Seq[Bucket] =
     Option(tableDir(t).toFile.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.matches("b\\d+"))
-      .map(_.getName.drop(1).toInt).sorted.toSeq
+      .filter(_.isDirectory).flatMap(f => Bucket.fromDirName(f.getName))
+      .sortBy(b => (b.gen, b.id)).toSeq
 
-  /** Parse a snapshot descriptor: bucket id → bucket version. */
-  private def readSnapshot(t: String, s: Long): Map[Int, Long] =
+  /** Parse a snapshot descriptor: bucket → bucket version (line formats
+    * `id=vN` for generation 0 — the legacy layout — and `g:id=vN` above).
+    */
+  private def readSnapshot(t: String, s: Long): Map[Bucket, Long] =
     new String(Files.readAllBytes(snapshotFile(t, s)), StandardCharsets.UTF_8)
       .split("\n").filter(_.contains("=")).map { l =>
         val Array(k, v) = l.trim.split("=", 2)
-        k.toInt -> v.drop(1).toLong
+        Bucket.fromDescKey(k) -> v.drop(1).toLong
       }.toMap
 
   /** Snapshot manifest: one file mapping every table to its current
@@ -584,11 +642,11 @@ class GraphStore(spark: SparkSession, root: String, numBuckets: Int = 16,
         s"Table $t not initialized — call initialize() first")
     }
 
-  /** Current-snapshot read RESTRICTED to the given bucket ids — the read
+  /** Current-snapshot read RESTRICTED to the given buckets — the read
     * side of bucket pruning: point lookups and mutations read 1/B of the
     * table per touched key.
     */
-  private def readTableBuckets(t: String, buckets: Set[Int]): DataFrame =
+  private def readTableBuckets(t: String, buckets: Set[Bucket]): DataFrame =
     currentSnapshot(t) match {
       case Some(s) => readDirs(schemaFor(t),
         readSnapshot(t, s).toSeq.collect {
@@ -598,11 +656,13 @@ class GraphStore(spark: SparkSession, root: String, numBuckets: Int = 16,
         s"Table $t not initialized — call initialize() first")
     }
 
-  /** One table's part of a commit: the bucket ids being rewritten and the
-    * new FULL content of exactly those buckets (`content` may be null iff
-    * `touched` is empty — the initialize path).
+  /** One table's part of a commit: the buckets being rewritten, the new
+    * FULL content of exactly those buckets (`content` may be null iff
+    * `touched` is empty — the initialize path), and buckets REMOVED from
+    * the snapshot (a split retires the parent its children replace).
     */
-  private case class BucketWrite(touched: Set[Int], content: DataFrame)
+  private case class BucketWrite(touched: Set[Bucket], content: DataFrame,
+      retired: Set[Bucket] = Set.empty)
 
   /** Stage new versions for every touched bucket of every table in
     * `updates` (one Spark job per table: repartition by bucket id, write
@@ -615,15 +675,19 @@ class GraphStore(spark: SparkSession, root: String, numBuckets: Int = 16,
   private def commitBuckets(updates: Map[String, BucketWrite],
       maxIds: Map[String, Long] = Map.empty): Unit = {
     val manifest = readManifest().getOrElse(Map.empty)
-    val staged = updates.map { case (t, BucketWrite(touched, content)) =>
+    val staged = updates.map { case (t, BucketWrite(touched, content, retired)) =>
       Files.createDirectories(snapshotsDir(t))
-      val cur = currentSnapshot(t).map(readSnapshot(t, _)).getOrElse(Map.empty)
-      val newVersions: Map[Int, Long] =
+      val cur = currentSnapMap(t)
+      val newVersions: Map[Bucket, Long] =
         if (touched.isEmpty) Map.empty
         else {
           val key = bucketKeyFor(t)
           val stage = tableDir(t).resolve(s"_stage_${System.nanoTime()}")
-          val bucketed = content.withColumn("_bucket", bucketCol(col(key)))
+          // rows route by POST-commit ownership: a split's children are in
+          // `touched` but not yet in `cur`, and its parent is retired
+          val effective = cur.keySet -- retired ++ touched
+          val bucketed = content.withColumn("_bucket",
+            bucketTokenCol(effective, col(key)))
           // Every bucket version is written SORTED BY ITS BUCKET KEY, split
           // into ~filesPerBucket files of DISJOINT key ranges: range-
           // partition on (bucket, key) — explicit partition count, so AQE
@@ -643,15 +707,16 @@ class GraphStore(spark: SparkSession, root: String, numBuckets: Int = 16,
           // dropped by the move below — make a caller bug loud instead
           val strays = Option(stage.toFile.listFiles()).getOrElse(Array.empty)
             .filter(f => f.isDirectory && f.getName.startsWith("_bucket="))
-            .map(_.getName.stripPrefix("_bucket=").toInt)
+            .map(f => Bucket.fromToken(f.getName.stripPrefix("_bucket=")))
             .filterNot(touched)
           require(strays.isEmpty,
-            s"commit to $t staged rows for untouched buckets ${strays.toSeq.sorted}")
-          val out = touched.toSeq.sorted.map { k =>
+            s"commit to $t staged rows for untouched buckets " +
+              strays.map(_.dirName).sorted.mkString("[", ",", "]"))
+          val out = touched.toSeq.sortBy(b => (b.gen, b.id)).map { k =>
             val next = bucketVersionsOnDisk(t, k).lastOption.getOrElse(0L) + 1
             val dest = bucketVersionDir(t, k, next)
             Files.createDirectories(dest.getParent)
-            val src = stage.resolve(s"_bucket=$k")
+            val src = stage.resolve(s"_bucket=${k.token}")
             if (Files.isDirectory(src))
               Files.move(src, dest, StandardCopyOption.ATOMIC_MOVE)
             else Files.createDirectories(dest) // bucket rewritten to empty
@@ -661,10 +726,11 @@ class GraphStore(spark: SparkSession, root: String, numBuckets: Int = 16,
           rmTree(stage.toFile) // _SUCCESS + emptied partition skeleton
           out
         }
-      val snap = cur ++ newVersions
+      val snap = cur -- retired ++ newVersions
       val snapId = snapshotsOnDisk(t).lastOption.getOrElse(0L) + 1
       Files.write(snapshotFile(t, snapId),
-        snap.toSeq.sorted.map { case (k, v) => s"$k=v$v" }
+        snap.toSeq.sortBy(kv => (kv._1.gen, kv._1.id))
+          .map { case (k, v) => s"${k.descKey}=v$v" }
           .mkString("\n").getBytes(StandardCharsets.UTF_8))
       t -> s"s$snapId"
     }
@@ -772,11 +838,12 @@ class GraphStore(spark: SparkSession, root: String, numBuckets: Int = 16,
       case Some(s) =>
         val snap = readSnapshot(t, s)
         val keyBytes = keys.map(k =>
-          k.getBytes(StandardCharsets.UTF_8) -> bucketOf(k))
-        keyBytes.groupBy(_._2).toSeq.sortBy(_._1).flatMap { case (b, ks) =>
-          snap.get(b).toSeq.flatMap(v =>
-            pruneBucketFiles(bucketVersionDir(t, b, v), ks.map(_._1)))
-        }.distinct
+          k.getBytes(StandardCharsets.UTF_8) -> owningBucket(snap.keySet, k))
+        keyBytes.groupBy(_._2).toSeq.sortBy(b => (b._1.gen, b._1.id))
+          .flatMap { case (b, ks) =>
+            snap.get(b).toSeq.flatMap(v =>
+              pruneBucketFiles(bucketVersionDir(t, b, v), ks.map(_._1)))
+          }.distinct
       case None => throw new IllegalStateException(
         s"Table $t not initialized — call initialize() first")
     }
@@ -835,6 +902,52 @@ class GraphStore(spark: SparkSession, root: String, numBuckets: Int = 16,
     readTableVersion(table, snap)
   }
 
+  /** Progressive re-bucketing (extendible hashing step): split `bucket`
+    * into its two generation-(g+1) children. For a key with hash `h` owned
+    * by (g, k), `pmod(h, 2m)` (m = B0·2^g) is exactly `k` or `k+m`, so the
+    * parent's rows partition into the two children and NO other key's
+    * owner changes; the parent is retired and every other bucket is
+    * carried by reference. A store that grew 100× therefore doubles B by
+    * calling this once per bucket — each call one bucket-sized commit
+    * under the write lock, readers always seeing a complete key-space
+    * cover — with no stop-the-world table rewrite. Mixed generations are
+    * first-class: reads, writes, and point lookups resolve ownership
+    * per-key from the snapshot's (gen, id) set.
+    */
+  /** Buckets present in `table`'s current snapshot, (gen, id)-ordered —
+    * the candidates for [[splitBucket]] (an operator splits the largest).
+    */
+  def liveBuckets(table: String): Seq[Bucket] =
+    currentSnapMap(table).keySet.toSeq.sortBy(b => (b.gen, b.id))
+
+  def splitBucket(table: String, bucket: Bucket): Unit = withWriteLock {
+    val cur = currentSnapMap(table)
+    require(cur.contains(bucket),
+      s"$table has no committed bucket ${bucket.dirName} to split")
+    val m = bucketCount << bucket.gen
+    val children = Set(
+      Bucket(bucket.gen + 1, bucket.id),
+      Bucket(bucket.gen + 1, bucket.id + m))
+    val content = readDirs(schemaFor(table),
+      Seq(bucketVersionDir(table, bucket, cur(bucket))))
+    commitBuckets(Map(table ->
+      BucketWrite(children, content, retired = Set(bucket))))
+  }
+
+  /** Split every lowest-generation bucket of `table`, one commit per
+    * bucket — after it returns, the table's live bucket count has doubled
+    * for the generation that was lowest. Interleaved reads and writes are
+    * safe at every point (each split is its own atomic commit).
+    */
+  def advanceGeneration(table: String): Unit = withWriteLock {
+    val cur = currentSnapMap(table)
+    if (cur.nonEmpty) {
+      val g = cur.keySet.map(_.gen).min
+      cur.keySet.filter(_.gen == g).toSeq.sortBy(_.id)
+        .foreach(splitBucket(table, _))
+    }
+  }
+
   /** Compaction: rewrite every non-empty bucket of `table`'s current
     * snapshot (the commit path's repartition-by-bucket already yields
     * `filesPerBucket` files per bucket, so compaction is just a
@@ -870,7 +983,7 @@ class GraphStore(spark: SparkSession, root: String, numBuckets: Int = 16,
         val snaps = snapshotsOnDisk(t)
         val keep = snaps.filter(_ <= cur).reverse.take(keepVersions).toSet
         snaps.filterNot(keep).foreach(s => Files.deleteIfExists(snapshotFile(t, s)))
-        val referenced: Map[Int, Set[Long]] = keep.toSeq
+        val referenced: Map[Bucket, Set[Long]] = keep.toSeq
           .flatMap(s => readSnapshot(t, s).toSeq)
           .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
         bucketsOnDisk(t).foreach { k =>
@@ -938,6 +1051,48 @@ class GraphStore(spark: SparkSession, root: String, numBuckets: Int = 16,
 object GraphStore {
   private[store] val Tables = Seq("entities", "observations", "relations")
 
+  /** A bucket address in the extendible-hashing layout: generation `g` of a
+    * store initialized with B0 buckets has B0·2^g bucket slots, and a key
+    * with hash `h` is a CANDIDATE for slot `pmod(h, B0·2^g)` at every
+    * generation. The OWNING bucket is the highest-generation candidate
+    * present in the table's snapshot descriptor (falling back to the
+    * implicit generation-0 slot) — splitting a bucket into its two
+    * generation-(g+1) children therefore moves exactly its own keys and
+    * no others. Generation-0 directories keep the legacy `b<id>` name, so
+    * never-split stores are byte-identical to the round-8/9 layout.
+    */
+  case class Bucket(gen: Int, id: Int) {
+    require(gen >= 0 && id >= 0)
+    /** On-disk directory name under the table dir. */
+    def dirName: String = if (gen == 0) s"b$id" else s"b${id}_g$gen"
+    /** `partitionBy` value and descriptor token. */
+    def token: String = s"${gen}_$id"
+    /** Descriptor line key: legacy bare id at gen 0 for layout compat. */
+    def descKey: String = if (gen == 0) id.toString else s"$gen:$id"
+  }
+  object Bucket {
+    private val DirRe = "b(\\d+)(?:_g(\\d+))?".r
+    def fromDirName(n: String): Option[Bucket] = n match {
+      case DirRe(id, g) => Some(Bucket(if (g == null) 0 else g.toInt, id.toInt))
+      case _ => None
+    }
+    def fromToken(s: String): Bucket = {
+      val Array(g, id) = s.split("_", 2)
+      Bucket(g.toInt, id.toInt)
+    }
+    def fromDescKey(s: String): Bucket =
+      if (s.contains(":")) { val Array(g, id) = s.split(":", 2); Bucket(g.toInt, id.toInt) }
+      else Bucket(0, s.toInt)
+  }
+
+  /** Raw driver-side XxHash64 of a key — the exact twin of the in-plan
+    * `xxhash64(key)` (seed 42).
+    */
+  def rawHash(name: String): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(name),
+      StringType, 42L)
+
   /** Reference per-call API caps (/root/reference/src/index.ts:35,53). */
   val MaxEntitiesPerCall = 50
   val MaxRelationsPerCall = 100
@@ -948,8 +1103,7 @@ object GraphStore {
     * GraphStoreSpec pins driver ≡ in-plan over unicode names.
     */
   def bucketFor(name: String, buckets: Int): Int = {
-    val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
-      org.apache.spark.unsafe.types.UTF8String.fromString(name), StringType, 42L)
+    val h = rawHash(name)
     (((h % buckets) + buckets) % buckets).toInt
   }
 

@@ -67,7 +67,7 @@ class GraphStoreModelSpec extends AnyFunSuite with SparkTestBase {
     for (step <- 1 to 40) {
       val r = mix(step.toLong)
       def pick(i: Int, n: Int): Int = math.floorMod(mix(r + i).toInt, n)
-      val op = pick(0, 10)
+      val op = pick(0, 11)
       op match {
         case 0 | 1 | 2 | 3 => // upsert batch of 1-3 entities
           val batch = (0 until 1 + pick(1, 3)).map { j =>
@@ -118,6 +118,16 @@ class GraphStoreModelSpec extends AnyFunSuite with SparkTestBase {
           }
         case 9 => // re-open: a fresh instance must resolve identical state
           st = new GraphStore(spark, dir, numBuckets = 8, filesPerBucket = 2)
+        case 10 => // progressive re-bucketing mid-script: split one bucket
+          // or double a whole table's generation — reads must stay
+          // identical to the model through mixed-generation snapshots
+          val t = Seq("entities", "observations", "relations")(pick(96, 3))
+          if (pick(97, 4) == 0) st.advanceGeneration(t)
+          else {
+            val live = st.liveBuckets(t)
+            if (live.nonEmpty)
+              st.splitBucket(t, live(pick(98, live.size)))
+          }
       }
       val got = storeState(st)
       assert(got.entities == model.entities,

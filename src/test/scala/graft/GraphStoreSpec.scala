@@ -496,6 +496,57 @@ class GraphStoreSpec extends AnyFunSuite with SparkTestBase {
     assert(new GraphStore(spark, dir).entities.count() == 200)
   }
 
+  test("splitBucket: parent's rows partition exactly into two children; mixed generations read/write/lookup correctly") {
+    import spark.implicits._
+    import GraphStore.Bucket
+    val dir = Files.createTempDirectory("graft-store-").toString
+    val st = new GraphStore(spark, dir, numBuckets = 4)
+    st.initialize()
+    val names = (1 to 120).map(i => s"n#$i")
+    st.upsertEntitiesDf(
+      names.map(n => (n, "t", Seq(s"o-$n"))).toDF("name", "entity_type", "observations"))
+    val parent = st.liveBuckets("entities").head // a gen-0 bucket
+    val parentNames = names.filter(n => GraphStore.bucketFor(n, 4) == parent.id)
+    assert(parentNames.nonEmpty)
+
+    st.splitBucket("entities", parent)
+    val live = st.liveBuckets("entities")
+    // parent retired, both gen-1 children present (even if one is empty)
+    assert(!live.contains(parent))
+    val kids = Seq(Bucket(1, parent.id), Bucket(1, parent.id + 4))
+    assert(kids.forall(live.contains), s"live buckets after split: $live")
+    // the children's rows are EXACTLY the parent's, split by pmod(h, 8)
+    assert(st.entities.count() == 120) // nothing lost, nothing duplicated
+    for (n <- parentNames) {
+      val expected = Bucket(1, GraphStore.bucketFor(n, 8))
+      assert(kids.contains(expected))
+      val files = st.filesForKeys("entities", Seq(n))
+      assert(files.forall(_.toString.contains(expected.dirName)),
+        s"$n should resolve into ${expected.dirName}, got $files")
+      assert(st.getEntity(n).observations == Seq(s"o-$n"))
+    }
+    // a write touching a split key routes to the gen-1 child, not a
+    // resurrected parent; other tables (unsplit) keep working
+    val victim = parentNames.head
+    st.createEntities(Seq(Entity(victim, "t2", Seq("updated"))))
+    assert(st.getEntity(victim).entityType == "t2")
+    assert(!st.liveBuckets("entities").contains(parent))
+    // doubling the whole generation keeps every read identical
+    st.advanceGeneration("entities")
+    assert(st.liveBuckets("entities").forall(_.gen >= 1))
+    assert(st.entities.count() == 120)
+    assert(st.getEntity("n#55").observations.head.startsWith("o-"))
+    // cascade delete across MIXED generations (relations still gen 0)
+    st.createRelations(Seq(Relation("n#1", "n#2", "knows")))
+    st.deleteEntity("n#2")
+    assert(st.relations.count() == 0)
+    assert(st.entities.count() == 119)
+    // re-open resolves the mixed-generation layout identically
+    val st2 = new GraphStore(spark, dir, numBuckets = 4)
+    assert(st2.entities.count() == 119)
+    assert(st2.getEntity(victim).entityType == "t2")
+  }
+
   test("point lookup reads ONE file of a split bucket (sorted buckets + _FILESTATS pruning)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-store-").toString
