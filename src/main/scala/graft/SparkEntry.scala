@@ -235,6 +235,22 @@ object SparkEntry {
         li.filter(year(col("l_shipdate")) >= 1998), dims, ms, s"$dir/mv")
     }
 
+  /** Decremental rollup maintenance state: the summary is built over the
+    * FULL fact table, then a delete batch (ship dates ≥ 1998) is retracted
+    * via O(batch) `retractDelta` — negated count/sum partials appended,
+    * the summary itself never read. The declared query's merging read must
+    * then equal a direct aggregate of only the SURVIVING rows.
+    */
+  private def mvRetractSetup(s: SparkSession, d: String): String =
+    Setup.dir(s"mv_retract:$d") { dir =>
+      val li = lineitem(s, d)
+      val dims = Seq("l_returnflag", "l_linestatus")
+      val ms = Seq("l_quantity", "l_extendedprice")
+      graft.pipeline.Rollup.build(li, dims, ms, s"$dir/mv")
+      graft.pipeline.Rollup.retractDelta(
+        li.filter(col("l_shipdate") >= lit("1998-01-01")), dims, ms, s"$dir/mv")
+    }
+
   /** One deterministic synthetic PNG per doc (JDK ImageIO encode). */
   private def mmPngSetup(s: SparkSession, d: String): String =
     Setup.dir(s"mm_png:$d") { dir =>
@@ -472,6 +488,7 @@ object SparkEntry {
     eventsTsSetup(s, d): Unit
     bucketedSetup(s, d): Unit
     mvSetup(s, d): Unit
+    mvRetractSetup(s, d): Unit
     mmPngSetup(s, d): Unit
     mmWavSetup(s, d): Unit
     mmVideoSetup(s, d): Unit
@@ -4120,6 +4137,23 @@ object SparkEntry {
     "q_rollup_mv" -> ((s, d) => {
       val ms = Seq("l_quantity", "l_extendedprice")
       graft.pipeline.Rollup.query(s, s"${mvSetup(s, d)}/mv", Seq("l_returnflag"), ms)
+        .select(col("l_returnflag"), col("n"),
+          col("sum_l_quantity").as("sum_qty"),
+          col("sum_l_extendedprice").as("sum_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    // DECREMENTAL rollup maintenance (the delete/retraction sibling of
+    // q_rollup_mv): the summary was built over the FULL fact table, then
+    // the 1998+ ship dates were deleted from the base and retracted from
+    // the summary by appending negated count/sum partials — O(batch), the
+    // summary never read. The oracle aggregates only the SURVIVING rows
+    // directly, so the hash-match proves build + retract + merge ≡
+    // recompute-after-delete. Decimal partials subtract exactly; a grain
+    // key fully retracted merges to n = 0 and is dropped by the read.
+    "q_rollup_retract" -> ((s, d) => {
+      val ms = Seq("l_quantity", "l_extendedprice")
+      graft.pipeline.Rollup.query(s, s"${mvRetractSetup(s, d)}/mv", Seq("l_returnflag"), ms)
         .select(col("l_returnflag"), col("n"),
           col("sum_l_quantity").as("sum_qty"),
           col("sum_l_extendedprice").as("sum_price"))
@@ -7779,6 +7813,12 @@ object SparkEntry {
              CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
              CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_price
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q_rollup_retract" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_price
+         FROM lineitem WHERE l_shipdate < DATE '1998-01-01'
+         GROUP BY 1 ORDER BY 1""",
     "q_winsorize" ->
       """WITH pct AS (
            SELECT o_orderpriority,

@@ -51,6 +51,31 @@ object Rollup {
     aggregateToGrain(batch, dims, measures)
       .write.mode("append").parquet(path)
 
+  /** O(batch) DECREMENTAL maintenance: retract a batch of DELETED fact rows
+    * by appending their grain aggregate with NEGATED count/sum partials —
+    * exact, because decimal sums and counts subtract cleanly (the reader's
+    * merge yields precisely the aggregate of the surviving rows, and a
+    * grain key whose merged count reaches 0 disappears from `query`).
+    * Min/max are SELECTIONS, not accumulations — they are not algebraic
+    * under retraction — so the retraction row carries NULL min/max (nulls
+    * are ignored by the merge): after a retraction the summary's min/max
+    * are conservative BOUNDS (the true min/max of survivors is within
+    * them) until the next `build`/`compactRollup` from base re-tightens
+    * them. Like appendDelta, never reads the existing summary.
+    */
+  def retractDelta(deleted: DataFrame, dims: Seq[String], measures: Seq[String],
+      path: String): Unit = {
+    val negated = aggregateToGrain(deleted, dims, measures)
+      .withColumn("_n", -col("_n"))
+    val flipped = measures.foldLeft(negated) { (df, m) =>
+      df.withColumn(sumCol(m), -col(sumCol(m)))
+        .withColumn(cntCol(m), -col(cntCol(m)))
+        .withColumn(minCol(m), lit(null).cast(df.schema(minCol(m)).dataType))
+        .withColumn(maxCol(m), lit(null).cast(df.schema(maxCol(m)).dataType))
+    }
+    flipped.write.mode("append").parquet(path)
+  }
+
   private def aggregateToGrain(df: DataFrame, dims: Seq[String],
       measures: Seq[String]): DataFrame = {
     // min/max partials keep the ORIGINAL measure type: selection, not
@@ -73,6 +98,10 @@ object Rollup {
     val aggs = sum(col("_n")).as("n") +:
       measures.map(m => sum(col(sumCol(m))).cast("double").as(s"sum_$m"))
     summary.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      // a group fully retracted by retractDelta merges to n = 0 and must
+      // not appear (a direct aggregate of the survivors has no such group);
+      // append-only summaries never produce n = 0, so this is a no-op there
+      .filter(col("n") =!= 0)
   }
 
   /** One micro-batch of streaming maintenance: the batch's grain aggregate

@@ -69,6 +69,46 @@ class RollupSpec extends AnyFunSuite with SparkTestBase {
     assert(got2.collect().toSeq == direct(all, Seq("flag")).collect().toSeq)
   }
 
+  test("retractDelta (O(batch)) == full rebuild over the survivors, bit-exact") {
+    val dir = Files.createTempDirectory("rollup").toString + "/r"
+    val base = fact(5000, 7)
+    val deleted = base.filter(col("qty") >= 80) // a deterministic delete batch
+    val survivors = base.filter(col("qty") < 80)
+    Rollup.build(base, dims, measures, dir)
+    Rollup.retractDelta(deleted, dims, measures, dir)
+    for (by <- Seq(Seq("flag"), Seq("flag", "status"))) {
+      val got = Rollup.query(spark, dir, by, measures).orderBy(by.map(col): _*)
+      assert(got.collect().toSeq == direct(survivors, by).collect().toSeq,
+        s"retract != rebuild at grain $by")
+    }
+    // retraction after an append composes: add a second batch, delete part
+    val batch2 = fact(1000, 9)
+    Rollup.appendDelta(batch2, dims, measures, dir)
+    val deleted2 = batch2.filter(col("price") < 50)
+    Rollup.retractDelta(deleted2, dims, measures, dir)
+    val live = survivors.unionByName(batch2.filter(col("price") >= 50))
+    val got2 = Rollup.query(spark, dir, Seq("flag"), measures).orderBy("flag")
+    assert(got2.collect().toSeq == direct(live, Seq("flag")).collect().toSeq)
+  }
+
+  test("a grain key fully retracted merges to n = 0 and vanishes from the read") {
+    val dir = Files.createTempDirectory("rollup").toString + "/r"
+    val base = Seq(
+      ("gone", "s0", 1.0, 2.0), ("gone", "s0", 3.0, 4.0),
+      ("kept", "s0", 5.0, 6.0)).toDF("flag", "status", "qty", "price")
+    Rollup.build(base, dims, measures, dir)
+    Rollup.retractDelta(base.filter(col("flag") === "gone"), dims, measures, dir)
+    val rows = Rollup.query(spark, dir, Seq("flag"), measures).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("kept"),
+      s"fully-retracted grain key must not appear, got ${rows.toSeq}")
+    // and compaction over a summary containing retraction rows (their NULL
+    // min/max are ignored by the min/max merge) keeps the same answer
+    val cdir = dir + "_c"
+    Rollup.compactRollup(spark, dir, dims, measures, cdir)
+    val cRows = Rollup.query(spark, cdir, Seq("flag"), measures).collect()
+    assert(cRows.map(_.getString(0)).toSeq == Seq("kept"))
+  }
+
   test("reader scans the summary, not the fact table") {
     val dir = Files.createTempDirectory("rollup").toString + "/r"
     val base = fact(20000, 5)
