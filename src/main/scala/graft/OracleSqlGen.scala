@@ -922,12 +922,12 @@ object OracleSqlGen {
     * per-(doc,term) scores so the per-doc sum is order-independent. Shared
     * by the bm25 oracle and the hybrid-RRF oracle.
     */
-  private def bm25Ctes(probes: Seq[String]): String = {
+  private def bm25Ctes(probes: Seq[String], docFilter: String = "TRUE"): String = {
     val inList = probes.map(p => s"'$p'").mkString(", ")
     s"""tok AS (
           SELECT doc_id, t AS term
           FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS u(t)
-          WHERE t <> ''),
+          WHERE t <> '' AND ($docFilter)),
         dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
         st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
         tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok
@@ -946,8 +946,12 @@ object OracleSqlGen {
                FROM sc GROUP BY doc_id)"""
   }
 
-  def bm25(probes: Seq[String], topK: Int): String =
-    s"""WITH ${bm25Ctes(probes)}
+  /** `docFilter` restricts the corpus (the search_index_delete oracle
+    * rebuilds over only the surviving docs — it must hit every CTE,
+    * including the n_docs/avgdl statistics).
+    */
+  def bm25(probes: Seq[String], topK: Int, docFilter: String = "TRUE"): String =
+    s"""WITH ${bm25Ctes(probes, docFilter)}
         SELECT doc_id, bm25_fp FROM bm
         ORDER BY bm25_fp DESC, doc_id LIMIT $topK"""
 

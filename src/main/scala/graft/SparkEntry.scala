@@ -177,6 +177,20 @@ object SparkEntry {
         s"$dir/idx")
     }
 
+  /** Deletion-maintained inverted index: build over the FULL corpus, then
+    * tombstone every doc with doc_id % 7 == 3 via O(batch)
+    * `deleteFromIndex` — postings are never rewritten; the probe applies
+    * the tombstones as one broadcast anti-join before the BM25 statistics.
+    */
+  private def searchDelSetup(s: SparkSession, d: String): String =
+    Setup.dir(s"search_idx_del:$d") { dir =>
+      val docs = documents(s, d)
+      graft.pipeline.SearchIndex.buildIndex(
+        docs, col("doc_id"), col("text"), s"$dir/idx")
+      graft.pipeline.SearchIndex.deleteFromIndex(
+        docs.filter(col("doc_id") % 7 === 3), col("doc_id"), s"$dir/idx")
+    }
+
   /** Incrementally-maintained perceptual-hash index: base hashes decoded
     * from the old media corpus (doc_id < 400), the batch decoded and
     * APPENDED — old payloads are never re-decoded (decode is the expensive
@@ -503,6 +517,7 @@ object SparkEntry {
     dppSetup(s, d): Unit
     searchIndexSetup(s, d): Unit
     searchIncSetup(s, d): Unit
+    searchDelSetup(s, d): Unit
     phashIncSetup(s, d): Unit
     supportSetup(s, d): Unit
     minhashIndexSetup(s, d): Unit
@@ -3787,6 +3802,18 @@ object SparkEntry {
     "search_index_inc" -> ((s, d) =>
       graft.pipeline.SearchIndex.bm25Probe(s,
         s"${searchIncSetup(s, d)}/idx", Seq("spark", "query", "vector"),
+        topK = 20)),
+
+    // Deletion maintenance (the dedup_index_delete contract applied to
+    // text search): docs with doc_id % 7 == 3 were tombstoned in O(batch)
+    // — postings never rewritten — and the probe anti-joins the tombstones
+    // BEFORE the df/dl/corpus statistics. The oracle recomputes BM25 from
+    // scratch over only the SURVIVING corpus, so the hash-match proves
+    // tombstone-probe ≡ rebuild-after-delete, including the stats shift
+    // from the deleted docs.
+    "search_index_delete" -> ((s, d) =>
+      graft.pipeline.SearchIndex.bm25Probe(s,
+        s"${searchDelSetup(s, d)}/idx", Seq("spark", "query", "vector"),
         topK = 20)),
 
     // Hybrid search: BM25 rank list ⊕ cosine rank list (probe = doc 0's
@@ -7692,6 +7719,9 @@ object SparkEntry {
       OracleSqlGen.bm25(Seq("spark", "query", "vector"), topK = 20),
     "search_index_inc" ->
       OracleSqlGen.bm25(Seq("spark", "query", "vector"), topK = 20),
+    "search_index_delete" ->
+      OracleSqlGen.bm25(Seq("spark", "query", "vector"), topK = 20,
+        docFilter = "doc_id % 7 <> 3"),
     "search_hybrid_rrf" -> OracleSqlGen.hybridRrf(
       Seq("spark", "query", "vector"), probeVecId = 0L, kEach = 100, topK = 20),
     "ann_filtered" -> OracleSqlGen.annTopKFiltered(32, 5, "en"),

@@ -66,19 +66,63 @@ object SearchIndex {
       .write.mode("append").parquet(s"$path/doclen")
   }
 
+  /** O(batch) DELETION maintenance: append the deleted doc ids to a
+    * tombstone table. A doc's postings are spread across (potentially all)
+    * term buckets, so an eager rewrite would touch the whole postings
+    * layout per delete; the tombstone is instead applied at probe time as
+    * one broadcast anti-join on doc_id (postings are per-doc local — no
+    * cross-doc state to fix up), and [[compactIndex]] folds tombstones
+    * into the postings on the operator's schedule, bounding probe-side
+    * tombstone cost at O(deletes since last compaction).
+    */
+  def deleteFromIndex(deletedDocs: DataFrame, id: Column, path: String): Unit =
+    deletedDocs.select(id.cast("long").as("doc_id")).distinct()
+      .write.mode("append").parquet(s"$path/deletes")
+
+  /** Rewrite the index minus its tombstones (postings and doc lengths
+    * anti-joined on doc_id; the fresh index carries no deletes table) —
+    * equivalent to a rebuild over the surviving corpus, without
+    * re-tokenizing anything.
+    */
+  def compactIndex(spark: SparkSession, path: String, outPath: String): Unit = {
+    val del = tombstones(spark, path)
+    spark.read.parquet(s"$path/postings")
+      .join(broadcast(del), Seq("doc_id"), "left_anti")
+      .write.partitionBy("tb").mode("overwrite").parquet(s"$outPath/postings")
+    spark.read.parquet(s"$path/doclen")
+      .join(broadcast(del), Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$outPath/doclen")
+  }
+
+  private def tombstones(spark: SparkSession, path: String): DataFrame = {
+    val dir = new java.io.File(s"$path/deletes")
+    if (dir.isDirectory)
+      spark.read.parquet(dir.toString).select("doc_id").distinct()
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType))))
+  }
+
   /** BM25 top-k probe over the persisted index: the postings scan carries
     * a literal bucket IN-list (partition-pruned at plan time) plus the
     * term filter; df/dl/corpus stats and the fixed-point score are the
     * SAME expressions as the inline bm25 path, so the result hash-matches
-    * the from-scratch oracle.
+    * the from-scratch oracle. Tombstoned docs are excluded BEFORE the
+    * df/dl/corpus statistics, so a post-delete probe scores exactly as a
+    * rebuild over the survivors would.
     */
   def bm25Probe(spark: SparkSession, path: String, probes: Seq[String],
       topK: Int, buckets: Int = 16): DataFrame = {
     val tbs = plannedBuckets(probes, buckets)
+    val del = tombstones(spark, path)
     val tf = spark.read.parquet(s"$path/postings")
       .filter(col("tb").isin(tbs: _*) && col("term").isin(probes: _*))
       .select("doc_id", "term", "tf")
+      .join(broadcast(del), Seq("doc_id"), "left_anti")
     val dl = spark.read.parquet(s"$path/doclen")
+      .join(broadcast(del), Seq("doc_id"), "left_anti")
     val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
     val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")

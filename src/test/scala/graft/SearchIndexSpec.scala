@@ -64,4 +64,32 @@ class SearchIndexSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Long)].collect().toSeq
     assert(run(s"$incDir/idx") == run(s"$allDir/idx"))
   }
+
+  test("delete ≡ rebuild over survivors: tombstoned probe equals the surviving-corpus build") {
+    val docs = Tables.documents(spark, sf)
+    val delDir = java.nio.file.Files.createTempDirectory("sidx_del").toString
+    val survDir = java.nio.file.Files.createTempDirectory("sidx_surv").toString
+    val deletePred = col("doc_id") % 5 === 2
+    SearchIndex.buildIndex(docs, col("doc_id"), col("text"), s"$delDir/idx")
+    SearchIndex.deleteFromIndex(docs.filter(deletePred), col("doc_id"), s"$delDir/idx")
+    SearchIndex.buildIndex(docs.filter(!deletePred),
+      col("doc_id"), col("text"), s"$survDir/idx")
+    val probes = Seq("spark", "query", "vector")
+    def run(p: String) = SearchIndex.bm25Probe(spark, p, probes, topK = 20)
+      .as[(Long, Long)].collect().toSeq
+    val tombstoned = run(s"$delDir/idx")
+    assert(tombstoned.nonEmpty)
+    // scores must match the survivor rebuild EXACTLY — including the
+    // n_docs/avgdl/df statistics shift from the deleted docs
+    assert(tombstoned == run(s"$survDir/idx"))
+    // no tombstoned doc can surface
+    val deletedIds = docs.filter(deletePred).select("doc_id")
+      .as[Long].collect().toSet
+    assert(tombstoned.forall { case (id, _) => !deletedIds.contains(id) })
+    // compaction folds the tombstones in: same probe result, no deletes dir
+    val compDir = java.nio.file.Files.createTempDirectory("sidx_comp").toString
+    SearchIndex.compactIndex(spark, s"$delDir/idx", s"$compDir/idx")
+    assert(!new java.io.File(s"$compDir/idx/deletes").exists())
+    assert(run(s"$compDir/idx") == tombstoned)
+  }
 }
