@@ -1882,6 +1882,21 @@ object OracleSqlGen {
           CAST(b_sum AS BIGINT) AS b_sum
         FROM sums ORDER BY doc_id"""
 
+  /** Mirrors mm_decode_jpeg: the lossy round trip preserves DIMENSIONS
+    * exactly (closed forms of the generator), and `decoded = TRUE` pins
+    * that every payload went through the REAL ImageIO path (the stub
+    * fallback emits negative channel sums → decoded = FALSE). Channel sums
+    * are encoder-dependent under DCT quantization and are pinned at spec
+    * level against a checked-in byte fixture instead.
+    */
+  def mmDecodeJpeg: String =
+    s"""SELECT doc_id,
+          CAST(16 + doc_id % 17 AS BIGINT) AS width,
+          CAST(16 + (doc_id * 7) % 13 AS BIGINT) AS height,
+          CAST((16 + doc_id % 17) * (16 + (doc_id * 7) % 13) AS BIGINT) AS n_px,
+          TRUE AS decoded
+        FROM documents ORDER BY doc_id"""
+
   /** Mirrors mm_audio_decode: closed forms of the synthetic WAV sample ramp
     * (Multimodal.synthesizeWav — a = id mod 256, n = 64 + id mod 97,
     * s(i) = ((a+i) mod 256 − 128)·256; the mod sequence wraps at most once
