@@ -819,7 +819,12 @@ object OracleSqlGen {
     * probed cells' vectors — mirrors Similarity.ivfTopK (centroids = the
     * first `nCentroids` embeddings, queries = the first `nQueries`).
     */
-  def annIvfTopK(nQueries: Int, nCentroids: Int, k: Int, nprobe: Int): String =
+  /** `survivorFilter` (over `e.vec_id`) restricts which vectors exist in
+    * the INDEX — the ann_ivf_delete oracle rebuilds over only the
+    * survivors; queries still come from the full embeddings table.
+    */
+  def annIvfTopK(nQueries: Int, nCentroids: Int, k: Int, nprobe: Int,
+      survivorFilter: String = "TRUE"): String =
     s"""WITH cent AS (
           SELECT vec_id AS centroid_id, embedding AS centv FROM embeddings
           WHERE vec_id < $nCentroids),
@@ -828,7 +833,7 @@ object OracleSqlGen {
             SELECT e.vec_id AS neighbor_id, cent.centroid_id,
               row_number() OVER (PARTITION BY e.vec_id
                 ORDER BY ${cosineSql("e.embedding", "centv")} DESC, centroid_id ASC) AS rn
-            FROM embeddings e, cent)
+            FROM embeddings e, cent WHERE ($survivorFilter))
           WHERE rn = 1),
         probes AS (
           SELECT query_id, centroid_id FROM (

@@ -298,6 +298,23 @@ object SparkEntry {
         s"$dir/ivf")
     }
 
+  /** Deletion-maintained IVF index: built over the FULL corpus, then every
+    * vector with vec_id % 5 == 2 deleted via the cell-pruned eager rewrite
+    * (only the affected cell dirs are read and swapped; the probe path is
+    * untouched).
+    */
+  private def ivfDelSetup(s: SparkSession, d: String): String =
+    Setup.dir(s"ivf_index_del:$d") { dir =>
+      val e = embeddings(s, d)
+      val cents = e.filter(col("vec_id") < 8)
+      Similarity.buildIvfIndex(e, cents,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        s"$dir/ivf")
+      Similarity.deleteFromIvfIndex(e.filter(col("vec_id") % 5 === 2), cents,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        s"$dir/ivf")
+    }
+
   /** Incrementally-maintained IVF index: base build over the old corpus
     * (vec_id >= 100), then an O(batch) append of the rest — never a rebuild.
     */
@@ -521,6 +538,7 @@ object SparkEntry {
     mmVideoSetup(s, d): Unit
     ivfIndexSetup(s, d): Unit
     ivfIncSetup(s, d): Unit
+    ivfDelSetup(s, d): Unit
     pqIndexSetup(s, d): Unit
     pqIncSetup(s, d): Unit
     ivfPqSetup(s, d): Unit
@@ -1988,6 +2006,25 @@ object SparkEntry {
       val e = embeddings(s, d)
       Similarity.ivfProbeIndex(
         e.filter(col("vec_id") < 32), s"${ivfIncSetup(s, d)}/ivf",
+        e.filter(col("vec_id") < 8),
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 5, nprobe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Deletion maintenance for the persisted ANN index — completing the
+    // deletion triple across index families (minhash bands:
+    // dedup_index_delete; text postings: search_index_delete; IVF cells:
+    // here). A vector's cell is a pure function of the fixed centroids, so
+    // the delete was a CELL-PRUNED eager rewrite (only affected cell dirs
+    // read + swapped; emptied cells removed outright) and the probe is the
+    // unchanged ivfProbeIndex. Oracle: from-scratch IVF search where only
+    // survivors are assignable as neighbors — hash-match proves pruned
+    // rewrite ≡ rebuild-after-delete.
+    "ann_ivf_delete" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Similarity.ivfProbeIndex(
+        e.filter(col("vec_id") < 32), s"${ivfDelSetup(s, d)}/ivf",
         e.filter(col("vec_id") < 8),
         col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
         k = 5, nprobe = 2)
@@ -6798,6 +6835,8 @@ object SparkEntry {
     // must return exactly what a from-scratch rebuild returns
     "ann_ivf_persisted" -> OracleSqlGen.annIvfTopK(32, 8, 5, 2),
     "ann_ivf_incremental" -> OracleSqlGen.annIvfTopK(32, 8, 5, 2),
+    "ann_ivf_delete" -> OracleSqlGen.annIvfTopK(32, 8, 5, 2,
+      survivorFilter = "e.vec_id % 5 <> 2"),
 
     "text_stats" ->
       """SELECT doc_id,

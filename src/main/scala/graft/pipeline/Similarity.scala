@@ -366,6 +366,56 @@ object Similarity {
       .write.mode("append").partitionBy("centroid_id").parquet(path)
   }
 
+  /** DELETION maintenance for the persisted IVF index — cell-pruned eager
+    * rewrite, NOT a tombstone: a deleted vector's cell is a pure function
+    * of the fixed centroids, so the rewrite reads and rewrites ONLY the
+    * affected cell directories (anti-join on vec id inside them), leaving
+    * every other cell untouched and the probe path completely unchanged —
+    * delete cost ∝ affected cells, probe pays nothing. (Contrast
+    * SearchIndex.deleteFromIndex: text postings spread one doc across many
+    * term buckets, so there tombstones win; IVF postings are one-cell-per-
+    * vector, so here the pruned rewrite wins.) Survivors are staged to a
+    * temp dir first, then the affected cell dirs are swapped — a cell
+    * whose vectors are ALL deleted is removed outright (a dynamic
+    * partition overwrite would silently keep it).
+    */
+  def deleteFromIvfIndex(
+      deleted: DataFrame,
+      centroids: DataFrame,
+      cId: Column,
+      cVec: Column,
+      centId: Column,
+      centVec: Column,
+      path: String): Unit = {
+    val spark = deleted.sparkSession
+    val assigned = assignToCentroids(
+      Dedup.spread(deleted), cId, cVec, centroids, centId, centVec)
+    val cells = assigned.select("centroid_id").distinct()
+      .collect().map(_.get(0)).toSeq // O(affected cells) driver hop
+    if (cells.isEmpty) return
+    val delIds = deleted.select(cId.cast("long").as("del_id")).distinct()
+    val survivors = spark.read.parquet(path)
+      .filter(col("centroid_id").isInCollection(cells)) // partition-pruned
+      .join(broadcast(delIds), col("neighbor_id") === col("del_id"), "left_anti")
+      .drop("del_id")
+    val stage = s"${path}_delstage_${java.util.UUID.randomUUID().toString.take(8)}"
+    survivors.write.partitionBy("centroid_id").parquet(stage)
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+      f.delete(): Unit
+    }
+    cells.foreach { c =>
+      val dest = new java.io.File(s"$path/centroid_id=$c")
+      rmTree(dest)
+      val src = new java.io.File(s"$stage/centroid_id=$c")
+      if (src.isDirectory) {
+        java.nio.file.Files.move(src.toPath, dest.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+      } // else: every vector of the cell was deleted — the cell dir is gone
+    }
+    rmTree(new java.io.File(stage))
+  }
+
   /** Probe a persisted IVF index: per-query nprobe nearest cells, then ONE
     * partition-pruned read of exactly those cell directories (the distinct
     * probed-cell list is an O(centroids) driver hop, the same metadata-scale

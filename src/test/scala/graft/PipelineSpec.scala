@@ -156,6 +156,57 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(probe(s"$incDir/ivf") == probe(s"$allDir/ivf"))
   }
 
+  test("ivf deletion: cell-pruned rewrite equals a rebuild over survivors; untouched cells untouched; emptied cells removed") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter(col("vec_id") < 8)
+    val cents = e.filter(col("vec_id") < 4)
+    val delDir = java.nio.file.Files.createTempDirectory("ivf_del").toString
+    val survDir = java.nio.file.Files.createTempDirectory("ivf_surv").toString
+    Similarity.buildIvfIndex(e, cents,
+      col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), s"$delDir/ivf")
+    // pick the delete batch as EVERY vector of one whole cell plus a
+    // scattering from others (vec_id % 9 == 4) — exercises both the
+    // emptied-cell removal and the in-cell anti-join
+    val idx = spark.read.parquet(s"$delDir/ivf")
+    val cellOf = idx.select("neighbor_id", "centroid_id")
+      .as[(Long, Long)].collect().toMap
+    val victimCell = cellOf.values.groupBy(identity).minBy(_._2.size)._1
+    val deletePred = col("vec_id") % 9 === 4 ||
+      col("vec_id").isInCollection(cellOf.collect {
+        case (v, c) if c == victimCell => v }.toSeq)
+    // files of an unaffected cell must be byte-identical afterwards (the
+    // rewrite must not touch cells holding no deleted vector)
+    def cellFiles(c: Long) = {
+      val dir = new java.io.File(s"$delDir/ivf/centroid_id=$c")
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val untouchedCell = cellOf.collect {
+      case (v, c) if c != victimCell && v % 9 != 4 => c }.headOption
+      .filter(c => !cellOf.exists { case (v, cc) => cc == c && v % 9 == 4 })
+    val beforeFiles = untouchedCell.map(cellFiles)
+    Similarity.deleteFromIvfIndex(e.filter(deletePred), cents,
+      col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), s"$delDir/ivf")
+    assert(!new java.io.File(s"$delDir/ivf/centroid_id=$victimCell").exists(),
+      "a cell whose vectors were all deleted must disappear")
+    untouchedCell.foreach { c =>
+      assert(cellFiles(c) == beforeFiles.get, s"unaffected cell $c was rewritten")
+    }
+    // probe ≡ rebuild over the survivors
+    Similarity.buildIvfIndex(e.filter(!deletePred), cents,
+      col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), s"$survDir/ivf")
+    def probe(path: String) = Similarity.ivfProbeIndex(q, path, cents,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 3, nprobe = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    val got = probe(s"$delDir/ivf")
+    assert(got.nonEmpty)
+    assert(got == probe(s"$survDir/ivf"))
+    // no deleted vector can surface as a neighbor
+    val deletedIds = e.filter(deletePred).select("vec_id").as[Long].collect().toSet
+    assert(got.forall { case (_, n, _) => !deletedIds.contains(n) })
+  }
+
   test("stratified sampling: untouched strata exact, downsampled near fraction") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")
     val fr = Map("en" -> 0.5, "de" -> 1.0, "es" -> 1.0, "fr" -> 1.0, "zh" -> 1.0)
