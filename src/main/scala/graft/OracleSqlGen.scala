@@ -2000,12 +2000,12 @@ object OracleSqlGen {
     * decoded pixels; bit 63 is assembled through the two's-complement
     * sentinel (HUGEINT sum, BIGINT cast) since 1<<63 overflows.
     */
-  private def phashCte: String =
+  private def phashCte(docFilter: String = "TRUE"): String =
     s"""WITH m AS (
           SELECT doc_id, CAST(doc_id % 256 AS BIGINT) AS a,
             CAST(16 + doc_id % 17 AS BIGINT) AS w,
             CAST(16 + (doc_id*7) % 13 AS BIGINT) AS h
-          FROM documents),
+          FROM documents WHERE ($docFilter)),
         xc AS (
           SELECT doc_id, cx, sum(r) AS rx, count(*) AS nx FROM (
             SELECT doc_id, (x*8)//w AS cx, (a+x)%256 AS r
@@ -2089,7 +2089,7 @@ object OracleSqlGen {
     */
   def crossModalAgreement(n: Int, bands: Int, rowsPerBand: Int): String =
     s"""${componentCtes(n, bands, rowsPerBand)},
-        ${phashCte.trim.stripPrefix("WITH")},
+        ${phashCte().trim.stripPrefix("WITH")},
         labels AS (SELECT a AS doc_id, min(b) AS rep_id FROM reach GROUP BY a),
         cells AS (
           SELECT d.doc_id, coalesce(l.rep_id, d.doc_id) AS rep, h.ahash
@@ -2111,9 +2111,12 @@ object OracleSqlGen {
             AS agree_ppm
         FROM tp, ip, bp"""
 
-  /** Mirrors mm_phash_clusters: exact-hash duplicate groups. */
-  def mmPhashClusters: String =
-    s"""$phashCte
+  /** Mirrors mm_phash_clusters: exact-hash duplicate groups. `docFilter`
+    * restricts the corpus (the mm_phash_delete oracle re-derives every
+    * hash over only the surviving docs).
+    */
+  def mmPhashClusters(docFilter: String = "TRUE"): String =
+    s"""${phashCte(docFilter)}
         SELECT ahash, CAST(count(*) AS BIGINT) AS n_docs,
           min(doc_id) AS rep_id
         FROM hash GROUP BY ahash
@@ -2125,7 +2128,7 @@ object OracleSqlGen {
     * the composite min_by key hamming·10⁷+nb ≡ Spark's min(struct).
     */
   def mmPhashNn: String =
-    s"""$phashCte,
+    s"""${phashCte()},
         pairs AS (
           SELECT a.doc_id AS doc_id, b.doc_id AS nb,
             bit_count(xor(a.ahash, b.ahash)) AS hamming

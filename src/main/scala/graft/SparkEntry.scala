@@ -208,6 +208,30 @@ object SparkEntry {
         .write.mode("append").parquet(s"$dir/hashes")
     }
 
+  /** Deletion-maintained perceptual-hash index: the full corpus is decoded
+    * ONCE into the 8-byte/doc hash table, then docs with doc_id % 6 == 1
+    * are removed by ONE anti-join over the index — payloads are never
+    * re-decoded (decode is the expensive stage; the index rewrite is
+    * 8 bytes/doc).
+    */
+  private def phashDelSetup(s: SparkSession, d: String): String =
+    Setup.dir(s"phash_del:$d") { dir =>
+      import s.implicits._
+      val png = s.read.parquet(s"${mmPngSetup(s, d)}/png").as[MediaRow]
+      Multimodal.averageHash(png)
+        .select("doc_id", "ahash")
+        .write.mode("overwrite").parquet(s"$dir/hashes")
+      val deleted = documents(s, d)
+        .filter(col("doc_id") % 6 === 1)
+        .select(col("doc_id").cast("long").as("del_id"))
+      // localCheckpoint materializes the survivors so the in-place
+      // overwrite never reads the files it is replacing
+      val surviving = s.read.parquet(s"$dir/hashes")
+        .join(broadcast(deleted), col("doc_id") === col("del_id"), "left_anti")
+        .localCheckpoint(true)
+      surviving.write.mode("overwrite").parquet(s"$dir/hashes")
+    }
+
   /** Events range-clustered on epoch second + stats manifest. */
   private def eventsTsSetup(s: SparkSession, d: String): String =
     Setup.dir(s"events_ts:$d") { dir =>
@@ -550,6 +574,7 @@ object SparkEntry {
     searchIncSetup(s, d): Unit
     searchDelSetup(s, d): Unit
     phashIncSetup(s, d): Unit
+    phashDelSetup(s, d): Unit
     supportSetup(s, d): Unit
     minhashIndexSetup(s, d): Unit
   }
@@ -2234,6 +2259,20 @@ object SparkEntry {
     // dedup_components_inc contract applied to media fingerprints.
     "mm_phash_inc_clusters" -> ((s, d) => {
       s.read.parquet(s"${phashIncSetup(s, d)}/hashes")
+        .groupBy("ahash")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("rep_id"))
+        .orderBy(desc("n_docs"), asc("ahash"))
+    }),
+
+    // Deletion maintenance for the media-fingerprint index — the fourth
+    // and last maintained index family (minhash bands, text postings, IVF
+    // cells, phash). Deletion is ONE anti-join over the 8-byte/doc index;
+    // no payload is ever re-decoded. The oracle re-derives every surviving
+    // hash from the generator's closed forms over only the surviving docs,
+    // so the hash-match proves the maintained index ≡ re-decode-after-
+    // delete, clusters included.
+    "mm_phash_delete" -> ((s, d) => {
+      s.read.parquet(s"${phashDelSetup(s, d)}/hashes")
         .groupBy("ahash")
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("rep_id"))
         .orderBy(desc("n_docs"), asc("ahash"))
@@ -6990,8 +7029,10 @@ object SparkEntry {
 
     "mm_decode" -> OracleSqlGen.mmDecode,
     "mm_decode_jpeg" -> OracleSqlGen.mmDecodeJpeg,
-    "mm_phash_clusters" -> OracleSqlGen.mmPhashClusters,
-    "mm_phash_inc_clusters" -> OracleSqlGen.mmPhashClusters,
+    "mm_phash_clusters" -> OracleSqlGen.mmPhashClusters(),
+    "mm_phash_inc_clusters" -> OracleSqlGen.mmPhashClusters(),
+    "mm_phash_delete" -> OracleSqlGen.mmPhashClusters(
+      docFilter = "doc_id % 6 <> 1"),
     "mm_frame_dedup" -> OracleSqlGen.mmFrameDedup(2),
     "dedup_cross_modal" -> OracleSqlGen.crossModalAgreement(3, 8, 2),
     "mm_phash_nn" -> OracleSqlGen.mmPhashNn,
