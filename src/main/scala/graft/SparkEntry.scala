@@ -2982,6 +2982,27 @@ object SparkEntry {
         .withColumn("window_start", col("window_start").cast("timestamp"))
         .orderBy("window_start", "event_type")),
 
+    // CDC retraction stream: every event arrives as an insert (+1) and the
+    // user_id % 11 == 3 slice is later RETRACTED (−1) — the correction
+    // flow a pipeline needs when an upstream source withdraws data. The
+    // signed aggregate nets them per (window, type) in exact decimal
+    // (insert/retraction pairs cancel bit-exactly; net-0 groups vanish),
+    // and the oracle aggregates only the never-retracted events — the
+    // hash-match proves signed-netting ≡ reaggregate-after-correction.
+    // StreamingSpec pins the same operator under readStream: retraction
+    // here is DATA (a sign column), not an update-mode feature, so it
+    // survives append-mode sinks at any scale.
+    "stream_retract" -> ((s, d) => {
+      val ev = events(s, d)
+      val signed = ev.withColumn("op", lit(1))
+        .unionByName(ev.filter(col("user_id") % 11 === 3)
+          .withColumn("op", lit(-1)))
+      EventOps.tumblingSigned(signed, "1 hour", col("op"))
+        .withColumn("window_start", col("window_start").cast("timestamp"))
+        .withColumn("sum_value", col("sum_value").cast("double"))
+        .orderBy("window_start", "event_type")
+    }),
+
     // Hourly top-3 event-type leaderboard — the batch path of topkSink
     // (stream ≡ batch pinned by StreamingSpec): one tumbling count agg,
     // then an O(types) rank per window partitioned on window_start.
@@ -7240,6 +7261,12 @@ object SparkEntry {
              CAST(count(*) AS BIGINT) AS n,
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "stream_retract" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events WHERE user_id % 11 <> 3
+         GROUP BY 1, 2 ORDER BY window_start, event_type""",
     "stream_topk" ->
       """WITH c AS (
            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,

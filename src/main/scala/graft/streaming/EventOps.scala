@@ -30,6 +30,26 @@ object EventOps {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** CDC-signed tumbling aggregate: each row carries `op` ∈ {+1 insert,
+    * −1 retraction} and the result equals [[tumbling]] over the NET stream
+    * — counts are Σop and sums accumulate op·value in exact decimal, so an
+    * insert/retraction pair cancels bit-exactly and a window/type group
+    * whose net count reaches 0 disappears. Runs unchanged under
+    * Structured Streaming (an ordinary watermark-bounded windowed sum —
+    * retraction is data, not a Spark update-mode feature, which is what
+    * makes it portable to append-mode sinks), and its partials subtract
+    * the same way Rollup.retractDelta's do.
+    */
+  def tumblingSigned(events: DataFrame, every: String, op: Column): DataFrame =
+    events
+      .groupBy(window(col("ts"), every).as("w"), col("event_type"))
+      .agg(
+        sum(op.cast("long")).as("n"),
+        sum((col("value") * op).cast("decimal(18,2)")).as("sum_value"))
+      .filter(col("n") =!= 0)
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
   /** Sliding-window aggregation (window length > slide ⇒ each event counted
     * in length/slide windows).
     */

@@ -8,6 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.EventOps
 
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+case class SEv(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double, op: Int)
 
 /** Structured Streaming specs: the streaming forms must agree with their
   * batch twins (SURVEY §7.3 — streaming state has no reference analog, so
@@ -191,6 +192,46 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       .orderBy("window_start", "event_type")
       .collect().toSeq
     assert(streamed == batch)
+  }
+
+  test("streaming signed (CDC retraction) agg equals batch netting; pairs cancel exactly") {
+    // the insert stream plus LATE retractions of user 1's events — the
+    // signed op is a data column, so the same watermark-bounded windowed
+    // sum runs in append mode with no update-mode machinery
+    val retractions = evs.filter(_.user_id == 1)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SEv]
+    // 6h late-tolerance: retractions land in a LATER micro-batch than
+    // their inserts, so the windows must not finalize until the flush —
+    // the correction horizon is exactly the watermark delay, the honest
+    // contract for CDC over append-mode streaming
+    val q = EventOps.tumblingSigned(
+        EventOps.withWatermarkIfStreaming(mem.toDF(), "ts", "6 hours"),
+        "1 hour", col("op"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("signed_out").start()
+    mem.addData(evs.map(e => SEv(e.event_id, e.ts, e.user_id, e.event_type, e.value, 1)): _*)
+    q.processAllAvailable()
+    // retractions arrive LATER in stream order but inside the watermark
+    mem.addData(retractions.map(e => SEv(e.event_id + 50, e.ts, e.user_id, e.event_type, e.value, -1)): _*)
+    q.processAllAvailable()
+    mem.addData(SEv(99, flush.ts, 999, "flush", 0.0, 1))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("signed_out")
+      .filter($"event_type" =!= "flush")
+      .select($"window_start", $"event_type", $"n", $"sum_value".cast("double"))
+      .orderBy("window_start", "event_type")
+      .collect().toSeq
+    // batch twin over the NET events (user 1 fully retracted)
+    val net = evs.filterNot(_.user_id == 1)
+    val batch = EventOps.tumbling(net.toDF(), "1 hour")
+      .select($"window_start", $"event_type", $"n", $"sum_value".cast("double"))
+      .orderBy("window_start", "event_type")
+      .collect().toSeq
+    assert(streamed == batch, s"signed streaming netting diverged:\n$streamed\nvs\n$batch")
+    // user 1's windows are fully retracted → gone, not present with n=0
+    assert(!streamed.exists(r => r.getLong(2) == 0))
   }
 
   test("streaming sliding agg equals batch sliding agg") {
