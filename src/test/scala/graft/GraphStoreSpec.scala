@@ -137,6 +137,39 @@ class GraphStoreSpec extends AnyFunSuite with SparkTestBase {
     // self-diff is empty; unknown table rejected
     assert(st.diffVersions("entities", v2, v2).isEmpty)
     intercept[IllegalArgumentException] { st.diffVersions("nope", v1, v2) }
+    // self-diff prunes EVERYTHING before reading a file (identical
+    // versions ⇒ empty dir lists on both sides)
+    val (selfOld, selfNew) = st.changedBucketDirs("entities", v2, v2)
+    assert(selfOld.isEmpty && selfNew.isEmpty)
+  }
+
+  test("diffVersions reads only CHANGED buckets; unchanged rows survive a split address change") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-store-").toString
+    val st = new GraphStore(spark, dir, numBuckets = 64)
+    st.initialize()
+    st.upsertEntitiesDf(
+      (1 to 300).map(i => (s"e#$i", "t", Seq(s"o$i")))
+        .toDF("name", "entity_type", "observations"))
+    val v1 = st.tableVersions("entities").last
+    st.createEntities(Seq(Entity("e#7", "t2", Seq("updated")))) // one bucket
+    val v2 = st.tableVersions("entities").last
+    val (oldDirs, newDirs) = st.changedBucketDirs("entities", v1, v2)
+    // a 1-entity mutation diffs by reading 1 bucket per side, not 64
+    assert(oldDirs.size == 1 && newDirs.size == 1,
+      s"expected 1 changed bucket per side, got ${oldDirs.size}/${newDirs.size}")
+    assert(st.diffVersions("entities", v1, v2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq("e#7" -> "changed"))
+    // split a bucket BETWEEN diffed versions: addresses change, so parent
+    // and children enter the changed set — but unchanged rows must still
+    // match across the address change and report no diff
+    val parent = st.liveBuckets("entities").find(_.gen == 0).get
+    st.splitBucket("entities", parent)
+    val v3 = st.tableVersions("entities").last
+    val diff23 = st.diffVersions("entities", v2, v3).collect()
+    assert(diff23.isEmpty,
+      s"a pure split changes no rows, got ${diff23.toSeq}")
   }
 
   test("diffVersions: relations default keys resolve against the stored schema") {
