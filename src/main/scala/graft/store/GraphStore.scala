@@ -971,6 +971,43 @@ class GraphStore(spark: SparkSession, root: String, numBuckets: Int = 16,
     }
   }
 
+  /** Current on-disk bytes per live bucket (driver-side file-length sum
+    * over each bucket's CURRENT version dir — metadata only, no Spark
+    * job). The input to a split policy.
+    */
+  def bucketBytes(table: String): Map[Bucket, Long] =
+    currentSnapMap(table).map { case (b, v) =>
+      val dir = bucketVersionDir(table, b, v).toFile
+      b -> Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(_.length()).sum
+    }
+
+  /** Split POLICY: split every live bucket whose current bytes exceed
+    * `maxBytes`, repeating on the children until all buckets fit or
+    * `maxRounds` splits of lineage have been applied (a pathological
+    * single-key hot bucket cannot shrink by splitting — the cap keeps the
+    * policy from spinning on it). This is the operational loop a store at
+    * 100 TB runs after ingest: growth doubles B exactly where data
+    * accumulated, one bucket-sized commit at a time, reads never blocked.
+    * Returns the number of splits performed.
+    */
+  def splitOversized(table: String, maxBytes: Long, maxRounds: Int = 8): Int =
+    withWriteLock {
+      require(maxBytes > 0 && maxRounds >= 1)
+      var splits = 0
+      var round = 0
+      var oversized = bucketBytes(table).filter(_._2 > maxBytes).keySet
+      while (oversized.nonEmpty && round < maxRounds) {
+        oversized.toSeq.sortBy(b => (b.gen, b.id)).foreach { b =>
+          splitBucket(table, b); splits += 1
+        }
+        round += 1
+        oversized = bucketBytes(table).filter(_._2 > maxBytes).keySet
+      }
+      splits
+    }
+
   /** Compaction: rewrite every non-empty bucket of `table`'s current
     * snapshot (the commit path's repartition-by-bucket already yields
     * `filesPerBucket` files per bucket, so compaction is just a

@@ -580,6 +580,37 @@ class GraphStoreSpec extends AnyFunSuite with SparkTestBase {
     assert(st2.getEntity(victim).entityType == "t2")
   }
 
+  test("splitOversized policy: splits exactly the heavy buckets, children inherit the data, bounded rounds") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-store-").toString
+    val st = new GraphStore(spark, dir, numBuckets = 4)
+    st.initialize()
+    st.upsertEntitiesDf(
+      (1 to 400).map(i => (s"e#$i", "t", Seq(s"o$i")))
+        .toDF("name", "entity_type", "observations"))
+    val sizes = st.bucketBytes("entities")
+    assert(sizes.values.forall(_ > 0) && sizes.size == 4)
+    // threshold between min and max: only the heavier buckets split
+    val cut = (sizes.values.min + sizes.values.max) / 2
+    val heavy = sizes.filter(_._2 > cut).keySet
+    assume(heavy.nonEmpty && heavy.size < 4) // data-dependent but stable (fixed names)
+    val n = st.splitOversized("entities", cut, maxRounds = 1)
+    assert(n == heavy.size, s"expected ${heavy.size} splits, did $n")
+    val live = st.liveBuckets("entities").toSet
+    heavy.foreach { b =>
+      assert(!live.contains(b))
+      assert(live.contains(GraphStore.Bucket(b.gen + 1, b.id)))
+    }
+    sizes.keySet.diff(heavy).foreach(b => assert(live.contains(b)))
+    assert(st.entities.count() == 400)
+    assert(st.getEntity("e#123").observations == Seq("o123"))
+    // a tiny threshold with a round cap terminates (hot buckets cannot
+    // shrink forever) and leaves the store intact
+    val more = st.splitOversized("entities", 1L, maxRounds = 2)
+    assert(more > 0)
+    assert(st.entities.count() == 400)
+  }
+
   test("point lookup reads ONE file of a split bucket (sorted buckets + _FILESTATS pruning)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-store-").toString
