@@ -1008,6 +1008,77 @@ class GraphStore(spark: SparkSession, root: String, numBuckets: Int = 16,
       splits
     }
 
+  /** Sibling merge: the inverse of [[splitBucket]]. `parent` names a
+    * RETIRED generation-g bucket whose two generation-(g+1) children are
+    * both live; one atomic commit re-combines their rows into the parent
+    * and retires both children. Ownership stays exact without any
+    * rehashing: the merged keys' gen-(g+1) candidate slots leave the
+    * snapshot, so per-key resolution falls through to the gen-g slot —
+    * the restored parent — and no OTHER key's owner changes (its
+    * candidate slots are untouched). Only the two children are read and
+    * one bucket is written; every other bucket is carried by reference,
+    * so a shrink after mass deletion costs one bucket-sized commit per
+    * reclaimed bucket, never a table rewrite.
+    */
+  def mergeChildren(table: String, parent: Bucket): Unit = withWriteLock {
+    val cur = currentSnapMap(table)
+    val m = bucketCount << parent.gen
+    require(parent.id >= 0 && parent.id < m,
+      s"${parent.dirName} is not a valid generation-${parent.gen} address (B=$m)")
+    val children =
+      Seq(Bucket(parent.gen + 1, parent.id), Bucket(parent.gen + 1, parent.id + m))
+    // `parent` live would mean the children never existed (a split retires
+    // it) — catch a caller addressing the wrong generation
+    require(!cur.contains(parent),
+      s"$table bucket ${parent.dirName} is live — nothing to merge into it")
+    require(children.forall(cur.contains),
+      s"$table cannot merge into ${parent.dirName}: children " +
+        children.map(_.dirName).mkString(" + ") + " are not both live " +
+        "(one may itself be split — merge its children first)")
+    val content = readDirs(schemaFor(table),
+      children.map(c => bucketVersionDir(table, c, cur(c))))
+    commitBuckets(Map(table ->
+      BucketWrite(Set(parent), content, retired = children.toSet)))
+  }
+
+  /** Merge POLICY (inverse of [[splitOversized]]): merge every live
+    * sibling pair whose COMBINED on-disk bytes fit in `maxBytes`,
+    * cascading up generations round by round (a merged parent may
+    * immediately pair with ITS sibling) until nothing merges or
+    * `maxRounds` rounds ran. A store that shrank after mass deletes
+    * reclaims bucket count exactly where the data disappeared — small
+    * buckets mean per-bucket task overhead dominates scans, so shrink is
+    * as operationally necessary at 100 TB as growth. Returns the number
+    * of merges performed.
+    */
+  def mergeUndersized(table: String, maxBytes: Long, maxRounds: Int = 8): Int =
+    withWriteLock {
+      require(maxBytes > 0 && maxRounds >= 1)
+      var merges = 0
+      var round = 0
+      var progress = true
+      while (progress && round < maxRounds) {
+        progress = false
+        val sizes = bucketBytes(table)
+        val live = sizes.keySet
+        // canonical (low-id) child of each mergeable pair → its parent
+        val parents = live.toSeq.sortBy(b => (b.gen, b.id)).flatMap { b =>
+          val m = if (b.gen > 0) bucketCount << (b.gen - 1) else 0
+          if (b.gen > 0 && b.id < m) {
+            val sib = Bucket(b.gen, b.id + m)
+            if (live(sib) && sizes(b) + sizes(sib) <= maxBytes)
+              Some(Bucket(b.gen - 1, b.id))
+            else None
+          } else None
+        }
+        parents.foreach { p =>
+          mergeChildren(table, p); merges += 1; progress = true
+        }
+        round += 1
+      }
+      merges
+    }
+
   /** Compaction: rewrite every non-empty bucket of `table`'s current
     * snapshot (the commit path's repartition-by-bucket already yields
     * `filesPerBucket` files per bucket, so compaction is just a

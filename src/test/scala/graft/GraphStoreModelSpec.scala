@@ -118,15 +118,19 @@ class GraphStoreModelSpec extends AnyFunSuite with SparkTestBase {
           }
         case 9 => // re-open: a fresh instance must resolve identical state
           st = new GraphStore(spark, dir, numBuckets = 8, filesPerBucket = 2)
-        case 10 => // progressive re-bucketing mid-script: split one bucket
-          // or double a whole table's generation — reads must stay
-          // identical to the model through mixed-generation snapshots
+        case 10 => // progressive re-bucketing mid-script: split one bucket,
+          // double a whole table's generation, or merge undersized pairs
+          // back down — reads must stay identical to the model through
+          // mixed-generation snapshots in BOTH directions
           val t = Seq("entities", "observations", "relations")(pick(96, 3))
-          if (pick(97, 4) == 0) st.advanceGeneration(t)
-          else {
-            val live = st.liveBuckets(t)
-            if (live.nonEmpty)
-              st.splitBucket(t, live(pick(98, live.size)))
+          pick(97, 5) match {
+            case 0 => st.advanceGeneration(t)
+            case 1 | 2 =>
+              val live = st.liveBuckets(t)
+              if (live.nonEmpty)
+                st.splitBucket(t, live(pick(98, live.size)))
+            case _ =>
+              st.mergeUndersized(t, Long.MaxValue / 2, maxRounds = 1)
           }
       }
       val got = storeState(st)

@@ -611,6 +611,71 @@ class GraphStoreSpec extends AnyFunSuite with SparkTestBase {
     assert(st.entities.count() == 400)
   }
 
+  test("mergeChildren restores the split parent: data intact, writes route to it, preconditions loud") {
+    import spark.implicits._
+    import GraphStore.Bucket
+    val dir = Files.createTempDirectory("graft-store-").toString
+    val st = new GraphStore(spark, dir, numBuckets = 4)
+    st.initialize()
+    val names = (1 to 120).map(i => s"n#$i")
+    st.upsertEntitiesDf(
+      names.map(n => (n, "t", Seq(s"o-$n"))).toDF("name", "entity_type", "observations"))
+    val parent = st.liveBuckets("entities").head
+    st.splitBucket("entities", parent)
+    assert(!st.liveBuckets("entities").contains(parent))
+
+    // merge is the exact inverse: parent live again, children retired
+    st.mergeChildren("entities", parent)
+    val live = st.liveBuckets("entities").toSet
+    assert(live.contains(parent))
+    assert(!live.contains(Bucket(1, parent.id)) && !live.contains(Bucket(1, parent.id + 4)))
+    assert(st.entities.count() == 120)
+    val parentNames = names.filter(n => GraphStore.bucketFor(n, 4) == parent.id)
+    for (n <- parentNames.take(5)) {
+      assert(st.getEntity(n).observations == Seq(s"o-$n"))
+      val files = st.filesForKeys("entities", Seq(n))
+      assert(files.forall(_.toString.contains(parent.dirName)),
+        s"$n should resolve into restored ${parent.dirName}, got $files")
+    }
+    // a post-merge write routes to the restored parent, not a dead child
+    val victim = parentNames.head
+    st.createEntities(Seq(Entity(victim, "t2", Seq("after-merge"))))
+    assert(st.getEntity(victim).entityType == "t2")
+    assert(st.liveBuckets("entities").toSet.forall(_.gen == 0))
+    // preconditions: live parent / absent children fail loudly
+    intercept[IllegalArgumentException](st.mergeChildren("entities", parent))
+    intercept[IllegalArgumentException](
+      st.mergeChildren("entities", Bucket(1, parent.id))) // children never existed
+    // re-open resolves the merged layout identically
+    val st2 = new GraphStore(spark, dir, numBuckets = 4)
+    assert(st2.entities.count() == 120)
+    assert(st2.getEntity(victim).entityType == "t2")
+  }
+
+  test("mergeUndersized policy cascades a doubled table back down; oversized pairs stay split") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-store-").toString
+    val st = new GraphStore(spark, dir, numBuckets = 4)
+    st.initialize()
+    st.upsertEntitiesDf(
+      (1 to 200).map(i => (s"e#$i", "t", Seq(s"o$i")))
+        .toDF("name", "entity_type", "observations"))
+    st.advanceGeneration("entities")
+    st.advanceGeneration("entities") // 4 → 16 live buckets, all gen 2
+    assert(st.liveBuckets("entities").size == 16)
+    // a huge budget merges everything back to generation 0 across rounds
+    val n = st.mergeUndersized("entities", Long.MaxValue / 2, maxRounds = 4)
+    assert(n == 12, s"16→8→4 buckets is 12 merges, did $n") // 8 + 4
+    val live = st.liveBuckets("entities")
+    assert(live.size == 4 && live.forall(_.gen == 0), s"live after cascade: $live")
+    assert(st.entities.count() == 200)
+    assert(st.getEntity("e#77").observations == Seq("o77"))
+    // a budget below any combined pair merges nothing
+    st.advanceGeneration("entities")
+    assert(st.mergeUndersized("entities", 1L) == 0)
+    assert(st.liveBuckets("entities").size == 8)
+  }
+
   test("point lookup reads ONE file of a split bucket (sorted buckets + _FILESTATS pruning)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-store-").toString
