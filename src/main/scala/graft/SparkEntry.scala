@@ -3012,6 +3012,34 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("int"))
         .orderBy("window_start", "rank")),
 
+    // First-seen stream dedup — the DECLARED batch path of the
+    // flatMapGroupsWithState dedup (StatefulOps.dedupeFirstSeen, the same
+    // code that drops duplicate keys incrementally under Structured
+    // Streaming with event-time-timeout state; StreamingSpec pins
+    // stream ≡ batch): one surviving row per (user, event type) — the
+    // earliest by (ts, event_id), the event_id tiebreak keeping the pick
+    // total-ordered when timestamps collide. In batch mode the per-key
+    // state starts empty so FMGWS reduces to a min-by per group — one
+    // key shuffle, state machinery exercised for real.
+    "stream_dedup" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d)
+        .select(col("event_id").cast("long"), unix_micros(col("ts")).as("tsus"),
+          col("user_id").cast("long"), col("event_type"),
+          col("value").cast("double"))
+        .as[(Long, Long, Long, String, Double)]
+      graft.streaming.StatefulOps
+        .dedupeFirstSeen[(Long, String), (Long, Long, Long, String, Double)](
+          ev, t => (t._3, t._4), _._2,
+          retentionMs = Long.MaxValue / 4, tieBreak = _._1)
+        .toDF("event_id", "tsus", "user_id", "event_type", "value")
+        .select(col("user_id"), col("event_type"),
+          timestamp_micros(col("tsus")).as("first_ts"),
+          col("event_id").as("first_event_id"),
+          col("value").as("first_value"))
+        .orderBy("user_id", "event_type")
+    }),
+
     "stream_session" -> ((s, d) =>
       EventOps.sessionizeBatch(events(s, d), gapMinutes = 30)
         .withColumn("session_start", col("session_start").cast("timestamp"))
@@ -7286,6 +7314,14 @@ object SparkEntry {
              event_type
            FROM events)
          GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "stream_dedup" ->
+      """SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS first_ts,
+             event_id AS first_event_id, CAST(value AS DOUBLE) AS first_value
+         FROM (SELECT *, row_number() OVER (
+                 PARTITION BY user_id, event_type
+                 ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+               FROM events) t
+         WHERE rn = 1 ORDER BY user_id, event_type""",
     "stream_session" ->
       """WITH x AS (
            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,

@@ -94,7 +94,9 @@ object StatefulOps {
       events: Dataset[T],
       key: T => K,
       eventTimeMs: T => Long,
-      retentionMs: Long)(implicit kEnc: Encoder[K], tEnc: Encoder[T]): Dataset[T] = {
+      retentionMs: Long,
+      tieBreak: T => Long = (_: T) => 0L)(implicit
+      kEnc: Encoder[K], tEnc: Encoder[T]): Dataset[T] = {
     val streaming = events.isStreaming
     events.groupByKey(key)
       .flatMapGroupsWithState[Long, T](
@@ -106,13 +108,13 @@ object StatefulOps {
           } else {
             // duplicates per key per batch are few — safe to materialize
             val buf = rows.toList
-            // the EARLIEST occurrence by event time — the group iterator's
-            // order is shuffle-arbitrary, so take(1) would emit a random
-            // row (ties on event time pick arbitrarily among byte-equal
-            // duplicates, the expected case)
+            // the EARLIEST occurrence by (event time, tieBreak) — the group
+            // iterator's order is shuffle-arbitrary, so take(1) would emit
+            // a random row; a unique tieBreak (e.g. an event id) makes the
+            // pick total-ordered even when distinct rows share a timestamp
             val out: Iterator[T] =
               if (state.exists || buf.isEmpty) Iterator.empty
-              else Iterator.single(buf.minBy(eventTimeMs))
+              else Iterator.single(buf.minBy(t => (eventTimeMs(t), tieBreak(t))))
             val mark = math.max(
               state.getOption.getOrElse(Long.MinValue),
               if (buf.isEmpty) Long.MinValue else buf.map(eventTimeMs).max)
