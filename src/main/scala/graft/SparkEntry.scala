@@ -354,6 +354,25 @@ object SparkEntry {
         s"$dir/ivf")
     }
 
+  /** Merge-maintained IVF index: two indexes built INDEPENDENTLY over
+    * disjoint corpus halves under the same centroids, then combined by
+    * cell-wise file adoption (zero data I/O — no vector byte is read or
+    * rewritten; the merged-cluster economics of a distributed ingest
+    * where each worker ships a finished partial index).
+    */
+  private def ivfMergeSetup(s: SparkSession, d: String): String =
+    Setup.dir(s"ivf_index_merge:$d") { dir =>
+      val e = embeddings(s, d)
+      val cents = e.filter(col("vec_id") < 8)
+      Similarity.buildIvfIndex(e.filter(col("vec_id") % 2 === 0), cents,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        s"$dir/ivf")
+      Similarity.buildIvfIndex(e.filter(col("vec_id") % 2 =!= 0), cents,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        s"$dir/ivf_b")
+      Similarity.mergeIvfIndexes(s"$dir/ivf_b", s"$dir/ivf")
+    }
+
   /** Persisted PQ index: deterministic integer-domain codebook training
     * (m=8 subspaces × 8 dims, K=16 codes, 2 Lloyd rounds) + corpus encode,
     * written once per (sfDir, JVM) — the maintenance an ANN service pays
@@ -563,6 +582,7 @@ object SparkEntry {
     ivfIndexSetup(s, d): Unit
     ivfIncSetup(s, d): Unit
     ivfDelSetup(s, d): Unit
+    ivfMergeSetup(s, d): Unit
     pqIndexSetup(s, d): Unit
     pqIncSetup(s, d): Unit
     ivfPqSetup(s, d): Unit
@@ -2050,6 +2070,24 @@ object SparkEntry {
       val e = embeddings(s, d)
       Similarity.ivfProbeIndex(
         e.filter(col("vec_id") < 32), s"${ivfDelSetup(s, d)}/ivf",
+        e.filter(col("vec_id") < 8),
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 5, nprobe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Merge maintenance for the persisted ANN index — the distributed-
+    // build contract: two halves of the corpus indexed independently
+    // under shared centroids, combined by cell-wise FILE ADOPTION (zero
+    // data I/O — a vector's cell is a pure function of the centroids, so
+    // same-cell partitions concatenate; merging two 50 TB partial indexes
+    // costs O(files) metadata moves). Probe is the unchanged
+    // ivfProbeIndex; oracle is the from-scratch search over the union —
+    // hash-match proves merge ≡ rebuild.
+    "ann_ivf_merge" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Similarity.ivfProbeIndex(
+        e.filter(col("vec_id") < 32), s"${ivfMergeSetup(s, d)}/ivf",
         e.filter(col("vec_id") < 8),
         col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
         k = 5, nprobe = 2)
@@ -6923,6 +6961,7 @@ object SparkEntry {
     // must return exactly what a from-scratch rebuild returns
     "ann_ivf_persisted" -> OracleSqlGen.annIvfTopK(32, 8, 5, 2),
     "ann_ivf_incremental" -> OracleSqlGen.annIvfTopK(32, 8, 5, 2),
+    "ann_ivf_merge" -> OracleSqlGen.annIvfTopK(32, 8, 5, 2),
     "ann_ivf_delete" -> OracleSqlGen.annIvfTopK(32, 8, 5, 2,
       survivorFilter = "e.vec_id % 5 <> 2"),
 

@@ -416,6 +416,46 @@ object Similarity {
     rmTree(new java.io.File(stage))
   }
 
+  /** MERGE two persisted IVF indexes that share centroids — cell-wise FILE
+    * ADOPTION, zero data I/O: because a vector's cell is a pure function
+    * of the (shared, fixed) centroids, the same `centroid_id=` partition
+    * of both indexes holds rows of the same cell, so merging is moving
+    * `src`'s parquet files into `dest`'s matching cell dirs (creating
+    * cells `dest` lacks). Cost is O(files) driver metadata ops — merging
+    * two 50 TB indexes touches no vector bytes, the same economics as
+    * adopting a finished ingest partition into a warehouse table. Probing
+    * the merged index is byte-identical to probing a from-scratch build
+    * over the union (spec- and oracle-pinned). `src` is consumed.
+    */
+  def mergeIvfIndexes(srcPath: String, destPath: String): Unit = {
+    val src = new java.io.File(srcPath)
+    val cells = Option(src.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("centroid_id="))
+    cells.foreach { cell =>
+      val dest = new java.io.File(destPath, cell.getName)
+      if (!dest.isDirectory) {
+        java.nio.file.Files.createDirectories(dest.toPath.getParent)
+        java.nio.file.Files.move(cell.toPath, dest.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+      } else {
+        Option(cell.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && !f.getName.startsWith("_")).foreach { f =>
+            // writer part-file names carry a UUID; a collision would mean
+            // adopting the same file twice — fail loudly, never overwrite
+            val to = new java.io.File(dest, f.getName)
+            require(!to.exists(), s"merge collision on ${to.getPath}")
+            java.nio.file.Files.move(f.toPath, to.toPath,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+          }
+      }
+    }
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+      f.delete(): Unit
+    }
+    rmTree(src)
+  }
+
   /** Probe a persisted IVF index: per-query nprobe nearest cells, then ONE
     * partition-pruned read of exactly those cell directories (the distinct
     * probed-cell list is an O(centroids) driver hop, the same metadata-scale

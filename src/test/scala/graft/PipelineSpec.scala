@@ -207,6 +207,45 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(got.forall { case (_, n, _) => !deletedIds.contains(n) })
   }
 
+  test("ivf merge: cell-wise file adoption equals a rebuild over the union; no vector bytes rewritten") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter(col("vec_id") < 8)
+    val cents = e.filter(col("vec_id") < 4)
+    val aDir = java.nio.file.Files.createTempDirectory("ivf_a").toString
+    val bDir = java.nio.file.Files.createTempDirectory("ivf_b").toString
+    val allDir = java.nio.file.Files.createTempDirectory("ivf_u").toString
+    Similarity.buildIvfIndex(e.filter(col("vec_id") % 2 === 0), cents,
+      col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), s"$aDir/ivf")
+    Similarity.buildIvfIndex(e.filter(col("vec_id") % 2 =!= 0), cents,
+      col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), s"$bDir/ivf")
+    Similarity.buildIvfIndex(e, cents,
+      col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), s"$allDir/ivf")
+    def partNames(root: String): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(root))
+        .filter(f => f.getName.endsWith(".parquet")).map(_.getName).toSet
+    }
+    val bFiles = partNames(s"$bDir/ivf")
+    assert(bFiles.nonEmpty)
+    Similarity.mergeIvfIndexes(s"$bDir/ivf", s"$aDir/ivf")
+    // adoption, not rewrite: every one of B's part files now lives under A
+    // byte-identically (same name — writer part names carry a UUID), and
+    // the source index is consumed
+    assert(bFiles.subsetOf(partNames(s"$aDir/ivf")),
+      "merge must adopt the source's part files, not rewrite them")
+    assert(!new java.io.File(s"$bDir/ivf").exists())
+    def probe(path: String) = Similarity.ivfProbeIndex(q, path, cents,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 3, nprobe = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    val got = probe(s"$aDir/ivf")
+    assert(got.nonEmpty)
+    assert(got == probe(s"$allDir/ivf"),
+      "probing the merged index must equal probing a from-scratch union build")
+  }
+
   test("stratified sampling: untouched strata exact, downsampled near fraction") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")
     val fr = Map("en" -> 0.5, "de" -> 1.0, "es" -> 1.0, "fr" -> 1.0, "zh" -> 1.0)
