@@ -2161,6 +2161,16 @@ object SparkEntry {
       TextAnalysis.fingerprint(documents(s, d), col("doc_id"), col("text"))
         .orderBy("doc_id")),
 
+    // Winnowing fingerprints (the MOSS selection rule): per doc, the
+    // distinct rightmost-minimum md5 of each 4-hash window over word
+    // 3-gram hashes — the locality guarantee (any shared 6-word run ⇒ a
+    // shared fingerprint) that text_fingerprint's single global min
+    // lacks. One map-only nested-HOF projection per doc, no shuffle.
+    "text_winnowing" -> ((s, d) =>
+      TextAnalysis.winnow(documents(s, d), col("doc_id"), col("text"),
+        k = 3, w = 4)
+        .orderBy("doc_id", "pos")),
+
     // Intra-doc repetition ratio (Gopher-style boilerplate signal).
     "text_repetition" -> ((s, d) =>
       documents(s, d)
@@ -6998,6 +7008,27 @@ object SparkEntry {
                                 string_split(text,' ')[i+3], string_split(text,' ')[i+4], string_split(text,' ')[i+5])),
                s -> md5(s))), md5(text)) AS min_window_md5
          FROM documents ORDER BY doc_id""",
+
+    "text_winnowing" ->
+      """WITH h AS (
+           SELECT doc_id, list_transform(
+               list_transform(range(len(string_split(text,' ')) - 2),
+                 i -> concat_ws(' ', string_split(text,' ')[i+1],
+                                string_split(text,' ')[i+2],
+                                string_split(text,' ')[i+3])),
+               s -> md5(s)) AS hs
+           FROM documents),
+         s AS (
+           SELECT doc_id, hs, unnest(range(greatest(len(hs) - 3, 1))) AS j
+           FROM h WHERE len(hs) >= 1),
+         q AS (
+           SELECT doc_id,
+             j + list_max(list_filter(range(1, len(hs[j+1:j+4]) + 1),
+                   i -> hs[j+1:j+4][i] = list_min(hs[j+1:j+4]))) - 1 AS pos,
+             list_min(hs[j+1:j+4]) AS fp
+           FROM s)
+         SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, fp
+         FROM q ORDER BY doc_id, pos""",
 
     "pipeline_curate" -> OracleSqlGen.curate,
     "pipeline_train_prep" -> OracleSqlGen.trainPrep(),

@@ -312,6 +312,43 @@ object TextAnalysis {
       .na.fill(0L, Seq("n_kept")).na.fill("", Seq("clean_text"))
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    * MOSS selection rule): hash every word k-gram, slide a w-hash window
+    * over the hash sequence, and select each window's minimum hash taking
+    * the RIGHTMOST position on ties; the doc's fingerprints are the
+    * distinct selected (position, hash) pairs. The local-sampling
+    * guarantee plain min-hashing lacks: any shared run of w+k-1 words
+    * between two docs yields at least one shared fingerprint, while
+    * expected density stays ~2/(w+1) of the grams. Docs shorter than one
+    * k-gram emit no rows; fewer than w grams → one window over them all.
+    *
+    * Plan shape: ONE map-only projection per doc — shingle pass, then a
+    * nested higher-order expression (window starts → slice → min →
+    * rightmost-index fold) entirely inside codegen, then array_distinct +
+    * explode. No shuffle, no self-join, no per-window row blowup: at
+    * 100 TB fingerprinting parallelizes embarrassingly across doc
+    * partitions, and downstream near-dup joins group on `fp` exactly like
+    * the MinHash band index.
+    */
+  def winnow(docs: DataFrame, id: Column, text: Column,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1)
+    val hs = transform(Dedup.shingles(text, k), s => md5(s))
+    val sel = transform(
+      sequence(lit(0), greatest(size(col("hs")) - w, lit(0))), j => {
+        val win = slice(col("hs"), j + 1, lit(w))
+        val minh = array_min(win)
+        val right = aggregate(sequence(lit(1), size(win)), lit(0),
+          (acc, i) => when(element_at(win, i) === minh, i).otherwise(acc))
+        struct((j + right - 1).as("pos"), minh.as("fp"))
+      })
+    docs.select(id.as("doc_id"), hs.as("hs"))
+      .filter(size(col("hs")) >= 1)
+      .select(col("doc_id"), explode(array_distinct(sel)).as("s"))
+      .select(col("doc_id"), col("s.pos").cast("long").as("pos"),
+        col("s.fp").as("fp"))
+  }
+
   /** Rolling-hash document fingerprint (winnowing-lite): the minimum md5 over
     * word 5-gram windows + the full-text md5. Two docs sharing the min-window
     * fingerprint almost surely share a 5-gram run — a cheap containment

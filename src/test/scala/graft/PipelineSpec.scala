@@ -27,6 +27,38 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("winnowing: locality guarantee, density, rightmost tie, short docs") {
+    def fps(rows: Seq[(Long, String)]): Map[Long, Set[(Long, String)]] =
+      TextAnalysis.winnow(rows.toDF("doc_id", "text"),
+          col("doc_id"), col("text"), k = 3, w = 4)
+        .as[(Long, Long, String)].collect()
+        .groupBy(_._1).map { case (d, xs) => d -> xs.map(x => (x._2, x._3)).toSet }
+    // two docs sharing a (w+k-1)=6-word run MUST share >=1 fingerprint
+    // hash, wherever the run sits (the winnowing guarantee)
+    val shared = "quick brown foxes vault over hedges"
+    val out = fps(Seq(
+      1L -> s"alpha beta gamma $shared delta epsilon",
+      2L -> s"$shared zeta eta theta iota kappa lambda mu"))
+    val common = out(1).map(_._2) intersect out(2).map(_._2)
+    assert(common.nonEmpty, "docs sharing a 6-word run must share a fingerprint")
+    // density: far fewer fingerprints than grams on a real doc
+    val real = Tables.documents(spark, "/root/testdata/sf0.001").limit(50)
+    val nGrams = real.select(size(Dedup.shingles(col("text"), 3)).cast("long"))
+      .as[Long].collect().sum
+    val nFps = TextAnalysis.winnow(real, col("doc_id"), col("text")).count()
+    assert(nFps > 0 && nFps < nGrams,
+      s"winnowing must subsample: $nFps fingerprints of $nGrams grams")
+    // rightmost tie: a doc of one repeated word has ONE distinct gram
+    // hash everywhere; each window picks its RIGHTMOST position
+    val rep = fps(Seq(3L -> Array.fill(10)("x").mkString(" "))) // 8 grams
+    assert(rep(3).map(_._1) == Set(3L, 4L, 5L, 6L, 7L),
+      s"rightmost-tie positions wrong: ${rep(3)}")
+    // short docs: < k tokens -> no rows; k..k+w-2 tokens -> one window
+    val short = fps(Seq(4L -> "a b", 5L -> "p q r s")) // 0 grams / 2 grams
+    assert(!short.contains(4L))
+    assert(short(5L).size == 1)
+  }
+
   test("shingles: null tokens skipped with their separator (concat_ws semantics)") {
     // 'a',null,'c' → one 3-shingle "a c" — identical to the documented
     // concat_ws twin, which drops nulls entirely (ADVICE r1: the old native
