@@ -1471,6 +1471,17 @@ object SparkEntry {
         maxDocFreq = 8)
         .orderBy("a_id", "b_id")),
 
+    // Winnowed near-dup candidates: the same inverted-index self-join run
+    // over MOSS-winnowed fingerprints instead of every shingle — the
+    // dominant candidate-generation shuffle shrinks by the ~2/(w+1)
+    // winnowing density while docs sharing any ≥6-word run still collide.
+    // overlap_ppm = shared fingerprints / smaller doc's fingerprints,
+    // exact integer.
+    "dedup_winnow_pairs" -> ((s, d) =>
+      Dedup.winnowPairs(documents(s, d), col("doc_id"), col("text"),
+        k = 3, w = 4, minShared = 2L, maxDocFreq = 8)
+        .orderBy("a_id", "b_id")),
+
     // Asymmetric containment (|∩|/|A|): catches a short doc quoted inside a
     // long one, which Jaccard dilutes below threshold. Same inverted-index
     // join + stop-shingle guard as dedup_ngram_jaccard.
@@ -7029,6 +7040,36 @@ object SparkEntry {
            FROM s)
          SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, fp
          FROM q ORDER BY doc_id, pos""",
+
+    "dedup_winnow_pairs" ->
+      """WITH h AS (
+           SELECT doc_id, list_transform(
+               list_transform(range(len(string_split(text,' ')) - 2),
+                 i -> concat_ws(' ', string_split(text,' ')[i+1],
+                                string_split(text,' ')[i+2],
+                                string_split(text,' ')[i+3])),
+               s -> md5(s)) AS hs
+           FROM documents),
+         s AS (
+           SELECT doc_id, hs, unnest(range(greatest(len(hs) - 3, 1))) AS j
+           FROM h WHERE len(hs) >= 1),
+         q AS (
+           SELECT doc_id, list_min(hs[j+1:j+4]) AS fp FROM s),
+         f AS (SELECT DISTINCT doc_id, fp FROM q),
+         sz AS (SELECT doc_id, count(*) AS n_fp FROM f GROUP BY doc_id),
+         g AS (SELECT * FROM f WHERE fp IN (
+                 SELECT fp FROM f GROUP BY fp HAVING count(*) <= 8)),
+         p AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(count(*) AS BIGINT) AS n_shared
+           FROM g a JOIN g b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           GROUP BY 1, 2 HAVING count(*) >= 2)
+         SELECT a_id, b_id, n_shared, sa.n_fp AS a_fp, sb.n_fp AS b_fp,
+             (n_shared * 1000000) // least(sa.n_fp, sb.n_fp) AS overlap_ppm
+         FROM p
+         JOIN sz sa ON sa.doc_id = a_id
+         JOIN sz sb ON sb.doc_id = b_id
+         ORDER BY a_id, b_id""",
 
     "pipeline_curate" -> OracleSqlGen.curate,
     "pipeline_train_prep" -> OracleSqlGen.trainPrep(),

@@ -114,6 +114,49 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** Winnowing near-dup candidates: the inverted-index self-join of
+    * [[ngramJaccard]] run over WINNOWED fingerprints instead of every
+    * shingle — the index is ~2/(w+1) the size for the same local
+    * guarantee (docs sharing a ≥ w+k−1-word run still collide), which is
+    * the point at 100 TB: the shuffle that dominates near-dup candidate
+    * generation shrinks by the winnowing density, with the loss
+    * characterized (only sub-window runs are missed). Same hot-key
+    * pruning (stop-fingerprint broadcast anti-join); `overlap_ppm` is the
+    * exact-integer shared-fingerprint fraction of the SMALLER doc — the
+    * containment analog on the sampled space.
+    */
+  def winnowPairs(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      k: Int = 3,
+      w: Int = 4,
+      minShared: Long = 2L,
+      maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    val fps = graft.pipeline.TextAnalysis.winnow(spread(docs), id, text, k, w)
+      .select(col("doc_id"), col("fp")).distinct()
+    val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    val coPart = fps.repartition(col("fp"))
+    val pruned =
+      if (maxDocFreq == Long.MaxValue) coPart
+      else {
+        val hot = fps.groupBy("fp").agg(count(lit(1)).as("_df"))
+          .filter(col("_df") > maxDocFreq).select("fp")
+        coPart.join(broadcast(hot), Seq("fp"), "left_anti")
+      }
+    val a = pruned.select(col("doc_id").as("a_id"), col("fp")).hint("shuffle_hash")
+    val b = pruned.select(col("doc_id").as("b_id"), col("fp"))
+    a.join(b, Seq("fp"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_fp", "a_fp"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_fp", "b_fp"), "b_id")
+      .select(col("a_id"), col("b_id"), col("n_shared"), col("a_fp"), col("b_fp"),
+        expr("(n_shared * 1000000L) div least(a_fp, b_fp)").as("overlap_ppm"))
+  }
+
   /** Shingle-containment near-dup: C(A⊆B) = |A∩B| / |A|. Asymmetric — a
     * short doc quoted verbatim inside a long one scores ~1.0 here while its
     * Jaccard (|∩|/|∪|) is diluted toward |A|/|B| and slips under any usable

@@ -59,6 +59,38 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(short(5L).size == 1)
   }
 
+  test("winnowPairs: planted near-dups collide, winnowed index far smaller than shingle index, hot fps pruned") {
+    val base = (0 until 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      1L -> base,
+      2L -> (base + " tail one two three"), // shares 40-word prefix with 1
+      3L -> (0 until 40).map(i => s"z$i").mkString(" "), // unrelated
+      4L -> ("common boiler plate here " * 3).trim) // repeated grams only
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(docs, col("doc_id"), col("text"),
+        k = 3, w = 4, minShared = 2L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L),
+      s"docs sharing a 40-word run must pair: ${pairs.toSeq}")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    val p12 = pairs.find(p => p._1 == 1L && p._2 == 2L).get
+    assert(p12._6 > 900000L, s"near-total overlap expected, got ppm ${p12._6}")
+    // the scale claim: the winnowed inverted index is a small fraction of
+    // the full shingle index on real docs
+    val real = Tables.documents(spark, "/root/testdata/sf0.001").limit(100)
+    val nSh = real.select(explode(array_distinct(Dedup.shingles(col("text"), 3))))
+      .count()
+    val nFp = TextAnalysis.winnow(real, col("doc_id"), col("text"))
+      .select("doc_id", "fp").distinct().count()
+    assert(nFp * 2 < nSh, s"winnowed index $nFp not smaller than shingle index $nSh")
+    // stop-fingerprint pruning: a fp in ALL docs is dropped at maxDocFreq=2
+    val many = (10L to 15L).map(i => i -> (base + s" unique$i marker$i end$i"))
+      .toDF("doc_id", "text")
+    val pruned = Dedup.winnowPairs(many, col("doc_id"), col("text"),
+      k = 3, w = 4, minShared = 1L, maxDocFreq = 2)
+    assert(pruned.count() == 0, "fps shared by >2 docs must be pruned from the index")
+  }
+
   test("shingles: null tokens skipped with their separator (concat_ws semantics)") {
     // 'a',null,'c' → one 3-shingle "a c" — identical to the documented
     // concat_ws twin, which drops nulls entirely (ADVICE r1: the old native
