@@ -2739,4 +2739,81 @@ object OracleSqlGen {
           (SELECT CAST(coalesce(sum(node), 0) AS BIGINT) FROM d$cap) AS sum_node
         FROM conv"""
   }
+
+  /** Mirrors TextAnalysis.gopherRules: per-document hard filter flags with
+    * exact-integer ppm measurements (integer division both sides). The
+    * Gopher 8-word stop list is shared with the Spark side via
+    * `gopherStopsSqlList` so the rule and oracle cannot drift.
+    */
+  def gopherRules(minTok: Int, maxTok: Int): String = {
+    val stops = graft.pipeline.TextAnalysis.gopherStopsSqlList
+    s"""WITH x AS (
+          SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents),
+        m AS (
+          SELECT doc_id,
+            CAST(len(toks) AS BIGINT) AS n_tok,
+            CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(toks, t -> CAST(length(t) AS BIGINT))),
+              (acc, x) -> acc + x) AS BIGINT) AS sum_wl,
+            CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+            CAST(len(list_filter(toks, t -> t IN ($stops))) AS BIGINT) AS stop_hits,
+            CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS hash_cnt,
+            CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS ell_cnt
+          FROM x),
+        r AS (
+          SELECT doc_id, n_tok,
+            sum_wl * 1000000 // n_tok AS mwl_ppm,
+            n_alpha * 1000000 // n_tok AS alpha_ppm,
+            stop_hits,
+            (hash_cnt + ell_cnt) * 1000000 // n_tok AS sym_ppm
+          FROM m)
+        SELECT doc_id, n_tok, mwl_ppm, alpha_ppm, stop_hits, sym_ppm,
+          CAST(n_tok BETWEEN $minTok AND $maxTok AS INT) AS r_len,
+          CAST(mwl_ppm BETWEEN 3000000 AND 10000000 AS INT) AS r_mwl,
+          CAST(alpha_ppm >= 800000 AS INT) AS r_alpha,
+          CAST(stop_hits >= 2 AS INT) AS r_stop,
+          CAST(sym_ppm <= 100000 AS INT) AS r_sym,
+          CAST(n_tok BETWEEN $minTok AND $maxTok
+            AND mwl_ppm BETWEEN 3000000 AND 10000000
+            AND alpha_ppm >= 800000 AND stop_hits >= 2
+            AND sym_ppm <= 100000 AS INT) AS keep
+        FROM r ORDER BY doc_id"""
+  }
+
+  /** Mirrors TextAnalysis.dsirWeights: hashed-bigram importance weights,
+    * target = lang-'en' documents, add-one smoothing, per-doc terms folded
+    * in ascending-bucket order (the sequential-fold float idiom), output
+    * floor(w·1e6).
+    */
+  def dsir(buckets: Int): String = {
+    val toks = "string_split(text, ' ')"
+    val grams = s"list_transform(range(len($toks)-1), i -> concat_ws(' ', $toks[i+1], $toks[i+2]))"
+    s"""WITH g0 AS (
+          SELECT doc_id, lang = 'en' AS is_t, unnest($grams) AS gm
+          FROM documents WHERE len($toks) >= 2),
+        g AS (
+          SELECT doc_id, is_t,
+            CAST('0x' || substr(md5(gm), 1, 6) AS BIGINT) % $buckets AS b
+          FROM g0),
+        db AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY 1, 2),
+        rb AS (
+          SELECT b, CAST(count(*) AS BIGINT) AS rc,
+            CAST(coalesce(sum(CASE WHEN is_t THEN 1 ELSE 0 END), 0) AS BIGINT) AS tc
+          FROM g GROUP BY b),
+        tot AS (SELECT sum(rc) AS n_r, sum(tc) AS n_t FROM rb),
+        lr AS (
+          SELECT b,
+            ln((CAST(tc AS DOUBLE) + 1.0) / (CAST(n_t AS DOUBLE) + $buckets.0)) -
+            ln((CAST(rc AS DOUBLE) + 1.0) / (CAST(n_r AS DOUBLE) + $buckets.0)) AS lr
+          FROM rb CROSS JOIN tot),
+        terms AS (
+          SELECT doc_id, b, CAST(c AS DOUBLE) * lr AS term
+          FROM db JOIN lr USING (b)),
+        l AS (
+          SELECT doc_id, list(term ORDER BY b) AS ts FROM terms GROUP BY doc_id)
+        SELECT doc_id,
+          CAST(floor(list_reduce(list_prepend(0.0, ts), (a, x) -> a + x)
+            * 1000000.0) AS BIGINT) AS w_fp
+        FROM l ORDER BY doc_id"""
+  }
 }

@@ -2182,6 +2182,23 @@ object SparkEntry {
         k = 3, w = 4)
         .orderBy("doc_id", "pos")),
 
+    // Gopher hard-filter battery (Rae et al. 2021 App. A): per-rule
+    // boolean flags over exact-integer ppm measurements + the keep
+    // conjunction — the reproducible drop/keep gate (vs text_quality's
+    // soft ranking score). Map-only, shuffle-free.
+    "text_gopher_rules" -> ((s, d) =>
+      TextAnalysis.gopherRules(documents(s, d), col("doc_id"), col("text"))
+        .orderBy("doc_id")),
+
+    // DSIR importance weights (Xie et al. 2023): hashed-bigram
+    // log-likelihood ratio of target (lang='en') vs raw distribution,
+    // add-one smoothed, per-doc terms folded in bucket order, floor(w*1e6)
+    // fixed-point. One count shuffle; the 512-row histograms broadcast.
+    "text_dsir" -> ((s, d) =>
+      TextAnalysis.dsirWeights(documents(s, d), col("doc_id"), col("text"),
+        isTarget = col("lang") === "en", buckets = 512)
+        .orderBy("doc_id")),
+
     // Intra-doc repetition ratio (Gopher-style boilerplate signal).
     "text_repetition" -> ((s, d) =>
       documents(s, d)
@@ -6995,6 +7012,8 @@ object SparkEntry {
          FROM documents ORDER BY doc_id""",
     "text_subwords" -> OracleSqlGen.subwords,
     "text_quality" -> OracleSqlGen.quality,
+    "text_gopher_rules" -> OracleSqlGen.gopherRules(minTok = 20, maxTok = 90),
+    "text_dsir" -> OracleSqlGen.dsir(buckets = 512),
     "text_langid" -> OracleSqlGen.langId,
     "text_code_ratio" ->
       """WITH c AS (

@@ -360,4 +360,108 @@ object TextAnalysis {
       md5(text).as("full_md5"),
       coalesce(array_min(transform(Dedup.shingles(text, window), s => md5(s))),
         md5(text)).as("min_window_md5"))
+
+  /** Gopher's "must contain ≥2 of" stop-word list (Rae et al. 2021 §A.1.1)
+    * — distinct from the scoring stopword set above on purpose: the rule
+    * battery reproduces the published filter, not our soft score.
+    */
+  private val GopherStops = Seq("the", "be", "to", "of", "and", "that",
+    "have", "with")
+  def gopherStopsSqlList: String = GopherStops.map(w => s"'$w'").mkString(", ")
+
+  /** Gopher-style hard quality rules (Rae et al. 2021, Appendix A):
+    * per-document boolean filter flags, each backed by an exact-integer
+    * measurement (ppm ratios via integer division — no float at the compare
+    * boundary), plus the conjunction `keep`. Complements [[qualityScore]]:
+    * that is a soft blend for ranking/curriculum; this is the reproducible
+    * drop/keep gate a pretraining pipeline logs per rule so corpus ablations
+    * can attribute removals.
+    *
+    * Rules (bounds adapted to word-token scale):
+    *  - r_len:   token count within [minTok, maxTok]
+    *  - r_mwl:   mean word length within [3, 10] chars
+    *  - r_alpha: ≥80% of words contain an alphabetic character
+    *  - r_stop:  ≥2 hits from the published 8-word stop list
+    *  - r_sym:   symbol-to-word ratio ('#' or '...') ≤ 10%
+    *
+    * One map-only projection — codegen'd, shuffle-free, scan-speed at any
+    * scale.
+    */
+  def gopherRules(docs: DataFrame, id: Column, text: Column,
+      minTok: Int = 20, maxTok: Int = 90): DataFrame = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("long")
+    val sumWl = aggregate(transform(toks, t => length(t).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val nAlpha = size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("long")
+    val stopHits = size(filter(toks, t => t.isin(GopherStops: _*))).cast("long")
+    val hashCnt = (length(text) - length(regexp_replace(text, "#", ""))).cast("long")
+    val ellCnt = ((length(text) -
+      length(regexp_replace(text, java.util.regex.Pattern.quote("..."), ""))) / 3)
+      .cast("long")
+    // two selects so the ppm ratios use TRUE integer division (`div`) —
+    // Column./ on longs is double division and would leak floats to the
+    // compare boundary
+    val measured = docs.select(id.as("doc_id"), nTok.as("n_tok"),
+      sumWl.as("sum_wl"), nAlpha.as("n_alpha"), stopHits.as("stop_hits"),
+      (hashCnt + ellCnt).as("sym_cnt"))
+    val ppm = measured.select(col("doc_id"), col("n_tok"),
+      expr("sum_wl * 1000000L div n_tok").as("mwl_ppm"),
+      expr("n_alpha * 1000000L div n_tok").as("alpha_ppm"),
+      col("stop_hits"),
+      expr("sym_cnt * 1000000L div n_tok").as("sym_ppm"))
+    val rLen = col("n_tok").between(minTok, maxTok)
+    val rMwl = col("mwl_ppm").between(3000000L, 10000000L)
+    val rAlpha = col("alpha_ppm") >= 800000L
+    val rStop = col("stop_hits") >= 2L
+    val rSym = col("sym_ppm") <= 100000L
+    ppm.select(col("doc_id"), col("n_tok"), col("mwl_ppm"), col("alpha_ppm"),
+      col("stop_hits"), col("sym_ppm"),
+      rLen.cast("int").as("r_len"), rMwl.cast("int").as("r_mwl"),
+      rAlpha.cast("int").as("r_alpha"), rStop.cast("int").as("r_stop"),
+      rSym.cast("int").as("r_sym"),
+      (rLen && rMwl && rAlpha && rStop && rSym).cast("int").as("keep"))
+  }
+
+  /** DSIR importance weights (Xie et al. 2023): score each raw document by
+    * how much more likely its hashed n-gram features are under a target
+    * distribution than under the raw distribution —
+    * w(doc) = Σ_f c_doc(f) · [ln p̂_target(f) − ln p̂_raw(f)], features =
+    * word bigrams hashed into `buckets` buckets, probabilities add-one
+    * smoothed. The standard cheap data-selection step before training: rank
+    * raw data by w and keep the top mass.
+    *
+    * Scale shape: one explode of bigrams (map-side), ONE shuffle to count
+    * (doc, bucket) occurrences; the two global bucket histograms are
+    * `buckets`-row aggregates broadcast back, so the scoring join is
+    * broadcast-hash — no shuffle of the corpus by feature. The per-doc sum
+    * folds the bucket terms in ascending-bucket order (sequential fold, the
+    * repo's bit-portable float-reduction idiom); output is floor(w·1e6)
+    * fixed-point.
+    */
+  def dsirWeights(docs: DataFrame, id: Column, text: Column,
+      isTarget: Column, buckets: Int = 512): DataFrame = {
+    require(buckets > 0)
+    val grams = docs.select(id.as("doc_id"), isTarget.as("is_t"),
+        explode(Dedup.shingles(text, 2)).as("g"))
+      .withColumn("b",
+        conv(substring(md5(col("g")), 1, 6), 16, 10).cast("long") % buckets)
+    val db = grams.groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+    val rb = grams.groupBy("b").agg(
+      count(lit(1)).as("rc"), sum(col("is_t").cast("long")).as("tc"))
+    val tot = rb.agg(sum("rc").as("n_r"), sum("tc").as("n_t"))
+    val lr = rb.crossJoin(broadcast(tot)).select(col("b"),
+      (log((col("tc").cast("double") + 1.0) /
+           (col("n_t").cast("double") + buckets.toDouble)) -
+       log((col("rc").cast("double") + 1.0) /
+           (col("n_r").cast("double") + buckets.toDouble))).as("lr"))
+    db.join(broadcast(lr), Seq("b"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("b"),
+        (col("c").cast("double") * col("lr")).as("term")))).as("ts"))
+      .select(col("doc_id"),
+        floor(aggregate(col("ts"), lit(0.0),
+          (acc, x) => acc + x.getField("term")) * 1000000.0)
+          .cast("long").as("w_fp"))
+  }
 }

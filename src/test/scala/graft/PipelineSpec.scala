@@ -91,6 +91,55 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(pruned.count() == 0, "fps shared by >2 docs must be pruned from the index")
   }
 
+  test("gopherRules: each rule flips on exactly its planted violation") {
+    val okDoc = "the cat sat of the mat and that dog have fun with all " +
+      "going around town today making words reach twenty easily now"
+    val docs = Seq(
+      1L -> okDoc, // passes all five
+      2L -> "the of and", // too short: r_len=0 (others may pass)
+      3L -> okDoc.replace("cat", "x".repeat(600)), // giant word: r_mwl=0
+      4L -> okDoc.split(" ").map(w => "123").mkString(" "), // no alpha, no stops
+      5L -> okDoc.replaceAll("\\b(the|of|and|that|have|with)\\b", "zz"), // r_stop=0
+      6L -> (okDoc + " " + "#".repeat(50).split("").mkString(" "))) // symbols
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+    def flags(i: Int) = (r(i).getAs[Int]("r_len"), r(i).getAs[Int]("r_mwl"),
+      r(i).getAs[Int]("r_alpha"), r(i).getAs[Int]("r_stop"),
+      r(i).getAs[Int]("r_sym"), r(i).getAs[Int]("keep"))
+    assert(flags(0) == ((1, 1, 1, 1, 1, 1)), s"doc1 ${flags(0)}")
+    assert(flags(1)._1 == 0 && flags(1)._6 == 0)
+    assert(flags(2)._2 == 0 && flags(2)._6 == 0)
+    assert(flags(3)._3 == 0 && flags(3)._4 == 0 && flags(3)._6 == 0)
+    assert(flags(4)._4 == 0 && flags(4)._6 == 0)
+    assert(flags(5)._5 == 0 && flags(5)._6 == 0)
+    // ppm measurements are exact integers (true integer division)
+    assert(r(0).schema("mwl_ppm").dataType.typeName == "long")
+  }
+
+  test("dsirWeights: target-like docs outrank off-target; deterministic") {
+    // target corpus speaks bigrams over {alpha}; raw noise speaks {zeta}
+    val target = (0 until 20).map(i =>
+      (i.toLong, "alpha beta gamma delta alpha beta gamma delta", true))
+    val noise = (20 until 40).map(i =>
+      (i.toLong, s"zeta$i eta$i theta$i iota$i kappa$i lambda$i", false))
+    // probes: 100 = pure target language, 101 = pure noise language
+    val probes = Seq((100L, "alpha beta gamma delta", false),
+      (101L, "zeta0 eta0 theta0 iota0", false))
+    val docs = (target ++ noise ++ probes).toDF("doc_id", "text", "is_t")
+    val w = TextAnalysis.dsirWeights(docs, col("doc_id"), col("text"),
+        isTarget = col("is_t"), buckets = 64)
+      .as[(Long, Long)].collect().toMap
+    assert(w(100L) > w(101L),
+      s"target-language probe must outweigh noise probe: ${w(100L)} vs ${w(101L)}")
+    assert(w(100L) > 0 && w(101L) < 0,
+      s"signs: target-like positive, off-target negative (${w(100L)}, ${w(101L)})")
+    val w2 = TextAnalysis.dsirWeights(docs.repartition(7), col("doc_id"),
+      col("text"), isTarget = col("is_t"), buckets = 64)
+      .as[(Long, Long)].collect().toMap
+    assert(w == w2, "weights must be layout-independent (sequential fold)")
+  }
+
   test("shingles: null tokens skipped with their separator (concat_ws semantics)") {
     // 'a',null,'c' → one 3-shingle "a c" — identical to the documented
     // concat_ws twin, which drops nulls entirely (ADVICE r1: the old native
