@@ -799,6 +799,20 @@ object SparkEntry {
         .orderBy("v")
     }),
 
+    // Metadata-only count(*): each table's current-snapshot row count
+    // answered from the _FILESTATS sidecars / parquet footers — zero data
+    // pages read, zero Spark jobs (GraphStoreSpec pins both). The oracle
+    // recomputes the counts in closed form from the mutation script, so a
+    // hash match proves sidecar bookkeeping survives upserts, relation
+    // batches, and cascade deletes.
+    "store_stats_count" -> ((s, d) => {
+      import s.implicits._
+      val st = new graft.store.GraphStore(s, storeDiffSetup(s, d))
+      Seq("entities", "observations", "relations")
+        .map(t => (t, st.metaRowCount(t)))
+        .toDF("tbl", "n_rows").orderBy("tbl")
+    }),
+
     // ── aggregation battery (star-schema surface) ─────────────────────────
 
     // Accumulation stays decimal (order-independent, exact); the OUTPUT
@@ -6737,6 +6751,18 @@ object SparkEntry {
     // deletes (-1 entity/obs, -2 relations each: the victim's out- and
     // in-edge). n_dangling is literal 0 at every version — the atomicity
     // claim the Spark side actually measures with per-version anti-joins.
+    "store_stats_count" ->
+      """WITH c AS (
+           SELECT CAST(count(*) AS BIGINT) AS nc,
+             CAST(count(*) FILTER (WHERE c_custkey % 97 = 0) AS BIGINT) AS n97,
+             CAST(count(*) FILTER (WHERE c_custkey % 50 = 0 AND c_custkey BETWEEN 1 AND 4650) AS BIGINT) AS nch
+           FROM customer)
+         SELECT tbl, n_rows FROM (
+           SELECT 'entities' AS tbl, nc + n97 - 3 AS n_rows FROM c
+           UNION ALL SELECT 'observations', nc + n97 - 3 FROM c
+           UNION ALL SELECT 'relations', nch FROM c)
+         ORDER BY tbl""",
+
     "store_consistent_travel" ->
       """WITH c AS (
            SELECT CAST(count(*) AS BIGINT) AS nc,

@@ -62,7 +62,7 @@ case class Relation(from: String, to: String, relationType: String)
   * :298-338 (relations), :340-380 (cascade delete), :382-405 (conditional
   * delete), :481-543 (DDL bootstrap).
   */
-class GraphStore(spark: SparkSession, root: String, numBuckets: Int = 16,
+class GraphStore(spark: SparkSession, val root: String, numBuckets: Int = 16,
     filesPerBucket: Int = 1) {
   import GraphStore._
   require(numBuckets >= 1 && filesPerBucket >= 1)
@@ -793,32 +793,38 @@ class GraphStore(spark: SparkSession, root: String, numBuckets: Int = 16,
       .filter(f => f.isFile && f.getName.endsWith(".parquet")).sortBy(_.getName)
     val enc = java.util.Base64.getEncoder
     val lines = files.map { f =>
-      val range =
+      // one footer read yields BOTH the key range (pruning) and the row
+      // count (metadata-only count(*) — see metaRowCount)
+      val (range, rows) =
         try {
           val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
             new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
           val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
           try {
             import scala.jdk.CollectionConverters._
-            val perBlock = r.getFooter.getBlocks.asScala.toSeq.map { b =>
+            val blocks = r.getFooter.getBlocks.asScala.toSeq
+            val nRows = blocks.map(_.getRowCount).sum
+            val perBlock = blocks.map { b =>
               b.getColumns.asScala.find(_.getPath.toDotString == key)
                 .map(_.getStatistics)
                 .filter(s => s != null && !s.isEmpty && s.hasNonNullValue)
                 .map(s => (s.getMinBytes, s.getMaxBytes))
             }
             // every row group must carry stats or the file is unpruneable
-            if (perBlock.nonEmpty && perBlock.forall(_.isDefined)) {
-              val mins = perBlock.map(_.get._1)
-              val maxs = perBlock.map(_.get._2)
-              Some((mins.min(UnsignedBytesOrdering), maxs.max(UnsignedBytesOrdering)))
-            } else None
+            val rg =
+              if (perBlock.nonEmpty && perBlock.forall(_.isDefined)) {
+                val mins = perBlock.map(_.get._1)
+                val maxs = perBlock.map(_.get._2)
+                Some((mins.min(UnsignedBytesOrdering), maxs.max(UnsignedBytesOrdering)))
+              } else None
+            (rg, Some(nRows))
           } finally r.close()
-        } catch { case scala.util.control.NonFatal(_) => None }
-      range match {
-        case Some((mn, mx)) =>
-          s"${f.getName}\t${enc.encodeToString(mn)}\t${enc.encodeToString(mx)}"
-        case None => s"${f.getName}\t-\t-"
+        } catch { case scala.util.control.NonFatal(_) => (None, None) }
+      val rangeCols = range match {
+        case Some((mn, mx)) => s"${enc.encodeToString(mn)}\t${enc.encodeToString(mx)}"
+        case None => "-\t-"
       }
+      s"${f.getName}\t$rangeCols\t${rows.map(_.toString).getOrElse("-")}"
     }
     Files.write(dir.resolve("_FILESTATS"),
       lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
@@ -839,7 +845,9 @@ class GraphStore(spark: SparkSession, root: String, numBuckets: Int = 16,
     val ord = UnsignedBytesOrdering
     new String(Files.readAllBytes(sidecar), StandardCharsets.UTF_8)
       .split("\n").iterator.filter(_.nonEmpty).flatMap { line =>
-        line.split("\t") match {
+        // 3-field lines = pre-rowcount sidecars, 4-field = current (the
+        // trailing field is the file's row count; irrelevant to pruning)
+        line.split("\t").take(3) match {
           case Array(name, "-", "-") => all.get(name)
           case Array(name, mn, mx) =>
             val (lo, hi) = (dec.decode(mn), dec.decode(mx))
@@ -849,6 +857,52 @@ class GraphStore(spark: SparkSession, root: String, numBuckets: Int = 16,
           case _ => None
         }
       }.toSeq.sortBy(_.getFileName.toString)
+  }
+
+  /** Exact `count(*)` of `table`'s current snapshot from METADATA only:
+    * per live bucket version, the `_FILESTATS` sidecar's row-count field
+    * (one tiny file read per bucket); a sidecar written before row counts
+    * existed — or missing entirely — falls back to the parquet FOOTERS of
+    * that dir (still metadata: no data page is ever read, no Spark job
+    * runs). At 100 TB this answers the commonest operational query —
+    * "how many entities do we have?" — in O(buckets) driver-side reads
+    * instead of a full scan.
+    */
+  def metaRowCount(table: String): Long = {
+    val snap = currentSnapshot(table) match {
+      case Some(s) => readSnapshot(table, s)
+      case None => throw new IllegalStateException(
+        s"Table $table not initialized — call initialize() first")
+    }
+    val conf = spark.sessionState.newHadoopConf()
+    snap.toSeq.map { case (b, v) =>
+      val dir = bucketVersionDir(table, b, v)
+      val parquets = Option(dir.toFile.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      val sidecar = dir.resolve("_FILESTATS")
+      val fromSidecar: Option[Map[String, Long]] =
+        if (!Files.exists(sidecar)) None
+        else {
+          val rows = new String(Files.readAllBytes(sidecar), StandardCharsets.UTF_8)
+            .split("\n").filter(_.nonEmpty).flatMap { line =>
+              line.split("\t") match {
+                case Array(name, _, _, n) if n != "-" => Some(name -> n.toLong)
+                case _ => None
+              }
+            }.toMap
+          // only trust the sidecar if it covers every file in the dir
+          if (parquets.forall(f => rows.contains(f.getName))) Some(rows) else None
+        }
+      fromSidecar match {
+        case Some(rows) => parquets.map(f => rows(f.getName)).sum
+        case None => parquets.map { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRecordCount finally r.close()
+        }.sum
+      }
+    }.sum
   }
 
   /** Point-lookup read: resolve each key's bucket, then prune INSIDE the

@@ -759,4 +759,47 @@ class GraphStoreSpec extends AnyFunSuite with SparkTestBase {
           c.getMessage.contains("PATH_NOT_FOUND"))),
       s"expected a loud missing-file failure, got: $err")
   }
+
+  test("metaRowCount: exact counts from sidecars, ZERO Spark jobs, footer fallback") {
+    val st = freshStore()
+    seed(st)
+    st.createRelations(Seq(Relation("Alice", "Bob", "knows"),
+      Relation("Bob", "Acme Corp", "works_at")))
+    st.deleteEntity("Acme Corp") // cascades: entity + obs + 1 relation
+    val want = Seq("entities", "observations", "relations")
+      .map(t => t -> (t match {
+        case "entities" => st.entities.count()
+        case "observations" => st.observations.count()
+        case "relations" => st.relations.count()
+      })).toMap
+    // count jobs submitted while metaRowCount runs — must be zero
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val got = Seq("entities", "observations", "relations")
+        .map(t => t -> st.metaRowCount(t)).toMap
+      // listener delivery is async but ORDERED: run one sentinel job and
+      // wait for its event — any job metaRowCount ran would be counted first
+      spark.sparkContext.parallelize(1 to 2, 1).count()
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (jobs.get() < 1 && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(got == want, s"meta counts $got != scan counts $want")
+      assert(jobs.get() == 1,
+        s"metaRowCount must not run Spark jobs (1 sentinel expected), saw ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // footer fallback: delete every sidecar; counts must still be exact
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    import scala.jdk.CollectionConverters._
+    Seq("entities", "observations", "relations").foreach { t =>
+      JFiles.walk(JPaths.get(st.root, t)).iterator().asScala
+        .filter(_.getFileName.toString == "_FILESTATS")
+        .toList.foreach(JFiles.delete)
+      assert(st.metaRowCount(t) == want(t), s"footer fallback wrong for $t")
+    }
+  }
 }
