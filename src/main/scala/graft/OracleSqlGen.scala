@@ -2035,11 +2035,12 @@ object OracleSqlGen {
             END) AS BIGINT) AS ahash
           FROM bits GROUP BY doc_id)"""
 
-  /** Mirrors mm_frame_dedup: the per-frame generalization of [[phashCte]] —
-    * the sampled frames' gradient phases a_f = (doc_id + 11·f) mod 256
-    * drive the same x/y-marginal hash construction, keyed by (doc, frame).
+  /** Shared per-frame hash CTE chain (ending in `hash(doc_id, f, ahash)`):
+    * the per-frame generalization of [[phashCte]] — the sampled frames'
+    * gradient phases a_f = (doc_id + 11·f) mod 256 drive the same
+    * x/y-marginal hash construction, keyed by (doc, frame).
     */
-  def mmFrameDedup(stride: Int): String =
+  private def videoHashCtes(stride: Int): String =
     s"""WITH m AS (
           SELECT doc_id,
             CAST(unnest(range(0, 3 + doc_id % 5, $stride)) AS BIGINT) AS f,
@@ -2076,11 +2077,33 @@ object OracleSqlGen {
             WHEN cy*8+cx = 63 THEN (-9223372036854775808)::HUGEINT
             ELSE CAST(1::BIGINT << CAST(cy*8+cx AS INT) AS HUGEINT)
             END) AS BIGINT) AS ahash
-          FROM bits GROUP BY doc_id, f)
+          FROM bits GROUP BY doc_id, f)"""
+
+  /** Mirrors mm_frame_dedup: [[videoHashCtes]] + the per-video distinct-
+    * fingerprint aggregate.
+    */
+  def mmFrameDedup(stride: Int): String =
+    s"""${videoHashCtes(stride)}
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sampled,
           CAST(count(DISTINCT ahash) AS BIGINT) AS n_distinct,
           min(ahash) AS min_hash
         FROM hash GROUP BY doc_id ORDER BY doc_id"""
+
+  /** Mirrors mm_scene_cuts: [[videoHashCtes]] at stride 1 + a lag window
+    * per video — consecutive-frame Hamming distance of the perceptual
+    * hashes, cut flag at `threshold` bits.
+    */
+  def mmSceneCuts(threshold: Int): String =
+    s"""${videoHashCtes(1)},
+        seq AS (
+          SELECT doc_id, f, ahash,
+            lag(ahash) OVER (PARTITION BY doc_id ORDER BY f) AS prev
+          FROM hash)
+        SELECT doc_id, CAST(f AS INT) AS frame_idx,
+          CAST(bit_count(xor(ahash, prev)) AS INT) AS hamming,
+          CAST(bit_count(xor(ahash, prev)) >= $threshold AS INT) AS is_cut
+        FROM seq WHERE prev IS NOT NULL
+        ORDER BY doc_id, frame_idx"""
 
   /** Mirrors dedup_cross_modal: the minhash transitive-closure labels and
     * the closed-form perceptual hashes composed into one CTE list, then
@@ -2739,6 +2762,42 @@ object OracleSqlGen {
           (SELECT CAST(coalesce(sum(node), 0) AS BIGINT) FROM d$cap) AS sum_node
         FROM conv"""
   }
+
+  /** Mirrors Dedup.winnowPairs (and, with `restrict`, its incremental
+    * twin): the inverted-index self-join over MOSS-winnowed fingerprints —
+    * k-shingle md5s, rightmost-min of each w-window, distinct (doc, fp),
+    * hot-fp pruning at `maxDocFreq`, pairs sharing ≥ `minShared`
+    * fingerprints, exact-integer overlap vs the smaller doc. `restrict`
+    * filters the final pair list (the incremental query's
+    * pairs-touching-the-batch contract).
+    */
+  def winnowPairs(k: Int, w: Int, minShared: Long, maxDocFreq: Long,
+      restrict: String = "TRUE"): String =
+    s"""WITH h AS (
+         SELECT doc_id, list_transform(${shinglesSql(k)},
+             s -> md5(s)) AS hs
+         FROM documents),
+       s AS (
+         SELECT doc_id, hs, unnest(range(greatest(len(hs) - ${w - 1}, 1))) AS j
+         FROM h WHERE len(hs) >= 1),
+       q AS (
+         SELECT doc_id, list_min(hs[j+1:j+$w]) AS fp FROM s),
+       f AS (SELECT DISTINCT doc_id, fp FROM q),
+       sz AS (SELECT doc_id, count(*) AS n_fp FROM f GROUP BY doc_id),
+       g AS (SELECT * FROM f WHERE fp IN (
+               SELECT fp FROM f GROUP BY fp HAVING count(*) <= $maxDocFreq)),
+       p AS (
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             CAST(count(*) AS BIGINT) AS n_shared
+         FROM g a JOIN g b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= $minShared)
+       SELECT a_id, b_id, n_shared, sa.n_fp AS a_fp, sb.n_fp AS b_fp,
+           (n_shared * 1000000) // least(sa.n_fp, sb.n_fp) AS overlap_ppm
+       FROM p
+       JOIN sz sa ON sa.doc_id = a_id
+       JOIN sz sb ON sb.doc_id = b_id
+       WHERE ($restrict)
+       ORDER BY a_id, b_id"""
 
   /** Mirrors TextAnalysis.gopherRules: per-document hard filter flags with
     * exact-integer ppm measurements (integer division both sides). The

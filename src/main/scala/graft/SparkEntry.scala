@@ -1496,6 +1496,23 @@ object SparkEntry {
         k = 3, w = 4, minShared = 2L, maxDocFreq = 8)
         .orderBy("a_id", "b_id")),
 
+    // Incremental winnow-pair maintenance: the batch (doc_id >= 400) is
+    // fingerprinted ALONE; the corpus contributes only its precomputed
+    // winnowed index (never re-shingled). Oracle = the full from-scratch
+    // pair list restricted to pairs touching the batch, so the hash-match
+    // proves O(batch) maintenance ≡ recompute — the dedup_incremental
+    // contract on the winnowed index family.
+    "dedup_winnow_inc" -> ((s, d) => {
+      val docs0 = documents(s, d)
+      Dedup.winnowPairsIncremental(
+        docs0.filter(col("doc_id") >= 400), col("doc_id"), col("text"),
+        corpusFps = graft.pipeline.TextAnalysis.winnow(
+          docs0.filter(col("doc_id") < 400), col("doc_id"), col("text"),
+          k = 3, w = 4).select(col("doc_id"), col("fp")).distinct(),
+        k = 3, w = 4, minShared = 2L, maxDocFreq = 8)
+        .orderBy("a_id", "b_id")
+    }),
+
     // Asymmetric containment (|∩|/|A|): catches a short doc quoted inside a
     // long one, which Jaccard dilutes below threshold. Same inverted-index
     // join + stop-shingle guard as dedup_ngram_jaccard.
@@ -2339,6 +2356,28 @@ object SparkEntry {
           countDistinct("ahash").as("n_distinct"),
           min("ahash").as("min_hash"))
         .orderBy("doc_id")
+    }),
+
+    // Scene-cut detection — the shot-boundary primitive of a video
+    // pipeline: EVERY frame really decoded to its 8-byte average-hash
+    // (stride 1 — cuts need consecutive frames), then one lag window per
+    // video and a bit_count(xor) Hamming distance; a cut is a jump of
+    // ≥ 12 of 64 bits. Decode is per-partition map work; the window
+    // shuffles only (doc_id, frame_idx, 8-byte hash) — never pixels.
+    "mm_scene_cuts" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+      Multimodal.videoFrameHashes(
+          s.read.parquet(s"${mmVideoSetup(s, d)}/video").as[MediaRow],
+          stride = 1)
+        .withColumn("prev", lag("ahash", 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("doc_id"), col("frame_idx").cast("int").as("frame_idx"),
+          bit_count(col("ahash").bitwiseXOR(col("prev"))).cast("int")
+            .as("hamming"))
+        .withColumn("is_cut", (col("hamming") >= 12).cast("int"))
+        .orderBy("doc_id", "frame_idx")
     }),
 
     // Incremental fingerprint maintenance for the image-dedup path: the
@@ -7087,34 +7126,12 @@ object SparkEntry {
          FROM q ORDER BY doc_id, pos""",
 
     "dedup_winnow_pairs" ->
-      """WITH h AS (
-           SELECT doc_id, list_transform(
-               list_transform(range(len(string_split(text,' ')) - 2),
-                 i -> concat_ws(' ', string_split(text,' ')[i+1],
-                                string_split(text,' ')[i+2],
-                                string_split(text,' ')[i+3])),
-               s -> md5(s)) AS hs
-           FROM documents),
-         s AS (
-           SELECT doc_id, hs, unnest(range(greatest(len(hs) - 3, 1))) AS j
-           FROM h WHERE len(hs) >= 1),
-         q AS (
-           SELECT doc_id, list_min(hs[j+1:j+4]) AS fp FROM s),
-         f AS (SELECT DISTINCT doc_id, fp FROM q),
-         sz AS (SELECT doc_id, count(*) AS n_fp FROM f GROUP BY doc_id),
-         g AS (SELECT * FROM f WHERE fp IN (
-                 SELECT fp FROM f GROUP BY fp HAVING count(*) <= 8)),
-         p AS (
-           SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-               CAST(count(*) AS BIGINT) AS n_shared
-           FROM g a JOIN g b ON a.fp = b.fp AND a.doc_id < b.doc_id
-           GROUP BY 1, 2 HAVING count(*) >= 2)
-         SELECT a_id, b_id, n_shared, sa.n_fp AS a_fp, sb.n_fp AS b_fp,
-             (n_shared * 1000000) // least(sa.n_fp, sb.n_fp) AS overlap_ppm
-         FROM p
-         JOIN sz sa ON sa.doc_id = a_id
-         JOIN sz sb ON sb.doc_id = b_id
-         ORDER BY a_id, b_id""",
+      OracleSqlGen.winnowPairs(k = 3, w = 4, minShared = 2, maxDocFreq = 8),
+    // pairs-touching-the-batch contract: batch ids are >= 400 and a_id <
+    // b_id, so "some endpoint in the batch" is exactly b_id >= 400
+    "dedup_winnow_inc" ->
+      OracleSqlGen.winnowPairs(k = 3, w = 4, minShared = 2, maxDocFreq = 8,
+        restrict = "b_id >= 400"),
 
     "pipeline_curate" -> OracleSqlGen.curate,
     "pipeline_train_prep" -> OracleSqlGen.trainPrep(),
@@ -7239,6 +7256,7 @@ object SparkEntry {
     "mm_phash_delete" -> OracleSqlGen.mmPhashClusters(
       docFilter = "doc_id % 6 <> 1"),
     "mm_frame_dedup" -> OracleSqlGen.mmFrameDedup(2),
+    "mm_scene_cuts" -> OracleSqlGen.mmSceneCuts(threshold = 12),
     "dedup_cross_modal" -> OracleSqlGen.crossModalAgreement(3, 8, 2),
     "mm_phash_nn" -> OracleSqlGen.mmPhashNn,
     "mm_audio_decode" -> OracleSqlGen.mmAudioDecode,

@@ -157,6 +157,58 @@ object Dedup {
         expr("(n_shared * 1000000L) div least(a_fp, b_fp)").as("overlap_ppm"))
   }
 
+  /** Incremental [[winnowPairs]] maintenance: a new batch contributes only
+    * its OWN winnowed fingerprints (the corpus is never re-shingled — the
+    * economics of index maintenance: fingerprinting is the expensive map
+    * stage); candidate pairs touching the batch come from batch-vs-corpus
+    * and batch-vs-batch fp joins. Document frequencies for the hot-fp
+    * guard are recounted over the merged index (a cheap fp group-by, not a
+    * text pass) so the output equals a from-scratch run restricted to
+    * pairs with a batch endpoint — the oracle proves exactly that.
+    * Corpus and batch doc-id sets must be disjoint.
+    */
+  def winnowPairsIncremental(
+      batch: DataFrame,
+      id: Column,
+      text: Column,
+      corpusFps: DataFrame,
+      k: Int = 3,
+      w: Int = 4,
+      minShared: Long = 2L,
+      maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    val batchFps = graft.pipeline.TextAnalysis.winnow(spread(batch), id, text, k, w)
+      .select(col("doc_id"), col("fp")).distinct()
+    val corpus = corpusFps.select(col("doc_id"), col("fp"))
+    val all = corpus.unionByName(batchFps)
+    val sizes = all.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    def prune(fps: DataFrame): DataFrame =
+      if (maxDocFreq == Long.MaxValue) fps
+      else {
+        val hot = all.groupBy("fp").agg(count(lit(1)).as("_df"))
+          .filter(col("_df") > maxDocFreq).select("fp")
+        fps.join(broadcast(hot), Seq("fp"), "left_anti")
+      }
+    val pb = prune(batchFps)
+    val cross = pb.select(col("doc_id").as("x_id"), col("fp"))
+      .hint("shuffle_hash")
+      .join(prune(corpus).select(col("doc_id").as("y_id"), col("fp")), Seq("fp"))
+      .select(least(col("x_id"), col("y_id")).as("a_id"),
+        greatest(col("x_id"), col("y_id")).as("b_id"))
+    val intra = pb.select(col("doc_id").as("a_id"), col("fp"))
+      .hint("shuffle_hash")
+      .join(pb.select(col("doc_id").as("b_id"), col("fp")), Seq("fp"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+    cross.unionByName(intra)
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_fp", "a_fp"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_fp", "b_fp"), "b_id")
+      .select(col("a_id"), col("b_id"), col("n_shared"), col("a_fp"), col("b_fp"),
+        expr("(n_shared * 1000000L) div least(a_fp, b_fp)").as("overlap_ppm"))
+  }
+
   /** Shingle-containment near-dup: C(A⊆B) = |A∩B| / |A|. Asymmetric — a
     * short doc quoted verbatim inside a long one scores ~1.0 here while its
     * Jaccard (|∩|/|∪|) is diluted toward |A|/|B| and slips under any usable

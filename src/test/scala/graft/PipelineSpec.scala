@@ -91,6 +91,23 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(pruned.count() == 0, "fps shared by >2 docs must be pruned from the index")
   }
 
+  test("winnowPairsIncremental: maintained index equals from-scratch restricted to batch pairs") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = docs.filter(col("doc_id") < 40)
+    val batch = docs.filter(col("doc_id") >= 40 && col("doc_id") < 60)
+    val corpusFps = TextAnalysis.winnow(corpus, col("doc_id"), col("text"))
+      .select("doc_id", "fp").distinct()
+    val inc = Dedup.winnowPairsIncremental(batch, col("doc_id"), col("text"),
+        corpusFps, minShared = 1L, maxDocFreq = 8)
+      .orderBy("a_id", "b_id").collect().toSeq
+    val full = Dedup.winnowPairs(docs.filter(col("doc_id") < 60),
+        col("doc_id"), col("text"), minShared = 1L, maxDocFreq = 8)
+      .filter(col("b_id") >= 40)
+      .orderBy("a_id", "b_id").collect().toSeq
+    assert(inc == full, s"incremental ${inc.size} pairs != restricted full ${full.size}")
+    assert(inc.nonEmpty, "fixture must produce at least one candidate pair")
+  }
+
   test("gopherRules: each rule flips on exactly its planted violation") {
     val okDoc = "the cat sat of the mat and that dog have fun with all " +
       "going around town today making words reach twenty easily now"
