@@ -460,6 +460,42 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       pp.contains("count"), s"probe should be a plain count:\n$pp")
   }
 
+  test("text_dsir: bucket histograms broadcast back — the corpus shuffles once for the count") {
+    val p = plan("text_dsir")
+    // the scoring join of (doc, bucket) counts against the 512-row
+    // log-ratio table must be broadcast — a sort-merge there would
+    // re-shuffle the whole corpus by feature bucket
+    assert(p.contains("BroadcastHashJoin"), s"lr join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no SMJ anywhere in text_dsir:\n$p")
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
+      s"totals must broadcast:\n$p")
+  }
+
+  test("text_gopher_rules: map-only — no exchange beyond the output sort, one scan") {
+    val p = plan("text_gopher_rules")
+    // formatted mode spells exchange kinds in Arguments: lines
+    assert(!p.contains("hashpartitioning"),
+      s"rule battery must not hash-shuffle:\n$p")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 1,
+      s"exactly one documents scan:\n$p")
+  }
+
+  test("dedup_winnow_pairs: candidate join is hash, never sort-merge or nested-loop") {
+    val p = plan("dedup_winnow_pairs")
+    assert(p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"),
+      s"fp self-join must be a hash join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"no all-pairs path:\n$p")
+  }
+
+  test("mm_scene_cuts: the lag window shuffles hashes per video, never pixels") {
+    val p = plan("mm_scene_cuts")
+    // exactly one hashpartitioning exchange (doc_id for the window); the
+    // decode stage itself is per-partition map work
+    val n = "hashpartitioning".r.findAllIn(p).length
+    assert(n == 1, s"expected 1 window exchange, got $n:\n$p")
+  }
+
   test("q_rfm: quintile windows run over the aggregated customer frame only") {
     // the EXECUTED plan (formatted explain of an AQE plan appends the
     // pre-execution "Initial Plan" — slice it off before counting)
