@@ -149,4 +149,38 @@ class StreamingIngestSpec extends AnyFunSuite with SparkTestBase {
     val q3 = start(); q3.processAllAvailable(); q3.stop()
     assert(st.entities.count() == 3 && st.observations.count() == versionBefore)
   }
+
+  test("streaming IVF ingest: per-micro-batch append probes identical to a batch-built index") {
+    import graft.pipeline.Similarity
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .filter(col("vec_id") < 200).cache()
+    val cents = e.filter(col("vec_id") < 8)
+    val src = Files.createTempDirectory("graft-ivf-src-").toString
+    e.repartition(4).write.mode("overwrite").parquet(src) // 4 files → 4 micro-batches
+    val streamIdx = Files.createTempDirectory("graft-ivf-stream-").toString + "/ivf"
+    val schema = spark.read.parquet(src).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // cell assignment is a pure per-vector function of the FIXED
+        // centroids, so per-micro-batch appends commute with one big build
+        Similarity.appendToIvfIndex(batch, cents,
+          col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+          streamIdx): Unit
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    val batchIdx = Files.createTempDirectory("graft-ivf-batch-").toString + "/ivf"
+    Similarity.buildIvfIndex(e, cents,
+      col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), batchIdx)
+    val queries = e.filter(col("vec_id") % 25 === 0)
+    def probe(path: String) = Similarity.ivfProbeIndex(queries, path, cents,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 5, nprobe = 2)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(probe(streamIdx) == probe(batchIdx),
+      "stream-appended index must probe identically to the batch build")
+    e.unpersist()
+  }
 }
