@@ -86,11 +86,14 @@ object OracleSqlGen {
     * corpus-duplicated shingles → covered positions), reused by the stats
     * and removal oracles.
     */
-  private def spanCtes(k: Int): String =
+  private def spanBaseCtes(k: Int): String =
     s"""t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
         sp0 AS (SELECT doc_id, unnest(list_transform(range(len(toks)-$k+1),
                   i -> {'i': i, 'sh': concat_ws(' ', list_slice(toks, i+1, i+$k))})) AS u FROM t),
-        sp AS (SELECT doc_id, u.i AS i, u.sh AS sh FROM sp0),
+        sp AS (SELECT doc_id, u.i AS i, u.sh AS sh FROM sp0)"""
+
+  private def spanCtes(k: Int): String =
+    s"""${spanBaseCtes(k)},
         dup AS (SELECT sh FROM sp GROUP BY sh HAVING count(*) >= 2),
         cov AS (SELECT DISTINCT doc_id, i + j.range AS pos
                 FROM sp JOIN dup USING (sh) CROSS JOIN range($k) j)"""
@@ -109,6 +112,28 @@ object OracleSqlGen {
     */
   def dedupSpanClean(k: Int): String =
     s"""WITH ${spanCtes(k)},
+        tk AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM
+               (SELECT doc_id, unnest(list_transform(range(len(toks)),
+                  i -> {'pos': i, 'tok': toks[i+1]})) AS u FROM t)),
+        kept AS (SELECT tk.doc_id, count(*) AS n_kept,
+                        string_agg(tok, ' ' ORDER BY tk.pos) AS clean_text
+                 FROM tk LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.pos = cov.pos
+                 WHERE cov.pos IS NULL GROUP BY tk.doc_id)
+        SELECT t.doc_id, CAST(coalesce(k.n_kept,0) AS BIGINT) AS n_kept,
+               coalesce(k.clean_text, '') AS clean_text
+        FROM t LEFT JOIN kept k USING (doc_id) ORDER BY doc_id"""
+
+  /** Mirrors TextAnalysis.removeDuplicatedSpansKeepFirst: the canonical
+    * occurrence (min packed doc_id·2^20 + i — the chunk-dedup winner rule)
+    * of each duplicated k-gram keeps its tokens; only other copies cut.
+    */
+  def dedupSpanKeepFirst(k: Int): String =
+    s"""WITH ${spanBaseCtes(k)},
+        g AS (SELECT sh, min(doc_id*1048576 + i) AS firstk
+              FROM sp GROUP BY sh HAVING count(*) >= 2),
+        cov AS (SELECT DISTINCT doc_id, i + j.range AS pos
+                FROM sp JOIN g USING (sh) CROSS JOIN range($k) j
+                WHERE doc_id*1048576 + i <> firstk),
         tk AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM
                (SELECT doc_id, unnest(list_transform(range(len(toks)),
                   i -> {'pos': i, 'tok': toks[i+1]})) AS u FROM t)),

@@ -1537,6 +1537,15 @@ object SparkEntry {
         col("text"), k = 8)
         .orderBy("doc_id")),
 
+    // Keep-first sibling of dedup_span_clean: the canonical occurrence
+    // (min packed (doc_id, pos) — the chunk-dedup winner rule) keeps its
+    // tokens, only other copies are cut, so exactly one copy of every
+    // duplicated span survives (Lee et al. 2022 keep-one semantics).
+    "dedup_span_keep_first" -> ((s, d) =>
+      TextAnalysis.removeDuplicatedSpansKeepFirst(documents(s, d),
+        col("doc_id"), col("text"), k = 8)
+        .orderBy("doc_id")),
+
     // Paragraph-analog exact dedup (RefinedWeb/CCNet stage) over the
     // newline-free corpus: fixed 8-word chunks, corpus-wide first
     // occurrence wins, per-doc survival stats.
@@ -7002,6 +7011,7 @@ object SparkEntry {
     "dedup_chunk_inc" -> OracleSqlGen.dedupChunkInc(8, batchFrom = 400),
     "dedup_chunk_clean" -> OracleSqlGen.dedupChunkClean(8),
     "dedup_span_clean" -> OracleSqlGen.dedupSpanClean(8),
+    "dedup_span_keep_first" -> OracleSqlGen.dedupSpanKeepFirst(8),
     "dedup_minhash" -> OracleSqlGen.minhashLsh(3, 8, 2),
     "dedup_verified" -> OracleSqlGen.dedupVerified(3, 8, 2, maxDist = 50),
     "dedup_minhash_recall" ->

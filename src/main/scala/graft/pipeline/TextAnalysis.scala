@@ -283,6 +283,47 @@ object TextAnalysis {
     */
   def removeDuplicatedSpans(
       docs: DataFrame, id: Column, text: Column, k: Int = 8): DataFrame = {
+    val (toks, coPart) = positionedSpans(docs, id, text, k)
+    val dup = coPart.groupBy("sh").agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= 2).select("sh")
+    val cov = coPart.hint("shuffle_hash").join(dup, Seq("sh"))
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + lit(k - 1))).as("pos"))
+      .distinct()
+    rebuildWithout(toks, cov)
+  }
+
+  /** Keep-FIRST-occurrence duplicated-span removal — the production
+    * variant of [[removeDuplicatedSpans]]: the canonical occurrence of
+    * each corpus-duplicated k-gram (minimum packed (doc_id, pos) key, the
+    * chunk-dedup winner rule) keeps its tokens; only the OTHER copies are
+    * cut. The corpus retains exactly one copy of every duplicated span
+    * instead of zero — no content is lost, which is what a pretraining
+    * cleanup actually wants (Lee et al. 2022 deduplicate-and-keep-one).
+    * Same plan shape: one co-partitioned exchange on the shingle, a
+    * k-bounded coverage fanout for non-canonical copies only, one per-doc
+    * rebuild.
+    */
+  def removeDuplicatedSpansKeepFirst(
+      docs: DataFrame, id: Column, text: Column, k: Int = 8): DataFrame = {
+    val (toks, coPart) = positionedSpans(docs, id, text, k)
+    val keyed = coPart.withColumn("kk", col("doc_id") * 1048576L + col("i"))
+    val first = keyed.groupBy("sh")
+      .agg(min("kk").as("firstk"), count(lit(1)).as("_c"))
+      .filter(col("_c") >= 2).select("sh", "firstk")
+    val cov = keyed.hint("shuffle_hash").join(first, Seq("sh"))
+      .filter(col("kk") =!= col("firstk"))
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + lit(k - 1))).as("pos"))
+      .distinct()
+    rebuildWithout(toks, cov)
+  }
+
+  /** Shared by the span-removal variants: (tokenized docs, position-indexed
+    * k-grams co-partitioned on the shingle).
+    */
+  private def positionedSpans(docs: DataFrame, id: Column, text: Column,
+      k: Int): (DataFrame, DataFrame) = {
     val toks = docs.select(id.as("doc_id"), tokens(text).as("toks"))
       .withColumn("n_tokens", size(col("toks")))
     val spans = toks.select(col("doc_id"), col("toks"),
@@ -291,13 +332,15 @@ object TextAnalysis {
           .otherwise(array().cast("array<int>"))).as("i"))
       .select(col("doc_id"), col("i"),
         concat_ws(" ", slice(col("toks"), col("i") + 1, lit(k))).as("sh"))
-    val coPart = spans.repartition(col("sh"))
-    val dup = coPart.groupBy("sh").agg(count(lit(1)).as("_c"))
-      .filter(col("_c") >= 2).select("sh")
-    val cov = coPart.hint("shuffle_hash").join(dup, Seq("sh"))
-      .select(col("doc_id"),
-        explode(sequence(col("i"), col("i") + lit(k - 1))).as("pos"))
-      .distinct()
+    (toks, spans.repartition(col("sh")))
+  }
+
+  /** Rebuild each doc's text without the covered positions (shared tail of
+    * the span-removal variants): kept tokens re-assemble via sort_array
+    * over (pos, token) structs — an O(doc length) in-memory sort per row,
+    * never a cross-row window.
+    */
+  private def rebuildWithout(toks: DataFrame, cov: DataFrame): DataFrame = {
     val kept = toks
       .select(col("doc_id"), posexplode(col("toks")))
       .withColumnsRenamed(Map("pos" -> "pos", "col" -> "tok"))

@@ -91,6 +91,29 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(pruned.count() == 0, "fps shared by >2 docs must be pruned from the index")
   }
 
+  test("removeDuplicatedSpansKeepFirst: exactly one copy of a duplicated span survives") {
+    val span = (1 to 8).map(i => s"dup$i").mkString(" ")
+    val docs = Seq(
+      1L -> s"alpha beta $span gamma delta epsilon zeta eta",
+      2L -> s"$span other words here completely different tail ok",
+      3L -> "totally unrelated content with eight unique words here")
+      .toDF("doc_id", "text")
+    val keepFirst = TextAnalysis.removeDuplicatedSpansKeepFirst(
+        docs, col("doc_id"), col("text"), k = 8)
+      .orderBy("doc_id").as[(Long, Long, String)].collect()
+    // doc 1 holds the canonical (first-by-key) occurrence: fully kept
+    assert(keepFirst(0)._3.contains(span), s"canonical copy cut: ${keepFirst(0)}")
+    // doc 2's copy is cut
+    assert(!keepFirst(1)._3.contains("dup1"), s"non-canonical copy kept: ${keepFirst(1)}")
+    assert(keepFirst(2)._2 == 8, "untouched doc must keep all tokens")
+    // the both-copies variant cuts doc 1's copy too — keep-first strictly retains more
+    val both = TextAnalysis.removeDuplicatedSpans(
+        docs, col("doc_id"), col("text"), k = 8)
+      .orderBy("doc_id").as[(Long, Long, String)].collect()
+    assert(!both(0)._3.contains("dup1"))
+    assert(keepFirst.map(_._2).sum > both.map(_._2).sum)
+  }
+
   test("winnowPairsIncremental: maintained index equals from-scratch restricted to batch pairs") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val corpus = docs.filter(col("doc_id") < 40)
