@@ -1956,7 +1956,11 @@ object OracleSqlGen {
     * generalization of [[mmAudioDecode]]'s whole-stream forms. Peak cases:
     * a frame entirely past the mod-256 wrap, straddling it, or before it.
     */
-  def mmAudioFrames(frameLen: Int): String =
+  /** Shared audio-window CTE chain (ending in `s(doc_id, j, lo, hi, s8,
+    * mx, mn)` — wrap-aware closed forms over the PCM ramp), reused by the
+    * frame-stats and VAD-segmentation oracles.
+    */
+  private def audioFrameCtes(frameLen: Int): String =
     s"""WITH m AS (
           SELECT doc_id,
             CAST(doc_id % 256 AS BIGINT) AS a,
@@ -1978,12 +1982,33 @@ object OracleSqlGen {
                  WHEN a+hi-1 >= 256 THEN 255 ELSE a+hi-1 END AS mx,
             CASE WHEN a+lo >= 256 THEN a+lo-256
                  WHEN a+hi-1 >= 256 THEN 0 ELSE a+lo END AS mn
-          FROM b)
+          FROM b)"""
+
+  def mmAudioFrames(frameLen: Int): String =
+    s"""${audioFrameCtes(frameLen)}
         SELECT doc_id, CAST(j AS INT) AS frame_idx,
           CAST(hi-lo AS BIGINT) AS n_samples,
           CAST(256*(s8 - 128*(hi-lo)) AS BIGINT) AS sum_samples,
           CAST(256*greatest(abs(mx-128), abs(mn-128)) AS INT) AS peak_abs
         FROM s ORDER BY doc_id, frame_idx"""
+
+  /** Mirrors mm_audio_vad: active windows (peak ≥ threshold) grouped into
+    * maximal runs by the idx − row_number island trick — the same closed
+    * forms as [[mmAudioFrames]] drive the activity decision.
+    */
+  def mmAudioVad(frameLen: Int, threshold: Int): String =
+    s"""${audioFrameCtes(frameLen)},
+        act AS (
+          SELECT doc_id, j
+          FROM s WHERE 256*greatest(abs(mx-128), abs(mn-128)) >= $threshold),
+        isl AS (
+          SELECT doc_id, j,
+            j - row_number() OVER (PARTITION BY doc_id ORDER BY j) AS g
+          FROM act)
+        SELECT doc_id, CAST(min(j) AS INT) AS seg_start,
+          CAST(max(j) AS INT) AS seg_end,
+          CAST(count(*) AS BIGINT) AS n_frames
+        FROM isl GROUP BY doc_id, g ORDER BY doc_id, seg_start"""
 
   /** Mirrors mm_video_frames at the given stride: every stride-th frame of
     * the synthetic container (Multimodal.synthesizeVideo — nf = 3 + id mod

@@ -2498,6 +2498,28 @@ object SparkEntry {
         .toDF().orderBy("doc_id", "frame_idx")
     }),
 
+    // Energy-gated activity segmentation (VAD shape) over REAL decoded
+    // audio: windows whose peak amplitude clears the gate, grouped into
+    // maximal runs by the idx − row_number island trick — the segmenter
+    // under every diarization/captioning front-end. Window stats come
+    // from the decode pass; only (doc, window, peak) ever shuffles.
+    "mm_audio_vad" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val frames = Multimodal.decodeAudioFrames(
+        s.read.parquet(s"${mmWavSetup(s, d)}/wav").as[MediaRow], frameLen = 32)
+        .toDF().filter(col("peak_abs") >= 8192)
+      val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+      frames
+        .withColumn("g", col("frame_idx") - row_number().over(w))
+        .groupBy("doc_id", "g")
+        .agg(min("frame_idx").cast("int").as("seg_start"),
+          max("frame_idx").cast("int").as("seg_end"),
+          count(lit(1)).as("n_frames"))
+        .select("doc_id", "seg_start", "seg_end", "n_frames")
+        .orderBy("doc_id", "seg_start")
+    }),
+
     // REAL strided video-frame decode: Setup writes a length-prefixed
     // container of real PNG frames per doc; the query ImageIO-decodes every
     // 2nd frame and SKIPS the rest via their length prefix (O(sampled), not
@@ -7271,6 +7293,7 @@ object SparkEntry {
     "mm_phash_nn" -> OracleSqlGen.mmPhashNn,
     "mm_audio_decode" -> OracleSqlGen.mmAudioDecode,
     "mm_audio_frames" -> OracleSqlGen.mmAudioFrames(32),
+    "mm_audio_vad" -> OracleSqlGen.mmAudioVad(32, threshold = 8192),
     "mm_video_frames" -> OracleSqlGen.mmVideoFrames(2),
     "mm_ann_pipeline" -> OracleSqlGen.mmAnnPipeline,
 
