@@ -244,4 +244,33 @@ class EdgeCaseSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
     assert(out == Seq((1L, 2L, 0L, 0.0), (2L, 2L, 0L, 0.0)))
   }
+
+  test("round-10 ops: degenerate inputs (empty corpus, sub-window docs, zero target)") {
+    import graft.pipeline.TextAnalysis
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // winnow pairs: empty corpus and sub-k docs produce no pairs, no error
+    assert(Dedup.winnowPairs(empty, col("doc_id"), col("text")).count() == 0)
+    assert(Dedup.winnowPairs(Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text"),
+      col("doc_id"), col("text")).count() == 0)
+    // gopher rules: a one-token doc measures without dividing by zero
+    val one = TextAnalysis.gopherRules(Seq((1L, "word")).toDF("doc_id", "text"),
+      col("doc_id"), col("text")).head()
+    assert(one.getAs[Long]("n_tok") == 1L && one.getAs[Int]("keep") == 0)
+    // dsir: zero target docs — every weight is a finite negative-or-zero
+    // self-information shift, never NaN/null (add-one smoothing)
+    val w = TextAnalysis.dsirWeights(
+        Seq((1L, "a b c", false), (2L, "x y z", false)).toDF("doc_id", "text", "t"),
+        col("doc_id"), col("text"), isTarget = col("t"), buckets = 16)
+      .as[(Long, Long)].collect()
+    assert(w.length == 2 && w.forall(_._2 != null))
+    // keep-first span removal: empty corpus passes through empty
+    assert(TextAnalysis.removeDuplicatedSpansKeepFirst(
+      empty, col("doc_id"), col("text"), k = 8).count() == 0)
+    // metaRowCount on a freshly initialized (row-less) store is 0, no jobs
+    val st = new graft.store.GraphStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-meta-edge-").toString)
+    st.initialize()
+    assert(Seq("entities", "observations", "relations")
+      .forall(st.metaRowCount(_) == 0L))
+  }
 }
