@@ -433,6 +433,100 @@ case class PqArgminExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** MOSS winnowing selection over a gram array in ONE fused pass: md5 each
+  * gram, slide a `w`-hash window, select each window's minimum taking the
+  * RIGHTMOST position on ties, emit the distinct selections in position
+  * order as array<struct<pos:int, fp:string>>.
+  *
+  * Why not the builtin-HOF form (transform(sequence) → slice → array_min →
+  * an index fold per window): that shape is O(grams·w) with a lambda
+  * evaluated interpreted per window and three array allocations each —
+  * measured ~4.9 s for 5000 docs at sf0.1, i.e. ~1 ms/doc on ≤100-token
+  * docs. This expression hashes each gram ONCE and runs the classic
+  * monotonic-deque sliding-window minimum (pop-back on `>=` makes ties
+  * resolve to the rightmost, exactly the MOSS rule), O(grams) total.
+  * Selections repeat only consecutively as the window slides, so distinct =
+  * skip-if-same-as-last. The HOF twin is kept as TextAnalysis.winnowFold and
+  * spec-pinned equal on real docs.
+  */
+case class WinnowExpr(child: Expression, w: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(w >= 1)
+
+  private val structType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("pos", IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("fp",
+      org.apache.spark.sql.types.StringType, nullable = false)))
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(structType, containsNull = false)
+  override def prettyName: String = "winnow"
+
+  def compute(grams: ArrayData): ArrayData = {
+    val n = grams.numElements()
+    if (n == 0)
+      return org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Array.empty[org.apache.spark.sql.catalyst.InternalRow])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = "0123456789abcdef".toCharArray
+    val hs = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      val d = md.digest(grams.getUTF8String(i).getBytes)
+      val sb = new Array[Char](32)
+      var j = 0
+      while (j < 16) {
+        sb(2 * j) = hex((d(j) >> 4) & 0xf)
+        sb(2 * j + 1) = hex(d(j) & 0xf)
+        j += 1
+      }
+      hs(i) = new String(sb)
+      md.reset()
+      i += 1
+    }
+    // monotonic deque of candidate indices; pop-back on >= → rightmost tie
+    val dq = new Array[Int](n)
+    var head = 0
+    var tail = 0 // deque is dq[head until tail]
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.catalyst.InternalRow]
+    var lastSel = -1
+    val lastWindowStart = math.max(0, n - w)
+    var e = 0
+    while (e < n) {
+      while (tail > head && hs(dq(tail - 1)).compareTo(hs(e)) >= 0) tail -= 1
+      dq(tail) = e; tail += 1
+      val j = e - w + 1 // window start whose full extent ends at e
+      if (j >= 0 || e == n - 1) {
+        // evict indices left of the (clipped) window start
+        val start = math.max(0, math.min(j, lastWindowStart))
+        while (dq(head) < start) head += 1
+        // n < w: only one (clipped) window, evaluated at e == n-1
+        if (j >= 0 || n < w) {
+          val sel = dq(head)
+          if (sel != lastSel) {
+            out += org.apache.spark.sql.catalyst.InternalRow(
+              sel, org.apache.spark.unsafe.types.UTF8String.fromString(hs(sel)))
+            lastSel = sel
+          }
+        }
+      }
+      e += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("winnow", this, classOf[WinnowExpr].getName)
+    defineCodeGen(ctx, ev, v => s"$self.compute($v)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column API: codegen'd cosine similarity. */
   def cosineSim(a: Column, b: Column): Column =
@@ -463,6 +557,12 @@ object VectorFunctions {
   /** Column API: word n-gram shingles of a token array. */
   def shingles(tokens: Column, n: Int): Column =
     Bridge.column(ShinglesExpr(Bridge.expression(tokens), n))
+
+  /** Column API: MOSS winnowing selection over a gram array —
+    * array<struct<pos:int, fp:string>> of distinct rightmost-min md5s.
+    */
+  def winnowSelect(grams: Column, w: Int): Column =
+    Bridge.column(WinnowExpr(Bridge.expression(grams), w))
 
   private val info = new ExpressionInfo(
     classOf[CosineSimExpr].getName, "cosine_sim")

@@ -376,6 +376,25 @@ object TextAnalysis {
   def winnow(docs: DataFrame, id: Column, text: Column,
       k: Int = 3, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1)
+    // native fused expression: md5 per gram + monotonic-deque rightmost-min,
+    // O(grams) — the HOF twin below is O(grams·w) with interpreted lambdas
+    // (~10× slower at sf0.1) and is kept spec-pinned equal
+    val sel = graft.functions.VectorFunctions.winnowSelect(
+      Dedup.shingles(text, k), w)
+    docs.select(id.as("doc_id"), sel.as("sel"))
+      .filter(size(col("sel")) >= 1)
+      .select(col("doc_id"), explode(col("sel")).as("s"))
+      .select(col("doc_id"), col("s.pos").cast("long").as("pos"),
+        col("s.fp").as("fp"))
+  }
+
+  /** Builtin-HOF winnowing twin (the shape [[winnow]] replaced with the
+    * native expression) — kept public for the cross-check spec, exactly
+    * like Dedup.shinglesFold mirrors the native shingles.
+    */
+  def winnowFold(docs: DataFrame, id: Column, text: Column,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1)
     val hs = transform(Dedup.shingles(text, k), s => md5(s))
     val sel = transform(
       sequence(lit(0), greatest(size(col("hs")) - w, lit(0))), j => {

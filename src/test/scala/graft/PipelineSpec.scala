@@ -59,6 +59,25 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(short(5L).size == 1)
   }
 
+  test("native winnow expression equals the builtin-HOF twin on real docs") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(300)
+    Seq((3, 4), (2, 5), (5, 1), (3, 50)).foreach { case (k, w) =>
+      val fast = TextAnalysis.winnow(docs, col("doc_id"), col("text"), k, w)
+        .orderBy("doc_id", "pos").collect().toSeq
+      val fold = TextAnalysis.winnowFold(docs, col("doc_id"), col("text"), k, w)
+        .orderBy("doc_id", "pos").collect().toSeq
+      assert(fast == fold, s"k=$k w=$w: native ${fast.size} != fold ${fold.size}")
+    }
+    // planted rightmost-tie case: identical grams — deque's >= pop must pick
+    // the rightmost, like the HOF's index fold
+    val tie = Seq((1L, "x y z x y z x y z")).toDF("doc_id", "text")
+    val a = TextAnalysis.winnow(tie, col("doc_id"), col("text"), 3, 4)
+      .orderBy("pos").collect().toSeq
+    val b = TextAnalysis.winnowFold(tie, col("doc_id"), col("text"), 3, 4)
+      .orderBy("pos").collect().toSeq
+    assert(a == b)
+  }
+
   test("winnowPairs: planted near-dups collide, winnowed index far smaller than shingle index, hot fps pruned") {
     val base = (0 until 40).map(i => s"w$i").mkString(" ")
     val docs = Seq(
