@@ -6106,6 +6106,34 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // Leave-one-out source attribution: for each source, how much of the
+    // corpus's distinct 3-gram vocabulary exists ONLY in that source —
+    // coverage(corpus) − coverage(corpus \ source), the marginal-value
+    // set function behind data-mixture decisions. Because the metric is a
+    // coverage count, the LOO delta for EVERY source falls out of ONE
+    // aggregation (grams whose distinct-source set is a singleton): no
+    // per-source corpus re-scan, O(sources) never appears in the plan.
+    "q_source_loo_coverage" -> ((s, d) => {
+      val sh = documents(s, d)
+        .select(col("source"),
+          explode(array_distinct(Dedup.shingles(col("text"), 3))).as("sh"))
+        .distinct()
+      val perGram = sh.groupBy("sh").agg(
+        count(lit(1)).as("n_src"), min("source").as("only_src"))
+      val uniq = perGram.filter(col("n_src") === 1)
+        .groupBy(col("only_src").as("source"))
+        .agg(count(lit(1)).as("unique_grams"))
+      val tot = perGram.agg(count(lit(1)).as("total_grams"))
+      sh.groupBy("source").agg(count(lit(1)).as("n_grams"))
+        .join(uniq, Seq("source"), "left")
+        .na.fill(0L, Seq("unique_grams"))
+        .crossJoin(broadcast(tot))
+        .select(col("source"), col("n_grams"), col("unique_grams"),
+          col("total_grams"),
+          expr("(unique_grams * 1000000L) div total_grams").as("loo_delta_ppm"))
+        .orderBy("source")
+    }),
+
     // Pairwise source vocabulary overlap: distinct word-3-gram containment
     // between every source pair, exact ppm both directions — the
     // cross-source governance view of shingle dedup. One distinct
@@ -9406,6 +9434,28 @@ object SparkEntry {
          FROM u3 JOIN u2 USING (user_id) JOIN u1 USING (user_id)
          ORDER BY user_id""",
     "text_source_overlap" -> OracleSqlGen.sourceOverlap(3),
+    "q_source_loo_coverage" ->
+      """WITH sh AS (
+           SELECT DISTINCT source, sh FROM (
+             SELECT source, unnest(list_distinct(
+               list_transform(range(len(string_split(text,' '))-2),
+                 i -> concat_ws(' ', string_split(text,' ')[i+1],
+                        string_split(text,' ')[i+2],
+                        string_split(text,' ')[i+3])))) AS sh
+             FROM documents)),
+         pg AS (SELECT sh, count(*) AS n_src, min(source) AS only_src
+                FROM sh GROUP BY sh),
+         uq AS (SELECT only_src AS source, CAST(count(*) AS BIGINT) AS unique_grams
+                FROM pg WHERE n_src = 1 GROUP BY only_src),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS total_grams FROM pg),
+         ng AS (SELECT source, CAST(count(*) AS BIGINT) AS n_grams
+                FROM sh GROUP BY source)
+         SELECT ng.source, ng.n_grams,
+           CAST(coalesce(uq.unique_grams, 0) AS BIGINT) AS unique_grams,
+           tot.total_grams,
+           (coalesce(uq.unique_grams, 0) * 1000000) // tot.total_grams AS loo_delta_ppm
+         FROM ng LEFT JOIN uq USING (source) CROSS JOIN tot
+         ORDER BY ng.source""",
     "q8_market_share" ->
       """WITH l AS (
            SELECT l_orderkey, l_suppkey,
