@@ -5406,6 +5406,48 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    // PSI (population stability index) over the same first-vs-second
+    // half-month split as q_drift_bins — the log-ratio drift index the
+    // industry alarms on (Σ term > 0.2), per-bin for attribution.
+    // Add-one-smoothed so empty bins stay finite; term in floor·1e6
+    // fixed-point. One map-side-combinable aggregate per side, a 10-row
+    // full join — current rows never co-shuffle with reference rows.
+    "q_psi" -> ((s, d) => {
+      val e = events(s, d)
+      val cutoff = lit("2024-01-16").cast("timestamp")
+      graft.pipeline.Experiment.psi(
+        e.filter(col("ts") < cutoff), e.filter(col("ts") >= cutoff),
+        col("value"), bins = 10, lo = 0.0, hi = 500.0)
+        .orderBy("bin")
+    }),
+
+    // CUPED variance-reduced experiment readout (Deng et al. WSDM'13):
+    // units = users, arm = deterministic md5 split, Y = post-cutoff value
+    // sum, X = the SAME user's pre-cutoff value sum, θ = pooled
+    // cov(X,Y)/var(X). One per-unit shuffle; adjusted-metric variance
+    // falls out of exact decimal moments — no per-unit second pass, so
+    // the readout costs one aggregation at any scale.
+    "q_cuped" -> ((s, d) =>
+      graft.pipeline.Experiment.cuped(
+        events(s, d).filter(col("event_type") === "purchase"),
+        col("user_id"), col("ts"), col("value"),
+        lit("2024-01-16").cast("timestamp"))
+        .orderBy("arm")),
+
+    // Cohen's kappa between two deterministic document labelings (char-
+    // length bands vs whitespace-token bands) — the inter-annotator
+    // agreement gate of a labeling pipeline. κ from exact integer
+    // confusion-matrix cells; one tiny aggregate over the scan.
+    "q_cohen_kappa" -> ((s, d) => {
+      val docs = documents(s, d)
+      val raterA = when(col("n_chars") < 220, "S")
+        .when(col("n_chars") < 380, "M").otherwise("L")
+      val ntok = size(split(col("text"), " "))
+      val raterB = when(ntok < 40, "S").when(ntok < 68, "M").otherwise("L")
+      graft.pipeline.Experiment.cohenKappa(docs, raterA, raterB)
+        .orderBy("n_total")
+    }),
+
     // Truncated binary EWMA of the hourly event rate: weights 1/2, 1/4, …,
     // 1/2^20 over the trailing 20 hours, in fixed point scaled by 2^20 —
     // every weight is a power of two, so the smoothed series is EXACT
@@ -8951,6 +8993,138 @@ object SparkEntry {
              CAST(abs(CAST(na AS HUGEINT) * tb - CAST(nb AS HUGEINT) * ta)
                AS BIGINT) AS tvd_num
          FROM g CROSS JOIN t ORDER BY bin""",
+    // PSI: the double expression tree (smoothed p/q, (p-q)*ln(p/q)) is
+    // written in the same operation order as Experiment.psi — floor·1e6
+    // after identical IEEE arithmetic on exact integer counts.
+    "q_psi" ->
+      """WITH b AS (
+           SELECT least(greatest(CAST(floor(value / 50.0) AS INT), 0), 9) AS bin,
+               CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
+                 THEN 1 ELSE 0 END AS isa
+           FROM events),
+         g AS (
+           SELECT bin, sum(isa) AS ref_n, sum(1 - isa) AS cur_n
+           FROM b GROUP BY 1),
+         t AS (SELECT sum(ref_n) AS ref_t, sum(cur_n) AS cur_t FROM g)
+         SELECT CAST(bin AS BIGINT) AS bin,
+             CAST(ref_n AS BIGINT) AS ref_n, CAST(cur_n AS BIGINT) AS cur_n,
+             CAST(floor(CAST(ref_n + 1 AS DOUBLE) / CAST(ref_t + 10 AS DOUBLE)
+               * 1000000.0) AS BIGINT) AS ref_ppm,
+             CAST(floor(CAST(cur_n + 1 AS DOUBLE) / CAST(cur_t + 10 AS DOUBLE)
+               * 1000000.0) AS BIGINT) AS cur_ppm,
+             CAST(floor(
+               (CAST(ref_n + 1 AS DOUBLE) / CAST(ref_t + 10 AS DOUBLE)
+                 - CAST(cur_n + 1 AS DOUBLE) / CAST(cur_t + 10 AS DOUBLE))
+               * ln((CAST(ref_n + 1 AS DOUBLE) / CAST(ref_t + 10 AS DOUBLE))
+                 / (CAST(cur_n + 1 AS DOUBLE) / CAST(cur_t + 10 AS DOUBLE)))
+               * 1000000.0) AS BIGINT) AS psi_term_ppm
+         FROM g CROSS JOIN t ORDER BY bin""",
+    // CUPED: exact decimal sufficient statistics, then the identical
+    // scalar double formulas (theta, adjusted mean, moment-identity
+    // adjusted variance), round(·,6) at the boundary.
+    "q_cuped" ->
+      """WITH pu AS (
+           SELECT user_id,
+               CAST(coalesce(sum(CASE WHEN CAST(ts AS TIMESTAMP)
+                   < TIMESTAMP '2024-01-16'
+                 THEN CAST(value AS DECIMAL(18,2)) END), 0)
+                 AS DECIMAL(18,2)) AS x,
+               CAST(coalesce(sum(CASE WHEN NOT (CAST(ts AS TIMESTAMP)
+                   < TIMESTAMP '2024-01-16')
+                 THEN CAST(value AS DECIMAL(18,2)) END), 0)
+                 AS DECIMAL(18,2)) AS y
+           FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+         pa AS (
+           SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 2) < '80'
+               THEN 'treat' ELSE 'control' END AS arm, x, y
+           FROM pu),
+         p AS (
+           SELECT
+               CASE WHEN (CAST(sum(x * x) AS DOUBLE)
+                   - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE)) = 0.0 THEN 0.0
+               ELSE
+                 (CAST(sum(x * y) AS DOUBLE)
+                   - CAST(sum(x) AS DOUBLE) * CAST(sum(y) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE))
+                 / (CAST(sum(x * x) AS DOUBLE)
+                   - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE))
+               END AS theta,
+               CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_x_all
+           FROM pa),
+         m AS (
+           SELECT arm, count(*) AS n,
+               CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+               CAST(sum(x * x) AS DOUBLE) AS sxx,
+               CAST(sum(y * y) AS DOUBLE) AS syy,
+               CAST(sum(x * y) AS DOUBLE) AS sxy
+           FROM pa GROUP BY arm)
+         SELECT arm, CAST(n AS BIGINT) AS n_units,
+             round(sy / CAST(n AS DOUBLE), 6) AS mean_y,
+             round(sy / CAST(n AS DOUBLE) - theta
+               * (sx / CAST(n AS DOUBLE) - mean_x_all), 6) AS mean_y_adj,
+             round(syy / CAST(n AS DOUBLE)
+               - (sy / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)), 6)
+               AS var_y,
+             round((syy / CAST(n AS DOUBLE)
+                 - (sy / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE))
+               - 2.0 * theta * (sxy / CAST(n AS DOUBLE)
+                 - (sx / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE))))
+               + theta * theta * (sxx / CAST(n AS DOUBLE)
+                 - (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE))), 6)
+               AS var_y_adj,
+             round(theta, 6) AS theta,
+             CASE WHEN (syy / CAST(n AS DOUBLE)
+                 - (sy / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE))) = 0.0
+               THEN 0
+             ELSE CAST(floor(
+               ((syy / CAST(n AS DOUBLE)
+                   - (sy / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)))
+                 - (((syy / CAST(n AS DOUBLE)
+                     - (sy / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE))
+                   - 2.0 * theta * (sxy / CAST(n AS DOUBLE)
+                     - (sx / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)))))
+                   + theta * theta * (sxx / CAST(n AS DOUBLE)
+                     - (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE)))))
+               / (syy / CAST(n AS DOUBLE)
+                 - (sy / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)))
+               * 1000000.0) AS BIGINT)
+             END AS var_reduction_ppm
+         FROM m CROSS JOIN p ORDER BY arm""",
+    // Cohen's kappa: integer confusion-matrix cells; po/pe/kappa as the
+    // identical scalar double expressions.
+    "q_cohen_kappa" ->
+      """WITH c AS (
+           SELECT CASE WHEN n_chars < 220 THEN 'S'
+                    WHEN n_chars < 380 THEN 'M' ELSE 'L' END AS a,
+               CASE WHEN len(string_split(text, ' ')) < 40 THEN 'S'
+                    WHEN len(string_split(text, ' ')) < 68 THEN 'M'
+                    ELSE 'L' END AS b
+           FROM documents),
+         cells AS (SELECT a, b, count(*) AS n_cell FROM c GROUP BY a, b),
+         tot AS (
+           SELECT sum(n_cell) AS n_total,
+               sum(CASE WHEN a = b THEN n_cell ELSE 0 END) AS n_agree
+           FROM cells),
+         ma AS (SELECT a, sum(n_cell) AS n_a FROM cells GROUP BY a),
+         mb AS (SELECT b, sum(n_cell) AS n_b FROM cells GROUP BY b),
+         e AS (SELECT sum(n_a * n_b) AS sum_ab
+               FROM ma JOIN mb ON ma.a = mb.b)
+         SELECT CAST(n_total AS BIGINT) AS n_total,
+             CAST(n_agree AS BIGINT) AS n_agree,
+             round(CAST(n_agree AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+               AS p_observed,
+             round(CAST(sum_ab AS DOUBLE)
+               / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)), 6)
+               AS p_expected,
+             round((CAST(n_agree AS DOUBLE) / CAST(n_total AS DOUBLE)
+                 - CAST(sum_ab AS DOUBLE)
+                   / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)))
+               / (1.0 - CAST(sum_ab AS DOUBLE)
+                   / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE))), 6)
+               AS kappa
+         FROM tot CROSS JOIN e ORDER BY n_total""",
     "events_holt_backtest" ->
       """WITH hc AS (
            SELECT CAST(floor(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))) AS BIGINT) // 3600 AS hh,

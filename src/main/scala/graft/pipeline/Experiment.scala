@@ -1,0 +1,193 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Experimentation / drift readouts over event streams: CUPED
+  * variance-reduced A/B effect estimation, Cohen's kappa inter-annotator
+  * agreement, and PSI (population stability index) distribution drift.
+  *
+  * Scale shape: every operator here is ONE key-shuffle (the per-unit or
+  * per-bin aggregate) followed by a tiny broadcast/scalar stage — the
+  * closed-form moment identities do the rest. Nothing materializes
+  * per-unit adjusted values; variances and covariances of the CUPED
+  * adjustment fall out of the exact sufficient statistics
+  * (n, Σx, Σy, Σx², Σy², Σxy), so a 100 TB event table costs exactly one
+  * aggregation pass.
+  *
+  * Numeric portability: sufficient statistics accumulate as
+  * DECIMAL(18,2)-derived exact decimals (order-independent across any
+  * partitioning); the handful of scalar double operations on top are
+  * written as the same expression tree in the DuckDB oracle, and every
+  * double output is round(·, 6) — the repo-wide boundary convention.
+  */
+object Experiment {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Deterministic 50/50 arm assignment by md5 of the unit key — the
+    * experiment twin of [[Splits.hashBucket]]: reproducible across reruns,
+    * engines and cluster layouts (first hex byte < 0x80 → "treat").
+    */
+  def hashArm(unit: Column): Column =
+    when(substring(md5(unit.cast("string").cast("binary")), 1, 2) < lit("80"),
+      lit("treat")).otherwise(lit("control"))
+
+  /** CUPED (Controlled-experiment Using Pre-Experiment Data, Deng et al.
+    * WSDM'13): per experiment unit, Y = post-period metric, X = pre-period
+    * metric of the SAME unit; the adjusted metric Y' = Y − θ(X − E[X]) with
+    * θ = cov(X,Y)/var(X) keeps E[Y'] = E[Y] per arm (θ and E[X] are pooled,
+    * so the adjustment is a constant shift of a mean-zero covariate) while
+    * removing the pre-period-explained variance: var(Y') =
+    * var(Y)·(1 − ρ²).
+    *
+    * Output: one row per arm with n_units, mean_y, mean_y_adj, var_y,
+    * var_y_adj (population), pooled theta, and the realized variance
+    * reduction in ppm. Units with no post-period events still count with
+    * Y = 0 (they are exposed members of the arm); units with no pre-period
+    * events have X = 0.
+    *
+    * Plan: one groupBy(unit) aggregate over the event scan (map-side
+    * combinable sums of decimals), a 1-row pooled-stats frame cross-joined
+    * into the ≤2-row per-arm frame. No per-unit second pass: var(Y') =
+    * var(Y) − 2θ·cov(X,Y) + θ²·var(X) per arm, all from the exact moments.
+    */
+  def cuped(events: DataFrame, unit: Column, ts: Column, value: Column,
+      cutoff: Column, arm: Column => Column = hashArm): DataFrame = {
+    val pre = ts < cutoff
+    // per-unit x/y re-narrowed to DECIMAL(18,2): the sums fit (they are one
+    // unit's activity), and 18-digit inputs keep the x², xy products inside
+    // DECIMAL(38,4) EXACTLY on both Spark and the DuckDB oracle — a wider
+    // input would make the product overflow 38 digits and lose exactness.
+    val perUnit = events
+      .groupBy(unit.as("unit"))
+      .agg(
+        coalesce(sum(when(pre, dec(value))), lit(0).cast(DecimalType(18, 2)))
+          .cast(DecimalType(18, 2)).as("x"),
+        coalesce(sum(when(!pre, dec(value))), lit(0).cast(DecimalType(18, 2)))
+          .cast(DecimalType(18, 2)).as("y"))
+      .select(col("unit"), col("x"), col("y"), arm(col("unit")).as("arm"))
+
+    // exact sufficient statistics (order-independent under any shuffle)
+    def moments(g: org.apache.spark.sql.RelationalGroupedDataset) = g.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+
+    val pooled = moments(perUnit.groupBy())
+      .select(
+        (col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double")
+            / col("n").cast("double")).as("cov_num"),
+        (col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double")
+            / col("n").cast("double")).as("varx_num"),
+        (col("sx").cast("double") / col("n").cast("double")).as("mean_x_all"))
+      .select(
+        // a constant covariate (varx = 0) cannot adjust anything: θ = 0
+        // degrades CUPED to the plain difference-in-means readout instead
+        // of erroring under ANSI division
+        when(col("varx_num") === 0.0, lit(0.0))
+          .otherwise(col("cov_num") / col("varx_num")).as("theta"),
+        col("mean_x_all"))
+
+    val perArm = moments(perUnit.groupBy("arm"))
+    val n = col("n").cast("double")
+    val meanX = col("sx").cast("double") / n
+    val meanY = col("sy").cast("double") / n
+    val varY = col("syy").cast("double") / n - meanY * meanY
+    val varX = col("sxx").cast("double") / n - meanX * meanX
+    val covXY = col("sxy").cast("double") / n - meanX * meanY
+    val varAdj = (varY - lit(2.0) * col("theta") * covXY) +
+      col("theta") * col("theta") * varX
+
+    perArm.crossJoin(broadcast(pooled))
+      .select(
+        col("arm"), col("n").as("n_units"),
+        round(meanY, 6).as("mean_y"),
+        round(meanY - col("theta") * (meanX - col("mean_x_all")), 6)
+          .as("mean_y_adj"),
+        round(varY, 6).as("var_y"),
+        round(varAdj, 6).as("var_y_adj"),
+        round(col("theta"), 6).as("theta"),
+        // a zero-variance arm (e.g. one unit) has nothing to reduce
+        when(varY === 0.0, lit(0L))
+          .otherwise(floor((varY - varAdj) / varY * lit(1000000.0))
+            .cast("long")).as("var_reduction_ppm"))
+  }
+
+  /** Cohen's kappa between two categorical labelings of the same rows —
+    * the inter-annotator-agreement gate of a labeling pipeline (two model
+    * versions, or model vs heuristic). κ = (p_o − p_e)/(1 − p_e) with p_e
+    * from the raters' marginal distributions.
+    *
+    * One aggregate over the scan (the K×K confusion matrix is tiny);
+    * observed and expected agreement come from exact integer cell counts,
+    * so the three output doubles are pure scalar functions of integers.
+    */
+  def cohenKappa(df: DataFrame, raterA: Column, raterB: Column): DataFrame = {
+    val cells = df.groupBy(raterA.as("a"), raterB.as("b"))
+      .agg(count(lit(1)).as("n_cell"))
+    // marginals via two tiny re-aggregations of the confusion matrix
+    val total = cells.agg(sum("n_cell").as("n_total"),
+      sum(when(col("a") === col("b"), col("n_cell")).otherwise(lit(0L)))
+        .as("n_agree"))
+    val margA = cells.groupBy("a").agg(sum("n_cell").as("n_a"))
+    val margB = cells.groupBy("b").agg(sum("n_cell").as("n_b"))
+    val expected = margA.join(margB, col("a") === col("b"))
+      .agg(sum(col("n_a") * col("n_b")).as("sum_ab"))
+    val nT = col("n_total").cast("double")
+    val po = col("n_agree").cast("double") / nT
+    val pe = col("sum_ab").cast("double") / (nT * nT)
+    total.crossJoin(expected)
+      .select(
+        col("n_total"), col("n_agree"),
+        round(po, 6).as("p_observed"),
+        round(pe, 6).as("p_expected"),
+        round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
+  }
+
+  /** PSI (population stability index) between a reference and a current
+    * sample of the same metric over fixed-width bins: per bin,
+    * term = (p − q)·ln(p/q) with add-one-smoothed bin probabilities
+    * (PSI is undefined on empty bins; smoothing keeps the index total and
+    * finite without dropping bins). Σ term > 0.2 is the conventional
+    * "population shifted" alarm.
+    *
+    * Emits one row PER BIN (term in fixed-point ppm) — the attribution
+    * view: which value range moved, not just that something did. The
+    * total is the sum of a `bins`-row frame, driver-trivial.
+    *
+    * Plan: one bin-keyed aggregate per side (map-side combinable), a
+    * `bins`-row outer join — current rows never co-shuffle with reference
+    * rows.
+    */
+  def psi(ref: DataFrame, cur: DataFrame, value: Column,
+      bins: Int, lo: Double, hi: Double): DataFrame = {
+    require(bins > 0 && hi > lo, "need a positive bin count and lo < hi")
+    val width = (hi - lo) / bins
+    def binned(df: DataFrame, as: String) = df
+      .select(least(greatest(
+        floor((value - lit(lo)) / lit(width)).cast("int"), lit(0)),
+        lit(bins - 1)).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as(as))
+    val b = binned(ref, "ref_n").join(binned(cur, "cur_n"), Seq("bin"), "full")
+      .select(col("bin"),
+        coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+    val tot = b.agg(sum("ref_n").as("ref_t"), sum("cur_n").as("cur_t"))
+    val p = (col("ref_n") + lit(1)).cast("double") /
+      (col("ref_t") + lit(bins)).cast("double")
+    val q = (col("cur_n") + lit(1)).cast("double") /
+      (col("cur_t") + lit(bins)).cast("double")
+    b.crossJoin(broadcast(tot))
+      .select(col("bin").cast("long").as("bin"), col("ref_n"), col("cur_n"),
+        floor(p * lit(1000000.0)).cast("long").as("ref_ppm"),
+        floor(q * lit(1000000.0)).cast("long").as("cur_ppm"),
+        floor((p - q) * log(p / q) * lit(1000000.0)).cast("long")
+          .as("psi_term_ppm"))
+  }
+}
