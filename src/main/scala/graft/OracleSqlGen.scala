@@ -965,7 +965,7 @@ object OracleSqlGen {
         df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok
                WHERE term IN ($inList) GROUP BY 1),
         sc AS (
-          SELECT tf.doc_id,
+          SELECT tf.doc_id, tf.term, tf.tf,
             CAST(floor(
               ln((CAST(st.n_docs AS DOUBLE) - df.df + 0.5) / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
               * (CAST(tf.tf AS DOUBLE) * 2.2)
@@ -984,6 +984,53 @@ object OracleSqlGen {
     s"""WITH ${bm25Ctes(probes, docFilter)}
         SELECT doc_id, bm25_fp FROM bm
         ORDER BY bm25_fp DESC, doc_id LIMIT $topK"""
+
+  /** Mirrors SearchIndex.rankingEval over the per-term BM25 scores:
+    * graded rel = least(tf, 3), ranking (iscore desc, doc_id), nDCG@k in
+    * fixed point with the SAME [[graft.pipeline.SearchIndex.dcgWeights]]
+    * literals the Spark plan inlines, MRR of the first rel=3 hit, and
+    * recall@k of rel ≥ 2 — every output an exact integer.
+    */
+  def searchEval(probes: Seq[String], k: Int): String = {
+    val w = graft.pipeline.SearchIndex.dcgWeights(k)
+    def wcase(rank: String) =
+      "CASE " + w.zipWithIndex
+        .map { case (wi, i) => s"WHEN $rank = ${i + 1} THEN $wi" }
+        .mkString(" ") + " ELSE 0 END"
+    s"""WITH ${bm25Ctes(probes)},
+        r AS (
+          SELECT term, doc_id, least(tf, 3) AS rel,
+              row_number() OVER (PARTITION BY term
+                ORDER BY iscore DESC, doc_id) AS rnk,
+              row_number() OVER (PARTITION BY term
+                ORDER BY least(tf, 3) DESC, doc_id) AS irank
+          FROM sc),
+        a AS (
+          SELECT term AS query, count(*) AS n_cand,
+              sum(CASE WHEN rnk <= $k THEN rel * ${wcase("rnk")} ELSE 0 END)
+                AS dcg_fp,
+              sum(CASE WHEN irank <= $k THEN rel * ${wcase("irank")} ELSE 0 END)
+                AS idcg_fp,
+              min(CASE WHEN rel = 3 THEN rnk END) AS rank_first_raw,
+              sum(CASE WHEN rel >= 2 THEN 1 ELSE 0 END) AS rel2_total,
+              sum(CASE WHEN rel >= 2 AND rnk <= $k THEN 1 ELSE 0 END)
+                AS rel2_top
+          FROM r GROUP BY term)
+        SELECT query, CAST(n_cand AS BIGINT) AS n_cand,
+            CAST(dcg_fp AS BIGINT) AS dcg_fp,
+            CAST(idcg_fp AS BIGINT) AS idcg_fp,
+            CAST(CASE WHEN idcg_fp = 0 THEN 0
+              ELSE dcg_fp * 1000000 // idcg_fp END AS BIGINT) AS ndcg_ppm,
+            CAST(coalesce(rank_first_raw, 0) AS BIGINT) AS rank_first,
+            CAST(CASE WHEN rank_first_raw IS NULL THEN 0
+              ELSE 1000000 // rank_first_raw END AS BIGINT) AS rr_ppm,
+            CAST(rel2_total AS BIGINT) AS rel2_total,
+            CAST(rel2_top AS BIGINT) AS rel2_top,
+            CAST(CASE WHEN rel2_total = 0 THEN 0
+              ELSE rel2_top * 1000000 // rel2_total END AS BIGINT)
+              AS recall2_ppm
+        FROM a ORDER BY query"""
+  }
 
   /** Hybrid search: BM25 rank list ⊕ cosine rank list fused with reciprocal
     * rank fusion (score = Σ 1/(rrfK + rank)). Ranks are integers from the

@@ -624,7 +624,11 @@ object SparkEntry {
     * and `search_hybrid_rrf`. Fixed-point longs (floor ·1e6 per term) so the
     * per-doc sum is order-independent; df/dl/avgdl stats ride broadcasts.
     */
-  private def bm25Scored(s: SparkSession, d: String,
+  /** Per-(doc, probe-term) fixed-point BM25 scores — the shared scoring
+    * core of `bm25Scored` (summed per doc) and `search_eval` (ranked per
+    * term for the retrieval-quality metrics).
+    */
+  private def bm25TermScored(s: SparkSession, d: String,
       probes: Seq[String] = Seq("spark", "query", "vector")): DataFrame = {
     val tok = documents(s, d).select(col("doc_id"),
         explode(split(lower(col("text")), "[^a-z]+")).as("term"))
@@ -645,9 +649,14 @@ object SparkEntry {
     tf.join(broadcast(dfT), "term")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
-      .select(col("doc_id"), floor(tscore * lit(1000000.0)).cast("long").as("iscore"))
-      .groupBy("doc_id").agg(sum("iscore").as("bm25_fp"))
+      .select(col("doc_id"), col("term"), col("tf"),
+        floor(tscore * lit(1000000.0)).cast("long").as("iscore"))
   }
+
+  private def bm25Scored(s: SparkSession, d: String,
+      probes: Seq[String] = Seq("spark", "query", "vector")): DataFrame =
+    bm25TermScored(s, d, probes)
+      .groupBy("doc_id").agg(sum("iscore").as("bm25_fp"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -4161,6 +4170,21 @@ object SparkEntry {
                 coalesce(lit(1.0) / (lit(60) + col("rv")), lit(0.0)), 8).as("rrf"))
         .orderBy(desc("rrf"), asc("doc_id")).limit(20)
     }),
+
+    // Retrieval-quality eval of the BM25 ranking against graded term-
+    // frequency relevance (rel = min(tf,3)): per probe query, nDCG@10 in
+    // fixed point (position weights are Scala literals inlined into BOTH
+    // engines), MRR of the first rel-3 hit, recall@10 of rel≥2 — the
+    // regression gate a search pipeline runs on every index change. Two
+    // per-query windows + one aggregate; 10^6 eval queries would
+    // parallelize as 10^6 independent groups.
+    "search_eval" -> ((s, d) =>
+      graft.pipeline.SearchIndex.rankingEval(
+        bm25TermScored(s, d,
+          probes = Seq("spark", "query", "vector", "join", "window")),
+        col("term"), col("doc_id"), least(col("tf"), lit(3L)), col("iscore"),
+        k = 10)
+        .orderBy("query")),
 
     // Filtered vector search: ANN restricted by a metadata predicate (the
     // everyday production shape — "similar docs, but only lang='en'"). The
@@ -8179,6 +8203,8 @@ object SparkEntry {
         docFilter = "doc_id % 7 <> 3"),
     "search_hybrid_rrf" -> OracleSqlGen.hybridRrf(
       Seq("spark", "query", "vector"), probeVecId = 0L, kEach = 100, topK = 20),
+    "search_eval" -> OracleSqlGen.searchEval(
+      Seq("spark", "query", "vector", "join", "window"), k = 10),
     "ann_filtered" -> OracleSqlGen.annTopKFiltered(32, 5, "en"),
     "events_transitions" ->
       """WITH x AS (

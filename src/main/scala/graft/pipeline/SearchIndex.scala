@@ -139,4 +139,64 @@ object SearchIndex {
       .groupBy("doc_id").agg(sum("iscore").as("bm25_fp"))
       .orderBy(desc("bm25_fp"), asc("doc_id")).limit(topK)
   }
+
+  /** Fixed-point DCG position weights floor(1e6 / log2(i+1)) for ranks
+    * 1..k — computed ONCE in Scala and inlined as literals into both the
+    * Spark plan and the DuckDB oracle SQL, so the metric never depends on
+    * two engines' log2 agreeing at the last ulp.
+    */
+  def dcgWeights(k: Int): Seq[Long] =
+    (1 to k).map(i => math.floor(1e6 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+
+  /** Retrieval-quality evaluation of a per-(query, doc) scored ranking:
+    * nDCG@k, MRR (first top-grade hit) and recall@k of rel ≥ 2 docs, per
+    * query. `scored` must carry (query, doc_id, rel, score) where rel is a
+    * small integer relevance grade; ranking is (score desc, doc_id asc) —
+    * a total order, so the metrics are engine-exact integers (graded DCG
+    * in fixed point via [[dcgWeights]]).
+    *
+    * Scale shape: two row_number windows partitioned by query (each query
+    * key is independent — 10⁶ eval queries parallelize as 10⁶ groups) and
+    * one per-query aggregate; nothing materializes beyond the candidate
+    * postings themselves.
+    */
+  def rankingEval(scored: DataFrame, query: Column, docId: Column,
+      rel: Column, score: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = scored.select(query.as("query"), docId.as("doc_id"),
+      rel.as("rel"), score.as("score"))
+    val byScore = Window.partitionBy("query")
+      .orderBy(desc("score"), asc("doc_id"))
+    val byRel = Window.partitionBy("query")
+      .orderBy(desc("rel"), asc("doc_id"))
+    val w = dcgWeights(k)
+    def weightAt(rank: Column): Column =
+      w.zipWithIndex.foldLeft(lit(0L)) { case (acc, (wi, i)) =>
+        when(rank === (i + 1), lit(wi)).otherwise(acc)
+      }
+    val r = base
+      .withColumn("rnk", row_number().over(byScore))
+      .withColumn("irank", row_number().over(byRel))
+    r.groupBy("query").agg(
+        count(lit(1)).as("n_cand"),
+        sum(when(col("rnk") <= k, col("rel") * weightAt(col("rnk")))
+          .otherwise(lit(0L))).as("dcg_fp"),
+        sum(when(col("irank") <= k, col("rel") * weightAt(col("irank")))
+          .otherwise(lit(0L))).as("idcg_fp"),
+        min(when(col("rel") === 3, col("rnk"))).as("rank_first_raw"),
+        sum(when(col("rel") >= 2, lit(1L)).otherwise(lit(0L))).as("rel2_total"),
+        sum(when(col("rel") >= 2 && col("rnk") <= k, lit(1L)).otherwise(lit(0L)))
+          .as("rel2_top"))
+      .select(col("query"), col("n_cand"),
+        col("dcg_fp"), col("idcg_fp"),
+        when(col("idcg_fp") === 0, lit(0L))
+          .otherwise(expr("dcg_fp * 1000000 div idcg_fp")).as("ndcg_ppm"),
+        coalesce(col("rank_first_raw"), lit(0)).cast("long").as("rank_first"),
+        when(col("rank_first_raw").isNull, lit(0L))
+          .otherwise(expr("1000000 div rank_first_raw")).as("rr_ppm"),
+        col("rel2_total"), col("rel2_top"),
+        when(col("rel2_total") === 0, lit(0L))
+          .otherwise(expr("rel2_top * 1000000 div rel2_total"))
+          .as("recall2_ppm"))
+  }
 }
