@@ -1494,6 +1494,19 @@ object SparkEntry {
         maxDocFreq = 8)
         .orderBy("a_id", "b_id")),
 
+    // Prefix-filtered shingle Jaccard join (PPJoin Lemma 1): candidates
+    // come from a rarest-first PREFIX-only inverted index (~(1−t) of the
+    // postings, fan-out concentrated in low-df shingles — hot shingles
+    // sort LAST and drop out of prefixes on their own), verification is
+    // O(candidates) from the shingle arrays. LOSSLESS, so the oracle is
+    // the direct unpruned all-pairs computation and must hash-match — the
+    // principled complement to dedup_ngram_jaccard's lossy stop-shingle
+    // cutoff on the same shingle space.
+    "dedup_prefix_filter" -> ((s, d) =>
+      Dedup.prefixFilterJaccard(documents(s, d), col("doc_id"), col("text"),
+        n = 3, tNum = 1, tDen = 2)
+        .orderBy("a_id", "b_id")),
+
     // Winnowed near-dup candidates: the same inverted-index self-join run
     // over MOSS-winnowed fingerprints instead of every shingle — the
     // dominant candidate-generation shuffle shrinks by the ~2/(w+1)
@@ -7121,6 +7134,9 @@ object SparkEntry {
              min(p_partkey) AS keep_id
          FROM part GROUP BY p_name HAVING count(*) > 1 ORDER BY dup_key""",
     "dedup_ngram_jaccard" -> OracleSqlGen.ngramJaccard(3, 0.5, maxDocFreq = 8),
+    // the prefix filter is lossless: oracle = direct UNPRUNED all-pairs
+    // shingle Jaccard (same computation dedup_ngram_jaccard prunes)
+    "dedup_prefix_filter" -> OracleSqlGen.ngramJaccard(3, 0.5),
     "dedup_containment" -> OracleSqlGen.containment(3, 0.8, maxDocFreq = 8),
     "dedup_span_stats" -> OracleSqlGen.dedupSpanStats(8),
     "dedup_chunk_stats" -> OracleSqlGen.dedupChunkStats(8),

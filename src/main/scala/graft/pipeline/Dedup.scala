@@ -114,6 +114,106 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** Prefix-filtered shingle-set Jaccard join (PPJoin family, Xiao et al.
+    * WWW'08 Lemma 1): order the shingle vocabulary rarest-first (df asc,
+    * shingle asc — a total order any engine reproduces), keep only each
+    * doc's first |T| − ⌈t·|T|⌉ + 1 shingles as its PREFIX, and generate
+    * candidates from the prefix-only inverted index: any pair with
+    * Jaccard ≥ t provably shares a prefix shingle, so the filter is
+    * LOSSLESS — verified pairs are exactly the brute-force result (the
+    * oracle is the direct computation).
+    *
+    * The principled complement to [[ngramJaccard]]'s stop-shingle pruning
+    * at 100 TB: the prefix both (a) drops ~t of every doc's postings and
+    * (b) is rarest-first, so surviving postings concentrate in LOW-df
+    * shingles — join fan-out per key collapses by construction instead of
+    * by a tuned lossy hot-key cutoff, with zero recall loss (hot shingles
+    * sort LAST and fall out of prefixes on their own). Verification is
+    * O(candidates): each pair re-checks |A∩B| from the two shingle ARRAYS
+    * (one hash-join lookup per side), never re-joining the full index.
+    *
+    * Threshold is the exact rational tNum/tDen so ⌈t·n⌉ is integer
+    * arithmetic ((tNum·n + tDen−1) div tDen) — no float ceil at the
+    * prefix boundary.
+    */
+  def prefixFilterJaccard(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int = 3,
+      tNum: Int = 1,
+      tDen: Int = 2): DataFrame = {
+    require(tNum > 0 && tDen >= tNum, "threshold must be in (0, 1]")
+    val threshold = tNum.toDouble / tDen
+    val base = spread(docs).select(id.as("doc_id"),
+      array_distinct(shingles(text, n)).as("toks"))
+    val sizes = base.select(col("doc_id"),
+      size(col("toks")).cast("long").as("n_tok"))
+    val tok = base.select(col("doc_id"), explode(col("toks")).as("token"))
+    // global rarest-first order: (df, token); df is one partial-agg shuffle
+    val dfT = tok.groupBy("token").agg(count(lit(1)).as("df"))
+    val prefix = tok.join(dfT, "token")
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("df"), col("token"))).as("arr"))
+      .select(col("doc_id"), expr(
+        s"slice(array_sort(arr), 1, " +
+          s"cast(size(arr) - (($tNum * size(arr) + ${tDen - 1}) div $tDen) + 1 as int))")
+        .as("pref"))
+      .select(col("doc_id"), explode(col("pref")).as("p"))
+      .select(col("doc_id"), col("p.token").as("token"))
+    // candidate pairs from the PREFIX-only inverted index (one shared
+    // shuffle, ReusedExchange on the second side — same shape as
+    // ngramJaccard's index join, over ~(1-t) of the postings)
+    val coPart = prefix.repartition(col("token"))
+    val a = coPart.select(col("doc_id").as("a_id"), col("token"))
+      .hint("shuffle_hash")
+    val b = coPart.select(col("doc_id").as("b_id"), col("token"))
+    val cands = a.join(b, Seq("token"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    // O(candidates) verification from the token arrays
+    val setsA = base.select(col("doc_id").as("a_id"), col("toks").as("a_toks"))
+    val setsB = base.select(col("doc_id").as("b_id"), col("toks").as("b_toks"))
+    cands.join(setsA, "a_id").join(setsB, "b_id")
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("a_toks"), col("b_toks"))).cast("long")
+          .as("n_common"),
+        size(col("a_toks")).cast("long").as("a_n"),
+        size(col("b_toks")).cast("long").as("b_n"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("a_n") + col("b_n") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** Candidate-pair counts of the full inverted-index join vs the
+    * prefix-filtered one — the measurable scale win (test/bench aid).
+    */
+  def prefixFilterStats(docs: DataFrame, id: Column, text: Column,
+      n: Int = 3, tNum: Int = 1, tDen: Int = 2): (Long, Long) = {
+    val base = spread(docs).select(id.as("doc_id"),
+      array_distinct(shingles(text, n)).as("toks"))
+    val tok = base.select(col("doc_id"), explode(col("toks")).as("token"))
+    def pairCount(postings: DataFrame): Long = postings
+      .select(col("doc_id").as("a_id"), col("token"))
+      .join(postings.select(col("doc_id").as("b_id"), col("token")),
+        Seq("token"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct().count()
+    val dfT = tok.groupBy("token").agg(count(lit(1)).as("df"))
+    val pref = tok.join(dfT, "token")
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("df"), col("token"))).as("arr"))
+      .select(col("doc_id"), expr(
+        s"slice(array_sort(arr), 1, " +
+          s"cast(size(arr) - (($tNum * size(arr) + ${tDen - 1}) div $tDen) + 1 as int))")
+        .as("pref"))
+      .select(col("doc_id"), explode(col("pref")).as("p"))
+      .select(col("doc_id"), col("p.token").as("token"))
+    (pairCount(tok), pairCount(pref))
+  }
+
   /** Winnowing near-dup candidates: the inverted-index self-join of
     * [[ngramJaccard]] run over WINNOWED fingerprints instead of every
     * shingle — the index is ~2/(w+1) the size for the same local

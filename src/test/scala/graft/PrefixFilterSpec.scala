@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.Dedup
+
+class PrefixFilterSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def shingleSet(t: String, n: Int = 3): Set[String] =
+    t.split(" ").sliding(n).filter(_.length == n).map(_.mkString(" ")).toSet
+
+  private def bruteForce(docs: Seq[(Long, String)], t: Double) =
+    (for {
+      (ai, at) <- docs; (bi, bt) <- docs if ai < bi
+      a = shingleSet(at); b = shingleSet(bt)
+      common = (a & b).size
+      j = common.toDouble / (a.size + b.size - common) if common > 0 && j >= t
+    } yield (ai, bi) -> j).toMap
+
+  test("prefixFilterJaccard: identical and disjoint hand cases") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // J = 1.0 with doc 1
+      (3L, "zeta eta theta iota kappa"))      // disjoint
+    val out = Dedup.prefixFilterJaccard(docs.toDF("doc_id", "text"),
+      col("doc_id"), col("text")).collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(0) === 1L && out.head.getLong(1) === 2L)
+    assert(out.head.getDouble(2) === 1.0)
+  }
+
+  test("prefixFilterJaccard: lossless vs brute force on a mixed corpus") {
+    // clusters of near-dups + noise docs; deterministic word soup
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lam", "mu", "nu", "xi", "omicron",
+      "pi", "rho", "sigma", "tau", "upsilon")
+    val docs = (0 until 40).map { i =>
+      val base = (0 until 9).map(j => words((i * 3 + j * 7) % words.size))
+      val mutated =
+        if (i % 4 == 0) base.updated(i % 9, words((i * 5 + 11) % words.size))
+        else base
+      (i.toLong, mutated.mkString(" "))
+    }
+    val expected = bruteForce(docs, 0.5)
+    val got = Dedup.prefixFilterJaccard(docs.toDF("doc_id", "text"),
+      col("doc_id"), col("text"), n = 3, tNum = 1, tDen = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet === expected.keySet, "prefix filter must be lossless")
+    got.foreach { case (k, j) => assert(math.abs(j - expected(k)) < 1e-12) }
+    assert(expected.nonEmpty, "test corpus should contain qualifying pairs")
+  }
+
+  test("prefixFilterJaccard: hot shingles fall out of prefixes — fewer candidates") {
+    // every doc opens with the same 3 words: the shingle "common shared
+    // head" has df = n_docs and would pair everything in a full inverted
+    // index; rarest-first prefixes skip it without any tuned cutoff
+    def word(n: Int): String =
+      "t" + ('a' + n % 26).toChar.toString + ('a' + (n / 26) % 26).toChar
+    val docs = (0 until 30).map { i =>
+      (i.toLong, "common shared head " +
+        (0 until 5).map(j => word((i * 7 + j * 13) % 97)).mkString(" "))
+    }
+    val (full, pref) = Dedup.prefixFilterStats(docs.toDF("doc_id", "text"),
+      col("doc_id"), col("text"))
+    assert(full === 435L, "hot head shingle pairs all 30 docs in the full index")
+    assert(pref < full, s"prefix candidates ($pref) must undercut full ($full)")
+    // losslessness on the same corpus: brute force agrees
+    val expected = bruteForce(docs, 0.5)
+    val got = Dedup.prefixFilterJaccard(docs.toDF("doc_id", "text"),
+      col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected.keySet)
+  }
+
+  test("prefixFilterJaccard: sub-threshold overlap excluded exactly") {
+    // 1 of 5 union shingles shared -> J = 0.2 < 0.5
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma zeta eta"))
+    val out = Dedup.prefixFilterJaccard(docs.toDF("doc_id", "text"),
+      col("doc_id"), col("text")).collect()
+    assert(out.isEmpty)
+  }
+
+  test("prefixFilterJaccard: sub-shingle docs produce no pairs, no errors") {
+    val docs = Seq((1L, "one two"), (2L, "one two"), (3L, ""))
+    val out = Dedup.prefixFilterJaccard(docs.toDF("doc_id", "text"),
+      col("doc_id"), col("text")).collect()
+    assert(out.isEmpty)
+  }
+}
