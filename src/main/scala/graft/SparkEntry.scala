@@ -66,6 +66,28 @@ object SparkEntry {
         .write.mode("overwrite").parquet(s"$dir/index")
     }
 
+  /** Interchange-format landings (JSONL / CSV / ORC) written once from the
+    * parquet truth — the `source_*` queries prove schema-enforced ingest
+    * round-trips exactly (oracles aggregate the parquet directly).
+    */
+  private def jsonlSetup(s: SparkSession, d: String): String =
+    Setup.dir(s"jsonl_docs:$d") { dir =>
+      documents(s, d).write.mode("overwrite").json(s"$dir/docs")
+    }
+
+  private def csvSetup(s: SparkSession, d: String): String =
+    Setup.dir(s"csv_lineitem:$d") { dir =>
+      lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_returnflag"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
+        .write.option("header", "true").mode("overwrite").csv(s"$dir/li")
+    }
+
+  private def orcSetup(s: SparkSession, d: String): String =
+    Setup.dir(s"orc_events:$d") { dir =>
+      events(s, d).write.mode("overwrite").orc(s"$dir/events")
+    }
+
   /** Range-clustered orders + stats manifest (file-skipping maintenance). */
   private def manifestSetup(s: SparkSession, d: String): String =
     Setup.dir(s"manifest:$d") { dir =>
@@ -597,6 +619,9 @@ object SparkEntry {
     phashDelSetup(s, d): Unit
     supportSetup(s, d): Unit
     minhashIndexSetup(s, d): Unit
+    jsonlSetup(s, d): Unit
+    csvSetup(s, d): Unit
+    orcSetup(s, d): Unit
   }
 
   /** Persisted minhash band index of the full documents corpus — the
@@ -820,6 +845,61 @@ object SparkEntry {
       Seq("entities", "observations", "relations")
         .map(t => (t, st.metaRowCount(t)))
         .toDF("tbl", "n_rows").orderBy("tbl")
+    }),
+
+    // ── interchange-format ingest (JSONL / CSV / ORC boundary adapters) ──
+
+    // JSONL corpus ingest — the lingua franca of web-scale text data.
+    // EXPLICIT schema (inference = an extra full pass at 100 TB),
+    // PERMISSIVE corrupt capture, line-oriented so a 1 TB file splits by
+    // byte range. Round-trip exactness is the hash-match: the oracle
+    // aggregates the parquet truth the JSONL was written from.
+    "source_jsonl_docs" -> ((s, d) => {
+      val dir = jsonlSetup(s, d)
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", "long").add("text", "string").add("lang", "string")
+        .add("source", "string").add("n_chars", "long")
+      graft.sources.Formats.cleanRows(
+        graft.sources.Formats.readJsonl(s, s"$dir/docs", schema))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"),
+          countDistinct("lang").as("n_langs"))
+        .orderBy("source")
+    }),
+
+    // CSV delivery ingest (vendor/label files): header + explicit schema,
+    // RFC-4180 quoting, doubles round-tripped via shortest-repr strings —
+    // exactness proven by the decimal-cents hash against the parquet truth.
+    "source_csv_lineitem" -> ((s, d) => {
+      val dir = csvSetup(s, d)
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("l_orderkey", "long").add("l_linenumber", "int")
+        .add("l_quantity", "double").add("l_extendedprice", "double")
+        .add("l_returnflag", "string").add("ship_date", "string")
+      graft.sources.Formats.cleanRows(
+        graft.sources.Formats.readCsv(s, s"$dir/li", schema))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("qty"),
+          sum((dec(col("l_extendedprice")) * 100).cast("long")).as("cents"),
+          countDistinct("ship_date").as("n_ship_dates"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ORC ingest — the other columnar warehouse format; explicit schema
+    // doubles as the projection (column pruning reaches the reader).
+    "source_orc_events" -> ((s, d) => {
+      val dir = orcSetup(s, d)
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("event_id", "long").add("ts", "timestamp").add("user_id", "long")
+        .add("event_type", "string").add("value", "double")
+        .add("props", "string")
+      graft.sources.Formats.readOrc(s, s"$dir/events", schema)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast("double").as("total_value"),
+          countDistinct("user_id").as("n_users"))
+        .orderBy("event_type")
     }),
 
     // ── aggregation battery (star-schema surface) ─────────────────────────
@@ -8221,6 +8301,26 @@ object SparkEntry {
       Seq("spark", "query", "vector"), probeVecId = 0L, kEach = 100, topK = 20),
     "search_eval" -> OracleSqlGen.searchEval(
       Seq("spark", "query", "vector", "join", "window"), k = 10),
+    // the source_* oracles aggregate the PARQUET TRUTH the interchange
+    // files were written from — the hash-match proves lossless round-trip
+    "source_jsonl_docs" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS chars,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+         FROM documents GROUP BY source ORDER BY source""",
+    "source_csv_lineitem" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+             CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+               AS BIGINT)) AS BIGINT) AS cents,
+             CAST(count(DISTINCT strftime(CAST(l_shipdate AS TIMESTAMP),
+               '%Y-%m-%d')) AS BIGINT) AS n_ship_dates
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "source_orc_events" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "ann_filtered" -> OracleSqlGen.annTopKFiltered(32, 5, "en"),
     "events_transitions" ->
       """WITH x AS (
