@@ -3265,6 +3265,17 @@ object SparkEntry {
         .orderBy("window_start", "event_type")
     }),
 
+    // LEFT OUTER stream-stream interval join (batch path; StreamingSpec
+    // pins stream ≡ batch): every signup emits, abandoned signups as a
+    // null-purchase row once the watermark passes signup_ts + 1h — the
+    // streaming "who didn't convert". Nulls are coalesced to -1 at the
+    // output boundary (engines disagree on NULL sort order).
+    "stream_conv_outer" -> ((s, d) =>
+      EventOps.conversionsWithinOuter(events(s, d), "1 hour")
+        .select(col("user_id"), col("signup_id"),
+          coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"))
+        .orderBy("signup_id", "purchase_id")),
+
     // Hourly top-3 event-type leaderboard — the batch path of topkSink
     // (stream ≡ batch pinned by StreamingSpec): one tumbling count agg,
     // then an O(types) rank per window partitioned on window_start.
@@ -7692,6 +7703,14 @@ object SparkEntry {
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events WHERE user_id % 11 <> 3
          GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "stream_conv_outer" ->
+      """SELECT s.user_id, s.event_id AS signup_id,
+             coalesce(p.event_id, -1) AS purchase_id
+         FROM (SELECT * FROM events WHERE event_type = 'signup') s
+         LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+           ON p.user_id = s.user_id AND p.ts >= s.ts
+             AND p.ts <= s.ts + INTERVAL 1 HOUR
+         ORDER BY signup_id, purchase_id""",
     "stream_topk" ->
       """WITH c AS (
            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,

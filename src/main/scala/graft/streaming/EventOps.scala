@@ -247,10 +247,28 @@ object EventOps {
     * possible — an unconstrained stream-stream join would buffer forever).
     * The same code runs in batch (the DuckDB-oracle form, events_conv).
     */
-  def conversionsWithin(events: DataFrame, withinSql: String, watermark: String = "0 seconds"): DataFrame = {
+  def conversionsWithin(events: DataFrame, withinSql: String, watermark: String = "0 seconds"): DataFrame =
+    conversionJoin(events, withinSql, watermark, "inner")
+      .drop("signup_id")
+
+  /** LEFT OUTER stream-stream interval join: every signup emits — matched
+    * rows as they arrive, ABANDONED signups (no purchase inside the bound)
+    * as a null-purchase row once the watermark passes signup_ts + bound
+    * and the engine can prove no match is coming. The null side is state
+    * the watermark retires, same as the inner join's buffers — this is
+    * the streaming form of "who didn't convert", which a periodic batch
+    * anti-join can only answer a full period late.
+    */
+  def conversionsWithinOuter(events: DataFrame, withinSql: String,
+      watermark: String = "0 seconds"): DataFrame =
+    conversionJoin(events, withinSql, watermark, "left_outer")
+
+  private def conversionJoin(events: DataFrame, withinSql: String,
+      watermark: String, joinType: String): DataFrame = {
     val s = withWatermarkIfStreaming(
       events.filter(col("event_type") === "signup")
-        .select(col("user_id"), col("ts").as("signup_ts")), "signup_ts", watermark)
+        .select(col("user_id"), col("event_id").as("signup_id"),
+          col("ts").as("signup_ts")), "signup_ts", watermark)
     val p = withWatermarkIfStreaming(
       events.filter(col("event_type") === "purchase")
         .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
@@ -258,7 +276,8 @@ object EventOps {
     s.join(p,
         col("user_id") === col("p_user") &&
           col("purchase_ts") >= col("signup_ts") &&
-          col("purchase_ts") <= col("signup_ts") + expr(s"INTERVAL $withinSql"))
+          col("purchase_ts") <= col("signup_ts") + expr(s"INTERVAL $withinSql"),
+        joinType)
       .drop("p_user")
   }
 

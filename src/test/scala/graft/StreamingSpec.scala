@@ -179,6 +179,37 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed == batch && batch == Seq((1L, 11L), (2L, 14L)))
   }
 
+  test("stream-stream LEFT OUTER interval join: abandoned signups emit null rows after watermark") {
+    val funnelEvs = Seq(
+      Ev(10, ts("2024-01-01 00:00:00"), 1, "signup", 0.0),
+      Ev(11, ts("2024-01-01 00:30:00"), 1, "purchase", 5.0), // within 1h → match
+      Ev(13, ts("2024-01-01 01:00:00"), 2, "signup", 0.0),   // never converts
+      Ev(15, ts("2024-01-01 02:30:00"), 2, "purchase", 7.0), // >1h late → still null row
+      Ev(16, ts("2024-01-01 03:00:00"), 3, "signup", 0.0))   // no purchase at all
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventOps.conversionsWithinOuter(mem.toDF(), "1 HOUR", "0 seconds")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("conv_outer_out").start()
+    mem.addData(funnelEvs: _*)
+    q.processAllAvailable()
+    // the null rows for signups 13/16 can only emit once the watermark
+    // passes signup_ts + 1h — push it with far-future flush events
+    mem.addData(flush.copy(event_type = "signup"),
+      flush.copy(event_id = 100, event_type = "purchase"))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("conv_outer_out")
+      .filter($"user_id" =!= 999)
+      .select($"signup_id", coalesce($"purchase_id", lit(-1L)))
+      .as[(Long, Long)].collect().sorted.toSeq
+    val batch = EventOps.conversionsWithinOuter(funnelEvs.toDF(), "1 HOUR")
+      .select($"signup_id", coalesce($"purchase_id", lit(-1L)))
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(streamed == batch)
+    assert(batch == Seq((10L, 11L), (13L, -1L), (16L, -1L)))
+  }
+
   test("streaming tumbling agg equals batch tumbling agg") {
     val streamed = runStream(
       df => EventOps.tumbling(EventOps.withWatermarkIfStreaming(df, "ts", "0 seconds"), "1 hour")
