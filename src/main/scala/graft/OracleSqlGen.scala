@@ -985,6 +985,35 @@ object OracleSqlGen {
         SELECT doc_id, bm25_fp FROM bm
         ORDER BY bm25_fp DESC, doc_id LIMIT $topK"""
 
+  /** Mirrors Stats.poissonBootstrap: per (row, replicate), a Poisson(1)
+    * copy count from the 52-bit md5 lattice against the SAME Scala-computed
+    * CDF thresholds the Spark plan inlines; replicate means are single
+    * divisions of exact decimal/integer sums.
+    */
+  def poissonBootstrap(replicates: Int): String = {
+    val ts = graft.operators.Stats.poissonThresholds52
+    val cntCase = "CASE " + ts.zipWithIndex
+      .map { case (t, k) => s"WHEN u52 < $t THEN $k" }
+      .mkString(" ") + s" ELSE ${ts.size} END"
+    s"""WITH reps AS (SELECT CAST(range AS BIGINT) AS b FROM range($replicates)),
+        x AS (
+          SELECT CAST(l_orderkey AS VARCHAR) || '-'
+                   || CAST(l_linenumber AS VARCHAR) AS k,
+               CAST(l_extendedprice AS DECIMAL(18,2)) AS v
+          FROM lineitem),
+        d AS (
+          SELECT b, v,
+              CAST('0x' || substr(md5(k || ':' || CAST(b AS VARCHAR)), 1, 13)
+                AS BIGINT) AS u52
+          FROM x CROSS JOIN reps),
+        c AS (SELECT b, v, $cntCase AS cnt FROM d)
+        SELECT b, CAST(sum(cnt) AS BIGINT) AS n_eff,
+            CASE WHEN sum(cnt) = 0 THEN 0.0
+            ELSE CAST(sum(v * cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)
+            END AS mean
+        FROM c GROUP BY b ORDER BY b"""
+  }
+
   /** Mirrors SearchIndex.rankingEval over the per-term BM25 scores:
     * graded rel = least(tf, 3), ranking (iscore desc, doc_id), nDCG@k in
     * fixed point with the SAME [[graft.pipeline.SearchIndex.dcgWeights]]

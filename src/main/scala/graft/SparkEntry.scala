@@ -5549,6 +5549,21 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    // Poisson bootstrap over lineitem extendedprice — the bootstrap that
+    // scales: every row contributes Poisson(1) copies to each of 32
+    // replicates via a 52-bit md5 of (row key, replicate), so replicates
+    // are one pass, coordination-free, and REPRODUCIBLE across reruns,
+    // partitionings and engines (CDF thresholds are Scala-computed
+    // literals inlined into both plans). The B× explosion fuses into the
+    // map-side partial agg — the shuffle is 32 rows per partition.
+    "q_bootstrap_ci" -> ((s, d) =>
+      graft.operators.Stats.poissonBootstrap(
+        lineitem(s, d),
+        concat(col("l_orderkey").cast("string"), lit("-"),
+          col("l_linenumber").cast("string")),
+        col("l_extendedprice"), replicates = 32)
+        .orderBy("b")),
+
     // CUPED variance-reduced experiment readout (Deng et al. WSDM'13):
     // units = users, arm = deterministic md5 split, Y = post-cutoff value
     // sum, X = the SAME user's pre-cutoff value sum, θ = pooled
@@ -9154,6 +9169,7 @@ object SparkEntry {
              CAST(abs(CAST(na AS HUGEINT) * tb - CAST(nb AS HUGEINT) * ta)
                AS BIGINT) AS tvd_num
          FROM g CROSS JOIN t ORDER BY bin""",
+    "q_bootstrap_ci" -> OracleSqlGen.poissonBootstrap(32),
     // PSI: the double expression tree (smoothed p/q, (p-q)*ln(p/q)) is
     // written in the same operation order as Experiment.psi — floor·1e6
     // after identical IEEE arithmetic on exact integer counts.

@@ -13,6 +13,55 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Stats {
 
+  /** Poisson(1) CDF thresholds on the 52-bit uniform lattice,
+    * floor(cdf_k · 2⁵²) for k = 0..8 (the k > 8 tail is < 1.2e-6 and
+    * truncated identically everywhere). Computed ONCE here and inlined as
+    * literals into both the Spark plan and the DuckDB oracle — the
+    * dcgWeights pattern: no cross-engine exp() dependence.
+    */
+  val poissonThresholds52: Seq[Long] = {
+    val pmf = (0 to 8).map(k => math.exp(-1.0) / (1 to k).product)
+    pmf.scanLeft(0.0)(_ + _).tail
+      .map(cdf => math.floor(cdf * 4503599627370496.0).toLong) // 2^52
+  }
+
+  /** Poisson bootstrap (the bootstrap that scales): instead of B
+    * multinomial resamples — which need global coordination — each row
+    * independently contributes Poisson(1) copies of itself to each
+    * replicate, with the count derived from a 52-bit md5 of
+    * (row key, replicate id). Per-row independence is the whole point at
+    * 100 TB: one pass, no shared state, and the md5 derivation makes every
+    * replicate REPRODUCIBLE across reruns, partitionings and engines
+    * (rand() is none of those). The replicate explosion fuses into the
+    * map-side partial aggregate — B·rows never materializes; the shuffle
+    * is B rows per partition.
+    *
+    * Returns one row per replicate: (b, n_eff, mean) with the mean a
+    * single division of exact decimal/integer sums.
+    */
+  def poissonBootstrap(df: DataFrame, key: Column, value: Column,
+      replicates: Int = 32): DataFrame = {
+    require(replicates >= 1, "need at least one replicate")
+    val u52 = conv(substring(md5(
+      concat(col("k"), lit(":"), col("b").cast("string"))
+        .cast("binary")), 1, 13), 16, 10).cast("long")
+    val cnt = poissonThresholds52.zipWithIndex
+      .foldRight(lit(poissonThresholds52.size): Column) {
+        case ((t, k), acc) => when(u52 < lit(t), lit(k)).otherwise(acc)
+      }
+    df.select(key.cast("string").as("k"), value.cast(DecimalType(18, 2)).as("v"))
+      .select(col("k"), col("v"),
+        explode(sequence(lit(0), lit(replicates - 1))).as("b"))
+      .select(col("b"), col("v"), cnt.as("cnt"))
+      .groupBy("b")
+      .agg(sum(col("cnt").cast("long")).as("n_eff"),
+        sum(col("v") * col("cnt")).as("sv"))
+      .select(col("b").cast("long").as("b"), col("n_eff"),
+        when(col("n_eff") === 0, lit(0.0))
+          .otherwise(col("sv").cast("double") / col("n_eff").cast("double"))
+          .as("mean"))
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov distance between the `value`
     * distributions of the rows where `in1` / `in2` hold (value must be an
     * integral column — quantize first). Both ECDFs stay integer cumulative
