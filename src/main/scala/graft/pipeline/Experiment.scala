@@ -69,15 +69,25 @@ object Experiment {
           .cast(DecimalType(18, 2)).as("y"))
       .select(col("unit"), col("x"), col("y"), arm(col("unit")).as("arm"))
 
-    // exact sufficient statistics (order-independent under any shuffle)
-    def moments(g: org.apache.spark.sql.RelationalGroupedDataset) = g.agg(
+    // exact sufficient statistics (order-independent under any shuffle).
+    // Per-ARM moments are the only pass over the per-unit frame; the
+    // POOLED moments are sums of the ≤#arms per-arm rows (decimal addition
+    // is associative, so this is bit-identical to aggregating the units
+    // directly) — one events scan, not two. The ≤#arms frame is
+    // materialized eagerly so its two consumers don't replay the lineage.
+    val perArm = perUnit.groupBy("arm").agg(
       count(lit(1)).as("n"),
       sum(col("x")).as("sx"), sum(col("y")).as("sy"),
       sum(col("x") * col("x")).as("sxx"),
       sum(col("y") * col("y")).as("syy"),
       sum(col("x") * col("y")).as("sxy"))
+      .localCheckpoint(true)
 
-    val pooled = moments(perUnit.groupBy())
+    val pooled = perArm.groupBy().agg(
+      sum(col("n")).as("n"),
+      sum(col("sx")).as("sx"), sum(col("sy")).as("sy"),
+      sum(col("sxx")).as("sxx"), sum(col("syy")).as("syy"),
+      sum(col("sxy")).as("sxy"))
       .select(
         (col("sxy").cast("double")
           - col("sx").cast("double") * col("sy").cast("double")
@@ -94,7 +104,6 @@ object Experiment {
           .otherwise(col("cov_num") / col("varx_num")).as("theta"),
         col("mean_x_all"))
 
-    val perArm = moments(perUnit.groupBy("arm"))
     val n = col("n").cast("double")
     val meanX = col("sx").cast("double") / n
     val meanY = col("sy").cast("double") / n
@@ -174,10 +183,13 @@ object Experiment {
         floor((value - lit(lo)) / lit(width)).cast("int"), lit(0)),
         lit(bins - 1)).as("bin"))
       .groupBy("bin").agg(count(lit(1)).as(as))
+    // the O(bins) joined frame has two consumers (rows + totals) —
+    // materialize it eagerly so each side's scan runs exactly once
     val b = binned(ref, "ref_n").join(binned(cur, "cur_n"), Seq("bin"), "full")
       .select(col("bin"),
         coalesce(col("ref_n"), lit(0L)).as("ref_n"),
         coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+      .localCheckpoint(true)
     val tot = b.agg(sum("ref_n").as("ref_t"), sum("cur_n").as("cur_t"))
     val p = (col("ref_n") + lit(1)).cast("double") /
       (col("ref_t") + lit(bins)).cast("double")

@@ -506,4 +506,62 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"expected one orders scan for the aggregate + one for the max-date scalar, got $scans:\n$p")
     assert(!p.contains("CartesianProduct"), s"the reference-date scalar must broadcast:\n$p")
   }
+
+  test("q_cuped / q_psi: one events lineage — pooled stats derive from the tiny frame") {
+    for (n <- Seq("q_cuped", "q_psi")) {
+      val p = plan(n)
+      // the O(arms)/O(bins) frame is materialized once (ExistingRDD); the
+      // events parquet never appears twice in the final query's plan
+      assert(p.contains("Scan ExistingRDD"), s"$n lost its materialization:\n$p")
+      assert(!p.contains("Scan parquet"),
+        s"$n replays the events lineage per consumer:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$n: scalar join must broadcast:\n$p")
+    }
+  }
+
+  test("q_bootstrap_ci: one scan, replicate explosion fused into the partial agg") {
+    val p = plan("q_bootstrap_ci")
+    val tree = p.split("\n\n").head // formatted explain repeats nodes in detail
+    assert("Scan parquet".r.findAllIn(tree).length == 1, s"one lineitem scan:\n$p")
+    // exactly two exchanges: the 32-key aggregate and the output sort —
+    // B×rows never shuffles
+    val n = "Exchange".r.findAllIn(tree).length
+    assert(n == 2, s"expected agg + sort exchanges only, got $n:\n$p")
+    assert(!p.contains("Join"), s"bootstrap is join-free:\n$p")
+  }
+
+  test("dedup_prefix_filter: hash candidate join, prefix postings shuffle reused") {
+    val full = finalPlan("dedup_prefix_filter")
+    val p = full.split("Initial Plan").head
+    assert(p.contains("ShuffledHashJoin"), s"candidate join must stay hash:\n$p")
+    assert(p.contains("ReusedExchange"),
+      s"the prefix-postings shuffle must be shared by both join sides:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"no all-pairs path anywhere:\n$p")
+  }
+
+  test("search_eval: rank windows partition by query — never a global sort") {
+    val p = plan("search_eval")
+    assert(p.contains("windowspecdefinition(query"),
+      s"windows must partition by the query key:\n$p")
+    assert(!p.contains("windowspecdefinition(iscore"),
+      s"unpartitioned window detected:\n$p")
+  }
+
+  test("stream_conv_outer: event-type filters pushed to both scan sides") {
+    val p = plan("stream_conv_outer")
+    assert(p.contains("EqualTo(event_type,signup)"),
+      s"signup filter not pushed:\n$p")
+    assert(p.contains("EqualTo(event_type,purchase)"),
+      s"purchase filter not pushed:\n$p")
+  }
+
+  test("source_orc_events: column pruning reaches the ORC reader") {
+    val p = plan("source_orc_events")
+    // the aggregate touches 3 of 6 declared columns — props/ts/event_id
+    // must not survive into the scan's ReadSchema
+    val read = p.split("\n").filter(_.contains("ReadSchema")).mkString
+    assert(read.nonEmpty && !read.contains("props") && !read.contains("event_id"),
+      s"ORC scan reads unprojected columns:\n$read")
+  }
 }
