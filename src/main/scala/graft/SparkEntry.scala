@@ -5549,6 +5549,20 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    // Split-conformal prediction interval, end to end: md5 train/cal/test
+    // split, least-squares fit from exact train moments, interval radius =
+    // the ⌈(n_cal+1)(1−α)⌉-th smallest calibration residual (the EXACT
+    // order statistic the distribution-free guarantee needs — found by the
+    // range-partitioned distributed cumsum, never a global sort), coverage
+    // measured on held-out test (theorem: ≥ 1−α in expectation).
+    "q_conformal" -> ((s, d) =>
+      graft.operators.Stats.splitConformal(
+        lineitem(s, d),
+        concat(col("l_orderkey").cast("string"), lit(":"),
+          col("l_linenumber").cast("string")),
+        col("l_quantity"), col("l_extendedprice"), aNum = 1, aDen = 10)
+        .orderBy("n_train")),
+
     // Poisson bootstrap over lineitem extendedprice — the bootstrap that
     // scales: every row contributes Poisson(1) copies to each of 32
     // replicates via a 52-bit md5 of (row key, replicate), so replicates
@@ -9170,6 +9184,59 @@ object SparkEntry {
                AS BIGINT) AS tvd_num
          FROM g CROSS JOIN t ORDER BY bin""",
     "q_bootstrap_ci" -> OracleSqlGen.poissonBootstrap(32),
+    // conformal: identical fit/residual double trees; the rank-kk order
+    // statistic via row_number here vs the distributed cumsum there —
+    // same value by definition
+    "q_conformal" ->
+      """WITH s AS (
+           SELECT CAST(l_quantity AS DECIMAL(18,2)) AS x,
+               CAST(l_extendedprice AS DECIMAL(18,2)) AS y,
+               substr(md5(CAST(l_orderkey AS VARCHAR) || ':'
+                 || CAST(l_linenumber AS VARCHAR)), 1, 2) AS b
+           FROM lineitem),
+         fit0 AS (
+           SELECT count(*) AS n_train,
+               CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+               CAST(sum(x * x) AS DOUBLE) AS sxx,
+               CAST(sum(x * y) AS DOUBLE) AS sxy
+           FROM s WHERE b < '55'),
+         fit1 AS (
+           SELECT n_train,
+               (n_train * sxy - sx * sy) / (n_train * sxx - sx * sx) AS slope,
+               sx, sy
+           FROM fit0),
+         fit AS (
+           SELECT n_train, slope,
+               (sy - slope * sx) / CAST(n_train AS DOUBLE) AS intercept
+           FROM fit1),
+         cal AS (
+           SELECT CAST(floor(abs(CAST(y AS DOUBLE)
+               - (intercept + slope * CAST(x AS DOUBLE))) * 100.0) AS BIGINT)
+               AS r
+           FROM s CROSS JOIN fit WHERE b >= '55' AND b < 'aa'),
+         ks AS (
+           SELECT count(*) AS n_cal,
+               CAST((9 * (count(*) + 1) + 9) // 10 AS BIGINT) AS kk
+           FROM cal),
+         rr AS (SELECT r, row_number() OVER (ORDER BY r) AS rn FROM cal),
+         qh AS (SELECT min(r) AS q_hat FROM rr CROSS JOIN ks WHERE rn >= kk),
+         te AS (
+           SELECT CAST(floor(abs(CAST(y AS DOUBLE)
+               - (intercept + slope * CAST(x AS DOUBLE))) * 100.0) AS BIGINT)
+               AS r
+           FROM s CROSS JOIN fit WHERE b >= 'aa'),
+         agg AS (
+           SELECT count(*) AS n_test,
+               sum(CASE WHEN r <= q_hat THEN 1 ELSE 0 END) AS covered
+           FROM te CROSS JOIN qh)
+         SELECT n_train, n_cal, CAST(n_test AS BIGINT) AS n_test,
+             round(slope, 6) AS slope, round(intercept, 6) AS intercept,
+             q_hat, CAST(covered AS BIGINT) AS covered,
+             CAST(CASE WHEN n_test = 0 THEN 0
+               ELSE covered * 1000000 // n_test END AS BIGINT)
+               AS coverage_ppm
+         FROM agg CROSS JOIN fit CROSS JOIN ks CROSS JOIN qh
+         ORDER BY n_train""",
     // PSI: the double expression tree (smoothed p/q, (p-q)*ln(p/q)) is
     // written in the same operation order as Experiment.psi — floor·1e6
     // after identical IEEE arithmetic on exact integer counts.

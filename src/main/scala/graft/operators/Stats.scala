@@ -62,6 +62,78 @@ object Stats {
           .as("mean"))
   }
 
+  /** Split-conformal prediction interval (Vovk; Lei et al.) for a linear
+    * model, end to end: md5-split the rows into train (fit a least-squares
+    * line from exact decimal moments), calibration (take the
+    * ⌈(n+1)(1−α)⌉-th smallest absolute residual as the interval radius
+    * q̂ — the distribution-free guarantee needs EXACTLY this order
+    * statistic) and test (measure empirical coverage of ŷ ± q̂, which the
+    * conformal theorem lower-bounds by 1−α in expectation).
+    *
+    * Scale shape: the order statistic is the hard part at 100 TB — a
+    * global sort of calibration residuals won't fly. Residuals quantize to
+    * fixed-point longs, group to (value, count), and the k-th smallest
+    * falls out of [[Ranking.withGlobalCumSum]] (range-partitioned
+    * distributed cumsum — no single-task window). α is the exact rational
+    * aNum/aDen so the rank index is integer arithmetic.
+    *
+    * One row out: split sizes, the fit, q̂ (cents), covered count and
+    * coverage ppm.
+    */
+  def splitConformal(df: DataFrame, key: Column, x: Column, y: Column,
+      aNum: Int = 1, aDen: Int = 10): DataFrame = {
+    require(aNum > 0 && aNum < aDen, "alpha must be in (0, 1)")
+    val xd = x.cast(DecimalType(18, 2)); val yd = y.cast(DecimalType(18, 2))
+    val b = substring(md5(key.cast("string").cast("binary")), 1, 2)
+    val base = df.select(xd.as("x"), yd.as("y"),
+      when(b < "55", "train").when(b < "aa", "cal").otherwise("test")
+        .as("split"))
+    val fit = base.filter(col("split") === "train").agg(
+        count(lit(1)).as("n_train"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("x") * col("y")).cast("double").as("sxy"))
+      .select(col("n_train"),
+        ((col("n_train") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_train") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+        col("sx"), col("sy"))
+      .select(col("n_train"), col("slope"),
+        ((col("sy") - col("slope") * col("sx")) /
+          col("n_train").cast("double")).as("intercept"))
+      .localCheckpoint(true)
+    // |y - (a + b·x)| in cents — the same expression tree on both engines
+    def resid(rows: DataFrame) = rows.crossJoin(broadcast(fit))
+      .select(floor(abs(col("y").cast("double")
+        - (col("intercept") + col("slope") * col("x").cast("double")))
+        * lit(100.0)).cast("long").as("r"))
+    val calR = resid(base.filter(col("split") === "cal"))
+      .groupBy("r").agg(count(lit(1)).as("cnt"))
+    val calStats = calR.agg(sum("cnt").as("n_cal")).localCheckpoint(true)
+    // k = ceil((n_cal + 1) · (1 − α)) via integer arithmetic
+    val kRow = calStats.select(expr(
+      s"cast((($aDen - $aNum) * (n_cal + 1) + ${aDen - 1}) div $aDen as bigint)")
+      .as("kk"), col("n_cal"))
+    val qHat = Ranking.withGlobalCumSum(calR, Seq(col("r")), col("cnt"), "cum")
+      .crossJoin(broadcast(kRow))
+      .filter(col("cum") >= col("kk"))
+      .agg(min(col("r")).as("q_hat"))
+      .crossJoin(broadcast(kRow.select("n_cal")))
+      .localCheckpoint(true)
+    val test = resid(base.filter(col("split") === "test"))
+      .crossJoin(broadcast(qHat))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("r") <= col("q_hat"), 1L).otherwise(0L)).as("covered"),
+        min(col("q_hat")).as("q_hat"), min(col("n_cal")).as("n_cal"))
+    test.crossJoin(broadcast(fit))
+      .select(col("n_train"), col("n_cal"), col("n_test"),
+        round(col("slope"), 6).as("slope"),
+        round(col("intercept"), 6).as("intercept"),
+        col("q_hat"), col("covered"),
+        when(col("n_test") === 0, lit(0L))
+          .otherwise(expr("covered * 1000000 div n_test")).as("coverage_ppm"))
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov distance between the `value`
     * distributions of the rows where `in1` / `in2` hold (value must be an
     * integral column — quantize first). Both ECDFs stay integer cumulative

@@ -45,6 +45,43 @@ class BootstrapSpec extends AnyFunSuite with SparkTestBase {
     assert(out.map(_.getDouble(2)).distinct.length > 16)
   }
 
+  test("splitConformal: exact linear data gives a zero-width interval and full coverage") {
+    val df = (1 to 900).map(i => (i.toLong, (i % 50 + 1).toDouble,
+      2.0 * (i % 50 + 1))).toDF("id", "x", "y")
+    val r = Stats.splitConformal(df, col("id"), col("x"), col("y")).collect().head
+    assert(r.getAs[Long]("q_hat") === 0L)
+    assert(r.getAs[Long]("coverage_ppm") === 1000000L)
+    assert(math.abs(r.getAs[Double]("slope") - 2.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("intercept")) < 1e-6)
+    // the md5 split is roughly 1/3 each and covers every row
+    val n = r.getAs[Long]("n_train") + r.getAs[Long]("n_cal") + r.getAs[Long]("n_test")
+    assert(n === 900L)
+    assert(r.getAs[Long]("n_train") > 200L && r.getAs[Long]("n_test") > 200L)
+  }
+
+  test("splitConformal: noisy data keeps the 1-alpha coverage guarantee") {
+    // deterministic heteroscedastic-ish noise in [-10, 10)
+    val df = (1 to 2000).map { i =>
+      val x = (i % 40 + 1).toDouble
+      (i.toLong, x, 3.0 * x + 5.0 + ((i * 7) % 20 - 10).toDouble)
+    }.toDF("id", "x", "y")
+    val r = Stats.splitConformal(df, col("id"), col("x"), col("y"),
+      aNum = 1, aDen = 10).collect().head
+    val cov = r.getAs[Long]("coverage_ppm")
+    assert(cov >= 850000L && cov <= 1000000L, s"coverage $cov outside band")
+    assert(r.getAs[Long]("q_hat") > 0L)
+  }
+
+  test("splitConformal: layout-independent") {
+    val df = (1 to 500).map { i =>
+      (i.toLong, (i % 30 + 1).toDouble, (i % 30 + 1) * 1.5 + (i % 7).toDouble)
+    }.toDF("id", "x", "y")
+    val a = Stats.splitConformal(df, col("id"), col("x"), col("y")).collect().head
+    val b = Stats.splitConformal(df.repartition(11), col("id"), col("x"), col("y"))
+      .collect().head
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("poissonBootstrap: empty input yields empty output, one-row input guarded") {
     val empty = Seq.empty[(Long, Double)].toDF("id", "v")
     assert(Stats.poissonBootstrap(empty, col("id"), col("v"), 4).count() === 0L)
