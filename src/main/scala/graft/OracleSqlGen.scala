@@ -57,7 +57,8 @@ object OracleSqlGen {
     * index (shingles in more than `maxDocFreq` docs are dropped before the
     * self-join — the 100 TB hot-key guard).
     */
-  def ngramJaccard(n: Int, threshold: Double, maxDocFreq: Long = Long.MaxValue): String = {
+  def ngramJaccard(n: Int, threshold: Double, maxDocFreq: Long = Long.MaxValue,
+      pairFilter: String = "TRUE"): String = {
     val pruned =
       if (maxDocFreq == Long.MaxValue) "sh"
       else s"""(SELECT s.* FROM sh s JOIN (
@@ -74,6 +75,7 @@ object OracleSqlGen {
             CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
         FROM pr JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
         WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= $threshold
+          AND ($pairFilter)
         ORDER BY a_id, b_id"""
   }
 

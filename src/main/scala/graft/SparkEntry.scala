@@ -66,6 +66,21 @@ object SparkEntry {
         .write.mode("overwrite").parquet(s"$dir/index")
     }
 
+  /** Frozen-order prefix-filter index of the corpus (doc_id < 400): per-doc
+    * shingle sets, the (token, df) vocabulary whose order is frozen at
+    * build time, and the prefix-only postings — the maintained state
+    * `dedup_prefix_inc` consults without re-shingling the corpus.
+    */
+  private def prefixIndexSetup(s: SparkSession, d: String): String =
+    Setup.dir(s"prefix_index:$d") { dir =>
+      val (sets, vocab, prefix) = graft.pipeline.Dedup.prefixIndexFrames(
+        documents(s, d).filter(col("doc_id") < 400),
+        col("doc_id"), col("text"), n = 3, tNum = 1, tDen = 2)
+      sets.write.mode("overwrite").parquet(s"$dir/sets")
+      vocab.write.mode("overwrite").parquet(s"$dir/vocab")
+      prefix.write.mode("overwrite").parquet(s"$dir/prefix")
+    }
+
   /** Interchange-format landings (JSONL / CSV / ORC) written once from the
     * parquet truth — the `source_*` queries prove schema-enforced ingest
     * round-trips exactly (oracles aggregate the parquet directly).
@@ -622,6 +637,7 @@ object SparkEntry {
     jsonlSetup(s, d): Unit
     csvSetup(s, d): Unit
     orcSetup(s, d): Unit
+    prefixIndexSetup(s, d): Unit
   }
 
   /** Persisted minhash band index of the full documents corpus — the
@@ -1586,6 +1602,23 @@ object SparkEntry {
       Dedup.prefixFilterJaccard(documents(s, d), col("doc_id"), col("text"),
         n = 3, tNum = 1, tDen = 2)
         .orderBy("a_id", "b_id")),
+
+    // O(batch) incremental prefix-filter maintenance: the arriving batch
+    // (doc_id >= 400) is prefixed under the index's FROZEN vocabulary
+    // (unseen tokens rank first at df 0 — still one consistent total
+    // order, so losslessness is untouched); the corpus contributes only
+    // its persisted prefix postings and shingle sets, never re-shingled.
+    // Oracle = from-scratch all-pairs restricted to batch endpoints —
+    // the hash-match proves incremental ≡ full under the frozen order.
+    "dedup_prefix_inc" -> ((s, d) => {
+      val dir = prefixIndexSetup(s, d)
+      Dedup.prefixFilterIncremental(
+        documents(s, d).filter(col("doc_id") >= 400),
+        col("doc_id"), col("text"),
+        s.read.parquet(s"$dir/sets"), s.read.parquet(s"$dir/vocab"),
+        s.read.parquet(s"$dir/prefix"), n = 3, tNum = 1, tDen = 2)
+        .orderBy("a_id", "b_id")
+    }),
 
     // Winnowed near-dup candidates: the same inverted-index self-join run
     // over MOSS-winnowed fingerprints instead of every shingle — the
@@ -7257,6 +7290,8 @@ object SparkEntry {
     // the prefix filter is lossless: oracle = direct UNPRUNED all-pairs
     // shingle Jaccard (same computation dedup_ngram_jaccard prunes)
     "dedup_prefix_filter" -> OracleSqlGen.ngramJaccard(3, 0.5),
+    "dedup_prefix_inc" -> OracleSqlGen.ngramJaccard(3, 0.5,
+      pairFilter = "(a_id >= 400 OR b_id >= 400)"),
     "dedup_containment" -> OracleSqlGen.containment(3, 0.8, maxDocFreq = 8),
     "dedup_span_stats" -> OracleSqlGen.dedupSpanStats(8),
     "dedup_chunk_stats" -> OracleSqlGen.dedupChunkStats(8),

@@ -147,20 +147,10 @@ object Dedup {
     val threshold = tNum.toDouble / tDen
     val base = spread(docs).select(id.as("doc_id"),
       array_distinct(shingles(text, n)).as("toks"))
-    val sizes = base.select(col("doc_id"),
-      size(col("toks")).cast("long").as("n_tok"))
     val tok = base.select(col("doc_id"), explode(col("toks")).as("token"))
     // global rarest-first order: (df, token); df is one partial-agg shuffle
     val dfT = tok.groupBy("token").agg(count(lit(1)).as("df"))
-    val prefix = tok.join(dfT, "token")
-      .groupBy("doc_id")
-      .agg(collect_list(struct(col("df"), col("token"))).as("arr"))
-      .select(col("doc_id"), expr(
-        s"slice(array_sort(arr), 1, " +
-          s"cast(size(arr) - (($tNum * size(arr) + ${tDen - 1}) div $tDen) + 1 as int))")
-        .as("pref"))
-      .select(col("doc_id"), explode(col("pref")).as("p"))
-      .select(col("doc_id"), col("p.token").as("token"))
+    val prefix = prefixPostings(base, dfT, tNum, tDen)
     // candidate pairs from the PREFIX-only inverted index (one shared
     // shuffle, ReusedExchange on the second side — same shape as
     // ngramJaccard's index join, over ~(1-t) of the postings)
@@ -175,6 +165,90 @@ object Dedup {
     val setsA = base.select(col("doc_id").as("a_id"), col("toks").as("a_toks"))
     val setsB = base.select(col("doc_id").as("b_id"), col("toks").as("b_toks"))
     cands.join(setsA, "a_id").join(setsB, "b_id")
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("a_toks"), col("b_toks"))).cast("long")
+          .as("n_common"),
+        size(col("a_toks")).cast("long").as("a_n"),
+        size(col("b_toks")).cast("long").as("b_n"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("a_n") + col("b_n") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** Per-doc prefix postings under a given (df, token) total order. Tokens
+    * absent from `vocab` take df = 0 — UNSEEN tokens are by definition the
+    * rarest, and what losslessness actually requires is only that both
+    * sides of a candidate join use the SAME total order, which this
+    * convention preserves when the vocabulary is frozen at index-build
+    * time (see [[prefixFilterIncremental]]).
+    */
+  private def prefixPostings(base: DataFrame, vocab: DataFrame,
+      tNum: Int, tDen: Int): DataFrame =
+    base.select(col("doc_id"), explode(col("toks")).as("token"))
+      .join(vocab, Seq("token"), "left")
+      .select(col("doc_id"), col("token"),
+        coalesce(col("df"), lit(0L)).as("df"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("df"), col("token"))).as("arr"))
+      .select(col("doc_id"), expr(
+        s"slice(array_sort(arr), 1, " +
+          s"cast(size(arr) - (($tNum * size(arr) + ${tDen - 1}) div $tDen) + 1 as int))")
+        .as("pref"))
+      .select(col("doc_id"), explode(col("pref")).as("p"))
+      .select(col("doc_id"), col("p.token").as("token"))
+
+  /** The persisted artifacts of a prefix-filter index: the per-doc shingle
+    * sets, the FROZEN (token, df) vocabulary, and the prefix-only postings
+    * under that order. Incremental batches must reuse the frozen
+    * vocabulary — re-deriving df over corpus+batch would re-order tokens
+    * and silently move old docs' prefixes.
+    */
+  def prefixIndexFrames(docs: DataFrame, id: Column, text: Column,
+      n: Int = 3, tNum: Int = 1, tDen: Int = 2)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val base = spread(docs).select(id.as("doc_id"),
+      array_distinct(shingles(text, n)).as("toks"))
+    val tok = base.select(col("doc_id"), explode(col("toks")).as("token"))
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("df"))
+    (base, vocab, prefixPostings(base, vocab, tNum, tDen))
+  }
+
+  /** O(batch) incremental prefix-filtered Jaccard: the arriving batch is
+    * shingled and prefixed under the index's FROZEN vocabulary (unseen
+    * tokens rank first at df = 0 — a valid total order, so PPJoin's
+    * losslessness is untouched); candidates = batch-prefix × (corpus
+    * prefix index ∪ batch-prefix) — the corpus is never re-shingled —
+    * and verification joins the persisted per-doc sets. Returns every
+    * qualifying pair with at least one batch endpoint.
+    */
+  def prefixFilterIncremental(
+      batchDocs: DataFrame, id: Column, text: Column,
+      corpusSets: DataFrame, vocab: DataFrame, corpusPrefix: DataFrame,
+      n: Int = 3, tNum: Int = 1, tDen: Int = 2): DataFrame = {
+    val threshold = tNum.toDouble / tDen
+    val batchBase = spread(batchDocs).select(id.as("doc_id"),
+      array_distinct(shingles(text, n)).as("toks"))
+    val batchPrefix = prefixPostings(batchBase, vocab, tNum, tDen)
+    // batch × corpus candidates + batch-internal candidates
+    val bc = batchPrefix.select(col("doc_id").as("n_id"), col("token"))
+      .join(corpusPrefix.select(col("doc_id").as("c_id"), col("token")),
+        Seq("token"))
+      .select(least(col("n_id"), col("c_id")).as("a_id"),
+        greatest(col("n_id"), col("c_id")).as("b_id"))
+    val bb = batchPrefix.select(col("doc_id").as("a_id"), col("token"))
+      .join(batchPrefix.select(col("doc_id").as("b_id"), col("token")),
+        Seq("token"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+    val cands = bc.unionByName(bb).distinct()
+    val allSets = corpusSets.unionByName(batchBase)
+    cands
+      .join(allSets.select(col("doc_id").as("a_id"), col("toks").as("a_toks")),
+        "a_id")
+      .join(allSets.select(col("doc_id").as("b_id"), col("toks").as("b_toks")),
+        "b_id")
       .select(col("a_id"), col("b_id"),
         size(array_intersect(col("a_toks"), col("b_toks"))).cast("long")
           .as("n_common"),
@@ -202,16 +276,7 @@ object Dedup {
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct().count()
     val dfT = tok.groupBy("token").agg(count(lit(1)).as("df"))
-    val pref = tok.join(dfT, "token")
-      .groupBy("doc_id")
-      .agg(collect_list(struct(col("df"), col("token"))).as("arr"))
-      .select(col("doc_id"), expr(
-        s"slice(array_sort(arr), 1, " +
-          s"cast(size(arr) - (($tNum * size(arr) + ${tDen - 1}) div $tDen) + 1 as int))")
-        .as("pref"))
-      .select(col("doc_id"), explode(col("pref")).as("p"))
-      .select(col("doc_id"), col("p.token").as("token"))
-    (pairCount(tok), pairCount(pref))
+    (pairCount(tok), pairCount(prefixPostings(base, dfT, tNum, tDen)))
   }
 
   /** Winnowing near-dup candidates: the inverted-index self-join of

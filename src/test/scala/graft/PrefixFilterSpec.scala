@@ -83,6 +83,35 @@ class PrefixFilterSpec extends AnyFunSuite with SparkTestBase {
     assert(out.isEmpty)
   }
 
+  test("prefixFilterIncremental: equals full recompute restricted to batch endpoints") {
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lam", "mu")
+    val corpus = (0 until 24).map { i =>
+      (i.toLong, (0 until 8).map(j => words((i * 5 + j) % words.size)).mkString(" "))
+    }
+    // batch: one near-dup of a corpus doc, one batch-internal dup pair,
+    // one doc made ENTIRELY of tokens the frozen vocab has never seen
+    val batch = Seq(
+      (100L, corpus(3)._2),
+      (101L, "nu xi omicron pi rho sigma tau upsilon"),
+      (102L, "nu xi omicron pi rho sigma tau upsilon"),
+      (103L, "unseen tokens only here novel words entirely fresh"))
+    val all = corpus ++ batch
+    val expected = bruteForce(all, 0.5)
+      .filter { case ((a, b), _) => a >= 100L || b >= 100L }
+    val (sets, vocab, prefix) = Dedup.prefixIndexFrames(
+      corpus.toDF("doc_id", "text"), col("doc_id"), col("text"))
+    val got = Dedup.prefixFilterIncremental(
+      batch.toDF("doc_id", "text"), col("doc_id"), col("text"),
+      sets, vocab, prefix)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet === expected.keySet,
+      "incremental must equal full recompute on batch-endpoint pairs")
+    got.foreach { case (k, j) => assert(math.abs(j - expected(k)) < 1e-12) }
+    assert(expected.contains((3L, 100L)), "batch x corpus pair planted")
+    assert(expected.contains((101L, 102L)), "batch-internal pair planted")
+  }
+
   test("prefixFilterJaccard: sub-shingle docs produce no pairs, no errors") {
     val docs = Seq((1L, "one two"), (2L, "one two"), (3L, ""))
     val out = Dedup.prefixFilterJaccard(docs.toDF("doc_id", "text"),
