@@ -993,25 +993,27 @@ object OracleSqlGen {
     * divisions of exact decimal/integer sums.
     */
   def poissonBootstrap(replicates: Int): String = {
-    val ts = graft.operators.Stats.poissonThresholds52
+    val ts = graft.operators.Stats.poissonThresholdsHex
     val cntCase = "CASE " + ts.zipWithIndex
-      .map { case (t, k) => s"WHEN u52 < $t THEN $k" }
+      .map { case (t, k) => s"WHEN d5 < '$t' THEN $k" }
       .mkString(" ") + s" ELSE ${ts.size} END"
     s"""WITH reps AS (SELECT CAST(range AS BIGINT) AS b FROM range($replicates)),
         x AS (
           SELECT CAST(l_orderkey AS VARCHAR) || '-'
                    || CAST(l_linenumber AS VARCHAR) AS k,
-               CAST(l_extendedprice AS DECIMAL(18,2)) AS v
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS vc
           FROM lineitem),
         d AS (
-          SELECT b, v,
-              CAST('0x' || substr(md5(k || ':' || CAST(b AS VARCHAR)), 1, 13)
-                AS BIGINT) AS u52
+          SELECT b, vc,
+              substr(md5(k || ':' || CAST(b // 6 AS VARCHAR)),
+                CAST(1 + 5 * (b % 6) AS INT), 5) AS d5
           FROM x CROSS JOIN reps),
-        c AS (SELECT b, v, $cntCase AS cnt FROM d)
+        c AS (SELECT b, vc, $cntCase AS cnt FROM d)
         SELECT b, CAST(sum(cnt) AS BIGINT) AS n_eff,
             CASE WHEN sum(cnt) = 0 THEN 0.0
-            ELSE CAST(sum(v * cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)
+            ELSE CAST(sum(vc * cnt) AS DOUBLE) / 100.0
+              / CAST(sum(cnt) AS DOUBLE)
             END AS mean
         FROM c GROUP BY b ORDER BY b"""
   }

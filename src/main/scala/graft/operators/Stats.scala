@@ -13,28 +13,38 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Stats {
 
-  /** Poisson(1) CDF thresholds on the 52-bit uniform lattice,
-    * floor(cdf_k · 2⁵²) for k = 0..8 (the k > 8 tail is < 1.2e-6 and
-    * truncated identically everywhere). Computed ONCE here and inlined as
-    * literals into both the Spark plan and the DuckDB oracle — the
-    * dcgWeights pattern: no cross-engine exp() dependence.
+  /** Poisson(1) CDF thresholds on the 20-bit uniform lattice as FIVE-HEX
+    * strings, f"floor(cdf_k · 2²⁰)%05x" for k = 0..8 (the k > 8 tail is
+    * < 1.2e-6, at the lattice resolution, and truncated identically
+    * everywhere). Hex-string form because fixed-width lowercase hex
+    * compares lexicographically exactly as it compares numerically in
+    * EVERY engine — the draw is a raw md5 substring compared against
+    * these literals, no base conversion in the hot path. Computed ONCE
+    * here and inlined into both the Spark plan and the DuckDB oracle —
+    * the dcgWeights pattern: no cross-engine exp() dependence.
     */
-  val poissonThresholds52: Seq[Long] = {
+  val poissonThresholdsHex: Seq[String] = {
     val pmf = (0 to 8).map(k => math.exp(-1.0) / (1 to k).product)
     pmf.scanLeft(0.0)(_ + _).tail
-      .map(cdf => math.floor(cdf * 4503599627370496.0).toLong) // 2^52
+      .map(cdf => f"${math.floor(cdf * 1048576.0).toLong}%05x") // 2^20
   }
 
   /** Poisson bootstrap (the bootstrap that scales): instead of B
     * multinomial resamples — which need global coordination — each row
     * independently contributes Poisson(1) copies of itself to each
-    * replicate, with the count derived from a 52-bit md5 of
-    * (row key, replicate id). Per-row independence is the whole point at
-    * 100 TB: one pass, no shared state, and the md5 derivation makes every
-    * replicate REPRODUCIBLE across reruns, partitionings and engines
-    * (rand() is none of those). The replicate explosion fuses into the
-    * map-side partial aggregate — B·rows never materializes; the shuffle
-    * is B rows per partition.
+    * replicate, with the count derived from a 20-bit md5 draw of
+    * (row key, replicate group). Per-row independence is the whole point
+    * at 100 TB: one pass, no shared state, and the md5 derivation makes
+    * every replicate REPRODUCIBLE across reruns, partitionings and
+    * engines (rand() is none of those). The replicate explosion fuses
+    * into the map-side partial aggregate — B·rows never materializes; the
+    * shuffle is B rows per partition.
+    *
+    * Hot-path economics: one md5 serves SIX replicates (six disjoint
+    * 5-hex draws per digest), and each draw is a fixed-width hex STRING
+    * compare against the inlined thresholds — no hex→int conversion per
+    * (row, replicate). That's what keeps B = 32 at ~one md5 per 6 rows
+    * of work instead of 32 digests + 32 base conversions per row.
     *
     * Returns one row per replicate: (b, n_eff, mean) with the mean a
     * single division of exact decimal/integer sums.
@@ -42,23 +52,38 @@ object Stats {
   def poissonBootstrap(df: DataFrame, key: Column, value: Column,
       replicates: Int = 32): DataFrame = {
     require(replicates >= 1, "need at least one replicate")
-    val u52 = conv(substring(md5(
-      concat(col("k"), lit(":"), col("b").cast("string"))
-        .cast("binary")), 1, 13), 16, 10).cast("long")
-    val cnt = poissonThresholds52.zipWithIndex
-      .foldRight(lit(poissonThresholds52.size): Column) {
-        case ((t, k), acc) => when(u52 < lit(t), lit(k)).otherwise(acc)
+    val nGroups = (replicates + 5) / 6
+    val cnt = poissonThresholdsHex.zipWithIndex
+      .foldRight(lit(poissonThresholdsHex.size): Column) {
+        case ((t, k), acc) => when(col("_d") < lit(t), lit(k)).otherwise(acc)
       }
-    df.select(key.cast("string").as("k"), value.cast(DecimalType(18, 2)).as("v"))
-      .select(col("k"), col("v"),
-        explode(sequence(lit(0), lit(replicates - 1))).as("b"))
-      .select(col("b"), col("v"), cnt.as("cnt"))
+    // value in exact integer CENTS: the 19.2M-row hot path multiplies and
+    // partial-aggregates longs, not decimals; the closing division undoes
+    // the scaling while both sums are exactly representable doubles
+    df.select(key.cast("string").as("k"),
+        (value.cast(DecimalType(18, 2)) * 100).cast("long").as("vc"))
+      // one digest per (row, group of 6 replicates)…
+      .select(col("vc"),
+        explode(sequence(lit(0L), lit(nGroups - 1L))).as("g"),
+        col("k"))
+      .select(col("vc"), col("g"),
+        expr("md5(cast(concat(k, ':', cast(g as string)) as binary))").as("h"))
+      // …then six 5-hex draws out of it — posexplode over an array of
+      // LITERAL-offset substrings (codegen'd), not a transform() lambda
+      // (interpreted per row — measured 2× slower on this hot path)
+      .select(col("vc"), col("g"), posexplode(array(
+        (0 to 5).map(j => expr(s"substring(h, ${1 + 5 * j}, 5)")): _*))
+        .as(Seq("j", "_d")))
+      .select((col("g") * 6 + col("j")).as("b"), col("vc"), col("_d"))
+      .filter(col("b") < replicates)
+      .select(col("b"), col("vc"), cnt.as("cnt"))
       .groupBy("b")
       .agg(sum(col("cnt").cast("long")).as("n_eff"),
-        sum(col("v") * col("cnt")).as("sv"))
+        sum(col("vc") * col("cnt")).as("sv"))
       .select(col("b").cast("long").as("b"), col("n_eff"),
         when(col("n_eff") === 0, lit(0.0))
-          .otherwise(col("sv").cast("double") / col("n_eff").cast("double"))
+          .otherwise(col("sv").cast("double") / lit(100.0)
+            / col("n_eff").cast("double"))
           .as("mean"))
   }
 

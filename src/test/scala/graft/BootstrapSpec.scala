@@ -7,13 +7,15 @@ import graft.operators.Stats
 class BootstrapSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
 
-  test("poissonThresholds52: match the Poisson(1) CDF, strictly increasing") {
-    val ts = Stats.poissonThresholds52
+  test("poissonThresholdsHex: match the Poisson(1) CDF, strictly increasing, fixed width") {
+    val ts = Stats.poissonThresholdsHex
     assert(ts.size === 9)
-    assert(math.abs(ts.head / 4503599627370496.0 - math.exp(-1.0)) < 1e-12)
+    assert(ts.forall(t => t.length == 5 && t.forall("0123456789abcdef".contains(_))))
+    def v(h: String) = java.lang.Long.parseLong(h, 16) / 1048576.0
+    assert(math.abs(v(ts.head) - math.exp(-1.0)) < 1e-5) // 20-bit lattice
+    assert(math.abs(v(ts(1)) - 2 * math.exp(-1.0)) < 1e-5) // k=1 cdf = 2/e
+    // fixed-width lowercase hex: string order == numeric order
     assert(ts.sliding(2).forall(p => p(0) < p(1)))
-    // k=1 cdf = 2/e
-    assert(math.abs(ts(1) / 4503599627370496.0 - 2 * math.exp(-1.0)) < 1e-12)
   }
 
   test("poissonBootstrap: reproducible and layout-independent") {

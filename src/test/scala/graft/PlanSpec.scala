@@ -530,12 +530,15 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("Join"), s"bootstrap is join-free:\n$p")
   }
 
-  test("dedup_prefix_filter: hash candidate join, prefix postings shuffle reused") {
+  test("dedup_prefix_filter: hash candidate join, shingled base materialized once") {
     val full = finalPlan("dedup_prefix_filter")
     val p = full.split("Initial Plan").head
     assert(p.contains("ShuffledHashJoin"), s"candidate join must stay hash:\n$p")
-    assert(p.contains("ReusedExchange"),
-      s"the prefix-postings shuffle must be shared by both join sides:\n$p")
+    // the shingled base is persisted for its three consumers (formatted
+    // explain truncates inside the cached subplan, so the coPart
+    // ReusedExchange is not reliably printable — the cache pin is)
+    assert(p.contains("InMemoryTableScan"),
+      s"the shingled base must be cached, not re-shingled per consumer:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"no all-pairs path anywhere:\n$p")
   }
