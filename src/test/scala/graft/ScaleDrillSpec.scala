@@ -73,6 +73,32 @@ class ScaleDrillSpec extends AnyFunSuite with SparkTestBase {
       s"planted near-dup recall fell: ${f"$r1%.3f"} @ $n1, ${f"$r2%.3f"} @ $n2")
   }
 
+  test("prefixFilterJaccard drill: EXACT planted pairs at both sizes, candidates near-linear") {
+    val n1 = 3000L
+    val n2 = 30000L
+    def run(n: Long): (Set[(Long, Long)], Long) = {
+      val docs = synthDocs(n)
+      val pairs = Dedup.prefixFilterJaccard(docs, col("doc_id"), col("text"),
+        n = 3, tNum = 1, tDen = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val (_, prefCands) = Dedup.prefixFilterStats(docs, col("doc_id"), col("text"))
+      (pairs, prefCands)
+    }
+    val (pairs1, c1) = run(n1)
+    val (pairs2, c2) = run(n2)
+    // the filter is LOSSLESS — with negligible cross-doc shingle collisions
+    // the result is EXACTLY the planted set, at both sizes (recall drills
+    // are for the lossy families; this one pins equality)
+    def planted(n: Long) = (0L until n).filter(_ % 20 == 7).map(i => (i - 1, i)).toSet
+    assert(pairs1 === planted(n1), s"non-planted or missing pairs at $n1")
+    assert(pairs2 === planted(n2), s"non-planted or missing pairs at $n2")
+    // rarest-first prefixes keep candidate growth near-linear at a fixed
+    // dup rate — an all-pairs candidate step would show ~100x
+    val ratio = c2.toDouble / c1
+    assert(ratio >= 6 && ratio <= 20,
+      s"prefix candidates grew $c1 -> $c2 (${f"$ratio%.1f"}x) over a 10x corpus")
+  }
+
   test("bandedHammingPairs drill: emitted pairs exactly the planted set at 5k and 50k fingerprints") {
     import spark.implicits._
     def fps(n: Long) = (0L until n).map { i =>
