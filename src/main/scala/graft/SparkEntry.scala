@@ -1499,6 +1499,17 @@ object SparkEntry {
         documents(s, d).select("doc_id", "lang"), col("lang"), col("doc_id"))
         .orderBy("doc_id")),
 
+    // Token-budget waterfilling: max-min-fair source allocation
+    // a_i = min(n_i, λ) with Σa_i ≈ 60% of the corpus — small sources
+    // taken whole, big crawls capped at one waterline. Exact integer
+    // solve over the O(sources) aggregated frame (the corpus itself only
+    // aggregates); budget is a ppm FRACTION so the same declaration is
+    // meaningful at every scale factor.
+    "q_budget_waterfill" -> ((s, d) =>
+      graft.pipeline.Curate.budgetWaterfill(
+        documents(s, d), col("source"), col("n_chars"), budgetPpm = 600000L)
+        .orderBy("source")),
+
     // Point-in-time (SCD-2) join: each purchase is attributed to the UI
     // state (last click/view/error) active at its timestamp. Spans come
     // from a lead() window; the probe uses the bucketed range join — no
@@ -2947,6 +2958,27 @@ object SparkEntry {
             .cast("int").as("weeks_since"))
         .agg(countDistinct("user_id").as("n_active"))
         .orderBy("cohort_week", "weeks_since")
+    }),
+
+    // Kaplan–Meier time-to-conversion curve: subjects = signed-up users,
+    // duration = minutes from first signup to first purchase at/after it,
+    // right-censored (NULL) if none — the survival view of conversion
+    // latency that a plain mean gets wrong under censoring. ln-terms
+    // quantize to fixed point BEFORE the cumulative window so the running
+    // product is order-exact in both engines.
+    "events_survival" -> ((s, d) => {
+      val e = events(s, d)
+      val s0 = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("sus"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("pus"))
+      val subj = s0.join(p, Seq("user_id"), "left")
+        .groupBy("user_id")
+        .agg(min("sus").as("sus"),
+          min(when(col("pus") >= col("sus"), col("pus"))).as("fp"))
+        .select(expr("(fp - sus) div 60000000").as("dur"))
+      graft.operators.Stats.kaplanMeier(subj, col("dur"))
+        .orderBy("duration")
     }),
 
     // Pivot: order counts by priority × status (relational pivot surface;
@@ -5623,6 +5655,26 @@ object SparkEntry {
         col("user_id"), col("ts"), col("value"),
         lit("2024-01-16").cast("timestamp"))
         .orderBy("arm")),
+
+    // Delta-method readout for the RATIO metric revenue-per-purchase-event
+    // (units = users, the unit of randomization): per arm, R = ΣY/ΣN with
+    // the linearization variance from exact decimal moments — the correct
+    // uncertainty for ratio metrics where a naive per-event t-test is
+    // wrong. Same one-shuffle shape as q_cuped.
+    "q_delta_method" -> ((s, d) =>
+      graft.pipeline.Experiment.deltaMethodRatio(
+        events(s, d).filter(col("event_type") === "purchase"),
+        col("user_id"), col("value"))
+        .orderBy("arm")),
+
+    // Difference-in-differences over the 2×2 (md5 arm × pre/post) design:
+    // four exact per-cell means + the dd estimate; one grouped aggregate
+    // over the scan, a 1-row pivot on top.
+    "q_did" -> ((s, d) =>
+      graft.pipeline.Experiment.diffInDiff(
+        events(s, d), col("user_id"), col("ts"), col("value"),
+        lit("2024-01-16").cast("timestamp"))
+        .orderBy("n_total")),
 
     // Cohen's kappa between two deterministic document labelings (char-
     // length bands vs whitespace-token bands) — the inter-annotator
@@ -9371,6 +9423,141 @@ object SparkEntry {
                * 1000000.0) AS BIGINT)
              END AS var_reduction_ppm
          FROM m CROSS JOIN p ORDER BY arm""",
+    // delta method: identical moment trees; var(R) linearization with n,
+    // means and ratio written in the same operation order as the Spark plan
+    "q_delta_method" ->
+      """WITH pu AS (
+           SELECT user_id,
+               CAST(coalesce(sum(CAST(value AS DECIMAL(18,2))), 0)
+                 AS DECIMAL(18,2)) AS y,
+               CAST(count(*) AS DECIMAL(18,2)) AS m
+           FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+         pa AS (
+           SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 2) < '80'
+               THEN 'treat' ELSE 'control' END AS arm, y, m
+           FROM pu),
+         a AS (
+           SELECT arm, count(*) AS n,
+               CAST(sum(y) AS DOUBLE) AS sy, CAST(sum(m) AS DOUBLE) AS sm,
+               CAST(sum(y * y) AS DOUBLE) AS syy,
+               CAST(sum(m * m) AS DOUBLE) AS smm,
+               CAST(sum(y * m) AS DOUBLE) AS sym
+           FROM pa GROUP BY arm),
+         v AS (
+           SELECT arm, n, sy, sm,
+               (((syy / CAST(n AS DOUBLE)
+                   - (sy / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)))
+                 - 2.0 * (sy / sm) * (sym / CAST(n AS DOUBLE)
+                   - (sy / CAST(n AS DOUBLE)) * (sm / CAST(n AS DOUBLE))))
+                 + (sy / sm) * (sy / sm) * (smm / CAST(n AS DOUBLE)
+                   - (sm / CAST(n AS DOUBLE)) * (sm / CAST(n AS DOUBLE))))
+               / (CAST(n AS DOUBLE) * (sm / CAST(n AS DOUBLE))
+                 * (sm / CAST(n AS DOUBLE))) AS var_r
+           FROM a)
+         SELECT arm, CAST(n AS BIGINT) AS n_units,
+             round(sy / sm, 6) AS ratio,
+             round(var_r, 6) AS var_ratio,
+             round(sqrt(var_r / CAST(n AS DOUBLE)), 6) AS se_ratio
+         FROM v ORDER BY arm""",
+    // diff-in-diff: four conditional-max cell means from exact decimal
+    // sums, dd on the unrounded cells
+    "q_did" ->
+      """WITH c AS (
+           SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 2) < '80'
+                 THEN 'treat' ELSE 'control' END AS arm,
+               CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
+                 THEN 'pre' ELSE 'post' END AS period,
+               CAST(value AS DECIMAL(18,2)) AS v
+           FROM events),
+         g AS (
+           SELECT arm, period,
+               CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_v,
+               count(*) AS nv
+           FROM c GROUP BY 1, 2),
+         p AS (
+           SELECT
+               max(CASE WHEN arm = 'control' AND period = 'pre'
+                 THEN mean_v END) AS ctrl_pre,
+               max(CASE WHEN arm = 'control' AND period = 'post'
+                 THEN mean_v END) AS ctrl_post,
+               max(CASE WHEN arm = 'treat' AND period = 'pre'
+                 THEN mean_v END) AS treat_pre,
+               max(CASE WHEN arm = 'treat' AND period = 'post'
+                 THEN mean_v END) AS treat_post,
+               sum(nv) AS n_total
+           FROM g)
+         SELECT CAST(n_total AS BIGINT) AS n_total,
+             round(ctrl_pre, 6) AS ctrl_pre, round(ctrl_post, 6) AS ctrl_post,
+             round(treat_pre, 6) AS treat_pre,
+             round(treat_post, 6) AS treat_post,
+             round((treat_post - treat_pre) - (ctrl_post - ctrl_pre), 6) AS dd
+         FROM p ORDER BY n_total""",
+    // Kaplan-Meier: ln-terms floor-quantized to 1e9 fixed point BEFORE the
+    // cumulative window (integer window sums are order-exact; a raw double
+    // running sum would depend on the engine's frame-aggregation order)
+    "events_survival" ->
+      """WITH s0 AS (
+           SELECT user_id, min(epoch_us(CAST(ts AS TIMESTAMP))) AS sus
+           FROM events WHERE event_type = 'signup' GROUP BY user_id),
+         fp AS (
+           SELECT s0.user_id, min(sus) AS sus,
+               min(CASE WHEN epoch_us(CAST(e.ts AS TIMESTAMP)) >= sus
+                 THEN epoch_us(CAST(e.ts AS TIMESTAMP)) END) AS pus
+           FROM s0 LEFT JOIN events e
+             ON e.user_id = s0.user_id AND e.event_type = 'purchase'
+           GROUP BY s0.user_id),
+         subj AS (SELECT (pus - sus) // 60000000 AS t FROM fp),
+         tot AS (SELECT count(*) AS n_total FROM subj),
+         byt AS (SELECT t, count(*) AS d FROM subj WHERE t IS NOT NULL
+                 GROUP BY t),
+         km AS (
+           SELECT t, d,
+               n_total - coalesce(sum(d) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS n_risk
+           FROM byt CROSS JOIN tot),
+         kf AS (
+           SELECT t, n_risk, d,
+               CASE WHEN d = n_risk THEN -100000000000
+               ELSE CAST(floor(ln(1.0 - CAST(d AS DOUBLE)
+                 / CAST(n_risk AS DOUBLE)) * 1000000000.0) AS BIGINT)
+               END AS lnterm_fp
+           FROM km)
+         SELECT t AS duration, CAST(n_risk AS BIGINT) AS n_risk,
+             CAST(d AS BIGINT) AS d,
+             CAST(floor(exp(CAST(sum(lnterm_fp) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) / 1000000000.0) * 1000000.0) AS BIGINT) AS surv_ppm
+         FROM kf ORDER BY duration""",
+    // waterfilling: identical integer solve (negative candidate waterlines
+    // never pass the feasibility filter, where div and // agree)
+    "q_budget_waterfill" ->
+      """WITH n AS (
+           SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_tok
+           FROM documents GROUP BY source),
+         t AS (SELECT sum(n_tok) AS s_tok, count(*) AS s_cnt FROM n),
+         r AS (
+           SELECT source, n_tok,
+               row_number() OVER (ORDER BY n_tok, source) - 1 AS k,
+               coalesce(sum(n_tok) OVER (ORDER BY n_tok, source
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pk,
+               coalesce(lag(n_tok) OVER (ORDER BY n_tok, source), 0)
+                 AS prev_n
+           FROM n),
+         r2 AS (SELECT r.*, s_tok * 600000 // 1000000 AS budget, s_cnt
+                FROM r CROSS JOIN t),
+         l AS (
+           SELECT min((budget - pk) // (s_cnt - k)) AS lam
+           FROM r2
+           WHERE prev_n <= (budget - pk) // (s_cnt - k)
+             AND (budget - pk) // (s_cnt - k) < n_tok)
+         SELECT source, n_tok,
+             CAST(least(n_tok, coalesce(lam, 9223372036854775807)) AS BIGINT)
+               AS alloc,
+             CAST(CASE WHEN n_tok = 0 THEN 0
+               ELSE least(n_tok, coalesce(lam, 9223372036854775807))
+                 * 1000000 // n_tok END AS BIGINT) AS rate_ppm
+         FROM r2 CROSS JOIN l ORDER BY source""",
     // Cohen's kappa: integer confusion-matrix cells; po/pe/kappa as the
     // identical scalar double expressions.
     "q_cohen_kappa" ->

@@ -87,6 +87,47 @@ object Stats {
           .as("mean"))
   }
 
+  /** Kaplan–Meier survival curve with right-censoring at a common horizon:
+    * subjects arrive as one row each with `duration` = time to event, or
+    * NULL if no event occurred before the horizon (the subject then stays
+    * in the risk set past every observed event time, so
+    * n_risk(t) = total − Σ_{s<t} d_s exactly). Emits one row per distinct
+    * event time: (duration, n_risk, d, surv_ppm) with
+    * S(t) = Π (1 − d/n) accumulated as a cumulative Σ ln(1−d/n), with
+    * each ln-term quantized to a ·1e9 fixed-point long BEFORE the window:
+    * integer window sums are exact under ANY accumulation order (engines
+    * are free to fold framed float aggregates hierarchically — a raw
+    * double running sum would be order-fragile), so the curve is
+    * engine-identical. Window over the AGGREGATED O(distinct durations)
+    * frame only.
+    */
+  def kaplanMeier(subjects: DataFrame, duration: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = subjects.select(duration.cast("long").as("t"))
+    val total = d.agg(count(lit(1)).as("n_total"))
+    val byT = d.filter(col("t").isNotNull)
+      .groupBy("t").agg(count(lit(1)).as("d"))
+    val w = Window.orderBy("t")
+    byT.crossJoin(broadcast(total))
+      .withColumn("n_risk",
+        col("n_total") - coalesce(sum(col("d"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("lnterm_fp",
+        // d == n_risk (everyone remaining dies) would be ln(0) = -inf;
+        // pin it to a finite sentinel that still drives surv to 0
+        when(col("d") === col("n_risk"), lit(-100000000000L))
+          .otherwise(floor(
+            log(lit(1.0) - col("d").cast("double") / col("n_risk").cast("double"))
+              * lit(1000000000.0)).cast("long")))
+      .withColumn("surv_ppm",
+        floor(exp(sum(col("lnterm_fp"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double") / lit(1000000000.0)) * lit(1000000.0))
+          .cast("long"))
+      .select(col("t").as("duration"), col("n_risk"), col("d"),
+        col("surv_ppm"))
+  }
+
   /** Split-conformal prediction interval (Vovk; Lei et al.) for a linear
     * model, end to end: md5-split the rows into train (fit a least-squares
     * line from exact decimal moments), calibration (take the

@@ -128,6 +128,78 @@ object Experiment {
             .cast("long")).as("var_reduction_ppm"))
   }
 
+  /** Delta-method readout for a RATIO metric (revenue per session,
+    * clicks per view — the metrics t-tests silently get wrong because
+    * the unit of analysis is not the unit of randomization): per arm,
+    * R = ΣY/ΣN over units, with the linearization variance
+    * var(R) ≈ (var(y) − 2R·cov(y,n) + R²·var(n)) / (n_units · mean(n)²)
+    * — every moment an exact decimal sum, the formula a pure scalar
+    * function on top. One per-unit shuffle, one tiny per-arm aggregate;
+    * the companion to [[cuped]] for metrics that are ratios.
+    */
+  def deltaMethodRatio(events: DataFrame, unit: Column, y: Column,
+      arm: Column => Column = hashArm): DataFrame = {
+    val perUnit = events
+      .groupBy(unit.as("unit"))
+      .agg(coalesce(sum(dec(y)), lit(0).cast(DecimalType(18, 2)))
+          .cast(DecimalType(18, 2)).as("y"),
+        count(lit(1)).cast(DecimalType(18, 2)).as("m"))
+      .select(col("y"), col("m"), arm(col("unit")).as("arm"))
+    val perArm = perUnit.groupBy("arm").agg(
+      count(lit(1)).as("n"),
+      sum(col("y")).as("sy"), sum(col("m")).as("sm"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("m") * col("m")).as("smm"),
+      sum(col("y") * col("m")).as("sym"))
+    val n = col("n").cast("double")
+    val meanY = col("sy").cast("double") / n
+    val meanM = col("sm").cast("double") / n
+    val varY = col("syy").cast("double") / n - meanY * meanY
+    val varM = col("smm").cast("double") / n - meanM * meanM
+    val covYM = col("sym").cast("double") / n - meanY * meanM
+    val ratio = col("sy").cast("double") / col("sm").cast("double")
+    val varR = ((varY - lit(2.0) * ratio * covYM) + ratio * ratio * varM) /
+      (n * meanM * meanM)
+    perArm.select(col("arm"), col("n").as("n_units"),
+      round(ratio, 6).as("ratio"),
+      round(varR, 6).as("var_ratio"),
+      round(sqrt(varR / n), 6).as("se_ratio"))
+  }
+
+  /** Difference-in-differences over a 2×2 (arm × pre/post period) design:
+    * the causal readout when assignment is not randomized but parallel
+    * trends are plausible. Four exact per-cell means plus
+    * dd = (treat_post − treat_pre) − (ctrl_post − ctrl_pre); one grouped
+    * aggregate over the scan, a 1-row pivot on top.
+    */
+  def diffInDiff(events: DataFrame, unit: Column, ts: Column, value: Column,
+      cutoff: Column, arm: Column => Column = hashArm): DataFrame = {
+    val cells = events
+      .select(arm(unit).as("arm"),
+        when(ts < cutoff, "pre").otherwise("post").as("period"),
+        dec(value).as("v"))
+      .groupBy("arm", "period")
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("nv"))
+      .select(col("arm"), col("period"),
+        (col("sv").cast("double") / col("nv").cast("double")).as("mean_v"),
+        col("nv"))
+    def cell(a: String, p: String) =
+      max(when(col("arm") === a && col("period") === p, col("mean_v")))
+    cells.groupBy()
+      .agg(cell("control", "pre").as("ctrl_pre"),
+        cell("control", "post").as("ctrl_post"),
+        cell("treat", "pre").as("treat_pre"),
+        cell("treat", "post").as("treat_post"),
+        sum("nv").as("n_total"))
+      .select(col("n_total"),
+        round(col("ctrl_pre"), 6).as("ctrl_pre"),
+        round(col("ctrl_post"), 6).as("ctrl_post"),
+        round(col("treat_pre"), 6).as("treat_pre"),
+        round(col("treat_post"), 6).as("treat_post"),
+        round((col("treat_post") - col("treat_pre"))
+          - (col("ctrl_post") - col("ctrl_pre")), 6).as("dd"))
+  }
+
   /** Cohen's kappa between two categorical labelings of the same rows —
     * the inter-annotator-agreement gate of a labeling pipeline (two model
     * versions, or model vs heuristic). κ = (p_o − p_e)/(1 − p_e) with p_e

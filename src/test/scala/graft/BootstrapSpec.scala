@@ -84,6 +84,65 @@ class BootstrapSpec extends AnyFunSuite with SparkTestBase {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("kaplanMeier: textbook curve with right-censoring") {
+    // durations {1,1,2,-,-}: S(1) = 3/5, S(2) = 3/5 * 2/3 = 2/5
+    val subj = Seq(Some(1L), Some(1L), Some(2L), None, None)
+      .toDF("dur")
+    val out = Stats.kaplanMeier(subj, col("dur")).orderBy("duration").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((1L, 5L, 2L), (2L, 3L, 1L)))
+    // fixed-point quantization may undershoot by a few ppm, never over
+    assert(math.abs(out(0).getAs[Long]("surv_ppm") - 600000L) <= 2L)
+    assert(math.abs(out(1).getAs[Long]("surv_ppm") - 400000L) <= 2L)
+  }
+
+  test("kaplanMeier: everyone-dies tail reaches zero survival without errors") {
+    val subj = Seq(Some(1L), Some(2L), Some(2L)).toDF("dur")
+    val out = Stats.kaplanMeier(subj, col("dur")).orderBy("duration").collect()
+    assert(out.last.getAs[Long]("surv_ppm") === 0L)
+    assert(out.last.getAs[Long]("n_risk") === out.last.getAs[Long]("d"))
+  }
+
+  test("budgetWaterfill: hand case + fuzz against a scalar waterline solver") {
+    import graft.pipeline.Curate
+    val docs = Seq(("a", 10L), ("b", 20L), ("c", 70L)).toDF("src", "w")
+    val out = Curate.budgetWaterfill(docs, col("src"), col("w"),
+      budgetPpm = 600000L) // budget = 60 of 100
+      .orderBy("source").collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("alloc")).toMap
+    assert(out === Map("a" -> 10L, "b" -> 20L, "c" -> 30L)) // sums to 60
+
+    // budget >= total: everything taken whole
+    val full = Curate.budgetWaterfill(docs, col("src"), col("w"),
+      budgetPpm = 1000000L).orderBy("source").collect()
+      .map(_.getAs[Long]("alloc")).toSeq
+    assert(full === Seq(10L, 20L, 70L))
+
+    // fuzz: integer waterline solver on random masses
+    def scalarSolve(ns: Seq[Long], b: Long): Seq[Long] = {
+      val sorted = ns.sorted
+      var lam = Long.MaxValue
+      var pk = 0L
+      for (k <- sorted.indices if lam == Long.MaxValue) {
+        val cand = (b - pk) / (sorted.size - k)
+        val prev = if (k == 0) 0L else sorted(k - 1)
+        if (prev <= cand && cand < sorted(k)) lam = cand
+        pk += sorted(k)
+      }
+      ns.map(n => math.min(n, lam))
+    }
+    for (seed <- 1 to 5) {
+      val ns = (0 until 8).map(i => ((seed * 31 + i * 17) % 97 + 1).toLong)
+      val tot = ns.sum
+      val df = ns.zipWithIndex.map { case (n, i) => (f"s$i%02d", n) }
+        .toDF("src", "w")
+      val got = Curate.budgetWaterfill(df, col("src"), col("w"), 600000L)
+        .orderBy("source").collect().map(_.getAs[Long]("alloc")).toSeq
+      val want = scalarSolve(ns, tot * 600000L / 1000000L)
+      assert(got === want, s"seed $seed: $ns")
+    }
+  }
+
   test("poissonBootstrap: empty input yields empty output, one-row input guarded") {
     val empty = Seq.empty[(Long, Double)].toDF("id", "v")
     assert(Stats.poissonBootstrap(empty, col("id"), col("v"), 4).count() === 0L)

@@ -82,6 +82,55 @@ class ExperimentSpec extends AnyFunSuite with SparkTestBase {
     assert(byArm("treat") === 7.0)
   }
 
+  test("deltaMethodRatio: matches a brute-force per-unit computation") {
+    // per-unit y totals and event counts with known moments
+    val rows = (1L to 12L).flatMap { u =>
+      (0 until (u % 3 + 1).toInt).map(j => (u, "05", u.toDouble + j))
+    }
+    val arm = (u: org.apache.spark.sql.Column) =>
+      when(pmod(u, lit(2)) === 0, "treat").otherwise("control")
+    val out = Experiment.deltaMethodRatio(ev(rows), col("user_id"),
+      col("value"), arm).orderBy("arm").collect()
+    def brute(p: Long => Boolean) = {
+      val units = (1L to 12L).filter(p).map { u =>
+        val vs = (0 until (u % 3 + 1).toInt).map(j => u.toDouble + j)
+        (vs.sum, vs.size.toDouble)
+      }
+      val n = units.size.toDouble
+      val sy = units.map(_._1).sum; val sm = units.map(_._2).sum
+      val my = sy / n; val mm = sm / n
+      val vy = units.map(u => u._1 * u._1).sum / n - my * my
+      val vm = units.map(u => u._2 * u._2).sum / n - mm * mm
+      val cv = units.map(u => u._1 * u._2).sum / n - my * mm
+      val r = sy / sm
+      (r, (vy - 2 * r * cv + r * r * vm) / (n * mm * mm))
+    }
+    val byArm = out.map(r => r.getString(0) -> r).toMap
+    for ((name, p) <- Seq("control" -> ((u: Long) => u % 2 == 1),
+        "treat" -> ((u: Long) => u % 2 == 0))) {
+      val (r, v) = brute(p)
+      assert(math.abs(byArm(name).getAs[Double]("ratio") - r) < 1e-6, name)
+      assert(math.abs(byArm(name).getAs[Double]("var_ratio") - v) < 1e-6, name)
+    }
+  }
+
+  test("diffInDiff: recovers a planted treatment effect exactly") {
+    // base level 10, time trend +2 for everyone, +5 extra for treated post
+    val rows =
+      (1L to 20L).map(u => (u, "05", 10.0)) ++
+      (1L to 20L).map(u => (u, "15",
+        12.0 + (if (u % 2 == 0) 5.0 else 0.0)))
+    val arm = (u: org.apache.spark.sql.Column) =>
+      when(pmod(u, lit(2)) === 0, "treat").otherwise("control")
+    val r = Experiment.diffInDiff(ev(rows), col("user_id"), col("ts"),
+      col("value"), cutoff, arm).collect().head
+    assert(r.getAs[Double]("ctrl_pre") === 10.0)
+    assert(r.getAs[Double]("ctrl_post") === 12.0)
+    assert(r.getAs[Double]("treat_post") === 17.0)
+    assert(r.getAs[Double]("dd") === 5.0) // the trend cancels
+    assert(r.getAs[Long]("n_total") === 40L)
+  }
+
   test("cohenKappa: perfect agreement gives kappa 1") {
     val df = Seq(("a", "a"), ("b", "b"), ("a", "a")).toDF("x", "y")
     val r = Experiment.cohenKappa(df, col("x"), col("y")).collect().head
