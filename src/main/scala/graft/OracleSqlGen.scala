@@ -1018,6 +1018,35 @@ object OracleSqlGen {
         FROM c GROUP BY b ORDER BY b"""
   }
 
+  /** Mirrors Experiment.powerMde — K = (z_{1−α/2}+z_{1−β})² prints from
+    * the SAME Scala double (shortest-roundtrip repr, so DuckDB parses the
+    * identical value), moments and grid expressions in the same order.
+    */
+  def powerMde(pcts: Seq[Int]): String = {
+    val k = graft.pipeline.Experiment.powerK80
+    val grid = pcts.mkString(", ")
+    s"""WITH pu AS (
+          SELECT user_id,
+              CAST(coalesce(sum(CAST(value AS DECIMAL(18,2))), 0)
+                AS DECIMAL(18,2)) AS y
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        m AS (
+          SELECT count(*) AS n, CAST(sum(y) AS DOUBLE) AS sy,
+              CAST(sum(y * y) AS DOUBLE) AS syy
+          FROM pu),
+        g AS (SELECT unnest([$grid]) AS mde_pct)
+        SELECT mde_pct,
+            round(sy / CAST(n AS DOUBLE) * CAST(mde_pct AS DOUBLE) / 100.0, 6)
+              AS mde_abs,
+            CAST(ceil($k * 2.0
+              * (syy / CAST(n AS DOUBLE)
+                - (sy / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)))
+              / ((sy / CAST(n AS DOUBLE) * CAST(mde_pct AS DOUBLE) / 100.0)
+                * (sy / CAST(n AS DOUBLE) * CAST(mde_pct AS DOUBLE) / 100.0)))
+              AS BIGINT) AS n_per_arm
+        FROM m CROSS JOIN g ORDER BY mde_pct"""
+  }
+
   /** Mirrors SearchIndex.rankingEval over the per-term BM25 scores:
     * graded rel = least(tf, 3), ranking (iscore desc, doc_id), nDCG@k in
     * fixed point with the SAME [[graft.pipeline.SearchIndex.dcgWeights]]

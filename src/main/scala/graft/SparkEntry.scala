@@ -5676,6 +5676,17 @@ object SparkEntry {
         lit("2024-01-16").cast("timestamp"))
         .orderBy("n_total")),
 
+    // Power analysis on the live metric: units per arm for a 1/2/5/10%
+    // MDE at alpha 0.05 / power 0.8 — n = ceil(K*2*var/delta^2) from one
+    // exact-decimal moment pass over the same per-unit metric q_cuped
+    // reads (K is a Scala constant inlined into both engines). The "how
+    // long must this test run" readout.
+    "q_power_mde" -> ((s, d) =>
+      graft.pipeline.Experiment.powerMde(
+        events(s, d).filter(col("event_type") === "purchase"),
+        col("user_id"), col("value"))
+        .orderBy("mde_pct")),
+
     // Cohen's kappa between two deterministic document labelings (char-
     // length bands vs whitespace-token bands) — the inter-annotator
     // agreement gate of a labeling pipeline. κ from exact integer
@@ -9558,6 +9569,7 @@ object SparkEntry {
                ELSE least(n_tok, coalesce(lam, 9223372036854775807))
                  * 1000000 // n_tok END AS BIGINT) AS rate_ppm
          FROM r2 CROSS JOIN l ORDER BY source""",
+    "q_power_mde" -> OracleSqlGen.powerMde(Seq(1, 2, 5, 10)),
     // Cohen's kappa: integer confusion-matrix cells; po/pe/kappa as the
     // identical scalar double expressions.
     "q_cohen_kappa" ->

@@ -200,6 +200,45 @@ object Experiment {
           - (col("ctrl_post") - col("ctrl_pre")), 6).as("dd"))
   }
 
+  /** (z_{1−α/2} + z_{1−β})² for α = 0.05, power = 0.8 — the constant of
+    * the two-sample power formula, fixed here in Scala (the z-values are
+    * universal constants, not data) and inlined as ONE double literal
+    * into both the Spark plan and the DuckDB oracle.
+    */
+  val powerK80: Double = {
+    val z975 = 1.959963984540054; val z80 = 0.8416212335729143
+    (z975 + z80) * (z975 + z80)
+  }
+
+  /** Power analysis over the live metric: per candidate MDE (as a % of
+    * the current per-unit mean), the required units per arm
+    * n = ⌈K · 2σ² / δ²⌉ with σ², mean from ONE exact-decimal moment pass
+    * over the per-unit metric — the "how long must this test run" readout
+    * computed from the same sufficient statistics as [[cuped]].
+    */
+  def powerMde(events: DataFrame, unit: Column, value: Column,
+      mdePcts: Seq[Int] = Seq(1, 2, 5, 10), k: Double = powerK80): DataFrame = {
+    require(mdePcts.nonEmpty && mdePcts.forall(_ > 0), "MDE grid must be positive")
+    val perUnit = events.groupBy(unit.as("unit"))
+      .agg(coalesce(sum(dec(value)), lit(0).cast(DecimalType(18, 2)))
+        .cast(DecimalType(18, 2)).as("y"))
+    val m = perUnit.agg(
+      count(lit(1)).as("n"),
+      sum(col("y")).as("sy"), sum(col("y") * col("y")).as("syy"))
+    val n = col("n").cast("double")
+    val mean = col("sy").cast("double") / n
+    val varY = col("syy").cast("double") / n - mean * mean
+    val grid = mdePcts.map { p =>
+      val delta = mean * lit(p.toDouble) / lit(100.0)
+      struct(lit(p).as("mde_pct"), round(delta, 6).as("mde_abs"),
+        ceil(lit(k) * lit(2.0) * varY / (delta * delta)).cast("long")
+          .as("n_per_arm"))
+    }
+    m.select(explode(array(grid: _*)).as("g"))
+      .select(col("g.mde_pct").as("mde_pct"), col("g.mde_abs").as("mde_abs"),
+        col("g.n_per_arm").as("n_per_arm"))
+  }
+
   /** Cohen's kappa between two categorical labelings of the same rows —
     * the inter-annotator-agreement gate of a labeling pipeline (two model
     * versions, or model vs heuristic). κ = (p_o − p_e)/(1 − p_e) with p_e

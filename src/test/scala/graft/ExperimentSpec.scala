@@ -131,6 +131,24 @@ class ExperimentSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getAs[Long]("n_total") === 40L)
   }
 
+  test("powerMde: matches the closed form, shrinks quadratically with MDE") {
+    val rows = (1L to 30L).map(u => (u, "05", (u % 7 + 1).toDouble))
+    val out = Experiment.powerMde(ev(rows), col("user_id"), col("value"),
+      mdePcts = Seq(1, 2, 5, 10)).orderBy("mde_pct").collect()
+    val ys = (1L to 30L).map(u => (u % 7 + 1).toDouble)
+    val n = ys.size.toDouble
+    val mean = ys.sum / n
+    val v = ys.map(y => y * y).sum / n - mean * mean
+    for (r <- out) {
+      val delta = mean * r.getAs[Int]("mde_pct") / 100.0
+      val want = math.ceil(Experiment.powerK80 * 2.0 * v / (delta * delta)).toLong
+      assert(r.getAs[Long]("n_per_arm") === want, s"pct ${r.getAs[Int]("mde_pct")}")
+    }
+    // halving the MDE quadruples the required sample
+    val byPct = out.map(r => r.getAs[Int]("mde_pct") -> r.getAs[Long]("n_per_arm")).toMap
+    assert(math.abs(byPct(1).toDouble / byPct(2) - 4.0) < 0.01)
+  }
+
   test("cohenKappa: perfect agreement gives kappa 1") {
     val df = Seq(("a", "a"), ("b", "b"), ("a", "a")).toDF("x", "y")
     val r = Experiment.cohenKappa(df, col("x"), col("y")).collect().head
