@@ -1018,6 +1018,68 @@ object OracleSqlGen {
         FROM c GROUP BY b ORDER BY b"""
   }
 
+  /** Mirrors Experiment.bhFdr — the same Scala-minted BH critical-z
+    * literals, the same Welch-z moment trees, the same step-up windows.
+    */
+  def bhFdr(groups: Seq[String], alpha: Double = 0.05): String = {
+    val zc = graft.pipeline.Experiment.bhCriticalZ(groups.size, alpha)
+    val inList = groups.map(g => s"'$g'").mkString(", ")
+    val critCase = "CASE " + zc.zipWithIndex
+      .map { case (c, i) => s"WHEN rnk = ${i + 1} THEN $c" }
+      .mkString(" ") + " END"
+    s"""WITH c AS (
+          SELECT event_type AS grp,
+              CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 2) < '80'
+                THEN 1 ELSE 0 END AS is_t,
+              CAST(value AS DECIMAL(18,2)) AS v
+          FROM events WHERE event_type IN ($inList)),
+        m AS (
+          SELECT grp,
+              sum(CASE WHEN is_t = 1 THEN 1 ELSE 0 END) AS n_t,
+              sum(CASE WHEN is_t = 1 THEN v END) AS sy_t,
+              sum(CASE WHEN is_t = 1 THEN v * v END) AS ss_t,
+              sum(CASE WHEN is_t = 0 THEN 1 ELSE 0 END) AS n_c,
+              sum(CASE WHEN is_t = 0 THEN v END) AS sy_c,
+              sum(CASE WHEN is_t = 0 THEN v * v END) AS ss_c
+          FROM c GROUP BY grp),
+        zt AS (
+          SELECT grp, n_t, n_c,
+              CASE WHEN n_t = 0 OR n_c = 0 THEN 0.0
+              WHEN (CAST(ss_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+                  - (CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE))
+                    * (CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE)))
+                / CAST(n_t AS DOUBLE)
+                + (CAST(ss_c AS DOUBLE) / CAST(n_c AS DOUBLE)
+                  - (CAST(sy_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+                    * (CAST(sy_c AS DOUBLE) / CAST(n_c AS DOUBLE)))
+                / CAST(n_c AS DOUBLE) = 0.0 THEN 0.0
+              ELSE (CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+                  - CAST(sy_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+                / sqrt((CAST(ss_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+                    - (CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE))
+                      * (CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE)))
+                  / CAST(n_t AS DOUBLE)
+                  + (CAST(ss_c AS DOUBLE) / CAST(n_c AS DOUBLE)
+                    - (CAST(sy_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+                      * (CAST(sy_c AS DOUBLE) / CAST(n_c AS DOUBLE)))
+                  / CAST(n_c AS DOUBLE))
+              END AS z
+          FROM m),
+        r AS (
+          SELECT grp, n_t, n_c, z,
+              row_number() OVER (ORDER BY abs(z) DESC, grp) AS rnk
+          FROM zt),
+        r2 AS (SELECT r.*, $critCase AS z_crit FROM r),
+        ks AS (
+          SELECT max(CASE WHEN abs(z) >= z_crit THEN rnk END) AS kstar
+          FROM r2)
+        SELECT grp, CAST(n_t AS BIGINT) AS n_t, CAST(n_c AS BIGINT) AS n_c,
+            round(z, 6) AS z, CAST(rnk AS BIGINT) AS rank,
+            round(z_crit, 6) AS z_crit,
+            rnk <= coalesce(kstar, 0) AS rejected
+        FROM r2 CROSS JOIN ks ORDER BY rank"""
+  }
+
   /** Mirrors Experiment.powerMde — K = (z_{1−α/2}+z_{1−β})² prints from
     * the SAME Scala double (shortest-roundtrip repr, so DuckDB parses the
     * identical value), moments and grid expressions in the same order.

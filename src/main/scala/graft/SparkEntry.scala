@@ -5676,6 +5676,19 @@ object SparkEntry {
         lit("2024-01-16").cast("timestamp"))
         .orderBy("n_total")),
 
+    // Benjamini-Hochberg FDR across the five per-event-type z-tests: the
+    // multiple-testing gate a multi-metric readout needs. Welch z from
+    // exact decimal moments; rank by |z| desc; step-up rejects ranks
+    // 1..k* against Scala-minted critical-z literals (no per-row inverse
+    // normal anywhere). Everything past one grouped aggregate is an O(m)
+    // frame.
+    "q_bh_fdr" -> ((s, d) =>
+      graft.pipeline.Experiment.bhFdr(
+        events(s, d), col("event_type"), col("value"),
+        groups = Seq("click", "error", "purchase", "signup", "view"),
+        alpha = 0.05, unit = col("user_id"))
+        .orderBy("rank")),
+
     // Power analysis on the live metric: units per arm for a 1/2/5/10%
     // MDE at alpha 0.05 / power 0.8 — n = ceil(K*2*var/delta^2) from one
     // exact-decimal moment pass over the same per-unit metric q_cuped
@@ -9570,6 +9583,8 @@ object SparkEntry {
                  * 1000000 // n_tok END AS BIGINT) AS rate_ppm
          FROM r2 CROSS JOIN l ORDER BY source""",
     "q_power_mde" -> OracleSqlGen.powerMde(Seq(1, 2, 5, 10)),
+    "q_bh_fdr" -> OracleSqlGen.bhFdr(
+      Seq("click", "error", "purchase", "signup", "view"), alpha = 0.05),
     // Cohen's kappa: integer confusion-matrix cells; po/pe/kappa as the
     // identical scalar double expressions.
     "q_cohen_kappa" ->

@@ -239,6 +239,97 @@ object Experiment {
         col("g.n_per_arm").as("n_per_arm"))
   }
 
+  /** Φ⁻¹ (standard normal quantile) by Acklam's rational approximation
+    * (~1e-9 relative error) — runs ONLY in Scala, to mint the critical-z
+    * literals both engines share. Never evaluated per row.
+    */
+  def inverseNormalCdf(p: Double): Double = {
+    require(p > 0.0 && p < 1.0, "p must be in (0,1)")
+    val a = Seq(-3.969683028665376e+01, 2.209460984245205e+02,
+      -2.759285104469687e+02, 1.383577518672690e+02,
+      -3.066479806614716e+01, 2.506628277459239e+00)
+    val b = Seq(-5.447609879822406e+01, 1.615858368580409e+02,
+      -1.556989798598866e+02, 6.680131188771972e+01, -1.328068155288572e+01)
+    val c = Seq(-7.784894002430293e-03, -3.223964580411365e-01,
+      -2.400758277161838e+00, -2.549732539343734e+00,
+      4.374664141464968e+00, 2.938163982698783e+00)
+    val dd = Seq(7.784695709041462e-03, 3.224671290700398e-01,
+      2.445134137142996e+00, 3.754408661907416e+00)
+    val pLow = 0.02425
+    if (p < pLow) {
+      val q = math.sqrt(-2 * math.log(p))
+      (((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((dd(0) * q + dd(1)) * q + dd(2)) * q + dd(3)) * q + 1)
+    } else if (p <= 1 - pLow) {
+      val q = p - 0.5; val r = q * q
+      (((((a(0) * r + a(1)) * r + a(2)) * r + a(3)) * r + a(4)) * r + a(5)) * q /
+        (((((b(0) * r + b(1)) * r + b(2)) * r + b(3)) * r + b(4)) * r + 1)
+    } else {
+      -inverseNormalCdf(1 - p)
+    }
+  }
+
+  /** BH critical z-values: the k-th ranked test (by |z| desc ⇔ p asc)
+    * rejects under Benjamini–Hochberg iff |z_k| ≥ Φ⁻¹(1 − kα/(2m)) for
+    * some k' ≥ k's step-up — constants minted here, inlined into both
+    * engines.
+    */
+  def bhCriticalZ(m: Int, alpha: Double = 0.05): Seq[Double] =
+    (1 to m).map(k => inverseNormalCdf(1.0 - k * alpha / (2.0 * m)))
+
+  /** Benjamini–Hochberg FDR across a FAMILY of two-sample z-tests (one
+    * per metric group): the multiple-testing gate an experiment readout
+    * needs once it reports more than one metric. Per group, Welch z from
+    * exact decimal moments; tests rank by |z| desc (⇔ p asc) and the
+    * step-up rule rejects ranks 1..k* where k* is the largest k with
+    * |z_k| ≥ the k-th critical z. Everything after the one grouped
+    * aggregate runs on an O(m) frame.
+    */
+  def bhFdr(events: DataFrame, group: Column, value: Column,
+      groups: Seq[String], alpha: Double = 0.05,
+      arm: Column => Column = hashArm, unit: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(groups.nonEmpty, "need at least one test")
+    val zc = bhCriticalZ(groups.size, alpha)
+    val isT = arm(unit) === "treat"
+    val v = dec(value)
+    val cells = events.filter(group.isin(groups: _*))
+      .groupBy(group.as("grp"))
+      .agg(
+        sum(when(isT, 1L).otherwise(0L)).as("n_t"),
+        sum(when(isT, v)).as("sy_t"), sum(when(isT, v * v)).as("ss_t"),
+        sum(when(!isT, 1L).otherwise(0L)).as("n_c"),
+        sum(when(!isT, v)).as("sy_c"), sum(when(!isT, v * v)).as("ss_c"))
+    val nT = col("n_t").cast("double"); val nC = col("n_c").cast("double")
+    val mT = col("sy_t").cast("double") / nT
+    val mC = col("sy_c").cast("double") / nC
+    val vT = col("ss_t").cast("double") / nT - mT * mT
+    val vC = col("ss_c").cast("double") / nC - mC * mC
+    // a degenerate family member (an empty arm, or zero variance in both
+    // arms — constant metric) carries no evidence: z = 0, never a 0/0
+    val z = when(col("n_t") === 0 || col("n_c") === 0, lit(0.0))
+      .when(vT / nT + vC / nC === 0.0, lit(0.0))
+      .otherwise((mT - mC) / sqrt(vT / nT + vC / nC))
+    val w = Window.orderBy(desc("abs_z"), asc("grp"))
+    val zcrit = zc.zipWithIndex.foldLeft(lit(Double.NaN)) {
+      case (acc, (c, i)) => when(col("rank") === (i + 1), lit(c)).otherwise(acc)
+    }
+    val ranked = cells
+      .select(col("grp"), col("n_t"), col("n_c"), z.as("z"), abs(z).as("abs_z"))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("z_crit", zcrit)
+      .withColumn("_pass", col("abs_z") >= col("z_crit"))
+    val all = Window.orderBy("rank")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked
+      .withColumn("_kstar",
+        max(when(col("_pass"), col("rank"))).over(all))
+      .select(col("grp"), col("n_t"), col("n_c"),
+        round(col("z"), 6).as("z"), col("rank").cast("long").as("rank"),
+        round(col("z_crit"), 6).as("z_crit"),
+        (col("rank") <= coalesce(col("_kstar"), lit(0))).as("rejected"))
+  }
+
   /** Cohen's kappa between two categorical labelings of the same rows —
     * the inter-annotator-agreement gate of a labeling pipeline (two model
     * versions, or model vs heuristic). κ = (p_o − p_e)/(1 − p_e) with p_e

@@ -149,6 +149,50 @@ class ExperimentSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(byPct(1).toDouble / byPct(2) - 4.0) < 0.01)
   }
 
+  test("inverseNormalCdf: textbook quantiles to 1e-8") {
+    assert(math.abs(Experiment.inverseNormalCdf(0.975) - 1.959963984540054) < 1e-8)
+    assert(math.abs(Experiment.inverseNormalCdf(0.995) - 2.5758293035489004) < 1e-8)
+    assert(math.abs(Experiment.inverseNormalCdf(0.5)) < 1e-12)
+    assert(math.abs(Experiment.inverseNormalCdf(0.025) + 1.959963984540054) < 1e-8)
+    // tail branch
+    assert(math.abs(Experiment.inverseNormalCdf(0.001) + 3.090232306167813) < 1e-7)
+  }
+
+  test("bhFdr: planted effect rejected, null groups spared, step-up order respected") {
+    // groups A (huge effect), B (none), C (none); many units for power
+    val arm = (u: org.apache.spark.sql.Column) =>
+      when(pmod(u, lit(2)) === 0, "treat").otherwise("control")
+    val rows = (1L to 400L).flatMap { u =>
+      val t = u % 2 == 0
+      Seq(
+        (u, "A", if (t) 30.0 + (u % 5) else 10.0 + (u % 5)),
+        (u, "B", 20.0 + (u % 7)),
+        (u, "C", 15.0 + (u % 3)))
+    }.map { case (u, g, v) => (u, g, v) }
+    val df = rows.toDF("user_id", "grp", "value")
+    val out = Experiment.bhFdr(df, col("grp"), col("value"),
+      groups = Seq("A", "B", "C"), alpha = 0.05, arm, col("user_id"))
+      .orderBy("rank").collect()
+    val byGrp = out.map(r => r.getString(0) -> r).toMap
+    assert(byGrp("A").getAs[Boolean]("rejected"), "the planted effect must reject")
+    assert(byGrp("A").getAs[Long]("rank") === 1L)
+    assert(!byGrp("B").getAs[Boolean]("rejected"))
+    assert(!byGrp("C").getAs[Boolean]("rejected"))
+    // critical z's strictly decrease down the ranking (the step-up ladder)
+    val crits = out.map(_.getAs[Double]("z_crit"))
+    assert(crits.sliding(2).forall(p => p(0) > p(1)))
+  }
+
+  test("bhFdr: all-null family rejects nothing") {
+    val arm = (u: org.apache.spark.sql.Column) =>
+      when(pmod(u, lit(2)) === 0, "treat").otherwise("control")
+    val rows = (1L to 200L).flatMap(u => Seq((u, "A", 5.0), (u, "B", 7.0)))
+    val out = Experiment.bhFdr(rows.toDF("user_id", "grp", "value"),
+      col("grp"), col("value"), Seq("A", "B"), 0.05, arm, col("user_id"))
+      .collect()
+    assert(out.forall(!_.getAs[Boolean]("rejected")))
+  }
+
   test("cohenKappa: perfect agreement gives kappa 1") {
     val df = Seq(("a", "a"), ("b", "b"), ("a", "a")).toDF("x", "y")
     val r = Experiment.cohenKappa(df, col("x"), col("y")).collect().head
