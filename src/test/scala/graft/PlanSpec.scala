@@ -559,6 +559,17 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"purchase filter not pushed:\n$p")
   }
 
+  test("q_power_mde / q_bh_fdr: one events scan, family logic on the tiny frame") {
+    for (n <- Seq("q_power_mde", "q_bh_fdr")) {
+      val p = plan(n)
+      val tree = p.split("\n\n").head
+      assert("Scan parquet".r.findAllIn(tree).length == 1,
+        s"$n must read events exactly once:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"$n: nothing may join at data scale:\n$p")
+    }
+  }
+
   test("source_orc_events: column pruning reaches the ORC reader") {
     val p = plan("source_orc_events")
     // the aggregate touches 3 of 6 declared columns — props/ts/event_id
