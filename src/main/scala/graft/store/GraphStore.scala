@@ -74,13 +74,56 @@ class GraphStore(spark: SparkSession, val root: String, numBuckets: Int = 16,
     */
   def initialize(): Unit = withWriteLock {
     val missing = Tables.filter(t => currentSnapshot(t).isEmpty)
-    if (missing.nonEmpty)
-      commitBuckets(missing.map(t => t -> BucketWrite(Set.empty, null)).toMap)
+    if (missing.nonEmpty) {
+      // a store whose relations table has never held a row is born with an
+      // in-sync (empty) reverse-edge index — set the `revsync` marker in
+      // the SAME bootstrap commit so fresh stores keep a single-version
+      // manifest history (time-travel consumers count store versions)
+      val marker =
+        if (currentSnapMap("relations").isEmpty &&
+          !readManifest().exists(_.contains("revsync")))
+          Map("revsync" -> "1")
+        else Map.empty[String, String]
+      commitBuckets(missing.map(t => t -> BucketWrite(Set.empty, null)).toMap,
+        extraManifest = marker)
+    }
+    ensureRevIndex() // no-op except when migrating a pre-rev-index store
+  }
+
+  /** Bring the TARGET-bucketed reverse-edge index (`relations_rev`) in sync
+    * with `relations`, once per store lifetime: a no-op when the manifest
+    * carries the `revsync` marker (every relations-writing commit maintains
+    * both tables from then on). A store written before the index existed is
+    * migrated here with ONE full re-bucketing commit of the relations
+    * content — the only O(table) pass the index ever costs; after it,
+    * `deleteEntity`'s in-edge discovery is a single pruned-file read
+    * instead of a full projected scan of relations.
+    */
+  def ensureRevIndex(): Unit = withWriteLock {
+    if (readManifest().exists(_.contains("revsync"))) return
+    require(currentSnapshot("relations").isDefined,
+      "Table relations not initialized — call initialize() first")
+    if (currentSnapMap("relations").isEmpty)
+      // no relations row was ever committed: empty index is already in sync
+      commitBuckets(Map("relations_rev" -> BucketWrite(Set.empty, null)),
+        extraManifest = Map("revsync" -> "1"))
+    else
+      // full rebuild into the generation-0 grid, retiring any stale rev
+      // buckets; one atomic commit, after which the mirror is incremental
+      commitBuckets(Map("relations_rev" -> BucketWrite(
+        (0 until bucketCount).map(Bucket(0, _)).toSet,
+        alignTo(RelationsSchema, relations),
+        retired = currentSnapMap("relations_rev").keySet)),
+        extraManifest = Map("revsync" -> "1"))
   }
 
   def entities: DataFrame = readTable("entities")
   def observations: DataFrame = readTable("observations")
   def relations: DataFrame = readTable("relations")
+  /** The reverse-edge index: same rows as [[relations]], bucketed by
+    * `target` (exposed for specs/ops; queries should read [[relations]]).
+    */
+  private[graft] def relationsRev: DataFrame = readTable("relations_rev")
 
   // ── time travel over the versioned store ────────────────────────────────
 
@@ -133,7 +176,7 @@ class GraphStore(spark: SparkSession, val root: String, numBuckets: Int = 16,
       case "observations" => Seq("id")
       // parallel relations are exact-duplicate-free per (source, target,
       // type) only if callers keep them so; pass keyOverride otherwise
-      case "relations" => Seq("source", "target", "relation_type")
+      case "relations" | "relations_rev" => Seq("source", "target", "relation_type")
       case other => throw new IllegalArgumentException(s"Unknown table: $other")
     }
     val (oldDirs, newDirs) = changedBucketDirs(table, fromVersion, toVersion)
@@ -174,7 +217,9 @@ class GraphStore(spark: SparkSession, val root: String, numBuckets: Int = 16,
   private def schemaFor(table: String): StructType = table match {
     case "entities" => EntitiesSchema
     case "observations" => ObservationsSchema
-    case "relations" => RelationsSchema
+    // relations_rev is the reverse-edge index: SAME rows as relations
+    // (an exact 1:1 mirror), bucketed by `target` instead of `source`
+    case "relations" | "relations_rev" => RelationsSchema
     case other => throw new IllegalArgumentException(s"Unknown table: $other")
   }
 
@@ -186,6 +231,7 @@ class GraphStore(spark: SparkSession, val root: String, numBuckets: Int = 16,
     case "entities" => "name"
     case "observations" => "entity_name"
     case "relations" => "source"
+    case "relations_rev" => "target"
     case other => throw new IllegalArgumentException(s"Unknown table: $other")
   }
 
@@ -422,19 +468,31 @@ class GraphStore(spark: SparkSession, val root: String, numBuckets: Int = 16,
         "Relation source/target/type cannot be empty")
       Relation(from, to, tpe)
     }
-    import spark.implicits._
+    ensureRevIndex()
     val relBuckets = currentSnapMap("relations").keySet
+    val revBuckets = currentSnapMap("relations_rev").keySet
     val touched = cleaned.map(r => owningBucket(relBuckets, r.from)).toSet
+    val touchedRev = cleaned.map(r => owningBucket(revBuckets, r.to)).toSet
     val base = nextIdBase("relations", relations)
-    val fresh = cleaned.map(r => (r.from, r.to, r.relationType))
-      .toDF("source", "target", "relation_type")
-      .withColumn("id", monotonically_increasing_id() + lit(base + 1))
-      .withColumn("created_at", current_timestamp())
-    commitBuckets(Map("relations" -> BucketWrite(touched,
-      alignTo(RelationsSchema,
-        readTableBuckets("relations", touched)
-          .unionByName(alignTo(RelationsSchema, fresh))))),
-      Map("relations" -> maxIdOf(fresh, base)))
+    // the batch is materialized as LITERAL rows (ids and timestamp assigned
+    // driver-side, bounded by the ≤100 cap): the forward and reverse-index
+    // commits each run their own Spark job over this frame, and a
+    // monotonically_increasing_id()/current_timestamp() plan would evaluate
+    // DIFFERENTLY per job, breaking the fwd ≡ rev mirror invariant
+    val now = new java.sql.Timestamp(System.currentTimeMillis())
+    val rows = cleaned.zipWithIndex.map { case (r, i) =>
+      Row(base + 1 + i, r.from, r.to, r.relationType, now)
+    }
+    import scala.jdk.CollectionConverters._
+    val fresh = spark.createDataFrame(rows.asJava, RelationsSchema)
+    commitBuckets(Map(
+      "relations" -> BucketWrite(touched,
+        alignTo(RelationsSchema,
+          readTableBuckets("relations", touched).unionByName(fresh))),
+      "relations_rev" -> BucketWrite(touchedRev,
+        alignTo(RelationsSchema,
+          readTableBuckets("relations_rev", touchedRev).unionByName(fresh)))),
+      Map("relations" -> (base + cleaned.size)))
   }
 
   /** W5 cascading delete (client.ts:340-380): observations by entity_name,
@@ -445,33 +503,50 @@ class GraphStore(spark: SparkSession, val root: String, numBuckets: Int = 16,
     * Bucket accounting: entities and observations are keyed by the deleted
     * name → exactly one bucket each. Relations are bucketed by SOURCE, so
     * source-side rows live in bucket(name), but target-side rows live in
-    * their own sources' buckets — those are discovered with one read-only
-    * pushed-filter scan projecting just the bucket id, and only buckets
-    * actually containing matching rows are rewritten (for a typical
-    * entity's edge list: a handful). The scan is O(table-read) but the
-    * REWRITE stays O(touched buckets) — the part that matters at 100 TB,
-    * where a write costs far more than a projected scan.
+    * their own sources' buckets — those are discovered from the
+    * TARGET-bucketed reverse-edge index (`relations_rev`, an exact mirror
+    * of relations bucketed by `target`): in-edges of `name` all live in
+    * rev-bucket(name), file-pruned by the `_FILESTATS` sidecar like a
+    * point lookup, so discovery reads O(1 file) instead of the pre-round-11
+    * full projected scan of relations. Symmetrically, the rev rows of
+    * `name`'s OUT-edges live in their targets' rev buckets, discovered
+    * from fwd-bucket(name) (also one pruned read). Both discovery probes
+    * collect only distinct bucket tokens (≤B rows), and the REWRITE stays
+    * O(touched buckets) across both tables under the same manifest flip.
     */
   def deleteEntity(name: String): Unit = withWriteLock {
+    ensureRevIndex()
     val nbE = owningBucket(currentSnapMap("entities").keySet, name)
     val nbO = owningBucket(currentSnapMap("observations").keySet, name)
     val relSnapBuckets = currentSnapMap("relations").keySet
+    val revSnapBuckets = currentSnapMap("relations_rev").keySet
     val nbR = owningBucket(relSnapBuckets, name)
+    val nbRev = owningBucket(revSnapBuckets, name)
     val entBucket = readTableBuckets("entities", Set(nbE))
     // existence probe on the file-pruned read; the rewrite keeps the bucket
     if (!GraphOps.entityExists(readTableKeys("entities", Seq(name)), name))
       throw new NoSuchElementException(s"Entity not found: $name")
-    val targetSideBuckets = relations.filter(col("target") === name)
+    // in-edge discovery: ONE pruned file of rev-bucket(name), never a scan
+    val targetSideBuckets = readTableKeys("relations_rev", Seq(name))
+      .filter(col("target") === name)
       .select(bucketTokenCol(relSnapBuckets, col("source")).as("b")).distinct()
       .collect().map(r => Bucket.fromToken(r.getString(0))).toSet
+    // out-edge rev cleanup: targets of name's out-edges → their rev buckets
+    val sourceSideRevBuckets = readTableKeys("relations", Seq(name))
+      .filter(col("source") === name)
+      .select(bucketTokenCol(revSnapBuckets, col("target")).as("b")).distinct()
+      .collect().map(r => Bucket.fromToken(r.getString(0))).toSet
     val relTouched = targetSideBuckets + nbR
+    val revTouched = sourceSideRevBuckets + nbRev
+    val keep = !(col("source") === name || col("target") === name)
     commitBuckets(Map(
       "observations" -> BucketWrite(Set(nbO),
         readTableBuckets("observations", Set(nbO))
           .filter(col("entity_name") =!= name)),
       "relations" -> BucketWrite(relTouched,
-        readTableBuckets("relations", relTouched)
-          .filter(!(col("source") === name || col("target") === name))),
+        readTableBuckets("relations", relTouched).filter(keep)),
+      "relations_rev" -> BucketWrite(revTouched,
+        readTableBuckets("relations_rev", revTouched).filter(keep)),
       "entities" -> BucketWrite(Set(nbE),
         entBucket.filter(col("name") =!= name))))
   }
@@ -480,16 +555,22 @@ class GraphStore(spark: SparkSession, val root: String, numBuckets: Int = 16,
     * The probe and the rewrite both touch only bucket(from).
     */
   def deleteRelation(from: String, to: String, relationType: String): Unit = withWriteLock {
+    ensureRevIndex()
     val cond = col("source") === from && col("target") === to &&
       col("relation_type") === relationType
     val b = Set(owningBucket(currentSnapMap("relations").keySet, from))
+    val bRev = Set(owningBucket(currentSnapMap("relations_rev").keySet, to))
     val bucket = readTableBuckets("relations", b)
     // the existence probe prunes to the file(s) whose source range can hold
-    // `from`; the rewrite below still reads the whole (one) bucket
+    // `from`; the rewrite below still reads the whole (one) bucket — plus
+    // the ONE rev bucket keyed by `to`, under the same manifest flip
     val n = readTableKeys("relations", Seq(from)).filter(cond).limit(1).count()
     if (n == 0) throw new NoSuchElementException(
       s"Relation not found: $from -$relationType-> $to")
-    commitBuckets(Map("relations" -> BucketWrite(b, bucket.filter(!cond))))
+    commitBuckets(Map(
+      "relations" -> BucketWrite(b, bucket.filter(!cond)),
+      "relations_rev" -> BucketWrite(bRev,
+        readTableBuckets("relations_rev", bRev).filter(!cond))))
   }
 
   // ── storage: bucketed CoW parquet with one atomic manifest flip ─────────
@@ -696,7 +777,8 @@ class GraphStore(spark: SparkSession, val root: String, numBuckets: Int = 16,
     * dirs/descriptors the next vacuum removes.
     */
   private def commitBuckets(updates: Map[String, BucketWrite],
-      maxIds: Map[String, Long] = Map.empty): Unit = {
+      maxIds: Map[String, Long] = Map.empty,
+      extraManifest: Map[String, String] = Map.empty): Unit = {
     val manifest = readManifest().getOrElse(Map.empty)
     val staged = updates.map { case (t, BucketWrite(touched, content, retired)) =>
       Files.createDirectories(snapshotsDir(t))
@@ -757,7 +839,7 @@ class GraphStore(spark: SparkSession, val root: String, numBuckets: Int = 16,
           .mkString("\n").getBytes(StandardCharsets.UTF_8))
       t -> s"s$snapId"
     }
-    val merged = manifest ++ staged ++
+    val merged = manifest ++ staged ++ extraManifest ++
       maxIds.map { case (t, v) => s"maxid.$t" -> v.toString } +
       ("nbuckets" -> manifest.getOrElse("nbuckets", numBuckets.toString))
     val tmp = Paths.get(root, "_MANIFEST.tmp")
@@ -1234,7 +1316,8 @@ class GraphStore(spark: SparkSession, val root: String, numBuckets: Int = 16,
 }
 
 object GraphStore {
-  private[store] val Tables = Seq("entities", "observations", "relations")
+  private[store] val Tables =
+    Seq("entities", "observations", "relations", "relations_rev")
 
   /** A bucket address in the extendible-hashing layout: generation `g` of a
     * store initialized with B0 buckets has B0·2^g bucket slots, and a key

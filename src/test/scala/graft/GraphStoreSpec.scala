@@ -802,4 +802,100 @@ class GraphStoreSpec extends AnyFunSuite with SparkTestBase {
       assert(st.metaRowCount(t) == want(t), s"footer fallback wrong for $t")
     }
   }
+
+  /** The fwd ≡ rev mirror invariant: the reverse-edge index holds exactly
+    * the relations rows (same ids, same timestamps), just bucketed by
+    * target.
+    */
+  private def assertRevMirror(st: GraphStore): Unit = {
+    val fwd = st.relations.orderBy("id").collect().toSeq
+    val rev = st.relationsRev.orderBy("id").collect().toSeq
+    assert(fwd == rev, s"rev index diverged: fwd=$fwd rev=$rev")
+  }
+
+  test("deleteEntity in-edge discovery reads ONE pruned file of the rev index (no relations scan)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-store-").toString
+    // single bucket, 4-way split: every target shares the rev bucket, so
+    // only the per-file target-range sidecar can narrow the discovery probe
+    // (mirror of the "point lookup reads ONE file" pin)
+    val st = new GraphStore(spark, dir, numBuckets = 1, filesPerBucket = 4)
+    st.initialize()
+    val names = (1 to 200).map(i => f"e#$i%03d")
+    st.upsertEntitiesDf(
+      names.map(n => (n, "t", Seq(s"obs $n"))).toDF("name", "entity_type", "observations"))
+    // spread edges across many targets so the rev bucket splits into
+    // range-disjoint files, plus a hub with many IN-edges
+    st.createRelations((1 to 99).map(i => Relation(f"e#$i%03d", f"e#${i + 100}%03d", "next")))
+    st.createRelations((2 to 98 by 2).map(i => Relation(f"e#$i%03d", "e#100", "links")))
+    st.createRelations(Seq(Relation("e#100", "e#150", "out"))) // hub out-edge
+    assertRevMirror(st)
+    val bucketFiles = {
+      val b = new java.io.File(s"$dir/relations_rev/b0")
+      val v = b.listFiles().filter(_.getName.matches("v\\d+")).maxBy(_.getName.drop(1).toLong)
+      v.listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    assert(bucketFiles >= 2, s"split rev bucket expected, got $bucketFiles file(s)")
+    val probed = st.filesForKeys("relations_rev", Seq("e#100"))
+    assert(probed.size == 1,
+      s"in-edge discovery should prune to 1 of $bucketFiles files, got ${probed.size}")
+    st.deleteEntity("e#100")
+    assert(st.relations.filter("source = 'e#100' or target = 'e#100'").count() == 0)
+    assert(st.relationsRev.filter("source = 'e#100' or target = 'e#100'").count() == 0)
+    // untouched edges survive in both tables and the mirror holds:
+    // 99 next + 49 links + 1 out, minus 49 in-edges and 1 out-edge of e#100
+    assert(st.relations.count() == 99)
+    assertRevMirror(st)
+  }
+
+  test("rev index mirrors relations through create/delete/split/deleteRelation") {
+    val st = freshStore()
+    seed(st)
+    st.createRelations(Seq(
+      Relation("Alice", "Bob", "knows"),
+      Relation("Alice", "Bob", "mentors"), // parallel edge
+      Relation("Bob", "Acme Corp", "works_at"),
+      Relation("Alice", "Acme Corp", "works_at")))
+    assertRevMirror(st)
+    st.deleteRelation("Alice", "Bob", "mentors")
+    assertRevMirror(st)
+    assert(st.relations.count() == 3)
+    // splitting the REV table keeps contents identical (ownership-only move)
+    st.advanceGeneration("relations_rev")
+    assertRevMirror(st)
+    st.deleteEntity("Bob") // cascades through a split rev index
+    assertRevMirror(st)
+    assert(st.relations.filter("source = 'Bob' or target = 'Bob'").count() == 0)
+    assert(st.relations.count() == 1) // Alice -works_at-> Acme Corp
+  }
+
+  test("pre-round-11 store migrates: rev index backfilled once, then maintained incrementally") {
+    val st = freshStore()
+    seed(st)
+    st.createRelations(Seq(
+      Relation("Alice", "Bob", "knows"),
+      Relation("Bob", "Acme Corp", "works_at")))
+    // simulate a store written before the rev index existed: drop the rev
+    // table dir, its snapshots, and the revsync marker from the manifest
+    val root = st.root
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(s"$root/relations_rev"))
+    val mf = java.nio.file.Paths.get(root, "_MANIFEST")
+    val stripped = new String(Files.readAllBytes(mf), java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").filterNot(l => l.startsWith("revsync") || l.startsWith("relations_rev"))
+      .mkString("\n")
+    Files.write(mf, stripped.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val st2 = new GraphStore(spark, root)
+    st2.initialize() // idempotent; triggers the one-time backfill
+    assertRevMirror(st2)
+    // incremental from here: writes maintain the index, deletes use it
+    st2.createRelations(Seq(Relation("Acme Corp", "Alice", "employs")))
+    assertRevMirror(st2)
+    st2.deleteEntity("Bob")
+    assert(st2.relations.count() == 1)
+    assertRevMirror(st2)
+  }
 }
