@@ -263,8 +263,10 @@ object SparkEntry {
         .select(col("doc_id").cast("long").as("del_id"))
       // localCheckpoint materializes the survivors so the in-place
       // overwrite never reads the files it is replacing
+      // no forced broadcast: `deleted` is a corpus fraction (1/6 of docs),
+      // unbounded at scale — AQE broadcasts it when it is actually small
       val surviving = s.read.parquet(s"$dir/hashes")
-        .join(broadcast(deleted), col("doc_id") === col("del_id"), "left_anti")
+        .join(deleted, col("doc_id") === col("del_id"), "left_anti")
         .localCheckpoint(true)
       surviving.write.mode("overwrite").parquet(s"$dir/hashes")
     }
@@ -687,6 +689,8 @@ object SparkEntry {
     val tscore = idf * (col("tf").cast("double") * lit(2.2)) /
       (col("tf").cast("double") +
         lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / avgdl))
+    // dfT is BOUNDED (df of the ≤|probes| probe terms, not the vocabulary —
+    // tf is probe-filtered above), so the forced broadcast is scale-safe
     tf.join(broadcast(dfT), "term")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
@@ -1172,7 +1176,7 @@ object SparkEntry {
       val sizes = labels.groupBy("rep_id").agg(count(lit(1)).as("sz"))
       documents(s, d).select("doc_id")
         .join(labels, Seq("doc_id"), "left")
-        .join(broadcast(sizes), Seq("rep_id"), "left")
+        .join(sizes, Seq("rep_id"), "left") // cluster-count-sized: AQE-gated
         .withColumn("cluster_size", coalesce(col("sz"), lit(1L)))
         .withColumn("kept", graft.pipeline.Splits
           .inverseKeep(col("doc_id"), col("cluster_size")).cast("int"))
@@ -2470,8 +2474,9 @@ object SparkEntry {
     "dedup_cross_modal" -> ((s, d) => {
       val labels = s.read.parquet(s"${dedupCcSetup(s, d)}/labels")
       val hashes = s.read.parquet(s"${phashIncSetup(s, d)}/hashes")
+      // labels is O(dup docs) — corpus-proportional, so no forced broadcast
       val cells = documents(s, d).select(col("doc_id"))
-        .join(broadcast(labels), Seq("doc_id"), "left")
+        .join(labels, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("rep_id"), col("doc_id")).as("rep"))
         .join(hashes, Seq("doc_id"))
@@ -3119,7 +3124,7 @@ object SparkEntry {
       val dir = dedupCcSetup(s, d)
       val labels = s.read.parquet(s"$dir/labels")
       documents(s, d).select(col("doc_id"))
-        .join(broadcast(labels), Seq("doc_id"), "left")
+        .join(labels, Seq("doc_id"), "left") // O(dup docs): AQE-gated
         .withColumn("rep", coalesce(col("rep_id"), col("doc_id")))
         .select(col("doc_id"), col("rep"),
           graft.pipeline.Splits.assignSplit(col("rep")).as("split"))
@@ -3256,8 +3261,13 @@ object SparkEntry {
         .agg(countDistinct("t").as("v"))
       val surprisal = floor(-log((col("c12") + lit(1.0)) /
         (col("c1") + col("v")).cast("double")) * lit(1000000.0)).cast("long")
-      bg.join(broadcast(c12), "bg")
-        .join(broadcast(c1), "w1")
+      // NO broadcast hints on c12/c1: they are corpus-derived aggregates
+      // (distinct bigrams / vocabulary) whose cardinality grows with the
+      // corpus — a forced broadcast OOMs at 100 TB. AQE broadcasts them at
+      // small SF on its own; at scale the shuffled hash join on `bg` is the
+      // right plan. Only the 1-row `vocab` aggregate keeps its hint.
+      bg.join(c12, "bg")
+        .join(c1, "w1")
         .crossJoin(broadcast(vocab))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"), sum(surprisal).as("sum_fp"))
@@ -3888,8 +3898,11 @@ object SparkEntry {
       val c2 = w.groupBy("w2").agg(sum("c12").as("c2"))
       val pmi = floor(log((col("c12").cast("double") * col("n")) /
         (col("c1").cast("double") * col("c2"))) * lit(1000000.0)).cast("long")
-      w.join(broadcast(c1), "w1")
-        .join(broadcast(c2), "w2")
+      // unigram marginals c1/c2 are vocabulary-sized (corpus-derived, so
+      // unbounded) — no forced broadcast; AQE picks broadcast at small SF
+      // and a shuffled join at scale. Only 1-row `tot` keeps its hint.
+      w.join(c1, "w1")
+        .join(c2, "w2")
         .crossJoin(broadcast(tot))
         .filter(col("c12") >= 20)
         .select(col("w1"), col("w2"), col("c12"), pmi.as("pmi_fp"))
@@ -6123,10 +6136,10 @@ object SparkEntry {
       val labels = s.read.parquet(s"$dir/labels")
       def sp(c: org.apache.spark.sql.Column) = graft.pipeline.Splits.assignSplit(c)
       val ann = pairs
-        .join(broadcast(labels.select(col("doc_id").as("a_id"),
-          col("rep_id").as("rep_a"))), Seq("a_id"), "left")
-        .join(broadcast(labels.select(col("doc_id").as("b_id"),
-          col("rep_id").as("rep_b"))), Seq("b_id"), "left")
+        .join(labels.select(col("doc_id").as("a_id"),
+          col("rep_id").as("rep_a")), Seq("a_id"), "left")
+        .join(labels.select(col("doc_id").as("b_id"),
+          col("rep_id").as("rep_b")), Seq("b_id"), "left")
         .select(sp(col("a_id")).as("na"), sp(col("b_id")).as("nb"),
           sp(coalesce(col("rep_a"), col("a_id"))).as("ra"),
           sp(coalesce(col("rep_b"), col("b_id"))).as("rb"))
@@ -6633,7 +6646,7 @@ object SparkEntry {
     "text_dup_by_source" -> ((s, d) => {
       val labels = s.read.parquet(s"${dedupCcSetup(s, d)}/labels")
       documents(s, d).select(col("doc_id"), col("source"))
-        .join(broadcast(labels), Seq("doc_id"), "left")
+        .join(labels, Seq("doc_id"), "left") // O(dup docs): AQE-gated
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("rep_id").isNotNull, 1L).otherwise(0L)).as("n_clustered"),

@@ -18,6 +18,19 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
   }
 
+  /** Count of FORCED broadcast hints surviving into the optimized logical
+    * plan (`strategy=broadcast` in the Join's hint). The static physical
+    * plan broadcasts small frames anyway at this SF via size estimates —
+    * which is fine and scale-safe; what must NOT appear is a *hint*, which
+    * overrides size estimation and OOMs when the frame grows with the
+    * corpus.
+    */
+  private def forcedBroadcasts(name: String): Int = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    "strategy=broadcast".r
+      .findAllIn(df.queryExecution.optimizedPlan.toString).size
+  }
+
   /** Final adaptive plan, after execution (codegen spans materialized). */
   private def finalPlan(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sf)
@@ -331,11 +344,30 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("CartesianProduct"), s"scalar must broadcast, not cross:\n$p")
   }
 
-  test("q_leakage_safe_split applies labels by broadcast — the corpus never shuffles") {
+  test("q_leakage_safe_split: label join is size-gated — no forced broadcast of a corpus-proportional frame") {
+    // labels is O(dup docs): a forced broadcast hint would OOM at 100 TB.
+    // Without the hint the planner still broadcasts at this tiny SF via
+    // size estimates (fine — estimates grow with the data, hints don't),
+    // so the pin is on the HINT, not on the static join strategy.
+    assert(forcedBroadcasts("q_leakage_safe_split") == 0,
+      "label frame must not carry a broadcast hint — it is corpus-proportional")
     val p = plan("q_leakage_safe_split")
-    assert(p.contains("BroadcastHashJoin"), s"label frame must broadcast:\n$p")
-    assert(!p.contains("SortMergeJoin"),
-      s"the split decision must stay map-side on the corpus:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"label join must stay keyed:\n$p")
+  }
+
+  test("text_lm_score / text_collocations: corpus-aggregate joins carry no broadcast hint") {
+    // c12 (distinct bigrams) and c1/c2 (vocabulary marginals) grow with
+    // the corpus — a broadcast HINT on them overrides size estimation and
+    // OOMs at 100 TB. Only the deliberate 1-row scalar (vocab / tot) may
+    // keep its hint, so the forced-broadcast count must be exactly 1.
+    for (n <- Seq("text_lm_score", "text_collocations")) {
+      assert(forcedBroadcasts(n) == 1,
+        s"$n: only the 1-row scalar may be hint-broadcast")
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"),
+        s"$n: the scalar must ride a broadcast, not a cartesian:\n$p")
+    }
   }
 
   test("graph_assortativity stays keyed — degree joins never go cartesian") {
