@@ -126,16 +126,17 @@ object OracleSqlGen {
         FROM t LEFT JOIN kept k USING (doc_id) ORDER BY doc_id"""
 
   /** Mirrors TextAnalysis.removeDuplicatedSpansKeepFirst: the canonical
-    * occurrence (min packed doc_id·2^20 + i — the chunk-dedup winner rule)
-    * of each duplicated k-gram keeps its tokens; only other copies cut.
+    * occurrence (min (doc_id, i) struct — lexicographic, id-type-agnostic,
+    * the chunk-dedup winner rule) of each duplicated k-gram keeps its
+    * tokens; only other copies cut.
     */
   def dedupSpanKeepFirst(k: Int): String =
     s"""WITH ${spanBaseCtes(k)},
-        g AS (SELECT sh, min(doc_id*1048576 + i) AS firstk
+        g AS (SELECT sh, min({'d': doc_id, 'i': i}) AS firstk
               FROM sp GROUP BY sh HAVING count(*) >= 2),
         cov AS (SELECT DISTINCT doc_id, i + j.range AS pos
                 FROM sp JOIN g USING (sh) CROSS JOIN range($k) j
-                WHERE doc_id*1048576 + i <> firstk),
+                WHERE {'d': doc_id, 'i': i} <> firstk),
         tk AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM
                (SELECT doc_id, unnest(list_transform(range(len(toks)),
                   i -> {'pos': i, 'tok': toks[i+1]})) AS u FROM t)),

@@ -295,7 +295,7 @@ object TextAnalysis {
 
   /** Keep-FIRST-occurrence duplicated-span removal — the production
     * variant of [[removeDuplicatedSpans]]: the canonical occurrence of
-    * each corpus-duplicated k-gram (minimum packed (doc_id, pos) key, the
+    * each corpus-duplicated k-gram (minimum (doc_id, pos) pair, the
     * chunk-dedup winner rule) keeps its tokens; only the OTHER copies are
     * cut. The corpus retains exactly one copy of every duplicated span
     * instead of zero — no content is lost, which is what a pretraining
@@ -303,11 +303,17 @@ object TextAnalysis {
     * Same plan shape: one co-partitioned exchange on the shingle, a
     * k-bounded coverage fanout for non-canonical copies only, one per-doc
     * rebuild.
+    *
+    * Winner key: min over struct(doc_id, i) — lexicographic struct
+    * ordering, so it is exact for ANY orderable id type (string ids
+    * included) and any document length, with no packing bounds. (A packed
+    * doc_id·2^20+i long would silently null out on string ids and
+    * overflow past 2^43 docs / 2^20 tokens.)
     */
   def removeDuplicatedSpansKeepFirst(
       docs: DataFrame, id: Column, text: Column, k: Int = 8): DataFrame = {
     val (toks, coPart) = positionedSpans(docs, id, text, k)
-    val keyed = coPart.withColumn("kk", col("doc_id") * 1048576L + col("i"))
+    val keyed = coPart.withColumn("kk", struct(col("doc_id"), col("i")))
     val first = keyed.groupBy("sh")
       .agg(min("kk").as("firstk"), count(lit(1)).as("_c"))
       .filter(col("_c") >= 2).select("sh", "firstk")

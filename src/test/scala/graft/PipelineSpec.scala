@@ -133,6 +133,22 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(keepFirst.map(_._2).sum > both.map(_._2).sum)
   }
 
+  test("removeDuplicatedSpansKeepFirst: string ids get the same keep-one semantics") {
+    // the winner key is min(struct(doc_id, i)) — lexicographic, so a
+    // string id column works exactly; a packed numeric key would go NULL
+    // here and silently keep every copy
+    val span = (1 to 8).map(i => s"dup$i").mkString(" ")
+    val docs = Seq(
+      "doc-a" -> s"alpha beta $span gamma delta epsilon zeta eta",
+      "doc-b" -> s"$span other words here completely different tail ok")
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.removeDuplicatedSpansKeepFirst(
+        docs, col("doc_id"), col("text"), k = 8)
+      .orderBy("doc_id").as[(String, Long, String)].collect()
+    assert(out(0)._3.contains(span), s"canonical (min-id) copy cut: ${out(0)}")
+    assert(!out(1)._3.contains("dup1"), s"non-canonical copy kept: ${out(1)}")
+  }
+
   test("winnowPairsIncremental: maintained index equals from-scratch restricted to batch pairs") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val corpus = docs.filter(col("doc_id") < 40)
