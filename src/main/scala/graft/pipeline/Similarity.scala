@@ -318,13 +318,108 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank")
   }
 
+  // ── persisted-IVF commit protocol ──────────────────────────────────────
+  // The index lives in VERSION directories under its root:
+  //   path/_IVF_MANIFEST        → "v000003"  (current committed version)
+  //   path/v000003/centroid_id=…/part-*.parquet
+  // Every structural mutation (build, delete, merge) stages a complete new
+  // version and then flips the manifest with one temp-write + ATOMIC_MOVE —
+  // the same commit point as GraphStore: readers resolve the manifest and
+  // see the whole old or whole new index, never a half-flipped one, and a
+  // crash before the flip leaves only an unreferenced stage dir (garbage,
+  // never wrong answers). Untouched cells are carried into the new version
+  // by HARDLINK (O(files) metadata, zero data I/O — on an object store this
+  // is a manifest file-list re-reference, same cost class). Pure appends
+  // add files to the live version in place: add-only is reader-safe without
+  // a flip. The previous version survives one flip for in-flight readers;
+  // older ones are GC'd.
+
+  private def ivfManifest(path: String) = new java.io.File(path, "_IVF_MANIFEST")
+
+  /** Current committed version dir; legacy un-versioned layouts (no
+    * manifest) resolve to the root itself.
+    */
+  private[graft] def ivfCurrentDir(path: String): String = {
+    val m = ivfManifest(path)
+    if (m.isFile) {
+      val v = new String(java.nio.file.Files.readAllBytes(m.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      s"$path/$v"
+    } else path
+  }
+
+  /** Next unused version number — max over ALL vN dirs on disk (committed
+    * or stray), so a crashed stage can never collide with a new one.
+    */
+  private def nextIvfVersion(path: String): Long = {
+    val vs = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).map(_.getName)
+      .collect { case n if n.matches("v\\d{6}") => n.drop(1).toLong }
+    (vs.toSeq :+ 0L).max + 1
+  }
+
+  private def ivfVersionName(v: Long): String = f"v$v%06d"
+
+  /** The commit point: write the version name to a temp file, ATOMIC_MOVE
+    * it over `_IVF_MANIFEST`.
+    */
+  private def flipIvfManifest(path: String, version: String): Unit = {
+    java.nio.file.Files.createDirectories(new java.io.File(path).toPath)
+    val tmp = new java.io.File(path,
+      s"_IVF_MANIFEST.tmp${java.util.UUID.randomUUID().toString.take(8)}")
+    java.nio.file.Files.write(tmp.toPath,
+      version.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp.toPath, ivfManifest(path).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    f.delete(): Unit
+  }
+
+  /** Drop version dirs other than the just-committed one and the version
+    * that was committed before it (kept for in-flight readers that
+    * resolved the old manifest); stray crashed stages go too.
+    */
+  private def gcIvfVersions(path: String, keep: Set[String]): Unit = {
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("v\\d{6}"))
+      .filterNot(f => keep(f.getName))
+      .foreach(rmTree)
+  }
+
+  /** Carry one untouched cell into a new version by hardlinking its data
+    * files (copy fallback for filesystems without links).
+    */
+  private def adoptCellByLink(src: java.io.File, dest: java.io.File): Unit = {
+    java.nio.file.Files.createDirectories(dest.toPath)
+    Option(src.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .foreach { f =>
+        val to = new java.io.File(dest, f.getName)
+        try java.nio.file.Files.createLink(to.toPath, f.toPath): Unit
+        catch {
+          case _: UnsupportedOperationException =>
+            java.nio.file.Files.copy(f.toPath, to.toPath): Unit
+        }
+      }
+  }
+
+  private def cellDirs(dir: String): Array[java.io.File] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("centroid_id="))
+
   /** PERSISTED IVF index build: the corpus, pre-assigned to its nearest
     * centroid, written `partitionBy(centroid_id)` WITH its vectors — the
     * index is self-contained, probes never touch the corpus table again.
     * This is the maintenance write an ANN service pays once per ingest
     * (the disk-layout form of [[assignToCentroids]]'s comment); at 100 TB
     * each cell is its own partition directory, so a probe's cell list
-    * prunes the scan to nprobe/num_centroids of the data.
+    * prunes the scan to nprobe/num_centroids of the data. The build stages
+    * a fresh version dir and flips `_IVF_MANIFEST` — rebuilding over a
+    * live index never disturbs its readers.
     */
   def buildIvfIndex(
       corpus: DataFrame,
@@ -337,9 +432,14 @@ object Similarity {
     val assigned = assignToCentroids(
         Dedup.spread(corpus), cId, cVec, centroids, centId, centVec)
       .withColumnRenamed("vec_id", "neighbor_id")
+    val v = nextIvfVersion(path)
+    val prev = new java.io.File(ivfCurrentDir(path)).getName
     corpus.select(cId.as("neighbor_id"), cVec.as("cv"))
       .join(assigned, "neighbor_id")
-      .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$path/${ivfVersionName(v)}")
+    flipIvfManifest(path, ivfVersionName(v))
+    gcIvfVersions(path, Set(ivfVersionName(v), prev))
   }
 
   /** Incremental IVF index maintenance: assign ONLY the new batch to its
@@ -361,9 +461,13 @@ object Similarity {
     val assigned = assignToCentroids(
         Dedup.spread(batch), cId, cVec, centroids, centId, centVec)
       .withColumnRenamed("vec_id", "neighbor_id")
+    // add-only: new files in the live version are reader-safe without a
+    // manifest flip (an in-flight read either planned before them — old
+    // snapshot — or sees them complete)
     batch.select(cId.as("neighbor_id"), cVec.as("cv"))
       .join(assigned, "neighbor_id")
-      .write.mode("append").partitionBy("centroid_id").parquet(path)
+      .write.mode("append").partitionBy("centroid_id")
+      .parquet(ivfCurrentDir(path))
   }
 
   /** DELETION maintenance for the persisted IVF index — cell-pruned eager
@@ -374,10 +478,15 @@ object Similarity {
     * delete cost ∝ affected cells, probe pays nothing. (Contrast
     * SearchIndex.deleteFromIndex: text postings spread one doc across many
     * term buckets, so there tombstones win; IVF postings are one-cell-per-
-    * vector, so here the pruned rewrite wins.) Survivors are staged to a
-    * temp dir first, then the affected cell dirs are swapped — a cell
-    * whose vectors are ALL deleted is removed outright (a dynamic
-    * partition overwrite would silently keep it).
+    * vector, so here the pruned rewrite wins.) Survivors of the affected
+    * cells are staged into the next version dir, untouched cells are
+    * hardlink-adopted (metadata-only), and `_IVF_MANIFEST` flips once — a
+    * concurrent probe never observes a missing or half-rewritten cell, and
+    * a crash at any point leaves the committed version intact (round-10
+    * advice: the old rmTree-then-move swap had a window that silently
+    * dropped a cell). A cell whose vectors are ALL deleted simply is not
+    * staged, so it is absent from the new version (a dynamic partition
+    * overwrite would silently keep it).
     */
   def deleteFromIvfIndex(
       deleted: DataFrame,
@@ -393,27 +502,23 @@ object Similarity {
     val cells = assigned.select("centroid_id").distinct()
       .collect().map(_.get(0)).toSeq // O(affected cells) driver hop
     if (cells.isEmpty) return
+    val cur = ivfCurrentDir(path)
     val delIds = deleted.select(cId.cast("long").as("del_id")).distinct()
-    val survivors = spark.read.parquet(path)
+    val survivors = spark.read.parquet(cur)
       .filter(col("centroid_id").isInCollection(cells)) // partition-pruned
       .join(broadcast(delIds), col("neighbor_id") === col("del_id"), "left_anti")
       .drop("del_id")
-    val stage = s"${path}_delstage_${java.util.UUID.randomUUID().toString.take(8)}"
-    survivors.write.partitionBy("centroid_id").parquet(stage)
-    def rmTree(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-      f.delete(): Unit
-    }
-    cells.foreach { c =>
-      val dest = new java.io.File(s"$path/centroid_id=$c")
-      rmTree(dest)
-      val src = new java.io.File(s"$stage/centroid_id=$c")
-      if (src.isDirectory) {
-        java.nio.file.Files.move(src.toPath, dest.toPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
-      } // else: every vector of the cell was deleted — the cell dir is gone
-    }
-    rmTree(new java.io.File(stage))
+    // stage the next version: rewritten survivors of the affected cells
+    // (the only data I/O — ∝ affected cells), then untouched cells adopted
+    // by hardlink (metadata-only)
+    val v = nextIvfVersion(path)
+    val nextDir = s"$path/${ivfVersionName(v)}"
+    survivors.write.partitionBy("centroid_id").parquet(nextDir)
+    val affected = cells.map(c => s"centroid_id=$c").toSet
+    cellDirs(cur).filterNot(d => affected(d.getName))
+      .foreach(d => adoptCellByLink(d, new java.io.File(nextDir, d.getName)))
+    flipIvfManifest(path, ivfVersionName(v))
+    gcIvfVersions(path, Set(ivfVersionName(v), new java.io.File(cur).getName))
   }
 
   /** MERGE two persisted IVF indexes that share centroids — cell-wise FILE
@@ -426,34 +531,38 @@ object Similarity {
     * adopting a finished ingest partition into a warehouse table. Probing
     * the merged index is byte-identical to probing a from-scratch build
     * over the union (spec- and oracle-pinned). `src` is consumed.
+    *
+    * The adoption builds the NEXT version of `dest` (dest's cells carried
+    * by hardlink, src's files moved in) and flips the manifest once —
+    * dest's committed version is never mutated, so a crash mid-merge
+    * leaves both indexes probe-correct (src partially drained into an
+    * unreferenced stage; re-running the merge completes it: part-file
+    * names are writer-UUID-unique so nothing double-adopts).
     */
   def mergeIvfIndexes(srcPath: String, destPath: String): Unit = {
-    val src = new java.io.File(srcPath)
-    val cells = Option(src.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("centroid_id="))
-    cells.foreach { cell =>
-      val dest = new java.io.File(destPath, cell.getName)
-      if (!dest.isDirectory) {
-        java.nio.file.Files.createDirectories(dest.toPath.getParent)
-        java.nio.file.Files.move(cell.toPath, dest.toPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
-      } else {
-        Option(cell.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.isFile && !f.getName.startsWith("_")).foreach { f =>
-            // writer part-file names carry a UUID; a collision would mean
-            // adopting the same file twice — fail loudly, never overwrite
-            val to = new java.io.File(dest, f.getName)
-            require(!to.exists(), s"merge collision on ${to.getPath}")
-            java.nio.file.Files.move(f.toPath, to.toPath,
-              java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
-          }
-      }
+    val srcCur = ivfCurrentDir(srcPath)
+    val destCur = ivfCurrentDir(destPath)
+    val v = nextIvfVersion(destPath)
+    val nextDir = new java.io.File(destPath, ivfVersionName(v))
+    cellDirs(destCur).foreach(d =>
+      adoptCellByLink(d, new java.io.File(nextDir, d.getName)))
+    cellDirs(srcCur).foreach { cell =>
+      val dest = new java.io.File(nextDir, cell.getName)
+      java.nio.file.Files.createDirectories(dest.toPath)
+      Option(cell.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .foreach { f =>
+          // writer part-file names carry a UUID; a collision would mean
+          // adopting the same file twice — fail loudly, never overwrite
+          val to = new java.io.File(dest, f.getName)
+          require(!to.exists(), s"merge collision on ${to.getPath}")
+          java.nio.file.Files.move(f.toPath, to.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+        }
     }
-    def rmTree(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-      f.delete(): Unit
-    }
-    rmTree(src)
+    flipIvfManifest(destPath, ivfVersionName(v))
+    gcIvfVersions(destPath, Set(ivfVersionName(v), new java.io.File(destCur).getName))
+    rmTree(new java.io.File(srcPath))
   }
 
   /** Probe a persisted IVF index: per-query nprobe nearest cells, then ONE
@@ -528,7 +637,9 @@ object Similarity {
       .localCheckpoint(false) // cells collected AND joined: compute once
     val cells = probes.select("centroid_id").distinct()
       .collect().map(_.get(0)).toSeq
-    val idx = spark.read.parquet(indexPath)
+    // resolve the committed version once: the whole probe runs against one
+    // consistent snapshot even if a delete/merge flips the manifest mid-read
+    val idx = spark.read.parquet(ivfCurrentDir(indexPath))
       .filter(col("centroid_id").isInCollection(cells)) // partition-pruned scan
     val cand = probes.join(idx, Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -355,7 +355,7 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     // pick the delete batch as EVERY vector of one whole cell plus a
     // scattering from others (vec_id % 9 == 4) — exercises both the
     // emptied-cell removal and the in-cell anti-join
-    val idx = spark.read.parquet(s"$delDir/ivf")
+    val idx = spark.read.parquet(Similarity.ivfCurrentDir(s"$delDir/ivf"))
     val cellOf = idx.select("neighbor_id", "centroid_id")
       .as[(Long, Long)].collect().toMap
     val victimCell = cellOf.values.groupBy(identity).minBy(_._2.size)._1
@@ -363,10 +363,14 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       col("vec_id").isInCollection(cellOf.collect {
         case (v, c) if c == victimCell => v }.toSeq)
     // files of an unaffected cell must be byte-identical afterwards (the
-    // rewrite must not touch cells holding no deleted vector)
+    // rewrite must not touch cells holding no deleted vector; the version
+    // flip carries them by hardlink, so name AND mtime survive). Resolves
+    // the CURRENT committed version dir at each call.
     def cellFiles(c: Long) = {
-      val dir = new java.io.File(s"$delDir/ivf/centroid_id=$c")
+      val dir = new java.io.File(
+        s"${Similarity.ivfCurrentDir(s"$delDir/ivf")}/centroid_id=$c")
       Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
         .map(f => f.getName -> f.lastModified()).toMap
     }
     val untouchedCell = cellOf.collect {
@@ -375,7 +379,8 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     val beforeFiles = untouchedCell.map(cellFiles)
     Similarity.deleteFromIvfIndex(e.filter(deletePred), cents,
       col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), s"$delDir/ivf")
-    assert(!new java.io.File(s"$delDir/ivf/centroid_id=$victimCell").exists(),
+    assert(!new java.io.File(
+        s"${Similarity.ivfCurrentDir(s"$delDir/ivf")}/centroid_id=$victimCell").exists(),
       "a cell whose vectors were all deleted must disappear")
     untouchedCell.foreach { c =>
       assert(cellFiles(c) == beforeFiles.get, s"unaffected cell $c was rewritten")
@@ -393,6 +398,49 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     // no deleted vector can surface as a neighbor
     val deletedIds = e.filter(deletePred).select("vec_id").as[Long].collect().toSet
     assert(got.forall { case (_, n, _) => !deletedIds.contains(n) })
+  }
+
+  test("ivf commit protocol: readers never see a partial mutation; crash leaves the committed version intact") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter(col("vec_id") < 8)
+    val cents = e.filter(col("vec_id") < 4)
+    val root = java.nio.file.Files.createTempDirectory("ivf_commit").toString
+    val path = s"$root/ivf"
+    def probe() = Similarity.ivfProbeIndex(q, path, cents,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 3, nprobe = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    def versions() = Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("v\\d{6}"))
+      .map(_.getName).toSet
+    Similarity.buildIvfIndex(e, cents,
+      col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), path)
+    assert(versions() == Set("v000001"))
+    val p0 = probe()
+    // a CRASHED mutation = a stage dir that never reached the manifest
+    // flip: readers must be untouched by it, and the next mutation must
+    // not collide with it
+    val stray = new java.io.File(path, "v000007/centroid_id=0")
+    java.nio.file.Files.createDirectories(stray.toPath)
+    assert(probe() == p0, "an uncommitted stage dir must be invisible to probes")
+    // delete a vector that IS a returned neighbor, so the flip observably
+    // changes the probe result
+    val victim = p0.map(_._2).min
+    Similarity.deleteFromIvfIndex(e.filter(col("vec_id") === victim), cents,
+      col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), path)
+    // committed past the stray: version numbers never collide with a crash
+    assert(versions().contains("v000008"), s"got ${versions()}")
+    // the PREVIOUS committed version survives one flip for in-flight
+    // readers; everything older (incl. the stray stage) is GC'd
+    assert(versions() == Set("v000001", "v000008"), s"got ${versions()}")
+    val p1 = probe()
+    assert(p1.nonEmpty && p1 != p0)
+    assert(!p1.exists(_._2 == victim), "deleted vector surfaced as a neighbor")
+    Similarity.deleteFromIvfIndex(e.filter(col("vec_id") === p1.map(_._2).min),
+      cents,
+      col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), path)
+    assert(versions() == Set("v000008", "v000009"), s"got ${versions()}")
   }
 
   test("ivf merge: cell-wise file adoption equals a rebuild over the union; no vector bytes rewritten") {
