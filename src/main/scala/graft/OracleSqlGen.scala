@@ -1044,26 +1044,27 @@ object OracleSqlGen {
               sum(CASE WHEN is_t = 0 THEN v * v END) AS ss_c
           FROM c GROUP BY grp),
         zt AS (
+          -- Welch terms: unbiased sample variance, popvar/(n-1) per arm
           SELECT grp, n_t, n_c,
-              CASE WHEN n_t = 0 OR n_c = 0 THEN 0.0
+              CASE WHEN n_t <= 1 OR n_c <= 1 THEN 0.0
               WHEN (CAST(ss_t AS DOUBLE) / CAST(n_t AS DOUBLE)
                   - (CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE))
                     * (CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE)))
-                / CAST(n_t AS DOUBLE)
+                / (CAST(n_t AS DOUBLE) - 1.0)
                 + (CAST(ss_c AS DOUBLE) / CAST(n_c AS DOUBLE)
                   - (CAST(sy_c AS DOUBLE) / CAST(n_c AS DOUBLE))
                     * (CAST(sy_c AS DOUBLE) / CAST(n_c AS DOUBLE)))
-                / CAST(n_c AS DOUBLE) = 0.0 THEN 0.0
+                / (CAST(n_c AS DOUBLE) - 1.0) = 0.0 THEN 0.0
               ELSE (CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE)
                   - CAST(sy_c AS DOUBLE) / CAST(n_c AS DOUBLE))
                 / sqrt((CAST(ss_t AS DOUBLE) / CAST(n_t AS DOUBLE)
                     - (CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE))
                       * (CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE)))
-                  / CAST(n_t AS DOUBLE)
+                  / (CAST(n_t AS DOUBLE) - 1.0)
                   + (CAST(ss_c AS DOUBLE) / CAST(n_c AS DOUBLE)
                     - (CAST(sy_c AS DOUBLE) / CAST(n_c AS DOUBLE))
                       * (CAST(sy_c AS DOUBLE) / CAST(n_c AS DOUBLE)))
-                  / CAST(n_c AS DOUBLE))
+                  / (CAST(n_c AS DOUBLE) - 1.0))
               END AS z
           FROM m),
         r AS (
@@ -1102,8 +1103,10 @@ object OracleSqlGen {
             round(sy / CAST(n AS DOUBLE) * CAST(mde_pct AS DOUBLE) / 100.0, 6)
               AS mde_abs,
             CAST(ceil($k * 2.0
-              * (syy / CAST(n AS DOUBLE)
-                - (sy / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)))
+              * (CASE WHEN n <= 1 THEN 0.0
+                 ELSE (syy / CAST(n AS DOUBLE)
+                   - (sy / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)))
+                   * (CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0)) END)
               / ((sy / CAST(n AS DOUBLE) * CAST(mde_pct AS DOUBLE) / 100.0)
                 * (sy / CAST(n AS DOUBLE) * CAST(mde_pct AS DOUBLE) / 100.0)))
               AS BIGINT) AS n_per_arm

@@ -227,7 +227,11 @@ object Experiment {
       sum(col("y")).as("sy"), sum(col("y") * col("y")).as("syy"))
     val n = col("n").cast("double")
     val mean = col("sy").cast("double") / n
-    val varY = col("syy").cast("double") / n - mean * mean
+    // unbiased sample variance (popvar · n/(n−1)); a 1-unit readout has no
+    // variance estimate → σ² = 0 (n_per_arm 0, same as the old popvar)
+    val varY = when(col("n") <= 1, lit(0.0))
+      .otherwise((col("syy").cast("double") / n - mean * mean)
+        * (n / (n - lit(1.0))))
     val grid = mdePcts.map { p =>
       val delta = mean * lit(p.toDouble) / lit(100.0)
       struct(lit(p).as("mde_pct"), round(delta, 6).as("mde_abs"),
@@ -305,11 +309,16 @@ object Experiment {
     val mC = col("sy_c").cast("double") / nC
     val vT = col("ss_t").cast("double") / nT - mT * mT
     val vC = col("ss_c").cast("double") / nC - mC * mC
-    // a degenerate family member (an empty arm, or zero variance in both
-    // arms — constant metric) carries no evidence: z = 0, never a 0/0
-    val z = when(col("n_t") === 0 || col("n_c") === 0, lit(0.0))
-      .when(vT / nT + vC / nC === 0.0, lit(0.0))
-      .otherwise((mT - mC) / sqrt(vT / nT + vC / nC))
+    // Welch terms use the UNBIASED sample variance: s²/n = popvar/(n−1)
+    // (population moments inflated z by √(n/(n−1)) and made the FDR gate
+    // anti-conservative for small arms — round-10 advice)
+    // a degenerate family member (an arm with < 2 units — no variance
+    // estimate — or zero variance in both arms, a constant metric) carries
+    // no evidence: z = 0, never a 0/0
+    val seSq = vT / (nT - lit(1.0)) + vC / (nC - lit(1.0))
+    val z = when(col("n_t") <= 1 || col("n_c") <= 1, lit(0.0))
+      .when(seSq === 0.0, lit(0.0))
+      .otherwise((mT - mC) / sqrt(seSq))
     val w = Window.orderBy(desc("abs_z"), asc("grp"))
     val zcrit = zc.zipWithIndex.foldLeft(lit(Double.NaN)) {
       case (acc, (c, i)) => when(col("rank") === (i + 1), lit(c)).otherwise(acc)

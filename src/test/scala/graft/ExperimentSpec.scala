@@ -138,7 +138,8 @@ class ExperimentSpec extends AnyFunSuite with SparkTestBase {
     val ys = (1L to 30L).map(u => (u % 7 + 1).toDouble)
     val n = ys.size.toDouble
     val mean = ys.sum / n
-    val v = ys.map(y => y * y).sum / n - mean * mean
+    // unbiased sample variance, matching the operator
+    val v = (ys.map(y => y * y).sum / n - mean * mean) * (n / (n - 1.0))
     for (r <- out) {
       val delta = mean * r.getAs[Int]("mde_pct") / 100.0
       val want = math.ceil(Experiment.powerK80 * 2.0 * v / (delta * delta)).toLong
