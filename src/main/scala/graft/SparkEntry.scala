@@ -9343,7 +9343,8 @@ object SparkEntry {
                CAST((9 * (count(*) + 1) + 9) // 10 AS BIGINT) AS kk
            FROM cal),
          rr AS (SELECT r, row_number() OVER (ORDER BY r) AS rn FROM cal),
-         qh AS (SELECT min(r) AS q_hat FROM rr CROSS JOIN ks WHERE rn >= kk),
+         qh AS (SELECT coalesce(min(r), 9223372036854775807) AS q_hat
+                FROM rr CROSS JOIN ks WHERE rn >= kk),
          te AS (
            SELECT CAST(floor(abs(CAST(y AS DOUBLE)
                - (intercept + slope * CAST(x AS DOUBLE))) * 100.0) AS BIGINT)

@@ -180,10 +180,14 @@ object Stats {
     val kRow = calStats.select(expr(
       s"cast((($aDen - $aNum) * (n_cal + 1) + ${aDen - 1}) div $aDen as bigint)")
       .as("kk"), col("n_cal"))
+    // conformal convention when the calibration split is too small for the
+    // requested miscoverage (k > n_cal, incl. n_cal = 0): q̂ = +∞ — every
+    // test residual is covered, coverage 1 — not a NULL that poisons the
+    // readout (round-10 advice). Long.MaxValue is +∞ in cents here.
     val qHat = Ranking.withGlobalCumSum(calR, Seq(col("r")), col("cnt"), "cum")
       .crossJoin(broadcast(kRow))
       .filter(col("cum") >= col("kk"))
-      .agg(min(col("r")).as("q_hat"))
+      .agg(coalesce(min(col("r")), lit(Long.MaxValue)).as("q_hat"))
       .crossJoin(broadcast(kRow.select("n_cal")))
       .localCheckpoint(true)
     val test = resid(base.filter(col("split") === "test"))

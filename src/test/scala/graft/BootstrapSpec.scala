@@ -74,6 +74,21 @@ class BootstrapSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getAs[Long]("q_hat") > 0L)
   }
 
+  test("splitConformal: calibration too small for alpha gives q_hat = +inf, coverage 1") {
+    // at alpha = 1/100, k = ceil((n_cal+1)·0.99) exceeds n_cal whenever
+    // n_cal < 99 — the conformal convention is q̂ = +∞ (cover everything),
+    // never a NULL readout. ~60 rows ⇒ ~20 calibration points.
+    val df = (1 to 60).map { i =>
+      (i.toLong, (i % 10 + 1).toDouble, (i % 10 + 1) * 2.0 + (i % 3).toDouble)
+    }.toDF("id", "x", "y")
+    val r = Stats.splitConformal(df, col("id"), col("x"), col("y"),
+      aNum = 1, aDen = 100).collect().head
+    assert(r.getAs[Long]("n_cal") < 99L, "fixture must under-fill the calibration split")
+    assert(r.getAs[Long]("q_hat") === Long.MaxValue)
+    assert(r.getAs[Long]("covered") === r.getAs[Long]("n_test"))
+    assert(r.getAs[Long]("coverage_ppm") === 1000000L)
+  }
+
   test("splitConformal: layout-independent") {
     val df = (1 to 500).map { i =>
       (i.toLong, (i % 30 + 1).toDouble, (i % 30 + 1) * 1.5 + (i % 7).toDouble)
