@@ -527,6 +527,63 @@ case class WinnowExpr(child: Expression, w: Int)
     copy(child = newChild)
 }
 
+/** Threshold-gated overlap count of two SORTED string arrays — the verify
+  * kernel of prefix-filtered Jaccard dedup (PPJoin family). Returns the
+  * exact |A∩B| when Jaccard(A,B) ≥ tNum/tDen, else −1, via a single merge
+  * scan with EARLY EXIT: the loop bails the moment the overlap counted so
+  * far plus everything that could still match (min of the two remaining
+  * suffixes) cannot reach c_min = ⌈t/(1+t)·(|A|+|B|)⌉ — the PPJoin+ suffix
+  * bound applied continuously, not once. For a non-qualifying candidate
+  * (the common case after the positional filter) the scan stops after a
+  * few elements instead of hashing both full arrays the way
+  * `array_intersect` does, and for qualifying pairs it is a branch-cheap
+  * linear merge with zero allocation.
+  *
+  * Contract: BOTH inputs must be sorted ascending under Spark's UTF8String
+  * binary ordering (`array_sort`) and duplicate-free (`array_distinct`) —
+  * the producer owns that; the expression does not re-check. All
+  * arithmetic is exact integer, so qualification (c·(tNum+tDen) ≥
+  * tNum·(|A|+|B|)) is decided identically on any engine — the DuckDB
+  * oracle's brute-force intersection agrees bit-for-bit.
+  */
+case class SortedOverlapExpr(left: Expression, right: Expression,
+    tNum: Int, tDen: Int)
+    extends BinaryExpression
+    with org.apache.spark.sql.graftbridge.StringArrayBinaryInputs {
+  require(tNum > 0 && tDen >= tNum, "threshold must be in (0, 1]")
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "sorted_overlap"
+
+  def compute(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    // c_min = ceil(tNum*(na+nb) / (tNum+tDen)): c >= c_min  <=>  J >= t
+    val cMin = (tNum.toLong * (na + nb) + (tNum + tDen - 1)) / (tNum + tDen)
+    var i = 0; var j = 0; var c = 0L
+    while (i < na && j < nb &&
+        c + math.min(na - i, nb - j) >= cMin) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    if (c >= cMin) c else -1L
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("sortedOverlap", this,
+      classOf[SortedOverlapExpr].getName)
+    defineCodeGen(ctx, ev, (a, b) => s"$self.compute($a, $b)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Column API: codegen'd cosine similarity. */
   def cosineSim(a: Column, b: Column): Column =
@@ -563,6 +620,13 @@ object VectorFunctions {
     */
   def winnowSelect(grams: Column, w: Int): Column =
     Bridge.column(WinnowExpr(Bridge.expression(grams), w))
+
+  /** Column API: early-exit overlap count of two sorted distinct string
+    * arrays — |A∩B| if Jaccard ≥ tNum/tDen else −1.
+    */
+  def sortedOverlap(a: Column, b: Column, tNum: Int, tDen: Int): Column =
+    Bridge.column(SortedOverlapExpr(Bridge.expression(a), Bridge.expression(b),
+      tNum, tDen))
 
   private val info = new ExpressionInfo(
     classOf[CosineSimExpr].getName, "cosine_sim")

@@ -144,13 +144,17 @@ object Dedup {
       tNum: Int = 1,
       tDen: Int = 2): DataFrame = {
     require(tNum > 0 && tDen >= tNum, "threshold must be in (0, 1]")
-    val threshold = tNum.toDouble / tDen
     // the shingled base has three physical consumers (df counts, prefix
-    // build, verification sets) — persist it rather than re-shingle per
-    // consumer (MEMORY_AND_DISK: at corpus scale this is the standard
-    // one-restatement trade; the suite harness clears caches per query)
+    // build, verification sets) — materialize it once via localCheckpoint
+    // rather than re-shingle per consumer. localCheckpoint over persist():
+    // its blocks are released by the ContextCleaner as soon as the query's
+    // RDDs are unreferenced, where a persist() with no unpersist() pinned
+    // cache partitions for the life of the session (round-10 advice).
+    // toks are SORTED (array_sort) — the contract of the early-exit merge
+    // verify kernel (SortedOverlapExpr).
     val base = spread(docs).select(id.as("doc_id"),
-      array_distinct(shingles(text, n)).as("toks")).persist()
+      array_sort(array_distinct(shingles(text, n))).as("toks"))
+      .localCheckpoint(true)
     val tok = base.select(col("doc_id"), explode(col("toks")).as("token"))
     // global rarest-first order: (df, token); df is one partial-agg shuffle
     val dfT = tok.groupBy("token").agg(count(lit(1)).as("df"))
@@ -174,19 +178,23 @@ object Dedup {
       .filter(positionalFilter(tNum, tDen))
       .select("a_id", "b_id").distinct()
       .repartition(nPart, col("a_id"), col("b_id"))
-    // O(candidates) verification from the token arrays
+    // O(candidates) verification from the SORTED token arrays: one
+    // early-exit merge scan per pair (SortedOverlapExpr) — a non-qualifying
+    // candidate bails after a few comparisons instead of paying the full
+    // hash-set intersection, and qualification is exact integer arithmetic
     val setsA = base.select(col("doc_id").as("a_id"), col("toks").as("a_toks"))
     val setsB = base.select(col("doc_id").as("b_id"), col("toks").as("b_toks"))
     cands.join(setsA, "a_id").join(setsB, "b_id")
       .select(col("a_id"), col("b_id"),
-        size(array_intersect(col("a_toks"), col("b_toks"))).cast("long")
+        graft.functions.VectorFunctions
+          .sortedOverlap(col("a_toks"), col("b_toks"), tNum, tDen)
           .as("n_common"),
         size(col("a_toks")).cast("long").as("a_n"),
         size(col("b_toks")).cast("long").as("b_n"))
+      .filter(col("n_common") >= 0L)
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("a_n") + col("b_n") - col("n_common")).cast("double"))
-      .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
   }
 
@@ -237,8 +245,9 @@ object Dedup {
   def prefixIndexFrames(docs: DataFrame, id: Column, text: Column,
       n: Int = 3, tNum: Int = 1, tDen: Int = 2)
       : (DataFrame, DataFrame, DataFrame) = {
+    // toks sorted: persisted sets feed the incremental verify kernel
     val base = spread(docs).select(id.as("doc_id"),
-      array_distinct(shingles(text, n)).as("toks"))
+      array_sort(array_distinct(shingles(text, n))).as("toks"))
     val tok = base.select(col("doc_id"), explode(col("toks")).as("token"))
     val vocab = tok.groupBy("token").agg(count(lit(1)).as("df"))
     (base, vocab, prefixPostings(base, vocab, tNum, tDen))
@@ -256,11 +265,12 @@ object Dedup {
       batchDocs: DataFrame, id: Column, text: Column,
       corpusSets: DataFrame, vocab: DataFrame, corpusPrefix: DataFrame,
       n: Int = 3, tNum: Int = 1, tDen: Int = 2): DataFrame = {
-    val threshold = tNum.toDouble / tDen
-    // two consumers (prefix build + verification sets) — same persist
-    // rationale as prefixFilterJaccard's base
+    // two consumers (prefix build + verification sets) — same
+    // localCheckpoint rationale as prefixFilterJaccard's base (no leaked
+    // cache entries), same SORTED-toks contract for the verify kernel
     val batchBase = spread(batchDocs).select(id.as("doc_id"),
-      array_distinct(shingles(text, n)).as("toks")).persist()
+      array_sort(array_distinct(shingles(text, n))).as("toks"))
+      .localCheckpoint(true)
     // one token-shuffle of the batch prefixes feeds BOTH candidate joins
     // (ReusedExchange), and both stay hash joins — an unhinted token-string
     // join would plan sort-merge with two full sorts
@@ -294,14 +304,15 @@ object Dedup {
       .join(allSets.select(col("doc_id").as("b_id"), col("toks").as("b_toks")),
         "b_id")
       .select(col("a_id"), col("b_id"),
-        size(array_intersect(col("a_toks"), col("b_toks"))).cast("long")
+        graft.functions.VectorFunctions
+          .sortedOverlap(col("a_toks"), col("b_toks"), tNum, tDen)
           .as("n_common"),
         size(col("a_toks")).cast("long").as("a_n"),
         size(col("b_toks")).cast("long").as("b_n"))
+      .filter(col("n_common") >= 0L)
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("a_n") + col("b_n") - col("n_common")).cast("double"))
-      .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
   }
 

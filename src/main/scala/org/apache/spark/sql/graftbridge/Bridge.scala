@@ -29,6 +29,15 @@ trait FloatArrayUnaryInput extends ExpectsInputTypes { self: Expression =>
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
 }
 
+/** Input-type contract `(array<string>, array<string>)` for binary
+  * token-set expressions.
+  */
+trait StringArrayBinaryInputs extends ExpectsInputTypes { self: Expression =>
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.StringType),
+      ArrayType(org.apache.spark.sql.types.StringType))
+}
+
 /** Input-type contract `(array<tinyint>, array<tinyint>)` for binary
   * quantized-vector expressions.
   */

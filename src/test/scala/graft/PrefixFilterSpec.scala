@@ -112,6 +112,46 @@ class PrefixFilterSpec extends AnyFunSuite with SparkTestBase {
     assert(expected.contains((101L, 102L)), "batch-internal pair planted")
   }
 
+  test("sortedOverlap kernel: exact boundary behavior, agrees with array_intersect") {
+    import graft.functions.VectorFunctions.sortedOverlap
+    // deterministic token sets of varied size/overlap, as one DataFrame so
+    // the expression runs through codegen
+    val rows = (0 until 200).map { i =>
+      val a = (0 until 5 + i % 7).map(j => f"t${(i * 3 + j * 5) % 40}%02d").distinct.sorted
+      // every 3rd row: b is a near-copy of a (high overlap); otherwise an
+      // independent draw (mostly low overlap)
+      val b = if (i % 3 == 0) (a.drop(1) :+ f"x$i%03d").distinct.sorted
+        else (0 until 5 + (i / 2) % 6).map(j => f"t${(i * 7 + j * 11) % 40}%02d").distinct.sorted
+      (i.toLong, a, b)
+    }
+    val df = rows.toDF("i", "a", "b")
+    val got = df.select(col("i"),
+        sortedOverlap(col("a"), col("b"), 1, 2).as("c"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("ref"),
+        size(col("a")).cast("long").as("na"), size(col("b")).cast("long").as("nb"))
+      .collect()
+    got.foreach { r =>
+      val (c, ref, na, nb) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      // J >= 1/2  <=>  3c >= na+nb (exact rationals)
+      val qualifies = 3L * ref >= na + nb
+      if (qualifies) assert(c === ref, s"row ${r.getLong(0)}: kernel overlap")
+      else assert(c === -1L, s"row ${r.getLong(0)}: must reject")
+    }
+    assert(got.exists(_.getLong(1) >= 0) && got.exists(_.getLong(1) == -1L),
+      "fixture must hit both branches")
+    // edge cases: empty sides and exact-threshold equality (J = 1/2 needs
+    // c = ceil((na+nb)/3): {a,b,c} vs {a,b,x} -> c=2, 3*2 >= 6 qualifies)
+    val edge = Seq(
+      (Seq.empty[String], Seq("a", "b")),
+      (Seq("a", "b", "c"), Seq("a", "b", "x")),
+      (Seq("a", "b", "c", "d"), Seq("a", "b", "x", "y"))) // J = 2/6 < 1/2
+      .toDF("a", "b")
+      .select(sortedOverlap(col("a"), col("b"), 1, 2).as("c"))
+      .as[Long].collect()
+    assert(edge(0) === -1L && edge(1) === 2L && edge(2) === -1L)
+  }
+
   test("prefixFilterJaccard: sub-shingle docs produce no pairs, no errors") {
     val docs = Seq((1L, "one two"), (2L, "one two"), (3L, ""))
     val out = Dedup.prefixFilterJaccard(docs.toDF("doc_id", "text"),
