@@ -11,8 +11,50 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.{Bridge, DoubleUnaryInput}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
+/** Size-capped primitive min-heap over doubles — the aggregation buffer of
+  * [[TopKAgg]]. A flat `Array[Double]` binary heap: the per-row hot path
+  * (`push`) is branch + array ops on primitives, no `java.lang.Double`
+  * boxing and no `PriorityQueue` node overhead (the boxed-queue buffer was
+  * the round-10 bench's constant-overhead finding on `q_topk_agg`).
+  */
+final class DoubleTopKHeap(val k: Int) {
+  val arr = new Array[Double](k)
+  var size = 0
+
+  /** Admit `v` iff it beats the current floor (or the heap is unfilled). */
+  def push(v: Double): Unit = {
+    if (size < k) {
+      // sift up from the new leaf
+      var i = size
+      arr(i) = v
+      size += 1
+      while (i > 0 && arr((i - 1) >> 1) > arr(i)) {
+        val p = (i - 1) >> 1
+        val t = arr(p); arr(p) = arr(i); arr(i) = t
+        i = p
+      }
+    } else if (arr(0) < v) {
+      // replace the min, sift down from the root
+      arr(0) = v
+      var i = 0
+      var continue = true
+      while (continue) {
+        val l = 2 * i + 1; val r = l + 1
+        var m = i
+        if (l < size && arr(l) < arr(m)) m = l
+        if (r < size && arr(r) < arr(m)) m = r
+        if (m == i) continue = false
+        else {
+          val t = arr(m); arr(m) = arr(i); arr(i) = t
+          i = m
+        }
+      }
+    }
+  }
+}
+
 /** Bounded top-k aggregate (`TypedImperativeAggregate`): keeps the k largest
-  * double values per group in a size-k min-heap, merged map-side.
+  * double values per group in a size-k primitive min-heap, merged map-side.
   *
   * Why not `row_number() OVER (...)  WHERE rn <= k`: the window form shuffles
   * EVERY row to its group's partition and sorts it, paying
@@ -31,63 +73,49 @@ case class TopKAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.PriorityQueue[java.lang.Double]]
+  extends TypedImperativeAggregate[DoubleTopKHeap]
   with DoubleUnaryInput // implicit cast of int/decimal/float children
   with UnaryLike[Expression] {
   require(k > 0, "k must be positive")
 
-  override def createAggregationBuffer(): java.util.PriorityQueue[java.lang.Double] =
-    new java.util.PriorityQueue[java.lang.Double](k + 1)
+  override def createAggregationBuffer(): DoubleTopKHeap = new DoubleTopKHeap(k)
 
-  private def push(h: java.util.PriorityQueue[java.lang.Double], v: java.lang.Double): Unit = {
-    // min-heap of capped size: admit only values beating the current floor
-    if (h.size < k) h.add(v)
-    else if (h.peek() < v) { h.poll(); h.add(v) }
-  }
-
-  override def update(
-      h: java.util.PriorityQueue[java.lang.Double],
-      input: InternalRow): java.util.PriorityQueue[java.lang.Double] = {
+  override def update(h: DoubleTopKHeap, input: InternalRow): DoubleTopKHeap = {
     val v = child.eval(input)
-    if (v != null) push(h, v.asInstanceOf[Double])
+    if (v != null) h.push(v.asInstanceOf[Double])
     h
   }
 
-  override def merge(
-      h: java.util.PriorityQueue[java.lang.Double],
-      other: java.util.PriorityQueue[java.lang.Double]): java.util.PriorityQueue[java.lang.Double] = {
-    val it = other.iterator()
-    while (it.hasNext) push(h, it.next())
-    h
-  }
-
-  override def eval(h: java.util.PriorityQueue[java.lang.Double]): Any = {
-    val arr = new Array[Double](h.size)
+  override def merge(h: DoubleTopKHeap, other: DoubleTopKHeap): DoubleTopKHeap = {
     var i = 0
-    val it = h.iterator()
-    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    while (i < other.size) { h.push(other.arr(i)); i += 1 }
+    h
+  }
+
+  override def eval(h: DoubleTopKHeap): Any = {
+    val arr = java.util.Arrays.copyOf(h.arr, h.size)
     java.util.Arrays.sort(arr)
     // descending: rank 1 = largest
     val out = new Array[Any](arr.length)
-    i = 0
+    var i = 0
     while (i < arr.length) { out(i) = arr(arr.length - 1 - i); i += 1 }
     new GenericArrayData(out)
   }
 
-  override def serialize(h: java.util.PriorityQueue[java.lang.Double]): Array[Byte] = {
+  override def serialize(h: DoubleTopKHeap): Array[Byte] = {
     val bb = ByteBuffer.allocate(4 + 8 * h.size)
     bb.putInt(h.size)
-    val it = h.iterator()
-    while (it.hasNext) bb.putDouble(it.next())
+    var i = 0
+    while (i < h.size) { bb.putDouble(h.arr(i)); i += 1 }
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): java.util.PriorityQueue[java.lang.Double] = {
+  override def deserialize(bytes: Array[Byte]): DoubleTopKHeap = {
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt
     val h = createAggregationBuffer()
     var i = 0
-    while (i < n) { push(h, bb.getDouble); i += 1 }
+    while (i < n) { h.push(bb.getDouble); i += 1 }
     h
   }
 
