@@ -527,6 +527,136 @@ case class WinnowExpr(child: Expression, w: Int)
     copy(child = newChild)
 }
 
+/** Sequential-fold dot product of two float vectors in doubles — the
+  * codegen'd twin of `Similarity.dot` (same accumulation order, so
+  * bit-identical results). Split out from [[CosineSimExpr]] so the
+  * brute-force ANN scan can HOIST the per-vector norms out of the
+  * query×candidate fan-out: with hoisted norms each pair pays one
+  * multiply-add loop instead of three.
+  */
+case class FloatDotExpr(left: Expression, right: Expression)
+    extends BinaryExpression with FloatArrayBinaryInputs {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "float_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val i = ctx.freshName("i")
+      s"""
+        int $n = Math.min($a.numElements(), $b.numElements());
+        double $dot = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+        }
+        ${ev.value} = $dot;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Sequential-fold squared L2 norm of a float vector in doubles — the
+  * codegen'd twin of `Similarity.norm2`, evaluated ONCE per vector row
+  * below the ANN cross join (see [[FloatDotExpr]]).
+  */
+case class FloatNorm2Expr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.graftbridge.FloatArrayUnaryInput {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "float_norm2"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      s += xi * xi
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val xi = ctx.freshName("xi")
+      s"""
+        int $n = $a.numElements();
+        double $s = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $xi = (double) $a.getFloat($i);
+          $s += $xi * $xi;
+        }
+        ${ev.value} = $s;
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** One 32-bit sign word of a float vector: bit j set iff vec[from+j] > 0 —
+  * the codegen'd twin of the `Similarity.signWord` builtin fold (whose
+  * `round(pow(2,j))` weights are exactly `1L << j` for j ≤ 31, so the longs
+  * are identical). The fold ran interpreted at ~64 HOF lambda steps per
+  * candidate row — the dominant per-row cost of the Hamming scan's bit-table
+  * build; this is one tight loop inside whole-stage codegen. Components
+  * beyond the vector's length contribute 0 bits, matching `element_at`'s
+  * null → `otherwise(0)` branch in the fold.
+  */
+case class SignWordExpr(child: Expression, from: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.graftbridge.FloatArrayUnaryInput {
+  require(from >= 0, "from must be non-negative")
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "sign_word"
+
+  def compute(a: ArrayData): Long = {
+    val n = math.min(32, a.numElements() - from)
+    var w = 0L
+    var j = 0
+    while (j < n) {
+      if (a.getFloat(from + j) > 0f) w |= (1L << j)
+      j += 1
+    }
+    w
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("signWord", this, classOf[SignWordExpr].getName)
+    defineCodeGen(ctx, ev, a => s"$self.compute($a)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Threshold-gated overlap count of two SORTED string arrays — the verify
   * kernel of prefix-filtered Jaccard dedup (PPJoin family). Returns the
   * exact |A∩B| when Jaccard(A,B) ≥ tNum/tDen, else −1, via a single merge
@@ -627,6 +757,18 @@ object VectorFunctions {
   def sortedOverlap(a: Column, b: Column, tNum: Int, tDen: Int): Column =
     Bridge.column(SortedOverlapExpr(Bridge.expression(a), Bridge.expression(b),
       tNum, tDen))
+
+  /** Column API: codegen'd sequential-fold dot product (double). */
+  def floatDot(a: Column, b: Column): Column =
+    Bridge.column(FloatDotExpr(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column API: codegen'd sequential-fold squared L2 norm (double). */
+  def floatNorm2(a: Column): Column =
+    Bridge.column(FloatNorm2Expr(Bridge.expression(a)))
+
+  /** Column API: codegen'd 32-bit sign word from `from` (bigint). */
+  def signWord32(vec: Column, from: Int): Column =
+    Bridge.column(SignWordExpr(Bridge.expression(vec), from))
 
   private val info = new ExpressionInfo(
     classOf[CosineSimExpr].getName, "cosine_sim")

@@ -313,7 +313,8 @@ object Pq {
     short
       .join(candidates.select(cId.as("neighbor_id"), cVec.as("cvec")), "neighbor_id")
       .join(broadcast(queries.select(qId.as("query_id"), qVec.as("qvec"))), "query_id")
-      .withColumn("qcos", Similarity.cosineFold(col("qvec"), col("cvec")))
+      // codegen'd cosine — bit-identical to the fold twin
+      .withColumn("qcos", Similarity.cosine(col("qvec"), col("cvec")))
       .withColumn("rank", row_number().over(rw))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")

@@ -42,6 +42,14 @@ object Similarity {
     * rank-per-query via window. Correctness baseline — the broadcast side is
     * the QUERY set (assumed small); the candidate scan stays partitioned, so
     * this is one pass over the big table, no shuffle of candidates.
+    *
+    * Norms are HOISTED out of the query×candidate fan-out: each side's
+    * √‖v‖² is a projection evaluated once per ROW below the join, so a pair
+    * costs one codegen'd dot loop instead of the fused dot+2-norms loop —
+    * with |queries| fan-out, that recomputed every candidate's norm
+    * |queries| times (round-10 ANN floor warns). dot/(√nq·√nc) is the same
+    * expression tree as CosineSimExpr evaluates fused, so results are
+    * bit-identical.
     */
   def bruteForceTopK(
       queries: DataFrame,
@@ -51,11 +59,15 @@ object Similarity {
       cId: Column,
       cVec: Column,
       k: Int): DataFrame = {
-    val q = broadcast(queries.select(qId.as("query_id"), qVec.as("qv")))
+    import graft.functions.VectorFunctions.{floatDot, floatNorm2}
+    val q = broadcast(queries.select(qId.as("query_id"), qVec.as("qv"))
+      .withColumn("qn", sqrt(floatNorm2(col("qv")))))
     val c = Dedup.spread(candidates).select(cId.as("neighbor_id"), cVec.as("cv"))
+      .withColumn("cn", sqrt(floatNorm2(col("cv"))))
     val scored = q.crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("cosine",
+        floatDot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(desc("cosine"), asc("neighbor_id"))
     scored
@@ -158,8 +170,11 @@ object Similarity {
     *
     * Determinism: the bit table is an exact function of sign(v_i); Hamming
     * distances are integers (ties → neighbor_id); the rerank cosine is the
-    * sequential fold. Recall < 1 by construction (sign quantization) —
-    * `shortlist` tunes the recall/cost curve.
+    * sequential fold (CosineSimExpr — the codegen'd bit-identical twin).
+    * Recall < 1 by construction (sign quantization) — `shortlist` tunes the
+    * recall/cost curve. The bit table builds with the native SignWordExpr
+    * (one fused loop per row; the builtin [[signWord]] fold is its
+    * interpreted cross-check twin and was the scan's per-row bottleneck).
     */
   def hammingRerank(
       queries: DataFrame,
@@ -170,13 +185,14 @@ object Similarity {
       cVec: Column,
       shortlist: Int,
       k: Int): DataFrame = {
+    import graft.functions.VectorFunctions.signWord32
     val q = broadcast(queries.select(qId.as("query_id"), qVec.as("qvec"))
-      .withColumn("q0", signWord(col("qvec"), 0))
-      .withColumn("q1", signWord(col("qvec"), 32)))
+      .withColumn("q0", signWord32(col("qvec"), 0))
+      .withColumn("q1", signWord32(col("qvec"), 32)))
     val cRaw = candidates.select(cId.as("neighbor_id"), cVec.as("cvec"))
     val cBits = Dedup.spread(cRaw)
       .select(col("neighbor_id"),
-        signWord(col("cvec"), 0).as("c0"), signWord(col("cvec"), 32).as("c1"))
+        signWord32(col("cvec"), 0).as("c0"), signWord32(col("cvec"), 32).as("c1"))
     val hw = Window.partitionBy("query_id").orderBy(asc("hd"), asc("neighbor_id"))
     val short = q.select("query_id", "q0", "q1").crossJoin(cBits)
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -190,7 +206,7 @@ object Similarity {
     short
       .join(cRaw, "neighbor_id")
       .join(q.select("query_id", "qvec"), "query_id")
-      .withColumn("qcos", cosineFold(col("qvec"), col("cvec")))
+      .withColumn("qcos", cosine(col("qvec"), col("cvec")))
       .withColumn("rank", row_number().over(rw))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
