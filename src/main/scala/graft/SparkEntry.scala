@@ -5057,6 +5057,20 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Exact twin of q_kll_rollup (the q_exact_distinct contract): the same
+    // per-event-type p50/p95/p99 computed exactly (Spark `percentile` =
+    // linear interpolation ≡ DuckDB quantile_cont; rounded to 4 decimals at
+    // the boundary, the q_percentile convention) — hash-verified, and the
+    // truth the KLL estimates band against. At 100 TB this per-group exact
+    // quantile is the cost the mergeable summary replaces.
+    "q_exact_quantiles" -> ((s, d) =>
+      events(s, d).groupBy("event_type")
+        .agg(
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.95)"), 4).as("p95"),
+          round(expr("percentile(value, 0.99)"), 4).as("p99"))
+        .orderBy("event_type")),
+
     // SCD-2-style status spans: collapse each user's event stream to runs of
     // equal event_type (lag ≠ current ⇒ new span), close each span at the
     // next change (lead), then aggregate span counts and total seconds per
@@ -7026,6 +7040,30 @@ object SparkEntry {
         .orderBy("h_epoch")
     }),
 
+    // Exact twin of events_hll_sliding (the q_exact_distinct contract): the
+    // same scatter-forward shape over DISTINCT (hour, user) pairs with an
+    // exact count-distinct per target hour — hash-verified, and the frame
+    // the HLL slide's error band is measured against. At 100 TB the
+    // distinct pair relation (not the raw stream) is what scatters, so the
+    // shuffle is O(24 · distinct pairs); the sketch path exists because
+    // even that is what a summary table avoids.
+    "events_exact_sliding" -> ((s, d) => {
+      val hu = events(s, d)
+        .select((unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
+          .cast("long").as("hh"), col("user_id"))
+        .distinct()
+      val scattered = hu
+        .select(col("hh"), col("user_id"),
+          explode(sequence(lit(0), lit(23))).as("j"))
+        .select((col("hh") + col("j")).as("th"), col("user_id"))
+      val base = hu.select("hh").distinct()
+      scattered.groupBy("th")
+        .agg(countDistinct("user_id").as("n_users_24h"))
+        .join(base, col("th") === col("hh"))
+        .select(col("hh").as("h_epoch"), col("n_users_24h"))
+        .orderBy("h_epoch")
+    }),
+
     // Referential-integrity audit battery: orphan and duplicate-key counts
     // across the star schema in one result — the data-contract gate a
     // warehouse runs after every ingest. Each check is an anti-join or a
@@ -7788,6 +7826,25 @@ object SparkEntry {
              round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
              round(quantile_cont(o_totalprice, 0.9), 4) AS p90
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_exact_quantiles" ->
+      """SELECT event_type,
+             round(quantile_cont(value, 0.5), 4) AS p50,
+             round(quantile_cont(value, 0.95), 4) AS p95,
+             round(quantile_cont(value, 0.99), 4) AS p99
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "events_exact_sliding" ->
+      """WITH hu AS (
+           SELECT DISTINCT
+               CAST(floor(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))) AS BIGINT) // 3600 AS hh,
+               user_id
+           FROM events),
+         sc AS (SELECT hh + j.range AS th, user_id
+                FROM hu CROSS JOIN range(24) j),
+         base AS (SELECT DISTINCT hh FROM hu)
+         SELECT b.hh AS h_epoch,
+             CAST(count(DISTINCT s.user_id) AS BIGINT) AS n_users_24h
+         FROM base b JOIN sc s ON s.th = b.hh
+         GROUP BY b.hh ORDER BY h_epoch""",
     "q_topk_agg" ->
       """SELECT o_orderpriority, CAST(rnk AS INT) AS rnk, price FROM (
            SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS price,
