@@ -63,9 +63,16 @@ case class Relation(from: String, to: String, relationType: String)
   * delete), :481-543 (DDL bootstrap).
   */
 class GraphStore(spark: SparkSession, val root: String, numBuckets: Int = 16,
-    filesPerBucket: Int = 1) {
+    filesPerBucket: Int = 1, advisoryLock: Boolean = true) {
   import GraphStore._
   require(numBuckets >= 1 && filesPerBucket >= 1)
+
+  // `advisoryLock = false` runs a writer WITHOUT the machine-local file
+  // lock and JVM mutex — the multi-driver situation (two machines over one
+  // shared filesystem, where advisory locks don't reach). Correctness then
+  // rests entirely on the CAS manifest commit (see withWriteLock): the
+  // lock is a throughput optimization (it avoids wasted optimistic work),
+  // never the correctness mechanism.
 
   /** W7 DDL bootstrap — idempotent like the reference's CREATE IF NOT EXISTS
     * (client.ts:481-543). Indexes are moot: parquet min/max stats + predicate
@@ -576,13 +583,30 @@ class GraphStore(spark: SparkSession, val root: String, numBuckets: Int = 16,
   // ── storage: bucketed CoW parquet with one atomic manifest flip ─────────
 
   /** Mutations are read-modify-write over the current snapshot, so
-    * concurrent writers would lose updates; an advisory file lock plus a
-    * per-store JVM mutex serializes them (JVM file locks are held per-JVM —
-    * without the mutex a second in-process writer gets
-    * OverlappingFileLockException instead of waiting). Readers never block:
-    * they resolve the manifest once and read immutable files. A
-    * multi-driver cloud deployment would swap this for the
-    * metastore/catalog commit protocol.
+    * concurrent writers could lose updates. Two mechanisms compose:
+    *
+    * 1. An advisory file lock plus a per-root JVM mutex serialize writers
+    *    that can SEE each other (one machine; JVM file locks are held
+    *    per-JVM — without the mutex a second in-process writer gets
+    *    OverlappingFileLockException instead of waiting). This is the fast
+    *    path: serialized writers never waste optimistic work.
+    * 2. The COMMIT itself is a compare-and-swap that does not trust the
+    *    lock: each transaction pins the manifest version it read
+    *    (`txBase`), reads repeatably from that pinned manifest, and
+    *    commits by hard-LINKING its fully-written new manifest into the
+    *    exclusive history slot `_manifests/m(base+1)` — link(2) is an
+    *    atomic put-if-absent, so of two racing writers exactly one wins;
+    *    the loser's staged files become unreferenced orphans and its whole
+    *    read-modify-write body RERUNS against the new state (the
+    *    `CommitConflict` retry loop below). Two drivers on one shared
+    *    filesystem (where advisory locks don't reach — construct with
+    *    `advisoryLock = false`) therefore cannot lose updates.
+    *
+    * The winner then flips `_MANIFEST` (temp + ATOMIC_MOVE) to publish to
+    * readers, who never block: they resolve the manifest once and read
+    * immutable files. A crash between link and flip leaves the commit
+    * durable-but-unpublished; the next writer's `repairManifest` flips the
+    * pointer forward to the history head before pinning its base.
     */
   // depth lives in the COMPANION keyed by normalized root (like jvmLock):
   // two GraphStore instances over the same root must share one reentrancy
@@ -590,24 +614,72 @@ class GraphStore(spark: SparkSession, val root: String, numBuckets: Int = 16,
   // second FileChannel.lock() and throw OverlappingFileLockException
   private def lockDepth = GraphStore.lockDepthFor(root)
 
-  def withWriteLock[T](body: => T): T =
-    GraphStore.jvmLock(root).synchronized {
+  // pinned base for the current transaction (thread-confined): the
+  // manifest-history id the body's reads are based on + that manifest's
+  // content (repeatable reads). Advanced after each successful commit so a
+  // multi-commit transaction (e.g. ensureRevIndex + the mutation) chains.
+  // Companion-keyed by root (like lockDepth): a nested same-thread write
+  // through a SECOND instance of the same root must see the outer tx.
+  private def txBase = GraphStore.txBaseFor(root)
+  private def txManifest = GraphStore.txManifestFor(root)
+
+  // instance-local monitor used when the advisory lock is off: it protects
+  // only this instance's thread-locals/reentrancy, NOT cross-writer
+  // serialization (that's the CAS's job)
+  private val instanceMonitor = new Object
+
+  def withWriteLock[T](body: => T): T = {
+    val monitor = if (advisoryLock) GraphStore.jvmLock(root) else instanceMonitor
+    monitor.synchronized {
       // reentrant: the monitor above is, but a second FileChannel.lock() on
       // the same file in one JVM throws OverlappingFileLockException — only
-      // the outermost frame takes the file lock
+      // the outermost frame takes the file lock and owns the retry loop
       if (lockDepth.get > 0) {
         lockDepth.set(lockDepth.get + 1)
         try body finally lockDepth.set(lockDepth.get - 1)
       } else {
         Files.createDirectories(Paths.get(root))
-        val ch = java.nio.channels.FileChannel.open(
-          Paths.get(root, "_LOCK"),
-          java.nio.file.StandardOpenOption.CREATE,
-          java.nio.file.StandardOpenOption.WRITE)
-        val lock = ch.lock()
+        val ch = if (advisoryLock)
+          java.nio.channels.FileChannel.open(
+            Paths.get(root, "_LOCK"),
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.WRITE)
+        else null
+        val lock = if (ch != null) ch.lock() else null
         lockDepth.set(1)
-        try body
-        finally { lockDepth.set(0); lock.release(); ch.close() }
+        try {
+          var out: Option[T] = None
+          while (out.isEmpty) {
+            repairManifest()
+            txBase.set(java.lang.Long.valueOf(
+              manifestsOnDisk.lastOption.getOrElse(0L)))
+            txManifest.set(readManifestFromDisk().getOrElse(Map.empty))
+            try out = Some(body)
+            catch { case _: CommitConflict => () } // lost the CAS — re-pin, rerun
+          }
+          out.get
+        } finally {
+          lockDepth.set(0); txBase.remove(); txManifest.remove()
+          if (lock != null) { lock.release(); ch.close() }
+        }
+      }
+    }
+  }
+
+  /** If `_MANIFEST` trails the history head (a writer crashed between its
+    * CAS link and the reader-facing flip), flip it forward — the commit was
+    * already durable, this publishes it.
+    */
+  private def repairManifest(): Unit =
+    manifestsOnDisk.lastOption.foreach { m =>
+      val head = Files.readAllBytes(manifestsDir.resolve("m" + m))
+      val cur = if (Files.exists(manifestFile)) Files.readAllBytes(manifestFile)
+        else Array.empty[Byte]
+      if (!java.util.Arrays.equals(head, cur)) {
+        val tmp = Paths.get(root, s"_MANIFEST.repair${System.nanoTime()}")
+        Files.write(tmp, head)
+        Files.move(tmp, manifestFile, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING): Unit
       }
     }
 
@@ -712,7 +784,17 @@ class GraphStore(spark: SparkSession, val root: String, numBuckets: Int = 16,
     * snapshot descriptors, then flips THIS one pointer — cross-table
     * atomicity (a cascade delete is all-or-nothing), not just per-table.
     */
-  private def readManifest(): Option[Map[String, String]] =
+  private def readManifest(): Option[Map[String, String]] = {
+    // inside a transaction, reads are REPEATABLE: they come from the
+    // manifest pinned at tx start (empty map = store not yet bootstrapped),
+    // and the CAS commit guarantees the pinned base is still current when
+    // the transaction's writes land
+    val pinned = txManifest.get
+    if (pinned != null) Some(pinned).filter(_.nonEmpty)
+    else readManifestFromDisk()
+  }
+
+  private def readManifestFromDisk(): Option[Map[String, String]] =
     if (Files.exists(manifestFile))
       Some(new String(Files.readAllBytes(manifestFile), StandardCharsets.UTF_8)
         .split("\n").filter(_.contains("=")).map { l =>
@@ -818,43 +900,99 @@ class GraphStore(spark: SparkSession, val root: String, numBuckets: Int = 16,
             s"commit to $t staged rows for untouched buckets " +
               strays.map(_.dirName).sorted.mkString("[", ",", "]"))
           val out = touched.toSeq.sortBy(b => (b.gen, b.id)).map { k =>
-            val next = bucketVersionsOnDisk(t, k).lastOption.getOrElse(0L) + 1
-            val dest = bucketVersionDir(t, k, next)
-            Files.createDirectories(dest.getParent)
+            Files.createDirectories(bucketVersionDir(t, k, 1).getParent)
             val src = stage.resolve(s"_bucket=${k.token}")
-            if (Files.isDirectory(src))
-              Files.move(src, dest, StandardCopyOption.ATOMIC_MOVE)
-            else Files.createDirectories(dest) // bucket rewritten to empty
-            writeFileStats(dest, key)
+            // a bucket rewritten to EMPTY still stages a real dir (with an
+            // `_EMPTY` marker, invisible to the parquet reader) so that
+            // every installed version dir is non-empty: rename(2) silently
+            // replaces an empty dest dir, so an empty claim could be
+            // clobbered by a racing writer — non-empty dirs make every
+            // version collision surface as a move failure handled below
+            if (!Files.isDirectory(src)) {
+              Files.createDirectories(src)
+              Files.write(src.resolve("_EMPTY"), Array.empty[Byte]): Unit
+            }
+            // install at the next free version: racing writers of the same
+            // bucket collide on the move (dest exists, non-empty) and bump
+            // — versions are claimed first-come, the CAS below decides
+            // whose SNAPSHOT wins; the loser's dir becomes an orphan
+            var next = bucketVersionsOnDisk(t, k).lastOption.getOrElse(0L) + 1
+            var moved = false
+            while (!moved) {
+              val dest = bucketVersionDir(t, k, next)
+              try {
+                Files.move(src, dest, StandardCopyOption.ATOMIC_MOVE)
+                moved = true
+              } catch {
+                case e: java.nio.file.FileSystemException
+                    if Files.exists(dest) => next += 1
+              }
+            }
+            writeFileStats(bucketVersionDir(t, k, next), key)
             k -> next
           }.toMap
           rmTree(stage.toFile) // _SUCCESS + emptied partition skeleton
           out
         }
       val snap = cur -- retired ++ newVersions
-      val snapId = snapshotsOnDisk(t).lastOption.getOrElse(0L) + 1
-      Files.write(snapshotFile(t, snapId),
-        snap.toSeq.sortBy(kv => (kv._1.gen, kv._1.id))
-          .map { case (k, v) => s"${k.descKey}=v$v" }
-          .mkString("\n").getBytes(StandardCharsets.UTF_8))
+      // snapshot descriptors install by hard-link put-if-absent: two racing
+      // writers can never overwrite each other's s<N> (Files.write would),
+      // they just take successive ids — the manifest CAS decides whose id
+      // is referenced; the loser's descriptor is an orphan
+      val snapBody = snap.toSeq.sortBy(kv => (kv._1.gen, kv._1.id))
+        .map { case (k, v) => s"${k.descKey}=v$v" }
+        .mkString("\n").getBytes(StandardCharsets.UTF_8)
+      val snapTmp = tableDir(t).resolve(s"_snap_tmp_${System.nanoTime()}")
+      Files.write(snapTmp, snapBody)
+      var snapId = snapshotsOnDisk(t).lastOption.getOrElse(0L) + 1
+      var linked = false
+      while (!linked) {
+        try {
+          Files.createLink(snapshotFile(t, snapId), snapTmp)
+          linked = true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => snapId += 1
+        }
+      }
+      Files.delete(snapTmp)
       t -> s"s$snapId"
     }
     val merged = manifest ++ staged ++ extraManifest ++
       maxIds.map { case (t, v) => s"maxid.$t" -> v.toString } +
       ("nbuckets" -> manifest.getOrElse("nbuckets", numBuckets.toString))
-    val tmp = Paths.get(root, "_MANIFEST.tmp")
     val body = merged.toSeq.sorted.map { case (k, v) => s"$k=$v" }
       .mkString("\n").getBytes(StandardCharsets.UTF_8)
-    // persist the manifest history BEFORE the flip: _manifests/m<N> is the
-    // cross-table-consistent snapshot readStoreVersion travels to (a crash
-    // here leaves an orphan history file the manifest never pointed at —
-    // readable as its own consistent prefix, pruned like any orphan)
+    // THE COMMIT POINT — compare-and-swap on the manifest history: link the
+    // fully-written manifest into the slot right after this transaction's
+    // pinned base. link(2) is an atomic put-if-absent, so if ANY other
+    // writer committed since the pin (advisory locks don't cross machines),
+    // the slot is taken, everything staged above is an unreferenced orphan,
+    // and the whole read-modify-write body reruns from the new state.
+    val base = txBase.get
+    require(base != null, "commit outside a withWriteLock transaction")
+    val target = base.longValue + 1
     Files.createDirectories(manifestsDir)
-    val mId = manifestsOnDisk.lastOption.getOrElse(0L) + 1
-    Files.write(manifestsDir.resolve("m" + mId), body)
+    val tmp = Paths.get(root, s"_MANIFEST.tmp${System.nanoTime()}")
     Files.write(tmp, body)
-    Files.move(tmp, manifestFile, StandardCopyOption.ATOMIC_MOVE,
+    try Files.createLink(manifestsDir.resolve("m" + target), tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.delete(tmp)
+        throw new CommitConflict
+    }
+    Files.delete(tmp)
+    // durable; now publish to readers (a crash before this flip is healed
+    // by the next writer's repairManifest). FRESH bytes, not a move of the
+    // linked tmp: _MANIFEST must never share an inode with the immutable
+    // history file, or an in-place edit of one would corrupt the other.
+    val pub = Paths.get(root, s"_MANIFEST.pub${System.nanoTime()}")
+    Files.write(pub, body)
+    Files.move(pub, manifestFile, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    // advance the pin: a later commit in this same transaction (e.g. the
+    // rev-index backfill before a delete) chains onto this one
+    txBase.set(target)
+    txManifest.set(merged)
   }
 
   // ── per-file key-range stats: point-lookup pruning below bucket level ───
@@ -1401,6 +1539,26 @@ object GraphStore {
     lockDepths.computeIfAbsent(
       java.nio.file.Paths.get(root).toAbsolutePath.normalize.toString,
       _ => new ThreadLocal[Integer] { override def initialValue = 0 })
+
+  /** CAS conflict marker: a racing writer took this transaction's manifest
+    * slot — the outermost withWriteLock frame re-pins and reruns the body.
+    */
+  private[store] final class CommitConflict
+    extends RuntimeException("manifest CAS conflict — transaction retries")
+
+  /** Per-root per-thread transaction pins (see the instance accessors). */
+  private val txBases =
+    new java.util.concurrent.ConcurrentHashMap[String, ThreadLocal[java.lang.Long]]()
+  private[store] def txBaseFor(root: String): ThreadLocal[java.lang.Long] =
+    txBases.computeIfAbsent(
+      java.nio.file.Paths.get(root).toAbsolutePath.normalize.toString,
+      _ => new ThreadLocal[java.lang.Long])
+  private val txManifests =
+    new java.util.concurrent.ConcurrentHashMap[String, ThreadLocal[Map[String, String]]]()
+  private[store] def txManifestFor(root: String): ThreadLocal[Map[String, String]] =
+    txManifests.computeIfAbsent(
+      java.nio.file.Paths.get(root).toAbsolutePath.normalize.toString,
+      _ => new ThreadLocal[Map[String, String]])
 
   /** Unsigned lexicographic byte ordering — parquet's comparison order for
     * BINARY/UTF8 statistics, and equal to codepoint order on UTF-8 bytes.

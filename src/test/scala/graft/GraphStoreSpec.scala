@@ -869,6 +869,69 @@ class GraphStoreSpec extends AnyFunSuite with SparkTestBase {
     assert(st.relations.count() == 1) // Alice -works_at-> Acme Corp
   }
 
+  test("CAS commit: two lockless writers (two simulated drivers) lose no update") {
+    // advisoryLock = false removes the machine-local lock entirely — the
+    // two-machines-on-a-shared-filesystem situation. Interleaved
+    // read-modify-write batches from two stores must all land: the manifest
+    // CAS forces the loser of every race to rerun on the winner's state.
+    val root = Files.createTempDirectory("graft-cas-").toString
+    val a = new GraphStore(spark, root, advisoryLock = false)
+    a.initialize()
+    val b = new GraphStore(spark, root, advisoryLock = false)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    def writer(st: GraphStore, pre: String) =
+      pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = (1 to 4).foreach { i =>
+          st.createEntities(Seq(Entity(s"$pre#$i", "t", Seq(s"obs $pre $i"))))
+        }
+      })
+    val fa = writer(a, "left")
+    val fb = writer(b, "right")
+    fa.get(); fb.get(); pool.shutdown()
+    val names = a.entities.select("name").collect().map(_.getString(0)).toSet
+    val expected = (1 to 4).flatMap(i => Seq(s"left#$i", s"right#$i")).toSet
+    assert(names == expected, s"lost updates: missing ${expected -- names}")
+    // observations rode along with their entities
+    assert(a.observations.count() === 8L)
+  }
+
+  test("CAS commit: a stale transaction conflicts and reruns; a crashed flip is repaired by the next writer") {
+    val root = Files.createTempDirectory("graft-cas2-").toString
+    val st = new GraphStore(spark, root, advisoryLock = false)
+    st.initialize()
+    st.createEntities(Seq(Entity("Seed", "t", Seq("s"))))
+    val mdir = java.nio.file.Paths.get(root, "_manifests")
+    def head: Long = Option(mdir.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("m\\d+")).map(_.getName.drop(1).toLong).max
+    // a foreign driver commits AFTER this transaction pinned its base: the
+    // first attempt's manifest slot is taken, so the body must rerun
+    var runs = 0
+    st.withWriteLock {
+      runs += 1
+      if (runs == 1) {
+        val h = head
+        Files.copy(mdir.resolve("m" + h), mdir.resolve("m" + (h + 1)))
+      }
+      st.createEntities(Seq(Entity("AfterConflict", "t", Seq("x"))))
+    }
+    assert(runs === 2, "the stale first attempt must conflict and rerun")
+    assert(st.getEntity("AfterConflict").name === "AfterConflict")
+    assert(st.getEntity("Seed").name === "Seed")
+    // crash window: commit linked into history but the reader pointer never
+    // flipped — roll _MANIFEST back one version to simulate it
+    st.createEntities(Seq(Entity("Late", "t", Seq("z"))))
+    val mk = head
+    Files.copy(mdir.resolve("m" + (mk - 1)),
+      java.nio.file.Paths.get(root, "_MANIFEST"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    def names() = st.entities.select("name").collect().map(_.getString(0)).toSet
+    assert(!names().contains("Late"), "readers follow the (stale) pointer")
+    // the next writer repairs the pointer before pinning its own base
+    st.createEntities(Seq(Entity("Next", "t", Seq("w"))))
+    assert(names().contains("Late") && names().contains("Next"),
+      "repairManifest must publish the durable-but-unflipped commit")
+  }
+
   test("pre-round-11 store migrates: rev index backfilled once, then maintained incrementally") {
     val st = freshStore()
     seed(st)
@@ -883,11 +946,18 @@ class GraphStoreSpec extends AnyFunSuite with SparkTestBase {
       f.delete()
     }
     rm(new java.io.File(s"$root/relations_rev"))
-    val mf = java.nio.file.Paths.get(root, "_MANIFEST")
-    val stripped = new String(Files.readAllBytes(mf), java.nio.charset.StandardCharsets.UTF_8)
-      .split("\n").filterNot(l => l.startsWith("revsync") || l.startsWith("relations_rev"))
-      .mkString("\n")
-    Files.write(mf, stripped.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // strip the marker from _MANIFEST AND every history manifest — a
+    // genuinely old store has it nowhere (stripping only _MANIFEST would be
+    // undone by repairManifest, which flips the pointer to the history head)
+    def strip(p: java.nio.file.Path): Unit = {
+      val s = new String(Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").filterNot(l => l.startsWith("revsync") || l.startsWith("relations_rev"))
+        .mkString("\n")
+      Files.write(p, s.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    }
+    strip(java.nio.file.Paths.get(root, "_MANIFEST"))
+    Option(new java.io.File(s"$root/_manifests").listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("m\\d+")).foreach(f => strip(f.toPath))
     val st2 = new GraphStore(spark, root)
     st2.initialize() // idempotent; triggers the one-time backfill
     assertRevMirror(st2)
