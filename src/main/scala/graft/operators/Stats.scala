@@ -281,14 +281,20 @@ object Stats {
     * convention, see events_autocorr). Returns one row: (n, rho).
     */
   def spearman(df: DataFrame, x: Column, y: Column): DataFrame = {
-    val base = df.select(x.as("xv"), y.as("yv"))
+    // the projected pair relation is read FOUR times (two rank-map
+    // aggregates + two joins): checkpoint the 2-longs-per-row projection
+    // once instead of re-scanning the fact table per consumer
+    val base = df.select(x.as("xv"), y.as("yv")).localCheckpoint(true)
     def rankMap(c: String, out: String): DataFrame = {
       val g = base.groupBy(c).agg(count(lit(1)).as("nt"))
       Ranking.withGlobalCumSum(g, Seq(col(c)), col("nt"), "cum")
         .select(col(c), (col("cum") * 2 - col("nt") + 1).as(out))
     }
-    val j = base
+    // hash joins: the rank maps are aggregates keyed by the join key, a
+    // sort-merge would pay two avoidable full sorts per join
+    val j = base.hint("shuffle_hash")
       .join(rankMap("xv", "rx2"), "xv")
+      .hint("shuffle_hash")
       .join(rankMap("yv", "ry2"), "yv")
     val dx = col("rx2").cast(DecimalType(38, 0))
     val dy = col("ry2").cast(DecimalType(38, 0))
