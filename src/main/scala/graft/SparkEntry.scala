@@ -5048,6 +5048,15 @@ object SparkEntry {
     // p50/p95/p99 — the percentile rollup a summary table answers without
     // rescanning the fact stream. SketchSummarySpec bands the estimates
     // against exact percentiles and pins merged ≈ direct.
+    // Exact twin of q_hll_rollup (the q_exact_distinct contract): the same
+    // per-returnflag distinct-supplier rollup computed exactly (two-phase
+    // distinct aggregate — expand + two hash aggs, no single-reducer hot
+    // spot) — hash-verified, the truth the HLL rollup bands against.
+    "q_exact_rollup" -> ((s, d) =>
+      lineitem(s, d).groupBy("l_returnflag")
+        .agg(countDistinct("l_suppkey").as("exact_supps"))
+        .orderBy("l_returnflag")),
+
     "q_kll_rollup" -> ((s, d) => {
       val e = events(s, d).withColumn("day", to_date(col("ts")))
       val summary = graft.pipeline.Profile.kllSummary(
@@ -7826,6 +7835,10 @@ object SparkEntry {
              round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
              round(quantile_cont(o_totalprice, 0.9), 4) AS p90
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_exact_rollup" ->
+      """SELECT l_returnflag,
+             CAST(count(DISTINCT l_suppkey) AS BIGINT) AS exact_supps
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_exact_quantiles" ->
       """SELECT event_type,
              round(quantile_cont(value, 0.5), 4) AS p50,
