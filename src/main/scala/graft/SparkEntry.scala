@@ -6418,7 +6418,9 @@ object SparkEntry {
     // One scan + one broadcast stats row.
     "embed_norm_outliers" -> ((s, d) => {
       val e = embeddings(s, d).select(col("vec_id"),
-        floor(Similarity.norm2(col("embedding")) * (1 << 20)).as("nf"))
+        // codegen'd norm2 — bit-identical to the builtin fold twin
+        floor(graft.functions.VectorFunctions.floatNorm2(col("embedding"))
+          * (1 << 20)).as("nf"))
       val st = e.agg(count(lit(1)).as("n"),
         sum(col("nf").cast(DecimalType(38, 0))).as("s"),
         sum(col("nf").cast(DecimalType(38, 0)) * col("nf")).as("q"))
