@@ -566,11 +566,11 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     val full = finalPlan("dedup_prefix_filter")
     val p = full.split("Initial Plan").head
     assert(p.contains("ShuffledHashJoin"), s"candidate join must stay hash:\n$p")
-    // the shingled base is persisted for its three consumers (formatted
-    // explain truncates inside the cached subplan, so the coPart
-    // ReusedExchange is not reliably printable — the cache pin is)
-    assert(p.contains("InMemoryTableScan"),
-      s"the shingled base must be cached, not re-shingled per consumer:\n$p")
+    // the shingled base is localCheckpoint'ed for its three consumers
+    // (df counts, prefix build, verification sets): every consumer reads
+    // the materialized RDD, nothing re-shingles the corpus
+    assert(p.contains("Scan ExistingRDD"),
+      s"the shingled base must be checkpointed, not re-shingled per consumer:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"no all-pairs path anywhere:\n$p")
   }
