@@ -1863,9 +1863,10 @@ object SparkEntry {
     // The terminal dedup step a user actually ships: pairs → components →
     // surviving corpus (each cluster keeps its min-id representative;
     // pair-free docs keep themselves). The components table is tiny relative
-    // to the corpus at real dup rates, so the survivors filter is a
-    // broadcast anti-join — the corpus itself never shuffles. Full oracle:
-    // the recursive-CTE transitive closure decides the same drop set.
+    // to the corpus at real dup rates, but still corpus-PROPORTIONAL, so
+    // the survivors anti-join is AQE-gated (no forced broadcast). Full
+    // oracle: the recursive-CTE transitive closure decides the same drop
+    // set.
     "dedup_representatives" -> ((s, d) => {
       val docs0 = documents(s, d)
       val comp = Dedup.connectedComponents(

@@ -852,10 +852,12 @@ object Dedup {
   /** The terminal step of the dedup pipeline: given the corpus and the
     * components output (doc_id, rep_id), keep every doc that is either
     * pair-free (absent from components — its own trivial cluster) or its
-    * cluster's representative. A broadcast-able left join + filter: the
-    * components table holds only docs that appeared in a near-dup pair —
-    * tiny relative to the corpus at real dup rates — so the corpus is
-    * never shuffled.
+    * cluster's representative. Left anti join + filter; NO broadcast hint:
+    * the drop list is O(dup docs) — corpus-PROPORTIONAL (billions of ids
+    * at 100 TB with a real dup rate), so a forced broadcast would OOM.
+    * AQE broadcasts it at small scale on its own; at scale the shuffled
+    * anti join is the safe plan (same rule as the SparkEntry label joins,
+    * round-10 verdict).
     */
   def keepRepresentatives(
       docs: DataFrame,
@@ -864,7 +866,7 @@ object Dedup {
     val drop = components
       .filter(col("doc_id") =!= col("rep_id"))
       .select(col("doc_id").as("_dup_id"))
-    docs.join(broadcast(drop), id === col("_dup_id"), "left_anti")
+    docs.join(drop, id === col("_dup_id"), "left_anti")
   }
 
   /** Embedding-cosine near-dup: pairs above a cosine threshold, candidate
