@@ -168,13 +168,20 @@ object Stats {
         ((col("sy") - col("slope") * col("sx")) /
           col("n_train").cast("double")).as("intercept"))
       .localCheckpoint(true)
-    // |y - (a + b·x)| in cents — the same expression tree on both engines
-    def resid(rows: DataFrame) = rows.crossJoin(broadcast(fit))
-      .select(floor(abs(col("y").cast("double")
+    // |y - (a + b·x)| in cents — the same expression tree on both engines.
+    // ONE residual pass covers BOTH holdout splits (the fit must exist
+    // first, so two passes over the fact — train moments, then residuals —
+    // is the floor): aggregate to (split, residual, count) and settle it;
+    // everything downstream (calibration size, cumsum, test coverage) runs
+    // on this O(distinct residuals) frame, never re-scanning the fact
+    val resAgg = base.filter(col("split") =!= "train")
+      .crossJoin(broadcast(fit))
+      .select(col("split"), floor(abs(col("y").cast("double")
         - (col("intercept") + col("slope") * col("x").cast("double")))
         * lit(100.0)).cast("long").as("r"))
-    val calR = resid(base.filter(col("split") === "cal"))
-      .groupBy("r").agg(count(lit(1)).as("cnt"))
+      .groupBy("split", "r").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val calR = resAgg.filter(col("split") === "cal").select("r", "cnt")
     val calStats = calR.agg(sum("cnt").as("n_cal")).localCheckpoint(true)
     // k = ceil((n_cal + 1) · (1 − α)) via integer arithmetic
     val kRow = calStats.select(expr(
@@ -190,10 +197,11 @@ object Stats {
       .agg(coalesce(min(col("r")), lit(Long.MaxValue)).as("q_hat"))
       .crossJoin(broadcast(kRow.select("n_cal")))
       .localCheckpoint(true)
-    val test = resid(base.filter(col("split") === "test"))
+    val test = resAgg.filter(col("split") === "test")
       .crossJoin(broadcast(qHat))
-      .agg(count(lit(1)).as("n_test"),
-        sum(when(col("r") <= col("q_hat"), 1L).otherwise(0L)).as("covered"),
+      .agg(coalesce(sum("cnt"), lit(0L)).as("n_test"),
+        coalesce(sum(when(col("r") <= col("q_hat"), col("cnt"))
+          .otherwise(0L)), lit(0L)).as("covered"),
         min(col("q_hat")).as("q_hat"), min(col("n_cal")).as("n_cal"))
     test.crossJoin(broadcast(fit))
       .select(col("n_train"), col("n_cal"), col("n_test"),
