@@ -1959,6 +1959,19 @@ object SparkEntry {
         .orderBy("rep_id")
     }),
 
+    // SemDeDup (Abbas et al. 2023): the cluster-bucketed scale path for
+    // semantic dedup — nearest-centroid cells bound the candidate set
+    // (never all-pairs, never cross-cell), keep-first within a cell. The
+    // published complement to dedup_embedding's LSH candidates; the
+    // cell-boundary recall trade is the method's own and is spec-pinned.
+    "dedup_semdedup" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Dedup.semDedup(e, col("vec_id"), col("embedding"),
+        e.filter(col("vec_id") < 8), col("vec_id"), col("embedding"),
+        threshold = 0.45)
+        .orderBy("vec_id")
+    }),
+
     // ── similarity search (embeddings) ────────────────────────────────────
 
     "ann_topk" -> ((s, d) => {
@@ -7474,6 +7487,7 @@ object SparkEntry {
     "dedup_simhash_clusters" -> OracleSqlGen.simhashClusters(60, 4, 3),
     "dedup_simhash_pairs" -> OracleSqlGen.simhashPairs(60, 4, 3),
     "dedup_embedding" -> OracleSqlGen.embeddingNearDup(0.45, 4, 4),
+    "dedup_semdedup" -> OracleSqlGen.semDedup(8, 0.45),
     "dedup_semantic_clusters" -> OracleSqlGen.embeddingClusters(0.45, 4, 4),
 
     "ann_topk" -> OracleSqlGen.annTopK(32, 5),

@@ -904,6 +904,52 @@ object Dedup {
       .select("a_id", "b_id", "cosine")
   }
 
+  /** SemDeDup (Abbas et al. 2023): cluster-bucketed semantic dedup — the
+    * OTHER published scale path for embedding near-dup, complementing
+    * [[embeddingNearDup]]'s LSH: embeddings are assigned to their nearest
+    * centroid (k-means cells), and near-duplicate pairs are only sought
+    * WITHIN a cell, so candidate count is bounded by Σ|cell|² with |cell| ≈
+    * n/k — at 100 TB the cells are the partition key and no pair ever
+    * crosses one. The price is the method's documented recall trade: a
+    * similar pair straddling a cell boundary is never examined (spec-pinned
+    * as a property, not a bug).
+    *
+    * Keep rule: an item is dropped iff SOME lower-id same-cell item is
+    * within `threshold` cosine — the deterministic keep-first variant of
+    * the paper's keep-one-per-duplicate-group (engine-exact: no dependence
+    * on iteration order or centroid distance ties). Candidate generation
+    * runs over (id, cell) pairs only; vectors re-join once per candidate
+    * for the exact-cosine check.
+    *
+    * Returns (vec_id, centroid_id, kept 0/1) for every input vector.
+    */
+  def semDedup(
+      emb: DataFrame,
+      id: Column,
+      vec: Column,
+      centroids: DataFrame,
+      centId: Column,
+      centVec: Column,
+      threshold: Double): DataFrame = {
+    val assigned = Similarity.assignToCentroids(
+      spread(emb), id, vec, centroids, centId, centVec)
+    val a = assigned.select(col("centroid_id"), col("vec_id").as("a_id"))
+      .hint("shuffle_hash")
+    val b = assigned.select(col("centroid_id"), col("vec_id").as("b_id"))
+    val cand = a.join(b, Seq("centroid_id"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+    val va = emb.select(id.as("a_id"), vec.as("va"))
+    val vb = emb.select(id.as("b_id"), vec.as("vb"))
+    val dropped = cand.join(va, "a_id").join(vb, "b_id")
+      .filter(Similarity.cosine(col("va"), col("vb")) >= threshold)
+      .select(col("b_id").as("vec_id")).distinct()
+    assigned
+      .join(dropped.withColumn("_d", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("centroid_id"),
+        when(col("_d").isNull, 1).otherwise(0).as("kept"))
+  }
+
   /** Chunk-level exact deduplication — the paragraph-dedup stage of
     * RefinedWeb/CCNet-style curation expressed over whitespace corpora as
     * consecutive fixed-width `k`-word chunks (the last chunk may be ragged).

@@ -675,6 +675,29 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(found == full)
   }
 
+  test("semDedup: keep-first within a cell; a similar pair straddling cells is untouched") {
+    // c100 = x-axis, c101 = y-axis. v0 ≡ v1 land in cell 100 → v1 (higher
+    // id) dropped. v2 → cell 100, v3 → cell 101 with cos(v2,v3) ≈ 0.994 —
+    // similar but cross-cell, so BOTH survive: the method's documented
+    // recall trade, pinned as a property.
+    val emb = Seq(
+      (0L, Seq(1f, 0.1f, 0f, 0f)),
+      (1L, Seq(1f, 0.1f, 0f, 0f)),
+      (2L, Seq(1f, 0.9f, 0f, 0f)),
+      (3L, Seq(0.9f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val cents = Seq(
+      (100L, Seq(1f, 0f, 0f, 0f)),
+      (101L, Seq(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val out = Dedup.semDedup(emb, col("vec_id"), col("embedding"),
+        cents, col("vec_id"), col("embedding"), threshold = 0.98)
+      .orderBy("vec_id").as[(Long, Long, Int)].collect()
+    assert(out.map(r => r._1 -> r._2).toMap ===
+      Map(0L -> 100L, 1L -> 100L, 2L -> 100L, 3L -> 101L), "cell assignment")
+    assert(out.map(r => r._1 -> r._3).toMap ===
+      Map(0L -> 1, 1L -> 0, 2L -> 1, 3L -> 1),
+      "keep-first in-cell; cross-cell near-dup untouched")
+  }
+
   test("keepRepresentatives: drops non-representative cluster members, keeps pair-free docs") {
     val docs = Seq(
       (1L, "w1 w2 w3 w4 w5 w6"),
