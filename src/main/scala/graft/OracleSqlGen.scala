@@ -2489,6 +2489,32 @@ object OracleSqlGen {
           CAST(sum(fp) // count(*) AS BIGINT) AS avg_surprisal_fp
         FROM t GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Mirrors text_ccnet_buckets: the lmScore chain, then per-language
+    * terciles of the score (bucket = ⌊3·(rank−1)/n_lang⌋, rank ordered by
+    * (score, doc_id) within the language).
+    */
+  def ccnetBuckets: String =
+    s"""WITH bg0 AS (
+          SELECT doc_id, unnest(${shinglesSql(2)}) AS bg FROM documents),
+        bg AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM bg0),
+        c12 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY 1),
+        c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY 1),
+        v AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v
+              FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)),
+        t AS (
+          SELECT doc_id,
+            CAST(floor(-ln((c12.c12 + 1.0) / CAST(c1.c1 + v.v AS DOUBLE)) * 1000000.0) AS BIGINT) AS fp
+          FROM bg JOIN c12 USING (bg) JOIN c1 USING (w1) CROSS JOIN v),
+        sc AS (
+          SELECT doc_id, CAST(sum(fp) // count(*) AS BIGINT) AS avg_surprisal_fp
+          FROM t GROUP BY doc_id)
+        SELECT d.doc_id, d.lang, sc.avg_surprisal_fp,
+          CAST((3 * (row_number() OVER (PARTITION BY d.lang
+                  ORDER BY sc.avg_surprisal_fp, d.doc_id) - 1))
+               // (count(*) OVER (PARTITION BY d.lang)) AS INT) AS bucket
+        FROM sc JOIN documents d USING (doc_id)
+        ORDER BY d.doc_id"""
+
   /** Mirrors the PMI collocation mining: top bigrams by fixed-point
     * pointwise mutual information with a support floor.
     */

@@ -703,6 +703,43 @@ object SparkEntry {
     bm25TermScored(s, d, probes)
       .groupBy("doc_id").agg(sum("iscore").as("bm25_fp"))
 
+  /** Corpus bigram language-model scoring — the perplexity-proxy quality
+    * signal of a training-data pipeline: per-doc mean SURPRISAL
+    * −ln P(w2|w1) under an add-1-smoothed corpus bigram model. Surprisal
+    * terms are positive fixed-point longs (floor ·1e6), so the per-doc sum
+    * is order-independent and the integer mean truncates identically in
+    * both engines. One shingle explode drives counts AND scoring. Shared
+    * by text_lm_score and text_ccnet_buckets. Returns
+    * (doc_id, n_bigrams, avg_surprisal_fp), unordered.
+    */
+  private def lmScored(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val bg = docs.select(col("doc_id"),
+        explode(Dedup.shingles(col("text"), 2)).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val c12 = bg.groupBy("bg").agg(count(lit(1)).as("c12"))
+    // left-marginal counts fall out of the tiny aggregated bigram table —
+    // summing c12 per w1 equals recounting the corpus stream
+    val c1 = c12.withColumn("w1", substring_index(col("bg"), " ", 1))
+      .groupBy("w1").agg(sum("c12").as("c1"))
+    val vocab = docs.select(explode(split(col("text"), " ")).as("t"))
+      .agg(countDistinct("t").as("v"))
+    val surprisal = floor(-log((col("c12") + lit(1.0)) /
+      (col("c1") + col("v")).cast("double")) * lit(1000000.0)).cast("long")
+    // NO broadcast hints on c12/c1: they are corpus-derived aggregates
+    // (distinct bigrams / vocabulary) whose cardinality grows with the
+    // corpus — a forced broadcast OOMs at 100 TB. AQE broadcasts them at
+    // small SF on its own; at scale the shuffled hash join on `bg` is the
+    // right plan. Only the 1-row `vocab` aggregate keeps its hint.
+    bg.join(c12, "bg")
+      .join(c1, "w1")
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(surprisal).as("sum_fp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("sum_fp div n_bigrams").as("avg_surprisal_fp"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ── §2.1 reference read parity ────────────────────────────────────────
@@ -3261,32 +3298,31 @@ object SparkEntry {
     // both engines (negative fixed-point would floor vs truncate
     // differently). One shingle explode drives counts AND scoring; the
     // count tables broadcast.
-    "text_lm_score" -> ((s, d) => {
-      val docs = documents(s, d)
-      val bg = docs.select(col("doc_id"),
-          explode(Dedup.shingles(col("text"), 2)).as("bg"))
-        .withColumn("w1", substring_index(col("bg"), " ", 1))
-      val c12 = bg.groupBy("bg").agg(count(lit(1)).as("c12"))
-      // left-marginal counts fall out of the tiny aggregated bigram table —
-      // summing c12 per w1 equals recounting the corpus stream
-      val c1 = c12.withColumn("w1", substring_index(col("bg"), " ", 1))
-        .groupBy("w1").agg(sum("c12").as("c1"))
-      val vocab = docs.select(explode(split(col("text"), " ")).as("t"))
-        .agg(countDistinct("t").as("v"))
-      val surprisal = floor(-log((col("c12") + lit(1.0)) /
-        (col("c1") + col("v")).cast("double")) * lit(1000000.0)).cast("long")
-      // NO broadcast hints on c12/c1: they are corpus-derived aggregates
-      // (distinct bigrams / vocabulary) whose cardinality grows with the
-      // corpus — a forced broadcast OOMs at 100 TB. AQE broadcasts them at
-      // small SF on its own; at scale the shuffled hash join on `bg` is the
-      // right plan. Only the 1-row `vocab` aggregate keeps its hint.
-      bg.join(c12, "bg")
-        .join(c1, "w1")
-        .crossJoin(broadcast(vocab))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"), sum(surprisal).as("sum_fp"))
-        .select(col("doc_id"), col("n_bigrams"),
-          expr("sum_fp div n_bigrams").as("avg_surprisal_fp"))
+    "text_lm_score" -> ((s, d) => lmScored(s, d).orderBy("doc_id")),
+
+    // CCNet-style perplexity buckets (Wenzek et al. 2020): per LANGUAGE,
+    // docs split into head/middle/tail TERCILES of the LM score — cuts are
+    // data-relative per language, unlike q_curriculum's fixed global
+    // thresholds, which is the published stage's point (each language's
+    // own distribution decides). Rank-in-language comes from ONE
+    // range-partitioned distributed cumsum over (lang, score, doc_id) rows
+    // plus broadcast per-language offsets — never a per-language window
+    // sort, whose biggest language would be a single task at 100 TB.
+    "text_ccnet_buckets" -> ((s, d) => {
+      val scored = lmScored(s, d)
+        .join(documents(s, d).select("doc_id", "lang"), "doc_id")
+        .select(col("doc_id"), col("lang"), col("avg_surprisal_fp"))
+        .withColumn("one", lit(1L))
+      val ranked = graft.operators.Ranking.withGlobalCumSum(
+        scored, Seq(col("lang"), col("avg_surprisal_fp"), col("doc_id")),
+        col("one"), "cum")
+      val offs = ranked.groupBy("lang")
+        .agg(max("cum").as("cum_end"), count(lit(1)).as("n_lang"))
+        .select(col("lang"), (col("cum_end") - col("n_lang")).as("off"),
+          col("n_lang"))
+      ranked.join(broadcast(offs), "lang") // O(languages): bounded
+        .select(col("doc_id"), col("lang"), col("avg_surprisal_fp"),
+          expr("cast((3 * (cum - off - 1)) div n_lang as int)").as("bucket"))
         .orderBy("doc_id")
     }),
 
@@ -7634,6 +7670,7 @@ object SparkEntry {
     "events_anomaly" -> OracleSqlGen.eventAnomalies(24, 2.0),
     "text_novelty" -> OracleSqlGen.novelty(3),
     "text_lm_score" -> OracleSqlGen.lmScore,
+    "text_ccnet_buckets" -> OracleSqlGen.ccnetBuckets,
     // en threshold '8000' = floor(0.5 * 65536) in hex — must match
     // Splits.stratifiedKeep's floor(frac * 65536) for frac = 0.5.
     "q_sample_stratified" ->
