@@ -931,8 +931,12 @@ object Dedup {
       centId: Column,
       centVec: Column,
       threshold: Double): DataFrame = {
+    // settle the assignment once: it is consumed three times (both pair
+    // sides + the output join) and each evaluation is k cosines per row;
+    // the settled frame is two ids per row
     val assigned = Similarity.assignToCentroids(
       spread(emb), id, vec, centroids, centId, centVec)
+      .localCheckpoint(true)
     val a = assigned.select(col("centroid_id"), col("vec_id").as("a_id"))
       .hint("shuffle_hash")
     val b = assigned.select(col("centroid_id"), col("vec_id").as("b_id"))

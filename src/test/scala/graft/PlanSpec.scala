@@ -370,6 +370,32 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("dedup_semdedup: pairs stay cell-keyed — never a cartesian, no forced broadcast of assignments") {
+    val p = plan("dedup_semdedup")
+    // the within-cell self-join must be an equi-join on centroid_id; the
+    // only nested-loop allowed is the deliberate centroid broadcast inside
+    // assignToCentroids (bounded k)
+    assert(!p.contains("CartesianProduct"), s"cell pairs must be keyed:\n$p")
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      s"the cell self-join must be a keyed join:\n$p")
+    // the assignment frame is corpus-sized and settled once: the only
+    // permitted hint is the bounded centroid broadcast inside the (single)
+    // assignment evaluation
+    assert(forcedBroadcasts("dedup_semdedup") <= 1,
+      "corpus-sized assignment frame must not be hint-broadcast")
+  }
+
+  test("text_ccnet_buckets: rank-in-language windows only by the cumsum partition id") {
+    val p = plan("text_ccnet_buckets")
+    // the per-language rank must ride the range-partitioned cumsum
+    // scaffold (windows keyed by _pid), never a per-language window whose
+    // biggest language would be one task
+    assert(p.contains("windowspecdefinition(_pid"),
+      s"rank must come from the distributed cumsum:\n$p")
+    assert(!p.contains("windowspecdefinition(lang#"),
+      s"per-language window sort detected:\n$p")
+  }
+
   test("graph_assortativity stays keyed — degree joins never go cartesian") {
     val p = plan("graph_assortativity")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
