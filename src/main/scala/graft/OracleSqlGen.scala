@@ -726,6 +726,36 @@ object OracleSqlGen {
         FROM assigned a LEFT JOIN dropped d ON d.b_id = a.vec_id
         ORDER BY a.vec_id"""
 
+  /** Mirrors dedup_semdedup_inc: the FROM-SCRATCH [[semDedup]] over the
+    * whole corpus, restricted to batch ids — keep-first + append-only ids
+    * make this identical to the incremental verdicts.
+    */
+  def semDedupInc(nCentroids: Int, threshold: Double, batchFrom: Long): String =
+    s"""WITH cent AS (
+          SELECT vec_id AS centroid_id, embedding AS centv FROM embeddings
+          WHERE vec_id < $nCentroids),
+        assigned AS (
+          SELECT vec_id, centroid_id FROM (
+            SELECT e.vec_id, cent.centroid_id,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY ${cosineSql("e.embedding", "centv")} DESC, centroid_id ASC) AS rn
+            FROM embeddings e, cent)
+          WHERE rn = 1),
+        p AS (
+          SELECT a.vec_id AS a_id, b.vec_id AS b_id
+          FROM assigned a JOIN assigned b USING (centroid_id)
+          WHERE a.vec_id < b.vec_id AND b.vec_id >= $batchFrom),
+        dropped AS (
+          SELECT DISTINCT b_id FROM p
+          JOIN embeddings ea ON ea.vec_id = a_id
+          JOIN embeddings eb ON eb.vec_id = b_id
+          WHERE ${cosineSql("ea.embedding", "eb.embedding")} >= $threshold)
+        SELECT a.vec_id, CAST(a.centroid_id AS BIGINT) AS centroid_id,
+            CAST(CASE WHEN d.b_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+        FROM assigned a LEFT JOIN dropped d ON d.b_id = a.vec_id
+        WHERE a.vec_id >= $batchFrom
+        ORDER BY a.vec_id"""
+
   /** Sign of the projection onto pseudo-random hyperplane `p` must match
     * SignBucketsExpr: component signs via Similarity.planeSign
     * (md5-derived ±1), summed in ascending dim order (left-assoc, matching

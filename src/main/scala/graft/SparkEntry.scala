@@ -361,6 +361,19 @@ object SparkEntry {
         s"$dir/ivf")
     }
 
+  /** IVF index over only the OLD corpus (vec_id < 400) for the incremental
+    * SemDeDup query — batch ids (≥ 400) all succeed index ids, the
+    * keep-first contract.
+    */
+  private def semdedupIncSetup(s: SparkSession, d: String): String =
+    Setup.dir(s"semdedup_inc:$d") { dir =>
+      val e = embeddings(s, d)
+      Similarity.buildIvfIndex(e.filter(col("vec_id") < 400),
+        e.filter(col("vec_id") < 8),
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        s"$dir/ivf")
+    }
+
   /** Deletion-maintained IVF index: built over the FULL corpus, then every
     * vector with vec_id % 5 == 2 deleted via the cell-pruned eager rewrite
     * (only the affected cell dirs are read and swapped; the probe path is
@@ -2004,6 +2017,21 @@ object SparkEntry {
     "dedup_semdedup" -> ((s, d) => {
       val e = embeddings(s, d)
       Dedup.semDedup(e, col("vec_id"), col("embedding"),
+        e.filter(col("vec_id") < 8), col("vec_id"), col("embedding"),
+        threshold = 0.45)
+        .orderBy("vec_id")
+    }),
+
+    // O(batch) incremental SemDeDup: the batch (vec_id ≥ 400) assigns
+    // under the frozen centroids and is checked against ONLY its cells'
+    // persisted members (partition-pruned IVF read) plus itself; keep-first
+    // + append-only ids make batch verdicts ≡ from-scratch union verdicts
+    // restricted to the batch, which is exactly what the oracle computes.
+    "dedup_semdedup_inc" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Dedup.semDedupIncremental(e.filter(col("vec_id") >= 400),
+        col("vec_id"), col("embedding"),
+        s"${semdedupIncSetup(s, d)}/ivf",
         e.filter(col("vec_id") < 8), col("vec_id"), col("embedding"),
         threshold = 0.45)
         .orderBy("vec_id")
@@ -7524,6 +7552,7 @@ object SparkEntry {
     "dedup_simhash_pairs" -> OracleSqlGen.simhashPairs(60, 4, 3),
     "dedup_embedding" -> OracleSqlGen.embeddingNearDup(0.45, 4, 4),
     "dedup_semdedup" -> OracleSqlGen.semDedup(8, 0.45),
+    "dedup_semdedup_inc" -> OracleSqlGen.semDedupInc(8, 0.45, 400L),
     "dedup_semantic_clusters" -> OracleSqlGen.embeddingClusters(0.45, 4, 4),
 
     "ann_topk" -> OracleSqlGen.annTopK(32, 5),

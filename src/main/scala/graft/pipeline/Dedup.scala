@@ -954,6 +954,56 @@ object Dedup {
         when(col("_d").isNull, 1).otherwise(0).as("kept"))
   }
 
+  /** O(batch) incremental [[semDedup]]: the arriving batch assigns to its
+    * cells under the FROZEN centroids and is checked against (a) the
+    * persisted IVF index's members of exactly those cells — a
+    * partition-pruned read, the corpus is never re-assigned or re-scanned —
+    * and (b) the batch's own same-cell pairs. Because the keep rule is
+    * keep-FIRST by id and batch ids succeed all index ids (the caller's
+    * contract, the append-only ingest invariant), arrivals can never
+    * displace existing members, so batch verdicts ARE the from-scratch
+    * union verdicts restricted to the batch (the oracle). Cost is
+    * O(|batch| · cell-mates), the SemDeDup analog of
+    * [[prefixFilterIncremental]]'s frozen-vocabulary contract — and the
+    * consumer of the IVF index's commit protocol: a probe mid-delete sees
+    * one consistent index version.
+    */
+  def semDedupIncremental(
+      batch: DataFrame,
+      id: Column,
+      vec: Column,
+      indexPath: String,
+      centroids: DataFrame,
+      centId: Column,
+      centVec: Column,
+      threshold: Double): DataFrame = {
+    val spark = batch.sparkSession
+    val assignedB = Similarity.assignToCentroids(
+      spread(batch), id, vec, centroids, centId, centVec)
+      .localCheckpoint(true)
+    val cells = assignedB.select("centroid_id").distinct()
+      .collect().map(_.get(0)).toSeq // O(affected cells) driver hop
+    val withVecB = assignedB.select(col("vec_id").as("b_id"), col("centroid_id"))
+      .join(batch.select(id.as("b_id"), vec.as("vb")), "b_id")
+    val corpus = spark.read.parquet(Similarity.ivfCurrentDir(indexPath))
+      .filter(col("centroid_id").isInCollection(cells)) // partition-pruned
+      .select(col("centroid_id"), col("cv").as("va"))
+    val bc = withVecB.hint("shuffle_hash").join(corpus, Seq("centroid_id"))
+      .filter(Similarity.cosine(col("va"), col("vb")) >= threshold)
+      .select(col("b_id").as("vec_id"))
+    val bSide = withVecB.select(col("centroid_id"), col("b_id").as("a_id"),
+      col("vb").as("va"))
+    val bb = bSide.hint("shuffle_hash").join(withVecB, Seq("centroid_id"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(Similarity.cosine(col("va"), col("vb")) >= threshold)
+      .select(col("b_id").as("vec_id"))
+    assignedB
+      .join(bc.unionByName(bb).distinct().withColumn("_d", lit(1)),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"), col("centroid_id"),
+        when(col("_d").isNull, 1).otherwise(0).as("kept"))
+  }
+
   /** Chunk-level exact deduplication — the paragraph-dedup stage of
     * RefinedWeb/CCNet-style curation expressed over whitespace corpora as
     * consecutive fixed-width `k`-word chunks (the last chunk may be ragged).
