@@ -698,6 +698,24 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "keep-first in-cell; cross-cell near-dup untouched")
   }
 
+  test("semDedupIncremental: batch verdicts equal from-scratch union verdicts restricted to the batch") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = e.filter(col("vec_id") < 8)
+    val dir = java.nio.file.Files.createTempDirectory("semdedup_inc_").toString
+    graft.pipeline.Similarity.buildIvfIndex(e.filter(col("vec_id") < 300), cents,
+      col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), s"$dir/ivf")
+    val inc = Dedup.semDedupIncremental(e.filter(col("vec_id") >= 300),
+        col("vec_id"), col("embedding"), s"$dir/ivf",
+        cents, col("vec_id"), col("embedding"), threshold = 0.45)
+      .orderBy("vec_id").as[(Long, Long, Int)].collect().toSeq
+    val full = Dedup.semDedup(e, col("vec_id"), col("embedding"),
+        cents, col("vec_id"), col("embedding"), threshold = 0.45)
+      .filter(col("vec_id") >= 300)
+      .orderBy("vec_id").as[(Long, Long, Int)].collect().toSeq
+    assert(inc.nonEmpty && inc === full,
+      "incremental must equal the from-scratch union restricted to batch ids")
+  }
+
   test("keepRepresentatives: drops non-representative cluster members, keeps pair-free docs") {
     val docs = Seq(
       (1L, "w1 w2 w3 w4 w5 w6"),

@@ -190,4 +190,43 @@ class ScaleDrillSpec extends AnyFunSuite with SparkTestBase {
     assert(r2 >= r1 - 0.1,
       s"recall eroded >0.1 under 10x growth: ${f"$r1%.3f"} -> ${f"$r2%.3f"}")
   }
+
+  test("semDedup drill: with k grown with the corpus, within-cell candidates stay near-linear; planted dups always drop") {
+    import spark.implicits._
+    // SemDeDup's scale contract: cell size ≈ n/k, candidates ≈ n·(n/k)/2 —
+    // QUADRATIC at fixed k. The method scales by growing k with n (the
+    // paper runs k ≈ √n to n/100); this drill grows k 10× with the corpus
+    // and pins near-linear candidate growth, plus exact planted-dup drops
+    // (identical vectors share a cell by construction, any k).
+    def run(n: Long, k: Int): (Long, Set[Long], Set[Long]) = {
+      // planted: every id % 20 == 7 duplicates its predecessor's vector
+      val corpus = (0L until n).map { i =>
+        val base = if (i % 20 == 7) i - 1 else i
+        (i, synthVec(base))
+      }.toDF("vec_id", "embedding")
+      // centroid c is axis-(c%16)-dominant with its own noise pattern: every
+      // axis family is covered, and same-axis centroids split their family
+      // by the noise components
+      val cents = (0 until k).map(c => (c.toLong, synthVec(c.toLong)))
+        .toDF("cid", "cv")
+      val assigned = Similarity.assignToCentroids(corpus,
+        col("vec_id"), col("embedding"), cents, col("cid"), col("cv"))
+      val cand = assigned.groupBy("centroid_id").agg(count(lit(1)).as("m"))
+        .agg(sum(expr("m * (m - 1) div 2")).as("pairs"))
+        .as[Long].collect().head
+      val out = Dedup.semDedup(corpus, col("vec_id"), col("embedding"),
+          cents, col("cid"), col("cv"), threshold = 0.95)
+        .filter(col("kept") === 0).select("vec_id").as[Long].collect().toSet
+      val planted = (0L until n).filter(_ % 20 == 7).toSet
+      (cand, out, planted)
+    }
+    val (c1, dropped1, planted1) = run(3000L, 16)
+    val (c2, dropped2, planted2) = run(30000L, 160)
+    assert(planted1.subsetOf(dropped1), "planted dup survived at 3k")
+    assert(planted2.subsetOf(dropped2), "planted dup survived at 30k")
+    val ratio = c2.toDouble / c1
+    assert(ratio >= 5 && ratio <= 20,
+      s"within-cell candidates grew $c1 -> $c2 (${f"$ratio%.1f"}x) over a " +
+        "10x corpus with 10x centroids — expected near-linear (5x-20x)")
+  }
 }
