@@ -183,4 +183,50 @@ class StreamingIngestSpec extends AnyFunSuite with SparkTestBase {
       "stream-appended index must probe identically to the batch build")
     e.unpersist()
   }
+
+  test("streaming semantic-dedup ingest: per-micro-batch verdicts + index append equal one batch semDedup") {
+    import graft.pipeline.{Dedup, Similarity}
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .filter(col("vec_id") < 200).cache()
+    val cents = e.filter(col("vec_id") < 8)
+    def cols = Seq(col("vec_id"), col("embedding"))
+    // seed the index with the first id range; the stream delivers the rest
+    // in id order (the append-only ingest invariant semDedupIncremental
+    // rides) — files get distinct mod times so FileStreamSource preserves it
+    val idx = Files.createTempDirectory("graft-semdedup-ivf-").toString + "/ivf"
+    Similarity.buildIvfIndex(e.filter(col("vec_id") < 100), cents,
+      cols(0), cols(1), cols(0), cols(1), idx)
+    val src = Files.createTempDirectory("graft-semdedup-src-").toString
+    e.filter(col("vec_id") >= 100 && col("vec_id") < 150)
+      .coalesce(1).write.mode("append").parquet(src)
+    Thread.sleep(1200)
+    e.filter(col("vec_id") >= 150)
+      .coalesce(1).write.mode("append").parquet(src)
+    val outDir = Files.createTempDirectory("graft-semdedup-out-").toString
+    val schema = spark.read.parquet(src).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // verdict the arrivals against the CURRENT index, then adopt them:
+        // the kept/dropped decision and the index growth are one pipeline
+        Dedup.semDedupIncremental(batch, col("vec_id"), col("embedding"),
+            idx, cents, col("vec_id"), col("embedding"), threshold = 0.45)
+          .write.mode("append").parquet(outDir)
+        Similarity.appendToIvfIndex(batch, cents,
+          col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+          idx): Unit
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.read.parquet(outDir)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getInt(2))).toSeq
+    val batchTruth = Dedup.semDedup(e, col("vec_id"), col("embedding"),
+        cents, col("vec_id"), col("embedding"), threshold = 0.45)
+      .filter(col("vec_id") >= 100)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getInt(2))).toSeq
+    assert(streamed.nonEmpty && streamed == batchTruth,
+      "streamed verdicts must equal the one-shot batch semDedup")
+    e.unpersist()
+  }
 }
