@@ -967,6 +967,11 @@ object Dedup {
     * [[prefixFilterIncremental]]'s frozen-vocabulary contract — and the
     * consumer of the IVF index's commit protocol: a probe mid-delete sees
     * one consistent index version.
+    *
+    * Contract: the index must hold at least one committed cell (bootstrap
+    * the first batch with [[Similarity.buildIvfIndex]] — the schema of an
+    * empty parquet dir cannot be inferred), and batch ids must succeed all
+    * index ids.
     */
   def semDedupIncremental(
       batch: DataFrame,
