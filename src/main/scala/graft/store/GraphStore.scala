@@ -1383,6 +1383,14 @@ class GraphStore(spark: SparkSession, val root: String, numBuckets: Int = 16,
     */
   def vacuum(keepVersions: Int = 1): Unit = withWriteLock {
     require(keepVersions >= 1)
+    // vacuum treats above-current snapshots/versions as orphans and deletes
+    // them — correct for crashed commits and CAS losers, but an IN-FLIGHT
+    // lockless writer's freshly staged files look identical until its
+    // manifest link lands. Retention is therefore a locked, single-machine
+    // maintenance op: it must be able to see every live writer.
+    require(advisoryLock,
+      "vacuum requires the advisory lock (a lockless writer's in-flight " +
+        "stage would be indistinguishable from an orphan)")
     Tables.foreach { t =>
       currentSnapshot(t).foreach { cur =>
         val snaps = snapshotsOnDisk(t)
