@@ -287,6 +287,13 @@ object Stats {
     * joined back; moments accumulate in DECIMAL(38,0); the ratio is double
     * only at the output boundary (rounded to 6 dp — the engine's Pearson
     * convention, see events_autocorr). Returns one row: (n, rho).
+    *
+    * Measured alternative (round 11, rejected): deriving everything from a
+    * groupBy(x, y) pair-count relation (one corpus shuffle, marginal
+    * moments off the rank maps, only the cross term joined back) LOST at
+    * sf0.1 — with a near-unique variable the pair relation is the corpus,
+    * so the "aggregation" only added a materialization (3.3 s vs 2.65 s
+    * warm). It would win only when both variables are low-cardinality.
     */
   def spearman(df: DataFrame, x: Column, y: Column): DataFrame = {
     // the projected pair relation is read FOUR times (two rank-map
