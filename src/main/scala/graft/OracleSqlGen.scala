@@ -699,34 +699,14 @@ object OracleSqlGen {
   /** Mirrors Dedup.semDedup: nearest-centroid assignment (cosine desc,
     * centroid_id tiebreak — the assignToCentroids rule), within-cell pairs
     * only, drop an item iff some lower-id same-cell item is within the
-    * threshold (keep-first).
+    * threshold (keep-first). Exactly [[semDedupInc]] with the batch
+    * opened to every (non-negative) id — ONE SQL body, so the full and
+    * incremental twins cannot drift.
     */
   def semDedup(nCentroids: Int, threshold: Double): String =
-    s"""WITH cent AS (
-          SELECT vec_id AS centroid_id, embedding AS centv FROM embeddings
-          WHERE vec_id < $nCentroids),
-        assigned AS (
-          SELECT vec_id, centroid_id FROM (
-            SELECT e.vec_id, cent.centroid_id,
-              row_number() OVER (PARTITION BY e.vec_id
-                ORDER BY ${cosineSql("e.embedding", "centv")} DESC, centroid_id ASC) AS rn
-            FROM embeddings e, cent)
-          WHERE rn = 1),
-        p AS (
-          SELECT a.vec_id AS a_id, b.vec_id AS b_id
-          FROM assigned a JOIN assigned b USING (centroid_id)
-          WHERE a.vec_id < b.vec_id),
-        dropped AS (
-          SELECT DISTINCT b_id FROM p
-          JOIN embeddings ea ON ea.vec_id = a_id
-          JOIN embeddings eb ON eb.vec_id = b_id
-          WHERE ${cosineSql("ea.embedding", "eb.embedding")} >= $threshold)
-        SELECT a.vec_id, CAST(a.centroid_id AS BIGINT) AS centroid_id,
-            CAST(CASE WHEN d.b_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
-        FROM assigned a LEFT JOIN dropped d ON d.b_id = a.vec_id
-        ORDER BY a.vec_id"""
+    semDedupInc(nCentroids, threshold, batchFrom = 0L)
 
-  /** Mirrors dedup_semdedup_inc: the FROM-SCRATCH [[semDedup]] over the
+  /** Mirrors dedup_semdedup_inc: the FROM-SCRATCH semDedup over the
     * whole corpus, restricted to batch ids — keep-first + append-only ids
     * make this identical to the incremental verdicts.
     */
@@ -2499,12 +2479,13 @@ object OracleSqlGen {
         FROM documents ORDER BY doc_id"""
   }
 
-  /** Mirrors the bigram LM scoring: per-doc mean surprisal −ln P(w2|w1)
-    * under an add-1-smoothed corpus bigram model, positive fixed-point so
-    * integer division truncates identically in both engines.
+  /** Shared CTE chain of the bigram LM scorer — the oracle twin of
+    * SparkEntry.lmScored, reused by [[lmScore]] and [[ccnetBuckets]] so
+    * the two cannot drift (the same reason the Spark side factors one
+    * helper). Ends at `t` = per-occurrence fixed-point surprisal terms.
     */
-  def lmScore: String =
-    s"""WITH bg0 AS (
+  private def lmScoreCtes: String =
+    s"""bg0 AS (
           SELECT doc_id, unnest(${shinglesSql(2)}) AS bg FROM documents),
         bg AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM bg0),
         c12 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY 1),
@@ -2514,7 +2495,14 @@ object OracleSqlGen {
         t AS (
           SELECT doc_id,
             CAST(floor(-ln((c12.c12 + 1.0) / CAST(c1.c1 + v.v AS DOUBLE)) * 1000000.0) AS BIGINT) AS fp
-          FROM bg JOIN c12 USING (bg) JOIN c1 USING (w1) CROSS JOIN v)
+          FROM bg JOIN c12 USING (bg) JOIN c1 USING (w1) CROSS JOIN v)"""
+
+  /** Mirrors the bigram LM scoring: per-doc mean surprisal −ln P(w2|w1)
+    * under an add-1-smoothed corpus bigram model, positive fixed-point so
+    * integer division truncates identically in both engines.
+    */
+  def lmScore: String =
+    s"""WITH $lmScoreCtes
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
           CAST(sum(fp) // count(*) AS BIGINT) AS avg_surprisal_fp
         FROM t GROUP BY doc_id ORDER BY doc_id"""
@@ -2524,17 +2512,7 @@ object OracleSqlGen {
     * (score, doc_id) within the language).
     */
   def ccnetBuckets: String =
-    s"""WITH bg0 AS (
-          SELECT doc_id, unnest(${shinglesSql(2)}) AS bg FROM documents),
-        bg AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM bg0),
-        c12 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY 1),
-        c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY 1),
-        v AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v
-              FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)),
-        t AS (
-          SELECT doc_id,
-            CAST(floor(-ln((c12.c12 + 1.0) / CAST(c1.c1 + v.v AS DOUBLE)) * 1000000.0) AS BIGINT) AS fp
-          FROM bg JOIN c12 USING (bg) JOIN c1 USING (w1) CROSS JOIN v),
+    s"""WITH $lmScoreCtes,
         sc AS (
           SELECT doc_id, CAST(sum(fp) // count(*) AS BIGINT) AS avg_surprisal_fp
           FROM t GROUP BY doc_id)

@@ -16,10 +16,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * (`push`) is branch + array ops on primitives, no `java.lang.Double`
   * boxing and no `PriorityQueue` node overhead (the boxed-queue buffer was
   * the round-10 bench's constant-overhead finding on `q_topk_agg`).
+  *
+  * Comparisons use `java.lang.Double.compare` — the TOTAL order the boxed
+  * `PriorityQueue[java.lang.Double]` buffer had (NaN sorts largest, −0 <
+  * +0). Primitive `<` would make every comparison against a NaN false:
+  * once a NaN reached the root, no later value would ever be admitted —
+  * silently wrong top-k on any NaN-bearing column.
   */
 final class DoubleTopKHeap(val k: Int) {
   val arr = new Array[Double](k)
   var size = 0
+
+  private def lt(a: Double, b: Double): Boolean =
+    java.lang.Double.compare(a, b) < 0
 
   /** Admit `v` iff it beats the current floor (or the heap is unfilled). */
   def push(v: Double): Unit = {
@@ -28,12 +37,12 @@ final class DoubleTopKHeap(val k: Int) {
       var i = size
       arr(i) = v
       size += 1
-      while (i > 0 && arr((i - 1) >> 1) > arr(i)) {
+      while (i > 0 && lt(arr(i), arr((i - 1) >> 1))) {
         val p = (i - 1) >> 1
         val t = arr(p); arr(p) = arr(i); arr(i) = t
         i = p
       }
-    } else if (arr(0) < v) {
+    } else if (lt(arr(0), v)) {
       // replace the min, sift down from the root
       arr(0) = v
       var i = 0
@@ -41,8 +50,8 @@ final class DoubleTopKHeap(val k: Int) {
       while (continue) {
         val l = 2 * i + 1; val r = l + 1
         var m = i
-        if (l < size && arr(l) < arr(m)) m = l
-        if (r < size && arr(r) < arr(m)) m = r
+        if (l < size && lt(arr(l), arr(m))) m = l
+        if (r < size && lt(arr(r), arr(m))) m = r
         if (m == i) continue = false
         else {
           val t = arr(m); arr(m) = arr(i); arr(i) = t

@@ -182,7 +182,10 @@ object Stats {
       .groupBy("split", "r").agg(count(lit(1)).as("cnt"))
       .localCheckpoint(true)
     val calR = resAgg.filter(col("split") === "cal").select("r", "cnt")
-    val calStats = calR.agg(sum("cnt").as("n_cal")).localCheckpoint(true)
+    // empty calibration split: n_cal must be 0 (the oracle's count(*)),
+    // not sum-over-empty NULL
+    val calStats = calR.agg(coalesce(sum("cnt"), lit(0L)).as("n_cal"))
+      .localCheckpoint(true)
     // k = ceil((n_cal + 1) · (1 − α)) via integer arithmetic
     val kRow = calStats.select(expr(
       s"cast((($aDen - $aNum) * (n_cal + 1) + ${aDen - 1}) div $aDen as bigint)")
@@ -197,12 +200,15 @@ object Stats {
       .agg(coalesce(min(col("r")), lit(Long.MaxValue)).as("q_hat"))
       .crossJoin(broadcast(kRow.select("n_cal")))
       .localCheckpoint(true)
+    // q_hat / n_cal re-attach from the settled 1-row frame AFTER the
+    // aggregate — min()-ing them through it would go NULL when the test
+    // split is empty (0 rows in, min over nothing)
     val test = resAgg.filter(col("split") === "test")
       .crossJoin(broadcast(qHat))
       .agg(coalesce(sum("cnt"), lit(0L)).as("n_test"),
         coalesce(sum(when(col("r") <= col("q_hat"), col("cnt"))
-          .otherwise(0L)), lit(0L)).as("covered"),
-        min(col("q_hat")).as("q_hat"), min(col("n_cal")).as("n_cal"))
+          .otherwise(0L)), lit(0L)).as("covered"))
+      .crossJoin(broadcast(qHat))
     test.crossJoin(broadcast(fit))
       .select(col("n_train"), col("n_cal"), col("n_test"),
         round(col("slope"), 6).as("slope"),

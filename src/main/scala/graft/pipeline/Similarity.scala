@@ -548,12 +548,13 @@ object Similarity {
     * the merged index is byte-identical to probing a from-scratch build
     * over the union (spec- and oracle-pinned). `src` is consumed.
     *
-    * The adoption builds the NEXT version of `dest` (dest's cells carried
-    * by hardlink, src's files moved in) and flips the manifest once —
-    * dest's committed version is never mutated, so a crash mid-merge
-    * leaves both indexes probe-correct (src partially drained into an
-    * unreferenced stage; re-running the merge completes it: part-file
-    * names are writer-UUID-unique so nothing double-adopts).
+    * The adoption builds the NEXT version of `dest` (BOTH sides carried by
+    * hardlink — src's committed version is never mutated either) and flips
+    * the manifest once; `src` is deleted only after the flip. A crash at
+    * any point therefore loses nothing: before the flip, dest's committed
+    * version and the whole of src are intact and the stage is an orphan of
+    * links; after it, both indexes are valid and re-running the merge is
+    * idempotent (same-name part files — writer-UUID-unique — are skipped).
     */
   def mergeIvfIndexes(srcPath: String, destPath: String): Unit = {
     val srcCur = ivfCurrentDir(srcPath)
@@ -562,22 +563,30 @@ object Similarity {
     val nextDir = new java.io.File(destPath, ivfVersionName(v))
     cellDirs(destCur).foreach(d =>
       adoptCellByLink(d, new java.io.File(nextDir, d.getName)))
+    // src's files are HARDLINKED into the stage, never moved: src's
+    // committed version stays intact until the flip lands, so a crash at
+    // ANY point loses nothing (pre-flip: dest committed + src untouched,
+    // the stage is an unreferenced orphan holding only links; post-flip:
+    // both valid, src removal below re-runs). adoptCellByLink skips
+    // nothing and the writer-UUID part names make a same-name file the
+    // same bytes, so a re-run after a post-flip crash just re-links over
+    // destCur's (already adopted) names — skipped below, idempotent.
     cellDirs(srcCur).foreach { cell =>
       val dest = new java.io.File(nextDir, cell.getName)
       java.nio.file.Files.createDirectories(dest.toPath)
       Option(cell.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
         .foreach { f =>
-          // writer part-file names carry a UUID; a collision would mean
-          // adopting the same file twice — fail loudly, never overwrite
           val to = new java.io.File(dest, f.getName)
-          require(!to.exists(), s"merge collision on ${to.getPath}")
-          java.nio.file.Files.move(f.toPath, to.toPath,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+          // same name = same writer-UUID part file = same bytes: already
+          // adopted by a previous (crashed) run of this merge — skip
+          if (!to.exists())
+            java.nio.file.Files.createLink(to.toPath, f.toPath): Unit
         }
     }
     flipIvfManifest(destPath, ivfVersionName(v))
     gcIvfVersions(destPath, Set(ivfVersionName(v), new java.io.File(destCur).getName))
+    // consume src only AFTER the merged version is committed
     rmTree(new java.io.File(srcPath))
   }
 

@@ -89,6 +89,23 @@ class BootstrapSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getAs[Long]("coverage_ppm") === 1000000L)
   }
 
+  test("splitConformal: a single-row input leaves no NULL in the readout") {
+    // whichever split the one row hashes to, the other two are empty: the
+    // counts must read 0 (not sum-over-empty NULL), q_hat must pin to the
+    // +inf sentinel when calibration is empty, and nothing may throw
+    for (id <- 1L to 3L) {
+      val r = Stats.splitConformal(
+        Seq((id, 2.0, 4.0)).toDF("id", "x", "y"),
+        col("id"), col("x"), col("y")).collect().head
+      assert(!r.isNullAt(r.fieldIndex("n_cal")), s"n_cal NULL for id=$id")
+      assert(!r.isNullAt(r.fieldIndex("n_test")), s"n_test NULL for id=$id")
+      assert(!r.isNullAt(r.fieldIndex("q_hat")), s"q_hat NULL for id=$id")
+      assert(!r.isNullAt(r.fieldIndex("covered")), s"covered NULL for id=$id")
+      if (r.getAs[Long]("n_cal") == 0L)
+        assert(r.getAs[Long]("q_hat") === Long.MaxValue)
+    }
+  }
+
   test("splitConformal: layout-independent") {
     val df = (1 to 500).map { i =>
       (i.toLong, (i % 30 + 1).toDouble, (i % 30 + 1) * 1.5 + (i % 7).toDouble)

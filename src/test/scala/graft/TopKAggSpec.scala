@@ -69,4 +69,17 @@ class TopKAggSpec extends AnyFunSuite with SparkTestBase {
     // ObjectHashAggregate partial + final around one exchange
     assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
   }
+
+  test("NaN cannot poison the heap: total order, NaN ranks largest (the boxed-queue contract)") {
+    // primitive < comparisons would strand a NaN at the heap root and
+    // reject every later value; Double.compare keeps the PriorityQueue
+    // semantics (NaN largest)
+    val rows = Seq(Double.NaN, 5.0, 10.0, 1.0, 7.0).map(v => ("g", v))
+      .toDF("g", "v")
+    val out = rows.groupBy("g").agg(topK(col("v"), 2).as("tk"))
+      .select(explode(col("tk")).as("v")).as[Double].collect()
+    assert(out.length === 2)
+    assert(out(0).isNaN, s"NaN must rank largest, got ${out.toSeq}")
+    assert(out(1) === 10.0, s"10.0 must survive the NaN, got ${out.toSeq}")
+  }
 }
