@@ -895,6 +895,39 @@ class GraphStoreSpec extends AnyFunSuite with SparkTestBase {
     assert(a.observations.count() === 8L)
   }
 
+  test("CAS stress: four lockless writers, mixed create/relate/cascade-delete, no lost update") {
+    // heavier interleaving than the two-writer test: cascading deletes run
+    // MULTI-commit transactions (rev-index discovery + the flip) while
+    // three other writers race creates and edge inserts
+    val root = Files.createTempDirectory("graft-cas-stress-").toString
+    val seedStore = new GraphStore(spark, root, advisoryLock = false)
+    seedStore.initialize()
+    (0 until 4).foreach { w =>
+      seedStore.createEntities(Seq(Entity(s"seed#$w", "t", Seq("s"))))
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val futures = (0 until 4).map { w =>
+      pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = {
+          val st = new GraphStore(spark, root, advisoryLock = false)
+          (1 to 3).foreach { i =>
+            st.createEntities(Seq(Entity(s"w$w#$i", "t", Seq(s"obs $w $i"))))
+            st.createRelations(Seq(Relation(s"w$w#$i", s"seed#$w", "made_by")))
+          }
+          st.deleteEntity(s"w$w#2") // cascades entity + obs + both edge sides
+        }
+      })
+    }
+    futures.foreach(_.get())
+    pool.shutdown()
+    val names = seedStore.entities.select("name").collect().map(_.getString(0)).toSet
+    val expected = (0 until 4).flatMap(w => Seq(s"seed#$w", s"w$w#1", s"w$w#3")).toSet
+    assert(names === expected,
+      s"diff: missing ${expected -- names}, extra ${names -- expected}")
+    assert(seedStore.relations.count() === 8L, "2 surviving edges per writer")
+    assert(seedStore.observations.count() === 12L, "seed obs + 2 surviving per writer")
+  }
+
   test("CAS commit: a stale transaction conflicts and reruns; a crashed flip is repaired by the next writer") {
     val root = Files.createTempDirectory("graft-cas2-").toString
     val st = new GraphStore(spark, root, advisoryLock = false)
