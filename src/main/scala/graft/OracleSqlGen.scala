@@ -736,6 +736,26 @@ object OracleSqlGen {
         WHERE a.vec_id >= $batchFrom
         ORDER BY a.vec_id"""
 
+  /** Mirrors ann_ivf_diff over the deletion-maintained index: the diff of
+    * current vs previous committed version is exactly the deleted members
+    * ('removed', no 'added'), each with its frozen-centroid cell.
+    */
+  def ivfDiffDeleted(nCentroids: Int, deletePred: String): String =
+    s"""WITH cent AS (
+          SELECT vec_id AS centroid_id, embedding AS centv FROM embeddings
+          WHERE vec_id < $nCentroids),
+        assigned AS (
+          SELECT vec_id, centroid_id FROM (
+            SELECT e.vec_id, cent.centroid_id,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY ${cosineSql("e.embedding", "centv")} DESC, centroid_id ASC) AS rn
+            FROM embeddings e, cent)
+          WHERE rn = 1)
+        SELECT 'removed' AS change, vec_id AS neighbor_id,
+            CAST(centroid_id AS BIGINT) AS centroid_id
+        FROM assigned WHERE $deletePred
+        ORDER BY change, neighbor_id"""
+
   /** Sign of the projection onto pseudo-random hyperplane `p` must match
     * SignBucketsExpr: component signs via Similarity.planeSign
     * (md5-derived ±1), summed in ascending dim order (left-assoc, matching

@@ -2022,6 +2022,16 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // Version diff of the deletion-maintained IVF index: current vs
+    // previous committed version — the audit a maintained ANN index owes
+    // its operator ("what did that delete actually remove, cell by
+    // cell?"). Two id-level anti-joins over the two version dirs the
+    // commit protocol retains; the oracle re-derives the removed set and
+    // its cell assignments from the delete predicate + frozen centroids.
+    "ann_ivf_diff" -> ((s, d) =>
+      Similarity.diffIvfVersions(s"${ivfDelSetup(s, d)}/ivf", s)
+        .orderBy("change", "neighbor_id")),
+
     // O(batch) incremental SemDeDup: the batch (vec_id ≥ 400) assigns
     // under the frozen centroids and is checked against ONLY its cells'
     // persisted members (partition-pruned IVF read) plus itself; keep-first
@@ -7553,6 +7563,7 @@ object SparkEntry {
     "dedup_embedding" -> OracleSqlGen.embeddingNearDup(0.45, 4, 4),
     "dedup_semdedup" -> OracleSqlGen.semDedup(8, 0.45),
     "dedup_semdedup_inc" -> OracleSqlGen.semDedupInc(8, 0.45, 400L),
+    "ann_ivf_diff" -> OracleSqlGen.ivfDiffDeleted(8, "vec_id % 5 = 2"),
     "dedup_semantic_clusters" -> OracleSqlGen.embeddingClusters(0.45, 4, 4),
 
     "ann_topk" -> OracleSqlGen.annTopK(32, 5),

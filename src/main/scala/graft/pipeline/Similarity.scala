@@ -590,6 +590,38 @@ object Similarity {
     rmTree(new java.io.File(srcPath))
   }
 
+  /** Membership diff between the committed IVF version and its predecessor
+    * — the audit readout the commit protocol makes possible (GC keeps
+    * exactly current + previous): which vectors a delete/merge/rebuild
+    * added or removed, with their cells. A vector's cell is a pure
+    * function of the frozen centroids and rows are immutable, so the diff
+    * is two id-level anti-joins over the two version dirs — no vector
+    * payloads compared. A fresh index (one version) diffs empty.
+    * Returns (change ∈ {added, removed}, neighbor_id, centroid_id).
+    */
+  def diffIvfVersions(path: String, spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val curName = new java.io.File(ivfCurrentDir(path)).getName
+    val prev = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("v\\d{6}") && f.getName != curName)
+      .sortBy(_.getName).lastOption
+    import spark.implicits._
+    prev match {
+      case None =>
+        Seq.empty[(String, Long, Long)].toDF("change", "neighbor_id", "centroid_id")
+      case Some(p) =>
+        def ids(dir: String) = spark.read.parquet(dir)
+          .select(col("neighbor_id"), col("centroid_id").cast("long").as("centroid_id"))
+        val cur = ids(ivfCurrentDir(path))
+        val old = ids(p.getPath)
+        cur.join(old.select(col("neighbor_id")), Seq("neighbor_id"), "left_anti")
+          .select(lit("added").as("change"), col("neighbor_id"), col("centroid_id"))
+          .unionByName(
+            old.join(cur.select(col("neighbor_id")), Seq("neighbor_id"), "left_anti")
+              .select(lit("removed").as("change"), col("neighbor_id"),
+                col("centroid_id")))
+    }
+  }
+
   /** Probe a persisted IVF index: per-query nprobe nearest cells, then ONE
     * partition-pruned read of exactly those cell directories (the distinct
     * probed-cell list is an O(centroids) driver hop, the same metadata-scale
