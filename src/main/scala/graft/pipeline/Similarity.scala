@@ -601,8 +601,11 @@ object Similarity {
     */
   def diffIvfVersions(path: String, spark: org.apache.spark.sql.SparkSession): DataFrame = {
     val curName = new java.io.File(ivfCurrentDir(path)).getName
+    // previous = the newest version BELOW the committed one — a crashed
+    // stage dir (id above current, unreferenced until the next commit GCs
+    // it) must never be diffed against as if it had committed
     val prev = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.matches("v\\d{6}") && f.getName != curName)
+      .filter(f => f.isDirectory && f.getName.matches("v\\d{6}") && f.getName < curName)
       .sortBy(_.getName).lastOption
     import spark.implicits._
     prev match {

@@ -443,6 +443,28 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(versions() == Set("v000008", "v000009"), s"got ${versions()}")
   }
 
+  test("ivf version diff: a delete's removals, cell-exact; a crashed stage is never diffed against") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = e.filter(col("vec_id") < 4)
+    val root = java.nio.file.Files.createTempDirectory("ivf_diff_").toString
+    val path = s"$root/ivf"
+    def cols = (col("vec_id"), col("embedding"))
+    Similarity.buildIvfIndex(e, cents, cols._1, cols._2, cols._1, cols._2, path)
+    // fresh index: one committed version, nothing to diff against
+    assert(Similarity.diffIvfVersions(path, spark).count() === 0L)
+    Similarity.deleteFromIvfIndex(e.filter(col("vec_id") % 7 === 3), cents,
+      cols._1, cols._2, cols._1, cols._2, path)
+    // a crashed mutation's stage (id above current) must be invisible
+    java.nio.file.Files.createDirectories(
+      new java.io.File(path, "v000050/centroid_id=0").toPath)
+    val d = Similarity.diffIvfVersions(path, spark)
+      .orderBy("neighbor_id").as[(String, Long, Long)].collect()
+    val expected = e.filter(col("vec_id") % 7 === 3)
+      .select("vec_id").as[Long].collect().toSet
+    assert(d.forall(_._1 == "removed"), "a pure delete adds nothing")
+    assert(d.map(_._2).toSet === expected, "diff must be exactly the deleted ids")
+  }
+
   test("ivf merge: cell-wise file adoption equals a rebuild over the union; no vector bytes rewritten") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = e.filter(col("vec_id") < 8)
