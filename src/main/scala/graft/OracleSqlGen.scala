@@ -756,6 +756,28 @@ object OracleSqlGen {
         FROM assigned WHERE $deletePred
         ORDER BY change, neighbor_id"""
 
+  /** Mirrors ann_ivf_diff_append over the append-maintained index: the
+    * diff of current vs previous committed version is exactly the appended
+    * batch ('added', no 'removed'), each with its frozen-centroid cell —
+    * possible at all because round-12 appends commit staged versions
+    * instead of mutating the live one in place.
+    */
+  def ivfDiffAppended(nCentroids: Int, appendPred: String): String =
+    s"""WITH cent AS (
+          SELECT vec_id AS centroid_id, embedding AS centv FROM embeddings
+          WHERE vec_id < $nCentroids),
+        assigned AS (
+          SELECT vec_id, centroid_id FROM (
+            SELECT e.vec_id, cent.centroid_id,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY ${cosineSql("e.embedding", "centv")} DESC, centroid_id ASC) AS rn
+            FROM embeddings e, cent)
+          WHERE rn = 1)
+        SELECT 'added' AS change, vec_id AS neighbor_id,
+            CAST(centroid_id AS BIGINT) AS centroid_id
+        FROM assigned WHERE $appendPred
+        ORDER BY change, neighbor_id"""
+
   /** Sign of the projection onto pseudo-random hyperplane `p` must match
     * SignBucketsExpr: component signs via Similarity.planeSign
     * (md5-derived ±1), summed in ascending dim order (left-assoc, matching

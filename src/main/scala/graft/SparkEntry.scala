@@ -406,6 +406,49 @@ object SparkEntry {
         s"$dir/ivf")
     }
 
+  /** Streaming SemDeDup ingest, end to end: the IVF index is seeded with
+    * the old corpus (vec_id < 400), then the rest arrives as TWO
+    * micro-batches ([400,450) then [450,∞)) through a real file-source
+    * stream; each micro-batch is verdicted against the CURRENT committed
+    * index version (semDedupIncremental) and then adopted into it
+    * (appendToIvfIndex — the round-12 staged-version CAS commit, so the
+    * verdict read and the index growth can never interleave torn state).
+    * Verdicts accumulate under `verdicts/`.
+    */
+  private def semdedupStreamSetup(s: SparkSession, d: String): String =
+    Setup.dir(s"semdedup_stream:$d") { dir =>
+      val e = embeddings(s, d)
+      val cents = e.filter(col("vec_id") < 8)
+      val idx = s"$dir/ivf"
+      Similarity.buildIvfIndex(e.filter(col("vec_id") < 400), cents,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), idx)
+      val src = s"$dir/src"
+      e.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+        .coalesce(1).write.mode("append").parquet(src)
+      // pin the first file strictly earlier (but inside the source's
+      // maxFileAge horizon) so maxFilesPerTrigger=1 replays the ingest in
+      // id order — the append-only invariant semDedupIncremental rides
+      Option(new java.io.File(src).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach(f => f.setLastModified(System.currentTimeMillis() - 600000L))
+      e.filter(col("vec_id") >= 450)
+        .coalesce(1).write.mode("append").parquet(src)
+      val schema = s.read.parquet(src).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          Dedup.semDedupIncremental(batch, col("vec_id"), col("embedding"),
+              idx, cents, col("vec_id"), col("embedding"), threshold = 0.45)
+            .write.mode("append").parquet(s"$dir/verdicts")
+          Similarity.appendToIvfIndex(batch, cents,
+            col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+            idx): Unit
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+
   /** Merge-maintained IVF index: two indexes built INDEPENDENTLY over
     * disjoint corpus halves under the same centroids, then combined by
     * cell-wise file adoption (zero data I/O — no vector byte is read or
@@ -2032,6 +2075,15 @@ object SparkEntry {
       Similarity.diffIvfVersions(s"${ivfDelSetup(s, d)}/ivf", s)
         .orderBy("change", "neighbor_id")),
 
+    // Version diff of the APPEND-maintained index — possible at all because
+    // round-12 appends commit staged versions (hardlink-adopted carryover
+    // + CAS slot claim) instead of writing into the live version, so the
+    // audit sees them like any delete/merge/rebuild: current vs previous
+    // = exactly the appended batch, cell by cell.
+    "ann_ivf_diff_append" -> ((s, d) =>
+      Similarity.diffIvfVersions(s"${ivfIncSetup(s, d)}/ivf", s)
+        .orderBy("change", "neighbor_id")),
+
     // O(batch) incremental SemDeDup: the batch (vec_id ≥ 400) assigns
     // under the frozen centroids and is checked against ONLY its cells'
     // persisted members (partition-pruned IVF read) plus itself; keep-first
@@ -2046,6 +2098,18 @@ object SparkEntry {
         threshold = 0.45)
         .orderBy("vec_id")
     }),
+
+    // Streaming SemDeDup ingest (round-11 verdict #6): the SAME batch ids
+    // as dedup_semdedup_inc, but delivered as two file-source micro-batches
+    // whose verdicts were produced AGAINST A GROWING INDEX (each
+    // micro-batch verdicts, then appends itself via the CAS-committed
+    // staged version). Keep-first + append-only ids make the accumulated
+    // stream verdicts ≡ the one-shot batch verdicts, so the oracle is the
+    // same from-scratch union SQL — pinning the whole ingest pipeline
+    // (probe → verdict → versioned append) end to end by hash.
+    "dedup_semdedup_stream" -> ((s, d) =>
+      s.read.parquet(s"${semdedupStreamSetup(s, d)}/verdicts")
+        .orderBy("vec_id")),
 
     // ── similarity search (embeddings) ────────────────────────────────────
 
@@ -7563,7 +7627,9 @@ object SparkEntry {
     "dedup_embedding" -> OracleSqlGen.embeddingNearDup(0.45, 4, 4),
     "dedup_semdedup" -> OracleSqlGen.semDedup(8, 0.45),
     "dedup_semdedup_inc" -> OracleSqlGen.semDedupInc(8, 0.45, 400L),
+    "dedup_semdedup_stream" -> OracleSqlGen.semDedupInc(8, 0.45, 400L),
     "ann_ivf_diff" -> OracleSqlGen.ivfDiffDeleted(8, "vec_id % 5 = 2"),
+    "ann_ivf_diff_append" -> OracleSqlGen.ivfDiffAppended(8, "vec_id < 100"),
     "dedup_semantic_clusters" -> OracleSqlGen.embeddingClusters(0.45, 4, 4),
 
     "ann_topk" -> OracleSqlGen.annTopK(32, 5),

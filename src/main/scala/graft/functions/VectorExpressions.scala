@@ -625,7 +625,12 @@ case class FloatNorm2Expr(child: Expression)
   * candidate row — the dominant per-row cost of the Hamming scan's bit-table
   * build; this is one tight loop inside whole-stage codegen. Components
   * beyond the vector's length contribute 0 bits, matching `element_at`'s
-  * null → `otherwise(0)` branch in the fold.
+  * null → `otherwise(0)` branch in the fold. The comparison is
+  * `Float.compare(v, 0f) > 0`, NOT the Java primitive `>`: Spark SQL's `>`
+  * is a TOTAL order in which NaN sorts above every float (so the fold sets
+  * the bit for a NaN component), and Float.compare implements the same
+  * total order — a primitive `>` is false for NaN and the twins would
+  * diverge on NaN-bearing vectors.
   */
 case class SignWordExpr(child: Expression, from: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
@@ -640,7 +645,7 @@ case class SignWordExpr(child: Expression, from: Int)
     var w = 0L
     var j = 0
     while (j < n) {
-      if (a.getFloat(from + j) > 0f) w |= (1L << j)
+      if (java.lang.Float.compare(a.getFloat(from + j), 0f) > 0) w |= (1L << j)
       j += 1
     }
     w

@@ -49,7 +49,11 @@ object Similarity {
     * with |queries| fan-out, that recomputed every candidate's norm
     * |queries| times (round-10 ANN floor warns). dot/(√nq·√nc) is the same
     * expression tree as CosineSimExpr evaluates fused, so results are
-    * bit-identical.
+    * bit-identical — PROVIDED query and candidate vectors share one
+    * dimension (the corpus contract everywhere in this engine):
+    * FloatNorm2Expr folds each side's FULL array, while CosineSimExpr
+    * norms only the first min(len_a, len_b) elements, so on ragged inputs
+    * the twins diverge.
     */
   def bruteForceTopK(
       queries: DataFrame,
@@ -334,50 +338,66 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank")
   }
 
-  // ── persisted-IVF commit protocol ──────────────────────────────────────
+  // ── persisted-IVF commit protocol (optimistic CAS, GraphStore-style) ────
   // The index lives in VERSION directories under its root:
-  //   path/_IVF_MANIFEST        → "v000003"  (current committed version)
-  //   path/v000003/centroid_id=…/part-*.parquet
-  // Every structural mutation (build, delete, merge) stages a complete new
-  // version and then flips the manifest with one temp-write + ATOMIC_MOVE —
-  // the same commit point as GraphStore: readers resolve the manifest and
-  // see the whole old or whole new index, never a half-flipped one, and a
-  // crash before the flip leaves only an unreferenced stage dir (garbage,
-  // never wrong answers). Untouched cells are carried into the new version
-  // by HARDLINK (O(files) metadata, zero data I/O — on an object store this
-  // is a manifest file-list re-reference, same cost class). Pure appends
-  // add files to the live version in place: add-only is reader-safe without
-  // a flip. The previous version survives one flip for in-flight readers;
-  // older ones are GC'd.
+  //   path/v000003/centroid_id=…/part-*.parquet   (immutable once committed)
+  //   path/_IVF_MANIFEST        → "v000003"  (publish pointer, observability)
+  //   path/_ivf_stage_<uuid>/   (in-flight stages; crash/conflict orphans)
+  // EVERY mutation — build, append, delete, merge — is the same optimistic
+  // read-stage-commit transaction (round-12: appends no longer mutate the
+  // committed version in place, and the commit no longer trusts a
+  // last-writer-wins manifest flip — the exact lost-update race
+  // GraphStore.commitBuckets closed with its hard-link CAS):
+  //  1. PIN base = the head committed version (max vN on disk — a vN dir
+  //     can only appear via the atomic claim in step 3, so every one is a
+  //     complete committed version by construction);
+  //  2. STAGE a complete new version under _ivf_stage_<uuid>: changed
+  //     cells' parquet written, untouched cells hardlink-adopted (O(files)
+  //     metadata, zero data I/O — on an object store this is a manifest
+  //     file-list re-reference, same cost class);
+  //  3. COMMIT = ATOMIC_MOVE the stage to v(base+1). rename(2) onto an
+  //     existing NON-empty directory fails, so the slot is an atomic
+  //     put-if-absent: of two mutators racing from the same base exactly
+  //     one wins, and the loser's whole read-stage body RERUNS against the
+  //     winner's state ([[ivfMutate]] loop) — no silently dropped mutation.
+  //  4. PUBLISH the manifest (forward-guarded; purely informational —
+  //     readers resolve the head DIR, so even a stale or regressed pointer
+  //     can never send them backwards).
+  // Readers never block: they resolve the head once and read immutable
+  // files; a crash at any point leaves only an unreferenced stage dir
+  // (garbage, never wrong answers). The previous version survives one
+  // commit for in-flight readers; older ones are GC'd.
 
   private def ivfManifest(path: String) = new java.io.File(path, "_IVF_MANIFEST")
 
-  /** Current committed version dir; legacy un-versioned layouts (no
-    * manifest) resolve to the root itself.
+  /** Head committed version number (0 if the index is un-versioned or
+    * absent). Every `vN` dir on disk IS committed — it can only appear via
+    * the atomic claim move in [[ivfMutate]] — so the head dir is the
+    * source of truth, not the manifest (which may trail a writer that
+    * crashed between claim and publish).
+    */
+  private def ivfHead(path: String): Long =
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("v\\d{6}"))
+      .map(_.getName.drop(1).toLong)
+      .foldLeft(0L)(math.max)
+
+  /** Current committed version dir; legacy un-versioned layouts (no vN
+    * dirs) resolve to the root itself.
     */
   private[graft] def ivfCurrentDir(path: String): String = {
-    val m = ivfManifest(path)
-    if (m.isFile) {
-      val v = new String(java.nio.file.Files.readAllBytes(m.toPath),
-        java.nio.charset.StandardCharsets.UTF_8).trim
-      s"$path/$v"
-    } else path
-  }
-
-  /** Next unused version number — max over ALL vN dirs on disk (committed
-    * or stray), so a crashed stage can never collide with a new one.
-    */
-  private def nextIvfVersion(path: String): Long = {
-    val vs = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-      .filter(_.isDirectory).map(_.getName)
-      .collect { case n if n.matches("v\\d{6}") => n.drop(1).toLong }
-    (vs.toSeq :+ 0L).max + 1
+    val h = ivfHead(path)
+    if (h > 0) s"$path/${ivfVersionName(h)}" else path
   }
 
   private def ivfVersionName(v: Long): String = f"v$v%06d"
 
-  /** The commit point: write the version name to a temp file, ATOMIC_MOVE
-    * it over `_IVF_MANIFEST`.
+  private def ivfStageDir(path: String): java.io.File = new java.io.File(
+    path, s"_ivf_stage_${java.util.UUID.randomUUID().toString.take(8)}")
+
+  /** Publish pointer update: write the version name to a temp file,
+    * ATOMIC_MOVE it over `_IVF_MANIFEST`. Informational only — readers
+    * resolve [[ivfCurrentDir]] from the version dirs themselves.
     */
   private def flipIvfManifest(path: String, version: String): Unit = {
     java.nio.file.Files.createDirectories(new java.io.File(path).toPath)
@@ -390,14 +410,72 @@ object Similarity {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
   }
 
+  /** A mutation lost the version-slot CAS: its stage is discarded and its
+    * whole read-stage body reruns against the new head.
+    */
+  private[graft] final class IvfCommitConflict
+    extends RuntimeException("ivf version slot already claimed")
+
+  /** Test seam: invoked with the index path after a stage is fully built,
+    * immediately before the commit claim — lets specs inject a competing
+    * commit (CAS-loss path) or a crash (orphaned-stage path)
+    * deterministically. No-op in production.
+    */
+  @volatile private[graft] var ivfPreCommitHook: String => Unit = _ => ()
+
+  /** The optimistic transaction loop shared by every IVF mutation: pin the
+    * head version, let `body(base, currentDir)` build a complete staged
+    * version (or None for a no-op), claim slot v(base+1) by atomic rename,
+    * rerun the body on a lost claim. Mirrors GraphStore.withWriteLock's
+    * lockless CAS path — two concurrent mutators (even from different
+    * drivers on a shared filesystem) cannot lose an update.
+    */
+  private def ivfMutate(path: String)(
+      body: (Long, String) => Option[java.io.File]): Unit = {
+    java.nio.file.Files.createDirectories(new java.io.File(path).toPath)
+    var done = false
+    while (!done) {
+      val base = ivfHead(path)
+      val curDir = if (base > 0) s"$path/${ivfVersionName(base)}" else path
+      body(base, curDir) match {
+        case None => done = true
+        case Some(stage) =>
+          // the marker makes the claim target non-empty even for a
+          // degenerate empty version: rename(2) silently REPLACES an empty
+          // dest dir, which would hide a lost race
+          java.nio.file.Files.write(
+            new java.io.File(stage, "_IVF_COMMIT").toPath, Array.empty[Byte])
+          ivfPreCommitHook(path)
+          val destName = ivfVersionName(base + 1)
+          val dest = new java.io.File(path, destName)
+          try {
+            java.nio.file.Files.move(stage.toPath, dest.toPath,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            // committed & durable. Publish the pointer only while this is
+            // still the head — a slower writer must not regress it (the
+            // guard is best-effort; correctness never depends on it)
+            if (ivfHead(path) == base + 1) flipIvfManifest(path, destName)
+            gcIvfVersions(path, Set(destName, ivfVersionName(base)))
+            done = true
+          } catch {
+            case _: java.nio.file.FileSystemException if dest.exists() =>
+              rmTree(stage) // lost the CAS — discard, re-pin, rerun
+          }
+      }
+    }
+  }
+
   private def rmTree(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
     f.delete(): Unit
   }
 
   /** Drop version dirs other than the just-committed one and the version
-    * that was committed before it (kept for in-flight readers that
-    * resolved the old manifest); stray crashed stages go too.
+    * that was committed before it (kept for in-flight readers — and for
+    * [[diffIvfVersions]]). Orphaned `_ivf_stage_*` dirs from crashes or
+    * lost races are NOT swept here: a concurrent writer's live stage is
+    * indistinguishable from an orphan, so they are left for an offline
+    * vacuum (they are unreferenced garbage, never wrong answers).
     */
   private def gcIvfVersions(path: String, keep: Set[String]): Unit = {
     Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
@@ -406,21 +484,31 @@ object Similarity {
       .foreach(rmTree)
   }
 
+  /** Hardlink one data file into a stage, falling back to a byte copy on
+    * filesystems without links (UnsupportedOperationException) AND on
+    * cross-device links (EXDEV surfaces as a plain FileSystemException —
+    * e.g. stage and source on different mounts). An already-present dest
+    * of the same name is the same writer-UUID part file — skip.
+    */
+  private def linkOrCopy(from: java.io.File, to: java.io.File): Unit =
+    if (!to.exists()) {
+      try java.nio.file.Files.createLink(to.toPath, from.toPath): Unit
+      catch {
+        case _: UnsupportedOperationException |
+             _: java.nio.file.FileSystemException =>
+          if (to.exists()) () // raced with ourselves re-running: same bytes
+          else java.nio.file.Files.copy(from.toPath, to.toPath): Unit
+      }
+    }
+
   /** Carry one untouched cell into a new version by hardlinking its data
-    * files (copy fallback for filesystems without links).
+    * files (copy fallback for filesystems without links / cross-device).
     */
   private def adoptCellByLink(src: java.io.File, dest: java.io.File): Unit = {
     java.nio.file.Files.createDirectories(dest.toPath)
     Option(src.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
-      .foreach { f =>
-        val to = new java.io.File(dest, f.getName)
-        try java.nio.file.Files.createLink(to.toPath, f.toPath): Unit
-        catch {
-          case _: UnsupportedOperationException =>
-            java.nio.file.Files.copy(f.toPath, to.toPath): Unit
-        }
-      }
+      .foreach(f => linkOrCopy(f, new java.io.File(dest, f.getName)))
   }
 
   private def cellDirs(dir: String): Array[java.io.File] =
@@ -434,8 +522,8 @@ object Similarity {
     * (the disk-layout form of [[assignToCentroids]]'s comment); at 100 TB
     * each cell is its own partition directory, so a probe's cell list
     * prunes the scan to nprobe/num_centroids of the data. The build stages
-    * a fresh version dir and flips `_IVF_MANIFEST` — rebuilding over a
-    * live index never disturbs its readers.
+    * a fresh complete version and claims the next slot via [[ivfMutate]] —
+    * rebuilding over a live index never disturbs its readers.
     */
   def buildIvfIndex(
       corpus: DataFrame,
@@ -444,27 +532,33 @@ object Similarity {
       cVec: Column,
       centId: Column,
       centVec: Column,
-      path: String): Unit = {
-    val assigned = assignToCentroids(
-        Dedup.spread(corpus), cId, cVec, centroids, centId, centVec)
-      .withColumnRenamed("vec_id", "neighbor_id")
-    val v = nextIvfVersion(path)
-    val prev = new java.io.File(ivfCurrentDir(path)).getName
-    corpus.select(cId.as("neighbor_id"), cVec.as("cv"))
-      .join(assigned, "neighbor_id")
-      .write.mode("overwrite").partitionBy("centroid_id")
-      .parquet(s"$path/${ivfVersionName(v)}")
-    flipIvfManifest(path, ivfVersionName(v))
-    gcIvfVersions(path, Set(ivfVersionName(v), prev))
-  }
+      path: String): Unit =
+    ivfMutate(path) { (_, _) =>
+      val assigned = assignToCentroids(
+          Dedup.spread(corpus), cId, cVec, centroids, centId, centVec)
+        .withColumnRenamed("vec_id", "neighbor_id")
+      val stage = ivfStageDir(path)
+      corpus.select(cId.as("neighbor_id"), cVec.as("cv"))
+        .join(assigned, "neighbor_id")
+        .write.partitionBy("centroid_id").parquet(stage.toString)
+      Some(stage)
+    }
 
   /** Incremental IVF index maintenance: assign ONLY the new batch to its
-    * cells and append to the partitioned layout (each cell directory gains
-    * files; existing data is never rewritten or re-read) — O(batch) ingest,
-    * the same maintenance contract as the incremental MinHash band index.
-    * Probing the appended index is IDENTICAL to probing a from-scratch
-    * rebuild over the union (oracle- and spec-pinned), because cell
-    * assignment is a pure per-vector function of the fixed centroids.
+    * cells — O(batch) data I/O, the same maintenance contract as the
+    * incremental MinHash band index. Probing the appended index is
+    * IDENTICAL to probing a from-scratch rebuild over the union (oracle-
+    * and spec-pinned), because cell assignment is a pure per-vector
+    * function of the fixed centroids.
+    *
+    * Round-12: appends go through the SAME staged-version CAS as every
+    * other mutation instead of `mode("append")` into the committed dir —
+    * the batch's cells write new part files into the stage, every existing
+    * cell's files are hardlink-adopted beside them (metadata-only), and
+    * the stage claims v(base+1). So: a crashed append leaves the committed
+    * version byte-identical (no torn batch), an append racing a
+    * delete/merge/build is never silently dropped (one side reruns), and
+    * [[diffIvfVersions]] audits appends like any other mutation.
     */
   def appendToIvfIndex(
       batch: DataFrame,
@@ -473,18 +567,21 @@ object Similarity {
       cVec: Column,
       centId: Column,
       centVec: Column,
-      path: String): Unit = {
-    val assigned = assignToCentroids(
-        Dedup.spread(batch), cId, cVec, centroids, centId, centVec)
-      .withColumnRenamed("vec_id", "neighbor_id")
-    // add-only: new files in the live version are reader-safe without a
-    // manifest flip (an in-flight read either planned before them — old
-    // snapshot — or sees them complete)
-    batch.select(cId.as("neighbor_id"), cVec.as("cv"))
-      .join(assigned, "neighbor_id")
-      .write.mode("append").partitionBy("centroid_id")
-      .parquet(ivfCurrentDir(path))
-  }
+      path: String): Unit =
+    ivfMutate(path) { (_, curDir) =>
+      val assigned = assignToCentroids(
+          Dedup.spread(batch), cId, cVec, centroids, centId, centVec)
+        .withColumnRenamed("vec_id", "neighbor_id")
+      val stage = ivfStageDir(path)
+      batch.select(cId.as("neighbor_id"), cVec.as("cv"))
+        .join(assigned, "neighbor_id")
+        .write.partitionBy("centroid_id").parquet(stage.toString)
+      // carry the whole previous version by link: cells the batch touched
+      // gain the old files beside the new ones, untouched cells carry over
+      cellDirs(curDir).foreach(d =>
+        adoptCellByLink(d, new java.io.File(stage, d.getName)))
+      Some(stage)
+    }
 
   /** DELETION maintenance for the persisted IVF index — cell-pruned eager
     * rewrite, NOT a tombstone: a deleted vector's cell is a pure function
@@ -513,28 +610,29 @@ object Similarity {
       centVec: Column,
       path: String): Unit = {
     val spark = deleted.sparkSession
+    // the affected-cell set is a pure function of the frozen centroids —
+    // base-independent, so computed once outside the retry loop
     val assigned = assignToCentroids(
       Dedup.spread(deleted), cId, cVec, centroids, centId, centVec)
     val cells = assigned.select("centroid_id").distinct()
       .collect().map(_.get(0)).toSeq // O(affected cells) driver hop
     if (cells.isEmpty) return
-    val cur = ivfCurrentDir(path)
-    val delIds = deleted.select(cId.cast("long").as("del_id")).distinct()
-    val survivors = spark.read.parquet(cur)
-      .filter(col("centroid_id").isInCollection(cells)) // partition-pruned
-      .join(broadcast(delIds), col("neighbor_id") === col("del_id"), "left_anti")
-      .drop("del_id")
-    // stage the next version: rewritten survivors of the affected cells
-    // (the only data I/O — ∝ affected cells), then untouched cells adopted
-    // by hardlink (metadata-only)
-    val v = nextIvfVersion(path)
-    val nextDir = s"$path/${ivfVersionName(v)}"
-    survivors.write.partitionBy("centroid_id").parquet(nextDir)
     val affected = cells.map(c => s"centroid_id=$c").toSet
-    cellDirs(cur).filterNot(d => affected(d.getName))
-      .foreach(d => adoptCellByLink(d, new java.io.File(nextDir, d.getName)))
-    flipIvfManifest(path, ivfVersionName(v))
-    gcIvfVersions(path, Set(ivfVersionName(v), new java.io.File(cur).getName))
+    ivfMutate(path) { (_, curDir) =>
+      val delIds = deleted.select(cId.cast("long").as("del_id")).distinct()
+      val survivors = spark.read.parquet(curDir)
+        .filter(col("centroid_id").isInCollection(cells)) // partition-pruned
+        .join(broadcast(delIds), col("neighbor_id") === col("del_id"), "left_anti")
+        .drop("del_id")
+      // stage the next version: rewritten survivors of the affected cells
+      // (the only data I/O — ∝ affected cells), then untouched cells
+      // adopted by hardlink (metadata-only)
+      val stage = ivfStageDir(path)
+      survivors.write.partitionBy("centroid_id").parquet(stage.toString)
+      cellDirs(curDir).filterNot(d => affected(d.getName))
+        .foreach(d => adoptCellByLink(d, new java.io.File(stage, d.getName)))
+      Some(stage)
+    }
   }
 
   /** MERGE two persisted IVF indexes that share centroids — cell-wise FILE
@@ -548,62 +646,52 @@ object Similarity {
     * the merged index is byte-identical to probing a from-scratch build
     * over the union (spec- and oracle-pinned). `src` is consumed.
     *
-    * The adoption builds the NEXT version of `dest` (BOTH sides carried by
-    * hardlink — src's committed version is never mutated either) and flips
-    * the manifest once; `src` is deleted only after the flip. A crash at
-    * any point therefore loses nothing: before the flip, dest's committed
-    * version and the whole of src are intact and the stage is an orphan of
-    * links; after it, both indexes are valid and re-running the merge is
-    * idempotent (same-name part files — writer-UUID-unique — are skipped).
+    * The adoption stages the NEXT version of `dest` (BOTH sides carried by
+    * hardlink — src's committed version is never mutated either) and
+    * claims it via the [[ivfMutate]] CAS; `src` is deleted only after the
+    * commit. A crash at any point therefore loses nothing: before the
+    * claim, dest's committed version and the whole of src are intact and
+    * the stage is an orphan of links; after it, both indexes are valid and
+    * re-running the merge just stages a fresh next version (idempotent —
+    * writer-UUID part names make a same-name file the same bytes, so the
+    * re-link skips).
     */
   def mergeIvfIndexes(srcPath: String, destPath: String): Unit = {
     val srcCur = ivfCurrentDir(srcPath)
-    val destCur = ivfCurrentDir(destPath)
-    val v = nextIvfVersion(destPath)
-    val nextDir = new java.io.File(destPath, ivfVersionName(v))
-    cellDirs(destCur).foreach(d =>
-      adoptCellByLink(d, new java.io.File(nextDir, d.getName)))
-    // src's files are HARDLINKED into the stage, never moved: src's
-    // committed version stays intact until the flip lands, so a crash at
-    // ANY point loses nothing (pre-flip: dest committed + src untouched,
-    // the stage is an unreferenced orphan holding only links; post-flip:
-    // both valid, src removal below re-runs). adoptCellByLink skips
-    // nothing and the writer-UUID part names make a same-name file the
-    // same bytes, so a re-run after a post-flip crash just re-links over
-    // destCur's (already adopted) names — skipped below, idempotent.
-    cellDirs(srcCur).foreach { cell =>
-      val dest = new java.io.File(nextDir, cell.getName)
-      java.nio.file.Files.createDirectories(dest.toPath)
-      Option(cell.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
-        .foreach { f =>
-          val to = new java.io.File(dest, f.getName)
-          // same name = same writer-UUID part file = same bytes: already
-          // adopted by a previous (crashed) run of this merge — skip
-          if (!to.exists())
-            java.nio.file.Files.createLink(to.toPath, f.toPath): Unit
-        }
+    ivfMutate(destPath) { (_, destCur) =>
+      val stage = ivfStageDir(destPath)
+      cellDirs(destCur).foreach(d =>
+        adoptCellByLink(d, new java.io.File(stage, d.getName)))
+      // src's files are HARDLINKED into the stage, never moved: src's
+      // committed version stays intact until the commit lands
+      cellDirs(srcCur).foreach { cell =>
+        val dest = new java.io.File(stage, cell.getName)
+        java.nio.file.Files.createDirectories(dest.toPath)
+        Option(cell.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+          .foreach(f => linkOrCopy(f, new java.io.File(dest, f.getName)))
+      }
+      Some(stage)
     }
-    flipIvfManifest(destPath, ivfVersionName(v))
-    gcIvfVersions(destPath, Set(ivfVersionName(v), new java.io.File(destCur).getName))
     // consume src only AFTER the merged version is committed
     rmTree(new java.io.File(srcPath))
   }
 
   /** Membership diff between the committed IVF version and its predecessor
     * — the audit readout the commit protocol makes possible (GC keeps
-    * exactly current + previous): which vectors a delete/merge/rebuild
-    * added or removed, with their cells. A vector's cell is a pure
-    * function of the frozen centroids and rows are immutable, so the diff
-    * is two id-level anti-joins over the two version dirs — no vector
-    * payloads compared. A fresh index (one version) diffs empty.
+    * exactly current + previous): which vectors a delete/merge/rebuild/
+    * APPEND (round-12: appends stage versions too) added or removed, with
+    * their cells. A vector's cell is a pure function of the frozen
+    * centroids and rows are immutable, so the diff is two id-level
+    * anti-joins over the two version dirs — no vector payloads compared.
+    * A fresh index (one version) diffs empty.
     * Returns (change ∈ {added, removed}, neighbor_id, centroid_id).
     */
   def diffIvfVersions(path: String, spark: org.apache.spark.sql.SparkSession): DataFrame = {
     val curName = new java.io.File(ivfCurrentDir(path)).getName
-    // previous = the newest version BELOW the committed one — a crashed
-    // stage dir (id above current, unreferenced until the next commit GCs
-    // it) must never be diffed against as if it had committed
+    // previous = the newest version BELOW the committed one (under the CAS
+    // protocol every vN dir IS committed — in-flight stages live under
+    // _ivf_stage_* and never shadow a version id)
     val prev = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.matches("v\\d{6}") && f.getName < curName)
       .sortBy(_.getName).lastOption

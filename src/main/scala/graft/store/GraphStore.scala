@@ -678,8 +678,17 @@ class GraphStore(spark: SparkSession, val root: String, numBuckets: Int = 16,
       if (!java.util.Arrays.equals(head, cur)) {
         val tmp = Paths.get(root, s"_MANIFEST.repair${System.nanoTime()}")
         Files.write(tmp, head)
-        Files.move(tmp, manifestFile, StandardCopyOption.ATOMIC_MOVE,
-          StandardCopyOption.REPLACE_EXISTING): Unit
+        // lockless mode: a slow repairer must not republish a STALE head
+        // over a newer writer's flip — re-check the history immediately
+        // before the move and stand down if a newer entry appeared (that
+        // writer has flipped, or its own repair will). Best-effort window
+        // shrink; commits/history are CAS-protected regardless, so the
+        // worst residual case is a one-version reader-visible lag healed
+        // by the next write.
+        if (manifestsOnDisk.lastOption.contains(m))
+          Files.move(tmp, manifestFile, StandardCopyOption.ATOMIC_MOVE,
+            StandardCopyOption.REPLACE_EXISTING): Unit
+        else Files.delete(tmp)
       }
     }
 

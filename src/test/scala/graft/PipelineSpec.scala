@@ -418,29 +418,156 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), path)
     assert(versions() == Set("v000001"))
     val p0 = probe()
-    // a CRASHED mutation = a stage dir that never reached the manifest
-    // flip: readers must be untouched by it, and the next mutation must
-    // not collide with it
-    val stray = new java.io.File(path, "v000007/centroid_id=0")
+    // a CRASHED mutation = an _ivf_stage_* dir that never claimed a version
+    // slot: readers must be untouched by it, and later mutations step past
+    // it (version ids are claimed by atomic rename, never by a stage name)
+    val stray = new java.io.File(path, "_ivf_stage_deadbeef/centroid_id=0")
     java.nio.file.Files.createDirectories(stray.toPath)
     assert(probe() == p0, "an uncommitted stage dir must be invisible to probes")
-    // delete a vector that IS a returned neighbor, so the flip observably
+    // delete a vector that IS a returned neighbor, so the commit observably
     // changes the probe result
     val victim = p0.map(_._2).min
     Similarity.deleteFromIvfIndex(e.filter(col("vec_id") === victim), cents,
       col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), path)
-    // committed past the stray: version numbers never collide with a crash
-    assert(versions().contains("v000008"), s"got ${versions()}")
-    // the PREVIOUS committed version survives one flip for in-flight
-    // readers; everything older (incl. the stray stage) is GC'd
-    assert(versions() == Set("v000001", "v000008"), s"got ${versions()}")
+    // the PREVIOUS committed version survives one commit for in-flight
+    // readers; everything older is GC'd
+    assert(versions() == Set("v000001", "v000002"), s"got ${versions()}")
     val p1 = probe()
     assert(p1.nonEmpty && p1 != p0)
     assert(!p1.exists(_._2 == victim), "deleted vector surfaced as a neighbor")
     Similarity.deleteFromIvfIndex(e.filter(col("vec_id") === p1.map(_._2).min),
       cents,
       col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), path)
-    assert(versions() == Set("v000008", "v000009"), s"got ${versions()}")
+    assert(versions() == Set("v000002", "v000003"), s"got ${versions()}")
+  }
+
+  test("ivf CAS commit: a mutation racing another reruns — exactly one claims each slot, no lost update") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter(col("vec_id") < 8)
+    val cents = e.filter(col("vec_id") < 4)
+    val root = java.nio.file.Files.createTempDirectory("ivf_cas").toString
+    val path = s"$root/ivf"
+    def cols = (col("vec_id"), col("embedding"))
+    Similarity.buildIvfIndex(e.filter(col("vec_id") >= 40), cents,
+      cols._1, cols._2, cols._1, cols._2, path) // v1
+    // deterministic CAS loss: between THIS append's stage and its claim, a
+    // competing append commits from the same base — the exact lost-update
+    // interleaving the old last-writer-wins flip silently dropped
+    @volatile var injected = false
+    Similarity.ivfPreCommitHook = p =>
+      if (p == path && !injected) {
+        injected = true // the injected mutation must not re-trigger itself
+        Similarity.appendToIvfIndex(e.filter(col("vec_id") < 20), cents,
+          cols._1, cols._2, cols._1, cols._2, path)
+      }
+    try Similarity.appendToIvfIndex(
+      e.filter(col("vec_id") >= 20 && col("vec_id") < 40), cents,
+      cols._1, cols._2, cols._1, cols._2, path)
+    finally Similarity.ivfPreCommitHook = _ => ()
+    assert(injected, "the competing commit never ran")
+    // both batches landed: the loser rerun re-staged on the winner's state
+    val ids = spark.read.parquet(Similarity.ivfCurrentDir(path))
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(ids == e.select("vec_id").as[Long].collect().toSet,
+      s"lost update: ${e.count() - ids.size} vectors missing")
+    // the slots tell the story: v2 = injected winner, v3 = rerun commit
+    val vs = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("v\\d{6}"))
+      .map(_.getName).toSet
+    assert(vs == Set("v000002", "v000003"), s"got $vs")
+    // the audit diff of the FINAL commit is exactly the rerun's batch
+    val d = Similarity.diffIvfVersions(path, spark)
+      .as[(String, Long, Long)].collect()
+    assert(d.forall(_._1 == "added"))
+    assert(d.map(_._2).toSet ==
+      e.filter(col("vec_id") >= 20 && col("vec_id") < 40)
+        .select("vec_id").as[Long].collect().toSet)
+    // and the index answers like a from-scratch build over everything
+    val unionDir = java.nio.file.Files.createTempDirectory("ivf_cas_u").toString
+    Similarity.buildIvfIndex(e, cents, cols._1, cols._2, cols._1, cols._2,
+      s"$unionDir/ivf")
+    def probe(p: String) = Similarity.ivfProbeIndex(q, p, cents,
+        cols._1, cols._2, cols._1, cols._2, k = 3, nprobe = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(probe(path) == probe(s"$unionDir/ivf"))
+  }
+
+  test("ivf CAS commit: a crashed append leaves the committed version byte-identical — no torn batch") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter(col("vec_id") < 8)
+    val cents = e.filter(col("vec_id") < 4)
+    val root = java.nio.file.Files.createTempDirectory("ivf_crash").toString
+    val path = s"$root/ivf"
+    def cols = (col("vec_id"), col("embedding"))
+    Similarity.buildIvfIndex(e.filter(col("vec_id") >= 20), cents,
+      cols._1, cols._2, cols._1, cols._2, path) // v1
+    def filesOf(dir: String): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(dir)).map(f => f.getPath -> f.length()).toMap
+    }
+    val curBefore = Similarity.ivfCurrentDir(path)
+    val before = filesOf(curBefore)
+    def probe() = Similarity.ivfProbeIndex(q, path, cents,
+        cols._1, cols._2, cols._1, cols._2, k = 3, nprobe = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    val p0 = probe()
+    // crash at the worst point: the stage is fully built (all cells
+    // written) but the version slot was never claimed — with the old
+    // in-place mode("append") this was a TORN batch inside the committed
+    // dir; now the committed version must be byte-identical
+    Similarity.ivfPreCommitHook = p =>
+      if (p == path) throw new RuntimeException("simulated crash")
+    intercept[RuntimeException] {
+      Similarity.appendToIvfIndex(e.filter(col("vec_id") < 20), cents,
+        cols._1, cols._2, cols._1, cols._2, path)
+    }
+    Similarity.ivfPreCommitHook = _ => ()
+    assert(Similarity.ivfCurrentDir(path) == curBefore,
+      "a crashed append must not advance the committed version")
+    assert(filesOf(curBefore) == before,
+      "a crashed append mutated the committed version's files")
+    assert(probe() == p0)
+    // the orphaned stage is on disk (offline-vacuum garbage), invisible
+    assert(Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .exists(f => f.isDirectory && f.getName.startsWith("_ivf_stage_")))
+    // retrying the append on the intact index completes and lands the batch
+    Similarity.appendToIvfIndex(e.filter(col("vec_id") < 20), cents,
+      cols._1, cols._2, cols._1, cols._2, path)
+    val ids = spark.read.parquet(Similarity.ivfCurrentDir(path))
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(ids == e.select("vec_id").as[Long].collect().toSet)
+    // and the audit diff now SEES the append (round-11 verdict: in-place
+    // appends bypassed version history)
+    val d = Similarity.diffIvfVersions(path, spark)
+      .as[(String, Long, Long)].collect()
+    assert(d.forall(_._1 == "added"))
+    assert(d.map(_._2).toSet ==
+      e.filter(col("vec_id") < 20).select("vec_id").as[Long].collect().toSet)
+  }
+
+  test("ivf CAS commit: two concurrent appenders from two threads lose no update") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = e.filter(col("vec_id") < 4)
+    val root = java.nio.file.Files.createTempDirectory("ivf_threads").toString
+    val path = s"$root/ivf"
+    def cols = (col("vec_id"), col("embedding"))
+    Similarity.buildIvfIndex(e.filter(col("vec_id") >= 40), cents,
+      cols._1, cols._2, cols._1, cols._2, path)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    def appender(pred: org.apache.spark.sql.Column) =
+      pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = Similarity.appendToIvfIndex(e.filter(pred), cents,
+          cols._1, cols._2, cols._1, cols._2, path)
+      })
+    val fa = appender(col("vec_id") < 20)
+    val fb = appender(col("vec_id") >= 20 && col("vec_id") < 40)
+    fa.get(); fb.get(); pool.shutdown()
+    val ids = spark.read.parquet(Similarity.ivfCurrentDir(path))
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(ids == e.select("vec_id").as[Long].collect().toSet,
+      "a concurrent append was lost")
   }
 
   test("ivf version diff: a delete's removals, cell-exact; a crashed stage is never diffed against") {
@@ -454,9 +581,10 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(Similarity.diffIvfVersions(path, spark).count() === 0L)
     Similarity.deleteFromIvfIndex(e.filter(col("vec_id") % 7 === 3), cents,
       cols._1, cols._2, cols._1, cols._2, path)
-    // a crashed mutation's stage (id above current) must be invisible
+    // a crashed mutation's stage (never claimed a version slot) must be
+    // invisible to the diff
     java.nio.file.Files.createDirectories(
-      new java.io.File(path, "v000050/centroid_id=0").toPath)
+      new java.io.File(path, "_ivf_stage_00crash/centroid_id=0").toPath)
     val d = Similarity.diffIvfVersions(path, spark)
       .orderBy("neighbor_id").as[(String, Long, Long)].collect()
     val expected = e.filter(col("vec_id") % 7 === 3)
