@@ -4294,27 +4294,27 @@ object SparkEntry {
     // RFM segmentation (recency / frequency / monetary quintiles — the
     // classic CRM cohorting): per-customer aggregates in exact day counts
     // and decimal cents, then three ntile(5) scores with custkey
-    // tiebreaks, rolled up to the ≤125 (r,f,m) cells. The global windows
-    // run over the O(customers) AGGREGATE frame — the orders fact table
-    // never sorts globally (q_ntile contract; approx_percentile thresholds
-    // are the stated 100 TB path for the scoring step).
+    // tiebreaks, rolled up to the ≤125 (r,f,m) cells. Round-12 (caught by
+    // the suite-wide PlanSpec window audit): the customer aggregate GROWS
+    // with the corpus, so the three unpartitioned ntile windows were real
+    // single-task sorts at 100 TB — the quintiles now run through the
+    // SIZE-GATED multi-ntile (local windows over the measured-small
+    // checkpointed frame, the distributed exact ntile above the gate;
+    // identical output either way by the q_ntile contract).
     "q_rfm" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val o = orders(s, d)
       val cust = o.groupBy("o_custkey").agg(
         max("o_orderdate").as("last_order"),
         count(lit(1)).as("frequency"),
         (sum(dec(col("o_totalprice"))) * 100).cast("long").as("monetary_cents"))
-      val scored = cust
+      val base = cust
         .crossJoin(broadcast(o.agg(max("o_orderdate").as("refd"))))
         .withColumn("recency_days",
           datediff(col("refd").cast("date"), col("last_order").cast("date")))
-        .withColumn("r", ntile(5).over(
-          Window.orderBy(asc("recency_days"), asc("o_custkey"))))
-        .withColumn("f", ntile(5).over(
-          Window.orderBy(desc("frequency"), asc("o_custkey"))))
-        .withColumn("m", ntile(5).over(
-          Window.orderBy(desc("monetary_cents"), asc("o_custkey"))))
+      val scored = graft.operators.Ranking.withGlobalNtiles(base, Seq(
+        (Seq(col("recency_days").asc, col("o_custkey").asc), "r"),
+        (Seq(col("frequency").desc, col("o_custkey").asc), "f"),
+        (Seq(col("monetary_cents").desc, col("o_custkey").asc), "m")), 5)
       scored.groupBy("r", "f", "m").agg(
           count(lit(1)).as("n_customers"),
           sum("monetary_cents").as("segment_cents"))

@@ -76,6 +76,35 @@ object Ranking {
       .drop(rankCol)
   }
 
+  /** MULTI-dimension exact ntile, size-gated (the Dedup connected-
+    * components pattern: a measured-small frame takes the cheap local
+    * plan, anything else the distributed one — same output either way):
+    * the input is materialized once and counted; at or below `smallLimit`
+    * rows each dimension is one unpartitioned ntile window over the
+    * checkpointed frame (bounded by the gate — ≤ smallLimit rows in one
+    * task, the fast plan for an aggregate that fits), above it every
+    * dimension runs the range-partitioned [[withGlobalNtile]] (three
+    * scaffolds cost ~4 Spark jobs each — pure overhead below the gate,
+    * the only workable plan above it). Output is identical by the
+    * q_ntile contract (withGlobalNtile ≡ the ntile window, spec-pinned),
+    * so callers and oracles never see the branch.
+    */
+  def withGlobalNtiles(
+      df: DataFrame,
+      dims: Seq[(Seq[Column], String)],
+      k: Int,
+      smallLimit: Long = 5000000L): DataFrame = {
+    val base = df.localCheckpoint(true)
+    if (base.count() <= smallLimit)
+      dims.foldLeft(base) { case (acc, (sort, out)) =>
+        acc.withColumn(out, ntile(k).over(Window.orderBy(sort: _*)))
+      }
+    else
+      dims.foldLeft(base) { case (acc, (sort, out)) =>
+        withGlobalNtile(acc, sort, k, out)
+      }
+  }
+
   /** `df` plus `out` = exact global running sum of `value` in `sortCols`
     * order (inclusive of the current row) — the distributed form of
     * `sum(value).over(Window.orderBy(...).rowsBetween(unboundedPreceding,
@@ -92,16 +121,69 @@ object Ranking {
       value: Column,
       out: String,
       partitions: Int = 32): DataFrame = {
-    import org.apache.spark.sql.types.{DataTypes, DecimalType, LongType, IntegerType, StructField, StructType}
     requireNoScratchColumns(df)
-    val parted = df
-      .repartitionByRange(partitions, sortCols: _*)
+    addSeededCumSum(cumSumScaffold(df, sortCols, partitions),
+      sortCols, value, out)
+      .drop("_pid")
+  }
+
+  /** TWO chained global running sums over ONE range partitioning: `out1` =
+    * running sum of `value1` in `sortCols` order; `derive` then appends
+    * columns computed from it (row-local expressions only — it must not
+    * reorder or filter); `out2` = running sum of `value2` evaluated on the
+    * derived frame, same order. The second stage rides the FIRST stage's
+    * shuffle + checkpoint: two back-to-back [[withGlobalCumSum]] calls
+    * would re-sample, re-shuffle and re-materialize an already range-
+    * partitioned frame (2× the fixed cost on small aggregated inputs, two
+    * full shuffles of a 100 TB one) — Kaplan–Meier's death-prefix →
+    * ln-term → survival chain is the canonical caller.
+    */
+  def withGlobalCumSumChain(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      value1: Column,
+      out1: String,
+      derive: DataFrame => DataFrame,
+      value2: Column,
+      out2: String,
+      partitions: Int = 32): DataFrame = {
+    requireNoScratchColumns(df)
+    val parted = cumSumScaffold(df, sortCols, partitions)
+    val first = addSeededCumSum(parted, sortCols, value1, out1)
+    addSeededCumSum(derive(first), sortCols, value2, out2)
+      .drop("_pid")
+  }
+
+  /** Range-partition + in-partition sort + pin partition ids — the shared
+    * head of the cumsum family, materialized once so every downstream
+    * totals/window pass observes identical partition ids without
+    * re-shuffling.
+    */
+  private def cumSumScaffold(
+      df: DataFrame, sortCols: Seq[Column], partitions: Int): DataFrame =
+    df.repartitionByRange(partitions, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .withColumn("_pid", spark_partition_id())
-      .withColumn("_v", value)
       .localCheckpoint(false)
-    val sumType = parted.select(sum(col("_v")).as("_s")).schema.head.dataType
-    val totals = parted.groupBy(col("_pid")).agg(sum(col("_v")).as("_s"))
+
+  /** Shared tail of the cumsum family: per-partition totals of `value`
+    * (O(partitions) driver hop) prefix-sum into each partition's seed in
+    * exact arithmetic (BigDecimal for decimals, Long for integrals),
+    * broadcast back, and `out` = seed + in-partition running sum. `parted`
+    * must carry `_pid` (from [[cumSumScaffold]]); `_pid` is KEPT so stages
+    * can chain — callers drop it.
+    */
+  private def addSeededCumSum(
+      parted: DataFrame,
+      sortCols: Seq[Column],
+      value: Column,
+      out: String): DataFrame = {
+    import org.apache.spark.sql.types.{DataTypes, DecimalType, LongType, IntegerType, StructField, StructType}
+    val seedCol = s"_seed_$out"
+    val withV = parted.withColumn(s"_v_$out", value)
+    val v = col(s"_v_$out")
+    val sumType = withV.select(sum(v).as("_s")).schema.head.dataType
+    val totals = withV.groupBy(col("_pid")).agg(sum(v).as("_s"))
       .collect()
       .map(r => (r.getInt(0), r.get(1)))
       .sortBy(_._1)
@@ -125,19 +207,19 @@ object Ranking {
         s"withGlobalCumSum needs a decimal or integral value column, got $t")
     }
     val seedField = sumType match {
-      case d: DecimalType => StructField("_seed", d)
-      case _ => StructField("_seed", LongType)
+      case d: DecimalType => StructField(seedCol, d)
+      case _ => StructField(seedCol, LongType)
     }
-    val spark = df.sparkSession
+    val spark = parted.sparkSession
     val seedDf = spark.createDataFrame(
       java.util.Arrays.asList(seeds: _*),
       StructType(Seq(StructField("_pid", DataTypes.IntegerType), seedField)))
     val w = Window.partitionBy("_pid").orderBy(sortCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    parted
+    withV
       .join(broadcast(seedDf), Seq("_pid"), "left")
-      .withColumn(out, col("_seed") + sum(col("_v")).over(w))
-      .drop("_pid", "_seed", "_v")
+      .withColumn(out, col(seedCol) + sum(v).over(w))
+      .drop(seedCol, s"_v_$out")
   }
 
   /** `df` plus `out` = running MAX of `value` in `sortCols` order (inclusive

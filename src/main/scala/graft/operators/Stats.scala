@@ -101,36 +101,38 @@ object Stats {
     * engine-identical.
     *
     * Scale shape: both running sums (the death prefix that shrinks the
-    * risk set, and the Σ ln-term that forms S(t)) go through
-    * [[Ranking.withGlobalCumSum]] — the range-partitioned distributed
-    * cumsum — NOT an unpartitioned window: the aggregated frame is
-    * O(distinct durations), which at 100 TB with fine-grained durations
-    * (ms-resolution lifetimes) is itself huge, and a single-task global
-    * sort-window over it was the last unbounded-ish WindowExec in the
-    * declared suite (round-11 verdict #4). Integer cumsums are exact
-    * under any partitioning, so the curve is unchanged bit for bit.
+    * risk set, and the Σ ln-term that forms S(t)) ride ONE
+    * range-partitioned distributed cumsum pass
+    * ([[Ranking.withGlobalCumSumChain]]) — NOT an unpartitioned window:
+    * the aggregated frame is O(distinct durations), which at 100 TB with
+    * fine-grained durations (ms-resolution lifetimes) is itself huge, and
+    * a single-task global sort-window over it was the last unbounded-ish
+    * WindowExec in the declared suite (round-11 verdict #4). Integer
+    * cumsums are exact under any partitioning, so the curve is unchanged
+    * bit for bit.
     */
   def kaplanMeier(subjects: DataFrame, duration: Column): DataFrame = {
     val d = subjects.select(duration.cast("long").as("t"))
     val total = d.agg(count(lit(1)).as("n_total"))
     val byT = d.filter(col("t").isNotNull)
       .groupBy("t").agg(count(lit(1)).as("d"))
-    // pass 1: inclusive death prefix → exclusive via − d → risk set
-    val risk = Ranking.withGlobalCumSum(byT, Seq(col("t")), col("d"), "_cd")
-      .crossJoin(broadcast(total))
-      .withColumn("n_risk", col("n_total") - (col("_cd") - col("d")))
-      .drop("_cd")
-      .withColumn("lnterm_fp",
-        // d == n_risk (everyone remaining dies) would be ln(0) = -inf;
-        // pin it to a finite sentinel that still drives surv to 0
-        when(col("d") === col("n_risk"), lit(-100000000000L))
-          .otherwise(floor(
-            log(lit(1.0) - col("d").cast("double") / col("n_risk").cast("double"))
-              * lit(1000000000.0)).cast("long")))
-    // pass 2: inclusive Σ ln-terms → S(t)
-    Ranking.withGlobalCumSum(risk, Seq(col("t")), col("lnterm_fp"), "_cln")
+    Ranking.withGlobalCumSumChain(byT, Seq(col("t")),
+      // stage 1: inclusive death prefix → exclusive via − d → risk set
+      col("d"), "cd",
+      first => first
+        .crossJoin(broadcast(total))
+        .withColumn("n_risk", col("n_total") - (col("cd") - col("d")))
+        .withColumn("lnterm_fp",
+          // d == n_risk (everyone remaining dies) would be ln(0) = -inf;
+          // pin it to a finite sentinel that still drives surv to 0
+          when(col("d") === col("n_risk"), lit(-100000000000L))
+            .otherwise(floor(
+              log(lit(1.0) - col("d").cast("double") / col("n_risk").cast("double"))
+                * lit(1000000000.0)).cast("long"))),
+      // stage 2: inclusive Σ ln-terms → S(t)
+      col("lnterm_fp"), "cln")
       .withColumn("surv_ppm",
-        floor(exp(col("_cln").cast("double") / lit(1000000000.0))
+        floor(exp(col("cln").cast("double") / lit(1000000000.0))
           * lit(1000000.0)).cast("long"))
       .select(col("t").as("duration"), col("n_risk"), col("d"),
         col("surv_ppm"))

@@ -39,6 +39,52 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
   }
 
+  test("suite-wide audit: no declared query windows over a single unbounded partition") {
+    // An empty-partitionSpec Window is a single-task global sort — the
+    // shape this engine bans at data scale. Sweep EVERY declared query's
+    // optimized plan; a window is acceptable only when its input is
+    // provably bounded (a GlobalLimit below it — the vocab-top-100 style
+    // frames) or the query is on the documented whitelist of O(small)
+    // aggregated frames below. events_survival left this list in round 12
+    // (Kaplan–Meier now rides the chained range-partitioned cumsum);
+    // nothing may join it silently.
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LogicalPlan}
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    def bounded(p: LogicalPlan): Boolean =
+      p.collectFirst { case g: GlobalLimit => g }.nonEmpty
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
+      plan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty && !bounded(w.child) => w
+      }.nonEmpty
+    }
+    val allowed = Set[String](
+      // O(arms) Benjamini–Hochberg ladder (Experiment.scala) — one row per
+      // experiment arm
+      "q_bh_fdr",
+      // O(sources) water-filling allocation (Curate.scala) — one row per
+      // SOURCE, a config-scale constant
+      "q_budget_waterfill",
+      // O(languages) temperature-flattening fractions (Splits.scala)
+      "q_temperature_mix",
+      // cumulative window over the O(deciles)=10 aggregate, below the
+      // distributed ntile — the user frame never sorts globally
+      "q_lift_table",
+      // lag / cumsum over the O(days) daily aggregate — calendar-bounded
+      // (thousands of rows at ANY corpus size)
+      "q_period_over_period",
+      "events_user_growth",
+      // SIZE-GATED: unpartitioned ntile windows appear only on the
+      // measured-≤5M-row branch of Ranking.withGlobalNtiles (at this SF
+      // the gate picks the local plan); above the gate the distributed
+      // ntile runs — RankingSpec pins both branches identical
+      "q_rfm"
+    )
+    assert(offenders.toSet.subsetOf(allowed) && allowed.subsetOf(offenders.toSet),
+      s"unpartitioned-unbounded-window audit drift: found ${offenders.mkString(", ")}; " +
+        s"pinned ${allowed.mkString(", ")}")
+  }
+
   test("q13 pre-aggregates orders before the customer join (no per-order join rows)") {
     val p = plan("q13_custdist")
     // the aggregate must sit BELOW the left join: the join's right side is

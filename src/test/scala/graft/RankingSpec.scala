@@ -52,6 +52,31 @@ class RankingSpec extends AnyFunSuite with SparkTestBase {
     assert(Ranking.withGlobalNtile(df, Seq(col("v"), col("id")), 10, "b").count() == 0L)
   }
 
+  test("withGlobalNtiles: both sides of the size gate produce identical buckets") {
+    // three dimensions with heavy ties, both sort directions — the q_rfm
+    // shape. smallLimit = 0 forces the distributed branch, Long.MaxValue
+    // the local-window branch; the gate must be invisible in the output.
+    val df = randomDf(2500, 30, seed = 42)
+      .withColumn("w", pmod(col("id") * 7919, lit(13L)))
+    val dims = Seq(
+      (Seq(col("v").asc, col("id").asc), "a"),
+      (Seq(col("w").desc, col("id").asc), "b"),
+      (Seq(col("v").desc, col("id").asc), "c"))
+    def run(limit: Long) =
+      Ranking.withGlobalNtiles(df, dims, 5, smallLimit = limit)
+        .select("id", "a", "b", "c").as[(Long, Int, Int, Int)].collect().toSet
+    val local = run(Long.MaxValue)
+    val distributed = run(0L)
+    assert(local == distributed)
+    // and both equal the reference window form
+    val w = df
+      .withColumn("a", ntile(5).over(Window.orderBy(col("v").asc, col("id").asc)))
+      .withColumn("b", ntile(5).over(Window.orderBy(col("w").desc, col("id").asc)))
+      .withColumn("c", ntile(5).over(Window.orderBy(col("v").desc, col("id").asc)))
+      .select("id", "a", "b", "c").as[(Long, Int, Int, Int)].collect().toSet
+    assert(local == w)
+  }
+
   test("withGlobalCumSum equals the unpartitioned running-sum window (long values)") {
     val df = randomDf(3000, 25, seed = 3)
     val got = Ranking.withGlobalCumSum(df, Seq(col("v"), col("id")), col("id"), "c", partitions = 6)
