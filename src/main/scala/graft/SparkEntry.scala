@@ -7628,6 +7628,14 @@ object SparkEntry {
     "dedup_semdedup" -> OracleSqlGen.semDedup(8, 0.45),
     "dedup_semdedup_inc" -> OracleSqlGen.semDedupInc(8, 0.45, 400L),
     "dedup_semdedup_stream" -> OracleSqlGen.semDedupInc(8, 0.45, 400L),
+    // ann_mllib_join / dedup_minhash_mllib stay BANDED, deliberately: both
+    // emit (LSH candidates ∩ true ball) — precision 1 structurally, but
+    // recall is the LSH's own (measured 1.0 at sf0.01 yet 0.857 / 0.984 at
+    // sf0.1 with the 2-table settings), so no engine-independent SQL
+    // reproduces the emitted set; an exact oracle would be tuned-to-pass
+    // on one dataset and red on the next. BandChecks verdicts them
+    // in-engine against their exact twins instead (round-11 verdict #7
+    // explored, resolved as documented-cannot-be-exact).
     "ann_ivf_diff" -> OracleSqlGen.ivfDiffDeleted(8, "vec_id % 5 = 2"),
     "ann_ivf_diff_append" -> OracleSqlGen.ivfDiffAppended(8, "vec_id < 100"),
     "dedup_semantic_clusters" -> OracleSqlGen.embeddingClusters(0.45, 4, 4),

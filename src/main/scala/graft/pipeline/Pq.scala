@@ -142,7 +142,10 @@ object Pq {
 
   /** Build the persisted PQ index: train, then encode, writing `codebook`
     * and `codes` under `path`. The maintenance write an ANN service pays
-    * once per ingest; probes read only these two tables.
+    * once per ingest; probes read only these two tables. Round-12: the
+    * two tables commit as ONE staged version via the engine-wide
+    * [[graft.store.VersionedDir]] CAS — a crash or racing rebuild can
+    * never leave a codebook from one build beside codes from another.
     */
   def buildIndex(
       corpus: DataFrame,
@@ -152,12 +155,15 @@ object Pq {
       m: Int,
       sub: Int,
       k: Int,
-      iters: Int): Unit = {
-    val cb = trainCodebook(corpus, id, vec, m, sub, k, iters)
-    cb.write.mode("overwrite").parquet(s"$path/codebook")
-    encode(corpus, id, vec, cb, m, sub)
-      .write.mode("overwrite").parquet(s"$path/codes")
-  }
+      iters: Int): Unit =
+    graft.store.VersionedDir.mutate(path) { (_, _) =>
+      val cb = trainCodebook(corpus, id, vec, m, sub, k, iters)
+      val stage = graft.store.VersionedDir.stageDir(path)
+      cb.write.parquet(s"$stage/codebook")
+      encode(corpus, id, vec, cb, m, sub)
+        .write.parquet(s"$stage/codes")
+      Some(stage)
+    }
 
   /** Incremental PQ index maintenance: encode ONLY the new batch against
     * the persisted (frozen) codebook and append its codes — O(batch)
@@ -175,11 +181,21 @@ object Pq {
       vec: Column,
       path: String,
       m: Int,
-      sub: Int): Unit = {
-    val cb = batch.sparkSession.read.parquet(s"$path/codebook")
-    encode(batch, id, vec, cb, m, sub)
-      .write.mode("append").parquet(s"$path/codes")
-  }
+      sub: Int): Unit =
+    graft.store.VersionedDir.mutate(path) { (_, cur) =>
+      val cb = batch.sparkSession.read.parquet(s"$cur/codebook")
+      val stage = graft.store.VersionedDir.stageDir(path)
+      encode(batch, id, vec, cb, m, sub)
+        .write.parquet(s"$stage/codes")
+      // carry the committed codebook + prior codes by hardlink: a crashed
+      // append leaves the committed version byte-identical (no torn batch),
+      // and an append racing another mutation reruns instead of being lost
+      graft.store.VersionedDir.adoptTree(
+        new java.io.File(s"$cur/codes"), new java.io.File(s"$stage/codes"))
+      graft.store.VersionedDir.adoptTree(
+        new java.io.File(s"$cur/codebook"), new java.io.File(s"$stage/codebook"))
+      Some(stage)
+    }
 
   /** IVF-PQ index build — the flagship billion-scale ANN layout (FAISS's
     * IVFPQ architecture: coarse inverted-file cells × product-quantized
@@ -201,17 +217,20 @@ object Pq {
       m: Int,
       sub: Int,
       k: Int,
-      iters: Int): Unit = {
-    val cb = trainCodebook(corpus, cId, cVec, m, sub, k, iters)
-    cb.write.mode("overwrite").parquet(s"$path/codebook")
-    centroids.select(centId.as("centroid_id"), centVec.as("centv"))
-      .write.mode("overwrite").parquet(s"$path/centroids")
-    val cells = Similarity.assignToCentroids(
-      Dedup.spread(corpus), cId, cVec, centroids, centId, centVec)
-    encode(corpus, cId, cVec, cb, m, sub)
-      .join(cells, "vec_id")
-      .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$path/codes")
-  }
+      iters: Int): Unit =
+    graft.store.VersionedDir.mutate(path) { (_, _) =>
+      val cb = trainCodebook(corpus, cId, cVec, m, sub, k, iters)
+      val stage = graft.store.VersionedDir.stageDir(path)
+      cb.write.parquet(s"$stage/codebook")
+      centroids.select(centId.as("centroid_id"), centVec.as("centv"))
+        .write.parquet(s"$stage/centroids")
+      val cells = Similarity.assignToCentroids(
+        Dedup.spread(corpus), cId, cVec, centroids, centId, centVec)
+      encode(corpus, cId, cVec, cb, m, sub)
+        .join(cells, "vec_id")
+        .write.partitionBy("centroid_id").parquet(s"$stage/codes")
+      Some(stage)
+    }
 
   /** Incremental IVF-PQ maintenance: assign ONLY the new batch to its
     * coarse cells and PQ codes (both pure per-vector functions of the
@@ -230,13 +249,23 @@ object Pq {
       m: Int,
       sub: Int): Unit = {
     val spark = batch.sparkSession
-    val cb = spark.read.parquet(s"$path/codebook")
-    val cent = spark.read.parquet(s"$path/centroids")
-    val cells = Similarity.assignToCentroids(
-      Dedup.spread(batch), cId, cVec, cent, col("centroid_id"), col("centv"))
-    encode(batch, cId, cVec, cb, m, sub)
-      .join(cells, "vec_id")
-      .write.mode("append").partitionBy("centroid_id").parquet(s"$path/codes")
+    graft.store.VersionedDir.mutate(path) { (_, cur) =>
+      val cb = spark.read.parquet(s"$cur/codebook")
+      val cent = spark.read.parquet(s"$cur/centroids")
+      val cells = Similarity.assignToCentroids(
+        Dedup.spread(batch), cId, cVec, cent, col("centroid_id"), col("centv"))
+      val stage = graft.store.VersionedDir.stageDir(path)
+      encode(batch, cId, cVec, cb, m, sub)
+        .join(cells, "vec_id")
+        .write.partitionBy("centroid_id").parquet(s"$stage/codes")
+      graft.store.VersionedDir.adoptTree(
+        new java.io.File(s"$cur/codes"), new java.io.File(s"$stage/codes"))
+      graft.store.VersionedDir.adoptTree(
+        new java.io.File(s"$cur/codebook"), new java.io.File(s"$stage/codebook"))
+      graft.store.VersionedDir.adoptTree(
+        new java.io.File(s"$cur/centroids"), new java.io.File(s"$stage/centroids"))
+      Some(stage)
+    }
   }
 
   /** IVF-PQ probe: nprobe coarse cells per query (cosine against the
@@ -255,8 +284,11 @@ object Pq {
       m: Int,
       sub: Int): DataFrame = {
     val spark = queries.sparkSession
-    val cb = spark.read.parquet(s"$indexPath/codebook")
-    val cent = broadcast(spark.read.parquet(s"$indexPath/centroids"))
+    // resolve the committed version once: the whole probe runs against one
+    // consistent snapshot even if a mutation commits mid-read
+    val cur = graft.store.VersionedDir.currentDir(indexPath)
+    val cb = spark.read.parquet(s"$cur/codebook")
+    val cent = broadcast(spark.read.parquet(s"$cur/centroids"))
     val wq = Window.partitionBy("query_id").orderBy(desc("csim"), asc("centroid_id"))
     val probes = queries.select(qId.as("query_id"), qVec.as("qv"))
       .crossJoin(cent)
@@ -267,7 +299,7 @@ object Pq {
       .localCheckpoint(false) // cells collected AND joined: compute once
     val cells = probes.select("centroid_id").distinct()
       .collect().map(_.get(0)).toSeq // O(centroids) driver hop, as ivfProbeIndex
-    val codes = spark.read.parquet(s"$indexPath/codes")
+    val codes = spark.read.parquet(s"$cur/codes")
       .filter(col("centroid_id").isInCollection(cells)) // partition-pruned scan
     val qsv = subvectors(queries, qId, qVec, m, sub)
       .withColumnRenamed("vec_id", "query_id").withColumnRenamed("sv", "qsv")
@@ -335,8 +367,10 @@ object Pq {
       m: Int,
       sub: Int): DataFrame = {
     val spark = queries.sparkSession
-    val cb = spark.read.parquet(s"$indexPath/codebook")
-    val codes = spark.read.parquet(s"$indexPath/codes")
+    // one consistent committed snapshot for both tables
+    val cur = graft.store.VersionedDir.currentDir(indexPath)
+    val cb = spark.read.parquet(s"$cur/codebook")
+    val codes = spark.read.parquet(s"$cur/codes")
     val qsv = subvectors(queries, qId, qVec, m, sub)
       .withColumnRenamed("vec_id", "query_id").withColumnRenamed("sv", "qsv")
     val lut = broadcast(

@@ -37,19 +37,36 @@ object Rollup {
   private def minCol(m: String) = s"_min_$m"
   private def maxCol(m: String) = s"_max_$m"
 
-  /** Aggregate `df` to the grain and write it (overwrite ⇒ initial build). */
+  /** Aggregate `df` to the grain and write it as a fresh committed version
+    * (round-12: batch-maintained rollups commit via the engine-wide
+    * [[graft.store.VersionedDir]] CAS — a torn append of partial rows
+    * would silently corrupt every merged sum, the worst failure class of
+    * an algebraic summary, so appends stage a complete new version and
+    * claim it atomically; readers merge one consistent snapshot).
+    * STREAM-maintained rollups ([[writeMicroBatch]]) keep their own
+    * batch_id-partition idempotency contract instead — the two layouts
+    * are separate usage modes on separate paths.
+    */
   def build(df: DataFrame, dims: Seq[String], measures: Seq[String],
       path: String): Unit =
-    aggregateToGrain(df, dims, measures)
-      .write.mode("overwrite").parquet(path)
+    graft.store.VersionedDir.mutate(path) { (_, _) =>
+      val stage = graft.store.VersionedDir.stageDir(path)
+      aggregateToGrain(df, dims, measures).write.parquet(stage.toString)
+      Some(stage)
+    }
 
   /** O(batch) incremental maintenance: aggregate ONLY the new batch at the
-    * grain and append. Never reads the existing summary.
+    * grain and commit it beside the hardlink-adopted prior partials.
+    * Never reads the existing summary rows.
     */
   def appendDelta(batch: DataFrame, dims: Seq[String], measures: Seq[String],
       path: String): Unit =
-    aggregateToGrain(batch, dims, measures)
-      .write.mode("append").parquet(path)
+    graft.store.VersionedDir.mutate(path) { (_, cur) =>
+      val stage = graft.store.VersionedDir.stageDir(path)
+      aggregateToGrain(batch, dims, measures).write.parquet(stage.toString)
+      graft.store.VersionedDir.adoptTree(new java.io.File(cur), stage)
+      Some(stage)
+    }
 
   /** O(batch) DECREMENTAL maintenance: retract a batch of DELETED fact rows
     * by appending their grain aggregate with NEGATED count/sum partials —
@@ -73,7 +90,12 @@ object Rollup {
         .withColumn(minCol(m), lit(null).cast(df.schema(minCol(m)).dataType))
         .withColumn(maxCol(m), lit(null).cast(df.schema(maxCol(m)).dataType))
     }
-    flipped.write.mode("append").parquet(path)
+    graft.store.VersionedDir.mutate(path) { (_, cur) =>
+      val stage = graft.store.VersionedDir.stageDir(path)
+      flipped.write.parquet(stage.toString)
+      graft.store.VersionedDir.adoptTree(new java.io.File(cur), stage)
+      Some(stage)
+    }
   }
 
   private def aggregateToGrain(df: DataFrame, dims: Seq[String],
@@ -94,7 +116,9 @@ object Rollup {
     */
   def query(spark: SparkSession, path: String, groupCols: Seq[String],
       measures: Seq[String]): DataFrame = {
-    val summary = spark.read.parquet(path)
+    // one consistent committed snapshot (stream-maintained batch_id
+    // layouts have no version dirs and resolve to the root unchanged)
+    val summary = spark.read.parquet(graft.store.VersionedDir.currentDir(path))
     val aggs = sum(col("_n")).as("n") +:
       measures.map(m => sum(col(sumCol(m))).cast("double").as(s"sum_$m"))
     summary.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
@@ -133,13 +157,17 @@ object Rollup {
     */
   def compactRollup(spark: SparkSession, path: String, dims: Seq[String],
       measures: Seq[String], outPath: String): Unit = {
-    val summary = spark.read.parquet(path)
+    val summary = spark.read.parquet(graft.store.VersionedDir.currentDir(path))
     val aggs = sum(col("_n")).as("_n") +:
       (measures.map(m => sum(col(sumCol(m))).as(sumCol(m))) ++
         measures.map(m => sum(col(cntCol(m))).as(cntCol(m))) ++
         measures.map(m => min(col(minCol(m))).as(minCol(m))) ++
         measures.map(m => max(col(maxCol(m))).as(maxCol(m))))
-    summary.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
-      .write.mode("overwrite").parquet(outPath)
+    graft.store.VersionedDir.mutate(outPath) { (_, _) =>
+      val stage = graft.store.VersionedDir.stageDir(outPath)
+      summary.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
+        .write.parquet(stage.toString)
+      Some(stage)
+    }
   }
 }

@@ -41,30 +41,52 @@ object SearchIndex {
         explode(split(lower(text), "[^a-z]+")).as("term"))
       .filter(col("term") =!= "")
 
-  /** Build the index: bucket-partitioned postings + doc-length table. */
+  /** Build the index: bucket-partitioned postings + doc-length table.
+    * Round-12: both tables commit as ONE staged version via the
+    * engine-wide [[graft.store.VersionedDir]] CAS — a crash can never
+    * leave postings from one build beside doc lengths from another (the
+    * old overwrite pair had exactly that torn window), and racing
+    * mutations rerun instead of losing updates.
+    */
   def buildIndex(docs: DataFrame, id: Column, text: Column,
-      path: String, buckets: Int = 16): Unit = {
-    val tok = tokenize(docs, id, text).localCheckpoint(false)
-    tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .withColumn("tb", termBucket(col("term"), buckets))
-      .write.partitionBy("tb").mode("overwrite").parquet(s"$path/postings")
-    tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      .write.mode("overwrite").parquet(s"$path/doclen")
-  }
+      path: String, buckets: Int = 16): Unit =
+    graft.store.VersionedDir.mutate(path) { (_, _) =>
+      val tok = tokenize(docs, id, text).localCheckpoint(false)
+      val stage = graft.store.VersionedDir.stageDir(path)
+      tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .withColumn("tb", termBucket(col("term"), buckets))
+        .write.partitionBy("tb").parquet(s"$stage/postings")
+      tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        .write.parquet(s"$stage/doclen")
+      Some(stage)
+    }
 
   /** O(batch) incremental maintenance: the new docs' postings and lengths
     * append into place — the old corpus is never re-tokenized. (Doc ids
     * must be new; re-ingesting an existing doc would double its rows.)
     */
   def appendToIndex(newDocs: DataFrame, id: Column, text: Column,
-      path: String, buckets: Int = 16): Unit = {
-    val tok = tokenize(newDocs, id, text).localCheckpoint(false)
-    tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .withColumn("tb", termBucket(col("term"), buckets))
-      .write.partitionBy("tb").mode("append").parquet(s"$path/postings")
-    tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      .write.mode("append").parquet(s"$path/doclen")
-  }
+      path: String, buckets: Int = 16): Unit =
+    graft.store.VersionedDir.mutate(path) { (_, cur) =>
+      val tok = tokenize(newDocs, id, text).localCheckpoint(false)
+      val stage = graft.store.VersionedDir.stageDir(path)
+      tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .withColumn("tb", termBucket(col("term"), buckets))
+        .write.partitionBy("tb").parquet(s"$stage/postings")
+      tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        .write.parquet(s"$stage/doclen")
+      // carry the committed tables by hardlink: the batch's bucket dirs
+      // gain the old files beside the new ones, untouched buckets carry
+      // over whole, and live tombstones survive the append
+      graft.store.VersionedDir.adoptTree(
+        new java.io.File(s"$cur/postings"), new java.io.File(s"$stage/postings"))
+      graft.store.VersionedDir.adoptTree(
+        new java.io.File(s"$cur/doclen"), new java.io.File(s"$stage/doclen"))
+      if (new java.io.File(s"$cur/deletes").isDirectory)
+        graft.store.VersionedDir.adoptTree(
+          new java.io.File(s"$cur/deletes"), new java.io.File(s"$stage/deletes"))
+      Some(stage)
+    }
 
   /** O(batch) DELETION maintenance: append the deleted doc ids to a
     * tombstone table. A doc's postings are spread across (potentially all)
@@ -76,8 +98,19 @@ object SearchIndex {
     * tombstone cost at O(deletes since last compaction).
     */
   def deleteFromIndex(deletedDocs: DataFrame, id: Column, path: String): Unit =
-    deletedDocs.select(id.cast("long").as("doc_id")).distinct()
-      .write.mode("append").parquet(s"$path/deletes")
+    graft.store.VersionedDir.mutate(path) { (_, cur) =>
+      val stage = graft.store.VersionedDir.stageDir(path)
+      deletedDocs.select(id.cast("long").as("doc_id")).distinct()
+        .write.parquet(s"$stage/deletes")
+      if (new java.io.File(s"$cur/deletes").isDirectory)
+        graft.store.VersionedDir.adoptTree(
+          new java.io.File(s"$cur/deletes"), new java.io.File(s"$stage/deletes"))
+      graft.store.VersionedDir.adoptTree(
+        new java.io.File(s"$cur/postings"), new java.io.File(s"$stage/postings"))
+      graft.store.VersionedDir.adoptTree(
+        new java.io.File(s"$cur/doclen"), new java.io.File(s"$stage/doclen"))
+      Some(stage)
+    }
 
   /** Rewrite the index minus its tombstones (postings and doc lengths
     * anti-joined on doc_id; the fresh index carries no deletes table) —
@@ -85,15 +118,21 @@ object SearchIndex {
     * re-tokenizing anything.
     */
   def compactIndex(spark: SparkSession, path: String, outPath: String): Unit = {
-    val del = tombstones(spark, path)
-    spark.read.parquet(s"$path/postings")
-      .join(broadcast(del), Seq("doc_id"), "left_anti")
-      .write.partitionBy("tb").mode("overwrite").parquet(s"$outPath/postings")
-    spark.read.parquet(s"$path/doclen")
-      .join(broadcast(del), Seq("doc_id"), "left_anti")
-      .write.mode("overwrite").parquet(s"$outPath/doclen")
+    val cur = graft.store.VersionedDir.currentDir(path)
+    val del = tombstones(spark, cur)
+    graft.store.VersionedDir.mutate(outPath) { (_, _) =>
+      val stage = graft.store.VersionedDir.stageDir(outPath)
+      spark.read.parquet(s"$cur/postings")
+        .join(broadcast(del), Seq("doc_id"), "left_anti")
+        .write.partitionBy("tb").parquet(s"$stage/postings")
+      spark.read.parquet(s"$cur/doclen")
+        .join(broadcast(del), Seq("doc_id"), "left_anti")
+        .write.parquet(s"$stage/doclen")
+      Some(stage)
+    }
   }
 
+  /** Tombstone table of a RESOLVED version dir (pass `currentDir(path)`). */
   private def tombstones(spark: SparkSession, path: String): DataFrame = {
     val dir = new java.io.File(s"$path/deletes")
     if (dir.isDirectory)
@@ -116,12 +155,16 @@ object SearchIndex {
   def bm25Probe(spark: SparkSession, path: String, probes: Seq[String],
       topK: Int, buckets: Int = 16): DataFrame = {
     val tbs = plannedBuckets(probes, buckets)
-    val del = tombstones(spark, path)
-    val tf = spark.read.parquet(s"$path/postings")
+    // resolve the committed version once: postings, doc lengths and
+    // tombstones all come from ONE consistent snapshot even if a
+    // build/append/delete commits mid-probe
+    val cur = graft.store.VersionedDir.currentDir(path)
+    val del = tombstones(spark, cur)
+    val tf = spark.read.parquet(s"$cur/postings")
       .filter(col("tb").isin(tbs: _*) && col("term").isin(probes: _*))
       .select("doc_id", "term", "tf")
       .join(broadcast(del), Seq("doc_id"), "left_anti")
-    val dl = spark.read.parquet(s"$path/doclen")
+    val dl = spark.read.parquet(s"$cur/doclen")
       .join(broadcast(del), Seq("doc_id"), "left_anti")
     val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))

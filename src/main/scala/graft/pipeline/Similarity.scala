@@ -338,178 +338,24 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank")
   }
 
-  // ── persisted-IVF commit protocol (optimistic CAS, GraphStore-style) ────
-  // The index lives in VERSION directories under its root:
-  //   path/v000003/centroid_id=…/part-*.parquet   (immutable once committed)
-  //   path/_IVF_MANIFEST        → "v000003"  (publish pointer, observability)
-  //   path/_ivf_stage_<uuid>/   (in-flight stages; crash/conflict orphans)
-  // EVERY mutation — build, append, delete, merge — is the same optimistic
-  // read-stage-commit transaction (round-12: appends no longer mutate the
-  // committed version in place, and the commit no longer trusts a
-  // last-writer-wins manifest flip — the exact lost-update race
-  // GraphStore.commitBuckets closed with its hard-link CAS):
-  //  1. PIN base = the head committed version (max vN on disk — a vN dir
-  //     can only appear via the atomic claim in step 3, so every one is a
-  //     complete committed version by construction);
-  //  2. STAGE a complete new version under _ivf_stage_<uuid>: changed
-  //     cells' parquet written, untouched cells hardlink-adopted (O(files)
-  //     metadata, zero data I/O — on an object store this is a manifest
-  //     file-list re-reference, same cost class);
-  //  3. COMMIT = ATOMIC_MOVE the stage to v(base+1). rename(2) onto an
-  //     existing NON-empty directory fails, so the slot is an atomic
-  //     put-if-absent: of two mutators racing from the same base exactly
-  //     one wins, and the loser's whole read-stage body RERUNS against the
-  //     winner's state ([[ivfMutate]] loop) — no silently dropped mutation.
-  //  4. PUBLISH the manifest (forward-guarded; purely informational —
-  //     readers resolve the head DIR, so even a stale or regressed pointer
-  //     can never send them backwards).
-  // Readers never block: they resolve the head once and read immutable
-  // files; a crash at any point leaves only an unreferenced stage dir
-  // (garbage, never wrong answers). The previous version survives one
-  // commit for in-flight readers; older ones are GC'd.
+  // ── persisted-IVF commit protocol ──────────────────────────────────────
+  // Round-12: every IVF mutation commits through the ENGINE-WIDE
+  // optimistic-CAS versioned-directory protocol
+  // ([[graft.store.VersionedDir]] — the GraphStore manifest discipline
+  // generalized to all persisted indexes): pin the head committed version,
+  // stage a complete new version (changed cells written, untouched cells
+  // hardlink-adopted), claim v(base+1) by atomic rename — of two racing
+  // mutators exactly one wins and the loser reruns; a crash leaves the
+  // committed version byte-identical. Readers resolve the head version
+  // dir once and read immutable files.
 
-  private def ivfManifest(path: String) = new java.io.File(path, "_IVF_MANIFEST")
+  import graft.store.VersionedDir
 
-  /** Head committed version number (0 if the index is un-versioned or
-    * absent). Every `vN` dir on disk IS committed — it can only appear via
-    * the atomic claim move in [[ivfMutate]] — so the head dir is the
-    * source of truth, not the manifest (which may trail a writer that
-    * crashed between claim and publish).
+  /** Current committed version dir; legacy un-versioned layouts resolve
+    * to the root itself.
     */
-  private def ivfHead(path: String): Long =
-    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.matches("v\\d{6}"))
-      .map(_.getName.drop(1).toLong)
-      .foldLeft(0L)(math.max)
-
-  /** Current committed version dir; legacy un-versioned layouts (no vN
-    * dirs) resolve to the root itself.
-    */
-  private[graft] def ivfCurrentDir(path: String): String = {
-    val h = ivfHead(path)
-    if (h > 0) s"$path/${ivfVersionName(h)}" else path
-  }
-
-  private def ivfVersionName(v: Long): String = f"v$v%06d"
-
-  private def ivfStageDir(path: String): java.io.File = new java.io.File(
-    path, s"_ivf_stage_${java.util.UUID.randomUUID().toString.take(8)}")
-
-  /** Publish pointer update: write the version name to a temp file,
-    * ATOMIC_MOVE it over `_IVF_MANIFEST`. Informational only — readers
-    * resolve [[ivfCurrentDir]] from the version dirs themselves.
-    */
-  private def flipIvfManifest(path: String, version: String): Unit = {
-    java.nio.file.Files.createDirectories(new java.io.File(path).toPath)
-    val tmp = new java.io.File(path,
-      s"_IVF_MANIFEST.tmp${java.util.UUID.randomUUID().toString.take(8)}")
-    java.nio.file.Files.write(tmp.toPath,
-      version.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp.toPath, ivfManifest(path).toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
-  }
-
-  /** A mutation lost the version-slot CAS: its stage is discarded and its
-    * whole read-stage body reruns against the new head.
-    */
-  private[graft] final class IvfCommitConflict
-    extends RuntimeException("ivf version slot already claimed")
-
-  /** Test seam: invoked with the index path after a stage is fully built,
-    * immediately before the commit claim — lets specs inject a competing
-    * commit (CAS-loss path) or a crash (orphaned-stage path)
-    * deterministically. No-op in production.
-    */
-  @volatile private[graft] var ivfPreCommitHook: String => Unit = _ => ()
-
-  /** The optimistic transaction loop shared by every IVF mutation: pin the
-    * head version, let `body(base, currentDir)` build a complete staged
-    * version (or None for a no-op), claim slot v(base+1) by atomic rename,
-    * rerun the body on a lost claim. Mirrors GraphStore.withWriteLock's
-    * lockless CAS path — two concurrent mutators (even from different
-    * drivers on a shared filesystem) cannot lose an update.
-    */
-  private def ivfMutate(path: String)(
-      body: (Long, String) => Option[java.io.File]): Unit = {
-    java.nio.file.Files.createDirectories(new java.io.File(path).toPath)
-    var done = false
-    while (!done) {
-      val base = ivfHead(path)
-      val curDir = if (base > 0) s"$path/${ivfVersionName(base)}" else path
-      body(base, curDir) match {
-        case None => done = true
-        case Some(stage) =>
-          // the marker makes the claim target non-empty even for a
-          // degenerate empty version: rename(2) silently REPLACES an empty
-          // dest dir, which would hide a lost race
-          java.nio.file.Files.write(
-            new java.io.File(stage, "_IVF_COMMIT").toPath, Array.empty[Byte])
-          ivfPreCommitHook(path)
-          val destName = ivfVersionName(base + 1)
-          val dest = new java.io.File(path, destName)
-          try {
-            java.nio.file.Files.move(stage.toPath, dest.toPath,
-              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-            // committed & durable. Publish the pointer only while this is
-            // still the head — a slower writer must not regress it (the
-            // guard is best-effort; correctness never depends on it)
-            if (ivfHead(path) == base + 1) flipIvfManifest(path, destName)
-            gcIvfVersions(path, Set(destName, ivfVersionName(base)))
-            done = true
-          } catch {
-            case _: java.nio.file.FileSystemException if dest.exists() =>
-              rmTree(stage) // lost the CAS — discard, re-pin, rerun
-          }
-      }
-    }
-  }
-
-  private def rmTree(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-    f.delete(): Unit
-  }
-
-  /** Drop version dirs other than the just-committed one and the version
-    * that was committed before it (kept for in-flight readers — and for
-    * [[diffIvfVersions]]). Orphaned `_ivf_stage_*` dirs from crashes or
-    * lost races are NOT swept here: a concurrent writer's live stage is
-    * indistinguishable from an orphan, so they are left for an offline
-    * vacuum (they are unreferenced garbage, never wrong answers).
-    */
-  private def gcIvfVersions(path: String, keep: Set[String]): Unit = {
-    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.matches("v\\d{6}"))
-      .filterNot(f => keep(f.getName))
-      .foreach(rmTree)
-  }
-
-  /** Hardlink one data file into a stage, falling back to a byte copy on
-    * filesystems without links (UnsupportedOperationException) AND on
-    * cross-device links (EXDEV surfaces as a plain FileSystemException —
-    * e.g. stage and source on different mounts). An already-present dest
-    * of the same name is the same writer-UUID part file — skip.
-    */
-  private def linkOrCopy(from: java.io.File, to: java.io.File): Unit =
-    if (!to.exists()) {
-      try java.nio.file.Files.createLink(to.toPath, from.toPath): Unit
-      catch {
-        case _: UnsupportedOperationException |
-             _: java.nio.file.FileSystemException =>
-          if (to.exists()) () // raced with ourselves re-running: same bytes
-          else java.nio.file.Files.copy(from.toPath, to.toPath): Unit
-      }
-    }
-
-  /** Carry one untouched cell into a new version by hardlinking its data
-    * files (copy fallback for filesystems without links / cross-device).
-    */
-  private def adoptCellByLink(src: java.io.File, dest: java.io.File): Unit = {
-    java.nio.file.Files.createDirectories(dest.toPath)
-    Option(src.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
-      .foreach(f => linkOrCopy(f, new java.io.File(dest, f.getName)))
-  }
+  private[graft] def ivfCurrentDir(path: String): String =
+    VersionedDir.currentDir(path)
 
   private def cellDirs(dir: String): Array[java.io.File] =
     Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
@@ -533,11 +379,11 @@ object Similarity {
       centId: Column,
       centVec: Column,
       path: String): Unit =
-    ivfMutate(path) { (_, _) =>
+    VersionedDir.mutate(path) { (_, _) =>
       val assigned = assignToCentroids(
           Dedup.spread(corpus), cId, cVec, centroids, centId, centVec)
         .withColumnRenamed("vec_id", "neighbor_id")
-      val stage = ivfStageDir(path)
+      val stage = VersionedDir.stageDir(path)
       corpus.select(cId.as("neighbor_id"), cVec.as("cv"))
         .join(assigned, "neighbor_id")
         .write.partitionBy("centroid_id").parquet(stage.toString)
@@ -568,18 +414,18 @@ object Similarity {
       centId: Column,
       centVec: Column,
       path: String): Unit =
-    ivfMutate(path) { (_, curDir) =>
+    VersionedDir.mutate(path) { (_, curDir) =>
       val assigned = assignToCentroids(
           Dedup.spread(batch), cId, cVec, centroids, centId, centVec)
         .withColumnRenamed("vec_id", "neighbor_id")
-      val stage = ivfStageDir(path)
+      val stage = VersionedDir.stageDir(path)
       batch.select(cId.as("neighbor_id"), cVec.as("cv"))
         .join(assigned, "neighbor_id")
         .write.partitionBy("centroid_id").parquet(stage.toString)
       // carry the whole previous version by link: cells the batch touched
       // gain the old files beside the new ones, untouched cells carry over
       cellDirs(curDir).foreach(d =>
-        adoptCellByLink(d, new java.io.File(stage, d.getName)))
+        VersionedDir.adoptTree(d, new java.io.File(stage, d.getName)))
       Some(stage)
     }
 
@@ -618,7 +464,7 @@ object Similarity {
       .collect().map(_.get(0)).toSeq // O(affected cells) driver hop
     if (cells.isEmpty) return
     val affected = cells.map(c => s"centroid_id=$c").toSet
-    ivfMutate(path) { (_, curDir) =>
+    VersionedDir.mutate(path) { (_, curDir) =>
       val delIds = deleted.select(cId.cast("long").as("del_id")).distinct()
       val survivors = spark.read.parquet(curDir)
         .filter(col("centroid_id").isInCollection(cells)) // partition-pruned
@@ -627,10 +473,10 @@ object Similarity {
       // stage the next version: rewritten survivors of the affected cells
       // (the only data I/O — ∝ affected cells), then untouched cells
       // adopted by hardlink (metadata-only)
-      val stage = ivfStageDir(path)
+      val stage = VersionedDir.stageDir(path)
       survivors.write.partitionBy("centroid_id").parquet(stage.toString)
       cellDirs(curDir).filterNot(d => affected(d.getName))
-        .foreach(d => adoptCellByLink(d, new java.io.File(stage, d.getName)))
+        .foreach(d => VersionedDir.adoptTree(d, new java.io.File(stage, d.getName)))
       Some(stage)
     }
   }
@@ -658,23 +504,18 @@ object Similarity {
     */
   def mergeIvfIndexes(srcPath: String, destPath: String): Unit = {
     val srcCur = ivfCurrentDir(srcPath)
-    ivfMutate(destPath) { (_, destCur) =>
-      val stage = ivfStageDir(destPath)
+    VersionedDir.mutate(destPath) { (_, destCur) =>
+      val stage = VersionedDir.stageDir(destPath)
       cellDirs(destCur).foreach(d =>
-        adoptCellByLink(d, new java.io.File(stage, d.getName)))
+        VersionedDir.adoptTree(d, new java.io.File(stage, d.getName)))
       // src's files are HARDLINKED into the stage, never moved: src's
       // committed version stays intact until the commit lands
-      cellDirs(srcCur).foreach { cell =>
-        val dest = new java.io.File(stage, cell.getName)
-        java.nio.file.Files.createDirectories(dest.toPath)
-        Option(cell.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
-          .foreach(f => linkOrCopy(f, new java.io.File(dest, f.getName)))
-      }
+      cellDirs(srcCur).foreach(cell =>
+        VersionedDir.adoptTree(cell, new java.io.File(stage, cell.getName)))
       Some(stage)
     }
     // consume src only AFTER the merged version is committed
-    rmTree(new java.io.File(srcPath))
+    VersionedDir.rmTree(new java.io.File(srcPath))
   }
 
   /** Membership diff between the committed IVF version and its predecessor
@@ -691,7 +532,7 @@ object Similarity {
     val curName = new java.io.File(ivfCurrentDir(path)).getName
     // previous = the newest version BELOW the committed one (under the CAS
     // protocol every vN dir IS committed — in-flight stages live under
-    // _ivf_stage_* and never shadow a version id)
+    // _stage_* and never shadow a version id)
     val prev = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.matches("v\\d{6}") && f.getName < curName)
       .sortBy(_.getName).lastOption

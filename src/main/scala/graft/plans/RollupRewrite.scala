@@ -45,10 +45,14 @@ object RollupRegistry {
 
   /** Point queries against `basePath` at the summary under `rollupPath`
     * (built with the same dims/measures via Rollup.build/appendDelta).
+    * Registration resolves the rollup's COMMITTED VERSION dir (round-12:
+    * batch rollups live in VersionedDir layouts): the registered plan is
+    * a snapshot; re-register after maintenance to serve the new version.
     */
   def register(spark: SparkSession, basePath: String, rollupPath: String,
       dims: Seq[String], measures: Seq[String]): Unit = {
-    val plan = spark.read.parquet(rollupPath).queryExecution.analyzed
+    val cur = graft.store.VersionedDir.currentDir(rollupPath)
+    val plan = spark.read.parquet(cur).queryExecution.analyzed
     byBasePath.put(norm(basePath), Entry(plan, dims, measures))
   }
 

@@ -1,0 +1,185 @@
+package graft.store
+
+import java.io.File
+import java.nio.file.{Files, StandardCopyOption}
+
+/** Optimistic-CAS versioned directory — the commit discipline shared by
+  * EVERY persisted index in this engine (IVF, PQ, IVF-PQ, text inverted
+  * index, materialized rollups), extracted from the IVF protocol and
+  * modeled on GraphStore's manifest CAS (GraphStore.scala commitBuckets):
+  *
+  * Layout under an index root `path`:
+  *   path/v000003/<whole index state>   (immutable once committed)
+  *   path/_HEAD                         (publish pointer, observability)
+  *   path/_stage_<uuid>/                (in-flight stages; crash orphans)
+  *
+  * Every mutation is one optimistic read-stage-commit transaction:
+  *  1. PIN base = the head committed version (max vN dir on disk — a vN
+  *     dir can only appear via the atomic claim in step 3, so every one
+  *     is a complete committed version by construction);
+  *  2. STAGE a complete new version under `_stage_<uuid>`: changed files
+  *     written by Spark jobs, untouched files hardlink-adopted (O(files)
+  *     metadata, zero data I/O — on an object store this is a manifest
+  *     file-list re-reference, same cost class);
+  *  3. COMMIT = ATOMIC_MOVE the stage to v(base+1). rename(2) onto an
+  *     existing NON-empty directory fails, so the slot is an atomic
+  *     put-if-absent: of two mutators racing from the same base exactly
+  *     one wins, and the loser's whole read-stage body RERUNS against the
+  *     winner's state — no silently dropped mutation, even from two
+  *     drivers on a shared filesystem where JVM locks don't reach;
+  *  4. PUBLISH the `_HEAD` pointer (forward-guarded, informational only —
+  *     readers resolve the head DIR, so a stale pointer can't regress
+  *     them).
+  *
+  * Readers never block: resolve [[currentDir]] once and read immutable
+  * files — a mutation mid-read is invisible (the old version survives one
+  * commit for in-flight readers; older versions are GC'd). A crash at any
+  * point leaves the committed version byte-identical and at worst an
+  * orphaned stage dir (garbage, never wrong answers). A multi-TABLE index
+  * (e.g. the text index's postings + doclen + tombstones) commits all its
+  * tables in ONE claim — no torn cross-table state.
+  */
+object VersionedDir {
+
+  private val versionRe = "v\\d{6}"
+
+  def versionName(v: Long): String = f"v$v%06d"
+
+  /** Head committed version number (0 if the root is un-versioned or
+    * absent). Every `vN` dir IS committed — it can only appear via the
+    * atomic claim move in [[mutate]] — so the head dir is the source of
+    * truth, not the `_HEAD` pointer (which may trail a writer that
+    * crashed between claim and publish).
+    */
+  def head(path: String): Long =
+    Option(new File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches(versionRe))
+      .map(_.getName.drop(1).toLong)
+      .foldLeft(0L)(math.max)
+
+  /** Current committed version dir; legacy un-versioned layouts (no vN
+    * dirs) resolve to the root itself, so plain-parquet indexes built
+    * before the protocol stay readable.
+    */
+  def currentDir(path: String): String = {
+    val h = head(path)
+    if (h > 0) s"$path/${versionName(h)}" else path
+  }
+
+  /** A fresh in-flight stage dir under the root (same filesystem as the
+    * versions, so the claim move and hardlink adoption stay metadata-only).
+    */
+  def stageDir(path: String): File =
+    new File(path, s"_stage_${java.util.UUID.randomUUID().toString.take(8)}")
+
+  /** A mutation lost the version-slot CAS: its stage is discarded and its
+    * whole read-stage body reruns against the new head.
+    */
+  final class CommitConflict extends RuntimeException(
+    "versioned-dir slot already claimed")
+
+  /** Test seam: invoked with the root after a stage is fully built,
+    * immediately before the commit claim — lets specs inject a competing
+    * commit (CAS-loss path) or a crash (orphaned-stage path)
+    * deterministically. No-op in production.
+    */
+  @volatile var preCommitHook: String => Unit = _ => ()
+
+  /** The optimistic transaction loop: pin the head version, let
+    * `body(base, currentDir)` build a complete staged version (or None
+    * for a no-op), claim slot v(base+1) by atomic rename; a lost claim
+    * discards the stage and reruns the body against the new head.
+    */
+  def mutate(path: String)(body: (Long, String) => Option[File]): Unit = {
+    Files.createDirectories(new File(path).toPath)
+    var done = false
+    while (!done) {
+      val base = head(path)
+      val curDir = if (base > 0) s"$path/${versionName(base)}" else path
+      body(base, curDir) match {
+        case None => done = true
+        case Some(stage) =>
+          // the marker makes the claim target non-empty even for a
+          // degenerate empty version: rename(2) silently REPLACES an empty
+          // dest dir, which would hide a lost race
+          Files.write(new File(stage, "_COMMIT").toPath, Array.empty[Byte])
+          preCommitHook(path)
+          val destName = versionName(base + 1)
+          val dest = new File(path, destName)
+          try {
+            Files.move(stage.toPath, dest.toPath, StandardCopyOption.ATOMIC_MOVE)
+            // committed & durable. Publish the pointer only while this is
+            // still the head — a slower writer must not regress it (the
+            // guard is best-effort; correctness never depends on the
+            // pointer at all)
+            if (head(path) == base + 1) publishHead(path, destName)
+            gcVersions(path, Set(destName, versionName(base)))
+            done = true
+          } catch {
+            case _: java.nio.file.FileSystemException if dest.exists() =>
+              rmTree(stage) // lost the CAS — discard, re-pin, rerun
+          }
+      }
+    }
+  }
+
+  /** Hardlink one data file into a stage, falling back to a byte copy on
+    * filesystems without links (UnsupportedOperationException) AND on
+    * cross-device links (EXDEV surfaces as a plain FileSystemException —
+    * e.g. stage and source on different mounts). An already-present dest
+    * of the same name is the same writer-UUID part file — skip.
+    */
+  def linkOrCopy(from: File, to: File): Unit =
+    if (!to.exists()) {
+      try Files.createLink(to.toPath, from.toPath): Unit
+      catch {
+        case _: UnsupportedOperationException |
+             _: java.nio.file.FileSystemException =>
+          if (to.exists()) () // racing our own rerun: same bytes
+          else Files.copy(from.toPath, to.toPath): Unit
+      }
+    }
+
+  /** Carry one untouched directory SUBTREE into a stage by hardlinking its
+    * data files (metadata-only). Underscore/dot entries are skipped at
+    * EVERY level — sidecar files (_SUCCESS, the _COMMIT marker) because
+    * each version writes its own, and underscore DIRECTORIES because when
+    * the source is a legacy un-versioned root, its in-flight `_stage_*`
+    * dirs (including the very stage being built) must not be walked.
+    */
+  def adoptTree(src: File, dest: File): Unit = {
+    Files.createDirectories(dest.toPath)
+    Option(src.listFiles()).getOrElse(Array.empty)
+      .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+      .foreach { f =>
+        if (f.isDirectory) adoptTree(f, new File(dest, f.getName))
+        else linkOrCopy(f, new File(dest, f.getName))
+      }
+  }
+
+  /** Drop version dirs other than the just-committed one and its
+    * predecessor (kept for in-flight readers and version diffs). Orphaned
+    * `_stage_*` dirs are NOT swept: a concurrent writer's live stage is
+    * indistinguishable from a crash orphan, so those are left for an
+    * offline vacuum (unreferenced garbage, never wrong answers).
+    */
+  private def gcVersions(path: String, keep: Set[String]): Unit =
+    Option(new File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches(versionRe))
+      .filterNot(f => keep(f.getName))
+      .foreach(rmTree)
+
+  private def publishHead(path: String, version: String): Unit = {
+    val tmp = new File(path,
+      s"_HEAD.tmp${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.write(tmp.toPath,
+      version.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp.toPath, new File(path, "_HEAD").toPath,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
+  def rmTree(f: File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    f.delete(): Unit
+  }
+}

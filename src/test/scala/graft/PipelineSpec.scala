@@ -418,10 +418,10 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), path)
     assert(versions() == Set("v000001"))
     val p0 = probe()
-    // a CRASHED mutation = an _ivf_stage_* dir that never claimed a version
+    // a CRASHED mutation = a _stage_* dir that never claimed a version
     // slot: readers must be untouched by it, and later mutations step past
     // it (version ids are claimed by atomic rename, never by a stage name)
-    val stray = new java.io.File(path, "_ivf_stage_deadbeef/centroid_id=0")
+    val stray = new java.io.File(path, "_stage_deadbeef/centroid_id=0")
     java.nio.file.Files.createDirectories(stray.toPath)
     assert(probe() == p0, "an uncommitted stage dir must be invisible to probes")
     // delete a vector that IS a returned neighbor, so the commit observably
@@ -454,7 +454,7 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     // competing append commits from the same base — the exact lost-update
     // interleaving the old last-writer-wins flip silently dropped
     @volatile var injected = false
-    Similarity.ivfPreCommitHook = p =>
+    graft.store.VersionedDir.preCommitHook = p =>
       if (p == path && !injected) {
         injected = true // the injected mutation must not re-trigger itself
         Similarity.appendToIvfIndex(e.filter(col("vec_id") < 20), cents,
@@ -463,7 +463,7 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     try Similarity.appendToIvfIndex(
       e.filter(col("vec_id") >= 20 && col("vec_id") < 40), cents,
       cols._1, cols._2, cols._1, cols._2, path)
-    finally Similarity.ivfPreCommitHook = _ => ()
+    finally graft.store.VersionedDir.preCommitHook = _ => ()
     assert(injected, "the competing commit never ran")
     // both batches landed: the loser rerun re-staged on the winner's state
     val ids = spark.read.parquet(Similarity.ivfCurrentDir(path))
@@ -517,13 +517,13 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     // written) but the version slot was never claimed — with the old
     // in-place mode("append") this was a TORN batch inside the committed
     // dir; now the committed version must be byte-identical
-    Similarity.ivfPreCommitHook = p =>
+    graft.store.VersionedDir.preCommitHook = p =>
       if (p == path) throw new RuntimeException("simulated crash")
     intercept[RuntimeException] {
       Similarity.appendToIvfIndex(e.filter(col("vec_id") < 20), cents,
         cols._1, cols._2, cols._1, cols._2, path)
     }
-    Similarity.ivfPreCommitHook = _ => ()
+    graft.store.VersionedDir.preCommitHook = _ => ()
     assert(Similarity.ivfCurrentDir(path) == curBefore,
       "a crashed append must not advance the committed version")
     assert(filesOf(curBefore) == before,
@@ -531,7 +531,7 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(probe() == p0)
     // the orphaned stage is on disk (offline-vacuum garbage), invisible
     assert(Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-      .exists(f => f.isDirectory && f.getName.startsWith("_ivf_stage_")))
+      .exists(f => f.isDirectory && f.getName.startsWith("_stage_")))
     // retrying the append on the intact index completes and lands the batch
     Similarity.appendToIvfIndex(e.filter(col("vec_id") < 20), cents,
       cols._1, cols._2, cols._1, cols._2, path)
@@ -584,7 +584,7 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     // a crashed mutation's stage (never claimed a version slot) must be
     // invisible to the diff
     java.nio.file.Files.createDirectories(
-      new java.io.File(path, "_ivf_stage_00crash/centroid_id=0").toPath)
+      new java.io.File(path, "_stage_00crash/centroid_id=0").toPath)
     val d = Similarity.diffIvfVersions(path, spark)
       .orderBy("neighbor_id").as[(String, Long, Long)].collect()
     val expected = e.filter(col("vec_id") % 7 === 3)

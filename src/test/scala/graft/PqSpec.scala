@@ -126,7 +126,8 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
     Pq.buildIvfPqIndex(twoGroups, twoGroups.filter(col("vec_id") < 2),
       col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
       s"$dir/ivfpq", m = 2, sub = 4, k = 2, iters = 1)
-    val oneCell = spark.read.parquet(s"$dir/ivfpq/codes")
+    val cur = graft.store.VersionedDir.currentDir(s"$dir/ivfpq")
+    val oneCell = spark.read.parquet(s"$cur/codes")
       .filter(col("centroid_id") === 0)
     assert(oneCell.collect().nonEmpty)
     val scan = oneCell.queryExecution.executedPlan.collect {
@@ -134,7 +135,7 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
     }.head
     assert(scan.metadata("PartitionFilters").contains("centroid_id"),
       s"no partition filter pushed: ${scan.metadata("PartitionFilters")}")
-    val total = spark.read.parquet(s"$dir/ivfpq/codes").inputFiles.length
+    val total = spark.read.parquet(s"$cur/codes").inputFiles.length
     assert(scan.metrics("numFiles").value < total,
       s"scanned ${scan.metrics("numFiles").value} of $total files - no pruning")
   }

@@ -62,7 +62,7 @@ class RollupSpec extends AnyFunSuite with SparkTestBase {
     // restores one per key and leaves every merged answer unchanged
     val compacted = dir + "_c"
     Rollup.compactRollup(spark, dir, dims, measures, compacted)
-    val perKey = spark.read.parquet(compacted).groupBy(dims.map(col): _*)
+    val perKey = spark.read.parquet(graft.store.VersionedDir.currentDir(compacted)).groupBy(dims.map(col): _*)
       .count().agg(max("count")).as[Long].head()
     assert(perKey == 1L)
     val got2 = Rollup.query(spark, compacted, Seq("flag"), measures).orderBy("flag")
@@ -115,7 +115,7 @@ class RollupSpec extends AnyFunSuite with SparkTestBase {
     Rollup.build(base, dims, measures, dir)
     // grain has ≤6 keys, so the merging read's scan must be ≤6 rows — three
     // orders of magnitude under the 20k fact rows.
-    val summaryRows = spark.read.parquet(dir).count()
+    val summaryRows = spark.read.parquet(graft.store.VersionedDir.currentDir(dir)).count()
     assert(summaryRows <= 6L)
     val q = Rollup.query(spark, dir, Seq("flag"), measures)
     val scans = q.queryExecution.executedPlan.collectLeaves().map(_.toString)

@@ -37,7 +37,7 @@ class SearchIndexSpec extends AnyFunSuite with SparkTestBase {
     // files than the full index (checked on the same pruned read the probe
     // issues — AQE wraps the probe's own executed plan)
     val tbs = SearchIndex.plannedBuckets(probes, 16)
-    val pruned = spark.read.parquet(s"$dir/idx/postings")
+    val pruned = spark.read.parquet(graft.store.VersionedDir.currentDir(s"$dir/idx") + "/postings")
       .filter(col("tb").isin(tbs: _*) && col("term").isin(probes: _*))
     assert(pruned.collect().nonEmpty)
     val scan = pruned.queryExecution.executedPlan.collect {
@@ -45,7 +45,7 @@ class SearchIndexSpec extends AnyFunSuite with SparkTestBase {
     }.head
     assert(scan.metadata("PartitionFilters").contains("tb"),
       s"no bucket partition filter: ${scan.metadata("PartitionFilters")}")
-    val total = spark.read.parquet(s"$dir/idx/postings").inputFiles.length
+    val total = spark.read.parquet(graft.store.VersionedDir.currentDir(s"$dir/idx") + "/postings").inputFiles.length
     assert(scan.metrics("numFiles").value < total,
       s"scanned ${scan.metrics("numFiles").value} of $total files - no pruning")
   }

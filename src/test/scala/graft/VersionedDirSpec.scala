@@ -1,0 +1,150 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Pq, Rollup, SearchIndex}
+import graft.store.VersionedDir
+
+/** The engine-wide versioned-commit discipline, proven on the indexes that
+  * ADOPTED it in round 12 (PQ, text inverted index, rollup summaries — the
+  * IVF variants are covered in PipelineSpec): every mutation stages a
+  * complete version and CAS-claims the next slot, so a crash leaves the
+  * committed version byte-identical, a lost race reruns instead of losing
+  * an update, and multi-table indexes can never commit torn.
+  */
+class VersionedDirSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  // letter-only per-doc token (the tokenizer splits on [^a-z]+, so "doc7"
+  // would not survive as a term): 45 -> "wef"
+  private def word(i: Int): String =
+    "w" + i.toString.map(c => ('a' + (c - '0')).toChar)
+
+  private def docs(n: Int, from: Int = 0) =
+    (from until from + n).map(i =>
+      (i.toLong, s"alpha beta ${word(i)} gamma ${if (i % 2 == 0) "even" else "odd"}"))
+      .toDF("doc_id", "text")
+
+  private def filesOf(dir: String): Map[String, Long] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else Seq(f)
+    walk(new java.io.File(dir)).map(f => f.getPath -> f.length()).toMap
+  }
+
+  test("PQ: a crashed append leaves the committed codebook+codes byte-identical; retry lands") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val path = Files.createTempDirectory("vd_pq").toString + "/pq"
+    // ids [0, k) must exist in the training corpus (the deterministic-seed
+    // contract), so the build takes the LOW ids and the append the high
+    Pq.buildIndex(e.filter(col("vec_id") < 400), col("vec_id"), col("embedding"),
+      path, m = 2, sub = 32, k = 4, iters = 1)
+    val cur = VersionedDir.currentDir(path)
+    val before = filesOf(cur)
+    VersionedDir.preCommitHook = p =>
+      if (p == path) throw new RuntimeException("simulated crash")
+    intercept[RuntimeException] {
+      Pq.appendToIndex(e.filter(col("vec_id") >= 400), col("vec_id"), col("embedding"),
+        path, m = 2, sub = 32)
+    }
+    VersionedDir.preCommitHook = _ => ()
+    assert(VersionedDir.currentDir(path) == cur, "crash advanced the version")
+    assert(filesOf(cur) == before, "crash mutated the committed version")
+    Pq.appendToIndex(e.filter(col("vec_id") >= 400), col("vec_id"), col("embedding"),
+      path, m = 2, sub = 32)
+    val ids = spark.read.parquet(s"${VersionedDir.currentDir(path)}/codes")
+      .select("vec_id").distinct().as[Long].collect().toSet
+    assert(ids == e.select("vec_id").as[Long].collect().toSet)
+  }
+
+  test("text index: an append racing a delete — exactly one claims each slot, both effects land") {
+    val path = Files.createTempDirectory("vd_si").toString + "/idx"
+    SearchIndex.buildIndex(docs(40), col("doc_id"), col("text"), path)
+    @volatile var injected = false
+    VersionedDir.preCommitHook = p =>
+      if (p == path && !injected) {
+        injected = true
+        // a competing DELETE commits between this append's stage and claim
+        SearchIndex.deleteFromIndex(docs(1, from = 7), col("doc_id"), path)
+      }
+    try SearchIndex.appendToIndex(docs(10, from = 40), col("doc_id"), col("text"), path)
+    finally VersionedDir.preCommitHook = _ => ()
+    assert(injected)
+    // the append rerun carried the tombstone forward AND landed its docs:
+    // doc7 stays dead, the new docs are probeable
+    val got = SearchIndex.bm25Probe(spark, path, Seq(word(7), word(45)), topK = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!got.contains(7L), "tombstone lost by the racing append")
+    assert(got.contains(45L), "appended doc lost by the race")
+  }
+
+  test("text index: build commits postings+doclen as ONE version — no torn multi-table state") {
+    val path = Files.createTempDirectory("vd_si2").toString + "/idx"
+    SearchIndex.buildIndex(docs(10), col("doc_id"), col("text"), path)
+    val v1 = VersionedDir.currentDir(path)
+    assert(new java.io.File(s"$v1/postings").isDirectory
+      && new java.io.File(s"$v1/doclen").isDirectory)
+    // a crashed REBUILD (full stage, no claim) leaves v1 both-tables intact
+    VersionedDir.preCommitHook = p =>
+      if (p == path) throw new RuntimeException("simulated crash")
+    intercept[RuntimeException] {
+      SearchIndex.buildIndex(docs(50), col("doc_id"), col("text"), path)
+    }
+    VersionedDir.preCommitHook = _ => ()
+    assert(VersionedDir.currentDir(path) == v1)
+    val probe = SearchIndex.bm25Probe(spark, path, Seq(word(3)), topK = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(probe == Set(3L))
+  }
+
+  test("rollup: a crashed appendDelta cannot tear the summary (merged sums unchanged); retry exact") {
+    val path = Files.createTempDirectory("vd_ru").toString + "/r"
+    val base = (0 until 1000).map(i => (s"f${i % 3}", i.toDouble)).toDF("flag", "qty")
+    val batch = (0 until 100).map(i => (s"f${i % 3}", 1000.0 + i)).toDF("flag", "qty")
+    Rollup.build(base, Seq("flag"), Seq("qty"), path)
+    val want = Rollup.query(spark, path, Seq("flag"), Seq("qty"))
+      .orderBy("flag").collect().toSeq
+    VersionedDir.preCommitHook = p =>
+      if (p == path) throw new RuntimeException("simulated crash")
+    intercept[RuntimeException] {
+      Rollup.appendDelta(batch, Seq("flag"), Seq("qty"), path)
+    }
+    VersionedDir.preCommitHook = _ => ()
+    // a torn append of partial rows would corrupt every merged sum — the
+    // staged-version commit makes the crash invisible instead
+    assert(Rollup.query(spark, path, Seq("flag"), Seq("qty"))
+      .orderBy("flag").collect().toSeq == want)
+    Rollup.appendDelta(batch, Seq("flag"), Seq("qty"), path)
+    val got = Rollup.query(spark, path, Seq("flag"), Seq("qty"))
+      .orderBy("flag").collect().toSeq
+    val direct = base.unionByName(batch).groupBy("flag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("qty").cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+          .cast("double").as("sum_qty"))
+      .orderBy("flag").collect().toSeq
+    assert(got == direct)
+  }
+
+  test("legacy un-versioned roots stay readable and upgrade on first mutation") {
+    val path = Files.createTempDirectory("vd_legacy").toString + "/r"
+    // a plain parquet dir written before the protocol existed
+    (0 until 10).map(i => (s"f${i % 2}", i.toDouble)).toDF("flag", "qty")
+      .groupBy("flag").agg(count(lit(1)).as("_n"),
+        sum(col("qty").cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+          .as("_sum_qty"), count(col("qty")).as("_cnt_qty"),
+        min("qty").as("_min_qty"), max("qty").as("_max_qty"))
+      .write.parquet(path)
+    assert(VersionedDir.currentDir(path) == path) // resolves to the root
+    assert(Rollup.query(spark, path, Seq("flag"), Seq("qty")).count() == 2)
+    // first mutation adopts the legacy files into v000001
+    Rollup.appendDelta(
+      Seq(("f0", 5.0)).toDF("flag", "qty"), Seq("flag"), Seq("qty"), path)
+    assert(VersionedDir.currentDir(path).endsWith("v000001"))
+    val n = Rollup.query(spark, path, Seq("flag"), Seq("qty"))
+      .agg(sum("n")).as[Long].head()
+    assert(n == 11L)
+  }
+}
