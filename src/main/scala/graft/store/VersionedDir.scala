@@ -159,15 +159,40 @@ object VersionedDir {
 
   /** Drop version dirs other than the just-committed one and its
     * predecessor (kept for in-flight readers and version diffs). Orphaned
-    * `_stage_*` dirs are NOT swept: a concurrent writer's live stage is
-    * indistinguishable from a crash orphan, so those are left for an
-    * offline vacuum (unreferenced garbage, never wrong answers).
+    * `_stage_*` dirs are NOT swept here: a concurrent writer's live stage
+    * is indistinguishable from a crash orphan at commit time, so those are
+    * left for [[vacuum]], which separates them by age (unreferenced
+    * garbage, never wrong answers, until then).
     */
   private def gcVersions(path: String, keep: Set[String]): Unit =
     Option(new File(path).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.matches(versionRe))
       .filterNot(f => keep(f.getName))
       .foreach(rmTree)
+
+  /** The offline vacuum the protocol docs point at: sweep (a) orphaned
+    * `_stage_*` dirs untouched for `olderThanMillis` (a LIVE writer's
+    * stage is younger than any sane TTL — Spark touches it while writing;
+    * a crash or lost-race orphan only ages), and (b) committed versions
+    * BELOW head−1 (normally GC'd at commit time; they linger only if a
+    * writer crashed between its claim and its GC). Never touches the
+    * head, its predecessor, or any fresh stage — so it is safe to run
+    * beside live readers and writers. Returns the deleted dir names.
+    */
+  def vacuum(path: String, olderThanMillis: Long = 24L * 3600 * 1000): Seq[String] = {
+    val now = System.currentTimeMillis()
+    val h = head(path)
+    val keep = Set(versionName(h), versionName(math.max(h - 1, 0)))
+    val victims = Option(new File(path).listFiles()).getOrElse(Array.empty)
+      .filter { f =>
+        f.isDirectory && (
+          (f.getName.startsWith("_stage_") &&
+            now - f.lastModified() >= olderThanMillis) ||
+          (f.getName.matches(versionRe) && !keep(f.getName)))
+      }
+    victims.foreach(rmTree)
+    victims.map(_.getName).toSeq.sorted
+  }
 
   private def publishHead(path: String, version: String): Unit = {
     val tmp = new File(path,

@@ -128,6 +128,32 @@ class VersionedDirSpec extends AnyFunSuite with SparkTestBase {
     assert(got == direct)
   }
 
+  test("vacuum sweeps aged orphan stages + pre-previous versions, spares live state") {
+    val path = Files.createTempDirectory("vd_vac").toString + "/r"
+    val mk = (n: Int) => (0 until n).map(i => (s"f${i % 2}", i.toDouble)).toDF("flag", "qty")
+    Rollup.build(mk(10), Seq("flag"), Seq("qty"), path) // v1
+    Rollup.appendDelta(mk(5), Seq("flag"), Seq("qty"), path) // v2
+    Rollup.appendDelta(mk(5), Seq("flag"), Seq("qty"), path) // v3 (v1 GC'd)
+    // a crashed writer's leftovers: an AGED stage, a FRESH stage (a live
+    // writer mid-flight), and a stranded old version the crash kept GC from
+    val aged = new java.io.File(path, "_stage_dead")
+    java.nio.file.Files.createDirectories(aged.toPath)
+    assert(aged.setLastModified(System.currentTimeMillis() - 100000L))
+    val fresh = new java.io.File(path, "_stage_live")
+    java.nio.file.Files.createDirectories(fresh.toPath)
+    java.nio.file.Files.createDirectories(new java.io.File(path, "v000001").toPath)
+    val want = Rollup.query(spark, path, Seq("flag"), Seq("qty"))
+      .orderBy("flag").collect().toSeq
+    val swept = VersionedDir.vacuum(path, olderThanMillis = 60000L)
+    assert(swept == Seq("_stage_dead", "v000001"), s"got $swept")
+    assert(fresh.isDirectory, "a fresh (live) stage must survive the vacuum")
+    assert(VersionedDir.currentDir(path).endsWith("v000003"))
+    assert(new java.io.File(path, "v000002").isDirectory,
+      "the previous version must survive for in-flight readers")
+    assert(Rollup.query(spark, path, Seq("flag"), Seq("qty"))
+      .orderBy("flag").collect().toSeq == want)
+  }
+
   test("legacy un-versioned roots stay readable and upgrade on first mutation") {
     val path = Files.createTempDirectory("vd_legacy").toString + "/r"
     // a plain parquet dir written before the protocol existed
