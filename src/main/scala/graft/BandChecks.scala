@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 /** Machine-checkable error bands for the rows-only queries.
   *
-  * Ten SparkEntry queries have no DuckDB oracle by contract — their outputs
+  * Nine SparkEntry queries have no DuckDB oracle by contract — their outputs
   * are sketch estimates (HLL, KLL, ApproxTopK) or MLlib-internal hashes
   * (murmur3 feature hashing, LSH tables, hogwild Word2Vec) that no second
   * engine reproduces bit-for-bit. The driver records them `no_oracle`. This
