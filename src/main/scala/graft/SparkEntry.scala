@@ -228,6 +228,17 @@ object SparkEntry {
         docs.filter(col("doc_id") % 7 === 3), col("doc_id"), s"$dir/idx")
     }
 
+  /** Compacted inverted index: the deletion-maintained index's tombstones
+    * folded into fresh postings/doclen (anti-joined once, no re-tokenize)
+    * at a NEW root — its own VersionedDir commit. Probing it must equal
+    * probing the tombstoned index, i.e. a rebuild over the survivors.
+    */
+  private def searchCompactSetup(s: SparkSession, d: String): String =
+    Setup.dir(s"search_idx_compact:$d") { dir =>
+      graft.pipeline.SearchIndex.compactIndex(s,
+        s"${searchDelSetup(s, d)}/idx", s"$dir/idx")
+    }
+
   /** Incrementally-maintained perceptual-hash index: base hashes decoded
     * from the old media corpus (doc_id < 400), the batch decoded and
     * APPENDED — old payloads are never re-decoded (decode is the expensive
@@ -4478,6 +4489,16 @@ object SparkEntry {
         s"${searchDelSetup(s, d)}/idx", Seq("spark", "query", "vector"),
         topK = 20)),
 
+    // Compaction (round 12): the tombstoned index folded into fresh
+    // postings/doclen on the operator's schedule — probe-side tombstone
+    // cost returns to zero, and the SAME from-scratch survivors oracle as
+    // search_index_delete proves compact ≡ tombstoned probe ≡
+    // rebuild-after-delete, all by one hash.
+    "search_index_compact" -> ((s, d) =>
+      graft.pipeline.SearchIndex.bm25Probe(s,
+        s"${searchCompactSetup(s, d)}/idx", Seq("spark", "query", "vector"),
+        topK = 20)),
+
     // Hybrid search: BM25 rank list ⊕ cosine rank list (probe = doc 0's
     // embedding), fused by reciprocal rank fusion Σ 1/(60 + rank). Both
     // rank lists come from bit-identical scoring, so the fused doubles
@@ -8705,6 +8726,9 @@ object SparkEntry {
     "search_index_inc" ->
       OracleSqlGen.bm25(Seq("spark", "query", "vector"), topK = 20),
     "search_index_delete" ->
+      OracleSqlGen.bm25(Seq("spark", "query", "vector"), topK = 20,
+        docFilter = "doc_id % 7 <> 3"),
+    "search_index_compact" ->
       OracleSqlGen.bm25(Seq("spark", "query", "vector"), topK = 20,
         docFilter = "doc_id % 7 <> 3"),
     "search_hybrid_rrf" -> OracleSqlGen.hybridRrf(

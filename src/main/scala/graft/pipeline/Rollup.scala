@@ -57,7 +57,11 @@ object Rollup {
 
   /** O(batch) incremental maintenance: aggregate ONLY the new batch at the
     * grain and commit it beside the hardlink-adopted prior partials.
-    * Never reads the existing summary rows.
+    * Never reads the existing summary ROWS — data I/O is O(batch). The
+    * adoption is O(files so far) METADATA per append (the price of the
+    * torn-append safety the old in-place append lacked), so like the
+    * probe-side row growth it is bounded by running [[compactRollup]] on
+    * the operator's schedule — one maintenance knob covers both.
     */
   def appendDelta(batch: DataFrame, dims: Seq[String], measures: Seq[String],
       path: String): Unit =

@@ -62,8 +62,11 @@ object SearchIndex {
     }
 
   /** O(batch) incremental maintenance: the new docs' postings and lengths
-    * append into place — the old corpus is never re-tokenized. (Doc ids
-    * must be new; re-ingesting an existing doc would double its rows.)
+    * commit beside the hardlink-adopted prior tables — the old corpus is
+    * never re-tokenized; data I/O is O(batch), adoption is O(files so
+    * far) metadata (bounded by [[compactIndex]] on the operator's
+    * schedule, the same knob that folds tombstones). Doc ids must be new;
+    * re-ingesting an existing doc would double its rows.
     */
   def appendToIndex(newDocs: DataFrame, id: Column, text: Column,
       path: String, buckets: Int = 16): Unit =
