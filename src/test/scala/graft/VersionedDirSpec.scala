@@ -154,6 +154,55 @@ class VersionedDirSpec extends AnyFunSuite with SparkTestBase {
       .orderBy("flag").collect().toSeq == want)
   }
 
+  test("adoption is metadata-only: carried files share the inode of the previous version's") {
+    val path = Files.createTempDirectory("vd_ino").toString + "/r"
+    val mk = (from: Int) =>
+      (from until from + 500).map(i => (s"f${i % 3}", i.toDouble)).toDF("flag", "qty")
+    Rollup.build(mk(0), Seq("flag"), Seq("qty"), path) // v1
+    def parts(dir: String): Map[String, Long] = {
+      val d = new java.io.File(dir)
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(f => f.getName ->
+          java.nio.file.Files.getAttribute(f.toPath, "unix:ino").asInstanceOf[Long])
+        .toMap
+    }
+    val v1 = parts(VersionedDir.currentDir(path))
+    assert(v1.nonEmpty)
+    Rollup.appendDelta(mk(500), Seq("flag"), Seq("qty"), path) // v2
+    val v2 = parts(VersionedDir.currentDir(path))
+    // every v1 part file appears in v2 under the same name AND inode — the
+    // carry-over moved zero data bytes; only the batch's new files are new
+    v1.foreach { case (name, ino) =>
+      assert(v2.get(name).contains(ino),
+        s"$name was copied (or dropped) instead of hardlinked")
+    }
+    assert(v2.size > v1.size, "the appended batch's files must be present")
+  }
+
+  test("three concurrent rollup appenders lose no partial (thread race over one root)") {
+    val path = Files.createTempDirectory("vd_race3").toString + "/r"
+    val base = (0 until 300).map(i => (s"f${i % 3}", i.toDouble)).toDF("flag", "qty")
+    val batches = (1 to 3).map(b =>
+      (0 until 100).map(i => (s"f${i % 3}", b * 1000.0 + i)).toDF("flag", "qty"))
+    Rollup.build(base, Seq("flag"), Seq("qty"), path)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    val futures = batches.map { b =>
+      pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = Rollup.appendDelta(b, Seq("flag"), Seq("qty"), path)
+      })
+    }
+    futures.foreach(_.get()); pool.shutdown()
+    val got = Rollup.query(spark, path, Seq("flag"), Seq("qty"))
+      .orderBy("flag").collect().toSeq
+    val direct = batches.foldLeft(base)(_ unionByName _).groupBy("flag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("qty").cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+          .cast("double").as("sum_qty"))
+      .orderBy("flag").collect().toSeq
+    assert(got == direct, "a concurrent append's partials were lost")
+  }
+
   test("legacy un-versioned roots stay readable and upgrade on first mutation") {
     val path = Files.createTempDirectory("vd_legacy").toString + "/r"
     // a plain parquet dir written before the protocol existed
