@@ -127,6 +127,27 @@ object Ranking {
       .drop("_pid")
   }
 
+  /** SEVERAL independent global running sums in the SAME `sortCols` order
+    * over ONE range partitioning — for values all known up front (the KS
+    * test's two class-count prefixes). One shuffle + one materialization;
+    * each extra value costs only an O(partitions) totals pass over the
+    * materialized frame, and Catalyst collapses the per-value windows
+    * (identical specs) into one WindowExec. N separate
+    * [[withGlobalCumSum]] calls would pay N samplings + N shuffles + N
+    * checkpoints for the same answer.
+    */
+  def withGlobalCumSums(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      sums: Seq[(Column, String)],
+      partitions: Int = 32): DataFrame = {
+    requireNoScratchColumns(df)
+    val parted = cumSumScaffold(df, sortCols, partitions)
+    sums.foldLeft(parted) { case (acc, (value, out)) =>
+      addSeededCumSum(acc, sortCols, value, out)
+    }.drop("_pid")
+  }
+
   /** TWO chained global running sums over ONE range partitioning: `out1` =
     * running sum of `value1` in `sortCols` order; `derive` then appends
     * columns computed from it (row-local expressions only — it must not

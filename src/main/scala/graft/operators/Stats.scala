@@ -241,9 +241,10 @@ object Stats {
       .select(value.as("v"),
         in1.cast("long").as("is1"), in2.cast("long").as("is2"))
     val g = x.groupBy("v").agg(sum("is1").as("n1"), sum("is2").as("n2"))
-    val c2 = Ranking.withGlobalCumSum(
-      Ranking.withGlobalCumSum(g, Seq(col("v")), col("n1"), "c1"),
-      Seq(col("v")), col("n2"), "c2")
+    // both class prefixes ride ONE range partitioning (round-12: two
+    // back-to-back cumsum calls re-sampled and re-shuffled the same frame)
+    val c2 = Ranking.withGlobalCumSums(g, Seq(col("v")),
+      Seq((col("n1"), "c1"), (col("n2"), "c2")))
     val tot = x.agg(sum("is1").as("t1"), sum("is2").as("t2"))
     c2.crossJoin(broadcast(tot))
       .select(col("t1"), col("t2"),

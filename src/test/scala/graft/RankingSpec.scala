@@ -88,6 +88,21 @@ class RankingSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want)
   }
 
+  test("withGlobalCumSums: N independent sums over one partitioning equal N window sums") {
+    val df = randomDf(2000, 20, seed = 8)
+      .withColumn("w", pmod(col("id") * 31, lit(7L)))
+    val got = Ranking.withGlobalCumSums(df, Seq(col("v"), col("id")),
+        Seq((col("id"), "ci"), (col("w"), "cw")), partitions = 5)
+      .select("id", "ci", "cw").as[(Long, Long, Long)].collect().toSet
+    val win = Window.orderBy("v", "id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df
+      .withColumn("ci", sum(col("id")).over(win))
+      .withColumn("cw", sum(col("w")).over(win))
+      .select("id", "ci", "cw").as[(Long, Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
   test("withGlobalCumMax equals the unpartitioned running-max window") {
     val df = randomDf(3000, 25, seed = 11)
     val got = Ranking.withGlobalCumMax(df, Seq(col("id")), col("v"), "m", partitions = 6)
