@@ -323,6 +323,18 @@ object SparkEntry {
         li.filter(year(col("l_shipdate")) >= 1998), dims, ms, s"$dir/mv")
     }
 
+  /** Compacted rollup: the append-maintained summary (mvSetup — build +
+    * one delta, up to 2 partial rows per grain key) re-merged to one row
+    * per key at a fresh versioned root. Reading it must equal reading the
+    * uncompacted summary, i.e. the direct fact-table aggregate.
+    */
+  private def mvCompactSetup(s: SparkSession, d: String): String =
+    Setup.dir(s"mv_compact:$d") { dir =>
+      graft.pipeline.Rollup.compactRollup(s, s"${mvSetup(s, d)}/mv",
+        Seq("l_returnflag", "l_linestatus"),
+        Seq("l_quantity", "l_extendedprice"), s"$dir/mv")
+    }
+
   /** Decremental rollup maintenance state: the summary is built over the
     * FULL fact table, then a delete batch (ship dates ≥ 1998) is retracted
     * via O(batch) `retractDelta` — negated count/sum partials appended,
@@ -4868,6 +4880,21 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // Rollup COMPACTION (round 12, the q_rollup_mv summary re-merged to
+    // one row per grain key at a fresh versioned root — the maintenance
+    // that bounds both summary-row growth and versioned-append adoption
+    // cost): same direct fact-table oracle, so one hash proves
+    // build + append + compact + merge ≡ recompute.
+    "q_rollup_compact" -> ((s, d) => {
+      val ms = Seq("l_quantity", "l_extendedprice")
+      graft.pipeline.Rollup.query(s, s"${mvCompactSetup(s, d)}/mv",
+          Seq("l_returnflag"), ms)
+        .select(col("l_returnflag"), col("n"),
+          col("sum_l_quantity").as("sum_qty"),
+          col("sum_l_extendedprice").as("sum_price"))
+        .orderBy("l_returnflag")
+    }),
+
     // DECREMENTAL rollup maintenance (the delete/retraction sibling of
     // q_rollup_mv): the summary was built over the FULL fact table, then
     // the 1998+ ship dates were deleted from the base and retracted from
@@ -8870,6 +8897,11 @@ object SparkEntry {
              CAST(count(*) AS BIGINT) AS n
          FROM orders GROUP BY 1 ORDER BY bucket""",
     "q_rollup_mv" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_price
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q_rollup_compact" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
              CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
              CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_price
