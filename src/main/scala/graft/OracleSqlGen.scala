@@ -100,6 +100,28 @@ object OracleSqlGen {
         cov AS (SELECT DISTINCT doc_id, i + j.range AS pos
                 FROM sp JOIN dup USING (sh) CROSS JOIN range($k) j)"""
 
+  /** Mirrors TextAnalysis.longestRepeatStats: per doc, max n in 1..cap such
+    * that one of the doc's token n-grams occurs at >= 2 positions
+    * corpus-wide (within-doc overlapping positions count — the Lee et al.
+    * 2022 self-overlap convention); 0 when every gram is unique. The oracle
+    * expands every (position, length) gram explicitly — O(N·cap) rows, fine
+    * at verification SFs — where the engine suffix-sorts once and reads the
+    * max off adjacent LCPs.
+    */
+  def textLrs(cap: Int): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        p AS (SELECT doc_id, toks, unnest(range(len(toks))) AS i FROM t),
+        gr AS (SELECT doc_id, j.range + 1 AS n,
+                      concat_ws(' ', list_slice(toks, i + 1, i + j.range + 1)) AS gram
+               FROM p CROSS JOIN range($cap) j
+               WHERE i + j.range + 1 <= len(toks)),
+        dup AS (SELECT n, gram FROM gr GROUP BY n, gram HAVING count(*) >= 2),
+        m AS (SELECT doc_id, max(n) AS lrs
+              FROM gr JOIN dup USING (n, gram) GROUP BY doc_id)
+        SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+               CAST(coalesce(m.lrs, 0) AS INT) AS lrs
+        FROM t LEFT JOIN m USING (doc_id) ORDER BY t.doc_id"""
+
   def dedupSpanStats(k: Int): String =
     s"""WITH ${spanCtes(k)},
         n AS (SELECT doc_id, len(toks) AS n_tokens FROM t),

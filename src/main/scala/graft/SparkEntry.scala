@@ -2538,6 +2538,18 @@ object SparkEntry {
       TextAnalysis.fingerprint(documents(s, d), col("doc_id"), col("text"))
         .orderBy("doc_id")),
 
+    // Longest-repeated-substring stats via distributed suffix sorting: per
+    // doc, the length of the longest token run occurring at >= 2 positions
+    // corpus-wide (capped at 16) — the exact max-repeat statistic of
+    // suffix-array dedup (Lee et al. 2022), which dedup_span_stats's fixed-k
+    // yes/no coverage cannot express. One range-partitioned sort of capped
+    // suffix grams, adjacent-LCP via a codegen'd common-prefix expression,
+    // per-doc max.
+    "text_lrs" -> ((s, d) =>
+      TextAnalysis.longestRepeatStats(documents(s, d), col("doc_id"),
+        col("text"), cap = 16)
+        .orderBy("doc_id")),
+
     // Winnowing fingerprints (the MOSS selection rule): per doc, the
     // distinct rightmost-minimum md5 of each 4-hash window over word
     // 3-gram hashes — the locality guarantee (any shared 6-word run ⇒ a
@@ -7743,6 +7755,7 @@ object SparkEntry {
                THEN 1 ELSE 0 END AS INT) AS codeish
          FROM c ORDER BY doc_id""",
     "q_source_quality" -> OracleSqlGen.sourceQuality,
+    "text_lrs" -> OracleSqlGen.textLrs(16),
     "text_fingerprint" ->
       """SELECT doc_id, md5(text) AS full_md5,
              coalesce(list_min(list_transform(

@@ -532,4 +532,110 @@ object TextAnalysis {
           (acc, x) => acc + x.getField("term")) * 1000000.0)
           .cast("long").as("w_fp"))
   }
+
+  /** Longest-repeated-substring statistics via distributed SUFFIX SORTING —
+    * the exact maximum-repeat-length statistic behind suffix-array dedup
+    * (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL 2022), which the fixed-k span passes above cannot express
+    * (they answer "is any k-gram duplicated", not "HOW LONG is the longest
+    * duplicated run"). Per doc: token count and `lrs` = the length (in
+    * tokens, capped at `cap`) of the longest token run that occurs at ≥ 2
+    * positions corpus-wide — within-doc overlapping occurrences included,
+    * exactly the Lee et al. self-overlap convention.
+    *
+    * Plan: each token position carries its cap-truncated suffix (an
+    * `array<string>` slice of the doc's own token array — built row-locally,
+    * no shuffle); ONE range exchange + in-partition sort over the suffix key
+    * (the [[graft.operators.Ranking]] scaffold — never a single-task window)
+    * puts equal prefixes adjacent, so each position's longest match
+    * corpus-wide is against one of its two sort neighbors (the defining
+    * suffix-array/LCP-array property). Neighbor suffixes come from lead/lag
+    * over the PHYSICAL partition id (one WindowExec, no self-join), the
+    * O(partitions) cross-boundary pairs are stitched via the Skyline
+    * edge-row collect + broadcast, LCPs are a codegen'd
+    * zip_with/array_position common-prefix expression, and a per-doc max
+    * finishes.
+    *
+    * Scale shape: O(N·cap) bytes through ONE range exchange (N = corpus
+    * token count) — the positionedSpans envelope, at cap instead of k, with
+    * no N-row join anywhere (an sa-key self-join would re-shuffle both
+    * cap-wide sides; lead/lag rides the exchange already paid for). For
+    * caps beyond ~64 the right plan flips to Manber–Myers prefix doubling
+    * (O(log cap) rounds of FIXED-width (pos, rank, rank') shuffles instead
+    * of one cap-wide one); at cap ≤ 32 the single sort moves fewer total
+    * bytes than the doubling rounds would.
+    */
+  def longestRepeatStats(
+      docs: DataFrame, id: Column, text: Column, cap: Int = 16,
+      partitions: Int = 32): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val toks = docs.select(id.as("doc_id"), tokens(text).as("toks"))
+      .withColumn("n_tokens", size(col("toks")))
+    val pos = toks.select(col("doc_id"),
+        explode(sequence(lit(0), col("n_tokens") - 1)).as("i"),
+        slice(col("toks"), col("i") + 1, lit(cap)).as("g"))
+    val sortCols = Seq(col("g"), col("doc_id"), col("i"))
+    val parted = pos.repartitionByRange(partitions, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(false)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_pid").orderBy(sortCols: _*)
+    val withNbr = parted
+      .withColumn("_gn", lead(col("g"), 1).over(w))
+      .withColumn("_gp", lag(col("g"), 1).over(w))
+    // Cross-boundary stitch: a partition-last row's true sort successor is
+    // the FIRST row of the next NON-EMPTY partition (range partitioning may
+    // leave empty partitions — pid±1 arithmetic would silently skip a
+    // boundary pair, so consecutive non-empty pids pair up at the driver:
+    // O(partitions) rows, the Ranking offset-pass scale).
+    val edges = withNbr.filter(col("_gn").isNull || col("_gp").isNull)
+      .select(col("_pid"), col("_gp").isNull.as("_isFirst"),
+        col("_gn").isNull.as("_isLast"), col("g"))
+      .collect()
+    val firstG = edges.filter(_.getBoolean(1))
+      .map(r => r.getInt(0) -> r.getSeq[String](3)).toMap
+    val lastG = edges.filter(_.getBoolean(2))
+      .map(r => r.getInt(0) -> r.getSeq[String](3)).toMap
+    val pids = edges.map(_.getInt(0)).distinct.sorted
+    // One row per pid (a middle partition carries BOTH a successor stitch
+    // and a predecessor stitch — two rows would fan out the join).
+    val bNext = pids.zip(pids.drop(1))
+      .map { case (p, q) => p -> firstG(q) }.toMap
+    val bPrev = pids.zip(pids.drop(1))
+      .map { case (p, q) => q -> lastG(p) }.toMap
+    val stitches = pids
+      .filter(p => bNext.contains(p) || bPrev.contains(p))
+      .map(p => org.apache.spark.sql.Row(
+        p, bNext.get(p).orNull, bPrev.get(p).orNull))
+    val spark = docs.sparkSession
+    val gType = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType)
+    val stitchDf = spark.createDataFrame(
+      java.util.Arrays.asList(stitches: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_pid",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("_bn", gType),
+        org.apache.spark.sql.types.StructField("_bp", gType))))
+    def lcp(a: Column, b: Column): Column = {
+      val firstDiff = array_position(
+        zip_with(a, b, (x, y) => coalesce(x === y, lit(false))), lit(false))
+      when(b.isNull, 0)
+        .when(firstDiff === 0, least(size(a), size(b)))
+        .otherwise(firstDiff - 1).cast("int")
+    }
+    val perDoc = withNbr
+      .join(broadcast(stitchDf), Seq("_pid"), "left")
+      .withColumn("_next", coalesce(col("_gn"), col("_bn")))
+      .withColumn("_prev", coalesce(col("_gp"), col("_bp")))
+      .select(col("doc_id"),
+        greatest(lcp(col("g"), col("_next")),
+          lcp(col("g"), col("_prev"))).as("lcp"))
+      .groupBy("doc_id").agg(max(col("lcp")).as("lrs"))
+    toks.select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0, Seq("lrs"))
+      .select(col("doc_id"), col("n_tokens"), col("lrs").cast("int").as("lrs"))
+  }
 }

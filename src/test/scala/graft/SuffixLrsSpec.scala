@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.TextAnalysis
+
+/** [[TextAnalysis.longestRepeatStats]] against a brute-force twin: per doc,
+  * the longest token run (capped) occurring at >= 2 positions corpus-wide,
+  * counting within-doc overlapping occurrences (the Lee et al. 2022
+  * suffix-array-dedup convention).
+  */
+class SuffixLrsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  /** All (doc, per-doc lrs) by exhaustive n-gram counting. */
+  private def bruteLrs(docs: Seq[(Long, String)], cap: Int): Map[Long, Int] = {
+    val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+    val counts = scala.collection.mutable.Map.empty[(Int, Seq[String]), Int]
+    for ((_, ts) <- toks; i <- ts.indices;
+         n <- 1 to math.min(cap, ts.length - i)) {
+      val g = (n, ts.slice(i, i + n))
+      counts(g) = counts.getOrElse(g, 0) + 1
+    }
+    // .iterator first: collect directly on the Map would rebuild a Map from
+    // the yielded (n, gram) pairs and collapse every gram sharing an n.
+    val dup = counts.iterator.collect { case (g, c) if c >= 2 => g }.toSet
+    toks.map { case (id, ts) =>
+      val best = (for {
+        i <- ts.indices
+        n <- 1 to math.min(cap, ts.length - i)
+        if dup((n, ts.slice(i, i + n)))
+      } yield n)
+      id -> (if (best.isEmpty) 0 else best.max)
+    }
+  }
+
+  private def engineLrs(docs: Seq[(Long, String)], cap: Int): Map[Long, (Long, Int)] =
+    TextAnalysis.longestRepeatStats(
+      docs.toDF("doc_id", "text"), col("doc_id"), col("text"), cap)
+      .as[(Long, Long, Int)].collect()
+      .map { case (id, n, l) => id -> (n, l) }.toMap
+
+  test("hand cases: cross-doc repeat, intra-doc overlap, unique doc, cap") {
+    val docs = Seq(
+      (1L, "x q a b c d e y"),   // shares "a b c d e" with doc 2 → lrs 5
+      (2L, "a b c d e z z"),     // also has "z z"? no — "z z" only here... count: "z" at 2 pos → lrs ≥ 5 anyway
+      (3L, "m m m m"),           // overlapping "m m m" at pos 0,1 → lrs 3
+      (4L, "p r s t u v w"),     // all unique tokens, nothing repeats → 0
+      (5L, "k1 k2 k3 k4 k5 k6 k7 k8 k9 k10"), // duplicated verbatim in doc 6
+      (6L, "k1 k2 k3 k4 k5 k6 k7 k8 k9 k10")) // 10-run, capped at 8
+    val out = engineLrs(docs, cap = 8)
+    assert(out(1L) == (8L, 5))
+    assert(out(2L) == (7L, 5))
+    assert(out(3L) == (4L, 3))
+    assert(out(4L) == (7L, 0))
+    assert(out(5L) == (10L, 8)) // true lrs 10, reported at the cap
+    assert(out(6L) == (10L, 8))
+    assert(engineLrs(docs, cap = 8).view.mapValues(_._2).toMap ==
+      bruteLrs(docs, cap = 8))
+  }
+
+  test("randomized corpus equals the brute-force twin at two caps") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val docs = (1L to 40L).map { id =>
+      val len = 1 + rnd.nextInt(30)
+      id -> Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    for (cap <- Seq(4, 16)) {
+      val eng = engineLrs(docs, cap)
+      val brute = bruteLrs(docs, cap)
+      assert(eng.view.mapValues(_._2).toMap == brute, s"cap=$cap")
+      // n_tokens sanity
+      docs.foreach { case (id, t) =>
+        assert(eng(id)._1 == t.split(" ", -1).length.toLong)
+      }
+    }
+  }
+
+  test("single-token corpus and lone duplicated token") {
+    // one doc, one token: the only position has no pair partner → lrs 0
+    assert(engineLrs(Seq((1L, "solo")), cap = 4) == Map(1L -> (1L, 0)))
+    // two docs sharing a single token → lrs 1 for both
+    val out = engineLrs(Seq((1L, "dup"), (2L, "dup x")), cap = 4)
+    assert(out == Map(1L -> (1L, 1), 2L -> (2L, 1)))
+  }
+}
