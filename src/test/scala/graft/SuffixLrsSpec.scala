@@ -78,6 +78,47 @@ class SuffixLrsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  private def doublingLrs(docs: Seq[(Long, String)], cap: Int): Map[Long, (Long, Int)] =
+    graft.pipeline.SuffixArray.longestRepeatStatsDoubling(
+      docs.toDF("doc_id", "text"), col("doc_id"), col("text"), cap)
+      .as[(Long, Long, Int)].collect()
+      .map { case (id, n, l) => id -> (n, l) }.toMap
+
+  test("prefix doubling == sort-once form on the randomized corpus (caps 4, 16)") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d")
+    val docs = (1L to 30L).map { id =>
+      val len = 1 + rnd.nextInt(25)
+      id -> Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    for (cap <- Seq(4, 16)) {
+      assert(doublingLrs(docs, cap) == engineLrs(docs, cap), s"cap=$cap")
+    }
+  }
+
+  test("prefix doubling: padded-window ties clamp to remaining length") {
+    // Suffixes "p q|" (doc 1, i=0) and "p q|" (doc 2, i=1) are equal and
+    // equally padded at every doubling level — the shared -1 sentinel makes
+    // their level-2 (length-4) ranks EQUAL, so the raw descend overshoots to
+    // off=4; the remaining-length clamp must bring lrs back to 2. Doc 2 also
+    // pins the asymmetric case ("p q" inside "z p q").
+    val docs = Seq((1L, "p q"), (2L, "z p q"))
+    val out = doublingLrs(docs, cap = 4)
+    assert(out == Map(1L -> (2L, 2), 2L -> (3L, 2)))
+    assert(out.view.mapValues(_._2).toMap == bruteLrs(docs, cap = 4))
+  }
+
+  test("prefix doubling == sort-once form on real sf0.001 documents") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val once = TextAnalysis.longestRepeatStats(
+      docs, col("doc_id"), col("text"), cap = 16)
+      .as[(Long, Long, Int)].collect().toSet
+    val dbl = graft.pipeline.SuffixArray.longestRepeatStatsDoubling(
+      docs, col("doc_id"), col("text"), cap = 16)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(dbl == once)
+  }
+
   test("single-token corpus and lone duplicated token") {
     // one doc, one token: the only position has no pair partner → lrs 0
     assert(engineLrs(Seq((1L, "solo")), cap = 4) == Map(1L -> (1L, 0)))
