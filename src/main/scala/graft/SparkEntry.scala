@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.operators.GraphOps
-import graft.pipeline.{Dedup, Multimodal, Pq, Similarity, TextAnalysis, MediaRow}
+import graft.pipeline.{Dedup, Multimodal, Pq, Similarity, SuffixIndex, TextAnalysis, MediaRow}
 import graft.streaming.EventOps
 import graft.Tables._
 
@@ -212,6 +212,22 @@ object SparkEntry {
       graft.pipeline.SearchIndex.appendToIndex(
         docs.filter(col("doc_id") >= 400), col("doc_id"), col("text"),
         s"$dir/idx")
+    }
+
+  /** Incrementally-maintained suffix-gram index: base build over 90% of
+    * the corpus, then an O(touched buckets) append of the rest — never a
+    * corpus re-sort. The read must equal from-scratch longestRepeatStats
+    * over the union (text_lrs's oracle on the full table).
+    */
+  private def lrsIndexSetup(s: SparkSession, d: String): String =
+    Setup.dir(s"lrs_index:$d") { dir =>
+      val docs = documents(s, d)
+      graft.pipeline.SuffixIndex.build(
+        docs.filter(col("doc_id") % 10 =!= 0), col("doc_id"), col("text"),
+        s"$dir/sfx", cap = 16)
+      graft.pipeline.SuffixIndex.append(
+        docs.filter(col("doc_id") % 10 === 0), col("doc_id"), col("text"),
+        s"$dir/sfx")
     }
 
   /** Deletion-maintained inverted index: build over the FULL corpus, then
@@ -710,6 +726,7 @@ object SparkEntry {
     dppSetup(s, d): Unit
     searchIndexSetup(s, d): Unit
     searchIncSetup(s, d): Unit
+    lrsIndexSetup(s, d): Unit
     searchDelSetup(s, d): Unit
     phashIncSetup(s, d): Unit
     phashDelSetup(s, d): Unit
@@ -2548,6 +2565,19 @@ object SparkEntry {
     "text_lrs" -> ((s, d) =>
       TextAnalysis.longestRepeatStats(documents(s, d), col("doc_id"),
         col("text"), cap = 16)
+        .orderBy("doc_id")),
+
+    // Incrementally-maintained longest-repeat stats: the persisted
+    // suffix-gram index (range buckets + edges table + per-doc deltas,
+    // VersionedDir CAS commits) built over 90% of the corpus, the rest
+    // APPENDED — batch grams route to their buckets, only those buckets
+    // are merged and recomputed, untouched buckets hardlink-adopt, and
+    // per-doc results max-merge (an untouched doc's lrs can rise via a
+    // bucket-boundary pair — the edges table carries exactly that case).
+    // The oracle is the SAME from-scratch SQL as text_lrs: one hash
+    // proves append-maintained == recompute.
+    "text_lrs_inc" -> ((s, d) =>
+      SuffixIndex.lrsStats(s, s"${lrsIndexSetup(s, d)}/sfx")
         .orderBy("doc_id")),
 
     // Winnowing fingerprints (the MOSS selection rule): per doc, the
@@ -7756,6 +7786,7 @@ object SparkEntry {
          FROM c ORDER BY doc_id""",
     "q_source_quality" -> OracleSqlGen.sourceQuality,
     "text_lrs" -> OracleSqlGen.textLrs(16),
+    "text_lrs_inc" -> OracleSqlGen.textLrs(16),
     "text_fingerprint" ->
       """SELECT doc_id, md5(text) AS full_md5,
              coalesce(list_min(list_transform(

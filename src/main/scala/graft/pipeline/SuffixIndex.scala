@@ -1,0 +1,303 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.store.VersionedDir
+
+/** Persisted SUFFIX-GRAM index — incremental exact-substring statistics
+  * ([[TextAnalysis.longestRepeatStats]] semantics) without re-sorting the
+  * corpus per batch. The sorted suffix space is cut into range BUCKETS
+  * (bucket b owns grams in [first(b), first(next b)), recorded in an
+  * O(buckets) edges table); a batch routes each of its grams to its bucket,
+  * so an append reads ONLY the touched buckets (partition-pruned), merges
+  * the batch in, and recomputes adjacent LCPs there — untouched buckets
+  * carry into the next version by hardlink adoption, and per-doc results
+  * accumulate as max-merged deltas. Every mutation commits through the
+  * engine-wide [[graft.store.VersionedDir]] optimistic CAS: racing appends
+  * rerun instead of losing updates, and a crash leaves the committed
+  * version byte-identical.
+  *
+  * Correctness of the pruned recompute: under append a position's sort
+  * neighbors only get CLOSER (rows are inserted, never removed), so
+  * adjacent LCPs never decrease and max-merging bucket recomputes into the
+  * stored per-doc values is exact. Positions in untouched buckets keep
+  * their neighbors except at BUCKET BOUNDARIES, where a merged bucket's new
+  * edge row may now face an untouched neighbor's edge row — those O(buckets)
+  * pairs are stitched at the driver from the edges table (including the
+  * old-doc side: an untouched doc's lrs CAN rise when a batch gram lands
+  * next to its bucket edge, and the delta row records it).
+  *
+  * Layout per committed version:
+  *   grams/bucket=B/   (doc_id, i, g)      — the bucket's suffix grams
+  *   edges/            (bucket, first/last gram + position)
+  *   perdoc/           (doc_id, n_tokens, lrs) delta rows, max-merged at read
+  *   meta/             (cap, buckets) — appends validate against it
+  */
+object SuffixIndex {
+
+  /** Build the index over an initial corpus. `cap` and `buckets` are fixed
+    * for the index's lifetime (recorded in meta/).
+    */
+  def build(docs: DataFrame, id: Column, text: Column, path: String,
+      cap: Int = 16, buckets: Int = 32): Unit = {
+    val spark = docs.sparkSession
+    VersionedDir.mutate(path) { (_, _) =>
+      val stage = VersionedDir.stageDir(path)
+      val lens = docLens(docs, id, text).localCheckpoint(false)
+      val parted = cappedSuffixes(docs, id, text, cap)
+        .repartitionByRange(buckets, col("g"), col("doc_id"), col("i"))
+        .sortWithinPartitions(col("g"), col("doc_id"), col("i"))
+        .withColumn("bucket", spark_partition_id())
+        .localCheckpoint(false)
+      parted.write.partitionBy("bucket").parquet(s"$stage/grams")
+      val edges = edgeRows(parted)
+      writeEdges(edges, spark, s"$stage/edges")
+      val contrib = bucketLcpContributions(parted)
+        .unionAll(boundaryContributions(spark, edges))
+        .groupBy("doc_id").agg(max(col("lcp")).as("lrs"))
+      lens.join(contrib, Seq("doc_id"), "left")
+        .na.fill(0, Seq("lrs"))
+        .select(col("doc_id"), col("n_tokens"), col("lrs").cast("int").as("lrs"))
+        .write.parquet(s"$stage/perdoc")
+      Seq((cap, buckets)).toDF(spark).write.parquet(s"$stage/meta")
+      Some(stage)
+    }
+  }
+
+  /** O(touched buckets) incremental append of new docs (ids must be new —
+    * the keep-one-copy-of-every-row contract every persisted index here
+    * shares). Batch grams route to their range buckets via the edges
+    * table; only those buckets are read, merged, recomputed, and
+    * rewritten; everything else hardlinks into the staged version.
+    */
+  def append(newDocs: DataFrame, id: Column, text: Column,
+      path: String): Unit = {
+    val spark = newDocs.sparkSession
+    VersionedDir.mutate(path) { (_, cur) =>
+      val meta = spark.read.parquet(s"$cur/meta").head()
+      val cap = meta.getInt(0)
+      val oldEdges = readEdgeRows(spark, s"$cur/edges")
+      val batchLens = docLens(newDocs, id, text).localCheckpoint(false)
+      val routed = routeToBuckets(
+        cappedSuffixes(newDocs, id, text, cap), oldEdges)
+        .localCheckpoint(false)
+      val touched = routed.select(col("bucket")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      val stage = VersionedDir.stageDir(path)
+
+      // Merge batch grams into the touched buckets; ONE window sort per
+      // bucket (bucket = partition), exactly the build plan restricted to
+      // the touched key ranges. The old-side read is partition-pruned.
+      val oldTouched =
+        if (touched.isEmpty) routed.limit(0).select("doc_id", "i", "g", "bucket")
+        else spark.read.parquet(s"$cur/grams")
+          .filter(col("bucket").isin(touched.toSeq: _*))
+          .select(col("doc_id"), col("i"), col("g"),
+            col("bucket").cast("int").as("bucket"))
+      val merged = oldTouched
+        .unionByName(routed.select("doc_id", "i", "g", "bucket"))
+        .repartition(math.max(touched.size, 1), col("bucket"))
+        .sortWithinPartitions(col("bucket"), col("g"), col("doc_id"), col("i"))
+        .localCheckpoint(false)
+      merged.write.partitionBy("bucket").parquet(s"$stage/grams")
+      // untouched buckets carry over by hardlink (metadata-only)
+      val gramsDir = new java.io.File(s"$cur/grams")
+      Option(gramsDir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+        .filterNot(f => touched(f.getName.stripPrefix("bucket=").toInt))
+        .foreach { f =>
+          VersionedDir.adoptTree(f,
+            new java.io.File(s"$stage/grams/${f.getName}"))
+        }
+
+      // Edges: recompute for merged buckets, keep the rest.
+      val mergedEdges = edgeRows(merged)
+      val keptEdges = oldEdges.filterNot(e => touched(e.bucket))
+      val newEdges = (keptEdges ++ mergedEdges).sortBy(_.bucket)
+      writeEdges(newEdges, spark, s"$stage/edges")
+
+      // Contributions: all adjacent pairs within merged buckets, plus the
+      // O(buckets) boundary pairs over the UPDATED edge set — which is
+      // where an untouched doc's lrs can rise (its bucket-edge row now
+      // faces a merged neighbor's new edge row).
+      val contrib = bucketLcpContributions(merged)
+        .unionAll(boundaryContributions(spark, newEdges))
+        .groupBy("doc_id").agg(max(col("lcp")).as("lcp"))
+      // Delta rows: every batch doc (n_tokens known, lrs >= 0) and every
+      // OLD doc that gained a contribution (n_tokens null — the base row
+      // carries it; the read-side max-merge skips nulls).
+      val batchDelta = batchLens
+        .join(contrib, Seq("doc_id"), "left")
+        .na.fill(0, Seq("lcp"))
+        .select(col("doc_id"), col("n_tokens"), col("lcp").cast("int").as("lrs"))
+      val oldDelta = contrib
+        .join(batchLens.select("doc_id"), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit(null).cast("long").as("n_tokens"),
+          col("lcp").cast("int").as("lrs"))
+      batchDelta.unionByName(oldDelta).write.parquet(s"$stage/perdoc")
+      VersionedDir.adoptTree(new java.io.File(s"$cur/perdoc"),
+        new java.io.File(s"$stage/perdoc"))
+      VersionedDir.adoptTree(new java.io.File(s"$cur/meta"),
+        new java.io.File(s"$stage/meta"))
+      Some(stage)
+    }
+  }
+
+  /** The read path of the declared query: per-doc longest-repeat stats,
+    * max-merged over the committed version's delta rows — same schema and
+    * semantics as [[TextAnalysis.longestRepeatStats]] over the full
+    * ingested corpus.
+    */
+  def lrsStats(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"${VersionedDir.currentDir(path)}/perdoc")
+      .groupBy("doc_id")
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        max(col("lrs")).as("lrs"))
+
+  // ── internals ──────────────────────────────────────────────────────────
+
+  private[pipeline] def cappedSuffixes(
+      docs: DataFrame, id: Column, text: Column, cap: Int): DataFrame =
+    docs.select(id.as("doc_id"), TextAnalysis.tokens(text).as("toks"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("toks")) - 1)).as("i"),
+        slice(col("toks"), col("i") + 1, lit(cap)).as("g"))
+
+  private def docLens(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("doc_id"),
+      size(TextAnalysis.tokens(text)).cast("long").as("n_tokens"))
+
+  /** One bucket's boundary metadata: its first and last gram rows. */
+  private[pipeline] case class Edge(bucket: Int,
+      firstG: Seq[String], firstDoc: Long, firstI: Int,
+      lastG: Seq[String], lastDoc: Long, lastI: Int)
+
+  /** Collect each non-empty partition's first and last rows — O(buckets)
+    * driver rows, the Ranking offset-pass scale. `parted` must carry
+    * (doc_id, i, g) sorted within partitions with a `_pid`/`bucket` id.
+    */
+  private def edgeRows(parted: DataFrame): Seq[Edge] = {
+    val pidCol = if (parted.columns.contains("_pid")) "_pid" else "bucket"
+    val w = Window.partitionBy(pidCol).orderBy(col("g"), col("doc_id"), col("i"))
+    val marked = parted
+      .withColumn("_first", lag(col("i"), 1).over(w).isNull)
+      .withColumn("_last", lead(col("i"), 1).over(w).isNull)
+      .filter(col("_first") || col("_last"))
+      .select(col(pidCol).cast("int").as("b"), col("_first"), col("_last"),
+        col("g"), col("doc_id").cast("long"), col("i").cast("int"))
+      .collect()
+    marked.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (b, rows) =>
+      val first = rows.find(_.getBoolean(1)).get
+      val last = rows.find(_.getBoolean(2)).get
+      Edge(b, first.getSeq[String](3), first.getLong(4), first.getInt(5),
+        last.getSeq[String](3), last.getLong(4), last.getInt(5))
+    }
+  }
+
+  private val edgeSchema = StructType(Seq(
+    StructField("bucket", IntegerType),
+    StructField("first_g", ArrayType(StringType)),
+    StructField("first_doc", LongType), StructField("first_i", IntegerType),
+    StructField("last_g", ArrayType(StringType)),
+    StructField("last_doc", LongType), StructField("last_i", IntegerType)))
+
+  private def writeEdges(edges: Seq[Edge], spark: SparkSession,
+      out: String): Unit =
+    spark.createDataFrame(
+      java.util.Arrays.asList(edges.map(e => Row(e.bucket,
+        e.firstG, e.firstDoc, e.firstI, e.lastG, e.lastDoc, e.lastI)): _*),
+      edgeSchema).coalesce(1).write.parquet(out)
+
+  private def readEdgeRows(spark: SparkSession, dir: String): Seq[Edge] =
+    spark.read.parquet(dir).collect().toSeq
+      .map(r => Edge(r.getInt(0), r.getSeq[String](1), r.getLong(2),
+        r.getInt(3), r.getSeq[String](4), r.getLong(5), r.getInt(6)))
+      .sortBy(_.bucket)
+
+  /** Route batch grams to their range buckets: bucket b owns
+    * [first(b), first(next b)), the lowest bucket unbounded below — the
+    * invariant range partitioning established at build and appends
+    * preserve. O(buckets) bounds broadcast into a literal-array binary
+    * search is overkill at this fan-in; a broadcast range join over the
+    * O(buckets) bounds frame is the q_range_join shape and keeps array
+    * comparison in the engine.
+    */
+  private def routeToBuckets(batch: DataFrame, edges: Seq[Edge]): DataFrame = {
+    require(edges.nonEmpty, "append into an empty index — build first")
+    val spark = batch.sparkSession
+    val bounds = edges.sortBy(_.bucket)
+    val rows = bounds.zipWithIndex.map { case (e, ix) =>
+      val lo = if (ix == 0) null else e.firstG
+      val hi = if (ix == bounds.size - 1) null
+        else bounds(ix + 1).firstG
+      Row(e.bucket, lo, hi)
+    }
+    val boundsDf = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      StructType(Seq(StructField("bucket", IntegerType),
+        StructField("lo", ArrayType(StringType)),
+        StructField("hi", ArrayType(StringType)))))
+    batch.join(broadcast(boundsDf),
+      (col("lo").isNull || col("g") >= col("lo")) &&
+        (col("hi").isNull || col("g") < col("hi")))
+      .select(col("doc_id"), col("i"), col("g"), col("bucket"))
+  }
+
+  /** Adjacent-LCP contributions WITHIN partitions/buckets: lead/lag over
+    * the partition id (the [[TextAnalysis.longestRepeatStats]] core without
+    * its cross-partition stitch — boundaries are the edges table's job
+    * here). Emits (doc_id, lcp) per position.
+    */
+  private def bucketLcpContributions(parted: DataFrame): DataFrame = {
+    val pidCol = if (parted.columns.contains("_pid")) "_pid" else "bucket"
+    val w = Window.partitionBy(pidCol).orderBy(col("g"), col("doc_id"), col("i"))
+    parted
+      .withColumn("_gn", lead(col("g"), 1).over(w))
+      .withColumn("_gp", lag(col("g"), 1).over(w))
+      .select(col("doc_id"),
+        greatest(lcpCol(col("g"), col("_gn")), lcpCol(col("g"), col("_gp")))
+          .as("lcp"))
+  }
+
+  private def lcpCol(a: Column, b: Column): Column = {
+    val firstDiff = array_position(
+      zip_with(a, b, (x, y) => coalesce(x === y, lit(false))), lit(false))
+    when(b.isNull, 0)
+      .when(firstDiff === 0, least(size(a), size(b)))
+      .otherwise(firstDiff - 1).cast("int")
+  }
+
+  /** Boundary pairs between consecutive buckets, computed at the driver
+    * from the O(buckets) edges — each pair contributes its LCP to BOTH edge
+    * positions' docs.
+    */
+  private def boundaryContributions(spark: SparkSession,
+      edges: Seq[Edge]): DataFrame = {
+    val sorted = edges.sortBy(_.bucket)
+    val rows = sorted.zip(sorted.drop(1)).flatMap { case (p, q) =>
+      val l = commonPrefixLen(p.lastG, q.firstG)
+      Seq(Row(p.lastDoc, l), Row(q.firstDoc, l))
+    }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("lcp", IntegerType))))
+  }
+
+  private def commonPrefixLen(a: Seq[String], b: Seq[String]): Int = {
+    var n = 0
+    while (n < a.length && n < b.length && a(n) == b(n)) n += 1
+    n
+  }
+
+  /** Tiny one-row meta frame without needing an Encoder import. */
+  private implicit class MetaDf(rows: Seq[(Int, Int)]) {
+    def toDF(spark: SparkSession): DataFrame =
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows.map(r => Row(r._1, r._2)): _*),
+        StructType(Seq(StructField("cap", IntegerType),
+          StructField("buckets", IntegerType))))
+  }
+}

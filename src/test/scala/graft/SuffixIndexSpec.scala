@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{SuffixIndex, TextAnalysis}
+import graft.store.VersionedDir
+
+/** The persisted suffix-gram index: build == from-scratch, O(touched
+  * buckets) appends == from-scratch over the union (including the subtle
+  * old-doc-lrs-rises-at-a-bucket-boundary path), untouched buckets
+  * hardlink-adopted, CAS append races rerun.
+  */
+class SuffixIndexSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("sfxidx").toString
+
+  private def fromScratch(docs: Seq[(Long, String)], cap: Int): Set[(Long, Long, Int)] =
+    TextAnalysis.longestRepeatStats(
+      docs.toDF("doc_id", "text"), col("doc_id"), col("text"), cap)
+      .as[(Long, Long, Int)].collect().toSet
+
+  private def indexRead(path: String): Set[(Long, Long, Int)] =
+    SuffixIndex.lrsStats(spark, path)
+      .as[(Long, Long, Int)].collect().toSet
+
+  private def randomDocs(seed: Int, n: Int, vocab: Vector[String]): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    (1L to n.toLong).map { id =>
+      val len = 1 + rnd.nextInt(25)
+      id -> Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+  }
+
+  test("build + read == from-scratch longestRepeatStats") {
+    val docs = randomDocs(1, 40, Vector("a", "b", "c", "d"))
+    val path = s"${tmp()}/sfx"
+    SuffixIndex.build(docs.toDF("doc_id", "text"),
+      col("doc_id"), col("text"), path, cap = 8, buckets = 7)
+    assert(indexRead(path) == fromScratch(docs, cap = 8))
+  }
+
+  test("two appends == from-scratch over the union; old-doc lrs rises") {
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val all = randomDocs(2, 60, vocab) ++ Seq(
+      // doc 61 has a distinctive 6-run no other base doc shares;
+      // batch doc 62 duplicates it — 61's stored lrs must RISE on append.
+      (61L, "q r s t u v"),
+      (62L, "x q r s t u v y"))
+    val base = all.filter(t => t._1 <= 40 || t._1 == 61L)
+    val batch1 = all.filter(t => t._1 > 40 && t._1 <= 50)
+    val batch2 = all.filter(t => t._1 > 50 && t._1 != 61L)
+    val path = s"${tmp()}/sfx"
+    SuffixIndex.build(base.toDF("doc_id", "text"),
+      col("doc_id"), col("text"), path, cap = 8, buckets = 5)
+    val lrsBefore = indexRead(path).find(_._1 == 61L).get._3
+    SuffixIndex.append(batch1.toDF("doc_id", "text"),
+      col("doc_id"), col("text"), path)
+    assert(indexRead(path) == fromScratch(base ++ batch1, cap = 8))
+    SuffixIndex.append(batch2.toDF("doc_id", "text"),
+      col("doc_id"), col("text"), path)
+    assert(indexRead(path) == fromScratch(all, cap = 8))
+    val lrsAfter = indexRead(path).find(_._1 == 61L).get._3
+    assert(lrsBefore < 6 && lrsAfter == 6,
+      s"old doc's lrs must rise via the batch: $lrsBefore -> $lrsAfter")
+  }
+
+  test("append touches only the batch's buckets; untouched buckets are hardlinked") {
+    // Base spreads over many buckets; the batch is ONE doc whose grams
+    // land in few buckets — every other bucket's files must carry into
+    // the new version as hardlinks (same inode), not copies.
+    val docs = randomDocs(3, 50, Vector("a", "b", "c", "d", "e", "f"))
+    val path = s"${tmp()}/sfx"
+    SuffixIndex.build(docs.toDF("doc_id", "text"),
+      col("doc_id"), col("text"), path, cap = 8, buckets = 8)
+    val v1 = VersionedDir.currentDir(path)
+    SuffixIndex.append(Seq((99L, "zz zz")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), path)
+    val v2 = VersionedDir.currentDir(path)
+    assert(v1 != v2)
+    def ino(f: java.io.File): Any =
+      java.nio.file.Files.getAttribute(f.toPath, "unix:ino")
+    val oldBuckets = new java.io.File(s"$v1/grams").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket=")).sortBy(_.getName)
+    val adopted = oldBuckets.map { ob =>
+      val nb = new java.io.File(s"$v2/grams/${ob.getName}")
+      val oldParts = ob.listFiles().filter(_.getName.startsWith("part-"))
+      oldParts.nonEmpty && oldParts.forall { p =>
+        val np = new java.io.File(nb, p.getName)
+        np.exists() && ino(np) == ino(p)
+      }
+    }
+    // "zz" sorts above every vocab gram -> exactly one touched bucket
+    assert(adopted.count(_ == false) <= 1,
+      s"expected at most one rewritten bucket, got ${adopted.count(_ == false)}")
+    assert(adopted.count(_ == true) >= oldBuckets.length - 1)
+    // and the result is still exact
+    assert(indexRead(path) ==
+      fromScratch(docs :+ (99L, "zz zz"), cap = 8))
+  }
+
+  test("racing appends: CAS loser reruns, both batches land") {
+    val docs = randomDocs(4, 30, Vector("a", "b", "c"))
+    val b1 = Seq((101L, "a c a c a c"))
+    val b2 = Seq((102L, "c b c b c b"))
+    val path = s"${tmp()}/sfx"
+    SuffixIndex.build(docs.toDF("doc_id", "text"),
+      col("doc_id"), col("text"), path, cap = 8, buckets = 4)
+    // Deterministic CAS loss: while append(b1) stages, inject append(b2)
+    // committing first — b1's body must rerun against b2's version.
+    var injected = false
+    VersionedDir.preCommitHook = { p =>
+      if (!injected && p == path) {
+        injected = true
+        SuffixIndex.append(b2.toDF("doc_id", "text"),
+          col("doc_id"), col("text"), path)
+      }
+    }
+    try SuffixIndex.append(b1.toDF("doc_id", "text"),
+      col("doc_id"), col("text"), path)
+    finally VersionedDir.preCommitHook = _ => ()
+    assert(injected)
+    assert(VersionedDir.head(path) == 3) // build, b2, rerun b1
+    assert(indexRead(path) == fromScratch(docs ++ b2 ++ b1, cap = 8))
+  }
+
+  test("single-bucket and single-doc degenerate shapes") {
+    val path = s"${tmp()}/sfx"
+    SuffixIndex.build(Seq((1L, "solo doc here")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), path, cap = 4, buckets = 1)
+    assert(indexRead(path) == Set((1L, 3L, 0)))
+    SuffixIndex.append(Seq((2L, "solo doc here too")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), path)
+    assert(indexRead(path) ==
+      fromScratch(Seq((1L, "solo doc here"), (2L, "solo doc here too")), cap = 4))
+  }
+}
