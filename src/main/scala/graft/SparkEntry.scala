@@ -488,6 +488,40 @@ object SparkEntry {
       q.processAllAvailable(); q.stop()
     }
 
+  /** Streaming suffix-index ingest: seed the index with 90% of the corpus,
+    * deliver the rest as TWO file-source micro-batches, each appended into
+    * the index via the CAS-committed staged version (`SuffixIndex.append`).
+    * The final committed read must equal from-scratch longestRepeatStats
+    * over the union — pinning the stream → route → merge → versioned-append
+    * pipeline end to end by the same oracle hash as text_lrs.
+    */
+  private def lrsStreamSetup(s: SparkSession, d: String): String =
+    Setup.dir(s"lrs_stream:$d") { dir =>
+      val docs = documents(s, d)
+      val idx = s"$dir/sfx"
+      graft.pipeline.SuffixIndex.build(
+        docs.filter(col("doc_id") % 10 =!= 0), col("doc_id"), col("text"),
+        idx, cap = 16)
+      val src = s"$dir/src"
+      docs.filter(col("doc_id") % 10 === 0 && col("doc_id") % 20 === 0)
+        .coalesce(1).write.mode("append").parquet(src)
+      Option(new java.io.File(src).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach(f => f.setLastModified(System.currentTimeMillis() - 600000L))
+      docs.filter(col("doc_id") % 10 === 0 && col("doc_id") % 20 =!= 0)
+        .coalesce(1).write.mode("append").parquet(src)
+      val schema = s.read.parquet(src).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.pipeline.SuffixIndex.append(
+            batch, col("doc_id"), col("text"), idx)
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+
   /** Merge-maintained IVF index: two indexes built INDEPENDENTLY over
     * disjoint corpus halves under the same centroids, then combined by
     * cell-wise file adoption (zero data I/O — no vector byte is read or
@@ -727,6 +761,7 @@ object SparkEntry {
     searchIndexSetup(s, d): Unit
     searchIncSetup(s, d): Unit
     lrsIndexSetup(s, d): Unit
+    lrsStreamSetup(s, d): Unit
     searchDelSetup(s, d): Unit
     phashIncSetup(s, d): Unit
     phashDelSetup(s, d): Unit
@@ -2578,6 +2613,14 @@ object SparkEntry {
     // proves append-maintained == recompute.
     "text_lrs_inc" -> ((s, d) =>
       SuffixIndex.lrsStats(s, s"${lrsIndexSetup(s, d)}/sfx")
+        .orderBy("doc_id")),
+
+    // Streaming sibling of text_lrs_inc: the SAME 10% batch ids delivered
+    // as two file-source micro-batches, each CAS-appended into the suffix
+    // index; the committed read equals the one-shot from-scratch oracle —
+    // one hash pins stream -> route -> merge -> versioned append.
+    "text_lrs_stream" -> ((s, d) =>
+      SuffixIndex.lrsStats(s, s"${lrsStreamSetup(s, d)}/sfx")
         .orderBy("doc_id")),
 
     // Winnowing fingerprints (the MOSS selection rule): per doc, the
@@ -7787,6 +7830,7 @@ object SparkEntry {
     "q_source_quality" -> OracleSqlGen.sourceQuality,
     "text_lrs" -> OracleSqlGen.textLrs(16),
     "text_lrs_inc" -> OracleSqlGen.textLrs(16),
+    "text_lrs_stream" -> OracleSqlGen.textLrs(16),
     "text_fingerprint" ->
       """SELECT doc_id, md5(text) AS full_md5,
              coalesce(list_min(list_transform(
