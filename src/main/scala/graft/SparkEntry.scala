@@ -488,6 +488,15 @@ object SparkEntry {
       q.processAllAvailable(); q.stop()
     }
 
+  /** Compacted twin of the lrs index: the append-maintained index folded
+    * into one resolved perdoc table and one sorted file per bucket.
+    */
+  private def lrsCompactSetup(s: SparkSession, d: String): String =
+    Setup.dir(s"lrs_compact:$d") { dir =>
+      graft.pipeline.SuffixIndex.compact(
+        s, s"${lrsIndexSetup(s, d)}/sfx", s"$dir/sfx")
+    }
+
   /** Streaming suffix-index ingest: seed the index with 90% of the corpus,
     * deliver the rest as TWO file-source micro-batches, each appended into
     * the index via the CAS-committed staged version (`SuffixIndex.append`).
@@ -762,6 +771,7 @@ object SparkEntry {
     searchIncSetup(s, d): Unit
     lrsIndexSetup(s, d): Unit
     lrsStreamSetup(s, d): Unit
+    lrsCompactSetup(s, d): Unit
     searchDelSetup(s, d): Unit
     phashIncSetup(s, d): Unit
     phashDelSetup(s, d): Unit
@@ -2613,6 +2623,13 @@ object SparkEntry {
     // proves append-maintained == recompute.
     "text_lrs_inc" -> ((s, d) =>
       SuffixIndex.lrsStats(s, s"${lrsIndexSetup(s, d)}/sfx")
+        .orderBy("doc_id")),
+
+    // Compaction == maintenance == recompute, by one hash: the
+    // append-maintained suffix index folded (deltas resolved, buckets
+    // re-coalesced) and read back against the SAME from-scratch oracle.
+    "text_lrs_compact" -> ((s, d) =>
+      SuffixIndex.lrsStats(s, s"${lrsCompactSetup(s, d)}/sfx")
         .orderBy("doc_id")),
 
     // Streaming sibling of text_lrs_inc: the SAME 10% batch ids delivered
@@ -7831,6 +7848,7 @@ object SparkEntry {
     "text_lrs" -> OracleSqlGen.textLrs(16),
     "text_lrs_inc" -> OracleSqlGen.textLrs(16),
     "text_lrs_stream" -> OracleSqlGen.textLrs(16),
+    "text_lrs_compact" -> OracleSqlGen.textLrs(16),
     "text_fingerprint" ->
       """SELECT doc_id, md5(text) AS full_md5,
              coalesce(list_min(list_transform(

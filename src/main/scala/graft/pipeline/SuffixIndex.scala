@@ -157,6 +157,37 @@ object SuffixIndex {
       .agg(max(col("n_tokens")).as("n_tokens"),
         max(col("lrs")).as("lrs"))
 
+  /** Compaction on the operator's schedule: every append leaves one more
+    * perdoc delta file (max-merged at read) and one more part file in each
+    * touched bucket — compaction folds the deltas into ONE resolved
+    * per-doc table and rewrites each bucket as one sorted file, bounding
+    * read-side file counts at O(buckets) again. Equivalent to a rebuild
+    * over the ingested corpus without re-tokenizing anything; the fresh
+    * index commits into `outPath` through the same VersionedDir CAS.
+    */
+  def compact(spark: SparkSession, path: String, outPath: String): Unit = {
+    val cur = VersionedDir.currentDir(path)
+    VersionedDir.mutate(outPath) { (_, _) =>
+      val stage = VersionedDir.stageDir(outPath)
+      val nBuckets = spark.read.parquet(s"$cur/edges").count().toInt
+      val grams = spark.read.parquet(s"$cur/grams")
+        .select(col("doc_id"), col("i"), col("g"),
+          col("bucket").cast("int").as("bucket"))
+        .repartition(math.max(nBuckets, 1), col("bucket"))
+        .sortWithinPartitions(col("bucket"), col("g"), col("doc_id"), col("i"))
+        .localCheckpoint(false)
+      grams.write.partitionBy("bucket").parquet(s"$stage/grams")
+      writeEdges(edgeRows(grams), spark, s"$stage/edges")
+      lrsStats(spark, path)
+        .select(col("doc_id"), col("n_tokens"),
+          col("lrs").cast("int").as("lrs"))
+        .write.parquet(s"$stage/perdoc")
+      VersionedDir.adoptTree(new java.io.File(s"$cur/meta"),
+        new java.io.File(s"$stage/meta"))
+      Some(stage)
+    }
+  }
+
   // ── internals ──────────────────────────────────────────────────────────
 
   private[pipeline] def cappedSuffixes(

@@ -126,6 +126,31 @@ class SuffixIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(indexRead(path) == fromScratch(docs ++ b2 ++ b1, cap = 8))
   }
 
+  test("compact folds perdoc deltas and bucket files; read unchanged") {
+    val docs = randomDocs(5, 40, Vector("a", "b", "c", "d"))
+    val b1 = randomDocs(6, 5, Vector("a", "b", "c", "d")).map { case (id, t) => (id + 100, t) }
+    val b2 = randomDocs(7, 5, Vector("a", "b", "c", "d")).map { case (id, t) => (id + 200, t) }
+    val path = s"${tmp()}/sfx"
+    val out = s"${tmp()}/sfx_c"
+    SuffixIndex.build(docs.toDF("doc_id", "text"),
+      col("doc_id"), col("text"), path, cap = 8, buckets = 6)
+    SuffixIndex.append(b1.toDF("doc_id", "text"), col("doc_id"), col("text"), path)
+    SuffixIndex.append(b2.toDF("doc_id", "text"), col("doc_id"), col("text"), path)
+    SuffixIndex.compact(spark, path, out)
+    val before = indexRead(path)
+    assert(indexRead(out) == before)
+    assert(before == fromScratch(docs ++ b1 ++ b2, cap = 8))
+    // deltas resolved: exactly one perdoc row per doc, no nulls left
+    val perdoc = spark.read.parquet(
+      s"${VersionedDir.currentDir(out)}/perdoc")
+    assert(perdoc.count() == perdoc.select("doc_id").distinct().count())
+    assert(perdoc.filter(col("n_tokens").isNull).count() == 0)
+    // and each bucket holds ONE part file again
+    val buckets = new java.io.File(s"${VersionedDir.currentDir(out)}/grams")
+      .listFiles().filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+    assert(buckets.forall(_.listFiles().count(_.getName.startsWith("part-")) == 1))
+  }
+
   test("single-bucket and single-doc degenerate shapes") {
     val path = s"${tmp()}/sfx"
     SuffixIndex.build(Seq((1L, "solo doc here")).toDF("doc_id", "text"),
