@@ -122,6 +122,31 @@ object OracleSqlGen {
                CAST(coalesce(m.lrs, 0) AS INT) AS lrs
         FROM t LEFT JOIN m USING (doc_id) ORDER BY t.doc_id"""
 
+  /** Mirrors SuffixIndex.probeMaxOverlap: per QUERY doc (`querySql` rows),
+    * max n in 1..cap such that one of its token n-grams occurs anywhere in
+    * the CORPUS docs (`corpusSql` rows) — query docs never match each
+    * other, only the corpus.
+    */
+  def textLrsProbe(cap: Int, querySql: String, corpusSql: String): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        q AS (SELECT doc_id, toks FROM t WHERE $querySql),
+        c AS (SELECT doc_id, toks FROM t WHERE $corpusSql),
+        qp AS (SELECT doc_id, toks, unnest(range(len(toks))) AS i FROM q),
+        qg AS (SELECT doc_id, j.range + 1 AS n,
+                      concat_ws(' ', list_slice(toks, i + 1, i + j.range + 1)) AS gram
+               FROM qp CROSS JOIN range($cap) j
+               WHERE i + j.range + 1 <= len(toks)),
+        cp AS (SELECT doc_id, toks, unnest(range(len(toks))) AS i FROM c),
+        cg AS (SELECT DISTINCT j.range + 1 AS n,
+                      concat_ws(' ', list_slice(toks, i + 1, i + j.range + 1)) AS gram
+               FROM cp CROSS JOIN range($cap) j
+               WHERE i + j.range + 1 <= len(toks)),
+        m AS (SELECT doc_id, max(n) AS max_overlap
+              FROM qg JOIN cg USING (n, gram) GROUP BY doc_id)
+        SELECT q.doc_id, CAST(len(q.toks) AS BIGINT) AS n_tokens,
+               CAST(coalesce(m.max_overlap, 0) AS INT) AS max_overlap
+        FROM q LEFT JOIN m USING (doc_id) ORDER BY q.doc_id"""
+
   def dedupSpanStats(k: Int): String =
     s"""WITH ${spanCtes(k)},
         n AS (SELECT doc_id, len(toks) AS n_tokens FROM t),

@@ -488,6 +488,18 @@ object SparkEntry {
       q.processAllAvailable(); q.stop()
     }
 
+  /** Suffix index over ONLY the 90% base corpus — the probe target for
+    * text_lrs_probe (the held-out 10% must match the corpus, never
+    * themselves, so they are NOT ingested here).
+    */
+  private def lrsProbeSetup(s: SparkSession, d: String): String =
+    Setup.dir(s"lrs_probe:$d") { dir =>
+      val docs = documents(s, d)
+      graft.pipeline.SuffixIndex.build(
+        docs.filter(col("doc_id") % 10 =!= 0), col("doc_id"), col("text"),
+        s"$dir/sfx", cap = 16)
+    }
+
   /** Compacted twin of the lrs index: the append-maintained index folded
     * into one resolved perdoc table and one sorted file per bucket.
     */
@@ -772,6 +784,7 @@ object SparkEntry {
     lrsIndexSetup(s, d): Unit
     lrsStreamSetup(s, d): Unit
     lrsCompactSetup(s, d): Unit
+    lrsProbeSetup(s, d): Unit
     searchDelSetup(s, d): Unit
     phashIncSetup(s, d): Unit
     phashDelSetup(s, d): Unit
@@ -2623,6 +2636,20 @@ object SparkEntry {
     // proves append-maintained == recompute.
     "text_lrs_inc" -> ((s, d) =>
       SuffixIndex.lrsStats(s, s"${lrsIndexSetup(s, d)}/sfx")
+        .orderBy("doc_id")),
+
+    // Substring-granularity DECONTAMINATION: for each held-out doc (the
+    // 10% split), the exact longest token run it shares with the indexed
+    // 90% corpus — the eval-overlap check usually run with fixed n-grams
+    // (text_contamination), here with the exact maximal length and capped
+    // at the index cap. Query grams route to their range buckets
+    // (partition-pruned read); nearest INDEX rows come from running
+    // last/first-non-null windows, so co-probed docs never match each
+    // other; bucket-edge stitches ride the O(buckets) edges table.
+    "text_lrs_probe" -> ((s, d) =>
+      SuffixIndex.probeMaxOverlap(s, s"${lrsProbeSetup(s, d)}/sfx",
+        documents(s, d).filter(col("doc_id") % 10 === 0),
+        col("doc_id"), col("text"))
         .orderBy("doc_id")),
 
     // Compaction == maintenance == recompute, by one hash: the
@@ -7849,6 +7876,8 @@ object SparkEntry {
     "text_lrs_inc" -> OracleSqlGen.textLrs(16),
     "text_lrs_stream" -> OracleSqlGen.textLrs(16),
     "text_lrs_compact" -> OracleSqlGen.textLrs(16),
+    "text_lrs_probe" -> OracleSqlGen.textLrsProbe(16,
+      "doc_id % 10 = 0", "doc_id % 10 <> 0"),
     "text_fingerprint" ->
       """SELECT doc_id, md5(text) AS full_md5,
              coalesce(list_min(list_transform(

@@ -188,6 +188,85 @@ object SuffixIndex {
     }
   }
 
+  /** Read-only PROBE: for each query doc, the length (capped at the
+    * index's cap) of the longest token run it shares with the INDEXED
+    * corpus — substring-granularity decontamination (the eval-overlap
+    * check Lee et al. §5 / GPT-3 App. C run with fixed n-grams, here with
+    * the exact maximal length). Query docs are NOT ingested and do not see
+    * each other: each query position's match is against index rows only.
+    *
+    * Plan: query grams route to their range buckets (broadcast bounds
+    * join), ONLY those buckets are read (partition-pruned); within a
+    * bucket, the merged sort order gives each query row its nearest index
+    * rows via running last/first-non-null windows (ignoreNulls lag/lead
+    * generalization — intervening query rows are skipped, so co-probed
+    * docs cannot contaminate each other); a query row at a bucket edge
+    * stitches to the NEIGHBOR bucket's edge row from the O(buckets) edges
+    * table — which is exactly an index row, untouched buckets never read.
+    */
+  def probeMaxOverlap(spark: SparkSession, path: String,
+      queryDocs: DataFrame, id: Column, text: Column): DataFrame = {
+    val cur = VersionedDir.currentDir(path)
+    val cap = spark.read.parquet(s"$cur/meta").head().getInt(0)
+    val edges = readEdgeRows(spark, s"$cur/edges")
+    val qLens = docLens(queryDocs, id, text).localCheckpoint(false)
+    val routed = routeToBuckets(
+      cappedSuffixes(queryDocs, id, text, cap), edges)
+      .localCheckpoint(false)
+    val touched = routed.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val idxRows =
+      if (touched.isEmpty) routed.limit(0).select("doc_id", "i", "g", "bucket")
+      else spark.read.parquet(s"$cur/grams")
+        .filter(col("bucket").isin(touched.toSeq: _*))
+        .select(col("doc_id"), col("i"), col("g"),
+          col("bucket").cast("int").as("bucket"))
+    val merged = idxRows.withColumn("_q", lit(false))
+      .unionByName(routed.select("doc_id", "i", "g", "bucket")
+        .withColumn("_q", lit(true)))
+    // Nearest index gram before/after each row in bucket sort order. BOTH
+    // directions run as GROWING frames (unboundedPreceding, -1) — the
+    // "next" side over the REVERSED order — because Spark evaluates
+    // growing frames incrementally while an (1, unboundedFollowing) frame
+    // recomputes per row: O(rows²) per bucket, measured 10× slower here.
+    val order = Seq(col("g"), col("doc_id"), col("i"))
+    val orderDesc = Seq(col("g").desc, col("doc_id").desc, col("i").desc)
+    val wPrev = Window.partitionBy("bucket").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.partitionBy("bucket").orderBy(orderDesc: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ig = when(!col("_q"), col("g"))
+    // per-bucket stitch rows from the index's own edges: the previous
+    // bucket's last gram / next bucket's first gram (driver-computed over
+    // consecutive EXISTING buckets — bucket ids need not be contiguous)
+    val sortedEdges = edges.sortBy(_.bucket)
+    val stitchRows = sortedEdges.zipWithIndex.map { case (e, ix) =>
+      val prevLast = if (ix == 0) null else sortedEdges(ix - 1).lastG
+      val nextFirst = if (ix == sortedEdges.size - 1) null
+        else sortedEdges(ix + 1).firstG
+      Row(e.bucket, prevLast, nextFirst)
+    }
+    val stitchDf = spark.createDataFrame(
+      java.util.Arrays.asList(stitchRows: _*),
+      StructType(Seq(StructField("bucket", IntegerType),
+        StructField("_pl", ArrayType(StringType)),
+        StructField("_nf", ArrayType(StringType)))))
+    val scored = merged
+      .withColumn("_pi", last(ig, ignoreNulls = true).over(wPrev))
+      .withColumn("_ni", last(ig, ignoreNulls = true).over(wNext))
+      .filter(col("_q"))
+      .join(broadcast(stitchDf), Seq("bucket"), "left")
+      .select(col("doc_id"),
+        greatest(
+          lcpCol(col("g"), coalesce(col("_pi"), col("_pl"))),
+          lcpCol(col("g"), coalesce(col("_ni"), col("_nf")))).as("ov"))
+      .groupBy("doc_id").agg(max(col("ov")).as("max_overlap"))
+    qLens.join(scored, Seq("doc_id"), "left")
+      .na.fill(0, Seq("max_overlap"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("max_overlap").cast("int").as("max_overlap"))
+  }
+
   // ── internals ──────────────────────────────────────────────────────────
 
   private[pipeline] def cappedSuffixes(

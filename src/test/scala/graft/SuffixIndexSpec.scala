@@ -151,6 +151,59 @@ class SuffixIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(buckets.forall(_.listFiles().count(_.getName.startsWith("part-")) == 1))
   }
 
+  test("probe: max corpus overlap, co-probed docs never match each other") {
+    val corpus = Seq(
+      (1L, "a b c d e f"),
+      (2L, "g h i j"),
+      (3L, "k k k"))
+    val path = s"${tmp()}/sfx"
+    SuffixIndex.build(corpus.toDF("doc_id", "text"),
+      col("doc_id"), col("text"), path, cap = 8, buckets = 3)
+    val queries = Seq(
+      (10L, "x b c d y"),        // shares "b c d" with doc 1 -> 3
+      (11L, "w w w w q1 q2 q3"), // shares NOTHING with the corpus -> 0
+      (12L, "w w w w q1 q2 q3"), // identical to 11 — must still be 0
+      (13L, "k k k k k"),        // overlapping "k k k" in corpus -> 3
+      (14L, "f g h i j a"))      // "g h i j" -> 4 (no cross-doc concat)
+    val out = SuffixIndex.probeMaxOverlap(spark, path,
+      queries.toDF("doc_id", "text"), col("doc_id"), col("text"))
+      .as[(Long, Long, Int)].collect()
+      .map { case (id, n, o) => id -> (n, o) }.toMap
+    assert(out(10L) == (5L, 3))
+    assert(out(11L) == (7L, 0))
+    assert(out(12L) == (7L, 0))
+    assert(out(13L) == (5L, 3))
+    assert(out(14L) == (6L, 4))
+  }
+
+  test("probe == brute force on a randomized split") {
+    val vocab = Vector("a", "b", "c", "d")
+    val all = randomDocs(8, 60, vocab)
+    val corpus = all.filter(_._1 % 3 != 0L)
+    val queries = all.filter(_._1 % 3 == 0L)
+    val cap = 8
+    val path = s"${tmp()}/sfx"
+    SuffixIndex.build(corpus.toDF("doc_id", "text"),
+      col("doc_id"), col("text"), path, cap = cap, buckets = 5)
+    val corpusGrams = (for {
+      (_, t) <- corpus; ts = t.split(" ", -1).toSeq
+      i <- ts.indices; n <- 1 to math.min(cap, ts.length - i)
+    } yield (n, ts.slice(i, i + n))).toSet
+    val expected = queries.map { case (id, t) =>
+      val ts = t.split(" ", -1).toSeq
+      val best = for {
+        i <- ts.indices; n <- 1 to math.min(cap, ts.length - i)
+        if corpusGrams((n, ts.slice(i, i + n)))
+      } yield n
+      id -> (if (best.isEmpty) 0 else best.max)
+    }.toMap
+    val got = SuffixIndex.probeMaxOverlap(spark, path,
+      queries.toDF("doc_id", "text"), col("doc_id"), col("text"))
+      .as[(Long, Long, Int)].collect()
+      .map { case (id, _, o) => id -> o }.toMap
+    assert(got == expected)
+  }
+
   test("single-bucket and single-doc degenerate shapes") {
     val path = s"${tmp()}/sfx"
     SuffixIndex.build(Seq((1L, "solo doc here")).toDF("doc_id", "text"),
