@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
 import graft.operators.GraphAnalytics
-import graft.pipeline.{Dedup, Splits}
+import graft.pipeline.{Dedup, Splits, TextAnalysis}
 
 /** Degenerate-input behavior for the operator families: empty frames,
   * single elements, and out-of-range parameters must return the correct
@@ -272,5 +272,43 @@ class EdgeCaseSpec extends AnyFunSuite with SparkTestBase {
     st.initialize()
     assert(Seq("entities", "observations", "relations")
       .forall(st.metaRowCount(_) == 0L))
+  }
+
+  test("suffix family: empty-string docs, all-identical corpus, cap 1") {
+    // Empty text tokenizes to [""] (split semantics) — a 1-token doc; two
+    // of them share that token, so each reports lrs 1, never a crash.
+    val empties = Seq((1L, ""), (2L, ""), (3L, "x"))
+      .toDF("doc_id", "text")
+    val lrs = TextAnalysis.longestRepeatStats(
+        empties, col("doc_id"), col("text"), cap = 4)
+      .as[(Long, Long, Int)].collect()
+      .map { case (id, n, l) => id -> (n, l) }.toMap
+    assert(lrs == Map(1L -> (1L, 1), 2L -> (1L, 1), 3L -> (1L, 0)))
+    // cap = 1 degenerates to "has any duplicated token"
+    val capOne = TextAnalysis.longestRepeatStats(
+        Seq((1L, "a b a"), (2L, "c d")).toDF("doc_id", "text"),
+        col("doc_id"), col("text"), cap = 1)
+      .as[(Long, Long, Int)].collect()
+      .map { case (id, n, l) => id -> (n, l) }.toMap
+    assert(capOne == Map(1L -> (3L, 1), 2L -> (2L, 0)))
+    // an all-identical corpus saturates at the cap for every doc
+    val same = (1L to 6L).map(i => (i, "t1 t2 t3 t4 t5 t6 t7 t8"))
+    val sat = TextAnalysis.longestRepeatStats(
+        same.toDF("doc_id", "text"), col("doc_id"), col("text"), cap = 4)
+      .as[(Long, Long, Int)].collect()
+    assert(sat.forall { case (_, n, l) => n == 8L && l == 4 })
+    // the persisted index agrees on the degenerate corpus, build + probe
+    val p = java.nio.file.Files.createTempDirectory("sfx-edge").toString
+    graft.pipeline.SuffixIndex.build(empties, col("doc_id"), col("text"),
+      s"$p/sfx", cap = 4, buckets = 2)
+    val idx = graft.pipeline.SuffixIndex.lrsStats(spark, s"$p/sfx")
+      .as[(Long, Long, Int)].collect()
+      .map { case (id, n, l) => id -> (n, l) }.toMap
+    assert(idx == lrs)
+    // probing an empty-text query doc against it: matches the "" token
+    val probe = graft.pipeline.SuffixIndex.probeMaxOverlap(spark, s"$p/sfx",
+        Seq((9L, "")).toDF("doc_id", "text"), col("doc_id"), col("text"))
+      .as[(Long, Long, Int)].collect()
+    assert(probe.toSeq == Seq((9L, 1L, 1)))
   }
 }
