@@ -14,7 +14,9 @@ FLOOR_FILE = "bench_floor.json"
 
 def main() -> None:
     with open(sys.argv[1]) as f:
-        line = next(l for l in f if l.lstrip().startswith('{"metric"'))
+        # Bench lines captured through sbt carry an "[info] " prefix —
+        # accept the JSON from anywhere in the line.
+        line = next(l[l.index('{"metric"'):] for l in f if '{"metric"' in l)
     bench = json.loads(line)
     try:
         with open(FLOOR_FILE) as f:
