@@ -682,4 +682,16 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(read.nonEmpty && !read.contains("props") && !read.contains("event_id"),
       s"ORC scan reads unprojected columns:\n$read")
   }
+  test("text_lrs_probe reads only the batch's suffix-index buckets") {
+    val p = plan("text_lrs_probe")
+    // the index scan must carry a bucket IN-list partition filter — the
+    // probe's whole cost model is "touched buckets only", and losing the
+    // filter silently degrades to a full index read
+    assert(p.contains("PartitionFilters") && p.contains("bucket"),
+      s"suffix-index scan lost its bucket partition filter:\n$p")
+    // lcp windows are partitioned by bucket — never a global window — and
+    // the bounds join is the O(buckets) broadcast range join, so the one
+    // permissible nested-loop join is that broadcast
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
