@@ -53,9 +53,9 @@ object SuffixIndex {
         .withColumn("bucket", spark_partition_id())
         .localCheckpoint(false)
       parted.write.partitionBy("bucket").parquet(s"$stage/grams")
-      val edges = edgeRows(parted)
+      val (bucketContrib, edges) = neighborPass(parted)
       writeEdges(edges, spark, s"$stage/edges")
-      val contrib = bucketLcpContributions(parted)
+      val contrib = bucketContrib
         .unionAll(boundaryContributions(spark, edges))
         .groupBy("doc_id").agg(max(col("lcp")).as("lrs"))
       lens.join(contrib, Seq("doc_id"), "left")
@@ -113,8 +113,9 @@ object SuffixIndex {
             new java.io.File(s"$stage/grams/${f.getName}"))
         }
 
-      // Edges: recompute for merged buckets, keep the rest.
-      val mergedEdges = edgeRows(merged)
+      // Edges: recompute for merged buckets, keep the rest; the SAME
+      // window pass also yields the within-bucket LCP contributions.
+      val (mergedContrib, mergedEdges) = neighborPass(merged)
       val keptEdges = oldEdges.filterNot(e => touched(e.bucket))
       val newEdges = (keptEdges ++ mergedEdges).sortBy(_.bucket)
       writeEdges(newEdges, spark, s"$stage/edges")
@@ -123,7 +124,7 @@ object SuffixIndex {
       // O(buckets) boundary pairs over the UPDATED edge set — which is
       // where an untouched doc's lrs can rise (its bucket-edge row now
       // faces a merged neighbor's new edge row).
-      val contrib = bucketLcpContributions(merged)
+      val contrib = mergedContrib
         .unionAll(boundaryContributions(spark, newEdges))
         .groupBy("doc_id").agg(max(col("lcp")).as("lcp"))
       // Delta rows: every batch doc (n_tokens known, lrs >= 0) and every
@@ -166,6 +167,10 @@ object SuffixIndex {
     * index commits into `outPath` through the same VersionedDir CAS.
     */
   def compact(spark: SparkSession, path: String, outPath: String): Unit = {
+    // Pin ONE source version for every table — grams, edges AND perdoc. A
+    // `lrsStats(spark, path)` call here would re-resolve the head at read
+    // time, so an append racing the compaction could hand us v(N+1) perdoc
+    // rows beside vN grams: a doc with an lrs row but no substrings.
     val cur = VersionedDir.currentDir(path)
     VersionedDir.mutate(outPath) { (_, _) =>
       val stage = VersionedDir.stageDir(outPath)
@@ -177,10 +182,12 @@ object SuffixIndex {
         .sortWithinPartitions(col("bucket"), col("g"), col("doc_id"), col("i"))
         .localCheckpoint(false)
       grams.write.partitionBy("bucket").parquet(s"$stage/grams")
-      writeEdges(edgeRows(grams), spark, s"$stage/edges")
-      lrsStats(spark, path)
-        .select(col("doc_id"), col("n_tokens"),
-          col("lrs").cast("int").as("lrs"))
+      val (_, edges) = neighborPass(grams)
+      writeEdges(edges, spark, s"$stage/edges")
+      spark.read.parquet(s"$cur/perdoc")
+        .groupBy("doc_id")
+        .agg(max(col("n_tokens")).as("n_tokens"),
+          max(col("lrs")).cast("int").as("lrs"))
         .write.parquet(s"$stage/perdoc")
       VersionedDir.adoptTree(new java.io.File(s"$cur/meta"),
         new java.io.File(s"$stage/meta"))
@@ -229,8 +236,14 @@ object SuffixIndex {
     // "next" side over the REVERSED order — because Spark evaluates
     // growing frames incrementally while an (1, unboundedFollowing) frame
     // recomputes per row: O(rows²) per bucket, measured 10× slower here.
-    val order = Seq(col("g"), col("doc_id"), col("i"))
-    val orderDesc = Seq(col("g").desc, col("doc_id").desc, col("i").desc)
+    // `_q` is the FINAL tiebreak (index rows first, ascending): probing a
+    // doc that is already ingested under the same id ties an index row on
+    // the full (g, doc_id, i) key, and without a deterministic side order
+    // the twin could fall outside BOTH growing frames — the exact match
+    // (lcp = min length) would be invisible.
+    val order = Seq(col("g"), col("doc_id"), col("i"), col("_q"))
+    val orderDesc =
+      Seq(col("g").desc, col("doc_id").desc, col("i").desc, col("_q").desc)
     val wPrev = Window.partitionBy("bucket").orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val wNext = Window.partitionBy("bucket").orderBy(orderDesc: _*)
@@ -285,26 +298,37 @@ object SuffixIndex {
       firstG: Seq[String], firstDoc: Long, firstI: Int,
       lastG: Seq[String], lastDoc: Long, lastI: Int)
 
-  /** Collect each non-empty partition's first and last rows — O(buckets)
-    * driver rows, the Ranking offset-pass scale. `parted` must carry
-    * (doc_id, i, g) sorted within partitions with a `_pid`/`bucket` id.
+  /** ONE window pass over the bucketed gram frame serving BOTH outputs a
+    * build/append/compact needs: the per-position adjacent-LCP
+    * contributions (doc_id, lcp) and the O(buckets) collected edge rows.
+    * Running edge collection and LCP as separate windows would shuffle and
+    * sort the O(N·cap) frame twice for the same spec — the pass is
+    * materialized once and both derive from it.
     */
-  private def edgeRows(parted: DataFrame): Seq[Edge] = {
+  private def neighborPass(parted: DataFrame): (DataFrame, Seq[Edge]) = {
     val pidCol = if (parted.columns.contains("_pid")) "_pid" else "bucket"
     val w = Window.partitionBy(pidCol).orderBy(col("g"), col("doc_id"), col("i"))
-    val marked = parted
-      .withColumn("_first", lag(col("i"), 1).over(w).isNull)
-      .withColumn("_last", lead(col("i"), 1).over(w).isNull)
-      .filter(col("_first") || col("_last"))
-      .select(col(pidCol).cast("int").as("b"), col("_first"), col("_last"),
+    val withNbr = parted
+      .withColumn("_gn", lead(col("g"), 1).over(w))
+      .withColumn("_gp", lag(col("g"), 1).over(w))
+      .localCheckpoint(false)
+    val contrib = withNbr.select(col("doc_id"),
+      greatest(lcpCol(col("g"), col("_gn")), lcpCol(col("g"), col("_gp")))
+        .as("lcp"))
+    val marked = withNbr
+      .filter(col("_gn").isNull || col("_gp").isNull)
+      .select(col(pidCol).cast("int").as("b"), col("_gp").isNull.as("_first"),
+        col("_gn").isNull.as("_last"),
         col("g"), col("doc_id").cast("long"), col("i").cast("int"))
       .collect()
-    marked.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (b, rows) =>
-      val first = rows.find(_.getBoolean(1)).get
-      val last = rows.find(_.getBoolean(2)).get
-      Edge(b, first.getSeq[String](3), first.getLong(4), first.getInt(5),
-        last.getSeq[String](3), last.getLong(4), last.getInt(5))
+    val edges = marked.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map {
+      case (b, rows) =>
+        val first = rows.find(_.getBoolean(1)).get
+        val last = rows.find(_.getBoolean(2)).get
+        Edge(b, first.getSeq[String](3), first.getLong(4), first.getInt(5),
+          last.getSeq[String](3), last.getLong(4), last.getInt(5))
     }
+    (contrib, edges)
   }
 
   private val edgeSchema = StructType(Seq(
@@ -356,29 +380,12 @@ object SuffixIndex {
       .select(col("doc_id"), col("i"), col("g"), col("bucket"))
   }
 
-  /** Adjacent-LCP contributions WITHIN partitions/buckets: lead/lag over
-    * the partition id (the [[TextAnalysis.longestRepeatStats]] core without
-    * its cross-partition stitch — boundaries are the edges table's job
-    * here). Emits (doc_id, lcp) per position.
+  /** The engine-wide common-prefix expression — ONE definition shared with
+    * [[TextAnalysis.longestRepeatStats]], whose semantics this index is
+    * pinned against; two private copies could silently diverge.
     */
-  private def bucketLcpContributions(parted: DataFrame): DataFrame = {
-    val pidCol = if (parted.columns.contains("_pid")) "_pid" else "bucket"
-    val w = Window.partitionBy(pidCol).orderBy(col("g"), col("doc_id"), col("i"))
-    parted
-      .withColumn("_gn", lead(col("g"), 1).over(w))
-      .withColumn("_gp", lag(col("g"), 1).over(w))
-      .select(col("doc_id"),
-        greatest(lcpCol(col("g"), col("_gn")), lcpCol(col("g"), col("_gp")))
-          .as("lcp"))
-  }
-
-  private def lcpCol(a: Column, b: Column): Column = {
-    val firstDiff = array_position(
-      zip_with(a, b, (x, y) => coalesce(x === y, lit(false))), lit(false))
-    when(b.isNull, 0)
-      .when(firstDiff === 0, least(size(a), size(b)))
-      .otherwise(firstDiff - 1).cast("int")
-  }
+  private def lcpCol(a: Column, b: Column): Column =
+    TextAnalysis.commonPrefixCol(a, b)
 
   /** Boundary pairs between consecutive buckets, computed at the driver
     * from the O(buckets) edges — each pair contributes its LCP to BOTH edge

@@ -244,15 +244,7 @@ object TextAnalysis {
     */
   def duplicatedSpanStats(
       docs: DataFrame, id: Column, text: Column, k: Int = 8): DataFrame = {
-    val toks = docs.select(id.as("doc_id"), tokens(text).as("toks"))
-      .withColumn("n_tokens", size(col("toks")))
-    val spans = toks.select(col("doc_id"), col("toks"),
-        explode(when(col("n_tokens") >= k,
-          sequence(lit(0), col("n_tokens") - lit(k)))
-          .otherwise(array().cast("array<int>"))).as("i"))
-      .select(col("doc_id"), col("i"),
-        concat_ws(" ", slice(col("toks"), col("i") + 1, lit(k))).as("sh"))
-    val coPart = spans.repartition(col("sh"))
+    val (toks, coPart) = positionedSpans(docs, id, text, k)
     val dup = coPart.groupBy("sh").agg(count(lit(1)).as("_c"))
       .filter(col("_c") >= 2).select("sh")
     val cov = coPart.hint("shuffle_hash").join(dup, Seq("sh"))
@@ -565,6 +557,21 @@ object TextAnalysis {
     * of one cap-wide one); at cap ≤ 32 the single sort moves fewer total
     * bytes than the doubling rounds would.
     */
+  /** Token-count of the common prefix of two `array<string>` columns (0
+    * when `b` is null) — the LCP expression every suffix operator shares
+    * ([[longestRepeatStats]], the SuffixIndex family); pure builtin HOFs,
+    * codegen'd. zip_with pads the shorter array with nulls, `<=>`-free
+    * equality turns those into false, and the first false position (or
+    * none ⇒ full min length) is the answer.
+    */
+  private[pipeline] def commonPrefixCol(a: Column, b: Column): Column = {
+    val firstDiff = array_position(
+      zip_with(a, b, (x, y) => coalesce(x === y, lit(false))), lit(false))
+    when(b.isNull, 0)
+      .when(firstDiff === 0, least(size(a), size(b)))
+      .otherwise(firstDiff - 1).cast("int")
+  }
+
   def longestRepeatStats(
       docs: DataFrame, id: Column, text: Column, cap: Int = 16,
       partitions: Int = 32): DataFrame = {
@@ -618,13 +625,7 @@ object TextAnalysis {
           org.apache.spark.sql.types.IntegerType),
         org.apache.spark.sql.types.StructField("_bn", gType),
         org.apache.spark.sql.types.StructField("_bp", gType))))
-    def lcp(a: Column, b: Column): Column = {
-      val firstDiff = array_position(
-        zip_with(a, b, (x, y) => coalesce(x === y, lit(false))), lit(false))
-      when(b.isNull, 0)
-        .when(firstDiff === 0, least(size(a), size(b)))
-        .otherwise(firstDiff - 1).cast("int")
-    }
+    def lcp(a: Column, b: Column): Column = commonPrefixCol(a, b)
     val perDoc = withNbr
       .join(broadcast(stitchDf), Seq("_pid"), "left")
       .withColumn("_next", coalesce(col("_gn"), col("_bn")))

@@ -176,6 +176,25 @@ class SuffixIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(out(14L) == (6L, 4))
   }
 
+  test("probe: re-probing an INGESTED doc sees its own index twin (full-tie order)") {
+    // The query gram and its index twin tie on the FULL (g, doc_id, i)
+    // sort key; without the deterministic _q tiebreak the twin can fall
+    // outside both growing window frames and the exact match goes
+    // invisible. Doc 3's tokens are unique corpus-wide, so ONLY the
+    // self-match can produce its overlap.
+    val corpus = Seq((1L, "a b c"), (2L, "a b d"), (3L, "u1 u2 u3 u4 u5"))
+    val path = s"${tmp()}/sfx"
+    SuffixIndex.build(corpus.toDF("doc_id", "text"),
+      col("doc_id"), col("text"), path, cap = 4, buckets = 3)
+    val out = SuffixIndex.probeMaxOverlap(spark, path,
+      corpus.toDF("doc_id", "text"), col("doc_id"), col("text"))
+      .as[(Long, Long, Int)].collect()
+      .map { case (id, n, o) => id -> (n, o) }.toMap
+    assert(out(1L) == (3L, 3))  // its own full text (capped by len 3)
+    assert(out(2L) == (3L, 3))
+    assert(out(3L) == (5L, 4))  // unique tokens: only the self-twin, at cap
+  }
+
   test("probe == brute force on a randomized split") {
     val vocab = Vector("a", "b", "c", "d")
     val all = randomDocs(8, 60, vocab)
