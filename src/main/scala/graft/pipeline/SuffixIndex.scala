@@ -34,15 +34,41 @@ import graft.store.VersionedDir
   *   grams/bucket=B/   (doc_id, i, g)      — the bucket's suffix grams
   *   edges/            (bucket, first/last gram + position)
   *   perdoc/           (doc_id, n_tokens, lrs) delta rows, max-merged at read
-  *   meta/             (cap, buckets) — appends validate against it
+  *   meta/             (cap, buckets, target_rows) — appends validate cap
+  *                     and size-trigger splits against target_rows
+  *
+  * Bucket boundaries are NOT frozen at build time: bucket ids are spaced
+  * [[BucketGap]] apart so an append can SPLIT an oversized bucket into
+  * sub-buckets whose ids sit strictly between its id and the next bucket's
+  * (id order stays range order — the invariant every consumer of the edges
+  * table relies on), and [[compact]] re-derives balanced boundaries from a
+  * fresh range partitioning (it re-sorts the whole gram table anyway, so
+  * the re-split is free there). Without either, appends concentrated in
+  * one key range — realistic: near-duplicate crawl shards sort adjacently
+  * — would grow one bucket without bound and silently degrade the
+  * O(touched-buckets) append contract into single-task O(corpus) sorts.
   */
 object SuffixIndex {
 
-  /** Build the index over an initial corpus. `cap` and `buckets` are fixed
-    * for the index's lifetime (recorded in meta/).
+  /** Initial spacing between bucket ids: a bucket can split into midpoint
+    * ids up to 16 levels deep before running out of integer room (then the
+    * split is skipped and the next [[compact]] rebalances everything).
+    */
+  val BucketGap: Int = 1 << 16
+
+  /** A bucket splits on append once it exceeds this multiple of the
+    * index's target rows/bucket (meta's `target_rows`).
+    */
+  val SplitFactor: Int = 4
+
+  /** Build the index over an initial corpus. `cap` is fixed for the
+    * index's lifetime; `buckets` is the TARGET bucket count (appends may
+    * split oversized buckets, compact rebalances back to the target).
     */
   def build(docs: DataFrame, id: Column, text: Column, path: String,
       cap: Int = 16, buckets: Int = 32): Unit = {
+    require(buckets >= 1 && buckets <= (1 << 14),
+      s"buckets must be in [1, 16384], got $buckets")
     val spark = docs.sparkSession
     VersionedDir.mutate(path) { (_, _) =>
       val stage = VersionedDir.stageDir(path)
@@ -50,7 +76,7 @@ object SuffixIndex {
       val parted = cappedSuffixes(docs, id, text, cap)
         .repartitionByRange(buckets, col("g"), col("doc_id"), col("i"))
         .sortWithinPartitions(col("g"), col("doc_id"), col("i"))
-        .withColumn("bucket", spark_partition_id())
+        .withColumn("bucket", spark_partition_id() * lit(BucketGap))
         .localCheckpoint(false)
       parted.write.partitionBy("bucket").parquet(s"$stage/grams")
       val (bucketContrib, edges) = neighborPass(parted)
@@ -62,7 +88,8 @@ object SuffixIndex {
         .na.fill(0, Seq("lrs"))
         .select(col("doc_id"), col("n_tokens"), col("lrs").cast("int").as("lrs"))
         .write.parquet(s"$stage/perdoc")
-      Seq((cap, buckets)).toDF(spark).write.parquet(s"$stage/meta")
+      writeMeta(spark, s"$stage/meta", cap, buckets,
+        parted.count() / math.max(buckets, 1))
       Some(stage)
     }
   }
@@ -97,11 +124,58 @@ object SuffixIndex {
           .filter(col("bucket").isin(touched.toSeq: _*))
           .select(col("doc_id"), col("i"), col("g"),
             col("bucket").cast("int").as("bucket"))
-      val merged = oldTouched
+      val mergedBase = oldTouched
         .unionByName(routed.select("doc_id", "i", "g", "bucket"))
         .repartition(math.max(touched.size, 1), col("bucket"))
         .sortWithinPartitions(col("bucket"), col("g"), col("doc_id"), col("i"))
         .localCheckpoint(false)
+      // Size-triggered SPLIT: a merged bucket past SplitFactor × the
+      // index's target rows/bucket is cut into ~target-sized sub-buckets
+      // at ids spread through the gap to the next bucket (id order stays
+      // range order). Sub-bucketing is count-based over the merged sort
+      // order — same invariant as build's repartitionByRange, which also
+      // cuts inside equal-gram runs; the boundary stitch covers those.
+      // The one-off single-bucket row_number sort is bounded by the
+      // trigger itself (≤ SplitFactor × target + batch); skipping the
+      // split would let the bucket grow without bound instead.
+      val target = math.max(if (meta.length > 2) meta.getLong(2) else 0L, 1L)
+      val sizes = mergedBase.groupBy("bucket").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val allIds = oldEdges.map(_.bucket).sorted
+      def nextId(b: Int): Int =
+        allIds.find(_ > b).getOrElse(allIds.lastOption.getOrElse(0) + BucketGap)
+      val splits = sizes.iterator
+        .filter { case (_, cnt) => cnt > SplitFactor.toLong * target }
+        .flatMap { case (b, cnt) =>
+          val room = nextId(b).toLong - b // ids available, including b
+          val m = math.min((cnt + target - 1) / target, room)
+          if (m <= 1) None
+          else Some(b -> (m, (nextId(b).toLong - b) / m, (cnt + m - 1) / m))
+        }.toMap
+      val merged =
+        if (splits.isEmpty) mergedBase
+        else {
+          val planDf = spark.createDataFrame(
+            java.util.Arrays.asList(splits.toSeq.map { case (b, (m, step, pp)) =>
+              Row(b, m, step, pp.toDouble)
+            }: _*),
+            StructType(Seq(StructField("bucket", IntegerType),
+              StructField("_m", LongType), StructField("_step", LongType),
+              StructField("_pp", DoubleType))))
+          val wB = Window.partitionBy("bucket")
+            .orderBy(col("g"), col("doc_id"), col("i"))
+          mergedBase
+            .join(broadcast(planDf), Seq("bucket"), "left")
+            .withColumn("_rn", row_number().over(wB))
+            .withColumn("_sub", least(
+              floor((col("_rn").cast("double") - 1) / col("_pp")).cast("long"),
+              col("_m") - 1))
+            .select(col("doc_id"), col("i"), col("g"),
+              when(col("_m").isNull, col("bucket"))
+                .otherwise(col("bucket") + col("_sub") * col("_step"))
+                .cast("int").as("bucket"))
+            .localCheckpoint(false)
+        }
       merged.write.partitionBy("bucket").parquet(s"$stage/grams")
       // untouched buckets carry over by hardlink (metadata-only)
       val gramsDir = new java.io.File(s"$cur/grams")
@@ -119,13 +193,21 @@ object SuffixIndex {
       val keptEdges = oldEdges.filterNot(e => touched(e.bucket))
       val newEdges = (keptEdges ++ mergedEdges).sortBy(_.bucket)
       writeEdges(newEdges, spark, s"$stage/edges")
+      // post-split ids included: a new sub-bucket's boundary with an
+      // untouched neighbor is exactly a recomputed pair
+      val mergedIds = mergedEdges.map(_.bucket).toSet
 
       // Contributions: all adjacent pairs within merged buckets, plus the
-      // O(buckets) boundary pairs over the UPDATED edge set — which is
-      // where an untouched doc's lrs can rise (its bucket-edge row now
-      // faces a merged neighbor's new edge row).
+      // boundary pairs over the UPDATED edge set RESTRICTED to pairs with
+      // at least one merged side — which is where an untouched doc's lrs
+      // can rise (its bucket-edge row now faces a merged neighbor's new
+      // edge row). Untouched–untouched pair LCPs are unchanged from the
+      // previous version and already recorded in prior perdoc rows;
+      // re-emitting them would be harmless under max-merge but grows the
+      // perdoc table faster than the O(touched-buckets) cost model says.
       val contrib = mergedContrib
-        .unionAll(boundaryContributions(spark, newEdges))
+        .unionAll(boundaryContributions(spark, newEdges,
+          (p, q) => mergedIds(p.bucket) || mergedIds(q.bucket)))
         .groupBy("doc_id").agg(max(col("lcp")).as("lcp"))
       // Delta rows: every batch doc (n_tokens known, lrs >= 0) and every
       // OLD doc that gained a contribution (n_tokens null — the base row
@@ -174,12 +256,21 @@ object SuffixIndex {
     val cur = VersionedDir.currentDir(path)
     VersionedDir.mutate(outPath) { (_, _) =>
       val stage = VersionedDir.stageDir(outPath)
-      val nBuckets = spark.read.parquet(s"$cur/edges").count().toInt
+      val meta = spark.read.parquet(s"$cur/meta").head()
+      val cap = meta.getInt(0)
+      val nBuckets = meta.getInt(1)
+      // Re-derive BALANCED boundaries from a fresh range partitioning of
+      // the full gram table — NOT the old bucket column: compact re-sorts
+      // everything anyway, so recomputing even cuts costs only the range
+      // sampling pass, and it is the rebalance point that restores the
+      // O(touched-buckets) append contract after skewed appends (splits
+      // bound a bucket at SplitFactor × target between compacts; this
+      // resets them to ~target and re-centers the id gaps).
       val grams = spark.read.parquet(s"$cur/grams")
-        .select(col("doc_id"), col("i"), col("g"),
-          col("bucket").cast("int").as("bucket"))
-        .repartition(math.max(nBuckets, 1), col("bucket"))
-        .sortWithinPartitions(col("bucket"), col("g"), col("doc_id"), col("i"))
+        .select(col("doc_id"), col("i"), col("g"))
+        .repartitionByRange(nBuckets, col("g"), col("doc_id"), col("i"))
+        .sortWithinPartitions(col("g"), col("doc_id"), col("i"))
+        .withColumn("bucket", spark_partition_id() * lit(BucketGap))
         .localCheckpoint(false)
       grams.write.partitionBy("bucket").parquet(s"$stage/grams")
       val (_, edges) = neighborPass(grams)
@@ -189,8 +280,8 @@ object SuffixIndex {
         .agg(max(col("n_tokens")).as("n_tokens"),
           max(col("lrs")).cast("int").as("lrs"))
         .write.parquet(s"$stage/perdoc")
-      VersionedDir.adoptTree(new java.io.File(s"$cur/meta"),
-        new java.io.File(s"$stage/meta"))
+      writeMeta(spark, s"$stage/meta", cap, nBuckets,
+        grams.count() / math.max(nBuckets, 1))
       Some(stage)
     }
   }
@@ -217,6 +308,13 @@ object SuffixIndex {
     val cap = spark.read.parquet(s"$cur/meta").head().getInt(0)
     val edges = readEdgeRows(spark, s"$cur/edges")
     val qLens = docLens(queryDocs, id, text).localCheckpoint(false)
+    // An index legitimately built over an EMPTY corpus has no buckets to
+    // route into (routeToBuckets requires edges for an append, where an
+    // empty index is a caller error) — every query doc shares nothing with
+    // an empty corpus, so the answer is 0-overlap rows, not a crash.
+    if (edges.isEmpty)
+      return qLens.select(col("doc_id"), col("n_tokens"),
+        lit(0).cast("int").as("max_overlap"))
     val routed = routeToBuckets(
       cappedSuffixes(queryDocs, id, text, cap), edges)
       .localCheckpoint(false)
@@ -389,15 +487,18 @@ object SuffixIndex {
 
   /** Boundary pairs between consecutive buckets, computed at the driver
     * from the O(buckets) edges — each pair contributes its LCP to BOTH edge
-    * positions' docs.
+    * positions' docs. `pairFilter` lets an append skip pairs whose LCP is
+    * provably unchanged (both sides untouched); build/compact keep all.
     */
-  private def boundaryContributions(spark: SparkSession,
-      edges: Seq[Edge]): DataFrame = {
+  private def boundaryContributions(spark: SparkSession, edges: Seq[Edge],
+      pairFilter: (Edge, Edge) => Boolean = (_, _) => true): DataFrame = {
     val sorted = edges.sortBy(_.bucket)
-    val rows = sorted.zip(sorted.drop(1)).flatMap { case (p, q) =>
-      val l = commonPrefixLen(p.lastG, q.firstG)
-      Seq(Row(p.lastDoc, l), Row(q.firstDoc, l))
-    }
+    val rows = sorted.zip(sorted.drop(1))
+      .filter { case (p, q) => pairFilter(p, q) }
+      .flatMap { case (p, q) =>
+        val l = commonPrefixLen(p.lastG, q.firstG)
+        Seq(Row(p.lastDoc, l), Row(q.firstDoc, l))
+      }
     spark.createDataFrame(java.util.Arrays.asList(rows: _*),
       StructType(Seq(StructField("doc_id", LongType),
         StructField("lcp", IntegerType))))
@@ -409,12 +510,15 @@ object SuffixIndex {
     n
   }
 
-  /** Tiny one-row meta frame without needing an Encoder import. */
-  private implicit class MetaDf(rows: Seq[(Int, Int)]) {
-    def toDF(spark: SparkSession): DataFrame =
-      spark.createDataFrame(
-        java.util.Arrays.asList(rows.map(r => Row(r._1, r._2)): _*),
-        StructType(Seq(StructField("cap", IntegerType),
-          StructField("buckets", IntegerType))))
-  }
+  /** One-row meta table: the lifetime-fixed cap, the target bucket count,
+    * and the target rows/bucket the append-side split triggers against.
+    */
+  private def writeMeta(spark: SparkSession, out: String, cap: Int,
+      buckets: Int, targetRows: Long): Unit =
+    spark.createDataFrame(
+      java.util.Arrays.asList(Row(cap, buckets, targetRows)),
+      StructType(Seq(StructField("cap", IntegerType),
+        StructField("buckets", IntegerType),
+        StructField("target_rows", LongType))))
+      .coalesce(1).write.parquet(out)
 }

@@ -555,7 +555,9 @@ object TextAnalysis {
     * caps beyond ~64 the right plan flips to Manber–Myers prefix doubling
     * (O(log cap) rounds of FIXED-width (pos, rank, rank') shuffles instead
     * of one cap-wide one); at cap ≤ 32 the single sort moves fewer total
-    * bytes than the doubling rounds would.
+    * bytes than the doubling rounds would — [[longestRepeatStats]]
+    * size-gates between the two plans via [[chooseDoubling]], so callers
+    * get the right regime without opting in.
     */
   /** Token-count of the common prefix of two `array<string>` columns (0
     * when `b` is null) — the LCP expression every suffix operator shares
@@ -572,9 +574,62 @@ object TextAnalysis {
       .otherwise(firstDiff - 1).cast("int")
   }
 
+  /** Doubling pays off only past BOTH gates: the per-position byte ratio
+    * (sort-once shuffles ~cap×8 bytes/position vs doubling's ~3 fixed
+    * 24-byte exchanges × log₂cap rounds) crosses ~1 around cap 64, and
+    * below [[DoublingSlotGate]] gram cells the O(log cap × ~4) iterative
+    * stages' fixed scheduler cost dominates either way — measured at sf0.1
+    * (250k positions, local[32]): sort-once 2 s at cap 16 vs doubling 17 s
+    * at cap 64, which is why the local regime ALWAYS takes sort-once and
+    * the doubling branch only engages at cluster scale (≥ ~4e9 cells ≈
+    * 32 GB through the one cap-wide exchange) with hundreds-of-token caps
+    * — the Lee et al. regime.
+    */
+  val DoublingCapGate: Int = 64
+  val DoublingSlotGate: Long = 4000000000L
+
+  /** True when the prefix-doubling plan beats the sort-once plan:
+    * `tokenSlots` (corpus tokens × cap = cells through the sort-once
+    * exchange) past the slot gate AND cap past the byte-ratio crossover.
+    */
+  def chooseDoubling(cap: Int, tokens: Long,
+      slotGate: Long = DoublingSlotGate): Boolean =
+    cap > DoublingCapGate && cap > 0 && tokens > slotGate / cap
+
+  /** Per-doc longest-repeated-substring statistics, auto-selecting the
+    * physical plan ([[withGlobalNtiles]]-style size gate): the sort-once
+    * suffix sort below the gates, [[SuffixArray.longestRepeatStatsDoubling]]
+    * above them (rounded up to a power-of-two cap, clamped back — exact
+    * because lrs@cap = min(true lrs, cap)). The gate's corpus-token count
+    * comes from a lens pass the sort-once branch reuses for its final
+    * join, so choosing costs no extra tokenize scan. Output is identical
+    * on either branch (spec-pinned), so callers and oracles never see it.
+    */
   def longestRepeatStats(
       docs: DataFrame, id: Column, text: Column, cap: Int = 16,
-      partitions: Int = 32): DataFrame = {
+      partitions: Int = 32, slotGate: Long = DoublingSlotGate): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val lens = docs
+      .select(id.as("doc_id"), size(tokens(text)).cast("long").as("n_tokens"))
+      .localCheckpoint(false)
+    val slots = lens.agg(coalesce(sum(col("n_tokens")), lit(0L)))
+      .head().getLong(0)
+    if (chooseDoubling(cap, slots, slotGate)) {
+      val p2 =
+        if ((cap & (cap - 1)) == 0) cap else Integer.highestOneBit(cap) << 1
+      SuffixArray.longestRepeatStatsDoubling(docs, id, text, p2, partitions)
+        .select(col("doc_id"), col("n_tokens"),
+          least(col("lrs"), lit(cap)).cast("int").as("lrs"))
+    } else longestRepeatStatsSortOnce(docs, id, text, cap, partitions, Some(lens))
+  }
+
+  /** The sort-once physical plan (one range exchange of the cap-wide gram
+    * table) — public so specs can pin branch equality; use
+    * [[longestRepeatStats]] for the size-gated entry.
+    */
+  def longestRepeatStatsSortOnce(
+      docs: DataFrame, id: Column, text: Column, cap: Int = 16,
+      partitions: Int = 32, lensOpt: Option[DataFrame] = None): DataFrame = {
     require(cap >= 1, s"cap must be >= 1, got $cap")
     val toks = docs.select(id.as("doc_id"), tokens(text).as("toks"))
       .withColumn("n_tokens", size(col("toks")))
@@ -588,9 +643,14 @@ object TextAnalysis {
       .localCheckpoint(false)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("_pid").orderBy(sortCols: _*)
+    // checkpointed so the driver-side edge collect below and the perDoc
+    // scoring share ONE materialized window pass (the SuffixIndex
+    // neighborPass discipline) — without it the O(N·cap) per-partition
+    // window sort runs twice for the same spec
     val withNbr = parted
       .withColumn("_gn", lead(col("g"), 1).over(w))
       .withColumn("_gp", lag(col("g"), 1).over(w))
+      .localCheckpoint(false)
     // Cross-boundary stitch: a partition-last row's true sort successor is
     // the FIRST row of the next NON-EMPTY partition (range partitioning may
     // leave empty partitions — pid±1 arithmetic would silently skip a
@@ -634,7 +694,9 @@ object TextAnalysis {
         greatest(lcp(col("g"), col("_next")),
           lcp(col("g"), col("_prev"))).as("lcp"))
       .groupBy("doc_id").agg(max(col("lcp")).as("lrs"))
-    toks.select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
+    lensOpt
+      .getOrElse(toks.select(col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens")))
       .join(perDoc, Seq("doc_id"), "left")
       .na.fill(0, Seq("lrs"))
       .select(col("doc_id"), col("n_tokens"), col("lrs").cast("int").as("lrs"))

@@ -113,6 +113,13 @@ object VersionedDir {
             // guard is best-effort; correctness never depends on the
             // pointer at all)
             if (head(path) == base + 1) publishHead(path, destName)
+            // stamp the DEMOTION time on the outgoing head: new readers
+            // can only pin a version while it is the head, so age-since-
+            // demotion lower-bounds every vN reader's running time — the
+            // quantity the commit-GC grace period must be measured in
+            // (age-since-staging would under-protect a long-lived head)
+            new File(path, versionName(base)).setLastModified(
+              System.currentTimeMillis()): Unit
             gcVersions(path, Set(destName, versionName(base)))
             done = true
           } catch {
@@ -157,26 +164,49 @@ object VersionedDir {
       }
   }
 
-  /** Drop version dirs other than the just-committed one and its
-    * predecessor (kept for in-flight readers and version diffs). Orphaned
-    * `_stage_*` dirs are NOT swept here: a concurrent writer's live stage
-    * is indistinguishable from a crash orphan at commit time, so those are
-    * left for [[vacuum]], which separates them by age (unreferenced
-    * garbage, never wrong answers, until then).
+  /** Reader grace period: commit-time GC never deletes a version demoted
+    * from head more recently than this, so a long-running probe that
+    * resolved [[currentDir]] survives ANY number of subsequent commits
+    * inside the window — not just one. Under rapid appends (the
+    * streaming-ingest pattern: foreachBatch → append every few seconds)
+    * head−2 was demoted seconds ago when the third commit lands; the
+    * pre-round-13 un-aged GC there deleted files out from under a probe
+    * spanning two commits. Versions that outlive the window are swept by
+    * the NEXT commit or by [[vacuum]]. Test seam: specs shrink it to
+    * exercise the sweep deterministically.
     */
-  private def gcVersions(path: String, keep: Set[String]): Unit =
+  @volatile var commitRetainMillis: Long = 15L * 60 * 1000
+
+  /** Drop version dirs other than the just-committed one, its predecessor
+    * (kept for in-flight readers and version diffs), and anything demoted
+    * from head less than [[commitRetainMillis]] ago (mtime is stamped at
+    * demotion by [[mutate]]; a reader can only newly pin a version while
+    * it is the head, so age-since-demotion lower-bounds every pinned
+    * reader's running time). Orphaned `_stage_*` dirs are NOT swept
+    * here: a concurrent writer's live stage is indistinguishable from a
+    * crash orphan at commit time, so those are left for [[vacuum]], which
+    * separates them by age (unreferenced garbage, never wrong answers,
+    * until then).
+    */
+  private def gcVersions(path: String, keep: Set[String]): Unit = {
+    val now = System.currentTimeMillis()
     Option(new File(path).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.matches(versionRe))
       .filterNot(f => keep(f.getName))
+      .filterNot(f => now - f.lastModified() < commitRetainMillis)
       .foreach(rmTree)
+  }
 
   /** The offline vacuum the protocol docs point at: sweep (a) orphaned
     * `_stage_*` dirs untouched for `olderThanMillis` (a LIVE writer's
     * stage is younger than any sane TTL — Spark touches it while writing;
     * a crash or lost-race orphan only ages), and (b) committed versions
-    * BELOW head−1 (normally GC'd at commit time; they linger only if a
-    * writer crashed between its claim and its GC). Never touches the
-    * head, its predecessor, or any fresh stage — so it is safe to run
+    * BELOW head−1 that were demoted at least `olderThanMillis` ago
+    * (normally GC'd at commit time once the [[commitRetainMillis]] grace
+    * period lapses; they linger only inside that period or if a writer
+    * crashed between its claim and its GC — the age gate keeps vacuum
+    * from undercutting the commit-GC's reader guarantee). Never touches
+    * the head, its predecessor, or any fresh stage — so it is safe to run
     * beside live readers and writers. Returns the deleted dir names.
     */
   def vacuum(path: String, olderThanMillis: Long = 24L * 3600 * 1000): Seq[String] = {
@@ -185,9 +215,8 @@ object VersionedDir {
     val keep = Set(versionName(h), versionName(math.max(h - 1, 0)))
     val victims = Option(new File(path).listFiles()).getOrElse(Array.empty)
       .filter { f =>
-        f.isDirectory && (
-          (f.getName.startsWith("_stage_") &&
-            now - f.lastModified() >= olderThanMillis) ||
+        f.isDirectory && now - f.lastModified() >= olderThanMillis && (
+          f.getName.startsWith("_stage_") ||
           (f.getName.matches(versionRe) && !keep(f.getName)))
       }
     victims.foreach(rmTree)

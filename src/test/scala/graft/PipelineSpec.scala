@@ -414,6 +414,11 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       .getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.matches("v\\d{6}"))
       .map(_.getName).toSet
+    // retain window off: this test pins the GC floor itself (head + head−1
+    // always survive); the reader GRACE period on top of it is
+    // VersionedDirSpec's "pinned reader survives rapid commits" test
+    graft.store.VersionedDir.commitRetainMillis = 0L
+    try {
     Similarity.buildIvfIndex(e, cents,
       col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), path)
     assert(versions() == Set("v000001"))
@@ -439,6 +444,7 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       cents,
       col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), path)
     assert(versions() == Set("v000002", "v000003"), s"got ${versions()}")
+    } finally graft.store.VersionedDir.commitRetainMillis = 15L * 60 * 1000
   }
 
   test("ivf CAS commit: a mutation racing another reruns — exactly one claims each slot, no lost update") {
@@ -471,10 +477,12 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(ids == e.select("vec_id").as[Long].collect().toSet,
       s"lost update: ${e.count() - ids.size} vectors missing")
     // the slots tell the story: v2 = injected winner, v3 = rerun commit
+    // (v1 may linger inside the commit-GC reader grace period)
     val vs = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.matches("v\\d{6}"))
       .map(_.getName).toSet
-    assert(vs == Set("v000002", "v000003"), s"got $vs")
+    assert(Set("v000002", "v000003").subsetOf(vs) && !vs.contains("v000004"),
+      s"got $vs")
     // the audit diff of the FINAL commit is exactly the rerun's batch
     val d = Similarity.diffIvfVersions(path, spark)
       .as[(String, Long, Long)].collect()

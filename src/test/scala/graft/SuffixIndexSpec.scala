@@ -223,6 +223,119 @@ class SuffixIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(got == expected)
   }
 
+  test("skewed appends split the hot bucket; compact rebalances; reads stay exact") {
+    // All batch grams land in ONE key range (docs of only "a" tokens —
+    // the near-duplicate-crawl-shard shape): without the size-triggered
+    // split the lowest bucket would absorb the whole batch and the
+    // O(touched-buckets) contract would silently become one O(corpus)
+    // single-task sort.
+    val base = randomDocs(9, 30, Vector("b", "c", "d", "e", "f", "g"))
+    val rnd = new scala.util.Random(10)
+    val skew = (200L until 240L).map(id =>
+      id -> Seq.fill(15 + rnd.nextInt(10))("a").mkString(" "))
+    val path = s"${tmp()}/sfx"
+    SuffixIndex.build(base.toDF("doc_id", "text"),
+      col("doc_id"), col("text"), path, cap = 8, buckets = 6)
+    val meta = spark.read.parquet(s"${VersionedDir.currentDir(path)}/meta").head()
+    val target = meta.getLong(2)
+    assert(target > 0)
+    def bucketSizes(): Map[Int, Long] =
+      spark.read.parquet(s"${VersionedDir.currentDir(path)}/grams")
+        .groupBy("bucket").count()
+        .as[(Int, Long)].collect().toMap
+    SuffixIndex.append(skew.toDF("doc_id", "text"),
+      col("doc_id"), col("text"), path)
+    val sizes = bucketSizes()
+    // (a) the hot range was split: no bucket holds more than the split
+    // trigger's bound (SplitFactor × target), and the ~800-gram batch is
+    // spread over several sub-buckets instead of one
+    assert(sizes.values.max <= SuffixIndex.SplitFactor.toLong * target,
+      s"max bucket ${sizes.values.max} vs target $target — split did not fire")
+    assert(sizes.size > 6, s"expected split sub-buckets, got ${sizes.keySet}")
+    // (b) bucket id order still equals range order (every consumer of the
+    // edges table relies on it): first-gram sequence sorted by bucket id
+    // must be non-decreasing
+    val edges = spark.read.parquet(s"${VersionedDir.currentDir(path)}/edges")
+      .select("bucket", "first_g").as[(Int, Seq[String])].collect()
+      .sortBy(_._1).map(_._2)
+    val ord = math.Ordering.Implicits.seqOrdering[Seq, String]
+    assert(edges.zip(edges.drop(1)).forall { case (a, b) => ord.lteq(a, b) },
+      "bucket id order diverged from gram range order after the split")
+    // (c) reads stay exact, and the split index keeps working: another
+    // append and a probe against it
+    assert(indexRead(path) == fromScratch(base ++ skew, cap = 8))
+    SuffixIndex.append(Seq((300L, "b c d a a a")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), path)
+    assert(indexRead(path) ==
+      fromScratch(base ++ skew :+ (300L, "b c d a a a"), cap = 8))
+    val probed = SuffixIndex.probeMaxOverlap(spark, path,
+      Seq((400L, "x a a a a y")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"))
+      .as[(Long, Long, Int)].collect().head
+    assert(probed == ((400L, 6L, 4)), s"got $probed")
+    // (d) compact re-derives BALANCED boundaries at the target count: the
+    // skew is spread evenly again, not frozen into the old cuts
+    val out = s"${tmp()}/sfx_rebal"
+    SuffixIndex.compact(spark, path, out)
+    val rebal = spark.read.parquet(s"${VersionedDir.currentDir(out)}/grams")
+      .groupBy("bucket").count().as[(Int, Long)].collect().toMap
+    assert(rebal.size <= 6, s"compact must restore the target count, got ${rebal.size}")
+    val mean = rebal.values.sum.toDouble / rebal.size
+    assert(rebal.values.max <= (3 * mean).ceil.toLong,
+      s"compact left skewed buckets: max ${rebal.values.max} vs mean $mean")
+    assert(SuffixIndex.lrsStats(spark, out)
+      .as[(Long, Long, Int)].collect().toSet ==
+      fromScratch(base ++ skew :+ (300L, "b c d a a a"), cap = 8))
+  }
+
+  test("probe against an index built over an EMPTY corpus returns 0-overlap rows") {
+    val path = s"${tmp()}/sfx"
+    SuffixIndex.build(Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      col("doc_id"), col("text"), path, cap = 4, buckets = 3)
+    val out = SuffixIndex.probeMaxOverlap(spark, path,
+      Seq((1L, "a b c"), (2L, "d")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(out == Set((1L, 3L, 0), (2L, 1L, 0)))
+  }
+
+  test("append emits no delta rows for untouched–untouched boundary pairs") {
+    // Their LCPs are unchanged from the previous version and already
+    // recorded — re-emitting them would grow the perdoc table faster than
+    // the O(touched-buckets) cost model admits.
+    val docs = randomDocs(11, 48, Vector("b", "c", "d", "e", "f", "g"))
+    val path = s"${tmp()}/sfx"
+    SuffixIndex.build(docs.toDF("doc_id", "text"),
+      col("doc_id"), col("text"), path, cap = 8, buckets = 8)
+    val v1 = VersionedDir.currentDir(path)
+    SuffixIndex.append(Seq((99L, "zz zz")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), path)
+    val v2 = VersionedDir.currentDir(path)
+    val newDelta = spark.read.parquet(s"$v2/perdoc")
+      .exceptAll(spark.read.parquet(s"$v1/perdoc"))
+    val oldDocRows = newDelta.filter(col("n_tokens").isNull)
+      .select("doc_id").as[Long].collect().toSet
+    // allowed: docs with grams in a recomputed (merged) bucket, plus edge
+    // docs of boundary pairs adjacent to one
+    val e1 = spark.read.parquet(s"$v1/edges").collect().map(_.toSeq).toSet
+    val e2 = spark.read.parquet(s"$v2/edges").collect()
+    val mergedBuckets = e2.filterNot(r => e1(r.toSeq)).map(_.getInt(0)).toSet
+    assert(mergedBuckets.nonEmpty)
+    val sorted2 = e2.sortBy(_.getInt(0))
+    val boundaryDocs = sorted2.zip(sorted2.drop(1))
+      .filter { case (p, q) =>
+        mergedBuckets(p.getInt(0)) || mergedBuckets(q.getInt(0)) }
+      .flatMap { case (p, q) =>
+        Seq(p.getLong(p.fieldIndex("last_doc")), q.getLong(q.fieldIndex("first_doc"))) }
+      .toSet
+    val mergedDocs = spark.read.parquet(s"$v2/grams")
+      .filter(col("bucket").isin(mergedBuckets.toSeq: _*))
+      .select("doc_id").as[Long].collect().toSet
+    val allowed = mergedDocs ++ boundaryDocs
+    assert(oldDocRows.subsetOf(allowed),
+      s"untouched–untouched pair docs re-emitted: ${oldDocRows -- allowed}")
+  }
+
   test("single-bucket and single-doc degenerate shapes") {
     val path = s"${tmp()}/sfx"
     SuffixIndex.build(Seq((1L, "solo doc here")).toDF("doc_id", "text"),

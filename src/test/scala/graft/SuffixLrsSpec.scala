@@ -119,6 +119,41 @@ class SuffixLrsSpec extends AnyFunSuite with SparkTestBase {
     assert(dbl == once)
   }
 
+  test("size gate: chooseDoubling needs BOTH a large cap and a large corpus") {
+    import TextAnalysis.{chooseDoubling, DoublingCapGate, DoublingSlotGate}
+    // the local regime (sf0.1 measured 2 s sort-once vs 17 s doubling at
+    // cap 64): small corpus and/or small cap stays sort-once
+    assert(!chooseDoubling(16, 1000000000L))       // cap under the crossover
+    assert(!chooseDoubling(DoublingCapGate, Long.MaxValue / 2)) // gate is strict >
+    assert(!chooseDoubling(1024, 250000L))          // tiny corpus, any cap
+    // the Lee et al. regime: hundreds-of-token cap × cluster-scale corpus
+    assert(chooseDoubling(128, 100000000L))         // 128 × 1e8 = 1.28e10 cells
+    assert(chooseDoubling(1024, DoublingSlotGate / 1024 + 1))
+    assert(!chooseDoubling(1024, DoublingSlotGate / 1024)) // at the edge: stay
+  }
+
+  test("size gate: both branches of the gated entry produce identical output") {
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("a", "b", "c", "d")
+    val docs = (1L to 25L).map { id =>
+      val len = 1 + rnd.nextInt(20)
+      id -> Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    def gated(cap: Int, slotGate: Long): Set[(Long, Long, Int)] =
+      TextAnalysis.longestRepeatStats(
+        docs.toDF("doc_id", "text"), col("doc_id"), col("text"), cap,
+        slotGate = slotGate)
+        .as[(Long, Long, Int)].collect().toSet
+    // slotGate 0 forces the doubling branch (cap must still clear the cap
+    // gate); the default keeps this corpus on sort-once — same answer
+    for (cap <- Seq(128, 100)) { // 100: non-power-of-two → round up + clamp
+      val sortOnce = gated(cap, TextAnalysis.DoublingSlotGate)
+      val doubling = gated(cap, 0L)
+      assert(doubling == sortOnce, s"branches diverged at cap=$cap")
+      assert(sortOnce.map(t => (t._1, t._3)) == bruteLrs(docs, cap).toSet)
+    }
+  }
+
   test("single-token corpus and lone duplicated token") {
     // one doc, one token: the only position has no pair partner → lrs 0
     assert(engineLrs(Seq((1L, "solo")), cap = 4) == Map(1L -> (1L, 0)))

@@ -133,15 +133,22 @@ class VersionedDirSpec extends AnyFunSuite with SparkTestBase {
     val mk = (n: Int) => (0 until n).map(i => (s"f${i % 2}", i.toDouble)).toDF("flag", "qty")
     Rollup.build(mk(10), Seq("flag"), Seq("qty"), path) // v1
     Rollup.appendDelta(mk(5), Seq("flag"), Seq("qty"), path) // v2
-    Rollup.appendDelta(mk(5), Seq("flag"), Seq("qty"), path) // v3 (v1 GC'd)
-    // a crashed writer's leftovers: an AGED stage, a FRESH stage (a live
-    // writer mid-flight), and a stranded old version the crash kept GC from
+    Rollup.appendDelta(mk(5), Seq("flag"), Seq("qty"), path) // v3
+    // v1 is head−2 but freshly demoted — inside the commit-GC reader
+    // grace period, so it MUST still be on disk, and a young vacuum must
+    // spare it too
+    val v1 = new java.io.File(path, "v000001")
+    assert(v1.isDirectory,
+      "head−2 inside the reader grace period was GC'd at commit")
+    // a crashed writer's leftovers: an AGED stage and a FRESH stage (a
+    // live writer mid-flight); then age v1 past the TTL — the stranded-
+    // old-version shape vacuum exists to sweep
     val aged = new java.io.File(path, "_stage_dead")
     java.nio.file.Files.createDirectories(aged.toPath)
     assert(aged.setLastModified(System.currentTimeMillis() - 100000L))
     val fresh = new java.io.File(path, "_stage_live")
     java.nio.file.Files.createDirectories(fresh.toPath)
-    java.nio.file.Files.createDirectories(new java.io.File(path, "v000001").toPath)
+    assert(v1.setLastModified(System.currentTimeMillis() - 100000L))
     val want = Rollup.query(spark, path, Seq("flag"), Seq("qty"))
       .orderBy("flag").collect().toSeq
     val swept = VersionedDir.vacuum(path, olderThanMillis = 60000L)
@@ -152,6 +159,42 @@ class VersionedDirSpec extends AnyFunSuite with SparkTestBase {
       "the previous version must survive for in-flight readers")
     assert(Rollup.query(spark, path, Seq("flag"), Seq("qty"))
       .orderBy("flag").collect().toSeq == want)
+  }
+
+  test("pinned reader survives two rapid commits (commit-GC reader grace period)") {
+    // the streaming-ingest pattern the un-aged GC broke: a probe resolves
+    // currentDir, then foreachBatch appends land two commits while the
+    // probe is still running — its files must not vanish under it
+    val path = Files.createTempDirectory("vd_grace").toString + "/r"
+    val mk = (from: Int) =>
+      (from until from + 50).map(i => (s"f${i % 3}", i.toDouble)).toDF("flag", "qty")
+    Rollup.build(mk(0), Seq("flag"), Seq("qty"), path) // v1
+    val pinned = VersionedDir.currentDir(path)
+    // a LAZY frame over the pinned version: nothing read yet, exactly the
+    // long-running-probe shape
+    val reader = spark.read.parquet(pinned)
+    Rollup.appendDelta(mk(50), Seq("flag"), Seq("qty"), path) // v2
+    Rollup.appendDelta(mk(100), Seq("flag"), Seq("qty"), path) // v3: v1 = head−2
+    assert(new java.io.File(pinned).isDirectory,
+      "v1 was GC'd inside the reader grace period")
+    assert(reader.count() == 3L, "the pinned reader failed after two commits")
+  }
+
+  test("grace period lapses: the next commit sweeps an aged demoted version") {
+    val path = Files.createTempDirectory("vd_grace2").toString + "/r"
+    val mk = (from: Int) =>
+      (from until from + 50).map(i => (s"f${i % 3}", i.toDouble)).toDF("flag", "qty")
+    Rollup.build(mk(0), Seq("flag"), Seq("qty"), path) // v1
+    Rollup.appendDelta(mk(50), Seq("flag"), Seq("qty"), path) // v2 (v1 demoted)
+    val v1 = new java.io.File(path, "v000001")
+    // deterministically age v1 past a shrunken window instead of sleeping
+    assert(v1.setLastModified(System.currentTimeMillis() - 120000L))
+    VersionedDir.commitRetainMillis = 60000L
+    try Rollup.appendDelta(mk(100), Seq("flag"), Seq("qty"), path) // v3
+    finally VersionedDir.commitRetainMillis = 15L * 60 * 1000
+    assert(!v1.exists(), "an aged demoted version must be swept at commit")
+    assert(new java.io.File(path, "v000002").isDirectory,
+      "head−1 always survives regardless of age")
   }
 
   test("adoption is metadata-only: carried files share the inode of the previous version's") {
