@@ -230,6 +230,39 @@ object SparkEntry {
         s"$dir/sfx")
     }
 
+  /** Streaming-maintained inverted index: seed with the old corpus
+    * (doc_id < 400), deliver the rest as TWO file-source micro-batches,
+    * each CAS-appended into the postings via `foreachBatch` →
+    * `SearchIndex.appendToIndex` — the text-search sibling of
+    * lrsStreamSetup / the semantic-dedup ingest. Probing the final
+    * committed version must equal the from-scratch full-corpus oracle.
+    */
+  private def searchStreamSetup(s: SparkSession, d: String): String =
+    Setup.dir(s"search_idx_stream:$d") { dir =>
+      val docs = documents(s, d)
+      val idx = s"$dir/idx"
+      graft.pipeline.SearchIndex.buildIndex(
+        docs.filter(col("doc_id") < 400), col("doc_id"), col("text"), idx)
+      val src = s"$dir/src"
+      docs.filter(col("doc_id") >= 400 && col("doc_id") % 2 === 0)
+        .coalesce(1).write.mode("append").parquet(src)
+      Option(new java.io.File(src).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach(f => f.setLastModified(System.currentTimeMillis() - 600000L))
+      docs.filter(col("doc_id") >= 400 && col("doc_id") % 2 =!= 0)
+        .coalesce(1).write.mode("append").parquet(src)
+      val schema = s.read.parquet(src).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.pipeline.SearchIndex.appendToIndex(
+            batch, col("doc_id"), col("text"), idx)
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+
   /** Deletion-maintained inverted index: build over the FULL corpus, then
     * tombstone every doc with doc_id % 7 == 3 via O(batch)
     * `deleteFromIndex` — postings are never rewritten; the probe applies
@@ -781,6 +814,7 @@ object SparkEntry {
     dppSetup(s, d): Unit
     searchIndexSetup(s, d): Unit
     searchIncSetup(s, d): Unit
+    searchStreamSetup(s, d): Unit
     lrsIndexSetup(s, d): Unit
     lrsStreamSetup(s, d): Unit
     lrsCompactSetup(s, d): Unit
@@ -4628,6 +4662,18 @@ object SparkEntry {
     "search_index_delete" -> ((s, d) =>
       graft.pipeline.SearchIndex.bm25Probe(s,
         s"${searchDelSetup(s, d)}/idx", Seq("spark", "query", "vector"),
+        topK = 20)),
+
+    // Streaming ingest (round 13): the batch half of the corpus arrives
+    // as two file-source micro-batches, each CAS-appended into the
+    // postings (foreachBatch → appendToIndex — the text_lrs_stream /
+    // dedup_semdedup_stream discipline applied to text search). Probing
+    // the final committed version hash-matches the SAME from-scratch
+    // full-corpus oracle as search_index_inc: stream → tokenize → append
+    // → versioned commit ≡ one-shot rebuild, by one hash.
+    "search_index_stream" -> ((s, d) =>
+      graft.pipeline.SearchIndex.bm25Probe(s,
+        s"${searchStreamSetup(s, d)}/idx", Seq("spark", "query", "vector"),
         topK = 20)),
 
     // Compaction (round 12): the tombstoned index folded into fresh
@@ -8886,6 +8932,8 @@ object SparkEntry {
     "search_index_probe" ->
       OracleSqlGen.bm25(Seq("spark", "query", "vector"), topK = 20),
     "search_index_inc" ->
+      OracleSqlGen.bm25(Seq("spark", "query", "vector"), topK = 20),
+    "search_index_stream" ->
       OracleSqlGen.bm25(Seq("spark", "query", "vector"), topK = 20),
     "search_index_delete" ->
       OracleSqlGen.bm25(Seq("spark", "query", "vector"), topK = 20,

@@ -600,15 +600,22 @@ object TextAnalysis {
     * physical plan ([[withGlobalNtiles]]-style size gate): the sort-once
     * suffix sort below the gates, [[SuffixArray.longestRepeatStatsDoubling]]
     * above them (rounded up to a power-of-two cap, clamped back — exact
-    * because lrs@cap = min(true lrs, cap)). The gate's corpus-token count
-    * comes from a lens pass the sort-once branch reuses for its final
-    * join, so choosing costs no extra tokenize scan. Output is identical
-    * on either branch (spec-pinned), so callers and oracles never see it.
+    * because lrs@cap = min(true lrs, cap)). Below the cap gate the choice
+    * needs no data statistic at all (measured: the stat pass alone cost
+    * ~0.3 s at sf0.1), so the small-cap path is byte-identical to the
+    * plain sort-once plan; above it, the corpus-token count comes from a
+    * lens pass the sort-once branch reuses for its final join. Output is
+    * identical on either branch (spec-pinned), so callers and oracles
+    * never see it.
     */
   def longestRepeatStats(
       docs: DataFrame, id: Column, text: Column, cap: Int = 16,
       partitions: Int = 32, slotGate: Long = DoublingSlotGate): DataFrame = {
     require(cap >= 1, s"cap must be >= 1, got $cap")
+    // below the cap gate no token count can flip the choice — skip the
+    // lens stat pass entirely and keep the small-cap plan untouched
+    if (cap <= DoublingCapGate)
+      return longestRepeatStatsSortOnce(docs, id, text, cap, partitions)
     val lens = docs
       .select(id.as("doc_id"), size(tokens(text)).cast("long").as("n_tokens"))
       .localCheckpoint(false)
