@@ -607,6 +607,19 @@ class GraphStore(spark: SparkSession, val root: String, numBuckets: Int = 16,
     * immutable files. A crash between link and flip leaves the commit
     * durable-but-unpublished; the next writer's `repairManifest` flips the
     * pointer forward to the history head before pinning its base.
+    *
+    * WHY THIS IS NOT [[VersionedDir]] (the whole-tree CAS every persisted
+    * INDEX rides): same contract — pin → stage-complete → atomic
+    * put-if-absent claim → rerun-on-loss, and CommitProtocolContractSpec
+    * runs one race matrix over both — but different version granularity
+    * by design. Index mutations logically replace the index, so a version
+    * there is the whole tree with hardlink adoption for untouched files;
+    * the store's unit of change is one bucket of one table, so a commit
+    * stages O(touched buckets) dirs and links one manifest line, keeping
+    * point-writes O(1/B of a table) and bucket version history (time
+    * travel, diffs, bucket-granular vacuum) first-class. Folding either
+    * protocol into the other forfeits its granularity; guarantee changes
+    * must keep the shared contract spec green for BOTH.
     */
   // depth lives in the COMPANION keyed by normalized root (like jvmLock):
   // two GraphStore instances over the same root must share one reentrancy

@@ -32,12 +32,28 @@ import java.nio.file.{Files, StandardCopyOption}
   *     them).
   *
   * Readers never block: resolve [[currentDir]] once and read immutable
-  * files — a mutation mid-read is invisible (the old version survives one
-  * commit for in-flight readers; older versions are GC'd). A crash at any
-  * point leaves the committed version byte-identical and at worst an
-  * orphaned stage dir (garbage, never wrong answers). A multi-TABLE index
-  * (e.g. the text index's postings + doclen + tombstones) commits all its
-  * tables in ONE claim — no torn cross-table state.
+  * files — a mutation mid-read is invisible (demoted versions survive for
+  * at least [[commitRetainMillis]] plus one commit; older ones are GC'd).
+  * A crash at any point leaves the committed version byte-identical and
+  * at worst an orphaned stage dir (garbage, never wrong answers). A
+  * multi-TABLE index (e.g. the text index's postings + doclen +
+  * tombstones) commits all its tables in ONE claim — no torn cross-table
+  * state.
+  *
+  * WHY THIS IS NOT GraphStore's commit path (and must not be folded into
+  * it): both enforce the same pin → stage-complete → atomic
+  * put-if-absent claim → rerun-on-loss contract (CommitProtocolContractSpec
+  * runs one race matrix over both), but the version GRANULARITY differs
+  * by design. An index version here is the whole tree — right for
+  * indexes, whose mutations (append/delete/compact) logically replace the
+  * index and whose untouched files carry by O(files) hardlink adoption.
+  * The store's unit of change is one BUCKET of one table: a
+  * single-entity upsert stages O(touched buckets) dirs and flips one
+  * manifest line (GraphStore.scala commitBuckets); as whole-tree versions
+  * it would adopt the entire bucket forest — O(all files) metadata per
+  * point-write — and lose per-bucket version history (time travel, diffs,
+  * bucket-granular vacuum). Changes to either protocol's guarantees must
+  * keep the shared contract spec green for BOTH.
   */
 object VersionedDir {
 
