@@ -521,6 +521,25 @@ object SparkEntry {
       q.processAllAvailable(); q.stop()
     }
 
+  /** Growth-stressed suffix index: built over only 10% of the corpus
+    * (8 deliberately small buckets), then the other 90% appended in one
+    * batch — every bucket blows past the SplitFactor × target_rows
+    * trigger, so the append-side bucket SPLIT fires across the whole key
+    * range (sub-bucket ids inside the 2^16 gaps, edges re-stitched).
+    * Reading it back against the same from-scratch oracle as text_lrs
+    * hash-pins the split path end to end at both SFs.
+    */
+  private def lrsGrowSetup(s: SparkSession, d: String): String =
+    Setup.dir(s"lrs_grow:$d") { dir =>
+      val docs = documents(s, d)
+      graft.pipeline.SuffixIndex.build(
+        docs.filter(col("doc_id") % 10 === 0), col("doc_id"), col("text"),
+        s"$dir/sfx", cap = 16, buckets = 8)
+      graft.pipeline.SuffixIndex.append(
+        docs.filter(col("doc_id") % 10 =!= 0), col("doc_id"), col("text"),
+        s"$dir/sfx")
+    }
+
   /** Suffix index over ONLY the 90% base corpus — the probe target for
     * text_lrs_probe (the held-out 10% must match the corpus, never
     * themselves, so they are NOT ingested here).
@@ -819,6 +838,7 @@ object SparkEntry {
     lrsStreamSetup(s, d): Unit
     lrsCompactSetup(s, d): Unit
     lrsProbeSetup(s, d): Unit
+    lrsGrowSetup(s, d): Unit
     searchDelSetup(s, d): Unit
     phashIncSetup(s, d): Unit
     phashDelSetup(s, d): Unit
@@ -2699,6 +2719,15 @@ object SparkEntry {
     // one hash pins stream -> route -> merge -> versioned append.
     "text_lrs_stream" -> ((s, d) =>
       SuffixIndex.lrsStats(s, s"${lrsStreamSetup(s, d)}/sfx")
+        .orderBy("doc_id")),
+
+    // Split-path sibling of text_lrs_inc (round 13): 10% build + 90%
+    // append drives every bucket past the size trigger, so the read
+    // traverses split sub-buckets and re-stitched edges everywhere —
+    // hash-matching the same from-scratch oracle proves the re-split
+    // machinery exact, not just spec-exercised.
+    "text_lrs_grow" -> ((s, d) =>
+      SuffixIndex.lrsStats(s, s"${lrsGrowSetup(s, d)}/sfx")
         .orderBy("doc_id")),
 
     // Winnowing fingerprints (the MOSS selection rule): per doc, the
@@ -7921,6 +7950,7 @@ object SparkEntry {
     "text_lrs" -> OracleSqlGen.textLrs(16),
     "text_lrs_inc" -> OracleSqlGen.textLrs(16),
     "text_lrs_stream" -> OracleSqlGen.textLrs(16),
+    "text_lrs_grow" -> OracleSqlGen.textLrs(16),
     "text_lrs_compact" -> OracleSqlGen.textLrs(16),
     "text_lrs_probe" -> OracleSqlGen.textLrsProbe(16,
       "doc_id % 10 = 0", "doc_id % 10 <> 0"),
