@@ -378,6 +378,62 @@ object SuffixIndex {
         col("max_overlap").cast("int").as("max_overlap"))
   }
 
+  /** Operational snapshot of a committed index — the inputs a maintenance
+    * scheduler needs, all O(buckets)+O(files) metadata reads (no gram
+    * rows touched): bucket count vs the build target, row balance
+    * (max/mean over the parquet footers' row counts), perdoc delta file
+    * count (grows by ~1 per append until compact folds them), and the
+    * committed version number.
+    */
+  final case class IndexStats(buckets: Int, targetBuckets: Int,
+      maxBucketRows: Long, meanBucketRows: Double, perdocFiles: Int,
+      version: Long) {
+    def imbalance: Double =
+      if (meanBucketRows <= 0) 1.0 else maxBucketRows / meanBucketRows
+  }
+
+  def stats(spark: SparkSession, path: String): IndexStats = {
+    val cur = VersionedDir.currentDir(path)
+    val meta = spark.read.parquet(s"$cur/meta").head()
+    // per-bucket row counts come from parquet FOOTERS (metadata-only — a
+    // count over a parquet scan with no filters/projections is answered
+    // from row-group stats, no data pages read)
+    val perBucket = spark.read.parquet(s"$cur/grams")
+      .groupBy("bucket").count().collect().map(_.getLong(1))
+    val perdocFiles = Option(new java.io.File(s"$cur/perdoc").listFiles())
+      .getOrElse(Array.empty).count(_.getName.endsWith(".parquet"))
+    IndexStats(
+      buckets = perBucket.length,
+      targetBuckets = meta.getInt(1),
+      maxBucketRows = if (perBucket.isEmpty) 0L else perBucket.max,
+      meanBucketRows =
+        if (perBucket.isEmpty) 0.0 else perBucket.sum.toDouble / perBucket.length,
+      perdocFiles = perdocFiles,
+      version = VersionedDir.head(path))
+  }
+
+  /** The maintenance policy, closed over [[stats]]: compact (into
+    * `outPath`, its own CAS-committed root) when read-side costs have
+    * drifted — more than `maxDeltaFiles` perdoc delta files (each append
+    * leaves one; every lrsStats read max-merges all of them), bucket
+    * imbalance past `maxImbalance` (splits bound a bucket at SplitFactor ×
+    * target between compacts; compact re-centers everything), or bucket
+    * count drifted `maxBucketDrift`× past the build target (each split
+    * adds a task to every subsequent append's neighbor pass). Returns
+    * whether a compact ran — a no-op on a healthy index, so schedulers
+    * can call it unconditionally after ingest batches.
+    */
+  def maintainIfNeeded(spark: SparkSession, path: String, outPath: String,
+      maxDeltaFiles: Int = 16, maxImbalance: Double = 8.0,
+      maxBucketDrift: Double = 4.0): Boolean = {
+    val s = stats(spark, path)
+    val due = s.perdocFiles > maxDeltaFiles ||
+      s.imbalance > maxImbalance ||
+      s.buckets > maxBucketDrift * math.max(s.targetBuckets, 1)
+    if (due) compact(spark, path, outPath)
+    due
+  }
+
   // ── internals ──────────────────────────────────────────────────────────
 
   private[pipeline] def cappedSuffixes(

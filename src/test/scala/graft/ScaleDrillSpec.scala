@@ -229,4 +229,72 @@ class ScaleDrillSpec extends AnyFunSuite with SparkTestBase {
       s"within-cell candidates grew $c1 -> $c2 (${f"$ratio%.1f"}x) over a " +
         "10x corpus with 10x centroids — expected near-linear (5x-20x)")
   }
+
+  test("SuffixIndex drill: bucket sizes stay bounded through repeated skewed appends; a point append stays O(its key range)") {
+    import spark.implicits._
+    import graft.pipeline.SuffixIndex
+    import graft.store.VersionedDir
+    // The split invariant that keeps the index 100 TB-viable: the
+    // per-bucket merge is ONE task sorting O(bucket) rows, so the
+    // O(touched-buckets) append contract only holds if NO sequence of
+    // appends can grow a bucket unboundedly. Four successive batches all
+    // landing in one narrow key range ("a…" docs — the adjacent crawl-
+    // shard shape) must leave max bucket ≤ SplitFactor × target + batch
+    // slack after EVERY append, and a subsequent single-doc append must
+    // rewrite only the few buckets its grams route to.
+    def skewDoc(id: Long): String =
+      (0 until 30).map(j => "a" + math.floorMod(mix(id * 17 + j), 40))
+        .mkString(" ")
+    val base = (0L until 400L)
+      .map(i => (i, docText(i))).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("sfx_drill")
+      .toString + "/sfx"
+    SuffixIndex.build(base, col("doc_id"), col("text"), path,
+      cap = 8, buckets = 16)
+    val target = spark.read.parquet(s"${VersionedDir.currentDir(path)}/meta")
+      .head().getLong(2)
+    def maxBucket(): Long =
+      spark.read.parquet(s"${VersionedDir.currentDir(path)}/grams")
+        .groupBy("bucket").count().agg(max("count")).as[Long].collect().head
+    val batchRows = 300L * 30 // grams per skewed batch (upper bound)
+    for (b <- 0 until 4) {
+      val batch = (0L until 300L)
+        .map(i => (10000L + b * 1000 + i, skewDoc(b * 1000 + i)))
+        .toDF("doc_id", "text")
+      SuffixIndex.append(batch, col("doc_id"), col("text"), path)
+      val m = maxBucket()
+      // a bucket can legitimately sit at the trigger plus one un-split
+      // batch's routed rows; what it must never do is accumulate MULTIPLE
+      // batches (the pre-split failure mode grew ~batch × appends)
+      assert(m <= SuffixIndex.SplitFactor * target + batchRows,
+        s"append ${b + 1}: max bucket $m vs target $target — splits not holding")
+    }
+    // O(touched) point append: a NARROW doc (one repeated token — all its
+    // grams share one key range) must rewrite only the few buckets that
+    // range maps to; count rewritten (non-hardlinked) bucket dirs
+    val vBefore = VersionedDir.currentDir(path)
+    SuffixIndex.append(
+      Seq((99999L, Seq.fill(30)("a0").mkString(" "))).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), path)
+    val vAfter = VersionedDir.currentDir(path)
+    def ino(f: java.io.File): Any =
+      java.nio.file.Files.getAttribute(f.toPath, "unix:ino")
+    val rewritten = new java.io.File(s"$vAfter/grams").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      .count { nb =>
+        val ob = new java.io.File(s"$vBefore/grams/${nb.getName}")
+        !ob.isDirectory || {
+          val op = ob.listFiles().filter(_.getName.startsWith("part-"))
+          op.isEmpty || !op.forall { p =>
+            val np = new java.io.File(nb, p.getName)
+            np.exists() && ino(np) == ino(p)
+          }
+        }
+      }
+    val total = new java.io.File(s"$vAfter/grams").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("bucket="))
+    assert(rewritten <= 8,
+      s"single-doc narrow append rewrote $rewritten of $total buckets — " +
+        "touched-bucket pruning lost")
+  }
 }

@@ -336,6 +336,35 @@ class SuffixIndexSpec extends AnyFunSuite with SparkTestBase {
       s"untouched–untouched pair docs re-emitted: ${oldDocRows -- allowed}")
   }
 
+  test("stats + maintainIfNeeded: drifted index compacts, healthy index is a no-op") {
+    val docs = randomDocs(12, 60, Vector("a", "b", "c", "d", "e"))
+    val base = docs.filter(_._1 <= 6)      // ~10%: appends will blow past target
+    val rest = docs.filter(_._1 > 6)
+    val path = s"${tmp()}/sfx"
+    SuffixIndex.build(base.toDF("doc_id", "text"),
+      col("doc_id"), col("text"), path, cap = 8, buckets = 4)
+    SuffixIndex.append(rest.toDF("doc_id", "text"),
+      col("doc_id"), col("text"), path)
+    val s1 = SuffixIndex.stats(spark, path)
+    assert(s1.targetBuckets == 4 && s1.version == 2)
+    assert(s1.buckets > 4, "the growth append should have split buckets")
+    // bucket drift past 4x target => maintenance is due and compacts
+    val out = s"${tmp()}/sfx_m"
+    val ran = SuffixIndex.maintainIfNeeded(spark, path, out,
+      maxBucketDrift = (s1.buckets.toDouble / 4) - 0.1)
+    assert(ran, "drifted index must trigger a compact")
+    val s2 = SuffixIndex.stats(spark, out)
+    assert(s2.buckets <= 4 && s2.perdocFiles <= 4 && s2.imbalance < 3.0,
+      s"compact left an unhealthy index: $s2")
+    assert(SuffixIndex.lrsStats(spark, out)
+      .as[(Long, Long, Int)].collect().toSet == fromScratch(docs, cap = 8))
+    // the compacted index is healthy: a second call must be a no-op
+    val out2 = s"${tmp()}/sfx_m2"
+    assert(!SuffixIndex.maintainIfNeeded(spark, out, out2))
+    assert(!new java.io.File(out2).exists() ||
+      VersionedDir.head(out2) == 0, "no-op must not commit anything")
+  }
+
   test("single-bucket and single-doc degenerate shapes") {
     val path = s"${tmp()}/sfx"
     SuffixIndex.build(Seq((1L, "solo doc here")).toDF("doc_id", "text"),
