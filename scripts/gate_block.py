@@ -28,15 +28,19 @@ def from_verify(sf_dir: str, out_dir: str) -> tuple[int, int, int]:
     proc = subprocess.run(
         [sys.executable, "scripts/local_verify.py", sf_dir, out_dir],
         capture_output=True, text=True)
-    hash_ok = band_ok = fail = 0
+    # one query = one row, the driver's counting: a query with BOTH an
+    # oracle row and an in-engine band check (e.g. q_approx_topk) counts
+    # once, as hash-verified
+    hash_ok, band_ok, fail = set(), set(), set()
     for line in proc.stdout.splitlines():
-        if line.startswith("band ok"):
-            band_ok += 1
-        elif line.startswith("band FAIL") or line.startswith("FAIL"):
-            fail += 1
-        elif line.startswith("ok "):
-            hash_ok += 1
-    return hash_ok, band_ok, fail
+        m = re.match(r"(ok|band ok|FAIL|band FAIL)\s+(\S+?):?\s", line + " ")
+        if not m:
+            continue
+        kind, name = m.group(1), m.group(2).rstrip(":")
+        {"ok": hash_ok, "band ok": band_ok,
+         "FAIL": fail, "band FAIL": fail}[kind].add(name)
+    band_only = band_ok - hash_ok - fail
+    return len(hash_ok - fail), len(band_only), len(fail)
 
 
 def from_correctness(path: str) -> tuple[int, int, int]:
