@@ -39,6 +39,14 @@ def from_verify(sf_dir: str, out_dir: str) -> tuple[int, int, int]:
         kind, name = m.group(1), m.group(2).rstrip(":")
         {"ok": hash_ok, "band ok": band_ok,
          "FAIL": fail, "band FAIL": fail}[kind].add(name)
+    if not (hash_ok or band_ok or fail):
+        # a broken verify run (bad path, missing oracle_sql.json, duckdb
+        # crash) must never yield a pasteable "0 declared, 0 fail" block
+        sys.stderr.write(
+            "gate_block: local_verify.py produced no per-query lines "
+            f"(rc={proc.returncode}) — nothing to derive a gate from.\n"
+            + proc.stderr[-2000:])
+        sys.exit(2)
     band_only = band_ok - hash_ok - fail
     return len(hash_ok - fail), len(band_only), len(fail)
 
@@ -46,9 +54,16 @@ def from_verify(sf_dir: str, out_dir: str) -> tuple[int, int, int]:
 def from_correctness(path: str) -> tuple[int, int, int]:
     data = json.load(open(path))
     rows = data.get("queries", data)  # driver wraps or doesn't
+    if not rows:
+        sys.stderr.write(f"gate_block: {path} holds no query rows.\n")
+        sys.exit(2)
     hash_ok = band_ok = fail = 0
     for _, r in sorted(rows.items()):
         if r.get("err") == "no_oracle":
+            # the driver artifact records only "no oracle declared", not
+            # the in-engine band verdicts — those live in the Verify
+            # dump's band_checks.json (use the `verify` mode to check
+            # them); flagged in the output so the blindness is explicit
             band_ok += 1
         elif r.get("hash_match") and r.get("rows_match") and r.get("schema_match"):
             hash_ok += 1
@@ -74,6 +89,10 @@ def main() -> None:
           f"DuckDB-oracle hash-matched + {band_ok} band-checked by the "
           f"declared contract, {fail} fail** "
           f"(derived by scripts/gate_block.py from {source}, {today}).")
+    if mode == "correctness" and band_ok:
+        print(f"  (the driver artifact does not record in-engine band "
+          f"verdicts for the {band_ok} banded rows — `verify` mode reads "
+          f"band_checks.json and does)")
     if fail:
         print(f"  !! {fail} FAILURES — do not ship this block; fix them.")
     sys.exit(1 if fail else 0)

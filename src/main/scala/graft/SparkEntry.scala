@@ -243,24 +243,13 @@ object SparkEntry {
       val idx = s"$dir/idx"
       graft.pipeline.SearchIndex.buildIndex(
         docs.filter(col("doc_id") < 400), col("doc_id"), col("text"), idx)
-      val src = s"$dir/src"
-      docs.filter(col("doc_id") >= 400 && col("doc_id") % 2 === 0)
-        .coalesce(1).write.mode("append").parquet(src)
-      Option(new java.io.File(src).listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.endsWith(".parquet"))
-        .foreach(f => f.setLastModified(System.currentTimeMillis() - 600000L))
-      docs.filter(col("doc_id") >= 400 && col("doc_id") % 2 =!= 0)
-        .coalesce(1).write.mode("append").parquet(src)
-      val schema = s.read.parquet(src).schema
-      val q = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(src)
-        .writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+      streamTwoBatches(s, s"$dir/src",
+        docs.filter(col("doc_id") >= 400 && col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") >= 400 && col("doc_id") % 2 =!= 0)) {
+        batch =>
           graft.pipeline.SearchIndex.appendToIndex(
             batch, col("doc_id"), col("text"), idx)
-        }
-        .start()
-      q.processAllAvailable(); q.stop()
+      }
     }
 
   /** Deletion-maintained inverted index: build over the FULL corpus, then
@@ -478,6 +467,32 @@ object SparkEntry {
         s"$dir/ivf")
     }
 
+  /** The shared scaffold of every streaming-ingest setup (semantic dedup,
+    * suffix index, text inverted index): deliver `first` then `second` as
+    * two ORDERED file-source micro-batches from `srcDir` and run `onBatch`
+    * per micro-batch. Each batch is written as exactly one file
+    * (coalesce(1)); the first file is pinned strictly earlier — but inside
+    * the file source's maxFileAge horizon — so `maxFilesPerTrigger = 1`
+    * replays the ingest in order. The fragile parts (the one-file-per-
+    * batch assumption, the mtime backdating, the schema snapshot, the
+    * trigger discipline) live HERE once, not in each setup.
+    */
+  private def streamTwoBatches(s: SparkSession, srcDir: String,
+      first: DataFrame, second: DataFrame)(onBatch: DataFrame => Unit): Unit = {
+    first.coalesce(1).write.mode("append").parquet(srcDir)
+    Option(new java.io.File(srcDir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
+      .foreach(f => f.setLastModified(System.currentTimeMillis() - 600000L))
+    second.coalesce(1).write.mode("append").parquet(srcDir)
+    val schema = s.read.parquet(srcDir).schema
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) => onBatch(batch) }
+      .start()
+    q.processAllAvailable(); q.stop()
+  }
+
   /** Streaming SemDeDup ingest, end to end: the IVF index is seeded with
     * the old corpus (vec_id < 400), then the rest arrives as TWO
     * micro-batches ([400,450) then [450,∞)) through a real file-source
@@ -494,31 +509,18 @@ object SparkEntry {
       val idx = s"$dir/ivf"
       Similarity.buildIvfIndex(e.filter(col("vec_id") < 400), cents,
         col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), idx)
-      val src = s"$dir/src"
-      e.filter(col("vec_id") >= 400 && col("vec_id") < 450)
-        .coalesce(1).write.mode("append").parquet(src)
-      // pin the first file strictly earlier (but inside the source's
-      // maxFileAge horizon) so maxFilesPerTrigger=1 replays the ingest in
-      // id order — the append-only invariant semDedupIncremental rides
-      Option(new java.io.File(src).listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.endsWith(".parquet"))
-        .foreach(f => f.setLastModified(System.currentTimeMillis() - 600000L))
-      e.filter(col("vec_id") >= 450)
-        .coalesce(1).write.mode("append").parquet(src)
-      val schema = s.read.parquet(src).schema
-      val q = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(src)
-        .writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          Dedup.semDedupIncremental(batch, col("vec_id"), col("embedding"),
-              idx, cents, col("vec_id"), col("embedding"), threshold = 0.45)
-            .write.mode("append").parquet(s"$dir/verdicts")
-          Similarity.appendToIvfIndex(batch, cents,
-            col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
-            idx): Unit
-        }
-        .start()
-      q.processAllAvailable(); q.stop()
+      // batch order matters here: the append-only invariant
+      // semDedupIncremental rides requires ids to arrive in order
+      streamTwoBatches(s, s"$dir/src",
+        e.filter(col("vec_id") >= 400 && col("vec_id") < 450),
+        e.filter(col("vec_id") >= 450)) { batch =>
+        Dedup.semDedupIncremental(batch, col("vec_id"), col("embedding"),
+            idx, cents, col("vec_id"), col("embedding"), threshold = 0.45)
+          .write.mode("append").parquet(s"$dir/verdicts")
+        Similarity.appendToIvfIndex(batch, cents,
+          col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+          idx): Unit
+      }
     }
 
   /** Growth-stressed suffix index: built over only 10% of the corpus
@@ -575,24 +577,13 @@ object SparkEntry {
       graft.pipeline.SuffixIndex.build(
         docs.filter(col("doc_id") % 10 =!= 0), col("doc_id"), col("text"),
         idx, cap = 16)
-      val src = s"$dir/src"
-      docs.filter(col("doc_id") % 10 === 0 && col("doc_id") % 20 === 0)
-        .coalesce(1).write.mode("append").parquet(src)
-      Option(new java.io.File(src).listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.endsWith(".parquet"))
-        .foreach(f => f.setLastModified(System.currentTimeMillis() - 600000L))
-      docs.filter(col("doc_id") % 10 === 0 && col("doc_id") % 20 =!= 0)
-        .coalesce(1).write.mode("append").parquet(src)
-      val schema = s.read.parquet(src).schema
-      val q = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(src)
-        .writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+      streamTwoBatches(s, s"$dir/src",
+        docs.filter(col("doc_id") % 10 === 0 && col("doc_id") % 20 === 0),
+        docs.filter(col("doc_id") % 10 === 0 && col("doc_id") % 20 =!= 0)) {
+        batch =>
           graft.pipeline.SuffixIndex.append(
             batch, col("doc_id"), col("text"), idx)
-        }
-        .start()
-      q.processAllAvailable(); q.stop()
+      }
     }
 
   /** Merge-maintained IVF index: two indexes built INDEPENDENTLY over

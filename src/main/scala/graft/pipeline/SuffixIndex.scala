@@ -137,10 +137,16 @@ object SuffixIndex {
       // cuts inside equal-gram runs; the boundary stitch covers those.
       // The one-off single-bucket row_number sort is bounded by the
       // trigger itself (≤ SplitFactor × target + batch); skipping the
-      // split would let the bucket grow without bound instead.
-      val target = math.max(if (meta.length > 2) meta.getLong(2) else 0L, 1L)
-      val sizes = mergedBase.groupBy("bucket").count().collect()
-        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      // split would let the bucket grow without bound instead. A
+      // non-positive target (a build whose corpus was smaller than its
+      // bucket count, or a pre-target legacy meta) DISABLES splitting —
+      // the safe fallback is never-split-until-compact, not
+      // split-every-bucket-into-singleton-rows.
+      val target = if (meta.length > 2) meta.getLong(2) else 0L
+      val sizes =
+        if (target < 1) Map.empty[Int, Long]
+        else mergedBase.groupBy("bucket").count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
       val allIds = oldEdges.map(_.bucket).sorted
       def nextId(b: Int): Int =
         allIds.find(_ > b).getOrElse(allIds.lastOption.getOrElse(0) + BucketGap)
@@ -164,16 +170,24 @@ object SuffixIndex {
               StructField("_pp", DoubleType))))
           val wB = Window.partitionBy("bucket")
             .orderBy(col("g"), col("doc_id"), col("i"))
-          mergedBase
+          // only the SPLITTING buckets pay the window re-sort; the rest of
+          // the touched set passes through with its checkpointed layout
+          // (union of two checkpoint-derived branches — no extra shuffle)
+          val splitIds = splits.keySet.toSeq
+          val rebucketed = mergedBase
+            .filter(col("bucket").isin(splitIds: _*))
             .join(broadcast(planDf), Seq("bucket"), "left")
             .withColumn("_rn", row_number().over(wB))
             .withColumn("_sub", least(
               floor((col("_rn").cast("double") - 1) / col("_pp")).cast("long"),
               col("_m") - 1))
             .select(col("doc_id"), col("i"), col("g"),
-              when(col("_m").isNull, col("bucket"))
-                .otherwise(col("bucket") + col("_sub") * col("_step"))
+              (col("bucket") + col("_sub") * col("_step"))
                 .cast("int").as("bucket"))
+          mergedBase
+            .filter(!col("bucket").isin(splitIds: _*))
+            .select("doc_id", "i", "g", "bucket")
+            .unionByName(rebucketed)
             .localCheckpoint(false)
         }
       merged.write.partitionBy("bucket").parquet(s"$stage/grams")
@@ -253,8 +267,17 @@ object SuffixIndex {
     // `lrsStats(spark, path)` call here would re-resolve the head at read
     // time, so an append racing the compaction could hand us v(N+1) perdoc
     // rows beside vN grams: a doc with an lrs row but no substrings.
-    val cur = VersionedDir.currentDir(path)
-    VersionedDir.mutate(outPath) { (_, _) =>
+    // Cross-root compacts pin OUTSIDE the transaction (snapshot
+    // semantics: the output is a compaction of the version that existed
+    // when the call started); an IN-PLACE compact (outPath == path) must
+    // pin INSIDE it — on a lost CAS against a racing append the rerun
+    // has to re-pin the append's head, or the compacted version would
+    // silently drop the appended rows.
+    val inPlace = new java.io.File(outPath).getCanonicalPath ==
+      new java.io.File(path).getCanonicalPath
+    val pinned = if (inPlace) null else VersionedDir.currentDir(path)
+    VersionedDir.mutate(outPath) { (_, curOut) =>
+      val cur = if (inPlace) curOut else pinned
       val stage = VersionedDir.stageDir(outPath)
       val meta = spark.read.parquet(s"$cur/meta").head()
       val cap = meta.getInt(0)
@@ -395,11 +418,22 @@ object SuffixIndex {
   def stats(spark: SparkSession, path: String): IndexStats = {
     val cur = VersionedDir.currentDir(path)
     val meta = spark.read.parquet(s"$cur/meta").head()
-    // per-bucket row counts come from parquet FOOTERS (metadata-only — a
-    // count over a parquet scan with no filters/projections is answered
-    // from row-group stats, no data pages read)
-    val perBucket = spark.read.parquet(s"$cur/grams")
-      .groupBy("bucket").count().collect().map(_.getLong(1))
+    // per-bucket row counts read directly from parquet FOOTERS — genuine
+    // O(files) driver-side metadata (a Spark groupBy-count would launch a
+    // full scan job per call; Spark 4 has no metadata-only rule for
+    // grouped counts), so a scheduler can afford stats() per ingest batch
+    val conf = spark.sparkContext.hadoopConfiguration
+    def fileRows(f: java.io.File): Long = {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+      try r.getRecordCount finally r.close()
+    }
+    val perBucket = Option(new java.io.File(s"$cur/grams").listFiles())
+      .getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("bucket="))
+      .map(_.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(fileRows).sum)
     val perdocFiles = Option(new java.io.File(s"$cur/perdoc").listFiles())
       .getOrElse(Array.empty).count(_.getName.endsWith(".parquet"))
     IndexStats(
@@ -412,25 +446,31 @@ object SuffixIndex {
       version = VersionedDir.head(path))
   }
 
-  /** The maintenance policy, closed over [[stats]]: compact (into
-    * `outPath`, its own CAS-committed root) when read-side costs have
-    * drifted — more than `maxDeltaFiles` perdoc delta files (each append
-    * leaves one; every lrsStats read max-merges all of them), bucket
-    * imbalance past `maxImbalance` (splits bound a bucket at SplitFactor ×
-    * target between compacts; compact re-centers everything), or bucket
-    * count drifted `maxBucketDrift`× past the build target (each split
-    * adds a task to every subsequent append's neighbor pass). Returns
-    * whether a compact ran — a no-op on a healthy index, so schedulers
-    * can call it unconditionally after ingest batches.
+  /** The maintenance policy, closed over [[stats]]: compact when
+    * read-side costs have drifted — more than `maxDeltaFiles` perdoc
+    * delta files (each append leaves one; every lrsStats read max-merges
+    * all of them), bucket imbalance past `maxImbalance` (splits bound a
+    * bucket at SplitFactor × target between compacts; compact re-centers
+    * everything), or bucket count drifted `maxBucketDrift`× past the
+    * build target (each split adds a task to every subsequent append's
+    * neighbor pass). Compaction is IN PLACE by default (a new version of
+    * the same root, CAS-safe against racing appends), so the index a
+    * scheduler keeps appending into is the one that gets healed and the
+    * trigger actually resets; pass `outPath` to compact into a separate
+    * root instead — but then the CALLER must switch subsequent appends
+    * to it, or the source index stays due forever. Returns whether a
+    * compact ran — a no-op on a healthy index, so schedulers can call it
+    * unconditionally after ingest batches ([[stats]] is O(files) footer
+    * reads, no Spark job).
     */
-  def maintainIfNeeded(spark: SparkSession, path: String, outPath: String,
-      maxDeltaFiles: Int = 16, maxImbalance: Double = 8.0,
-      maxBucketDrift: Double = 4.0): Boolean = {
+  def maintainIfNeeded(spark: SparkSession, path: String,
+      outPath: String = null, maxDeltaFiles: Int = 16,
+      maxImbalance: Double = 8.0, maxBucketDrift: Double = 4.0): Boolean = {
     val s = stats(spark, path)
     val due = s.perdocFiles > maxDeltaFiles ||
       s.imbalance > maxImbalance ||
       s.buckets > maxBucketDrift * math.max(s.targetBuckets, 1)
-    if (due) compact(spark, path, outPath)
+    if (due) compact(spark, path, Option(outPath).getOrElse(path))
     due
   }
 

@@ -129,13 +129,6 @@ object VersionedDir {
             // guard is best-effort; correctness never depends on the
             // pointer at all)
             if (head(path) == base + 1) publishHead(path, destName)
-            // stamp the DEMOTION time on the outgoing head: new readers
-            // can only pin a version while it is the head, so age-since-
-            // demotion lower-bounds every vN reader's running time — the
-            // quantity the commit-GC grace period must be measured in
-            // (age-since-staging would under-protect a long-lived head)
-            new File(path, versionName(base)).setLastModified(
-              System.currentTimeMillis()): Unit
             gcVersions(path, Set(destName, versionName(base)))
             done = true
           } catch {
@@ -193,24 +186,37 @@ object VersionedDir {
     */
   @volatile var commitRetainMillis: Long = 15L * 60 * 1000
 
+  /** vK's demotion time = the commit time of its oldest surviving
+    * SUCCESSOR version ≈ that dir's mtime (staging writes touch the stage
+    * dir's mtime up through the `_COMMIT` marker written immediately
+    * before the claim move, and the move preserves it). Crash-safe by
+    * construction — the successor exists iff the demotion happened, so no
+    * commit-time stamp is needed and a writer dying mid-commit can't
+    * leave a long-lived ex-head looking old. If an intermediate version
+    * was already GC'd, the next survivor's (later) commit time stands in
+    * — conservative, never early. No successor ⇒ vK is the head ⇒ always
+    * kept.
+    */
+  private def demotedAt(sortedVersions: Seq[File], idx: Int, now: Long): Long =
+    sortedVersions.drop(idx + 1).headOption.map(_.lastModified()).getOrElse(now)
+
   /** Drop version dirs other than the just-committed one, its predecessor
     * (kept for in-flight readers and version diffs), and anything demoted
-    * from head less than [[commitRetainMillis]] ago (mtime is stamped at
-    * demotion by [[mutate]]; a reader can only newly pin a version while
-    * it is the head, so age-since-demotion lower-bounds every pinned
-    * reader's running time). Orphaned `_stage_*` dirs are NOT swept
-    * here: a concurrent writer's live stage is indistinguishable from a
-    * crash orphan at commit time, so those are left for [[vacuum]], which
-    * separates them by age (unreferenced garbage, never wrong answers,
-    * until then).
+    * from head less than [[commitRetainMillis]] ago ([[demotedAt]]; a
+    * reader can only newly pin a version while it is the head, so
+    * age-since-demotion lower-bounds every pinned reader's running time).
+    * Orphaned `_stage_*` dirs are NOT swept here: a concurrent writer's
+    * live stage is indistinguishable from a crash orphan at commit time,
+    * so those are left for [[vacuum]], which separates them by age
+    * (unreferenced garbage, never wrong answers, until then).
     */
   private def gcVersions(path: String, keep: Set[String]): Unit = {
     val now = System.currentTimeMillis()
-    Option(new File(path).listFiles()).getOrElse(Array.empty)
+    val vs = Option(new File(path).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.matches(versionRe))
-      .filterNot(f => keep(f.getName))
-      .filterNot(f => now - f.lastModified() < commitRetainMillis)
-      .foreach(rmTree)
+      .sortBy(_.getName).toSeq
+    for (i <- vs.indices; f = vs(i) if !keep(f.getName))
+      if (now - demotedAt(vs, i, now) >= commitRetainMillis) rmTree(f)
   }
 
   /** The offline vacuum the protocol docs point at: sweep (a) orphaned
@@ -229,12 +235,17 @@ object VersionedDir {
     val now = System.currentTimeMillis()
     val h = head(path)
     val keep = Set(versionName(h), versionName(math.max(h - 1, 0)))
-    val victims = Option(new File(path).listFiles()).getOrElse(Array.empty)
-      .filter { f =>
-        f.isDirectory && now - f.lastModified() >= olderThanMillis && (
-          f.getName.startsWith("_stage_") ||
-          (f.getName.matches(versionRe) && !keep(f.getName)))
-      }
+    val entries = Option(new File(path).listFiles()).getOrElse(Array.empty)
+    val stageVictims = entries.filter(f => f.isDirectory &&
+      f.getName.startsWith("_stage_") &&
+      now - f.lastModified() >= olderThanMillis)
+    val vs = entries.filter(f => f.isDirectory && f.getName.matches(versionRe))
+      .sortBy(_.getName).toSeq
+    val versionVictims = vs.indices.collect {
+      case i if !keep(vs(i).getName) &&
+        now - demotedAt(vs, i, now) >= olderThanMillis => vs(i)
+    }
+    val victims = stageVictims ++ versionVictims
     victims.foreach(rmTree)
     victims.map(_.getName).toSeq.sorted
   }

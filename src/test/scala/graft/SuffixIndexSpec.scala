@@ -336,7 +336,7 @@ class SuffixIndexSpec extends AnyFunSuite with SparkTestBase {
       s"untouched–untouched pair docs re-emitted: ${oldDocRows -- allowed}")
   }
 
-  test("stats + maintainIfNeeded: drifted index compacts, healthy index is a no-op") {
+  test("stats + maintainIfNeeded: drifted index heals IN PLACE; the trigger resets; healthy index is a no-op") {
     val docs = randomDocs(12, 60, Vector("a", "b", "c", "d", "e"))
     val base = docs.filter(_._1 <= 6)      // ~10%: appends will blow past target
     val rest = docs.filter(_._1 > 6)
@@ -348,21 +348,52 @@ class SuffixIndexSpec extends AnyFunSuite with SparkTestBase {
     val s1 = SuffixIndex.stats(spark, path)
     assert(s1.targetBuckets == 4 && s1.version == 2)
     assert(s1.buckets > 4, "the growth append should have split buckets")
-    // bucket drift past 4x target => maintenance is due and compacts
-    val out = s"${tmp()}/sfx_m"
-    val ran = SuffixIndex.maintainIfNeeded(spark, path, out,
+    // bucket drift past the threshold => maintenance is due; the default
+    // compacts IN PLACE (a new version of the same root), so the index
+    // the scheduler keeps appending into is the one that heals
+    val ran = SuffixIndex.maintainIfNeeded(spark, path,
       maxBucketDrift = (s1.buckets.toDouble / 4) - 0.1)
     assert(ran, "drifted index must trigger a compact")
-    val s2 = SuffixIndex.stats(spark, out)
+    val s2 = SuffixIndex.stats(spark, path)
+    assert(s2.version == 3, "in-place compact must commit a new version")
     assert(s2.buckets <= 4 && s2.perdocFiles <= 4 && s2.imbalance < 3.0,
       s"compact left an unhealthy index: $s2")
-    assert(SuffixIndex.lrsStats(spark, out)
-      .as[(Long, Long, Int)].collect().toSet == fromScratch(docs, cap = 8))
-    // the compacted index is healthy: a second call must be a no-op
-    val out2 = s"${tmp()}/sfx_m2"
-    assert(!SuffixIndex.maintainIfNeeded(spark, out, out2))
-    assert(!new java.io.File(out2).exists() ||
-      VersionedDir.head(out2) == 0, "no-op must not commit anything")
+    assert(indexRead(path) == fromScratch(docs, cap = 8))
+    // the trigger RESET: calling again (the scheduler's unconditional
+    // per-batch call) is now a no-op — no version committed
+    assert(!SuffixIndex.maintainIfNeeded(spark, path,
+      maxBucketDrift = (s1.buckets.toDouble / 4) - 0.1))
+    assert(VersionedDir.head(path) == 3, "no-op must not commit anything")
+    // and the healed index keeps taking appends
+    SuffixIndex.append(Seq((500L, "a b c d e")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), path)
+    assert(indexRead(path) == fromScratch(docs :+ (500L, "a b c d e"), cap = 8))
+  }
+
+  test("in-place compact racing an append: the CAS rerun re-pins the append's rows") {
+    // The in-place form must pin its source INSIDE the transaction: a
+    // compact staged against v1 that loses the slot to a racing append
+    // (v2) would otherwise commit a v3 compacted from v1 — silently
+    // dropping the appended docs.
+    val docs = randomDocs(14, 30, Vector("a", "b", "c", "d"))
+    val batch = Seq((900L, "a d c b a d"))
+    val path = s"${tmp()}/sfx"
+    SuffixIndex.build(docs.toDF("doc_id", "text"),
+      col("doc_id"), col("text"), path, cap = 8, buckets = 4)
+    var injected = false
+    VersionedDir.preCommitHook = { p =>
+      if (!injected && p == path) {
+        injected = true
+        SuffixIndex.append(batch.toDF("doc_id", "text"),
+          col("doc_id"), col("text"), path)
+      }
+    }
+    try SuffixIndex.compact(spark, path, path)
+    finally VersionedDir.preCommitHook = _ => ()
+    assert(injected)
+    assert(VersionedDir.head(path) == 3) // build, racing append, compact rerun
+    assert(indexRead(path) == fromScratch(docs ++ batch, cap = 8),
+      "the in-place compact dropped the racing append's rows")
   }
 
   test("single-bucket and single-doc degenerate shapes") {

@@ -141,14 +141,17 @@ class VersionedDirSpec extends AnyFunSuite with SparkTestBase {
     assert(v1.isDirectory,
       "head−2 inside the reader grace period was GC'd at commit")
     // a crashed writer's leftovers: an AGED stage and a FRESH stage (a
-    // live writer mid-flight); then age v1 past the TTL — the stranded-
-    // old-version shape vacuum exists to sweep
+    // live writer mid-flight); then age v1's DEMOTION past the TTL — a
+    // version's demotion time is its successor's commit (v2's mtime), so
+    // aging v2 is what makes v1 the stranded-old-version shape vacuum
+    // exists to sweep (v2 itself stays: head−1 is always kept)
     val aged = new java.io.File(path, "_stage_dead")
     java.nio.file.Files.createDirectories(aged.toPath)
     assert(aged.setLastModified(System.currentTimeMillis() - 100000L))
     val fresh = new java.io.File(path, "_stage_live")
     java.nio.file.Files.createDirectories(fresh.toPath)
-    assert(v1.setLastModified(System.currentTimeMillis() - 100000L))
+    assert(new java.io.File(path, "v000002")
+      .setLastModified(System.currentTimeMillis() - 100000L))
     val want = Rollup.query(spark, path, Seq("flag"), Seq("qty"))
       .orderBy("flag").collect().toSeq
     val swept = VersionedDir.vacuum(path, olderThanMillis = 60000L)
@@ -187,14 +190,39 @@ class VersionedDirSpec extends AnyFunSuite with SparkTestBase {
     Rollup.build(mk(0), Seq("flag"), Seq("qty"), path) // v1
     Rollup.appendDelta(mk(50), Seq("flag"), Seq("qty"), path) // v2 (v1 demoted)
     val v1 = new java.io.File(path, "v000001")
-    // deterministically age v1 past a shrunken window instead of sleeping
-    assert(v1.setLastModified(System.currentTimeMillis() - 120000L))
+    // v1's demotion time is v2's commit (successor mtime — crash-safe, no
+    // stamp to lose): deterministically age THAT past a shrunken window
+    // instead of sleeping
+    assert(new java.io.File(path, "v000002")
+      .setLastModified(System.currentTimeMillis() - 120000L))
     VersionedDir.commitRetainMillis = 60000L
     try Rollup.appendDelta(mk(100), Seq("flag"), Seq("qty"), path) // v3
     finally VersionedDir.commitRetainMillis = 15L * 60 * 1000
     assert(!v1.exists(), "an aged demoted version must be swept at commit")
     assert(new java.io.File(path, "v000002").isDirectory,
       "head−1 always survives regardless of age")
+  }
+
+  test("a long-lived ex-head is protected: demotion age comes from the successor, not its own mtime") {
+    // v1 is the head for a long time (its dir mtime = staging time, long
+    // ago), then two rapid commits land. A reader could have pinned v1
+    // seconds before v2 appeared — measuring the grace period off v1's
+    // OWN mtime would GC it immediately. The successor-mtime rule keeps
+    // it, with no commit-time stamp a crashing writer could fail to write.
+    val path = Files.createTempDirectory("vd_exhead").toString + "/r"
+    val mk = (from: Int) =>
+      (from until from + 50).map(i => (s"f${i % 3}", i.toDouble)).toDF("flag", "qty")
+    Rollup.build(mk(0), Seq("flag"), Seq("qty"), path) // v1
+    val v1 = new java.io.File(path, "v000001")
+    assert(v1.setLastModified(System.currentTimeMillis() - 3600000L)) // staged 1h ago
+    VersionedDir.commitRetainMillis = 60000L
+    try {
+      Rollup.appendDelta(mk(50), Seq("flag"), Seq("qty"), path) // v2: demotes v1 NOW
+      Rollup.appendDelta(mk(100), Seq("flag"), Seq("qty"), path) // v3: GC considers v1
+    } finally VersionedDir.commitRetainMillis = 15L * 60 * 1000
+    assert(v1.isDirectory,
+      "v1 was GC'd off its staging-time mtime — a reader pinned just " +
+        "before v2's commit would have lost its files")
   }
 
   test("adoption is metadata-only: carried files share the inode of the previous version's") {
