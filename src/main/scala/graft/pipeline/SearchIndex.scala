@@ -118,12 +118,20 @@ object SearchIndex {
   /** Rewrite the index minus its tombstones (postings and doc lengths
     * anti-joined on doc_id; the fresh index carries no deletes table) —
     * equivalent to a rebuild over the surviving corpus, without
-    * re-tokenizing anything.
+    * re-tokenizing anything. Cross-root compacts pin their source
+    * OUTSIDE the transaction (snapshot semantics); an IN-PLACE compact
+    * (`outPath == path`) pins INSIDE it, so a CAS rerun against a racing
+    * append re-pins the append's postings instead of silently dropping
+    * them (the SuffixIndex.compact discipline).
     */
   def compactIndex(spark: SparkSession, path: String, outPath: String): Unit = {
-    val cur = graft.store.VersionedDir.currentDir(path)
-    val del = tombstones(spark, cur)
-    graft.store.VersionedDir.mutate(outPath) { (_, _) =>
+    val inPlace = new java.io.File(outPath).getCanonicalPath ==
+      new java.io.File(path).getCanonicalPath
+    val pinned =
+      if (inPlace) null else graft.store.VersionedDir.currentDir(path)
+    graft.store.VersionedDir.mutate(outPath) { (_, curOut) =>
+      val cur = if (inPlace) curOut else pinned
+      val del = tombstones(spark, cur)
       val stage = graft.store.VersionedDir.stageDir(outPath)
       spark.read.parquet(s"$cur/postings")
         .join(broadcast(del), Seq("doc_id"), "left_anti")
@@ -133,6 +141,71 @@ object SearchIndex {
         .write.parquet(s"$stage/doclen")
       Some(stage)
     }
+  }
+
+  /** Operational snapshot of a committed index — O(files) driver-side
+    * metadata (parquet footer row counts, directory listings; no Spark
+    * job): ingested docs and tombstone rows (an upper bound on live
+    * tombstones — re-deleting a doc adds a row; the exact distinct count
+    * would need a scan), postings/doclen/deletes
+    * file counts (each append adds ~1 file per touched term bucket plus
+    * a doclen part; every probe reads them all until a compact folds
+    * them), and the committed version.
+    */
+  final case class IndexStats(docCount: Long, tombstoneCount: Long,
+      postingsFiles: Int, doclenFiles: Int, deleteFiles: Int,
+      version: Long) {
+    def deletedFraction: Double =
+      if (docCount <= 0) 0.0 else tombstoneCount.toDouble / docCount
+  }
+
+  def stats(spark: SparkSession, path: String): IndexStats = {
+    val cur = graft.store.VersionedDir.currentDir(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def parquets(dir: String): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f)
+        else Seq.empty
+      walk(new java.io.File(s"$cur/$dir"))
+    }
+    def rows(fs: Seq[java.io.File]): Long = fs.map { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+    val doclen = parquets("doclen")
+    val deletes = parquets("deletes")
+    IndexStats(
+      docCount = rows(doclen),
+      tombstoneCount = rows(deletes),
+      postingsFiles = parquets("postings").size,
+      doclenFiles = doclen.size,
+      deleteFiles = deletes.size,
+      version = graft.store.VersionedDir.head(path))
+  }
+
+  /** The maintenance policy, closed over [[stats]]: compact when probe
+    * costs have drifted — the tombstoned fraction past
+    * `maxDeletedFraction` (every probe anti-joins the tombstones and the
+    * dead postings still occupy scan bytes) or more than
+    * `maxPostingsFiles` postings part files (appends accumulate one per
+    * touched term bucket). In place by default so the index a scheduler
+    * keeps appending into is the one that heals and the trigger resets;
+    * pass `outPath` for a copy-compact (the caller must then switch to
+    * it). Returns whether a compact ran — no-op on a healthy index, so
+    * call it unconditionally after ingest batches.
+    */
+  def maintainIfNeeded(spark: SparkSession, path: String,
+      outPath: String = null, maxDeletedFraction: Double = 0.2,
+      maxPostingsFiles: Int = 256): Boolean = {
+    val s = stats(spark, path)
+    val due = s.deletedFraction > maxDeletedFraction ||
+      s.postingsFiles > maxPostingsFiles
+    if (due) compactIndex(spark, path, Option(outPath).getOrElse(path))
+    due
   }
 
   /** Tombstone table of a RESOLVED version dir (pass `currentDir(path)`). */

@@ -92,4 +92,63 @@ class SearchIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(!new java.io.File(s"$compDir/idx/deletes").exists())
     assert(run(s"$compDir/idx") == tombstoned)
   }
+
+  test("stats + maintainIfNeeded: tombstone drift heals IN PLACE; trigger resets") {
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("sidx_maint").toString
+    val idx = s"$dir/idx"
+    val deletePred = col("doc_id") % 3 === 1 // ~33% > the 20% default gate
+    SearchIndex.buildIndex(docs, col("doc_id"), col("text"), idx)
+    SearchIndex.deleteFromIndex(docs.filter(deletePred), col("doc_id"), idx)
+    val n = docs.count()
+    val s1 = SearchIndex.stats(spark, idx)
+    assert(s1.docCount == n && s1.version == 2)
+    assert(s1.deletedFraction > 0.2 && s1.deleteFiles > 0)
+    val before = SearchIndex.bm25Probe(spark, idx,
+      Seq("spark", "query", "vector"), topK = 20)
+      .as[(Long, Long)].collect().toSeq
+    // due -> in-place compact: new version of the SAME root, tombstones
+    // folded, probe unchanged
+    assert(SearchIndex.maintainIfNeeded(spark, idx))
+    val s2 = SearchIndex.stats(spark, idx)
+    assert(s2.version == 3 && s2.tombstoneCount == 0 && s2.deleteFiles == 0)
+    assert(s2.docCount < n, "compacted doclen must drop the tombstoned docs")
+    assert(SearchIndex.bm25Probe(spark, idx,
+      Seq("spark", "query", "vector"), topK = 20)
+      .as[(Long, Long)].collect().toSeq == before)
+    // trigger reset: the unconditional per-batch call is now a no-op
+    assert(!SearchIndex.maintainIfNeeded(spark, idx))
+    assert(graft.store.VersionedDir.head(idx) == 3)
+  }
+
+  test("in-place compact racing an append: the CAS rerun re-pins the append's docs") {
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("sidx_race").toString
+    val idx = s"$dir/idx"
+    SearchIndex.buildIndex(docs.filter(col("doc_id") < 30),
+      col("doc_id"), col("text"), idx)
+    SearchIndex.deleteFromIndex(docs.filter(col("doc_id") === 7),
+      col("doc_id"), idx)
+    var injected = false
+    graft.store.VersionedDir.preCommitHook = { p =>
+      if (!injected && p == idx) {
+        injected = true
+        SearchIndex.appendToIndex(docs.filter(col("doc_id") >= 30),
+          col("doc_id"), col("text"), idx)
+      }
+    }
+    try SearchIndex.compactIndex(spark, idx, idx)
+    finally graft.store.VersionedDir.preCommitHook = _ => ()
+    assert(injected)
+    // the compact rerun re-pinned the racing append's docs AND kept the
+    // tombstone folded: equals a fresh build over (all docs minus doc 7)
+    val allDir = java.nio.file.Files.createTempDirectory("sidx_race_all").toString
+    SearchIndex.buildIndex(docs.filter(col("doc_id") =!= 7),
+      col("doc_id"), col("text"), s"$allDir/idx")
+    val probes = Seq("spark", "query", "vector")
+    def run(p: String) = SearchIndex.bm25Probe(spark, p, probes, topK = 20)
+      .as[(Long, Long)].collect().toSeq
+    assert(run(idx) == run(s"$allDir/idx"),
+      "in-place compact dropped the racing append's docs or the tombstone")
+  }
 }
