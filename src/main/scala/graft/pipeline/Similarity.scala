@@ -518,6 +518,74 @@ object Similarity {
     VersionedDir.rmTree(new java.io.File(srcPath))
   }
 
+  /** Operational snapshot of a committed IVF index — O(files) driver-side
+    * metadata (directory listings + parquet footer row counts, no Spark
+    * job): cell count, vectors, part-file totals and the worst cell's
+    * file count (each append hardlink-adopts the old files and writes new
+    * ones beside them, so files/cell grows ~1 per append until a compact
+    * folds them; a probe of that cell opens them all).
+    */
+  final case class IvfStats(cells: Int, vectors: Long, files: Int,
+      maxFilesPerCell: Int, version: Long)
+
+  def ivfStats(spark: org.apache.spark.sql.SparkSession,
+      path: String): IvfStats = {
+    val cur = ivfCurrentDir(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val perCell = cellDirs(cur).map(
+      _.listFiles().filter(_.getName.endsWith(".parquet")))
+    val vectors = perCell.flatten.map { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+    IvfStats(
+      cells = perCell.length,
+      vectors = vectors,
+      files = perCell.map(_.length).sum,
+      maxFilesPerCell = if (perCell.isEmpty) 0 else perCell.map(_.length).max,
+      version = VersionedDir.head(path))
+  }
+
+  /** Fold every cell back to one part file — the read-side file-count
+    * reset after a run of appends (rows are untouched, so probes are
+    * bit-identical before and after; spec-pinned). Cross-root compacts
+    * pin their source OUTSIDE the transaction; in-place (`outPath ==
+    * path`) pins INSIDE it so a CAS rerun against a racing append re-pins
+    * the append's vectors (the SuffixIndex/SearchIndex compact
+    * discipline). One hash-exchange by cell id — each cell lands whole in
+    * one task, writes one file.
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, outPath: String): Unit = {
+    val inPlace = new java.io.File(outPath).getCanonicalPath ==
+      new java.io.File(path).getCanonicalPath
+    val pinned = if (inPlace) null else ivfCurrentDir(path)
+    VersionedDir.mutate(outPath) { (_, curOut) =>
+      val cur = if (inPlace) curOut else pinned
+      val nCells = math.max(cellDirs(cur).length, 1)
+      val stage = VersionedDir.stageDir(outPath)
+      spark.read.parquet(cur)
+        .repartition(nCells, col("centroid_id"))
+        .write.partitionBy("centroid_id").parquet(stage.toString)
+      Some(stage)
+    }
+  }
+
+  /** Maintenance policy over [[ivfStats]]: compact (in place by default)
+    * when any cell's file count passes `maxFilesPerCell` — no-op on a
+    * healthy index, so schedulers can call it unconditionally after
+    * ingest batches. Returns whether a compact ran.
+    */
+  def ivfMaintainIfNeeded(spark: org.apache.spark.sql.SparkSession,
+      path: String, outPath: String = null,
+      maxFilesPerCell: Int = 16): Boolean = {
+    val due = ivfStats(spark, path).maxFilesPerCell > maxFilesPerCell
+    if (due) compactIvfIndex(spark, path, Option(outPath).getOrElse(path))
+    due
+  }
+
   /** Membership diff between the committed IVF version and its predecessor
     * — the audit readout the commit protocol makes possible (GC keeps
     * exactly current + previous): which vectors a delete/merge/rebuild/

@@ -578,6 +578,46 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "a concurrent append was lost")
   }
 
+  test("ivf stats + maintainIfNeeded: append file growth heals IN PLACE; probes bit-identical; trigger resets") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter(col("vec_id") < 8)
+    val cents = e.filter(col("vec_id") < 4)
+    val root = java.nio.file.Files.createTempDirectory("ivf_maint").toString
+    val path = s"$root/ivf"
+    def cols = (col("vec_id"), col("embedding"))
+    def probe() = Similarity.ivfProbeIndex(q, path, cents,
+        cols._1, cols._2, cols._1, cols._2, k = 3, nprobe = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    Similarity.buildIvfIndex(e.filter(col("vec_id") >= 300), cents,
+      cols._1, cols._2, cols._1, cols._2, path)
+    // three appends: every touched cell gains a part file per append
+    // (old files adopted beside the new ones)
+    for (lo <- Seq(0, 100, 200))
+      Similarity.appendToIvfIndex(
+        e.filter(col("vec_id") >= lo && col("vec_id") < lo + 100), cents,
+        cols._1, cols._2, cols._1, cols._2, path)
+    val s1 = Similarity.ivfStats(spark, path)
+    assert(s1.version == 4 && s1.vectors == e.count())
+    assert(s1.maxFilesPerCell >= 4,
+      s"appends should accumulate files per cell, got $s1")
+    val before = probe()
+    // rows untouched => the compacted index probes bit-identically
+    assert(Similarity.ivfMaintainIfNeeded(spark, path,
+      maxFilesPerCell = s1.maxFilesPerCell - 1))
+    val s2 = Similarity.ivfStats(spark, path)
+    assert(s2.version == 5 && s2.maxFilesPerCell == 1 &&
+      s2.vectors == s1.vectors && s2.cells == s1.cells, s"got $s2")
+    assert(probe() == before, "compaction changed probe results")
+    // trigger reset: the unconditional per-batch call is now a no-op
+    assert(!Similarity.ivfMaintainIfNeeded(spark, path,
+      maxFilesPerCell = s1.maxFilesPerCell - 1))
+    assert(graft.store.VersionedDir.head(path) == 5)
+    // and the healed index keeps taking appends + deletes
+    Similarity.deleteFromIvfIndex(e.filter(col("vec_id") === 7), cents,
+      cols._1, cols._2, cols._1, cols._2, path)
+    assert(!probe().exists(_._2 == 7L))
+  }
+
   test("ivf version diff: a delete's removals, cell-exact; a crashed stage is never diffed against") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val cents = e.filter(col("vec_id") < 4)
