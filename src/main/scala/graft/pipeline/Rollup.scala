@@ -158,20 +158,65 @@ object Rollup {
 
   /** Re-merge appended grain rows back to one row per key (periodic
     * maintenance; bounds summary growth at O(grain), not O(appends)).
+    * Cross-root compacts pin their source OUTSIDE the transaction
+    * (snapshot semantics); in-place (`outPath == path`) pins INSIDE it,
+    * so a CAS rerun against a racing appendDelta re-merges the append's
+    * rows instead of silently dropping them (the engine-wide compact
+    * discipline — SuffixIndex/SearchIndex/IVF).
     */
   def compactRollup(spark: SparkSession, path: String, dims: Seq[String],
       measures: Seq[String], outPath: String): Unit = {
-    val summary = spark.read.parquet(graft.store.VersionedDir.currentDir(path))
+    val inPlace = new java.io.File(outPath).getCanonicalPath ==
+      new java.io.File(path).getCanonicalPath
+    val pinned =
+      if (inPlace) null else graft.store.VersionedDir.currentDir(path)
     val aggs = sum(col("_n")).as("_n") +:
       (measures.map(m => sum(col(sumCol(m))).as(sumCol(m))) ++
         measures.map(m => sum(col(cntCol(m))).as(cntCol(m))) ++
         measures.map(m => min(col(minCol(m))).as(minCol(m))) ++
         measures.map(m => max(col(maxCol(m))).as(maxCol(m))))
-    graft.store.VersionedDir.mutate(outPath) { (_, _) =>
+    graft.store.VersionedDir.mutate(outPath) { (_, curOut) =>
+      val cur = if (inPlace) curOut else pinned
       val stage = graft.store.VersionedDir.stageDir(outPath)
-      summary.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      spark.read.parquet(cur)
+        .groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
         .write.parquet(stage.toString)
       Some(stage)
     }
+  }
+
+  /** Operational snapshot — O(files) footer/dir metadata, no Spark job:
+    * summary part files (each appendDelta adds at least one; every query
+    * re-merges them all) and physical grain rows (> distinct keys once
+    * appends pile up unmerged duplicates), plus the committed version.
+    */
+  final case class RollupStats(files: Int, rows: Long, version: Long)
+
+  def stats(spark: SparkSession, path: String): RollupStats = {
+    val cur = graft.store.VersionedDir.currentDir(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = Option(new java.io.File(cur).listFiles())
+      .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet"))
+    val rows = files.map { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+    RollupStats(files.length, rows, graft.store.VersionedDir.head(path))
+  }
+
+  /** Maintenance policy over [[stats]]: re-merge in place (by default)
+    * once the summary has accumulated more than `maxFiles` part files —
+    * no-op on a healthy summary, so call it unconditionally after ingest
+    * batches. Returns whether a compact ran.
+    */
+  def maintainIfNeeded(spark: SparkSession, path: String, dims: Seq[String],
+      measures: Seq[String], outPath: String = null,
+      maxFiles: Int = 16): Boolean = {
+    val due = stats(spark, path).files > maxFiles
+    if (due) compactRollup(spark, path, dims, measures,
+      Option(outPath).getOrElse(path))
+    due
   }
 }

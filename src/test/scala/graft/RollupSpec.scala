@@ -69,6 +69,46 @@ class RollupSpec extends AnyFunSuite with SparkTestBase {
     assert(got2.collect().toSeq == direct(all, Seq("flag")).collect().toSeq)
   }
 
+  test("stats + maintainIfNeeded: file growth re-merges IN PLACE; trigger resets; race-safe") {
+    val dir = Files.createTempDirectory("rollup_m").toString + "/r"
+    val base = fact(2000, 1)
+    val batches = (2 to 5).map(fact(200, _))
+    Rollup.build(base, dims, measures, dir)
+    batches.foreach(Rollup.appendDelta(_, dims, measures, dir))
+    val s1 = Rollup.stats(spark, dir)
+    assert(s1.version == 5 && s1.files >= 5,
+      s"appends should accumulate part files, got $s1")
+    val all = batches.foldLeft(base)(_ union _)
+    // gate just below the observed drift => due, heals IN PLACE
+    assert(Rollup.maintainIfNeeded(spark, dir, dims, measures,
+      maxFiles = s1.files - 1))
+    val s2 = Rollup.stats(spark, dir)
+    assert(s2.version == 6 && s2.files < s1.files && s2.rows < s1.rows,
+      s"in-place compact must shrink the summary: $s1 -> $s2")
+    assert(Rollup.query(spark, dir, Seq("flag"), measures).orderBy("flag")
+      .collect().toSeq == direct(all, Seq("flag")).collect().toSeq)
+    assert(!Rollup.maintainIfNeeded(spark, dir, dims, measures,
+      maxFiles = s1.files - 1))
+    assert(graft.store.VersionedDir.head(dir) == 6)
+    // in-place compact racing an appendDelta: the CAS rerun must re-merge
+    // the append's rows (pin INSIDE the transaction)
+    val late = fact(150, 9)
+    var injected = false
+    graft.store.VersionedDir.preCommitHook = { p =>
+      if (!injected && p == dir) {
+        injected = true
+        Rollup.appendDelta(late, dims, measures, dir)
+      }
+    }
+    try Rollup.compactRollup(spark, dir, dims, measures, dir)
+    finally graft.store.VersionedDir.preCommitHook = _ => ()
+    assert(injected)
+    assert(Rollup.query(spark, dir, Seq("flag"), measures).orderBy("flag")
+      .collect().toSeq ==
+      direct(all.union(late), Seq("flag")).collect().toSeq,
+      "in-place compact dropped the racing append's rows")
+  }
+
   test("retractDelta (O(batch)) == full rebuild over the survivors, bit-exact") {
     val dir = Files.createTempDirectory("rollup").toString + "/r"
     val base = fact(5000, 7)
