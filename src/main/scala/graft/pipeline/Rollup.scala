@@ -166,50 +166,57 @@ object Rollup {
     */
   def compactRollup(spark: SparkSession, path: String, dims: Seq[String],
       measures: Seq[String], outPath: String): Unit = {
+    // A STREAM-maintained summary (maintainFromStream) writes micro-batch
+    // partitions `batch_id=N` at the un-versioned root on a fixed path —
+    // compacting THAT in place would commit a v000001 that query() then
+    // resolves, making every subsequent micro-batch invisible. Refuse
+    // loudly; stream summaries compact into a separate root (and the
+    // caller repoints readers) or on the stream's own teardown.
+    val streamLayout = Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty)
+      .exists(f => f.isDirectory && f.getName.startsWith("batch_id="))
     val inPlace = new java.io.File(outPath).getCanonicalPath ==
       new java.io.File(path).getCanonicalPath
-    val pinned =
-      if (inPlace) null else graft.store.VersionedDir.currentDir(path)
+    require(!(inPlace && streamLayout),
+      "in-place compaction of a stream-maintained rollup would orphan " +
+        "subsequent micro-batches — compact into a separate root")
     val aggs = sum(col("_n")).as("_n") +:
       (measures.map(m => sum(col(sumCol(m))).as(sumCol(m))) ++
         measures.map(m => sum(col(cntCol(m))).as(cntCol(m))) ++
         measures.map(m => min(col(minCol(m))).as(minCol(m))) ++
         measures.map(m => max(col(maxCol(m))).as(maxCol(m))))
-    graft.store.VersionedDir.mutate(outPath) { (_, curOut) =>
-      val cur = if (inPlace) curOut else pinned
-      val stage = graft.store.VersionedDir.stageDir(outPath)
+    graft.store.VersionedDir.compactInto(path, outPath) { (cur, stage) =>
       spark.read.parquet(cur)
         .groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
         .write.parquet(stage.toString)
-      Some(stage)
     }
   }
 
   /** Operational snapshot — O(files) footer/dir metadata, no Spark job:
-    * summary part files (each appendDelta adds at least one; every query
-    * re-merges them all) and physical grain rows (> distinct keys once
-    * appends pile up unmerged duplicates), plus the committed version.
+    * summary part files (each appendDelta — or stream micro-batch
+    * partition — adds at least one; every query re-merges them all) and
+    * physical grain rows (> distinct keys once appends pile up unmerged
+    * duplicates), plus the committed version. The walk is RECURSIVE so a
+    * stream-maintained summary's `batch_id=N` partitions are counted
+    * too (a top-level-only listing would report a growing stream summary
+    * as permanently healthy).
     */
   final case class RollupStats(files: Int, rows: Long, version: Long)
 
   def stats(spark: SparkSession, path: String): RollupStats = {
     val cur = graft.store.VersionedDir.currentDir(path)
     val conf = spark.sparkContext.hadoopConfiguration
-    val files = Option(new java.io.File(cur).listFiles())
-      .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet"))
-    val rows = files.map { f =>
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
-      try r.getRecordCount finally r.close()
-    }.sum
+    val files = graft.store.ParquetMeta.parquetFiles(new java.io.File(cur))
+    val rows = files.map(graft.store.ParquetMeta.rowCount(conf, _)).sum
     RollupStats(files.length, rows, graft.store.VersionedDir.head(path))
   }
 
   /** Maintenance policy over [[stats]]: re-merge in place (by default)
     * once the summary has accumulated more than `maxFiles` part files —
     * no-op on a healthy summary, so call it unconditionally after ingest
-    * batches. Returns whether a compact ran.
+    * batches. Returns whether a compact ran. STREAM-maintained summaries
+    * must pass `outPath` (in-place compaction would orphan later
+    * micro-batches — compactRollup refuses it loudly).
     */
   def maintainIfNeeded(spark: SparkSession, path: String, dims: Seq[String],
       measures: Seq[String], outPath: String = null,

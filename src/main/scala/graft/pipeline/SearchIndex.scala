@@ -124,24 +124,16 @@ object SearchIndex {
     * append re-pins the append's postings instead of silently dropping
     * them (the SuffixIndex.compact discipline).
     */
-  def compactIndex(spark: SparkSession, path: String, outPath: String): Unit = {
-    val inPlace = new java.io.File(outPath).getCanonicalPath ==
-      new java.io.File(path).getCanonicalPath
-    val pinned =
-      if (inPlace) null else graft.store.VersionedDir.currentDir(path)
-    graft.store.VersionedDir.mutate(outPath) { (_, curOut) =>
-      val cur = if (inPlace) curOut else pinned
+  def compactIndex(spark: SparkSession, path: String, outPath: String): Unit =
+    graft.store.VersionedDir.compactInto(path, outPath) { (cur, stage) =>
       val del = tombstones(spark, cur)
-      val stage = graft.store.VersionedDir.stageDir(outPath)
       spark.read.parquet(s"$cur/postings")
         .join(broadcast(del), Seq("doc_id"), "left_anti")
         .write.partitionBy("tb").parquet(s"$stage/postings")
       spark.read.parquet(s"$cur/doclen")
         .join(broadcast(del), Seq("doc_id"), "left_anti")
         .write.parquet(s"$stage/doclen")
-      Some(stage)
     }
-  }
 
   /** Operational snapshot of a committed index — O(files) driver-side
     * metadata (parquet footer row counts, directory listings; no Spark
@@ -162,20 +154,10 @@ object SearchIndex {
   def stats(spark: SparkSession, path: String): IndexStats = {
     val cur = graft.store.VersionedDir.currentDir(path)
     val conf = spark.sparkContext.hadoopConfiguration
-    def parquets(dir: String): Seq[java.io.File] = {
-      def walk(f: java.io.File): Seq[java.io.File] =
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
-        else if (f.getName.endsWith(".parquet")) Seq(f)
-        else Seq.empty
-      walk(new java.io.File(s"$cur/$dir"))
-    }
-    def rows(fs: Seq[java.io.File]): Long = fs.map { f =>
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
-      try r.getRecordCount finally r.close()
-    }.sum
+    def parquets(dir: String): Seq[java.io.File] =
+      graft.store.ParquetMeta.parquetFiles(new java.io.File(s"$cur/$dir"))
+    def rows(fs: Seq[java.io.File]): Long =
+      fs.map(graft.store.ParquetMeta.rowCount(conf, _)).sum
     val doclen = parquets("doclen")
     val deletes = parquets("deletes")
     IndexStats(

@@ -532,14 +532,13 @@ object Similarity {
       path: String): IvfStats = {
     val cur = ivfCurrentDir(path)
     val conf = spark.sparkContext.hadoopConfiguration
-    val perCell = cellDirs(cur).map(
-      _.listFiles().filter(_.getName.endsWith(".parquet")))
-    val vectors = perCell.flatten.map { f =>
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
-      try r.getRecordCount finally r.close()
-    }.sum
+    // null-safe listing via ParquetMeta: a concurrent commit-GC/vacuum
+    // can delete the resolved version mid-walk — stats then reports a
+    // partial snapshot, never an NPE in the ingest loop
+    val perCell = cellDirs(cur).map(d =>
+      graft.store.ParquetMeta.parquetFiles(d))
+    val vectors = perCell.flatten
+      .map(graft.store.ParquetMeta.rowCount(conf, _)).sum
     IvfStats(
       cells = perCell.length,
       vectors = vectors,
@@ -558,20 +557,13 @@ object Similarity {
     * one task, writes one file.
     */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String, outPath: String): Unit = {
-    val inPlace = new java.io.File(outPath).getCanonicalPath ==
-      new java.io.File(path).getCanonicalPath
-    val pinned = if (inPlace) null else ivfCurrentDir(path)
-    VersionedDir.mutate(outPath) { (_, curOut) =>
-      val cur = if (inPlace) curOut else pinned
+      path: String, outPath: String): Unit =
+    VersionedDir.compactInto(path, outPath) { (cur, stage) =>
       val nCells = math.max(cellDirs(cur).length, 1)
-      val stage = VersionedDir.stageDir(outPath)
       spark.read.parquet(cur)
         .repartition(nCells, col("centroid_id"))
         .write.partitionBy("centroid_id").parquet(stage.toString)
-      Some(stage)
     }
-  }
 
   /** Maintenance policy over [[ivfStats]]: compact (in place by default)
     * when any cell's file count passes `maxFilesPerCell` — no-op on a

@@ -267,18 +267,10 @@ object SuffixIndex {
     // `lrsStats(spark, path)` call here would re-resolve the head at read
     // time, so an append racing the compaction could hand us v(N+1) perdoc
     // rows beside vN grams: a doc with an lrs row but no substrings.
-    // Cross-root compacts pin OUTSIDE the transaction (snapshot
-    // semantics: the output is a compaction of the version that existed
-    // when the call started); an IN-PLACE compact (outPath == path) must
-    // pin INSIDE it — on a lost CAS against a racing append the rerun
-    // has to re-pin the append's head, or the compacted version would
-    // silently drop the appended rows.
-    val inPlace = new java.io.File(outPath).getCanonicalPath ==
-      new java.io.File(path).getCanonicalPath
-    val pinned = if (inPlace) null else VersionedDir.currentDir(path)
-    VersionedDir.mutate(outPath) { (_, curOut) =>
-      val cur = if (inPlace) curOut else pinned
-      val stage = VersionedDir.stageDir(outPath)
+    // The where-to-pin choice (outside for cross-root snapshots, inside
+    // for in-place CAS-rerun safety) is encoded ONCE in
+    // VersionedDir.compactInto — every index's compact rides it.
+    VersionedDir.compactInto(path, outPath) { (cur, stage) =>
       val meta = spark.read.parquet(s"$cur/meta").head()
       val cap = meta.getInt(0)
       val nBuckets = meta.getInt(1)
@@ -305,7 +297,6 @@ object SuffixIndex {
         .write.parquet(s"$stage/perdoc")
       writeMeta(spark, s"$stage/meta", cap, nBuckets,
         grams.count() / math.max(nBuckets, 1))
-      Some(stage)
     }
   }
 
@@ -418,24 +409,18 @@ object SuffixIndex {
   def stats(spark: SparkSession, path: String): IndexStats = {
     val cur = VersionedDir.currentDir(path)
     val meta = spark.read.parquet(s"$cur/meta").head()
-    // per-bucket row counts read directly from parquet FOOTERS — genuine
-    // O(files) driver-side metadata (a Spark groupBy-count would launch a
-    // full scan job per call; Spark 4 has no metadata-only rule for
-    // grouped counts), so a scheduler can afford stats() per ingest batch
+    // per-bucket row counts read directly from parquet FOOTERS via the
+    // shared graft.store.ParquetMeta — genuine O(files) driver-side
+    // metadata (a Spark groupBy-count would launch a full scan job per
+    // call; Spark 4 has no metadata-only rule for grouped counts), so a
+    // scheduler can afford stats() per ingest batch
     val conf = spark.sparkContext.hadoopConfiguration
-    def fileRows(f: java.io.File): Long = {
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
-      try r.getRecordCount finally r.close()
-    }
     val perBucket = Option(new java.io.File(s"$cur/grams").listFiles())
       .getOrElse(Array.empty)
       .filter(d => d.isDirectory && d.getName.startsWith("bucket="))
-      .map(_.listFiles().filter(_.getName.endsWith(".parquet"))
-        .map(fileRows).sum)
-    val perdocFiles = Option(new java.io.File(s"$cur/perdoc").listFiles())
-      .getOrElse(Array.empty).count(_.getName.endsWith(".parquet"))
+      .map(graft.store.ParquetMeta.totalRows(conf, _))
+    val perdocFiles =
+      graft.store.ParquetMeta.parquetFiles(new java.io.File(s"$cur/perdoc")).size
     IndexStats(
       buckets = perBucket.length,
       targetBuckets = meta.getInt(1),

@@ -139,6 +139,30 @@ object VersionedDir {
     }
   }
 
+  /** The engine-wide COMPACT discipline, encoded once (SuffixIndex /
+    * SearchIndex / IVF / Rollup all ride it): rewrite the index at `path`
+    * into `outPath`, where the body receives the resolved SOURCE version
+    * dir and a fresh stage to fill. The safety-critical part is WHERE the
+    * source is pinned: a cross-root compact pins OUTSIDE the transaction
+    * (snapshot semantics — the output compacts the version that existed
+    * when the call started), but an IN-PLACE compact (`outPath == path`)
+    * must pin INSIDE it, so a CAS rerun against a racing append re-pins
+    * the append's head instead of silently compacting it away. Callers
+    * never re-implement that choice.
+    */
+  def compactInto(path: String, outPath: String)(
+      body: (String, File) => Unit): Unit = {
+    val inPlace =
+      new File(outPath).getCanonicalPath == new File(path).getCanonicalPath
+    val pinned = if (inPlace) null else currentDir(path)
+    mutate(outPath) { (_, curOut) =>
+      val cur = if (inPlace) curOut else pinned
+      val stage = stageDir(outPath)
+      body(cur, stage)
+      Some(stage)
+    }
+  }
+
   /** Hardlink one data file into a stage, falling back to a byte copy on
     * filesystems without links (UnsupportedOperationException) AND on
     * cross-device links (EXDEV surfaces as a plain FileSystemException —

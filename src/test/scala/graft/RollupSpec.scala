@@ -109,6 +109,27 @@ class RollupSpec extends AnyFunSuite with SparkTestBase {
       "in-place compact dropped the racing append's rows")
   }
 
+  test("stream-maintained rollups: recursive stats see batch_id partitions; in-place compact refused, cross-root works") {
+    val dir = Files.createTempDirectory("rollup_s").toString + "/r"
+    val b0 = fact(500, 1)
+    val b1 = fact(200, 2)
+    Rollup.writeMicroBatch(b0, dims, measures, dir, 0)
+    Rollup.writeMicroBatch(b1, dims, measures, dir, 1)
+    val s = Rollup.stats(spark, dir)
+    assert(s.files >= 2 && s.rows > 0,
+      s"recursive stats must count batch_id=N partitions, got $s")
+    // in-place compaction would commit a v000001 that query() resolves,
+    // orphaning every later micro-batch — must refuse loudly
+    intercept[IllegalArgumentException] {
+      Rollup.compactRollup(spark, dir, dims, measures, dir)
+    }
+    // cross-root compaction of the stream summary is fine
+    val out = dir + "_c"
+    Rollup.compactRollup(spark, dir, dims, measures, out)
+    assert(Rollup.query(spark, out, Seq("flag"), measures).orderBy("flag")
+      .collect().toSeq == direct(b0.union(b1), Seq("flag")).collect().toSeq)
+  }
+
   test("retractDelta (O(batch)) == full rebuild over the survivors, bit-exact") {
     val dir = Files.createTempDirectory("rollup").toString + "/r"
     val base = fact(5000, 7)
