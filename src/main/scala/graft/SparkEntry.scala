@@ -542,6 +542,48 @@ object SparkEntry {
         s"$dir/sfx")
     }
 
+  /** Maintenance-healed suffix index: the lrs_grow drift shape (10% build,
+    * 90% append — every bucket splits), then `maintainIfNeeded` fires the
+    * IN-PLACE compact (drift gates tripped: bucket count past 4× target).
+    * Reading the healed head against the same from-scratch oracle pins
+    * the whole operational loop — drift detection → in-place CAS compact
+    * → trigger reset — under the driver hash, not just under specs.
+    */
+  private def lrsMaintainSetup(s: SparkSession, d: String): String =
+    Setup.dir(s"lrs_maintain:$d") { dir =>
+      val docs = documents(s, d)
+      val idx = s"$dir/sfx"
+      graft.pipeline.SuffixIndex.build(
+        docs.filter(col("doc_id") % 10 === 0), col("doc_id"), col("text"),
+        idx, cap = 16, buckets = 8)
+      graft.pipeline.SuffixIndex.append(
+        docs.filter(col("doc_id") % 10 =!= 0), col("doc_id"), col("text"), idx)
+      require(graft.pipeline.SuffixIndex.maintainIfNeeded(s, idx),
+        "the growth-drifted index must be due for maintenance")
+      require(!graft.pipeline.SuffixIndex.maintainIfNeeded(s, idx),
+        "the healed index must be a maintenance no-op")
+    }
+
+  /** Maintenance-healed inverted index: full build, a 33% tombstone wave
+    * (past the 20% deleted-fraction gate), then `maintainIfNeeded` folds
+    * the tombstones IN PLACE; probing the healed head must hash-match the
+    * from-scratch SURVIVORS oracle — drift detection → in-place compact →
+    * trigger reset under the driver hash.
+    */
+  private def searchMaintainSetup(s: SparkSession, d: String): String =
+    Setup.dir(s"search_idx_maintain:$d") { dir =>
+      val docs = documents(s, d)
+      val idx = s"$dir/idx"
+      graft.pipeline.SearchIndex.buildIndex(
+        docs, col("doc_id"), col("text"), idx)
+      graft.pipeline.SearchIndex.deleteFromIndex(
+        docs.filter(col("doc_id") % 3 === 1), col("doc_id"), idx)
+      require(graft.pipeline.SearchIndex.maintainIfNeeded(s, idx),
+        "a 33% tombstoned index must be due for maintenance")
+      require(!graft.pipeline.SearchIndex.maintainIfNeeded(s, idx),
+        "the healed index must be a maintenance no-op")
+    }
+
   /** Suffix index over ONLY the 90% base corpus — the probe target for
     * text_lrs_probe (the held-out 10% must match the corpus, never
     * themselves, so they are NOT ingested here).
@@ -830,6 +872,8 @@ object SparkEntry {
     lrsCompactSetup(s, d): Unit
     lrsProbeSetup(s, d): Unit
     lrsGrowSetup(s, d): Unit
+    lrsMaintainSetup(s, d): Unit
+    searchMaintainSetup(s, d): Unit
     searchDelSetup(s, d): Unit
     phashIncSetup(s, d): Unit
     phashDelSetup(s, d): Unit
@@ -2719,6 +2763,14 @@ object SparkEntry {
     // machinery exact, not just spec-exercised.
     "text_lrs_grow" -> ((s, d) =>
       SuffixIndex.lrsStats(s, s"${lrsGrowSetup(s, d)}/sfx")
+        .orderBy("doc_id")),
+
+    // Operational-loop sibling of text_lrs_grow (round 13): the same
+    // drift shape, then maintainIfNeeded fires the IN-PLACE compact and
+    // resets the trigger (both require'd in the setup). One hash pins
+    // drift detection -> in-place CAS compact -> healed read == recompute.
+    "text_lrs_maintain" -> ((s, d) =>
+      SuffixIndex.lrsStats(s, s"${lrsMaintainSetup(s, d)}/sfx")
         .orderBy("doc_id")),
 
     // Winnowing fingerprints (the MOSS selection rule): per doc, the
@@ -4694,6 +4746,15 @@ object SparkEntry {
     "search_index_stream" -> ((s, d) =>
       graft.pipeline.SearchIndex.bm25Probe(s,
         s"${searchStreamSetup(s, d)}/idx", Seq("spark", "query", "vector"),
+        topK = 20)),
+
+    // Operational loop (round 13): a 33% tombstone wave trips the
+    // deleted-fraction gate, maintainIfNeeded folds it IN PLACE and the
+    // trigger resets (require'd in the setup); probing the healed head
+    // hash-matches the from-scratch SURVIVORS oracle.
+    "search_index_maintain" -> ((s, d) =>
+      graft.pipeline.SearchIndex.bm25Probe(s,
+        s"${searchMaintainSetup(s, d)}/idx", Seq("spark", "query", "vector"),
         topK = 20)),
 
     // Compaction (round 12): the tombstoned index folded into fresh
@@ -7942,6 +8003,7 @@ object SparkEntry {
     "text_lrs_inc" -> OracleSqlGen.textLrs(16),
     "text_lrs_stream" -> OracleSqlGen.textLrs(16),
     "text_lrs_grow" -> OracleSqlGen.textLrs(16),
+    "text_lrs_maintain" -> OracleSqlGen.textLrs(16),
     "text_lrs_compact" -> OracleSqlGen.textLrs(16),
     "text_lrs_probe" -> OracleSqlGen.textLrsProbe(16,
       "doc_id % 10 = 0", "doc_id % 10 <> 0"),
@@ -8956,6 +9018,9 @@ object SparkEntry {
       OracleSqlGen.bm25(Seq("spark", "query", "vector"), topK = 20),
     "search_index_stream" ->
       OracleSqlGen.bm25(Seq("spark", "query", "vector"), topK = 20),
+    "search_index_maintain" ->
+      OracleSqlGen.bm25(Seq("spark", "query", "vector"), topK = 20,
+        docFilter = "doc_id % 3 <> 1"),
     "search_index_delete" ->
       OracleSqlGen.bm25(Seq("spark", "query", "vector"), topK = 20,
         docFilter = "doc_id % 7 <> 3"),
