@@ -172,12 +172,9 @@ object Rollup {
     // resolves, making every subsequent micro-batch invisible. Refuse
     // loudly; stream summaries compact into a separate root (and the
     // caller repoints readers) or on the stream's own teardown.
-    val streamLayout = Option(new java.io.File(path).listFiles())
-      .getOrElse(Array.empty)
-      .exists(f => f.isDirectory && f.getName.startsWith("batch_id="))
     val inPlace = new java.io.File(outPath).getCanonicalPath ==
       new java.io.File(path).getCanonicalPath
-    require(!(inPlace && streamLayout),
+    require(!(inPlace && isStreamLayout(path)),
       "in-place compaction of a stream-maintained rollup would orphan " +
         "subsequent micro-batches — compact into a separate root")
     val aggs = sum(col("_n")).as("_n") +:
@@ -211,17 +208,30 @@ object Rollup {
     RollupStats(files.length, rows, graft.store.VersionedDir.head(path))
   }
 
-  /** Maintenance policy over [[stats]]: re-merge in place (by default)
-    * once the summary has accumulated more than `maxFiles` part files —
-    * no-op on a healthy summary, so call it unconditionally after ingest
-    * batches. Returns whether a compact ran. STREAM-maintained summaries
-    * must pass `outPath` (in-place compaction would orphan later
-    * micro-batches — compactRollup refuses it loudly).
+  private def isStreamLayout(path: String): Boolean =
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .exists(f => f.isDirectory && f.getName.startsWith("batch_id="))
+
+  /** Maintenance policy: re-merge in place (by default) once the summary
+    * has accumulated more than `maxFiles` part files — no-op on a healthy
+    * summary, so call it unconditionally after ingest batches. Returns
+    * whether a compact ran. STREAM-maintained summaries must pass
+    * `outPath`: the misconfiguration is rejected on the FIRST call
+    * (not `maxFiles` batches later when the gate first trips — a delayed
+    * crash in a production loop is worse than a wiring-time one). The
+    * gate itself is a pure file COUNT (no footer opens — [[stats]] reads
+    * every footer for its row count, which the gate never consults; on a
+    * long stream that would be O(batches) ranged reads per call).
     */
   def maintainIfNeeded(spark: SparkSession, path: String, dims: Seq[String],
       measures: Seq[String], outPath: String = null,
       maxFiles: Int = 16): Boolean = {
-    val due = stats(spark, path).files > maxFiles
+    require(outPath != null || !isStreamLayout(path),
+      "stream-maintained rollups must maintain into a separate root " +
+        "(in-place compaction would orphan later micro-batches)")
+    val cur = graft.store.VersionedDir.currentDir(path)
+    val due = graft.store.ParquetMeta
+      .parquetFiles(new java.io.File(cur)).size > maxFiles
     if (due) compactRollup(spark, path, dims, measures,
       Option(outPath).getOrElse(path))
     due

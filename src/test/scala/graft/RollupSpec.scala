@@ -123,6 +123,11 @@ class RollupSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException] {
       Rollup.compactRollup(spark, dir, dims, measures, dir)
     }
+    // and the maintenance loop rejects the misconfiguration on the FIRST
+    // call (healthy or not), not maxFiles batches later mid-stream
+    intercept[IllegalArgumentException] {
+      Rollup.maintainIfNeeded(spark, dir, dims, measures)
+    }
     // cross-root compaction of the stream summary is fine
     val out = dir + "_c"
     Rollup.compactRollup(spark, dir, dims, measures, out)
