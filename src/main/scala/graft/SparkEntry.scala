@@ -628,6 +628,32 @@ object SparkEntry {
       }
     }
 
+  /** Maintenance-healed IVF index: base build + three appends accumulate
+    * part files in every touched cell, then `ivfMaintainIfNeeded` fires
+    * the IN-PLACE compact (one file per cell) and the trigger resets —
+    * both require'd here. Probing the healed head must hash-match the
+    * same from-scratch oracle as the other IVF rows: rows untouched,
+    * files folded.
+    */
+  private def ivfMaintainSetup(s: SparkSession, d: String): String =
+    Setup.dir(s"ivf_index_maint:$d") { dir =>
+      val e = embeddings(s, d)
+      val cents = e.filter(col("vec_id") < 8)
+      val idx = s"$dir/ivf"
+      Similarity.buildIvfIndex(e.filter(col("vec_id") >= 300), cents,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), idx)
+      for (lo <- Seq(0, 100, 200))
+        Similarity.appendToIvfIndex(
+          e.filter(col("vec_id") >= lo && col("vec_id") < lo + 100), cents,
+          col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+          idx)
+      val gate = Similarity.ivfStats(s, idx).maxFilesPerCell - 1
+      require(Similarity.ivfMaintainIfNeeded(s, idx, maxFilesPerCell = gate),
+        "the append-grown index must be due for maintenance")
+      require(!Similarity.ivfMaintainIfNeeded(s, idx, maxFilesPerCell = gate),
+        "the healed index must be a maintenance no-op")
+    }
+
   /** Merge-maintained IVF index: two indexes built INDEPENDENTLY over
     * disjoint corpus halves under the same centroids, then combined by
     * cell-wise file adoption (zero data I/O — no vector byte is read or
@@ -856,6 +882,7 @@ object SparkEntry {
     ivfIndexSetup(s, d): Unit
     ivfIncSetup(s, d): Unit
     ivfDelSetup(s, d): Unit
+    ivfMaintainSetup(s, d): Unit
     ivfMergeSetup(s, d): Unit
     pqIndexSetup(s, d): Unit
     pqIncSetup(s, d): Unit
@@ -2592,6 +2619,21 @@ object SparkEntry {
       val e = embeddings(s, d)
       Similarity.ivfProbeIndex(
         e.filter(col("vec_id") < 32), s"${ivfIncSetup(s, d)}/ivf",
+        e.filter(col("vec_id") < 8),
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 5, nprobe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Operational loop for the persisted ANN index (round 13): three
+    // appends grow every touched cell's file count, ivfMaintainIfNeeded
+    // folds each cell back to ONE file in place and the trigger resets
+    // (require'd in the setup); probing the healed head hash-matches the
+    // same from-scratch oracle — rows untouched, files folded, by hash.
+    "ann_ivf_maintain" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Similarity.ivfProbeIndex(
+        e.filter(col("vec_id") < 32), s"${ivfMaintainSetup(s, d)}/ivf",
         e.filter(col("vec_id") < 8),
         col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
         k = 5, nprobe = 2)
@@ -7968,6 +8010,7 @@ object SparkEntry {
     // must return exactly what a from-scratch rebuild returns
     "ann_ivf_persisted" -> OracleSqlGen.annIvfTopK(32, 8, 5, 2),
     "ann_ivf_incremental" -> OracleSqlGen.annIvfTopK(32, 8, 5, 2),
+    "ann_ivf_maintain" -> OracleSqlGen.annIvfTopK(32, 8, 5, 2),
     "ann_ivf_merge" -> OracleSqlGen.annIvfTopK(32, 8, 5, 2),
     "ann_ivf_delete" -> OracleSqlGen.annIvfTopK(32, 8, 5, 2,
       survivorFilter = "e.vec_id % 5 <> 2"),
