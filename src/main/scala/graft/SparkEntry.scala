@@ -280,44 +280,57 @@ object SparkEntry {
   /** Incrementally-maintained perceptual-hash index: base hashes decoded
     * from the old media corpus (doc_id < 400), the batch decoded and
     * APPENDED — old payloads are never re-decoded (decode is the expensive
-    * stage; the index is 8 bytes/doc).
+    * stage; the index is 8 bytes/doc). Round 14: committed through the
+    * engine-wide VersionedDir CAS like every other persisted index — a
+    * crash mid-append can no longer lose the decoded corpus.
     */
   private def phashIncSetup(s: SparkSession, d: String): String =
     Setup.dir(s"phash_inc:$d") { dir =>
       import s.implicits._
       val png = s.read.parquet(s"${mmPngSetup(s, d)}/png").as[MediaRow]
-      Multimodal.averageHash(png.filter(col("doc_id") < 400))
-        .select("doc_id", "ahash")
-        .write.mode("overwrite").parquet(s"$dir/hashes")
-      Multimodal.averageHash(png.filter(col("doc_id") >= 400))
-        .select("doc_id", "ahash")
-        .write.mode("append").parquet(s"$dir/hashes")
+      Multimodal.buildPhashIndex(png.filter(col("doc_id") < 400), s"$dir/phash")
+      Multimodal.appendToPhashIndex(
+        png.filter(col("doc_id") >= 400), s"$dir/phash")
     }
 
   /** Deletion-maintained perceptual-hash index: the full corpus is decoded
     * ONCE into the 8-byte/doc hash table, then docs with doc_id % 6 == 1
-    * are removed by ONE anti-join over the index — payloads are never
-    * re-decoded (decode is the expensive stage; the index rewrite is
-    * 8 bytes/doc).
+    * are removed by an O(batch) tombstone append (the SearchIndex
+    * discipline) — payloads are never re-decoded, the hash table is never
+    * rewritten, and the read applies the tombstones as one anti-join.
     */
   private def phashDelSetup(s: SparkSession, d: String): String =
     Setup.dir(s"phash_del:$d") { dir =>
       import s.implicits._
       val png = s.read.parquet(s"${mmPngSetup(s, d)}/png").as[MediaRow]
-      Multimodal.averageHash(png)
-        .select("doc_id", "ahash")
-        .write.mode("overwrite").parquet(s"$dir/hashes")
-      val deleted = documents(s, d)
-        .filter(col("doc_id") % 6 === 1)
-        .select(col("doc_id").cast("long").as("del_id"))
-      // localCheckpoint materializes the survivors so the in-place
-      // overwrite never reads the files it is replacing
-      // no forced broadcast: `deleted` is a corpus fraction (1/6 of docs),
-      // unbounded at scale — AQE broadcasts it when it is actually small
-      val surviving = s.read.parquet(s"$dir/hashes")
-        .join(deleted, col("doc_id") === col("del_id"), "left_anti")
-        .localCheckpoint(true)
-      surviving.write.mode("overwrite").parquet(s"$dir/hashes")
+      Multimodal.buildPhashIndex(png, s"$dir/phash")
+      Multimodal.deleteFromPhashIndex(
+        documents(s, d).filter(col("doc_id") % 6 === 1),
+        col("doc_id"), s"$dir/phash")
+    }
+
+  /** Maintenance-healed perceptual-hash index — the full operational loop:
+    * base build (doc_id < 400), an O(batch) append of the rest, then a 33%
+    * tombstone wave (doc_id % 3 == 1, past the 20% deleted-fraction gate);
+    * `phashMaintainIfNeeded` folds the tombstones IN PLACE and the trigger
+    * resets — both require'd here. Reading the healed head must hash-match
+    * the from-scratch SURVIVORS oracle: drift detection → in-place CAS
+    * compact → trigger reset under the driver hash, with no payload ever
+    * decoded twice.
+    */
+  private def phashMaintainSetup(s: SparkSession, d: String): String =
+    Setup.dir(s"phash_maint:$d") { dir =>
+      import s.implicits._
+      val png = s.read.parquet(s"${mmPngSetup(s, d)}/png").as[MediaRow]
+      val idx = s"$dir/phash"
+      Multimodal.buildPhashIndex(png.filter(col("doc_id") < 400), idx)
+      Multimodal.appendToPhashIndex(png.filter(col("doc_id") >= 400), idx)
+      Multimodal.deleteFromPhashIndex(
+        documents(s, d).filter(col("doc_id") % 3 === 1), col("doc_id"), idx)
+      require(Multimodal.phashMaintainIfNeeded(s, idx),
+        "a 33% tombstoned phash index must be due for maintenance")
+      require(!Multimodal.phashMaintainIfNeeded(s, idx),
+        "the healed phash index must be a maintenance no-op")
     }
 
   /** Events range-clustered on epoch second + stats manifest. */
@@ -904,6 +917,7 @@ object SparkEntry {
     searchDelSetup(s, d): Unit
     phashIncSetup(s, d): Unit
     phashDelSetup(s, d): Unit
+    phashMaintainSetup(s, d): Unit
     supportSetup(s, d): Unit
     minhashIndexSetup(s, d): Unit
     jsonlSetup(s, d): Unit
@@ -2926,7 +2940,7 @@ object SparkEntry {
     // so the audit costs three O(docs) aggregations at any corpus size.
     "dedup_cross_modal" -> ((s, d) => {
       val labels = s.read.parquet(s"${dedupCcSetup(s, d)}/labels")
-      val hashes = s.read.parquet(s"${phashIncSetup(s, d)}/hashes")
+      val hashes = Multimodal.readPhashIndex(s, s"${phashIncSetup(s, d)}/phash")
       // labels is O(dup docs) — corpus-proportional, so no forced broadcast
       val cells = documents(s, d).select(col("doc_id"))
         .join(labels, Seq("doc_id"), "left")
@@ -3000,21 +3014,37 @@ object SparkEntry {
     // so the hash-match proves append ≡ full re-decode — the
     // dedup_components_inc contract applied to media fingerprints.
     "mm_phash_inc_clusters" -> ((s, d) => {
-      s.read.parquet(s"${phashIncSetup(s, d)}/hashes")
+      Multimodal.readPhashIndex(s, s"${phashIncSetup(s, d)}/phash")
         .groupBy("ahash")
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("rep_id"))
         .orderBy(desc("n_docs"), asc("ahash"))
     }),
 
     // Deletion maintenance for the media-fingerprint index — the fourth
-    // and last maintained index family (minhash bands, text postings, IVF
-    // cells, phash). Deletion is ONE anti-join over the 8-byte/doc index;
-    // no payload is ever re-decoded. The oracle re-derives every surviving
-    // hash from the generator's closed forms over only the surviving docs,
-    // so the hash-match proves the maintained index ≡ re-decode-after-
-    // delete, clusters included.
+    // maintained index family (minhash bands, text postings, IVF cells,
+    // phash). Deletion is an O(batch) tombstone append applied at read as
+    // ONE anti-join over the 8-byte/doc index; no payload is ever
+    // re-decoded. The oracle re-derives every surviving hash from the
+    // generator's closed forms over only the surviving docs, so the
+    // hash-match proves the maintained index ≡ re-decode-after-delete,
+    // clusters included.
     "mm_phash_delete" -> ((s, d) => {
-      s.read.parquet(s"${phashDelSetup(s, d)}/hashes")
+      Multimodal.readPhashIndex(s, s"${phashDelSetup(s, d)}/phash")
+        .groupBy("ahash")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("rep_id"))
+        .orderBy(desc("n_docs"), asc("ahash"))
+    }),
+
+    // Operational loop for the media-fingerprint index (round 14 — the
+    // last persisted index to join the VersionedDir CAS discipline):
+    // build + O(batch) append + a 33% tombstone wave, then
+    // phashMaintainIfNeeded fires the IN-PLACE compact (tombstones folded,
+    // hash parts coalesced) and the trigger resets (require'd in the
+    // setup). Reading the healed head hash-matches the from-scratch
+    // survivors oracle — drift detection → CAS compact → reset, by hash,
+    // with decode still paid exactly once per payload.
+    "mm_phash_maintain" -> ((s, d) => {
+      Multimodal.readPhashIndex(s, s"${phashMaintainSetup(s, d)}/phash")
         .groupBy("ahash")
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("rep_id"))
         .orderBy(desc("n_docs"), asc("ahash"))
@@ -8211,6 +8241,8 @@ object SparkEntry {
     "mm_phash_inc_clusters" -> OracleSqlGen.mmPhashClusters(),
     "mm_phash_delete" -> OracleSqlGen.mmPhashClusters(
       docFilter = "doc_id % 6 <> 1"),
+    "mm_phash_maintain" -> OracleSqlGen.mmPhashClusters(
+      docFilter = "doc_id % 3 <> 1"),
     "mm_frame_dedup" -> OracleSqlGen.mmFrameDedup(2),
     "mm_scene_cuts" -> OracleSqlGen.mmSceneCuts(threshold = 12),
     "dedup_cross_modal" -> OracleSqlGen.crossModalAgreement(3, 8, 2),

@@ -102,7 +102,40 @@ class CommitProtocolContractSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  private def protocols = Seq(new GraphStoreProtocol, new VersionedDirProtocol)
+  /** The round-14 addition: the perceptual-hash index was the last
+    * persisted index OUTSIDE the CAS discipline (its old fixtures appended
+    * into and overwrote the live dir in place). Running it through the
+    * same matrix pins that its build/append path now carries the full
+    * contract — decode results can no longer be lost to a crash or race.
+    */
+  private final class PhashIndexProtocol extends Protocol {
+    import graft.pipeline.{Multimodal, MediaRow}
+    val name = "phash index (VersionedDir client)"
+    private var root: String = _
+    private def media(tag: Int) =
+      Seq(MediaRow(tag.toLong, Multimodal.synthesizePng(tag.toLong), "image")).toDS()
+    def init(): String = {
+      root = Files.createTempDirectory("proto-ph-").toString + "/phash"
+      // seed doc 0 (excluded from readTags): guarantees the hashes table
+      // exists with files, so reads never depend on empty-write behavior
+      Multimodal.buildPhashIndex(media(0), root)
+      root
+    }
+    def mutate(handle: Int, tag: Int): Unit =
+      Multimodal.appendToPhashIndex(media(tag), root)
+    def readTags(): Set[Int] =
+      Multimodal.readPhashIndex(spark, root)
+        .select("doc_id").as[Long].collect().map(_.toInt).toSet - 0
+    def plantOrphan(): Unit = {
+      val d = new java.io.File(root, s"_stage_${System.nanoTime()}")
+      java.nio.file.Files.createDirectories(d.toPath)
+      java.nio.file.Files.write(new java.io.File(d, "junk.parquet").toPath,
+        Array[Byte](1, 2, 3)): Unit
+    }
+  }
+
+  private def protocols =
+    Seq(new GraphStoreProtocol, new VersionedDirProtocol, new PhashIndexProtocol)
 
   for (p <- protocols) {
     test(s"${p.name}: a crash orphan is invisible to readers and never blocks the next commit") {

@@ -1145,6 +1145,61 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(bad == ((9L, 0L, false)))
   }
 
+  test("multimodal: phash index lifecycle — build/append/delete/compact under the CAS, decode paid once") {
+    import graft.store.VersionedDir
+    def media(ids: Seq[Long]) =
+      ids.map(i => MediaRow(i, Multimodal.synthesizePng(i), "image")).toDS()
+    val root = java.nio.file.Files.createTempDirectory("phash_idx")
+      .toString + "/phash"
+    Multimodal.buildPhashIndex(media(0L until 40L), root)
+    Multimodal.appendToPhashIndex(media(40L until 60L), root)
+    val full = Multimodal.averageHash(media(0L until 60L))
+      .select("doc_id", "ahash").as[(Long, Long)].collect().toSet
+    // append ≡ rebuild: the committed index equals a from-scratch decode
+    def read() = Multimodal.readPhashIndex(spark, root)
+      .as[(Long, Long)].collect().toSet
+    assert(read() == full)
+    // O(batch) delete: tombstones only — the hashes table is NOT rewritten
+    // (its files carry by hardlink into the new version)
+    val vBefore = VersionedDir.currentDir(root)
+    Multimodal.deleteFromPhashIndex(
+      (0L until 60L).filter(_ % 4 == 1).toDF("doc_id"), col("doc_id"), root)
+    val vAfter = VersionedDir.currentDir(root)
+    def ino(f: java.io.File): Any =
+      java.nio.file.Files.getAttribute(f.toPath, "unix:ino")
+    val oldParts = new java.io.File(s"$vBefore/hashes").listFiles()
+      .filter(_.getName.startsWith("part-"))
+    assert(oldParts.nonEmpty && oldParts.forall { p =>
+      val np = new java.io.File(s"$vAfter/hashes", p.getName)
+      np.exists() && ino(np) == ino(p)
+    }, "delete rewrote the hashes table instead of appending tombstones")
+    val survivors = full.filterNot(_._1 % 4 == 1)
+    assert(read() == survivors)
+    // stats sees the drift; maintain folds it in place and resets
+    val st = Multimodal.phashStats(spark, root)
+    assert(st.docCount == 60 && st.tombstoneCount == 15)
+    assert(st.deletedFraction > 0.2)
+    assert(Multimodal.phashMaintainIfNeeded(spark, root))
+    assert(!Multimodal.phashMaintainIfNeeded(spark, root))
+    val healed = Multimodal.phashStats(spark, root)
+    assert(healed.tombstoneCount == 0 && healed.docCount == 45)
+    assert(healed.hashFiles <= 8, s"compact left ${healed.hashFiles} files")
+    assert(read() == survivors, "compact changed the surviving rows")
+    // file-count trigger: enough appends re-arm the gate
+    (0 until 4).foreach(b =>
+      Multimodal.appendToPhashIndex(media(100L + b until 101L + b), root))
+    val grown = Multimodal.phashStats(spark, root)
+    assert(Multimodal.phashMaintainIfNeeded(spark, root,
+      maxHashFiles = grown.hashFiles - 1, targetFiles = 1))
+    assert(!Multimodal.phashMaintainIfNeeded(spark, root,
+      maxHashFiles = grown.hashFiles - 1, targetFiles = 1))
+    // converging knobs are enforced, not documented-only
+    intercept[IllegalArgumentException] {
+      Multimodal.phashMaintainIfNeeded(spark, root,
+        maxHashFiles = 4, targetFiles = 8)
+    }
+  }
+
   test("multimodal: decodeImage falls back to the deterministic stub on non-image bytes") {
     val bytes = "not an image at all".getBytes("UTF-8")
     val stats = Multimodal.decodeImage(
