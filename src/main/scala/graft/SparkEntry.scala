@@ -402,6 +402,36 @@ object SparkEntry {
         li.filter(col("l_shipdate") >= lit("1998-01-01")), dims, ms, s"$dir/mv")
     }
 
+  /** Maintenance-healed rollup — the operational loop under the oracle
+    * (the q_rollup_mv summary grown by THREE yearly appendDelta batches,
+    * so part files pile up past a gate set just under the observed count):
+    * `maintainIfNeeded` fires the IN-PLACE compact (one row per grain key,
+    * coalesced to one part) and the trigger resets — both require'd here.
+    * The merging read of the healed head must equal the direct fact-table
+    * aggregate, i.e. build + appends + threshold + compact ≡ recompute.
+    */
+  private def mvMaintainSetup(s: SparkSession, d: String): String =
+    Setup.dir(s"mv_maint:$d") { dir =>
+      val li = lineitem(s, d)
+      val dims = Seq("l_returnflag", "l_linestatus")
+      val ms = Seq("l_quantity", "l_extendedprice")
+      val mv = s"$dir/mv"
+      graft.pipeline.Rollup.build(
+        li.filter(year(col("l_shipdate")) < 1995), dims, ms, mv)
+      for (y <- Seq(1995, 1996, 1997))
+        graft.pipeline.Rollup.appendDelta(
+          li.filter(year(col("l_shipdate")) === y), dims, ms, mv)
+      graft.pipeline.Rollup.appendDelta(
+        li.filter(year(col("l_shipdate")) >= 1998), dims, ms, mv)
+      val gate = graft.pipeline.Rollup.stats(s, mv).files - 1
+      require(graft.pipeline.Rollup.maintainIfNeeded(s, mv, dims, ms,
+        maxFiles = gate, targetFiles = 1),
+        "the append-grown rollup must be due for maintenance")
+      require(!graft.pipeline.Rollup.maintainIfNeeded(s, mv, dims, ms,
+        maxFiles = gate, targetFiles = 1),
+        "the healed rollup must be a maintenance no-op")
+    }
+
   /** One deterministic synthetic PNG per doc (JDK ImageIO encode). */
   private def mmPngSetup(s: SparkSession, d: String): String =
     Setup.dir(s"mm_png:$d") { dir =>
@@ -888,6 +918,7 @@ object SparkEntry {
     bucketedSetup(s, d): Unit
     mvSetup(s, d): Unit
     mvRetractSetup(s, d): Unit
+    mvMaintainSetup(s, d): Unit
     mmPngSetup(s, d): Unit
     mmJpegSetup(s, d): Unit
     mmWavSetup(s, d): Unit
@@ -5223,6 +5254,23 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // Operational loop for the materialized rollup (round 14 — the last
+    // append-maintained summary to get its threshold→compact→probe loop
+    // under the driver oracle): build + four yearly appendDelta batches
+    // accumulate part files, Rollup.maintainIfNeeded fires the IN-PLACE
+    // compact (one row per grain key, coalesced to ONE part) and the
+    // trigger resets (require'd in the setup); the merging read of the
+    // healed head hash-matches the direct fact-table aggregate.
+    "q_rollup_maintain" -> ((s, d) => {
+      val ms = Seq("l_quantity", "l_extendedprice")
+      graft.pipeline.Rollup.query(s, s"${mvMaintainSetup(s, d)}/mv",
+          Seq("l_returnflag"), ms)
+        .select(col("l_returnflag"), col("n"),
+          col("sum_l_quantity").as("sum_qty"),
+          col("sum_l_extendedprice").as("sum_price"))
+        .orderBy("l_returnflag")
+    }),
+
     // DECREMENTAL rollup maintenance (the delete/retraction sibling of
     // q_rollup_mv): the summary was built over the FULL fact table, then
     // the 1998+ ship dates were deleted from the base and retracted from
@@ -9246,6 +9294,11 @@ object SparkEntry {
              CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_price
          FROM lineitem GROUP BY 1 ORDER BY 1""",
     "q_rollup_compact" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_price
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q_rollup_maintain" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
              CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
              CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_price

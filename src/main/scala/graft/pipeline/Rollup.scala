@@ -163,9 +163,18 @@ object Rollup {
     * so a CAS rerun against a racing appendDelta re-merges the append's
     * rows instead of silently dropping them (the engine-wide compact
     * discipline — SuffixIndex/SearchIndex/IVF).
+    *
+    * The compacted summary is COALESCED to `targetFiles` parts: the
+    * re-merge shuffle would otherwise write at shuffle-partition
+    * parallelism, and on a session without AQE small-partition coalescing
+    * that can exceed [[maintainIfNeeded]]'s file gate — the loop would
+    * then re-fire a full rewrite after every batch forever. The summary
+    * is O(grain) narrow rows by design, so a single-digit file count is
+    * right; raise `targetFiles` for billion-grain summaries (and raise
+    * the maintenance gate with it).
     */
   def compactRollup(spark: SparkSession, path: String, dims: Seq[String],
-      measures: Seq[String], outPath: String): Unit = {
+      measures: Seq[String], outPath: String, targetFiles: Int = 8): Unit = {
     // A STREAM-maintained summary (maintainFromStream) writes micro-batch
     // partitions `batch_id=N` at the un-versioned root on a fixed path —
     // compacting THAT in place would commit a v000001 that query() then
@@ -185,6 +194,7 @@ object Rollup {
     graft.store.VersionedDir.compactInto(path, outPath) { (cur, stage) =>
       spark.read.parquet(cur)
         .groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
+        .coalesce(targetFiles)
         .write.parquet(stage.toString)
     }
   }
@@ -222,18 +232,23 @@ object Rollup {
     * gate itself is a pure file COUNT (no footer opens — [[stats]] reads
     * every footer for its row count, which the gate never consults; on a
     * long stream that would be O(batches) ranged reads per call).
+    * `maxFiles` must exceed the post-compact `targetFiles` — enforced, so
+    * the heal-then-no-op loop converges instead of re-firing forever.
     */
   def maintainIfNeeded(spark: SparkSession, path: String, dims: Seq[String],
       measures: Seq[String], outPath: String = null,
-      maxFiles: Int = 16): Boolean = {
+      maxFiles: Int = 16, targetFiles: Int = 8): Boolean = {
     require(outPath != null || !isStreamLayout(path),
       "stream-maintained rollups must maintain into a separate root " +
         "(in-place compaction would orphan later micro-batches)")
+    require(maxFiles > targetFiles,
+      s"maxFiles ($maxFiles) must exceed the post-compact targetFiles " +
+        s"($targetFiles) or maintenance re-fires every batch")
     val cur = graft.store.VersionedDir.currentDir(path)
     val due = graft.store.ParquetMeta
       .parquetFiles(new java.io.File(cur)).size > maxFiles
     if (due) compactRollup(spark, path, dims, measures,
-      Option(outPath).getOrElse(path))
+      Option(outPath).getOrElse(path), targetFiles)
     due
   }
 }

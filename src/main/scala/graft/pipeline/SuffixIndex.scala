@@ -261,8 +261,17 @@ object SuffixIndex {
     * read-side file counts at O(buckets) again. Equivalent to a rebuild
     * over the ingested corpus without re-tokenizing anything; the fresh
     * index commits into `outPath` through the same VersionedDir CAS.
+    *
+    * The resolved perdoc table is COALESCED to `targetPerdocFiles` parts:
+    * its re-merge would otherwise write at shuffle-partition parallelism,
+    * and on a session without AQE small-partition coalescing that can
+    * exceed [[maintainIfNeeded]]'s delta-file gate — the loop would then
+    * re-fire a full rewrite after every append forever. Three narrow
+    * columns per doc, so a single-digit file count is right; raise it
+    * (and the gate with it) past ~10⁹ docs.
     */
-  def compact(spark: SparkSession, path: String, outPath: String): Unit = {
+  def compact(spark: SparkSession, path: String, outPath: String,
+      targetPerdocFiles: Int = 8): Unit = {
     // Pin ONE source version for every table — grams, edges AND perdoc. A
     // `lrsStats(spark, path)` call here would re-resolve the head at read
     // time, so an append racing the compaction could hand us v(N+1) perdoc
@@ -294,6 +303,7 @@ object SuffixIndex {
         .groupBy("doc_id")
         .agg(max(col("n_tokens")).as("n_tokens"),
           max(col("lrs")).cast("int").as("lrs"))
+        .coalesce(targetPerdocFiles)
         .write.parquet(s"$stage/perdoc")
       writeMeta(spark, s"$stage/meta", cap, nBuckets,
         grams.count() / math.max(nBuckets, 1))
@@ -450,12 +460,20 @@ object SuffixIndex {
     */
   def maintainIfNeeded(spark: SparkSession, path: String,
       outPath: String = null, maxDeltaFiles: Int = 16,
-      maxImbalance: Double = 8.0, maxBucketDrift: Double = 4.0): Boolean = {
+      maxImbalance: Double = 8.0, maxBucketDrift: Double = 4.0,
+      targetPerdocFiles: Int = 8): Boolean = {
+    // converging knobs, enforced: compact leaves ≤ targetPerdocFiles
+    // perdoc parts, so a delta gate at or below it would re-fire a full
+    // rewrite after every append forever
+    require(maxDeltaFiles > targetPerdocFiles,
+      s"maxDeltaFiles ($maxDeltaFiles) must exceed the post-compact " +
+        s"targetPerdocFiles ($targetPerdocFiles)")
     val s = stats(spark, path)
     val due = s.perdocFiles > maxDeltaFiles ||
       s.imbalance > maxImbalance ||
       s.buckets > maxBucketDrift * math.max(s.targetBuckets, 1)
-    if (due) compact(spark, path, Option(outPath).getOrElse(path))
+    if (due) compact(spark, path, Option(outPath).getOrElse(path),
+      targetPerdocFiles)
     due
   }
 

@@ -81,15 +81,21 @@ class RollupSpec extends AnyFunSuite with SparkTestBase {
     val all = batches.foldLeft(base)(_ union _)
     // gate just below the observed drift => due, heals IN PLACE
     assert(Rollup.maintainIfNeeded(spark, dir, dims, measures,
-      maxFiles = s1.files - 1))
+      maxFiles = s1.files - 1, targetFiles = 1))
     val s2 = Rollup.stats(spark, dir)
-    assert(s2.version == 6 && s2.files < s1.files && s2.rows < s1.rows,
-      s"in-place compact must shrink the summary: $s1 -> $s2")
+    assert(s2.version == 6 && s2.files <= 1 && s2.rows < s1.rows,
+      s"in-place compact must coalesce the summary to targetFiles: $s1 -> $s2")
     assert(Rollup.query(spark, dir, Seq("flag"), measures).orderBy("flag")
       .collect().toSeq == direct(all, Seq("flag")).collect().toSeq)
     assert(!Rollup.maintainIfNeeded(spark, dir, dims, measures,
-      maxFiles = s1.files - 1))
+      maxFiles = s1.files - 1, targetFiles = 1))
     assert(graft.store.VersionedDir.head(dir) == 6)
+    // converging knobs are enforced: a gate at or below the post-compact
+    // file count would re-fire a full rewrite after every batch forever
+    intercept[IllegalArgumentException] {
+      Rollup.maintainIfNeeded(spark, dir, dims, measures,
+        maxFiles = 8, targetFiles = 8)
+    }
     // in-place compact racing an appendDelta: the CAS rerun must re-merge
     // the append's rows (pin INSIDE the transaction)
     val late = fact(150, 9)
