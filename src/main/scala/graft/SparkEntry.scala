@@ -766,6 +766,60 @@ object SparkEntry {
         col("vec_id"), col("embedding"), s"$dir/ivfpq", m = 8, sub = 8)
     }
 
+  /** Maintenance-healed PQ index: codebook + base encode on the old corpus
+    * (vec_id < 400), then THREE O(batch) appends under the frozen codebook
+    * grow the flat code table's file count past a gate set just under the
+    * observed drift; `pqMaintainIfNeeded` coalesces the codes IN PLACE
+    * (codebook hardlink-carried) and the trigger resets — both require'd.
+    * Probing the healed head must hash-match the same from-scratch oracle
+    * as ann_pq_incremental: rows untouched, files folded, by hash.
+    */
+  private def pqMaintainSetup(s: SparkSession, d: String): String =
+    Setup.dir(s"pq_index_maint:$d") { dir =>
+      val e = embeddings(s, d)
+      val idx = s"$dir/pq"
+      Pq.buildIndex(e.filter(col("vec_id") < 400), col("vec_id"), col("embedding"),
+        idx, m = 8, sub = 8, k = 16, iters = 2)
+      for (r <- 0 until 3)
+        Pq.appendToIndex(
+          e.filter(col("vec_id") >= 400 && col("vec_id") % 3 === r),
+          col("vec_id"), col("embedding"), idx, m = 8, sub = 8)
+      val gate = Pq.pqStats(s, idx).maxFilesPerCell - 1
+      require(Pq.pqMaintainIfNeeded(s, idx,
+        maxFilesPerCell = gate, targetFiles = 1),
+        "the append-grown PQ index must be due for maintenance")
+      require(!Pq.pqMaintainIfNeeded(s, idx,
+        maxFilesPerCell = gate, targetFiles = 1),
+        "the healed PQ index must be a maintenance no-op")
+    }
+
+  /** Maintenance-healed IVF-PQ index: built on the old corpus (vec_id <
+    * 400), three appends under the frozen centroids + codebook grow every
+    * touched cell's file count; `pqMaintainIfNeeded` folds each cell back
+    * to ONE file in place and the trigger resets — both require'd.
+    * Probing the healed head must hash-match the ann_ivfpq_incremental
+    * oracle.
+    */
+  private def ivfPqMaintainSetup(s: SparkSession, d: String): String =
+    Setup.dir(s"ivfpq_index_maint:$d") { dir =>
+      val e = embeddings(s, d)
+      val idx = s"$dir/ivfpq"
+      Pq.buildIvfPqIndex(e.filter(col("vec_id") < 400), e.filter(col("vec_id") < 8),
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        idx, m = 8, sub = 8, k = 16, iters = 2)
+      for (r <- 0 until 3)
+        Pq.appendToIvfPqIndex(
+          e.filter(col("vec_id") >= 400 && col("vec_id") % 3 === r),
+          col("vec_id"), col("embedding"), idx, m = 8, sub = 8)
+      val gate = Pq.pqStats(s, idx).maxFilesPerCell - 1
+      require(Pq.pqMaintainIfNeeded(s, idx,
+        maxFilesPerCell = gate, targetFiles = 1),
+        "the append-grown IVF-PQ index must be due for maintenance")
+      require(!Pq.pqMaintainIfNeeded(s, idx,
+        maxFilesPerCell = gate, targetFiles = 1),
+        "the healed IVF-PQ index must be a maintenance no-op")
+    }
+
   /** One deterministic synthetic WAV per doc (hand-rolled RIFF/PCM). */
   private def mmWavSetup(s: SparkSession, d: String): String =
     Setup.dir(s"mm_wav:$d") { dir =>
@@ -930,8 +984,10 @@ object SparkEntry {
     ivfMergeSetup(s, d): Unit
     pqIndexSetup(s, d): Unit
     pqIncSetup(s, d): Unit
+    pqMaintainSetup(s, d): Unit
     ivfPqSetup(s, d): Unit
     ivfPqIncSetup(s, d): Unit
+    ivfPqMaintainSetup(s, d): Unit
     storeDiffSetup(s, d): Unit
     walkIndexSetup(s, d): Unit
     dppSetup(s, d): Unit
@@ -2579,6 +2635,32 @@ object SparkEntry {
       val e = embeddings(s, d)
       Pq.ivfPqProbe(e.filter(col("vec_id") < 32), col("vec_id"), col("embedding"),
         s"${ivfPqIncSetup(s, d)}/ivfpq", k = 5, nprobe = 2, m = 8, sub = 8)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Operational loop for the compressed ANN indexes (round 14): the PQ
+    // appends grew the flat code table version-on-version with no declared
+    // health loop — now build + three appends trip a gate set just under
+    // the drift, pqMaintainIfNeeded coalesces the codes IN PLACE (codebook
+    // hardlink-carried, ONE claim) and the trigger resets (require'd in
+    // the setup); the ADC probe of the healed head hash-matches the same
+    // from-scratch training+encode oracle as ann_pq_incremental.
+    "ann_pq_maintain" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Pq.adcProbe(e.filter(col("vec_id") < 32), col("vec_id"), col("embedding"),
+        s"${pqMaintainSetup(s, d)}/pq", k = 5, m = 8, sub = 8)
+        .orderBy("query_id", "rank")
+    }),
+
+    // The IVF-PQ sibling: three appends grow every touched cell's file
+    // count, the maintain folds each cell to ONE file (same per-cell
+    // hash-exchange as the IVF compact) with centroids + codebook carried
+    // by hardlink; the probe hash-matches the ann_ivfpq_incremental oracle
+    // — rows untouched, files folded, by hash.
+    "ann_ivfpq_maintain" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Pq.ivfPqProbe(e.filter(col("vec_id") < 32), col("vec_id"), col("embedding"),
+        s"${ivfPqMaintainSetup(s, d)}/ivfpq", k = 5, nprobe = 2, m = 8, sub = 8)
         .orderBy("query_id", "rank")
     }),
 
@@ -8076,6 +8158,10 @@ object SparkEntry {
     "ann_ivfpq" -> OracleSqlGen.annIvfPq(32, 8, 2, 8, 8, 16, 2, 5),
     "ann_ivfpq_refined" -> OracleSqlGen.annIvfPqRefined(32, 8, 2, 8, 8, 16, 2, 20, 5),
     "ann_ivfpq_incremental" -> OracleSqlGen.annIvfPq(32, 8, 2, 8, 8, 16, 2, 5,
+      trainMaxId = 400L),
+    "ann_ivfpq_maintain" -> OracleSqlGen.annIvfPq(32, 8, 2, 8, 8, 16, 2, 5,
+      trainMaxId = 400L),
+    "ann_pq_maintain" -> OracleSqlGen.annPqAdc(32, 8, 8, 16, 2, 5,
       trainMaxId = 400L),
     "ann_pq_recall" -> OracleSqlGen.annPqRecall(32, 8, 8, 16, 2, 5),
     "ann_lsh_topk" -> OracleSqlGen.annLshTopK(32, 5, 4, 4),

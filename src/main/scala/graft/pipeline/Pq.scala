@@ -268,6 +268,92 @@ object Pq {
     }
   }
 
+  // ── maintenance triple (shared by flat PQ and IVF-PQ) ──────────────────
+
+  /** The IVF-PQ code table's cell partition dirs (empty for flat PQ). */
+  private def codeCellDirs(cur: String): Seq[java.io.File] =
+    Option(new java.io.File(s"$cur/codes").listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("centroid_id="))
+      .toSeq
+
+  /** Operational snapshot of a committed PQ or IVF-PQ index — O(files)
+    * driver-side metadata (directory listings + parquet footer row counts
+    * via the shared [[graft.store.ParquetMeta]]; no Spark job): code rows
+    * (m per vector), total code part files and the worst cell's count
+    * (each append hardlink-adopts the old files and writes ~1 new part
+    * per touched cell beside them — a flat PQ index is one cell — so
+    * files grow per append until a compact folds them and every probe
+    * opens them all), plus the committed version.
+    */
+  final case class PqStats(codeRows: Long, codesFiles: Int,
+      maxFilesPerCell: Int, cells: Int, version: Long)
+
+  def pqStats(spark: org.apache.spark.sql.SparkSession,
+      path: String): PqStats = {
+    val cur = graft.store.VersionedDir.currentDir(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val cells = codeCellDirs(cur)
+    val perCell: Seq[Seq[java.io.File]] =
+      if (cells.nonEmpty) cells.map(graft.store.ParquetMeta.parquetFiles)
+      else Seq(graft.store.ParquetMeta.parquetFiles(
+        new java.io.File(s"$cur/codes")))
+    PqStats(
+      codeRows = perCell.flatten
+        .map(graft.store.ParquetMeta.rowCount(conf, _)).sum,
+      codesFiles = perCell.map(_.size).sum,
+      maxFilesPerCell = perCell.map(_.size).max,
+      cells = cells.size,
+      version = graft.store.VersionedDir.head(path))
+  }
+
+  /** Fold the code table's part files back together — the read-side
+    * file-count reset after a run of appends (code rows are untouched, so
+    * probes are bit-identical before and after): IVF-PQ cells fold to one
+    * file each (one hash-exchange by cell id, the compactIvfIndex shape),
+    * a flat PQ table coalesces to `targetFiles` parts. The codebook (and
+    * centroids, when present) carry by hardlink — they are immutable
+    * between rebuilds — and everything commits as ONE claim through
+    * [[graft.store.VersionedDir.compactInto]], which pins the source
+    * inside the CAS body for in-place compacts (a rerun against a racing
+    * append re-folds the append's codes instead of dropping them).
+    */
+  def compactPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, outPath: String, targetFiles: Int = 8): Unit =
+    graft.store.VersionedDir.compactInto(path, outPath) { (cur, stage) =>
+      val codes = spark.read.parquet(s"$cur/codes")
+      val cells = codeCellDirs(cur)
+      if (cells.nonEmpty)
+        codes.repartition(math.max(cells.length, 1), col("centroid_id"))
+          .write.partitionBy("centroid_id").parquet(s"$stage/codes")
+      else
+        codes.coalesce(targetFiles).write.parquet(s"$stage/codes")
+      graft.store.VersionedDir.adoptTree(
+        new java.io.File(s"$cur/codebook"), new java.io.File(s"$stage/codebook"))
+      val cents = new java.io.File(s"$cur/centroids")
+      if (cents.isDirectory)
+        graft.store.VersionedDir.adoptTree(
+          cents, new java.io.File(s"$stage/centroids"))
+    }
+
+  /** Maintenance policy over [[pqStats]]: compact (in place by default)
+    * when any cell's file count passes `maxFilesPerCell` — no-op on a
+    * healthy index, so an ingest scheduler calls it unconditionally after
+    * appends. `maxFilesPerCell` must exceed the post-compact `targetFiles`
+    * (enforced) so the heal-then-no-op loop converges. Returns whether a
+    * compact ran.
+    */
+  def pqMaintainIfNeeded(spark: org.apache.spark.sql.SparkSession,
+      path: String, outPath: String = null,
+      maxFilesPerCell: Int = 16, targetFiles: Int = 8): Boolean = {
+    require(maxFilesPerCell > targetFiles,
+      s"maxFilesPerCell ($maxFilesPerCell) must exceed the post-compact " +
+        s"targetFiles ($targetFiles) or maintenance re-fires every batch")
+    val due = pqStats(spark, path).maxFilesPerCell > maxFilesPerCell
+    if (due) compactPqIndex(spark, path,
+      Option(outPath).getOrElse(path), targetFiles)
+    due
+  }
+
   /** IVF-PQ probe: nprobe coarse cells per query (cosine against the
     * broadcast O(centroids) table), a partition-PRUNED read of exactly
     * those cell directories, then ADC scoring of the resident codes via

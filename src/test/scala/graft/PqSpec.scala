@@ -121,6 +121,72 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want && got.nonEmpty)
   }
 
+  test("pq stats + maintainIfNeeded: append file growth heals IN PLACE on both layouts; probes bit-identical; trigger resets") {
+    import graft.store.VersionedDir
+    def probe(path: String) =
+      Pq.adcProbe(twoGroups.filter(col("vec_id") < 2), col("vec_id"),
+        col("embedding"), path, k = 3, m = 2, sub = 4)
+        .orderBy("query_id", "rank").as[(Long, Long, Int, Long)].collect().toSeq
+    // flat PQ: three appends grow the single-cell file count
+    val flat = java.nio.file.Files.createTempDirectory("pqmaint").toString + "/pq"
+    Pq.buildIndex(twoGroups.filter(col("vec_id") < 3), col("vec_id"),
+      col("embedding"), flat, m = 2, sub = 4, k = 2, iters = 2)
+    for (i <- 3 to 5)
+      Pq.appendToIndex(twoGroups.filter(col("vec_id") === i), col("vec_id"),
+        col("embedding"), flat, m = 2, sub = 4)
+    val s1 = Pq.pqStats(spark, flat)
+    assert(s1.codeRows == 12 && s1.cells == 0 && s1.version == 4,
+      s"flat stats wrong: $s1")
+    assert(s1.maxFilesPerCell >= 4, s"appends should accumulate files: $s1")
+    val before = probe(flat)
+    assert(Pq.pqMaintainIfNeeded(spark, flat,
+      maxFilesPerCell = s1.maxFilesPerCell - 1, targetFiles = 1))
+    val s2 = Pq.pqStats(spark, flat)
+    assert(s2.codeRows == 12 && s2.maxFilesPerCell <= 1 && s2.version == 5,
+      s"in-place compact must fold the codes: $s1 -> $s2")
+    assert(probe(flat) == before, "compact changed probe results")
+    assert(!Pq.pqMaintainIfNeeded(spark, flat,
+      maxFilesPerCell = s1.maxFilesPerCell - 1, targetFiles = 1))
+    assert(VersionedDir.head(flat) == 5, "no-op must not commit")
+    // the codebook carried by hardlink, not rewritten
+    def ino(f: java.io.File): Any =
+      java.nio.file.Files.getAttribute(f.toPath, "unix:ino")
+    val v4 = new java.io.File(s"${flat}/v000004/codebook")
+    val v5 = new java.io.File(s"${flat}/v000005/codebook")
+    v4.listFiles().filter(_.getName.startsWith("part-")).foreach { p =>
+      assert(ino(new java.io.File(v5, p.getName)) == ino(p),
+        "compact rewrote the codebook")
+    }
+    // IVF-PQ: cells fold to one file each, probes bit-identical
+    val ivf = java.nio.file.Files.createTempDirectory("pqmaint2").toString + "/ivfpq"
+    Pq.buildIvfPqIndex(twoGroups.filter(col("vec_id") < 4),
+      twoGroups.filter(col("vec_id") < 2),
+      col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+      ivf, m = 2, sub = 4, k = 2, iters = 2)
+    for (i <- 4 to 5)
+      Pq.appendToIvfPqIndex(twoGroups.filter(col("vec_id") === i),
+        col("vec_id"), col("embedding"), ivf, m = 2, sub = 4)
+    val is1 = Pq.pqStats(spark, ivf)
+    assert(is1.cells == 2 && is1.maxFilesPerCell >= 2, s"ivfpq stats wrong: $is1")
+    def iprobe() =
+      Pq.ivfPqProbe(twoGroups.filter(col("vec_id") < 2), col("vec_id"),
+        col("embedding"), ivf, k = 3, nprobe = 2, m = 2, sub = 4)
+        .orderBy("query_id", "rank").as[(Long, Long, Int, Long)].collect().toSeq
+    val ibefore = iprobe()
+    assert(Pq.pqMaintainIfNeeded(spark, ivf,
+      maxFilesPerCell = is1.maxFilesPerCell - 1, targetFiles = 1))
+    val is2 = Pq.pqStats(spark, ivf)
+    assert(is2.cells == 2 && is2.maxFilesPerCell == 1 && is2.codeRows == is1.codeRows,
+      s"cell fold failed: $is1 -> $is2")
+    assert(iprobe() == ibefore && ibefore.nonEmpty)
+    assert(!Pq.pqMaintainIfNeeded(spark, ivf,
+      maxFilesPerCell = is1.maxFilesPerCell - 1, targetFiles = 1))
+    // converging knobs enforced
+    intercept[IllegalArgumentException] {
+      Pq.pqMaintainIfNeeded(spark, ivf, maxFilesPerCell = 8, targetFiles = 8)
+    }
+  }
+
   test("ivfPq code table prunes the scan to the probed cell's directory") {
     val dir = java.nio.file.Files.createTempDirectory("pqprune").toString
     Pq.buildIvfPqIndex(twoGroups, twoGroups.filter(col("vec_id") < 2),
