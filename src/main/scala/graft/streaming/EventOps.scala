@@ -337,17 +337,37 @@ object EventOps {
       .select("window_start", "event_type", "n", "z", "is_anomaly")
   }
 
+  /** One micro-batch of finalized buckets lands in a `batch_id=N`
+    * partition dir with OVERWRITE — foreachBatch is at-least-once under
+    * retries, so a replayed batch overwrites its own partition instead of
+    * double-counting: effective exactly-once without reading or locking
+    * the store (the rollup stream's idempotency pattern —
+    * [[graft.pipeline.Rollup.writeMicroBatch]] — now the discipline of
+    * ALL three streaming-maintained summaries). Empty batches are
+    * skipped by the callers, so no empty partition dirs accumulate.
+    */
+  private[graft] def writeFinalized(batch: DataFrame, storeDir: String,
+      batchId: Long): Unit =
+    batch.write.mode("overwrite").parquet(s"$storeDir/batch_id=$batchId")
+
+  /** The committed bucket series, without the physical `batch_id`
+    * partition column — readers see exactly the schema the batch-path
+    * operators ([[scoreBuckets]], [[topkOfBucketCounts]]) expect.
+    */
+  private[graft] def readFinalized(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String): DataFrame =
+    spark.read.parquet(storeDir).drop("batch_id")
+
   /** Streaming anomaly detection. The heavy stage ([[bucketCounts]]) runs
     * incrementally inside the engine — append mode emits each bucket exactly
-    * once, when the watermark passes its end. Finalized buckets append to a
-    * compact parquet store, and [[scoreBuckets]] runs over THAT store per
-    * micro-batch: one row per bucket per type, tiny forever, so the raw
-    * stream is never re-scanned no matter how many TB/day it carries.
-    * `onBatch` receives the full scored series after each batch (route it to
-    * an alerting sink in production). Note: a plain parquet append is
-    * at-least-once under batch retries — if duplicate finalized buckets
-    * matter, dedupe the store on (window_start, event_type) at read or use
-    * a transactional sink (the GraphStore manifest pattern).
+    * once, when the watermark passes its end. Finalized buckets land in the
+    * compact parquet store via the idempotent [[writeFinalized]] batch_id
+    * partition overwrite (a retried micro-batch replaces itself — no
+    * duplicate buckets can skew the z-scores), and [[scoreBuckets]] runs
+    * over THAT store per micro-batch: one row per bucket per type, tiny
+    * forever, so the raw stream is never re-scanned no matter how many
+    * TB/day it carries. `onBatch` receives the full scored series after
+    * each batch (route it to an alerting sink in production).
     */
   def anomalySink(
       events: DataFrame,
@@ -360,11 +380,11 @@ object EventOps {
     bucketCounts(withWatermarkIfStreaming(events, "ts", watermark), every)
       .writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          batch.write.mode("append").parquet(storeDir)
+          writeFinalized(batch, storeDir, batchId)
           onBatch(scoreBuckets(
-            batch.sparkSession.read.parquet(storeDir), lookback, zThreshold))
+            readFinalized(batch.sparkSession, storeDir), lookback, zThreshold))
         }
       }
       .start()
@@ -383,10 +403,12 @@ object EventOps {
   /** Streaming leaderboard — the [[anomalySink]] pattern applied to top-k:
     * the count aggregation runs incrementally in-engine (watermark-bounded,
     * append mode — each finalized (window, type) count emits exactly once),
-    * finalized counts append to a compact store, and the O(windows × types)
-    * rank stage re-runs over that store per batch with the SAME
-    * [[topkOfBucketCounts]] the batch query uses. The raw stream is never
-    * re-scanned; stream ≡ batch is structural (spec-pinned).
+    * finalized counts land via the idempotent [[writeFinalized]] batch_id
+    * partition overwrite (a retried micro-batch replaces itself — no
+    * duplicate rows can inflate a leaderboard count), and the
+    * O(windows × types) rank stage re-runs over that store per batch with
+    * the SAME [[topkOfBucketCounts]] the batch query uses. The raw stream
+    * is never re-scanned; stream ≡ batch is structural (spec-pinned).
     */
   def topkSink(
       events: DataFrame,
@@ -398,11 +420,11 @@ object EventOps {
     bucketCounts(withWatermarkIfStreaming(events, "ts", watermark), every)
       .writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          batch.write.mode("append").parquet(storeDir)
+          writeFinalized(batch, storeDir, batchId)
           onBatch(topkOfBucketCounts(
-            batch.sparkSession.read.parquet(storeDir), k))
+            readFinalized(batch.sparkSession, storeDir), k))
         }
       }
       .start()
