@@ -69,29 +69,38 @@ object SuffixIndex {
       cap: Int = 16, buckets: Int = 32): Unit = {
     require(buckets >= 1 && buckets <= (1 << 14),
       s"buckets must be in [1, 16384], got $buckets")
-    val spark = docs.sparkSession
     VersionedDir.mutate(path) { (_, _) =>
-      val stage = VersionedDir.stageDir(path)
-      val lens = docLens(docs, id, text).localCheckpoint(false)
-      val parted = cappedSuffixes(docs, id, text, cap)
-        .repartitionByRange(buckets, col("g"), col("doc_id"), col("i"))
-        .sortWithinPartitions(col("g"), col("doc_id"), col("i"))
-        .withColumn("bucket", spark_partition_id() * lit(BucketGap))
-        .localCheckpoint(false)
-      parted.write.partitionBy("bucket").parquet(s"$stage/grams")
-      val (bucketContrib, edges) = neighborPass(parted)
-      writeEdges(edges, spark, s"$stage/edges")
-      val contrib = bucketContrib
-        .unionAll(boundaryContributions(spark, edges))
-        .groupBy("doc_id").agg(max(col("lcp")).as("lrs"))
-      lens.join(contrib, Seq("doc_id"), "left")
-        .na.fill(0, Seq("lrs"))
-        .select(col("doc_id"), col("n_tokens"), col("lrs").cast("int").as("lrs"))
-        .write.parquet(s"$stage/perdoc")
-      writeMeta(spark, s"$stage/meta", cap, buckets,
-        parted.count() / math.max(buckets, 1))
-      Some(stage)
+      stageFullBuild(docs, id, text, path, cap, buckets)
     }
+  }
+
+  /** Stage one complete from-scratch index version — the shared body of
+    * [[build]] and [[append]]'s empty-index bootstrap. Runs INSIDE a
+    * [[VersionedDir.mutate]] transaction, so it must be rerunnable.
+    */
+  private def stageFullBuild(docs: DataFrame, id: Column, text: Column,
+      path: String, cap: Int, buckets: Int): Option[java.io.File] = {
+    val spark = docs.sparkSession
+    val stage = VersionedDir.stageDir(path)
+    val lens = docLens(docs, id, text).localCheckpoint(false)
+    val parted = cappedSuffixes(docs, id, text, cap)
+      .repartitionByRange(buckets, col("g"), col("doc_id"), col("i"))
+      .sortWithinPartitions(col("g"), col("doc_id"), col("i"))
+      .withColumn("bucket", spark_partition_id() * lit(BucketGap))
+      .localCheckpoint(false)
+    parted.write.partitionBy("bucket").parquet(s"$stage/grams")
+    val (bucketContrib, edges) = neighborPass(parted)
+    writeEdges(edges, spark, s"$stage/edges")
+    val contrib = bucketContrib
+      .unionAll(boundaryContributions(spark, edges))
+      .groupBy("doc_id").agg(max(col("lcp")).as("lrs"))
+    lens.join(contrib, Seq("doc_id"), "left")
+      .na.fill(0, Seq("lrs"))
+      .select(col("doc_id"), col("n_tokens"), col("lrs").cast("int").as("lrs"))
+      .write.parquet(s"$stage/perdoc")
+    writeMeta(spark, s"$stage/meta", cap, buckets,
+      parted.count() / math.max(buckets, 1))
+    Some(stage)
   }
 
   /** O(touched buckets) incremental append of new docs (ids must be new —
@@ -107,6 +116,28 @@ object SuffixIndex {
       val meta = spark.read.parquet(s"$cur/meta").head()
       val cap = meta.getInt(0)
       val oldEdges = readEdgeRows(spark, s"$cur/edges")
+      // Bootstrap: an index legitimately BUILT over an empty corpus has no
+      // buckets to route into, so the first append of a bootstrap-then-
+      // stream scheduler is a from-scratch build of the batch under the
+      // index's own cap/buckets (trivially ≡ merge-into-empty). Staged
+      // INSIDE this transaction: two racing bootstrap appends then CAS —
+      // the loser reruns, sees the winner's edges, and takes the normal
+      // merge path instead of overwriting the winner's batch away.
+      if (oldEdges.isEmpty)
+        stageFullBuild(newDocs, id, text, path, cap, meta.getInt(1))
+      else appendStaged(newDocs, id, text, path, cur, meta, oldEdges)
+    }
+  }
+
+  /** The non-bootstrap append body (see [[append]]); runs inside the CAS
+    * transaction against the pinned `cur` version.
+    */
+  private def appendStaged(newDocs: DataFrame, id: Column, text: Column,
+      path: String, cur: String, meta: Row,
+      oldEdges: Seq[Edge]): Option[java.io.File] = {
+    val spark = newDocs.sparkSession
+    val cap = meta.getInt(0)
+    locally {
       val batchLens = docLens(newDocs, id, text).localCheckpoint(false)
       val routed = routeToBuckets(
         cappedSuffixes(newDocs, id, text, cap), oldEdges)

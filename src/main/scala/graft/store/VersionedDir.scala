@@ -97,9 +97,48 @@ object VersionedDir {
   /** Test seam: invoked with the root after a stage is fully built,
     * immediately before the commit claim — lets specs inject a competing
     * commit (CAS-loss path) or a crash (orphaned-stage path)
-    * deterministically. No-op in production.
+    * deterministically. No-op in production. This global is the DEFAULT
+    * only — prefer [[withPreCommitHook]], which scopes the seam to one
+    * root so parallel suites (or two libraries sharing a JVM) cannot see
+    * each other's injected races.
     */
   @volatile var preCommitHook: String => Unit = _ => ()
+
+  // Per-root overrides of the two @volatile globals (which remain the
+  // defaults): all roots sharing one JVM-wide retention value — and one
+  // JVM-wide test hook that specs mutate and restore — meant parallel
+  // suite execution, or two libraries in one JVM, could race and silently
+  // change GC behavior mid-commit. Keys are canonical paths.
+  private val retainOverrides =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private val scopedHooks =
+    new java.util.concurrent.ConcurrentHashMap[String, String => Unit]()
+
+  private def canon(path: String): String = new File(path).getCanonicalPath
+
+  /** Run `body` with this ROOT's commit-GC retention overridden; other
+    * roots keep [[commitRetainMillis]]. Always restored on exit.
+    */
+  def withRetention[T](path: String, millis: Long)(body: => T): T = {
+    retainOverrides.put(canon(path), millis): Unit
+    try body finally retainOverrides.remove(canon(path)): Unit
+  }
+
+  private def retainFor(path: String): Long =
+    Option(retainOverrides.get(canon(path)))
+      .map(_.longValue).getOrElse(commitRetainMillis)
+
+  /** Run `body` with the pre-commit test seam installed for this ROOT
+    * only; other roots keep the (normally no-op) global default. Always
+    * removed on exit.
+    */
+  def withPreCommitHook[T](path: String, hook: String => Unit)(body: => T): T = {
+    scopedHooks.put(canon(path), hook): Unit
+    try body finally scopedHooks.remove(canon(path)): Unit
+  }
+
+  private def firePreCommitHook(path: String): Unit =
+    Option(scopedHooks.get(canon(path))).getOrElse(preCommitHook)(path)
 
   /** The optimistic transaction loop: pin the head version, let
     * `body(base, currentDir)` build a complete staged version (or None
@@ -119,7 +158,7 @@ object VersionedDir {
           // degenerate empty version: rename(2) silently REPLACES an empty
           // dest dir, which would hide a lost race
           Files.write(new File(stage, "_COMMIT").toPath, Array.empty[Byte])
-          preCommitHook(path)
+          firePreCommitHook(path)
           val destName = versionName(base + 1)
           val dest = new File(path, destName)
           try {
@@ -205,8 +244,9 @@ object VersionedDir {
     * head−2 was demoted seconds ago when the third commit lands; the
     * pre-round-13 un-aged GC there deleted files out from under a probe
     * spanning two commits. Versions that outlive the window are swept by
-    * the NEXT commit or by [[vacuum]]. Test seam: specs shrink it to
-    * exercise the sweep deterministically.
+    * the NEXT commit or by [[vacuum]]. This global is the DEFAULT for all
+    * roots; specs (and operators wanting a different window for one
+    * index) scope an override with [[withRetention]].
     */
   @volatile var commitRetainMillis: Long = 15L * 60 * 1000
 
@@ -239,8 +279,9 @@ object VersionedDir {
     val vs = Option(new File(path).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.matches(versionRe))
       .sortBy(_.getName).toSeq
+    val retain = retainFor(path)
     for (i <- vs.indices; f = vs(i) if !keep(f.getName))
-      if (now - demotedAt(vs, i, now) >= commitRetainMillis) rmTree(f)
+      if (now - demotedAt(vs, i, now) >= retain) rmTree(f)
   }
 
   /** The offline vacuum the protocol docs point at: sweep (a) orphaned

@@ -414,11 +414,11 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       .getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.matches("v\\d{6}"))
       .map(_.getName).toSet
-    // retain window off: this test pins the GC floor itself (head + head−1
-    // always survive); the reader GRACE period on top of it is
-    // VersionedDirSpec's "pinned reader survives rapid commits" test
-    graft.store.VersionedDir.commitRetainMillis = 0L
-    try {
+    // retain window off FOR THIS ROOT ONLY: this test pins the GC floor
+    // itself (head + head−1 always survive); the reader GRACE period on
+    // top of it is VersionedDirSpec's "pinned reader survives rapid
+    // commits" test
+    graft.store.VersionedDir.withRetention(path, 0L) {
     Similarity.buildIvfIndex(e, cents,
       col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), path)
     assert(versions() == Set("v000001"))
@@ -444,7 +444,7 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       cents,
       col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), path)
     assert(versions() == Set("v000002", "v000003"), s"got ${versions()}")
-    } finally graft.store.VersionedDir.commitRetainMillis = 15L * 60 * 1000
+    }
   }
 
   test("ivf CAS commit: a mutation racing another reruns — exactly one claims each slot, no lost update") {
@@ -460,16 +460,16 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     // competing append commits from the same base — the exact lost-update
     // interleaving the old last-writer-wins flip silently dropped
     @volatile var injected = false
-    graft.store.VersionedDir.preCommitHook = p =>
-      if (p == path && !injected) {
+    graft.store.VersionedDir.withPreCommitHook(path, _ =>
+      if (!injected) {
         injected = true // the injected mutation must not re-trigger itself
         Similarity.appendToIvfIndex(e.filter(col("vec_id") < 20), cents,
           cols._1, cols._2, cols._1, cols._2, path)
-      }
-    try Similarity.appendToIvfIndex(
-      e.filter(col("vec_id") >= 20 && col("vec_id") < 40), cents,
-      cols._1, cols._2, cols._1, cols._2, path)
-    finally graft.store.VersionedDir.preCommitHook = _ => ()
+      }) {
+      Similarity.appendToIvfIndex(
+        e.filter(col("vec_id") >= 20 && col("vec_id") < 40), cents,
+        cols._1, cols._2, cols._1, cols._2, path)
+    }
     assert(injected, "the competing commit never ran")
     // both batches landed: the loser rerun re-staged on the winner's state
     val ids = spark.read.parquet(Similarity.ivfCurrentDir(path))
@@ -525,13 +525,13 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     // written) but the version slot was never claimed — with the old
     // in-place mode("append") this was a TORN batch inside the committed
     // dir; now the committed version must be byte-identical
-    graft.store.VersionedDir.preCommitHook = p =>
-      if (p == path) throw new RuntimeException("simulated crash")
-    intercept[RuntimeException] {
-      Similarity.appendToIvfIndex(e.filter(col("vec_id") < 20), cents,
-        cols._1, cols._2, cols._1, cols._2, path)
+    graft.store.VersionedDir.withPreCommitHook(path,
+      _ => throw new RuntimeException("simulated crash")) {
+      intercept[RuntimeException] {
+        Similarity.appendToIvfIndex(e.filter(col("vec_id") < 20), cents,
+          cols._1, cols._2, cols._1, cols._2, path)
+      }
     }
-    graft.store.VersionedDir.preCommitHook = _ => ()
     assert(Similarity.ivfCurrentDir(path) == curBefore,
       "a crashed append must not advance the committed version")
     assert(filesOf(curBefore) == before,

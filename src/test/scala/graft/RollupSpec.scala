@@ -100,14 +100,13 @@ class RollupSpec extends AnyFunSuite with SparkTestBase {
     // the append's rows (pin INSIDE the transaction)
     val late = fact(150, 9)
     var injected = false
-    graft.store.VersionedDir.preCommitHook = { p =>
-      if (!injected && p == dir) {
+    graft.store.VersionedDir.withPreCommitHook(dir, _ =>
+      if (!injected) {
         injected = true
         Rollup.appendDelta(late, dims, measures, dir)
-      }
+      }) {
+      Rollup.compactRollup(spark, dir, dims, measures, dir)
     }
-    try Rollup.compactRollup(spark, dir, dims, measures, dir)
-    finally graft.store.VersionedDir.preCommitHook = _ => ()
     assert(injected)
     assert(Rollup.query(spark, dir, Seq("flag"), measures).orderBy("flag")
       .collect().toSeq ==

@@ -130,15 +130,14 @@ class SearchIndexSpec extends AnyFunSuite with SparkTestBase {
     SearchIndex.deleteFromIndex(docs.filter(col("doc_id") === 7),
       col("doc_id"), idx)
     var injected = false
-    graft.store.VersionedDir.preCommitHook = { p =>
-      if (!injected && p == idx) {
+    graft.store.VersionedDir.withPreCommitHook(idx, _ =>
+      if (!injected) {
         injected = true
         SearchIndex.appendToIndex(docs.filter(col("doc_id") >= 30),
           col("doc_id"), col("text"), idx)
-      }
+      }) {
+      SearchIndex.compactIndex(spark, idx, idx)
     }
-    try SearchIndex.compactIndex(spark, idx, idx)
-    finally graft.store.VersionedDir.preCommitHook = _ => ()
     assert(injected)
     // the compact rerun re-pinned the racing append's docs AND kept the
     // tombstone folded: equals a fresh build over (all docs minus doc 7)

@@ -111,16 +111,15 @@ class SuffixIndexSpec extends AnyFunSuite with SparkTestBase {
     // Deterministic CAS loss: while append(b1) stages, inject append(b2)
     // committing first — b1's body must rerun against b2's version.
     var injected = false
-    VersionedDir.preCommitHook = { p =>
-      if (!injected && p == path) {
+    VersionedDir.withPreCommitHook(path, _ =>
+      if (!injected) {
         injected = true
         SuffixIndex.append(b2.toDF("doc_id", "text"),
           col("doc_id"), col("text"), path)
-      }
+      }) {
+      SuffixIndex.append(b1.toDF("doc_id", "text"),
+        col("doc_id"), col("text"), path)
     }
-    try SuffixIndex.append(b1.toDF("doc_id", "text"),
-      col("doc_id"), col("text"), path)
-    finally VersionedDir.preCommitHook = _ => ()
     assert(injected)
     assert(VersionedDir.head(path) == 3) // build, b2, rerun b1
     assert(indexRead(path) == fromScratch(docs ++ b2 ++ b1, cap = 8))
@@ -370,6 +369,26 @@ class SuffixIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(indexRead(path) == fromScratch(docs :+ (500L, "a b c d e"), cap = 8))
   }
 
+  test("append into an empty-built index bootstraps a build — the first micro-batch of a bootstrap-then-stream scheduler") {
+    val path = s"${tmp()}/sfx"
+    SuffixIndex.build(Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      col("doc_id"), col("text"), path, cap = 8, buckets = 4)
+    // the empty index answers probes (0-overlap), and the FIRST append
+    // must not crash on route-into-no-buckets — it bootstraps a build
+    // under the index's own cap/buckets
+    val docs = randomDocs(7, 40, Vector("a", "b", "c"))
+    SuffixIndex.append(docs.toDF("doc_id", "text"),
+      col("doc_id"), col("text"), path)
+    assert(indexRead(path) == fromScratch(docs, cap = 8))
+    val s = SuffixIndex.stats(spark, path)
+    assert(s.version == 2 && s.targetBuckets == 4 && s.buckets >= 1,
+      s"bootstrap should commit a real build: $s")
+    // and the bootstrapped index keeps taking NORMAL merge appends
+    SuffixIndex.append(Seq((900L, "a b c a b c")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), path)
+    assert(indexRead(path) == fromScratch(docs :+ (900L, "a b c a b c"), cap = 8))
+  }
+
   test("in-place compact racing an append: the CAS rerun re-pins the append's rows") {
     // The in-place form must pin its source INSIDE the transaction: a
     // compact staged against v1 that loses the slot to a racing append
@@ -381,15 +400,14 @@ class SuffixIndexSpec extends AnyFunSuite with SparkTestBase {
     SuffixIndex.build(docs.toDF("doc_id", "text"),
       col("doc_id"), col("text"), path, cap = 8, buckets = 4)
     var injected = false
-    VersionedDir.preCommitHook = { p =>
-      if (!injected && p == path) {
+    VersionedDir.withPreCommitHook(path, _ =>
+      if (!injected) {
         injected = true
         SuffixIndex.append(batch.toDF("doc_id", "text"),
           col("doc_id"), col("text"), path)
-      }
+      }) {
+      SuffixIndex.compact(spark, path, path)
     }
-    try SuffixIndex.compact(spark, path, path)
-    finally VersionedDir.preCommitHook = _ => ()
     assert(injected)
     assert(VersionedDir.head(path) == 3) // build, racing append, compact rerun
     assert(indexRead(path) == fromScratch(docs ++ batch, cap = 8),

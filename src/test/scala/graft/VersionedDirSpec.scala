@@ -44,13 +44,13 @@ class VersionedDirSpec extends AnyFunSuite with SparkTestBase {
       path, m = 2, sub = 32, k = 4, iters = 1)
     val cur = VersionedDir.currentDir(path)
     val before = filesOf(cur)
-    VersionedDir.preCommitHook = p =>
-      if (p == path) throw new RuntimeException("simulated crash")
-    intercept[RuntimeException] {
-      Pq.appendToIndex(e.filter(col("vec_id") >= 400), col("vec_id"), col("embedding"),
-        path, m = 2, sub = 32)
+    VersionedDir.withPreCommitHook(path,
+      _ => throw new RuntimeException("simulated crash")) {
+      intercept[RuntimeException] {
+        Pq.appendToIndex(e.filter(col("vec_id") >= 400), col("vec_id"), col("embedding"),
+          path, m = 2, sub = 32)
+      }
     }
-    VersionedDir.preCommitHook = _ => ()
     assert(VersionedDir.currentDir(path) == cur, "crash advanced the version")
     assert(filesOf(cur) == before, "crash mutated the committed version")
     Pq.appendToIndex(e.filter(col("vec_id") >= 400), col("vec_id"), col("embedding"),
@@ -64,14 +64,14 @@ class VersionedDirSpec extends AnyFunSuite with SparkTestBase {
     val path = Files.createTempDirectory("vd_si").toString + "/idx"
     SearchIndex.buildIndex(docs(40), col("doc_id"), col("text"), path)
     @volatile var injected = false
-    VersionedDir.preCommitHook = p =>
-      if (p == path && !injected) {
+    VersionedDir.withPreCommitHook(path, _ =>
+      if (!injected) {
         injected = true
         // a competing DELETE commits between this append's stage and claim
         SearchIndex.deleteFromIndex(docs(1, from = 7), col("doc_id"), path)
-      }
-    try SearchIndex.appendToIndex(docs(10, from = 40), col("doc_id"), col("text"), path)
-    finally VersionedDir.preCommitHook = _ => ()
+      }) {
+      SearchIndex.appendToIndex(docs(10, from = 40), col("doc_id"), col("text"), path)
+    }
     assert(injected)
     // the append rerun carried the tombstone forward AND landed its docs:
     // doc7 stays dead, the new docs are probeable
@@ -88,12 +88,12 @@ class VersionedDirSpec extends AnyFunSuite with SparkTestBase {
     assert(new java.io.File(s"$v1/postings").isDirectory
       && new java.io.File(s"$v1/doclen").isDirectory)
     // a crashed REBUILD (full stage, no claim) leaves v1 both-tables intact
-    VersionedDir.preCommitHook = p =>
-      if (p == path) throw new RuntimeException("simulated crash")
-    intercept[RuntimeException] {
-      SearchIndex.buildIndex(docs(50), col("doc_id"), col("text"), path)
+    VersionedDir.withPreCommitHook(path,
+      _ => throw new RuntimeException("simulated crash")) {
+      intercept[RuntimeException] {
+        SearchIndex.buildIndex(docs(50), col("doc_id"), col("text"), path)
+      }
     }
-    VersionedDir.preCommitHook = _ => ()
     assert(VersionedDir.currentDir(path) == v1)
     val probe = SearchIndex.bm25Probe(spark, path, Seq(word(3)), topK = 5)
       .select("doc_id").as[Long].collect().toSet
@@ -107,12 +107,12 @@ class VersionedDirSpec extends AnyFunSuite with SparkTestBase {
     Rollup.build(base, Seq("flag"), Seq("qty"), path)
     val want = Rollup.query(spark, path, Seq("flag"), Seq("qty"))
       .orderBy("flag").collect().toSeq
-    VersionedDir.preCommitHook = p =>
-      if (p == path) throw new RuntimeException("simulated crash")
-    intercept[RuntimeException] {
-      Rollup.appendDelta(batch, Seq("flag"), Seq("qty"), path)
+    VersionedDir.withPreCommitHook(path,
+      _ => throw new RuntimeException("simulated crash")) {
+      intercept[RuntimeException] {
+        Rollup.appendDelta(batch, Seq("flag"), Seq("qty"), path)
+      }
     }
-    VersionedDir.preCommitHook = _ => ()
     // a torn append of partial rows would corrupt every merged sum — the
     // staged-version commit makes the crash invisible instead
     assert(Rollup.query(spark, path, Seq("flag"), Seq("qty"))
@@ -195,9 +195,9 @@ class VersionedDirSpec extends AnyFunSuite with SparkTestBase {
     // instead of sleeping
     assert(new java.io.File(path, "v000002")
       .setLastModified(System.currentTimeMillis() - 120000L))
-    VersionedDir.commitRetainMillis = 60000L
-    try Rollup.appendDelta(mk(100), Seq("flag"), Seq("qty"), path) // v3
-    finally VersionedDir.commitRetainMillis = 15L * 60 * 1000
+    VersionedDir.withRetention(path, 60000L) {
+      Rollup.appendDelta(mk(100), Seq("flag"), Seq("qty"), path) // v3
+    }
     assert(!v1.exists(), "an aged demoted version must be swept at commit")
     assert(new java.io.File(path, "v000002").isDirectory,
       "head−1 always survives regardless of age")
@@ -215,11 +215,10 @@ class VersionedDirSpec extends AnyFunSuite with SparkTestBase {
     Rollup.build(mk(0), Seq("flag"), Seq("qty"), path) // v1
     val v1 = new java.io.File(path, "v000001")
     assert(v1.setLastModified(System.currentTimeMillis() - 3600000L)) // staged 1h ago
-    VersionedDir.commitRetainMillis = 60000L
-    try {
+    VersionedDir.withRetention(path, 60000L) {
       Rollup.appendDelta(mk(50), Seq("flag"), Seq("qty"), path) // v2: demotes v1 NOW
       Rollup.appendDelta(mk(100), Seq("flag"), Seq("qty"), path) // v3: GC considers v1
-    } finally VersionedDir.commitRetainMillis = 15L * 60 * 1000
+    }
     assert(v1.isDirectory,
       "v1 was GC'd off its staging-time mtime — a reader pinned just " +
         "before v2's commit would have lost its files")
