@@ -55,28 +55,38 @@ object FloorGuard {
     (graded.size, warns, fails)
   }
 
-  /** Adjudicate suite-position FAILs by an isolated re-measurement.
+  /** Adjudicate suite-position flags by an isolated re-measurement.
     * `rerun` runs the named query once, in isolation, and returns its
     * wall seconds (or a negative sentinel if it errored — an erroring
-    * rerun keeps the FAIL: it cannot exonerate).
-    * Returns (confirmedFails, noise) where noise rows carry
+    * rerun keeps the flag: it cannot exonerate). `stillFlagged` decides
+    * from the isolated (ratio, excess) whether the flag survives — for
+    * FAILs that is [[isFail]] (the default); round 14 runs WARNS through
+    * the same machinery with warn-or-worse, because every round's warn
+    * list (19 in round 13) was adjudicated to suite-position noise by
+    * hand — now the artifact adjudicates itself.
+    * Returns (confirmed, noise) where noise rows carry
     * (name, suiteRatio, isolatedRatio).
     */
   def adjudicate(
-      fails: Seq[(String, Double)],
+      flagged: Seq[(String, Double)],
       floors: Map[String, Double],
-      rerun: String => Double)
+      rerun: String => Double,
+      stillFlagged: (Double, Double) => Boolean = isFail)
       : (Seq[(String, Double)], Seq[(String, Double, Double)]) = {
-    val judged = fails.map { case (k, suiteRatio) =>
+    val judged = flagged.map { case (k, suiteRatio) =>
       val t = rerun(k)
-      if (t < 0) Left((k, suiteRatio)) // rerun errored: keep the FAIL
+      if (t < 0) Left((k, suiteRatio)) // rerun errored: keep the flag
       else {
         val (r, ex) = excess(t, floors(k))
-        if (isFail(r, ex)) Left((k, suiteRatio))
+        if (stillFlagged(r, ex)) Left((k, suiteRatio))
         else Right((k, suiteRatio, r))
       }
     }
     (judged.collect { case Left(x) => x },
      judged.collect { case Right(x) => x })
   }
+
+  /** A warn survives adjudication if the isolated run is warn-or-worse. */
+  def isWarnOrFail(ratio: Double, abs: Double): Boolean =
+    isWarn(ratio, abs) || isFail(ratio, abs)
 }

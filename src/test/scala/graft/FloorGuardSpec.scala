@@ -62,6 +62,18 @@ class FloorGuardSpec extends AnyFunSuite {
     assert(noise.isEmpty)
   }
 
+  test("adjudicate warns (round-14): isolated clean run demotes to noise; isolated warn-or-worse survives") {
+    val floors = Map("posnoise" -> 2.0, "realwarn" -> 2.0, "worse" -> 2.0)
+    // all three warned in suite (ratio ~1.8); isolated: posnoise is clean,
+    // realwarn still warns (1.7x, 1.4s excess), worse degrades to fail-band
+    val iso = Map("posnoise" -> 2.1, "realwarn" -> 3.4, "worse" -> 7.0)
+    val (kept, noise) = FloorGuard.adjudicate(
+      Seq(("posnoise", 1.8), ("realwarn", 1.8), ("worse", 1.8)), floors,
+      iso, FloorGuard.isWarnOrFail)
+    assert(kept.map(_._1) == Seq("realwarn", "worse"))
+    assert(noise.map(_._1) == Seq("posnoise"))
+  }
+
   test("adjudicate: mixed batch splits correctly and reruns each exactly once") {
     val floors = Map("n1" -> 1.0, "f1" -> 1.0, "n2" -> 0.5)
     var reruns = Vector.empty[String]
