@@ -230,6 +230,107 @@ class ScaleDrillSpec extends AnyFunSuite with SparkTestBase {
         "10x corpus with 10x centroids — expected near-linear (5x-20x)")
   }
 
+  test("SearchIndex drill: unconditional maintainIfNeeded keeps postings file count bounded after EVERY append") {
+    import graft.pipeline.SearchIndex
+    // The operational contract of the maintain loop at 100 TB: a
+    // scheduler calls maintainIfNeeded unconditionally after every ingest
+    // batch, and no SEQUENCE of appends may leave probe-side file counts
+    // unbounded (each append adds ~1 part per touched term bucket, so
+    // without the loop files grow linearly in batches forever). Six
+    // successive appends, gate at 48 postings parts: after every
+    // append+maintain the count must stay under gate + one append's worth.
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("si_drill")
+      .toString + "/idx"
+    // ALPHABETIC vocabulary: the index tokenizes on [^a-z]+, so docText's
+    // "w123" words would all collapse to the single term "w"
+    def alphaTok(n0: Long): String = {
+      var n = math.floorMod(n0, 5000L)
+      val sb = new StringBuilder("t")
+      do { sb.append(('a' + (n % 26)).toChar); n /= 26 } while (n > 0)
+      sb.toString
+    }
+    def docs(from: Long, n: Long) =
+      (from until from + n).map(i =>
+        (i, (0 until 40).map(j => alphaTok(mix(i * 31 + j))).mkString(" ")))
+        .toDF("doc_id", "text")
+    SearchIndex.buildIndex(docs(0, 200), col("doc_id"), col("text"), path)
+    val gate = 48
+    var fired = 0
+    val observed = (1 to 6).map { b =>
+      SearchIndex.appendToIndex(docs(200L * b, 200), col("doc_id"),
+        col("text"), path)
+      if (SearchIndex.maintainIfNeeded(spark, path,
+        maxPostingsFiles = gate)) fired += 1
+      val s = SearchIndex.stats(spark, path)
+      assert(s.postingsFiles <= gate + 16,
+        s"append $b: ${s.postingsFiles} postings parts — maintain loop " +
+          s"not bounding file growth (gate $gate)")
+      s.postingsFiles
+    }
+    assert(fired >= 1, s"gate never tripped across 6 appends: $observed")
+    // the healed index answers a probe equal to a from-scratch build
+    val all = docs(0, 1400)
+    val fresh = java.nio.file.Files.createTempDirectory("si_drill_f")
+      .toString + "/idx"
+    SearchIndex.buildIndex(all, col("doc_id"), col("text"), fresh)
+    val probes = Seq(10L, 250L, 999L).map(alphaTok)
+    def top(p: String) = SearchIndex.bm25Probe(spark, p, probes, topK = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(top(path) == top(fresh) && top(path).nonEmpty,
+      "maintained index diverged from rebuild (or probes matched nothing)")
+  }
+
+  test("IVF drill: unconditional ivfMaintainIfNeeded keeps the hot cell's file count bounded through skewed appends") {
+    import spark.implicits._
+    import graft.pipeline.Similarity
+    // The skew shape: every append lands ENTIRELY in one cell (all
+    // vectors near centroid 3 — the adjacent-crawl-shard analog for
+    // embeddings). Without the loop the hot cell accumulates one part per
+    // append forever and every probe of it opens them all.
+    val centroids = (0 until 16).map(c =>
+      (c.toLong, Array.tabulate(16)(j => if (j == c) 1f else 0f)))
+      .toDF("centroid_id", "centv")
+    def hot(from: Long, n: Long) = (from until from + n).map { i =>
+      val v = synthVec(i); v(3) += 32f // dominate axis 3 → cell 3
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("ivf_drill")
+      .toString + "/ivf"
+    val base = (0L until 2000L).map(i => (i, synthVec(i)))
+      .toDF("vec_id", "embedding")
+    Similarity.buildIvfIndex(base, centroids,
+      col("vec_id"), col("embedding"), col("centroid_id"), col("centv"), path)
+    val gate = 3
+    var fired = 0
+    for (b <- 1 to 6) {
+      Similarity.appendToIvfIndex(hot(10000L * b, 300), centroids,
+        col("vec_id"), col("embedding"), col("centroid_id"), col("centv"), path)
+      if (Similarity.ivfMaintainIfNeeded(spark, path,
+        maxFilesPerCell = gate)) fired += 1
+      val s = Similarity.ivfStats(spark, path)
+      assert(s.maxFilesPerCell <= gate + 1,
+        s"append $b: hot cell at ${s.maxFilesPerCell} parts (gate $gate) — " +
+          "maintain loop not bounding skewed growth")
+    }
+    assert(fired >= 2, "the skewed appends never tripped the cell gate")
+    // the healed index probes identically to a from-scratch build
+    val union = base.unionByName(
+      (1 to 6).map(b => hot(10000L * b, 300)).reduce(_ unionByName _))
+    val fresh = java.nio.file.Files.createTempDirectory("ivf_drill_f")
+      .toString + "/ivf"
+    Similarity.buildIvfIndex(union, centroids,
+      col("vec_id"), col("embedding"), col("centroid_id"), col("centv"), fresh)
+    val queries = (0L until 20L).map(q => (q, synthVec(q * 97)))
+      .toDF("vec_id", "embedding")
+    def top(p: String) = Similarity.ivfProbeIndex(queries, p, centroids,
+        col("vec_id"), col("embedding"), col("centroid_id"), col("centv"),
+        k = 5, nprobe = 2)
+      .select("query_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(top(path) == top(fresh), "maintained IVF diverged from rebuild")
+  }
+
   test("SuffixIndex drill: bucket sizes stay bounded through repeated skewed appends; a point append stays O(its key range)") {
     import spark.implicits._
     import graft.pipeline.SuffixIndex
