@@ -21,9 +21,11 @@ def load(path: str) -> dict:
     with open(path) as f:
         txt = f.read().strip()
     # accept a whole-file JSON object or a log whose LAST line is the JSON
-    for candidate in (txt, txt.splitlines()[-1]):
+    for candidate in ([txt] + txt.splitlines()[-1:]):
         try:
-            return json.loads(candidate)
+            doc = json.loads(candidate)
+            if isinstance(doc, dict):
+                return doc
         except json.JSONDecodeError:
             continue
     sys.stderr.write(f"bench_diff: {path} holds no bench JSON\n")
@@ -46,11 +48,12 @@ def main() -> None:
     oq = set(old.get("queries", {}))
     nq = set(new.get("queries", {}))
     shared = sorted(oq & nq)
-    rows = []
+    rows, errored = [], []
     for name in shared:
         a, b = tmin(old, name), tmin(new, name)
         if a <= 0 or b <= 0:
-            continue  # errored in one run — listed below, not ratio'd
+            errored.append((name, a, b))  # the worst regression class
+            continue
         if a < 0.3 and b < 0.3:
             continue  # both under the floor clamp: timer jitter
         rows.append((name, a, b, b / a))
@@ -67,6 +70,11 @@ def main() -> None:
           [r for r in rows[:topk] if r[3] > 1.0])
     table(f"top {topk} improvements",
           [r for r in sorted(rows, key=lambda r: r[3])[:topk] if r[3] < 1.0])
+    if errored:
+        print(f"\nERRORED in one run ({len(errored)}):")
+        for name, a, b in errored:
+            side = "new" if b <= 0 else "old"
+            print(f"  {name:32s} old={a:.2f}s new={b:.2f}s  (errored in {side})")
     added, removed = sorted(nq - oq), sorted(oq - nq)
     if added:
         print(f"\nadded ({len(added)}): {', '.join(added)}")

@@ -129,11 +129,15 @@ object Bench {
     // ALL of them hand-adjudicated to suite-position noise by the judge's
     // isolated reruns; now the artifact does that itself, so a reported
     // warn means a REAL repeatable slowdown, not GC/page-cache position.
+    // Two back-to-back isolated reps, best kept — the same best-rep-clears
+    // protocol the floor file itself is built on (floors record best warm
+    // t1): a single rep right after clearCache() measures the cold-cache
+    // penalty the clear just forced, not the plan.
     def isolatedRerun(name: String): Double = {
       spark.catalog.clearCache()
       try {
-        val t = timedRun(selected(name))
-        System.err.println(f"[bench] floor-adjudicate $name%-24s isolated ${t}%.2fs")
+        val t = math.min(timedRun(selected(name)), timedRun(selected(name)))
+        System.err.println(f"[bench] floor-adjudicate $name%-24s isolated best-of-2 ${t}%.2fs")
         t
       } catch { case e: Throwable =>
         System.err.println(s"[bench] floor-adjudicate $name rerun FAILED: ${e.getMessage}")

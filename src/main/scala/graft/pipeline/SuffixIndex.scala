@@ -125,7 +125,7 @@ object SuffixIndex {
       // merge path instead of overwriting the winner's batch away.
       if (oldEdges.isEmpty)
         stageFullBuild(newDocs, id, text, path, cap, meta.getInt(1))
-      else appendStaged(newDocs, id, text, path, cur, meta, oldEdges)
+      else appendStaged(newDocs, id, text, path, cur, cap, meta, oldEdges)
     }
   }
 
@@ -133,10 +133,9 @@ object SuffixIndex {
     * transaction against the pinned `cur` version.
     */
   private def appendStaged(newDocs: DataFrame, id: Column, text: Column,
-      path: String, cur: String, meta: Row,
+      path: String, cur: String, cap: Int, meta: Row,
       oldEdges: Seq[Edge]): Option[java.io.File] = {
     val spark = newDocs.sparkSession
-    val cap = meta.getInt(0)
     locally {
       val batchLens = docLens(newDocs, id, text).localCheckpoint(false)
       val routed = routeToBuckets(

@@ -117,11 +117,17 @@ object VersionedDir {
   private def canon(path: String): String = new File(path).getCanonicalPath
 
   /** Run `body` with this ROOT's commit-GC retention overridden; other
-    * roots keep [[commitRetainMillis]]. Always restored on exit.
+    * roots keep [[commitRetainMillis]]. Re-entrant: exit restores the
+    * PREVIOUS override (an unconditional remove would let an inner scope
+    * silently strip an outer one's window mid-test).
     */
   def withRetention[T](path: String, millis: Long)(body: => T): T = {
-    retainOverrides.put(canon(path), millis): Unit
-    try body finally retainOverrides.remove(canon(path)): Unit
+    val key = canon(path)
+    val prev = retainOverrides.put(key, millis)
+    try body finally {
+      if (prev == null) retainOverrides.remove(key): Unit
+      else retainOverrides.put(key, prev): Unit
+    }
   }
 
   private def retainFor(path: String): Long =
@@ -129,12 +135,16 @@ object VersionedDir {
       .map(_.longValue).getOrElse(commitRetainMillis)
 
   /** Run `body` with the pre-commit test seam installed for this ROOT
-    * only; other roots keep the (normally no-op) global default. Always
-    * removed on exit.
+    * only; other roots keep the (normally no-op) global default.
+    * Re-entrant: exit restores the previous hook, not a bare remove.
     */
   def withPreCommitHook[T](path: String, hook: String => Unit)(body: => T): T = {
-    scopedHooks.put(canon(path), hook): Unit
-    try body finally scopedHooks.remove(canon(path)): Unit
+    val key = canon(path)
+    val prev = scopedHooks.put(key, hook)
+    try body finally {
+      if (prev == null) scopedHooks.remove(key): Unit
+      else scopedHooks.put(key, prev): Unit
+    }
   }
 
   private def firePreCommitHook(path: String): Unit =

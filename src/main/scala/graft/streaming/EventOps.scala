@@ -368,10 +368,19 @@ object EventOps {
     * forever, so the raw stream is never re-scanned no matter how many
     * TB/day it carries. `onBatch` receives the full scored series after
     * each batch (route it to an alerting sink in production).
+    *
+    * `checkpoint` is REQUIRED for the exactly-once claim to survive a
+    * driver restart: without a durable checkpoint, Spark discards the
+    * batch-id sequence with the temp checkpoint dir and a restarted job
+    * re-emits the same finalized buckets under FRESH batch ids — the old
+    * run's partitions would then sit beside the re-emitted copies and
+    * duplicate every bucket (the same contract as
+    * [[graft.pipeline.Rollup.maintainFromStream]]'s checkpoint param).
     */
   def anomalySink(
       events: DataFrame,
       storeDir: String,
+      checkpoint: String,
       every: String = "1 hour",
       lookback: Int = 24,
       zThreshold: Double = 2.0,
@@ -379,6 +388,7 @@ object EventOps {
       onBatch: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     bucketCounts(withWatermarkIfStreaming(events, "ts", watermark), every)
       .writeStream
+      .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
@@ -409,16 +419,20 @@ object EventOps {
     * O(windows × types) rank stage re-runs over that store per batch with
     * the SAME [[topkOfBucketCounts]] the batch query uses. The raw stream
     * is never re-scanned; stream ≡ batch is structural (spec-pinned).
+    * `checkpoint` is required for the same restart-survival reason as
+    * [[anomalySink]]'s.
     */
   def topkSink(
       events: DataFrame,
       storeDir: String,
+      checkpoint: String,
       k: Int,
       every: String = "1 hour",
       watermark: String = "0 seconds")(
       onBatch: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     bucketCounts(withWatermarkIfStreaming(events, "ts", watermark), every)
       .writeStream
+      .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {

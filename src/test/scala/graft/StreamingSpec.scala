@@ -435,7 +435,8 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     var last: org.apache.spark.sql.DataFrame = null
     val mem = MemoryStream[Ev]
     val q = graft.streaming.EventOps.anomalySink(
-      mem.toDF(), s"$dir/counts", "1 hour", lookback = 24, zThreshold = 2.0)(
+      mem.toDF(), s"$dir/counts", s"$dir/ckpt", "1 hour",
+      lookback = 24, zThreshold = 2.0)(
       scored => last = scored)
     mem.addData(rows.take(150): _*)   // mid-bucket split: a bucket must not
     q.processAllAvailable()           // be emitted before the watermark
@@ -458,8 +459,8 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val dir = java.nio.file.Files.createTempDirectory("topk_store").toFile.getAbsolutePath
     var last: org.apache.spark.sql.DataFrame = null
     val mem = MemoryStream[Ev]
-    val q = EventOps.topkSink(mem.toDF(), s"$dir/counts", k = 2, "1 hour")(
-      ranked => last = ranked)
+    val q = EventOps.topkSink(mem.toDF(), s"$dir/counts", s"$dir/ckpt",
+      k = 2, "1 hour")(ranked => last = ranked)
     mem.addData(evs.take(4): _*)  // chronology-safe split (event 4 backdates
     q.processAllAvailable()       // to 00:10 — later batches would drop it
     mem.addData(evs.drop(4): _*)  // as late under the 0s watermark)
