@@ -1007,21 +1007,53 @@ object SparkEntry {
     phashMaintainSetup(s, d): Unit
     supportSetup(s, d): Unit
     minhashIndexSetup(s, d): Unit
+    minhashMaintainSetup(s, d): Unit
     jsonlSetup(s, d): Unit
     csvSetup(s, d): Unit
     orcSetup(s, d): Unit
     prefixIndexSetup(s, d): Unit
   }
 
-  /** Persisted minhash band index of the full documents corpus — the
-    * maintained dedup state `dedup_index_delete` filters (same signature
-    * config as dedup_incremental: n=3, 8 bands × 2 rows).
+  /** Persisted minhash band index of the full documents corpus, then a
+    * deletion batch (doc_id % 13 == 0) as O(batch) TOMBSTONES — round 14:
+    * the index rides the shared VersionedDocTable CAS backbone instead of
+    * a plain overwritten parquet dir (same signature config as
+    * dedup_incremental: n=3, 8 bands × 2 rows).
     */
   private def minhashIndexSetup(s: SparkSession, d: String): String =
     Setup.dir(s"minhash_index:$d") { dir =>
-      graft.pipeline.Dedup.minhashBandIndex(documents(s, d),
-          col("doc_id"), col("text"), n = 3, bands = 8, rowsPerBand = 2)
-        .write.mode("overwrite").parquet(s"$dir/index")
+      graft.pipeline.Dedup.buildMinhashIndex(documents(s, d),
+        col("doc_id"), col("text"), s"$dir/mh",
+        n = 3, bands = 8, rowsPerBand = 2)
+      graft.pipeline.Dedup.deleteFromMinhashIndex(
+        documents(s, d).filter(col("doc_id") % 13 === 0),
+        col("doc_id"), s"$dir/mh")
+    }
+
+  /** Maintenance-healed minhash band index — the operational loop: base
+    * build (doc_id < 400), an O(batch) append of the rest (only the batch
+    * is shingled/hashed), a 33% tombstone wave (doc_id % 3 == 1, past the
+    * 20% deleted-fraction gate), then `minhashMaintainIfNeeded` folds the
+    * tombstones IN PLACE and the trigger resets — both require'd. Pairing
+    * over the healed head must hash-match the from-scratch survivors
+    * oracle; nothing is ever re-signatured.
+    */
+  private def minhashMaintainSetup(s: SparkSession, d: String): String =
+    Setup.dir(s"minhash_maint:$d") { dir =>
+      val docs = documents(s, d)
+      val idx = s"$dir/mh"
+      graft.pipeline.Dedup.buildMinhashIndex(
+        docs.filter(col("doc_id") < 400), col("doc_id"), col("text"), idx,
+        n = 3, bands = 8, rowsPerBand = 2)
+      graft.pipeline.Dedup.appendToMinhashIndex(
+        docs.filter(col("doc_id") >= 400), col("doc_id"), col("text"), idx,
+        n = 3, bands = 8, rowsPerBand = 2)
+      graft.pipeline.Dedup.deleteFromMinhashIndex(
+        docs.filter(col("doc_id") % 3 === 1), col("doc_id"), idx)
+      require(graft.pipeline.Dedup.minhashMaintainIfNeeded(s, idx, bands = 8),
+        "a 33% tombstoned minhash index must be due for maintenance")
+      require(!graft.pipeline.Dedup.minhashMaintainIfNeeded(s, idx, bands = 8),
+        "the healed minhash index must be a maintenance no-op")
     }
 
   /** Persisted per-edge triangle-support table of the co-purchase graph —
@@ -2302,15 +2334,30 @@ object SparkEntry {
     }),
 
     // Index-DELETION maintenance: a deletion batch (doc_id % 13) against
-    // the persisted minhash band index is ONE filter — a signature depends
-    // only on its own document, so no other row changes — and the pair
-    // join over the maintained index must equal a from-scratch rebuild
+    // the persisted minhash band index is an O(batch) TOMBSTONE append
+    // (round 14: the index rides the VersionedDocTable CAS) — a signature
+    // depends only on its own document, so no other row changes — and the
+    // pair join over the maintained read must equal a from-scratch rebuild
     // over the surviving corpus (the oracle computes exactly that, so the
     // hash-match proves delete ≡ rebuild). Completes the index lifecycle:
     // build (dedup_minhash), append (dedup_incremental), delete (here).
     "dedup_index_delete" -> ((s, d) => {
-      val idx = s.read.parquet(s"${minhashIndexSetup(s, d)}/index")
-      Dedup.pairsFromBandIndex(idx.filter(col("doc_id") % 13 =!= 0))
+      Dedup.pairsFromBandIndex(
+          Dedup.readMinhashIndex(s, s"${minhashIndexSetup(s, d)}/mh"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Operational loop for the minhash band index (round 14 — the fifth
+    // and last index family to get its threshold→compact→probe loop under
+    // the driver oracle, via the shared VersionedDocTable backbone):
+    // build + O(batch) append + a 33% tombstone wave, then
+    // minhashMaintainIfNeeded folds the tombstones IN PLACE and the
+    // trigger resets (require'd in the setup); pairing the healed head
+    // hash-matches the from-scratch survivors oracle — drift detection →
+    // CAS compact → reset by hash, with no document ever re-signatured.
+    "dedup_index_maintain" -> ((s, d) => {
+      Dedup.pairsFromBandIndex(
+          Dedup.readMinhashIndex(s, s"${minhashMaintainSetup(s, d)}/mh"))
         .orderBy("a_id", "b_id")
     }),
 
@@ -8126,6 +8173,13 @@ object SparkEntry {
     "dedup_index_delete" ->
       s"""SELECT a_id, b_id FROM (${OracleSqlGen.minhashLsh(3, 8, 2)}) t
           WHERE a_id % 13 <> 0 AND b_id % 13 <> 0
+          ORDER BY a_id, b_id""",
+    // from-scratch pairing over the post-maintenance corpus: build + append
+    // = the full corpus, so survivors-pairs = the full pair list with both
+    // endpoints outside the 33% tombstone wave
+    "dedup_index_maintain" ->
+      s"""SELECT a_id, b_id FROM (${OracleSqlGen.minhashLsh(3, 8, 2)}) t
+          WHERE a_id % 3 <> 1 AND b_id % 3 <> 1
           ORDER BY a_id, b_id""",
     "dedup_simhash" -> OracleSqlGen.simhash(60),
     "dedup_simhash_clusters" -> OracleSqlGen.simhashClusters(60, 4, 3),

@@ -619,6 +619,72 @@ object Dedup {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
+  // ── persisted minhash band index ────────────────────────────────────────
+  //
+  // The PERSISTED form of [[minhashBandIndex]] under the shared
+  // [[graft.store.VersionedDocTable]] backbone (round 14 — the last
+  // single-table maintained state to join the engine-wide CAS discipline):
+  // shingling + 16-lane hashing is the expensive stage the index
+  // amortizes, so build/append pay it exactly once per doc, deletes are
+  // O(batch) tombstones applied at read (a doc's band rows depend only on
+  // its own text — nothing else needs fixing up), and the maintenance
+  // triple folds tombstones + append file growth on the operator's
+  // schedule. Layout: `bands/` (doc_id, band, bucket) + optional
+  // `deletes/`, one claim.
+
+  private val MinhashTable = "bands"
+
+  /** Build the persisted index: signature every doc once. */
+  def buildMinhashIndex(docs: DataFrame, id: Column, text: Column,
+      path: String, n: Int = 3, bands: Int = 4, rowsPerBand: Int = 4): Unit =
+    graft.store.VersionedDocTable.build(
+      minhashBandIndex(docs, id, text, n, bands, rowsPerBand),
+      path, MinhashTable)
+
+  /** O(batch) incremental maintenance: only the batch is shingled/hashed;
+    * prior band rows carry by hardlink. Doc ids must be new.
+    */
+  def appendToMinhashIndex(batch: DataFrame, id: Column, text: Column,
+      path: String, n: Int = 3, bands: Int = 4, rowsPerBand: Int = 4): Unit =
+    graft.store.VersionedDocTable.append(
+      minhashBandIndex(batch, id, text, n, bands, rowsPerBand),
+      path, MinhashTable)
+
+  /** O(batch) DELETION maintenance: tombstones only — nothing is
+    * re-signatured and the band table is never rewritten.
+    */
+  def deleteFromMinhashIndex(deletedDocs: DataFrame, id: Column,
+      path: String): Unit =
+    graft.store.VersionedDocTable.delete(deletedDocs, id, path, MinhashTable)
+
+  /** The committed SURVIVOR band rows — feed [[pairsFromBandIndex]] (or
+    * [[incrementalMinhashPairs]] as its `corpusIndex`) for candidates.
+    */
+  def readMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    graft.store.VersionedDocTable.read(spark, path, MinhashTable)
+
+  def minhashIndexStats(spark: org.apache.spark.sql.SparkSession,
+      path: String): graft.store.VersionedDocTable.Stats =
+    graft.store.VersionedDocTable.stats(spark, path, MinhashTable)
+
+  def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, outPath: String, targetFiles: Int = 8): Unit =
+    graft.store.VersionedDocTable.compact(spark, path, outPath, MinhashTable,
+      targetFiles)
+
+  /** Maintenance policy: the deleted-fraction estimate divides tombstones
+    * by docs (each doc contributes exactly `bands` band rows — pass the
+    * SAME bands as the build or the gate drifts by that ratio).
+    */
+  def minhashMaintainIfNeeded(spark: org.apache.spark.sql.SparkSession,
+      path: String, bands: Int, outPath: String = null,
+      maxDeletedFraction: Double = 0.2, maxDataFiles: Int = 64,
+      targetFiles: Int = 8): Boolean =
+    graft.store.VersionedDocTable.maintainIfNeeded(spark, path, MinhashTable,
+      outPath, maxDeletedFraction, maxDataFiles, targetFiles,
+      rowsPerKey = bands)
+
   /** Incremental near-dup: candidate pairs between a NEW batch and an
     * existing corpus band index (plus new-vs-new pairs). Only the batch is
     * shingled/hashed; the corpus contributes its precomputed index — cost is

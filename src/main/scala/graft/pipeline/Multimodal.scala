@@ -603,25 +603,24 @@ object Multimodal {
   //
   // The media pipeline's maintained dedup state: (doc_id, ahash) at 8
   // bytes/doc, amortizing the DECODE stage — the expensive pass the index
-  // exists so nothing ever repeats. It therefore rides the engine-wide
-  // [[graft.store.VersionedDir]] CAS like every other persisted index
-  // (SearchIndex/IVF/PQ/SuffixIndex/Rollup): a crash mid-mutation leaves
-  // the committed version byte-identical (losing this index means
-  // re-decoding the corpus — at 100 TB of media, the worst re-run in the
-  // engine), and racing appends rerun instead of losing updates. Layout
-  // under the root: `hashes/` (doc_id, ahash) plus an optional `deletes/`
-  // tombstone table, both committed as ONE claim.
+  // exists so nothing ever repeats. It rides the shared
+  // [[graft.store.VersionedDocTable]] backbone (the single-table form of
+  // the engine-wide VersionedDir CAS): a crash mid-mutation leaves the
+  // committed version byte-identical (losing this index means re-decoding
+  // the corpus — at 100 TB of media, the worst re-run in the engine),
+  // racing appends rerun instead of losing updates, deletes are O(batch)
+  // tombstones applied at read, and the maintenance triple folds drift on
+  // the operator's schedule. Layout under the root: `hashes/` (doc_id,
+  // ahash) plus an optional `deletes/` tombstone table, one claim.
+
+  private val PhashTable = "hashes"
 
   /** Build the index: decode every payload once, persist the 8-byte/doc
     * fingerprints as a fresh committed version.
     */
   def buildPhashIndex(media: Dataset[MediaRow], path: String): Unit =
-    graft.store.VersionedDir.mutate(path) { (_, _) =>
-      val stage = graft.store.VersionedDir.stageDir(path)
-      averageHash(media).select("doc_id", "ahash")
-        .write.parquet(s"$stage/hashes")
-      Some(stage)
-    }
+    graft.store.VersionedDocTable.build(
+      averageHash(media).select("doc_id", "ahash"), path, PhashTable)
 
   /** O(batch) incremental maintenance: decode ONLY the new payloads and
     * commit their hashes beside the hardlink-adopted prior table — the old
@@ -629,58 +628,26 @@ object Multimodal {
     * keep-one-copy-of-every-row contract all persisted indexes share).
     */
   def appendToPhashIndex(batch: Dataset[MediaRow], path: String): Unit =
-    graft.store.VersionedDir.mutate(path) { (_, cur) =>
-      val stage = graft.store.VersionedDir.stageDir(path)
-      averageHash(batch).select("doc_id", "ahash")
-        .write.parquet(s"$stage/hashes")
-      graft.store.VersionedDir.adoptTree(
-        new java.io.File(s"$cur/hashes"), new java.io.File(s"$stage/hashes"))
-      if (new java.io.File(s"$cur/deletes").isDirectory)
-        graft.store.VersionedDir.adoptTree(
-          new java.io.File(s"$cur/deletes"), new java.io.File(s"$stage/deletes"))
-      Some(stage)
-    }
+    graft.store.VersionedDocTable.append(
+      averageHash(batch).select("doc_id", "ahash"), path, PhashTable)
 
-  /** O(batch) DELETION maintenance: append the deleted doc ids to a
-    * tombstone table (the SearchIndex discipline) — no payload is ever
+  /** O(batch) DELETION maintenance: tombstones only — no payload is ever
     * re-decoded and the hash table is never rewritten; [[readPhashIndex]]
     * applies the tombstones as one anti-join and [[compactPhashIndex]]
     * folds them on the operator's schedule.
     */
   def deleteFromPhashIndex(deletedDocs: DataFrame, id: Column,
       path: String): Unit =
-    graft.store.VersionedDir.mutate(path) { (_, cur) =>
-      val stage = graft.store.VersionedDir.stageDir(path)
-      deletedDocs.select(id.cast("long").as("doc_id")).distinct()
-        .write.parquet(s"$stage/deletes")
-      if (new java.io.File(s"$cur/deletes").isDirectory)
-        graft.store.VersionedDir.adoptTree(
-          new java.io.File(s"$cur/deletes"), new java.io.File(s"$stage/deletes"))
-      graft.store.VersionedDir.adoptTree(
-        new java.io.File(s"$cur/hashes"), new java.io.File(s"$stage/hashes"))
-      Some(stage)
-    }
+    graft.store.VersionedDocTable.delete(deletedDocs, id, path, PhashTable)
 
   /** Read the committed index: (doc_id, ahash) of the SURVIVORS — one
-    * consistent snapshot (version resolved once), tombstones applied as a
-    * single anti-join on doc_id. `deleted` is an unbounded corpus fraction
-    * at scale, so the join is left to AQE (broadcast when actually small).
+    * consistent snapshot, tombstones applied as a single anti-join.
     */
-  def readPhashIndex(spark: SparkSession, path: String): DataFrame = {
-    val cur = graft.store.VersionedDir.currentDir(path)
-    val hashes = spark.read.parquet(s"$cur/hashes")
-    val delDir = new java.io.File(s"$cur/deletes")
-    if (delDir.isDirectory)
-      hashes.join(spark.read.parquet(delDir.toString).select("doc_id").distinct(),
-        Seq("doc_id"), "left_anti")
-    else hashes
-  }
+  def readPhashIndex(spark: SparkSession, path: String): DataFrame =
+    graft.store.VersionedDocTable.read(spark, path, PhashTable)
 
-  /** Operational snapshot — O(files) footer/dir metadata, no Spark job
-    * (the shared [[graft.store.ParquetMeta]] backbone): fingerprint rows,
-    * tombstone rows (an upper bound on live tombstones — re-deleting adds
-    * a row), per-table file counts (each append adds ~1 hash part; every
-    * read opens them all until a compact folds them), committed version.
+  /** Operational snapshot — O(files) footer/dir metadata, no Spark job;
+    * see [[graft.store.VersionedDocTable.stats]].
     */
   final case class PhashStats(docCount: Long, tombstoneCount: Long,
       hashFiles: Int, deleteFiles: Int, version: Long) {
@@ -689,66 +656,27 @@ object Multimodal {
   }
 
   def phashStats(spark: SparkSession, path: String): PhashStats = {
-    val cur = graft.store.VersionedDir.currentDir(path)
-    val conf = spark.sparkContext.hadoopConfiguration
-    def parquets(dir: String): Seq[java.io.File] =
-      graft.store.ParquetMeta.parquetFiles(new java.io.File(s"$cur/$dir"))
-    def rows(fs: Seq[java.io.File]): Long =
-      fs.map(graft.store.ParquetMeta.rowCount(conf, _)).sum
-    val hashes = parquets("hashes")
-    val deletes = parquets("deletes")
-    PhashStats(
-      docCount = rows(hashes),
-      tombstoneCount = rows(deletes),
-      hashFiles = hashes.size,
-      deleteFiles = deletes.size,
-      version = graft.store.VersionedDir.head(path))
+    val s = graft.store.VersionedDocTable.stats(spark, path, PhashTable)
+    PhashStats(s.rowCount, s.tombstoneCount, s.dataFiles, s.deleteFiles,
+      s.version)
   }
 
   /** Rewrite the index minus its tombstones, coalesced back to
-    * `targetFiles` parts (the fresh version carries no deletes table) —
-    * equivalent to a rebuild over the surviving corpus WITHOUT decoding
-    * anything. In-place compacts pin their source inside the CAS body
-    * (a rerun against a racing append re-pins the append's hashes), the
-    * choice [[graft.store.VersionedDir.compactInto]] encodes once. The
-    * table is 16 bytes/row, so `targetFiles` stays small even at large
-    * corpora; raise it past ~10⁹ docs.
+    * `targetFiles` parts — a rebuild over the survivors WITHOUT decoding
+    * anything (16 bytes/row; raise `targetFiles` past ~10⁹ docs).
     */
   def compactPhashIndex(spark: SparkSession, path: String, outPath: String,
       targetFiles: Int = 8): Unit =
-    graft.store.VersionedDir.compactInto(path, outPath) { (cur, stage) =>
-      val hashes = spark.read.parquet(s"$cur/hashes")
-      val delDir = new java.io.File(s"$cur/deletes")
-      val survivors =
-        if (delDir.isDirectory)
-          hashes.join(
-            spark.read.parquet(delDir.toString).select("doc_id").distinct(),
-            Seq("doc_id"), "left_anti")
-        else hashes
-      survivors.coalesce(targetFiles).write.parquet(s"$stage/hashes")
-    }
+    graft.store.VersionedDocTable.compact(spark, path, outPath, PhashTable,
+      targetFiles)
 
-  /** The maintenance policy, closed over [[phashStats]]: compact when
-    * read costs have drifted — tombstoned fraction past
-    * `maxDeletedFraction` (every read anti-joins them and dead hashes
-    * still occupy scan bytes) or more than `maxHashFiles` hash parts
-    * (appends accumulate ~1 each). In place by default so the index a
-    * scheduler keeps appending into is the one that heals and the trigger
-    * resets; compaction achieves ≤ `targetFiles` < `maxHashFiles`, so the
-    * loop converges. No-op on a healthy index — call it unconditionally
-    * after ingest batches (stats is O(files) footer reads, no Spark job).
+  /** The maintenance policy (deleted-fraction / file-count gates, enforced
+    * converging knobs — see [[graft.store.VersionedDocTable.maintainIfNeeded]]):
+    * no-op on a healthy index, so call it unconditionally after ingest.
     */
   def phashMaintainIfNeeded(spark: SparkSession, path: String,
       outPath: String = null, maxDeletedFraction: Double = 0.2,
-      maxHashFiles: Int = 64, targetFiles: Int = 8): Boolean = {
-    require(maxHashFiles > targetFiles,
-      s"maxHashFiles ($maxHashFiles) must exceed the post-compact " +
-        s"targetFiles ($targetFiles) or maintenance re-fires every batch")
-    val s = phashStats(spark, path)
-    val due = s.deletedFraction > maxDeletedFraction ||
-      s.hashFiles > maxHashFiles
-    if (due) compactPhashIndex(spark, path,
-      Option(outPath).getOrElse(path), targetFiles)
-    due
-  }
+      maxHashFiles: Int = 64, targetFiles: Int = 8): Boolean =
+    graft.store.VersionedDocTable.maintainIfNeeded(spark, path, PhashTable,
+      outPath, maxDeletedFraction, maxHashFiles, targetFiles, rowsPerKey = 1)
 }

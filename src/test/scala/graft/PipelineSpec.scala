@@ -845,7 +845,8 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     // index and (b) appends its own rows, so no batch ever re-shingles the
     // corpus. Two batches in, the pair set must equal what a from-scratch
     // pairing of everything seen so far would find.
-    val dir = java.nio.file.Files.createTempDirectory("mh_idx").toFile.getAbsolutePath
+    val dir = java.nio.file.Files.createTempDirectory("mh_idx")
+      .toFile.getAbsolutePath + "/mh"
     val corpus = Seq(
       (1L, "w1 w2 w3 w4 w5 w6"),
       (2L, "z1 z2 z3 z4 z5 z6")).toDF("doc_id", "text")
@@ -856,21 +857,63 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       (20L, "q1 q2 q3 q4 q5 q6"),   // dup of batch-1 doc 11 — only visible
         (21L, "r1 r2 r3 r4 r5 r6")  // through the persisted index
       ).toDF("doc_id", "text")
-    Dedup.minhashBandIndex(corpus, col("doc_id"), col("text"))
-      .write.mode("overwrite").parquet(dir)
+    Dedup.buildMinhashIndex(corpus, col("doc_id"), col("text"), dir)
     var found = Set.empty[(Long, Long)]
     Seq(b1, b2).foreach { batch =>
-      val idx = spark.read.parquet(dir)
+      val idx = Dedup.readMinhashIndex(spark, dir)
       found ++= Dedup.incrementalMinhashPairs(batch, col("doc_id"), col("text"), idx)
         .collect().map(r => (r.getLong(0), r.getLong(1)))
-      Dedup.minhashBandIndex(batch, col("doc_id"), col("text"))
-        .write.mode("append").parquet(dir)
+      Dedup.appendToMinhashIndex(batch, col("doc_id"), col("text"), dir)
     }
     assert(found == Set((10L, 1L), (20L, 11L)))
     // cross-check vs from-scratch pairing of the full corpus
     val full = Dedup.minhashLsh(corpus.union(b1).union(b2), col("doc_id"), col("text"))
       .collect().map(r => (r.getLong(1), r.getLong(0))).toSet // (b,a) = (new, dup_of)
     assert(found == full)
+  }
+
+  test("minhash index lifecycle: tombstone delete never re-signatures; maintain heals in place and resets") {
+    import graft.store.VersionedDir
+    def doc(i: Long): String = {
+      val base = if (i % 10 == 7) i - 1 else i // planted dup every 10th
+      (0 until 6).map(j => s"t${base * 31 + j}").mkString(" ")
+    }
+    val docs = (0L until 60L).map(i => (i, doc(i))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mh_life")
+      .toFile.getAbsolutePath + "/mh"
+    Dedup.buildMinhashIndex(docs.filter(col("doc_id") < 40),
+      col("doc_id"), col("text"), dir, n = 3, bands = 4, rowsPerBand = 4)
+    Dedup.appendToMinhashIndex(docs.filter(col("doc_id") >= 40),
+      col("doc_id"), col("text"), dir, n = 3, bands = 4, rowsPerBand = 4)
+    def pairs() = Dedup.pairsFromBandIndex(Dedup.readMinhashIndex(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0L until 60L).filter(_ % 10 == 7).map(i => (i - 1, i)).toSet
+    assert(pairs() == planted, "append != rebuild on the planted dup set")
+    // O(batch) delete: tombstones only — the band table carries by hardlink
+    val vBefore = VersionedDir.currentDir(dir)
+    Dedup.deleteFromMinhashIndex(
+      (0L until 60L).filter(_ % 4 == 1).toDF("doc_id"), col("doc_id"), dir)
+    val vAfter = VersionedDir.currentDir(dir)
+    def ino(f: java.io.File): Any =
+      java.nio.file.Files.getAttribute(f.toPath, "unix:ino")
+    val oldParts = new java.io.File(s"$vBefore/bands").listFiles()
+      .filter(_.getName.startsWith("part-"))
+    assert(oldParts.nonEmpty && oldParts.forall { p =>
+      val np = new java.io.File(s"$vAfter/bands", p.getName)
+      np.exists() && ino(np) == ino(p)
+    }, "delete rewrote the band table instead of appending tombstones")
+    val surviving = planted.filter(p => p._1 % 4 != 1 && p._2 % 4 != 1)
+    assert(pairs() == surviving)
+    // 25% tombstoned (rowsPerKey = 4 bands) => due; heals in place; resets
+    val st = Dedup.minhashIndexStats(spark, dir)
+    assert(st.rowCount == 240 && st.tombstoneCount == 15)
+    assert(st.deletedFraction(4) > 0.2)
+    assert(Dedup.minhashMaintainIfNeeded(spark, dir, bands = 4))
+    assert(!Dedup.minhashMaintainIfNeeded(spark, dir, bands = 4))
+    val healed = Dedup.minhashIndexStats(spark, dir)
+    assert(healed.tombstoneCount == 0 && healed.rowCount == 45 * 4)
+    assert(healed.dataFiles <= 8, s"compact left ${healed.dataFiles} files")
+    assert(pairs() == surviving, "compact changed the surviving pairs")
   }
 
   test("semDedup: keep-first within a cell; a similar pair straddling cells is untouched") {
