@@ -246,9 +246,14 @@ object SparkEntry {
       streamTwoBatches(s, s"$dir/src",
         docs.filter(col("doc_id") >= 400 && col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") >= 400 && col("doc_id") % 2 =!= 0)) {
-        batch =>
-          graft.pipeline.SearchIndex.appendToIndex(
-            batch, col("doc_id"), col("text"), idx)
+        (batch, batchId) =>
+          // exactly-once under foreachBatch retries: the committed version
+          // carries the per-stream batch watermark, so a re-delivered
+          // batch is a no-op instead of a double ingest
+          graft.store.VersionedDir.ingestOnce(idx, "search_ingest", batchId) {
+            graft.pipeline.SearchIndex.appendToIndex(
+              batch, col("doc_id"), col("text"), idx)
+          }: Unit
       }
     }
 
@@ -521,7 +526,8 @@ object SparkEntry {
     * trigger discipline) live HERE once, not in each setup.
     */
   private def streamTwoBatches(s: SparkSession, srcDir: String,
-      first: DataFrame, second: DataFrame)(onBatch: DataFrame => Unit): Unit = {
+      first: DataFrame, second: DataFrame)(
+      onBatch: (DataFrame, Long) => Unit): Unit = {
     first.coalesce(1).write.mode("append").parquet(srcDir)
     Option(new java.io.File(srcDir).listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".parquet"))
@@ -531,7 +537,7 @@ object SparkEntry {
     val q = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) => onBatch(batch) }
+      .foreachBatch { (batch: DataFrame, id: Long) => onBatch(batch, id) }
       .start()
     q.processAllAvailable(); q.stop()
   }
@@ -556,13 +562,19 @@ object SparkEntry {
       // semDedupIncremental rides requires ids to arrive in order
       streamTwoBatches(s, s"$dir/src",
         e.filter(col("vec_id") >= 400 && col("vec_id") < 450),
-        e.filter(col("vec_id") >= 450)) { batch =>
+        e.filter(col("vec_id") >= 450)) { (batch, batchId) =>
+        // verdicts: batch_id partition OVERWRITE (the writeFinalized
+        // idempotency pattern) — a re-delivered batch replaces its own
+        // verdicts instead of appending duplicates
         Dedup.semDedupIncremental(batch, col("vec_id"), col("embedding"),
             idx, cents, col("vec_id"), col("embedding"), threshold = 0.45)
-          .write.mode("append").parquet(s"$dir/verdicts")
-        Similarity.appendToIvfIndex(batch, cents,
-          col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
-          idx): Unit
+          .write.mode("overwrite").parquet(s"$dir/verdicts/batch_id=$batchId")
+        // index growth: exactly-once via the per-stream batch watermark
+        graft.store.VersionedDir.ingestOnce(idx, "semdedup_ingest", batchId) {
+          Similarity.appendToIvfIndex(batch, cents,
+            col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+            idx): Unit
+        }: Unit
       }
     }
 
@@ -665,9 +677,11 @@ object SparkEntry {
       streamTwoBatches(s, s"$dir/src",
         docs.filter(col("doc_id") % 10 === 0 && col("doc_id") % 20 === 0),
         docs.filter(col("doc_id") % 10 === 0 && col("doc_id") % 20 =!= 0)) {
-        batch =>
-          graft.pipeline.SuffixIndex.append(
-            batch, col("doc_id"), col("text"), idx)
+        (batch, batchId) =>
+          graft.store.VersionedDir.ingestOnce(idx, "lrs_ingest", batchId) {
+            graft.pipeline.SuffixIndex.append(
+              batch, col("doc_id"), col("text"), idx)
+          }: Unit
       }
     }
 
@@ -2470,7 +2484,10 @@ object SparkEntry {
     // same from-scratch union SQL — pinning the whole ingest pipeline
     // (probe → verdict → versioned append) end to end by hash.
     "dedup_semdedup_stream" -> ((s, d) =>
+      // drop the physical batch_id partition column (the idempotent
+      // per-batch overwrite layout) — consumers see the verdict schema
       s.read.parquet(s"${semdedupStreamSetup(s, d)}/verdicts")
+        .drop("batch_id")
         .orderBy("vec_id")),
 
     // ── similarity search (embeddings) ────────────────────────────────────

@@ -150,6 +150,90 @@ object VersionedDir {
   private def firePreCommitHook(path: String): Unit =
     Option(scopedHooks.get(canon(path))).getOrElse(preCommitHook)(path)
 
+  // ── exactly-once streaming ingest ───────────────────────────────────────
+  //
+  // foreachBatch is AT-LEAST-ONCE: after a driver crash the restarted
+  // stream re-delivers the whole last-unacknowledged batch, and every CAS
+  // index append requires NEW doc ids — a re-delivered batch would ingest
+  // its rows twice. The fix is the Delta-lake txn pattern: each committed
+  // version carries a per-stream watermark file `_txn_<streamId>` holding
+  // the last applied batch id. The watermark is written INTO the staged
+  // version, so ONE atomic claim covers data + marker — no crash point can
+  // double-apply (marker committed ⇒ data committed) or lose a batch
+  // (crash before the claim ⇒ neither landed, the retry re-runs).
+  // Underscore names keep the markers invisible to Spark readers,
+  // [[ParquetMeta.parquetFiles]], and [[adoptTree]] — [[mutate]] itself is
+  // their single owner and carries them forward on EVERY commit (a compact
+  // or unrelated append between a batch and a late retry must not erase
+  // the watermark).
+
+  private val pendingTxn = new ThreadLocal[(String, String, Long)]
+
+  private def txnName(streamId: String) = s"_txn_$streamId"
+
+  private def requireStreamId(streamId: String): Unit =
+    require(streamId.matches("[A-Za-z0-9][A-Za-z0-9_.-]*"),
+      s"streamId must be a simple token, got '$streamId'")
+
+  /** The last batch id applied to `path` under `streamId` (None before
+    * the first tagged ingest — or if the watermark was minted on a
+    * DIFFERENT root: cross-root compacts start fresh by design, the
+    * caller repoints the stream checkpoint with the reader).
+    */
+  def appliedBatch(path: String, streamId: String): Option[Long] = {
+    requireStreamId(streamId)
+    val f = new File(currentDir(path), txnName(streamId))
+    if (f.isFile)
+      Some(new String(Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+    else None
+  }
+
+  /** Run `ingest` (which must perform its mutations on `path` through
+    * [[mutate]] — every index append does) exactly once per
+    * (streamId, batchId): a batch id at or below the committed watermark
+    * is SKIPPED, otherwise the next commit on `path` from this thread is
+    * stamped with it. Batch ids must be monotone per stream — Structured
+    * Streaming's foreachBatch contract. Returns whether the body ran.
+    *
+    * Wrap each foreachBatch body:
+    * {{{
+    *   .foreachBatch { (batch, id) =>
+    *     VersionedDir.ingestOnce(idx, "my_stream", id) {
+    *       SuffixIndex.append(batch, col("doc_id"), col("text"), idx)
+    *     }: Unit
+    *   }
+    * }}}
+    */
+  def ingestOnce(path: String, streamId: String, batchId: Long)(
+      ingest: => Unit): Boolean = {
+    requireStreamId(streamId)
+    if (appliedBatch(path, streamId).exists(_ >= batchId)) false
+    else {
+      // check-then-act is safe under Structured Streaming's sequential
+      // per-stream batch delivery; a crashed attempt either committed the
+      // stamp with its data (skip on retry) or committed nothing (re-run)
+      pendingTxn.set((canon(path), streamId, batchId))
+      try { ingest; true } finally pendingTxn.remove()
+    }
+  }
+
+  /** Carry every committed stream watermark into the stage and stamp a
+    * pending [[ingestOnce]] tag — runs on EVERY commit, just before the
+    * claim.
+    */
+  private def stampTxns(path: String, curDir: String, stage: File): Unit = {
+    Option(new File(curDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith("_txn_"))
+      .foreach(f => Files.copy(f.toPath, new File(stage, f.getName).toPath,
+        StandardCopyOption.REPLACE_EXISTING))
+    Option(pendingTxn.get()).filter(_._1 == canon(path)).foreach {
+      case (_, sid, bid) =>
+        Files.write(new File(stage, txnName(sid)).toPath,
+          bid.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    }
+  }
+
   /** The optimistic transaction loop: pin the head version, let
     * `body(base, currentDir)` build a complete staged version (or None
     * for a no-op), claim slot v(base+1) by atomic rename; a lost claim
@@ -164,6 +248,7 @@ object VersionedDir {
       body(base, curDir) match {
         case None => done = true
         case Some(stage) =>
+          stampTxns(path, curDir, stage)
           // the marker makes the claim target non-empty even for a
           // degenerate empty version: rename(2) silently REPLACES an empty
           // dest dir, which would hide a lost race

@@ -184,6 +184,36 @@ class StreamingIngestSpec extends AnyFunSuite with SparkTestBase {
     e.unpersist()
   }
 
+  test("ingestOnce on a real index: a re-delivered micro-batch is a no-op — rows, version and read all unchanged") {
+    // foreachBatch is at-least-once: a restarted stream re-delivers the
+    // whole last-unacknowledged batch, and SuffixIndex.append requires
+    // NEW doc ids — without the per-stream watermark the retry would
+    // double-ingest every gram. Simulate the retry by invoking the
+    // guarded handler twice with the same batch id.
+    import graft.pipeline.SuffixIndex
+    import graft.store.VersionedDir
+    val docs = (0L until 30L)
+      .map(i => (i, (0 until 10).map(j => s"w${(i * 7 + j) % 40}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val idx = Files.createTempDirectory("graft-once-").toString + "/sfx"
+    SuffixIndex.build(docs.filter(col("doc_id") < 20),
+      col("doc_id"), col("text"), idx, cap = 8, buckets = 4)
+    def deliver(batchId: Long): Boolean =
+      VersionedDir.ingestOnce(idx, "drill", batchId) {
+        SuffixIndex.append(docs.filter(col("doc_id") >= 20),
+          col("doc_id"), col("text"), idx)
+      }
+    assert(deliver(0))
+    val v = VersionedDir.head(idx)
+    val read = SuffixIndex.lrsStats(spark, idx)
+      .orderBy("doc_id").collect().toSeq
+    assert(!deliver(0), "the retry ran the append")
+    assert(VersionedDir.head(idx) == v, "the retry committed a version")
+    assert(SuffixIndex.lrsStats(spark, idx)
+      .orderBy("doc_id").collect().toSeq == read)
+    assert(read.size == 30)
+  }
+
   test("streaming semantic-dedup ingest: per-micro-batch verdicts + index append equal one batch semDedup") {
     import graft.pipeline.{Dedup, Similarity}
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")

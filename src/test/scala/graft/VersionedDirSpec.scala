@@ -273,6 +273,70 @@ class VersionedDirSpec extends AnyFunSuite with SparkTestBase {
     assert(got == direct, "a concurrent append's partials were lost")
   }
 
+  test("ingestOnce: a re-delivered batch is a no-op; watermarks are per-stream and survive unrelated commits") {
+    val path = Files.createTempDirectory("vd_txn").toString + "/r"
+    val mk = (tag: Int) => Seq((s"t$tag", tag.toDouble)).toDF("flag", "qty")
+    Rollup.build(mk(0), Seq("flag"), Seq("qty"), path)
+    def rows() = Rollup.query(spark, path, Seq("flag"), Seq("qty")).count()
+    // batch 0 applies once
+    assert(VersionedDir.ingestOnce(path, "s1", 0) {
+      Rollup.appendDelta(mk(1), Seq("flag"), Seq("qty"), path)
+    })
+    assert(rows() == 2 && VersionedDir.appliedBatch(path, "s1").contains(0L))
+    // the retry (foreachBatch re-delivery) is skipped entirely
+    assert(!VersionedDir.ingestOnce(path, "s1", 0) {
+      Rollup.appendDelta(mk(1), Seq("flag"), Seq("qty"), path)
+    })
+    assert(rows() == 2, "a re-delivered batch was double-ingested")
+    assert(VersionedDir.head(path) == 2, "a skipped batch committed a version")
+    // an UNRELATED commit (maintenance, plain append) must carry the
+    // watermark forward — else a late retry after a compact re-applies
+    Rollup.appendDelta(mk(9), Seq("flag"), Seq("qty"), path)
+    Rollup.compactRollup(spark, path, Seq("flag"), Seq("qty"), path)
+    assert(VersionedDir.appliedBatch(path, "s1").contains(0L),
+      "watermark lost across unrelated commits")
+    assert(!VersionedDir.ingestOnce(path, "s1", 0) {
+      Rollup.appendDelta(mk(1), Seq("flag"), Seq("qty"), path)
+    })
+    // streams are independent; later batches apply; monotone skip covers
+    // everything at-or-below the watermark
+    assert(VersionedDir.ingestOnce(path, "s2", 0) {
+      Rollup.appendDelta(mk(2), Seq("flag"), Seq("qty"), path)
+    })
+    assert(VersionedDir.ingestOnce(path, "s1", 1) {
+      Rollup.appendDelta(mk(3), Seq("flag"), Seq("qty"), path)
+    })
+    assert(VersionedDir.appliedBatch(path, "s1").contains(1L))
+    assert(!VersionedDir.ingestOnce(path, "s1", 0) { fail("must not run") })
+    intercept[IllegalArgumentException] {
+      VersionedDir.ingestOnce(path, "bad/stream", 0) {}
+    }
+  }
+
+  test("ingestOnce: crash before the claim leaves no watermark — the retry re-applies; crash AFTER is a skip") {
+    val path = Files.createTempDirectory("vd_txn_crash").toString + "/r"
+    val mk = (tag: Int) => Seq((s"t$tag", tag.toDouble)).toDF("flag", "qty")
+    Rollup.build(mk(0), Seq("flag"), Seq("qty"), path)
+    // crash between the fully-built stage and the claim: neither the data
+    // nor the watermark landed, so the restarted stream re-applies
+    VersionedDir.withPreCommitHook(path,
+      _ => throw new RuntimeException("crash")) {
+      intercept[RuntimeException] {
+        VersionedDir.ingestOnce(path, "s", 7) {
+          Rollup.appendDelta(mk(1), Seq("flag"), Seq("qty"), path)
+        }
+      }
+    }
+    assert(VersionedDir.appliedBatch(path, "s").isEmpty)
+    assert(VersionedDir.ingestOnce(path, "s", 7) {
+      Rollup.appendDelta(mk(1), Seq("flag"), Seq("qty"), path)
+    }, "retry after a pre-claim crash must re-apply")
+    assert(Rollup.query(spark, path, Seq("flag"), Seq("qty")).count() == 2)
+    // the stamp rides the SAME claim as the data: once committed, a
+    // post-commit crash (before the stream checkpoint advances) only skips
+    assert(!VersionedDir.ingestOnce(path, "s", 7) { fail("must not run") })
+  }
+
   test("legacy un-versioned roots stay readable and upgrade on first mutation") {
     val path = Files.createTempDirectory("vd_legacy").toString + "/r"
     // a plain parquet dir written before the protocol existed
