@@ -1058,8 +1058,16 @@ object Dedup {
       .join(batch.select(id.as("b_id"), vec.as("vb")), "b_id")
     val corpus = spark.read.parquet(Similarity.ivfCurrentDir(indexPath))
       .filter(col("centroid_id").isInCollection(cells)) // partition-pruned
-      .select(col("centroid_id"), col("cv").as("va"))
+      .select(col("centroid_id"), col("neighbor_id").as("a_id"),
+        col("cv").as("va"))
+    // a_id < b_id: under the append-only contract the index holds only ids
+    // BELOW the batch's, so this excludes nothing on first delivery — but
+    // it makes re-scoring REPLAY-STABLE under keep-first-by-id: a
+    // foreachBatch retry whose vectors already landed in the index must
+    // not match a vector against its own indexed copy at cosine 1.0 (nor
+    // against an indexed batchmate with a LATER id, which cannot drop it)
     val bc = withVecB.hint("shuffle_hash").join(corpus, Seq("centroid_id"))
+      .filter(col("a_id") < col("b_id"))
       .filter(Similarity.cosine(col("va"), col("vb")) >= threshold)
       .select(col("b_id").as("vec_id"))
     val bSide = withVecB.select(col("centroid_id"), col("b_id").as("a_id"),

@@ -116,16 +116,28 @@ object SuffixIndex {
       val meta = spark.read.parquet(s"$cur/meta").head()
       val cap = meta.getInt(0)
       val oldEdges = readEdgeRows(spark, s"$cur/edges")
-      // Bootstrap: an index legitimately BUILT over an empty corpus has no
-      // buckets to route into, so the first append of a bootstrap-then-
-      // stream scheduler is a from-scratch build of the batch under the
-      // index's own cap/buckets (trivially ≡ merge-into-empty). Staged
-      // INSIDE this transaction: two racing bootstrap appends then CAS —
-      // the loser reruns, sees the winner's edges, and takes the normal
-      // merge path instead of overwriting the winner's batch away.
-      if (oldEdges.isEmpty)
-        stageFullBuild(newDocs, id, text, path, cap, meta.getInt(1))
-      else appendStaged(newDocs, id, text, path, cur, cap, meta, oldEdges)
+      // Bootstrap: an index with no committed GRAMS has no buckets to
+      // route into, so the first append of a bootstrap-then-stream
+      // scheduler is a from-scratch build of the batch under the index's
+      // own cap/buckets (trivially ≡ merge-into-empty). Staged INSIDE
+      // this transaction: two racing bootstrap appends then CAS — the
+      // loser reruns, sees the winner's edges, and takes the normal merge
+      // path instead of overwriting the winner's batch away.
+      //
+      // Zero edges does NOT mean zero DOCS (round-15 ADVICE): a committed
+      // corpus whose docs all tokenized to zero tokens has perdoc rows
+      // but no grams. The prior perdoc parts are hardlink-adopted beside
+      // the batch's, so those docs keep counting in docLens/lrsStats —
+      // and when the prior corpus really was empty, adopting its
+      // zero-row perdoc parts is a harmless identity.
+      if (oldEdges.isEmpty) {
+        val staged = stageFullBuild(newDocs, id, text, path, cap, meta.getInt(1))
+        val priorPerdoc = new java.io.File(s"$cur/perdoc")
+        if (priorPerdoc.isDirectory)
+          staged.foreach(st => VersionedDir.adoptTree(
+            priorPerdoc, new java.io.File(st, "perdoc")))
+        staged
+      } else appendStaged(newDocs, id, text, path, cur, cap, meta, oldEdges)
     }
   }
 

@@ -169,6 +169,11 @@ object VersionedDir {
 
   private val pendingTxn = new ThreadLocal[(String, String, Long)]
 
+  /** Set only inside [[resetStream]]: tells [[stampTxns]] NOT to carry
+    * this (root, streamId)'s watermark marker into the staged version.
+    */
+  private val pendingReset = new ThreadLocal[(String, String)]
+
   private def txnName(streamId: String) = s"_txn_$streamId"
 
   private def requireStreamId(streamId: String): Unit =
@@ -205,17 +210,54 @@ object VersionedDir {
     *   }
     * }}}
     */
-  def ingestOnce(path: String, streamId: String, batchId: Long)(
+  def ingestOnce(path: String, streamId: String, batchId: Long,
+      maxReplayLag: Long = 1)(
       ingest: => Unit): Boolean = {
     requireStreamId(streamId)
-    if (appliedBatch(path, streamId).exists(_ >= batchId)) false
-    else {
-      // check-then-act is safe under Structured Streaming's sequential
-      // per-stream batch delivery; a crashed attempt either committed the
-      // stamp with its data (skip on retry) or committed nothing (re-run)
-      pendingTxn.set((canon(path), streamId, batchId))
-      try { ingest; true } finally pendingTxn.remove()
+    // A legitimate re-delivery sits AT the watermark (Structured Streaming
+    // re-runs only the last unacknowledged batch; a checkpoint restored
+    // from a marginally older backup replays at most a batch more). A
+    // batch id FAR below it is not a retry but a broken monotonicity
+    // contract — most commonly a deleted/rebuilt stream checkpoint whose
+    // batch ids restarted at 0, which a silent skip would turn into
+    // unbounded data loss (every batch dropped until the id overtakes the
+    // stale watermark). Fail loudly instead; the recovery step after
+    // rebuilding a checkpoint is [[resetStream]].
+    appliedBatch(path, streamId) match {
+      case Some(wm) if batchId <= wm =>
+        if (wm - batchId > maxReplayLag) throw new IllegalStateException(
+          s"stream '$streamId' delivered batch $batchId against committed " +
+            s"watermark $wm on $path — batch ids restarted (rebuilt " +
+            "checkpoint?); every batch until the id overtakes the stale " +
+            "watermark would be silently dropped. If the checkpoint was " +
+            "intentionally rebuilt, call VersionedDir.resetStream(path, " +
+            "streamId) once, then restart the stream.")
+        false
+      case _ =>
+        // check-then-act is safe under Structured Streaming's sequential
+        // per-stream batch delivery; a crashed attempt either committed the
+        // stamp with its data (skip on retry) or committed nothing (re-run)
+        pendingTxn.set((canon(path), streamId, batchId))
+        try { ingest; true } finally pendingTxn.remove()
     }
+  }
+
+  /** Drop `streamId`'s committed watermark — the ONE sanctioned recovery
+    * step after a stream checkpoint is intentionally rebuilt (batch ids
+    * restart at 0, which [[ingestOnce]] otherwise rejects loudly). Commits
+    * a new version identical to the head minus the `_txn_<streamId>`
+    * marker; the caller is asserting the restarted stream's batches are
+    * NEW data, so exactly-once accounting starts over.
+    */
+  def resetStream(path: String, streamId: String): Unit = {
+    requireStreamId(streamId)
+    if (appliedBatch(path, streamId).isEmpty) return
+    pendingReset.set((canon(path), streamId))
+    try mutate(path) { (_, cur) =>
+      val stage = stageDir(path)
+      adoptTree(new File(cur), stage)
+      Some(stage)
+    } finally pendingReset.remove()
   }
 
   /** Carry every committed stream watermark into the stage and stamp a
@@ -223,8 +265,11 @@ object VersionedDir {
     * claim.
     */
   private def stampTxns(path: String, curDir: String, stage: File): Unit = {
+    val resetting = Option(pendingReset.get()).filter(_._1 == canon(path))
+      .map { case (_, sid) => txnName(sid) }
     Option(new File(curDir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.startsWith("_txn_"))
+      .filter(f => f.isFile && f.getName.startsWith("_txn_") &&
+        !resetting.contains(f.getName))
       .foreach(f => Files.copy(f.toPath, new File(stage, f.getName).toPath,
         StandardCopyOption.REPLACE_EXISTING))
     Option(pendingTxn.get()).filter(_._1 == canon(path)).foreach {

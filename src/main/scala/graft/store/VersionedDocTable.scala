@@ -1,6 +1,7 @@
 package graft.store
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** A persisted SINGLE-TABLE, doc-keyed index under the engine-wide
   * [[VersionedDir]] CAS — the shared shape of the perceptual-hash index
@@ -60,8 +61,22 @@ object VersionedDocTable {
   def delete(deletedDocs: DataFrame, id: Column, path: String,
       table: String): Unit =
     VersionedDir.mutate(path) { (_, cur) =>
+      // Tombstones must carry the DATA table's doc_id type: a blind cast
+      // (the pre-round-15 `cast("long")`) against a non-numeric-keyed
+      // index yields nulls, the read-side anti-join never matches, and
+      // the delete is a silent no-op. Cast only when lossless, else fail
+      // fast — a delete that cannot address its keys is a caller bug.
+      val spark = deletedDocs.sparkSession
+      val keys = deletedDocs.select(id.as("doc_id"))
+      val keyType = keys.schema("doc_id").dataType
+      val tableType = spark.read.parquet(s"$cur/$table").schema("doc_id").dataType
+      require(keyType == tableType ||
+          org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(keyType, tableType),
+        s"delete keys typed $keyType cannot be losslessly cast to the " +
+          s"index's doc_id type $tableType — the tombstone anti-join " +
+          "would silently match nothing")
       val stage = VersionedDir.stageDir(path)
-      deletedDocs.select(id.cast("long").as("doc_id")).distinct()
+      keys.select(col("doc_id").cast(tableType).as("doc_id")).distinct()
         .write.parquet(s"$stage/deletes")
       if (new java.io.File(s"$cur/deletes").isDirectory)
         VersionedDir.adoptTree(

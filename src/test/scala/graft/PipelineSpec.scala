@@ -957,6 +957,59 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "incremental must equal the from-scratch union restricted to batch ids")
   }
 
+  test("semDedupIncremental: re-scoring after its batch landed in the index is replay-stable") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = e.filter(col("vec_id") < 8)
+    val dir = java.nio.file.Files.createTempDirectory("semdedup_replay_").toString
+    val idx = s"$dir/ivf"
+    graft.pipeline.Similarity.buildIvfIndex(e.filter(col("vec_id") < 300), cents,
+      col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), idx)
+    val batch = e.filter(col("vec_id") >= 300)
+    def score() = Dedup.semDedupIncremental(batch, col("vec_id"), col("embedding"),
+        idx, cents, col("vec_id"), col("embedding"), threshold = 0.45)
+      .orderBy("vec_id").as[(Long, Long, Int)].collect().toSeq
+    val first = score()
+    graft.pipeline.Similarity.appendToIvfIndex(batch, cents,
+      col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), idx)
+    // a foreachBatch retry re-scores AFTER the first delivery advanced the
+    // index: every batch vector now has an indexed copy of itself (and of
+    // its later-id batchmates) at cosine 1.0 — pre-round-15 the corpus
+    // join had no id guard, so the replay flipped every verdict to dropped
+    assert(score() === first, "replayed verdicts diverged from the first delivery's")
+    assert(first.exists(_._3 == 1) && first.exists(_._3 == 0),
+      "degenerate fixture: need both kept and dropped verdicts to discriminate")
+  }
+
+  test("minhash index over non-numeric doc ids: tombstone delete addresses string keys (no silent no-op)") {
+    val docs = (0L until 30L)
+      .map(i => (s"doc-$i", (0 until 6).map(j => s"w${i * 31 + j}").mkString(" ")))
+      .toDF("name", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mh_str_")
+      .toFile.getAbsolutePath + "/mh"
+    Dedup.buildMinhashIndex(docs, col("name"), col("text"), dir)
+    assert(Dedup.readMinhashIndex(spark, dir)
+      .select("doc_id").distinct().count() == 30)
+    Dedup.deleteFromMinhashIndex(
+      Seq("doc-3", "doc-7").toDF("name"), col("name"), dir)
+    val left = Dedup.readMinhashIndex(spark, dir)
+      .select("doc_id").distinct().as[String].collect().toSet
+    // pre-round-15 the tombstones were blind-cast to long → all-null
+    // keys, the read anti-join matched nothing, and the delete no-op'd
+    assert(left.size == 28 && !left("doc-3") && !left("doc-7"),
+      "string-keyed delete was a silent no-op")
+    // keys that cannot be losslessly cast to the table's doc_id type
+    // fail fast instead of tombstoning garbage
+    val numDir = java.nio.file.Files.createTempDirectory("mh_num_")
+      .toFile.getAbsolutePath + "/mh"
+    Dedup.buildMinhashIndex(
+      (0L until 5L).map(i => (i, s"a$i b$i c$i d$i")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), numDir)
+    intercept[IllegalArgumentException] {
+      Dedup.deleteFromMinhashIndex(
+        Seq("not-a-number").toDF("doc_id"), col("doc_id"), numDir)
+    }
+  }
+
   test("keepRepresentatives: drops non-representative cluster members, keeps pair-free docs") {
     val docs = Seq(
       (1L, "w1 w2 w3 w4 w5 w6"),

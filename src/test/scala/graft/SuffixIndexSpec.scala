@@ -389,6 +389,31 @@ class SuffixIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(indexRead(path) == fromScratch(docs :+ (900L, "a b c a b c"), cap = 8))
   }
 
+  test("append into an index whose docs ALL tokenized to zero grams keeps those docs in lrsStats") {
+    // Zero committed EDGES does not mean zero committed DOCS: null-text
+    // docs contribute perdoc rows but no grams. Pre-round-15 the
+    // zero-edge bootstrap staged a from-scratch build of only the batch,
+    // silently dropping the committed docs from lrsStats.
+    val path = s"${tmp()}/sfx"
+    val hollow = Seq((900L, Option.empty[String]), (901L, Option.empty[String]))
+    SuffixIndex.build(hollow.toDF("doc_id", "text"),
+      col("doc_id"), col("text"), path, cap = 8, buckets = 4)
+    assert(SuffixIndex.lrsStats(spark, path)
+      .select("doc_id").as[Long].collect().toSet == Set(900L, 901L))
+    val docs = randomDocs(11, 20, Vector("a", "b", "c"))
+    SuffixIndex.append(docs.toDF("doc_id", "text"),
+      col("doc_id"), col("text"), path)
+    val got = SuffixIndex.lrsStats(spark, path)
+    assert(got.select("doc_id").as[Long].collect().toSet ==
+      docs.map(_._1).toSet ++ Set(900L, 901L),
+      "the bootstrap append dropped the committed zero-gram docs")
+    assert(got.filter(col("doc_id") >= 900L).agg(max("lrs"))
+      .head().getInt(0) == 0)
+    // the batch's own stats are still a from-scratch build's
+    assert(got.filter(col("doc_id") < 900L)
+      .as[(Long, Long, Int)].collect().toSet == fromScratch(docs, cap = 8))
+  }
+
   test("in-place compact racing an append: the CAS rerun re-pins the append's rows") {
     // The in-place form must pin its source INSIDE the transaction: a
     // compact staged against v1 that loses the slot to a racing append

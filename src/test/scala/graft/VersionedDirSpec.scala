@@ -313,6 +313,42 @@ class VersionedDirSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("ingestOnce: a batch id far below the watermark fails loudly; resetStream re-arms the stream") {
+    val path = Files.createTempDirectory("vd_txn_reset").toString + "/r"
+    val mk = (tag: Int) => Seq((s"t$tag", tag.toDouble)).toDF("flag", "qty")
+    Rollup.build(mk(0), Seq("flag"), Seq("qty"), path)
+    assert(VersionedDir.ingestOnce(path, "s", 41) {
+      Rollup.appendDelta(mk(1), Seq("flag"), Seq("qty"), path)
+    })
+    // at or just below the watermark = legitimate re-delivery: silent skip
+    assert(!VersionedDir.ingestOnce(path, "s", 41) { fail("must not run") })
+    assert(!VersionedDir.ingestOnce(path, "s", 40) { fail("must not run") })
+    // far below = the stream's batch ids RESTARTED (deleted/rebuilt
+    // checkpoint) — a silent skip here drops every batch until the id
+    // overtakes the stale watermark, so the violation must be loud
+    val ex = intercept[IllegalStateException] {
+      VersionedDir.ingestOnce(path, "s", 0) { fail("must not run") }
+    }
+    assert(ex.getMessage.contains("resetStream"))
+    // the sanctioned recovery: resetStream drops ONLY this stream's mark
+    assert(VersionedDir.ingestOnce(path, "other", 5) {
+      Rollup.appendDelta(mk(2), Seq("flag"), Seq("qty"), path)
+    })
+    VersionedDir.resetStream(path, "s")
+    assert(VersionedDir.appliedBatch(path, "s").isEmpty)
+    assert(VersionedDir.appliedBatch(path, "other").contains(5L),
+      "resetStream erased an unrelated stream's watermark")
+    assert(VersionedDir.ingestOnce(path, "s", 0) {
+      Rollup.appendDelta(mk(3), Seq("flag"), Seq("qty"), path)
+    }, "a restarted stream must apply from batch 0 after reset")
+    assert(Rollup.query(spark, path, Seq("flag"), Seq("qty")).count() == 4,
+      "resetStream disturbed committed data")
+    // resetting a stream that never ingested is a no-op (no version churn)
+    val h = VersionedDir.head(path)
+    VersionedDir.resetStream(path, "nope")
+    assert(VersionedDir.head(path) == h)
+  }
+
   test("ingestOnce: crash before the claim leaves no watermark — the retry re-applies; crash AFTER is a skip") {
     val path = Files.createTempDirectory("vd_txn_crash").toString + "/r"
     val mk = (tag: Int) => Seq((s"t$tag", tag.toDouble)).toDF("flag", "qty")
