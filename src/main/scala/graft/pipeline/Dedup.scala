@@ -1049,14 +1049,21 @@ object Dedup {
       centVec: Column,
       threshold: Double): DataFrame = {
     val spark = batch.sparkSession
+    // one resolved snapshot for BOTH the centroid table and the corpus
+    // read — after a hot-cell split the caller's original centroids no
+    // longer address the index's cells
+    val cur = Similarity.ivfCurrentDir(indexPath)
     val assignedB = Similarity.assignToCentroids(
-      spread(batch), id, vec, centroids, centId, centVec)
+      spread(batch), id, vec,
+      Similarity.centroidsFor(spark, cur,
+        centroids.select(centId.as("centroid_id"), centVec.as("centv"))),
+      col("centroid_id"), col("centv"))
       .localCheckpoint(true)
     val cells = assignedB.select("centroid_id").distinct()
       .collect().map(_.get(0)).toSeq // O(affected cells) driver hop
     val withVecB = assignedB.select(col("vec_id").as("b_id"), col("centroid_id"))
       .join(batch.select(id.as("b_id"), vec.as("vb")), "b_id")
-    val corpus = spark.read.parquet(Similarity.ivfCurrentDir(indexPath))
+    val corpus = spark.read.parquet(cur)
       .filter(col("centroid_id").isInCollection(cells)) // partition-pruned
       .select(col("centroid_id"), col("neighbor_id").as("a_id"),
         col("cv").as("va"))

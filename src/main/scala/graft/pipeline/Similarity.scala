@@ -361,6 +361,36 @@ object Similarity {
     Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("centroid_id="))
 
+  /** The index's OWN committed centroid table `(centroid_id, centv)`,
+    * when present. Round-15 builds persist it under `_centroids` (the
+    * underscore keeps it invisible to `spark.read.parquet(versionDir)`'s
+    * partition discovery), because a hot-cell SPLIT mints NEW child
+    * centroids the caller's original table cannot know about — after the
+    * first split, the index's centroid set is no longer the built one.
+    * Every index-reading operation prefers this table and falls back to
+    * the caller-supplied centroids for pre-round-15 indexes (which can
+    * never have split, so the caller's table is still exact for them).
+    */
+  private[pipeline] def centroidsFor(
+      spark: org.apache.spark.sql.SparkSession, versionDir: String,
+      fallback: => DataFrame): DataFrame = {
+    val d = new java.io.File(versionDir, "_centroids")
+    if (d.isDirectory) spark.read.parquet(d.toString) else fallback
+  }
+
+  /** Normalize a caller-supplied centroid table to the persisted
+    * `(centroid_id, centv)` shape.
+    */
+  private def centShape(centroids: DataFrame, centId: Column,
+      centVec: Column): DataFrame =
+    centroids.select(centId.as("centroid_id"), centVec.as("centv"))
+
+  private def adoptCentroids(cur: String, stage: java.io.File): Unit = {
+    val d = new java.io.File(cur, "_centroids")
+    if (d.isDirectory)
+      VersionedDir.adoptTree(d, new java.io.File(stage, "_centroids"))
+  }
+
   /** PERSISTED IVF index build: the corpus, pre-assigned to its nearest
     * centroid, written `partitionBy(centroid_id)` WITH its vectors — the
     * index is self-contained, probes never touch the corpus table again.
@@ -387,6 +417,10 @@ object Similarity {
       corpus.select(cId.as("neighbor_id"), cVec.as("cv"))
         .join(assigned, "neighbor_id")
         .write.partitionBy("centroid_id").parquet(stage.toString)
+      // persist the centroid table INSIDE the index (one tiny file) so
+      // hot-cell splits can evolve it — see [[centroidsFor]]
+      centShape(centroids, centId, centVec)
+        .coalesce(1).write.parquet(s"$stage/_centroids")
       Some(stage)
     }
 
@@ -415,8 +449,14 @@ object Similarity {
       centVec: Column,
       path: String): Unit =
     VersionedDir.mutate(path) { (_, curDir) =>
+      val spark = batch.sparkSession
+      // resolved INSIDE the transaction: a rerun against a racing SPLIT
+      // must route the batch under the split's child centroids
+      val cents = centroidsFor(spark, curDir,
+        centShape(centroids, centId, centVec))
       val assigned = assignToCentroids(
-          Dedup.spread(batch), cId, cVec, centroids, centId, centVec)
+          Dedup.spread(batch), cId, cVec, cents,
+          col("centroid_id"), col("centv"))
         .withColumnRenamed("vec_id", "neighbor_id")
       val stage = VersionedDir.stageDir(path)
       batch.select(cId.as("neighbor_id"), cVec.as("cv"))
@@ -426,6 +466,7 @@ object Similarity {
       // gain the old files beside the new ones, untouched cells carry over
       cellDirs(curDir).foreach(d =>
         VersionedDir.adoptTree(d, new java.io.File(stage, d.getName)))
+      adoptCentroids(curDir, stage)
       Some(stage)
     }
 
@@ -456,28 +497,35 @@ object Similarity {
       centVec: Column,
       path: String): Unit = {
     val spark = deleted.sparkSession
-    // the affected-cell set is a pure function of the frozen centroids —
-    // base-independent, so computed once outside the retry loop
-    val assigned = assignToCentroids(
-      Dedup.spread(deleted), cId, cVec, centroids, centId, centVec)
-    val cells = assigned.select("centroid_id").distinct()
-      .collect().map(_.get(0)).toSeq // O(affected cells) driver hop
-    if (cells.isEmpty) return
-    val affected = cells.map(c => s"centroid_id=$c").toSet
     VersionedDir.mutate(path) { (_, curDir) =>
-      val delIds = deleted.select(cId.cast("long").as("del_id")).distinct()
-      val survivors = spark.read.parquet(curDir)
-        .filter(col("centroid_id").isInCollection(cells)) // partition-pruned
-        .join(broadcast(delIds), col("neighbor_id") === col("del_id"), "left_anti")
-        .drop("del_id")
-      // stage the next version: rewritten survivors of the affected cells
-      // (the only data I/O — ∝ affected cells), then untouched cells
-      // adopted by hardlink (metadata-only)
-      val stage = VersionedDir.stageDir(path)
-      survivors.write.partitionBy("centroid_id").parquet(stage.toString)
-      cellDirs(curDir).filterNot(d => affected(d.getName))
-        .foreach(d => VersionedDir.adoptTree(d, new java.io.File(stage, d.getName)))
-      Some(stage)
+      // the affected-cell set is a pure function of the committed
+      // centroids — resolved INSIDE the transaction since round 15, so a
+      // rerun against a racing SPLIT re-derives cells under the split's
+      // child centroids instead of addressing a retired parent cell
+      val assigned = assignToCentroids(
+        Dedup.spread(deleted), cId, cVec,
+        centroidsFor(spark, curDir, centShape(centroids, centId, centVec)),
+        col("centroid_id"), col("centv"))
+      val cells = assigned.select("centroid_id").distinct()
+        .collect().map(_.get(0)).toSeq // O(affected cells) driver hop
+      if (cells.isEmpty) None
+      else {
+        val affected = cells.map(c => s"centroid_id=$c").toSet
+        val delIds = deleted.select(cId.cast("long").as("del_id")).distinct()
+        val survivors = spark.read.parquet(curDir)
+          .filter(col("centroid_id").isInCollection(cells)) // partition-pruned
+          .join(broadcast(delIds), col("neighbor_id") === col("del_id"), "left_anti")
+          .drop("del_id")
+        // stage the next version: rewritten survivors of the affected cells
+        // (the only data I/O — ∝ affected cells), then untouched cells
+        // adopted by hardlink (metadata-only)
+        val stage = VersionedDir.stageDir(path)
+        survivors.write.partitionBy("centroid_id").parquet(stage.toString)
+        cellDirs(curDir).filterNot(d => affected(d.getName))
+          .foreach(d => VersionedDir.adoptTree(d, new java.io.File(stage, d.getName)))
+        adoptCentroids(curDir, stage)
+        Some(stage)
+      }
     }
   }
 
@@ -512,6 +560,24 @@ object Similarity {
       // committed version stays intact until the commit lands
       cellDirs(srcCur).foreach(cell =>
         VersionedDir.adoptTree(cell, new java.io.File(stage, cell.getName)))
+      // shared-centroid contract: carry dest's table (≡ src's); an index
+      // that has SPLIT refuses to merge — its centroid set diverged, so
+      // same-named cells no longer hold the same key range
+      if (new java.io.File(destCur, "_centroids").isDirectory &&
+          new java.io.File(srcCur, "_centroids").isDirectory) {
+        val s = org.apache.spark.sql.SparkSession.active
+        def ids(dir: String) = s.read.parquet(s"$dir/_centroids")
+          .select(col("centroid_id").cast("string"))
+          .collect().map(_.getString(0)).sorted.toSeq
+        require(ids(destCur) == ids(srcCur),
+          "mergeIvfIndexes requires both indexes to carry the same " +
+            "centroid set — one has split since its build; rebuild instead")
+      }
+      // mixed vintages: ONE side's table carries (they are equal when
+      // both exist — checked above; adopting both would union the rows)
+      if (new java.io.File(destCur, "_centroids").isDirectory)
+        adoptCentroids(destCur, stage)
+      else adoptCentroids(srcCur, stage)
       Some(stage)
     }
     // consume src only AFTER the merged version is committed
@@ -526,25 +592,35 @@ object Similarity {
     * folds them; a probe of that cell opens them all).
     */
   final case class IvfStats(cells: Int, vectors: Long, files: Int,
-      maxFilesPerCell: Int, version: Long)
+      maxFilesPerCell: Int, maxRowsPerCell: Long, version: Long)
 
   def ivfStats(spark: org.apache.spark.sql.SparkSession,
       path: String): IvfStats = {
-    val cur = ivfCurrentDir(path)
-    val conf = spark.sparkContext.hadoopConfiguration
-    // null-safe listing via ParquetMeta: a concurrent commit-GC/vacuum
-    // can delete the resolved version mid-walk — stats then reports a
-    // partial snapshot, never an NPE in the ingest loop
-    val perCell = cellDirs(cur).map(d =>
-      graft.store.ParquetMeta.parquetFiles(d))
-    val vectors = perCell.flatten
-      .map(graft.store.ParquetMeta.rowCount(conf, _)).sum
+    val rows = ivfCellRowCounts(spark, path).map(_._2)
+    val perCellFiles = cellDirs(ivfCurrentDir(path))
+      .map(d => graft.store.ParquetMeta.parquetFiles(d).length)
     IvfStats(
-      cells = perCell.length,
-      vectors = vectors,
-      files = perCell.map(_.length).sum,
-      maxFilesPerCell = if (perCell.isEmpty) 0 else perCell.map(_.length).max,
+      cells = perCellFiles.length,
+      vectors = rows.sum,
+      files = perCellFiles.sum,
+      maxFilesPerCell = if (perCellFiles.isEmpty) 0 else perCellFiles.max,
+      maxRowsPerCell = if (rows.isEmpty) 0L else rows.max,
       version = VersionedDir.head(path))
+  }
+
+  /** Per-cell committed row counts `(cell dir name, rows)` — parquet
+    * FOOTER metadata only (O(files), no Spark job), the input to the
+    * hot-cell split policy. Null-safe via ParquetMeta: a concurrent
+    * commit-GC/vacuum deleting the resolved version mid-walk yields a
+    * partial snapshot, never an NPE in the ingest loop.
+    */
+  def ivfCellRowCounts(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(String, Long)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    cellDirs(ivfCurrentDir(path)).toSeq.map { d =>
+      d.getName -> graft.store.ParquetMeta.parquetFiles(d)
+        .map(graft.store.ParquetMeta.rowCount(conf, _)).sum
+    }
   }
 
   /** Fold every cell back to one part file — the read-side file-count
@@ -563,20 +639,154 @@ object Similarity {
       spark.read.parquet(cur)
         .repartition(nCells, col("centroid_id"))
         .write.partitionBy("centroid_id").parquet(stage.toString)
+      adoptCentroids(cur, stage)
     }
 
-  /** Maintenance policy over [[ivfStats]]: compact (in place by default)
-    * when any cell's file count passes `maxFilesPerCell` — no-op on a
-    * healthy index, so schedulers can call it unconditionally after
-    * ingest batches. Returns whether a compact ran.
+  /** Split ONE hot cell into two children: a deterministic distributed
+    * 2-means over that cell's members only, committed as ONE CAS claim —
+    * the two child cell dirs + the updated `_centroids` rows (parent
+    * retired, children minted at max(id)+1/+2) staged beside every other
+    * cell's hardlink-adopted files. This is the row-growth analog of the
+    * suffix index's size-triggered bucket re-split: under sustained skew
+    * (every crawl-shard append landing in one cell) file compaction
+    * bounds FILE counts but rows-per-cell grow unboundedly, and probe
+    * cost is ∝ hot-cell rows. Requires an index that persists its
+    * centroids (round-15 builds; pre-15 indexes rebuild first).
+    *
+    * Determinism: seeds are the vectors of the cell's min/max neighbor
+    * ids; per-round means use exact DECIMAL sums (order-independent), so
+    * assignment is a pure per-row function each round. Degenerate cells
+    * (all members identical → one child empty) are NOT split — returns
+    * false without committing, and the maintenance loop marks the cell
+    * unsplittable instead of spinning.
+    *
+    * 100 TB shape: each round is one partition-pruned scan of the single
+    * hot cell + a 2×dim aggregate; nothing else is read or written, and
+    * the commit carries the rest of the index by O(files) metadata.
+    */
+  def splitIvfCell(spark: org.apache.spark.sql.SparkSession,
+      path: String, cellId: Long, rounds: Int = 4): Boolean = {
+    require(rounds >= 1)
+    var didSplit = false
+    VersionedDir.mutate(path) { (_, cur) =>
+      val cdir = new java.io.File(cur, "_centroids")
+      require(cdir.isDirectory,
+        "splitIvfCell requires an index that persists its centroids " +
+          "(round-15 buildIvfIndex does) — rebuild this index first")
+      val cellDir = new java.io.File(cur, s"centroid_id=$cellId")
+      require(cellDir.isDirectory, s"no committed cell $cellId to split")
+      val rows = spark.read.parquet(cellDir.toString).localCheckpoint(false)
+      val seeds = rows.orderBy(col("neighbor_id")).limit(1)
+        .unionAll(rows.orderBy(col("neighbor_id").desc).limit(1))
+        .select("cv").collect().map(_.getSeq[Float](0).toArray)
+      val dim = seeds(0).length
+      // `assign` drives membership, `means`/`counts` describe the members
+      // under the LAST aggregation — the final write re-evaluates `child`
+      // with the same `assign` as that aggregation, so the commit's
+      // membership, the emptiness check, and the stored child centroids
+      // (the final members' means) are mutually consistent
+      var assign = Array(seeds(0), seeds(1))
+      var means = assign
+      var counts = Array(0L, 0L)
+      def child = { // nearest of the two assignment centroids, ties → 0
+        val c0 = typedlit(assign(0).toSeq)
+        val c1 = typedlit(assign(1).toSeq)
+        when(cosine(col("cv"), c0) >= cosine(col("cv"), c1), 0).otherwise(1)
+      }
+      for (r <- 1 to rounds) {
+        // exact decimal sums: the mean (→ next round's assignment) never
+        // depends on float reduction order across tasks
+        val agg = rows.groupBy(child.as("child"))
+          .agg(count(lit(1)).as("n"),
+            array((0 until dim).map(i =>
+              (sum(element_at(col("cv"), i + 1)
+                .cast(org.apache.spark.sql.types.DecimalType(38, 10))) /
+                count(lit(1))).cast("float")): _*).as("m"))
+          .collect()
+        counts = Array(0L, 0L)
+        means = assign.clone()
+        agg.foreach { r =>
+          val c = r.getInt(0)
+          counts(c) = r.getLong(1)
+          means(c) = r.getSeq[Float](2).toArray
+        }
+        if (r < rounds) assign = means
+      }
+      if (counts(0) == 0L || counts(1) == 0L) {
+        didSplit = false; None // degenerate: all members identical
+      } else {
+        val centTable = spark.read.parquet(cdir.toString)
+        val idType = centTable.schema("centroid_id").dataType
+        require(Seq[org.apache.spark.sql.types.DataType](
+            org.apache.spark.sql.types.ByteType,
+            org.apache.spark.sql.types.ShortType,
+            org.apache.spark.sql.types.IntegerType,
+            org.apache.spark.sql.types.LongType).contains(idType),
+          s"splitIvfCell needs integral centroid ids to mint children, got $idType")
+        val maxId = centTable.agg(max(col("centroid_id").cast("long")))
+          .head().getLong(0)
+        val kid = Array(maxId + 1, maxId + 2)
+        val stage = VersionedDir.stageDir(path)
+        rows.withColumn("centroid_id",
+            when(child === 0, lit(kid(0))).otherwise(lit(kid(1))).cast(idType))
+          .repartition(2, col("centroid_id"))
+          .write.partitionBy("centroid_id").parquet(stage.toString)
+        cellDirs(cur).filter(_.getName != s"centroid_id=$cellId")
+          .foreach(d => VersionedDir.adoptTree(d, new java.io.File(stage, d.getName)))
+        import spark.implicits._
+        val kids = Seq((kid(0), means(0).toSeq), (kid(1), means(1).toSeq))
+          .toDF("centroid_id", "centv")
+          .select(col("centroid_id").cast(idType), col("centv"))
+        centTable.filter(col("centroid_id").cast("long") =!= cellId)
+          .unionByName(kids)
+          .coalesce(1).write.parquet(s"$stage/_centroids")
+        didSplit = true
+        Some(stage)
+      }
+    }
+    didSplit
+  }
+
+  /** Maintenance policy over [[ivfStats]], two gates (round 15 added the
+    * second): (a) any cell's FILE count past `maxFilesPerCell` → compact
+    * (in place by default); (b) when `maxRowsPerCell` > 0, any cell's ROW
+    * count past it → [[splitIvfCell]] the hottest such cell, repeating
+    * until every cell fits, a cell proves unsplittable (degenerate), or
+    * `maxSplits` is hit. No-op on a healthy index, so schedulers can call
+    * it unconditionally after ingest batches. Returns whether anything ran.
     */
   def ivfMaintainIfNeeded(spark: org.apache.spark.sql.SparkSession,
       path: String, outPath: String = null,
-      maxFilesPerCell: Int = 16): Boolean = {
+      maxFilesPerCell: Int = 16, maxRowsPerCell: Long = 0,
+      maxSplits: Int = 8): Boolean = {
+    var splits = 0
+    if (maxRowsPerCell > 0) {
+      val unsplittable = scala.collection.mutable.Set.empty[Long]
+      var hot = hotCells(spark, path, maxRowsPerCell, unsplittable)
+      while (hot.nonEmpty && splits < maxSplits) {
+        if (splitIvfCell(spark, path, hot.head)) splits += 1
+        else unsplittable += hot.head
+        hot = hotCells(spark, path, maxRowsPerCell, unsplittable)
+      }
+    }
     val due = ivfStats(spark, path).maxFilesPerCell > maxFilesPerCell
     if (due) compactIvfIndex(spark, path, Option(outPath).getOrElse(path))
-    due
+    due || splits > 0
   }
+
+  /** Cells (numeric ids only — non-numeric cells cannot mint children)
+    * over the row gate, hottest first, minus the known-degenerate set.
+    */
+  private def hotCells(spark: org.apache.spark.sql.SparkSession,
+      path: String, maxRowsPerCell: Long,
+      skip: scala.collection.Set[Long]): Seq[Long] =
+    ivfCellRowCounts(spark, path)
+      .flatMap { case (dir, n) =>
+        dir.stripPrefix("centroid_id=").toLongOption.map(id => (id, n))
+      }
+      .filter { case (id, n) => n > maxRowsPerCell && !skip(id) }
+      .sortBy { case (id, n) => (-n, id) }
+      .map(_._1)
 
   /** Membership diff between the committed IVF version and its predecessor
     * — the audit readout the commit protocol makes possible (GC keeps
@@ -675,7 +885,12 @@ object Similarity {
       k: Int,
       nprobe: Int = 2): DataFrame = {
     val spark = queries.sparkSession
-    val cent = broadcast(centroids.select(centId.as("centroid_id"), centVec.as("centv")))
+    // resolve the committed version ONCE — centroids and cells must come
+    // from the same snapshot: after a hot-cell split the caller's original
+    // table addresses a retired parent cell that no longer exists on disk
+    val cur = ivfCurrentDir(indexPath)
+    val cent = broadcast(
+      centroidsFor(spark, cur, centShape(centroids, centId, centVec)))
     val wq = Window.partitionBy("query_id").orderBy(desc("csim"), asc("centroid_id"))
     val probes = queries.select(qId.as("query_id"), qVec.as("qv"))
       .crossJoin(cent)
@@ -686,9 +901,7 @@ object Similarity {
       .localCheckpoint(false) // cells collected AND joined: compute once
     val cells = probes.select("centroid_id").distinct()
       .collect().map(_.get(0)).toSeq
-    // resolve the committed version once: the whole probe runs against one
-    // consistent snapshot even if a delete/merge flips the manifest mid-read
-    val idx = spark.read.parquet(ivfCurrentDir(indexPath))
+    val idx = spark.read.parquet(cur)
       .filter(col("centroid_id").isInCollection(cells)) // partition-pruned scan
     val cand = probes.join(idx, Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -611,6 +611,46 @@ class GraphStoreSpec extends AnyFunSuite with SparkTestBase {
     assert(st.entities.count() == 400)
   }
 
+  test("split-policy drill: repeated upsert waves keep max bucket bytes bounded; reads stay exact (ScaleDrill shape)") {
+    import spark.implicits._
+    // The operational loop a store at 100 TB runs after every ingest:
+    // grow → splitOversized → bounded buckets, with per-key resolution
+    // staying exact through every generation change. Five waves, each
+    // followed by the unconditional heal call; after EVERY wave the max
+    // bucket must sit at or under the gate (the ScaleDrill invariant —
+    // without it a hot key range grows one bucket without bound and every
+    // read of it degrades).
+    val dir = Files.createTempDirectory("graft-store-drill-").toString
+    val st = new GraphStore(spark, dir, numBuckets = 4)
+    st.initialize()
+    val gate = 4096L
+    var total = 0
+    for (wave <- 1 to 5) {
+      st.upsertEntitiesDf(
+        (1 to 300).map(i => (s"w$wave#e$i", s"t$wave", Seq(s"obs $wave/$i")))
+          .toDF("name", "entity_type", "observations"))
+      total += 300
+      st.splitOversized("entities", gate)
+      st.splitOversized("observations", gate)
+      for (t <- Seq("entities", "observations")) {
+        val max = st.bucketBytes(t).values.max
+        assert(max <= gate,
+          s"wave $wave: $t max bucket $max bytes over the $gate gate — " +
+            "the heal loop is not bounding growth")
+      }
+      assert(st.entities.count() == total, s"wave $wave lost entities")
+    }
+    assert(st.liveBuckets("entities").exists(_.gen > 0),
+      "five waves over tiny gen-0 never split — the drill lost its teeth")
+    // point reads resolve through the mixed-generation layout
+    assert(st.getEntity("w3#e7").observations == Seq("obs 3/7"))
+    assert(st.getEntity("w5#e299").entityType == "t5")
+    // and a cascade delete on the grown store stays exact
+    st.deleteEntity("w3#e7")
+    intercept[NoSuchElementException](st.getEntity("w3#e7"))
+    assert(st.entities.count() == total - 1)
+  }
+
   test("mergeChildren restores the split parent: data intact, writes route to it, preconditions loud") {
     import spark.implicits._
     import GraphStore.Bucket

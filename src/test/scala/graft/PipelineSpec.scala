@@ -618,6 +618,90 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(!probe().exists(_._2 == 7L))
   }
 
+  test("ivf hot-cell split: one CAS claim retires the parent; membership exact; appends route to children") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = e.filter(col("vec_id") < 2) // two close centroids → fat cells
+    val root = java.nio.file.Files.createTempDirectory("ivf_split_").toString
+    val path = s"$root/ivf"
+    def cols = (col("vec_id"), col("embedding"))
+    Similarity.buildIvfIndex(e.filter(col("vec_id") < 400), cents,
+      cols._1, cols._2, cols._1, cols._2, path)
+    def members() = spark.read.parquet(Similarity.ivfCurrentDir(path))
+      .select("neighbor_id").as[Long].collect().toSet
+    val before = Similarity.ivfCellRowCounts(spark, path).toMap
+    val hot = before.maxBy(_._2)._1.stripPrefix("centroid_id=").toLong
+    val memBefore = members()
+    assert(Similarity.splitIvfCell(spark, path, hot))
+    val after = Similarity.ivfCellRowCounts(spark, path).toMap
+    assert(!after.contains(s"centroid_id=$hot"), "parent cell not retired")
+    val kids = after.keySet -- before.keySet
+    assert(kids == Set("centroid_id=2", "centroid_id=3"),
+      s"children must mint past the max centroid id, got $kids")
+    assert(kids.forall(k => after(k) > 0) &&
+      kids.toSeq.map(after).sum == before(s"centroid_id=$hot"),
+      "split membership must repartition the parent exactly")
+    assert(members() == memBefore, "split lost or duplicated vectors")
+    // the centroid table evolved in the SAME claim: -parent +2 children
+    val ct = spark.read.parquet(s"${Similarity.ivfCurrentDir(path)}/_centroids")
+    assert(ct.count() == 3 &&
+      ct.filter(col("centroid_id") === hot).isEmpty)
+    // appends after the split route under the index's OWN centroids —
+    // the retired parent id must never get a cell dir again
+    Similarity.appendToIvfIndex(e.filter(col("vec_id") >= 400), cents,
+      cols._1, cols._2, cols._1, cols._2, path)
+    val grown = Similarity.ivfCellRowCounts(spark, path).toMap
+    assert(!grown.contains(s"centroid_id=$hot"),
+      "an append resurrected the retired parent cell")
+    assert(grown.values.sum == e.count(), "append after split lost rows")
+    // exhaustive probe over the split index == brute force
+    val q = e.filter(col("vec_id") < 8)
+    def triples(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val probed = triples(Similarity.ivfProbeIndex(q, path, cents,
+      cols._1, cols._2, cols._1, cols._2, k = 3, nprobe = 16))
+    val brute = triples(Similarity.bruteForceTopK(q, e,
+      cols._1, cols._2, cols._1, cols._2, k = 3))
+    assert(probed == brute, "exhaustive probe of the split index diverged")
+  }
+
+  test("ivf hot-cell split: identical-vector cell is degenerate — no commit, maintenance does not spin") {
+    import graft.store.VersionedDir
+    val corpus = (0L until 10L).map(i => (i, Seq.fill(8)(1f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((100L, Seq.fill(8)(1f))).toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("ivf_degen_")
+      .toString + "/ivf"
+    def cols = (col("vec_id"), col("embedding"))
+    Similarity.buildIvfIndex(corpus, cents,
+      cols._1, cols._2, cols._1, cols._2, path)
+    val h = VersionedDir.head(path)
+    assert(!Similarity.splitIvfCell(spark, path, 100L),
+      "a cell of identical vectors must refuse to split")
+    assert(VersionedDir.head(path) == h, "a refused split committed a version")
+    // the rows gate marks it unsplittable and exits instead of spinning
+    assert(!Similarity.ivfMaintainIfNeeded(spark, path, maxRowsPerCell = 2))
+    assert(VersionedDir.head(path) == h)
+  }
+
+  test("ivfMaintainIfNeeded rows gate: recursive splits bound the hot cell; trigger resets; rows preserved") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = e.filter(col("vec_id") < 2)
+    val path = java.nio.file.Files.createTempDirectory("ivf_rowgate_")
+      .toString + "/ivf"
+    def cols = (col("vec_id"), col("embedding"))
+    Similarity.buildIvfIndex(e, cents, cols._1, cols._2, cols._1, cols._2, path)
+    val s0 = Similarity.ivfStats(spark, path)
+    val gate = s0.maxRowsPerCell / 2
+    assert(Similarity.ivfMaintainIfNeeded(spark, path, maxRowsPerCell = gate))
+    val s1 = Similarity.ivfStats(spark, path)
+    assert(s1.maxRowsPerCell <= gate,
+      s"hot cells not bounded: ${s1.maxRowsPerCell} > $gate")
+    assert(s1.cells > s0.cells && s1.vectors == s0.vectors, s"$s0 -> $s1")
+    assert(!Similarity.ivfMaintainIfNeeded(spark, path, maxRowsPerCell = gate),
+      "healed index must be a maintenance no-op")
+  }
+
   test("ivf version diff: a delete's removals, cell-exact; a crashed stage is never diffed against") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val cents = e.filter(col("vec_id") < 4)
@@ -655,8 +739,12 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     Similarity.buildIvfIndex(e, cents,
       col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), s"$allDir/ivf")
     def partNames(root: String): Set[String] = {
+      // cell data files only: the _centroids sidecar is EQUAL by content
+      // on both sides, so the merge carries exactly one side's copy
       def walk(f: java.io.File): Seq[java.io.File] =
-        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        if (f.isDirectory && f.getName != "_centroids")
+          Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else if (f.isDirectory) Seq.empty
         else Seq(f)
       walk(new java.io.File(root))
         .filter(f => f.getName.endsWith(".parquet")).map(_.getName).toSet

@@ -331,6 +331,63 @@ class ScaleDrillSpec extends AnyFunSuite with SparkTestBase {
     assert(top(path) == top(fresh), "maintained IVF diverged from rebuild")
   }
 
+  test("IVF drill: rows-gated maintenance SPLITS the hot cell under sustained skew — probe cost ∝ gate, not corpus") {
+    import spark.implicits._
+    import graft.pipeline.Similarity
+    // Same crawl-shard skew as the file drill above, but the invariant is
+    // the round-15 one: file compaction bounds FILE counts while rows per
+    // cell grow unboundedly (probe cost ∝ hot-cell rows at 100×). The
+    // rows gate must keep max rows/cell bounded through every wave by
+    // splitting the hot cell, with total membership exactly preserved.
+    val centroids = (0 until 16).map(c =>
+      (c.toLong, Array.tabulate(16)(j => if (j == c) 1f else 0f)))
+      .toDF("centroid_id", "centv")
+    def hot(from: Long, n: Long) = (from until from + n).map { i =>
+      val v = synthVec(i); v(3) += 32f // dominate axis 3 → cell 3's range
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("ivf_rows_drill")
+      .toString + "/ivf"
+    val base = (0L until 2000L).map(i => (i, synthVec(i)))
+      .toDF("vec_id", "embedding")
+    Similarity.buildIvfIndex(base, centroids,
+      col("vec_id"), col("embedding"), col("centroid_id"), col("centv"), path)
+    val rowGate = 400L
+    var total = 2000L
+    for (b <- 1 to 6) {
+      Similarity.appendToIvfIndex(hot(10000L * b, 300), centroids,
+        col("vec_id"), col("embedding"), col("centroid_id"), col("centv"), path)
+      total += 300
+      Similarity.ivfMaintainIfNeeded(spark, path,
+        maxFilesPerCell = 3, maxRowsPerCell = rowGate)
+      val s = Similarity.ivfStats(spark, path)
+      assert(s.maxRowsPerCell <= rowGate,
+        s"append $b: hot cell at ${s.maxRowsPerCell} rows (gate $rowGate) — " +
+          "rows-gated maintenance not bounding skewed growth")
+      assert(s.vectors == total, s"append $b: membership drifted ($s)")
+    }
+    val s = Similarity.ivfStats(spark, path)
+    assert(s.cells > 16, "the skewed waves never forced a cell split")
+    // the split index still answers exhaustive probes identically to a
+    // from-scratch rebuild probed exhaustively (cell structure differs, so
+    // the equality that MUST hold is the all-cells one)
+    val union = base.unionByName(
+      (1 to 6).map(b => hot(10000L * b, 300)).reduce(_ unionByName _))
+    val fresh = java.nio.file.Files.createTempDirectory("ivf_rows_drill_f")
+      .toString + "/ivf"
+    Similarity.buildIvfIndex(union, centroids,
+      col("vec_id"), col("embedding"), col("centroid_id"), col("centv"), fresh)
+    val queries = (0L until 20L).map(q => (q, synthVec(q * 97)))
+      .toDF("vec_id", "embedding")
+    def top(p: String) = Similarity.ivfProbeIndex(queries, p, centroids,
+        col("vec_id"), col("embedding"), col("centroid_id"), col("centv"),
+        k = 5, nprobe = 64)
+      .select("query_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(top(path) == top(fresh),
+      "split IVF diverged from rebuild under exhaustive probes")
+  }
+
   test("SuffixIndex drill: bucket sizes stay bounded through repeated skewed appends; a point append stays O(its key range)") {
     import spark.implicits._
     import graft.pipeline.SuffixIndex
