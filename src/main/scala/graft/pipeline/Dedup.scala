@@ -1037,7 +1037,12 @@ object Dedup {
     * Contract: the index must hold at least one committed cell (bootstrap
     * the first batch with [[Similarity.buildIvfIndex]] — the schema of an
     * empty parquet dir cannot be inferred), and batch ids must succeed all
-    * index ids.
+    * index ids. The second clause is LOAD-BEARING twice over: keep-first
+    * semantics assume indexed members cannot be displaced, AND the corpus
+    * join's `a_id < b_id` replay guard treats any indexed id at or above a
+    * batch id as the batch's own re-delivered copy — ids that are content
+    * hashes or otherwise non-monotone would make same-content pairs
+    * silently score kept. Use ingest-monotone ids or [[semDedup]].
     */
   def semDedupIncremental(
       batch: DataFrame,

@@ -560,23 +560,39 @@ object Similarity {
       // committed version stays intact until the commit lands
       cellDirs(srcCur).foreach(cell =>
         VersionedDir.adoptTree(cell, new java.io.File(stage, cell.getName)))
-      // shared-centroid contract: carry dest's table (≡ src's); an index
-      // that has SPLIT refuses to merge — its centroid set diverged, so
-      // same-named cells no longer hold the same key range
-      if (new java.io.File(destCur, "_centroids").isDirectory &&
-          new java.io.File(srcCur, "_centroids").isDirectory) {
-        val s = org.apache.spark.sql.SparkSession.active
-        def ids(dir: String) = s.read.parquet(s"$dir/_centroids")
-          .select(col("centroid_id").cast("string"))
-          .collect().map(_.getString(0)).sorted.toSeq
-        require(ids(destCur) == ids(srcCur),
-          "mergeIvfIndexes requires both indexes to carry the same " +
-            "centroid set — one has split since its build; rebuild instead")
+      // shared-centroid contract: an index that has SPLIT refuses to
+      // merge — its centroid set diverged, so same-named cells no longer
+      // hold the same key range. Two checks: (a) when both sides carry a
+      // table, the FULL rows must match (two independent splits can mint
+      // the same child IDS with different vectors — ids alone would pass);
+      // (b) whichever table carries must cover every cell dir of BOTH
+      // sides, else that cell becomes unreachable (probes derive their
+      // candidate cells from the centroid table).
+      val s = org.apache.spark.sql.SparkSession.active
+      def centRows(dir: String): Option[Seq[(String, Seq[Float])]] =
+        if (!new java.io.File(dir, "_centroids").isDirectory) None
+        else Some(s.read.parquet(s"$dir/_centroids")
+          .select(col("centroid_id").cast("string"), col("centv"))
+          .collect().map(r => (r.getString(0), r.getSeq[Float](1)))
+          .sortBy(_._1).toSeq)
+      val destTbl = centRows(destCur)
+      val srcTbl = centRows(srcCur)
+      require(destTbl.isEmpty || srcTbl.isEmpty || destTbl == srcTbl,
+        "mergeIvfIndexes requires both indexes to carry the same centroid " +
+          "table (ids AND vectors) — one has split since its build; " +
+          "rebuild over the union instead")
+      destTbl.orElse(srcTbl).foreach { tbl =>
+        val tblIds = tbl.map(_._1).toSet
+        val dirIds = (cellDirs(destCur) ++ cellDirs(srcCur))
+          .map(_.getName.stripPrefix("centroid_id=")).toSet
+        require(dirIds.subsetOf(tblIds),
+          s"mergeIvfIndexes: cells ${(dirIds -- tblIds).mkString(", ")} are " +
+            "not addressed by the carried centroid table — one side has " +
+            "split since its build; rebuild over the union instead")
       }
-      // mixed vintages: ONE side's table carries (they are equal when
-      // both exist — checked above; adopting both would union the rows)
-      if (new java.io.File(destCur, "_centroids").isDirectory)
-        adoptCentroids(destCur, stage)
+      // mixed vintages: ONE side's table carries (equal when both exist —
+      // checked above; adopting both would union the rows)
+      if (destTbl.isDefined) adoptCentroids(destCur, stage)
       else adoptCentroids(srcCur, stage)
       Some(stage)
     }
@@ -596,30 +612,40 @@ object Similarity {
 
   def ivfStats(spark: org.apache.spark.sql.SparkSession,
       path: String): IvfStats = {
-    val rows = ivfCellRowCounts(spark, path).map(_._2)
-    val perCellFiles = cellDirs(ivfCurrentDir(path))
-      .map(d => graft.store.ParquetMeta.parquetFiles(d).length)
+    // ONE resolved version and ONE footer walk feed every field — a
+    // commit landing mid-call must not mix two versions' cells/rows
+    val perCell = cellWalk(spark, ivfCurrentDir(path))
+    val files = perCell.map(_._2)
+    val rows = perCell.map(_._3)
     IvfStats(
-      cells = perCellFiles.length,
+      cells = perCell.length,
       vectors = rows.sum,
-      files = perCellFiles.sum,
-      maxFilesPerCell = if (perCellFiles.isEmpty) 0 else perCellFiles.max,
+      files = files.sum,
+      maxFilesPerCell = if (files.isEmpty) 0 else files.max,
       maxRowsPerCell = if (rows.isEmpty) 0L else rows.max,
       version = VersionedDir.head(path))
   }
 
   /** Per-cell committed row counts `(cell dir name, rows)` — parquet
     * FOOTER metadata only (O(files), no Spark job), the input to the
-    * hot-cell split policy. Null-safe via ParquetMeta: a concurrent
-    * commit-GC/vacuum deleting the resolved version mid-walk yields a
-    * partial snapshot, never an NPE in the ingest loop.
+    * hot-cell split policy.
     */
   def ivfCellRowCounts(spark: org.apache.spark.sql.SparkSession,
-      path: String): Seq[(String, Long)] = {
+      path: String): Seq[(String, Long)] =
+    cellWalk(spark, ivfCurrentDir(path)).map(c => (c._1, c._3))
+
+  /** One footer walk of one resolved version: (cell name, files, rows)
+    * per cell. Null-safe via ParquetMeta: a concurrent commit-GC/vacuum
+    * deleting the version mid-walk yields a partial snapshot, never an
+    * NPE in the ingest loop.
+    */
+  private def cellWalk(spark: org.apache.spark.sql.SparkSession,
+      versionDir: String): Seq[(String, Int, Long)] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    cellDirs(ivfCurrentDir(path)).toSeq.map { d =>
-      d.getName -> graft.store.ParquetMeta.parquetFiles(d)
-        .map(graft.store.ParquetMeta.rowCount(conf, _)).sum
+    cellDirs(versionDir).toSeq.map { d =>
+      val fs = graft.store.ParquetMeta.parquetFiles(d)
+      (d.getName, fs.length,
+        fs.map(graft.store.ParquetMeta.rowCount(conf, _)).sum)
     }
   }
 
@@ -717,14 +743,20 @@ object Similarity {
       } else {
         val centTable = spark.read.parquet(cdir.toString)
         val idType = centTable.schema("centroid_id").dataType
-        require(Seq[org.apache.spark.sql.types.DataType](
-            org.apache.spark.sql.types.ByteType,
-            org.apache.spark.sql.types.ShortType,
-            org.apache.spark.sql.types.IntegerType,
-            org.apache.spark.sql.types.LongType).contains(idType),
-          s"splitIvfCell needs integral centroid ids to mint children, got $idType")
+        import org.apache.spark.sql.types._
+        val idSpace: Long = idType match {
+          case ByteType => Byte.MaxValue
+          case ShortType => Short.MaxValue
+          case IntegerType => Int.MaxValue
+          case LongType => Long.MaxValue
+          case t => throw new IllegalArgumentException(
+            s"splitIvfCell needs integral centroid ids to mint children, got $t")
+        }
         val maxId = centTable.agg(max(col("centroid_id").cast("long")))
           .head().getLong(0)
+        require(maxId <= idSpace - 2,
+          s"splitIvfCell cannot mint children past $idType's range " +
+            s"(max id $maxId) — a narrowing cast would silently wrap")
         val kid = Array(maxId + 1, maxId + 2)
         val stage = VersionedDir.stageDir(path)
         rows.withColumn("centroid_id",

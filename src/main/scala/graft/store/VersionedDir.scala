@@ -211,18 +211,23 @@ object VersionedDir {
     * }}}
     */
   def ingestOnce(path: String, streamId: String, batchId: Long,
-      maxReplayLag: Long = 1)(
+      maxReplayLag: Long = 0)(
       ingest: => Unit): Boolean = {
     requireStreamId(streamId)
-    // A legitimate re-delivery sits AT the watermark (Structured Streaming
-    // re-runs only the last unacknowledged batch; a checkpoint restored
-    // from a marginally older backup replays at most a batch more). A
-    // batch id FAR below it is not a retry but a broken monotonicity
-    // contract — most commonly a deleted/rebuilt stream checkpoint whose
-    // batch ids restarted at 0, which a silent skip would turn into
-    // unbounded data loss (every batch dropped until the id overtakes the
-    // stale watermark). Fail loudly instead; the recovery step after
-    // rebuilding a checkpoint is [[resetStream]].
+    // A legitimate re-delivery sits exactly AT the watermark: the stream
+    // checkpoint advances only after foreachBatch returns, and this
+    // watermark commits atomically with the batch's data inside it, so
+    // the checkpoint can trail the watermark by at most ONE batch — the
+    // one Structured Streaming re-delivers on restart. A batch id BELOW
+    // the watermark is therefore a broken monotonicity contract — most
+    // commonly a deleted/rebuilt stream checkpoint whose batch ids
+    // restarted at 0, which a silent skip would turn into unbounded data
+    // loss (every batch dropped until the id overtakes the stale
+    // watermark). Fail loudly instead; the recovery step after
+    // intentionally rebuilding a checkpoint is [[resetStream]]. (A
+    // rebuilt checkpoint whose new batch 0 arrives against watermark 0
+    // is indistinguishable from the normal retry and still skips — one
+    // batch, the irreducible ambiguity of id-only accounting.)
     appliedBatch(path, streamId) match {
       case Some(wm) if batchId <= wm =>
         if (wm - batchId > maxReplayLag) throw new IllegalStateException(
@@ -256,6 +261,14 @@ object VersionedDir {
     try mutate(path) { (_, cur) =>
       val stage = stageDir(path)
       adoptTree(new File(cur), stage)
+      // adoptTree skips underscore entries (it must — a legacy root's
+      // in-flight _stage_* dirs cannot be walked), but a committed
+      // version's underscore DIRECTORIES are data sidecars (the IVF
+      // index's _centroids) that the reset must carry; a watermarked
+      // root always has head > 0, so `cur` here is never the legacy root
+      Option(new File(cur).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("_"))
+        .foreach(d => adoptTree(d, new File(stage, d.getName)))
       Some(stage)
     } finally pendingReset.remove()
   }

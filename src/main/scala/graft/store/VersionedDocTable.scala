@@ -78,9 +78,24 @@ object VersionedDocTable {
       val stage = VersionedDir.stageDir(path)
       keys.select(col("doc_id").cast(tableType).as("doc_id")).distinct()
         .write.parquet(s"$stage/deletes")
-      if (new java.io.File(s"$cur/deletes").isDirectory)
-        VersionedDir.adoptTree(
-          new java.io.File(s"$cur/deletes"), new java.io.File(s"$stage/deletes"))
+      if (new java.io.File(s"$cur/deletes").isDirectory) {
+        val prior = spark.read.parquet(s"$cur/deletes")
+        if (prior.schema("doc_id").dataType == tableType)
+          VersionedDir.adoptTree(
+            new java.io.File(s"$cur/deletes"), new java.io.File(s"$stage/deletes"))
+        else {
+          // pre-round-15 deletes on a non-long-keyed index blind-cast to
+          // long and tombstoned only nulls (matching nothing). Adopting
+          // them beside typed tombstones would mix parquet schemas and
+          // break the read scan — drop them IF they really were no-ops,
+          // refuse loudly otherwise (refusing loses nothing; dropping a
+          // live tombstone would resurrect a deleted doc)
+          require(prior.filter(col("doc_id").isNotNull).isEmpty,
+            s"existing tombstones are typed ${prior.schema("doc_id").dataType} " +
+              s"with non-null keys but the data table is $tableType — " +
+              "cannot migrate; compact the index first")
+        }
+      }
       VersionedDir.adoptTree(
         new java.io.File(s"$cur/$table"), new java.io.File(s"$stage/$table"))
       Some(stage)

@@ -624,10 +624,17 @@ class GraphStoreSpec extends AnyFunSuite with SparkTestBase {
     val st = new GraphStore(spark, dir, numBuckets = 4)
     st.initialize()
     val gate = 4096L
+    // names carry a 16-hex dictionary-resistant tail: 300 thin rows sit
+    // RIGHT AT a 4 KB parquet file (whether the gate trips then depends
+    // on range-sampling boundaries, which vary with the session's RDD id
+    // counter — the round-15 in-suite flake); ~40 B/row makes every wave
+    // decisively heavier than the gate once two waves share a bucket
+    def name(wave: Int, i: Int): String =
+      f"w$wave#e$i#${i * 0x9E3779B97F4A7C15L + wave}%016x"
     var total = 0
     for (wave <- 1 to 5) {
       st.upsertEntitiesDf(
-        (1 to 300).map(i => (s"w$wave#e$i", s"t$wave", Seq(s"obs $wave/$i")))
+        (1 to 300).map(i => (name(wave, i), s"t$wave", Seq(s"obs $wave/$i x${name(wave, i)}")))
           .toDF("name", "entity_type", "observations"))
       total += 300
       st.splitOversized("entities", gate)
@@ -643,11 +650,12 @@ class GraphStoreSpec extends AnyFunSuite with SparkTestBase {
     assert(st.liveBuckets("entities").exists(_.gen > 0),
       "five waves over tiny gen-0 never split — the drill lost its teeth")
     // point reads resolve through the mixed-generation layout
-    assert(st.getEntity("w3#e7").observations == Seq("obs 3/7"))
-    assert(st.getEntity("w5#e299").entityType == "t5")
+    assert(st.getEntity(name(3, 7)).observations ==
+      Seq(s"obs 3/7 x${name(3, 7)}"))
+    assert(st.getEntity(name(5, 299)).entityType == "t5")
     // and a cascade delete on the grown store stays exact
-    st.deleteEntity("w3#e7")
-    intercept[NoSuchElementException](st.getEntity("w3#e7"))
+    st.deleteEntity(name(3, 7))
+    intercept[NoSuchElementException](st.getEntity(name(3, 7)))
     assert(st.entities.count() == total - 1)
   }
 

@@ -1077,6 +1077,18 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     Dedup.buildMinhashIndex(docs, col("name"), col("text"), dir)
     assert(Dedup.readMinhashIndex(spark, dir)
       .select("doc_id").distinct().count() == 30)
+    // migration seam first: a pre-round-15 delete on this string index
+    // wrote all-null LONG tombstones (the silent no-op). The next typed
+    // delete must DROP those poisoned parts — adopting them beside
+    // string tombstones would mix parquet schemas and break every read
+    import graft.store.VersionedDir
+    VersionedDir.mutate(dir) { (_, cur) =>
+      val stage = VersionedDir.stageDir(dir)
+      VersionedDir.adoptTree(
+        new java.io.File(s"$cur/bands"), new java.io.File(s"$stage/bands"))
+      Seq(Option.empty[Long]).toDF("doc_id").write.parquet(s"$stage/deletes")
+      Some(stage)
+    }
     Dedup.deleteFromMinhashIndex(
       Seq("doc-3", "doc-7").toDF("name"), col("name"), dir)
     val left = Dedup.readMinhashIndex(spark, dir)
@@ -1084,7 +1096,15 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     // pre-round-15 the tombstones were blind-cast to long → all-null
     // keys, the read anti-join matched nothing, and the delete no-op'd
     assert(left.size == 28 && !left("doc-3") && !left("doc-7"),
-      "string-keyed delete was a silent no-op")
+      "string-keyed delete was a silent no-op (or legacy null tombstones " +
+        "schema-mixed the deletes table)")
+    // a SECOND typed delete must hardlink-adopt the first's (type-matched)
+    // tombstones — both waves stay deleted
+    Dedup.deleteFromMinhashIndex(Seq("doc-9").toDF("name"), col("name"), dir)
+    val after = Dedup.readMinhashIndex(spark, dir)
+      .select("doc_id").distinct().as[String].collect().toSet
+    assert(after.size == 27 && !after("doc-9") && !after("doc-3"),
+      "typed tombstones must accumulate across deletes")
     // keys that cannot be losslessly cast to the table's doc_id type
     // fail fast instead of tombstoning garbage
     val numDir = java.nio.file.Files.createTempDirectory("mh_num_")

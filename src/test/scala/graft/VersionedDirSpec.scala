@@ -298,8 +298,9 @@ class VersionedDirSpec extends AnyFunSuite with SparkTestBase {
     assert(!VersionedDir.ingestOnce(path, "s1", 0) {
       Rollup.appendDelta(mk(1), Seq("flag"), Seq("qty"), path)
     })
-    // streams are independent; later batches apply; monotone skip covers
-    // everything at-or-below the watermark
+    // streams are independent; later batches apply; the skip covers the
+    // one legitimate re-delivery (AT the watermark) while anything BELOW
+    // is a restarted-ids violation (see the dedicated reset test)
     assert(VersionedDir.ingestOnce(path, "s2", 0) {
       Rollup.appendDelta(mk(2), Seq("flag"), Seq("qty"), path)
     })
@@ -307,7 +308,10 @@ class VersionedDirSpec extends AnyFunSuite with SparkTestBase {
       Rollup.appendDelta(mk(3), Seq("flag"), Seq("qty"), path)
     })
     assert(VersionedDir.appliedBatch(path, "s1").contains(1L))
-    assert(!VersionedDir.ingestOnce(path, "s1", 0) { fail("must not run") })
+    assert(!VersionedDir.ingestOnce(path, "s1", 1) { fail("must not run") })
+    intercept[IllegalStateException] {
+      VersionedDir.ingestOnce(path, "s1", 0) { fail("must not run") }
+    }
     intercept[IllegalArgumentException] {
       VersionedDir.ingestOnce(path, "bad/stream", 0) {}
     }
@@ -320,16 +324,25 @@ class VersionedDirSpec extends AnyFunSuite with SparkTestBase {
     assert(VersionedDir.ingestOnce(path, "s", 41) {
       Rollup.appendDelta(mk(1), Seq("flag"), Seq("qty"), path)
     })
-    // at or just below the watermark = legitimate re-delivery: silent skip
+    // AT the watermark = the one legitimate re-delivery: silent skip
+    // (the checkpoint can trail the atomically-committed watermark by at
+    // most one batch, so only the last batch ever re-delivers)
     assert(!VersionedDir.ingestOnce(path, "s", 41) { fail("must not run") })
-    assert(!VersionedDir.ingestOnce(path, "s", 40) { fail("must not run") })
-    // far below = the stream's batch ids RESTARTED (deleted/rebuilt
-    // checkpoint) — a silent skip here drops every batch until the id
+    // BELOW it = the stream's batch ids RESTARTED (deleted/rebuilt
+    // checkpoint) — a silent skip would drop every batch until the id
     // overtakes the stale watermark, so the violation must be loud
+    intercept[IllegalStateException] {
+      VersionedDir.ingestOnce(path, "s", 40) { fail("must not run") }
+    }
     val ex = intercept[IllegalStateException] {
       VersionedDir.ingestOnce(path, "s", 0) { fail("must not run") }
     }
     assert(ex.getMessage.contains("resetStream"))
+    // an explicit slack re-admits deeper replays for operators that
+    // restore checkpoints from backups
+    assert(!VersionedDir.ingestOnce(path, "s", 40, maxReplayLag = 2) {
+      fail("must not run")
+    })
     // the sanctioned recovery: resetStream drops ONLY this stream's mark
     assert(VersionedDir.ingestOnce(path, "other", 5) {
       Rollup.appendDelta(mk(2), Seq("flag"), Seq("qty"), path)
@@ -347,6 +360,29 @@ class VersionedDirSpec extends AnyFunSuite with SparkTestBase {
     val h = VersionedDir.head(path)
     VersionedDir.resetStream(path, "nope")
     assert(VersionedDir.head(path) == h)
+  }
+
+  test("resetStream carries underscore data sidecars (the IVF _centroids) into the reset version") {
+    import graft.pipeline.Similarity
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .filter(col("vec_id") < 60)
+    val cents = e.filter(col("vec_id") < 2)
+    val idx = Files.createTempDirectory("vd_reset_ivf").toString + "/ivf"
+    def cols = (col("vec_id"), col("embedding"))
+    Similarity.buildIvfIndex(e.filter(col("vec_id") < 40), cents,
+      cols._1, cols._2, cols._1, cols._2, idx)
+    assert(VersionedDir.ingestOnce(idx, "s", 3) {
+      Similarity.appendToIvfIndex(e.filter(col("vec_id") >= 40), cents,
+        cols._1, cols._2, cols._1, cols._2, idx): Unit
+    })
+    VersionedDir.resetStream(idx, "s")
+    assert(VersionedDir.appliedBatch(idx, "s").isEmpty)
+    // adoptTree alone skips underscore dirs — the reset must re-add them,
+    // else the index silently downgrades to caller-supplied centroids
+    // (and a post-split index would lose its child cells entirely)
+    assert(new java.io.File(VersionedDir.currentDir(idx), "_centroids")
+      .isDirectory, "resetStream dropped the _centroids sidecar")
+    assert(Similarity.ivfStats(spark, idx).vectors == 60)
   }
 
   test("ingestOnce: crash before the claim leaves no watermark — the retry re-applies; crash AFTER is a skip") {
