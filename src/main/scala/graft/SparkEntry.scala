@@ -1113,6 +1113,7 @@ object SparkEntry {
     searchIndexSetup(s, d): Unit
     searchIncSetup(s, d): Unit
     searchStreamSetup(s, d): Unit
+    minhashStreamSetup(s, d): Unit
     lrsIndexSetup(s, d): Unit
     lrsStreamSetup(s, d): Unit
     lrsCompactSetup(s, d): Unit
@@ -1173,6 +1174,28 @@ object SparkEntry {
         "a 33% tombstoned minhash index must be due for maintenance")
       require(!graft.pipeline.Dedup.minhashMaintainIfNeeded(s, idx, bands = 8),
         "the healed minhash index must be a maintenance no-op")
+    }
+
+  /** Stream-ingested minhash band index (see `dedup_index_stream`): 40%
+    * batch build, 60% over two file-source micro-batches, each append
+    * wrapped in the per-stream exactly-once watermark.
+    */
+  private def minhashStreamSetup(s: SparkSession, d: String): String =
+    Setup.dir(s"minhash_stream:$d") { dir =>
+      val docs = documents(s, d)
+      val idx = s"$dir/mh"
+      graft.pipeline.Dedup.buildMinhashIndex(
+        docs.filter(col("doc_id") < 200), col("doc_id"), col("text"), idx,
+        n = 3, bands = 8, rowsPerBand = 2)
+      streamTwoBatches(s, s"$dir/src",
+        docs.filter(col("doc_id") >= 200 && col("doc_id") < 350),
+        docs.filter(col("doc_id") >= 350)) { (batch, batchId) =>
+        graft.store.VersionedDir.ingestOnce(idx, "mh_ingest", batchId) {
+          graft.pipeline.Dedup.appendToMinhashIndex(
+            batch, col("doc_id"), col("text"), idx,
+            n = 3, bands = 8, rowsPerBand = 2)
+        }: Unit
+      }
     }
 
   /** Persisted per-edge triangle-support table of the co-purchase graph —
@@ -1805,6 +1828,30 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           min(col("quality")).as("min_q"), max(col("quality")).as("max_q"))
         .orderBy("split", "lang")),
+
+    // Context-window packing (round 15) — the sequence-assembly step of an
+    // LLM pretraining pipeline: docs stream into fixed-token-budget bins
+    // in deterministic doc_id order; a doc whose START offset falls in
+    // bin k belongs to bin k (boundary docs overflow their bin rather
+    // than split — the pack-then-truncate-at-the-consumer layout, bin
+    // membership a pure function of the exact prefix sum). The cumsum is
+    // the engine's DISTRIBUTED exact one (Ranking.withGlobalCumSum: one
+    // range exchange + O(partitions) seed hop — never a single-partition
+    // global window, which is the 100 TB killer for this shape); bin ids
+    // use integer `div`, so no double rounding at any corpus size.
+    "pipe_pack_sequences" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"),
+        size(graft.pipeline.TextAnalysis.tokens(col("text")))
+          .cast("long").as("n_tokens"))
+      graft.operators.Ranking.withGlobalCumSum(
+          docs, Seq(col("doc_id")), col("n_tokens"), "cum")
+        .withColumn("bin", expr("(cum - n_tokens) div 512"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("bin")
+    }),
 
     // CDC latest-record compaction: one row per (user, type) = the record
     // with the highest (ts, event_id). max(struct(...)) aggregates with
@@ -2482,6 +2529,22 @@ object SparkEntry {
           col("doc_id"), col("text"), n = 3, bands = 8, rowsPerBand = 2),
         n = 3, bands = 8, rowsPerBand = 2)
         .orderBy("new_id", "dup_of")
+    }),
+
+    // Streaming ingest for the minhash band index (round 15 — the
+    // VersionedDocTable family was the only persisted-index family
+    // without a streaming-ingest row; suffix grams, text postings, and
+    // the semdedup IVF index all had one): 40% of the corpus builds the
+    // index, the rest arrives as two real file-source micro-batches, each
+    // appended under VersionedDir.ingestOnce (exactly-once — a
+    // re-delivered batch is a watermark skip, so no doc is ever
+    // double-signatured into duplicate band rows, which would mint
+    // phantom pairs). Pairing the final read hash-matches the
+    // from-scratch full-corpus oracle: stream ingest ≡ batch build.
+    "dedup_index_stream" -> ((s, d) => {
+      Dedup.pairsFromBandIndex(
+          Dedup.readMinhashIndex(s, s"${minhashStreamSetup(s, d)}/mh"))
+        .orderBy("a_id", "b_id")
     }),
 
     // Index-DELETION maintenance: a deletion batch (doc_id % 13) against
@@ -8363,6 +8426,11 @@ object SparkEntry {
     "dedup_representatives" ->
       OracleSqlGen.minhashSurvivors(3, 8, 2, Seq("doc_id", "lang", "source")),
     "dedup_incremental" -> OracleSqlGen.incrementalMinhash(3, 8, 2, batchMinId = 400),
+    // stream ingest ≡ batch build: the final index holds the whole
+    // corpus, so the pair list is the full from-scratch one
+    "dedup_index_stream" ->
+      s"""SELECT a_id, b_id FROM (${OracleSqlGen.minhashLsh(3, 8, 2)}) t
+          ORDER BY a_id, b_id""",
     // from-scratch pairing over the post-deletion corpus: a signature
     // depends only on its own doc, so pairs of survivors are unchanged —
     // equivalently, the full pair list with both endpoints surviving
@@ -8507,6 +8575,21 @@ object SparkEntry {
 
     "pipeline_curate" -> OracleSqlGen.curate,
     "pipeline_train_prep" -> OracleSqlGen.trainPrep(),
+    // start-offset packing: bin = integer-div of the exclusive prefix sum
+    "pipe_pack_sequences" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id) AS cum
+           FROM t)
+         SELECT CAST((cum - n_tokens) // 512 AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM c GROUP BY 1 ORDER BY bin""",
     "text_repetition" -> OracleSqlGen.repetition(3),
     "text_contamination" -> OracleSqlGen.contamination(3, benchMaxId = 10),
     "text_pack" ->
