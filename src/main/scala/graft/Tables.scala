@@ -56,9 +56,14 @@ object Tables {
         expr("make_interval(0, 0, 0, 0, 0, 0, c_custkey)")).as("created_at"),
       col("c_custkey"))
 
-  /** observations ⇐ orders keyed by customer: content = order priority. */
+  /** observations ⇐ orders keyed by customer: content = order priority.
+    * fanOutScan on the fact side (guide §2.5): the mapper's join probe +
+    * string derivations are map-side work an under-split single-row-group
+    * scan would otherwise run on one core; at real scale the gate is the
+    * identity.
+    */
   def orderObservations(s: SparkSession, d: String): DataFrame =
-    orders(s, d)
+    graft.operators.Parallelism.fanOutScan(orders(s, d))
       .join(customer(s, d), col("o_custkey") === col("c_custkey"))
       .select(
         col("o_orderkey").as("id"),
@@ -68,7 +73,7 @@ object Tables {
 
   /** entities ⇐ orders (timestamps are real → recency reads). */
   def orderEntities(s: SparkSession, d: String): DataFrame =
-    orders(s, d).select(
+    graft.operators.Parallelism.fanOutScan(orders(s, d)).select(
       format_string("order#%09d", col("o_orderkey")).as("name"),
       col("o_orderstatus").as("entity_type"),
       col("o_orderdate").as("created_at"))
@@ -77,7 +82,7 @@ object Tables {
     * customer names so edges compose with customerEntities searches, R10).
     */
   def orderRelations(s: SparkSession, d: String): DataFrame =
-    orders(s, d)
+    graft.operators.Parallelism.fanOutScan(orders(s, d))
       .join(customer(s, d), col("o_custkey") === col("c_custkey"))
       .select(
         col("o_orderkey").as("id"),
@@ -86,9 +91,11 @@ object Tables {
         lit("placed").as("relation_type"),
         col("o_orderdate").as("created_at"))
 
-  /** relations ⇐ lineitem FK edges: order -contains-> part. */
+  /** relations ⇐ lineitem FK edges: order -contains-> part (fanOutScan:
+    * two format_string derivations per row over the biggest fact table).
+    */
   def lineitemRelations(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d).select(
+    graft.operators.Parallelism.fanOutScan(lineitem(s, d)).select(
       (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
       format_string("order#%09d", col("l_orderkey")).as("source"),
       format_string("part#%09d", col("l_partkey")).as("target"),

@@ -59,8 +59,11 @@ object Stats {
       }
     // value in exact integer CENTS: the 19.2M-row hot path multiplies and
     // partial-aggregates longs, not decimals; the closing division undoes
-    // the scaling while both sums are exactly representable doubles
-    df.select(key.cast("string").as("k"),
+    // the scaling while both sums are exactly representable doubles.
+    // fanOutScan: the B·rows md5 ladder is the suite's heaviest map-side
+    // expression chain — an under-split input must not run it on one core
+    Parallelism.fanOutScan(df)
+      .select(key.cast("string").as("k"),
         (value.cast(DecimalType(18, 2)) * 100).cast("long").as("vc"))
       // one digest per (row, group of 6 replicates)…
       .select(col("vc"),
@@ -161,7 +164,9 @@ object Stats {
     require(aNum > 0 && aNum < aDen, "alpha must be in (0, 1)")
     val xd = x.cast(DecimalType(18, 2)); val yd = y.cast(DecimalType(18, 2))
     val b = substring(md5(key.cast("string").cast("binary")), 1, 2)
-    val base = df.select(xd.as("x"), yd.as("y"),
+    // fanOutScan: the md5 split + residual chain makes two full passes over
+    // the fact table — an under-split input must not run both on one core
+    val base = Parallelism.fanOutScan(df).select(xd.as("x"), yd.as("y"),
       when(b < "55", "train").when(b < "aa", "cal").otherwise("test")
         .as("split"))
     val fit = base.filter(col("split") === "train").agg(
@@ -237,7 +242,9 @@ object Stats {
     * (n1, n2, d_num, d_stat).
     */
   def ksTest(df: DataFrame, value: Column, in1: Column, in2: Column): DataFrame = {
-    val x = df.filter(in1 || in2)
+    // fanOutScan: quantize + class flags + the (v)-grouping partials are
+    // map-side work an under-split scan would single-thread
+    val x = Parallelism.fanOutScan(df).filter(in1 || in2)
       .select(value.as("v"),
         in1.cast("long").as("is1"), in2.cast("long").as("is2"))
     val g = x.groupBy("v").agg(sum("is1").as("n1"), sum("is2").as("n2"))
@@ -274,7 +281,8 @@ object Stats {
     * Returns one row: (n1, n2, u1_x2, u2_x2, u_stat).
     */
   def mannWhitneyU(df: DataFrame, value: Column, in1: Column, in2: Column): DataFrame = {
-    val x = df.filter(in1 || in2)
+    // fanOutScan: same under-split guard as ksTest (shared input shape)
+    val x = Parallelism.fanOutScan(df).filter(in1 || in2)
       .select(value.as("v"),
         in1.cast("long").as("is1"), in2.cast("long").as("is2"))
     val g = x.groupBy("v")
@@ -315,8 +323,11 @@ object Stats {
   def spearman(df: DataFrame, x: Column, y: Column): DataFrame = {
     // the projected pair relation is read FOUR times (two rank-map
     // aggregates + two joins): checkpoint the 2-longs-per-row projection
-    // once instead of re-scanning the fact table per consumer
-    val base = df.select(x.as("xv"), y.as("yv")).localCheckpoint(true)
+    // once instead of re-scanning the fact table per consumer; fanOutScan
+    // first so the checkpointed frame has parallel partitions (a single-
+    // row-group input otherwise serializes every consumer behind one task)
+    val base = Parallelism.fanOutScan(df)
+      .select(x.as("xv"), y.as("yv")).localCheckpoint(true)
     def rankMap(c: String, out: String): DataFrame = {
       val g = base.groupBy(c).agg(count(lit(1)).as("nt"))
       Ranking.withGlobalCumSum(g, Seq(col(c)), col("nt"), "cum")
