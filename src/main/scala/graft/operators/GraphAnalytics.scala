@@ -25,6 +25,27 @@ import org.apache.spark.sql.functions._
   */
 object GraphAnalytics {
 
+  /** Materialize-and-count in ONE job: lazy local checkpoint, then count
+    * the checkpointed InternalRows directly — an RDD count, so the job
+    * that produces the count IS the job that persists the partitions.
+    * The eager-checkpoint-then-count pairs it replaces cost two to three
+    * jobs per round (rdd.count to materialize, then a separate SQL count
+    * with its own single-partition exchange) across every iterative loop
+    * here — pure scheduler overhead at any scale, and the dominant cost
+    * of a round on small per-round frames.
+    */
+  private def settleCounted(df: DataFrame): (DataFrame, Long) = {
+    val cp = df.localCheckpoint(false)
+    (cp, cp.queryExecution.toRdd.count())
+  }
+
+  /** Size-gate from an ALREADY-KNOWN row count — the loops below track
+    * each round's frame size from [[settleCounted]], so the per-round
+    * `broadcastGated` count jobs (one more job per round) are unnecessary.
+    */
+  private def bcRows(rows: Long): DataFrame => DataFrame =
+    df => Hints.broadcastIfUnder(df, rows)
+
   /** PageRank over directed `edges` with columns (src: long, dst: long).
     * Multi-edges count once per occurrence (out-degree counts edges, and each
     * edge carries one contribution) — deterministic on both engines.
@@ -317,16 +338,19 @@ object GraphAnalytics {
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .repartition(col("src"))
       .cache()
-    var h = e.select(col("src").as("node")).distinct()
-      .withColumn("score", lit(scale))
-      .localCheckpoint(true)
-    val vRows = h.count()
+    val (h0, vRows) = settleCounted(
+      e.select(col("src").as("node")).distinct()
+        .withColumn("score", lit(scale)))
+    var h = h0
     def bc(df: DataFrame): DataFrame = Hints.broadcastIfUnder(df, vRows)
     // top score = scale exactly; everything else floors proportionally.
     // The raw frame is referenced twice (max-agg + the scored projection),
     // so it is settled eagerly — O(V), same discipline as the kCore loop.
     def normalize(raw0: DataFrame): DataFrame = {
-      val raw = raw0.localCheckpoint(true)
+      // LAZY checkpoint: the max-aggregate broadcast is the first consumer
+      // and materializes the blocks as a side effect — the eager variant
+      // paid a separate count job per half-step (6 per run) for nothing
+      val raw = raw0.localCheckpoint(false)
       raw.crossJoin(broadcast(raw.agg(max("raw").as("mx"))))
         .select(col("node"), expr(s"(raw * ${scale}L) div mx").as("score"))
     }
@@ -474,8 +498,9 @@ object GraphAnalytics {
     // (map-side) instead of being re-sorted/re-shuffled twice per round.
     // The hint is gated on the INITIAL node count (survivors only shrink):
     // past the cap it drops out and every round plans shuffled semi-joins.
-    var surv = adj.select(col("a").as("node")).distinct().localCheckpoint(true)
-    val vRows = surv.count() // counts the eager checkpoint — metadata cost
+    val (surv0, vRows) = settleCounted(
+      adj.select(col("a").as("node")).distinct())
+    var surv = surv0
     def bc(df: DataFrame): DataFrame = Hints.broadcastIfUnder(df, vRows)
     for (_ <- 1 to rounds) {
       surv = kCorePeelRound(adj, surv, k, bc).localCheckpoint(true)
@@ -592,10 +617,10 @@ object GraphAnalytics {
       .union(e.select(col("v").as("a"), col("u").as("b")))
       .repartition(col("b"))
       .cache()
-    var labels = adj.select(col("a").as("node")).distinct()
-      .withColumn("lbl", col("node"))
-      .localCheckpoint(true)
-    val vRows = labels.count() // counts the eager checkpoint — metadata cost
+    val (labels0, vRows) = settleCounted(
+      adj.select(col("a").as("node")).distinct()
+        .withColumn("lbl", col("node")))
+    var labels = labels0
     def bc(df: DataFrame): DataFrame = Hints.broadcastIfUnder(df, vRows)
     for (_ <- 1 to rounds) {
       // neighbor labels arrive via the cached b-partitioned adjacency (the
@@ -652,11 +677,15 @@ object GraphAnalytics {
     var dist = spark.range(1)
       .select(lit(src).as("node"), lit(0L).as("dist"))
       .localCheckpoint(true)
+    // the O(≤V) frame broadcasts into the relaxation join, size-gated per
+    // round from the PREVIOUS round's settled count (the frontier GROWS;
+    // past the cap the round plans a shuffled join). Threading the count
+    // through settleCounted removes two jobs per round vs the old
+    // eager-checkpoint + broadcastGated(count) pair.
+    var n = 1L
     for (_ <- 1 to rounds) {
-      // the O(≤V) frame broadcasts into the relaxation join, size-gated per
-      // round (the frontier GROWS — counting the eager checkpoint is a
-      // metadata-cost job, and past the cap the round plans a shuffled join)
-      dist = ssspRelaxRound(adj, dist).localCheckpoint(true)
+      val (d2, n2) = settleCounted(ssspRelaxRound(adj, dist, bcRows(n)))
+      dist = d2; n = n2
     }
     adj.unpersist(false)
     dist
@@ -722,16 +751,40 @@ object GraphAnalytics {
       .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("l"))).as("m"))
       .select(col("node"), col("m.l").as("lbl"))
 
-  /** One Bellman-Ford relaxation: propagate dist+w along the cached
-    * adjacency, min-merge with the previous distance frame.
+  /** The relaxation JOIN shared verbatim by [[ssspRelaxRound]] and
+    * [[ssspRelaxRoundFlagged]]: propagate dist+w along the cached adjacency
+    * with the distance frame riding the caller's size-gated broadcast.
     */
-  private[graft] def ssspRelaxRound(adj: DataFrame, dist: DataFrame): DataFrame = {
-    val relaxed = adj
-      .join(Hints.broadcastGated(dist.withColumnRenamed("node", "a")), "a")
+  private def relaxedFrontier(adj: DataFrame, dist: DataFrame,
+      bc: DataFrame => DataFrame): DataFrame =
+    adj
+      .join(bc(dist.withColumnRenamed("node", "a")), "a")
       .select(col("b").as("node"), (col("dist") + col("w")).as("dist"))
-    dist.union(relaxed)
+
+  /** One Bellman-Ford relaxation: propagate dist+w along the cached
+    * adjacency, min-merge with the previous distance frame. `bc` is the
+    * caller's size gate — the loops thread each round's settled count so
+    * no per-round count job is needed.
+    */
+  private[graft] def ssspRelaxRound(adj: DataFrame, dist: DataFrame,
+      bc: DataFrame => DataFrame): DataFrame =
+    dist.union(relaxedFrontier(adj, dist, bc))
       .groupBy("node").agg(min("dist").as("dist"))
-  }
+
+  /** [[ssspRelaxRound]] carrying the PREVIOUS distance through the same
+    * min-aggregate (old rows tag prev = dist, relaxed rows prev = null):
+    * `prev is null OR dist != prev` is exactly the Bellman-Ford "this round
+    * changed something" test, so the Converged loop reads convergence off
+    * the settled round frame instead of running a separate broadcast-join
+    * probe execution per round. The data-heavy relaxation join is
+    * [[relaxedFrontier]], shared verbatim with the fixed-round twin.
+    */
+  private[graft] def ssspRelaxRoundFlagged(adj: DataFrame, dist: DataFrame,
+      bc: DataFrame => DataFrame): DataFrame =
+    dist.select(col("node"), col("dist"), col("dist").as("prev"))
+      .union(relaxedFrontier(adj, dist, bc)
+        .select(col("node"), col("dist"), lit(null).cast("long").as("prev")))
+      .groupBy("node").agg(min("dist").as("dist"), min("prev").as("prev"))
 
   /** One k-truss peel: recompute per-edge triangle support, keep edges with
     * support ≥ k−2 (edgeSupport materializes before returning).
@@ -817,16 +870,18 @@ object GraphAnalytics {
       .union(e.select(col("v").as("a"), col("u").as("b")))
       .repartition(col("a"))
       .cache()
-    var surv = adj.select(col("a").as("node")).distinct().localCheckpoint(true)
-    var prevN = surv.count()
+    // settleCounted fuses each round's materialization with its
+    // convergence count — one job where checkpoint-then-count was two
+    var (surv, prevN) = settleCounted(
+      adj.select(col("a").as("node")).distinct())
     val vRows = prevN
     def bc(df: DataFrame): DataFrame = Hints.broadcastIfUnder(df, vRows)
     var used = 0
     var converged = false
     while (used < maxRounds && !converged) {
       used += 1
-      surv = kCorePeelRound(adj, surv, k, bc).localCheckpoint(true)
-      val n = surv.count()
+      val (s2, n) = settleCounted(kCorePeelRound(adj, surv, k, bc))
+      surv = s2
       if (n == prevN) converged = true
       prevN = n
     }
@@ -852,8 +907,11 @@ object GraphAnalytics {
     val cur = edges.select(
       least(col("u"), col("v")).cast("long").as("u"),
       greatest(col("u"), col("v")).cast("long").as("v"))
-      .localCheckpoint(true)
-    var prevM = cur.count()
+      .localCheckpoint(false)
+    // toRdd.count: one RDD job materializes the lazy checkpoint AND counts
+    // it (the SQL count it replaces planned its own single-partition
+    // exchange — an extra job per call)
+    var prevM = cur.queryExecution.toRdd.count()
     // identical round structure to [[trussEdges]] (full re-enumeration per
     // round — see the measured note there on why not decremental)
     var cur2: DataFrame = cur
@@ -864,7 +922,9 @@ object GraphAnalytics {
       used += 1
       out = trussPeelRound(cur2, k)
       cur2 = out.select("u", "v")
-      val m = cur2.count() // edgeSupport checkpointed — metadata cost
+      // edgeSupport eagerly checkpointed inside the peel — this counts the
+      // support filter over those cached blocks in one cheap RDD job
+      val m = cur2.queryExecution.toRdd.count()
       if (m == prevM) converged = true
       prevM = m
     }
@@ -885,22 +945,31 @@ object GraphAnalytics {
       .union(e.select(col("v").as("a"), col("u").as("b")))
       .repartition(col("b"))
       .cache()
-    var labels = adj.select(col("a").as("node")).distinct()
-      .withColumn("lbl", col("node"))
-      .localCheckpoint(true)
-    val vRows = labels.count()
+    val (labels0, vRows) = settleCounted(
+      adj.select(col("a").as("node")).distinct()
+        .withColumn("lbl", col("node")))
+    var labels = labels0
     def bc(df: DataFrame): DataFrame = Hints.broadcastIfUnder(df, vRows)
     var used = 0
     var converged = false
     while (used < maxRounds && !converged) {
       used += 1
-      val next = lpaRound(adj, labels, bc).localCheckpoint(true)
-      val changed = next
-        .join(bc(labels.withColumnRenamed("lbl", "prev_lbl")), Seq("node"))
-        .filter(col("lbl") =!= col("prev_lbl"))
-        .count()
+      // the changed-rows probe rides the round plan itself: attach the
+      // previous label via one broadcast join INSIDE the round (labels are
+      // not monotone, so a count-equality exit is not available), settle
+      // once, and read the changed count off the settled frame — where the
+      // old shape paid a whole separate probe execution (broadcast build +
+      // join + count) per round
+      val flagged = lpaRound(adj, labels, bc)
+        .join(bc(labels.select(col("node"), col("lbl").as("prev_lbl"))),
+          Seq("node"))
+        .select(col("node"), col("lbl"),
+          (col("lbl") =!= col("prev_lbl")).as("_chg"))
+      val (next, _) = settleCounted(flagged)
+      // RDD count over the settled blocks — one job, no agg exchange
+      val changed = next.filter(col("_chg")).queryExecution.toRdd.count()
       if (changed == 0) converged = true
-      labels = next
+      labels = next.select("node", "lbl")
     }
     adj.unpersist(false)
     Fixpoint(labels, used, converged)
@@ -908,9 +977,12 @@ object GraphAnalytics {
 
   /** Run-to-fixpoint [[sssp]]: identical min-plus relaxation, stops when a
     * round improves no distance and reaches no new node — the Bellman-Ford
-    * termination test, one O(V) left-join per round against the previous
-    * (checkpointed) distance frame. Count equality would NOT suffice here:
-    * a round can improve distances without growing the reached set.
+    * termination test. Count equality would NOT suffice here: a round can
+    * improve distances without growing the reached set. The test rides the
+    * round itself ([[ssspRelaxRoundFlagged]] carries the previous distance
+    * through the min-aggregate), so the only per-round actions are the
+    * settle-and-count and one cheap filter-count over the settled frame —
+    * no separate broadcast-join probe execution.
     */
   def ssspConverged(edges: DataFrame, src: Long, maxRounds: Int): Fixpoint = {
     require(maxRounds >= 1 && maxRounds <= 200)
@@ -924,18 +996,20 @@ object GraphAnalytics {
     var dist = spark.range(1)
       .select(lit(src).as("node"), lit(0L).as("dist"))
       .localCheckpoint(true)
+    var n = 1L
     var used = 0
     var converged = false
     while (used < maxRounds && !converged) {
       used += 1
-      val next = ssspRelaxRound(adj, dist).localCheckpoint(true)
+      val (next, n2) = settleCounted(ssspRelaxRoundFlagged(adj, dist, bcRows(n)))
+      // RDD count of the filter over the settled blocks: one job, no
+      // single-partition aggregate exchange
       val changed = next
-        .join(Hints.broadcastGated(dist.withColumnRenamed("dist", "prev_dist")),
-          Seq("node"), "left")
-        .filter(col("prev_dist").isNull || col("prev_dist") =!= col("dist"))
-        .count()
+        .filter(col("prev").isNull || col("prev") =!= col("dist"))
+        .queryExecution.toRdd.count()
       if (changed == 0) converged = true
-      dist = next
+      dist = next.select("node", "dist")
+      n = n2
     }
     adj.unpersist(false)
     Fixpoint(dist, used, converged)
@@ -979,13 +1053,16 @@ object GraphAnalytics {
     var dist = seeds.toDF("node")
       .select(col("node").cast("long").as("node"), lit(0L).as("dist"))
       .localCheckpoint(true)
+    // size gate threaded through settleCounted — no per-round count jobs
+    var n = seeds.size.toLong
     for (_ <- 1 to rounds) {
       val relaxed = act
-        .join(Hints.broadcastGated(dist.withColumnRenamed("node", "a")), "a")
+        .join(bcRows(n)(dist.withColumnRenamed("node", "a")), "a")
         .select(col("b").as("node"), (col("dist") + 1L).as("dist"))
-      dist = dist.union(relaxed)
-        .groupBy("node").agg(min("dist").as("dist"))
-        .localCheckpoint(true)
+      val (d2, n2) = settleCounted(
+        dist.union(relaxed)
+          .groupBy("node").agg(min("dist").as("dist")))
+      dist = d2; n = n2
     }
     act.unpersist(false)
     dist
@@ -1034,14 +1111,17 @@ object GraphAnalytics {
     var dist = seeds.toDF("seed")
       .select(col("seed"), col("seed").as("node"), lit(0L).as("dist"))
       .localCheckpoint(true)
+    // O(S·V) frame, size-gated broadcast into the cached adjacency; the
+    // gate rows thread through settleCounted (no per-round count jobs)
+    var n = seeds.size.toLong
     for (_ <- 1 to rounds) {
-      // O(S·V) frame, size-gated broadcast into the cached adjacency
       val relaxed = adj
-        .join(Hints.broadcastGated(dist.withColumnRenamed("node", "a")), "a")
+        .join(bcRows(n)(dist.withColumnRenamed("node", "a")), "a")
         .select(col("seed"), col("b").as("node"), (col("dist") + lit(1L)).as("dist"))
-      dist = dist.union(relaxed)
-        .groupBy("seed", "node").agg(min("dist").as("dist"))
-        .localCheckpoint(true)
+      val (d2, n2) = settleCounted(
+        dist.union(relaxed)
+          .groupBy("seed", "node").agg(min("dist").as("dist")))
+      dist = d2; n = n2
     }
     adj.unpersist(false)
     dist
@@ -1125,14 +1205,16 @@ object GraphAnalytics {
       .localCheckpoint(true)
     val levels = scala.collection.mutable.ArrayBuffer(f0)
     var settled = f0.select("seed", "node").localCheckpoint(true)
+    // frontier size gate threaded from each level's settled count
+    var fRows = seeds.size.toLong
     for (_ <- 1 to rounds) {
       val frontier = levels.last
-      val next = adj
-        .join(Hints.broadcastGated(frontier.withColumnRenamed("node", "a")), "a")
+      val (next, nn) = settleCounted(adj
+        .join(bcRows(fRows)(frontier.withColumnRenamed("node", "a")), "a")
         .groupBy(col("seed"), col("b").as("node"))
         .agg(sum("sigma").as("sigma"))
-        .join(settled, Seq("seed", "node"), "left_anti")
-        .localCheckpoint(true)
+        .join(settled, Seq("seed", "node"), "left_anti"))
+      fRows = nn
       levels += next
       settled = settled.union(next.select("seed", "node")).localCheckpoint(true)
     }
@@ -1235,14 +1317,19 @@ object GraphAnalytics {
       .localCheckpoint(true)
     var cur = w0
     var all = w0
-    for (t <- 1 to steps) {
-      val hash = conv(substring(md5(concat_ws(":",
-        col("walk_id"), col("step"), col("node"), lit("walk"))
-        .cast("binary")), 1, 13), 16, 10).cast("long")
+    // step t is derived as frontier.step + 1 (NOT a lit(t) literal): every
+    // step then compiles to the SAME generated source, so whole-stage
+    // codegen compiles once for the whole walk instead of once per step —
+    // the per-step janino compile was most of this operator's cold time
+    val hash = conv(substring(md5(concat_ws(":",
+      col("walk_id"), col("step"), col("node"), lit("walk"))
+      .cast("binary")), 1, 13), 16, 10).cast("long")
+    for (_ <- 1 to steps) {
       val next = adj
         .join(broadcast(cur),
           col("node") === col("adj_a") && (hash % col("deg")) === col("adj_idx"))
-        .select(col("walk_id"), lit(t).as("step"), col("b").as("node"))
+        .select(col("walk_id"), (col("step") + lit(1)).as("step"),
+          col("b").as("node"))
         .localCheckpoint(true)
       all = all.union(next)
       cur = next

@@ -627,10 +627,15 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     val p = plan("q_bootstrap_ci")
     val tree = p.split("\n\n").head // formatted explain repeats nodes in detail
     assert("Scan parquet".r.findAllIn(tree).length == 1, s"one lineitem scan:\n$p")
-    // exactly two exchanges: the 32-key aggregate and the output sort —
-    // B×rows never shuffles
+    // exactly three exchanges: the under-split-scan fan-out (r16 —
+    // Parallelism.fanOutScan, a round-robin of the PRE-explosion rows),
+    // the 32-key aggregate, and the output sort — B×rows never shuffles
     val n = "Exchange".r.findAllIn(tree).length
-    assert(n == 2, s"expected agg + sort exchanges only, got $n:\n$p")
+    assert(n == 3, s"expected fan-out + agg + sort exchanges only, got $n:\n$p")
+    // the fan-out must sit BELOW the replicate explosion (it moves the
+    // compact source rows, never the B× stream)
+    assert(p.contains("RoundRobinPartitioning"),
+      s"fan-out repartition missing:\n$p")
     assert(!p.contains("Join"), s"bootstrap is join-free:\n$p")
   }
 
