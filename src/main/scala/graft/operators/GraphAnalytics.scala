@@ -191,7 +191,7 @@ object GraphAnalytics {
     * set, so an id-oriented engine (the DuckDB oracle) counts identically.
     */
   def triangleCounts(edges: DataFrame, bloomMinEdges: Long = 4000000L): DataFrame = {
-    val (tris, oriented) = closedTriangles(edges, bloomMinEdges)
+    val (tris, oriented, _) = closedTriangles(edges, bloomMinEdges)
     val out = tris
       .select(explode(array(col("src"), col("dst1"), col("dst2"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
@@ -210,16 +210,37 @@ object GraphAnalytics {
     * is what the triangle stream explodes into.
     */
   def edgeSupport(edges: DataFrame, bloomMinEdges: Long = 4000000L): DataFrame = {
-    val (tris, oriented) = closedTriangles(edges, bloomMinEdges)
-    def canon(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      struct(least(a, b).as("u"), greatest(a, b).as("v"))
-    val out = tris
-      .select(explode(array(
-        canon(col("src"), col("dst1")),
-        canon(col("src"), col("dst2")),
-        canon(col("dst1"), col("dst2")))).as("e"))
-      .groupBy(col("e.u").as("u"), col("e.v").as("v"))
-      .agg(count(lit(1)).as("support"))
+    val (tris, oriented, packable) = closedTriangles(edges, bloomMinEdges)
+    // The support aggregation is this operator's ONLY data exchange, and
+    // its map-side partials barely compress (distinct (u,v) per partition
+    // ≈ rows). When ids fit 31 bits, pack the canonical pair into ONE long
+    // BEFORE the explode: the exploded stream carries bare longs instead
+    // of structs, the hash aggregate runs on a single long key, and the
+    // shuffle rows narrow by a third (guide §2.3 — shuffle fewer bytes,
+    // narrower types). Unpacking after the aggregate restores the exact
+    // (u, v, support) frame — same rows, same types.
+    val out = if (packable) {
+      def pk(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        least(a, b) * lit(1L << 31) + greatest(a, b)
+      tris
+        .select(explode(array(
+          pk(col("src"), col("dst1")),
+          pk(col("src"), col("dst2")),
+          pk(col("dst1"), col("dst2")))).as("pk"))
+        .groupBy("pk").agg(count(lit(1)).as("support"))
+        .select(expr(s"pk div ${1L << 31}").as("u"),
+          (col("pk") % lit(1L << 31)).as("v"), col("support"))
+    } else {
+      def canon(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        struct(least(a, b).as("u"), greatest(a, b).as("v"))
+      tris
+        .select(explode(array(
+          canon(col("src"), col("dst1")),
+          canon(col("src"), col("dst2")),
+          canon(col("dst1"), col("dst2")))).as("e"))
+        .groupBy(col("e.u").as("u"), col("e.v").as("v"))
+        .agg(count(lit(1)).as("support"))
+    }
     val mat = out.localCheckpoint(true)
     oriented.unpersist(false)
     mat
@@ -376,11 +397,18 @@ object GraphAnalytics {
   /** Degree-oriented closed-triangle enumeration shared by
     * [[triangleCounts]] and [[edgeSupport]]: returns the (src, dst1, dst2)
     * triangle stream (each triangle exactly once, from its lowest-ordered
-    * vertex) plus the cached oriented edge list the CALLER must unpersist
-    * after materializing its aggregate.
+    * vertex), the cached oriented edge list the CALLER must unpersist
+    * after materializing its aggregate, and the packed-key gate (ids all
+    * in [0, 2^31) — pairs pack injectively into one long). (Threading
+    * loop-invariant stats in from the peel loops to skip this head() job
+    * was MEASURED SLOWER at sf0.1: the stats job doubles as the clean
+    * materializer of the `oriented` cache — without it the main query's
+    * concurrent AQE stages race on the cold cache and re-derive the
+    * orientation redundantly.)
     */
   private def closedTriangles(
-      edges: DataFrame, bloomMinEdges: Long): (DataFrame, DataFrame) = {
+      edges: DataFrame, bloomMinEdges: Long)
+      : (DataFrame, DataFrame, Boolean) = {
     // NOTE: e is consumed three times below, but Spark's exchange reuse
     // already shares the caller's shuffle across those branches — caching it
     // here was measured SLOWER (columnar materialization cost exceeds the
@@ -458,7 +486,7 @@ object GraphAnalytics {
           .join(closing, Seq("dst1", "dst2"))
           .select("src", "dst1", "dst2")
       }
-    (tris, oriented)
+    (tris, oriented, packable)
   }
 
   /** k-core by fixed-round peeling: repeatedly drop nodes whose degree
