@@ -641,18 +641,24 @@ object GraphAnalytics {
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 20, s"rounds must be in [1, 20], got $rounds")
     val e = edges.select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
-    val adj = e.select(col("u").as("a"), col("v").as("b"))
+    val adjRaw = e.select(col("u").as("a"), col("v").as("b"))
       .union(e.select(col("v").as("a"), col("u").as("b")))
-      .repartition(col("b"))
-      .cache()
     val (labels0, vRows) = settleCounted(
-      adj.select(col("a").as("node")).distinct()
+      adjRaw.select(col("a").as("node")).distinct()
         .withColumn("lbl", col("node")))
     var labels = labels0
     def bc(df: DataFrame): DataFrame = Hints.broadcastIfUnder(df, vRows)
+    // Cache partitioning picks the round's ZERO-exchange key (the kCore
+    // discipline): while the label frame rides the broadcast (vRows under
+    // the gate), the b-join is map-side and partitioning by the AGGREGATION
+    // key `a` lets both per-round groupBys reuse the cache's partitioning —
+    // no data exchange per round at all. Past the gate the label join goes
+    // shuffled on b, so b-partitioning (the old layout) keeps the O(E)
+    // adjacency from re-shuffling every round instead.
+    val adj = adjRaw
+      .repartition(if (vRows <= Hints.maxRows(edges)) col("a") else col("b"))
+      .cache()
     for (_ <- 1 to rounds) {
-      // neighbor labels arrive via the cached b-partitioned adjacency (the
-      // broadcast label frame is probed map-side); see lpaRound
       labels = lpaRound(adj, labels, bc).localCheckpoint(true)
     }
     adj.unpersist(false)
@@ -969,15 +975,17 @@ object GraphAnalytics {
   def lpaConverged(edges: DataFrame, maxRounds: Int): Fixpoint = {
     require(maxRounds >= 1 && maxRounds <= 100)
     val e = edges.select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
-    val adj = e.select(col("u").as("a"), col("v").as("b"))
+    val adjRaw = e.select(col("u").as("a"), col("v").as("b"))
       .union(e.select(col("v").as("a"), col("u").as("b")))
-      .repartition(col("b"))
-      .cache()
     val (labels0, vRows) = settleCounted(
-      adj.select(col("a").as("node")).distinct()
+      adjRaw.select(col("a").as("node")).distinct()
         .withColumn("lbl", col("node")))
     var labels = labels0
     def bc(df: DataFrame): DataFrame = Hints.broadcastIfUnder(df, vRows)
+    // zero-exchange round key while labels broadcast — see labelPropagation
+    val adj = adjRaw
+      .repartition(if (vRows <= Hints.maxRows(edges)) col("a") else col("b"))
+      .cache()
     var used = 0
     var converged = false
     while (used < maxRounds && !converged) {
