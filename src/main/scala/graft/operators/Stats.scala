@@ -164,11 +164,16 @@ object Stats {
     require(aNum > 0 && aNum < aDen, "alpha must be in (0, 1)")
     val xd = x.cast(DecimalType(18, 2)); val yd = y.cast(DecimalType(18, 2))
     val b = substring(md5(key.cast("string").cast("binary")), 1, 2)
-    // fanOutScan: the md5 split + residual chain makes two full passes over
-    // the fact table — an under-split input must not run both on one core
+    // The (x, y, split) projection feeds TWO passes (train moments, then
+    // residuals), and each pass's split filter would sink below any
+    // repartition straight onto the under-split scan — so fan the scan out
+    // AND settle the projection once (the spearman precedent): both passes
+    // then read parallel checkpointed blocks instead of re-running the
+    // md5 split on one core per pass.
     val base = Parallelism.fanOutScan(df).select(xd.as("x"), yd.as("y"),
       when(b < "55", "train").when(b < "aa", "cal").otherwise("test")
         .as("split"))
+      .localCheckpoint(true)
     val fit = base.filter(col("split") === "train").agg(
         count(lit(1)).as("n_train"),
         sum(col("x")).cast("double").as("sx"),
