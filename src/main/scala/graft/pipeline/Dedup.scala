@@ -774,11 +774,22 @@ object Dedup {
     var labels = ckpt(undC.groupBy(col("src").as("node"))
       .agg(least(col("src"), min(col("dst"))).as("rep")), eager = false)
     // labels only ever decrease, so sum(rep) is strictly monotone until the
-    // fixpoint — an O(labels) agg per round instead of a join+count
-    val seed = labels.agg(sum("rep")).head()
-    if (seed.isNullAt(0)) // no pairs at all → no components
+    // fixpoint — an O(labels) pass per round instead of a join+count.
+    // (rows, Σrep) in ONE RDD job over the (lazily checkpointed) label
+    // frame: per-partition fold + driver reduce — the SQL sum() it
+    // replaces planned a single-partition exchange, making every CC round
+    // two jobs instead of one. The job doubles as the checkpoint
+    // materializer, exactly like the agg did.
+    def sumRep(df: DataFrame): (Long, Long) =
+      df.queryExecution.toRdd.mapPartitions { it =>
+        var n = 0L; var s = 0L
+        while (it.hasNext) { val r = it.next(); n += 1; s += r.getLong(1) }
+        Iterator.single((n, s))
+      }.fold((0L, 0L)) { case ((n1, s1), (n2, s2)) => (n1 + n2, s1 + s2) }
+    val (seedRows, seedSum) = sumRep(labels)
+    if (seedRows == 0L) // no pairs at all → no components
       return (labels.select(col("node").as("doc_id"), col("rep").as("rep_id")), 0)
-    var prevSum = seed.getLong(0)
+    var prevSum = seedSum
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxIter) {
@@ -798,10 +809,10 @@ object Dedup {
         .join(jump, merged("rep") === col("_jn"), "left")
         .select(merged("node"),
           least(merged("rep"), coalesce(col("_jr"), merged("rep"))).as("rep")),
-        // lazy: the convergence agg below materializes the checkpoint in the
-        // SAME job — one job per round instead of checkpoint + agg
+        // lazy: the convergence pass below materializes the checkpoint in
+        // the SAME job — one job per round instead of checkpoint + agg
         eager = false)
-      val s = labels.agg(sum("rep")).head().getLong(0)
+      val s = sumRep(labels)._2
       converged = s == prevSum
       prevSum = s
       rounds += 1
