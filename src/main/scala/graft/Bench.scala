@@ -27,8 +27,16 @@ object Bench {
       // writes one file per bucket from one job) — q_bucketed_join then
       // plans zero Exchange AND zero Sort
       .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      // identical session TZ across Bench/Verify/Explain (system TZ is UTC
+      // too) so dumped plans mirror benched plans under constant folding
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
+    // reproducibility: any overlay is logged loudly and recorded in the
+    // BENCH_OUT artifact — a benched run is explainable from its output
+    extraConf.foreach { case (k, v) =>
+      System.err.println(s"[bench] SPARK_GRAFT_CONF override: $k=$v")
+    }
     val spark = extraConf.foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -83,12 +91,14 @@ object Bench {
           (false, -1.0, -1.0)
         }
       // Suite hygiene: a query's cached/checkpoint blocks must not tax the
-      // NEXT query. clearCache drops catalog-registered cached plans;
-      // the GC nudge (every 8 queries — cheap relative to query cost) lets
-      // the ContextCleaner reclaim checkpoint RDD blocks whose frames went
-      // out of scope. One storage line per query makes any future leak
-      // visible in the artifact instead of needing a bisect.
-      spark.catalog.clearCache()
+      // NEXT query. Settle.sweep unpersists EVERY block the finished query
+      // left behind (cache + checkpoint), deterministically — waiting for
+      // the periodic-GC ContextCleaner path left each query taxed by its
+      // predecessors' dead blocks (round-16 suite-tail slowdown). Safe
+      // because no frame outlives its query (Setup memoizes paths only).
+      // The GC nudge stays for driver-heap/broadcast hygiene. One storage
+      // line per query keeps any future leak visible in the artifact.
+      graft.operators.Settle.sweep(spark)
       sinceGc += 1
       if (sinceGc >= 8) { System.gc(); sinceGc = 0 }
       val storage = spark.sparkContext.getRDDStorageInfo
@@ -100,9 +110,13 @@ object Bench {
       // reports the -1 sentinel in the machine-readable JSON
       (name, if (ok) secs else -1.0, if (ok) secs2 else -1.0)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // 3-decimal floats: the summary line must stay compact enough to
+    // survive a truncated stdout tail (round-16 verdict item 2 — the
+    // 9-decimal line was ~20 KB and never parsed by the driver)
+    def d3(v: Double) = f"$v%.3f"
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + d3(v) }
       .mkString("{", ",", "}")
-    val qs2 = results.map { case (k, _, v2) => s"\"" + k + "\":" + v2 }
+    val qs2 = results.map { case (k, _, v2) => s"\"" + k + "\":" + d3(v2) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
@@ -142,7 +156,7 @@ object Bench {
     // t1): a single rep right after clearCache() measures the cold-cache
     // penalty the clear just forced, not the plan.
     def isolatedRerun(name: String): Double = {
-      spark.catalog.clearCache()
+      graft.operators.Settle.sweep(spark)
       System.gc()
       try {
         val t = math.min(timedRun(selected(name)), timedRun(selected(name)))
@@ -186,7 +200,22 @@ object Bench {
       .map { case (k, sr, ir) => "\"" + k + "\":" + f"[$sr%.2f,$ir%.2f]" }
       .mkString("{", ",", "}")
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_t2":$qs2,"failed":${failed.mkString("[", ",", "]")},"floor_checked":${floorChecked},"floor_warn":${ratioJson(floorWarn)},"floor_fail":${ratioJson(floorFail)},"floor_noise":$noiseJson,"sf":"$sfDir"}""")
+    // Two artifacts (round-16 verdict item 2):
+    //  1. BENCH_OUT.json — the FULL per-query record (t1, t2, floor detail,
+    //     applied conf overrides) at a fixed path, immune to tail capture.
+    //  2. ONE compact stdout JSON line, LAST, with exactly the driver-keyed
+    //     fields (value/queries/failed/floor verdicts) — t2 and the floor
+    //     noise detail live in the file and on stderr, not in the line.
+    val confJson = extraConf
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val fullJson = s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"queries_t2":$qs2,"failed":${failed.mkString("[", ",", "]")},"floor_checked":${floorChecked},"floor_warn":${ratioJson(floorWarn)},"floor_fail":${ratioJson(floorFail)},"floor_noise":$noiseJson,"conf_overrides":$confJson,"cpus":$cpus,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_OUT.json"),
+      (fullJson + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_OUT.json write failed: ${e.getMessage}")
+    }
+    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"floor_checked":${floorChecked},"floor_warn":${ratioJson(floorWarn)},"floor_fail":${ratioJson(floorFail)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

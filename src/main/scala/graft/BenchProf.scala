@@ -60,6 +60,7 @@ object BenchProf {
       .config("spark.ui.enabled", "false")
       .config("spark.cleaner.periodicGC.interval", "30s")
       .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
     val spark = extra.foldLeft(b0) { case (b, (k, v)) => b.config(k, v) }
@@ -80,7 +81,7 @@ object BenchProf {
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       (1 to 2).foreach { rep =>
-        spark.catalog.clearCache(); System.gc()
+        graft.operators.Settle.sweep(spark); System.gc()
         col.reset()
         val t0 = System.nanoTime()
         fn(spark, sfDir).queryExecution.toRdd.count()

@@ -36,9 +36,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // suite hygiene (mirrors Bench): drop cached plans + let the cleaner
-      // reclaim checkpoint blocks so state can't accumulate across queries
-      spark.catalog.clearCache()
+      // suite hygiene (mirrors Bench): deterministically unpersist every
+      // block the finished query left behind (safe: frames are query-scoped)
+      graft.operators.Settle.sweep(spark)
       sinceGc += 1
       if (sinceGc >= 8) { System.gc(); sinceGc = 0 }
     }
