@@ -6224,9 +6224,13 @@ object SparkEntry {
     // (another supplier), n_late = 1 the NOT EXISTS (no other late one).
     "q21_late_sole" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      // fanOutScan: the late-flag date math + join probe runs map-side over
-      // the whole fact — parallelize an under-split scan first (§2.5)
-      val lo = graft.operators.Parallelism.fanOutScan(lineitem(s, d))
+      // NO fanOutScan here (r17 isolated A/B, 3 reps: 1.75–2.22 s with the
+      // fan-out vs 0.99–1.66 s without — the r16 change was a measured
+      // regression): the late-flag map rides the broadcast-join stage whose
+      // output immediately re-shuffles into the (orderkey, suppkey)
+      // aggregate, so the extra round-robin exchange of the whole fact
+      // costs more than the one-core map work it parallelizes.
+      val lo = lineitem(s, d)
         .join(orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy("l_orderkey", "l_suppkey")
@@ -7059,12 +7063,16 @@ object SparkEntry {
       val lpf = lp.join(freqItems, "l_partkey")
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       // the basket-pair self-join feeds BOTH the frequent-pair census and
-      // the wedge stream — settle it once instead of executing the join
-      // twice (exchange reuse shares the shuffle, not the join itself)
+      // the wedge stream — UNSETTLED on purpose (r17 isolated A/B, 3 reps:
+      // eager checkpoint 4.78–5.86 s vs exchange-reuse 2.00–4.00 s — the
+      // r16 settle was a measured regression): materializing the
+      // O(Σ C(k,2)) pair stream into the block manager costs more than the
+      // second probe of the shared shuffle, and at scale pinning that
+      // stream in executor storage is exactly the durability risk the
+      // round-16 advice flagged. Exchange reuse shares the shuffle.
       val wedgeRaw = lpf.as("a").join(lpf.as("b"),
           col("a.o") === col("b.o") && col("a.p") < col("b.p"))
         .select(col("a.o").as("wo"), col("a.p").as("p1"), col("b.p").as("p2"))
-        .localCheckpoint(true)
       val pairs = wedgeRaw
         .groupBy("p1", "p2")
         .agg(count(lit(1)).as("n_both"))

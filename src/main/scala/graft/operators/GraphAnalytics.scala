@@ -282,8 +282,10 @@ object GraphAnalytics {
     var cur2 = cur
     var out: DataFrame = null
     for (_ <- 1 to rounds) {
-      out = trussPeelRound(cur2, k)
+      val prev = cur2
+      out = trussPeelRound(cur2, k) // edgeSupport settles eagerly inside
       cur2 = out.select("u", "v")
+      Settle.unpersistSettled(prev) // prev round's support blocks are dead
     }
     out
   }
@@ -531,7 +533,12 @@ object GraphAnalytics {
     var surv = surv0
     def bc(df: DataFrame): DataFrame = Hints.broadcastIfUnder(df, vRows)
     for (_ <- 1 to rounds) {
+      val prev = surv
       surv = kCorePeelRound(adj, surv, k, bc).localCheckpoint(true)
+      // round N's survivors are dead the moment round N+1 settles — drop
+      // the blocks now instead of waiting for a GC-driven ContextCleaner
+      // pass (round-16 suite-state discipline)
+      Settle.unpersistSettled(prev)
     }
     // final pass re-attaches the in-core degree for the output frame
     val out = adj
@@ -655,11 +662,18 @@ object GraphAnalytics {
     // no data exchange per round at all. Past the gate the label join goes
     // shuffled on b, so b-partitioning (the old layout) keeps the O(E)
     // adjacency from re-shuffling every round instead.
+    val underGate = vRows <= Hints.maxRows(edges)
     val adj = adjRaw
-      .repartition(if (vRows <= Hints.maxRows(edges)) col("a") else col("b"))
+      .repartition(if (underGate) col("a") else col("b"))
       .cache()
+    // past the gate the (a,lbl) census shuffles O(E) partials per round —
+    // pack the key into one long when ids fit 31 bits (§2.3); under the
+    // gate the rounds are exchange-free and packing would break that
+    val pack = !underGate && lpaIdsPackable(labels0)
     for (_ <- 1 to rounds) {
-      labels = lpaRound(adj, labels, bc).localCheckpoint(true)
+      val prev = labels
+      labels = lpaRound(adj, labels, bc, pack).localCheckpoint(true)
+      Settle.unpersistSettled(prev) // round N-1's labels are dead now
     }
     adj.unpersist(false)
     labels
@@ -719,6 +733,7 @@ object GraphAnalytics {
     var n = 1L
     for (_ <- 1 to rounds) {
       val (d2, n2) = settleCounted(ssspRelaxRound(adj, dist, bcRows(n)))
+      Settle.unpersistSettled(dist) // prev round's frame is dead once d2 settles
       dist = d2; n = n2
     }
     adj.unpersist(false)
@@ -775,15 +790,47 @@ object GraphAnalytics {
     * frequent label (smallest label breaks ties) — argmax-by-count as min
     * over (-cnt, lbl) pairs, an ordinary partial-aggregating aggregation,
     * not a window.
+    *
+    * `packIds` (edgeSupport's 31-bit discipline, guide §2.3 narrower
+    * types): PAST the broadcast gate the (a, lbl) census is the round's
+    * O(E) shuffle — when both ids fit [0, 2^31) they pack injectively into
+    * ONE long, narrowing the exchanged key from two long columns to one
+    * (and giving the hash aggregate a single-long key). UNDER the gate the
+    * caller must pass false: the cache is hash-partitioned on `a`
+    * precisely so groupBy(a, lbl) plans zero exchanges, and a derived
+    * packed key would break that satisfaction and re-introduce the
+    * exchange. Unpack is exact integer div/mod, so the (node, lbl) output
+    * — including the (-cnt, lbl) tiebreak — is identical either way
+    * (GraphAnalyticsSpec pins the equivalence).
     */
   private[graft] def lpaRound(adj: DataFrame, labels: DataFrame,
-      bc: DataFrame => DataFrame): DataFrame =
-    adj
-      .join(bc(labels.withColumnRenamed("node", "b")), Seq("b"))
+      bc: DataFrame => DataFrame, packIds: Boolean = false): DataFrame = {
+    val joined = adj.join(bc(labels.withColumnRenamed("node", "b")), Seq("b"))
+    if (packIds) {
+      val K = 1L << 31
+      joined
+        .select((col("a") * lit(K) + col("lbl")).as("al"))
+        .groupBy("al").agg(count(lit(1)).as("cnt"))
+        .groupBy(expr(s"al div ${K}L").as("node"))
+        .agg(min(struct((-col("cnt")).as("nc"),
+          expr(s"al % ${K}L").as("l"))).as("m"))
+        .select(col("node"), col("m.l").as("lbl"))
+    } else joined
       .groupBy("a", "lbl").agg(count(lit(1)).as("cnt"))
       .groupBy(col("a").as("node"))
       .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("l"))).as("m"))
       .select(col("node"), col("m.l").as("lbl"))
+  }
+
+  /** Packed-key gate for [[lpaRound]]: labels ARE node ids, so one cheap
+    * aggregate over the settled O(V) label frame bounds every id the loop
+    * will ever pack. Only consulted past the broadcast gate — under it the
+    * zero-exchange shape wins and no range job runs at all.
+    */
+  private def lpaIdsPackable(labels0: DataFrame): Boolean = {
+    val st = labels0.agg(min("node").as("mn"), max("node").as("mx")).head()
+    !st.isNullAt(0) && st.getLong(0) >= 0L && st.getLong(1) < (1L << 31)
+  }
 
   /** The relaxation JOIN shared verbatim by [[ssspRelaxRound]] and
     * [[ssspRelaxRoundFlagged]]: propagate dist+w along the cached adjacency
@@ -915,6 +962,7 @@ object GraphAnalytics {
     while (used < maxRounds && !converged) {
       used += 1
       val (s2, n) = settleCounted(kCorePeelRound(adj, surv, k, bc))
+      Settle.unpersistSettled(surv)
       surv = s2
       if (n == prevN) converged = true
       prevN = n
@@ -954,11 +1002,13 @@ object GraphAnalytics {
     var converged = false
     while (used < maxRounds && !converged) {
       used += 1
+      val prev = cur2
       out = trussPeelRound(cur2, k)
       cur2 = out.select("u", "v")
       // edgeSupport eagerly checkpointed inside the peel — this counts the
       // support filter over those cached blocks in one cheap RDD job
       val m = cur2.queryExecution.toRdd.count()
+      Settle.unpersistSettled(prev) // prev round's support blocks are dead
       if (m == prevM) converged = true
       prevM = m
     }
@@ -981,11 +1031,15 @@ object GraphAnalytics {
       adjRaw.select(col("a").as("node")).distinct()
         .withColumn("lbl", col("node")))
     var labels = labels0
+    var settledPrev = labels0
     def bc(df: DataFrame): DataFrame = Hints.broadcastIfUnder(df, vRows)
     // zero-exchange round key while labels broadcast — see labelPropagation
+    val underGate = vRows <= Hints.maxRows(edges)
     val adj = adjRaw
-      .repartition(if (vRows <= Hints.maxRows(edges)) col("a") else col("b"))
+      .repartition(if (underGate) col("a") else col("b"))
       .cache()
+    // packed (a,lbl) census key past the gate — see labelPropagation
+    val pack = !underGate && lpaIdsPackable(labels0)
     var used = 0
     var converged = false
     while (used < maxRounds && !converged) {
@@ -996,7 +1050,7 @@ object GraphAnalytics {
       // once, and read the changed count off the settled frame — where the
       // old shape paid a whole separate probe execution (broadcast build +
       // join + count) per round
-      val flagged = lpaRound(adj, labels, bc)
+      val flagged = lpaRound(adj, labels, bc, pack)
         .join(bc(labels.select(col("node"), col("lbl").as("prev_lbl"))),
           Seq("node"))
         .select(col("node"), col("lbl"),
@@ -1005,6 +1059,10 @@ object GraphAnalytics {
       // RDD count over the settled blocks — one job, no agg exchange
       val changed = next.filter(col("_chg")).queryExecution.toRdd.count()
       if (changed == 0) converged = true
+      // `labels` is a projection over the previous settled frame — drop
+      // that frame's blocks now that `next` has settled
+      Settle.unpersistSettled(settledPrev)
+      settledPrev = next
       labels = next.select("node", "lbl")
     }
     adj.unpersist(false)
@@ -1032,6 +1090,7 @@ object GraphAnalytics {
     var dist = spark.range(1)
       .select(lit(src).as("node"), lit(0L).as("dist"))
       .localCheckpoint(true)
+    var settledPrev = dist
     var n = 1L
     var used = 0
     var converged = false
@@ -1044,6 +1103,8 @@ object GraphAnalytics {
         .filter(col("prev").isNull || col("prev") =!= col("dist"))
         .queryExecution.toRdd.count()
       if (changed == 0) converged = true
+      Settle.unpersistSettled(settledPrev)
+      settledPrev = next
       dist = next.select("node", "dist")
       n = n2
     }
@@ -1098,6 +1159,7 @@ object GraphAnalytics {
       val (d2, n2) = settleCounted(
         dist.union(relaxed)
           .groupBy("node").agg(min("dist").as("dist")))
+      Settle.unpersistSettled(dist)
       dist = d2; n = n2
     }
     act.unpersist(false)
@@ -1157,6 +1219,7 @@ object GraphAnalytics {
       val (d2, n2) = settleCounted(
         dist.union(relaxed)
           .groupBy("seed", "node").agg(min("dist").as("dist")))
+      Settle.unpersistSettled(dist)
       dist = d2; n = n2
     }
     adj.unpersist(false)
@@ -1252,7 +1315,11 @@ object GraphAnalytics {
         .join(settled, Seq("seed", "node"), "left_anti"))
       fRows = nn
       levels += next
+      // prev `settled` folds into the new checkpoint — dead after it settles
+      // (the per-level frames in `levels` stay live for the backward pass)
+      val prevSettled = settled
       settled = settled.union(next.select("seed", "node")).localCheckpoint(true)
+      Settle.unpersistSettled(prevSettled)
     }
     // backward: delta_fp per level, deepest first (level `rounds` has no
     // in-horizon successors → delta 0)

@@ -780,12 +780,18 @@ object Dedup {
     // replaces planned a single-partition exchange, making every CC round
     // two jobs instead of one. The job doubles as the checkpoint
     // materializer, exactly like the agg did.
-    def sumRep(df: DataFrame): (Long, Long) =
+    def sumRep(df: DataFrame): (Long, Long) = {
+      // resolve the ordinal by name — node and rep are both longs, so a
+      // silent projection reorder would otherwise sum the wrong column
+      val repIdx = df.columns.indexOf("rep")
+      require(repIdx >= 0,
+        s"label frame must carry a rep column, got ${df.columns.mkString(",")}")
       df.queryExecution.toRdd.mapPartitions { it =>
         var n = 0L; var s = 0L
-        while (it.hasNext) { val r = it.next(); n += 1; s += r.getLong(1) }
+        while (it.hasNext) { val r = it.next(); n += 1; s += r.getLong(repIdx) }
         Iterator.single((n, s))
       }.fold((0L, 0L)) { case ((n1, s1), (n2, s2)) => (n1 + n2, s1 + s2) }
+    }
     val (seedRows, seedSum) = sumRep(labels)
     if (seedRows == 0L) // no pairs at all → no components
       return (labels.select(col("node").as("doc_id"), col("rep").as("rep_id")), 0)
@@ -793,6 +799,7 @@ object Dedup {
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxIter) {
+      val prevLabels = labels
       val prop = undC.join(labels, undC("dst") === labels("node"))
         .select(undC("src").as("node"), labels("rep").as("rep"))
       val merged = prop.unionByName(labels.select("node", "rep"))
@@ -813,6 +820,9 @@ object Dedup {
         // the SAME job — one job per round instead of checkpoint + agg
         eager = false)
       val s = sumRep(labels)._2
+      // sumRep just materialized the new checkpoint — round N-1's label
+      // blocks are dead now (round-16 suite-state discipline)
+      graft.operators.Settle.unpersistSettled(prevLabels)
       converged = s == prevSum
       prevSum = s
       rounds += 1

@@ -221,6 +221,33 @@ class GraphAnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(l1 == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 4L, 6L -> 4L))
   }
 
+  test("labelPropagation: packed past-gate rounds match the zero-exchange shape exactly") {
+    // forcing the broadcast gate shut (maxRows=0) takes the b-partitioned
+    // shuffled-round path, where the (a,lbl) census key packs into one long
+    // (r17, guide §2.3) — results must be IDENTICAL to the under-gate run,
+    // including the (count desc, label asc) tiebreak
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+      .toDF("u", "v")
+    val expect = GraphAnalytics.labelPropagation(edges, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    val key = graft.operators.Hints.IterativeBroadcastMaxRows
+    spark.conf.set(key, "0")
+    try {
+      val packed = GraphAnalytics.labelPropagation(edges, rounds = 4)
+        .as[(Long, Long)].collect().toMap
+      assert(packed == expect)
+      val fp = GraphAnalytics.lpaConverged(edges, maxRounds = 10)
+      assert(fp.converged &&
+        fp.result.as[(Long, Long)].collect().toMap == expect)
+      // ids outside [0, 2^31) close the pack gate — the shuffled round must
+      // fall back to the two-column key and still agree
+      val big = Seq((1L << 40, 2L), (1L << 40, 3L), (2L, 3L)).toDF("u", "v")
+      val gotBig = GraphAnalytics.labelPropagation(big, rounds = 3)
+        .as[(Long, Long)].collect().toMap
+      assert(gotBig == Map((1L << 40) -> 2L, 2L -> 2L, 3L -> 2L))
+    } finally spark.conf.unset(key)
+  }
+
   test("edgeSupport: hand-counted supports on K4 minus an edge; bloom path agrees") {
     // K4 on {1,2,3,4} minus edge (3,4): triangles {1,2,3} and {1,2,4}.
     // Edge (1,2) is in both → support 2; the other four edges → 1.

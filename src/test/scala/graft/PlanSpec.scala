@@ -564,6 +564,47 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       pp.contains("count"), s"probe should be a plain count:\n$pp")
   }
 
+  test("lpa round: zero data exchange under the broadcast gate; packed single-long census past it") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    import graft.operators.GraphAnalytics
+    def simple(df: DataFrame): String = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    val e = (1L to 40L).map(i => (i, i % 37 + 1)).toDF("u", "v")
+    val sym = e.select(col("u").as("a"), col("v").as("b"))
+      .union(e.select(col("v").as("a"), col("u").as("b")))
+    val labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("lbl", col("node")).localCheckpoint(true)
+    // UNDER the gate: adjacency partitioned on the aggregation key `a`,
+    // labels broadcast — both groupBys reuse the cache partitioning, so the
+    // whole round plans ZERO data exchanges above the cached repartition
+    // (the r16 zero-exchange claim, now pinned instead of asserted in prose)
+    val adjA = sym.repartition(col("a")).cache()
+    // materialize the cache first — the loops always do (the init settle
+    // runs over it); an unfilled adaptive cached plan hides its output
+    // partitioning from the consumer and the reuse never triggers
+    adjA.count()
+    val under = simple(GraphAnalytics.lpaRound(adjA, labels, broadcast(_)))
+    assert(!under.contains("SortMergeJoin"), s"under-gate round shuffled:\n$under")
+    val aboveCache = under.split("InMemoryRelation").head
+    assert(!aboveCache.contains("Exchange hashpartitioning"),
+      s"under-gate LPA round must add zero data exchanges:\n$under")
+    adjA.unpersist(false)
+    // PAST the gate (labels not broadcast): the O(E) census key packs into
+    // ONE long — the first aggregate's grouping and exchange key on the
+    // shuffled path, unpacked exactly afterwards (r17, guide §2.3)
+    val adjB = sym.repartition(col("b")).cache()
+    val packed = simple(GraphAnalytics.lpaRound(adjB, labels, identity, packIds = true))
+    assert(packed.contains("hashpartitioning(al"),
+      s"packed round must aggregate on the single packed key:\n$packed")
+    // the node unpack (al div 2^31) is aliased into a _groupingexpression in
+    // simple mode — the mod unpack inside the min(struct) stays visible
+    assert(packed.contains("% 2147483648"),
+      s"packed round must unpack the label with exact mod:\n$packed")
+    adjB.unpersist(false)
+  }
+
   test("text_dsir: bucket histograms broadcast back — the corpus shuffles once for the count") {
     val p = plan("text_dsir")
     // the scoring join of (doc, bucket) counts against the 512-row
